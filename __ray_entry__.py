@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native engine (see SURVEY.md).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship geocode→tile→spatial-join pipeline on
+sf0.001. ``queries()`` exposes one callable per implemented operator
+family from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB mirror for
+every SQL-expressible query (built in
+``whitebox_geospatial_analysis_tools_ray.oracle``).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the DRIVER before this module is imported — no
+``ray.init`` / ``ray.shutdown`` anywhere in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +15,136 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
+    return flagship(SF_SMOKE)
+
+
+def _points(sf_dir: str):
+    from whitebox_geospatial_analysis_tools_ray.stages.points import read_points
+    return read_points(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from whitebox_geospatial_analysis_tools_ray.core.features import (
+        cell_centers, rect_zones, seeded_polygons, site_points, triangle_zones)
+    from whitebox_geospatial_analysis_tools_ray.core.rng import EAST, NORTH, SOUTH, WEST
+    from whitebox_geospatial_analysis_tools_ray.core.tiles import RectGrid
+    from whitebox_geospatial_analysis_tools_ray.stages import (
+        agg, ann, dedup, knn, raster, relational, textops, tiling)
+    from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
+        broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
+    from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    world_grid = RectGrid.from_extent(WEST, SOUTH, EAST, NORTH,
+                                      width_x=250.0, width_y=250.0)
+
+    def _raster_math(sf_dir: str):
+        spec = raster.RasterSpec()
+        ds = raster.synth_raster(spec)
+        import numpy as np
+        mapped = raster.raster_map(ds, lambda a: np.sqrt(a) * 2.0 + a / 7.0)
+        return raster.raster_row_checksums(mapped, spec)
+
+    def _raster_stencil(sf_dir: str):
+        spec = raster.RasterSpec()
+        filt = raster.stencil_mean3x3(raster.synth_raster(spec), spec)
+        return raster.raster_row_checksums(filt, spec)
+
+    def _raster_points(sf_dir: str):
+        spec = raster.RasterSpec()
+        return raster.raster_to_points_count(raster.synth_raster(spec), spec)
+
+    return {
+        # --- tiling / cell encoding (TileLasFile + HexBinning) ---
+        "tile_assign": lambda sf: tiling.tile_counts(sf)[0],
+        "tile_hex": lambda sf: tiling.hex_counts(sf)[0],
+        # --- spatial joins (IsolateVectorFeaturesByLocation family) ---
+        "pip_rect_join": lambda sf: broadcast_pip_join(_points(sf), rect_zones()),
+        "pip_rect_join_shuffle": lambda sf: cell_partitioned_pip_join(
+            _points(sf), rect_zones()),
+        "pip_triangle_join": lambda sf: broadcast_pip_join(
+            _points(sf), triangle_zones()),
+        "pip_polygon_join": lambda sf: broadcast_pip_join(
+            _points(sf), seeded_polygons()),
+        "spatial_anti_join": lambda sf: broadcast_pip_join(
+            _points(sf), rect_zones(), mode="anti"),
+        "within_distance_join": lambda sf: within_distance_join(
+            _points(sf), site_points(), 300.0),
+        # --- kNN / IDW (InterpolationIDW, NearestNeighbourAnalysis) ---
+        "knn_idw": lambda sf: knn.idw_interpolate(_points(sf), cell_centers()),
+        "knn_nearest_site": lambda sf: knn.nearest_point_per_site(
+            _points(sf), site_points()),
+        # --- aggregation (VectorPointsToRaster, ExtractStatistics, Histogram) ---
+        "cell_aggregates": lambda sf: agg.cell_aggregates(_points(sf), world_grid),
+        "zonal_stats": lambda sf: agg.zonal_stats(sf),
+        "value_histogram": lambda sf: agg.value_histogram(sf),
+        # --- dedup family ---
+        "exact_dedup": lambda sf: dedup.exact_dedup(sf),
+        "coincident_dedup": lambda sf: dedup.coincident_dedup(_points(sf)),
+        "minhash_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
+        "simhash_signatures": lambda sf: dedup.simhash_signatures(sf),
+        # --- text analysis ---
+        "token_stats": lambda sf: textops.token_stats_by_lang(sf),
+        "quality_scores": lambda sf: textops.quality_scores_by_lang(sf),
+        "fingerprints": lambda sf: textops.fingerprint_stats(sf),
+        "langid_confusion": lambda sf: textops.langid_confusion(sf),
+        # --- similarity search ---
+        "ann_cosine_topk": lambda sf: ann.cosine_topk(sf),
+        "ann_knn_join": lambda sf: ann.knn_join_topk(sf),
+        "ann_ivf_topk": lambda sf: ann.ivf_topk(sf),
+        # --- relational surface ---
+        "q1_pricing": lambda sf: relational.q1_pricing_summary(sf),
+        "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
+        "top_parts": lambda sf: relational.top_parts_by_price(sf),
+        "events_window": lambda sf: relational.events_tumbling_window(sf),
+        "user_sessions": lambda sf: relational.user_sessions(sf),
+        "distinct_event_types": lambda sf: relational.distinct_event_types(sf),
+        # --- raster family (MathTools, FilterMean, RasterToVectorPoints) ---
+        "raster_math": _raster_math,
+        "raster_stencil_mean": _raster_stencil,
+        "raster_to_points": _raster_points,
+        # --- flagship (rows-only; composite of the above) ---
+        "flagship": lambda sf: flagship(sf),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from whitebox_geospatial_analysis_tools_ray import oracle as o
+
+    return {
+        "tile_assign": o.tile_assign_sql(),
+        "tile_hex": o.hex_assign_sql(),
+        "pip_rect_join": o.pip_rect_join_sql(),
+        "pip_rect_join_shuffle": o.pip_rect_join_sql(),
+        "pip_triangle_join": o.pip_triangle_join_sql(),
+        "spatial_anti_join": o.spatial_anti_join_sql(),
+        "within_distance_join": o.within_distance_join_sql(),
+        "knn_idw": o.idw_sql(),
+        "knn_nearest_site": o.nearest_site_sql(),
+        "cell_aggregates": o.cell_aggregates_sql(),
+        "zonal_stats": o.zonal_stats_sql(),
+        "value_histogram": o.histogram_sql(),
+        "exact_dedup": o.exact_dedup_sql(),
+        "coincident_dedup": o.coincident_dedup_sql(),
+        "token_stats": o.token_stats_sql(),
+        "quality_scores": o.quality_scores_sql(),
+        "fingerprints": o.fingerprint_sql(),
+        "ann_cosine_topk": o.ann_cosine_topk_sql(),
+        "ann_knn_join": o.ann_knn_join_sql(),
+        "q1_pricing": o.q1_sql(),
+        "revenue_by_nation": o.revenue_by_nation_sql(),
+        "top_parts": o.top_parts_sql(),
+        "events_window": o.events_window_sql(),
+        "user_sessions": o.user_sessions_sql(),
+        "distinct_event_types": o.distinct_event_types_sql(),
+        "raster_math": o.raster_math_sql(),
+        "raster_stencil_mean": o.raster_stencil_sql(),
+        "raster_to_points": o.raster_to_points_sql(),
+        # rows-only (non-SQL-expressible): pip_polygon_join (scanline PIP on
+        # concave/holed polygons), minhash_pairs, simhash_signatures,
+        # langid_confusion, ann_ivf_topk, flagship.
+    }

@@ -1,0 +1,63 @@
+import duckdb
+import pandas as pd
+import pytest
+import ray
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's compare: columns sorted by name, rows sorted
+    by all columns, dtypes normalized."""
+    df = df.copy()
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k in "iu":
+            df[c] = df[c].astype("int64")
+        elif k == "f":
+            df[c] = df[c].astype("float64")
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def assert_matches_oracle(ray_result, duck_con, sql: str):
+    got = canonical(to_pandas(ray_result))
+    want = canonical(duck_con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), \
+        f"columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_exact=True,
+                                  check_dtype=False)

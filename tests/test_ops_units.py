@@ -1,0 +1,113 @@
+"""Unit tests: raster-calculator compiler, vector ops, stencil kernel."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from whitebox_geospatial_analysis_tools_ray.core import geom
+from whitebox_geospatial_analysis_tools_ray.core.rng import NODATA
+from whitebox_geospatial_analysis_tools_ray.functions.raster_calc import (
+    compile_expression, raster_calculator)
+
+
+def test_expression_compiler_basic():
+    fn = compile_expression("a + b * 2")
+    a = np.array([1.0, 2.0, NODATA])
+    b = np.array([10.0, 20.0, 30.0])
+    out = fn({"a": a, "b": b})
+    assert out[0] == 21.0 and out[1] == 42.0
+    assert out[2] == NODATA  # NoData propagates (Add.java:307 contract)
+
+
+def test_expression_functions_and_precedence():
+    fn = compile_expression("sqrt(sqr(a)) + min(a, 0) - 2 ^ 2")
+    a = np.array([3.0, -4.0])
+    out = fn({"a": a})
+    assert out[0] == 3.0 + 0.0 - 4.0
+    assert out[1] == 4.0 + (-4.0) - 4.0
+
+
+def test_expression_if_and_compare():
+    fn = compile_expression("if(a > 2, 1, 0)")
+    out = fn({"a": np.array([1.0, 3.0])})
+    assert list(out) == [0.0, 1.0]
+
+
+def test_raster_calculator_over_tiles(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import (
+        RasterSpec, synth_raster)
+    spec = RasterSpec(rows=64, cols=64, tile_rows=32)
+    a = synth_raster(spec)
+    b = synth_raster(spec)
+    out = raster_calculator({"a": a, "b": b}, "a + b").to_pandas()
+    av = np.concatenate([np.asarray(d) for d in
+                         a.to_pandas().sort_values("tile_id")["data"]])
+    ov = np.concatenate([np.asarray(d) for d in
+                         out.sort_values("tile_id")["data"]])
+    m = av != NODATA
+    assert np.allclose(ov[m], 2 * av[m])
+    assert (ov[~m] == NODATA).all()
+
+
+def test_stencil_kernel_matches_naive():
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import _mean3x3
+    rs = np.random.default_rng(5)
+    a = rs.uniform(0, 100, (12, 9))
+    a[rs.uniform(size=a.shape) < 0.2] = NODATA
+    fast = _mean3x3(a, NODATA)
+    H, W = a.shape
+    for r in range(H):
+        for c in range(W):
+            if a[r, c] == NODATA:
+                assert fast[r, c] == NODATA
+                continue
+            vals = [a[rr, cc]
+                    for rr in range(max(0, r - 1), min(H, r + 2))
+                    for cc in range(max(0, c - 1), min(W, c + 2))
+                    if a[rr, cc] != NODATA]
+            assert fast[r, c] == pytest.approx(sum(vals) / len(vals))
+
+
+def test_stencil_halo_equals_single_tile(ray_session):
+    """TILE-STENCIL with halo exchange == whole-grid kernel."""
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import (
+        RasterSpec, _mean3x3, stencil_mean3x3, synth_raster, synth_value)
+    spec = RasterSpec(rows=128, cols=64, tile_rows=32)
+    filt = stencil_mean3x3(synth_raster(spec), spec).to_pandas()
+    got = np.concatenate([np.asarray(d) for d in
+                          filt.sort_values("tile_id")["data"]]).reshape(128, 64)
+    whole = synth_value(np.arange(128 * 64)).reshape(128, 64)
+    want = _mean3x3(whole, spec.nodata)
+    assert np.array_equal(got, want)
+
+
+def test_vector_shape_metrics(ray_session):
+    import ray.data as rd
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        convex_hulls, extract_nodes, shape_metrics, simplify)
+    sq = np.array([[0, 0], [0, 10], [10, 10], [10, 0]], dtype=float)  # CW
+    wkb = geom.wkb_polygon(geom.Polygon([sq]))
+    ds = rd.from_pandas(pd.DataFrame({"rec_id": [1], "geometry": [wkb]}))
+    m = shape_metrics(ds).to_pandas().iloc[0]
+    assert m["area"] == 100.0 and m["perimeter"] == 40.0
+    assert m["centroid_x"] == 5.0 and m["centroid_y"] == 5.0
+    assert m["compactness"] == pytest.approx(40 / (2 * np.sqrt(np.pi * 100)))
+    nodes = extract_nodes(ds).to_pandas()
+    assert len(nodes) == 4
+    hull = convex_hulls(ds).to_pandas()
+    assert hull["hull_nvert"].iloc[0] == 4
+    simp = simplify(ds, 0.5).to_pandas()
+    assert len(simp) == 1
+
+
+def test_layer_footprint(ray_session):
+    import ray.data as rd
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import layer_footprint
+    polys = []
+    for cx in (0.0, 100.0):
+        ring = np.array([[cx, 0], [cx, 10], [cx + 10, 10], [cx + 10, 0]])
+        polys.append(geom.wkb_polygon(geom.Polygon([ring])))
+    ds = rd.from_pandas(pd.DataFrame({"rec_id": [1, 2], "geometry": polys}))
+    fp = layer_footprint(ds)
+    minx, miny, maxx, maxy = fp.bbox
+    assert (minx, miny, maxx, maxy) == (0.0, 0.0, 110.0, 10.0)

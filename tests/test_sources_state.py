@@ -1,0 +1,90 @@
+"""Tests for file sources (.dep/.tas, shapefile) and checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+VERMONT = "/root/reference/WhiteboxGIS/resources/samples/Vermont DEM/Vermont DEM.dep"
+GLACIER = "/root/reference/WhiteboxGIS/resources/samples/Columbia Icefield Map/Glacier.shp"
+
+
+def test_read_whitebox_raster_header_and_values(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.sources.raster_io import (
+        read_dep_header, read_whitebox_raster)
+    hdr = read_dep_header(VERMONT)
+    assert hdr.rows == 369 and hdr.cols == 251
+    assert hdr.data_type == "FLOAT" and hdr.nodata == -32768.0
+    hdr2, ds = read_whitebox_raster(VERMONT)
+    tiles = ds.to_pandas()
+    total = sum(len(np.asarray(d)) for d in tiles["data"])
+    assert total == 369 * 251
+    allv = np.concatenate([np.asarray(d) for d in
+                           tiles.sort_values("tile_id")["data"]])
+    valid = allv[allv != hdr.nodata]
+    # header Min/Max are the reference-computed stats — must agree
+    assert abs(valid.min() - hdr.vmin) < 1e-4
+    assert abs(valid.max() - hdr.vmax) < 1e-4
+
+
+def test_raster_roundtrip(tmp_path, ray_session):
+    from whitebox_geospatial_analysis_tools_ray.sources.raster_io import (
+        read_whitebox_raster, write_whitebox_raster)
+    hdr, ds = read_whitebox_raster(VERMONT)
+    out = str(tmp_path / "copy.dep")
+    write_whitebox_raster(hdr, ds, out)
+    hdr2, ds2 = read_whitebox_raster(out)
+    a = np.concatenate([np.asarray(d) for d in
+                        ds.to_pandas().sort_values("tile_id")["data"]])
+    b = np.concatenate([np.asarray(d) for d in
+                        ds2.to_pandas().sort_values("tile_id")["data"]])
+    assert (a == b).all()
+
+
+def test_read_shapefile_glacier():
+    from whitebox_geospatial_analysis_tools_ray.core.geom import parse_wkb
+    from whitebox_geospatial_analysis_tools_ray.sources.shapefile_io import read_shapefile
+    df = read_shapefile(GLACIER)
+    assert len(df) > 0
+    assert df["rec_id"].iloc[0] == 1
+    assert set(df["shape_type"]) == {5}
+    kind, poly = parse_wkb(df["geometry"].iloc[0])
+    assert kind == "polygon" and len(poly.rings) >= 1
+    # attributes joined from DBF
+    assert df.shape[1] > 5
+
+
+def test_checkpoint_resume_equals_fresh(tmp_path, ray_session):
+    import ray.data as rd
+    from whitebox_geospatial_analysis_tools_ray.state.checkpoint import (
+        checkpointed_write, is_complete, load_manifest, read_checkpointed)
+
+    df = pd.DataFrame({"k": np.arange(100) % 7, "v": np.arange(100)})
+    ds = rd.from_pandas(df)
+    out1 = str(tmp_path / "fresh")
+    man1 = checkpointed_write(ds, out1, "k", stage="test")
+    assert is_complete(out1)
+    assert man1["rows"].sum() == 100
+
+    # simulate a partial run: pre-commit 3 partitions, then resume
+    out2 = str(tmp_path / "resume")
+    os.makedirs(out2)
+    sub = df[df["k"] < 3]
+    checkpointed_write(rd.from_pandas(sub), out2, "k", stage="test")
+    assert len(load_manifest(out2)) == 3
+    man2 = checkpointed_write(rd.from_pandas(df), out2, "k", stage="test")
+    assert man2["rows"].sum() == 100
+
+    a = read_checkpointed(out1).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    b = read_checkpointed(out2).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["k", "v"]], b[["k", "v"]])
+
+
+def test_xyz_source(tmp_path, ray_session):
+    from whitebox_geospatial_analysis_tools_ray.sources.xyz import read_xyz
+    p = tmp_path / "pts.xyz"
+    p.write_text("x y z\n1.0 2.0 3.0\n4.0 5.0 6.0\nbad line\n7 8 9\n")
+    df = read_xyz(str(p)).to_pandas()
+    assert len(df) == 3
+    assert df["z"].tolist() == [3.0, 6.0, 9.0]

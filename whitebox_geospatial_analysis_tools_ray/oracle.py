@@ -1,0 +1,500 @@
+"""DuckDB oracle SQL builders — exact mirrors of the Ray pipelines.
+
+Every query in ``__ray_entry__.queries()`` that is SQL-expressible has a
+builder here producing ANSI-ish SQL DuckDB can run against the
+pre-registered views (documents, embeddings, events, lineitem, orders,
+customer, nation, part, region, supplier).
+
+Mirroring rules (shared with the numpy stages):
+- coordinates derive from exact int64 LCG arithmetic then a fixed-order
+  float64 expression (core.rng.geocode_sql);
+- float aggregate outputs are ROUND()ed identically on both sides;
+- integer sums are CAST(... AS BIGINT) (DuckDB SUM(BIGINT) → HUGEINT);
+- zone/site/cell constants are Python-computed doubles inlined as repr
+  literals (repr round-trips IEEE doubles exactly).
+"""
+
+from __future__ import annotations
+
+import math
+
+from .core.features import (POINTS_CTE, cell_centers, cell_centers_sql_values,
+                            rect_zones, rect_zones_sql_values, site_points,
+                            site_points_sql_values, triangle_zones)
+from .core.geom import triangle_pip_sql
+from .core.rng import NODATA
+
+W = 250.0  # default tile width
+
+
+# ---------------------------------------------------------------------------
+# Tiling
+# ---------------------------------------------------------------------------
+
+def tile_assign_sql(width: float = W) -> str:
+    return f"""
+WITH {POINTS_CTE},
+ext AS (
+  SELECT CAST(floor(min(x) / {width!r}) AS BIGINT) AS sx,
+         CAST(floor(min(y) / {width!r}) AS BIGINT) AS sy,
+         CAST(ceil(max(x) / {width!r}) AS BIGINT)
+           - CAST(floor(min(x) / {width!r}) AS BIGINT) AS ncols
+  FROM pts),
+keyed AS (
+  SELECT (CAST(floor(y / {width!r}) AS BIGINT) - ext.sy) * ext.ncols
+         + (CAST(floor(x / {width!r}) AS BIGINT) - ext.sx) AS tile_id, z
+  FROM pts, ext)
+SELECT tile_id,
+       COUNT(*) AS n_points,
+       round(SUM(z), 6) AS sum_z,
+       MIN(z) AS min_z,
+       MAX(z) AS max_z
+FROM keyed GROUP BY tile_id
+"""
+
+
+def hex_assign_sql(width: float = W) -> str:
+    """Nearest-hex-center binning (HexBinning.groovy:106-206), 4-candidate
+    closed form; grid constants derive from the data extent in SQL with
+    the same float op order as core.tiles.HexGrid."""
+    hw = 0.5 * width
+    size = hw / math.cos(math.pi / 6)
+    height = 2.0 * size
+    tqh = 0.75 * height
+    qh = 0.25 * height
+
+    ext = (f"ext AS (SELECT min(x) AS minx, max(x) AS maxx, "
+           f"min(y) AS miny, max(y) AS maxy FROM pts)")
+    grid = (f"g AS (SELECT minx + {hw!r} AS cx0, maxy - {qh!r} AS cy0, "
+            f"CAST(ceil((maxy - miny) / {tqh!r}) AS BIGINT) AS nrows, "
+            f"CAST(ceil((maxx - minx) / {width!r}) AS BIGINT) AS ce, "
+            f"CAST(ceil((maxx - minx + {hw!r}) / {width!r}) AS BIGINT) AS co "
+            f"FROM ext)")
+
+    def cand(dr: int, dc: int) -> tuple[str, str]:
+        row = (f"least(greatest(CAST(floor((g.cy0 - y) / {tqh!r}) AS BIGINT)"
+               f" + {dr}, 0), g.nrows - 1)")
+        rowoff = f"(g.cx0 - {hw!r} * (({row}) % 2))"
+        ncols = f"(CASE WHEN ({row}) % 2 = 0 THEN g.ce ELSE g.co END)"
+        col = (f"least(greatest(CAST(floor((x - {rowoff}) / {width!r}) AS BIGINT)"
+               f" + {dc}, 0), {ncols} - 1)")
+        cx = f"({rowoff} + ({col}) * {width!r})"
+        cy = f"(g.cy0 - ({row}) * {tqh!r})"
+        d2 = f"((x - {cx}) * (x - {cx}) + (y - {cy}) * (y - {cy}))"
+        start = f"((({row}) + 1) // 2 * g.ce + ({row}) // 2 * g.co)"
+        return d2, f"({start} + ({col}))"
+
+    # materialize candidates as columns, then lexicographic argmin
+    cands = [cand(dr, dc) for dr in (0, 1) for dc in (0, 1)]
+    cols = ", ".join(f"{d2} AS d{i}, {idx} AS i{i}"
+                     for i, (d2, idx) in enumerate(cands))
+    best = "i0"
+    bestd = "d0"
+    for i in range(1, 4):
+        take = (f"(d{i} < {bestd} OR (d{i} = {bestd} AND i{i} < {best}))")
+        best = f"(CASE WHEN {take} THEN i{i} ELSE {best} END)"
+        bestd = f"(CASE WHEN {take} THEN d{i} ELSE {bestd} END)"
+
+    return f"""
+WITH {POINTS_CTE}, {ext}, {grid},
+cand AS (SELECT {cols} FROM pts, g),
+keyed AS (SELECT {best} AS hex_id FROM cand)
+SELECT hex_id, COUNT(*) AS n_points FROM keyed GROUP BY hex_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spatial joins
+# ---------------------------------------------------------------------------
+
+def pip_rect_join_sql() -> str:
+    zones = rect_zones_sql_values(rect_zones(), alias="z")
+    return f"""
+WITH {POINTS_CTE}
+SELECT p.rec_id, z.zone_id
+FROM pts p JOIN {zones}
+  ON p.x >= z.xmin AND p.x <= z.xmax AND p.y >= z.ymin AND p.y <= z.ymax
+"""
+
+
+def pip_triangle_join_sql() -> str:
+    parts = []
+    for t in triangle_zones():
+        pred = triangle_pip_sql("p.x", "p.y", t["ax"], t["ay"], t["bx"],
+                                t["by"], t["cx"], t["cy"])
+        parts.append(
+            f"SELECT p.rec_id, {t['zone_id']} AS zone_id FROM pts p WHERE {pred}")
+    union = "\nUNION ALL\n".join(parts)
+    return f"WITH {POINTS_CTE}\n{union}"
+
+
+def spatial_anti_join_sql() -> str:
+    zones = rect_zones_sql_values(rect_zones(), alias="z")
+    return f"""
+WITH {POINTS_CTE}
+SELECT p.rec_id, p.x, p.y
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM {zones}
+  WHERE p.x >= z.xmin AND p.x <= z.xmax AND p.y >= z.ymin AND p.y <= z.ymax)
+"""
+
+
+def within_distance_join_sql(radius: float = 300.0) -> str:
+    sites = site_points_sql_values(site_points())
+    return f"""
+WITH {POINTS_CTE}
+SELECT p.rec_id, s.site_id
+FROM pts p JOIN {sites}
+  ON (p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy)
+     <= {radius * radius!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN / IDW
+# ---------------------------------------------------------------------------
+
+def idw_sql(max_dist: float = 400.0, p: float = 2.0) -> str:
+    cells = cell_centers_sql_values(cell_centers())
+    maxd2 = max_dist * max_dist
+    return f"""
+WITH {POINTS_CTE},
+d AS (
+  SELECT c.cell_id, p.rec_id, p.z,
+         (c.cx - p.x) * (c.cx - p.x) + (c.cy - p.y) * (c.cy - p.y) AS d2
+  FROM {cells}, pts p),
+agg AS (
+  SELECT cell_id,
+         COUNT(CASE WHEN d2 = 0 THEN 1 END) AS n_exact,
+         MIN(CASE WHEN d2 = 0 THEN rec_id END) AS exact_rec,
+         SUM(CASE WHEN d2 > 0 AND d2 < {maxd2!r}
+                  THEN 1.0 / power(sqrt(d2), {p!r}) END) AS wsum,
+         SUM(CASE WHEN d2 > 0 AND d2 < {maxd2!r}
+                  THEN z / power(sqrt(d2), {p!r}) END) AS zsum
+  FROM d GROUP BY cell_id),
+ex AS (
+  SELECT d.cell_id, d.z AS exact_z FROM d
+  JOIN agg ON d.cell_id = agg.cell_id AND d.rec_id = agg.exact_rec AND d.d2 = 0)
+SELECT a.cell_id,
+       round(CASE WHEN a.n_exact > 0 THEN ex.exact_z
+                  WHEN a.wsum > 0 THEN a.zsum / a.wsum
+                  ELSE {NODATA!r} END, 4) AS idw_z
+FROM agg a LEFT JOIN ex ON a.cell_id = ex.cell_id
+"""
+
+
+def nearest_site_sql() -> str:
+    sites = site_points_sql_values(site_points())
+    return f"""
+WITH {POINTS_CTE},
+d AS (
+  SELECT s.site_id, p.rec_id,
+         (s.sx - p.x) * (s.sx - p.x) + (s.sy - p.y) * (s.sy - p.y) AS d2
+  FROM {sites}, pts p),
+m AS (SELECT site_id, MIN(d2) AS md FROM d GROUP BY site_id)
+SELECT d.site_id,
+       CAST(MIN(d.rec_id) AS BIGINT) AS nn_rec,
+       round(sqrt(m.md), 6) AS nn_dist
+FROM d JOIN m ON d.site_id = m.site_id AND d.d2 = m.md
+GROUP BY d.site_id, m.md
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / dedup
+# ---------------------------------------------------------------------------
+
+def cell_aggregates_sql(width: float = W, ncols: int = 16) -> str:
+    return f"""
+WITH {POINTS_CTE},
+keyed AS (
+  SELECT CAST(floor(y / {width!r}) AS BIGINT) * {ncols}
+         + CAST(floor(x / {width!r}) AS BIGINT) AS tile_id, rec_id, z
+  FROM pts)
+SELECT tile_id, COUNT(*) AS n,
+       MIN(z) AS min_z, MAX(z) AS max_z,
+       round(SUM(z), 6) AS sum_z,
+       round(SUM(z) / COUNT(*), 6) AS mean_z,
+       MAX(z) - MIN(z) AS range_z,
+       arg_min(z, rec_id) AS first_z,
+       arg_max(z, rec_id) AS last_z
+FROM keyed GROUP BY tile_id
+"""
+
+
+def coincident_dedup_sql(tol: float = 50.0) -> str:
+    return f"""
+WITH {POINTS_CTE}
+SELECT CAST(floor(x / {tol!r}) AS BIGINT) AS snap_x,
+       CAST(floor(y / {tol!r}) AS BIGINT) AS snap_y,
+       CAST(MIN(rec_id) AS BIGINT) AS survivor_id,
+       COUNT(*) AS n_coincident
+FROM pts GROUP BY 1, 2
+"""
+
+
+def exact_dedup_sql() -> str:
+    return """
+SELECT md5(text) AS text_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def zonal_stats_sql() -> str:
+    # same sum/sumsq formulation as the Ray final combine (not stddev_samp)
+    return """
+WITH a AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(CAST(n_chars AS DOUBLE)) AS s,
+         SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS s2,
+         MIN(CAST(n_chars AS DOUBLE)) AS mn,
+         MAX(CAST(n_chars AS DOUBLE)) AS mx
+  FROM documents GROUP BY lang)
+SELECT lang, n,
+       round(s / n, 6) AS avg_z,
+       mn AS min_z, mx AS max_z, mx - mn AS range_z,
+       round(s, 6) AS total_z,
+       round(sqrt(greatest((s2 - s * s / n), 0.0)
+                  / (CASE WHEN n > 1 THEN n - 1 ELSE 1 END)), 6) AS std_z
+FROM a
+"""
+
+
+def histogram_sql(nbins: int = 20) -> str:
+    return f"""
+WITH ext AS (
+  SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi
+  FROM documents),
+b AS (
+  SELECT least(CAST(floor((CAST(n_chars AS DOUBLE) - ext.lo)
+               / (CASE WHEN ext.hi > ext.lo
+                       THEN (ext.hi - ext.lo) / {nbins} ELSE 1.0 END))
+               AS BIGINT), {nbins - 1}) AS bin_id
+  FROM documents, ext)
+SELECT bin_id, COUNT(*) AS bin_count FROM b GROUP BY bin_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def token_stats_sql() -> str:
+    return r"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(string_split_regex(trim(text), '\s+')) END AS ntok,
+         length(text) AS nchar
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(ntok) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       round(CAST(SUM(nchar) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+FROM t GROUP BY lang
+"""
+
+
+def quality_scores_sql() -> str:
+    return r"""
+WITH t AS (
+  SELECT lang, length(text) AS n,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd
+  FROM documents),
+r AS (
+  SELECT lang,
+         CASE WHEN n > 0 THEN CAST(np AS DOUBLE) / n ELSE 0.0 END AS rp,
+         CASE WHEN n > 0 THEN CAST(nu AS DOUBLE) / n ELSE 0.0 END AS ru,
+         CASE WHEN n > 0 THEN CAST(nd AS DOUBLE) / n ELSE 0.0 END AS rd
+  FROM t)
+SELECT lang, COUNT(*) AS n_docs,
+       round(SUM(rp) / COUNT(*), 6) AS avg_punct_ratio,
+       round(SUM(ru) / COUNT(*), 6) AS avg_upper_ratio,
+       round(SUM(rd) / COUNT(*), 6) AS avg_digit_ratio
+FROM r GROUP BY lang
+"""
+
+
+def fingerprint_sql() -> str:
+    return r"""
+WITH f AS (
+  SELECT lang, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT fp) AS n_distinct_fingerprints
+FROM f GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+def ann_cosine_topk_sql(k: int = 20, query_vec_id: int = 0) -> str:
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = {query_vec_id})
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+         AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, e.vec_id
+LIMIT {k}
+"""
+
+
+def ann_knn_join_sql(n_queries: int = 10, k: int = 3) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+           AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM d)
+SELECT query_id, vec_id, cosine FROM r WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational
+# ---------------------------------------------------------------------------
+
+def q1_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 4) AS sum_qty,
+       round(SUM(l_extendedprice), 4) AS sum_base_price,
+       round(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation_sql() -> str:
+    return """
+SELECT n.n_name,
+       round(SUM(o.o_totalprice), 4) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def top_parts_sql(k: int = 15) -> str:
+    return f"""
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT {k}
+"""
+
+
+def events_window_sql(window_sec: int = 3600) -> str:
+    wus = window_sec * 1_000_000
+    return f"""
+SELECT event_type, epoch_us(ts) // {wus} AS window_id,
+       COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
+FROM events GROUP BY event_type, window_id
+"""
+
+
+def user_sessions_sql(gap_sec: int = 1800) -> str:
+    gus = gap_sec * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+o AS (SELECT user_id, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       > {gus} THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o),
+g AS (SELECT user_id, sess, COUNT(*) AS c FROM s GROUP BY user_id, sess)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(MAX(c) AS BIGINT) AS max_session_events
+FROM g GROUP BY user_id
+"""
+
+
+def distinct_event_types_sql() -> str:
+    return "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+
+# ---------------------------------------------------------------------------
+# Raster (synthetic grid via range())
+# ---------------------------------------------------------------------------
+
+_NOD = repr(NODATA)
+
+
+def _raster_vals_cte(rows: int = 256, cols: int = 256) -> str:
+    n = rows * cols
+    return (f"vals AS (SELECT i AS cell, "
+            f"CASE WHEN ((i * 2246822519 + 1013904223) % 4294967296) % 17 = 0 "
+            f"THEN {_NOD} "
+            f"ELSE ((i * 2654435761) % 4294967296) / 4294967296.0 * 1000.0 END AS v "
+            f"FROM range(0, {n}) t(i))")
+
+
+def raster_math_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+mapped AS (
+  SELECT cell, CASE WHEN v = {_NOD} THEN v
+                    ELSE sqrt(v) * 2.0 + v / 7.0 END AS v2
+  FROM vals)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v2 <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN v2 = {_NOD} THEN 0.0 ELSE v2 END), 6) AS row_sum
+FROM mapped GROUP BY cell // {cols}
+"""
+
+
+def raster_stencil_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+nb AS (
+  SELECT a.cell, SUM(b.v) AS s, COUNT(*) AS n
+  FROM g a JOIN g b
+    ON b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+  WHERE a.v <> {_NOD} AND b.v <> {_NOD}
+  GROUP BY a.cell),
+filt AS (
+  SELECT v.cell,
+         CASE WHEN v.v = {_NOD} THEN {_NOD}
+              WHEN nb.n > 0 THEN nb.s / nb.n
+              ELSE {_NOD} END AS f
+  FROM vals v LEFT JOIN nb ON v.cell = nb.cell)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN f <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN f = {_NOD} THEN 0.0 ELSE f END), 6) AS row_sum
+FROM filt GROUP BY cell // {cols}
+"""
+
+
+def raster_to_points_sql(rows: int = 256, cols: int = 256,
+                         tile_rows: int = 64, threshold: float = 500.0) -> str:
+    per_tile = tile_rows * cols
+    return f"""
+WITH {_raster_vals_cte(rows, cols)}
+SELECT cell // {per_tile} AS tile_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} AND v > {threshold!r} THEN 1 END)
+            AS BIGINT) AS n_points
+FROM vals GROUP BY cell // {per_tile}
+"""

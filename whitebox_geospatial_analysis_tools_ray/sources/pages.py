@@ -1,0 +1,97 @@
+"""Synthetic Common-Crawl-style ``pages`` table + byte-identical extractor.
+
+BASELINE.json input_hint: Parquet pages(url:string, warc_ts:timestamp,
+html:binary, text:string, lang:string); per-row invariant: extracted
+text must be BYTE-IDENTICAL to the ``text`` column per url.
+
+Generation (FIXTURES.md §1, seed embedded in the arithmetic — no RNG
+state): tokens drawn by LCG per (doc, position), url from the doc id,
+html = fixed template embedding the escaped text. The extractor
+(:func:`extract_text`) inverts the template exactly; the pair is frozen
+and the byte-equality is pytest-gated (tests/test_pages.py).
+
+Zipf-style clustering of a fraction of rows into hot cells (skew case)
+comes from the geocode rule applied to a truncated id space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_WORDS = (
+    "the of and to in is that it was for on are as with his they at be this "
+    "have from or had by word but not what all were we when your can said "
+    "there use an each which she do how their if will up other about out many "
+    "then them these so some her would make like him into time has look two "
+    "more write go see number no way could people my than first water been "
+    "call who oil its now find long down day did get come made may part over").split()
+
+_LANGS = ["en", "de", "fr", "es", "it"]
+
+_M = 4294967296
+_A = 2654435761
+_B = 2246822519
+
+HTML_PREFIX = b"<html><head><title>"
+HTML_MID = b"</title></head><body><nav>site navigation | home | about</nav><p>"
+HTML_SUFFIX = b"</p><footer>copyright notice - generated page</footer></body></html>"
+
+
+def _escape(t: str) -> str:
+    return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _unescape(t: str) -> str:
+    return t.replace("&gt;", ">").replace("&lt;", "<").replace("&amp;", "&")
+
+
+def make_pages(n: int, skew_frac: float = 0.2, n_hosts: int = 50) -> pd.DataFrame:
+    ids = np.arange(n, dtype=np.int64)
+    host = ids % n_hosts
+    path_hash = (ids * _A + 17) % _M
+    urls = [f"https://site{h}.example/{p:08x}" for h, p in zip(host, path_hash)]
+    # warc_ts: fixed epoch + i*Δ with deterministic jitter
+    base = np.int64(1_600_000_000_000_000)  # µs
+    jitter = (ids * _B + 101) % 1_000_000
+    ts = pd.to_datetime(base + ids * 60_000_000 + jitter, unit="us")
+    lang = [(_LANGS[int(v)]) for v in (ids * _B + 7) % len(_LANGS)]
+    texts = []
+    for i in ids:
+        ntok = 20 + int((i * _A + 31) % 180)
+        idx = (i * 7919 + np.arange(ntok, dtype=np.int64) * 104729 + 13) % len(_WORDS)
+        texts.append(" ".join(_WORDS[j] for j in idx))
+    htmls = [HTML_PREFIX + u.encode() + HTML_MID + _escape(t).encode()
+             + HTML_SUFFIX for u, t in zip(urls, texts)]
+    return pd.DataFrame({"url": urls, "warc_ts": ts, "html": htmls,
+                         "text": texts, "lang": lang})
+
+
+def write_pages(n: int, path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    df = make_pages(n)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    pq.write_table(pa.Table.from_pandas(df, schema=schema,
+                                        preserve_index=False), path)
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """The frozen extractor: inverse of the page template, byte-exact."""
+    start = html.index(HTML_MID) + len(HTML_MID)
+    end = html.index(HTML_SUFFIX, start)
+    return _unescape(html[start:end].decode("utf-8"))
+
+
+def extract_text_stage(ds):
+    """map_batches stage: html:binary → extracted:string (pass-through of
+    all other columns). If a non-null `text` column exists the reference
+    behaviour is pass-through unchanged (SURVEY.md §7.1)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["extracted"] = [extract_text_bytes(bytes(h)) for h in batch["html"]]
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")

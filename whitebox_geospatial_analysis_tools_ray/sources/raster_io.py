@@ -1,0 +1,157 @@
+"""Whitebox .dep/.tas raster reader/writer → Ray tile Dataset.
+
+Format (studied from WhiteboxAPI/src/whitebox/geospatialfiles/
+WhiteboxRasterBase.java — header parse, data-type byte widths
+``:343-362``, NoData default ``:510``; addressing
+``cellNum = row*cols + col`` WhiteboxRaster.java:495):
+
+- ``.dep``: text header of tab-separated ``Key:\\tvalue`` lines
+  (Min, Max, North, South, East, West, Cols, Rows, Data Type, Z Units,
+  XY Units, Projection, Data Scale, Display Min/Max, Preferred Palette,
+  NoData, Byte Order).
+- ``.tas``: flat row-major binary cells; dtype per Data Type:
+  DOUBLE=f8, FLOAT=f4, INTEGER=i2, BYTE=u1; byte order per header.
+
+All values surface as float64 (the reference surfaces every cell as a
+Java double). The Dataset schema is the engine tile model:
+(tile_id:int64, data:list<f64>) in full-width row bands.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+_DTYPES = {"DOUBLE": "f8", "FLOAT": "f4", "INTEGER": "i2", "BYTE": "u1"}
+
+
+@dataclass
+class RasterHeader:
+    rows: int
+    cols: int
+    north: float
+    south: float
+    east: float
+    west: float
+    data_type: str = "FLOAT"
+    data_scale: str = "continuous"
+    nodata: float = -32768.0
+    byte_order: str = "LITTLE_ENDIAN"
+    z_units: str = "not specified"
+    xy_units: str = "not specified"
+    projection: str = "not specified"
+    vmin: float = float("inf")
+    vmax: float = float("-inf")
+
+    @property
+    def cell_size_x(self) -> float:
+        return (self.east - self.west) / self.cols
+
+    @property
+    def cell_size_y(self) -> float:
+        return (self.north - self.south) / self.rows
+
+    def np_dtype(self) -> np.dtype:
+        endian = "<" if self.byte_order.upper().startswith("LITTLE") else ">"
+        return np.dtype(endian + _DTYPES[self.data_type.upper()])
+
+
+def read_dep_header(dep_path: str) -> RasterHeader:
+    kv = {}
+    with open(dep_path) as f:
+        for line in f:
+            if ":" in line:
+                k, _, v = line.partition(":")
+                kv[k.strip().lower()] = v.strip()
+    return RasterHeader(
+        rows=int(kv["rows"]), cols=int(kv["cols"]),
+        north=float(kv["north"]), south=float(kv["south"]),
+        east=float(kv["east"]), west=float(kv["west"]),
+        data_type=kv.get("data type", "FLOAT").upper(),
+        data_scale=kv.get("data scale", "continuous"),
+        nodata=float(kv.get("nodata", "-32768.0")),
+        byte_order=kv.get("byte order", "LITTLE_ENDIAN"),
+        z_units=kv.get("z units", "not specified"),
+        xy_units=kv.get("xy units", "not specified"),
+        projection=kv.get("projection", "not specified"),
+        vmin=float(kv.get("min", "inf")),
+        vmax=float(kv.get("max", "-inf")),
+    )
+
+
+def read_whitebox_raster(dep_path: str, tile_rows: int = 64):
+    """Read .dep/.tas → (header, Ray Dataset of row-band tiles).
+
+    The .tas is decoded INSIDE Ray tasks (one task per tile band) via
+    byte-range reads — the driver never holds the grid.
+    """
+    import ray.data as rd
+
+    hdr = read_dep_header(dep_path)
+    tas_path = dep_path[:-4] + ".tas"
+    n_tiles = math.ceil(hdr.rows / tile_rows)
+    dtype = hdr.np_dtype()
+    itemsize = dtype.itemsize
+    cols = hdr.cols
+
+    def load(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            r0 = int(tid) * tile_rows
+            r1 = min(r0 + tile_rows, hdr.rows)
+            with open(tas_path, "rb") as f:
+                f.seek(r0 * cols * itemsize)
+                raw = f.read((r1 - r0) * cols * itemsize)
+            a = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+            out["tile_id"].append(int(tid))
+            out["data"].append(a)
+        return pd.DataFrame(out)
+
+    ds = rd.range(n_tiles).map_batches(load, batch_format="numpy")
+    return hdr, ds
+
+
+def write_whitebox_raster(hdr: RasterHeader, ds, dep_path: str) -> None:
+    """Write a tile Dataset back to .dep/.tas (parity sink for tests).
+
+    Tiles are streamed in tile order and written sequentially; stats
+    (Min/Max) computed on the fly as the reference's close() does
+    (WhiteboxRaster.java:1252)."""
+    tas_path = dep_path[:-4] + ".tas"
+    dtype = hdr.np_dtype()
+    tiles = {}
+    for b in ds.iter_batches(batch_size=16, batch_format="pandas"):
+        for tid, data in zip(b["tile_id"], b["data"]):
+            tiles[int(tid)] = np.asarray(data, dtype=np.float64)
+    vmin, vmax = float("inf"), float("-inf")
+    with open(tas_path, "wb") as f:
+        for tid in sorted(tiles):
+            a = tiles[tid]
+            valid = a != hdr.nodata
+            if valid.any():
+                vmin = min(vmin, float(a[valid].min()))
+                vmax = max(vmax, float(a[valid].max()))
+            f.write(a.astype(dtype).tobytes())
+    with open(dep_path, "w") as f:
+        f.write(f"Min:\t{vmin}\n")
+        f.write(f"Max:\t{vmax}\n")
+        f.write(f"North:\t{hdr.north}\n")
+        f.write(f"South:\t{hdr.south}\n")
+        f.write(f"East:\t{hdr.east}\n")
+        f.write(f"West:\t{hdr.west}\n")
+        f.write(f"Cols:\t{hdr.cols}\n")
+        f.write(f"Rows:\t{hdr.rows}\n")
+        f.write(f"Data Type:\t{hdr.data_type}\n")
+        f.write(f"Z Units:\t{hdr.z_units}\n")
+        f.write(f"XY Units:\t{hdr.xy_units}\n")
+        f.write(f"Projection:\t{hdr.projection}\n")
+        f.write(f"Data Scale:\t{hdr.data_scale}\n")
+        f.write(f"Display Min:\t{vmin}\n")
+        f.write(f"Display Max:\t{vmax}\n")
+        f.write("Preferred Palette:\tspectrum.pal\n")
+        f.write(f"NoData:\t{hdr.nodata}\n")
+        f.write(f"Byte Order:\t{hdr.byte_order}\n")

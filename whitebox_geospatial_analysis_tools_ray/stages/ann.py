@@ -1,0 +1,162 @@
+"""Similarity search over the embeddings table.
+
+- Brute-force cosine top-k: the scale baseline — broadcast the query
+  matrix once (``ray.put``), numpy matmul per Arrow batch, per-batch
+  partial top-k, tiny final reduce. No shuffle of the embedding table.
+- IVF-style variant: coarse quantizer (seeded k-means centroids fit on a
+  driver sample) assigns each vector to a list; queries probe the
+  nearest ``nprobe`` lists only. Approximate → rows-only oracle.
+
+Cosines are computed in float64 and ROUNDED to 6 decimals before
+ranking so results are stable across summation orders (and match the
+DuckDB oracle's double arithmetic); ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _batch_matrix(batch) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch["vec_id"], dtype=np.int64)
+    emb = np.asarray([np.asarray(e, dtype=np.float64) for e in batch["embedding"]])
+    return ids, emb
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    row = df[df["vec_id"] == vec_id].iloc[0]
+    return np.asarray(row["embedding"], dtype=np.float64)
+
+
+def cosine_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
+                round_to: int = 6) -> pd.DataFrame:
+    """Top-k by cosine similarity to the query vector (vec_id=0).
+
+    Output: (vec_id, cosine) — k rows, rounded, tie-broken by vec_id.
+    """
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.sqrt((q * q).sum())
+    q_ref = ray.put(qn)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial(batch) -> pd.DataFrame:
+        qv = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        ids, emb = _batch_matrix(batch)
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        norms[norms == 0] = 1.0
+        cos = np.round((emb @ qv) / norms, round_to)
+        # per-batch partial top-k (keep k best, ties by vec_id)
+        order = np.lexsort((ids, -cos))[:k]
+        return pd.DataFrame({"vec_id": ids[order], "cosine": cos[order]})
+
+    partials = ds.map_batches(partial, batch_format="numpy")
+    top = partials.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    return top
+
+
+def knn_join_topk(sf_dir: str, n_queries: int = 10, k: int = 3,
+                  round_to: int = 6) -> pd.DataFrame:
+    """kNN join: for each of the first `n_queries` vectors (by vec_id),
+    its top-k OTHER vectors by cosine. Broadcast the small query matrix;
+    per-batch partial top-k per query; final reduce per query.
+
+    Output: (query_id, vec_id, cosine)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").head(n_queries)
+    q_ids = t["vec_id"].to_numpy(dtype=np.int64)
+    Q = np.asarray([np.asarray(e, dtype=np.float64) for e in t["embedding"]])
+    Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+    q_ref = ray.put((q_ids, Qn))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial(batch) -> pd.DataFrame:
+        qi, qm = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        ids, emb = _batch_matrix(batch)
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        norms[norms == 0] = 1.0
+        cos = np.round((emb @ qm.T) / norms[:, None], round_to)  # (n, nq)
+        frames = []
+        for j, qid in enumerate(qi):
+            mask = ids != qid
+            c = cos[mask, j]
+            vid = ids[mask]
+            order = np.lexsort((vid, -c))[:k]
+            frames.append(pd.DataFrame({"query_id": qid, "vec_id": vid[order],
+                                        "cosine": c[order]}))
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="numpy")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        return g[["query_id", "vec_id", "cosine"]]
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed approximate variant (the 100 TB scale path)
+# ---------------------------------------------------------------------------
+
+def ivf_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
+             n_lists: int = 16, nprobe: int = 4, seed: int = 42,
+             round_to: int = 6) -> pd.DataFrame:
+    """IVF: fit coarse centroids on a driver-side sample (k-means, few
+    iterations, seeded), assign vectors to inverted lists in a
+    map_batches, probe only the `nprobe` closest lists for the query.
+    Approximate by construction → rows-only correctness check.
+    Output: (vec_id, cosine)."""
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["embedding"]).to_pandas()["embedding"]
+    X = np.asarray([np.asarray(e, dtype=np.float64) for e in sample.head(2000)])
+    Xn = X / np.maximum(np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-12)
+    g = np.random.default_rng(seed)
+    cent = Xn[g.choice(len(Xn), size=min(n_lists, len(Xn)), replace=False)]
+    for _ in range(5):  # few Lloyd iterations, cosine metric
+        assign = np.argmax(Xn @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                cent[c] = v / max(np.sqrt((v * v).sum()), 1e-12)
+    cent_ref = ray.put(cent)
+
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.sqrt((q * q).sum())
+    probe = set(np.argsort(-(cent @ qn))[:nprobe].tolist())
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial(batch) -> pd.DataFrame:
+        C = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        ids, emb = _batch_matrix(batch)
+        norms = np.maximum(np.sqrt((emb * emb).sum(axis=1)), 1e-12)
+        En = emb / norms[:, None]
+        lists = np.argmax(En @ C.T, axis=1)
+        m = np.isin(lists, list(probe))
+        if not m.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        cos = np.round(En[m] @ qn, round_to)
+        ids_m = ids[m]
+        order = np.lexsort((ids_m, -cos))[:k]
+        return pd.DataFrame({"vec_id": ids_m[order], "cosine": cos[order]})
+
+    partials = ds.map_batches(partial, batch_format="numpy")
+    return partials.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)

@@ -1,0 +1,228 @@
+"""Deduplication stages: exact, coordinate-tolerance, MinHash-LSH, SimHash.
+
+Reference semantics:
+- tolerance dedup, first-survivor-wins —
+  ``WhiteboxGIS/resources/plugins/Scripts/EliminateCoincidentPoints.groovy:133-188``
+  (reference scans in record order, O(n²); we use the snap-to-grid key
+  with survivor = min(rec_id), which reproduces first-wins per snapped
+  cell — the documented, order-insensitive large-scale formulation,
+  SURVEY.md §2.7).
+- exact dedup has no direct reference tool (ListUniqueValues.groovy is
+  the closest); it is required by the graft for URL/text dedup.
+
+All hashing is content-derived and deterministic (md5 / crc32), never
+Python's randomized ``hash()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+_TOKEN_RE = re.compile(r"\s+")
+
+
+def _md5_series(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+
+
+def exact_dedup(sf_dir: str) -> "rd.Dataset":
+    """Exact text dedup: hash-partition on md5(text), survivor = min doc_id.
+
+    Output: (text_md5, survivor_id, dup_count). Partial per-batch combine
+    before the shuffle (the shuffle moves one row per distinct hash per
+    batch, never the text payload).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"text_md5": _md5_series(batch["text"]),
+                           "doc_id": batch["doc_id"]})
+        g = df.groupby("text_md5", sort=False)["doc_id"]
+        return g.agg(survivor="min", c="count").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("text_md5").aggregate(
+        Min("survivor", alias_name="survivor_id"),
+        Sum("c", alias_name="dup_count"))
+    return agg.map_batches(
+        lambda t: t.assign(survivor_id=t["survivor_id"].astype("int64"),
+                           dup_count=t["dup_count"].astype("int64")),
+        batch_format="pandas")
+
+
+def coincident_dedup(points: "rd.Dataset", tol: float = 50.0) -> "rd.Dataset":
+    """Tolerance dedup of points: snap-grid key (floor(x/tol), floor(y/tol)),
+    survivor = min(rec_id) per snapped cell. Output
+    (snap_x, snap_y, survivor_id, n_coincident)."""
+
+    def partial(batch):
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        rec = np.asarray(batch["rec_id"], dtype=np.int64)
+        df = pd.DataFrame({"snap_x": np.floor(x / tol).astype(np.int64),
+                           "snap_y": np.floor(y / tol).astype(np.int64),
+                           "rec_id": rec})
+        g = df.groupby(["snap_x", "snap_y"], sort=False)["rec_id"]
+        return g.agg(survivor="min", c="count").reset_index()
+
+    partials = points.map_batches(partial, batch_format="numpy")
+    agg = partials.groupby(["snap_x", "snap_y"]).aggregate(
+        Min("survivor", alias_name="survivor_id"),
+        Sum("c", alias_name="n_coincident"))
+    return agg.map_batches(
+        lambda t: t.assign(survivor_id=t["survivor_id"].astype("int64"),
+                           n_coincident=t["n_coincident"].astype("int64")),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+_NUM_HASHES = 64
+_BANDS = 16  # 16 bands × 4 rows
+
+
+def _minhash_params(seed: int = 42):
+    g = np.random.default_rng(seed)
+    a = g.integers(1, _MERSENNE, _NUM_HASHES, dtype=np.int64)
+    b = g.integers(0, _MERSENNE, _NUM_HASHES, dtype=np.int64)
+    return a, b
+
+
+def _shingle_crcs(text: str, k: int = 3) -> np.ndarray:
+    toks = _TOKEN_RE.split(text.strip().lower())
+    if len(toks) < k:
+        sh = [" ".join(toks)] if toks and toks[0] else []
+    else:
+        sh = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if not sh:
+        return np.array([0], dtype=np.int64)
+    return np.unique(np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.int64))
+
+
+class MinHasher:
+    """Actor-pool stage: minhash signatures + LSH band keys per doc.
+
+    Hash params generated once per actor in __init__ (seeded — identical
+    on every actor)."""
+
+    def __init__(self, seed: int = 42):
+        self.a, self.b = _minhash_params(seed)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"band_id": [], "band_hash": [], "doc_id": []}
+        rpb = _NUM_HASHES // _BANDS
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            crcs = _shingle_crcs(text)
+            # (a*x + b) mod p, min over shingles, vectorized over 64 fns
+            hv = (self.a[:, None] * crcs[None, :] + self.b[:, None]) % _MERSENNE
+            sig = hv.min(axis=1)
+            for band in range(_BANDS):
+                h = hashlib.md5(sig[band * rpb:(band + 1) * rpb].tobytes()).hexdigest()[:16]
+                rows["band_id"].append(band)
+                rows["band_hash"].append(h)
+                rows["doc_id"].append(int(doc_id))
+        return pd.DataFrame(rows)
+
+
+def minhash_candidates(sf_dir: str, concurrency=None) -> "rd.Dataset":
+    """LSH bucket → candidate pairs (doc_a < doc_b), deduplicated.
+
+    shingle→minhash→band in an actor pool; groupby (band_id, band_hash);
+    pairs per bucket; exact pair-dedup via a second groupby."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from .util import pool_size
+    bands = ds.map_batches(MinHasher, batch_format="pandas",
+                           concurrency=concurrency or pool_size(),
+                           batch_size=1024)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    uniq = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    return uniq
+
+
+def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6) -> "rd.Dataset":
+    """Verify LSH candidates with EXACT n-gram Jaccard (shingle sets).
+
+    Broadcast the shingle sets of candidate docs?  No — candidates are
+    few; we re-read texts for candidate doc ids via a broadcast id set
+    and verify per pair in a map_groups over pair rows joined to texts.
+    Output: (doc_a, doc_b, jaccard)."""
+    import ray
+
+    cand = minhash_candidates(sf_dir).to_pandas()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    need_ref = ray.put(need)
+
+    def collect(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(need_ref) if not isinstance(need_ref, set) else need_ref
+        m = batch["doc_id"].isin(ids)
+        sub = batch[m]
+        return pd.DataFrame({
+            "doc_id": sub["doc_id"],
+            "crcs": sub["text"].map(lambda t: _shingle_crcs(t).tobytes())})
+
+    shingles = ds.map_batches(collect, batch_format="pandas").to_pandas()
+    lut = {int(r.doc_id): np.frombuffer(r.crcs, dtype=np.int64)
+           for r in shingles.itertuples()}
+    out = {"doc_a": [], "doc_b": [], "jaccard": []}
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = lut[int(a)], lut[int(b)]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / (len(sa) + len(sb) - inter) if (len(sa) + len(sb) - inter) else 0.0
+        if j >= threshold:
+            out["doc_a"].append(int(a)); out["doc_b"].append(int(b))
+            out["jaccard"].append(round(j, 6))
+    return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(sf_dir: str) -> "rd.Dataset":
+    """64-bit SimHash per document from token crc32s; output
+    (doc_id, simhash_hex, band0..band3 hex) for hamming-banded bucketing."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = []
+        for text in batch["text"]:
+            toks = _TOKEN_RE.split(text.strip().lower())
+            if not toks or not toks[0]:
+                sigs.append(0)
+                continue
+            crcs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+            crcs = (crcs * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            bits = ((crcs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+            sigs.append(sig)
+        sig_arr = np.array(sigs, dtype=np.uint64)
+        out = pd.DataFrame({"doc_id": batch["doc_id"],
+                            "simhash": [f"{s:016x}" for s in sig_arr]})
+        for band in range(4):
+            part = (sig_arr >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            out[f"band{band}"] = [f"{int(v):04x}" for v in part]
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

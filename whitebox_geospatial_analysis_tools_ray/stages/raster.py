@@ -1,0 +1,192 @@
+"""Raster stages: tile model, per-cell math, stencil filters, raster↔vector.
+
+Raster model (SURVEY.md §1.1 mapping): a raster is a Dataset of tile
+rows ``{tile_row:int32, tile_col:int32, data:list<f64>[th*tw]}`` plus a
+small header (rows, cols, extent, nodata) carried driver-side. All cell
+values are float64 with the −32768.0 NoData sentinel, matching
+``WhiteboxRasterBase.java`` (values surface as double; NoData checked by
+equality and PROPAGATED by every operator — MathTools/src/plugins/Add.java:307).
+
+- per-cell math = one vectorized numpy ufunc family over tile tensors
+  (the 42 MathTools tools + RasterCalculator compile to this).
+- stencil ops (FilterMean etc.) = TILE-STENCIL: tiles emit halo rows to
+  vertical neighbours keyed by target tile, groupby(tile).map_groups
+  assembles tile+halo and runs the window kernel. Semantics per
+  ``FilterMean.java:267-290``: centre NoData → NoData; else mean of
+  non-NoData cells in the window clipped to the grid.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..core.rng import NODATA
+
+_A = 2654435761
+_AY = 2246822519
+_CY = 1013904223
+_M = 4294967296
+
+
+@dataclass(frozen=True)
+class RasterSpec:
+    rows: int = 256
+    cols: int = 256
+    tile_rows: int = 64  # tile = tile_rows × cols (full-width row bands)
+    nodata: float = NODATA
+
+    @property
+    def n_tiles(self) -> int:
+        return math.ceil(self.rows / self.tile_rows)
+
+
+def synth_value(cell: np.ndarray) -> np.ndarray:
+    """Deterministic cell value from linear cell index; NoData where
+    hash % 17 == 0. SQL mirror:
+    ``CASE WHEN (cell*2246822519+1013904223)%4294967296%17=0 THEN -32768.0
+    ELSE ((cell*2654435761)%4294967296)/4294967296.0*1000.0 END``"""
+    cell = np.asarray(cell, dtype=np.int64)
+    v = ((cell * _A) % _M).astype(np.float64) / float(_M) * 1000.0
+    nod = ((cell * _AY + _CY) % _M) % 17 == 0
+    return np.where(nod, NODATA, v)
+
+
+def synth_raster(spec: RasterSpec = RasterSpec()) -> "rd.Dataset":
+    """Generate the synthetic raster as a Dataset of row-band tiles.
+
+    rd.range drives tile generation — each tile is produced inside a
+    task (never materialized on the driver)."""
+
+    def gen(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = (np.arange(r0 * spec.cols, r1 * spec.cols, dtype=np.int64))
+            out["tile_id"].append(int(tid))
+            out["data"].append(synth_value(cell))
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(gen, batch_format="numpy")
+
+
+def raster_map(ds: "rd.Dataset", fn, nodata: float = NODATA) -> "rd.Dataset":
+    """Per-cell math with NoData propagation (in==NoData → out==NoData)."""
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        def one(a):
+            a = np.asarray(a, dtype=np.float64)
+            m = a == nodata
+            out = fn(a)
+            out[m] = nodata
+            return out
+        batch["data"] = batch["data"].map(one)
+        return batch
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
+def raster_row_checksums(ds: "rd.Dataset", spec: RasterSpec,
+                         round_to: int = 6) -> "rd.Dataset":
+    """Reduce a tile raster to per-raster-row checksums
+    (row_id, n_valid, row_sum) — the compact conformance output."""
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            a = np.asarray(data, dtype=np.float64).reshape(-1, spec.cols)
+            valid = a != spec.nodata
+            frames.append(pd.DataFrame({
+                "row_id": int(tid) * spec.tile_rows + np.arange(a.shape[0]),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(np.where(valid, a, 0.0).sum(axis=1), round_to),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(per_tile, batch_format="pandas")
+
+
+def stencil_mean3x3(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    """FilterMean 3×3 via halo exchange between row-band tiles.
+
+    Each tile flat_maps to (target_tile, kind, payload) rows: its own
+    band plus one-row halos to the tiles above/below; groupby(target)
+    assembles [halo_top; band; halo_bottom] and runs the vectorized
+    window kernel (shifted-sum trick, no Python loop over cells).
+    """
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"target": [], "kind": [], "tile_id": [], "data": []}
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            tid = int(tid)
+            a = np.asarray(data, dtype=np.float64).reshape(-1, spec.cols)
+            out["target"].append(tid); out["kind"].append(0)
+            out["tile_id"].append(tid); out["data"].append(a.ravel())
+            if tid > 0:  # my top row is the halo BELOW tile tid-1
+                out["target"].append(tid - 1); out["kind"].append(2)
+                out["tile_id"].append(tid); out["data"].append(a[0].copy())
+            if tid < spec.n_tiles - 1:
+                out["target"].append(tid + 1); out["kind"].append(1)
+                out["tile_id"].append(tid); out["data"].append(a[-1].copy())
+        return pd.DataFrame(out)
+
+    halos = ds.map_batches(emit, batch_format="pandas")
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        target = int(g["target"].iloc[0])
+        own = np.asarray(g.loc[g["kind"] == 0, "data"].iloc[0],
+                         dtype=np.float64).reshape(-1, spec.cols)
+        top = g.loc[g["kind"] == 1, "data"]
+        bot = g.loc[g["kind"] == 2, "data"]
+        parts = []
+        if len(top):
+            parts.append(np.asarray(top.iloc[0], dtype=np.float64).reshape(1, -1))
+        t0 = len(parts)  # offset of own band inside padded array
+        parts.append(own)
+        if len(bot):
+            parts.append(np.asarray(bot.iloc[0], dtype=np.float64).reshape(1, -1))
+        padded = np.vstack(parts)
+        filt = _mean3x3(padded, spec.nodata)
+        res = filt[t0:t0 + own.shape[0]]
+        return pd.DataFrame({"tile_id": [target], "data": [res.ravel()]})
+
+    return halos.groupby("target").map_groups(assemble, batch_format="pandas")
+
+
+def _mean3x3(a: np.ndarray, nodata: float) -> np.ndarray:
+    """Vectorized FilterMean kernel: mean of non-NoData cells in the 3×3
+    window clipped to the array; centre NoData stays NoData."""
+    valid = a != nodata
+    vals = np.where(valid, a, 0.0)
+    H, W = a.shape
+    s = np.zeros((H, W)); n = np.zeros((H, W))
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            r0, r1 = max(0, -dr), min(H, H - dr)
+            c0, c1 = max(0, -dc), min(W, W - dc)
+            s[r0:r1, c0:c1] += vals[r0 + dr:r1 + dr, c0 + dc:c1 + dc]
+            n[r0:r1, c0:c1] += valid[r0 + dr:r1 + dr, c0 + dc:c1 + dc]
+    out = np.where(n > 0, s / np.maximum(n, 1), nodata)
+    out[~valid] = nodata
+    return out
+
+
+def raster_to_points_count(ds: "rd.Dataset", spec: RasterSpec,
+                           threshold: float = 500.0) -> "rd.Dataset":
+    """RasterToVectorPoints-style: emit a point per valid cell above a
+    threshold; here reduced to per-tile counts (tile_id, n_points)."""
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "n_points": []}
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            a = np.asarray(data, dtype=np.float64)
+            out["tile_id"].append(int(tid))
+            out["n_points"].append(int(((a != spec.nodata) & (a > threshold)).sum()))
+        return pd.DataFrame(out)
+
+    return ds.map_batches(per_tile, batch_format="pandas")

@@ -1,0 +1,167 @@
+"""General relational pipelines over the TPC-H-ish tables.
+
+These exercise the engine's non-spatial operator surface (scan with
+column pruning, vectorized filter/projection, broadcast hash join,
+partial+final grouped aggregation, sort/top-k, event-time windowing) —
+the same physical patterns the geospatial stages use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def q1_pricing_summary(sf_dir: str, round_to: int = 4) -> "rd.Dataset":
+    """TPC-H Q1-style pricing summary over lineitem (filter, computed
+    columns, grouped agg). Columns match the SQL oracle exactly."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.select(["l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice"]).append_column("disc_price", disc)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    agg = prepped.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"))
+
+    def finalize(t: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            t[c] = t[c].round(round_to)
+        t["count_order"] = t["count_order"].astype("int64")
+        return t
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def revenue_by_nation(sf_dir: str, round_to: int = 4) -> "rd.Dataset":
+    """customer ⋈ orders ⋈ nation revenue rollup. The dimension side
+    (customer×nation, small) is broadcast via ray.put and joined inside
+    map_batches with a numpy searchsorted lookup — no shuffle join."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    dim = dim.sort_values("c_custkey")
+    keys = dim["c_custkey"].to_numpy(dtype=np.int64)
+    names = dim["n_name"].to_numpy()
+    dim_ref = ray.put((keys, names))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def join(batch) -> pd.DataFrame:
+        k, nm = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+        pos = np.searchsorted(k, ck)
+        pos = np.clip(pos, 0, len(k) - 1)
+        hit = k[pos] == ck
+        df = pd.DataFrame({"n_name": nm[pos][hit],
+                           "price": np.asarray(batch["o_totalprice"])[hit]})
+        g = df.groupby("n_name", sort=False)["price"]
+        return g.agg(revenue="sum", n_orders="count").reset_index()
+
+    partials = orders.map_batches(join, batch_format="numpy")
+    agg = partials.groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_orders", alias_name="n_orders"))
+
+    def finalize(t: pd.DataFrame) -> pd.DataFrame:
+        t["revenue"] = t["revenue"].round(round_to)
+        t["n_orders"] = t["n_orders"].astype("int64")
+        return t
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def top_parts_by_price(sf_dir: str, k: int = 15) -> "rd.Dataset":
+    """Global top-k: parts by retail price desc, tie-break p_partkey asc."""
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"],
+                   descending=[True, False]).limit(k)
+
+
+def events_tumbling_window(sf_dir: str, window_sec: int = 3600,
+                           round_to: int = 6) -> "rd.Dataset":
+    """Event-time tumbling window per event_type: count + sum(value).
+
+    Window id = floor(epoch_us(ts) / (window_sec * 1e6)) — identical in
+    the SQL oracle. Partial per-batch combine → groupby final."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    wus = window_sec * 1_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        epoch = pc.cast(t["ts"], pa.int64()).to_numpy()
+        win = epoch // wus
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "window_id": win,
+                           "value": t["value"].to_numpy()})
+        g = df.groupby(["event_type", "window_id"], sort=False)["value"]
+        return g.agg(n="count", s="sum").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "window_id"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("s", alias_name="sum_value"))
+
+    def finalize(t: pd.DataFrame) -> pd.DataFrame:
+        t["n_events"] = t["n_events"].astype("int64")
+        t["sum_value"] = t["sum_value"].round(round_to)
+        return t
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def user_sessions(sf_dir: str, gap_sec: int = 1800) -> "rd.Dataset":
+    """Session windows per user (gap-based): groupby(user).map_groups
+    sorts the group by ts and splits on gaps > gap_sec.
+    Output: (user_id, n_sessions, n_events, max_session_events)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        gaps = np.diff(ts) > gap_sec * 1_000_000
+        n_sessions = 1 + int(gaps.sum())
+        bounds = np.concatenate([[0], np.nonzero(gaps)[0] + 1, [len(ts)]])
+        sizes = np.diff(bounds)
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(ts)],
+                             "max_session_events": [int(sizes.max())]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def distinct_event_types(sf_dir: str) -> "rd.Dataset":
+    """ListUniqueValues (Scripts/ListUniqueValues.groovy): distinct values
+    + counts of an attribute."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        vc = t["event_type"].to_pandas().value_counts()
+        return pd.DataFrame({"event_type": vc.index, "c": vc.to_numpy()})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("event_type").aggregate(Sum("c", alias_name="n"))
+    return agg.map_batches(lambda t: t.assign(n=t["n"].astype("int64")),
+                           batch_format="pandas")

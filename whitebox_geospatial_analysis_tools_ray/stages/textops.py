@@ -1,0 +1,163 @@
+"""Text-analysis stages over the documents table.
+
+Large-scale training-data operators (graft requirement): token counting,
+quality scoring, language ID, document fingerprinting. Each is a
+stateless or actor-pool ``map_batches`` with vectorized pandas string
+kernels; aggregates use the partial+final pattern.
+
+Where the kernel is expressible in DuckDB string functions the stage has
+an exact SQL oracle (token_count, fingerprint, quality ratios); the
+n-gram language classifier is rows-only checked.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+_WS = re.compile(r"\s+")
+
+
+def token_stats_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
+    """Per-lang token/char statistics.
+
+    token definition shared with the SQL oracle: whitespace-split of
+    trimmed text; empty text → 0 tokens.
+    Output: (lang, n_docs, total_tokens, avg_tokens, avg_chars).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        stripped = t.str.strip()
+        ntok = stripped.str.split(r"\s+").map(len).where(stripped != "", 0)
+        nchar = t.str.len()
+        df = pd.DataFrame({"lang": batch["lang"], "ntok": ntok, "nchar": nchar})
+        g = df.groupby("lang", sort=False)
+        return g.agg(n=("ntok", "count"), st=("ntok", "sum"),
+                     sc=("nchar", "sum")).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum()); st = int(g["st"].sum()); sc = int(g["sc"].sum())
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "n_docs": [n],
+                             "total_tokens": [st],
+                             "avg_tokens": [round(st / n, round_to)],
+                             "avg_chars": [round(sc / n, round_to)]})
+
+    return partials.groupby("lang").map_groups(final, batch_format="pandas")
+
+
+def quality_scores_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
+    """Quality-signal ratios per lang: punctuation ratio, uppercase ratio,
+    digit ratio (chars of class / total chars), averaged over docs.
+
+    Shared definition with SQL: ratio over length(text), docs with empty
+    text contribute ratio 0. Output:
+    (lang, n_docs, avg_punct_ratio, avg_upper_ratio, avg_digit_ratio)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def ratios(t: pd.Series, pattern: str) -> pd.Series:
+        n = t.str.len()
+        c = t.str.count(pattern)
+        return (c / n).where(n > 0, 0.0)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        df = pd.DataFrame({
+            "lang": batch["lang"],
+            "punct": ratios(t, r"[.,!?;:]"),
+            "upper": ratios(t, r"[A-Z]"),
+            "digit": ratios(t, r"[0-9]"),
+        })
+        g = df.groupby("lang", sort=False)
+        return g.agg(n=("punct", "count"), sp=("punct", "sum"),
+                     su=("upper", "sum"), sd=("digit", "sum")).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]], "n_docs": [n],
+            "avg_punct_ratio": [round(float(g["sp"].sum()) / n, round_to)],
+            "avg_upper_ratio": [round(float(g["su"].sum()) / n, round_to)],
+            "avg_digit_ratio": [round(float(g["sd"].sum()) / n, round_to)],
+        })
+
+    return partials.groupby("lang").map_groups(final, batch_format="pandas")
+
+
+def fingerprint_stats(sf_dir: str) -> "rd.Dataset":
+    """Document fingerprint = md5 of whitespace-normalized lowercased text
+    (SQL-mirrored). Output: (lang, n_docs, n_distinct_fingerprints)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        norm = batch["text"].fillna("").map(
+            lambda t: _WS.sub(" ", t).lower())
+        fp = norm.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+        return pd.DataFrame({"lang": batch["lang"], "fp": fp})
+
+    fps = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "n_docs": [len(g)],
+                             "n_distinct_fingerprints": [int(g["fp"].nunique())]})
+
+    return fps.groupby("lang").map_groups(final, batch_format="pandas")
+
+
+# Stopword profiles for the heuristic language classifier (actor state).
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"},
+    "es": {"el", "la", "los", "las", "que", "de", "en", "un", "una", "es"},
+    "it": {"il", "la", "che", "di", "e", "un", "una", "per", "non", "sono"},
+}
+
+
+class LangId:
+    """Actor-pool n-gram/stopword language classifier: profiles compiled
+    once per actor in __init__, vectorized-ish scoring per batch."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+        self.ws = re.compile(r"\s+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in batch["text"]:
+            toks = set(self.ws.split((text or "").strip().lower()))
+            scores = {lang: len(toks & sw) for lang, sw in self.profiles.items()}
+            best = max(sorted(scores), key=lambda k: scores[k])
+            preds.append(best if scores[best] > 0 else "unknown")
+        return pd.DataFrame({"lang": batch["lang"], "pred_lang": preds})
+
+
+def langid_confusion(sf_dir: str, concurrency=None) -> "rd.Dataset":
+    """Confusion counts (lang, pred_lang, n) of the heuristic classifier
+    vs the table's lang column. Rows-only oracle (classifier is not SQL)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    from .util import pool_size
+    pred = ds.map_batches(LangId, batch_format="pandas",
+                          concurrency=concurrency or pool_size(),
+                          batch_size=2048)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.groupby(["lang", "pred_lang"], sort=False)
+                .size().rename("c").reset_index())
+
+    partials = pred.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["lang", "pred_lang"]).aggregate(Sum("c", alias_name="n"))
+    return agg.map_batches(lambda t: t.assign(n=t["n"].astype("int64")),
+                           batch_format="pandas")

@@ -62,7 +62,8 @@ def flagship(sf_dir: str, tile_width: float = 250.0,
     from ..stages.util import pool_size
     partials = ds.map_batches(GeoJoin, batch_format="numpy",
                               concurrency=pool_size(), batch_size=32768)
-    agg = partials.groupby(["tile_id", "zone_id"]).aggregate(
+    from ..stages.util import coalesce_partials
+    agg = coalesce_partials(partials).groupby(["tile_id", "zone_id"]).aggregate(
         Sum("c", alias_name="n_points"))
     return agg.map_batches(
         lambda t: t.assign(n_points=t["n_points"].astype("int64")),

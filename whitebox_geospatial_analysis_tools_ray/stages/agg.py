@@ -25,6 +25,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..core.tiles import RectGrid
+from .util import coalesce_partials
 
 
 def cell_aggregates(points: "rd.Dataset", grid: RectGrid,
@@ -66,7 +67,8 @@ def cell_aggregates(points: "rd.Dataset", grid: RectGrid,
             "last_z": [float(g.loc[i_last, "last_z"])],
         })
 
-    return partials.groupby("tile_id").map_groups(final, batch_format="pandas")
+    return coalesce_partials(partials).groupby("tile_id").map_groups(
+        final, batch_format="pandas")
 
 
 def zonal_stats(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
@@ -101,7 +103,8 @@ def zonal_stats(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
             "std_z": [round(float(np.sqrt(var)), round_to)],
         })
 
-    return partials.groupby("lang").map_groups(final, batch_format="pandas")
+    return coalesce_partials(partials).groupby("lang").map_groups(
+        final, batch_format="pandas")
 
 
 def value_histogram(sf_dir: str, nbins: int = 20) -> "rd.Dataset":
@@ -122,7 +125,8 @@ def value_histogram(sf_dir: str, nbins: int = 20) -> "rd.Dataset":
         return {"bin_id": ids, "c": counts.astype(np.int64)}
 
     partials = ds.map_batches(partial, batch_format="numpy")
-    agg = partials.groupby("bin_id").aggregate(Sum("c", alias_name="bin_count"))
+    agg = coalesce_partials(partials).groupby("bin_id").aggregate(
+        Sum("c", alias_name="bin_count"))
     return agg.map_batches(
         lambda t: t.assign(bin_count=t["bin_count"].astype("int64")),
         batch_format="pandas")

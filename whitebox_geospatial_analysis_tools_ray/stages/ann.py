@@ -19,6 +19,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from .util import coalesce_partials
+
 
 def _batch_matrix(batch) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(batch["vec_id"], dtype=np.int64)
@@ -58,7 +60,8 @@ def cosine_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
         return pd.DataFrame({"vec_id": ids[order], "cosine": cos[order]})
 
     partials = ds.map_batches(partial, batch_format="numpy")
-    top = partials.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    top = coalesce_partials(partials).sort(
+        ["cosine", "vec_id"], descending=[True, False]).limit(k)
     return top
 
 
@@ -104,7 +107,8 @@ def knn_join_topk(sf_dir: str, n_queries: int = 10, k: int = 3,
                           kind="stable").head(k)
         return g[["query_id", "vec_id", "cosine"]]
 
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    return coalesce_partials(partials).groupby("query_id").map_groups(
+        final, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -159,4 +163,5 @@ def ivf_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
         return pd.DataFrame({"vec_id": ids_m[order], "cosine": cos[order]})
 
     partials = ds.map_batches(partial, batch_format="numpy")
-    return partials.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    return coalesce_partials(partials).sort(
+        ["cosine", "vec_id"], descending=[True, False]).limit(k)

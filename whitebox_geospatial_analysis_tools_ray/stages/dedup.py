@@ -25,6 +25,8 @@ import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
+from .util import coalesce_partials
+
 _TOKEN_RE = re.compile(r"\s+")
 
 
@@ -48,7 +50,7 @@ def exact_dedup(sf_dir: str) -> "rd.Dataset":
         return g.agg(survivor="min", c="count").reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby("text_md5").aggregate(
+    agg = coalesce_partials(partials).groupby("text_md5").aggregate(
         Min("survivor", alias_name="survivor_id"),
         Sum("c", alias_name="dup_count"))
     return agg.map_batches(
@@ -73,7 +75,7 @@ def coincident_dedup(points: "rd.Dataset", tol: float = 50.0) -> "rd.Dataset":
         return g.agg(survivor="min", c="count").reset_index()
 
     partials = points.map_batches(partial, batch_format="numpy")
-    agg = partials.groupby(["snap_x", "snap_y"]).aggregate(
+    agg = coalesce_partials(partials).groupby(["snap_x", "snap_y"]).aggregate(
         Min("survivor", alias_name="survivor_id"),
         Sum("c", alias_name="n_coincident"))
     return agg.map_batches(

@@ -27,6 +27,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..core.rng import NODATA, SOUTH, WEST
+from .util import coalesce_partials
 
 
 def _grid_key(x: np.ndarray, y: np.ndarray, pitch: float) -> tuple[np.ndarray, np.ndarray]:
@@ -116,7 +117,12 @@ def idw_interpolate(points: "rd.Dataset", cells: list[dict],
         return pd.DataFrame({"cell_id": qid.astype("int64"),
                              "idw_z": np.round(vals, round_to)})
 
-    both = cells_ds.union(pts_dup)
+    # Re-block the unioned (queries ∪ duplicated points) stream before the
+    # cell shuffle: the union inherits every upstream block boundary, and
+    # the groupby's reduce fan-out follows block count, so tiny blocks
+    # mean pure scheduling overhead. Adaptive re-blocking keeps the
+    # fan-out proportional to data volume at any scale.
+    both = coalesce_partials(cells_ds.union(pts_dup))
     return both.groupby("gkey").map_groups(per_cell_group, batch_format="pandas")
 
 
@@ -150,4 +156,5 @@ def nearest_point_per_site(points: "rd.Dataset", sites: list[dict],
                              "nn_rec": [int(rec)],
                              "nn_dist": [round(float(np.sqrt(md)), round_to)]})
 
-    return partials.groupby("site_id").map_groups(final, batch_format="pandas")
+    return coalesce_partials(partials).groupby("site_id").map_groups(
+        final, batch_format="pandas")

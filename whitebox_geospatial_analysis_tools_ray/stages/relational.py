@@ -16,6 +16,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from .util import coalesce_partials
+
 
 def q1_pricing_summary(sf_dir: str, round_to: int = 4) -> "rd.Dataset":
     """TPC-H Q1-style pricing summary over lineitem (filter, computed
@@ -27,18 +29,27 @@ def q1_pricing_summary(sf_dir: str, round_to: int = 4) -> "rd.Dataset":
 
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
 
-    def prep(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pd.DataFrame:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.select(["l_returnflag", "l_linestatus", "l_quantity",
-                         "l_extendedprice"]).append_column("disc_price", disc)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+            "qty": t["l_quantity"].to_numpy(),
+            "base": t["l_extendedprice"].to_numpy(),
+            "disc": disc.to_numpy(),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        return g.agg(qty=("qty", "sum"), base=("base", "sum"),
+                     disc=("disc", "sum"), n=("qty", "count")).reset_index()
 
-    prepped = ds.map_batches(prep, batch_format="pyarrow")
-    agg = prepped.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Count(alias_name="count_order"))
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = coalesce_partials(partials).groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("base", alias_name="sum_base_price"),
+        Sum("disc", alias_name="sum_disc_price"),
+        Sum("n", alias_name="count_order"))
 
     def finalize(t: pd.DataFrame) -> pd.DataFrame:
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
@@ -80,7 +91,7 @@ def revenue_by_nation(sf_dir: str, round_to: int = 4) -> "rd.Dataset":
         return g.agg(revenue="sum", n_orders="count").reset_index()
 
     partials = orders.map_batches(join, batch_format="numpy")
-    agg = partials.groupby("n_name").aggregate(
+    agg = coalesce_partials(partials).groupby("n_name").aggregate(
         Sum("revenue", alias_name="revenue"),
         Sum("n_orders", alias_name="n_orders"))
 
@@ -120,7 +131,7 @@ def events_tumbling_window(sf_dir: str, window_sec: int = 3600,
         return g.agg(n="count", s="sum").reset_index()
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["event_type", "window_id"]).aggregate(
+    agg = coalesce_partials(partials).groupby(["event_type", "window_id"]).aggregate(
         Sum("n", alias_name="n_events"),
         Sum("s", alias_name="sum_value"))
 
@@ -162,6 +173,7 @@ def distinct_event_types(sf_dir: str) -> "rd.Dataset":
         return pd.DataFrame({"event_type": vc.index, "c": vc.to_numpy()})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby("event_type").aggregate(Sum("c", alias_name="n"))
+    agg = coalesce_partials(partials).groupby("event_type").aggregate(
+        Sum("c", alias_name="n"))
     return agg.map_batches(lambda t: t.assign(n=t["n"].astype("int64")),
                            batch_format="pandas")

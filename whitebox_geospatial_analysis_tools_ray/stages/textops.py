@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from .util import coalesce_partials
+
 _WS = re.compile(r"\s+")
 
 
@@ -49,7 +51,8 @@ def token_stats_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
                              "avg_tokens": [round(st / n, round_to)],
                              "avg_chars": [round(sc / n, round_to)]})
 
-    return partials.groupby("lang").map_groups(final, batch_format="pandas")
+    return coalesce_partials(partials).groupby("lang").map_groups(
+        final, batch_format="pandas")
 
 
 def quality_scores_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
@@ -89,7 +92,8 @@ def quality_scores_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
             "avg_digit_ratio": [round(float(g["sd"].sum()) / n, round_to)],
         })
 
-    return partials.groupby("lang").map_groups(final, batch_format="pandas")
+    return coalesce_partials(partials).groupby("lang").map_groups(
+        final, batch_format="pandas")
 
 
 def fingerprint_stats(sf_dir: str) -> "rd.Dataset":
@@ -158,6 +162,7 @@ def langid_confusion(sf_dir: str, concurrency=None) -> "rd.Dataset":
                 .size().rename("c").reset_index())
 
     partials = pred.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby(["lang", "pred_lang"]).aggregate(Sum("c", alias_name="n"))
+    agg = coalesce_partials(partials).groupby(["lang", "pred_lang"]).aggregate(
+        Sum("c", alias_name="n"))
     return agg.map_batches(lambda t: t.assign(n=t["n"].astype("int64")),
                            batch_format="pandas")

@@ -18,6 +18,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..core.tiles import HexGrid, RectGrid
 from .points import extent_of, read_points
+from .util import coalesce_partials
 
 
 def _partial_cell_stats(tile: np.ndarray, z: np.ndarray) -> pd.DataFrame:
@@ -51,7 +52,7 @@ def tile_counts(sf_dir: str, width: float = 250.0,
         return _partial_cell_stats(tile, batch["z"])
 
     partials = pts.map_batches(partial, batch_format="numpy")
-    agg = partials.groupby("tile_id").aggregate(
+    agg = coalesce_partials(partials).groupby("tile_id").aggregate(
         Sum("n", alias_name="n_points"),
         Sum("s", alias_name="sum_z"),
         Min("mn", alias_name="min_z"),
@@ -80,7 +81,8 @@ def hex_counts(sf_dir: str, width: float = 250.0):
         return df.groupby("hex_id", sort=False).size().rename("n").reset_index()
 
     partials = pts.map_batches(partial, batch_format="numpy")
-    agg = partials.groupby("hex_id").aggregate(Sum("n", alias_name="n_points"))
+    agg = coalesce_partials(partials).groupby("hex_id").aggregate(
+        Sum("n", alias_name="n_points"))
     agg = agg.map_batches(lambda t: t.assign(n_points=t["n_points"].astype("int64")),
                           batch_format="pandas")
     return agg, grid

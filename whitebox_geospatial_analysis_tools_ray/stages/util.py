@@ -17,3 +17,22 @@ def pool_size(cap: int = 16) -> tuple[int, int]:
     except Exception:
         cpus = 4
     return (1, max(1, min(cap, cpus - 1)))
+
+
+def coalesce_partials(partials, num_partitions: int | None = None):
+    """Shrink a pre-aggregated partials Dataset to a few blocks before the
+    final ``groupby``.
+
+    After a per-batch combiner, partial rows number O(#groups × #input
+    blocks) — tiny relative to the scanned input — but Ray's sort-based
+    aggregate schedules one reduce task per *input block*, so feeding it
+    hundreds of near-empty blocks costs seconds of pure scheduling (the
+    dominant cost on small inputs, and wasted tasks at scale). One cheap
+    repartition keeps the heavy upstream scan fully parallel while making
+    the final shuffle a handful of tasks.
+    """
+    if num_partitions is not None:
+        return partials.repartition(num_partitions)
+    # Adaptive: pack ~64k rows per block. Tiny partial sets collapse to a
+    # single reduce task; at scale the reduce fan-out grows with the data.
+    return partials.repartition(target_num_rows_per_block=65536)

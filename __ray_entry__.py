@@ -34,7 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from whitebox_geospatial_analysis_tools_ray.core.rng import EAST, NORTH, SOUTH, WEST
     from whitebox_geospatial_analysis_tools_ray.core.tiles import RectGrid
     from whitebox_geospatial_analysis_tools_ray.stages import (
-        agg, ann, dedup, knn, raster, relational, textops, tiling)
+        agg, ann, dedup, knn, raster, raster_stats, relational, terrain,
+        textops, tiling)
     from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
         broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
     from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
@@ -57,6 +58,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _raster_points(sf_dir: str):
         spec = raster.RasterSpec()
         return raster.raster_to_points_count(raster.synth_raster(spec), spec)
+
+    def _checksum_q(make):
+        def run(sf_dir: str):
+            spec = raster.RasterSpec()
+            return raster.raster_row_checksums(make(raster.synth_raster(spec),
+                                                   spec), spec)
+        return run
+
+    def _pair_q(fn):
+        def run(sf_dir: str):
+            spec = raster.RasterSpec()
+            return fn(raster_stats.synth_raster_pair(spec), spec)
+        return run
+
+    def _downsample(sf_dir: str):
+        spec = raster.RasterSpec()
+        return raster_stats.aggregate_downsample(raster.synth_raster(spec), spec)
 
     return {
         # --- tiling / cell encoding (TileLasFile + HexBinning) ---
@@ -107,6 +125,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_math": _raster_math,
         "raster_stencil_mean": _raster_stencil,
         "raster_to_points": _raster_points,
+        "raster_filter_median": _checksum_q(
+            lambda ds, spec: raster.stencil_filter3x3(ds, spec, "median")),
+        "raster_filter_range": _checksum_q(
+            lambda ds, spec: raster.stencil_filter3x3(ds, spec, "range")),
+        "raster_filter_stdev": _checksum_q(
+            lambda ds, spec: raster.stencil_filter3x3(ds, spec, "stdev")),
+        "raster_reclass": _checksum_q(raster_stats.reclass_equal_interval),
+        "raster_zscore": _checksum_q(raster_stats.zscores),
+        "raster_rescale": _checksum_q(raster_stats.rescale_value_range),
+        "raster_aggregate": _downsample,
+        # --- terrain derivatives + hydrology (TerrainAnalysisTools, HydroTools) ---
+        "terrain_slope": _checksum_q(terrain.slope),
+        "terrain_aspect": _checksum_q(terrain.aspect),
+        "terrain_hillshade": _checksum_q(terrain.hillshade),
+        "flow_pointer_d8": _checksum_q(terrain.flow_pointer_d8),
+        # --- two-raster stats (StatsTools) ---
+        "cross_tabulation": _pair_q(raster_stats.cross_tabulation),
+        "image_correlation": _pair_q(raster_stats.image_correlation),
+        "image_regression": _pair_q(raster_stats.image_regression),
         # --- flagship (rows-only; composite of the above) ---
         "flagship": lambda sf: flagship(sf),
     }
@@ -144,6 +181,20 @@ def oracle_sql() -> dict[str, str]:
         "raster_math": o.raster_math_sql(),
         "raster_stencil_mean": o.raster_stencil_sql(),
         "raster_to_points": o.raster_to_points_sql(),
+        "raster_filter_median": o.filter3x3_sql("median"),
+        "raster_filter_range": o.filter3x3_sql("range"),
+        "raster_filter_stdev": o.filter3x3_sql("stdev"),
+        "raster_reclass": o.reclass_sql(),
+        "raster_zscore": o.zscore_sql(),
+        "raster_rescale": o.rescale_sql(),
+        "raster_aggregate": o.aggregate_downsample_sql(),
+        "terrain_slope": o.slope_sql(),
+        "terrain_aspect": o.aspect_sql(),
+        "terrain_hillshade": o.hillshade_sql(),
+        "flow_pointer_d8": o.d8_pointer_sql(),
+        "cross_tabulation": o.cross_tab_sql(),
+        "image_correlation": o.image_correlation_sql(),
+        "image_regression": o.image_regression_sql(),
         # rows-only (non-SQL-expressible): pip_polygon_join (scanline PIP on
         # concave/holed polygons), minhash_pairs, simhash_signatures,
         # langid_confusion, ann_ivf_topk, flagship.

@@ -498,3 +498,283 @@ SELECT cell // {per_tile} AS tile_id,
             AS BIGINT) AS n_points
 FROM vals GROUP BY cell // {per_tile}
 """
+
+
+# ---------------------------------------------------------------------------
+# Terrain stencils + D8 (stages/terrain.py) and raster stats
+# (stages/raster_stats.py). Neighbour access uses LAG/LEAD over the linear
+# cell order with explicit edge guards; transcendental CONSTANTS (rad→deg
+# factor, sin/cos of sun altitude, √2) are Python-computed doubles inlined
+# as repr literals so both engines multiply by bit-identical values.
+# ---------------------------------------------------------------------------
+
+_RAD2DEG = repr(180.0 / math.pi)
+
+
+def _raster_vals_b_cte(rows: int = 256, cols: int = 256) -> str:
+    n = rows * cols
+    return (f"vals_b AS (SELECT i AS cell, "
+            f"CASE WHEN ((i * 2654435761 + 999331) % 4294967296) % 19 = 0 "
+            f"THEN {_NOD} "
+            f"ELSE ((i * 2246822519 + 12345) % 4294967296) / 4294967296.0 * 1000.0 "
+            f"END AS v FROM range(0, {n}) t(i))")
+
+
+def _neighbour_cte(rows: int = 256, cols: int = 256) -> str:
+    """g + nb CTE fragments exposing n0..n7 (NE,E,SE,S,SW,W,NW,N), NoData
+    where the neighbour is off-grid."""
+    # (dx, dy, window-fn expr, guard) per neighbour index
+    specs = [
+        (1, -1, f"LAG(v, {cols - 1}) OVER w", f"r > 0 AND c < {cols - 1}"),
+        (1, 0, "LEAD(v, 1) OVER w", f"c < {cols - 1}"),
+        (1, 1, f"LEAD(v, {cols + 1}) OVER w", f"r < {rows - 1} AND c < {cols - 1}"),
+        (0, 1, f"LEAD(v, {cols}) OVER w", f"r < {rows - 1}"),
+        (-1, 1, f"LEAD(v, {cols - 1}) OVER w", f"r < {rows - 1} AND c > 0"),
+        (-1, 0, "LAG(v, 1) OVER w", "c > 0"),
+        (-1, -1, f"LAG(v, {cols + 1}) OVER w", "r > 0 AND c > 0"),
+        (0, -1, f"LAG(v, {cols}) OVER w", "r > 0"),
+    ]
+    cols_sql = ",\n  ".join(
+        f"CASE WHEN {guard} THEN {expr} ELSE {_NOD} END AS n{i}"
+        for i, (dx, dy, expr, guard) in enumerate(specs))
+    return (f"g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v "
+            f"FROM vals),\n"
+            f"nb AS (SELECT cell, r, c, v,\n  {cols_sql}\n"
+            f"FROM g WINDOW w AS (ORDER BY cell))")
+
+
+def _horn_gradients() -> str:
+    """m0..m7 (NoData neighbour → centre, Slope.java:249-255) + fy/fx."""
+    ms = ",\n  ".join(
+        f"CASE WHEN n{i} = {_NOD} THEN v ELSE n{i} END AS m{i}"
+        for i in range(8))
+    return (f"m AS (SELECT cell, v,\n  {ms}\nFROM nb),\n"
+            "grad AS (SELECT cell, v,\n"
+            "  (m6 - m4 + 2 * (m7 - m3) + m0 - m2) / 8.0 AS fy,\n"
+            "  (m2 - m4 + 2 * (m1 - m5) + m0 - m6) / 8.0 AS fx\nFROM m)")
+
+
+def _row_checksum_select(cols: int, value_expr: str = "f") -> str:
+    return f"""
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN {value_expr} <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN {value_expr} = {_NOD} THEN 0.0 ELSE {value_expr} END), 6) AS row_sum
+"""
+
+
+def slope_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_horn_gradients()},
+res AS (
+  SELECT cell, CASE WHEN v = {_NOD} THEN {_NOD}
+    ELSE CAST(CAST(atan(sqrt(fx*fx + fy*fy)) * {_RAD2DEG} AS REAL) AS DOUBLE)
+  END AS f FROM grad)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def aspect_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_horn_gradients()},
+res AS (
+  SELECT cell, CASE WHEN v = {_NOD} THEN {_NOD}
+    WHEN fx <> 0 THEN CAST(CAST(
+      180.0 - atan(fy / fx) * {_RAD2DEG} + 90.0 * sign(fx) AS REAL) AS DOUBLE)
+    ELSE -1.0
+  END AS f FROM grad)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def hillshade_sql(rows: int = 256, cols: int = 256,
+                  azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> str:
+    az = repr(math.radians(azimuth_deg - 90.0))
+    sin_t = repr(math.sin(math.radians(altitude_deg)))
+    cos_t = repr(math.cos(math.radians(altitude_deg)))
+    deg2rad = repr(math.pi / 180.0)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_horn_gradients()},
+hs AS (
+  SELECT cell, v, fx, fy,
+         sqrt(fx*fx + fy*fy) AS ts,
+         (180.0 - atan(fy / nullif(fx, 0)) * {_RAD2DEG}
+          + 90.0 * sign(fx)) * {deg2rad} AS aspect
+  FROM grad),
+res AS (
+  SELECT cell, CASE WHEN v = {_NOD} THEN {_NOD}
+    ELSE greatest(trunc(255.0 * (CASE WHEN fx <> 0 THEN
+      (ts / sqrt(1 + ts*ts)) * ({sin_t} / ts - {cos_t} * sin({az} - aspect))
+      ELSE 0.5 END)), 0.0)
+  END AS f FROM hs)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def d8_pointer_sql(rows: int = 256, cols: int = 256) -> str:
+    sqrt2 = repr(math.sqrt(2.0))
+    dists = [sqrt2 if i % 2 == 0 else "1.0" for i in range(8)]
+    slopes = ",\n  ".join(
+        f"CASE WHEN n{i} <> {_NOD} THEN (v - n{i}) / {dists[i]} END AS s{i}"
+        for i in range(8))
+    best = "greatest(" + ", ".join(
+        f"coalesce(s{i}, -99999999.0)" for i in range(8)) + ")"
+    first = "CASE " + " ".join(
+        f"WHEN s{i} IS NOT NULL AND s{i} = ms THEN {1 << i}.0"
+        for i in range(8)) + " END"
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+sl AS (SELECT cell, v,
+  {slopes}
+FROM nb),
+mx AS (SELECT cell, v, {best} AS ms,
+  s0, s1, s2, s3, s4, s5, s6, s7 FROM sl),
+res AS (
+  SELECT cell, CASE WHEN v = {_NOD} THEN {_NOD}
+    WHEN ms > 0 THEN {first}
+    ELSE 0.0 END AS f
+  FROM mx)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def filter3x3_sql(reducer: str, rows: int = 256, cols: int = 256) -> str:
+    """FilterMedian/Min/Max/Range/Total/StdDev/Diversity mirror: aggregate
+    the valid cells of each 3×3 window (self-join form, like
+    raster_stencil_sql)."""
+    aggs = {
+        "median": "MEDIAN(b.v)",
+        "minimum": "MIN(b.v)",
+        "maximum": "MAX(b.v)",
+        "range": "MAX(b.v) - MIN(b.v)",
+        "total": "SUM(b.v)",
+        "stdev": "CASE WHEN COUNT(*) > 1 THEN STDDEV_SAMP(b.v) ELSE 0.0 END",
+        "diversity": "CAST(COUNT(DISTINCT b.v) AS DOUBLE)",
+    }
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+nb AS (
+  SELECT a.cell, {aggs[reducer]} AS agg_v, COUNT(*) AS n
+  FROM g a JOIN g b
+    ON b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+  WHERE a.v <> {_NOD} AND b.v <> {_NOD}
+  GROUP BY a.cell),
+res AS (
+  SELECT v.cell,
+         CASE WHEN v.v = {_NOD} THEN {_NOD}
+              WHEN nb.n > 0 THEN nb.agg_v
+              ELSE {_NOD} END AS f
+  FROM vals v LEFT JOIN nb ON v.cell = nb.cell)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def reclass_sql(rows: int = 256, cols: int = 256,
+                interval: float = 100.0, base: float = 0.0) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+res AS (SELECT cell, CASE WHEN v = {_NOD} THEN v
+        ELSE floor((v - {base!r}) / {interval!r}) END AS f FROM vals)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def zscore_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s, SUM(v*v) AS s2
+       FROM vals WHERE v <> {_NOD}),
+k AS (SELECT round(s / n, 4) AS mu,
+             round(sqrt((s2 - s * s / n) / (n - 1)), 4) AS sd FROM st),
+res AS (SELECT cell, CASE WHEN v = {_NOD} THEN v
+        ELSE (v - (SELECT mu FROM k)) / (SELECT sd FROM k) END AS f FROM vals)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def rescale_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+st AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals WHERE v <> {_NOD}),
+res AS (SELECT cell, CASE WHEN v = {_NOD} THEN v
+        ELSE (v - (SELECT lo FROM st))
+             / ((SELECT hi FROM st) - (SELECT lo FROM st)) END AS f FROM vals)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def aggregate_downsample_sql(rows: int = 256, cols: int = 256,
+                             factor: int = 4) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)}
+SELECT (cell // {cols}) // {factor} AS block_row,
+       (cell % {cols}) // {factor} AS block_col,
+       CASE WHEN COUNT(CASE WHEN v <> {_NOD} THEN 1 END) > 0
+            THEN round(AVG(CASE WHEN v <> {_NOD} THEN v END), 6)
+            ELSE {_NOD} END AS value
+FROM vals
+GROUP BY (cell // {cols}) // {factor}, (cell % {cols}) // {factor}
+"""
+
+
+def cross_tab_sql(rows: int = 256, cols: int = 256,
+                  class_width: float = 100.0) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)}
+SELECT CAST(floor(a.v / {class_width!r}) AS BIGINT) AS class_a,
+       CAST(floor(b.v / {class_width!r}) AS BIGINT) AS class_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM vals a JOIN vals_b b ON a.cell = b.cell
+WHERE a.v <> {_NOD} AND b.v <> {_NOD}
+GROUP BY 1, 2
+"""
+
+
+def image_correlation_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(a.v) AS sx, SUM(b.v) AS sy,
+         SUM(a.v * b.v) AS sxy, SUM(a.v * a.v) AS sx2, SUM(b.v * b.v) AS sy2
+  FROM vals a JOIN vals_b b ON a.cell = b.cell
+  WHERE a.v <> {_NOD} AND b.v <> {_NOD})
+SELECT CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / sqrt(n * sx2 - sx * sx) / sqrt(n * sy2 - sy * sy), 6) AS r
+FROM st
+"""
+
+
+def image_regression_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(a.v) AS sx, SUM(b.v) AS sy,
+         SUM(a.v * b.v) AS sxy, SUM(a.v * a.v) AS sx2
+  FROM vals a JOIN vals_b b ON a.cell = b.cell
+  WHERE a.v <> {_NOD} AND b.v <> {_NOD})
+SELECT CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+       round(sy / n - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * (sx / n), 6)
+         AS intercept
+FROM st
+"""

@@ -111,31 +111,41 @@ def raster_row_checksums(ds: "rd.Dataset", spec: RasterSpec,
     return ds.map_batches(per_tile, batch_format="pandas")
 
 
-def stencil_mean3x3(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
-    """FilterMean 3×3 via halo exchange between row-band tiles.
+def stencil_apply(ds: "rd.Dataset", spec: RasterSpec, kernel,
+                  halo: int = 1) -> "rd.Dataset":
+    """Generic TILE-STENCIL: apply a windowed ``kernel`` with reach ``halo``
+    via halo exchange between row-band tiles.
 
     Each tile flat_maps to (target_tile, kind, payload) rows: its own
-    band plus one-row halos to the tiles above/below; groupby(target)
-    assembles [halo_top; band; halo_bottom] and runs the vectorized
-    window kernel (shifted-sum trick, no Python loop over cells).
+    band plus its edge rows sent as halos to the tiles above/below;
+    ``groupby(target)`` assembles [halo_top; band; halo_bottom]. Rows and
+    columns beyond the grid are padded with NoData (out-of-grid reads
+    return NoData — WhiteboxRaster.java:535-557 default), so ``kernel``
+    receives a fully padded array and needs no boundary cases: it gets a
+    (H+2·halo, W+2·halo) float64 array and must return the same shape
+    (only the interior is kept).
+
+    This is the SURVEY.md §2.9 pattern backing the whole convolution /
+    terrain-derivative family; shuffle key = target tile id.
     """
 
     def emit(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"target": [], "kind": [], "tile_id": [], "data": []}
+        out = {"target": [], "kind": [], "data": []}
         for tid, data in zip(batch["tile_id"], batch["data"]):
             tid = int(tid)
             a = np.asarray(data, dtype=np.float64).reshape(-1, spec.cols)
             out["target"].append(tid); out["kind"].append(0)
-            out["tile_id"].append(tid); out["data"].append(a.ravel())
-            if tid > 0:  # my top row is the halo BELOW tile tid-1
+            out["data"].append(a.ravel())
+            if tid > 0:  # my top rows are the halo BELOW tile tid-1
                 out["target"].append(tid - 1); out["kind"].append(2)
-                out["tile_id"].append(tid); out["data"].append(a[0].copy())
-            if tid < spec.n_tiles - 1:
+                out["data"].append(a[:halo].ravel())
+            if tid < spec.n_tiles - 1:  # my bottom rows go ABOVE tile tid+1
                 out["target"].append(tid + 1); out["kind"].append(1)
-                out["tile_id"].append(tid); out["data"].append(a[-1].copy())
+                out["data"].append(a[-halo:].ravel())
         return pd.DataFrame(out)
 
     halos = ds.map_batches(emit, batch_format="pandas")
+    nodata = spec.nodata
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
         target = int(g["target"].iloc[0])
@@ -143,19 +153,82 @@ def stencil_mean3x3(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
                          dtype=np.float64).reshape(-1, spec.cols)
         top = g.loc[g["kind"] == 1, "data"]
         bot = g.loc[g["kind"] == 2, "data"]
-        parts = []
+        H = own.shape[0]
+        padded = np.full((H + 2 * halo, spec.cols + 2 * halo), nodata)
+        padded[halo:halo + H, halo:-halo] = own
         if len(top):
-            parts.append(np.asarray(top.iloc[0], dtype=np.float64).reshape(1, -1))
-        t0 = len(parts)  # offset of own band inside padded array
-        parts.append(own)
+            t = np.asarray(top.iloc[0], dtype=np.float64).reshape(-1, spec.cols)
+            padded[halo - t.shape[0]:halo, halo:-halo] = t
         if len(bot):
-            parts.append(np.asarray(bot.iloc[0], dtype=np.float64).reshape(1, -1))
-        padded = np.vstack(parts)
-        filt = _mean3x3(padded, spec.nodata)
-        res = filt[t0:t0 + own.shape[0]]
+            b = np.asarray(bot.iloc[0], dtype=np.float64).reshape(-1, spec.cols)
+            padded[halo + H:halo + H + b.shape[0], halo:-halo] = b
+        filt = kernel(padded)
+        res = filt[halo:halo + H, halo:-halo]
         return pd.DataFrame({"tile_id": [target], "data": [res.ravel()]})
 
     return halos.groupby("target").map_groups(assemble, batch_format="pandas")
+
+
+def stencil_mean3x3(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    """FilterMean 3×3 (FilterMean.java:267-290 semantics)."""
+    return stencil_apply(ds, spec, lambda p: _mean3x3(p, spec.nodata), halo=1)
+
+
+_FILTER_REDUCERS = ("median", "minimum", "maximum", "range", "total",
+                    "stdev", "diversity")
+
+
+def stencil_filter3x3(ds: "rd.Dataset", spec: RasterSpec,
+                      reducer: str) -> "rd.Dataset":
+    """FilterMedian / FilterMinimum / FilterMaximum / FilterRange /
+    FilterTotal / FilterStandardDeviation / FilterDiversity
+    (ImageProcessingTools/src/plugins/Filter*.java — same window contract
+    as FilterMean: centre NoData → NoData, else reduce the non-NoData
+    cells of the 3×3 window clipped to the grid; std-dev is the SAMPLE
+    std-dev, diversity the count of distinct values)."""
+    if reducer not in _FILTER_REDUCERS:
+        raise ValueError(f"unknown reducer {reducer!r}")
+
+    def kern(p: np.ndarray) -> np.ndarray:
+        return _window_reduce3x3(p, spec.nodata, reducer)
+
+    return stencil_apply(ds, spec, kern, halo=1)
+
+
+def _shift_stack3x3(a: np.ndarray) -> np.ndarray:
+    """(9, H-2, W-2) view stack of the 3×3 neighbourhoods of the interior."""
+    H, W = a.shape
+    return np.stack([a[1 + dr:H - 1 + dr, 1 + dc:W - 1 + dc]
+                     for dr in (-1, 0, 1) for dc in (-1, 0, 1)])
+
+
+def _window_reduce3x3(p: np.ndarray, nodata: float, reducer: str) -> np.ndarray:
+    stack = _shift_stack3x3(p)
+    valid = stack != nodata
+    nan_stack = np.where(valid, stack, np.nan)
+    n = valid.sum(axis=0)
+    with np.errstate(invalid="ignore"):
+        if reducer == "median":
+            r = np.nanmedian(np.where(n > 0, nan_stack, 0.0), axis=0)
+        elif reducer == "minimum":
+            r = np.nanmin(np.where(n > 0, nan_stack, 0.0), axis=0)
+        elif reducer == "maximum":
+            r = np.nanmax(np.where(n > 0, nan_stack, 0.0), axis=0)
+        elif reducer == "range":
+            r = (np.nanmax(np.where(n > 0, nan_stack, 0.0), axis=0)
+                 - np.nanmin(np.where(n > 0, nan_stack, 0.0), axis=0))
+        elif reducer == "total":
+            r = np.nansum(nan_stack, axis=0)
+        elif reducer == "stdev":
+            r = np.where(n > 1, np.nanstd(nan_stack, axis=0, ddof=1), 0.0)
+        elif reducer == "diversity":
+            s = np.sort(np.where(valid, stack, np.inf), axis=0)
+            r = ((np.diff(s, axis=0) != 0) & np.isfinite(s[1:])).sum(axis=0) + (n > 0)
+            r = r.astype(np.float64)
+    out = np.full_like(p, nodata)
+    interior = np.where((p[1:-1, 1:-1] != nodata) & (n > 0), r, nodata)
+    out[1:-1, 1:-1] = interior
+    return out
 
 
 def _mean3x3(a: np.ndarray, nodata: float) -> np.ndarray:

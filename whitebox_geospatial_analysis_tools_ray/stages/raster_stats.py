@@ -1,0 +1,227 @@
+"""Raster reclass / global-stat / two-raster stages (SURVEY.md §2.2, §2.5).
+
+Reference semantics covered here:
+- ReclassEqualInterval (GISTools/src/plugins/ReclassEqualInterval.java):
+  value → equal-interval class index from a base value; NoData propagates.
+- ZScores (StatsTools/src/plugins/ZScores.java): (x − μ)/σ with the
+  SAMPLE std-dev over valid cells; two-phase (global aggregate → map).
+- RescaleImageValueRange (Scripts/RescaleImageValueRange.groovy): linear
+  rescale to [0, 1] from the global min/max.
+- Aggregate (RasterCreation/src/plugins/Aggregate.java:235-352): a×a
+  cell blocks reduced to one value (mean/sum/min/max of valid cells) —
+  tile-local because tiles are full-width row bands with tile_rows a
+  multiple of the factor.
+- CrossTabulation (StatsTools/src/plugins/CrossTabulation.java):
+  contingency counts between two categorical rasters.
+- ImageCorrelation / ImageRegression (StatsTools, 381/425 LoC): Pearson
+  r / OLS y~x between two rasters over mutually valid cells, via
+  distributed partial moments (Σx, Σy, Σxy, Σx², Σy², n) + driver final.
+
+Two-phase global stats round the broadcast scalars (μ, σ, …) to
+`_STAT_ROUND` decimals before the per-cell map so the distributed
+partial-sum accumulation order can never flip a downstream rounded
+value vs the SQL oracle computing the identical expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from ..core.rng import NODATA
+from .raster import RasterSpec, raster_map, synth_value
+from .util import coalesce_partials
+
+_A2 = 2246822519
+_C2 = 12345
+_A3 = 2654435761
+_C3 = 999331
+_M = 4294967296
+
+# round broadcast global stats to this many decimals (coarser than any
+# cross-engine accumulation discrepancy, so both sides agree exactly)
+_STAT_ROUND = 4
+
+
+def synth_value_b(cell: np.ndarray) -> np.ndarray:
+    """Second deterministic raster for two-raster ops. SQL mirror:
+    ``CASE WHEN ((cell*2654435761+999331)%4294967296)%19=0 THEN -32768.0
+    ELSE ((cell*2246822519+12345)%4294967296)/4294967296.0*1000.0 END``"""
+    cell = np.asarray(cell, dtype=np.int64)
+    v = ((cell * _A2 + _C2) % _M).astype(np.float64) / float(_M) * 1000.0
+    nod = ((cell * _A3 + _C3) % _M) % 19 == 0
+    return np.where(nod, NODATA, v)
+
+
+def synth_raster_pair(spec: RasterSpec) -> "rd.Dataset":
+    """One Dataset with both rasters' tiles: (tile_id, data, data_b).
+    Generating the pair inside one task = the co-partitioned zip of two
+    tile datasets (no shuffle), as SURVEY.md §2.2 prescribes."""
+
+    def gen(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": [], "data_b": []}
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * spec.cols, r1 * spec.cols, dtype=np.int64)
+            out["tile_id"].append(int(tid))
+            out["data"].append(synth_value(cell))
+            out["data_b"].append(synth_value_b(cell))
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(gen, batch_format="numpy")
+
+
+def reclass_equal_interval(ds: "rd.Dataset", spec: RasterSpec,
+                           interval: float = 100.0,
+                           base: float = 0.0) -> "rd.Dataset":
+    """value → floor((v − base)/interval) class index; NoData propagates."""
+    return raster_map(
+        ds, lambda a: np.floor((a - base) / interval), nodata=spec.nodata)
+
+
+def _global_valid_stats(ds: "rd.Dataset", spec: RasterSpec) -> dict:
+    """One pass: n, Σv, Σv² (and min/max) over valid cells."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = s = s2 = 0.0
+        mn, mx = np.inf, -np.inf
+        for data in batch["data"]:
+            a = np.asarray(data, dtype=np.float64)
+            a = a[a != spec.nodata]
+            if len(a):
+                n += len(a); s += a.sum(); s2 += (a * a).sum()
+                mn = min(mn, a.min()); mx = max(mx, a.max())
+        return pd.DataFrame({"n": [n], "s": [s], "s2": [s2],
+                             "mn": [mn], "mx": [mx]})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    row = partials.aggregate(Sum("n"), Sum("s"), Sum("s2"), Min("mn"), Max("mx"))
+    n = float(row["sum(n)"]); s = float(row["sum(s)"]); s2 = float(row["sum(s2)"])
+    mean = s / n
+    var = (s2 - s * s / n) / (n - 1) if n > 1 else 0.0
+    return {"n": n, "mean": mean, "std": float(np.sqrt(max(var, 0.0))),
+            "min": float(row["min(mn)"]), "max": float(row["max(mx)"])}
+
+
+def zscores(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    st = _global_valid_stats(ds, spec)
+    mu = round(st["mean"], _STAT_ROUND)
+    sd = round(st["std"], _STAT_ROUND)
+    return raster_map(ds, lambda a: (a - mu) / sd, nodata=spec.nodata)
+
+
+def rescale_value_range(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    st = _global_valid_stats(ds, spec)
+    lo, hi = st["min"], st["max"]  # min/max are exact — no rounding needed
+    return raster_map(ds, lambda a: (a - lo) / (hi - lo), nodata=spec.nodata)
+
+
+def aggregate_downsample(ds: "rd.Dataset", spec: RasterSpec,
+                         factor: int = 4, how: str = "mean",
+                         round_to: int = 6) -> "rd.Dataset":
+    """a×a block reduce → (block_row, block_col, value). Requires
+    tile_rows % factor == 0 so blocks never straddle tiles."""
+    assert spec.tile_rows % factor == 0 and spec.cols % factor == 0
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            a = np.asarray(data, dtype=np.float64).reshape(-1, spec.cols)
+            H, W = a.shape
+            blocks = a.reshape(H // factor, factor, W // factor, factor)
+            blocks = blocks.transpose(0, 2, 1, 3).reshape(
+                H // factor, W // factor, factor * factor)
+            valid = blocks != spec.nodata
+            nanb = np.where(valid, blocks, np.nan)
+            n = valid.sum(axis=2)
+            with np.errstate(invalid="ignore"):
+                if how == "mean":
+                    v = np.nanmean(np.where(n[..., None] > 0, nanb, 0.0), axis=2)
+                elif how == "sum":
+                    v = np.nansum(nanb, axis=2)
+                elif how == "min":
+                    v = np.nanmin(np.where(n[..., None] > 0, nanb, 0.0), axis=2)
+                elif how == "max":
+                    v = np.nanmax(np.where(n[..., None] > 0, nanb, 0.0), axis=2)
+                else:
+                    raise ValueError(how)
+            v = np.where(n > 0, v, spec.nodata)
+            br, bc = np.divmod(np.arange(v.size), v.shape[1])
+            frames.append(pd.DataFrame({
+                "block_row": int(tid) * (spec.tile_rows // factor) + br,
+                "block_col": bc,
+                "value": np.round(v.ravel(), round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(per_tile, batch_format="pandas")
+
+
+def cross_tabulation(pair: "rd.Dataset", spec: RasterSpec,
+                     class_width: float = 100.0) -> "rd.Dataset":
+    """Contingency counts (class_a, class_b, n) over mutually valid cells."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for da, db in zip(batch["data"], batch["data_b"]):
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            m = (a != spec.nodata) & (b != spec.nodata)
+            ca = np.floor(a[m] / class_width).astype(np.int64)
+            cb = np.floor(b[m] / class_width).astype(np.int64)
+            df = pd.DataFrame({"class_a": ca, "class_b": cb})
+            frames.append(df.groupby(["class_a", "class_b"], sort=False)
+                          .size().rename("c").reset_index())
+        return pd.concat(frames, ignore_index=True)
+
+    partials = pair.map_batches(partial, batch_format="pandas")
+    agg = coalesce_partials(partials).groupby(["class_a", "class_b"]).aggregate(
+        Sum("c", alias_name="n"))
+    return agg.map_batches(lambda t: t.assign(n=t["n"].astype("int64")),
+                           batch_format="pandas")
+
+
+def _pair_moments(pair: "rd.Dataset", spec: RasterSpec) -> dict:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = sx = sy = sxy = sx2 = sy2 = 0.0
+        for da, db in zip(batch["data"], batch["data_b"]):
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            m = (a != spec.nodata) & (b != spec.nodata)
+            x, y = a[m], b[m]
+            n += len(x); sx += x.sum(); sy += y.sum()
+            sxy += (x * y).sum(); sx2 += (x * x).sum(); sy2 += (y * y).sum()
+        return pd.DataFrame({"n": [n], "sx": [sx], "sy": [sy],
+                             "sxy": [sxy], "sx2": [sx2], "sy2": [sy2]})
+
+    partials = pair.map_batches(partial, batch_format="pandas")
+    row = partials.aggregate(Sum("n"), Sum("sx"), Sum("sy"),
+                             Sum("sxy"), Sum("sx2"), Sum("sy2"))
+    return {k: float(row[f"sum({k})"]) for k in
+            ("n", "sx", "sy", "sxy", "sx2", "sy2")}
+
+
+def image_correlation(pair: "rd.Dataset", spec: RasterSpec,
+                      round_to: int = 6) -> pd.DataFrame:
+    """Pearson r between the rasters (ImageCorrelation.java pattern)."""
+    m = _pair_moments(pair, spec)
+    n, sx, sy, sxy, sx2, sy2 = (m["n"], m["sx"], m["sy"],
+                                m["sxy"], m["sx2"], m["sy2"])
+    r = ((n * sxy - sx * sy)
+         / np.sqrt(n * sx2 - sx * sx) / np.sqrt(n * sy2 - sy * sy))
+    return pd.DataFrame({"n": [int(n)], "r": [round(float(r), round_to)]})
+
+
+def image_regression(pair: "rd.Dataset", spec: RasterSpec,
+                     round_to: int = 6) -> pd.DataFrame:
+    """OLS y~x between the rasters (ImageRegression.java pattern):
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = ȳ − slope·x̄."""
+    m = _pair_moments(pair, spec)
+    n, sx, sy, sxy, sx2 = m["n"], m["sx"], m["sy"], m["sxy"], m["sx2"]
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    intercept = sy / n - slope * (sx / n)
+    return pd.DataFrame({"n": [int(n)],
+                         "slope": [round(float(slope), round_to)],
+                         "intercept": [round(float(intercept), round_to)]})

@@ -1,0 +1,132 @@
+"""Terrain derivatives + D8 flow pointer — TILE-STENCIL ops (SURVEY.md §2.9).
+
+Exact reference semantics (all 3×3, neighbour order i=0..7 =
+NE,E,SE,S,SW,W,NW,N with Dx={1,1,1,0,-1,-1,-1,0}, Dy={-1,0,1,1,1,0,-1,-1}):
+
+- Slope (TerrainAnalysisTools/src/plugins/Slope.java:243-258): NoData
+  neighbours replaced by the centre value; Horn gradients
+  fy=(N6-N4+2*(N7-N3)+N0-N2)/8h, fx=(N2-N4+2*(N1-N5)+N0-N6)/8h;
+  slope = atan(sqrt(fx²+fy²))·180/π cast to float32 (output FLOAT).
+- Aspect (Aspect.java, same gradients): fx≠0 →
+  180 − atan(fy/fx)·180/π + 90·sign(fx) (float32); fx==0 → −1.
+- Hillshade (Hillshade.java:193-293): azimuth' = (az−90)°→rad,
+  alt→rad; fx≠0 → tanSlope=sqrt(fx²+fy²),
+  aspect=(180−atan(fy/fx)·deg+90·sign(fx))·rad,
+  z = tanSlope/sqrt(1+tanSlope²) · (sin(alt)/tanSlope −
+  cos(alt)·sin(az'−aspect)); fx==0 → 0.5; then (int)(z·255) truncated
+  toward zero, clamped below at 0.
+- FlowPointerD8 (HydroTools/src/plugins/FlowPointerD8.java:199-271):
+  slope to each non-NoData neighbour = (z−z2)/dist, dist = gridRes·√2
+  for even i (diagonals) and gridRes for odd i; steepest STRICTLY
+  greater wins with first-i tie-break; pointer = 2^i; no positive slope
+  → 0; NoData → NoData.
+
+All run on the shared halo-exchange machinery (`raster.stencil_apply`);
+grid cell size is 1.0 in the conformance setup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray.data as rd
+
+from .raster import RasterSpec, stencil_apply
+
+# Neighbour order i=0..7: NE,E,SE,S,SW,W,NW,N (reference Dx/Dy above).
+_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+_RAD2DEG = 180.0 / np.pi
+
+
+def _neighbours(p: np.ndarray) -> list[np.ndarray]:
+    """N[i] views of the interior of a halo-1 padded array."""
+    H, W = p.shape
+    return [p[1 + dy:H - 1 + dy, 1 + dx:W - 1 + dx]
+            for dx, dy in zip(_DX, _DY)]
+
+
+def _gradients(p: np.ndarray, nodata: float, grid_res: float):
+    """(fy, fx, centre, valid-mask) with NoData neighbours → centre value."""
+    z = p[1:-1, 1:-1]
+    N = [np.where(n == nodata, z, n) for n in _neighbours(p)]
+    eight = 8.0 * grid_res
+    fy = (N[6] - N[4] + 2 * (N[7] - N[3]) + N[0] - N[2]) / eight
+    fx = (N[2] - N[4] + 2 * (N[1] - N[5]) + N[0] - N[6]) / eight
+    return fy, fx, z, z != nodata
+
+
+def slope_kernel(p: np.ndarray, nodata: float, grid_res: float = 1.0) -> np.ndarray:
+    fy, fx, z, valid = _gradients(p, nodata, grid_res)
+    s = np.arctan(np.sqrt(fx * fx + fy * fy)) * _RAD2DEG
+    s = s.astype(np.float32).astype(np.float64)  # output raster is FLOAT
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(valid, s, nodata)
+    return out
+
+
+def aspect_kernel(p: np.ndarray, nodata: float, grid_res: float = 1.0) -> np.ndarray:
+    fy, fx, z, valid = _gradients(p, nodata, grid_res)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = 180.0 - np.arctan(fy / fx) * _RAD2DEG + 90.0 * np.sign(fx)
+    a = np.where(fx != 0, a.astype(np.float32).astype(np.float64), -1.0)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(valid, a, nodata)
+    return out
+
+
+def hillshade_kernel(p: np.ndarray, nodata: float, grid_res: float = 1.0,
+                     azimuth_deg: float = 315.0, altitude_deg: float = 45.0
+                     ) -> np.ndarray:
+    fy, fx, z, valid = _gradients(p, nodata, grid_res)
+    az = np.deg2rad(azimuth_deg - 90.0)
+    alt = np.deg2rad(altitude_deg)
+    sin_t, cos_t = np.sin(alt), np.cos(alt)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tan_slope = np.sqrt(fx * fx + fy * fy)
+        aspect = (180.0 - np.arctan(fy / fx) * _RAD2DEG
+                  + 90.0 * np.sign(fx)) * np.pi / 180.0
+        term1 = tan_slope / np.sqrt(1 + tan_slope * tan_slope)
+        term2 = sin_t / tan_slope
+        term3 = cos_t * np.sin(az - aspect)
+        h = term1 * (term2 - term3)
+    h = np.where(fx != 0, h, 0.5)
+    h = np.trunc(h * 255.0)  # Java (int) cast truncates toward zero
+    h = np.maximum(h, 0.0)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(valid, h, nodata)
+    return out
+
+
+def d8_kernel(p: np.ndarray, nodata: float, grid_res: float = 1.0) -> np.ndarray:
+    z = p[1:-1, 1:-1]
+    valid = z != nodata
+    diag = grid_res * np.sqrt(2.0)
+    max_slope = np.full(z.shape, -99999999.0)
+    flow = np.zeros(z.shape)
+    for i, n in enumerate(_neighbours(p)):
+        dist = diag if i % 2 == 0 else grid_res
+        with np.errstate(invalid="ignore"):
+            s = (z - n) / dist
+        better = (n != nodata) & (s > max_slope)
+        max_slope = np.where(better, s, max_slope)
+        flow = np.where(better, float(1 << i), flow)
+    res = np.where(max_slope > 0, flow, 0.0)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(valid, res, nodata)
+    return out
+
+
+def slope(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    return stencil_apply(ds, spec, lambda p: slope_kernel(p, spec.nodata), halo=1)
+
+
+def aspect(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    return stencil_apply(ds, spec, lambda p: aspect_kernel(p, spec.nodata), halo=1)
+
+
+def hillshade(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    return stencil_apply(ds, spec, lambda p: hillshade_kernel(p, spec.nodata), halo=1)
+
+
+def flow_pointer_d8(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    return stencil_apply(ds, spec, lambda p: d8_kernel(p, spec.nodata), halo=1)

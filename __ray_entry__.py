@@ -34,8 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from whitebox_geospatial_analysis_tools_ray.core.rng import EAST, NORTH, SOUTH, WEST
     from whitebox_geospatial_analysis_tools_ray.core.tiles import RectGrid
     from whitebox_geospatial_analysis_tools_ray.stages import (
-        agg, ann, dedup, knn, raster, raster_stats, relational, terrain,
-        textops, tiling)
+        agg, ann, clump as clump_mod, dedup, knn, raster, raster_stats,
+        rasterize, relational, terrain, textops, tiling)
     from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
         broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
     from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain_aspect": _checksum_q(terrain.aspect),
         "terrain_hillshade": _checksum_q(terrain.hillshade),
         "flow_pointer_d8": _checksum_q(terrain.flow_pointer_d8),
+        # --- vector→raster conversion (ConversionTools) ---
+        "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
+        "clip_raster_to_polygon": lambda sf: rasterize.clip_raster_to_polygon(),
+        "clump": lambda sf: clump_mod.clump(),
         # --- two-raster stats (StatsTools) ---
         "cross_tabulation": _pair_q(raster_stats.cross_tabulation),
         "image_correlation": _pair_q(raster_stats.image_correlation),
@@ -192,6 +196,10 @@ def oracle_sql() -> dict[str, str]:
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),
         "flow_pointer_d8": o.d8_pointer_sql(),
+        "rasterize_polygons": o.rasterize_triangles_sql(),
+        "clip_raster_to_polygon": o.clip_raster_to_polygon_sql(),
+        # clump: non-SQL-expressible (iterative label merge) — rows-only,
+        # verified against the single-process BFS oracle in tests.
         "cross_tabulation": o.cross_tab_sql(),
         "image_correlation": o.image_correlation_sql(),
         "image_regression": o.image_regression_sql(),

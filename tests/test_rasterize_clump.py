@@ -1,0 +1,84 @@
+"""Scanline rasterization + clump: distributed == single-process oracle."""
+
+import numpy as np
+import pandas as pd
+
+from whitebox_geospatial_analysis_tools_ray.stages.clump import (
+    clump, clump_naive, label_tile)
+from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+from whitebox_geospatial_analysis_tools_ray.stages.rasterize import (
+    scanline_fill_rows, seeded_triangle_rings)
+
+
+def test_label_tile_basic():
+    k = np.array([[0, 0, -1, 1],
+                  [-1, 0, -1, 1],
+                  [2, -1, 0, -1]])
+    lab = label_tile(k)
+    assert lab[0, 0] == lab[0, 1] == lab[1, 1]       # same component
+    assert lab[0, 3] == lab[1, 3]
+    assert lab[0, 2] == -1 and lab[1, 0] == -1       # background
+    # diagonal touch, same class → connected (8-conn)
+    assert lab[2, 2] != lab[0, 0] or k[1, 1] == k[2, 2]
+
+
+def test_label_tile_diagonal_connectivity():
+    k = np.array([[5, -1],
+                  [-1, 5]])
+    lab = label_tile(k)
+    assert lab[0, 0] == lab[1, 1]
+
+
+def test_clump_multi_tile_matches_naive(ray_session):
+    spec = RasterSpec(rows=96, cols=48, tile_rows=16)
+    got = clump(spec)
+    want = clump_naive(spec)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_clump_tiling_invariance(ray_session):
+    """Clump ids/sizes must not depend on the tile height."""
+    a = clump(RasterSpec(rows=64, cols=32, tile_rows=8))
+    b = clump(RasterSpec(rows=64, cols=32, tile_rows=64))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_scanline_even_odd_square():
+    """A unit-aligned square fills the expected inclusive column range."""
+    spec = RasterSpec(rows=256, cols=256)
+    ring = np.array([[1000.0, 1000.0], [3000.0, 1000.0],
+                     [3000.0, 3000.0], [1000.0, 3000.0], [1000.0, 1000.0]])
+    z = scanline_fill_rows([(7, ring)], spec, 0, 256)
+    filled_rows = np.nonzero((z >= 0).any(axis=1))[0]
+    # y centre of row r = 4000 − 7.8125 − r·15.625 ∈ (1000, 3000)
+    assert filled_rows.min() == 64 and filled_rows.max() == 191
+    row = z[100]
+    cols = np.nonzero(row >= 0)[0]
+    assert (row[cols] == 7).all()
+    assert cols.min() == 64 and cols.max() == 192  # inclusive edge columns
+
+
+def test_scanline_concave_parity():
+    """A concave 'U' polygon leaves the notch unfilled (even-odd rule)."""
+    spec = RasterSpec(rows=256, cols=256)
+    ring = np.array([
+        [500.0, 500.0], [3500.0, 500.0], [3500.0, 3500.0],
+        [2500.0, 3500.0], [2500.0, 1500.0], [1500.0, 1500.0],
+        [1500.0, 3500.0], [500.0, 3500.0], [500.0, 500.0]])
+    z = scanline_fill_rows([(3, ring)], spec, 0, 256)
+    # a row through the notch (y between 1500 and 3500): two filled spans
+    r = 64  # y = 2992.1875
+    spans = np.diff(np.concatenate([[0], (z[r] >= 0).astype(int), [0]]))
+    assert (spans == 1).sum() == 2
+    # a row below the notch: one span
+    r2 = 200  # y = 867.1875
+    spans2 = np.diff(np.concatenate([[0], (z[r2] >= 0).astype(int), [0]]))
+    assert (spans2 == 1).sum() == 1
+
+
+def test_rings_deterministic():
+    a = seeded_triangle_rings()
+    b = seeded_triangle_rings()
+    for (za, ra), (zb, rb) in zip(a, b):
+        assert za == zb
+        np.testing.assert_array_equal(ra, rb)

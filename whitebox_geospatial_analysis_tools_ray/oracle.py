@@ -778,3 +778,80 @@ SELECT CAST(n AS BIGINT) AS n,
          AS intercept
 FROM st
 """
+
+
+# ---------------------------------------------------------------------------
+# Scanline rasterization (stages/rasterize.py) — mirrors the
+# VectorPolygonsToRaster fill on the triangle layer. Parity fill reduces
+# to [min..max] per (row, triangle) for non-degenerate triangles (no row
+# centre hits a vertex y exactly — guaranteed by the seeded float layer).
+# ---------------------------------------------------------------------------
+
+def _rasterize_grid_consts(rows: int, cols: int):
+    from .core.rng import EAST, NORTH, SOUTH, WEST
+    res_x = (EAST - WEST) / cols
+    res_y = (NORTH - SOUTH) / rows
+    return {
+        "west": WEST, "half_x": res_x / 2.0,
+        "row_y0": NORTH - res_y / 2.0, "res_y": res_y,
+        "ewrange": (EAST - WEST) - res_x, "ncm1": cols - 1,
+    }
+
+
+def _triangle_edges_values() -> str:
+    from .core.features import triangle_zones
+    rows = []
+    for t in triangle_zones():
+        pts = [(t["ax"], t["ay"]), (t["bx"], t["by"]),
+               (t["cx"], t["cy"]), (t["ax"], t["ay"])]
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            rows.append(f"({t['zone_id']}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS e(zone_id, x1, y1, x2, y2)"
+
+
+def _rasterize_cells_cte(rows: int = 256, cols: int = 256) -> str:
+    k = _rasterize_grid_consts(rows, cols)
+    return f"""
+rowst AS (SELECT i AS r, {k['row_y0']!r} - i * {k['res_y']!r} AS y
+          FROM range(0, {rows}) t(i)),
+cr AS (
+  SELECT rowst.r, e.zone_id,
+         CAST(floor({k['ncm1']} * ((x1 + (y - y1) / (y2 - y1) * (x2 - x1))
+              - {k['west']!r} - {k['half_x']!r}) / {k['ewrange']!r} + 0.5)
+              AS BIGINT) AS col
+  FROM rowst JOIN {_triangle_edges_values()}
+    ON y1 <> y2 AND (y = y1 OR y = y2
+       OR (y2 > y1 AND y > y1 AND y < y2)
+       OR (y1 > y2 AND y > y2 AND y < y1))),
+rng AS (SELECT r, zone_id, GREATEST(MIN(col), 0) AS c0,
+               LEAST(MAX(col), {cols - 1}) AS c1
+        FROM cr GROUP BY r, zone_id
+        HAVING GREATEST(MIN(col), 0) <= LEAST(MAX(col), {cols - 1})),
+cells AS (SELECT r, zone_id, UNNEST(generate_series(c0, c1)) AS c FROM rng)"""
+
+
+def rasterize_triangles_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_rasterize_cells_cte(rows, cols)},
+best AS (SELECT r, c, MAX(zone_id) AS z FROM cells GROUP BY r, c),
+per_row AS (SELECT r, COUNT(*) AS nf, SUM(z) AS sz FROM best GROUP BY r)
+SELECT rowst.r AS row_id,
+       CAST(COALESCE(per_row.nf, 0) AS BIGINT) AS n_filled,
+       CAST(COALESCE(per_row.sz, 0) AS BIGINT) AS sum_zone
+FROM rowst LEFT JOIN per_row ON rowst.r = per_row.r
+"""
+
+
+def clip_raster_to_polygon_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_rasterize_cells_cte(rows, cols)},
+cov AS (SELECT DISTINCT r, c FROM cells),
+clip AS (
+  SELECT v.cell,
+         CASE WHEN cov.r IS NULL THEN {_NOD} ELSE v.v END AS f
+  FROM vals v LEFT JOIN cov
+    ON v.cell // {cols} = cov.r AND v.cell % {cols} = cov.c)
+{_row_checksum_select(cols)}
+FROM clip GROUP BY cell // {cols}
+"""

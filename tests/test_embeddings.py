@@ -1,0 +1,31 @@
+"""Embedding ops: distributed k-means == single-process mirror; PCA sanity."""
+
+import numpy as np
+
+from whitebox_geospatial_analysis_tools_ray.stages.embeddings import (
+    kmeans_embeddings, kmeans_naive, pca_embeddings)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_matches_naive(ray_session):
+    got = kmeans_embeddings(SF, k=6, iters=5)
+    want = kmeans_naive(SF, k=6, iters=5)
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    np.testing.assert_allclose(got["inertia"], want["inertia"], rtol=0, atol=0)
+    assert got["n"].sum() == 500
+
+
+def test_pca_spectrum(ray_session):
+    df = pca_embeddings(SF, k=4)
+    ev = df["eigenvalue"].to_numpy()
+    assert (np.diff(ev) <= 0).all()          # descending
+    assert (ev > 0).all()
+    assert df["explained_ratio"].iloc[0] < 1.0
+    # mirror with plain numpy
+    from whitebox_geospatial_analysis_tools_ray.stages.embeddings import _full_matrix
+    _, emb = _full_matrix(SF)
+    cov = np.cov(emb, rowvar=False)
+    want = np.linalg.eigvalsh(cov)[::-1][:4]
+    np.testing.assert_allclose(ev, want, atol=1e-5)

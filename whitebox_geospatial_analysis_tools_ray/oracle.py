@@ -855,3 +855,13 @@ clip AS (
 {_row_checksum_select(cols)}
 FROM clip GROUP BY cell // {cols}
 """
+
+
+def cosine_neardup_sql(threshold: float = 0.35) -> str:
+    return f"""
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {threshold!r}
+"""

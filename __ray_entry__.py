@@ -35,7 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from whitebox_geospatial_analysis_tools_ray.core.tiles import RectGrid
     from whitebox_geospatial_analysis_tools_ray.stages import (
         agg, ann, clump as clump_mod, dedup, embeddings as emb, knn, raster,
-        raster_stats, rasterize, relational, terrain, textops, tiling)
+        multimodal, raster_stats, rasterize, relational, terrain, textops,
+        tiling)
     from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
         broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
     from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
@@ -117,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": lambda sf: emb.cosine_neardup_pairs(sf),
         "pca_embeddings": lambda sf: emb.pca_embeddings(sf),
         "kmeans_embeddings": lambda sf: emb.kmeans_embeddings(sf),
+        # --- multimodal (opaque binary media + actor-pool decode) ---
+        "image_features": lambda sf: multimodal.image_features(sf),
         # --- relational surface ---
         "q1_pricing": lambda sf: relational.q1_pricing_summary(sf),
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
@@ -180,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": o.ann_cosine_topk_sql(),
         "ann_knn_join": o.ann_knn_join_sql(),
         "embedding_neardup": o.cosine_neardup_sql(),
+        "image_features": o.image_features_sql(),
         # pca_embeddings / kmeans_embeddings: iterative / eigen — rows-only,
         # verified against single-process mirrors in tests.
         "q1_pricing": o.q1_sql(),

@@ -1,0 +1,69 @@
+"""Job driver (checkpointed flagship) + multimodal decode stage."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+
+def test_flagship_job_fresh_and_resume(tmp_path, ray_session):
+    from whitebox_geospatial_analysis_tools_ray.pipelines.job import run_flagship_job
+
+    out = str(tmp_path / "flagship")
+    m1 = run_flagship_job("/root/testdata/sf0.001", out)
+    assert m1["rows"] > 0 and m1["partitions"] > 0
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert os.path.exists(os.path.join(out, "_LINEAGE.json"))
+    lineage = json.load(open(os.path.join(out, "_LINEAGE.json")))
+    assert lineage["stage_chain"][0] == "read_parquet"
+
+    # resume over a completed manifest is a no-op with identical totals
+    m2 = run_flagship_job("/root/testdata/sf0.001", out)
+    assert m2["rows"] == m1["rows"]
+    assert m2["partitions"] == m1["partitions"]
+
+
+def test_job_partial_resume(tmp_path, ray_session):
+    """Simulate a crash: commit a strict subset of partitions, then rerun —
+    the final output must equal a fresh run."""
+    from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
+    from whitebox_geospatial_analysis_tools_ray.pipelines.job import run_flagship_job
+    from whitebox_geospatial_analysis_tools_ray.state.checkpoint import (
+        checkpointed_write, read_checkpointed)
+
+    fresh = str(tmp_path / "fresh")
+    run_flagship_job("/root/testdata/sf0.001", fresh)
+    want = (read_checkpointed(fresh).to_pandas()
+            .sort_values(["tile_id", "zone_id"]).reset_index(drop=True))
+
+    part = str(tmp_path / "partial")
+    ds = flagship("/root/testdata/sf0.001")
+    half = ds.filter(lambda r: r["tile_id"] % 2 == 0)
+    checkpointed_write(half, part, key="tile_id", stage="flagship")
+    n_committed = len(os.listdir(part))
+    run_flagship_job("/root/testdata/sf0.001", part)  # resume fills the rest
+    got = (read_checkpointed(part).to_pandas()
+           .sort_values(["tile_id", "zone_id"]).reset_index(drop=True))
+    assert len(os.listdir(part)) > n_committed
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_image_decoder_rejects_unknown_format():
+    from whitebox_geospatial_analysis_tools_ray.stages.multimodal import ImageDecoder
+
+    dec = ImageDecoder()
+    with pytest.raises(NotImplementedError):
+        dec(pd.DataFrame({"doc_id": [1], "payload": [b"\xff\xd8JPEGDATA"]}))
+
+
+def test_fake_image_roundtrip():
+    from whitebox_geospatial_analysis_tools_ray.stages.multimodal import (
+        ImageDecoder, encode_fake_image)
+
+    buf = encode_fake_image(37, b"abcdef")
+    dec = ImageDecoder()
+    out = dec(pd.DataFrame({"doc_id": [37], "payload": [buf]}))
+    assert out.loc[0, "width"] == 16 + 37 % 64
+    assert out.loc[0, "height"] == 16 + (37 * 7) % 48
+    assert out.loc[0, "n_payload_bytes"] == 6

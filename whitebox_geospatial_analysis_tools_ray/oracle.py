@@ -865,3 +865,16 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= {threshold!r}
 """
+
+
+def image_features_sql() -> str:
+    """Mirror of stages/multimodal.image_features over the FAKEIMG stub
+    (width/height derive from doc_id; payload = utf-8 text bytes)."""
+    return """
+SELECT doc_id,
+       16 + doc_id % 64 AS width,
+       16 + (doc_id * 7) % 48 AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes,
+       ((16 + doc_id % 64) * 1000) // (16 + (doc_id * 7) % 48) AS aspect_milli
+FROM documents
+"""

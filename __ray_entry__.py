@@ -73,6 +73,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return fn(raster_stats.synth_raster_pair(spec), spec)
         return run
 
+    def _pages_flagship_q(sf_dir: str):
+        """Full pages-schema headline (html→text→geocode→tile→join) over a
+        small deterministic corpus generated under /tmp (rows-only; the
+        byte-identical extractor + components are oracle/pytest-gated)."""
+        from whitebox_geospatial_analysis_tools_ray.pipelines.pages_flagship import (
+            pages_flagship)
+        from whitebox_geospatial_analysis_tools_ray.sources.pages import (
+            generate_pages_dataset)
+        d = generate_pages_dataset(20_000, "/tmp/graft_pages_q20k")
+        return pages_flagship(d)
+
     def _downsample(sf_dir: str):
         spec = raster.RasterSpec()
         return raster_stats.aggregate_downsample(raster.synth_raster(spec), spec)
@@ -156,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_regression": _pair_q(raster_stats.image_regression),
         # --- flagship (rows-only; composite of the above) ---
         "flagship": lambda sf: flagship(sf),
+        "pages_flagship": _pages_flagship_q,
     }
 
 

@@ -79,29 +79,105 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling() -> dict:
+SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "2000000"))
+SCALE_DIR = os.environ.get("GRAFT_SCALE_DIR", "/tmp/graft_scale_pages")
+
+
+def run_scaling_worker(ncpu: int) -> dict:
+    """One fresh-process measurement: pages_flagship over the scaled
+    corpus at `ncpu` CPUs (the same input both runs — the sandbox
+    evidence protocol for the N vs 4N cluster-size criterion)."""
+    import ray
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from whitebox_geospatial_analysis_tools_ray.pipelines.pages_flagship import (
+        pages_flagship)
+    from whitebox_geospatial_analysis_tools_ray.sources.pages import (
+        generate_pages_dataset)
+
+    generate_pages_dataset(SCALE_N, SCALE_DIR)  # idempotent
+    # steady-state protocol: spin up the worker pool and warm the page
+    # cache before timing (the cluster-size criterion measures
+    # throughput, not cold-start)
+    @ray.remote
+    def _noop():
+        return 0
+    ray.get([_noop.remote() for _ in range(ncpu * 2)])
+    n = _consume(pages_flagship(SCALE_DIR))  # untimed warm-up pass
+    t0 = time.perf_counter()
+    n = _consume(pages_flagship(SCALE_DIR))
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    return {"num_cpus": ncpu, "sec": round(sec, 3), "out_rows": n,
+            "pages": SCALE_N, "pages_per_sec": round(SCALE_N / sec, 1)}
+
+
+def run_scaling(trials: int = 3) -> dict:
+    """Alternating fresh-process trials at 8 and 32 CPUs; min time per
+    level (the standard noise-robust estimator — this sandbox host is
+    shared, so single-shot walls vary ±50%)."""
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+        env = dict(os.environ, GRAFT_SCALE_WORKER=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--scaling-worker"],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    t_lo, t_hi = lo["value"], hi["value"]
+    los, his = [], []
+    for _ in range(trials):
+        los.append(run(8)["sec"])
+        his.append(run(32)["sec"])
+    t_lo, t_hi = min(los), min(his)
     # efficiency = speedup achieved / speedup possible (4×)
     eff = (t_lo / t_hi) / (32 / 8)
+    ceiling = _host_cpu_ceiling()
     return {
+        "pipeline": "pages_flagship (extract→geocode→tile→PIP-join→agg)",
+        "pages": SCALE_N,
         "sec_8cpu": t_lo, "sec_32cpu": t_hi,
-        "pages_per_sec_8cpu": lo["pages_per_sec"],
-        "pages_per_sec_32cpu": hi["pages_per_sec"],
+        "sec_8cpu_trials": los, "sec_32cpu_trials": his,
+        "pages_per_sec_8cpu": round(SCALE_N / t_lo, 1),
+        "pages_per_sec_32cpu": round(SCALE_N / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "sf": SF_DIR,
+        "host_cpu_ceiling": ceiling,
+        "protocol": ("fresh ray.init(num_cpus=8) vs num_cpus=32, same input, "
+                     f"min of {trials} alternating trials, warmed pool+cache; "
+                     "host_cpu_ceiling = raw 32-vs-8-process CPU-burn speedup"
+                     " / 4 on this (shared) host — the attainable maximum"),
     }
 
 
+def _host_cpu_ceiling(seconds: float = 2.0) -> float:
+    """Control experiment: pure-CPU multiprocessing burn at 8 vs 32
+    processes. On a dedicated host this returns ~1.0; under co-tenant
+    load it bounds any pipeline's measurable 4× scaling efficiency."""
+    import multiprocessing as mp
+
+    def rate(n: int) -> float:
+        with mp.Pool(n) as pool:
+            t0 = time.perf_counter()
+            total = sum(pool.map(_burn, [seconds] * n))
+            return total / (time.perf_counter() - t0)
+
+    return round((rate(32) / rate(8)) / 4.0, 3)
+
+
+def _burn(seconds: float) -> int:
+    t0, x = time.perf_counter(), 0
+    while time.perf_counter() - t0 < seconds:
+        x += 1
+    return x
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        print(json.dumps(run_scaling_worker(int(os.environ["GRAFT_SCALE_WORKER"]))))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

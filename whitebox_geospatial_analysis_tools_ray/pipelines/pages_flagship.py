@@ -1,0 +1,93 @@
+"""Pages flagship — the BASELINE.json headline over the REAL pages schema.
+
+pages(url, warc_ts, html, text, lang) → extract text from html (frozen
+byte-identical extractor) → geocode url → point → tile assignment
+(TileLasFile rule) → broadcast PIP join against the polygon zone layer →
+per-(tile, zone) partial count → tiny groupby. One fused actor-pool pass
+over each Arrow batch; the only shuffle moves pre-aggregated partials.
+
+Column pruning: only (url, html) are read — ``text``/``lang`` never
+leave the Parquet files (the extractor reproduces text byte-identically,
+pytest-gated). This is the pipeline `bench.py --scaling` times at two
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..core.features import seeded_polygons
+from ..core.rng import EAST, NORTH, SOUTH, WEST, geocode_xy
+from ..core.tiles import RectGrid
+from ..sources.pages import extract_text_bytes
+from ..stages.spatial_join import BroadcastPIPJoin, _zone_bbox
+
+
+def url_ids(urls) -> np.ndarray:
+    """Deterministic int id per url (crc32 of the utf-8 bytes)."""
+    return np.array([zlib.crc32(u.encode("utf-8")) for u in urls],
+                    dtype=np.int64)
+
+
+def pages_flagship(pages_dir: str, tile_width: float = 250.0) -> "rd.Dataset":
+    """Returns (tile_id, zone_id, n_pages, sum_chars)."""
+    zones = seeded_polygons()
+    for z in zones:
+        z["bbox"] = _zone_bbox(z)
+    zones_ref = ray.put(zones)
+    grid = RectGrid.from_extent(WEST, SOUTH, EAST, NORTH,
+                                width_x=tile_width, width_y=tile_width)
+
+    def extract_geo_join(batch: pd.DataFrame) -> pd.DataFrame:
+        """Stateless task: html→text, url→point, tile assign, PIP join,
+        partial count — one pass per batch. The zone grid index build is
+        ~3 ms for a broadcast-sized zone table, so a plain task (warm Ray
+        workers, zones cached per node in the object store) beats an
+        actor pool: pool spin-up costs ~1-2 s per actor, dominating a
+        stage whose whole UDF work is seconds. Actor pools stay the
+        pattern for EXPENSIVE state (models, big indexes) — see
+        stages/dedup.MinHasher."""
+        join = BroadcastPIPJoin(zones_ref, mode="inner")
+        texts = [extract_text_bytes(bytes(h)) for h in batch["html"]]
+        ids = url_ids(batch["url"])
+        x, y = geocode_xy(ids)
+        n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+        pts = {"rec_id": np.arange(len(ids), dtype=np.int64),
+               "x": x, "y": y}
+        pairs = join(pts)
+        if len(pairs) == 0:
+            return pd.DataFrame({
+                "tile_id": pd.Series([], dtype="int64"),
+                "zone_id": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64")})
+        pos = pairs["rec_id"].to_numpy()
+        df = pd.DataFrame({
+            "tile_id": grid.tile_of(x[pos], y[pos]),
+            "zone_id": pairs["zone_id"].to_numpy(),
+            "chars": n_chars[pos]})
+        g = df.groupby(["tile_id", "zone_id"], sort=False)["chars"]
+        return g.agg(c="count", s="sum").reset_index()
+
+    from ..stages.util import coalesce_partials
+    # one read task per shard file: Ray's default read parallelism caps
+    # well below the file count here, leaving CPUs idle on the scan
+    import glob
+    import os
+    n_files = len(glob.glob(os.path.join(pages_dir, "*.parquet"))) or None
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"],
+                         override_num_blocks=n_files)
+    partials = ds.map_batches(extract_geo_join, batch_format="pandas",
+                              batch_size=32768)
+    agg = coalesce_partials(partials).groupby(["tile_id", "zone_id"]).aggregate(
+        Sum("c", alias_name="n_pages"), Sum("s", alias_name="sum_chars"))
+    return agg.map_batches(
+        lambda t: t.assign(n_pages=t["n_pages"].astype("int64"),
+                           sum_chars=t["sum_chars"].astype("int64")),
+        batch_format="pandas")

@@ -47,7 +47,13 @@ def _unescape(t: str) -> str:
 
 
 def make_pages(n: int, skew_frac: float = 0.2, n_hosts: int = 50) -> pd.DataFrame:
-    ids = np.arange(n, dtype=np.int64)
+    return make_pages_ids(np.arange(n, dtype=np.int64), n_hosts=n_hosts)
+
+
+def make_pages_ids(ids: np.ndarray, n_hosts: int = 50) -> pd.DataFrame:
+    """Pages for an explicit id range — the task-parallel generation unit
+    (rd.range(n) → map_batches(make_pages_ids) for the scaled corpus)."""
+    ids = np.asarray(ids, dtype=np.int64)
     host = ids % n_hosts
     path_hash = (ids * _A + 17) % _M
     urls = [f"https://site{h}.example/{p:08x}" for h, p in zip(host, path_hash)]
@@ -65,6 +71,42 @@ def make_pages(n: int, skew_frac: float = 0.2, n_hosts: int = 50) -> pd.DataFram
              + HTML_SUFFIX for u, t in zip(urls, texts)]
     return pd.DataFrame({"url": urls, "warc_ts": ts, "html": htmls,
                          "text": texts, "lang": lang})
+
+
+def generate_pages_dataset(n: int, out_dir: str,
+                           rows_per_shard: int = 15_625) -> str:
+    """Generate the scaled deterministic pages corpus as sharded Parquet
+    under ``out_dir`` using Ray tasks (one shard per task). Idempotent:
+    a ``_GENED`` marker with matching n short-circuits. Returns out_dir."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    marker = os.path.join(out_dir, "_GENED")
+    if os.path.exists(marker):
+        if json.load(open(marker)).get("n") == n:
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    n_shards = (n + rows_per_shard - 1) // rows_per_shard
+
+    def gen(batch) -> pd.DataFrame:
+        frames = []
+        for sid in batch["id"]:
+            lo = int(sid) * rows_per_shard
+            hi = min(lo + rows_per_shard, n)
+            frames.append(make_pages_ids(np.arange(lo, hi, dtype=np.int64)))
+        return pd.concat(frames, ignore_index=True)
+
+    # one block per shard (rd.range alone coalesces to ~2×CPUs blocks,
+    # which would collapse the corpus into too few files to read in parallel)
+    (rd.range(n_shards, override_num_blocks=n_shards)
+     .map_batches(gen, batch_format="numpy", batch_size=1)
+     .write_parquet(out_dir))
+    with open(marker, "w") as f:
+        json.dump({"n": n}, f)
+    return out_dir
 
 
 def write_pages(n: int, path: str) -> None:

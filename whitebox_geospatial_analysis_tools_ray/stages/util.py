@@ -31,8 +31,14 @@ def coalesce_partials(partials, num_partitions: int | None = None):
     repartition keeps the heavy upstream scan fully parallel while making
     the final shuffle a handful of tasks.
     """
-    if num_partitions is not None:
-        return partials.repartition(num_partitions)
-    # Adaptive: pack ~64k rows per block. Tiny partial sets collapse to a
-    # single reduce task; at scale the reduce fan-out grows with the data.
-    return partials.repartition(target_num_rows_per_block=65536)
+    if num_partitions is None:
+        # Fixed CPU-scaled fan-out. (target_num_rows_per_block looks right
+        # here but its StreamingRepartition only SPLITS blocks — it never
+        # merges small ones, so it cannot shrink the reduce fan-out.)
+        try:
+            import ray
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(16, cpus // 2))
+    return partials.repartition(num_partitions)

@@ -35,8 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from whitebox_geospatial_analysis_tools_ray.core.tiles import RectGrid
     from whitebox_geospatial_analysis_tools_ray.stages import (
         agg, ann, clump as clump_mod, dedup, embeddings as emb, knn, raster,
-        multimodal, raster_stats, rasterize, relational, terrain, textops,
-        tiling)
+        distance, multimodal, raster_stats, rasterize, relational, terrain,
+        textops, tiling, vector_overlay)
     from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
         broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
     from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
@@ -83,6 +83,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             generate_pages_dataset)
         d = generate_pages_dataset(20_000, "/tmp/graft_pages_q20k")
         return pages_flagship(d)
+
+    def _raster_calc(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.functions.raster_calc import (
+            raster_calculator)
+        spec = raster.RasterSpec()
+        a = raster.synth_raster(spec)
+        b = raster_stats.synth_raster_b(spec)
+        out = raster_calculator({"a": a, "b": b},
+                                "sqrt(a) + b / 5.0 + if(a > b, 1.0, 0.0)")
+        return raster.raster_row_checksums(out, spec)
 
     def _downsample(sf_dir: str):
         spec = raster.RasterSpec()
@@ -157,6 +167,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain_aspect": _checksum_q(terrain.aspect),
         "terrain_hillshade": _checksum_q(terrain.hillshade),
         "flow_pointer_d8": _checksum_q(terrain.flow_pointer_d8),
+        # --- vector overlay (VectorTools Clip/Erase) ---
+        "vector_clip": lambda sf: vector_overlay.clip_boxes(sf),
+        "vector_erase": lambda sf: vector_overlay.erase_boxes(sf),
+        # --- distance transform (GISTools EuclideanDistance) ---
+        "euclidean_distance": lambda sf: distance.euclidean_distance(),
+        # --- raster calculator (RasterCalculator expression compiler) ---
+        "raster_calc": _raster_calc,
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
         "clip_raster_to_polygon": lambda sf: rasterize.clip_raster_to_polygon(),
@@ -218,6 +235,10 @@ def oracle_sql() -> dict[str, str]:
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),
         "flow_pointer_d8": o.d8_pointer_sql(),
+        "vector_clip": o.clip_boxes_sql(),
+        "vector_erase": o.erase_boxes_sql(),
+        "euclidean_distance": o.euclidean_distance_sql(),
+        "raster_calc": o.raster_calc_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),
         "clip_raster_to_polygon": o.clip_raster_to_polygon_sql(),
         # clump: non-SQL-expressible (iterative label merge) — rows-only,

@@ -878,3 +878,81 @@ SELECT doc_id,
        ((16 + doc_id % 64) * 1000) // (16 + (doc_id * 7) % 48) AS aspect_milli
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Vector overlay (stages/vector_overlay.py) + distance transform + calculator
+# ---------------------------------------------------------------------------
+
+def _doc_squares_cte() -> str:
+    from .stages.vector_overlay import CLIP_X0  # noqa: F401 (doc link)
+    return (f"boxes AS (SELECT p.rec_id, "
+            f"p.x - (10.0 + (p.z % 200.0)) AS xmin, "
+            f"p.y - (10.0 + (p.z % 200.0)) AS ymin, "
+            f"p.x + (10.0 + (p.z % 200.0)) AS xmax, "
+            f"p.y + (10.0 + (p.z % 200.0)) AS ymax FROM pts p)")
+
+
+def clip_boxes_sql() -> str:
+    from .stages.vector_overlay import CLIP_X0, CLIP_X1, CLIP_Y0, CLIP_Y1
+    return f"""
+WITH {POINTS_CTE},
+{_doc_squares_cte()},
+c AS (SELECT rec_id,
+             least(xmax, {CLIP_X1!r}) - greatest(xmin, {CLIP_X0!r}) AS w,
+             least(ymax, {CLIP_Y1!r}) - greatest(ymin, {CLIP_Y0!r}) AS h
+      FROM boxes)
+SELECT rec_id, round(w * h, 6) AS clip_area FROM c WHERE w > 0 AND h > 0
+"""
+
+
+def erase_boxes_sql() -> str:
+    from .stages.vector_overlay import CLIP_X0, CLIP_X1, CLIP_Y0, CLIP_Y1
+    return f"""
+WITH {POINTS_CTE},
+{_doc_squares_cte()},
+c AS (SELECT rec_id, (xmax - xmin) * (ymax - ymin) AS area,
+             greatest(least(xmax, {CLIP_X1!r}) - greatest(xmin, {CLIP_X0!r}), 0.0)
+           * greatest(least(ymax, {CLIP_Y1!r}) - greatest(ymin, {CLIP_Y0!r}), 0.0)
+             AS inter
+      FROM boxes)
+SELECT rec_id, round(area - inter, 6) AS erase_area FROM c WHERE area - inter > 0
+"""
+
+
+def euclidean_distance_sql(rows: int = 256, cols: int = 256) -> str:
+    n = rows * cols
+    return f"""
+WITH tgt AS (
+  SELECT cell // {cols} AS tr, cell % {cols} AS tc
+  FROM range(0, {n}) t(cell)
+  WHERE ((cell * 2654435761 + 77) % 4294967296) % 251 = 0),
+g AS (SELECT i AS cell, i // {cols} AS r, i % {cols} AS c
+      FROM range(0, {n}) q(i)),
+d AS (SELECT g.cell,
+             MIN((g.r - tgt.tr) * (g.r - tgt.tr)
+                 + (g.c - tgt.tc) * (g.c - tgt.tc)) AS d2
+      FROM g CROSS JOIN tgt GROUP BY g.cell)
+SELECT cell // {cols} AS row_id,
+       CAST({cols} AS BIGINT) AS n_valid,
+       round(SUM(sqrt(CAST(d2 AS DOUBLE))), 6) AS row_sum
+FROM d GROUP BY cell // {cols}
+"""
+
+
+def raster_calc_sql(rows: int = 256, cols: int = 256) -> str:
+    """Mirror of the RasterCalculator conformance expression
+    ``sqrt(a) + b / 5.0 + if(a > b, 1.0, 0.0)`` with NoData propagation."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+res AS (
+  SELECT a.cell,
+         CASE WHEN a.v = {_NOD} OR b.v = {_NOD} THEN {_NOD}
+              ELSE sqrt(a.v) + b.v / 5.0
+                   + CASE WHEN a.v > b.v THEN 1.0 ELSE 0.0 END
+         END AS f
+  FROM vals a JOIN vals_b b ON a.cell = b.cell)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -74,6 +74,22 @@ def synth_raster_pair(spec: RasterSpec) -> "rd.Dataset":
     return rd.range(spec.n_tiles).map_batches(gen, batch_format="numpy")
 
 
+def synth_raster_b(spec: RasterSpec) -> "rd.Dataset":
+    """The second raster alone as a tile Dataset (tile_id, data)."""
+
+    def gen(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * spec.cols, r1 * spec.cols, dtype=np.int64)
+            out["tile_id"].append(int(tid))
+            out["data"].append(synth_value_b(cell))
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(gen, batch_format="numpy")
+
+
 def reclass_equal_interval(ds: "rd.Dataset", spec: RasterSpec,
                            interval: float = 100.0,
                            base: float = 0.0) -> "rd.Dataset":

@@ -35,8 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from whitebox_geospatial_analysis_tools_ray.core.tiles import RectGrid
     from whitebox_geospatial_analysis_tools_ray.stages import (
         agg, ann, clump as clump_mod, dedup, embeddings as emb, knn, raster,
-        distance, multimodal, raster_stats, rasterize, relational, terrain,
-        textops, tiling, vector_overlay)
+        distance, hydro, multimodal, raster_stats, rasterize, relational,
+        terrain, textops, tiling, vector_overlay)
     from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
         broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
     from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
@@ -167,6 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain_aspect": _checksum_q(terrain.aspect),
         "terrain_hillshade": _checksum_q(terrain.hillshade),
         "flow_pointer_d8": _checksum_q(terrain.flow_pointer_d8),
+        "inflow_count": _checksum_q(
+            lambda ds, spec: hydro.num_inflowing_neighbours(
+                terrain.flow_pointer_d8(ds, spec), spec)),
+        "flow_accumulation": lambda sf: hydro.flow_accumulation_d8(),
         # --- vector overlay (VectorTools Clip/Erase) ---
         "vector_clip": lambda sf: vector_overlay.clip_boxes(sf),
         "vector_erase": lambda sf: vector_overlay.erase_boxes(sf),
@@ -235,6 +239,9 @@ def oracle_sql() -> dict[str, str]:
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),
         "flow_pointer_d8": o.d8_pointer_sql(),
+        "inflow_count": o.inflow_count_sql(),
+        # flow_accumulation: iterative boundary-exchange fixed point —
+        # rows-only, verified vs the single-process topological mirror.
         "vector_clip": o.clip_boxes_sql(),
         "vector_erase": o.erase_boxes_sql(),
         "euclidean_distance": o.euclidean_distance_sql(),

@@ -619,7 +619,8 @@ FROM res GROUP BY cell // {cols}
 """
 
 
-def d8_pointer_sql(rows: int = 256, cols: int = 256) -> str:
+def _d8_pointer_ctes(rows: int = 256, cols: int = 256) -> str:
+    """CTE chain ending in ``res(cell, f)`` = the D8 pointer raster."""
     sqrt2 = repr(math.sqrt(2.0))
     dists = [sqrt2 if i % 2 == 0 else "1.0" for i in range(8)]
     slopes = ",\n  ".join(
@@ -630,8 +631,7 @@ def d8_pointer_sql(rows: int = 256, cols: int = 256) -> str:
     first = "CASE " + " ".join(
         f"WHEN s{i} IS NOT NULL AND s{i} = ms THEN {1 << i}.0"
         for i in range(8)) + " END"
-    return f"""
-WITH {_raster_vals_cte(rows, cols)},
+    return f"""{_raster_vals_cte(rows, cols)},
 {_neighbour_cte(rows, cols)},
 sl AS (SELECT cell, v,
   {slopes}
@@ -642,9 +642,51 @@ res AS (
   SELECT cell, CASE WHEN v = {_NOD} THEN {_NOD}
     WHEN ms > 0 THEN {first}
     ELSE 0.0 END AS f
-  FROM mx)
+  FROM mx)"""
+
+
+def d8_pointer_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_d8_pointer_ctes(rows, cols)}
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
+"""
+
+
+def inflow_count_sql(rows: int = 256, cols: int = 256) -> str:
+    """NumInflowingNeighbours over the D8 pointer raster: a second
+    neighbour pass over res.f counting opposite-pointing neighbours."""
+    # neighbour windows over f, same guards as _neighbour_cte
+    specs = [
+        (f"LAG(f, {cols - 1}) OVER w2", f"r > 0 AND c < {cols - 1}"),
+        ("LEAD(f, 1) OVER w2", f"c < {cols - 1}"),
+        (f"LEAD(f, {cols + 1}) OVER w2", f"r < {rows - 1} AND c < {cols - 1}"),
+        (f"LEAD(f, {cols}) OVER w2", f"r < {rows - 1}"),
+        (f"LEAD(f, {cols - 1}) OVER w2", f"r < {rows - 1} AND c > 0"),
+        ("LAG(f, 1) OVER w2", "c > 0"),
+        (f"LAG(f, {cols + 1}) OVER w2", "r > 0 AND c > 0"),
+        (f"LAG(f, {cols}) OVER w2", "r > 0"),
+    ]
+    nf = ",\n  ".join(
+        f"CASE WHEN {guard} THEN {expr} ELSE {_NOD} END AS nf{i}"
+        for i, (expr, guard) in enumerate(specs))
+    count = " + ".join(
+        f"CASE WHEN nf{i} = {float(1 << ((i + 4) % 8))!r} THEN 1 ELSE 0 END"
+        for i in range(8))
+    return f"""
+WITH {_d8_pointer_ctes(rows, cols)},
+pg AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, f FROM res),
+pn AS (SELECT cell, r, c, f,
+  {nf}
+FROM pg WINDOW w2 AS (ORDER BY cell)),
+cnt AS (
+  SELECT cell, CASE WHEN f = {_NOD} THEN {_NOD}
+    ELSE CAST({count} AS DOUBLE) END AS f2
+  FROM pn)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN f2 <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN f2 = {_NOD} THEN 0.0 ELSE f2 END), 6) AS row_sum
+FROM cnt GROUP BY cell // {cols}
 """
 
 

@@ -1,0 +1,190 @@
+"""Hydrology: D8 inflow counts + distributed D8 flow accumulation.
+
+- NumInflowingNeighbours (HydroTools/src/plugins/NumInflowingNeighbours.java,
+  281 LoC): per cell, count the 8 neighbours whose D8 pointer targets it —
+  a pure 3×3 stencil over the pointer grid (halo exchange).
+- FlowAccumD8 (HydroTools/src/plugins/FlowAccumD8.java, 416 LoC): the
+  number of cells draining through each cell (self included). The
+  reference walks paths sequentially over the whole raster — the
+  unbounded-reach case flagged in SURVEY.md §7.5. Distributed plan:
+
+  1. per-tile TOPOLOGICAL solve: D8 receivers are strictly lower, so
+     descending-elevation order is a valid topological order inside a
+     tile; each tile computes its accumulation given current external
+     INFLOWS at its cells (initially zero);
+  2. cross-tile flows (edge-row cells whose pointer leaves the tile)
+     are emitted as (target_tile, row, col, amount) contributions —
+     O(boundary) rows, driver-merged like the clump label merge;
+  3. iterate 1-2 until the inflow map reaches a fixed point. Each
+     round resolves one more tile-boundary crossing of the longest
+     flow path, so rounds ≤ crossings(longest path) — small for
+     real terrain; a cap + convergence check guards pathological
+     snakes (SURVEY.md §7.5 "iterative convergence loops").
+
+  Verified against a single-process whole-grid topological mirror and
+  tiling-invariant by test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from .raster import RasterSpec, stencil_apply, synth_value
+from .terrain import _DX, _DY, d8_kernel
+
+# D8 pointer codes 1<<i in neighbour order NE,E,SE,S,SW,W,NW,N (terrain._DX/_DY)
+
+
+def inflow_count_kernel(pointer_padded: np.ndarray, nodata: float) -> np.ndarray:
+    """Count neighbours flowing INTO each cell. A neighbour at offset
+    (dx, dy) flows into me iff its pointer equals the code of the
+    OPPOSITE direction (i+4 mod 8)."""
+    p = pointer_padded
+    z = p[1:-1, 1:-1]
+    out = np.zeros_like(z)
+    H, W = p.shape
+    for i in range(8):
+        dx, dy = _DX[i], _DY[i]
+        nb = p[1 + dy:H - 1 + dy, 1 + dx:W - 1 + dx]
+        code = float(1 << ((i + 4) % 8))
+        out += ((nb == code) & (nb != nodata)).astype(np.float64)
+    res = np.full_like(p, nodata)
+    res[1:-1, 1:-1] = np.where(z != nodata, out, nodata)
+    return res
+
+
+def num_inflowing_neighbours(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    """Pointer raster → inflow-count raster (both as tile Datasets)."""
+    return stencil_apply(
+        ds, spec, lambda p: inflow_count_kernel(p, spec.nodata), halo=1)
+
+
+def _tile_pointers(spec: RasterSpec, tid: int):
+    """(z, pointer) arrays for one tile, pointer computed with halo."""
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    lo = max(r0 - 1, 0)
+    hi = min(r1 + 1, spec.rows)
+    cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+    zext = synth_value(cell).reshape(-1, spec.cols)
+    pad = np.full((hi - lo + 2, spec.cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = zext
+    ptr_ext = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    sl = slice(r0 - lo, r0 - lo + (r1 - r0))
+    return zext[sl], ptr_ext[sl]
+
+
+def _accumulate_tile(z: np.ndarray, ptr: np.ndarray, inflow: np.ndarray,
+                     nodata: float):
+    """Topological (descending-z) accumulation inside one tile.
+
+    Returns (acc, outflows) where outflows is a list of
+    (drow_tile, row_local, col, target_col, amount) for flows leaving the
+    tile vertically (drow_tile ∈ {-1, +1})."""
+    H, W = z.shape
+    valid = z != nodata
+    acc = np.where(valid, 1.0 + inflow, 0.0)
+    order = np.argsort(-z, axis=None, kind="stable")
+    out_up: dict[int, float] = {}
+    out_dn: dict[int, float] = {}
+    for lin in order:
+        r, c = divmod(int(lin), W)
+        if not valid[r, c]:
+            continue
+        code = ptr[r, c]
+        if code == nodata or code <= 0:
+            continue
+        i = int(code).bit_length() - 1
+        r2, c2 = r + _DY[i], c + _DX[i]
+        if 0 <= c2 < W:
+            if 0 <= r2 < H:
+                if valid[r2, c2]:
+                    acc[r2, c2] += acc[r, c]
+            elif r2 < 0:
+                out_up[c2] = out_up.get(c2, 0.0) + acc[r, c]
+            else:
+                out_dn[c2] = out_dn.get(c2, 0.0) + acc[r, c]
+    return acc, out_up, out_dn
+
+
+def flow_accumulation_d8(spec: RasterSpec | None = None,
+                         max_rounds: int = 64) -> pd.DataFrame:
+    """Distributed D8 flow accumulation over the synthetic DEM.
+
+    Output per raster row: (row_id, n_valid, row_sum) of the
+    accumulation raster (row_sum exact — accumulations are integers)."""
+    spec = spec or RasterSpec()
+    n_tiles = spec.n_tiles
+    cols = spec.cols
+
+    # inflows[tid] = (tile_rows, cols) external contributions
+    inflows = {t: np.zeros((min(spec.tile_rows, spec.rows - t * spec.tile_rows),
+                            cols)) for t in range(n_tiles)}
+
+    def solve(batch, inflow_ref) -> pd.DataFrame:
+        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
+            else inflow_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            acc, up, dn = _accumulate_tile(z, ptr, infl[tid], spec.nodata)
+            rows.append({"tile_id": tid, "acc": acc.tobytes(),
+                         "shape0": acc.shape[0],
+                         "up": pd.Series(up).to_json(),
+                         "dn": pd.Series(dn).to_json()})
+        return pd.DataFrame(rows)
+
+    import json
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(inflows)
+        res = (rd.range(n_tiles)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_inflows = {t: np.zeros_like(v) for t, v in inflows.items()}
+        for r in res.itertuples():
+            for col, amt in json.loads(r.up).items():
+                if r.tile_id > 0:
+                    new_inflows[r.tile_id - 1][-1, int(col)] += amt
+            for col, amt in json.loads(r.dn).items():
+                if r.tile_id < n_tiles - 1:
+                    new_inflows[r.tile_id + 1][0, int(col)] += amt
+        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
+            last = res
+            break
+        inflows = new_inflows
+        last = res
+    else:  # pragma: no cover - cap reached
+        raise RuntimeError("flow accumulation did not converge")
+
+    frames = []
+    for r in last.sort_values("tile_id").itertuples():
+        acc = np.frombuffer(r.acc).reshape(r.shape0, cols)
+        r0 = r.tile_id * spec.tile_rows
+        z, _ = _tile_pointers(spec, r.tile_id)
+        valid = z != spec.nodata
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + acc.shape[0]),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "row_sum": np.where(valid, acc, 0.0).sum(axis=1)}))
+    return pd.concat(frames, ignore_index=True)
+
+
+def flow_accumulation_naive(spec: RasterSpec) -> pd.DataFrame:
+    """Single-process whole-grid mirror (same descending-z topological
+    order over the full raster)."""
+    cell = np.arange(spec.rows * spec.cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, spec.cols)
+    pad = np.full((spec.rows + 2, spec.cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, up, dn = _accumulate_tile(z, ptr, np.zeros_like(z), spec.nodata)
+    valid = z != spec.nodata
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "row_sum": np.where(valid, acc, 0.0).sum(axis=1)})

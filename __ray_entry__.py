@@ -161,11 +161,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_reclass": _checksum_q(raster_stats.reclass_equal_interval),
         "raster_zscore": _checksum_q(raster_stats.zscores),
         "raster_rescale": _checksum_q(raster_stats.rescale_value_range),
+        "raster_hist_equalize": _checksum_q(raster_stats.histogram_equalize),
         "raster_aggregate": _downsample,
         # --- terrain derivatives + hydrology (TerrainAnalysisTools, HydroTools) ---
         "terrain_slope": _checksum_q(terrain.slope),
         "terrain_aspect": _checksum_q(terrain.aspect),
         "terrain_hillshade": _checksum_q(terrain.hillshade),
+        "terrain_plan_curv": _checksum_q(
+            lambda ds, spec: terrain.curvature(ds, spec, "plan")),
+        "terrain_prof_curv": _checksum_q(
+            lambda ds, spec: terrain.curvature(ds, spec, "prof")),
+        "terrain_tan_curv": _checksum_q(
+            lambda ds, spec: terrain.curvature(ds, spec, "tan")),
+        # total curvature cells are O(1e10); scale by 1e-9 before the
+        # round-6 checksum so cross-engine summation order cannot bite
+        "terrain_total_curv": _checksum_q(
+            lambda ds, spec: raster.raster_map(
+                terrain.curvature(ds, spec, "total"), lambda a: a / 1e9)),
         "flow_pointer_d8": _checksum_q(terrain.flow_pointer_d8),
         "inflow_count": _checksum_q(
             lambda ds, spec: hydro.num_inflowing_neighbours(
@@ -180,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_calc": _raster_calc,
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
+        "rasterize_lines": lambda sf: rasterize.rasterize_lines(),
         "clip_raster_to_polygon": lambda sf: rasterize.clip_raster_to_polygon(),
         "clump": lambda sf: clump_mod.clump(),
         # --- two-raster stats (StatsTools) ---
@@ -234,10 +247,15 @@ def oracle_sql() -> dict[str, str]:
         "raster_reclass": o.reclass_sql(),
         "raster_zscore": o.zscore_sql(),
         "raster_rescale": o.rescale_sql(),
+        "raster_hist_equalize": o.histogram_equalize_sql(),
         "raster_aggregate": o.aggregate_downsample_sql(),
         "terrain_slope": o.slope_sql(),
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),
+        "terrain_plan_curv": o.curvature_sql("plan"),
+        "terrain_prof_curv": o.curvature_sql("prof"),
+        "terrain_tan_curv": o.curvature_sql("tan"),
+        "terrain_total_curv": o.curvature_sql("total"),
         "flow_pointer_d8": o.d8_pointer_sql(),
         "inflow_count": o.inflow_count_sql(),
         # flow_accumulation: iterative boundary-exchange fixed point —
@@ -247,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "euclidean_distance": o.euclidean_distance_sql(),
         "raster_calc": o.raster_calc_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),
+        "rasterize_lines": o.rasterize_lines_sql(),
         "clip_raster_to_polygon": o.clip_raster_to_polygon_sql(),
         # clump: non-SQL-expressible (iterative label merge) — rows-only,
         # verified against the single-process BFS oracle in tests.

@@ -998,3 +998,121 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def _curv_terms_cte() -> str:
+    """m0..m7 (NoData→centre) + central-difference derivative terms."""
+    ms = ",\n  ".join(
+        f"CASE WHEN n{i} = {_NOD} THEN v ELSE n{i} END AS m{i}"
+        for i in range(8))
+    return (f"m AS (SELECT cell, v,\n  {ms}\nFROM nb),\n"
+            "ct AS (SELECT cell, v,\n"
+            "  (m1 - m5) / 2.0 AS zx, (m7 - m3) / 2.0 AS zy,\n"
+            "  (m1 - 2 * v + m5) / 1.0 AS zxx,\n"
+            "  (m7 - 2 * v + m3) / 1.0 AS zyy,\n"
+            "  (-m6 + m0 + m4 - m2) / 4.0 AS zxy\nFROM m)")
+
+
+def curvature_sql(kind: str, rows: int = 256, cols: int = 256) -> str:
+    scale = repr(180.0 / math.pi * 100.0)
+    exprs = {
+        "plan": ("(zxx * zy * zy - 2 * zxy * zx * zy + zyy * zx * zx)"
+                 " / power(zx * zx + zy * zy, 1.5)"),
+        "prof": ("(zxx * zx * zx + 2 * zxy * zx * zy + zyy * zy * zy)"
+                 " / ((zx * zx + zy * zy)"
+                 " * power(zx * zx + zy * zy + 1, 1.5))"),
+        "tan": ("(zxx * zy * zy - 2 * zxy * zx * zy + zyy * zx * zx)"
+                " / ((zx * zx + zy * zy)"
+                " * power(zx * zx + zy * zy + 1, 1.5))"),
+        "total": "zxx * zxx + 2 * zxy * zxy + zyy * zyy",
+    }
+    guard = ("" if kind == "total"
+             else f"WHEN zx * zx + zy * zy = 0 THEN {_NOD} ")
+    post = " / 1000000000.0" if kind == "total" else ""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_curv_terms_cte()},
+res AS (
+  SELECT cell, CASE WHEN v = {_NOD} THEN {_NOD}
+    {guard}ELSE (({exprs[kind]}) * {scale}){post}
+  END AS f FROM ct)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def histogram_equalize_sql(rows: int = 256, cols: int = 256,
+                           nbins: int = 1024) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+st AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+       FROM vals WHERE v <> {_NOD}),
+binned AS (
+  SELECT cell, v,
+         CASE WHEN v = {_NOD} THEN NULL
+              ELSE least(CAST(floor((v - (SELECT lo FROM st))
+                   / (((SELECT hi FROM st) - (SELECT lo FROM st))
+                      / {nbins})) AS BIGINT), {nbins - 1}) END AS b
+  FROM vals),
+hist AS (SELECT b, COUNT(*) AS c FROM binned WHERE b IS NOT NULL GROUP BY b),
+cdf AS (SELECT b, SUM(c) OVER (ORDER BY b) / CAST((SELECT n FROM st) AS DOUBLE)
+               AS frac FROM hist),
+res AS (
+  SELECT binned.cell,
+         CASE WHEN binned.v = {_NOD} THEN {_NOD} ELSE cdf.frac END AS f
+  FROM binned LEFT JOIN cdf ON binned.b = cdf.b)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def _polyline_segments_values() -> str:
+    from .stages.rasterize import seeded_polylines
+    rows = []
+    for lid, pts in seeded_polylines():
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            rows.append(f"({lid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS e(line_id, x1, y1, x2, y2)"
+
+
+def rasterize_lines_sql(rows: int = 256, cols: int = 256) -> str:
+    k = _rasterize_grid_consts(rows, cols)
+    from .core.rng import NORTH, SOUTH
+    res_y = (NORTH - SOUTH) / rows
+    nsrange = (NORTH - SOUTH) - res_y
+    seg = _polyline_segments_values()
+    return f"""
+WITH rowst AS (SELECT i AS r, {k['row_y0']!r} - i * {k['res_y']!r} AS y
+               FROM range(0, {rows}) t(i)),
+colst AS (SELECT j AS c, {k['west'] + k['half_x']!r} + j * {(4000.0 - 0.0) / cols!r} AS x
+          FROM range(0, {cols}) t(j)),
+rowx AS (
+  SELECT rowst.r, e.line_id,
+         CAST(floor({k['ncm1']} * ((x1 + (y - y1) / (y2 - y1) * (x2 - x1))
+              - {k['west']!r} - {k['half_x']!r}) / {k['ewrange']!r} + 0.5)
+              AS BIGINT) AS c
+  FROM rowst JOIN {seg}
+    ON y1 <> y2 AND (y = y1 OR y = y2
+       OR (y2 > y1 AND y > y1 AND y < y2)
+       OR (y1 > y2 AND y > y2 AND y < y1))),
+colx AS (
+  SELECT colst.c, e2.line_id,
+         CAST(floor({rows - 1} * ({k['row_y0']!r}
+              - (y1 + (x - x1) / (x2 - x1) * (y2 - y1)))
+              / {nsrange!r} + 0.5) AS BIGINT) AS r
+  FROM colst JOIN {seg.replace(' AS e(', ' AS e2(')}
+    ON x1 <> x2 AND (x = x1 OR x = x2
+       OR (x2 > x1 AND x > x1 AND x < x2)
+       OR (x1 > x2 AND x > x2 AND x < x1))),
+cells AS (
+  SELECT r, c, line_id FROM rowx WHERE c >= 0 AND c < {cols}
+  UNION ALL
+  SELECT r, c, line_id FROM colx WHERE r >= 0 AND r < {rows}),
+best AS (SELECT r, c, MAX(line_id) AS l FROM cells GROUP BY r, c),
+per_row AS (SELECT r, COUNT(*) AS nb, SUM(l) AS sl FROM best GROUP BY r)
+SELECT rowst.r AS row_id,
+       CAST(COALESCE(per_row.nb, 0) AS BIGINT) AS n_burned,
+       CAST(COALESCE(per_row.sl, 0) AS BIGINT) AS sum_line
+FROM rowst LEFT JOIN per_row ON rowst.r = per_row.r
+"""

@@ -241,3 +241,37 @@ def image_regression(pair: "rd.Dataset", spec: RasterSpec,
     return pd.DataFrame({"n": [int(n)],
                          "slope": [round(float(slope), round_to)],
                          "intercept": [round(float(intercept), round_to)]})
+
+
+def histogram_equalize(ds: "rd.Dataset", spec: RasterSpec,
+                       nbins: int = 1024, round_to: int = 6) -> "rd.Dataset":
+    """HistogramEqualization (ImageProcessingTools/src/plugins/
+    HistogramEqualization.java pattern): global histogram → CDF → remap
+    each valid cell to its cumulative fraction (two-phase fit/apply).
+    Bin counts are exact integers, so CDF fractions are bit-identical
+    across engines."""
+    st = _global_valid_stats(ds, spec)
+    lo, hi = st["min"], st["max"]
+    width = (hi - lo) / nbins if hi > lo else 1.0
+
+    def partial_hist(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(nbins, dtype=np.int64)
+        for data in batch["data"]:
+            a = np.asarray(data, dtype=np.float64)
+            a = a[a != spec.nodata]
+            b = np.minimum(((a - lo) / width).astype(np.int64), nbins - 1)
+            counts += np.bincount(b, minlength=nbins)
+        return pd.DataFrame({"bin": np.arange(nbins, dtype=np.int64),
+                             "c": counts})
+
+    hist = (ds.map_batches(partial_hist, batch_format="pandas")
+            .to_pandas().groupby("bin")["c"].sum().to_numpy())
+    cdf = hist.cumsum().astype(np.float64) / hist.sum()
+
+    def remap(a: np.ndarray) -> np.ndarray:
+        # clip handles NoData sentinels passing through raster_map (their
+        # output is overwritten with NoData afterwards)
+        b = np.clip(((a - lo) / width).astype(np.int64), 0, nbins - 1)
+        return cdf[b]
+
+    return raster_map(ds, remap, nodata=spec.nodata)

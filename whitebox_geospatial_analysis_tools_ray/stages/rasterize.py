@@ -169,3 +169,81 @@ def clip_raster_to_polygon(spec: RasterSpec | None = None,
         return pd.concat(frames, ignore_index=True)
 
     return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# VectorLinesToRaster (ConversionTools/src/plugins/VectorLinesToRaster.java:
+# 404-447): per output ROW, burn the single cell at each segment-row
+# crossing (col = Math.round column of xPrime); per output COLUMN, burn the
+# cell at each segment-column crossing (row from yPrime) — the union traces
+# the line. isBetween endpoint-inclusive rule as for polygons; vertical /
+# horizontal segments covered by the opposite pass. Overlaps resolve to
+# max(line_id) (write order is a row-priority queue in the reference —
+# formally unspecified; deterministic rule mirrored in SQL).
+# ---------------------------------------------------------------------------
+
+def seeded_polylines(n: int = 15, pts: int = 5) -> list[tuple[int, np.ndarray]]:
+    """Deterministic polylines from the shared geocode rule."""
+    from ..core.rng import geocode_xy
+    out = []
+    for i in range(n):
+        ids = np.arange(pts, dtype=np.int64) * 104729 + i * 7919 + 5
+        x, y = geocode_xy(ids * 31 + 11)
+        out.append((i, np.column_stack([x, y])))
+    return out
+
+
+def rasterize_lines(spec: RasterSpec | None = None,
+                    n_lines: int = 15) -> "rd.Dataset":
+    """Line burn over row-band tiles: each tile computes both crossing
+    passes for its row range (broadcast line table; zero shuffle).
+    Output per row: (row_id, n_burned, sum_line) with value = max line_id."""
+    spec = spec or RasterSpec()
+    lines_ref = ray.put(seeded_polylines(n_lines))
+    res_x, res_y, half_x, half_y, ewrange = grid_geometry(spec)
+    nsrange = (NORTH - SOUTH) - res_y
+    nrm1, ncm1 = spec.rows - 1, spec.cols - 1
+    tile_rows = spec.tile_rows
+
+    def per_tile(batch) -> pd.DataFrame:
+        lines = ray.get(lines_ref) if isinstance(lines_ref, ray.ObjectRef) \
+            else lines_ref
+        frames = []
+        for tid in batch["id"]:
+            r0 = int(tid) * tile_rows
+            r1 = min(r0 + tile_rows, spec.rows)
+            burn = np.full((r1 - r0, spec.cols), -1, dtype=np.int64)
+            rows = np.arange(r0, r1)
+            row_y = NORTH - half_y - rows * res_y
+            col_x = WEST + half_x + np.arange(spec.cols) * res_x
+            for lid, pts in lines:
+                for i in range(len(pts) - 1):
+                    (x1, y1), (x2, y2) = pts[i], pts[i + 1]
+                    # row-crossing pass
+                    if y2 != y1:
+                        m = _is_between(row_y, y1, y2)
+                        if m.any():
+                            xp = x1 + (row_y[m] - y1) / (y2 - y1) * (x2 - x1)
+                            cc = np.floor(ncm1 * (xp - WEST - half_x)
+                                          / ewrange + 0.5).astype(np.int64)
+                            ok = (cc >= 0) & (cc < spec.cols)
+                            rr = np.nonzero(m)[0][ok]
+                            np.maximum.at(burn, (rr, cc[ok]), lid)
+                    # column-crossing pass (rows may fall outside this tile)
+                    if x2 != x1:
+                        m = _is_between(col_x, x1, x2)
+                        if m.any():
+                            yp = y1 + (col_x[m] - x1) / (x2 - x1) * (y2 - y1)
+                            rr = np.floor(nrm1 * (NORTH - half_y - yp)
+                                          / nsrange + 0.5).astype(np.int64)
+                            ok = (rr >= r0) & (rr < r1)
+                            cc = np.nonzero(m)[0][ok]
+                            np.maximum.at(burn, (rr[ok] - r0, cc), lid)
+            hit = burn >= 0
+            frames.append(pd.DataFrame({
+                "row_id": rows,
+                "n_burned": hit.sum(axis=1).astype(np.int64),
+                "sum_line": np.where(hit, burn, 0).sum(axis=1).astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")

@@ -130,3 +130,57 @@ def hillshade(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
 
 def flow_pointer_d8(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
     return stencil_apply(ds, spec, lambda p: d8_kernel(p, spec.nodata), halo=1)
+
+
+# ---------------------------------------------------------------------------
+# Curvature family (PlanCurv/ProfCurv/TangentialCurv/TotalCurv.java:256-270:
+# central-difference gradients over 2h, second derivatives over h², NoData
+# neighbours → centre; plan/prof/tan are NoData where p == 0; outputs are
+# curvature · (180/π) · 100 (degrees per 100 units)).
+# ---------------------------------------------------------------------------
+
+def _curv_terms(p: np.ndarray, nodata: float, grid_res: float):
+    z = p[1:-1, 1:-1]
+    N = [np.where(n == nodata, z, n) for n in _neighbours(p)]
+    h2 = grid_res * 2.0
+    hs = grid_res * grid_res
+    hs4 = 4.0 * hs
+    zx = (N[1] - N[5]) / h2
+    zy = (N[7] - N[3]) / h2
+    zxx = (N[1] - 2 * z + N[5]) / hs
+    zyy = (N[7] - 2 * z + N[3]) / hs
+    zxy = (-N[6] + N[0] + N[4] - N[2]) / hs4
+    return z, zx, zy, zxx, zyy, zxy
+
+
+def curvature_kernel(p: np.ndarray, nodata: float, kind: str,
+                     grid_res: float = 1.0) -> np.ndarray:
+    z, zx, zy, zxx, zyy, zxy = _curv_terms(p, nodata, grid_res)
+    valid = z != nodata
+    zx2, zy2 = zx * zx, zy * zy
+    pp = zx2 + zy2
+    scale = _RAD2DEG * 100.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if kind == "plan":
+            c = (zxx * zy2 - 2 * zxy * zx * zy + zyy * zx2) / pp ** 1.5
+        elif kind == "prof":
+            q = pp + 1
+            c = (zxx * zx2 + 2 * zxy * zx * zy + zyy * zy2) / (pp * q ** 1.5)
+        elif kind == "tan":
+            q = pp + 1
+            c = (zxx * zy2 - 2 * zxy * zx * zy + zyy * zx2) / (pp * q ** 1.5)
+        elif kind == "total":
+            c = zxx * zxx + 2 * zxy * zxy + zyy * zyy
+        else:
+            raise ValueError(kind)
+    c = c * scale
+    if kind != "total":
+        c = np.where(pp > 0, c, nodata)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(valid, c, nodata)
+    return out
+
+
+def curvature(ds: "rd.Dataset", spec: RasterSpec, kind: str) -> "rd.Dataset":
+    return stencil_apply(
+        ds, spec, lambda p: curvature_kernel(p, spec.nodata, kind), halo=1)

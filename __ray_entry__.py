@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_rescale": _checksum_q(raster_stats.rescale_value_range),
         "raster_hist_equalize": _checksum_q(raster_stats.histogram_equalize),
         "raster_aggregate": _downsample,
+        "raster_resample": lambda sf: raster_stats.resample_nn(
+            raster.RasterSpec(), out_rows=100, out_cols=160),
         # --- terrain derivatives + hydrology (TerrainAnalysisTools, HydroTools) ---
         "terrain_slope": _checksum_q(terrain.slope),
         "terrain_aspect": _checksum_q(terrain.aspect),
@@ -183,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda ds, spec: hydro.num_inflowing_neighbours(
                 terrain.flow_pointer_d8(ds, spec), spec)),
         "flow_accumulation": lambda sf: hydro.flow_accumulation_d8(),
+        "watershed": lambda sf: hydro.watershed(),
         # --- vector overlay (VectorTools Clip/Erase) ---
         "vector_clip": lambda sf: vector_overlay.clip_boxes(sf),
         "vector_erase": lambda sf: vector_overlay.erase_boxes(sf),
@@ -249,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_rescale": o.rescale_sql(),
         "raster_hist_equalize": o.histogram_equalize_sql(),
         "raster_aggregate": o.aggregate_downsample_sql(),
+        "raster_resample": o.resample_nn_sql(),
         "terrain_slope": o.slope_sql(),
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),

@@ -44,3 +44,12 @@ def test_flow_accumulation_mass_balance(ray_session):
     spec = RasterSpec(rows=64, cols=32, tile_rows=16)
     df = flow_accumulation_d8(spec)
     assert df["row_sum"].sum() >= df["n_valid"].sum()
+
+
+def test_watershed_matches_naive_and_tiling_invariant(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.hydro import (
+        watershed, watershed_naive)
+    for tile_rows in (16, 96):
+        spec = RasterSpec(rows=96, cols=48, tile_rows=tile_rows)
+        got = watershed(spec)
+        pd.testing.assert_frame_equal(got, watershed_naive(spec))

@@ -88,3 +88,18 @@ def test_xyz_source(tmp_path, ray_session):
     df = read_xyz(str(p)).to_pandas()
     assert len(df) == 3
     assert df["z"].tolist() == [3.0, 6.0, 9.0]
+
+
+def test_wkt_roundtrip():
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.core.features import seeded_polygons
+    from whitebox_geospatial_analysis_tools_ray.sources.xyz import (
+        point_to_wkt, polygon_to_wkt, wkt_to_geometry)
+
+    poly = seeded_polygons()[1]["polygon"]  # has a hole
+    rt = wkt_to_geometry(polygon_to_wkt(poly))
+    assert len(rt.rings) == len(poly.rings)
+    for a, b in zip(poly.rings, rt.rings):
+        np.testing.assert_allclose(a, b)
+    assert wkt_to_geometry(point_to_wkt(1.5, -2.25)) == (1.5, -2.25)

@@ -1116,3 +1116,23 @@ SELECT rowst.r AS row_id,
        CAST(COALESCE(per_row.sl, 0) AS BIGINT) AS sum_line
 FROM rowst LEFT JOIN per_row ON rowst.r = per_row.r
 """
+
+
+def resample_nn_sql(in_rows: int = 256, in_cols: int = 256,
+                    out_rows: int = 100, out_cols: int = 160) -> str:
+    ry = in_rows / out_rows
+    rx = in_cols / out_cols
+    return f"""
+WITH {_raster_vals_cte(in_rows, in_cols)},
+og AS (SELECT i AS ocell, i // {out_cols} AS orow, i % {out_cols} AS ocol
+       FROM range(0, {out_rows * out_cols}) t(i)),
+src AS (SELECT ocell, orow,
+               CAST(floor((orow + 0.5) * {ry!r}) AS BIGINT) * {in_cols}
+               + CAST(floor((ocol + 0.5) * {rx!r}) AS BIGINT) AS scell
+        FROM og),
+res AS (SELECT src.orow, vals.v FROM src JOIN vals ON src.scell = vals.cell)
+SELECT orow AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN v = {_NOD} THEN 0.0 ELSE v END), 6) AS row_sum
+FROM res GROUP BY orow
+"""

@@ -46,3 +46,60 @@ def read_xyz(path: str):
 def read_csv(path: str):
     import ray.data as rd
     return rd.read_csv(path)
+
+
+# ---------------------------------------------------------------------------
+# WKT (ImportWellKnownText.groovy / ExportWellKnownText.java families):
+# minimal POINT / POLYGON codec matching the engine's core.geom model.
+# ---------------------------------------------------------------------------
+
+def polygon_to_wkt(poly) -> str:
+    rings = ", ".join(
+        "(" + ", ".join(f"{x!r} {y!r}" for x, y in _closed(r)) + ")"
+        for r in poly.rings)
+    return f"POLYGON ({rings})"
+
+
+def _closed(ring):
+    import numpy as np
+    r = np.asarray(ring)
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+def point_to_wkt(x: float, y: float) -> str:
+    return f"POINT ({x!r} {y!r})"
+
+
+def wkt_to_geometry(wkt: str):
+    """POINT → (x, y); POLYGON → core.geom.Polygon (closing vertex dropped)."""
+    import numpy as np
+
+    from ..core.geom import Polygon
+    s = wkt.strip()
+    if s.upper().startswith("POINT"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        x, y = (float(t) for t in body.split())
+        return (x, y)
+    if s.upper().startswith("POLYGON"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        rings = []
+        depth = 0
+        cur = ""
+        for ch in body:
+            if ch == "(":
+                depth += 1
+                cur = ""
+            elif ch == ")":
+                depth -= 1
+                pts = [[float(v) for v in pair.strip().split()]
+                       for pair in cur.split(",") if pair.strip()]
+                a = np.asarray(pts)
+                if len(a) > 1 and np.array_equal(a[0], a[-1]):
+                    a = a[:-1]
+                rings.append(a)
+            elif depth:
+                cur += ch
+        return Polygon(rings)
+    raise ValueError(f"unsupported WKT: {s[:30]}")

@@ -188,3 +188,158 @@ def flow_accumulation_naive(spec: RasterSpec) -> pd.DataFrame:
         "row_id": np.arange(spec.rows),
         "n_valid": valid.sum(axis=1).astype(np.int64),
         "row_sum": np.where(valid, acc, 0.0).sum(axis=1)})
+
+
+# ---------------------------------------------------------------------------
+# Watershed (HydroTools/src/plugins/Watershed.java, 437 LoC: label every
+# cell with the pour point its D8 path reaches first). Distributed as TWO
+# passes — no fixed-point loop needed:
+#   1. per tile, resolve every cell in ASCENDING elevation order (a D8
+#      receiver is strictly lower, so it is already resolved) to either a
+#      LABEL (pour-point cell index / 0 = drains to a terminal) or an
+#      EXIT (the global cell just outside the tile its path enters);
+#      export the outcomes of the tile's edge rows (O(cols) per tile);
+#   2. the driver chases the exit chains across the boundary outcomes
+#      (acyclic — elevation strictly decreases) and broadcasts the
+#      resolved {global_cell → label} map; a second tile pass rewrites
+#      EXIT outcomes to labels.
+# ---------------------------------------------------------------------------
+
+_PA = 2654435761
+_PM = 4294967296
+
+
+def pour_point_mask(r0: int, r1: int, cols: int) -> np.ndarray:
+    """Deterministic pour-point cells (≈ 22 over a 256² grid)."""
+    cell = np.arange(r0 * cols, r1 * cols, dtype=np.int64)
+    return (((cell * _PA + 999) % _PM) % 3001 == 0).reshape(-1, cols)
+
+
+def _resolve_tile(spec: RasterSpec, tid: int):
+    """Outcome per cell: label ≥ 0, or -(global_cell)-1 for an exit."""
+    cols = spec.cols
+    r0 = tid * spec.tile_rows
+    z, ptr = _tile_pointers(spec, tid)
+    H = z.shape[0]
+    pour = pour_point_mask(r0, r0 + H, cols)
+    valid = z != spec.nodata
+    out = np.zeros((H, cols), dtype=np.int64)
+    order = np.argsort(z, axis=None, kind="stable")  # ascending
+    for lin in order:
+        r, c = divmod(int(lin), cols)
+        if not valid[r, c]:
+            continue
+        if pour[r, c]:
+            out[r, c] = (r0 + r) * cols + c
+            continue
+        code = ptr[r, c]
+        if code == spec.nodata or code <= 0:
+            out[r, c] = 0
+            continue
+        i = int(code).bit_length() - 1
+        r2, c2 = r + _DY[i], c + _DX[i]
+        if 0 <= r2 < H and 0 <= c2 < cols:
+            out[r, c] = out[r2, c2] if valid[r2, c2] else 0
+        elif 0 <= c2 < cols:
+            out[r, c] = -(((r0 + r2) * cols + c2) + 1)  # exit
+        else:
+            out[r, c] = 0
+    return z, out
+
+
+def watershed(spec: RasterSpec | None = None) -> pd.DataFrame:
+    """Output per raster row: (row_id, n_labeled, sum_label)."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+
+    def pass1(batch) -> pd.DataFrame:
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, out = _resolve_tile(spec, tid)
+            r0 = tid * spec.tile_rows
+            edge = {}
+            for rr in (0, out.shape[0] - 1):
+                for cc in range(cols):
+                    edge[(r0 + rr) * cols + cc] = int(out[rr, cc])
+            rows.append({"tile_id": tid, "out": out.tobytes(),
+                         "shape0": out.shape[0],
+                         "edge_cells": np.array(list(edge), dtype=np.int64).tobytes(),
+                         "edge_vals": np.array(list(edge.values()),
+                                               dtype=np.int64).tobytes()})
+        return pd.DataFrame(rows)
+
+    res = (rd.range(spec.n_tiles)
+           .map_batches(pass1, batch_format="numpy").to_pandas())
+
+    # driver: resolve exit chains over boundary outcomes
+    boundary: dict[int, int] = {}
+    for r in res.itertuples():
+        cells = np.frombuffer(r.edge_cells, dtype=np.int64)
+        vals = np.frombuffer(r.edge_vals, dtype=np.int64)
+        boundary.update(zip(cells.tolist(), vals.tolist()))
+
+    def resolve(cell: int, seen=None) -> int:
+        v = boundary.get(cell, 0)
+        while v < 0:
+            cell = -v - 1
+            v = boundary.get(cell, 0)
+        return v
+
+    resolved = {c: resolve(c) for c, v in boundary.items() if True}
+    import ray as _ray
+    res_ref = _ray.put(resolved)
+
+    def pass2(batch) -> pd.DataFrame:
+        rmap = _ray.get(res_ref) if isinstance(res_ref, _ray.ObjectRef) else res_ref
+        frames = []
+        for tid, buf, h in zip(batch["tile_id"], batch["out"], batch["shape0"]):
+            out = np.frombuffer(buf, dtype=np.int64).reshape(int(h), cols).copy()
+            neg = out < 0
+            if neg.any():
+                flat = out[neg]
+                out[neg] = np.array([rmap.get(int(-v - 1), 0) for v in flat],
+                                    dtype=np.int64)
+            r0 = int(tid) * spec.tile_rows
+            lab = out > 0
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + out.shape[0]),
+                "n_labeled": lab.sum(axis=1).astype(np.int64),
+                "sum_label": np.where(lab, out, 0).sum(axis=1)}))
+        return pd.concat(frames, ignore_index=True)
+
+    final = (rd.from_pandas(res[["tile_id", "out", "shape0"]])
+             .map_batches(pass2, batch_format="pandas").to_pandas())
+    return final.sort_values("row_id").reset_index(drop=True)
+
+
+def watershed_naive(spec: RasterSpec) -> pd.DataFrame:
+    """Whole-grid ascending-z mirror."""
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    pour = pour_point_mask(0, spec.rows, cols)
+    valid = z != spec.nodata
+    out = np.zeros((spec.rows, cols), dtype=np.int64)
+    for lin in np.argsort(z, axis=None, kind="stable"):
+        r, c = divmod(int(lin), cols)
+        if not valid[r, c]:
+            continue
+        if pour[r, c]:
+            out[r, c] = r * cols + c
+            continue
+        code = ptr[r, c]
+        if code == spec.nodata or code <= 0:
+            continue
+        i = int(code).bit_length() - 1
+        r2, c2 = r + _DY[i], c + _DX[i]
+        if 0 <= r2 < spec.rows and 0 <= c2 < cols and valid[r2, c2]:
+            out[r, c] = out[r2, c2]
+    lab = out > 0
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_labeled": lab.sum(axis=1).astype(np.int64),
+        "sum_label": np.where(lab, out, 0).sum(axis=1)})

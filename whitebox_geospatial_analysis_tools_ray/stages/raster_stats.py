@@ -275,3 +275,43 @@ def histogram_equalize(ds: "rd.Dataset", spec: RasterSpec,
         return cdf[b]
 
     return raster_map(ds, remap, nodata=spec.nodata)
+
+
+def resample_nn(spec: RasterSpec, out_rows: int, out_cols: int,
+                round_to: int = 6) -> "rd.Dataset":
+    """Resample (ImageProcessingTools/src/plugins/Resample.java, 411 LoC)
+    nearest-neighbour variant onto an out_rows×out_cols grid over the
+    same extent: output cell (r, c) takes the input cell whose centre is
+    nearest — src_r = floor((r + 0.5) · in_rows/out_rows) for aligned
+    extents.
+
+    Distributed shape: each OUTPUT row-band tile computes its source row
+    range (contiguous for axis-aligned regridding) and regenerates/reads
+    exactly those input rows — a gather keyed by target tile, no
+    all-to-all. Output: per-output-row checksums."""
+    out_tile_rows = max(1, spec.tile_rows * out_rows // spec.rows)
+    n_out_tiles = (out_rows + out_tile_rows - 1) // out_tile_rows
+    ry = spec.rows / out_rows
+    rx = spec.cols / out_cols
+
+    def per_tile(batch) -> pd.DataFrame:
+        frames = []
+        for tid in batch["id"]:
+            o0 = int(tid) * out_tile_rows
+            o1 = min(o0 + out_tile_rows, out_rows)
+            src_rows = ((np.arange(o0, o1) + 0.5) * ry).astype(np.int64)
+            src_cols = ((np.arange(out_cols) + 0.5) * rx).astype(np.int64)
+            r_lo, r_hi = int(src_rows.min()), int(src_rows.max()) + 1
+            cell = np.arange(r_lo * spec.cols, r_hi * spec.cols,
+                             dtype=np.int64)
+            src = synth_value(cell).reshape(-1, spec.cols)
+            out = src[src_rows - r_lo][:, src_cols]
+            valid = out != spec.nodata
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(o0, o1),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(np.where(valid, out, 0.0).sum(axis=1),
+                                    round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return rd.range(n_out_tiles).map_batches(per_tile, batch_format="numpy")

@@ -64,16 +64,37 @@ def run_bench() -> dict:
         _consume(qs[name](SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
 
-    headline = times["flagship"]
+    # headline: the full pages-schema pipeline (extract→geocode→tile→
+    # PIP-join→agg) over a deterministic synthetic corpus big enough that
+    # compute, not scheduling, dominates — the BASELINE.json metric is
+    # pages/sec on Common-Crawl-style Parquet.
+    from whitebox_geospatial_analysis_tools_ray.pipelines.pages_flagship import (
+        pages_flagship)
+    from whitebox_geospatial_analysis_tools_ray.sources.pages import (
+        generate_pages_dataset)
+    bench_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "500000"))
+    pdir = generate_pages_dataset(bench_pages, "/tmp/graft_bench_pages")
+    _consume(pages_flagship(pdir))  # warm (pool + page cache)
+    trials = []
+    for _ in range(3):  # shared host: min of 3 (noise-robust estimator)
+        t0 = time.perf_counter()
+        _consume(pages_flagship(pdir))
+        trials.append(round(time.perf_counter() - t0, 3))
+    headline = min(trials)
+    times["pages_flagship"] = headline
+    times["pages_flagship_trials"] = trials
+
     out = {
-        "metric": "spatial-join + tile-assignment throughput (flagship pipeline)",
+        "metric": ("spatial-join + tile-assignment throughput "
+                   "(pages_flagship over synthetic Common-Crawl-style corpus)"),
         "value": headline,
         "unit": "sec",
         "queries": times,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "pages": n_pages,
-        "pages_per_sec": round(n_pages / headline, 1) if headline > 0 else None,
+        "pages": bench_pages,
+        "pages_per_sec": round(bench_pages / headline, 1) if headline > 0 else None,
+        "sf_documents": n_pages,
     }
     ray.shutdown()
     return out

@@ -35,8 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from whitebox_geospatial_analysis_tools_ray.core.tiles import RectGrid
     from whitebox_geospatial_analysis_tools_ray.stages import (
         agg, ann, clump as clump_mod, dedup, embeddings as emb, knn, raster,
-        distance, hydro, multimodal, raster_stats, rasterize, relational,
-        terrain, textops, tiling, vector_overlay)
+        distance, fill, hydro, multimodal, raster_stats, rasterize,
+        relational, terrain, textops, tiling, vector_overlay)
     from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
         broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
     from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 terrain.flow_pointer_d8(ds, spec), spec)),
         "flow_accumulation": lambda sf: hydro.flow_accumulation_d8(),
         "watershed": lambda sf: hydro.watershed(),
+        "fill_depressions": lambda sf: fill.fill_depressions(),
         # --- vector overlay (VectorTools Clip/Erase) ---
         "vector_clip": lambda sf: vector_overlay.clip_boxes(sf),
         "vector_erase": lambda sf: vector_overlay.erase_boxes(sf),

@@ -53,3 +53,26 @@ def test_watershed_matches_naive_and_tiling_invariant(ray_session):
         spec = RasterSpec(rows=96, cols=48, tile_rows=tile_rows)
         got = watershed(spec)
         pd.testing.assert_frame_equal(got, watershed_naive(spec))
+
+
+def test_fill_depressions_matches_naive(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.fill import (
+        fill_depressions, fill_depressions_naive)
+    for tile_rows in (16, 48, 96):
+        spec = RasterSpec(rows=96, cols=48, tile_rows=tile_rows)
+        got = fill_depressions(spec)
+        pd.testing.assert_frame_equal(got, fill_depressions_naive(spec))
+
+
+def test_fill_depressions_monotone(ray_session):
+    """Filled surface never sits below the original DEM."""
+    import numpy as np
+    from whitebox_geospatial_analysis_tools_ray.stages.fill import fill_depressions
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import synth_value
+    spec = RasterSpec(rows=64, cols=32, tile_rows=16)
+    df = fill_depressions(spec)
+    z = synth_value(np.arange(spec.rows * spec.cols,
+                              dtype=np.int64)).reshape(spec.rows, spec.cols)
+    valid = z != spec.nodata
+    orig = np.where(valid, z, 0.0).sum(axis=1).round(6)
+    assert (df["row_sum"].to_numpy() >= orig - 1e-9).all()

@@ -1,0 +1,286 @@
+"""FillDepressions — distributed priority-flood (Barnes-style, EXACT).
+
+Reference: HydroTools/src/plugins/FillDepressions.java (416 LoC) — a
+whole-raster priority-flood: every cell's filled elevation is
+
+    W(c) = max(z̃(c), min over neighbours n of W(n))
+
+with W = z on grid-edge cells and z̃ = z for valid cells, −∞ for NoData
+(water passes through NoData without rising — NoData acts as an outlet).
+The global priority queue is inherently sequential — SURVEY.md §7.5 hard
+part #1. A naive "iterate tile-local floods with neighbour water levels"
+scheme converges to a SPURIOUS fixed point: two boundary cells can
+mutually sustain a level above the true spill (each treats the other's
+stale W as an external outlet), so the correct decomposition must solve
+the boundary min-max problem globally (Barnes, Zhou et al., published
+parallel priority-flood literature):
+
+1. **Per-tile boundary graph** (one `map_batches` pass): activate cells
+   in ascending z̃ with a union-find; whenever two components that each
+   contain a TERMINAL (a tile-edge boundary cell or the virtual outlet)
+   merge at level L, emit an edge (termA, termB, L). This Kruskal
+   reconstruction tree contracted to terminals preserves every pairwise
+   in-tile bottleneck value with ≤ #terminals edges — O(cols) per tile,
+   not O(cells).
+2. **Driver global solve**: union of all tile trees + cross-boundary
+   adjacency edges (weight max(z̃_p, z̃_q)); a max-metric Dijkstra from
+   the outlet gives the EXACT water level at every tile-boundary cell.
+   Work is O(tiles·cols·log), independent of raster height.
+3. **Final per-tile flood** seeded with those exact boundary levels.
+
+Verified equal to the single-process whole-grid priority-flood and
+tiling-invariant by test.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from .raster import RasterSpec, synth_value
+
+_NEG_INF = float("-inf")
+OUTLET = -1  # virtual outlet node id
+
+
+def _effective_z(z: np.ndarray, nodata: float) -> np.ndarray:
+    return np.where(z == nodata, _NEG_INF, z)
+
+
+def _priority_flood_seeded(z: np.ndarray, nodata: float,
+                           seeds: list[tuple[int, int, float]]) -> np.ndarray:
+    """Flood from explicit (row, col, level) seeds; returns water levels
+    (NoData cells → nodata sentinel in the output)."""
+    H, W_ = z.shape
+    zt = _effective_z(z, nodata)
+    water = np.full((H, W_), np.inf)
+    heap: list[tuple[float, int, int]] = []
+    for r, c, level in seeds:
+        lvl = max(level, zt[r, c])
+        if water[r, c] > lvl:
+            water[r, c] = lvl
+            heapq.heappush(heap, (lvl, r, c))
+    while heap:
+        lvl, r, c = heapq.heappop(heap)
+        if lvl > water[r, c]:
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                r2, c2 = r + dr, c + dc
+                if 0 <= r2 < H and 0 <= c2 < W_:
+                    cand = max(lvl, zt[r2, c2])
+                    if cand < water[r2, c2]:
+                        water[r2, c2] = cand
+                        heapq.heappush(heap, (cand, r2, c2))
+    return np.where(z == nodata, nodata, water)
+
+
+class _UF:
+    def __init__(self, n: int):
+        self.p = list(range(n))
+        self.term: list[int | None] = [None] * n  # terminal rep per root
+
+    def find(self, a: int) -> int:
+        while self.p[a] != a:
+            self.p[a] = self.p[self.p[a]]
+            a = self.p[a]
+        return a
+
+
+def _tile_boundary_graph(z: np.ndarray, nodata: float, r0: int,
+                         grid_top: bool, grid_bot: bool, cols: int):
+    """Kruskal reconstruction: edges (termA, termB, level) between
+    terminals = boundary-cell global ids ∪ {OUTLET}."""
+    H, W_ = z.shape
+    zt = _effective_z(z, nodata)
+    outlet = np.zeros((H, W_), dtype=bool)
+    outlet[:, 0] = outlet[:, -1] = True
+    if grid_top:
+        outlet[0, :] = True
+    if grid_bot:
+        outlet[-1, :] = True
+    outlet |= z == nodata
+    is_boundary = np.zeros((H, W_), dtype=bool)
+    if not grid_top:
+        is_boundary[0, :] = True
+    if not grid_bot:
+        is_boundary[-1, :] = True
+
+    n = H * W_
+    uf = _UF(n + 1)          # last slot = virtual outlet
+    onode = n
+    uf.term[onode] = OUTLET
+    activated = np.zeros((H, W_), dtype=bool)
+    edges: list[tuple[int, int, float]] = []
+
+    def merge(a: int, b: int, level: float):
+        ra, rb = uf.find(a), uf.find(b)
+        if ra == rb:
+            return
+        ta, tb = uf.term[ra], uf.term[rb]
+        if ta is not None and tb is not None and ta != tb:
+            edges.append((ta, tb, level))
+        uf.p[rb] = ra
+        uf.term[ra] = ta if ta is not None else tb
+
+    order = np.argsort(zt, axis=None, kind="stable")
+    for lin in order:
+        r, c = divmod(int(lin), W_)
+        lvl = zt[r, c]
+        activated[r, c] = True
+        if is_boundary[r, c]:
+            # make this cell's component terminal-bearing
+            ra = uf.find(lin)
+            gid = (r0 + r) * cols + c
+            if uf.term[ra] is None:
+                uf.term[ra] = gid
+            else:
+                edges.append((uf.term[ra], gid, lvl))
+        if outlet[r, c]:
+            merge(int(lin), onode, lvl)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                r2, c2 = r + dr, c + dc
+                if 0 <= r2 < H and 0 <= c2 < W_ and activated[r2, c2]:
+                    merge(int(lin), int(r2 * W_ + c2), lvl)
+    return edges
+
+
+def fill_depressions(spec: RasterSpec | None = None,
+                     round_to: int = 6) -> pd.DataFrame:
+    """Distributed exact fill; per-row checksums of the filled DEM."""
+    spec = spec or RasterSpec()
+    n_tiles, cols = spec.n_tiles, spec.cols
+
+    def tile_z(tid: int) -> np.ndarray:
+        r0 = tid * spec.tile_rows
+        r1 = min(r0 + spec.tile_rows, spec.rows)
+        cell = np.arange(r0 * cols, r1 * cols, dtype=np.int64)
+        return synth_value(cell).reshape(-1, cols)
+
+    # pass 1: per-tile boundary graphs (+ edge-row z̃ for adjacency edges)
+    def pass1(batch) -> pd.DataFrame:
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z = tile_z(tid)
+            e = _tile_boundary_graph(z, spec.nodata, tid * spec.tile_rows,
+                                     grid_top=(tid == 0),
+                                     grid_bot=(tid == n_tiles - 1), cols=cols)
+            ea = np.array([(a, b, l) for a, b, l in e], dtype=np.float64)
+            zt = _effective_z(z, spec.nodata)
+            rows.append({"tile_id": tid, "edges": ea.tobytes(),
+                         "n_edges": len(e),
+                         "top_z": zt[0].tobytes(), "bot_z": zt[-1].tobytes()})
+        return pd.DataFrame(rows)
+
+    res = (rd.range(n_tiles)
+           .map_batches(pass1, batch_format="numpy").to_pandas())
+
+    # driver: assemble global graph and run max-metric Dijkstra from outlet
+    adj: dict[int, list[tuple[int, float]]] = {}
+
+    def add_edge(a: int, b: int, w: float):
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+
+    edge_z: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for r in res.itertuples():
+        ea = np.frombuffer(r.edges).reshape(int(r.n_edges), 3)
+        for a, b, l in ea:
+            add_edge(int(a), int(b), float(l))
+        edge_z[int(r.tile_id)] = (np.frombuffer(r.top_z),
+                                  np.frombuffer(r.bot_z))
+    for t in range(n_tiles - 1):
+        bz = edge_z[t][1]          # tile t last row z̃ (global row rb)
+        tz = edge_z[t + 1][0]      # tile t+1 first row z̃
+        rb = min((t + 1) * spec.tile_rows, spec.rows) - 1
+        for c in range(cols):
+            for dc in (-1, 0, 1):
+                c2 = c + dc
+                if 0 <= c2 < cols:
+                    add_edge(rb * cols + c, (rb + 1) * cols + c2,
+                             max(bz[c], tz[c2]))
+
+    dist: dict[int, float] = {OUTLET: _NEG_INF}
+    heap: list[tuple[float, int]] = [(_NEG_INF, OUTLET)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, np.inf):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = max(d, w)
+            if nd < dist.get(v, np.inf):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+
+    dist_ref = ray.put(dist)
+
+    # pass 2: final flood with exact boundary levels
+    def pass2(batch) -> pd.DataFrame:
+        dmap = ray.get(dist_ref) if isinstance(dist_ref, ray.ObjectRef) \
+            else dist_ref
+        frames = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z = tile_z(tid)
+            H = z.shape[0]
+            r0 = tid * spec.tile_rows
+            seeds: list[tuple[int, int, float]] = []
+            for r in range(H):
+                for c in (0, cols - 1):
+                    seeds.append((r, c, _NEG_INF))
+            for c in range(cols):
+                if tid == 0:
+                    seeds.append((0, c, _NEG_INF))
+                else:
+                    seeds.append((0, c, dmap.get(r0 * cols + c, np.inf)))
+                if tid == n_tiles - 1:
+                    seeds.append((H - 1, c, _NEG_INF))
+                else:
+                    seeds.append((H - 1, c,
+                                  dmap.get((r0 + H - 1) * cols + c, np.inf)))
+            for r in range(H):
+                for c in range(cols):
+                    if z[r, c] == spec.nodata:
+                        seeds.append((r, c, _NEG_INF))
+            w = _priority_flood_seeded(z, spec.nodata, seeds)
+            valid = w != spec.nodata
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + H),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(np.where(valid, w, 0.0).sum(axis=1),
+                                    round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    final = (rd.range(n_tiles)
+             .map_batches(pass2, batch_format="numpy").to_pandas())
+    return final.sort_values("row_id").reset_index(drop=True)
+
+
+def fill_depressions_naive(spec: RasterSpec, round_to: int = 6) -> pd.DataFrame:
+    """Single-process whole-grid priority-flood mirror."""
+    cell = np.arange(spec.rows * spec.cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, spec.cols)
+    H, W_ = z.shape
+    seeds: list[tuple[int, int, float]] = []
+    for r in range(H):
+        seeds.append((r, 0, _NEG_INF))
+        seeds.append((r, W_ - 1, _NEG_INF))
+    for c in range(W_):
+        seeds.append((0, c, _NEG_INF))
+        seeds.append((H - 1, c, _NEG_INF))
+    for r in range(H):
+        for c in range(W_):
+            if z[r, c] == spec.nodata:
+                seeds.append((r, c, _NEG_INF))
+    w = _priority_flood_seeded(z, spec.nodata, seeds)
+    valid = w != spec.nodata
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "row_sum": np.round(np.where(valid, w, 0.0).sum(axis=1), round_to)})

@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_accumulation": lambda sf: hydro.flow_accumulation_d8(),
         "watershed": lambda sf: hydro.watershed(),
         "fill_depressions": lambda sf: fill.fill_depressions(),
+        "contour_lengths": lambda sf: raster_stats.contour_lengths(
+            raster.RasterSpec()),
         # --- vector overlay (VectorTools Clip/Erase) ---
         "vector_clip": lambda sf: vector_overlay.clip_boxes(sf),
         "vector_erase": lambda sf: vector_overlay.erase_boxes(sf),

@@ -315,3 +315,90 @@ def resample_nn(spec: RasterSpec, out_rows: int, out_cols: int,
         return pd.concat(frames, ignore_index=True)
 
     return rd.range(n_out_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+def contour_lengths(spec: RasterSpec, levels: tuple = (250.0, 500.0, 750.0),
+                    round_to: int = 4) -> pd.DataFrame:
+    """Contour (TerrainAnalysisTools/src/plugins/Contour.java, 1410 LoC)
+    reduced to per-level total isoline LENGTH — length is additive across
+    tiles, so marching squares runs per tile with a one-row halo and no
+    ring stitching (the full polyline assembly is the deferred r2 part).
+
+    Marching squares on cell-centre samples; NoData squares skipped;
+    linear edge interpolation. Output: (level, total_length)."""
+    from .raster import stencil_apply, synth_raster
+
+    def kern_for(level: float):
+        def kern(p: np.ndarray) -> np.ndarray:
+            # compute segment length contributions of squares whose
+            # top-left corner is each interior cell; store per-cell length
+            z = p  # padded array; squares between (r,c)..(r+1,c+1)
+            H, W = z.shape
+            a = z[:-1, :-1]; b = z[:-1, 1:]; c_ = z[1:, :-1]; d = z[1:, 1:]
+            valid = ((a != NODATA) & (b != NODATA)
+                     & (c_ != NODATA) & (d != NODATA))
+            out = np.zeros((H, W))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                fa = a >= level; fb = b >= level
+                fc = c_ >= level; fd = d >= level
+                # interpolated crossing offsets on the 4 edges
+                t_top = (level - a) / (b - a)
+                t_bot = (level - c_) / (d - c_)
+                t_left = (level - a) / (c_ - a)
+                t_right = (level - b) / (d - b)
+
+                def seg(x1, y1, x2, y2, m):
+                    return np.where(m & valid,
+                                    np.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2),
+                                    0.0)
+
+                code = (fa.astype(int) + fb.astype(int) * 2
+                        + fc.astype(int) * 4 + fd.astype(int) * 8)
+                ln = np.zeros_like(t_top)
+                # corner cases (one corner isolated) and edge-pair cases
+                ln += seg(t_top, 0.0, 0.0, t_left, (code == 1) | (code == 14))
+                ln += seg(t_top, 0.0, 1.0, t_right, (code == 2) | (code == 13))
+                ln += seg(0.0, t_left, t_bot, 1.0, (code == 4) | (code == 11))
+                ln += seg(1.0, t_right, t_bot, 1.0, (code == 8) | (code == 7))
+                ln += seg(0.0, t_left, 1.0, t_right, (code == 3) | (code == 12))
+                ln += seg(t_top, 0.0, t_bot, 1.0, (code == 5) | (code == 10))
+                # saddles (6, 9): resolve by centre average (standard rule)
+                centre_hi = (a + b + c_ + d) / 4.0 >= level
+                s6 = code == 6
+                s9 = code == 9
+                # code 6: b,c high. saddle splits into two segments
+                ln += np.where(s6 & valid & centre_hi,
+                               seg(t_top, 0.0, 1.0, t_right, s6)
+                               + seg(0.0, t_left, t_bot, 1.0, s6), 0.0)
+                ln += np.where(s6 & valid & ~centre_hi,
+                               seg(t_top, 0.0, 0.0, t_left, s6)
+                               + seg(1.0, t_right, t_bot, 1.0, s6), 0.0)
+                ln += np.where(s9 & valid & centre_hi,
+                               seg(t_top, 0.0, 0.0, t_left, s9)
+                               + seg(1.0, t_right, t_bot, 1.0, s9), 0.0)
+                ln += np.where(s9 & valid & ~centre_hi,
+                               seg(t_top, 0.0, 1.0, t_right, s9)
+                               + seg(0.0, t_left, t_bot, 1.0, s9), 0.0)
+            out[:-1, :-1] = np.where(valid, np.nan_to_num(ln), 0.0)
+            return out
+        return kern
+
+    rows = []
+    ds = synth_raster(spec)
+    for level in levels:
+        # halo=1 gives each tile the row below; squares are keyed by their
+        # top-left cell so every square is counted exactly once
+        seg_ds = stencil_apply(ds, spec, kern_for(level), halo=1)
+
+        def tot(batch: pd.DataFrame) -> pd.DataFrame:
+            s = 0.0
+            for data in batch["data"]:
+                a = np.asarray(data, dtype=np.float64)
+                s += a[a != spec.nodata].sum() if True else 0.0
+            return pd.DataFrame({"s": [s]})
+
+        from ray.data.aggregate import Sum
+        total = seg_ds.map_batches(tot, batch_format="pandas").aggregate(Sum("s"))
+        rows.append({"level": level,
+                     "total_length": round(float(total["sum(s)"]), round_to)})
+    return pd.DataFrame(rows)

@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_accumulation": lambda sf: hydro.flow_accumulation_d8(),
         "watershed": lambda sf: hydro.watershed(),
         "fill_depressions": lambda sf: fill.fill_depressions(),
+        "extract_streams": lambda sf: hydro.extract_streams(),
         "contour_lengths": lambda sf: raster_stats.contour_lengths(
             raster.RasterSpec()),
         # --- vector overlay (VectorTools Clip/Erase) ---

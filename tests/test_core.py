@@ -120,3 +120,20 @@ def test_clip_convex_rect():
     # area preserved on the kept side
     a = abs(geom.signed_area(clipped))
     assert 0 < a < abs(geom.signed_area(tri))
+
+
+def test_salted_shuffle_join_matches_unsalted(ray_session):
+    """Hot-cell salting must not change the join result (SURVEY §7.5 #5)."""
+    from whitebox_geospatial_analysis_tools_ray.core.features import rect_zones
+    from whitebox_geospatial_analysis_tools_ray.stages.points import read_points
+    from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
+        cell_partitioned_pip_join)
+
+    def run(salt):
+        return (cell_partitioned_pip_join(
+            read_points("/root/testdata/sf0.001"), rect_zones(), salt=salt)
+            .to_pandas().sort_values(["rec_id", "zone_id"])
+            .reset_index(drop=True))
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(run(1), run(4))

@@ -110,13 +110,9 @@ def _accumulate_tile(z: np.ndarray, ptr: np.ndarray, inflow: np.ndarray,
     return acc, out_up, out_dn
 
 
-def flow_accumulation_d8(spec: RasterSpec | None = None,
-                         max_rounds: int = 64) -> pd.DataFrame:
-    """Distributed D8 flow accumulation over the synthetic DEM.
-
-    Output per raster row: (row_id, n_valid, row_sum) of the
-    accumulation raster (row_sum exact — accumulations are integers)."""
-    spec = spec or RasterSpec()
+def flow_accumulation_frames(spec: RasterSpec,
+                             max_rounds: int = 64) -> pd.DataFrame:
+    """Converged per-tile accumulation arrays (tile_id, acc, shape0)."""
     n_tiles = spec.n_tiles
     cols = spec.cols
 
@@ -161,6 +157,18 @@ def flow_accumulation_d8(spec: RasterSpec | None = None,
     else:  # pragma: no cover - cap reached
         raise RuntimeError("flow accumulation did not converge")
 
+    return last
+
+
+def flow_accumulation_d8(spec: RasterSpec | None = None,
+                         max_rounds: int = 64) -> pd.DataFrame:
+    """Distributed D8 flow accumulation over the synthetic DEM.
+
+    Output per raster row: (row_id, n_valid, row_sum) of the
+    accumulation raster (row_sum exact — accumulations are integers)."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    last = flow_accumulation_frames(spec, max_rounds)
     frames = []
     for r in last.sort_values("tile_id").itertuples():
         acc = np.frombuffer(r.acc).reshape(r.shape0, cols)
@@ -343,3 +351,24 @@ def watershed_naive(spec: RasterSpec) -> pd.DataFrame:
         "row_id": np.arange(spec.rows),
         "n_labeled": lab.sum(axis=1).astype(np.int64),
         "sum_label": np.where(lab, out, 0).sum(axis=1)})
+
+
+def extract_streams(spec: RasterSpec | None = None,
+                    threshold: float = 5.0) -> pd.DataFrame:
+    """ExtractStreams (StreamNetworkAnalysisTools/src/plugins/
+    ExtractStreams.java, 283 LoC): stream cells = flow accumulation ≥
+    threshold. Output per row: (row_id, n_valid, n_stream)."""
+    spec = spec or RasterSpec()
+    acc = flow_accumulation_frames(spec)
+    frames = []
+    for r in acc.sort_values("tile_id").itertuples():
+        a = np.frombuffer(r.acc).reshape(r.shape0, spec.cols)
+        r0 = r.tile_id * spec.tile_rows
+        z, _ = _tile_pointers(spec, r.tile_id)
+        valid = z != spec.nodata
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + a.shape[0]),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "n_stream": (valid & (a >= threshold)).sum(axis=1).astype(np.int64)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))

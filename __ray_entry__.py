@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_rescale": _checksum_q(raster_stats.rescale_value_range),
         "raster_hist_equalize": _checksum_q(raster_stats.histogram_equalize),
         "raster_aggregate": _downsample,
+        "raster_mosaic": lambda sf: raster_stats.mosaic(raster.RasterSpec()),
         "raster_resample": lambda sf: raster_stats.resample_nn(
             raster.RasterSpec(), out_rows=100, out_cols=160),
         # --- terrain derivatives + hydrology (TerrainAnalysisTools, HydroTools) ---
@@ -257,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_hist_equalize": o.histogram_equalize_sql(),
         "raster_aggregate": o.aggregate_downsample_sql(),
         "raster_resample": o.resample_nn_sql(),
+        "raster_mosaic": o.mosaic_sql(),
         "terrain_slope": o.slope_sql(),
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),

@@ -1136,3 +1136,27 @@ SELECT orow AS row_id,
        round(SUM(CASE WHEN v = {_NOD} THEN 0.0 ELSE v END), 6) AS row_sum
 FROM res GROUP BY orow
 """
+
+
+def mosaic_sql(rows: int = 256, cols: int = 256, offset_rows: int = 64) -> str:
+    out_rows = offset_rows + rows
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+og AS (SELECT i AS ocell, i // {cols} AS r, i % {cols} AS c
+       FROM range(0, {out_rows * cols}) t(i)),
+m AS (
+  SELECT og.r, og.c,
+         COALESCE(
+           CASE WHEN a.v <> {_NOD} THEN a.v END,
+           CASE WHEN b.v <> {_NOD} THEN b.v END,
+           {_NOD}) AS f
+  FROM og
+  LEFT JOIN vals a ON og.r < {rows} AND a.cell = og.r * {cols} + og.c
+  LEFT JOIN vals_b b ON og.r >= {offset_rows} AND og.r < {offset_rows + rows}
+        AND b.cell = (og.r - {offset_rows}) * {cols} + og.c)
+SELECT r AS row_id,
+       CAST(COUNT(CASE WHEN f <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN f = {_NOD} THEN 0.0 ELSE f END), 6) AS row_sum
+FROM m GROUP BY r
+"""

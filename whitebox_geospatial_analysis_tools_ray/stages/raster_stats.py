@@ -402,3 +402,49 @@ def contour_lengths(spec: RasterSpec, levels: tuple = (250.0, 500.0, 750.0),
         rows.append({"level": level,
                      "total_length": round(float(total["sum(s)"]), round_to)})
     return pd.DataFrame(rows)
+
+
+def mosaic(spec: RasterSpec, offset_rows: int = 64,
+           round_to: int = 6) -> "rd.Dataset":
+    """Mosaic (ImageProcessingTools/src/plugins/Mosaic.java, 465 LoC)
+    reduced to two sources on a shared grid: source A covers rows
+    [0, spec.rows), source B covers [offset_rows, offset_rows+spec.rows);
+    output grid spans their union; value = A where A is valid, else B,
+    else NoData (the reference's last-resort nearest-image rule reduces
+    to source order on a shared grid).
+
+    Distributed shape: each OUTPUT row-band tile regenerates/reads only
+    the source rows overlapping it — a per-tile gather keyed by extent
+    (range join on extents per SURVEY §2.9 'Image geometry'), no shuffle."""
+    out_rows = offset_rows + spec.rows
+
+    def per_tile(batch) -> pd.DataFrame:
+        frames = []
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, out_rows)
+            rows = np.arange(r0, r1)
+            out = np.full((len(rows), spec.cols), NODATA)
+            in_a = rows < spec.rows
+            if in_a.any():
+                cell = (rows[in_a][:, None] * spec.cols
+                        + np.arange(spec.cols)[None, :])
+                out[in_a] = synth_value(cell.ravel()).reshape(-1, spec.cols)
+            src_b = rows - offset_rows
+            in_b = (src_b >= 0) & (src_b < spec.rows)
+            if in_b.any():
+                cell = (src_b[in_b][:, None] * spec.cols
+                        + np.arange(spec.cols)[None, :])
+                b = synth_value_b(cell.ravel()).reshape(-1, spec.cols)
+                sel = out[in_b]
+                out[in_b] = np.where(sel == NODATA, b, sel)
+            valid = out != NODATA
+            frames.append(pd.DataFrame({
+                "row_id": rows,
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(np.where(valid, out, 0.0).sum(axis=1),
+                                    round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    n_tiles = (out_rows + spec.tile_rows - 1) // spec.tile_rows
+    return rd.range(n_tiles).map_batches(per_tile, batch_format="numpy")

@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from whitebox_geospatial_analysis_tools_ray.stages import (
         agg, ann, clump as clump_mod, dedup, embeddings as emb, knn, raster,
         distance, fill, hydro, multimodal, raster_stats, rasterize,
-        relational, terrain, textops, tiling, vector_overlay)
+        relational, streams, terrain, textops, tiling, vector_overlay)
     from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
         broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
     from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
@@ -189,6 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watershed": lambda sf: hydro.watershed(),
         "fill_depressions": lambda sf: fill.fill_depressions(),
         "extract_streams": lambda sf: hydro.extract_streams(),
+        "stream_order": lambda sf: streams.stream_order(),
+        "stream_link_id": lambda sf: streams.stream_link_id(),
+        "stream_link_lengths": lambda sf: streams.stream_link_lengths(),
         "contour_lengths": lambda sf: raster_stats.contour_lengths(
             raster.RasterSpec()),
         # --- vector overlay (VectorTools Clip/Erase) ---

@@ -1,0 +1,73 @@
+"""Stream-network topology: distributed result == whole-grid mirror,
+and invariance to the tiling."""
+
+import numpy as np
+import pandas as pd
+
+from whitebox_geospatial_analysis_tools_ray.stages import streams
+from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+
+def _naive_row_agg(spec, threshold=5.0):
+    order, mag, label, stream = streams.stream_topology_naive(spec, threshold)
+    cols = spec.cols
+    gcell = (np.arange(spec.rows)[:, None] * cols + np.arange(cols)[None, :])
+    heads = stream & (label == gcell)
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_stream": stream.sum(axis=1).astype(np.int64),
+        "max_order": order.max(axis=1).astype(np.int64),
+        "sum_order": order.sum(axis=1).astype(np.int64),
+        "sum_magnitude": mag.sum(axis=1),
+        "n_heads": heads.sum(axis=1).astype(np.int64),
+        "sum_label": np.where(stream, label, 0).sum(axis=1)})
+
+
+def test_stream_order_matches_naive(ray_session):
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = streams.stream_order(spec)
+    want = _naive_row_agg(spec)[got.columns]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_link_id_matches_naive(ray_session):
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = streams.stream_link_id(spec)
+    want = _naive_row_agg(spec)[got.columns]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_topology_tiling_invariant(ray_session):
+    a = streams.stream_order(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = streams.stream_order(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_link_lengths_consistent(ray_session):
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    summary = streams.stream_link_lengths(spec)
+    order, mag, label, stream = streams.stream_topology_naive(spec)
+    labs, counts = np.unique(label[stream], return_counts=True)
+    assert summary["n_links"][0] == len(labs)
+    assert summary["total_stream_cells"][0] == int(stream.sum())
+    assert summary["max_link_len"][0] == int(counts.max())
+
+
+def test_strahler_semantics_tiny():
+    # hand grid: two order-1 tributaries meeting -> order 2 downstream
+    spec = RasterSpec(rows=3, cols=3, tile_rows=3)
+    z = np.array([[9.0, 8.0, 9.0],
+                  [9.0, 5.0, 9.0],
+                  [9.0, 1.0, 9.0]])
+    # pointers: (0,0)->SE=(1,1) code 4; (0,2)->SW=(1,1) code 16;
+    # (0,1)->S=(1,1) code 8; (1,1)->S=(2,1) code 8
+    nod = spec.nodata
+    ptr = np.full((3, 3), nod)
+    ptr[0, 0], ptr[0, 2], ptr[0, 1], ptr[1, 1] = 4.0, 16.0, 8.0, 8.0
+    stream = np.array([[1, 1, 1], [0, 1, 0], [0, 1, 0]], dtype=bool)
+    order, mag, label, _ = streams._solve_tile(z, ptr, stream, 0, 3, {}, nod)
+    assert order[0].tolist() == [1, 1, 1]
+    assert order[1, 1] == 2 and order[2, 1] == 2
+    assert mag[1, 1] == 3 and mag[2, 1] == 3
+    # junction starts a new link; pass-through keeps it
+    assert label[1, 1] == 4 and label[2, 1] == 4

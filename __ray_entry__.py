@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watershed": lambda sf: hydro.watershed(),
         "fill_depressions": lambda sf: fill.fill_depressions(),
         "extract_streams": lambda sf: hydro.extract_streams(),
+        "snap_pour_points": lambda sf: hydro.snap_pour_points(),
         "stream_order": lambda sf: streams.stream_order(),
         "stream_link_id": lambda sf: streams.stream_link_id(),
         "stream_link_lengths": lambda sf: streams.stream_link_lengths(),

@@ -71,3 +71,35 @@ def test_strahler_semantics_tiny():
     assert mag[1, 1] == 3 and mag[2, 1] == 3
     # junction starts a new link; pass-through keeps it
     assert label[1, 1] == 4 and label[2, 1] == 4
+
+
+def test_snap_pour_points_matches_naive(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import synth_value
+    from whitebox_geospatial_analysis_tools_ray.stages.terrain import d8_kernel
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = hydro.snap_pour_points(spec, snap_dist=5)
+
+    # whole-grid mirror with the reference's col-outer/row-inner > scan
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, _, _ = hydro._accumulate_tile(z, ptr, np.zeros_like(z), spec.nodata)
+    pour = hydro.pour_point_mask(0, spec.rows, cols)
+    rows = []
+    d = 5
+    for pr, pc in zip(*np.nonzero(pour)):
+        best, br, bc = -np.inf, -1, -1
+        for x in range(pc - d, pc + d + 1):
+            for y in range(pr - d, pr + d + 1):
+                if 0 <= y < spec.rows and 0 <= x < cols and acc[y, x] > best:
+                    best, br, bc = acc[y, x], y, x
+        rows.append({"point_cell": pr * cols + pc,
+                     "snapped_cell": br * cols + bc, "snap_acc": float(best)})
+    want = (pd.DataFrame(rows).sort_values("point_cell")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)

@@ -84,6 +84,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         d = generate_pages_dataset(20_000, "/tmp/graft_pages_q20k")
         return pages_flagship(d)
 
+    def _utm_project(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.functions.crs import (
+            utm_project_query)
+        return utm_project_query(sf_dir)
+
     def _raster_calc(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.functions.raster_calc import (
             raster_calculator)
@@ -202,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "euclidean_distance": lambda sf: distance.euclidean_distance(),
         # --- raster calculator (RasterCalculator expression compiler) ---
         "raster_calc": _raster_calc,
+        # --- CRS transform (ConversionTools CoordinateSystemTransformation,
+        # WhiteboxAPI georeference/LL2UTM) ---
+        "utm_project": _utm_project,
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
         "rasterize_lines": lambda sf: rasterize.rasterize_lines(),
@@ -219,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from whitebox_geospatial_analysis_tools_ray import oracle as o
+    from whitebox_geospatial_analysis_tools_ray.functions.crs import (
+        utm_project_sql as _crs_sql)
 
     return {
         "tile_assign": o.tile_assign_sql(),
@@ -278,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_erase": o.erase_boxes_sql(),
         "euclidean_distance": o.euclidean_distance_sql(),
         "raster_calc": o.raster_calc_sql(),
+        "utm_project": _crs_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),
         "rasterize_lines": o.rasterize_lines_sql(),
         "clip_raster_to_polygon": o.clip_raster_to_polygon_sql(),

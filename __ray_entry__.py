@@ -200,9 +200,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_link_lengths": lambda sf: streams.stream_link_lengths(),
         "contour_lengths": lambda sf: raster_stats.contour_lengths(
             raster.RasterSpec()),
-        # --- vector overlay (VectorTools Clip/Erase) ---
+        # --- vector overlay (VectorTools Clip/Erase/Intersect/Union/
+        # Difference/SymmetricDifference + Dissolve, general concave
+        # kernel in core/overlay.py) ---
         "vector_clip": lambda sf: vector_overlay.clip_boxes(sf),
         "vector_erase": lambda sf: vector_overlay.erase_boxes(sf),
+        "overlay_intersect": lambda sf: vector_overlay.overlay_areas(
+            sf, "intersection"),
+        "overlay_union": lambda sf: vector_overlay.overlay_areas(sf, "union"),
+        "overlay_difference": lambda sf: vector_overlay.overlay_areas(
+            sf, "difference"),
+        "overlay_symdiff": lambda sf: vector_overlay.overlay_areas(
+            sf, "symmetric_difference"),
+        "dissolve_union": lambda sf: vector_overlay.dissolve_union_area(sf),
         # --- distance transform (GISTools EuclideanDistance) ---
         "euclidean_distance": lambda sf: distance.euclidean_distance(),
         # --- raster calculator (RasterCalculator expression compiler) ---
@@ -286,6 +296,11 @@ def oracle_sql() -> dict[str, str]:
         # rows-only, verified vs the single-process topological mirror.
         "vector_clip": o.clip_boxes_sql(),
         "vector_erase": o.erase_boxes_sql(),
+        "overlay_intersect": o.overlay_area_sql("intersection"),
+        "overlay_union": o.overlay_area_sql("union"),
+        "overlay_difference": o.overlay_area_sql("difference"),
+        "overlay_symdiff": o.overlay_area_sql("symmetric_difference"),
+        "dissolve_union": o.dissolve_union_sql(),
         "euclidean_distance": o.euclidean_distance_sql(),
         "raster_calc": o.raster_calc_sql(),
         "utm_project": _crs_sql(),

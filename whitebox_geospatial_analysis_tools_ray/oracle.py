@@ -962,6 +962,99 @@ SELECT rec_id, round(area - inter, 6) AS erase_area FROM c WHERE area - inter > 
 """
 
 
+def _lshape_cte() -> str:
+    """L-shape layer as two interior-disjoint boxes per feature (the
+    exact decomposition of stages/vector_overlay.doc_lshapes; integer
+    coordinates make every area term exact in float64)."""
+    return (
+        "l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya, "
+        "10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts p), "
+        "lb AS (SELECT rec_id, xa - h AS x0, ya - h AS y0, xa + h AS x1, "
+        "ya + h AS y1, xa + h + w2 AS fx1, ya AS fy1, "
+        "2.0 * h * (2.0 * h) + w2 * h AS area_a FROM l)")
+
+
+def _overlay_inter_expr() -> str:
+    """Σ over the 2×2 interior-disjoint box pairs of clamp-width ×
+    clamp-height (mirrors stages/vector_overlay.CLIP_L_BOXES)."""
+    from .stages.vector_overlay import CLIP_L_BOXES
+    terms = []
+    for sx0, sy0, sx1, sy1 in CLIP_L_BOXES:
+        # R1 = [x0,x1]×[y0,y1]; R2 (foot) = [x1,fx1]×[y0,fy1]
+        terms.append(
+            f"greatest(0.0, least(x1, {sx1!r}) - greatest(x0, {sx0!r}))"
+            f" * greatest(0.0, least(y1, {sy1!r}) - greatest(y0, {sy0!r}))")
+        terms.append(
+            f"greatest(0.0, least(fx1, {sx1!r}) - greatest(x1, {sx0!r}))"
+            f" * greatest(0.0, least(fy1, {sy1!r}) - greatest(y0, {sy0!r}))")
+    return " + ".join(terms)
+
+
+def overlay_area_sql(op: str) -> str:
+    from .stages.vector_overlay import CLIP_L_AREA
+    b = float(CLIP_L_AREA)
+    base = f"""
+WITH {POINTS_CTE},
+{_lshape_cte()},
+i AS (SELECT rec_id, area_a, {_overlay_inter_expr()} AS inter FROM lb)
+"""
+    if op == "intersection":
+        return base + ("SELECT rec_id, round(inter, 6) AS intersection_area "
+                       "FROM i WHERE inter > 0")
+    if op == "union":
+        return base + (f"SELECT rec_id, round(area_a + {b!r} - inter, 6) "
+                       "AS union_area FROM i")
+    if op == "difference":
+        return base + ("SELECT rec_id, round(area_a - inter, 6) "
+                       "AS difference_area FROM i")
+    if op == "symmetric_difference":
+        return base + (f"SELECT rec_id, round(area_a + {b!r} - 2.0 * inter, 6) "
+                       "AS symdiff_area FROM i")
+    raise ValueError(op)
+
+
+def dissolve_union_sql(n_groups: int | None = None) -> str:
+    """Area of the union of each group's axis-aligned rectangles via a
+    pure-SQL slab sweep: slab x-edges = every rect x-edge, so a rect
+    overlapping a slab's interior spans it fully; per slab the covered
+    y-length is the classic interval-union (running-max islands)."""
+    if n_groups is None:
+        from .stages.vector_overlay import DISSOLVE_GROUPS
+        n_groups = DISSOLVE_GROUPS
+    return f"""
+WITH {POINTS_CTE},
+{_lshape_cte()},
+rects AS (
+  SELECT rec_id % {n_groups} AS gid, x0 AS xmin, y0 AS ymin,
+         x1 AS xmax, y1 AS ymax FROM lb
+  UNION ALL
+  SELECT rec_id % {n_groups} AS gid, x1, y0, fx1, fy1 FROM lb),
+xs AS (SELECT DISTINCT gid, xmin AS xe FROM rects
+       UNION SELECT DISTINCT gid, xmax FROM rects),
+slabs AS (SELECT gid, xe AS xl,
+                 lead(xe) OVER (PARTITION BY gid ORDER BY xe) AS xr FROM xs),
+s AS (SELECT * FROM slabs WHERE xr IS NOT NULL),
+span AS (SELECT s.gid, s.xl, s.xr, r.ymin, r.ymax
+         FROM s JOIN rects r
+           ON r.gid = s.gid AND r.xmin <= s.xl AND r.xmax >= s.xr),
+m AS (SELECT gid, xl, xr, ymin, ymax,
+             max(ymax) OVER (PARTITION BY gid, xl ORDER BY ymin, ymax
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      FROM span),
+isl AS (SELECT gid, xl, xr, ymin, ymax,
+               sum(CASE WHEN prevmax IS NULL OR ymin > prevmax
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY gid, xl ORDER BY ymin, ymax) AS island
+        FROM m),
+ilen AS (SELECT gid, xl, xr, island, max(ymax) - min(ymin) AS ylen
+         FROM isl GROUP BY gid, xl, xr, island),
+sa AS (SELECT gid, (xr - xl) * sum(ylen) AS area
+       FROM ilen GROUP BY gid, xl, xr)
+SELECT gid, round(sum(area), 6) AS union_area
+FROM sa GROUP BY gid ORDER BY gid
+"""
+
+
 def euclidean_distance_sql(rows: int = 256, cols: int = 256) -> str:
     n = rows * cols
     return f"""

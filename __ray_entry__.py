@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_order": lambda sf: streams.stream_order(),
         "stream_link_id": lambda sf: streams.stream_link_id(),
         "stream_link_lengths": lambda sf: streams.stream_link_lengths(),
+        "stream_link_slope": lambda sf: streams.stream_link_slope(),
+        "find_main_stem": lambda sf: streams.find_main_stem(),
         "contour_lengths": lambda sf: raster_stats.contour_lengths(
             raster.RasterSpec()),
         # --- vector overlay (VectorTools Clip/Erase/Intersect/Union/

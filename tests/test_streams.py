@@ -103,3 +103,55 @@ def test_snap_pour_points_matches_naive(ray_session):
     want = (pd.DataFrame(rows).sort_values("point_cell")
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def _naive_link_slope(spec, threshold=5.0):
+    import numpy as np
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import synth_value
+    from whitebox_geospatial_analysis_tools_ray.stages.terrain import d8_kernel
+    from whitebox_geospatial_analysis_tools_ray.stages.hydro import _accumulate_tile
+    order, mag, label, stream = streams.stream_topology_naive(spec, threshold)
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    code = np.where(ptr > 0, np.log2(np.maximum(ptr, 1.0)), -1).astype(int)
+    step = np.where(code >= 0, np.take(streams._GRID_LEN, code, mode="clip"), 0.0)
+    rows = []
+    for lab in np.unique(label[stream]):
+        m = stream & (label == lab)
+        relief = z[m].max() - z[m].min()
+        length = step[m].sum()
+        slope = relief / length * 100.0 if length > 0 else np.nan
+        rows.append({"label": int(lab), "relief": round(float(relief), 6),
+                     "length": round(float(length), 6),
+                     "slope_pct": round(float(slope), 6)
+                     if np.isfinite(slope) else np.nan})
+    return pd.DataFrame(rows).sort_values("label").reset_index(drop=True)
+
+
+def test_stream_link_slope_matches_naive(ray_session):
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = streams.stream_link_slope(spec)
+    want = _naive_link_slope(spec)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_find_main_stem_matches_naive(ray_session):
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = streams.find_main_stem(spec)
+    ms, stream = streams.find_main_stem_naive(spec)
+    want = pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_stream": stream.sum(axis=1).astype(np.int64),
+        "n_mainstem": ms.sum(axis=1).astype(np.int64)})
+    pd.testing.assert_frame_equal(got, want)
+    assert want["n_mainstem"].sum() > 0
+
+
+def test_find_main_stem_tiling_invariant(ray_session):
+    a = streams.find_main_stem(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = streams.find_main_stem(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)

@@ -247,3 +247,249 @@ def stream_topology_naive(spec: RasterSpec, threshold: float = 5.0):
     order, mag, label, _ = _solve_tile(z, ptr, stream, 0, cols, {},
                                        spec.nodata)
     return order, mag, label, stream
+
+
+# ---------------------------------------------------------------------------
+# StreamLinkSlope.java (396 LoC): per link — relief = max z − min z over the
+# link's cells; length = Σ over the link's cells with pointer > 0 of the step
+# length (diagonal √2·res / straight res, gridLengths at :238); slope =
+# relief / length × 100 (:349). The reference's headwater walk attributes
+# each cell's z and each cell's outgoing step to the cell's OWN link id,
+# which makes the whole tool one groupby(label) — no walk needed.
+# ---------------------------------------------------------------------------
+
+_GRID_LEN = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
+
+
+def stream_link_slope(spec: RasterSpec | None = None,
+                      threshold: float = 5.0,
+                      round_to: int = 6) -> pd.DataFrame:
+    """Per-link slope table (label, relief, length, slope_pct), sorted by
+    label. Distributed: per-tile partial (min z, max z, Σ step) rows —
+    O(links) per tile — then one small groupby(label) combine."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    frames = stream_topology_frames(spec, threshold)
+
+    def partial(batch) -> pd.DataFrame:
+        parts = []
+        for tid, lab_buf, st_buf, h in zip(batch["tile_id"], batch["label"],
+                                           batch["stream"], batch["shape0"]):
+            h = int(h)
+            z, ptr = _tile_pointers(spec, int(tid))
+            label = np.frombuffer(lab_buf, dtype=np.int64).reshape(h, cols)
+            stream = np.frombuffer(st_buf, dtype=np.int8).reshape(
+                h, cols).astype(bool)
+            code = np.where(ptr > 0, np.log2(np.maximum(ptr, 1.0)), -1
+                            ).astype(np.int64)
+            step = np.where(code >= 0, np.take(_GRID_LEN, code, mode="clip"),
+                            0.0)
+            df = pd.DataFrame({"label": label[stream], "z": z[stream],
+                               "step": step[stream]})
+            g = df.groupby("label").agg(zmin=("z", "min"), zmax=("z", "max"),
+                                        length=("step", "sum"))
+            parts.append(g.reset_index())
+        return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+            {"label": [], "zmin": [], "zmax": [], "length": []})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        relief = df["zmax"].max() - df["zmin"].min()
+        length = df["length"].sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = relief / length * 100.0
+        return pd.DataFrame({"label": [int(df["label"].iloc[0])],
+                             "relief": [round(float(relief), round_to)],
+                             "length": [round(float(length), round_to)],
+                             "slope_pct": [round(float(slope), round_to)
+                                           if np.isfinite(slope) else np.nan]})
+
+    per_link = (rd.from_pandas(frames[["tile_id", "label", "stream", "shape0"]])
+                .map_batches(partial, batch_format="pandas")
+                .groupby("label").map_groups(final, batch_format="pandas")
+                .to_pandas())
+    return per_link.sort_values("label").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# FindMainStem.java (347 LoC): for every outlet cell (stream cell whose
+# pointer is 0 or whose receiver is not a stream cell, :265-275), walk
+# UPSTREAM always taking the inflowing stream neighbour with the highest
+# flow accumulation (strict >, scan order c = 0..7, :287-303), marking the
+# walked cells 1. Distributed: the walk is an upstream propagation of a
+# boolean along locally-computable "chosen upstream" edges — per-tile
+# ascending-z resolve + cross-tile "you are main stem" messages to the
+# chosen upstream cell, iterated to a fixed point (same convergence
+# machinery as stream_topology_frames).
+# ---------------------------------------------------------------------------
+
+def _tile_halo_arrays(spec: RasterSpec, tid: int, acc_all: dict,
+                      threshold: float):
+    """Tile arrays extended by one halo row above and below (from the
+    adjacent row-band tiles): (z_ext, ptr_ext, acc_ext, stream_ext)."""
+    z, ptr = _tile_pointers(spec, tid)
+    h = z.shape[0]
+    cols = spec.cols
+    ze = np.full((h + 2, cols), spec.nodata)
+    pe = np.zeros((h + 2, cols))
+    ae = np.zeros((h + 2, cols))
+    ze[1:-1], pe[1:-1], ae[1:-1] = z, ptr, acc_all[tid]
+    if tid > 0:
+        zt, pt = _tile_pointers(spec, tid - 1)
+        ze[0], pe[0], ae[0] = zt[-1], pt[-1], acc_all[tid - 1][-1]
+    if tid + 1 < spec.n_tiles:
+        zb, pb = _tile_pointers(spec, tid + 1)
+        ze[-1], pe[-1], ae[-1] = zb[0], pb[0], acc_all[tid + 1][0]
+    se = (ze != spec.nodata) & (ae >= threshold)
+    return ze, pe, ae, se
+
+
+def _chosen_upstream(pe, ae, se, r, c):
+    """Highest-accumulation inflowing stream neighbour of extended-row r
+    (strict >, c-scan order — FindMainStem.java:287-303). Returns
+    (r2, c2) in extended coords or None."""
+    best, best_acc = None, 0.0
+    H, W = pe.shape
+    for i in range(8):
+        r2, c2 = r + _DY[i], c + _DX[i]
+        if 0 <= r2 < H and 0 <= c2 < W and se[r2, c2] \
+                and pe[r2, c2] == float(1 << ((i + 4) % 8)) \
+                and ae[r2, c2] > best_acc:
+            best, best_acc = (r2, c2), ae[r2, c2]
+    return best
+
+
+def find_main_stem(spec: RasterSpec | None = None, threshold: float = 5.0,
+                   max_rounds: int = 64) -> pd.DataFrame:
+    """Per-row (row_id, n_stream, n_mainstem) counts."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    acc_frames = flow_accumulation_frames(spec)
+    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
+           for r in acc_frames.itertuples()}
+    acc_ref = ray.put(acc)
+
+    def solve(batch, ext_ref, acc_ref=acc_ref) -> pd.DataFrame:
+        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
+            else ext_ref
+        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
+            else acc_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            ze, pe, ae, se = _tile_halo_arrays(spec, tid, acc_all, threshold)
+            h = ze.shape[0] - 2
+            r0 = tid * spec.tile_rows
+            ext = ext_all[tid]
+            ms = np.zeros((h, cols), dtype=bool)
+            emits = []
+            order = np.argsort(ze[1:-1], axis=None, kind="stable")
+            for lin in order:  # ascending z: receiver resolves first
+                r, c = divmod(int(lin), cols)
+                re_ = r + 1  # extended row
+                if not se[re_, c]:
+                    continue
+                gcell = (r0 + r) * cols + c
+                code = pe[re_, c]
+                flag = gcell in ext
+                if not flag:
+                    if code <= 0:
+                        flag = True  # pointer 0 → outlet
+                    else:
+                        i = int(code).bit_length() - 1
+                        rr, cc = re_ + _DY[i], c + _DX[i]
+                        if not (0 <= rr < h + 2 and 0 <= cc < cols) \
+                                or not se[rr, cc]:
+                            flag = True  # receiver not stream → outlet
+                        elif 1 <= rr <= h and ms[rr - 1, cc]:
+                            flag = _chosen_upstream(pe, ae, se, rr, cc) \
+                                == (re_, c)
+                if flag:
+                    ms[r, c] = True
+                    up = _chosen_upstream(pe, ae, se, re_, c)
+                    if up is not None and not (1 <= up[0] <= h):
+                        gr = r0 + (up[0] - 1)
+                        emits.append(gr * cols + int(up[1]))
+            rows.append({"tile_id": tid, "shape0": h,
+                         "n_stream": int(se[1:-1].sum()),
+                         "ms": ms.tobytes(),
+                         "stream": se[1:-1].astype(np.int8).tobytes(),
+                         "emits": json.dumps(emits)})
+        return pd.DataFrame(rows)
+
+    ext = {t: set() for t in range(spec.n_tiles)}
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put({t: frozenset(s) for t, s in ext.items()})
+        res = (rd.range(spec.n_tiles)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_ext = {t: set() for t in range(spec.n_tiles)}
+        for r in res.itertuples():
+            for gcell in json.loads(r.emits):
+                t = (gcell // cols) // spec.tile_rows
+                if 0 <= t < spec.n_tiles:
+                    new_ext[t].add(int(gcell))
+        if new_ext == ext:
+            last = res
+            break
+        ext = new_ext
+        last = res
+    else:  # pragma: no cover - cap reached
+        raise RuntimeError("main stem did not converge")
+
+    out = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        ms = np.frombuffer(r.ms, dtype=bool).reshape(h, cols)
+        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(
+            h, cols).astype(bool)
+        rr0 = int(r.tile_id) * spec.tile_rows
+        out.append(pd.DataFrame({
+            "row_id": np.arange(rr0, rr0 + h),
+            "n_stream": stream.sum(axis=1).astype(np.int64),
+            "n_mainstem": ms.sum(axis=1).astype(np.int64)}))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def find_main_stem_naive(spec: RasterSpec, threshold: float = 5.0):
+    """Literal single-process mirror of the reference walk
+    (FindMainStem.java:261-311)."""
+    from .raster import synth_value
+    from .terrain import d8_kernel
+    from .hydro import _accumulate_tile
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, _, _ = _accumulate_tile(z, ptr, np.zeros_like(z), spec.nodata)
+    stream = (z != spec.nodata) & (acc >= threshold)
+    ms = np.zeros_like(stream)
+    for row in range(spec.rows):
+        for col in range(cols):
+            if not stream[row, col]:
+                continue
+            code = ptr[row, col]
+            if code > 0:
+                i = int(code).bit_length() - 1
+                rr, cc = row + _DY[i], col + _DX[i]
+                if 0 <= rr < spec.rows and 0 <= cc < cols and stream[rr, cc]:
+                    continue  # receiver is stream → not an outlet
+            x, y = col, row
+            while True:
+                ms[y, x] = True
+                best, best_acc = None, 0.0
+                for i in range(8):
+                    x2, y2 = x + _DX[i], y + _DY[i]
+                    if 0 <= y2 < spec.rows and 0 <= x2 < cols \
+                            and stream[y2, x2] \
+                            and ptr[y2, x2] == float(1 << ((i + 4) % 8)) \
+                            and acc[y2, x2] > best_acc:
+                        best, best_acc = (x2, y2), acc[y2, x2]
+                if best is None:
+                    break
+                x, y = best
+    return ms, stream

@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from whitebox_geospatial_analysis_tools_ray.stages import (
         agg, ann, clump as clump_mod, dedup, embeddings as emb, knn, raster,
         distance, fill, hydro, multimodal, raster_stats, rasterize,
-        relational, streams, terrain, textops, tiling, vector_overlay)
+        relational, streams, terrain, textops, tiling, tin, vector_overlay)
     from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
         broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
     from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
@@ -202,6 +202,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_main_stem": lambda sf: streams.find_main_stem(),
         "contour_lengths": lambda sf: raster_stats.contour_lengths(
             raster.RasterSpec()),
+        # --- TIN / Voronoi (ConstructTIN, VoronoiDiagram, RasterizeTIN —
+        # from-scratch Bowyer–Watson, per-tile ghost-margin construction) ---
+        "construct_tin": lambda sf: tin.construct_tin(sf),
+        "voronoi_areas": lambda sf: tin.voronoi_areas(sf),
+        "rasterize_tin": lambda sf: tin.rasterize_tin(sf),
         # --- vector overlay (VectorTools Clip/Erase/Intersect/Union/
         # Difference/SymmetricDifference + Dissolve, general concave
         # kernel in core/overlay.py) ---

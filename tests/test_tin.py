@@ -1,0 +1,121 @@
+"""Distributed TIN / Voronoi / rasterize-TIN == single-process mirrors.
+
+The distributed construction's ghost-margin assumption (every
+circumradius < margin) is VALIDATED here: any violation changes the
+triangle set and fails the set-equality assertions.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from whitebox_geospatial_analysis_tools_ray.core.delaunay import (
+    delaunay, delaunay_neighbors, voronoi_cell)
+from whitebox_geospatial_analysis_tools_ray.stages import tin
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mirror_core_sets():
+    """Global triangulation → triangles as rec_id triples, grouped by
+    circumcenter tile, data-only."""
+    rid, xy, z, tris = tin.tin_mirror(SF)
+    per_tile = {}
+    for t in tris:
+        a, b, c = xy[t[0]], xy[t[1]], xy[t[2]]
+        den = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                     + c[0] * (a[1] - b[1]))
+        if den == 0:
+            continue
+        a2, b2, c2 = a @ a, b @ b, c @ c
+        ux = (a2 * (b[1] - c[1]) + b2 * (c[1] - a[1]) + c2 * (a[1] - b[1])) / den
+        uy = (a2 * (c[0] - b[0]) + b2 * (a[0] - c[0]) + c2 * (b[0] - a[0])) / den
+        tx = int(np.floor((ux - tin.WEST) / tin.TILE))
+        ty = int(np.floor((uy - tin.SOUTH) / tin.TILE))
+        if not (0 <= tx < tin.NX and 0 <= ty < tin.NY):
+            continue
+        ids = tuple(sorted(int(rid[v]) for v in t))
+        per_tile.setdefault(ty * tin.NX + tx, set()).add(ids)
+    return rid, xy, z, per_tile
+
+
+def test_construct_tin_matches_mirror(ray_session):
+    rid, xy, z, per_tile = _mirror_core_sets()
+    got = tin.construct_tin(SF).to_pandas()
+    id2i = {int(r): i for i, r in enumerate(rid)}
+    for row in got.itertuples():
+        tris = {t for t in per_tile.get(int(row.tile), set())
+                if all(i >= 0 for i in t)}
+        assert row.n_triangles == len(tris)
+        area = 0.0
+        for t in tris:
+            a, b, c = (xy[id2i[t[0]]], xy[id2i[t[1]]], xy[id2i[t[2]]])
+            area += abs((b[0] - a[0]) * (c[1] - a[1])
+                        - (c[0] - a[0]) * (b[1] - a[1])) / 2.0
+        assert row.area_sum == pytest.approx(area, abs=1e-5)
+    assert got["n_triangles"].sum() > 100
+
+
+def test_voronoi_matches_mirror_and_is_exhaustive(ray_session):
+    rid, xy, z, _ = _mirror_core_sets()
+    _, _, _, tris = tin.tin_mirror(SF)
+    nbr = delaunay_neighbors(tris, len(xy))
+    got = tin.voronoi_areas(SF).to_pandas()
+    extent = (tin.WEST, tin.SOUTH, tin.EAST, tin.NORTH)
+    want = {}
+    for i in range(len(xy)):
+        if rid[i] < 0:
+            continue
+        cell = voronoi_cell(xy[i], xy[sorted(nbr[i])], extent)
+        if len(cell) < 3:
+            a = 0.0
+        else:
+            cx, cy = cell[:, 0], cell[:, 1]
+            a = 0.5 * abs(np.dot(cx, np.roll(cy, -1))
+                          - np.dot(cy, np.roll(cx, -1)))
+        want[int(rid[i])] = round(float(a), 6)
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        assert row.cell_area == pytest.approx(want[int(row.rec_id)],
+                                              abs=1e-4), row.rec_id
+
+
+def test_voronoi_areas_tile_extent(ray_session):
+    """Data + frame cells partition the extent; data-site areas must sum
+    to extent area minus the frame intrusions — bounded sanity check."""
+    got = tin.voronoi_areas(SF).to_pandas()
+    total = got["cell_area"].sum()
+    extent_area = (tin.EAST - tin.WEST) * (tin.NORTH - tin.SOUTH)
+    assert 0.5 * extent_area < total <= extent_area + 0.01
+
+
+def test_rasterize_tin_matches_mirror(ray_session):
+    grid = 60
+    got = tin.rasterize_tin(SF, grid=grid).to_pandas()
+    assert len(got) == grid * grid
+    rid, xy, z, tris = tin.tin_mirror(SF)
+    res_x = (tin.EAST - tin.WEST) / grid
+    res_y = (tin.NORTH - tin.SOUTH) / grid
+    cells = got["cell"].to_numpy()
+    px = tin.WEST + (cells % grid + 0.5) * res_x
+    py = tin.SOUTH + (cells // grid + 0.5) * res_y
+    want = np.full(len(cells), -32768.0)
+    done = np.zeros(len(cells), dtype=bool)
+    for a, b, c in tris:
+        (ax, ay), (bx, by), (cx, cy) = xy[a], xy[b], xy[c]
+        den = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        if den == 0:
+            continue
+        w1 = ((by - cy) * (px - cx) + (cx - bx) * (py - cy)) / den
+        w2 = ((cy - ay) * (px - cx) + (ax - cx) * (py - cy)) / den
+        w3 = 1.0 - w1 - w2
+        m = (~done) & (w1 >= 0) & (w2 >= 0) & (w3 >= 0)
+        if m.any():
+            want[m] = w1[m] * z[a] + w2[m] * z[b] + w3[m] * z[c]
+            done |= m
+    np.testing.assert_allclose(got["z"].to_numpy(), want, atol=1e-5)
+    covered = (got["z"] != -32768.0).sum()
+    assert covered > 0.9 * len(got)  # frame ring keeps extent covered
+    # determinism
+    again = tin.rasterize_tin(SF, grid=grid).to_pandas()
+    pd.testing.assert_frame_equal(got, again)

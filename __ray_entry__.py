@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "sqrt(a) + b / 5.0 + if(a > b, 1.0, 0.0)")
         return raster.raster_row_checksums(out, spec)
 
+    def _viewshed_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.viewshed import viewshed
+        return viewshed(raster.RasterSpec())
+
     def _downsample(sf_dir: str):
         spec = raster.RasterSpec()
         return raster_stats.aggregate_downsample(raster.synth_raster(spec), spec)
@@ -195,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_depressions": lambda sf: fill.fill_depressions(),
         "extract_streams": lambda sf: hydro.extract_streams(),
         "snap_pour_points": lambda sf: hydro.snap_pour_points(),
+        "viewshed": lambda sf: _viewshed_q(sf),
         "stream_order": lambda sf: streams.stream_order(),
         "stream_link_id": lambda sf: streams.stream_link_id(),
         "stream_link_lengths": lambda sf: streams.stream_link_lengths(),

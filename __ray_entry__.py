@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "sqrt(a) + b / 5.0 + if(a > b, 1.0, 0.0)")
         return raster.raster_row_checksums(out, spec)
 
+    def _kriging_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.kriging import krige_cells
+        return krige_cells(sf_dir)
+
     def _viewshed_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.stages.viewshed import viewshed
         return viewshed(raster.RasterSpec())
@@ -125,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _points(sf), site_points(), 300.0),
         # --- kNN / IDW (InterpolationIDW, NearestNeighbourAnalysis) ---
         "knn_idw": lambda sf: knn.idw_interpolate(_points(sf), cell_centers()),
+        "kriging_interpolate": lambda sf: _kriging_q(sf),
         "knn_nearest_site": lambda sf: knn.nearest_point_per_site(
             _points(sf), site_points()),
         # --- aggregation (VectorPointsToRaster, ExtractStatistics, Histogram) ---

@@ -1,0 +1,42 @@
+"""Distributed ordinary kriging == brute-force single-process mirror."""
+
+import numpy as np
+import pandas as pd
+
+from whitebox_geospatial_analysis_tools_ray.stages import kriging as kg
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_variogram_matches_brute_force(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.points import read_points
+    got = kg.empirical_variogram(read_points(SF))
+    pts = read_points(SF).to_pandas()
+    x, y, z, r = (pts[c].to_numpy() for c in ("x", "y", "z", "rec_id"))
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    m = (d2 > 0) & (d2 < kg.MAX_DIST ** 2) & (r[:, None] < r[None, :])
+    d = np.sqrt(d2[m])
+    bins = np.minimum((d / kg.LAG_SIZE).astype(np.int64), kg.N_LAGS - 1)
+    hsq = 0.5 * ((z[:, None] - z[None, :]) ** 2)[m]
+    for b in got.itertuples():
+        sel = bins == b.bin
+        assert b.n == sel.sum()
+        assert b.gamma == np.testing.assert_allclose(
+            b.gamma, hsq[sel].sum() / sel.sum(), rtol=1e-9) or True
+        np.testing.assert_allclose(b.mean_dist, d[sel].mean(), rtol=1e-9)
+    assert got["n"].sum() == m.sum()
+
+
+def test_krige_matches_naive(ray_session):
+    got = kg.krige_cells(SF).to_pandas().reset_index(drop=True)
+    want = kg.krige_cells_naive(SF)
+    pd.testing.assert_frame_equal(got, want)
+    # predictions exist over most of the extent
+    assert (got["kriged_z"] != -32768.0).mean() > 0.9
+
+
+def test_spherical_model_shape():
+    g = kg.spherical(np.array([0.0, 50.0, 100.0, 1e9]), 2.0, 100.0)
+    assert g[0] == 0.0
+    assert 0 < g[1] < g[2]
+    assert g[2] == g[3] == 2.0  # capped at sill beyond range

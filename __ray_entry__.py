@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "sqrt(a) + b / 5.0 + if(a > b, 1.0, 0.0)")
         return raster.raster_row_checksums(out, spec)
 
+    def _las_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.sources.las import las_tile_stats
+        return las_tile_stats(sf_dir)
+
     def _kriging_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.stages.kriging import krige_cells
         return krige_cells(sf_dir)
@@ -114,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- tiling / cell encoding (TileLasFile + HexBinning) ---
         "tile_assign": lambda sf: tiling.tile_counts(sf)[0],
+        "las_tile_stats": lambda sf: _las_q(sf),
         "tile_hex": lambda sf: tiling.hex_counts(sf)[0],
         # --- spatial joins (IsolateVectorFeaturesByLocation family) ---
         "pip_rect_join": lambda sf: broadcast_pip_join(_points(sf), rect_zones()),
@@ -256,9 +261,12 @@ def oracle_sql() -> dict[str, str]:
     from whitebox_geospatial_analysis_tools_ray import oracle as o
     from whitebox_geospatial_analysis_tools_ray.functions.crs import (
         utm_project_sql as _crs_sql)
+    from whitebox_geospatial_analysis_tools_ray.sources.las import (
+        las_tile_stats_sql as _las_sql)
 
     return {
         "tile_assign": o.tile_assign_sql(),
+        "las_tile_stats": _las_sql(),
         "tile_hex": o.hex_assign_sql(),
         "pip_rect_join": o.pip_rect_join_sql(),
         "pip_rect_join_shuffle": o.pip_rect_join_sql(),

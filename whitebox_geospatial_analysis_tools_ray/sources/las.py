@@ -1,0 +1,215 @@
+"""LAS 1.2 point-cloud source/sink (LidarTools family).
+
+Reference: WhiteboxAPI/src/whitebox/geospatialfiles/LASReader.java:36
+(1,301 LoC) reads the LAS public header (point-data offset, record
+format/length, point count, xyz scale+offset) and decodes point records
+(scaled int32 x/y/z + intensity + classification …); tools LAS2ASCII
+(LidarTools/src/plugins/LAS2ASCII.java), LAS2Shapefile (362 LoC) and
+TileLasFile (Scripts/TileLasFile.groovy:172-174, the canonical tile
+rule) consume it point-at-a-time.
+
+Ray shape: the header is read once on the driver (tiny); point records
+stream through byte-range chunk reads — one Ray task per chunk of the
+point block, the same intra-file parallel-read pattern as the binary
+grid importers (sources/grids.py). Coordinates dequantize vectorized:
+x = x_i32 · scale + offset.
+
+The synthetic writer quantizes with scale 1/1024 (a power of two) via
+``floor(v·1024 + 0.5)``, so the dequantized doubles are EXACTLY
+reproducible in SQL — giving the whole LAS → tile-assignment pipeline
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+SCALE = 1.0 / 1024.0
+_PT_DTYPE = np.dtype([("xi", "<i4"), ("yi", "<i4"), ("zi", "<i4"),
+                      ("intensity", "<u2"), ("flags", "u1"),
+                      ("classification", "u1"), ("scan_angle", "i1"),
+                      ("user_data", "u1"), ("point_source", "<u2")])
+assert _PT_DTYPE.itemsize == 20  # LAS point record format 0
+
+
+@dataclass
+class LasHeader:
+    version: tuple[int, int]
+    point_offset: int
+    point_format: int
+    record_len: int
+    n_points: int
+    scale: tuple[float, float, float]
+    offset: tuple[float, float, float]
+
+
+def read_las_header(path: str) -> LasHeader:
+    with open(path, "rb") as f:
+        raw = f.read(227)
+    if raw[:4] != b"LASF":
+        raise ValueError(f"{path}: not a LAS file")
+    ver = (raw[24], raw[25])
+    point_offset = struct.unpack_from("<I", raw, 96)[0]
+    point_format = raw[104]
+    record_len = struct.unpack_from("<H", raw, 105)[0]
+    n_points = struct.unpack_from("<I", raw, 107)[0]
+    sx, sy, sz = struct.unpack_from("<3d", raw, 131)
+    ox, oy, oz = struct.unpack_from("<3d", raw, 155)
+    return LasHeader(ver, point_offset, point_format, record_len,
+                     n_points, (sx, sy, sz), (ox, oy, oz))
+
+
+def write_las(path: str, x: np.ndarray, y: np.ndarray, z: np.ndarray,
+              intensity: np.ndarray, classification: np.ndarray,
+              scale: float = SCALE) -> None:
+    """Minimal LAS 1.2 format-0 writer (deterministic test fixtures)."""
+    xi = np.floor(np.asarray(x) / scale + 0.5).astype(np.int32)
+    yi = np.floor(np.asarray(y) / scale + 0.5).astype(np.int32)
+    zi = np.floor(np.asarray(z) / scale + 0.5).astype(np.int32)
+    n = len(xi)
+    rec = np.zeros(n, dtype=_PT_DTYPE)
+    rec["xi"], rec["yi"], rec["zi"] = xi, yi, zi
+    rec["intensity"] = np.asarray(intensity, dtype=np.uint16)
+    rec["classification"] = np.asarray(classification, dtype=np.uint8)
+    hdr = bytearray(227)
+    hdr[:4] = b"LASF"
+    hdr[24], hdr[25] = 1, 2
+    struct.pack_into("<H", hdr, 94, 227)        # header size
+    struct.pack_into("<I", hdr, 96, 227)        # point data offset
+    hdr[104] = 0                                # point format 0
+    struct.pack_into("<H", hdr, 105, _PT_DTYPE.itemsize)
+    struct.pack_into("<I", hdr, 107, n)
+    struct.pack_into("<3d", hdr, 131, scale, scale, scale)
+    struct.pack_into("<3d", hdr, 155, 0.0, 0.0, 0.0)
+    xs = xi * scale
+    ys = yi * scale
+    zs = zi * scale
+    struct.pack_into("<6d", hdr, 179,
+                     float(xs.max(initial=0)), float(xs.min(initial=0)),
+                     float(ys.max(initial=0)), float(ys.min(initial=0)),
+                     float(zs.max(initial=0)), float(zs.min(initial=0)))
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(rec.tobytes())
+
+
+def read_las(path: str, chunk_points: int = 262_144):
+    """LAS points as a streaming Ray Dataset
+    (x, y, z, intensity, classification) — one task per record chunk."""
+    import ray.data as rd
+
+    hdr = read_las_header(path)
+    if hdr.point_format != 0 or hdr.record_len != _PT_DTYPE.itemsize:
+        raise NotImplementedError(
+            f"LAS point format {hdr.point_format} (len {hdr.record_len})")
+    n_chunks = max(1, -(-hdr.n_points // chunk_points))
+    sx, sy, sz = hdr.scale
+    ox, oy, oz = hdr.offset
+
+    def load(batch) -> pd.DataFrame:
+        frames = []
+        for cid in batch["id"]:
+            p0 = int(cid) * chunk_points
+            p1 = min(p0 + chunk_points, hdr.n_points)
+            with open(path, "rb") as f:
+                f.seek(hdr.point_offset + p0 * _PT_DTYPE.itemsize)
+                raw = f.read((p1 - p0) * _PT_DTYPE.itemsize)
+            rec = np.frombuffer(raw, dtype=_PT_DTYPE)
+            frames.append(pd.DataFrame({
+                "x": rec["xi"] * sx + ox,
+                "y": rec["yi"] * sy + oy,
+                "z": rec["zi"] * sz + oz,
+                "intensity": rec["intensity"].astype(np.int64),
+                "classification": rec["classification"].astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return rd.range(n_chunks).map_batches(load, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# Conformance pipeline: synthesize LAS from the documents table, read it
+# back distributed, and run the TileLasFile tile rule + per-tile stats.
+# ---------------------------------------------------------------------------
+
+TILE_W = 250.0
+TILE_COLS = 16  # extent [0, 4000) → 16 × 16 fixed grid
+
+
+def synth_las_path(sf_dir: str) -> str:
+    """Write (once) the deterministic LAS derived from documents:
+    quantized geocoded x/y, z = n_chars, intensity = doc_id % 4096,
+    classification = doc_id % 7 + 1."""
+    import hashlib
+    import os
+
+    from ..stages.points import read_points
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/graft_las_{tag}.las"
+    if not os.path.exists(path):
+        pts = read_points(sf_dir).to_pandas().sort_values("rec_id")
+        ids = pts["rec_id"].to_numpy()
+        write_las(path, pts["x"].to_numpy(), pts["y"].to_numpy(),
+                  pts["z"].to_numpy(), ids % 4096, ids % 7 + 1)
+    return path
+
+
+def las_tile_stats(sf_dir: str, round_to: int = 6):
+    """(tile_id, n_points, sum_intensity, sum_z) over the fixed grid —
+    the TileLasFile.groovy:172-174 floor rule on dequantized coords."""
+    ds = read_las(synth_las_path(sf_dir))
+
+    def partial(batch) -> pd.DataFrame:
+        x = np.asarray(batch["x"])
+        y = np.asarray(batch["y"])
+        tile = (np.floor(y / TILE_W).astype(np.int64) * TILE_COLS
+                + np.floor(x / TILE_W).astype(np.int64))
+        df = pd.DataFrame({"tile_id": tile, "one": 1,
+                           "i": np.asarray(batch["intensity"]),
+                           "z": np.asarray(batch["z"])})
+        g = df.groupby("tile_id").agg(n=("one", "sum"), si=("i", "sum"),
+                                      sz=("z", "sum"))
+        return g.reset_index()
+
+    from ..stages.util import coalesce_partials
+    parts = ds.map_batches(partial, batch_format="numpy")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tile_id": [int(df["tile_id"].iloc[0])],
+            "n_points": [int(df["n"].sum())],
+            "sum_intensity": [int(df["si"].sum())],
+            "sum_z": [round(float(df["sz"].sum()), round_to)]})
+
+    return (coalesce_partials(parts).groupby("tile_id")
+            .map_groups(final, batch_format="pandas").sort("tile_id"))
+
+
+def las_tile_stats_sql() -> str:
+    """Exact DuckDB mirror: same quantization (scale 1/1024 via
+    floor(v·1024 + 0.5)) and the same fixed-grid floor rule."""
+    from ..core.features import POINTS_CTE
+    q = float(1.0 / SCALE)
+    return f"""
+WITH {POINTS_CTE},
+las AS (
+  SELECT rec_id,
+         floor(x * {q!r} + 0.5) / {q!r} AS x,
+         floor(y * {q!r} + 0.5) / {q!r} AS y,
+         floor(z * {q!r} + 0.5) / {q!r} AS z,
+         rec_id % 4096 AS intensity
+  FROM pts),
+keyed AS (
+  SELECT CAST(floor(y / {TILE_W!r}) AS BIGINT) * {TILE_COLS}
+         + CAST(floor(x / {TILE_W!r}) AS BIGINT) AS tile_id,
+         intensity, z
+  FROM las)
+SELECT tile_id, COUNT(*) AS n_points,
+       SUM(intensity) AS sum_intensity,
+       round(SUM(z), 6) AS sum_z
+FROM keyed GROUP BY tile_id ORDER BY tile_id
+"""

@@ -111,6 +111,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from whitebox_geospatial_analysis_tools_ray.stages.viewshed import viewshed
         return viewshed(raster.RasterSpec())
 
+    def _thin_q(sf_dir: str, kind: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.thinning import (
+            line_thinning, remove_spurs)
+        fn = line_thinning if kind == "thin" else remove_spurs
+        return fn(raster.RasterSpec())
+
     def _downsample(sf_dir: str):
         spec = raster.RasterSpec()
         return raster_stats.aggregate_downsample(raster.synth_raster(spec), spec)
@@ -210,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_streams": lambda sf: hydro.extract_streams(),
         "snap_pour_points": lambda sf: hydro.snap_pour_points(),
         "viewshed": lambda sf: _viewshed_q(sf),
+        "line_thinning": lambda sf: _thin_q(sf, "thin"),
+        "remove_spurs": lambda sf: _thin_q(sf, "spurs"),
         "stream_order": lambda sf: streams.stream_order(),
         "stream_link_id": lambda sf: streams.stream_link_id(),
         "stream_link_lengths": lambda sf: streams.stream_link_lengths(),

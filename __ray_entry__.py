@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from whitebox_geospatial_analysis_tools_ray.stages.viewshed import viewshed
         return viewshed(raster.RasterSpec())
 
+    def _r2poly_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.vectorize import (
+            raster_to_polygons)
+        return raster_to_polygons(raster.RasterSpec())
+
     def _thin_q(sf_dir: str, kind: str):
         from whitebox_geospatial_analysis_tools_ray.stages.thinning import (
             line_thinning, remove_spurs)
@@ -252,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "utm_project": _utm_project,
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
+        "raster_to_polygons": lambda sf: _r2poly_q(sf),
         "rasterize_lines": lambda sf: rasterize.rasterize_lines(),
         "clip_raster_to_polygon": lambda sf: rasterize.clip_raster_to_polygon(),
         "clump": lambda sf: clump_mod.clump(),

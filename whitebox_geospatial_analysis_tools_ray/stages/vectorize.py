@@ -1,0 +1,162 @@
+"""RasterToVectorPolygons (ConversionTools/src/plugins/
+RasterToVectorPolygons.java:217-410 — edge numbering + boundary trace
+with ``traceDirection``) re-expressed Ray-Data-first.
+
+Instead of the reference's sequential whole-grid boundary walk, each
+tile emits the DIRECTED boundary edges of its cells (vectorized shifts;
+1-row halo resolves cross-tile sides), oriented so the region's
+interior is always on the same side — the per-cell equivalent of the
+reference's clockwise shell / counter-clockwise hole convention
+(Topology.java:33-136). One ``groupby(value)`` shuffle moves only
+(value, start_vertex, end_vertex) triples; each group assembles its
+rings by following out-edges, resolving saddle vertices (2-in/2-out)
+with a deterministic sharpest-clockwise-turn rule — the same
+disambiguation the reference's traceDirection preference encodes.
+
+Invariants asserted in tests: Σ signed ring areas per value == the
+value's cell count (holes subtract), perimeter == directed edge count,
+assembly is tiling-invariant and equals the single-process whole-grid
+result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .raster import NODATA, RasterSpec, synth_value
+from .util import coalesce_partials
+
+N_CLASSES = 6
+CLASS_WIDTH = 175.0
+
+# direction of travel per cell side, region interior on rot+90(d) side
+_SIDES = (  # (neighbour dr, dc), (start corner dx, dy), (edge dx, dy)
+    ((-1, 0), (0, 0), (1, 0)),    # top: (c,r) → (c+1,r)
+    ((0, 1), (1, 0), (0, 1)),     # right: (c+1,r) → (c+1,r+1)
+    ((1, 0), (1, 1), (-1, 0)),    # bottom: (c+1,r+1) → (c,r+1)
+    ((0, -1), (0, 1), (0, -1)),   # left: (c,r+1) → (c,r)
+)
+
+
+def classify(z: np.ndarray, nodata: float) -> np.ndarray:
+    """Categorical raster: class = floor(value / CLASS_WIDTH), −1 for
+    NoData (background, never polygonized)."""
+    cls = np.floor(z / CLASS_WIDTH).astype(np.int64)
+    return np.where(z == nodata, -1, np.clip(cls, 0, N_CLASSES - 1))
+
+
+def _tile_edges(spec: RasterSpec, tid: int) -> pd.DataFrame:
+    """Directed boundary edges (value, sx, sy, ex, ey) for one tile,
+    halo rows resolving the cross-tile sides."""
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+    cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+    z = synth_value(cell).reshape(hi - lo, spec.cols)
+    cls = classify(z, spec.nodata)
+    pad = np.full((hi - lo + 2, spec.cols + 2), -1, dtype=np.int64)
+    pad[1:-1, 1:-1] = cls
+    core = slice(r0 - lo + 1, r0 - lo + 1 + (r1 - r0))
+    c_cls = pad[core, 1:-1]
+    out = {"value": [], "sx": [], "sy": [], "ex": [], "ey": []}
+    for (dr, dc), (cx0, cy0), (dx, dy) in _SIDES:
+        nb = pad[core.start + dr: core.stop + dr, 1 + dc: 1 + spec.cols + dc]
+        m = (c_cls >= 0) & (c_cls != nb)
+        rr, cc = np.nonzero(m)
+        if not len(rr):
+            continue
+        gr = rr + r0
+        sx = cc + cx0
+        sy = gr + cy0
+        out["value"].append(c_cls[rr, cc])
+        out["sx"].append(sx)
+        out["sy"].append(sy)
+        out["ex"].append(sx + dx)
+        out["ey"].append(sy + dy)
+    if not out["value"]:
+        return pd.DataFrame({k: pd.Series([], dtype="int64") for k in out})
+    return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+
+def _assemble(df: pd.DataFrame) -> tuple[int, int, int]:
+    """(n_rings, perimeter, signed_area_sum) for one value's edges."""
+    sx = df["sx"].to_numpy(); sy = df["sy"].to_numpy()
+    ex = df["ex"].to_numpy(); ey = df["ey"].to_numpy()
+    n = len(sx)
+    # deterministic edge order
+    order = np.lexsort((ey, ex, sy, sx))
+    sx, sy, ex, ey = sx[order], sy[order], ex[order], ey[order]
+    outmap: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        outmap.setdefault((sx[i], sy[i]), []).append(i)
+    used = np.zeros(n, dtype=bool)
+    n_rings = 0
+    area2 = 0  # 2 × signed shoelace, integer-exact
+    for start in range(n):
+        if used[start]:
+            continue
+        n_rings += 1
+        i = start
+        while True:
+            used[i] = True
+            area2 += sx[i] * ey[i] - ex[i] * sy[i]
+            key = (ex[i], ey[i])
+            cands = [j for j in outmap.get(key, ()) if not used[j]]
+            if not cands:
+                break  # ring closed (back at start vertex)
+            if len(cands) == 1:
+                i = cands[0]
+            else:
+                # saddle: sharpest clockwise turn relative to incoming
+                din = (ex[i] - sx[i], ey[i] - sy[i])
+                def turn(j):
+                    dout = (ex[j] - sx[j], ey[j] - sy[j])
+                    cross = din[0] * dout[1] - din[1] * dout[0]
+                    dot = din[0] * dout[0] + din[1] * dout[1]
+                    # prefer right turn (cross>0 in y-down), then straight
+                    return (-cross, -dot)
+                i = min(cands, key=turn)
+    return n_rings, n, area2
+
+
+def raster_to_polygons(spec: RasterSpec | None = None) -> "rd.Dataset":
+    """(value, n_rings, perimeter, area) per class value."""
+    spec = spec or RasterSpec()
+
+    def edges(batch) -> pd.DataFrame:
+        return pd.concat([_tile_edges(spec, int(t)) for t in batch["id"]],
+                         ignore_index=True)
+
+    def per_value(df: pd.DataFrame) -> pd.DataFrame:
+        rings, perim, area2 = _assemble(df)
+        return pd.DataFrame({"value": [int(df["value"].iloc[0])],
+                             "n_rings": [rings], "perimeter": [perim],
+                             "area": [area2 // 2]})
+
+    ds = rd.range(spec.n_tiles).map_batches(edges, batch_format="numpy")
+    return (coalesce_partials(ds).groupby("value")
+            .map_groups(per_value, batch_format="pandas").sort("value"))
+
+
+def raster_to_polygons_naive(spec: RasterSpec) -> pd.DataFrame:
+    """Whole-grid single-tile mirror."""
+    one = RasterSpec(rows=spec.rows, cols=spec.cols, tile_rows=spec.rows,
+                     nodata=spec.nodata)
+    df = _tile_edges(one, 0)
+    rows = []
+    for v, g in df.groupby("value"):
+        rings, perim, area2 = _assemble(g.reset_index(drop=True))
+        rows.append({"value": int(v), "n_rings": rings,
+                     "perimeter": perim, "area": area2 // 2})
+    return pd.DataFrame(rows).sort_values("value").reset_index(drop=True)
+
+
+def class_cell_counts(spec: RasterSpec) -> pd.DataFrame:
+    """Independent oracle: cells per class (area must equal this)."""
+    cell = np.arange(spec.rows * spec.cols, dtype=np.int64)
+    z = synth_value(cell)
+    cls = classify(z, spec.nodata)
+    vals, counts = np.unique(cls[cls >= 0], return_counts=True)
+    return pd.DataFrame({"value": vals, "n_cells": counts})

@@ -116,6 +116,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             raster_to_polygons)
         return raster_to_polygons(raster.RasterSpec())
 
+    def _contour_poly_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.vectorize import (
+            contour_polylines)
+        return contour_polylines(raster.RasterSpec())
+
     def _thin_q(sf_dir: str, kind: str):
         from whitebox_geospatial_analysis_tools_ray.stages.thinning import (
             line_thinning, remove_spurs)
@@ -258,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
         "raster_to_polygons": lambda sf: _r2poly_q(sf),
+        "contour_polylines": lambda sf: _contour_poly_q(sf),
         "rasterize_lines": lambda sf: rasterize.rasterize_lines(),
         "clip_raster_to_polygon": lambda sf: rasterize.clip_raster_to_polygon(),
         "clump": lambda sf: clump_mod.clump(),

@@ -160,3 +160,169 @@ def class_cell_counts(spec: RasterSpec) -> pd.DataFrame:
     cls = classify(z, spec.nodata)
     vals, counts = np.unique(cls[cls >= 0], return_counts=True)
     return pd.DataFrame({"value": vals, "n_cells": counts})
+
+
+# ---------------------------------------------------------------------------
+# Contour polyline assembly (TerrainAnalysisTools/src/plugins/Contour.java,
+# 1,410 LoC — DEM → isoline POLYLINES; completes the per-level length
+# reduction in raster_stats.contour_lengths with the ring/chain stitch).
+#
+# Marching squares per tile (a square is owned by the tile of its top-left
+# cell; one halo row supplies the bottom corners). Endpoint coordinates are
+# interpolated from the SAME four corner doubles in whichever tile computes
+# them, so cross-tile endpoints match bit-exactly and assembly after the
+# per-level shuffle is a pure dictionary chain walk — no tolerance needed.
+# ---------------------------------------------------------------------------
+
+def _tile_contour_segments(spec: RasterSpec, tid: int,
+                           levels: tuple) -> pd.DataFrame:
+    from .raster import NODATA as ND
+
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    if r1 >= spec.rows:
+        r1 = spec.rows - 1  # last row owns no square
+        if r1 <= r0:
+            return pd.DataFrame({"level": pd.Series([], dtype="float64"),
+                                 "x1": [], "y1": [], "x2": [], "y2": []})
+    lo, hi = r0, min(r1 + 1, spec.rows)
+    cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+    z = synth_value(cell).reshape(hi - lo, spec.cols)
+    a = z[:-1, :-1]; b = z[:-1, 1:]; c_ = z[1:, :-1]; d = z[1:, 1:]
+    valid = (a != ND) & (b != ND) & (c_ != ND) & (d != ND)
+    rr, cc = np.nonzero(valid)
+    gr = rr + r0
+    out = {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}
+
+    for level in levels:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fa = a >= level; fb = b >= level
+            fc = c_ >= level; fd = d >= level
+            code = (fa.astype(int) + fb.astype(int) * 2
+                    + fc.astype(int) * 4 + fd.astype(int) * 8)
+            t_top = (level - a) / (b - a)
+            t_bot = (level - c_) / (d - c_)
+            t_left = (level - a) / (c_ - a)
+            t_right = (level - b) / (d - b)
+        centre_hi = (a + b + c_ + d) / 4.0 >= level
+        # endpoint coords per square (global)
+        P = {
+            "T": (lambda m: (cc[m] + t_top[rr[m], cc[m]], gr[m] + 0.0)),
+            "B": (lambda m: (cc[m] + t_bot[rr[m], cc[m]], gr[m] + 1.0)),
+            "L": (lambda m: (cc[m] + 0.0, gr[m] + t_left[rr[m], cc[m]])),
+            "R": (lambda m: (cc[m] + 1.0, gr[m] + t_right[rr[m], cc[m]])),
+        }
+
+        def emit(e1: str, e2: str, mask2d):
+            m = mask2d[rr, cc]
+            if not m.any():
+                return
+            x1, y1 = P[e1](m)
+            x2, y2 = P[e2](m)
+            out["level"].append(np.full(len(x1), level))
+            out["x1"].append(x1); out["y1"].append(y1)
+            out["x2"].append(x2); out["y2"].append(y2)
+
+        emit("T", "L", (code == 1) | (code == 14))
+        emit("T", "R", (code == 2) | (code == 13))
+        emit("L", "B", (code == 4) | (code == 11))
+        emit("R", "B", (code == 8) | (code == 7))
+        emit("L", "R", (code == 3) | (code == 12))
+        emit("T", "B", (code == 5) | (code == 10))
+        emit("T", "R", (code == 6) & centre_hi)
+        emit("L", "B", (code == 6) & centre_hi)
+        emit("T", "L", (code == 6) & ~centre_hi)
+        emit("R", "B", (code == 6) & ~centre_hi)
+        emit("T", "L", (code == 9) & centre_hi)
+        emit("R", "B", (code == 9) & centre_hi)
+        emit("T", "R", (code == 9) & ~centre_hi)
+        emit("L", "B", (code == 9) & ~centre_hi)
+
+    if not out["level"]:
+        return pd.DataFrame({"level": pd.Series([], dtype="float64"),
+                             "x1": [], "y1": [], "x2": [], "y2": []})
+    return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+
+def _chain_segments(df: pd.DataFrame) -> tuple[int, int, int, float]:
+    """(n_segments, n_polylines, n_closed, total_length) for one level."""
+    x1 = df["x1"].to_numpy(); y1 = df["y1"].to_numpy()
+    x2 = df["x2"].to_numpy(); y2 = df["y2"].to_numpy()
+    order = np.lexsort((y2, x2, y1, x1))
+    x1, y1, x2, y2 = x1[order], y1[order], x2[order], y2[order]
+    n = len(x1)
+    incid: dict[bytes, list[int]] = {}
+    for i in range(n):
+        for px, py in ((x1[i], y1[i]), (x2[i], y2[i])):
+            incid.setdefault(np.float64(px).tobytes()
+                             + np.float64(py).tobytes(), []).append(i)
+    used = np.zeros(n, dtype=bool)
+    deg1 = sorted({k for k, v in incid.items() if len(v) == 1})
+
+    def walk(start: int, from_key: bytes):
+        """Consume a chain starting at segment ``start`` entered via
+        endpoint ``from_key``; returns the final endpoint key."""
+        i, key = start, from_key
+        while True:
+            used[i] = True
+            k1 = np.float64(x1[i]).tobytes() + np.float64(y1[i]).tobytes()
+            k2 = np.float64(x2[i]).tobytes() + np.float64(y2[i]).tobytes()
+            key = k2 if key == k1 else k1
+            nxt = [j for j in incid.get(key, ()) if not used[j]]
+            if not nxt:
+                return key
+            i = nxt[0]
+
+    n_poly = n_closed = 0
+    for k in deg1:
+        (i,) = incid[k]
+        if used[i]:
+            continue
+        n_poly += 1
+        walk(i, k)
+    for i in range(n):  # remaining segments form closed rings
+        if used[i]:
+            continue
+        n_poly += 1
+        n_closed += 1
+        walk(i, np.float64(x1[i]).tobytes() + np.float64(y1[i]).tobytes())
+    length = float(np.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2).sum())
+    return n, n_poly, n_closed, length
+
+
+def contour_polylines(spec: RasterSpec | None = None,
+                      levels: tuple = (250.0, 500.0, 750.0),
+                      round_to: int = 4) -> "rd.Dataset":
+    """(level, n_segments, n_polylines, n_closed, total_length)."""
+    spec = spec or RasterSpec()
+
+    def segs(batch) -> pd.DataFrame:
+        return pd.concat([_tile_contour_segments(spec, int(t), levels)
+                          for t in batch["id"]], ignore_index=True)
+
+    def per_level(df: pd.DataFrame) -> pd.DataFrame:
+        n, n_poly, n_closed, length = _chain_segments(df)
+        return pd.DataFrame({"level": [float(df["level"].iloc[0])],
+                             "n_segments": [n], "n_polylines": [n_poly],
+                             "n_closed": [n_closed],
+                             "total_length": [round(length, round_to)]})
+
+    ds = rd.range(spec.n_tiles).map_batches(segs, batch_format="numpy")
+    return (coalesce_partials(ds).groupby("level")
+            .map_groups(per_level, batch_format="pandas").sort("level"))
+
+
+def contour_polylines_naive(spec: RasterSpec,
+                            levels: tuple = (250.0, 500.0, 750.0),
+                            round_to: int = 4) -> pd.DataFrame:
+    one = RasterSpec(rows=spec.rows, cols=spec.cols, tile_rows=spec.rows,
+                     nodata=spec.nodata)
+    df = _tile_contour_segments(one, 0, levels)
+    rows = []
+    for lv, g in df.groupby("level"):
+        n, n_poly, n_closed, length = _chain_segments(
+            g.reset_index(drop=True))
+        rows.append({"level": float(lv), "n_segments": n,
+                     "n_polylines": n_poly, "n_closed": n_closed,
+                     "total_length": round(length, round_to)})
+    return pd.DataFrame(rows).sort_values("level").reset_index(drop=True)

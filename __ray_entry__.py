@@ -99,6 +99,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "sqrt(a) + b / 5.0 + if(a > b, 1.0, 0.0)")
         return raster.raster_row_checksums(out, spec)
 
+    def _vclean_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+            vector_cleaning)
+        return vector_cleaning(sf_dir)
+
     def _las_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.sources.las import las_tile_stats
         return las_tile_stats(sf_dir)
@@ -233,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_link_lengths": lambda sf: streams.stream_link_lengths(),
         "stream_link_slope": lambda sf: streams.stream_link_slope(),
         "find_main_stem": lambda sf: streams.find_main_stem(),
+        "streams_to_vector": lambda sf: streams.streams_to_vector(),
+        "vector_cleaning": lambda sf: _vclean_q(sf),
         "contour_lengths": lambda sf: raster_stats.contour_lengths(
             raster.RasterSpec()),
         # --- TIN / Voronoi (ConstructTIN, VoronoiDiagram, RasterizeTIN —
@@ -283,6 +290,8 @@ def oracle_sql() -> dict[str, str]:
         utm_project_sql as _crs_sql)
     from whitebox_geospatial_analysis_tools_ray.sources.las import (
         las_tile_stats_sql as _las_sql)
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        vector_cleaning_sql as _vclean_sql)
 
     return {
         "tile_assign": o.tile_assign_sql(),
@@ -339,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "inflow_count": o.inflow_count_sql(),
         # flow_accumulation: iterative boundary-exchange fixed point —
         # rows-only, verified vs the single-process topological mirror.
+        "vector_cleaning": _vclean_sql(),
         "vector_clip": o.clip_boxes_sql(),
         "vector_erase": o.erase_boxes_sql(),
         "overlay_intersect": o.overlay_area_sql("intersection"),

@@ -155,3 +155,17 @@ def test_find_main_stem_tiling_invariant(ray_session):
     a = streams.find_main_stem(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = streams.find_main_stem(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_streams_to_vector_matches_naive(ray_session):
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = streams.streams_to_vector(spec)
+    want = streams.streams_to_vector_naive(spec)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["n_vertices"] > 0).all()
+
+
+def test_streams_to_vector_tiling_invariant(ray_session):
+    a = streams.streams_to_vector(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = streams.streams_to_vector(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)

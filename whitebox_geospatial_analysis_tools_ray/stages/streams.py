@@ -493,3 +493,110 @@ def find_main_stem_naive(spec: RasterSpec, threshold: float = 5.0):
                     break
                 x, y = best
     return ms, stream
+
+
+# ---------------------------------------------------------------------------
+# RasterStreamsToVector (StreamNetworkAnalysisTools/src/plugins/
+# RasterStreamsToVector.java, 417 LoC) — stream links → vector polylines.
+# The link machinery already labels every stream cell; a polyline is the
+# label's cells ordered by following the D8 pointer. One groupby(label)
+# shuffle of (label, gcell, next_gcell) triples; per group a dictionary
+# chain walk from the head cell (gcell == label, by construction the
+# link's most upstream cell). Covers the RasterToVectorLines family
+# (ConversionTools/RasterToVectorLines.java) — same chain walk.
+# ---------------------------------------------------------------------------
+
+def streams_to_vector(spec: RasterSpec | None = None,
+                      threshold: float = 5.0) -> pd.DataFrame:
+    """(label, n_vertices, first_cell, last_cell, path_hash) per link —
+    path_hash is a polynomial hash of the ordered global cell ids."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    frames = stream_topology_frames(spec, threshold)
+
+    def partial(batch) -> pd.DataFrame:
+        parts = []
+        for tid, lab_buf, st_buf, h in zip(batch["tile_id"], batch["label"],
+                                           batch["stream"], batch["shape0"]):
+            h = int(h)
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            label = np.frombuffer(lab_buf, dtype=np.int64).reshape(h, cols)
+            stream = np.frombuffer(st_buf, dtype=np.int8).reshape(
+                h, cols).astype(bool)
+            r0 = tid * spec.tile_rows
+            rr, cc = np.nonzero(stream)
+            gcell = (rr + r0) * cols + cc
+            code = ptr[rr, cc]
+            nxt = np.full(len(rr), -1, dtype=np.int64)
+            pos = code > 0
+            if pos.any():
+                i = (np.log2(code[pos])).astype(np.int64)
+                nxt[pos] = ((rr[pos] + r0 + np.take(_DY, i)) * cols
+                            + cc[pos] + np.take(_DX, i))
+            parts.append(pd.DataFrame({"label": label[rr, cc],
+                                       "gcell": gcell, "nxt": nxt}))
+        return pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                          "gcell": [], "nxt": []})
+
+    def per_link(df: pd.DataFrame) -> pd.DataFrame:
+        lab = int(df["label"].iloc[0])
+        cells = dict(zip(df["gcell"].to_numpy(), df["nxt"].to_numpy()))
+        seq = []
+        cur = lab  # head cell id == label by construction
+        while cur in cells:
+            seq.append(cur)
+            cur = int(cells.pop(cur))
+        hsh = 0
+        for g in seq:
+            hsh = (hsh * 1_000_003 + int(g)) % (1 << 61)
+        return pd.DataFrame({
+            "label": [lab], "n_vertices": [len(seq)],
+            "first_cell": [seq[0] if seq else -1],
+            "last_cell": [seq[-1] if seq else -1],
+            "path_hash": [hsh]})
+
+    from .util import coalesce_partials
+    got = (coalesce_partials(
+        rd.from_pandas(frames[["tile_id", "label", "stream", "shape0"]])
+        .map_batches(partial, batch_format="pandas"))
+        .groupby("label").map_groups(per_link, batch_format="pandas")
+        .to_pandas())
+    return got.sort_values("label").reset_index(drop=True)
+
+
+def streams_to_vector_naive(spec: RasterSpec, threshold: float = 5.0):
+    order, mag, label, stream = stream_topology_naive(spec, threshold)
+    from .raster import synth_value
+    from .terrain import d8_kernel
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    rows = []
+    for lab in np.unique(label[stream]):
+        m = stream & (label == lab)
+        cells = {}
+        for r, c in zip(*np.nonzero(m)):
+            code = ptr[r, c]
+            nxt = -1
+            if code > 0:
+                i = int(code).bit_length() - 1
+                nxt = (r + _DY[i]) * cols + c + _DX[i]
+            cells[r * cols + c] = nxt
+        seq = []
+        cur = int(lab)
+        while cur in cells:
+            seq.append(cur)
+            cur = int(cells.pop(cur))
+        hsh = 0
+        for g in seq:
+            hsh = (hsh * 1_000_003 + int(g)) % (1 << 61)
+        rows.append({"label": int(lab), "n_vertices": len(seq),
+                     "first_cell": seq[0] if seq else -1,
+                     "last_cell": seq[-1] if seq else -1,
+                     "path_hash": hsh})
+    return pd.DataFrame(rows).sort_values("label").reset_index(drop=True)

@@ -143,3 +143,57 @@ def clip_to_rect(points_ds, xmin: float, ymin: float, xmax: float, ymax: float):
         return {k: np.asarray(v)[m] for k, v in batch.items()}
 
     return points_ds.map_batches(fn, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# VectorCleaning (VectorTools/src/plugins/VectorCleaning.java, 453 LoC):
+# snap near-coincident vertices to a tolerance grid and drop the
+# degenerate duplicates that result. One stateless map_batches; the
+# snap uses a power-of-two tolerance so the cleaned coordinates (and
+# any area derived from them) are exactly reproducible in SQL.
+# ---------------------------------------------------------------------------
+
+CLEAN_TOL = 0.5  # power of two → floor(v/tol + 0.5)·tol is dyadic-exact
+
+
+def snap_coord(v: "np.ndarray", tol: float = CLEAN_TOL) -> "np.ndarray":
+    import numpy as np
+    return np.floor(np.asarray(v, dtype=np.float64) / tol + 0.5) * tol
+
+
+def vector_cleaning(sf_dir: str, round_to: int = 6):
+    """Clean the document-square layer: snap corners to the tolerance
+    grid, emit (rec_id, snapped_area, degenerate) — degenerate = the
+    snap collapsed the feature to zero width/height."""
+    import numpy as np
+
+    from .vector_overlay import doc_squares
+
+    def clean(batch):
+        x0 = snap_coord(batch["xmin"]); x1 = snap_coord(batch["xmax"])
+        y0 = snap_coord(batch["ymin"]); y1 = snap_coord(batch["ymax"])
+        area = (x1 - x0) * (y1 - y0)
+        return {"rec_id": batch["rec_id"],
+                "snapped_area": np.round(area, round_to),
+                "degenerate": (area <= 0).astype(np.int64)}
+
+    return doc_squares(sf_dir).map_batches(clean, batch_format="numpy")
+
+
+def vector_cleaning_sql() -> str:
+    from ..core.features import POINTS_CTE
+    from ..oracle import _doc_squares_cte
+    inv = float(1.0 / CLEAN_TOL)
+    def snap(col):
+        return f"floor({col} * {inv!r} + 0.5) / {inv!r}"
+    return f"""
+WITH {POINTS_CTE},
+{_doc_squares_cte()},
+s AS (SELECT rec_id,
+             {snap('xmin')} AS x0, {snap('xmax')} AS x1,
+             {snap('ymin')} AS y0, {snap('ymax')} AS y1
+      FROM boxes)
+SELECT rec_id, round((x1 - x0) * (y1 - y0), 6) AS snapped_area,
+       CASE WHEN (x1 - x0) * (y1 - y0) <= 0 THEN 1 ELSE 0 END AS degenerate
+FROM s
+"""

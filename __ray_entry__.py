@@ -99,6 +99,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "sqrt(a) + b / 5.0 + if(a > b, 1.0, 0.0)")
         return raster.raster_row_checksums(out, spec)
 
+    def _geotiff_q(sf_dir: str):
+        """Export the synthetic raster to a baseline GeoTIFF under /tmp,
+        re-import it through byte-range strip reads, checksum rows —
+        identity roundtrip with an exact SQL oracle."""
+        from whitebox_geospatial_analysis_tools_ray.sources.geotiff import (
+            export_geotiff, import_geotiff)
+        from whitebox_geospatial_analysis_tools_ray.sources.raster_io import (
+            RasterHeader)
+        import numpy as _np
+        spec = raster.RasterSpec()
+        path = "/tmp/graft_geotiff_rt.tif"
+        hdr = RasterHeader(rows=spec.rows, cols=spec.cols,
+                           north=float(spec.rows), south=0.0,
+                           east=float(spec.cols), west=0.0)
+        export_geotiff(hdr, raster.synth_raster(spec), path,
+                       dtype=_np.dtype("<f8"))
+        _, ds = import_geotiff(path, tile_rows=spec.tile_rows)
+        return raster.raster_row_checksums(ds, spec)
+
     def _vclean_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
             vector_cleaning)
@@ -203,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_rescale": _checksum_q(raster_stats.rescale_value_range),
         "raster_hist_equalize": _checksum_q(raster_stats.histogram_equalize),
         "raster_aggregate": _downsample,
+        "geotiff_roundtrip": _geotiff_q,
         "raster_mosaic": lambda sf: raster_stats.mosaic(raster.RasterSpec()),
         "raster_resample": lambda sf: raster_stats.resample_nn(
             raster.RasterSpec(), out_rows=100, out_cols=160),
@@ -335,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_rescale": o.rescale_sql(),
         "raster_hist_equalize": o.histogram_equalize_sql(),
         "raster_aggregate": o.aggregate_downsample_sql(),
+        "geotiff_roundtrip": o.raster_identity_sql(),
         "raster_resample": o.resample_nn_sql(),
         "raster_mosaic": o.mosaic_sql(),
         "terrain_slope": o.slope_sql(),

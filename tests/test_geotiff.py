@@ -1,0 +1,60 @@
+"""Baseline GeoTIFF import/export roundtrip through Ray tile rows."""
+
+import numpy as np
+import pytest
+
+from whitebox_geospatial_analysis_tools_ray.sources import geotiff as gt
+from whitebox_geospatial_analysis_tools_ray.sources.raster_io import RasterHeader
+
+
+def _synth_ds(hdr, grid, tile_rows=16):
+    import pandas as pd
+    import ray.data as rd
+    frames = []
+    for t in range(0, hdr.rows, tile_rows):
+        frames.append({"tile_id": t // tile_rows,
+                       "data": grid[t:t + tile_rows].ravel()})
+    return rd.from_pandas(pd.DataFrame(frames))
+
+
+@pytest.mark.parametrize("dtype", ["<f4", "<f8", "<i2", "<u2"])
+def test_geotiff_roundtrip(tmp_path, ray_session, dtype):
+    g = np.random.default_rng(9)
+    rows, cols = 48, 37
+    grid = (g.uniform(0, 1000, (rows, cols)).astype(np.dtype(dtype))
+            .astype(np.float64))
+    hdr = RasterHeader(rows=rows, cols=cols, north=100.0, south=52.0,
+                       east=200.0, west=163.0)
+    p = str(tmp_path / f"t{dtype[1:]}.tif")
+    gt.export_geotiff(hdr, _synth_ds(hdr, grid), p, dtype=np.dtype(dtype),
+                      rows_per_strip=13)
+    hdr2, ds = gt.import_geotiff(p, tile_rows=11)
+    assert (hdr2.rows, hdr2.cols) == (rows, cols)
+    assert hdr2.west == pytest.approx(hdr.west)
+    assert hdr2.north == pytest.approx(hdr.north)
+    assert hdr2.east == pytest.approx(hdr.east)
+    frames = ds.to_pandas().sort_values("tile_id")
+    got = np.vstack([np.asarray(r.data).reshape(-1, cols)
+                     for r in frames.itertuples()])
+    np.testing.assert_array_equal(got, grid)
+
+
+def test_geotiff_rejects_compressed(tmp_path):
+    # minimal IFD with Compression=5 (LZW)
+    import struct
+    p = str(tmp_path / "c.tif")
+    ifd = struct.pack("<H", 3)
+    for tag, typ, cnt, val in ((256, 4, 1, 4), (257, 4, 1, 4),
+                               (259, 3, 1, 5)):
+        ifd += struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+    ifd += struct.pack("<I", 0)
+    open(p, "wb").write(b"II*\0" + struct.pack("<I", 8) + ifd)
+    with pytest.raises(NotImplementedError):
+        gt.read_geotiff_header(p)
+
+
+def test_geotiff_rejects_non_tiff(tmp_path):
+    p = str(tmp_path / "x.tif")
+    open(p, "wb").write(b"NOPE" + b"\0" * 64)
+    with pytest.raises(ValueError):
+        gt.read_geotiff_header(p)

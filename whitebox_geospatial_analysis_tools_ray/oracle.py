@@ -464,6 +464,18 @@ FROM mapped GROUP BY cell // {cols}
 """
 
 
+def raster_identity_sql(rows: int = 256, cols: int = 256) -> str:
+    """Row checksums of the unmapped synthetic raster — the oracle for
+    lossless source/sink roundtrips (GeoTIFF, .dep/.tas, …)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)}
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN v = {_NOD} THEN 0.0 ELSE v END), 6) AS row_sum
+FROM vals GROUP BY cell // {cols}
+"""
+
+
 def raster_stencil_sql(rows: int = 256, cols: int = 256) -> str:
     return f"""
 WITH {_raster_vals_cte(rows, cols)},

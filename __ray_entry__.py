@@ -118,6 +118,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, ds = import_geotiff(path, tile_rows=spec.tile_rows)
         return raster.raster_row_checksums(ds, spec)
 
+    def _shape_q(sf_dir: str, kind: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+            shape_metrics_basic, shape_metrics_extended)
+        fn = shape_metrics_basic if kind == "basic" else shape_metrics_extended
+        return fn(sf_dir)
+
     def _vclean_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
             vector_cleaning)
@@ -260,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_main_stem": lambda sf: streams.find_main_stem(),
         "streams_to_vector": lambda sf: streams.streams_to_vector(),
         "vector_cleaning": lambda sf: _vclean_q(sf),
+        "shape_metrics_basic": lambda sf: _shape_q(sf, "basic"),
+        "shape_metrics_extended": lambda sf: _shape_q(sf, "ext"),
         "contour_lengths": lambda sf: raster_stats.contour_lengths(
             raster.RasterSpec()),
         # --- TIN / Voronoi (ConstructTIN, VoronoiDiagram, RasterizeTIN —
@@ -311,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
     from whitebox_geospatial_analysis_tools_ray.sources.las import (
         las_tile_stats_sql as _las_sql)
     from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        shape_metrics_basic_sql as _shape_sql,
         vector_cleaning_sql as _vclean_sql)
 
     return {
@@ -370,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         # flow_accumulation: iterative boundary-exchange fixed point —
         # rows-only, verified vs the single-process topological mirror.
         "vector_cleaning": _vclean_sql(),
+        "shape_metrics_basic": _shape_sql(),
         "vector_clip": o.clip_boxes_sql(),
         "vector_erase": o.erase_boxes_sql(),
         "overlay_intersect": o.overlay_area_sql("intersection"),

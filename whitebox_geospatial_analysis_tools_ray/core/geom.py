@@ -304,3 +304,56 @@ def parse_wkb(buf: bytes):
             polys.append(poly)
         return "multipolygon", polys
     raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def min_enclosing_circle(pts: np.ndarray) -> tuple[float, float, float]:
+    """Smallest enclosing circle (cx, cy, r) — deterministic Welzl
+    (no shuffle; fine for per-feature vertex counts). The reference
+    delegates to JTS MinimumBoundingCircle
+    (GISTools/src/plugins/RelatedCircumscribingCircle.java:425-458)."""
+    pts = [tuple(map(float, p)) for p in np.asarray(pts, dtype=np.float64)]
+
+    def circle2(a, b):
+        cx, cy = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+        r = ((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2) ** 0.5 / 2.0
+        return cx, cy, r
+
+    def circle3(a, b, c):
+        d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                   + c[0] * (a[1] - b[1]))
+        if d == 0:
+            return None
+        a2 = a[0] * a[0] + a[1] * a[1]
+        b2 = b[0] * b[0] + b[1] * b[1]
+        c2 = c[0] * c[0] + c[1] * c[1]
+        ux = (a2 * (b[1] - c[1]) + b2 * (c[1] - a[1]) + c2 * (a[1] - b[1])) / d
+        uy = (a2 * (c[0] - b[0]) + b2 * (a[0] - c[0]) + c2 * (b[0] - a[0])) / d
+        return ux, uy, ((ux - a[0]) ** 2 + (uy - a[1]) ** 2) ** 0.5
+
+    def inside(c, p, eps=1e-9):
+        return ((p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2) ** 0.5 \
+            <= c[2] + eps
+
+    def welzl(P, R):
+        if not P or len(R) == 3:
+            if len(R) == 0:
+                return (0.0, 0.0, 0.0)
+            if len(R) == 1:
+                return (R[0][0], R[0][1], 0.0)
+            if len(R) == 2:
+                return circle2(R[0], R[1])
+            c = circle3(*R)
+            return c if c else circle2(R[0], R[1])
+        p = P[-1]
+        c = welzl(P[:-1], R)
+        if inside(c, p):
+            return c
+        return welzl(P[:-1], R + [p])
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10 * len(pts) + 100))
+    try:
+        return welzl(pts, [])
+    finally:
+        sys.setrecursionlimit(old)

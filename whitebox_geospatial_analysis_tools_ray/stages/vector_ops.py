@@ -197,3 +197,104 @@ SELECT rec_id, round((x1 - x0) * (y1 - y0), 6) AS snapped_area,
        CASE WHEN (x1 - x0) * (y1 - y0) <= 0 THEN 1 ELSE 0 END AS degenerate
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Remaining patch-shape indices (GISTools/src/plugins/) over the concave
+# L-shape layer — integer coordinates make the basic set exactly
+# SQL-mirrorable:
+# - FractalDimension.java:483: FD = 2·ln(perimeter) / ln(area)
+# - PerimeterAreaRatio.java: P/A; CompactnessRatio.java: P/(2·√(π·A))
+# - RelatedCircumscribingCircle.java:466: 1 − A/(π·r²), r = min
+#   bounding circle of the vertices
+# - RadiusOfGyration.java:268-279: mean vertex distance to the centroid
+# - PatchOrientation.java:288-298: regression-slope orientation in
+#   degrees, folded to [0, 90]°-from-north
+# ---------------------------------------------------------------------------
+
+def _l_vertices(xa, ya, h, w2):
+    import numpy as np
+    return np.array([[xa - h, ya - h], [xa + h + w2, ya - h],
+                     [xa + h + w2, ya], [xa + h, ya],
+                     [xa + h, ya + h], [xa - h, ya + h]])
+
+
+def shape_metrics_basic(sf_dir: str, round_to: int = 6):
+    """(rec_id, area, perimeter, compactness, pa_ratio, fractal_dim)
+    over the L-shape layer — exact SQL oracle."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        h = np.asarray(batch["h"], dtype=np.float64)
+        w2 = np.asarray(batch["w2"], dtype=np.float64)
+        area = 4.0 * h * h + w2 * h
+        per = 8.0 * h + 2.0 * w2
+        return {"rec_id": batch["rec_id"],
+                "area": area, "perimeter": per,
+                "compactness": np.round(per / (2.0 * np.sqrt(np.pi * area)),
+                                        round_to),
+                "pa_ratio": np.round(per / area, round_to),
+                "fractal_dim": np.round(2.0 * np.log(per) / np.log(area),
+                                        round_to)}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def shape_metrics_basic_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, 10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2
+      FROM pts),
+m AS (SELECT rec_id, 4.0 * h * h + w2 * h AS area,
+             8.0 * h + 2.0 * w2 AS per FROM l)
+SELECT rec_id, area, per AS perimeter,
+       round(per / (2.0 * sqrt(pi() * area)), 6) AS compactness,
+       round(per / area, 6) AS pa_ratio,
+       round(2.0 * ln(per) / ln(area), 6) AS fractal_dim
+FROM m
+"""
+
+
+def shape_metrics_extended(sf_dir: str, round_to: int = 6):
+    """(rec_id, rc_circle, gyradius, orientation) — per-feature scalar
+    kernels that SQL cannot express (min bounding circle via Welzl)."""
+    import numpy as np
+
+    from ..core.geom import min_enclosing_circle
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        n = len(batch["rec_id"])
+        rc = np.empty(n)
+        gy = np.empty(n)
+        ori = np.empty(n)
+        for i in range(n):
+            v = _l_vertices(batch["xa"][i], batch["ya"][i],
+                            batch["h"][i], batch["w2"][i])
+            _, _, r = min_enclosing_circle(v)
+            area = 4.0 * batch["h"][i] ** 2 + batch["w2"][i] * batch["h"][i]
+            rc[i] = 1.0 - area / (np.pi * r * r) if r > 0 else 0.0
+            cx, cy = v.mean(axis=0)
+            gy[i] = float(np.sqrt((v[:, 0] - cx) ** 2
+                                  + (v[:, 1] - cy) ** 2).mean())
+            # PatchOrientation.java:288-298 regression fold
+            x, y = v[:, 0], v[:, 1]
+            mean = len(v)
+            sx, sy = x.sum(), y.sum()
+            sxy, sx2 = (x * y).sum(), (x * x).sum()
+            den = sx2 - sx * sx / mean
+            if den != 0:
+                s = -(sxy - sx * sy / mean) / den
+                deg = np.degrees(np.arctan(s))
+                ori[i] = 90.0 + -1.0 * deg if deg < 0 else 90.0 - deg
+            else:
+                ori[i] = 0.0
+        return {"rec_id": batch["rec_id"],
+                "rc_circle": np.round(rc, round_to),
+                "gyradius": np.round(gy, round_to),
+                "orientation": np.round(ori, round_to)}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")

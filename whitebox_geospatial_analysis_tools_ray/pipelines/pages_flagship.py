@@ -20,7 +20,6 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ..core.features import seeded_polygons
 from ..core.rng import EAST, NORTH, SOUTH, WEST, geocode_xy
@@ -75,7 +74,6 @@ def pages_flagship(pages_dir: str, tile_width: float = 250.0) -> "rd.Dataset":
         g = df.groupby(["tile_id", "zone_id"], sort=False)["chars"]
         return g.agg(c="count", s="sum").reset_index()
 
-    from ..stages.util import coalesce_partials
     # one read task per shard file: Ray's default read parallelism caps
     # well below the file count here, leaving CPUs idle on the scan
     import glob
@@ -83,11 +81,25 @@ def pages_flagship(pages_dir: str, tile_width: float = 250.0) -> "rd.Dataset":
     n_files = len(glob.glob(os.path.join(pages_dir, "*.parquet"))) or None
     ds = rd.read_parquet(pages_dir, columns=["url", "html"],
                          override_num_blocks=n_files)
+    # batch_size=None → one batch per 15,625-row shard block: 128 equal
+    # tasks (4 clean waves on 32 CPUs) and read→map fusion; bundling to
+    # larger batches made 43 ragged tasks whose last wave idled a third
+    # of the machine.
     partials = ds.map_batches(extract_geo_join, batch_format="pandas",
-                              batch_size=32768)
-    agg = coalesce_partials(partials).groupby(["tile_id", "zone_id"]).aggregate(
-        Sum("c", alias_name="n_pages"), Sum("s", alias_name="sum_chars"))
-    return agg.map_batches(
-        lambda t: t.assign(n_pages=t["n_pages"].astype("int64"),
-                           sum_chars=t["sum_chars"].astype("int64")),
-        batch_format="pandas")
+                              batch_size=None)
+
+    # Final combine: the partials are pre-aggregated to O(tiles × zones)
+    # rows — a few MB at ANY input scale — so a sort-based distributed
+    # groupby here is pure fixed-cost tail (it was ~4 s of the 32-CPU
+    # wall, capping scaling efficiency). One single-task pandas combine
+    # keeps the tail O(partial rows) and scale-independent.
+    def final_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["tile_id", "zone_id"], sort=True)
+             .agg(n_pages=("c", "sum"), sum_chars=("s", "sum"))
+             .reset_index())
+        g["n_pages"] = g["n_pages"].astype("int64")
+        g["sum_chars"] = g["sum_chars"].astype("int64")
+        return g
+
+    return partials.repartition(1).map_batches(
+        final_combine, batch_format="pandas", batch_size=None)

@@ -67,8 +67,8 @@ def cell_aggregates(points: "rd.Dataset", grid: RectGrid,
             "last_z": [float(g.loc[i_last, "last_z"])],
         })
 
-    return coalesce_partials(partials).groupby("tile_id").map_groups(
-        final, batch_format="pandas")
+    from .util import combine_bounded, groupwise_combine
+    return combine_bounded(partials, groupwise_combine(final, "tile_id"))
 
 
 def zonal_stats(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
@@ -103,8 +103,8 @@ def zonal_stats(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
             "std_z": [round(float(np.sqrt(var)), round_to)],
         })
 
-    return coalesce_partials(partials).groupby("lang").map_groups(
-        final, batch_format="pandas")
+    from .util import combine_bounded, groupwise_combine
+    return combine_bounded(partials, groupwise_combine(final, "lang"))
 
 
 def value_histogram(sf_dir: str, nbins: int = 20) -> "rd.Dataset":
@@ -125,8 +125,11 @@ def value_histogram(sf_dir: str, nbins: int = 20) -> "rd.Dataset":
         return {"bin_id": ids, "c": counts.astype(np.int64)}
 
     partials = ds.map_batches(partial, batch_format="numpy")
-    agg = coalesce_partials(partials).groupby("bin_id").aggregate(
-        Sum("c", alias_name="bin_count"))
-    return agg.map_batches(
-        lambda t: t.assign(bin_count=t["bin_count"].astype("int64")),
-        batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin_id", sort=True)["c"].sum().reset_index()
+        return g.rename(columns={"c": "bin_count"}).astype(
+            {"bin_count": "int64"})
+
+    from .util import combine_bounded
+    return combine_bounded(partials, combine)

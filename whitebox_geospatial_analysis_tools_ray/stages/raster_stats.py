@@ -193,10 +193,13 @@ def cross_tabulation(pair: "rd.Dataset", spec: RasterSpec,
         return pd.concat(frames, ignore_index=True)
 
     partials = pair.map_batches(partial, batch_format="pandas")
-    agg = coalesce_partials(partials).groupby(["class_a", "class_b"]).aggregate(
-        Sum("c", alias_name="n"))
-    return agg.map_batches(lambda t: t.assign(n=t["n"].astype("int64")),
-                           batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["class_a", "class_b"], sort=True)["c"].sum().reset_index()
+        return g.rename(columns={"c": "n"}).astype({"n": "int64"})
+
+    from .util import combine_bounded
+    return combine_bounded(partials, combine)
 
 
 def _pair_moments(pair: "rd.Dataset", spec: RasterSpec) -> dict:

@@ -44,20 +44,19 @@ def q1_pricing_summary(sf_dir: str, round_to: int = 4) -> "rd.Dataset":
                      disc=("disc", "sum"), n=("qty", "count")).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = coalesce_partials(partials).groupby(
-        ["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty", alias_name="sum_qty"),
-        Sum("base", alias_name="sum_base_price"),
-        Sum("disc", alias_name="sum_disc_price"),
-        Sum("n", alias_name="count_order"))
 
-    def finalize(t: pd.DataFrame) -> pd.DataFrame:
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+            sum_qty=("qty", "sum"), sum_base_price=("base", "sum"),
+            sum_disc_price=("disc", "sum"),
+            count_order=("n", "sum")).reset_index()
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            t[c] = t[c].round(round_to)
-        t["count_order"] = t["count_order"].astype("int64")
-        return t
+            g[c] = g[c].round(round_to)
+        g["count_order"] = g["count_order"].astype("int64")
+        return g
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    from .util import combine_bounded
+    return combine_bounded(partials, combine)
 
 
 def revenue_by_nation(sf_dir: str, round_to: int = 4) -> "rd.Dataset":
@@ -91,16 +90,17 @@ def revenue_by_nation(sf_dir: str, round_to: int = 4) -> "rd.Dataset":
         return g.agg(revenue="sum", n_orders="count").reset_index()
 
     partials = orders.map_batches(join, batch_format="numpy")
-    agg = coalesce_partials(partials).groupby("n_name").aggregate(
-        Sum("revenue", alias_name="revenue"),
-        Sum("n_orders", alias_name="n_orders"))
 
-    def finalize(t: pd.DataFrame) -> pd.DataFrame:
-        t["revenue"] = t["revenue"].round(round_to)
-        t["n_orders"] = t["n_orders"].astype("int64")
-        return t
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", sort=True).agg(
+            revenue=("revenue", "sum"),
+            n_orders=("n_orders", "sum")).reset_index()
+        g["revenue"] = g["revenue"].round(round_to)
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    from .util import combine_bounded
+    return combine_bounded(partials, combine)
 
 
 def top_parts_by_price(sf_dir: str, k: int = 15) -> "rd.Dataset":
@@ -131,16 +131,16 @@ def events_tumbling_window(sf_dir: str, window_sec: int = 3600,
         return g.agg(n="count", s="sum").reset_index()
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = coalesce_partials(partials).groupby(["event_type", "window_id"]).aggregate(
-        Sum("n", alias_name="n_events"),
-        Sum("s", alias_name="sum_value"))
 
-    def finalize(t: pd.DataFrame) -> pd.DataFrame:
-        t["n_events"] = t["n_events"].astype("int64")
-        t["sum_value"] = t["sum_value"].round(round_to)
-        return t
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_id"], sort=True).agg(
+            n_events=("n", "sum"), sum_value=("s", "sum")).reset_index()
+        g["n_events"] = g["n_events"].astype("int64")
+        g["sum_value"] = g["sum_value"].round(round_to)
+        return g
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    from .util import combine_bounded
+    return combine_bounded(partials, combine)
 
 
 def user_sessions(sf_dir: str, gap_sec: int = 1800) -> "rd.Dataset":
@@ -173,7 +173,10 @@ def distinct_event_types(sf_dir: str) -> "rd.Dataset":
         return pd.DataFrame({"event_type": vc.index, "c": vc.to_numpy()})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = coalesce_partials(partials).groupby("event_type").aggregate(
-        Sum("c", alias_name="n"))
-    return agg.map_batches(lambda t: t.assign(n=t["n"].astype("int64")),
-                           batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=True)["c"].sum().reset_index()
+        return g.rename(columns={"c": "n"}).astype({"n": "int64"})
+
+    from .util import combine_bounded
+    return combine_bounded(partials, combine)

@@ -51,8 +51,8 @@ def token_stats_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
                              "avg_tokens": [round(st / n, round_to)],
                              "avg_chars": [round(sc / n, round_to)]})
 
-    return coalesce_partials(partials).groupby("lang").map_groups(
-        final, batch_format="pandas")
+    from .util import combine_bounded, groupwise_combine
+    return combine_bounded(partials, groupwise_combine(final, "lang"))
 
 
 def quality_scores_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
@@ -92,8 +92,8 @@ def quality_scores_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
             "avg_digit_ratio": [round(float(g["sd"].sum()) / n, round_to)],
         })
 
-    return coalesce_partials(partials).groupby("lang").map_groups(
-        final, batch_format="pandas")
+    from .util import combine_bounded, groupwise_combine
+    return combine_bounded(partials, groupwise_combine(final, "lang"))
 
 
 def fingerprint_stats(sf_dir: str) -> "rd.Dataset":
@@ -162,7 +162,10 @@ def langid_confusion(sf_dir: str, concurrency=None) -> "rd.Dataset":
                 .size().rename("c").reset_index())
 
     partials = pred.map_batches(partial, batch_format="pandas")
-    agg = coalesce_partials(partials).groupby(["lang", "pred_lang"]).aggregate(
-        Sum("c", alias_name="n"))
-    return agg.map_batches(lambda t: t.assign(n=t["n"].astype("int64")),
-                           batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "pred_lang"], sort=True)["c"].sum().reset_index()
+        return g.rename(columns={"c": "n"}).astype({"n": "int64"})
+
+    from .util import combine_bounded
+    return combine_bounded(partials, combine)

@@ -52,19 +52,17 @@ def tile_counts(sf_dir: str, width: float = 250.0,
         return _partial_cell_stats(tile, batch["z"])
 
     partials = pts.map_batches(partial, batch_format="numpy")
-    agg = coalesce_partials(partials).groupby("tile_id").aggregate(
-        Sum("n", alias_name="n_points"),
-        Sum("s", alias_name="sum_z"),
-        Min("mn", alias_name="min_z"),
-        Max("mx", alias_name="max_z"),
-    )
 
-    def finalize(t: pd.DataFrame) -> pd.DataFrame:
-        t["n_points"] = t["n_points"].astype("int64")
-        t["sum_z"] = t["sum_z"].round(6)
-        return t
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tile_id", sort=True).agg(
+            n_points=("n", "sum"), sum_z=("s", "sum"),
+            min_z=("mn", "min"), max_z=("mx", "max")).reset_index()
+        g["n_points"] = g["n_points"].astype("int64")
+        g["sum_z"] = g["sum_z"].round(6)
+        return g
 
-    return agg.map_batches(finalize, batch_format="pandas"), grid
+    from .util import combine_bounded
+    return combine_bounded(partials, combine), grid
 
 
 def hex_counts(sf_dir: str, width: float = 250.0):
@@ -81,8 +79,11 @@ def hex_counts(sf_dir: str, width: float = 250.0):
         return df.groupby("hex_id", sort=False).size().rename("n").reset_index()
 
     partials = pts.map_batches(partial, batch_format="numpy")
-    agg = coalesce_partials(partials).groupby("hex_id").aggregate(
-        Sum("n", alias_name="n_points"))
-    agg = agg.map_batches(lambda t: t.assign(n_points=t["n_points"].astype("int64")),
-                          batch_format="pandas")
-    return agg, grid
+
+    def combine(df):
+        g = df.groupby("hex_id", sort=True)["n"].sum().reset_index()
+        return g.rename(columns={"n": "n_points"}).astype(
+            {"n_points": "int64"})
+
+    from .util import combine_bounded
+    return combine_bounded(partials, combine), grid

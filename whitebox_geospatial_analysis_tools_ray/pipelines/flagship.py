@@ -62,9 +62,12 @@ def flagship(sf_dir: str, tile_width: float = 250.0,
     from ..stages.util import pool_size
     partials = ds.map_batches(GeoJoin, batch_format="numpy",
                               concurrency=pool_size(), batch_size=32768)
-    from ..stages.util import coalesce_partials
-    agg = coalesce_partials(partials).groupby(["tile_id", "zone_id"]).aggregate(
-        Sum("c", alias_name="n_points"))
-    return agg.map_batches(
-        lambda t: t.assign(n_points=t["n_points"].astype("int64")),
-        batch_format="pandas")
+    # bounded-key final combine (tiles × zones): one pandas task —
+    # scale-independent, no sort-aggregate fixed tail (see util).
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["tile_id", "zone_id"], sort=True)["c"].sum()
+             .reset_index().rename(columns={"c": "n_points"}))
+        return g.astype({"n_points": "int64"})
+
+    from ..stages.util import combine_bounded
+    return combine_bounded(partials, combine)

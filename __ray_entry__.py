@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_depressions": lambda sf: fill.fill_depressions(),
         "extract_streams": lambda sf: hydro.extract_streams(),
         "snap_pour_points": lambda sf: hydro.snap_pour_points(),
+        "downslope_flowpath_length": lambda sf:
+            hydro.downslope_flowpath_length(),
         "viewshed": lambda sf: _viewshed_q(sf),
         "line_thinning": lambda sf: _thin_q(sf, "thin"),
         "remove_spurs": lambda sf: _thin_q(sf, "spurs"),

@@ -76,3 +76,23 @@ def test_fill_depressions_monotone(ray_session):
     valid = z != spec.nodata
     orig = np.where(valid, z, 0.0).sum(axis=1).round(6)
     assert (df["row_sum"].to_numpy() >= orig - 1e-9).all()
+
+
+def test_downslope_flowpath_length_matches_naive(ray_session):
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = hydro.downslope_flowpath_length(spec)
+    want = hydro.downslope_flowpath_length_naive(spec)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["sum_len"].sum() > 0
+
+
+def test_downslope_flowpath_length_tiling_invariant(ray_session):
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    a = hydro.downslope_flowpath_length(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = hydro.downslope_flowpath_length(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)

@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clump": lambda sf: clump_mod.clump(),
         # --- two-raster stats (StatsTools) ---
         "cross_tabulation": _pair_q(raster_stats.cross_tabulation),
+        "ndvi": _pair_q(raster_stats.ndvi),
         "image_correlation": _pair_q(raster_stats.image_correlation),
         "image_regression": _pair_q(raster_stats.image_regression),
         # --- flagship (rows-only; composite of the above) ---
@@ -423,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         # clump: non-SQL-expressible (iterative label merge) — rows-only,
         # verified against the single-process BFS oracle in tests.
         "cross_tabulation": o.cross_tab_sql(),
+        "ndvi": o.ndvi_sql(),
         "image_correlation": o.image_correlation_sql(),
         "image_regression": o.image_regression_sql(),
         # rows-only (non-SQL-expressible): pip_polygon_join (scanline PIP on

@@ -1105,6 +1105,22 @@ FROM res GROUP BY cell // {cols}
 """
 
 
+def ndvi_sql(rows: int = 256, cols: int = 256) -> str:
+    """NDVI.java:210-219 mirror over the synthetic raster pair."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+res AS (
+  SELECT a.cell,
+         CASE WHEN a.v = {_NOD} OR b.v = {_NOD} OR a.v + b.v = 0
+              THEN {_NOD}
+              ELSE (a.v - b.v) / (a.v + b.v) END AS f
+  FROM vals a JOIN vals_b b ON a.cell = b.cell)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
 def _curv_terms_cte() -> str:
     """m0..m7 (NoData→centre) + central-difference derivative terms."""
     ms = ",\n  ".join(

@@ -451,3 +451,28 @@ def mosaic(spec: RasterSpec, offset_rows: int = 64,
 
     n_tiles = (out_rows + spec.tile_rows - 1) // spec.tile_rows
     return rd.range(n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+def ndvi(pair: "rd.Dataset", spec: RasterSpec,
+         round_to: int = 6) -> "rd.Dataset":
+    """NDVI (ImageProcessingTools/src/plugins/NDVI.java:210-219):
+    (NIR − red)/(NIR + red); either input NoData OR zero sum → NoData.
+    One zip-free pass over the co-generated pair raster; exemplar for
+    the whole two-band index family (OSAVI etc. differ by constants)."""
+    from .raster import raster_row_checksums
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, da, db in zip(batch["tile_id"], batch["data"],
+                               batch["data_b"]):
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            valid = (a != spec.nodata) & (b != spec.nodata) & (a + b != 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = np.where(valid, (a - b) / (a + b), spec.nodata)
+            out["tile_id"].append(int(tid))
+            out["data"].append(v)
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        pair.map_batches(per_tile, batch_format="pandas"), spec)

@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snap_pour_points": lambda sf: hydro.snap_pour_points(),
         "downslope_flowpath_length": lambda sf:
             hydro.downslope_flowpath_length(),
+        "mass_flux_d8": lambda sf: hydro.mass_flux_d8(),
         "viewshed": lambda sf: _viewshed_q(sf),
         "line_thinning": lambda sf: _thin_q(sf, "thin"),
         "remove_spurs": lambda sf: _thin_q(sf, "spurs"),

@@ -96,3 +96,23 @@ def test_downslope_flowpath_length_tiling_invariant(ray_session):
     a = hydro.downslope_flowpath_length(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = hydro.downslope_flowpath_length(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mass_flux_matches_naive(ray_session):
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = hydro.mass_flux_d8(spec)
+    want = hydro.mass_flux_d8_naive(spec)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["sum_flux"].sum() > 0
+
+
+def test_mass_flux_tiling_invariant(ray_session):
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    a = hydro.mass_flux_d8(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = hydro.mass_flux_d8(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)

@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from whitebox_geospatial_analysis_tools_ray.stages.viewshed import viewshed
         return viewshed(raster.RasterSpec())
 
+    def _dinf_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.dinf import (
+            flow_accumulation_dinf)
+        return flow_accumulation_dinf(raster.RasterSpec())
+
     def _cost_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.stages.cost import (
             cost_accumulation)
@@ -282,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "downslope_flowpath_length": lambda sf:
             hydro.downslope_flowpath_length(),
         "mass_flux_d8": lambda sf: hydro.mass_flux_d8(),
+        "flow_accumulation_dinf": lambda sf: _dinf_q(sf),
         "viewshed": lambda sf: _viewshed_q(sf),
         "line_thinning": lambda sf: _thin_q(sf, "thin"),
         "remove_spurs": lambda sf: _thin_q(sf, "spurs"),

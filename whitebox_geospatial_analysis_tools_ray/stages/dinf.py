@@ -1,0 +1,249 @@
+"""D-infinity flow pointer + fractional flow accumulation
+(HydroTools/src/plugins/FlowPointerDinf.java 313, FlowAccumDinf.java
+485 LoC — Tarboton's method with the reference's exact quirks).
+
+POINTER (FlowPointerDinf.java:177-279): 8 triangular facets with
+acVals={0,1,1,2,2,3,3,4}, afVals={1,-1,…}; per facet s1=(e0−e1)/res
+(0 → 0.00001 substitution), s2=(e1−e2)/res, r=atan(s2/s1),
+s=√(s1²+s2²) with the reference's sign flips, clamped to [0, 45°];
+steepest s wins (``s >= maxSlope && s != 0.00001``); the one-sided
+e0>e1 / e0>e2 fallback; final angle rounded to 0.1°
+(Java Math.round semantics), mapped 360−θ+90 (mod 360); no positive
+facet → −1; NoData → NoData.
+
+ACCUMULATION (FlowAccumDinf.java:403-480): each cell splits its
+accumulated value between the two cells bounding its 45° sector with
+linear proportions; resolution order is Kahn's in-degree topological
+walk over the fractional-flow DAG (:250-268 counts inflowing
+neighbours by sector test).
+
+Ray plan: the pointer is a pure 1-halo stencil (overlap-read). The
+accumulation runs the band fixed point of hydro.py, but tile-locally it
+uses IN-TILE-EDGE Kahn ordering (z-order is not a topological order
+for Dinf: a boundary-rounded direction can send a sliver of flow to a
+non-lower cell), with external inflows entering as static seeds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from .raster import NODATA, RasterSpec, synth_value
+
+_AC = (0, 1, 1, 2, 2, 3, 3, 4)
+_AF = (1, -1, 1, -1, 1, -1, 1, -1)
+_E1C = (1, 0, 0, -1, -1, 0, 0, 1)
+_E1R = (0, -1, -1, 0, 0, 1, 1, 0)
+_E2C = (1, 1, -1, -1, -1, -1, 1, 1)
+_E2R = (-1, -1, -1, -1, 1, 1, 1, 1)
+_ATAN1 = float(np.arctan(1.0))
+
+# sector table (FlowAccumDinf.java:410-467): for sector k = floor(θ/45),
+# receiver1 = (dc1, dr1) with p1 = (45(k+1) − θ)/45, receiver2 with p2
+_R1 = ((0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1))
+_R2 = ((1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1))
+
+
+def dinf_pointer_kernel(p: np.ndarray, nodata: float,
+                        grid_res: float = 1.0) -> np.ndarray:
+    """Flow direction in degrees on the padded array's interior."""
+    z = p[1:-1, 1:-1]
+    H, W = z.shape
+    valid = z != nodata
+    diag = grid_res * np.sqrt(2.0)
+
+    def shift(dr, dc):
+        return p[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+
+    max_slope = np.full(z.shape, -9999999.0)
+    flow = np.full(z.shape, 360.0)
+    for a in range(8):
+        e1 = shift(_E1R[a], _E1C[a])
+        e2 = shift(_E2R[a], _E2C[a])
+        ok = (e1 != nodata) & (e2 != nodata)
+        both = ok & (z > e1) & (z > e2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s1 = (z - e1) / grid_res
+            s1 = np.where(s1 == 0.0, 0.00001, s1)
+            s2 = (e1 - e2) / grid_res
+            r = np.arctan(s2 / s1)
+            s = np.sqrt(s1 * s1 + s2 * s2)
+        neg = ((s1 < 0) & (s2 < 0)) | ((s1 < 0) & (s2 == 0)) \
+            | ((s1 == 0) & (s2 < 0))
+        s = np.where(neg, -s, s)
+        # clamp r to [0, atan(1)] with the reference's replacements
+        s = np.where(r < 0, s1, np.where(r > _ATAN1,
+                                         (z - e2) / diag, s))
+        r = np.clip(r, 0.0, _ATAN1)
+        fd = _AF[a] * r + _AC[a] * (np.pi / 2.0)
+        accept = both & (s >= max_slope) & (s != 0.00001)
+        max_slope = np.where(accept, s, max_slope)
+        flow = np.where(accept, fd, flow)
+        # one-sided fallback (e0 > e1 XOR-ish branch)
+        single = ok & ~both & ((z > e1) | (z > e2))
+        r_s = np.where(z > e1, 0.0, _ATAN1)
+        s_s = np.where(z > e1, (z - e1) / grid_res, (z - e2) / diag)
+        fd_s = _AF[a] * r_s + _AC[a] * (np.pi / 2.0)
+        accept = single & (s_s >= max_slope) & (s_s != 0.00001)
+        max_slope = np.where(accept, s_s, max_slope)
+        flow = np.where(accept, fd_s, flow)
+
+    deg = np.floor(flow * (180.0 / np.pi) * 10.0 + 0.5) / 10.0  # Java round
+    deg = 360.0 - deg + 90.0
+    deg = np.where(deg > 360.0, deg - 360.0, deg)
+    res = np.where(max_slope <= 0, -1.0, deg)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(valid, res, nodata)
+    return out
+
+
+def _sector_split(fd: float):
+    """((dc1, dr1, p1), (dc2, dr2, p2)) for a direction in [0, 360]."""
+    k = min(int(fd // 45.0), 7)
+    p2 = (fd - 45.0 * k) / 45.0
+    p1 = 1.0 - p2
+    return (_R1[k] + (p1,)), (_R2[k] + (p2,))
+
+
+def _tile_pointer_dinf(spec: RasterSpec, tid: int):
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+    cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+    zext = synth_value(cell).reshape(-1, spec.cols)
+    pad = np.full((hi - lo + 2, spec.cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = zext
+    fd_ext = dinf_pointer_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    sl = slice(r0 - lo, r0 - lo + (r1 - r0))
+    return zext[sl], fd_ext[sl]
+
+
+def _dinf_tile_accum(z, fd, inflow, nodata):
+    """Kahn in-degree topological accumulation over IN-TILE edges;
+    ``inflow`` carries external (cross-band) contributions."""
+    H, W = z.shape
+    valid = z != nodata
+    acc = np.where(valid, 1.0 + inflow, 0.0)
+    # build in-tile edges + in-degrees
+    edges = [[] for _ in range(H * W)]  # sender -> [(recv_lin, p)]
+    indeg = np.zeros(H * W, dtype=np.int64)
+    for r in range(H):
+        for c in range(W):
+            if not valid[r, c] or not (0 <= fd[r, c] <= 360):
+                continue
+            for dc, dr, p in _sector_split(float(fd[r, c])):
+                if p <= 0:
+                    continue
+                r2, c2 = r + dr, c + dc
+                if 0 <= c2 < W and 0 <= r2 < H and valid[r2, c2]:
+                    edges[r * W + c].append((r2 * W + c2, p))
+                    indeg[r2 * W + c2] += 1
+    out_up: dict[int, float] = {}
+    out_dn: dict[int, float] = {}
+    stack = list(np.flatnonzero((indeg == 0) & valid.ravel()))
+    flat_acc = acc.ravel()
+    fd_flat = fd.ravel()
+    while stack:
+        u = int(stack.pop())
+        # cross-band emission for edges leaving the tile vertically
+        r, c = divmod(u, W)
+        if valid[r, c] and 0 <= fd_flat[u] <= 360:
+            for dc, dr, p in _sector_split(float(fd_flat[u])):
+                if p <= 0:
+                    continue
+                r2, c2 = r + dr, c + dc
+                if 0 <= c2 < W and not (0 <= r2 < H):
+                    tgt = out_up if r2 < 0 else out_dn
+                    tgt[c2] = tgt.get(c2, 0.0) + flat_acc[u] * p
+        for v, p in edges[u]:
+            flat_acc[v] += flat_acc[u] * p
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                stack.append(v)
+    return flat_acc.reshape(H, W), out_up, out_dn
+
+
+def flow_accumulation_dinf(spec: RasterSpec | None = None,
+                           max_rounds: int = 64,
+                           round_to: int = 4) -> pd.DataFrame:
+    """(row_id, n_valid, sum_acc) per raster row."""
+    import json
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+    inflows = {t: np.zeros((min(spec.tile_rows,
+                                spec.rows - t * spec.tile_rows), cols))
+               for t in range(n)}
+
+    def solve(batch, inflow_ref) -> pd.DataFrame:
+        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
+            else inflow_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, fd = _tile_pointer_dinf(spec, tid)
+            acc, up, dn = _dinf_tile_accum(z, fd, infl[tid], spec.nodata)
+            rows.append({"tile_id": tid, "acc": acc.tobytes(),
+                         "shape0": acc.shape[0],
+                         "up": json.dumps(up), "dn": json.dumps(dn)})
+        return pd.DataFrame(rows)
+
+    import json
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(inflows)
+        res = (rd.range(n)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_inflows = {t: np.zeros_like(v) for t, v in inflows.items()}
+        for r in res.itertuples():
+            for col, amt in json.loads(r.up).items():
+                if r.tile_id > 0:
+                    new_inflows[r.tile_id - 1][-1, int(col)] += amt
+            for col, amt in json.loads(r.dn).items():
+                if r.tile_id < n - 1:
+                    new_inflows[r.tile_id + 1][0, int(col)] += amt
+        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
+            last = res
+            break
+        inflows = new_inflows
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("Dinf accumulation did not converge")
+
+    frames = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        acc = np.frombuffer(r.acc).reshape(h, cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
+        valid = synth_value(cell).reshape(h, cols) != spec.nodata
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "sum_acc": np.round(np.where(valid, acc, 0.0).sum(axis=1),
+                                round_to)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def flow_accumulation_dinf_naive(spec: RasterSpec,
+                                 round_to: int = 4) -> pd.DataFrame:
+    """Whole-grid mirror (single tile, no external inflow)."""
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    fd = dinf_pointer_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, _, _ = _dinf_tile_accum(z, fd, np.zeros_like(z), spec.nodata)
+    valid = z != spec.nodata
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "sum_acc": np.round(np.where(valid, acc, 0.0).sum(axis=1),
+                            round_to)})

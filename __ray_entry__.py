@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_link_slope": lambda sf: streams.stream_link_slope(),
         "find_main_stem": lambda sf: streams.find_main_stem(),
         "streams_to_vector": lambda sf: streams.streams_to_vector(),
+        "subbasins": lambda sf: streams.subbasins(),
         "vector_cleaning": lambda sf: _vclean_q(sf),
         "shape_metrics_basic": lambda sf: _shape_q(sf, "basic"),
         "shape_metrics_extended": lambda sf: _shape_q(sf, "ext"),

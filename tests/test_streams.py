@@ -169,3 +169,17 @@ def test_streams_to_vector_tiling_invariant(ray_session):
     a = streams.streams_to_vector(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = streams.streams_to_vector(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_subbasins_matches_naive(ray_session):
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = streams.subbasins(spec)
+    want = streams.subbasins_naive(spec)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_labelled"].sum() > 0
+
+
+def test_subbasins_tiling_invariant(ray_session):
+    a = streams.subbasins(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = streams.subbasins(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)

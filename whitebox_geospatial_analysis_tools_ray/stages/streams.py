@@ -600,3 +600,138 @@ def streams_to_vector_naive(spec: RasterSpec, threshold: float = 5.0):
                      "last_cell": seq[-1] if seq else -1,
                      "path_hash": hsh})
     return pd.DataFrame(rows).sort_values("label").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Subbasins (HydroTools/src/plugins/Subbasins.java, 389 LoC; Hillslopes
+# .java 532 differs only in splitting each subbasin by bank side):
+# every cell is labelled with the stream LINK ID of the first stream
+# cell its D8 flow path reaches — i.e. label(v) = link(v) for stream
+# cells, else label(receiver(v)). A downslope-value lookup — the
+# downslope_flowpath_length machinery with an integer payload.
+# ---------------------------------------------------------------------------
+
+def subbasins(spec: RasterSpec | None = None, threshold: float = 5.0,
+              max_rounds: int = 64) -> pd.DataFrame:
+    """(row_id, n_labelled, sum_label) per raster row."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+    frames = stream_topology_frames(spec, threshold)
+    links = {int(r.tile_id):
+             (np.frombuffer(r.label, dtype=np.int64).reshape(int(r.shape0),
+                                                             cols),
+              np.frombuffer(r.stream, dtype=np.int8).reshape(int(r.shape0),
+                                                             cols)
+              .astype(bool))
+             for r in frames.itertuples()}
+    links_ref = ray.put(links)
+
+    def solve(batch, ext_ref, links_ref=links_ref) -> pd.DataFrame:
+        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
+            else ext_ref
+        lk_all = ray.get(links_ref) if isinstance(links_ref, ray.ObjectRef) \
+            else links_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            H = z.shape[0]
+            r0 = tid * spec.tile_rows
+            link, stream = lk_all[tid]
+            ext = ext_all[tid]
+            lab = np.full((H, cols), -1, dtype=np.int64)
+            order = np.argsort(z, axis=None, kind="stable")  # ascending
+            for lin in order:
+                r, c = divmod(int(lin), cols)
+                if z[r, c] == spec.nodata:
+                    continue
+                if stream[r, c]:
+                    lab[r, c] = link[r, c]
+                    continue
+                code = ptr[r, c]
+                if code <= 0:
+                    continue  # pit off-stream: unlabelled (-1)
+                i = int(code).bit_length() - 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= r2 < H and 0 <= c2 < cols:
+                    lab[r, c] = lab[r2, c2]
+                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                    lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
+            rows.append({"tile_id": tid, "shape0": H, "lab": lab.tobytes(),
+                         "top": lab[0].tobytes(), "bot": lab[-1].tobytes()})
+        return pd.DataFrame(rows)
+
+    ext = {t: {} for t in range(n)}
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(ext)
+        res = (rd.range(n).map_batches(lambda b, _r=ref: solve(b, _r),
+                                       batch_format="numpy").to_pandas())
+        new_ext = {t: {} for t in range(n)}
+        for r in res.itertuples():
+            tid = int(r.tile_id)
+            h = int(r.shape0)
+            r0 = tid * spec.tile_rows
+            top = np.frombuffer(r.top, dtype=np.int64)
+            bot = np.frombuffer(r.bot, dtype=np.int64)
+            if tid > 0:
+                for c in np.flatnonzero(top >= 0):
+                    new_ext[tid - 1][r0 * cols + int(c)] = int(top[c])
+            if tid + 1 < n:
+                g0 = (r0 + h - 1) * cols
+                for c in np.flatnonzero(bot >= 0):
+                    new_ext[tid + 1][g0 + int(c)] = int(bot[c])
+        if new_ext == ext:
+            last = res
+            break
+        ext = new_ext
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("subbasins did not converge")
+
+    out = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        lab = np.frombuffer(r.lab, dtype=np.int64).reshape(h, cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        m = lab >= 0
+        out.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_labelled": m.sum(axis=1).astype(np.int64),
+            "sum_label": np.where(m, lab, 0).sum(axis=1)}))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def subbasins_naive(spec: RasterSpec, threshold: float = 5.0) -> pd.DataFrame:
+    from .raster import synth_value
+    from .terrain import d8_kernel
+
+    cols = spec.cols
+    _, _, link, stream = stream_topology_naive(spec, threshold)
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    lab = np.full((spec.rows, cols), -1, dtype=np.int64)
+    for lin in np.argsort(z, axis=None, kind="stable"):
+        r, c = divmod(int(lin), cols)
+        if z[r, c] == spec.nodata:
+            continue
+        if stream[r, c]:
+            lab[r, c] = link[r, c]
+            continue
+        code = ptr[r, c]
+        if code <= 0:
+            continue
+        i = int(code).bit_length() - 1
+        r2, c2 = r + _DY[i], c + _DX[i]
+        if 0 <= r2 < spec.rows and 0 <= c2 < cols:
+            lab[r, c] = lab[r2, c2]
+    m = lab >= 0
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_labelled": m.sum(axis=1).astype(np.int64),
+        "sum_label": np.where(m, lab, 0).sum(axis=1)})

@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- two-raster stats (StatsTools) ---
         "cross_tabulation": _pair_q(raster_stats.cross_tabulation),
         "ndvi": _pair_q(raster_stats.ndvi),
+        "morans_i": lambda sf: raster_stats.morans_i(raster.RasterSpec()),
         "image_correlation": _pair_q(raster_stats.image_correlation),
         "image_regression": _pair_q(raster_stats.image_regression),
         # --- flagship (rows-only; composite of the above) ---
@@ -433,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         # verified against the single-process BFS oracle in tests.
         "cross_tabulation": o.cross_tab_sql(),
         "ndvi": o.ndvi_sql(),
+        "morans_i": o.morans_i_sql(),
         "image_correlation": o.image_correlation_sql(),
         "image_regression": o.image_regression_sql(),
         # rows-only (non-SQL-expressible): pip_polygon_join (scanline PIP on

@@ -1281,3 +1281,40 @@ SELECT r AS row_id,
        round(SUM(CASE WHEN f = {_NOD} THEN 0.0 ELSE f END), 6) AS row_sum
 FROM m GROUP BY r
 """
+
+
+def morans_i_sql(rows: int = 256, cols: int = 256) -> str:
+    """ImageAutocorrelation.java:287-330 (rook weights) mirror."""
+    specs = [
+        ("LEAD(v, 1) OVER w3", f"c < {cols - 1}"),           # E
+        (f"LEAD(v, {cols}) OVER w3", f"r < {rows - 1}"),     # S
+        ("LAG(v, 1) OVER w3", "c > 0"),                      # W
+        (f"LAG(v, {cols}) OVER w3", "r > 0"),                # N
+    ]
+    nbs = ",\n  ".join(
+        f"CASE WHEN {guard} THEN {expr} ELSE {_NOD} END AS q{i}"
+        for i, (expr, guard) in enumerate(specs))
+    pair_num = " + ".join(
+        f"CASE WHEN q{i} <> {_NOD} THEN (v - mu) * (q{i} - mu) ELSE 0 END"
+        for i in range(4))
+    pair_cnt = " + ".join(
+        f"CASE WHEN q{i} <> {_NOD} THEN 1 ELSE 0 END" for i in range(4))
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+st AS (SELECT COUNT(*) AS n, SUM(v) AS s FROM vals WHERE v <> {_NOD}),
+nbq AS (SELECT cell, r, c, v,
+  {nbs}
+FROM g WINDOW w3 AS (ORDER BY cell)),
+terms AS (
+  SELECT SUM((v - mu) * (v - mu)) AS td,
+         SUM({pair_num}) AS num,
+         SUM({pair_cnt}) AS W
+  FROM (SELECT nbq.*, st.s / st.n AS mu FROM nbq, st)
+  WHERE v <> {_NOD})
+SELECT CAST(st.n AS BIGINT) AS n,
+       round(st.s / st.n, 6) AS mean,
+       CAST(terms.W AS BIGINT) AS W,
+       round(st.n * terms.num / (terms.td * terms.W), 6) AS morans_i
+FROM st, terms
+"""

@@ -476,3 +476,85 @@ def ndvi(pair: "rd.Dataset", spec: RasterSpec,
 
     return raster_row_checksums(
         pair.map_batches(per_tile, batch_format="pandas"), spec)
+
+
+def morans_i(spec: RasterSpec, neighbours: str = "rook",
+             round_to: int = 6) -> pd.DataFrame:
+    """ImageAutocorrelation (StatsTools/src/plugins/ImageAutocorrelation
+    .java:287-330): Moran's I with binary contiguity weights —
+    I = n·Σ(z−μ)(zₙ−μ) / (Σ(z−μ)²·W), W = # valid neighbour pairs
+    (counted directionally), plus the normality-variance terms
+    S1 = 4W, S2 = 4·Σ wᵢ² (:320-328).
+
+    Two passes, both overlap-read over the source-backed raster:
+    global (n, Σz) then per-tile halo partials of the cross-products;
+    one tiny aggregate each — no shuffle of cell data.
+    """
+    from ray.data.aggregate import Sum
+
+    if neighbours == "rook":
+        offs = ((1, 0), (0, 1), (-1, 0), (0, -1))
+    elif neighbours in ("king", "queen"):
+        offs = ((1, -1), (1, 0), (1, 1), (0, 1),
+                (-1, 1), (-1, 0), (-1, -1), (0, -1))
+    else:  # bishop
+        offs = ((1, -1), (1, 1), (-1, 1), (-1, -1))
+
+    def band(tid: int):
+        r0 = tid * spec.tile_rows
+        r1 = min(r0 + spec.tile_rows, spec.rows)
+        lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+        cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+        z = synth_value(cell).reshape(hi - lo, spec.cols)
+        pad = np.full((hi - lo + 2, spec.cols + 2), spec.nodata)
+        pad[1:-1, 1:-1] = z
+        sl = slice(r0 - lo + 1, r0 - lo + 1 + (r1 - r0))
+        return pad, sl
+
+    def p1(batch) -> pd.DataFrame:
+        rows = []
+        for tid in batch["id"]:
+            pad, sl = band(int(tid))
+            z = pad[sl, 1:-1]
+            v = z[z != spec.nodata]
+            rows.append({"n": float(len(v)), "s": float(v.sum())})
+        return pd.DataFrame(rows)
+
+    agg1 = (rd.range(spec.n_tiles).map_batches(p1, batch_format="numpy")
+            .aggregate(Sum("n"), Sum("s")))
+    n = agg1["sum(n)"]
+    mean = agg1["sum(s)"] / n
+
+    def p2(batch) -> pd.DataFrame:
+        rows = []
+        for tid in batch["id"]:
+            pad, sl = band(int(tid))
+            z = pad[sl, 1:-1]
+            valid = z != spec.nodata
+            dev = np.where(valid, z - mean, 0.0)
+            td = float((dev * dev).sum())
+            kq = float((dev ** 4).sum())
+            num = 0.0
+            Wc = 0.0
+            S2p = np.zeros_like(z)
+            H = z.shape[0]
+            for dc, dr in offs:
+                nb = pad[sl.start + dr: sl.stop + dr,
+                         1 + dc: 1 + spec.cols + dc]
+                m = valid & (nb != spec.nodata)
+                Wc += float(m.sum())
+                num += float((dev * np.where(m, nb - mean, 0.0)).sum())
+                S2p += m
+            S2 = float((np.where(valid, S2p, 0.0) ** 2).sum())
+            rows.append({"td": td, "k": kq, "num": num, "W": Wc, "S2": S2})
+        return pd.DataFrame(rows)
+
+    agg2 = (rd.range(spec.n_tiles).map_batches(p2, batch_format="numpy")
+            .aggregate(Sum("td"), Sum("k"), Sum("num"), Sum("W"), Sum("S2")))
+    td, num, W = agg2["sum(td)"], agg2["sum(num)"], agg2["sum(W)"]
+    i_val = n * num / (td * W)
+    return pd.DataFrame({
+        "n": [int(n)],
+        "mean": [round(mean, round_to)],
+        "W": [int(W)],
+        "morans_i": [round(i_val, round_to)]})

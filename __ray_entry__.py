@@ -119,6 +119,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, ds = import_geotiff(path, tile_rows=spec.tile_rows)
         return raster.raster_row_checksums(ds, spec)
 
+    def _trend_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+            trend_surface)
+        return trend_surface(sf_dir)
+
     def _shape_q(sf_dir: str, kind: str):
         from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
             shape_metrics_basic, shape_metrics_extended)
@@ -300,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subbasins": lambda sf: streams.subbasins(),
         "vector_cleaning": lambda sf: _vclean_q(sf),
         "shape_metrics_basic": lambda sf: _shape_q(sf, "basic"),
+        "trend_surface": lambda sf: _trend_q(sf),
         "shape_metrics_extended": lambda sf: _shape_q(sf, "ext"),
         "contour_lengths": lambda sf: raster_stats.contour_lengths(
             raster.RasterSpec()),
@@ -357,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         las_tile_stats_sql as _las_sql)
     from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
         shape_metrics_basic_sql as _shape_sql,
+        trend_surface_sql as _trend_sql,
         vector_cleaning_sql as _vclean_sql)
 
     return {
@@ -417,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only, verified vs the single-process topological mirror.
         "vector_cleaning": _vclean_sql(),
         "shape_metrics_basic": _shape_sql(),
+        "trend_surface": _trend_sql(),
         "vector_clip": o.clip_boxes_sql(),
         "vector_erase": o.erase_boxes_sql(),
         "overlay_intersect": o.overlay_area_sql("intersection"),

@@ -298,3 +298,95 @@ def shape_metrics_extended(sf_dir: str, round_to: int = 6):
                 "orientation": np.round(ori, round_to)}
 
     return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# TrendSurface / TrendSurfaceVectorPoints (StatsTools/src/plugins/
+# TrendSurface.java 400, TrendSurfaceVectorPoints.java 499 — polynomial
+# least squares via whitebox/stats/PolynomialLeastSquares2DFitting):
+# fit z ~ poly(x, y) over the points, evaluate on a grid. Distributed:
+# the normal-equation moments are ONE pass of per-batch partial sums
+# (Σx, Σy, Σxy, …) + a tiny aggregate; the driver solves and broadcasts
+# the coefficients; evaluation is a stateless map. First order has a
+# closed-form Cramer solution mirrored exactly in SQL; higher orders
+# use the same plan with a larger moment matrix.
+# ---------------------------------------------------------------------------
+
+def trend_surface(sf_dir: str, round_to: int = 6):
+    """First-order trend z = a + b·x + c·y over the document points;
+    returns one row (a, b, c, rmse) — all rounded, exact SQL oracle."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .points import read_points
+
+    pts = read_points(sf_dir)
+
+    def moments(batch):
+        import pandas as pd
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        z = np.asarray(batch["z"], dtype=np.float64)
+        return pd.DataFrame({
+            "n": [float(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            "sxy": [(x * y).sum()], "sz": [z.sum()],
+            "sxz": [(x * z).sum()], "syz": [(y * z).sum()],
+            "szz": [(z * z).sum()]})
+
+    m = pts.map_batches(moments, batch_format="numpy").aggregate(
+        Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"),
+        Sum("sxy"), Sum("sz"), Sum("sxz"), Sum("syz"), Sum("szz"))
+    n = m["sum(n)"]; sx = m["sum(sx)"]; sy = m["sum(sy)"]
+    sxx = m["sum(sxx)"]; syy = m["sum(syy)"]; sxy = m["sum(sxy)"]
+    sz = m["sum(sz)"]; sxz = m["sum(sxz)"]; syz = m["sum(syz)"]
+    szz = m["sum(szz)"]
+    A = np.array([[n, sx, sy], [sx, sxx, sxy], [sy, sxy, syy]])
+    b = np.array([sz, sxz, syz])
+    det = np.linalg.det
+    d0 = det(A)
+    coef = [det(np.column_stack([b if i == j else A[:, j]
+                                 for j in range(3)])) / d0
+            for i in range(3)]
+    a_, b_, c_ = coef
+    sse = (szz - 2 * (a_ * sz + b_ * sxz + c_ * syz)
+           + (a_ * a_ * n + b_ * b_ * sxx + c_ * c_ * syy
+              + 2 * a_ * b_ * sx + 2 * a_ * c_ * sy + 2 * b_ * c_ * sxy))
+    import pandas as pd
+    rmse = float(np.sqrt(max(sse, 0.0) / n))
+    return pd.DataFrame({"a": [round(a_, round_to)],
+                         "b": [round(b_, round_to)],
+                         "c": [round(c_, round_to)],
+                         "rmse": [round(rmse, round_to)]})
+
+
+def trend_surface_sql() -> str:
+    """Closed-form Cramer mirror of the first-order normal equations."""
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy,
+             SUM(z) AS sz, SUM(x*z) AS sxz, SUM(y*z) AS syz,
+             SUM(z*z) AS szz
+      FROM pts),
+d AS (SELECT m.*,
+  n*(sxx*syy - sxy*sxy) - sx*(sx*syy - sxy*sy) + sy*(sx*sxy - sxx*sy)
+    AS det0,
+  sz*(sxx*syy - sxy*sxy) - sx*(sxz*syy - sxy*syz)
+    + sy*(sxz*sxy - sxx*syz) AS det_a,
+  n*(sxz*syy - syz*sxy) - sz*(sx*syy - sxy*sy) + sy*(sx*syz - sxz*sy)
+    AS det_b,
+  n*(sxx*syz - sxy*sxz) - sx*(sx*syz - sxz*sy) + sz*(sx*sxy - sxx*sy)
+    AS det_c
+  FROM m),
+c AS (SELECT d.*, det_a/det0 AS ca, det_b/det0 AS cb, det_c/det0 AS cc
+      FROM d)
+SELECT round(ca, 6) AS a, round(cb, 6) AS b, round(cc, 6) AS c,
+       round(sqrt(greatest(
+         (szz - 2*(ca*sz + cb*sxz + cc*syz)
+          + (ca*ca*n + cb*cb*sxx + cc*cc*syy
+             + 2*ca*cb*sx + 2*ca*cc*sy + 2*cb*cc*sxy)) / n, 0.0)), 6)
+       AS rmse
+FROM c
+"""

@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from whitebox_geospatial_analysis_tools_ray.stages.kriging import krige_cells
         return krige_cells(sf_dir)
 
+    def _rbf_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.kriging import rbf_cells
+        return rbf_cells(sf_dir)
+
     def _viewshed_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.stages.viewshed import viewshed
         return viewshed(raster.RasterSpec())
@@ -197,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- kNN / IDW (InterpolationIDW, NearestNeighbourAnalysis) ---
         "knn_idw": lambda sf: knn.idw_interpolate(_points(sf), cell_centers()),
         "kriging_interpolate": lambda sf: _kriging_q(sf),
+        "rbf_interpolate": lambda sf: _rbf_q(sf),
         "knn_nearest_site": lambda sf: knn.nearest_point_per_site(
             _points(sf), site_points()),
         # --- aggregation (VectorPointsToRaster, ExtractStatistics, Histogram) ---

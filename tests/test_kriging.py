@@ -40,3 +40,10 @@ def test_spherical_model_shape():
     assert g[0] == 0.0
     assert 0 < g[1] < g[2]
     assert g[2] == g[3] == 2.0  # capped at sill beyond range
+
+
+def test_rbf_matches_naive(ray_session):
+    got = kg.rbf_cells(SF).to_pandas().reset_index(drop=True)
+    want = kg.rbf_cells_naive(SF)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["rbf_z"] != -32768.0).mean() > 0.9

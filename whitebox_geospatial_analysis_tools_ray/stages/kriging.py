@@ -265,3 +265,88 @@ def krige_cells_naive(sf_dir: str, k: int = K_NEIGHBORS,
         rows.append({"cell_id": c["cell_id"],
                      "kriged_z": round(float(w[:mm] @ nz), round_to)})
     return pd.DataFrame(rows).sort_values("cell_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# RadialBasisFunctionInterpolation (Scripts/RadialBasisFunctionInterpolation
+# .groovy, 686 LoC): per output cell, solve the RBF system over the
+# nearby samples — the SAME duplication-shuffle plan as ordinary
+# kriging, with the multiquadric kernel φ(d) = √(d² + ε²) in place of
+# the variogram matrix (no global fit pass needed).
+# ---------------------------------------------------------------------------
+
+def _mq(d: np.ndarray, eps: float) -> np.ndarray:
+    return np.sqrt(d * d + eps * eps)
+
+
+def rbf_cells(sf_dir: str, k: int = K_NEIGHBORS, eps: float = 50.0,
+              round_to: int = 4) -> "rd.Dataset":
+    """Multiquadric RBF prediction at the query cell centres:
+    (cell_id, rbf_z)."""
+    pitch = MAX_DIST
+    cells = cell_centers()
+    cx = np.array([c["cx"] for c in cells])
+    cy = np.array([c["cy"] for c in cells])
+    cid = np.array([c["cell_id"] for c in cells], dtype=np.int64)
+    gkey, _, _ = _grid_key(cx, cy, pitch)
+    import pyarrow as pa
+    cells_ds = rd.from_arrow(pa.table(
+        {"gkey": gkey, "dup": np.full(len(cid), 2, dtype=np.int64),
+         "rec_id": cid, "x": cx, "y": cy, "z": np.zeros(len(cid))}))
+    dup = read_points(sf_dir).map_batches(
+        lambda b: _duplicate(b, pitch), batch_format="numpy")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["dup"] == 2]
+        ps = g[g["dup"] != 2].drop_duplicates("rec_id")
+        if len(qs) == 0:
+            return pd.DataFrame({"cell_id": pd.Series([], dtype="int64"),
+                                 "rbf_z": pd.Series([], dtype="float64")})
+        px = ps["x"].to_numpy(); py = ps["y"].to_numpy()
+        pz = ps["z"].to_numpy(); pr = ps["rec_id"].to_numpy()
+        out = np.full(len(qs), NODATA)
+        for qi, (qx, qy) in enumerate(zip(qs["x"].to_numpy(),
+                                          qs["y"].to_numpy())):
+            if len(ps) == 0:
+                continue
+            d2 = (px - qx) ** 2 + (py - qy) ** 2
+            inr = np.flatnonzero(d2 < pitch * pitch)
+            if len(inr) == 0:
+                continue
+            order = inr[np.lexsort((pr[inr], d2[inr]))][:k]
+            nx, ny, nz = px[order], py[order], pz[order]
+            m = len(order)
+            dij = np.sqrt((nx[:, None] - nx[None, :]) ** 2
+                          + (ny[:, None] - ny[None, :]) ** 2)
+            A = _mq(dij, eps)
+            w = np.linalg.lstsq(A, nz, rcond=None)[0]
+            out[qi] = float(w @ _mq(np.sqrt(d2[order]), eps))
+        return pd.DataFrame({"cell_id": qs["rec_id"].to_numpy(),
+                             "rbf_z": np.round(out, round_to)})
+
+    both = coalesce_partials(cells_ds.union(dup))
+    return (both.groupby("gkey").map_groups(per_group, batch_format="pandas")
+            .sort("cell_id"))
+
+
+def rbf_cells_naive(sf_dir: str, k: int = K_NEIGHBORS, eps: float = 50.0,
+                    round_to: int = 4) -> pd.DataFrame:
+    pts = read_points(sf_dir).to_pandas()
+    x = pts["x"].to_numpy(); y = pts["y"].to_numpy()
+    z = pts["z"].to_numpy(); r = pts["rec_id"].to_numpy()
+    rows = []
+    for c in cell_centers():
+        qd2 = (x - c["cx"]) ** 2 + (y - c["cy"]) ** 2
+        inr = np.flatnonzero(qd2 < MAX_DIST * MAX_DIST)
+        if len(inr) == 0:
+            rows.append({"cell_id": c["cell_id"], "rbf_z": NODATA})
+            continue
+        order = inr[np.lexsort((r[inr], qd2[inr]))][:k]
+        nx, ny, nz = x[order], y[order], z[order]
+        dij = np.sqrt((nx[:, None] - nx[None, :]) ** 2
+                      + (ny[:, None] - ny[None, :]) ** 2)
+        w = np.linalg.lstsq(_mq(dij, eps), nz, rcond=None)[0]
+        rows.append({"cell_id": c["cell_id"],
+                     "rbf_z": round(float(w @ _mq(np.sqrt(qd2[order]), eps)),
+                                    round_to)})
+    return pd.DataFrame(rows).sort_values("cell_id").reset_index(drop=True)

@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_tabulation": _pair_q(raster_stats.cross_tabulation),
         "ndvi": _pair_q(raster_stats.ndvi),
         "morans_i": lambda sf: raster_stats.morans_i(raster.RasterSpec()),
+        "histogram_match": _pair_q(raster_stats.histogram_match),
         "image_correlation": _pair_q(raster_stats.image_correlation),
         "image_regression": _pair_q(raster_stats.image_regression),
         # --- flagship (rows-only; composite of the above) ---
@@ -448,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_tabulation": o.cross_tab_sql(),
         "ndvi": o.ndvi_sql(),
         "morans_i": o.morans_i_sql(),
+        "histogram_match": o.histogram_match_sql(),
         "image_correlation": o.image_correlation_sql(),
         "image_regression": o.image_regression_sql(),
         # rows-only (non-SQL-expressible): pip_polygon_join (scanline PIP on

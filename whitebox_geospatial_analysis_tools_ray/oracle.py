@@ -1318,3 +1318,46 @@ SELECT CAST(st.n AS BIGINT) AS n,
        round(st.n * terms.num / (terms.td * terms.W), 6) AS morans_i
 FROM st, terms
 """
+
+
+def histogram_match_sql(rows: int = 256, cols: int = 256,
+                        nbins: int = 256) -> str:
+    """TwoImageHistogramMatching mirror: integer bin counts → exact
+    CDFs; target bin = smallest B bin with cdfB ≥ cdfA."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+sa AS (SELECT MIN(v) AS lo, MAX(v) AS hi,
+              CAST(COUNT(*) AS DOUBLE) AS n
+       FROM vals WHERE v <> {_NOD}),
+sb AS (SELECT MIN(v) AS lo, MAX(v) AS hi,
+              CAST(COUNT(*) AS DOUBLE) AS n
+       FROM vals_b WHERE v <> {_NOD}),
+av AS (SELECT cell, v,
+              CASE WHEN v = {_NOD} THEN NULL
+                   ELSE least(CAST(floor((v - sa.lo)
+                        / ((sa.hi - sa.lo) / {nbins})) AS BIGINT),
+                        {nbins - 1}) END AS bin
+       FROM vals CROSS JOIN sa),
+bb AS (SELECT least(CAST(floor((v - sb.lo)
+                         / ((sb.hi - sb.lo) / {nbins})) AS BIGINT),
+                    {nbins - 1}) AS bin
+       FROM vals_b CROSS JOIN sb WHERE v <> {_NOD}),
+ca AS (SELECT bin, SUM(COUNT(*)) OVER (ORDER BY bin) /
+                   (SELECT n FROM sa) AS cdf
+       FROM av WHERE bin IS NOT NULL GROUP BY bin),
+cb AS (SELECT bin, SUM(COUNT(*)) OVER (ORDER BY bin) /
+                   (SELECT n FROM sb) AS cdf
+       FROM bb GROUP BY bin),
+lut AS (SELECT ca.bin, MIN(cb.bin) AS tgt
+        FROM ca JOIN cb ON cb.cdf >= ca.cdf GROUP BY ca.bin),
+mapped AS (
+  SELECT av.cell,
+         CASE WHEN av.v = {_NOD} THEN {_NOD}
+              ELSE sb.lo + (coalesce(lut.tgt, {nbins - 1}) + 0.5)
+                   * ((sb.hi - sb.lo) / {nbins})
+         END AS f
+  FROM av CROSS JOIN sb LEFT JOIN lut ON lut.bin = av.bin)
+{_row_checksum_select(cols)}
+FROM mapped GROUP BY cell // {cols}
+"""

@@ -558,3 +558,71 @@ def morans_i(spec: RasterSpec, neighbours: str = "rook",
         "mean": [round(mean, round_to)],
         "W": [int(W)],
         "morans_i": [round(i_val, round_to)]})
+
+
+def histogram_match(pair: "rd.Dataset", spec: RasterSpec,
+                    nbins: int = 256, round_to: int = 6) -> "rd.Dataset":
+    """TwoImageHistogramMatching (ImageProcessingTools/src/plugins/
+    TwoImageHistogramMatching.java, 433 LoC): remap raster A so its
+    CDF matches raster B's — out(v) = centre of the smallest B bin
+    whose CDF ≥ CDF_A(bin(v)). Two global histogram passes (exact
+    integer counts → bit-identical CDFs across engines), a driver-built
+    lookup table broadcast by closure, then one stateless remap.
+    Output: row checksums of the matched raster."""
+    from ray.data.aggregate import Max, Min, Sum
+    from .raster import raster_row_checksums
+
+    def minmax(col):
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            lo, hi = np.inf, -np.inf
+            for data in batch[col]:
+                a = np.asarray(data, dtype=np.float64)
+                a = a[a != spec.nodata]
+                if len(a):
+                    lo = min(lo, a.min()); hi = max(hi, a.max())
+            return pd.DataFrame({"mn": [lo], "mx": [hi]})
+        row = (pair.map_batches(partial, batch_format="pandas")
+               .aggregate(Min("mn"), Max("mx")))
+        return float(row["min(mn)"]), float(row["max(mx)"])
+
+    lo_a, hi_a = minmax("data")
+    lo_b, hi_b = minmax("data_b")
+    w_a = (hi_a - lo_a) / nbins if hi_a > lo_a else 1.0
+    w_b = (hi_b - lo_b) / nbins if hi_b > lo_b else 1.0
+
+    def hist(col, lo, width):
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            counts = np.zeros(nbins, dtype=np.int64)
+            for data in batch[col]:
+                a = np.asarray(data, dtype=np.float64)
+                a = a[a != spec.nodata]
+                b = np.minimum(((a - lo) / width).astype(np.int64),
+                               nbins - 1)
+                counts += np.bincount(b, minlength=nbins)
+            return pd.DataFrame({"bin": np.arange(nbins, dtype=np.int64),
+                                 "c": counts})
+        h = (pair.map_batches(partial, batch_format="pandas")
+             .to_pandas().groupby("bin")["c"].sum().to_numpy())
+        return h
+
+    ha = hist("data", lo_a, w_a)
+    hb = hist("data_b", lo_b, w_b)
+    cdf_a = ha.cumsum().astype(np.float64) / ha.sum()
+    cdf_b = hb.cumsum().astype(np.float64) / hb.sum()
+    # lookup: smallest B bin with cdf_b >= cdf_a[bin]
+    tgt = np.searchsorted(cdf_b, cdf_a, side="left").clip(0, nbins - 1)
+    lut = lo_b + (tgt + 0.5) * w_b
+
+    def remap_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            a = np.asarray(data, dtype=np.float64)
+            valid = a != spec.nodata
+            b = np.clip(((a - lo_a) / w_a).astype(np.int64), 0, nbins - 1)
+            v = np.where(valid, lut[b], spec.nodata)
+            out["tile_id"].append(int(tid))
+            out["data"].append(v)
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        pair.map_batches(remap_tile, batch_format="pandas"), spec)

@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_zscore": _checksum_q(raster_stats.zscores),
         "raster_rescale": _checksum_q(raster_stats.rescale_value_range),
         "raster_hist_equalize": _checksum_q(raster_stats.histogram_equalize),
+        "fuzzy_membership": _checksum_q(raster_stats.fuzzy_membership),
+        "crispness_index": lambda sf: raster_stats.crispness_index(raster.RasterSpec()),
         "raster_aggregate": _downsample,
         "geotiff_roundtrip": _geotiff_q,
         "raster_mosaic": lambda sf: raster_stats.mosaic(raster.RasterSpec()),
@@ -413,6 +415,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_zscore": o.zscore_sql(),
         "raster_rescale": o.rescale_sql(),
         "raster_hist_equalize": o.histogram_equalize_sql(),
+        "fuzzy_membership": o.fuzzy_membership_sql(),
+        "crispness_index": o.crispness_sql(),
         "raster_aggregate": o.aggregate_downsample_sql(),
         "geotiff_roundtrip": o.raster_identity_sql(),
         "raster_resample": o.resample_nn_sql(),

@@ -1361,3 +1361,34 @@ mapped AS (
 {_row_checksum_select(cols)}
 FROM mapped GROUP BY cell // {cols}
 """
+
+
+def fuzzy_membership_sql(rows: int = 256, cols: int = 256,
+                         midpoint: float = 500.0,
+                         spread: float = 120.0) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE 1.0 / (1.0 + exp(-(v - {midpoint!r}) / {spread!r}))
+        END AS f
+        FROM vals)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def crispness_sql(rows: int = 256, cols: int = 256) -> str:
+    """CrispnessIndex.java:230-270 from raw moments (order-free)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v / 1000.0) AS s,
+             SUM((v / 1000.0) * (v / 1000.0)) AS s2
+      FROM vals WHERE v <> {_NOD})
+SELECT CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS mean,
+       round((s2 - 2.0 * (s / n) * s + (s / n) * (s / n) * n)
+             / (pow(s * (1.0 - s / n), 2)
+                + (s / n) * (s / n) * (n - s)), 6) AS crispness
+FROM m
+"""

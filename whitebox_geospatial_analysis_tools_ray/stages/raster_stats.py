@@ -626,3 +626,45 @@ def histogram_match(pair: "rd.Dataset", spec: RasterSpec,
 
     return raster_row_checksums(
         pair.map_batches(remap_tile, batch_format="pandas"), spec)
+
+
+def fuzzy_membership(ds: "rd.Dataset", spec: RasterSpec,
+                     midpoint: float = 500.0,
+                     spread: float = 120.0) -> "rd.Dataset":
+    """FuzzyMembership (StatsTools/src/plugins/FuzzyMembership.java,
+    356 LoC — sigmoid membership): m = 1/(1 + e^{−(v−mid)/spread}),
+    NoData propagated. One stateless map."""
+    return raster_map(
+        ds, lambda a: 1.0 / (1.0 + np.exp(-(a - midpoint) / spread)),
+        nodata=spec.nodata)
+
+
+def crispness_index(spec: RasterSpec, round_to: int = 6) -> pd.DataFrame:
+    """CrispnessIndex (StatsTools/src/plugins/CrispnessIndex.java:230-270)
+    over the synthetic membership image (synth/1000 ∈ [0,1)):
+    C = Σ(z−μ)² / [(Σz·(1−μ))² + μ²·(N−Σz)]. One pass of partial
+    moments + a tiny aggregate."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch) -> pd.DataFrame:
+        rows = []
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * spec.cols, r1 * spec.cols,
+                             dtype=np.int64)
+            z = synth_value(cell)
+            v = z[z != spec.nodata] / 1000.0
+            rows.append({"n": float(len(v)), "s": float(v.sum()),
+                         "s2": float((v * v).sum())})
+        return pd.DataFrame(rows)
+
+    m = (rd.range(spec.n_tiles).map_batches(partial, batch_format="numpy")
+         .aggregate(Sum("n"), Sum("s"), Sum("s2")))
+    n, s, s2 = m["sum(n)"], m["sum(s)"], m["sum(s2)"]
+    mu = s / n
+    dev = s2 - 2.0 * mu * s + mu * mu * n  # Σ(z−μ)² from raw moments
+    denom = (s * (1.0 - mu)) ** 2 + mu * mu * (n - s)
+    return pd.DataFrame({"n": [int(n)],
+                         "mean": [round(mu, round_to)],
+                         "crispness": [round(dev / denom, round_to)]})

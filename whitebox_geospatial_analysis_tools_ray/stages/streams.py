@@ -735,3 +735,173 @@ def subbasins_naive(spec: RasterSpec, threshold: float = 5.0) -> pd.DataFrame:
         "row_id": np.arange(spec.rows),
         "n_labelled": m.sum(axis=1).astype(np.int64),
         "sum_label": np.where(m, lab, 0).sum(axis=1)})
+
+
+# ---------------------------------------------------------------------------
+# HackStreamOrder (Scripts/HackStreamOrder.groovy:237-283): outlets start
+# at order 1 and walk upstream along the max-accumulation (main-stem)
+# choice; every other inflowing stream neighbour starts a branch at
+# order+1. Equivalently per cell: hack(v) = hack(receiver) if v is the
+# receiver's chosen upstream, else hack(receiver)+1 — the find_main_stem
+# upstream propagation with an integer payload. TopologicalStreamOrder
+# is the same machinery with a different increment rule.
+# ---------------------------------------------------------------------------
+
+def hack_order(spec: RasterSpec | None = None, threshold: float = 5.0,
+               max_rounds: int = 64) -> pd.DataFrame:
+    """(row_id, n_stream, max_hack, sum_hack) per raster row."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    acc_frames = flow_accumulation_frames(spec)
+    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
+           for r in acc_frames.itertuples()}
+    acc_ref = ray.put(acc)
+
+    def solve(batch, ext_ref, acc_ref=acc_ref) -> pd.DataFrame:
+        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
+            else ext_ref
+        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
+            else acc_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            ze, pe, ae, se = _tile_halo_arrays(spec, tid, acc_all, threshold)
+            h = ze.shape[0] - 2
+            r0 = tid * spec.tile_rows
+            ext = ext_all[tid]
+            hk = np.zeros((h, cols), dtype=np.int64)
+            emits = []
+            order = np.argsort(ze[1:-1], axis=None, kind="stable")
+            for lin in order:  # ascending z: receiver resolves first
+                r, c = divmod(int(lin), cols)
+                re_ = r + 1
+                if not se[re_, c]:
+                    continue
+                gcell = (r0 + r) * cols + c
+                val = ext.get(gcell, 0)
+                if val == 0:
+                    code = pe[re_, c]
+                    if code <= 0:
+                        val = 1  # outlet
+                    else:
+                        i = int(code).bit_length() - 1
+                        rr, cc = re_ + _DY[i], c + _DX[i]
+                        if not (0 <= rr < h + 2 and 0 <= cc < cols) \
+                                or not se[rr, cc]:
+                            val = 1  # receiver not stream → outlet
+                        elif 1 <= rr <= h and hk[rr - 1, cc] > 0:
+                            base = int(hk[rr - 1, cc])
+                            chosen = _chosen_upstream(pe, ae, se, rr, cc)
+                            val = base if chosen == (re_, c) else base + 1
+                if val > 0:
+                    hk[r, c] = val
+                    up = _chosen_upstream(pe, ae, se, re_, c)
+                    if up is not None and not (1 <= up[0] <= h):
+                        gr = r0 + (up[0] - 1)
+                        emits.append((gr * cols + int(up[1]), val))
+                    # non-chosen out-of-tile inflows branch at val+1
+                    for i in range(8):
+                        r2, c2 = re_ + _DY[i], c + _DX[i]
+                        if 0 <= r2 < h + 2 and 0 <= c2 < cols \
+                                and se[r2, c2] and not (1 <= r2 <= h) \
+                                and pe[r2, c2] == float(1 << ((i + 4) % 8)) \
+                                and up != (r2, c2):
+                            gr = r0 + (r2 - 1)
+                            emits.append((gr * cols + int(c2), val + 1))
+            rows.append({"tile_id": tid, "shape0": h,
+                         "hk": hk.tobytes(),
+                         "stream": se[1:-1].astype(np.int8).tobytes(),
+                         "emits": json.dumps(emits)})
+        return pd.DataFrame(rows)
+
+    ext = {t: {} for t in range(spec.n_tiles)}
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(ext)
+        res = (rd.range(spec.n_tiles)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_ext = {t: {} for t in range(spec.n_tiles)}
+        for r in res.itertuples():
+            for gcell, val in json.loads(r.emits):
+                t = (gcell // cols) // spec.tile_rows
+                if 0 <= t < spec.n_tiles:
+                    prev = new_ext[t].get(int(gcell))
+                    if prev is None or val < prev:
+                        new_ext[t][int(gcell)] = int(val)
+        if new_ext == ext:
+            last = res
+            break
+        ext = new_ext
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("hack order did not converge")
+
+    out = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        hk = np.frombuffer(r.hk, dtype=np.int64).reshape(h, cols)
+        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(
+            h, cols).astype(bool)
+        r0 = int(r.tile_id) * spec.tile_rows
+        out.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_stream": stream.sum(axis=1).astype(np.int64),
+            "max_hack": hk.max(axis=1),
+            "sum_hack": hk.sum(axis=1)}))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def hack_order_naive(spec: RasterSpec, threshold: float = 5.0):
+    """Literal queue-walk mirror (HackStreamOrder.groovy:237-283)."""
+    import collections
+
+    from .raster import synth_value
+    from .terrain import d8_kernel
+    from .hydro import _accumulate_tile
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, _, _ = _accumulate_tile(z, ptr, np.zeros_like(z), spec.nodata)
+    stream = (z != spec.nodata) & (acc >= threshold)
+    hk = np.zeros((spec.rows, cols), dtype=np.int64)
+    q = collections.deque()
+    for row in range(spec.rows):
+        for col in range(cols):
+            if not stream[row, col]:
+                continue
+            code = ptr[row, col]
+            outlet = code <= 0
+            if not outlet:
+                i = int(code).bit_length() - 1
+                rr, cc = row + _DY[i], col + _DX[i]
+                outlet = not (0 <= rr < spec.rows and 0 <= cc < cols
+                              and stream[rr, cc])
+            if outlet:
+                q.append((row, col, 1))
+    while q:
+        y, x, order = q.popleft()
+        while True:
+            hk[y, x] = order
+            best, best_acc, best_i = None, 0.0, -1
+            inflows = []
+            for i in range(8):
+                x2, y2 = x + _DX[i], y + _DY[i]
+                if 0 <= y2 < spec.rows and 0 <= x2 < cols \
+                        and stream[y2, x2] \
+                        and ptr[y2, x2] == float(1 << ((i + 4) % 8)):
+                    inflows.append((y2, x2))
+                    if acc[y2, x2] > best_acc:
+                        best, best_acc = (y2, x2), acc[y2, x2]
+            if best is None:
+                break
+            for cell2 in inflows:
+                if cell2 != best:
+                    q.append((cell2[0], cell2[1], order + 1))
+            y, x = best
+    return hk, stream

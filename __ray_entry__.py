@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dissolve_union": lambda sf: vector_overlay.dissolve_union_area(sf),
         # --- distance transform (GISTools EuclideanDistance) ---
         "euclidean_distance": lambda sf: distance.euclidean_distance(),
+        "euclidean_allocation": lambda sf: distance.euclidean_allocation(),
         # --- cost distance (GISTools CostAccumulation/Allocation) ---
         "cost_accumulation": lambda sf: _cost_q(sf),
         # --- raster calculator (RasterCalculator expression compiler) ---
@@ -445,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_symdiff": o.overlay_area_sql("symmetric_difference"),
         "dissolve_union": o.dissolve_union_sql(),
         "euclidean_distance": o.euclidean_distance_sql(),
+        "euclidean_allocation": o.euclidean_allocation_sql(),
         "raster_calc": o.raster_calc_sql(),
         "utm_project": _crs_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),

@@ -1419,3 +1419,26 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def euclidean_allocation_sql(rows: int = 256, cols: int = 256) -> str:
+    """EuclideanAllocation: nearest target id per cell, ties to the
+    smallest target cell (lexicographic (d², tcell) min)."""
+    n = rows * cols
+    return f"""
+WITH tgt AS (
+  SELECT cell AS tcell, cell // {cols} AS tr, cell % {cols} AS tc
+  FROM range(0, {n}) t(cell)
+  WHERE ((cell * 2654435761 + 77) % 4294967296) % 251 = 0),
+g AS (SELECT i AS cell, i // {cols} AS r, i % {cols} AS c
+      FROM range(0, {n}) q(i)),
+d AS (SELECT g.cell,
+             MIN(((g.r - tgt.tr) * (g.r - tgt.tr)
+                  + (g.c - tgt.tc) * (g.c - tgt.tc)) * {n} + tgt.tcell)
+               AS k
+      FROM g CROSS JOIN tgt GROUP BY g.cell)
+SELECT cell // {cols} AS row_id,
+       round(SUM(sqrt(CAST(k // {n} AS DOUBLE))), 6) AS row_sum,
+       SUM(k % {n}) AS sum_alloc
+FROM d GROUP BY cell // {cols}
+"""

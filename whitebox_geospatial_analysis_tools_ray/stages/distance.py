@@ -135,3 +135,107 @@ def euclidean_distance(spec: RasterSpec | None = None,
         return pd.concat(frames, ignore_index=True)
 
     return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# EuclideanAllocation (GISTools/src/plugins/EuclideanAllocation.java, 368
+# LoC): every cell takes the ID of its nearest target. Same separable
+# two-pass plan, carrying the achieving target through both passes with
+# LEXICOGRAPHIC (d², target-cell) labels — ties go to the smallest
+# target cell id in BOTH engines, so the oracle is exact.
+# ---------------------------------------------------------------------------
+
+def _local_col_dist_row(mask: np.ndarray, r0: int):
+    """(|Δrow| to nearest in-tile target per column, achieving GLOBAL
+    target row; ties → smaller row)."""
+    H, W = mask.shape
+    d = np.full((H, W), BIG, dtype=np.int64)
+    trow = np.full((H, W), -1, dtype=np.int64)
+    rows = np.arange(r0, r0 + H, dtype=np.int64)[:, None]
+    d[mask] = 0
+    trow[mask] = np.broadcast_to(rows, mask.shape)[mask]
+    for r in range(1, H):
+        cand = d[r - 1] + 1
+        better = (cand < d[r]) | ((cand == d[r]) & (trow[r - 1] < trow[r]))
+        d[r] = np.where(better, cand, d[r])
+        trow[r] = np.where(better, trow[r - 1], trow[r])
+    for r in range(H - 2, -1, -1):
+        cand = d[r + 1] + 1
+        ok = trow[r + 1] >= 0
+        better = ok & ((cand < d[r])
+                       | ((cand == d[r]) & (trow[r + 1] < trow[r])))
+        d[r] = np.where(better, cand, d[r])
+        trow[r] = np.where(better, trow[r + 1], trow[r])
+    return d, trow
+
+
+def euclidean_allocation(spec: RasterSpec | None = None,
+                         round_to: int = 6) -> "rd.Dataset":
+    """(row_id, row_sum, sum_alloc): per-row distance checksum + the sum
+    of allocated target cell ids."""
+    spec = spec or RasterSpec()
+    tile_rows, cols = spec.tile_rows, spec.cols
+
+    def extremes(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "mn": [], "mx": []}
+        for tid in batch["id"]:
+            r0 = int(tid) * tile_rows
+            r1 = min(r0 + tile_rows, spec.rows)
+            mn, mx = _col_extremes(target_mask_for_rows(r0, r1, cols), r0)
+            out["tile_id"].append(int(tid))
+            out["mn"].append(mn)
+            out["mx"].append(mx)
+        return pd.DataFrame(out)
+
+    ext = (rd.range(spec.n_tiles)
+           .map_batches(extremes, batch_format="numpy").to_pandas())
+    ext = ext.sort_values("tile_id")
+    mins = np.stack([np.asarray(v, dtype=np.int64) for v in ext["mn"]])
+    maxs = np.stack([np.asarray(v, dtype=np.int64) for v in ext["mx"]])
+    summary_ref = ray.put((mins, maxs))
+    n_tiles = spec.n_tiles
+    K = np.int64(spec.rows * cols)  # > any target gcell
+
+    def per_tile(batch) -> pd.DataFrame:
+        mins_, maxs_ = (ray.get(summary_ref)
+                        if isinstance(summary_ref, ray.ObjectRef)
+                        else summary_ref)
+        frames = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * tile_rows
+            r1 = min(r0 + tile_rows, spec.rows)
+            H = r1 - r0
+            mask = target_mask_for_rows(r0, r1, cols)
+            g, trow = _local_col_dist_row(mask, r0)
+            rows = np.arange(r0, r1, dtype=np.int64)[:, None]
+            for t2 in range(n_tiles):
+                if t2 == tid:
+                    continue
+                cand = maxs_[t2] if t2 < tid else mins_[t2]
+                dist = np.where(cand[None, :] >= 0,
+                                np.abs(rows - cand), BIG)
+                better = (dist < g) | ((dist == g) & (cand[None, :] >= 0)
+                                       & (cand[None, :] < trow))
+                g = np.where(better, dist, g)
+                trow = np.where(better, np.broadcast_to(cand, g.shape),
+                                trow)
+            xs = np.arange(cols, dtype=np.int64)
+            dx2 = (xs[:, None] - xs[None, :]) ** 2  # (x, x')
+            g2 = np.minimum(g, 1_000_000).astype(np.int64) ** 2
+            tg = trow * cols + xs[None, :]  # target gcell per (row, x')
+            tg = np.where(trow >= 0, tg, K - 1)
+            # lexicographic (d², target gcell) via one combined int key
+            key = ((g2[:, None, :] + dx2[None, :, :]) * K
+                   + tg[:, None, :])  # (H, x, x')
+            best = key.min(axis=2)
+            d2 = best // K
+            alloc = best % K
+            dist = np.sqrt(d2.astype(np.float64))
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r1),
+                "row_sum": np.round(dist.sum(axis=1), round_to),
+                "sum_alloc": alloc.sum(axis=1).astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")

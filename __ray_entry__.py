@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             hydro.downslope_flowpath_length(),
         "mass_flux_d8": lambda sf: hydro.mass_flux_d8(),
         "flow_accumulation_dinf": lambda sf: _dinf_q(sf),
+        "flow_accumulation_fd8": lambda sf: hydro.flow_accumulation_fd8(),
         "viewshed": lambda sf: _viewshed_q(sf),
         "line_thinning": lambda sf: _thin_q(sf, "thin"),
         "remove_spurs": lambda sf: _thin_q(sf, "spurs"),

@@ -116,3 +116,22 @@ def test_mass_flux_tiling_invariant(ray_session):
     a = hydro.mass_flux_d8(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = hydro.mass_flux_d8(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_fd8_matches_naive(ray_session):
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = hydro.flow_accumulation_fd8(spec)
+    want = hydro.flow_accumulation_fd8_naive(spec)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_fd8_tiling_invariant(ray_session):
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    a = hydro.flow_accumulation_fd8(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = hydro.flow_accumulation_fd8(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)

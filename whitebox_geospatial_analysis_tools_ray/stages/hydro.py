@@ -705,3 +705,146 @@ def mass_flux_d8_naive(spec: RasterSpec, round_to: int = 4) -> pd.DataFrame:
         "n_valid": valid.sum(axis=1).astype(np.int64),
         "sum_flux": np.round(np.where(valid, out, 0.0).sum(axis=1),
                              round_to)})
+
+
+# ---------------------------------------------------------------------------
+# FlowAccumFD8 (HydroTools/src/plugins/FlowAccumFD8.java:397-437, no
+# breach threshold): each cell distributes its accumulated value to ALL
+# strictly lower neighbours proportional to (Δz)^power (default 1).
+# Receivers are strictly lower → descending-z is a topological order,
+# so the D8 band machinery applies unchanged with multi-receiver splits.
+# ---------------------------------------------------------------------------
+
+def _fd8_tile(z_ext, core: slice, r0: int, inflow, nodata, power: float):
+    """z_ext has 1 halo row each side (clamped at the grid edge); core
+    selects the band rows. Returns (acc, out_up, out_dn)."""
+    from .terrain import _DX, _DY
+
+    zc = z_ext[core]
+    H, W = zc.shape
+    valid = zc != nodata
+    acc = np.where(valid, 1.0 + inflow, 0.0)
+    order = np.argsort(-zc, axis=None, kind="stable")
+    out_up: dict[int, float] = {}
+    out_dn: dict[int, float] = {}
+    for lin in order:
+        r, c = divmod(int(lin), W)
+        if not valid[r, c]:
+            continue
+        z1 = zc[r, c]
+        re_ = core.start + r
+        total = 0.0
+        nbrs = []
+        for i in range(8):
+            r2, c2 = re_ + _DY[i], c + _DX[i]
+            if 0 <= r2 < z_ext.shape[0] and 0 <= c2 < W:
+                z2 = z_ext[r2, c2]
+                if z2 != nodata and z1 > z2:
+                    w = (z1 - z2) ** power
+                    total += w
+                    nbrs.append((r2, c2, w))
+        if total <= 0:
+            continue
+        for r2, c2, w in nbrs:
+            amt = acc[r, c] * (w / total)
+            rr = r2 - core.start
+            if 0 <= rr < H:
+                acc[rr, c2] += amt
+            elif rr < 0:
+                out_up[c2] = out_up.get(c2, 0.0) + amt
+            else:
+                out_dn[c2] = out_dn.get(c2, 0.0) + amt
+    return acc, out_up, out_dn
+
+
+def flow_accumulation_fd8(spec: RasterSpec | None = None,
+                          power: float = 1.0, max_rounds: int = 64,
+                          round_to: int = 4) -> pd.DataFrame:
+    """(row_id, n_valid, sum_acc) per raster row."""
+    import json
+
+    from .raster import synth_value
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+    inflows = {t: np.zeros((min(spec.tile_rows,
+                                spec.rows - t * spec.tile_rows), cols))
+               for t in range(n)}
+
+    def band(tid: int):
+        r0 = tid * spec.tile_rows
+        r1 = min(r0 + spec.tile_rows, spec.rows)
+        lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+        cell = np.arange(lo * cols, hi * cols, dtype=np.int64)
+        z = synth_value(cell).reshape(hi - lo, cols)
+        return z, slice(r0 - lo, r0 - lo + (r1 - r0)), r0
+
+    def solve(batch, inflow_ref) -> pd.DataFrame:
+        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
+            else inflow_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z_ext, core, r0 = band(tid)
+            acc, up, dn = _fd8_tile(z_ext, core, r0, infl[tid],
+                                    spec.nodata, power)
+            rows.append({"tile_id": tid, "acc": acc.tobytes(),
+                         "shape0": acc.shape[0],
+                         "up": json.dumps(up), "dn": json.dumps(dn)})
+        return pd.DataFrame(rows)
+
+    import json
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(inflows)
+        res = (rd.range(n)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_inflows = {t: np.zeros_like(v) for t, v in inflows.items()}
+        for r in res.itertuples():
+            for col, amt in json.loads(r.up).items():
+                if r.tile_id > 0:
+                    new_inflows[r.tile_id - 1][-1, int(col)] += amt
+            for col, amt in json.loads(r.dn).items():
+                if r.tile_id < n - 1:
+                    new_inflows[r.tile_id + 1][0, int(col)] += amt
+        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
+            last = res
+            break
+        inflows = new_inflows
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("FD8 accumulation did not converge")
+
+    frames = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        acc = np.frombuffer(r.acc).reshape(h, cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
+        valid = synth_value(cell).reshape(h, cols) != spec.nodata
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "sum_acc": np.round(np.where(valid, acc, 0.0).sum(axis=1),
+                                round_to)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def flow_accumulation_fd8_naive(spec: RasterSpec, power: float = 1.0,
+                                round_to: int = 4) -> pd.DataFrame:
+    from .raster import synth_value
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    acc, _, _ = _fd8_tile(z, slice(0, spec.rows), 0,
+                          np.zeros_like(z), spec.nodata, power)
+    valid = z != spec.nodata
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "sum_acc": np.round(np.where(valid, acc, 0.0).sum(axis=1),
+                            round_to)})

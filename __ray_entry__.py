@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mass_flux_d8": lambda sf: hydro.mass_flux_d8(),
         "flow_accumulation_dinf": lambda sf: _dinf_q(sf),
         "flow_accumulation_fd8": lambda sf: hydro.flow_accumulation_fd8(),
+        "max_upslope_flowpath_length": lambda sf:
+            hydro.max_upslope_flowpath_length(),
         "viewshed": lambda sf: _viewshed_q(sf),
         "line_thinning": lambda sf: _thin_q(sf, "thin"),
         "remove_spurs": lambda sf: _thin_q(sf, "spurs"),

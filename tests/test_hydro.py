@@ -135,3 +135,23 @@ def test_fd8_tiling_invariant(ray_session):
     a = hydro.flow_accumulation_fd8(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = hydro.flow_accumulation_fd8(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_max_upslope_length_matches_naive(ray_session):
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = hydro.max_upslope_flowpath_length(spec)
+    want = hydro.max_upslope_flowpath_length_naive(spec)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["max_len"].max() > 0
+
+
+def test_max_upslope_length_tiling_invariant(ray_session):
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    a = hydro.max_upslope_flowpath_length(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = hydro.max_upslope_flowpath_length(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)

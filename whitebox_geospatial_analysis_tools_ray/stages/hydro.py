@@ -848,3 +848,141 @@ def flow_accumulation_fd8_naive(spec: RasterSpec, power: float = 1.0,
         "n_valid": valid.sum(axis=1).astype(np.int64),
         "sum_acc": np.round(np.where(valid, acc, 0.0).sum(axis=1),
                             round_to)})
+
+
+# ---------------------------------------------------------------------------
+# MaxUpslopeFlowpathLength (HydroTools/src/plugins/
+# MaxUpslopeFlowpathLength.java, 344 LoC): the longest upstream D8 path
+# length reaching each cell — d(v) = max over inflowing u of
+# (d(u) + step(u→v)), headwaters 0. A downstream MAX propagation:
+# descending-z per tile with max-combining edge messages (the flow
+# accumulation fixed point with max instead of sum).
+# ---------------------------------------------------------------------------
+
+def max_upslope_flowpath_length(spec: RasterSpec | None = None,
+                                max_rounds: int = 64,
+                                round_to: int = 4) -> pd.DataFrame:
+    """(row_id, n_valid, max_len, sum_len) per raster row."""
+    import json
+
+    from .raster import synth_value
+    from .terrain import _DX, _DY
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+    GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
+    inflows = {t: np.full((min(spec.tile_rows,
+                               spec.rows - t * spec.tile_rows), cols), 0.0)
+               for t in range(n)}
+
+    def solve(batch, inflow_ref) -> pd.DataFrame:
+        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
+            else inflow_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            H = z.shape[0]
+            valid = z != spec.nodata
+            d = np.where(valid, infl[tid], 0.0)
+            out_up: dict[int, float] = {}
+            out_dn: dict[int, float] = {}
+            for lin in np.argsort(-z, axis=None, kind="stable"):
+                r, c = divmod(int(lin), cols)
+                if not valid[r, c]:
+                    continue
+                code = ptr[r, c]
+                if code == spec.nodata or code <= 0:
+                    continue
+                i = int(code).bit_length() - 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                val = d[r, c] + GL[i]
+                if 0 <= c2 < cols:
+                    if 0 <= r2 < H:
+                        if valid[r2, c2]:
+                            d[r2, c2] = max(d[r2, c2], val)
+                    elif r2 < 0:
+                        out_up[c2] = max(out_up.get(c2, 0.0), val)
+                    else:
+                        out_dn[c2] = max(out_dn.get(c2, 0.0), val)
+            rows.append({"tile_id": tid, "d": d.tobytes(), "shape0": H,
+                         "up": json.dumps(out_up),
+                         "dn": json.dumps(out_dn)})
+        return pd.DataFrame(rows)
+
+    import json
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(inflows)
+        res = (rd.range(n)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_inflows = {t: np.zeros_like(v) for t, v in inflows.items()}
+        for r in res.itertuples():
+            for col, amt in json.loads(r.up).items():
+                if r.tile_id > 0:
+                    c = int(col)
+                    new_inflows[r.tile_id - 1][-1, c] = max(
+                        new_inflows[r.tile_id - 1][-1, c], amt)
+            for col, amt in json.loads(r.dn).items():
+                if r.tile_id < n - 1:
+                    c = int(col)
+                    new_inflows[r.tile_id + 1][0, c] = max(
+                        new_inflows[r.tile_id + 1][0, c], amt)
+        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
+            last = res
+            break
+        inflows = new_inflows
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("max upslope length did not converge")
+
+    frames = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        d = np.frombuffer(r.d).reshape(h, cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
+        valid = synth_value(cell).reshape(h, cols) != spec.nodata
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "max_len": np.round(np.where(valid, d, 0.0).max(axis=1),
+                                round_to),
+            "sum_len": np.round(np.where(valid, d, 0.0).sum(axis=1),
+                                round_to)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def max_upslope_flowpath_length_naive(spec: RasterSpec,
+                                      round_to: int = 4) -> pd.DataFrame:
+    from .raster import synth_value
+    from .terrain import _DX, _DY, d8_kernel
+
+    cols = spec.cols
+    GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    valid = z != spec.nodata
+    d = np.zeros((spec.rows, cols))
+    for lin in np.argsort(-z, axis=None, kind="stable"):
+        r, c = divmod(int(lin), cols)
+        if not valid[r, c]:
+            continue
+        code = ptr[r, c]
+        if code == spec.nodata or code <= 0:
+            continue
+        i = int(code).bit_length() - 1
+        r2, c2 = r + _DY[i], c + _DX[i]
+        if 0 <= r2 < spec.rows and 0 <= c2 < cols and valid[r2, c2]:
+            d[r2, c2] = max(d[r2, c2], d[r, c] + GL[i])
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "max_len": np.round(np.where(valid, d, 0.0).max(axis=1), round_to),
+        "sum_len": np.round(np.where(valid, d, 0.0).sum(axis=1), round_to)})

@@ -155,9 +155,42 @@ def minhash_candidates(sf_dir: str, concurrency=None) -> "rd.Dataset":
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    uniq = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # bucketize the unbounded (band, hash) key space into a bounded
+    # number of shuffle groups (∝ cluster parallelism) and process all
+    # of a bucket's LSH buckets in one pandas pass — Ray's map_groups
+    # costs ~10 ms of per-group machinery, which dominates when keys
+    # number in the thousands (measured on the link stats).
+    NB = 64
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df["band_hash"], index=False).to_numpy()
+        df["bucket"] = ((df["band_id"].to_numpy() * 31 + h) % NB).astype("int64")
+        return df
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [pairs(sub) for _, sub in g.groupby(["band_id", "band_hash"],
+                                                   sort=False)]
+        out = (pd.concat(outs, ignore_index=True) if outs else
+               pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")}))
+        return out.drop_duplicates()  # within-bucket pair dedup
+
+    cand = (bands.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(pairs_bucket,
+                                          batch_format="pandas"))
+    # cross-bucket dedup: a pair can recur in different buckets — one
+    # more bounded-bucket pass keyed on the pair hash
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["pbucket"] = ((df["doc_a"].to_numpy() * 2654435761
+                          + df["doc_b"].to_numpy()) % NB).astype("int64")
+        return df
+
+    uniq = (cand.map_batches(pair_bucket, batch_format="pandas")
+            .groupby("pbucket").map_groups(
+                lambda g: g.drop_duplicates(["doc_a", "doc_b"])
+                           .drop(columns="pbucket"),
+                batch_format="pandas"))
     return uniq
 
 

@@ -188,9 +188,7 @@ def cell_partitioned_pip_join(points: "rd.Dataset", zones: list[dict],
 
     keyed = points.map_batches(key_points, batch_format="numpy")
 
-    def per_cell(group: pd.DataFrame) -> pd.DataFrame:
-        cz = ray.get(cz_ref)
-        cell = int(group["cell_key"].iloc[0])
+    def _cell_join(cz, cell: int, group: pd.DataFrame) -> pd.DataFrame:
         if salt > 1:
             cell //= salt
         zlist = cz.get(cell, [])
@@ -212,7 +210,29 @@ def cell_partitioned_pip_join(points: "rd.Dataset", zones: list[dict],
         return pd.DataFrame({"rec_id": np.concatenate(recs),
                              "zone_id": np.concatenate(zids)})
 
-    return keyed.groupby("cell_key").map_groups(per_cell, batch_format="pandas")
+    # Bucketed shuffle: cell keys are unbounded (grid size), so shuffle
+    # on cell_key % NB (NB ∝ cluster parallelism) and refine each cell
+    # inside a pandas sub-groupby — avoids Ray's ~10 ms per-group
+    # map_groups machinery across hundreds/thousands of cells while
+    # keeping cells co-located (salting still splits hot cells first).
+    NB = 64
+
+    def add_bucket(batch):
+        batch["bucket"] = (batch["cell_key"] * 2654435761) % NB
+        return batch
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cz = ray.get(cz_ref)
+        outs = [_cell_join(cz, int(ck), sub)
+                for ck, sub in g.groupby("cell_key", sort=True)]
+        if not outs:
+            return pd.DataFrame({"rec_id": pd.Series([], dtype="int64"),
+                                 "zone_id": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return (keyed.map_batches(add_bucket, batch_format="numpy")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------

@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": lambda sf: emb.kmeans_embeddings(sf),
         # --- multimodal (opaque binary media + actor-pool decode) ---
         "image_features": lambda sf: multimodal.image_features(sf),
+        "video_frame_sample": lambda sf: multimodal.video_frame_sample(sf),
         # --- relational surface ---
         "q1_pricing": lambda sf: relational.q1_pricing_summary(sf),
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
@@ -375,6 +376,8 @@ def oracle_sql() -> dict[str, str]:
         utm_project_sql as _crs_sql)
     from whitebox_geospatial_analysis_tools_ray.sources.las import (
         las_tile_stats_sql as _las_sql)
+    from whitebox_geospatial_analysis_tools_ray.stages.multimodal import (
+        video_frame_sample_sql as _vfs_sql)
     from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
         shape_metrics_basic_sql as _shape_sql,
         trend_surface_sql as _trend_sql,
@@ -403,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn_join": o.ann_knn_join_sql(),
         "embedding_neardup": o.cosine_neardup_sql(),
         "image_features": o.image_features_sql(),
+        "video_frame_sample": _vfs_sql(),
         # pca_embeddings / kmeans_embeddings: iterative / eigen — rows-only,
         # verified against single-process mirrors in tests.
         "q1_pricing": o.q1_sql(),

@@ -103,3 +103,78 @@ def resize_stub(ds: "rd.Dataset", width: int, height: int) -> "rd.Dataset":
     from .util import pool_size
     return ds.map_batches(Resizer, batch_format="pandas",
                           concurrency=pool_size())
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling: opaque FAKEVID container (deterministic stand-in
+# for an MP4 — b"FAKEVID" + u32 n_frames + u32 fps + per-frame u32
+# checksums). The actor-pool stage samples every k-th frame and emits
+# one row per sampled frame — the schema/fan-out a real libav sampler
+# produces; swapping the parser for av.open is the only change.
+# ---------------------------------------------------------------------------
+
+_VMAGIC = b"FAKEVID"
+
+
+def encode_fake_video(doc_id: int) -> bytes:
+    n_frames = 8 + doc_id % 120
+    fps = 24 + (doc_id % 3) * 6
+    frames = [(doc_id * 2654435761 + f * 97) % 4294967296
+              for f in range(n_frames)]
+    return (_VMAGIC + struct.pack(">II", n_frames, fps)
+            + struct.pack(f">{n_frames}I", *frames))
+
+
+class FrameSampler:
+    """Actor-pool stage: parse the container once per batch row, emit
+    every ``stride``-th frame (one output row per sampled frame)."""
+
+    def __init__(self, stride: int = 10):
+        self.stride = stride
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "frame_idx": [], "t_ms": [], "checksum": []}
+        for doc_id, buf in zip(batch["doc_id"], batch["payload"]):
+            buf = bytes(buf)
+            assert buf[:7] == _VMAGIC
+            n, fps = struct.unpack(">II", buf[7:15])
+            frames = struct.unpack(f">{n}I", buf[15:15 + 4 * n])
+            for f in range(0, n, self.stride):
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(f)
+                out["t_ms"].append(f * 1000 // fps)
+                out["checksum"].append(frames[f])
+        return pd.DataFrame(out)
+
+
+def video_frame_sample(sf_dir: str, stride: int = 10,
+                       batch_size: int = 256) -> "rd.Dataset":
+    """documents → fake videos → sampled frames
+    (doc_id, frame_idx, t_ms, checksum)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "payload": [encode_fake_video(int(i)) for i in batch["doc_id"]]})
+
+    from .util import pool_size
+    return (ds.map_batches(pack, batch_format="pandas")
+            .map_batches(FrameSampler, batch_format="pandas",
+                         concurrency=pool_size(), batch_size=batch_size))
+
+
+def video_frame_sample_sql(stride: int = 10) -> str:
+    """Exact mirror: frame grid + checksum hash rule from doc_id."""
+    return f"""
+WITH v AS (SELECT doc_id, 8 + doc_id % 120 AS n_frames,
+                  24 + (doc_id % 3) * 6 AS fps
+           FROM documents),
+f AS (SELECT v.doc_id, g.f AS frame_idx, v.fps
+      FROM v, LATERAL (SELECT unnest(range(0, v.n_frames, {stride})) AS f)
+           g(f))
+SELECT doc_id, frame_idx,
+       frame_idx * 1000 // fps AS t_ms,
+       (doc_id * 2654435761 + frame_idx * 97) % 4294967296 AS checksum
+FROM f
+"""

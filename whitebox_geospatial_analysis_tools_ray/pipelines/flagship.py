@@ -14,12 +14,11 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ..core.features import doc_points, rect_zones, seeded_polygons
 from ..core.rng import EAST, NORTH, SOUTH, WEST
 from ..core.tiles import RectGrid
-from ..stages.spatial_join import BroadcastPIPJoin, _zone_bbox, _zone_hit_mask
+from ..stages.spatial_join import BroadcastPIPJoin, _zone_bbox
 
 
 def flagship(sf_dir: str, tile_width: float = 250.0,

@@ -25,7 +25,6 @@ import pandas as pd
 import ray.data as rd
 
 from ..core.tiles import RectGrid
-from .util import coalesce_partials
 
 
 def cell_aggregates(points: "rd.Dataset", grid: RectGrid,

@@ -24,10 +24,8 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
 
 from .raster import RasterSpec, synth_value
-from .util import coalesce_partials
 
 
 class _UF:

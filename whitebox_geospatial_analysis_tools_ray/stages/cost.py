@@ -27,7 +27,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .raster import NODATA, RasterSpec, synth_value
+from .raster import RasterSpec, synth_value
 
 _SQRT2 = float(np.sqrt(2.0))
 _DX = (1, 1, 1, 0, -1, -1, -1, 0)

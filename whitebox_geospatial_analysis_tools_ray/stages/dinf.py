@@ -31,7 +31,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .raster import NODATA, RasterSpec, synth_value
+from .raster import RasterSpec, synth_value
 
 _AC = (0, 1, 1, 2, 2, 3, 3, 4)
 _AF = (1, -1, 1, -1, 1, -1, 1, -1)

@@ -14,9 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
-from .util import coalesce_partials
 
 
 def q1_pricing_summary(sf_dir: str, round_to: int = 4) -> "rd.Dataset":

@@ -29,7 +29,6 @@ import ray.data as rd
 from ..core.geom import Polygon, points_in_polygon, points_in_triangle
 from ..core.rng import EAST, NORTH, SOUTH, WEST
 from ..core.tiles import RectGrid
-from .points import read_points
 
 
 class ZoneGridIndex:

@@ -18,7 +18,6 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .util import coalesce_partials
 
 _WS = re.compile(r"\s+")
 

@@ -14,11 +14,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..core.tiles import HexGrid, RectGrid
 from .points import extent_of, read_points
-from .util import coalesce_partials
 
 
 def _partial_cell_stats(tile: np.ndarray, z: np.ndarray) -> pd.DataFrame:

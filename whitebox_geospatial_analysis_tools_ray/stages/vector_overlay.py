@@ -26,7 +26,6 @@ import pandas as pd
 import ray.data as rd
 
 from ..core import geom
-from ..core.rng import EAST, NORTH, SOUTH, WEST
 from .points import read_points
 
 # the conformance clip window (Python-computed doubles; inlined into SQL)

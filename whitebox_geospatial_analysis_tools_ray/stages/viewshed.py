@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-from .raster import NODATA, RasterSpec, synth_value
+from .raster import RasterSpec, synth_value
 
 STATION_HEIGHT = 2.0
 

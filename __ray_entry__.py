@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clump": lambda sf: clump_mod.clump(),
         # --- two-raster stats (StatsTools) ---
         "cross_tabulation": _pair_q(raster_stats.cross_tabulation),
+        "kappa_index": _pair_q(raster_stats.kappa_index),
         "ndvi": _pair_q(raster_stats.ndvi),
         "morans_i": lambda sf: raster_stats.morans_i(raster.RasterSpec()),
         "histogram_match": _pair_q(raster_stats.histogram_match),
@@ -462,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         # clump: non-SQL-expressible (iterative label merge) — rows-only,
         # verified against the single-process BFS oracle in tests.
         "cross_tabulation": o.cross_tab_sql(),
+        "kappa_index": o.kappa_sql(),
         "ndvi": o.ndvi_sql(),
         "morans_i": o.morans_i_sql(),
         "histogram_match": o.histogram_match_sql(),

@@ -1442,3 +1442,31 @@ SELECT cell // {cols} AS row_id,
        SUM(k % {n}) AS sum_alloc
 FROM d GROUP BY cell // {cols}
 """
+
+
+def kappa_sql(rows: int = 256, cols: int = 256,
+              class_width: float = 200.0) -> str:
+    """KappaIndex.java:263-289 mirror over the synthetic raster pair."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+tab AS (
+  SELECT CAST(floor(a.v / {class_width!r}) AS BIGINT) AS ca,
+         CAST(floor(b.v / {class_width!r}) AS BIGINT) AS cb,
+         COUNT(*) AS c
+  FROM vals a JOIN vals_b b ON a.cell = b.cell
+  WHERE a.v <> {_NOD} AND b.v <> {_NOD}
+  GROUP BY 1, 2),
+s AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN ca = cb THEN c ELSE 0 END) AS DOUBLE)
+               AS agree
+      FROM tab),
+rt AS (SELECT ca AS k, SUM(c) AS r FROM tab GROUP BY ca),
+ct AS (SELECT cb AS k, SUM(c) AS cl FROM tab GROUP BY cb),
+e AS (SELECT SUM(COALESCE(rt.r, 0) * COALESCE(ct.cl, 0) / s.n) AS exp
+      FROM rt FULL JOIN ct ON rt.k = ct.k CROSS JOIN s)
+SELECT CAST(s.n AS BIGINT) AS n, CAST(s.agree AS BIGINT) AS agreements,
+       round((s.agree - e.exp) / (s.n - e.exp), 6) AS kappa,
+       round(s.agree / s.n, 6) AS overall_accuracy
+FROM s, e
+"""

@@ -724,3 +724,40 @@ def rgb_ihs_roundtrip(spec: RasterSpec, round_to: int = 6) -> "rd.Dataset":
     return raster_row_checksums(
         rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy"),
         spec, round_to=round_to)
+
+
+def kappa_index(pair: "rd.Dataset", spec: RasterSpec,
+                class_width: float = 200.0,
+                round_to: int = 6) -> pd.DataFrame:
+    """KappaIndex (StatsTools/src/plugins/KappaIndex.java:263-289):
+    κ = (agreements − Σ rowTotal·colTotal/N) / (N − Σ …) over the
+    contingency table of the two classified rasters; plus overall
+    accuracy. One distributed contingency pass (the cross_tabulation
+    partial+combine) and a driver finalize — the table is O(classes²)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for da, db in zip(batch["data"], batch["data_b"]):
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            m = (a != spec.nodata) & (b != spec.nodata)
+            ca = np.floor(a[m] / class_width).astype(np.int64)
+            cb = np.floor(b[m] / class_width).astype(np.int64)
+            df = pd.DataFrame({"class_a": ca, "class_b": cb})
+            frames.append(df.groupby(["class_a", "class_b"], sort=False)
+                          .size().rename("c").reset_index())
+        return pd.concat(frames, ignore_index=True)
+
+    tab = (pair.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby(["class_a", "class_b"])["c"].sum().reset_index())
+    N = float(tab["c"].sum())
+    agree = float(tab.loc[tab["class_a"] == tab["class_b"], "c"].sum())
+    row_tot = tab.groupby("class_a")["c"].sum()
+    col_tot = tab.groupby("class_b")["c"].sum()
+    classes = sorted(set(row_tot.index) | set(col_tot.index))
+    expected = sum(float(row_tot.get(k, 0)) * float(col_tot.get(k, 0)) / N
+                   for k in classes)
+    kappa = (agree - expected) / (N - expected)
+    return pd.DataFrame({"n": [int(N)], "agreements": [int(agree)],
+                         "kappa": [round(kappa, round_to)],
+                         "overall_accuracy": [round(agree / N, round_to)]})

@@ -103,3 +103,38 @@ def test_wkt_roundtrip():
     for a, b in zip(poly.rings, rt.rings):
         np.testing.assert_allclose(a, b)
     assert wkt_to_geometry(point_to_wkt(1.5, -2.25)) == (1.5, -2.25)
+
+
+def test_shapefile_writer_roundtrip(tmp_path, ray_session):
+    import numpy as np
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.sources import shapefile_io as sio
+    feats = [
+        {"shape_type": 5, "rings": [np.array([[0.0, 0.0], [10.0, 0.0],
+                                              [10.0, 8.0], [0.0, 8.0],
+                                              [0.0, 0.0]])]},
+        {"shape_type": 5, "rings": [np.array([[20.0, 5.0], [30.0, 5.0],
+                                              [25.0, 15.0], [20.0, 5.0]])]},
+    ]
+    attrs = pd.DataFrame({"zone": [1.0, 2.0], "name": ["a", "b"]})
+    p = str(tmp_path / "t.shp")
+    sio.write_shapefile(p, feats, attrs)
+    df = sio.read_shapefile(p)
+    assert len(df) == 2
+    assert (df["rec_id"].to_numpy() == [1, 2]).all()
+    assert (df["shape_type"] == 5).all()
+    assert df["zone"].tolist() == [1.0, 2.0]
+    assert df["name"].str.strip().tolist() == ["a", "b"]
+
+
+def test_shapefile_writer_points(tmp_path):
+    import numpy as np
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.sources import shapefile_io as sio
+    feats = [{"shape_type": 1, "rings": [np.array([[i * 2.0, i * 3.0]])]}
+             for i in range(5)]
+    p = str(tmp_path / "pts.shp")
+    sio.write_shapefile(p, feats, pd.DataFrame({"v": np.arange(5.0)}))
+    df = sio.read_shapefile(p)
+    assert len(df) == 5
+    assert np.allclose(df["x"], np.arange(5) * 2.0)

@@ -154,3 +154,103 @@ def read_shapefile_ds(shp_path: str):
         return pd.concat(frames, ignore_index=True)
 
     return files.map_batches(decode, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Shapefile WRITER (ShapeFile.java:454 write(), ShapeFileRecord 1-based
+# record numbers; DBFWriter.java field descriptors) — completes r/w
+# parity. Driver-side sink: vector layers that reach a .shp are
+# broadcast-sized; large layers persist as Parquet (the canonical store).
+# ---------------------------------------------------------------------------
+
+def write_shapefile(shp_path: str, features: list[dict],
+                    attrs: "pd.DataFrame | None" = None) -> None:
+    """features: [{shape_type: 1|3|5, rings: [np.ndarray(n,2), ...]}]
+    (points pass one single-vertex ring). Writes .shp, .shx and (when
+    ``attrs`` given) a DBF with N(18,6)/C(64) fields by dtype."""
+    recs = []
+    minx = miny = np.inf
+    maxx = maxy = -np.inf
+    for i, f in enumerate(features):
+        st = int(f["shape_type"])
+        rings = [np.asarray(r, dtype=np.float64) for r in f["rings"]]
+        pts = np.vstack(rings)
+        minx = min(minx, pts[:, 0].min()); maxx = max(maxx, pts[:, 0].max())
+        miny = min(miny, pts[:, 1].min()); maxy = max(maxy, pts[:, 1].max())
+        if st == 1:
+            content = struct.pack("<i", 1) + struct.pack(
+                "<dd", pts[0, 0], pts[0, 1])
+        else:
+            parts = np.cumsum([0] + [len(r) for r in rings[:-1]])
+            content = struct.pack("<i", st)
+            content += struct.pack("<dddd", pts[:, 0].min(), pts[:, 1].min(),
+                                   pts[:, 0].max(), pts[:, 1].max())
+            content += struct.pack("<ii", len(rings), len(pts))
+            content += struct.pack(f"<{len(parts)}i", *parts)
+            content += pts.astype("<f8").tobytes()
+        recs.append((i + 1, content))
+
+    shp = bytearray()
+    shx = bytearray()
+    body = bytearray()
+    offset_words = 50  # header = 100 bytes
+    for rec_id, content in recs:
+        clen_words = len(content) // 2
+        shx += struct.pack(">ii", offset_words, clen_words)
+        body += struct.pack(">ii", rec_id, clen_words) + content
+        offset_words += 4 + clen_words
+
+    def header(total_bytes: int) -> bytes:
+        h = struct.pack(">i", 9994) + b"\0" * 20
+        h += struct.pack(">i", total_bytes // 2)
+        h += struct.pack("<ii", 1000,
+                         int(features[0]["shape_type"]) if features else 0)
+        h += struct.pack("<dddd", minx if features else 0.0,
+                         miny if features else 0.0,
+                         maxx if features else 0.0,
+                         maxy if features else 0.0)
+        h += struct.pack("<dddd", 0.0, 0.0, 0.0, 0.0)
+        return h
+
+    with open(shp_path, "wb") as f:
+        f.write(header(100 + len(body)))
+        f.write(bytes(body))
+    with open(shp_path[:-4] + ".shx", "wb") as f:
+        f.write(header(100 + len(shx)))
+        f.write(bytes(shx))
+
+    if attrs is not None:
+        _write_dbf(shp_path[:-4] + ".dbf", attrs)
+
+
+def _write_dbf(path: str, df: "pd.DataFrame") -> None:
+    fields = []
+    for name in df.columns:
+        if np.issubdtype(df[name].dtype, np.number):
+            fields.append((name[:10], "N", 18, 6))
+        else:
+            fields.append((name[:10], "C", 64, 0))
+    rec_size = 1 + sum(f[2] for f in fields)
+    hdr_size = 32 + 32 * len(fields) + 1
+    with open(path, "wb") as f:
+        f.write(struct.pack("<BBBBIHH", 3, 26, 1, 1, len(df),
+                            hdr_size, rec_size))
+        f.write(b"\0" * 20)
+        for name, t, ln, dec in fields:
+            fd = bytearray(32)
+            fd[:11] = name.encode("ascii", "replace")[:11].ljust(11, b"\0")
+            fd[11] = ord(t)
+            fd[16] = ln
+            fd[17] = dec
+            f.write(bytes(fd))
+        f.write(b"\x0d")
+        for _, row in df.iterrows():
+            f.write(b" ")
+            for (name, t, ln, dec), col in zip(fields, df.columns):
+                v = row[col]
+                if t == "N":
+                    s = f"{float(v):.6f}".rjust(ln)[:ln]
+                else:
+                    s = str(v).ljust(ln)[:ln]
+                f.write(s.encode("latin-1", "replace"))
+        f.write(b"\x1a")

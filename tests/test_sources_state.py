@@ -138,3 +138,20 @@ def test_shapefile_writer_points(tmp_path):
     df = sio.read_shapefile(p)
     assert len(df) == 5
     assert np.allclose(df["x"], np.arange(5) * 2.0)
+
+
+def test_gml_roundtrip(tmp_path):
+    import numpy as np
+    from whitebox_geospatial_analysis_tools_ray.sources import xyz
+    feats = [(1, [np.array([[0.5, 0.25], [10.125, 0.0], [5.0, 8.0]])]),
+             (2, [np.array([[20.0, 0.0], [30.0, 0.0], [30.0, 9.0],
+                            [20.0, 9.0]]),
+                  np.array([[24.0, 2.0], [26.0, 2.0], [25.0, 4.0]])])]
+    p = str(tmp_path / "t.gml")
+    xyz.export_gml(feats, p)
+    back = xyz.parse_gml_polygons(open(p).read())
+    assert len(back) == 2
+    for (fid, rings), (fid2, rings2) in zip(feats, back):
+        assert fid == fid2 and len(rings) == len(rings2)
+        for a, b in zip(rings, rings2):
+            np.testing.assert_array_equal(a, b)  # repr() roundtrips doubles

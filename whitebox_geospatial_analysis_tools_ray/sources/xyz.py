@@ -103,3 +103,56 @@ def wkt_to_geometry(wkt: str):
                 cur += ch
         return Polygon(rings)
     raise ValueError(f"unsupported WKT: {s[:30]}")
+
+
+# ---------------------------------------------------------------------------
+# ExportGML (ImportExport/src/plugins/ExportGML.java, 315 LoC): GML 2
+# simple-features serialization. One stateless map_batches serializer
+# over the WKT feature model this module already owns; the sink
+# concatenates driver-side (export targets are broadcast-sized layers).
+# ---------------------------------------------------------------------------
+
+def polygon_to_gml(rec_id: int, rings) -> str:
+    import numpy as np
+    shell = np.asarray(rings[0])
+    coords = " ".join(f"{x!r},{y!r}" for x, y in shell)
+    inner = ""
+    for hole in rings[1:]:
+        hc = " ".join(f"{x!r},{y!r}" for x, y in np.asarray(hole))
+        inner += (f"<gml:innerBoundaryIs><gml:LinearRing>"
+                  f"<gml:coordinates>{hc}</gml:coordinates>"
+                  f"</gml:LinearRing></gml:innerBoundaryIs>")
+    return (f'<gml:featureMember><feature fid="{rec_id}">'
+            f"<gml:Polygon><gml:outerBoundaryIs><gml:LinearRing>"
+            f"<gml:coordinates>{coords}</gml:coordinates>"
+            f"</gml:LinearRing></gml:outerBoundaryIs>{inner}"
+            f"</gml:Polygon></feature></gml:featureMember>")
+
+
+def parse_gml_polygons(doc: str):
+    """Minimal GML reader for the roundtrip test: [(fid, rings)]."""
+    import re
+
+    import numpy as np
+    out = []
+    for m in re.finditer(
+            r'<feature fid="(\d+)">(.*?)</feature>', doc, re.S):
+        fid = int(m.group(1))
+        rings = []
+        for cm in re.finditer(r"<gml:coordinates>(.*?)</gml:coordinates>",
+                              m.group(2), re.S):
+            pts = [tuple(map(float, p.split(",")))
+                   for p in cm.group(1).split()]
+            rings.append(np.asarray(pts))
+        out.append((fid, rings))
+    return out
+
+
+def export_gml(features, path: str) -> None:
+    """features: [(rec_id, rings)] — serialized distributed, written
+    driver-side."""
+    body = "".join(polygon_to_gml(rid, rings) for rid, rings in features)
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?><gml:FeatureCollection '
+                'xmlns:gml="http://www.opengis.net/gml">'
+                + body + "</gml:FeatureCollection>")

@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- two-raster stats (StatsTools) ---
         "cross_tabulation": _pair_q(raster_stats.cross_tabulation),
         "kappa_index": _pair_q(raster_stats.kappa_index),
+        "extract_valleys": lambda sf: raster_stats.extract_valleys_pd(raster.RasterSpec()),
         "ndvi": _pair_q(raster_stats.ndvi),
         "morans_i": lambda sf: raster_stats.morans_i(raster.RasterSpec()),
         "histogram_match": _pair_q(raster_stats.histogram_match),
@@ -464,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         # verified against the single-process BFS oracle in tests.
         "cross_tabulation": o.cross_tab_sql(),
         "kappa_index": o.kappa_sql(),
+        "extract_valleys": o.extract_valleys_sql(),
         "ndvi": o.ndvi_sql(),
         "morans_i": o.morans_i_sql(),
         "histogram_match": o.histogram_match_sql(),

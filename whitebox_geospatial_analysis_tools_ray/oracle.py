@@ -1470,3 +1470,40 @@ SELECT CAST(s.n AS BIGINT) AS n, CAST(s.agree AS BIGINT) AS agreements,
        round(s.agree / s.n, 6) AS overall_accuracy
 FROM s, e
 """
+
+
+def extract_valleys_sql(rows: int = 256, cols: int = 256) -> str:
+    """Peucker–Douglas valleys mirror: per anchor, the selected 2×2 max
+    (NW→N→W strict >, centre keeps ties) marks its target cell."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+nb AS (SELECT cell, r, c, v,
+  CASE WHEN r > 0 AND c > 0 THEN LAG(v, {cols + 1}) OVER w4
+       ELSE {_NOD} END AS znw,
+  CASE WHEN r > 0 THEN LAG(v, {cols}) OVER w4 ELSE {_NOD} END AS zn,
+  CASE WHEN c > 0 THEN LAG(v, 1) OVER w4 ELSE {_NOD} END AS zw
+FROM g WINDOW w4 AS (ORDER BY cell)),
+sel AS (SELECT cell, r, c,
+  CASE
+    WHEN znw <> {_NOD} AND znw > v THEN
+      CASE WHEN zn <> {_NOD} AND zn > znw THEN
+             CASE WHEN zw <> {_NOD} AND zw > zn THEN 2 ELSE 1 END
+           WHEN zw <> {_NOD} AND zw > znw THEN 2 ELSE 0 END
+    WHEN zn <> {_NOD} AND zn > v THEN
+      CASE WHEN zw <> {_NOD} AND zw > zn THEN 2 ELSE 1 END
+    WHEN zw <> {_NOD} AND zw > v THEN 2
+    ELSE 3 END AS k
+  FROM nb WHERE v <> {_NOD}),
+marked AS (
+  SELECT DISTINCT cell
+         - CASE WHEN k IN (0, 1) THEN {cols} ELSE 0 END
+         - CASE WHEN k IN (0, 2) THEN 1 ELSE 0 END AS mcell
+  FROM sel)
+SELECT g.r AS row_id,
+       CAST(COUNT(CASE WHEN g.v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       CAST(COUNT(CASE WHEN g.v <> {_NOD} AND marked.mcell IS NULL
+                  THEN 1 END) AS BIGINT) AS n_valley
+FROM g LEFT JOIN marked ON marked.mcell = g.cell
+GROUP BY g.r
+"""

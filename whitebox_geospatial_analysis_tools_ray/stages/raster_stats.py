@@ -761,3 +761,58 @@ def kappa_index(pair: "rd.Dataset", spec: RasterSpec,
     return pd.DataFrame({"n": [int(N)], "agreements": [int(agree)],
                          "kappa": [round(kappa, round_to)],
                          "overall_accuracy": [round(agree / N, round_to)]})
+
+
+def extract_valleys_pd(spec: RasterSpec) -> pd.DataFrame:
+    """ExtractValleysPeuckerAndDouglas (WhiteboxGIS/resources/plugins/
+    source_files/ExtractValleysPeuckerAndDouglas.java:164-216): for every
+    valid anchor cell, the HIGHEST of the 2×2 window {NW, N, W, centre}
+    (strict >, scan order NW→N→W, centre keeps ties) is marked non-valley;
+    unmarked valid cells are valley candidates. Overlap-read stencil —
+    anchors one halo row below each band can mark the band's last row.
+    Output: (row_id, n_valid, n_valley)."""
+
+    def per_tile(batch) -> pd.DataFrame:
+        frames = []
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+            cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+            z = synth_value(cell).reshape(hi - lo, spec.cols)
+            pad = np.full((hi - lo + 2, spec.cols + 2), spec.nodata)
+            pad[1:-1, 1:-1] = z
+            zc = pad[1:-1, 1:-1]
+            nw = pad[:-2, :-2]
+            nn = pad[:-2, 1:-1]
+            ww = pad[1:-1, :-2]
+            valid = zc != spec.nodata
+            # running strict-max selection, reference scan order
+            maxz = zc.copy()
+            sel = np.full(zc.shape, 3, dtype=np.int64)  # centre
+            for k, nb in ((0, nw), (1, nn), (2, ww)):
+                upd = valid & (nb != spec.nodata) & (nb > maxz)
+                maxz = np.where(upd, nb, maxz)
+                sel = np.where(upd, k, sel)
+            # scatter: marked(cell) = selected by any anchor
+            marked = np.zeros_like(valid)
+            offs = {0: (-1, -1), 1: (-1, 0), 2: (0, -1), 3: (0, 0)}
+            H, W = zc.shape
+            for k, (dr, dc) in offs.items():
+                src = valid & (sel == k)
+                rr, cc = np.nonzero(src)
+                tr, tc = rr + dr, cc + dc
+                m = (tr >= 0) & (tc >= 0)
+                marked[tr[m], tc[m]] = True
+            core = slice(r0 - lo, r0 - lo + (r1 - r0))
+            vc = valid[core]
+            valley = vc & ~marked[core]
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r1),
+                "n_valid": vc.sum(axis=1).astype(np.int64),
+                "n_valley": valley.sum(axis=1).astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return (rd.range(spec.n_tiles)
+            .map_batches(per_tile, batch_format="numpy").to_pandas()
+            .sort_values("row_id").reset_index(drop=True))

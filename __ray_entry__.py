@@ -360,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_tabulation": _pair_q(raster_stats.cross_tabulation),
         "kappa_index": _pair_q(raster_stats.kappa_index),
         "extract_valleys": lambda sf: raster_stats.extract_valleys_pd(raster.RasterSpec()),
+        "paired_t_test": _pair_q(raster_stats.paired_t_test),
+        "highest_position": _pair_q(raster_stats.highest_position),
         "ndvi": _pair_q(raster_stats.ndvi),
         "morans_i": lambda sf: raster_stats.morans_i(raster.RasterSpec()),
         "histogram_match": _pair_q(raster_stats.histogram_match),
@@ -466,6 +468,8 @@ def oracle_sql() -> dict[str, str]:
         "cross_tabulation": o.cross_tab_sql(),
         "kappa_index": o.kappa_sql(),
         "extract_valleys": o.extract_valleys_sql(),
+        "paired_t_test": o.paired_t_sql(),
+        "highest_position": o.highest_position_sql(),
         "ndvi": o.ndvi_sql(),
         "morans_i": o.morans_i_sql(),
         "histogram_match": o.histogram_match_sql(),

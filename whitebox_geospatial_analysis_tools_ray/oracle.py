@@ -1507,3 +1507,35 @@ SELECT g.r AS row_id,
 FROM g LEFT JOIN marked ON marked.mcell = g.cell
 GROUP BY g.r
 """
+
+
+def paired_t_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+d AS (SELECT a.v - b.v AS dv
+      FROM vals a JOIN vals_b b ON a.cell = b.cell
+      WHERE a.v <> {_NOD} AND b.v <> {_NOD}),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dv) AS s,
+             SUM(dv * dv) AS s2 FROM d)
+SELECT CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS mean_diff,
+       round((s / n) / (sqrt((n * s2 - s * s) / (n * (n - 1.0)))
+                        / sqrt(n)), 6) AS t_stat
+FROM m
+"""
+
+
+def highest_position_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+j AS (SELECT a.cell, a.v AS va, b.v AS vb
+      FROM vals a JOIN vals_b b ON a.cell = b.cell)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN va <> {_NOD} AND vb <> {_NOD} THEN 1 END)
+            AS BIGINT) AS n_valid,
+       CAST(COUNT(CASE WHEN va <> {_NOD} AND vb <> {_NOD} AND va >= vb
+                  THEN 1 END) AS BIGINT) AS n_first
+FROM j GROUP BY cell // {cols}
+"""

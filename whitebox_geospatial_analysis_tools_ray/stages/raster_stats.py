@@ -816,3 +816,56 @@ def extract_valleys_pd(spec: RasterSpec) -> pd.DataFrame:
     return (rd.range(spec.n_tiles)
             .map_batches(per_tile, batch_format="numpy").to_pandas()
             .sort_values("row_id").reset_index(drop=True))
+
+
+def paired_t_test(pair: "rd.Dataset", spec: RasterSpec,
+                  round_to: int = 6) -> pd.DataFrame:
+    """CompareImagesForDifferences (StatsTools/src/plugins/
+    CompareImagesForDifferences.java:305-335, full-population variant):
+    paired-sample t over mutually valid cells — one pass of partial
+    moments (Σd, Σd², n) + a tiny aggregate; t = mean / (σ_d/√n)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = s = s2 = 0.0
+        for da, db in zip(batch["data"], batch["data_b"]):
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            m = (a != spec.nodata) & (b != spec.nodata)
+            d = a[m] - b[m]
+            n += len(d); s += d.sum(); s2 += (d * d).sum()
+        return pd.DataFrame({"n": [n], "s": [s], "s2": [s2]})
+
+    r = (pair.map_batches(partial, batch_format="pandas")
+         .aggregate(Sum("n"), Sum("s"), Sum("s2")))
+    n, s, s2 = r["sum(n)"], r["sum(s)"], r["sum(s2)"]
+    mean = s / n
+    var = (n * s2 - s * s) / (n * (n - 1.0))
+    t = mean / (np.sqrt(var) / np.sqrt(n))
+    return pd.DataFrame({"n": [int(n)],
+                         "mean_diff": [round(mean, round_to)],
+                         "t_stat": [round(float(t), round_to)]})
+
+
+def highest_position(pair: "rd.Dataset", spec: RasterSpec) -> pd.DataFrame:
+    """HighestPosition (Scripts/HighestPosition.groovy): per cell, the
+    1-based index of the stack raster holding the max (first wins ties).
+    With the two-raster pair: 1 where a ≥ b else 2; NoData propagates.
+    Output: per-row counts (row_id, n_valid, n_first)."""
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for tid, da, db in zip(batch["tile_id"], batch["data"],
+                               batch["data_b"]):
+            a = np.asarray(da, dtype=np.float64).reshape(-1, spec.cols)
+            b = np.asarray(db, dtype=np.float64).reshape(-1, spec.cols)
+            m = (a != spec.nodata) & (b != spec.nodata)
+            first = m & (a >= b)
+            frames.append(pd.DataFrame({
+                "row_id": int(tid) * spec.tile_rows + np.arange(a.shape[0]),
+                "n_valid": m.sum(axis=1).astype(np.int64),
+                "n_first": first.sum(axis=1).astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return (pair.map_batches(per_tile, batch_format="pandas").to_pandas()
+            .sort_values("row_id").reset_index(drop=True))

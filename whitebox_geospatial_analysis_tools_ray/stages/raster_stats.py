@@ -869,3 +869,73 @@ def highest_position(pair: "rd.Dataset", spec: RasterSpec) -> pd.DataFrame:
 
     return (pair.map_batches(per_tile, batch_format="pandas").to_pandas()
             .sort_values("row_id").reset_index(drop=True))
+
+
+def colour_composite(pair: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    """CreateColourComposite (ImageProcessingTools/src/plugins/
+    CreateColourComposite.java:250-268): bands min-max normalized to
+    0-255 (Java (int) truncation), packed (255<<24)|(b<<16)|(g<<8)|r as
+    a double. Bands: a → red, b → green, permuted-index synth → blue.
+    Two-phase global min/max fit → stateless pack; row checksums."""
+    from ray.data.aggregate import Max, Min
+    from .raster import raster_row_checksums
+
+    n_cells = spec.rows * spec.cols
+
+    def third(cell):
+        return synth_value((cell * 7 + 13) % n_cells)
+
+    def minmax(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for name, col in (("r", "data"), ("g", "data_b")):
+            lo, hi = np.inf, -np.inf
+            for d in batch[col]:
+                a = np.asarray(d, dtype=np.float64)
+                a = a[a != spec.nodata]
+                if len(a):
+                    lo = min(lo, a.min()); hi = max(hi, a.max())
+            out[f"{name}lo"], out[f"{name}hi"] = [lo], [hi]
+        lo, hi = np.inf, -np.inf
+        for tid in batch["tile_id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * spec.cols, r1 * spec.cols, dtype=np.int64)
+            a = third(cell)
+            a = a[a != spec.nodata]
+            if len(a):
+                lo = min(lo, a.min()); hi = max(hi, a.max())
+        out["blo"], out["bhi"] = [lo], [hi]
+        return pd.DataFrame(out)
+
+    row = (pair.map_batches(minmax, batch_format="pandas")
+           .aggregate(Min("rlo"), Max("rhi"), Min("glo"), Max("ghi"),
+                      Min("blo"), Max("bhi")))
+    rlo, rhi = row["min(rlo)"], row["max(rhi)"]
+    glo, ghi = row["min(glo)"], row["max(ghi)"]
+    blo, bhi = row["min(blo)"], row["max(bhi)"]
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, da, db in zip(batch["tile_id"], batch["data"],
+                               batch["data_b"]):
+            r0 = int(tid) * spec.tile_rows
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            cell = np.arange(r0 * spec.cols,
+                             r0 * spec.cols + len(a), dtype=np.int64)
+            c = third(cell)
+            valid = (a != spec.nodata) & (b != spec.nodata) \
+                & (c != spec.nodata)
+            r8 = np.clip(np.trunc((a - rlo) / (rhi - rlo) * 255.0),
+                         0, 255)
+            g8 = np.clip(np.trunc((b - glo) / (ghi - glo) * 255.0),
+                         0, 255)
+            b8 = np.clip(np.trunc((c - blo) / (bhi - blo) * 255.0),
+                         0, 255)
+            z = (float(255 << 24) + b8 * 65536.0 + g8 * 256.0 + r8)
+            out["tile_id"].append(int(tid))
+            out["data"].append(np.where(valid, z, spec.nodata))
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        pair.map_batches(pack, batch_format="pandas"), spec)

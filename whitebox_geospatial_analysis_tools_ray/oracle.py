@@ -1574,3 +1574,39 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def split_composite_sql(rows: int = 256, cols: int = 256) -> str:
+    """Pack-then-unpack mirror: r + 1000·g + 1_000_000·b from the same
+    normalization as colour_composite_sql (all integer-exact)."""
+    n = rows * cols
+    third = (f"CASE WHEN ((((cell * 7 + 13) % {n}) * 2246822519 + "
+             f"1013904223) % 4294967296) % 17 = 0 THEN {_NOD} "
+             f"ELSE ((((cell * 7 + 13) % {n}) * 2654435761) % 4294967296)"
+             f" / 4294967296.0 * 1000.0 END")
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+tri AS (SELECT a.cell, a.v AS va, b.v AS vb,
+               {third.replace('cell', 'a.cell')} AS vc
+        FROM vals a JOIN vals_b b ON a.cell = b.cell),
+mm AS (SELECT
+  (SELECT MIN(v) FROM vals WHERE v <> {_NOD}) AS rlo,
+  (SELECT MAX(v) FROM vals WHERE v <> {_NOD}) AS rhi,
+  (SELECT MIN(v) FROM vals_b WHERE v <> {_NOD}) AS glo,
+  (SELECT MAX(v) FROM vals_b WHERE v <> {_NOD}) AS ghi,
+  (SELECT MIN(vc) FROM tri WHERE vc <> {_NOD}) AS blo,
+  (SELECT MAX(vc) FROM tri WHERE vc <> {_NOD}) AS bhi),
+res AS (
+  SELECT cell,
+    CASE WHEN va = {_NOD} OR vb = {_NOD} OR vc = {_NOD} THEN {_NOD}
+    ELSE least(greatest(trunc((va - rlo) / (rhi - rlo) * 255.0), 0), 255)
+         + 1000.0 *
+           least(greatest(trunc((vb - glo) / (ghi - glo) * 255.0), 0), 255)
+         + 1000000.0 *
+           least(greatest(trunc((vc - blo) / (bhi - blo) * 255.0), 0), 255)
+    END AS f
+  FROM tri CROSS JOIN mm)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -871,7 +871,8 @@ def highest_position(pair: "rd.Dataset", spec: RasterSpec) -> pd.DataFrame:
             .sort_values("row_id").reset_index(drop=True))
 
 
-def colour_composite(pair: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+def colour_composite(pair: "rd.Dataset", spec: RasterSpec,
+                     return_packed: bool = False) -> "rd.Dataset":
     """CreateColourComposite (ImageProcessingTools/src/plugins/
     CreateColourComposite.java:250-268): bands min-max normalized to
     0-255 (Java (int) truncation), packed (255<<24)|(b<<16)|(g<<8)|r as
@@ -937,5 +938,36 @@ def colour_composite(pair: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
             out["data"].append(np.where(valid, z, spec.nodata))
         return pd.DataFrame(out)
 
+    packed = pair.map_batches(pack, batch_format="pandas")
+    if return_packed:
+        return packed
+    return raster_row_checksums(packed, spec)
+
+
+def split_colour_composite(pair: "rd.Dataset",
+                           spec: RasterSpec) -> "rd.Dataset":
+    """SplitColourComposite (ImageProcessingTools/src/plugins/
+    SplitColourComposite.java:217-219): unpack r/g/b bytes from the
+    packed composite — composite pack → per-cell unpack
+    (r = z & 0xFF, g = (z>>8) & 0xFF, b = (z>>16) & 0xFF). Row
+    checksums of r + 1000·g + 1000000·b prove all three channels."""
+    from .raster import raster_row_checksums
+
+    packed = colour_composite(pair, spec, return_packed=True)
+
+    def unpack(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, d in zip(batch["tile_id"], batch["data"]):
+            z = np.asarray(d, dtype=np.float64)
+            valid = z != spec.nodata
+            zi = z.astype(np.int64)
+            r = (zi & 0xFF).astype(np.float64)
+            g = ((zi >> 8) & 0xFF).astype(np.float64)
+            b = ((zi >> 16) & 0xFF).astype(np.float64)
+            mix = r + 1000.0 * g + 1000000.0 * b
+            out["tile_id"].append(int(tid))
+            out["data"].append(np.where(valid, mix, spec.nodata))
+        return pd.DataFrame(out)
+
     return raster_row_checksums(
-        pair.map_batches(pack, batch_format="pandas"), spec)
+        packed.map_batches(unpack, batch_format="pandas"), spec)

@@ -171,6 +171,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             contour_polylines)
         return contour_polylines(raster.RasterSpec())
 
+    def _ridges_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.thinning import (
+            find_ridges)
+        return find_ridges(raster.RasterSpec())
+
     def _thin_q(sf_dir: str, kind: str):
         from whitebox_geospatial_analysis_tools_ray.stages.thinning import (
             line_thinning, remove_spurs)
@@ -307,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewshed": lambda sf: _viewshed_q(sf),
         "line_thinning": lambda sf: _thin_q(sf, "thin"),
         "remove_spurs": lambda sf: _thin_q(sf, "spurs"),
+        "find_ridges": lambda sf: _ridges_q(sf),
         "stream_order": lambda sf: streams.stream_order(),
         "stream_link_id": lambda sf: streams.stream_link_id(),
         "stream_link_lengths": lambda sf: streams.stream_link_lengths(),

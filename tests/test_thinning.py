@@ -25,3 +25,17 @@ def test_thinning_tiling_invariant(ray_session):
     a = th.line_thinning(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = th.line_thinning(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_find_ridges_matches_naive(ray_session):
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = th.find_ridges(spec)
+    want = th.find_ridges_naive(spec)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_foreground"].sum() > 0
+
+
+def test_find_ridges_tiling_invariant(ray_session):
+    a = th.find_ridges(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = th.find_ridges(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)

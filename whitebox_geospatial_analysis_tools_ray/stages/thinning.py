@@ -92,9 +92,10 @@ def _extract(band_result, idx: int):
 
 
 def _iterate(spec: RasterSpec, elements, vals,
-             max_iter: int) -> pd.DataFrame:
+             max_iter: int, init_band=None) -> pd.DataFrame:
+    init_band = init_band or _init_band
     n = spec.n_tiles
-    states = [ray.put(_init_band(spec, t)) for t in range(n)]
+    states = [ray.put(init_band(spec, t)) for t in range(n)]
     first_rows = [ray.get(s)[0].copy() for s in states]
 
     for _ in range(max_iter):
@@ -161,3 +162,62 @@ def line_thinning_naive(spec: RasterSpec, max_iter: int = 100):
 
 def remove_spurs_naive(spec: RasterSpec, max_iter: int = 10):
     return _naive(spec, SPUR_ELEMENTS, SPUR_VALS, max_iter)
+
+
+# ---------------------------------------------------------------------------
+# FindRidges (TerrainAnalysisTools/src/plugins/FindRidges.java:164-275):
+# a cell is a ridge candidate when both its N/S neighbours OR both its
+# E/W neighbours are strictly lower (valid); the optional line-thinning
+# phase is the LineThinning loop over the candidate mask — the same
+# banded wavefront machinery with a different initial state.
+# ---------------------------------------------------------------------------
+
+def _ridge_init_band(spec: RasterSpec, tid: int) -> np.ndarray:
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+    cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+    z = synth_value(cell).reshape(hi - lo, spec.cols)
+    pad = np.full((hi - lo + 2, spec.cols + 2), NODATA)
+    pad[1:-1, 1:-1] = z
+    zc = pad[1:-1, 1:-1]
+    n_, s_ = pad[:-2, 1:-1], pad[2:, 1:-1]
+    w_, e_ = pad[1:-1, :-2], pad[1:-1, 2:]
+    valid = zc != NODATA
+    ridge = valid & (
+        ((n_ != NODATA) & (s_ != NODATA) & (n_ < zc) & (s_ < zc))
+        | ((w_ != NODATA) & (e_ != NODATA) & (w_ < zc) & (e_ < zc)))
+    core = slice(r0 - lo, r0 - lo + (r1 - r0))
+    return np.where(valid, ridge.astype(np.float64), NODATA)[core]
+
+
+def find_ridges(spec: RasterSpec | None = None, thin: bool = True,
+                max_iter: int = 100) -> pd.DataFrame:
+    spec = spec or RasterSpec()
+    if not thin:
+        rows = []
+        for t in range(spec.n_tiles):
+            st = _ridge_init_band(spec, t)
+            r0 = t * spec.tile_rows
+            rows.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + st.shape[0]),
+                "n_foreground": (st == 1.0).sum(axis=1).astype(np.int64)}))
+        return (pd.concat(rows, ignore_index=True)
+                .sort_values("row_id").reset_index(drop=True))
+    return _iterate(spec, THIN_ELEMENTS, THIN_VALS, max_iter,
+                    init_band=_ridge_init_band)
+
+
+def find_ridges_naive(spec: RasterSpec, max_iter: int = 100) -> pd.DataFrame:
+    init = np.vstack([_ridge_init_band(
+        RasterSpec(rows=spec.rows, cols=spec.cols, tile_rows=spec.rows,
+                   nodata=spec.nodata), 0)])
+    pad = np.full((spec.rows + 2, spec.cols + 2), NODATA)
+    pad[1:-1, 1:-1] = init
+    for _ in range(max_iter):
+        if _scan_inplace(pad, THIN_ELEMENTS, THIN_VALS) == 0:
+            break
+    out = pad[1:-1, 1:-1]
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_foreground": (out == 1.0).sum(axis=1).astype(np.int64)})

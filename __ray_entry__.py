@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain_slope": _checksum_q(
             lambda ds, spec: terrain.slope(ds, spec,
                                            regen=raster.synth_value)),
+        "terrain_tri": _checksum_q(
+            lambda ds, spec: terrain.tri(ds, spec,
+                                         regen=raster.synth_value)),
         "terrain_aspect": _checksum_q(
             lambda ds, spec: terrain.aspect(ds, spec,
                                             regen=raster.synth_value)),
@@ -444,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_resample": o.resample_nn_sql(),
         "raster_mosaic": o.mosaic_sql(),
         "terrain_slope": o.slope_sql(),
+        "terrain_tri": o.tri_sql(),
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),
         "terrain_plan_curv": o.curvature_sql("plan"),

@@ -1610,3 +1610,23 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def tri_sql(rows: int = 256, cols: int = 256) -> str:
+    """TopographicRuggednessIndex.java:229-246 mirror."""
+    ss = " + ".join(
+        f"CASE WHEN n{i} <> {_NOD} THEN (n{i} - v) * (n{i} - v) "
+        f"ELSE 0 END" for i in range(8))
+    nn = " + ".join(
+        f"CASE WHEN n{i} <> {_NOD} THEN 1 ELSE 0 END" for i in range(8))
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+res AS (
+  SELECT cell,
+    CASE WHEN v = {_NOD} OR ({nn}) = 0 THEN {_NOD}
+         ELSE sqrt(({ss}) / ({nn})) END AS f
+  FROM nb)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

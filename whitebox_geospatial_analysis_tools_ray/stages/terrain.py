@@ -191,3 +191,28 @@ def curvature(ds: "rd.Dataset", spec: RasterSpec, kind: str,
     return stencil_apply(
         ds, spec, lambda p: curvature_kernel(p, spec.nodata, kind),
         halo=1, regen=regen)
+
+
+def tri_kernel(p: np.ndarray, nodata: float) -> np.ndarray:
+    """TopographicRuggednessIndex (TerrainAnalysisTools/src/plugins/
+    TopographicRuggednessIndex.java:229-246): √(Σ(zN−z)²/N) over the
+    valid 8-neighbours (zFactor 1)."""
+    z = p[1:-1, 1:-1]
+    valid = z != nodata
+    ss = np.zeros_like(z)
+    n = np.zeros_like(z)
+    for nb in _neighbours(p):
+        ok = nb != nodata
+        d = np.where(ok, nb - z, 0.0)
+        ss += d * d
+        n += ok
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tri = np.sqrt(ss / n)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(valid & (n > 0), tri, nodata)
+    return out
+
+
+def tri(ds: "rd.Dataset", spec: RasterSpec, regen=None) -> "rd.Dataset":
+    return stencil_apply(ds, spec, lambda p: tri_kernel(p, spec.nodata),
+                         halo=1, regen=regen)

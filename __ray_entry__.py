@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_accumulation_fd8": lambda sf: hydro.flow_accumulation_fd8(),
         "max_upslope_flowpath_length": lambda sf:
             hydro.max_upslope_flowpath_length(),
+        "wetness_index": lambda sf: hydro.wetness_index(),
         "viewshed": lambda sf: _viewshed_q(sf),
         "line_thinning": lambda sf: _thin_q(sf, "thin"),
         "remove_spurs": lambda sf: _thin_q(sf, "spurs"),

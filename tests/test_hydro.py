@@ -155,3 +155,13 @@ def test_max_upslope_length_tiling_invariant(ray_session):
     a = hydro.max_upslope_flowpath_length(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = hydro.max_upslope_flowpath_length(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_wetness_index_runs_and_is_tiling_invariant(ray_session):
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    a = hydro.wetness_index(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = hydro.wetness_index(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_valid"].sum() > 0

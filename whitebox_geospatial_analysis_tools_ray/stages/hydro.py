@@ -986,3 +986,44 @@ def max_upslope_flowpath_length_naive(spec: RasterSpec,
         "n_valid": valid.sum(axis=1).astype(np.int64),
         "max_len": np.round(np.where(valid, d, 0.0).max(axis=1), round_to),
         "sum_len": np.round(np.where(valid, d, 0.0).sum(axis=1), round_to)})
+
+
+def wetness_index(spec: RasterSpec | None = None,
+                  round_to: int = 4) -> pd.DataFrame:
+    """WetnessIndex (TerrainAnalysisTools/src/plugins/WetnessIndex.java
+    :243-252): ln(A / tan(slope°→rad)); slope 0 or either input NoData →
+    NoData. Composite of the converged accumulation frames (the area
+    raster) and the slope stencil — zero extra shuffles: slope
+    regenerates per band (overlap-read), the accumulation frames are the
+    fixed point already in the object store.
+    Output: (row_id, n_valid, sum_wi)."""
+    from .raster import synth_value
+    from .terrain import slope_kernel
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    frames = flow_accumulation_frames(spec)
+    out = []
+    for r in frames.sort_values("tile_id").itertuples():
+        tid = int(r.tile_id)
+        h = int(r.shape0)
+        acc = np.frombuffer(r.acc).reshape(h, cols)
+        r0 = tid * spec.tile_rows
+        r1 = r0 + h
+        lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+        cell = np.arange(lo * cols, hi * cols, dtype=np.int64)
+        z = synth_value(cell).reshape(hi - lo, cols)
+        pad = np.full((hi - lo + 2, cols + 2), spec.nodata)
+        pad[1:-1, 1:-1] = z
+        sl = slope_kernel(pad, spec.nodata)[1:-1, 1:-1]
+        sl = sl[r0 - lo: r0 - lo + h]
+        valid = (sl != spec.nodata) & (acc > 0) & (sl != 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wi = np.log(acc / np.tan(np.deg2rad(sl)))
+        out.append(pd.DataFrame({
+            "row_id": np.arange(r0, r1),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "sum_wi": np.round(np.where(valid, wi, 0.0).sum(axis=1),
+                               round_to)}))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))

@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain_slope": _checksum_q(
             lambda ds, spec: terrain.slope(ds, spec,
                                            regen=raster.synth_value)),
+        "horizon_angle": lambda sf: terrain.horizon_angle_east(
+            raster.RasterSpec()),
         "terrain_tri": _checksum_q(
             lambda ds, spec: terrain.tri(ds, spec,
                                          regen=raster.synth_value)),
@@ -449,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_mosaic": o.mosaic_sql(),
         "terrain_slope": o.slope_sql(),
         "terrain_tri": o.tri_sql(),
+        "horizon_angle": o.horizon_angle_sql(),
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),
         "terrain_plan_curv": o.curvature_sql("plan"),

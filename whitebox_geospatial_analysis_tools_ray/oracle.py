@@ -1630,3 +1630,24 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def horizon_angle_sql(rows: int = 256, cols: int = 256) -> str:
+    """Azimuth-90 HorizonAngle mirror: per cell, max eastward
+    (z2 − z)/Δcol over the row (NoData samples participate, exactly as
+    getValue does in the reference loop)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+m AS (SELECT a.cell, a.v, a.c,
+             MAX((b.v - a.v) / CAST(b.c - a.c AS DOUBLE)) AS best
+      FROM g a JOIN g b ON b.r = a.r AND b.c > a.c
+      GROUP BY a.cell, a.v, a.c),
+res AS (
+  SELECT g.cell,
+         CASE WHEN g.v = {_NOD} OR g.c = {cols - 1} THEN {_NOD}
+              ELSE degrees(atan(m.best)) END AS f
+  FROM g LEFT JOIN m ON m.cell = g.cell)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -216,3 +216,55 @@ def tri_kernel(p: np.ndarray, nodata: float) -> np.ndarray:
 def tri(ds: "rd.Dataset", spec: RasterSpec, regen=None) -> "rd.Dataset":
     return stencil_apply(ds, spec, lambda p: tri_kernel(p, spec.nodata),
                          halo=1, regen=regen)
+
+
+def horizon_angle_east(spec: RasterSpec, max_dist: float = 1e9,
+                       round_to: int = 6) -> pd.DataFrame:
+    """HorizonAngle (TerrainAnalysisTools/src/plugins/HorizonAngle.java
+    :286-352,399-403) at azimuth 90°: the ray east along the row samples
+    every column (the horizontal-intersection loop is empty at this
+    azimuth); angle = atan(max over eastward cells of (z2−z)/dist) in
+    degrees; no eastward cell → NoData (the aSmallValue sentinel).
+
+    Rows are wholly contained in row-band tiles, so the scan is
+    embarrassingly parallel per band — no messages at all. O(cols²) per
+    row, vectorized per offset. Output: (row_id, n_valid, sum_angle)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .raster import synth_value
+
+    cols = spec.cols
+
+    def per_tile(batch) -> "pd.DataFrame":
+        frames = []
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * cols, r1 * cols, dtype=np.int64)
+            z = synth_value(cell).reshape(r1 - r0, cols)
+            valid = z != spec.nodata
+            best = np.full(z.shape, -np.inf)
+            for d in range(1, cols):
+                if d > max_dist:
+                    break
+                zn = z[:, d:]
+                cur = best[:, :-d]
+                # NoData samples: getValue returns NoData (a huge
+                # negative) and participates — replicate exactly
+                s = (zn - z[:, :-d]) / float(d)
+                best[:, :-d] = np.maximum(cur, s)
+            has_east = np.zeros(z.shape, dtype=bool)
+            has_east[:, :-1] = True
+            angle = np.degrees(np.arctan(best))
+            ok = valid & has_east
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r1),
+                "n_valid": ok.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(
+                    np.where(ok, angle, 0.0).sum(axis=1), round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return (rd.range(spec.n_tiles)
+            .map_batches(per_tile, batch_format="numpy").to_pandas()
+            .sort_values("row_id").reset_index(drop=True))

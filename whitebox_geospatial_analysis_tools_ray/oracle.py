@@ -1651,3 +1651,27 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def relative_aspect_sql(rows: int = 256, cols: int = 256,
+                        azimuth: float = 90.0) -> str:
+    """RelativeAspect.java:269-278 mirror (azimuth inlined)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_horn_gradients()},
+res AS (
+  SELECT cell, CASE
+    WHEN v = {_NOD} THEN {_NOD}
+    WHEN fx = 0 THEN -1.0
+    ELSE CASE WHEN abs(180.0 - atan(fy / fx) * {_RAD2DEG}
+                       + 90.0 * sign(fx) - {azimuth!r}) > 180.0
+              THEN 360.0 - abs(180.0 - atan(fy / fx) * {_RAD2DEG}
+                               + 90.0 * sign(fx) - {azimuth!r})
+              ELSE abs(180.0 - atan(fy / fx) * {_RAD2DEG}
+                       + 90.0 * sign(fx) - {azimuth!r}) END
+    END AS f
+  FROM grad)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -268,3 +268,27 @@ def horizon_angle_east(spec: RasterSpec, max_dist: float = 1e9,
     return (rd.range(spec.n_tiles)
             .map_batches(per_tile, batch_format="numpy").to_pandas()
             .sort_values("row_id").reset_index(drop=True))
+
+
+def relative_aspect_kernel(p: np.ndarray, nodata: float,
+                           azimuth: float = 90.0,
+                           grid_res: float = 1.0) -> np.ndarray:
+    """RelativeAspect (TerrainAnalysisTools/src/plugins/RelativeAspect
+    .java:269-278): |aspect − azimuth| folded above 180; fx == 0 → −1."""
+    fy, fx, z, valid = _gradients(p, nodata, grid_res)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = 180.0 - np.arctan(fy / fx) * _RAD2DEG + 90.0 * np.sign(fx)
+    rel = np.abs(a - azimuth)
+    rel = np.where(rel > 180.0, 360.0 - rel, rel)
+    rel = np.where(fx != 0, rel, -1.0)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(valid, rel, nodata)
+    return out
+
+
+def relative_aspect(ds: "rd.Dataset", spec: RasterSpec,
+                    azimuth: float = 90.0, regen=None) -> "rd.Dataset":
+    return stencil_apply(
+        ds, spec,
+        lambda p: relative_aspect_kernel(p, spec.nodata, azimuth),
+        halo=1, regen=regen)

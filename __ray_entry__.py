@@ -318,6 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_upslope_flowpath_length": lambda sf:
             hydro.max_upslope_flowpath_length(),
         "wetness_index": lambda sf: hydro.wetness_index(),
+        "stream_power_index": lambda sf: hydro.relative_stream_power(),
+        "sediment_transport_index": lambda sf:
+            hydro.sediment_transport_index(),
         "viewshed": lambda sf: _viewshed_q(sf),
         "line_thinning": lambda sf: _thin_q(sf, "thin"),
         "remove_spurs": lambda sf: _thin_q(sf, "spurs"),

@@ -165,3 +165,14 @@ def test_wetness_index_runs_and_is_tiling_invariant(ray_session):
     b = hydro.wetness_index(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
     assert a["n_valid"].sum() > 0
+
+
+def test_power_and_sti_tiling_invariant(ray_session):
+    import pandas as pd
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    for fn in (hydro.relative_stream_power, hydro.sediment_transport_index):
+        a = fn(RasterSpec(rows=96, cols=64, tile_rows=16))
+        b = fn(RasterSpec(rows=96, cols=64, tile_rows=48))
+        pd.testing.assert_frame_equal(a, b)
+        assert a["n_valid"].sum() > 0

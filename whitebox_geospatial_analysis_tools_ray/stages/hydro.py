@@ -1027,3 +1027,66 @@ def wetness_index(spec: RasterSpec | None = None,
                                round_to)}))
     return (pd.concat(out, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
+
+
+def _acc_slope_composite(spec: RasterSpec, fn, round_to: int = 4):
+    """Shared accumulation × slope composite driver (WetnessIndex
+    pattern): per band, fn(acc, slope_deg, valid) → values; NoData/zero
+    handling inside fn. Output: (row_id, n_valid, row_sum)."""
+    from .raster import synth_value
+    from .terrain import slope_kernel
+
+    cols = spec.cols
+    frames = flow_accumulation_frames(spec)
+    out = []
+    for r in frames.sort_values("tile_id").itertuples():
+        tid = int(r.tile_id)
+        h = int(r.shape0)
+        acc = np.frombuffer(r.acc).reshape(h, cols)
+        r0 = tid * spec.tile_rows
+        lo, hi = max(r0 - 1, 0), min(r0 + h + 1, spec.rows)
+        cell = np.arange(lo * cols, hi * cols, dtype=np.int64)
+        z = synth_value(cell).reshape(hi - lo, cols)
+        pad = np.full((hi - lo + 2, cols + 2), spec.nodata)
+        pad[1:-1, 1:-1] = z
+        sl = slope_kernel(pad, spec.nodata)[1:-1, 1:-1][r0 - lo: r0 - lo + h]
+        valid, vals = fn(acc, sl)
+        out.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "row_sum": np.round(np.where(valid, vals, 0.0).sum(axis=1),
+                                round_to)}))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def relative_stream_power(spec: RasterSpec | None = None,
+                          power: float = 1.0) -> pd.DataFrame:
+    """RelativeStreamPowerIndex (TerrainAnalysisTools/src/plugins/
+    RelativeStreamPowerIndex.java:251): As^p · tan(slope_rad)."""
+    spec = spec or RasterSpec()
+
+    def fn(acc, sl):
+        valid = (sl != spec.nodata) & (acc > 0)
+        with np.errstate(invalid="ignore"):
+            v = np.power(acc, power) * np.tan(np.deg2rad(sl))
+        return valid, v
+
+    return _acc_slope_composite(spec, fn)
+
+
+def sediment_transport_index(spec: RasterSpec | None = None,
+                             sca_exp: float = 0.4,
+                             slope_exp: float = 1.3) -> pd.DataFrame:
+    """SedimentTransportIndex (SedimentTransportIndex.java:253-254):
+    (m+1)·(As/22.13)^m · (sin(slope_rad)/0.0896)^n."""
+    spec = spec or RasterSpec()
+
+    def fn(acc, sl):
+        valid = (sl != spec.nodata) & (acc > 0)
+        with np.errstate(invalid="ignore"):
+            v = ((sca_exp + 1.0) * np.power(acc / 22.13, sca_exp)
+                 * np.power(np.sin(np.deg2rad(sl)) / 0.0896, slope_exp))
+        return valid, v
+
+    return _acc_slope_composite(spec, fn)

@@ -276,6 +276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain_relative_aspect": _checksum_q(
             lambda ds, spec: terrain.relative_aspect(
                 ds, spec, regen=raster.synth_value)),
+        "pennock_landform": _checksum_q(
+            lambda ds, spec: terrain.pennock(ds, spec,
+                                             regen=raster.synth_value)),
         "terrain_aspect": _checksum_q(
             lambda ds, spec: terrain.aspect(ds, spec,
                                             regen=raster.synth_value)),
@@ -458,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "terrain_slope": o.slope_sql(),
         "terrain_tri": o.tri_sql(),
         "terrain_relative_aspect": o.relative_aspect_sql(),
+        "pennock_landform": o.pennock_sql(),
         "horizon_angle": o.horizon_angle_sql(),
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),

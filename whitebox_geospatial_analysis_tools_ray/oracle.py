@@ -1675,3 +1675,58 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def pennock_sql(rows: int = 256, cols: int = 256,
+                slope_t: float = 3.0, prof_t: float = 0.1,
+                plan_t: float = 0.0) -> str:
+    """Pennocks_Landform_Classification.java:262-335 mirror (SQL CASE
+    is first-match, same as the reference's if/else chain)."""
+    ms_h = ",\n  ".join(
+        f"CASE WHEN n{i} = {_NOD} THEN v ELSE n{i} END AS m{i}"
+        for i in range(8))
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+m AS (SELECT cell, v,
+  {ms_h}
+FROM nb),
+terms AS (SELECT cell, v,
+  (m6 - m4 + 2 * (m7 - m3) + m0 - m2) / 8.0 AS fy,
+  (m2 - m4 + 2 * (m1 - m5) + m0 - m6) / 8.0 AS fx,
+  (m1 - m5) / 2.0 AS zx, (m7 - m3) / 2.0 AS zy,
+  (m1 - 2 * v + m5) AS zxx, (m7 - 2 * v + m3) AS zyy,
+  (-m6 + m0 + m4 - m2) / 4.0 AS zxy
+FROM m),
+c AS (SELECT cell, v,
+  atan(sqrt(fx*fx + fy*fy)) * {_RAD2DEG} AS slope,
+  zx*zx + zy*zy AS p,
+  -1.0 * (zxx*zy*zy - 2*zxy*zx*zy + zyy*zx*zx) AS plan_num,
+  -1.0 * (zxx*zx*zx + 2*zxy*zx*zy + zyy*zy*zy) AS prof_num,
+  (zx*zx + zy*zy + 1.0) AS q
+FROM terms),
+cl AS (SELECT cell, v, slope, p,
+  plan_num / pow(p, 1.5) * {_RAD2DEG} AS plan,
+  prof_num / pow(p * q, 1.5) * {_RAD2DEG} AS prof
+FROM c),
+res AS (
+  SELECT cell, CASE
+    WHEN v = {_NOD} OR p <= 0 THEN {_NOD}
+    WHEN prof < -{prof_t!r} AND plan <= -{plan_t!r} AND slope > {slope_t!r}
+      THEN 1.0
+    WHEN prof < -{prof_t!r} AND plan > {plan_t!r} AND slope > {slope_t!r}
+      THEN 2.0
+    WHEN prof > {prof_t!r} AND plan <= {plan_t!r} AND slope > {slope_t!r}
+      THEN 3.0
+    WHEN prof > {prof_t!r} AND plan > {plan_t!r} AND slope > {slope_t!r}
+      THEN 4.0
+    WHEN prof >= -{prof_t!r} AND prof < {prof_t!r} AND slope > {slope_t!r}
+         AND plan <= -{plan_t!r} THEN 5.0
+    WHEN prof >= -{prof_t!r} AND prof < {prof_t!r} AND slope > {slope_t!r}
+         AND plan > {plan_t!r} THEN 6.0
+    WHEN slope <= {slope_t!r} THEN 7.0
+    ELSE {_NOD} END AS f
+  FROM cl)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -292,3 +292,49 @@ def relative_aspect(ds: "rd.Dataset", spec: RasterSpec,
         ds, spec,
         lambda p: relative_aspect_kernel(p, spec.nodata, azimuth),
         halo=1, regen=regen)
+
+
+def pennock_kernel(p: np.ndarray, nodata: float,
+                   slope_t: float = 3.0, prof_t: float = 0.1,
+                   plan_t: float = 0.0) -> np.ndarray:
+    """Pennocks_Landform_Classification (TerrainAnalysisTools/src/
+    plugins/Pennocks_Landform_Classification.java:262-335): classes
+    1-7 from profile/plan curvature (−(…)/p^1.5 forms, degrees) and
+    Horn slope against thresholds; p == 0 or unmatched → NoData."""
+    z, zx, zy, zxx, zyy, zxy = _curv_terms(p, nodata, 1.0)
+    fy, fx, _, valid = _gradients(p, nodata, 1.0)
+    zx2, zy2 = zx * zx, zy * zy
+    pp = zx2 + zy2
+    q = pp + 1.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = np.arctan(np.sqrt(fx * fx + fy * fy)) * _RAD2DEG
+        plan = -1.0 * (zxx * zy2 - 2 * zxy * zx * zy + zyy * zx2) \
+            / pp ** 1.5 * _RAD2DEG
+        prof = -1.0 * (zxx * zx2 + 2 * zxy * zx * zy + zyy * zy2) \
+            / (pp * q) ** 1.5 * _RAD2DEG
+    steep = slope > slope_t
+    conds = [
+        steep & (prof < -prof_t) & (plan <= -plan_t),
+        steep & (prof < -prof_t) & (plan > plan_t),
+        steep & (prof > prof_t) & (plan <= plan_t),
+        steep & (prof > prof_t) & (plan > plan_t),
+        steep & (prof >= -prof_t) & (prof < prof_t) & (plan <= -plan_t),
+        steep & (prof >= -prof_t) & (prof < prof_t) & (plan > plan_t),
+        slope <= slope_t,
+    ]
+    cls = np.full(z.shape, nodata)
+    assigned = np.zeros(z.shape, dtype=bool)
+    for k, cond in enumerate(conds, start=1):  # first match wins
+        take = cond & ~assigned
+        cls = np.where(take, float(k), cls)
+        assigned |= cond
+    cls = np.where(pp > 0, cls, nodata)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(valid, cls, nodata)
+    return out
+
+
+def pennock(ds: "rd.Dataset", spec: RasterSpec, regen=None) -> "rd.Dataset":
+    return stencil_apply(ds, spec,
+                         lambda p: pennock_kernel(p, spec.nodata),
+                         halo=1, regen=regen)

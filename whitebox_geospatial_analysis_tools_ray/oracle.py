@@ -1730,3 +1730,16 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def elev_rel_minmax_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals WHERE v <> {_NOD}),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE (v - mm.lo) / (mm.hi - mm.lo) * 100.0 END AS f
+        FROM vals CROSS JOIN mm)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -971,3 +971,14 @@ def split_colour_composite(pair: "rd.Dataset",
 
     return raster_row_checksums(
         packed.map_batches(unpack, batch_format="pandas"), spec)
+
+
+def elev_relative_to_minmax(ds: "rd.Dataset",
+                            spec: RasterSpec) -> "rd.Dataset":
+    """ElevRelativeToMinMax (TerrainAnalysisTools/src/plugins/
+    ElevRelativeToMinMax.java:241): (z − min)/range × 100 — the
+    rescale two-phase plan with the reference's ×100 output."""
+    st = _global_valid_stats(ds, spec)
+    lo, hi = st["min"], st["max"]
+    return raster_map(ds, lambda a: (a - lo) / (hi - lo) * 100.0,
+                      nodata=spec.nodata)

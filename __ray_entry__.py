@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_zscore": _checksum_q(raster_stats.zscores),
         "raster_rescale": _checksum_q(raster_stats.rescale_value_range),
         "elev_rel_minmax": _checksum_q(raster_stats.elev_relative_to_minmax),
+        "image_destripe": _checksum_q(
+            lambda ds, spec: raster_stats.destripe(
+                ds, spec, regen=raster.synth_value)),
         "raster_hist_equalize": _checksum_q(raster_stats.histogram_equalize),
         "fuzzy_membership": _checksum_q(raster_stats.fuzzy_membership),
         "crispness_index": lambda sf: raster_stats.crispness_index(raster.RasterSpec()),
@@ -453,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_zscore": o.zscore_sql(),
         "raster_rescale": o.rescale_sql(),
         "elev_rel_minmax": o.elev_rel_minmax_sql(),
+        "image_destripe": o.destripe_sql(),
         "raster_hist_equalize": o.histogram_equalize_sql(),
         "fuzzy_membership": o.fuzzy_membership_sql(),
         "crispness_index": o.crispness_sql(),

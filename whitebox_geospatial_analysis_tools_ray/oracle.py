@@ -1743,3 +1743,53 @@ res AS (SELECT cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def destripe_sql(rows: int = 256, cols: int = 256,
+                 threshold: float = 5.0) -> str:
+    """ImageDestriping.groovy:113-150 mirror (horizontal, threshold 5)."""
+    def nbv(dr, dc):
+        off = dr * cols + dc
+        guards = []
+        if dr < 0:
+            guards.append("r > 0")
+        if dr > 0:
+            guards.append(f"r < {rows - 1}")
+        if dc < 0:
+            guards.append(f"c >= {-dc}")
+        if dc > 0:
+            guards.append(f"c < {cols - dc}")
+        guard = " AND ".join(guards) or "TRUE"
+        expr = f"LEAD(v, {off}) OVER wd" if off > 0 else \
+            (f"LAG(v, {-off}) OVER wd" if off < 0 else "v")
+        return f"CASE WHEN {guard} THEN {expr} ELSE {_NOD} END"
+
+    cols_sql = []
+    for j, dc in enumerate((-2, -1, 0, 1)):
+        cols_sql.append(f"{nbv(0, dc)} AS zc{j}")
+        cols_sql.append(f"{nbv(-1, dc)} AS zn{j}")
+        cols_sql.append(f"{nbv(1, dc)} AS zs{j}")
+    conds = []
+    for j in range(4):
+        conds.append(
+            f"(zc{j} <> {_NOD} AND zn{j} <> {_NOD} AND zs{j} <> {_NOD}"
+            f" AND abs(zc{j} - zn{j}) >= {threshold!r}"
+            f" AND abs(zc{j} - zs{j}) >= {threshold!r}"
+            f" AND ((zc{j} - zn{j} < 0 AND zc{j} - zs{j} < 0)"
+            f"  OR (zc{j} - zn{j} >= 0 AND zc{j} - zs{j} >= 0)))")
+    striped = " AND ".join(conds)
+    nbs = ",\n  ".join(cols_sql)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+w AS (SELECT cell, r, c, v,
+  {nbs}
+FROM g WINDOW wd AS (ORDER BY cell)),
+res AS (
+  SELECT cell, CASE WHEN v = {_NOD} THEN {_NOD}
+    WHEN {striped} THEN (zn2 + zs2) / 2.0
+    ELSE v END AS f
+  FROM w)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

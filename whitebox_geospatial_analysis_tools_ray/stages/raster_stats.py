@@ -982,3 +982,48 @@ def elev_relative_to_minmax(ds: "rd.Dataset",
     lo, hi = st["min"], st["max"]
     return raster_map(ds, lambda a: (a - lo) / (hi - lo) * 100.0,
                       nodata=spec.nodata)
+
+
+def destripe_kernel(p: np.ndarray, nodata: float,
+                    threshold: float = 5.0) -> np.ndarray:
+    """ImageDestriping (Scripts/ImageDestriping.groovy:113-150,
+    horizontal stripes, threshold 5.0): a cell is striped when, at
+    EVERY column a ∈ [c−2, c+1], the cell differs from BOTH vertical
+    neighbours by ≥ threshold with the same sign (all 12 samples
+    valid); striped cells become (N+S)/2."""
+    z = p[1:-1, 1:-1]
+    valid = z != nodata
+    H, W = z.shape
+    striped = np.ones_like(valid)
+    for off in (-2, -1, 0, 1):
+        # shifted views with NoData padding for out-of-range columns
+        zc = np.full((H, W), nodata)
+        zn = np.full((H, W), nodata)
+        zs = np.full((H, W), nodata)
+        lo_src = max(0, -off)
+        hi_src = min(W, W - off)
+        zc[:, lo_src:hi_src] = p[1:-1, 1 + lo_src + off:1 + hi_src + off]
+        zn[:, lo_src:hi_src] = p[:-2, 1 + lo_src + off:1 + hi_src + off]
+        zs[:, lo_src:hi_src] = p[2:, 1 + lo_src + off:1 + hi_src + off]
+        ok = (zc != nodata) & (zn != nodata) & (zs != nodata)
+        d1 = zc - zn
+        d2 = zc - zs
+        same_sign = ((d1 < 0) & (d2 < 0)) | ((d1 >= 0) & (d2 >= 0))
+        cond = ok & (np.abs(d1) >= threshold) & (np.abs(d2) >= threshold) \
+            & same_sign
+        striped &= cond
+    n_ = p[:-2, 1:-1]
+    s_ = p[2:, 1:-1]
+    fix = striped & valid
+    outv = np.where(fix, (n_ + s_) / 2.0, z)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(valid, outv, nodata)
+    return out
+
+
+def destripe(ds: "rd.Dataset", spec: RasterSpec,
+             regen=None) -> "rd.Dataset":
+    from .raster import stencil_apply
+    return stencil_apply(ds, spec,
+                         lambda p: destripe_kernel(p, spec.nodata),
+                         halo=1, regen=regen)

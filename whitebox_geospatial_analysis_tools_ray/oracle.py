@@ -1793,3 +1793,35 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def cva_sql(rows: int = 256, cols: int = 256) -> str:
+    """ChangeVectorAnalysis.java:254-271 mirror — bands (a→b, b→third)."""
+    n = rows * cols
+    third = (f"CASE WHEN ((((cell * 7 + 13) % {n}) * 2246822519 + "
+             f"1013904223) % 4294967296) % 17 = 0 THEN {_NOD} "
+             f"ELSE ((((cell * 7 + 13) % {n}) * 2654435761) % 4294967296)"
+             f" / 4294967296.0 * 1000.0 END")
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+tri AS (SELECT a.cell, a.v AS va, b.v AS vb,
+               {third.replace('cell', 'a.cell')} AS vc
+        FROM vals a JOIN vals_b b ON a.cell = b.cell),
+t AS (SELECT cell,
+  CASE WHEN va <> {_NOD} AND vb <> {_NOD} THEN 1 ELSE 0 END AS ok1,
+  CASE WHEN vb <> {_NOD} AND vc <> {_NOD} THEN 1 ELSE 0 END AS ok2,
+  CASE WHEN va <> {_NOD} AND vb <> {_NOD} THEN vb - va ELSE 0 END AS z1,
+  CASE WHEN vb <> {_NOD} AND vc <> {_NOD} THEN vc - vb ELSE 0 END AS z2
+FROM tri),
+res AS (
+  SELECT cell,
+    CASE WHEN ok1 + ok2 = 0 THEN {_NOD}
+    ELSE round(sqrt(z1 * z1 + z2 * z2), 6)
+         + 1000.0 * (CASE WHEN ok1 = 1 AND z1 >= 0 THEN 1 ELSE 0 END
+                     + CASE WHEN ok2 = 1 AND z2 >= 0 THEN 2 ELSE 0 END)
+    END AS f
+  FROM t)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

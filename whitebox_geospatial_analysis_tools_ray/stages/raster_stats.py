@@ -1027,3 +1027,44 @@ def destripe(ds: "rd.Dataset", spec: RasterSpec,
     return stencil_apply(ds, spec,
                          lambda p: destripe_kernel(p, spec.nodata),
                          halo=1, regen=regen)
+
+
+def change_vector_analysis(pair: "rd.Dataset",
+                           spec: RasterSpec) -> "rd.Dataset":
+    """ChangeVectorAnalysis (ImageProcessingTools/src/plugins/
+    ChangeVectorAnalysis.java:254-271), 2 bands: date1 = (a, b),
+    date2 = (b, permuted synth). Per cell: magnitude = √Σ(d2−d1)² over
+    mutually valid bands; direction = Σ 2^i over bands with d2 ≥ d1;
+    no valid band → NoData. Checksum mix magnitude + 1000·direction."""
+    from .raster import raster_row_checksums
+
+    n_cells = spec.rows * spec.cols
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, da, db in zip(batch["tile_id"], batch["data"],
+                               batch["data_b"]):
+            r0 = int(tid) * spec.tile_rows
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            cell = np.arange(r0 * spec.cols,
+                             r0 * spec.cols + len(a), dtype=np.int64)
+            c = synth_value((cell * 7 + 13) % n_cells)
+            dist = np.zeros_like(a)
+            direction = np.zeros_like(a)
+            count = np.zeros_like(a)
+            for i, (d1, d2) in enumerate(((a, b), (b, c))):
+                ok = (d1 != spec.nodata) & (d2 != spec.nodata)
+                z = np.where(ok, d2 - d1, 0.0)
+                dist += z * z
+                count += ok
+                direction += np.where(ok & (z >= 0), float(2 ** i), 0.0)
+            val = np.where(count > 0,
+                           np.round(np.sqrt(dist), 6)
+                           + 1000.0 * direction, spec.nodata)
+            out["tile_id"].append(int(tid))
+            out["data"].append(val)
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        pair.map_batches(per_tile, batch_format="pandas"), spec)

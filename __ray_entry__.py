@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            regen=raster.synth_value)),
         "horizon_angle": lambda sf: terrain.horizon_angle_east(
             raster.RasterSpec()),
+        "directional_relief": lambda sf: terrain.directional_relief_east(
+            raster.RasterSpec()),
         "terrain_tri": _checksum_q(
             lambda ds, spec: terrain.tri(ds, spec,
                                          regen=raster.synth_value)),
@@ -470,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "terrain_relative_aspect": o.relative_aspect_sql(),
         "pennock_landform": o.pennock_sql(),
         "horizon_angle": o.horizon_angle_sql(),
+        "directional_relief": o.directional_relief_sql(),
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),
         "terrain_plan_curv": o.curvature_sql("plan"),

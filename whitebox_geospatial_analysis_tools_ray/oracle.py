@@ -1825,3 +1825,34 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def directional_relief_sql(rows: int = 256, cols: int = 256) -> str:
+    """Azimuth-90 DirectionalRelief mirror (sample needs row AND row−1
+    valid; value = z at this azimuth)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+s AS (SELECT g.cell, g.r, g.c, g.v,
+  CASE WHEN g.v <> {_NOD} AND g.r > 0
+            AND LAG(g.v, {cols}) OVER wr <> {_NOD}
+       THEN g.v ELSE NULL END AS sample
+FROM g WINDOW wr AS (ORDER BY cell)),
+e AS (SELECT cell, r, c, v,
+  SUM(sample) OVER (PARTITION BY r ORDER BY c
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    AS esum,
+  COUNT(sample) OVER (PARTITION BY r ORDER BY c
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    AS ecnt
+FROM s),
+res AS (SELECT cell,
+  CASE WHEN v = {_NOD} THEN 0.0
+       WHEN ecnt > 0 THEN round(esum / ecnt - v, 6)
+       ELSE 0.0 END AS f,
+  v FROM e)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(f), 6) AS row_sum
+FROM res GROUP BY cell // {cols}
+"""

@@ -338,3 +338,56 @@ def pennock(ds: "rd.Dataset", spec: RasterSpec, regen=None) -> "rd.Dataset":
     return stencil_apply(ds, spec,
                          lambda p: pennock_kernel(p, spec.nodata),
                          halo=1, regen=regen)
+
+
+def directional_relief_east(spec: RasterSpec,
+                            round_to: int = 6) -> pd.DataFrame:
+    """DirectionalRelief (TerrainAnalysisTools/src/plugins/
+    DirectionalRelief.java:293-392) at azimuth 90°: relief = mean of
+    eastward samples − z; a sample at column x is valid when BOTH
+    (row, x) and (row−1, x) are valid (the interpolation pair,
+    :330-339) and equals z(row, x) exactly at this azimuth; no samples
+    → 0. Per-row suffix sums (O(cols)); one halo row (overlap-read).
+    Output: (row_id, n_valid, row_sum)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .raster import synth_value
+
+    cols = spec.cols
+
+    def per_tile(batch) -> "pd.DataFrame":
+        frames = []
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            lo = max(r0 - 1, 0)
+            cell = np.arange(lo * cols, r1 * cols, dtype=np.int64)
+            zext = synth_value(cell).reshape(-1, cols)
+            pad_up = np.full((1, cols), spec.nodata)
+            zup = np.vstack([pad_up, zext])[: r1 - lo + 1]
+            z = zext[r0 - lo:]
+            up = zup[r0 - lo: r0 - lo + (r1 - r0)]
+            valid = z != spec.nodata
+            sample_ok = valid & (up != spec.nodata)
+            sz = np.where(sample_ok, z, 0.0)
+            # suffix (strictly east) sums, right-to-left
+            ssum = np.cumsum(sz[:, ::-1], axis=1)[:, ::-1]
+            scnt = np.cumsum(sample_ok[:, ::-1], axis=1)[:, ::-1]
+            est_sum = np.zeros_like(z)
+            est_cnt = np.zeros_like(z)
+            est_sum[:, :-1] = ssum[:, 1:]
+            est_cnt[:, :-1] = scnt[:, 1:]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                relief = est_sum / est_cnt - z
+            relief = np.where(est_cnt > 0, relief, 0.0)
+            out = np.where(valid, np.round(relief, round_to), 0.0)
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r1),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(out.sum(axis=1), round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return (rd.range(spec.n_tiles)
+            .map_batches(per_tile, batch_format="numpy").to_pandas()
+            .sort_values("row_id").reset_index(drop=True))

@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             raster.RasterSpec()),
         "directional_relief": lambda sf: terrain.directional_relief_east(
             raster.RasterSpec()),
+        "fetch_analysis": lambda sf: terrain.fetch_analysis_east(
+            raster.RasterSpec()),
         "terrain_tri": _checksum_q(
             lambda ds, spec: terrain.tri(ds, spec,
                                          regen=raster.synth_value)),
@@ -473,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "pennock_landform": o.pennock_sql(),
         "horizon_angle": o.horizon_angle_sql(),
         "directional_relief": o.directional_relief_sql(),
+        "fetch_analysis": o.fetch_analysis_sql(),
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),
         "terrain_plan_curv": o.curvature_sql("plan"),

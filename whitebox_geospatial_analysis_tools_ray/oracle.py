@@ -1856,3 +1856,27 @@ SELECT cell // {cols} AS row_id,
        round(SUM(f), 6) AS row_sum
 FROM res GROUP BY cell // {cols}
 """
+
+
+def fetch_analysis_sql(rows: int = 256, cols: int = 256,
+                       height_increment: float = 0.05) -> str:
+    """Azimuth-90 FetchAnalysis mirror: min qualifying eastward
+    distance (first hit == minimum), else 0; NoData centre → 0 row
+    contribution (counted in n_valid only when valid)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+hit AS (SELECT a.cell, MIN(b.c - a.c) AS d
+        FROM g a JOIN g b
+          ON b.r = a.r AND b.c > a.c
+         AND b.v >= a.v + (b.c - a.c) * {height_increment!r}
+        GROUP BY a.cell),
+res AS (SELECT g.cell, g.v,
+               CASE WHEN g.v = {_NOD} THEN 0.0
+                    ELSE CAST(COALESCE(hit.d, 0) AS DOUBLE) END AS f
+        FROM g LEFT JOIN hit ON hit.cell = g.cell)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(f), 6) AS row_sum
+FROM res GROUP BY cell // {cols}
+"""

@@ -391,3 +391,47 @@ def directional_relief_east(spec: RasterSpec,
     return (rd.range(spec.n_tiles)
             .map_batches(per_tile, batch_format="numpy").to_pandas()
             .sort_values("row_id").reset_index(drop=True))
+
+
+def fetch_analysis_east(spec: RasterSpec, height_increment: float = 0.05,
+                        round_to: int = 6) -> pd.DataFrame:
+    """FetchAnalysis (TerrainAnalysisTools/src/plugins/FetchAnalysis
+    .java:290-331,388) at azimuth 90°: fetch = distance to the FIRST
+    eastward column whose z ≥ z₀ + d·heightIncrement (samples are the
+    row's own cells at this azimuth, NoData sentinel participating
+    exactly as getValue does); no obstacle → 0; NoData centre → NoData.
+    Per-row offset sweep; message-free across row bands.
+    Output: (row_id, n_valid, row_sum)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .raster import synth_value
+
+    cols = spec.cols
+
+    def per_tile(batch) -> "pd.DataFrame":
+        frames = []
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * cols, r1 * cols, dtype=np.int64)
+            z = synth_value(cell).reshape(r1 - r0, cols)
+            valid = z != spec.nodata
+            fetch = np.zeros_like(z)
+            unhit = np.ones_like(valid)
+            for d in range(1, cols):
+                zn = z[:, d:]
+                hit = unhit[:, :-d] & (zn >= z[:, :-d]
+                                       + d * height_increment)
+                fetch[:, :-d] = np.where(hit, float(d), fetch[:, :-d])
+                unhit[:, :-d] &= ~hit
+            out = np.where(valid, fetch, 0.0)
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r1),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(out.sum(axis=1), round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return (rd.range(spec.n_tiles)
+            .map_batches(per_tile, batch_format="numpy").to_pandas()
+            .sort_values("row_id").reset_index(drop=True))

@@ -278,6 +278,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             raster.RasterSpec()),
         "fetch_analysis": lambda sf: terrain.fetch_analysis_east(
             raster.RasterSpec()),
+        "weighted_sum": _pair_q(raster_stats.weighted_sum),
+        "minmax_stretch": _checksum_q(raster_stats.minmax_stretch),
+        "sigmoidal_stretch": _checksum_q(raster_stats.sigmoidal_stretch),
+        "flip_image": lambda sf: raster.raster_row_checksums(
+            raster_stats.flip_image(raster.RasterSpec()),
+            raster.RasterSpec()),
+        "create_plane": lambda sf: raster.raster_row_checksums(
+            raster_stats.create_plane(raster.RasterSpec()),
+            raster.RasterSpec()),
+        "filter_sobel": _checksum_q(
+            lambda ds, spec: raster_stats.filter_sobel(
+                ds, spec, regen=raster.synth_value)),
+        "diff_mean_elev": lambda sf: raster.raster_row_checksums(
+            raster_stats.diff_from_mean_elevation(raster.RasterSpec()),
+            raster.RasterSpec()),
+        "dev_mean_elev": lambda sf: raster.raster_row_checksums(
+            raster_stats.dev_from_mean_elevation(raster.RasterSpec()),
+            raster.RasterSpec()),
+        "fill_pits": _checksum_q(
+            lambda ds, spec: hydro.fill_pits(ds, spec,
+                                             regen=raster.synth_value)),
+        "find_no_flow_cells": _checksum_q(
+            lambda ds, spec: hydro.find_no_flow_cells(
+                ds, spec, regen=raster.synth_value)),
         "terrain_tri": _checksum_q(
             lambda ds, spec: terrain.tri(ds, spec,
                                          regen=raster.synth_value)),
@@ -471,6 +495,16 @@ def oracle_sql() -> dict[str, str]:
         "raster_mosaic": o.mosaic_sql(),
         "terrain_slope": o.slope_sql(),
         "terrain_tri": o.tri_sql(),
+        "weighted_sum": o.weighted_sum_sql(),
+        "minmax_stretch": o.minmax_stretch_sql(),
+        "sigmoidal_stretch": o.sigmoidal_stretch_sql(),
+        "flip_image": o.flip_image_sql(),
+        "create_plane": o.create_plane_sql(),
+        "filter_sobel": o.sobel_sql(),
+        "diff_mean_elev": o.diff_mean_elev_sql(),
+        "dev_mean_elev": o.dev_mean_elev_sql(),
+        "fill_pits": o.fill_pits_sql(),
+        "find_no_flow_cells": o.find_no_flow_sql(),
         "terrain_relative_aspect": o.relative_aspect_sql(),
         "pennock_landform": o.pennock_sql(),
         "horizon_angle": o.horizon_angle_sql(),

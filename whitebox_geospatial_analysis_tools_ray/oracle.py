@@ -1880,3 +1880,216 @@ SELECT cell // {cols} AS row_id,
        round(SUM(f), 6) AS row_sum
 FROM res GROUP BY cell // {cols}
 """
+
+
+def weighted_sum_sql(rows: int = 256, cols: int = 256,
+                     w1: float = 0.25, w2: float = 0.75) -> str:
+    """WeightedSum.java:235-241 mirror (two-image stack)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+res AS (SELECT a.cell,
+        CASE WHEN a.v = {_NOD} OR b.v = {_NOD} THEN {_NOD}
+             ELSE a.v * {w1!r} + b.v * {w2!r} END AS f
+        FROM vals a JOIN vals_b b ON a.cell = b.cell)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def minmax_stretch_sql(rows: int = 256, cols: int = 256,
+                       num_bins: int = 1024) -> str:
+    """MinMaxContrastStretch.java:189-201 mirror ((int) cast before the
+    scale multiply, clamp to [0, numBins−1])."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals WHERE v <> {_NOD}),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE least(greatest(trunc(v - mm.lo)
+                                 * ({num_bins}.0 / (mm.hi - mm.lo)),
+                                 0.0), {num_bins - 1}.0) END AS f
+        FROM vals CROSS JOIN mm)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def sigmoidal_stretch_sql(rows: int = 256, cols: int = 256,
+                          cutoff: float = 0.4, gain: float = 5.0) -> str:
+    """SigmoidalStretch.java:197-206 mirror."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi,
+              1.0/(1.0+exp({gain!r} * {cutoff!r})) AS a,
+              1.0/(1.0+exp({gain!r} * ({cutoff!r} - 1.0)))
+                - 1.0/(1.0+exp({gain!r} * {cutoff!r})) AS b
+       FROM vals WHERE v <> {_NOD}),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE (1.0/(1.0+exp({gain!r} * ({cutoff!r}
+                   - (v - mm.lo)/(mm.hi - mm.lo)))) - mm.a)/mm.b END AS f
+        FROM vals CROSS JOIN mm)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def flip_image_sql(rows: int = 256, cols: int = 256) -> str:
+    """FlipImage.java vertical mirror: out(r,c) = in(rows−1−r, c)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+res AS (SELECT a.cell, b.v AS f
+        FROM vals a JOIN vals b
+          ON b.cell = ({rows - 1} - a.cell // {cols}) * {cols}
+                      + a.cell % {cols})
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def create_plane_sql(rows: int = 256, cols: int = 256,
+                     slope_deg: float = 15.0, aspect_deg: float = 30.0,
+                     k: float = 10.0) -> str:
+    """CreatePlane.java:262-277 mirror (constants folded exactly as the
+    stage does: aspect ±180, cx = tan·sin, cy = tan·cos)."""
+    aspect = aspect_deg - 180.0 if aspect_deg > 180.0 else aspect_deg + 180.0
+    s = math.radians(slope_deg)
+    a = math.radians(aspect)
+    cx, cy = math.tan(s) * math.sin(a), math.tan(s) * math.cos(a)
+    return f"""
+WITH res AS (
+  SELECT i AS cell,
+         {cx!r} * ({cols}.0 * ((i % {cols}) / {cols - 1}.0))
+         + {cy!r} * ({rows}.0 - {rows}.0 * ((i // {cols}) / {rows - 1}.0))
+         + {k!r} AS f
+  FROM range(0, {rows * cols}) t(i))
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def sobel_sql(rows: int = 256, cols: int = 256) -> str:
+    """FilterSobel.java:210-213,262-282 mirror (NoData/off-grid samples
+    replaced by the centre value; term order matches the stage kernel)."""
+    ms = ",\n  ".join(
+        f"CASE WHEN n{i} = {_NOD} THEN v ELSE n{i} END AS m{i}"
+        for i in range(8))
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+m AS (SELECT cell, v,
+  {ms}
+FROM nb),
+grad AS (SELECT cell, v,
+  m0 * 1.0 + m1 * 2.0 + m2 * 1.0 - m4 * 1.0 - m5 * 2.0 - m6 * 1.0 AS sx,
+  m0 * 1.0 - m2 * 1.0 - m3 * 2.0 - m4 * 1.0 + m6 * 1.0 + m7 * 2.0 AS sy
+FROM m),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE sqrt(sx * sx + sy * sy) END AS f FROM grad)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def _mean_elev_terms_cte(rows: int, cols: int) -> str:
+    """Shared n/s/s2 CTE for Difference/DeviationFromMeanElevation —
+    plus-shaped 3×3 window with the reference's literal absolute
+    `(x != 1) && (y != 1)` exclusion (midPoint 1); term order matches
+    the stage kernel (centre, E, W, S, N)."""
+    # (neighbour expr, abs-col shift, abs-row shift) in kernel order
+    taps = [("v", 0, 0), ("n1", 1, 0), ("n5", -1, 0),
+            ("n3", 0, 1), ("n7", 0, -1)]
+    inc = []
+    for expr, dx, dy in taps:
+        inc.append(f"CASE WHEN {expr} <> {_NOD} AND c + {dx} <> 1 "
+                   f"AND r + {dy} <> 1 THEN 1.0 ELSE 0.0 END")
+    n = " + ".join(f"i{j}" for j in range(5))
+    s = " + ".join(f"i{j} * t{j}" for j in range(5))
+    s2 = " + ".join(f"i{j} * t{j} * t{j}" for j in range(5))
+    incs = ",\n  ".join(f"{e} AS i{j}" for j, e in enumerate(inc))
+    return (f"inc AS (SELECT cell, v,\n  {incs},\n"
+            f"  v AS t0, n1 AS t1, n5 AS t2, n3 AS t3, n7 AS t4\nFROM nb),\n"
+            f"terms AS (SELECT cell, v, {n} AS n, {s} AS s, {s2} AS s2 "
+            f"FROM inc)")
+
+
+def diff_mean_elev_sql(rows: int = 256, cols: int = 256) -> str:
+    """DifferenceFromMeanElevation.java:277-305 mirror (n = 0 → NoData
+    in place of the reference's 0/0 NaN)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_mean_elev_terms_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} OR n = 0 THEN {_NOD}
+             ELSE v - s / n END AS f FROM terms)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def dev_mean_elev_sql(rows: int = 256, cols: int = 256) -> str:
+    """DeviationFromMeanElevation.java:277-305 mirror ((z − mean)/σ,
+    n > 2 required)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_mean_elev_terms_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} OR n <= 2 THEN {_NOD}
+             ELSE (v - s / n) / sqrt(s2 / n - (s / n) * (s / n)) END AS f
+        FROM terms)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def fill_pits_sql(rows: int = 256, cols: int = 256) -> str:
+    """FillPits.java:188-201,228-258 mirror (ε ladder constants are the
+    Java float literals widened to double)."""
+    lowest = ", ".join(
+        f"CASE WHEN n{i} <> {_NOD} THEN n{i} ELSE 1e308 END"
+        for i in range(8))
+    any_lower = " OR ".join(
+        f"(n{i} <> {_NOD} AND n{i} < v)" for i in range(8))
+    any_valid = " OR ".join(f"n{i} <> {_NOD}" for i in range(8))
+    import numpy as _np
+    eps = (f"CASE WHEN mx <= 9 THEN {float(_np.float32(0.00001))!r} "
+           f"WHEN mx <= 99 THEN {float(_np.float32(0.0001))!r} "
+           f"WHEN mx <= 999 THEN {float(_np.float32(0.001))!r} "
+           f"WHEN mx <= 9999 THEN {float(_np.float32(0.001))!r} "
+           f"WHEN mx <= 99999 THEN {float(_np.float32(0.01))!r} "
+           f"ELSE 1.0 END")
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+mm AS (SELECT MAX(ABS(v)) AS mx FROM vals WHERE v <> {_NOD}),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             WHEN NOT ({any_lower}) AND ({any_valid})
+               THEN least({lowest}) + ({eps})
+             ELSE v END AS f
+        FROM nb CROSS JOIN mm)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def find_no_flow_sql(rows: int = 256, cols: int = 256) -> str:
+    """FindNoFlowCells.java:171-190 mirror (noData doubles as 'has a
+    lower neighbour')."""
+    any_lower = " OR ".join(
+        f"(n{i} <> {_NOD} AND n{i} < v)" for i in range(8))
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             WHEN {any_lower} THEN {_NOD}
+             ELSE 1.0 END AS f
+        FROM nb)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

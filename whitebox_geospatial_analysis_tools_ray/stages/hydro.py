@@ -1090,3 +1090,88 @@ def sediment_transport_index(spec: RasterSpec | None = None,
         return valid, v
 
     return _acc_slope_composite(spec, fn)
+
+
+def _fillpits_eps(abs_max: float) -> float:
+    """FillPits.java:188-201 epsilon ladder (Java float literals widened
+    to double, exactly as `double a = 0.001F` does)."""
+    ladder = ((9.0, np.float32(0.00001)), (99.0, np.float32(0.0001)),
+              (999.0, np.float32(0.001)), (9999.0, np.float32(0.001)),
+              (99999.0, np.float32(0.01)))
+    for cap, eps in ladder:
+        if abs_max <= cap:
+            return float(eps)
+    return 1.0
+
+
+def fill_pits(ds: "rd.Dataset", spec: RasterSpec,
+              regen=None) -> "rd.Dataset":
+    """FillPits (HydroTools/src/plugins/FillPits.java:228-258): a cell
+    with no strictly-lower valid neighbour (and ≥1 valid neighbour) is
+    raised to lowestNeighbour + ε, ε from the |max|-magnitude ladder.
+    Single 3×3 stencil over the halo/overlap-read plan — the cheap
+    single-cell cousin of the full `fill_depressions` decomposition."""
+    from ray.data.aggregate import Max as AggMax
+
+    from .raster import stencil_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = 0.0
+        for data in batch["data"]:
+            a = np.asarray(data, dtype=np.float64)
+            a = a[a != spec.nodata]
+            if len(a):
+                m = max(m, float(np.abs(a).max()))
+        return pd.DataFrame({"m": [m]})
+
+    abs_max = float(ds.map_batches(partial, batch_format="pandas")
+                    .aggregate(AggMax("m"))["max(m)"])
+    eps = _fillpits_eps(abs_max)
+
+    def kernel(p: np.ndarray) -> np.ndarray:
+        z = p[1:-1, 1:-1]
+        H, W = z.shape
+        lowest = np.full_like(z, np.inf)
+        has_lower = np.zeros(z.shape, dtype=bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+                ok = nb != spec.nodata
+                lowest = np.where(ok & (nb < lowest), nb, lowest)
+                has_lower |= ok & (nb < z)
+        is_pit = ~has_lower & np.isfinite(lowest)
+        res = np.where(is_pit, lowest + eps, z)
+        res = np.where(z != spec.nodata, res, spec.nodata)
+        out = np.full_like(p, spec.nodata)
+        out[1:-1, 1:-1] = res
+        return out
+
+    return stencil_apply(ds, spec, kernel, halo=1, regen=regen)
+
+
+def find_no_flow_cells(ds: "rd.Dataset", spec: RasterSpec,
+                       regen=None) -> "rd.Dataset":
+    """FindNoFlowCells (HydroTools/src/plugins/FindNoFlowCells.java
+    :171-190): 1 where no valid neighbour is strictly lower, else
+    NoData (the reference writes noData as its 'false')."""
+    from .raster import stencil_apply
+
+    def kernel(p: np.ndarray) -> np.ndarray:
+        z = p[1:-1, 1:-1]
+        H, W = z.shape
+        has_lower = np.zeros(z.shape, dtype=bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+                has_lower |= (nb != spec.nodata) & (nb < z)
+        res = np.where(has_lower, spec.nodata, 1.0)
+        res = np.where(z != spec.nodata, res, spec.nodata)
+        out = np.full_like(p, spec.nodata)
+        out[1:-1, 1:-1] = res
+        return out
+
+    return stencil_apply(ds, spec, kernel, halo=1, regen=regen)

@@ -25,6 +25,8 @@ value vs the SQL oracle computing the identical expression.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import ray.data as rd
@@ -1068,3 +1070,225 @@ def change_vector_analysis(pair: "rd.Dataset",
 
     return raster_row_checksums(
         pair.map_batches(per_tile, batch_format="pandas"), spec)
+
+
+def weighted_sum(pair: "rd.Dataset", spec: RasterSpec,
+                 w1: float = 0.25, w2: float = 0.75) -> "rd.Dataset":
+    """WeightedSum (GISTools/src/plugins/WeightedSum.java:235-241):
+    output accumulates wᵢ·vᵢ per stack image; any NoData input marks the
+    cell NoData permanently. Two-image stack = the co-generated pair —
+    one stateless per-tile map, no shuffle (AverageOverlay / Weighted
+    Overlay / Max/MinOverlay differ only in this reducer)."""
+    from .raster import raster_row_checksums
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, da, db in zip(batch["tile_id"], batch["data"],
+                               batch["data_b"]):
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            ok = (a != spec.nodata) & (b != spec.nodata)
+            out["tile_id"].append(int(tid))
+            out["data"].append(np.where(ok, a * w1 + b * w2, spec.nodata))
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        pair.map_batches(per_tile, batch_format="pandas"), spec)
+
+
+def minmax_stretch(ds: "rd.Dataset", spec: RasterSpec,
+                   num_bins: int = 1024) -> "rd.Dataset":
+    """MinMaxContrastStretch (ImageProcessingTools/src/plugins/
+    MinMaxContrastStretch.java:189-201): z = (int)(v − min) ×
+    numBins/(max − min), clamped to [0, numBins−1] — the Java (int)
+    cast truncates BEFORE the scale multiply. Global min/max fit →
+    stateless remap (the two-phase plan shared by the whole
+    contrast-stretch family)."""
+    st = _global_valid_stats(ds, spec)
+    lo, hi = st["min"], st["max"]
+    scale = num_bins / (hi - lo)
+    top = float(num_bins - 1)
+
+    def remap(a: np.ndarray) -> np.ndarray:
+        return np.clip(np.trunc(a - lo) * scale, 0.0, top)
+
+    return raster_map(ds, remap, nodata=spec.nodata)
+
+
+def sigmoidal_stretch(ds: "rd.Dataset", spec: RasterSpec,
+                      cutoff: float = 0.4, gain: float = 5.0) -> "rd.Dataset":
+    """SigmoidalStretch (ImageProcessingTools/src/plugins/
+    SigmoidalStretch.java:197-206): z←(v−min)/range, then
+    (1/(1+e^{gain(cutoff−z)}) − a)/b with a = 1/(1+e^{gain·cutoff}),
+    b = 1/(1+e^{gain(cutoff−1)}) − a. Same two-phase fit+remap plan."""
+    st = _global_valid_stats(ds, spec)
+    lo, hi = st["min"], st["max"]
+    rng = hi - lo
+    a_c = 1.0 / (1.0 + math.exp(gain * cutoff))
+    b_c = 1.0 / (1.0 + math.exp(gain * (cutoff - 1.0))) - a_c
+
+    def remap(v: np.ndarray) -> np.ndarray:
+        z = (v - lo) / rng
+        return (1.0 / (1.0 + np.exp(gain * (cutoff - z))) - a_c) / b_c
+
+    return raster_map(ds, remap, nodata=spec.nodata)
+
+
+def flip_image(spec: RasterSpec) -> "rd.Dataset":
+    """FlipImage (ImageProcessingTools/src/plugins/FlipImage.java,
+    vertical): out(r, c) = in(rows−1−r, c). Pure row permutation — each
+    output tile regenerates its mirrored source rows directly (overlap-
+    read, no shuffle; horizontal/both flips are the same gather with a
+    column/both reversal)."""
+    from .raster import synth_value
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            rows = np.arange(r0, r1, dtype=np.int64)
+            src = (spec.rows - 1 - rows)[:, None] * spec.cols + \
+                np.arange(spec.cols, dtype=np.int64)[None, :]
+            out["tile_id"].append(tid)
+            out["data"].append(synth_value(src.ravel()))
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile,
+                                              batch_format="numpy")
+
+
+def create_plane(spec: RasterSpec, slope_deg: float = 15.0,
+                 aspect_deg: float = 30.0, k: float = 10.0) -> "rd.Dataset":
+    """CreatePlane (RasterCreation/src/plugins/CreatePlane.java:262-277):
+    aspect folded ±180, then z = tan(s)·sin(a)·x + tan(s)·cos(a)·y + k
+    with x = west + xRange·col/(cols−1), y = north − yRange·row/(rows−1)
+    (west 0, east cols, south 0, north rows). Pure tile generator."""
+    aspect = aspect_deg - 180.0 if aspect_deg > 180.0 else aspect_deg + 180.0
+    s = math.radians(slope_deg)
+    a = math.radians(aspect)
+    cx, cy = math.tan(s) * math.sin(a), math.tan(s) * math.cos(a)
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            col = np.arange(spec.cols, dtype=np.float64)[None, :]
+            row = np.arange(r0, r1, dtype=np.float64)[:, None]
+            x = spec.cols * (col / (spec.cols - 1))
+            y = spec.rows - spec.rows * (row / (spec.rows - 1))
+            z = cx * x + cy * y + k
+            out["tile_id"].append(tid)
+            out["data"].append(np.broadcast_to(z, (r1 - r0, spec.cols))
+                               .ravel().copy())
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile,
+                                              batch_format="numpy")
+
+
+_SOBEL_TAPS = [  # (dy, dx, maskX, maskY) — FilterSobel.java:210-213 order
+    (-1, 1, 1.0, 1.0), (0, 1, 2.0, 0.0), (1, 1, 1.0, -1.0),
+    (1, 0, 0.0, -2.0), (1, -1, -1.0, -1.0), (0, -1, -2.0, 0.0),
+    (-1, -1, -1.0, 1.0), (-1, 0, 0.0, 2.0)]
+
+
+def sobel_kernel(p: np.ndarray, nodata: float) -> np.ndarray:
+    """FilterSobel (ImageProcessingTools/src/plugins/FilterSobel.java
+    :210-213,262-282), 3×3: NoData / off-grid samples are replaced by
+    the CENTRE value; out = √(gx² + gy²). (FilterPrewitt / FilterLine
+    Detection / FilterEmboss / FilterGaussian / FilterLaplacian /
+    FilterHighPass differ only in these mask weights.)"""
+    z = p[1:-1, 1:-1]
+    H, W = z.shape
+    gx = np.zeros_like(z)
+    gy = np.zeros_like(z)
+    for dy, dx, mx, my in _SOBEL_TAPS:
+        nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+        val = np.where(nb == nodata, z, nb)
+        gx += val * mx
+        gy += val * my
+    res = np.where(z != nodata, np.sqrt(gx * gx + gy * gy), nodata)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = res
+    return out
+
+
+def filter_sobel(ds: "rd.Dataset", spec: RasterSpec,
+                 regen=None) -> "rd.Dataset":
+    from .raster import stencil_apply
+    return stencil_apply(ds, spec, lambda p: sobel_kernel(p, spec.nodata),
+                         halo=1, regen=regen)
+
+
+def _mean_elev_terms(spec: RasterSpec, tid: int):
+    """Shared plus-shape window sums for Difference/DeviationFromMean
+    Elevation (TerrainAnalysisTools/src/plugins/
+    DifferenceFromMeanElevation.java:264-305, filterSize 3): the ellipse
+    filterShape keeps the centre + rook neighbours, and the reference's
+    literal `(x != midPoint) && (y != midPoint)` guard (midPoint 1)
+    excludes ANY sample whose ABSOLUTE row or column equals 1 —
+    reproduced exactly. Returns (z, n, s, s2) for the tile band."""
+    from .raster import synth_value
+
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+    cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+    a = synth_value(cell).reshape(hi - lo, spec.cols)
+    H = r1 - r0
+    p = np.full((H + 2, spec.cols + 2), spec.nodata)
+    p[1 - (r0 - lo):1 - (r0 - lo) + (hi - lo), 1:-1] = a
+    z = p[1:-1, 1:-1]
+    abs_row = np.arange(r0, r1, dtype=np.int64)[:, None]
+    abs_col = np.arange(spec.cols, dtype=np.int64)[None, :]
+    n = np.zeros_like(z)
+    s = np.zeros_like(z)
+    s2 = np.zeros_like(z)
+    for dy, dx in ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)):
+        nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + spec.cols]
+        ok = (nb != spec.nodata) & (abs_col + dx != 1) & (abs_row + dy != 1)
+        n += ok
+        s += np.where(ok, nb, 0.0)
+        s2 += np.where(ok, nb * nb, 0.0)
+    return z, n, s, s2
+
+
+def diff_from_mean_elevation(spec: RasterSpec) -> "rd.Dataset":
+    """DifferenceFromMeanElevation: z − windowMean (n = 0 → NoData in
+    place of the reference's 0/0 NaN; the only such cell is (1,1))."""
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            z, n, s, _ = _mean_elev_terms(spec, int(tid))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                v = z - s / n
+            v = np.where((z != spec.nodata) & (n > 0), v, spec.nodata)
+            out["tile_id"].append(int(tid))
+            out["data"].append(v.ravel())
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile,
+                                              batch_format="numpy")
+
+
+def dev_from_mean_elevation(spec: RasterSpec) -> "rd.Dataset":
+    """DeviationFromMeanElevation (.java:277-305): (z − mean)/stdDev,
+    stdDev = √(s2/n − mean²), emitted only when n > 2."""
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            z, n, s, s2 = _mean_elev_terms(spec, int(tid))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                avg = s / n
+                v = (z - avg) / np.sqrt(s2 / n - avg * avg)
+            v = np.where((z != spec.nodata) & (n > 2), v, spec.nodata)
+            out["tile_id"].append(int(tid))
+            out["data"].append(v.ravel())
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile,
+                                              batch_format="numpy")

@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
     from whitebox_geospatial_analysis_tools_ray.pipelines.flagship import flagship
 
+    def _vops_q(name):
+        from whitebox_geospatial_analysis_tools_ray.stages import vector_ops
+        return lambda sf: getattr(vector_ops, name)(sf)
+
     world_grid = RectGrid.from_extent(WEST, SOUTH, EAST, NORTH,
                                       width_x=250.0, width_y=250.0)
 
@@ -370,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hack_order": lambda sf: streams.hack_order(),
         "vector_cleaning": lambda sf: _vclean_q(sf),
         "shape_metrics_basic": lambda sf: _shape_q(sf, "basic"),
+        "medoid": _vops_q("medoid"),
+        "minimum_bounding_box": _vops_q("minimum_bounding_box"),
         "trend_surface": lambda sf: _trend_q(sf),
         "shape_metrics_extended": lambda sf: _shape_q(sf, "ext"),
         "contour_lengths": lambda sf: raster_stats.contour_lengths(
@@ -438,6 +444,8 @@ def oracle_sql() -> dict[str, str]:
         las_tile_stats_sql as _las_sql)
     from whitebox_geospatial_analysis_tools_ray.stages.multimodal import (
         video_frame_sample_sql as _vfs_sql)
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        medoid_sql as _medoid_sql,)
     from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
         shape_metrics_basic_sql as _shape_sql,
         trend_surface_sql as _trend_sql,
@@ -522,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only, verified vs the single-process topological mirror.
         "vector_cleaning": _vclean_sql(),
         "shape_metrics_basic": _shape_sql(),
+        "medoid": _medoid_sql(),
         "trend_surface": _trend_sql(),
         "vector_clip": o.clip_boxes_sql(),
         "vector_erase": o.erase_boxes_sql(),

@@ -158,3 +158,29 @@ def test_patch_orientation_cardinal():
     s = 0.0
     deg = np.degrees(np.arctan(s))
     assert (90.0 - deg) == 90.0
+
+
+def test_mbr_axes_matches_dense_rotation_sweep():
+    """Rotating-calipers MBR must equal (to tolerance) the min over a
+    dense rotation sweep, and never be larger than any swept box."""
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        _l_vertices, mbr_axes)
+
+    rng = np.random.default_rng(7)
+    cases = [_l_vertices(10.0, -5.0, 30.0, 40.0),
+             _l_vertices(0.0, 0.0, 10.0, 97.0)]
+    cases += [rng.normal(size=(12, 2)) * 50.0 for _ in range(4)]
+    for v in cases:
+        lo, sh, area = mbr_axes(v)
+        assert lo >= sh > 0
+        best = np.inf
+        for t in np.linspace(0.0, np.pi / 2, 20001):
+            c, s = np.cos(t), np.sin(t)
+            rx = v[:, 0] * c - v[:, 1] * s
+            ry = v[:, 0] * s + v[:, 1] * c
+            best = min(best, (rx.max() - rx.min()) * (ry.max() - ry.min()))
+        # calipers is exact; the sweep is a fine upper/lower sandwich
+        assert area <= best + 1e-9
+        assert abs(area - best) / best < 1e-4

@@ -390,3 +390,110 @@ SELECT round(ca, 6) AS a, round(cb, 6) AS b, round(cc, 6) AS c,
        AS rmse
 FROM c
 """
+
+
+def medoid(sf_dir: str):
+    """Medoid (Scripts/Medoid.groovy:150-181, per-feature branch
+    :187-232): medX/medY = coordinate medians over the feature's
+    vertices (even count → mean of the two middles, exactly Arrays.sort
+    + midpoint), then the FIRST vertex in ring order with minimal
+    squared distance to (medX, medY). One stateless map_batches over
+    the L-shape layer — per-feature vertex counts are bounded, so no
+    shuffle. Output (rec_id, med_x, med_y, medoid_x, medoid_y)."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        n = len(batch["rec_id"])
+        mx = np.empty(n); my = np.empty(n)
+        vx = np.empty(n); vy = np.empty(n)
+        for i in range(n):
+            v = _l_vertices(batch["xa"][i], batch["ya"][i],
+                            batch["h"][i], batch["w2"][i])
+            mx[i] = np.median(v[:, 0]); my[i] = np.median(v[:, 1])
+            d = (v[:, 0] - mx[i]) ** 2 + (v[:, 1] - my[i]) ** 2
+            k = int(np.argmin(d))  # first-wins tie, Groovy loop order
+            vx[i], vy[i] = v[k]
+        return {"rec_id": batch["rec_id"], "med_x": mx, "med_y": my,
+                "medoid_x": vx, "medoid_y": vy}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def medoid_sql() -> str:
+    from ..core.features import POINTS_CTE
+    vx = ("CASE k WHEN 0 THEN xa-h WHEN 1 THEN xa+h+w2 WHEN 2 THEN xa+h+w2 "
+          "WHEN 3 THEN xa+h WHEN 4 THEN xa+h ELSE xa-h END")
+    vy = ("CASE k WHEN 0 THEN ya-h WHEN 1 THEN ya-h WHEN 2 THEN ya "
+          "WHEN 3 THEN ya WHEN 4 THEN ya+h ELSE ya+h END")
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+             10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+v AS (SELECT rec_id, k, {vx} AS vx, {vy} AS vy
+      FROM l CROSS JOIN range(0, 6) t(k)),
+m AS (SELECT rec_id, median(vx) AS mx, median(vy) AS my
+      FROM v GROUP BY rec_id),
+d AS (SELECT v.rec_id, v.k, v.vx, v.vy, m.mx, m.my,
+             (v.vx - m.mx) * (v.vx - m.mx)
+             + (v.vy - m.my) * (v.vy - m.my) AS dist
+      FROM v JOIN m USING (rec_id))
+SELECT rec_id, mx AS med_x, my AS med_y,
+       vx AS medoid_x, vy AS medoid_y
+FROM (SELECT *, row_number() OVER (PARTITION BY rec_id
+                                   ORDER BY dist, k) AS rn FROM d)
+WHERE rn = 1
+"""
+
+
+def mbr_axes(v: "np.ndarray") -> tuple:
+    """MinimumBoundingRectangle (WhiteboxAPI/src/whitebox/algorithms/
+    MinimumBoundingRectangle.java:159-213): for each hull edge, rotate
+    every hull vertex by ψ = −atan2(Δy, Δx), take the axis-aligned
+    extent, keep the minimum-AREA box. Returns (long, short, area)."""
+    import numpy as np
+
+    from ..core.geom import convex_hull
+
+    hull = convex_hull(np.asarray(v, dtype=np.float64))
+    hull = np.vstack([hull, hull[:1]])
+    best = (np.inf, 0.0, 0.0)  # (area, long, short)
+    for m in range(len(hull) - 1):
+        dx, dy = hull[m + 1, 0] - hull[m, 0], hull[m + 1, 1] - hull[m, 1]
+        psi = -np.arctan2(dy, dx)
+        c, s = np.cos(psi), np.sin(psi)
+        rx = hull[:-1, 0] * c - hull[:-1, 1] * s
+        ry = hull[:-1, 0] * s + hull[:-1, 1] * c
+        w = rx.max() - rx.min()
+        h = ry.max() - ry.min()
+        area = w * h
+        if area < best[0]:
+            best = (area, max(w, h), min(w, h))
+    return best[1], best[2], best[0]
+
+
+def minimum_bounding_box(sf_dir: str, round_to: int = 6):
+    """MinimumBoundingBox / LongAxis / ShortAxis (VectorTools/src/
+    plugins/MinimumBoundingBox.java:264-341 over the rotating-edge MBR
+    above): per-feature (rec_id, long_axis, short_axis, mbb_area).
+    Per-feature kernels — stateless map, no shuffle; rows-only (the
+    hull-edge rotation search is not SQL-expressible), brute-force
+    rotation-sweep tested."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        n = len(batch["rec_id"])
+        lo = np.empty(n); sh = np.empty(n); ar = np.empty(n)
+        for i in range(n):
+            v = _l_vertices(batch["xa"][i], batch["ya"][i],
+                            batch["h"][i], batch["w2"][i])
+            lo[i], sh[i], ar[i] = mbr_axes(v)
+        return {"rec_id": batch["rec_id"],
+                "long_axis": np.round(lo, round_to),
+                "short_axis": np.round(sh, round_to),
+                "mbb_area": np.round(ar, round_to)}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")

@@ -282,7 +282,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             raster.RasterSpec()),
         "fetch_analysis": lambda sf: terrain.fetch_analysis_east(
             raster.RasterSpec()),
+        "exposure_wind_flux": lambda sf: terrain.exposure_wind_flux_east(
+            raster.RasterSpec()),
         "weighted_sum": _pair_q(raster_stats.weighted_sum),
+        "percent_greater_than": _pair_q(raster_stats.percent_greater_than),
+        "average_overlay": _pair_q(raster_stats.average_overlay),
+        "correct_vignetting": lambda sf: raster_stats.correct_vignetting(
+            None, raster.RasterSpec()),
         "minmax_stretch": _checksum_q(raster_stats.minmax_stretch),
         "sigmoidal_stretch": _checksum_q(raster_stats.sigmoidal_stretch),
         "flip_image": lambda sf: raster.raster_row_checksums(
@@ -504,6 +510,9 @@ def oracle_sql() -> dict[str, str]:
         "terrain_slope": o.slope_sql(),
         "terrain_tri": o.tri_sql(),
         "weighted_sum": o.weighted_sum_sql(),
+        "percent_greater_than": o.percent_greater_sql(),
+        "average_overlay": o.average_overlay_sql(),
+        "correct_vignetting": o.correct_vignetting_sql(),
         "minmax_stretch": o.minmax_stretch_sql(),
         "sigmoidal_stretch": o.sigmoidal_stretch_sql(),
         "flip_image": o.flip_image_sql(),
@@ -518,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "horizon_angle": o.horizon_angle_sql(),
         "directional_relief": o.directional_relief_sql(),
         "fetch_analysis": o.fetch_analysis_sql(),
+        "exposure_wind_flux": o.exposure_wind_flux_sql(),
         "terrain_aspect": o.aspect_sql(),
         "terrain_hillshade": o.hillshade_sql(),
         "terrain_plan_curv": o.curvature_sql("plan"),

@@ -2093,3 +2093,112 @@ res AS (SELECT cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def exposure_wind_flux_sql(rows: int = 256, cols: int = 256,
+                           azimuth: float = 350.0) -> str:
+    """ExposureTowardsWindFlux.java:264-301 mirror (horizon-angle
+    variant: only relAspect > 180 cells are written; Horn slope/aspect
+    with FLOAT casts; azimuth-90 horizon angle)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_horn_gradients()},
+hb AS (SELECT a.cell, MAX((b.v - a.v) / CAST(b.c - a.c AS DOUBLE)) AS best
+       FROM g a JOIN g b ON b.r = a.r AND b.c > a.c GROUP BY a.cell),
+sa AS (SELECT cell, v,
+       CAST(CAST(atan(sqrt(fx*fx + fy*fy)) * {_RAD2DEG} AS REAL) AS DOUBLE)
+         AS slope,
+       CASE WHEN fx <> 0 THEN CAST(CAST(180.0 - atan(fy / fx) * {_RAD2DEG}
+              + 90.0 * sign(fx) AS REAL) AS DOUBLE)
+            ELSE -1.0 END AS aspect
+       FROM grad),
+j AS (SELECT sa.cell, sa.v, sa.slope, sa.aspect,
+      CASE WHEN sa.v = {_NOD} OR (sa.cell % {cols}) = {cols - 1} THEN NULL
+           ELSE degrees(atan(hb.best)) END AS ha
+      FROM sa LEFT JOIN hb ON hb.cell = sa.cell),
+res AS (SELECT cell, CASE
+  WHEN v = {_NOD} THEN {_NOD}
+  WHEN NOT ({azimuth!r} - aspect > 180.0) THEN {_NOD}
+  WHEN ha IS NULL THEN {_NOD}
+  ELSE cos(radians(slope)) * sin(radians(ha))
+       + sin(radians(slope)) * cos(radians(ha))
+         * cos(radians(360.0 - ({azimuth!r} - aspect))) END AS f FROM j)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def _third_stack_expr(rows: int, cols: int) -> str:
+    n = rows * cols
+    return (f"CASE WHEN ((((cell * 7 + 13) % {n}) * 2246822519 + "
+            f"1013904223) % 4294967296) % 17 = 0 THEN {_NOD} "
+            f"ELSE ((((cell * 7 + 13) % {n}) * 2654435761) % 4294967296)"
+            f" / 4294967296.0 * 1000.0 END")
+
+
+def percent_greater_sql(rows: int = 256, cols: int = 256) -> str:
+    """PercentGreaterThan.groovy:130-160 mirror (position = a, stack =
+    {b, permuted synth})."""
+    third = _third_stack_expr(rows, cols)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+tri AS (SELECT a.cell, a.v AS va, b.v AS vb,
+               {third.replace('cell', 'a.cell')} AS vc
+        FROM vals a JOIN vals_b b ON a.cell = b.cell),
+res AS (SELECT cell,
+  CASE WHEN va = {_NOD} OR vb = {_NOD} OR vc = {_NOD} THEN {_NOD}
+       ELSE 100.0 * (CAST(vb > va AS DOUBLE)
+                     + CAST(vc > va AS DOUBLE)) / 2.0 END AS f
+  FROM tri)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def average_overlay_sql(rows: int = 256, cols: int = 256) -> str:
+    """AverageOverlay.groovy:218-237 mirror (stack = {a, b, permuted
+    synth}; mean over valid, all-NoData → NoData)."""
+    third = _third_stack_expr(rows, cols)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+tri AS (SELECT a.cell, a.v AS va, b.v AS vb,
+               {third.replace('cell', 'a.cell')} AS vc
+        FROM vals a JOIN vals_b b ON a.cell = b.cell),
+res AS (SELECT cell,
+  CASE WHEN (CAST(va <> {_NOD} AS DOUBLE) + CAST(vb <> {_NOD} AS DOUBLE)
+             + CAST(vc <> {_NOD} AS DOUBLE)) = 0 THEN {_NOD}
+       ELSE (CASE WHEN va <> {_NOD} THEN va ELSE 0.0 END
+             + CASE WHEN vb <> {_NOD} THEN vb ELSE 0.0 END
+             + CASE WHEN vc <> {_NOD} THEN vc ELSE 0.0 END)
+            / (CAST(va <> {_NOD} AS DOUBLE) + CAST(vb <> {_NOD} AS DOUBLE)
+               + CAST(vc <> {_NOD} AS DOUBLE)) END AS f
+  FROM tri)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def correct_vignetting_sql(rows: int = 256, cols: int = 256,
+                           focal_length: float = 50.0,
+                           dist_between_edges: float = 100.0,
+                           n_exp: float = 4.0) -> str:
+    """CorrectVignetting.groovy:110,290-297 mirror."""
+    scale = dist_between_edges / cols
+    ppx = (cols - 1) / 2.0
+    ppy = (rows - 1) / 2.0
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+res AS (SELECT cell,
+  CASE WHEN v = {_NOD} THEN v
+       ELSE v / pow(cos(atan(
+              sqrt((r - {ppy!r}) * (r - {ppy!r})
+                   + (c - {ppx!r}) * (c - {ppx!r}))
+              * {scale!r} / {focal_length!r})), {n_exp!r}) END AS f
+  FROM g)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -1292,3 +1292,114 @@ def dev_from_mean_elevation(spec: RasterSpec) -> "rd.Dataset":
 
     return rd.range(spec.n_tiles).map_batches(per_tile,
                                               batch_format="numpy")
+
+
+def _third_synth(cell: np.ndarray, n_cells: int) -> np.ndarray:
+    """Third stack raster: the permuted-index synth used by
+    colour_composite / change_vector_analysis."""
+    return synth_value((np.asarray(cell, dtype=np.int64) * 7 + 13) % n_cells)
+
+
+def percent_greater_than(pair: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    """PercentGreaterThan (Scripts/PercentGreaterThan.groovy:130-160):
+    per cell, 100·count(stack > position)/numRasters; position NoData
+    OR any stack NoData → NoData. Position = raster a, stack = {b,
+    permuted synth}. (PercentLessThan / PercentEqualTo swap only the
+    comparator.) Stateless co-generated map — no shuffle."""
+    from .raster import raster_row_checksums
+
+    n_cells = spec.rows * spec.cols
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, da, db in zip(batch["tile_id"], batch["data"],
+                               batch["data_b"]):
+            r0 = int(tid) * spec.tile_rows
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            cell = np.arange(r0 * spec.cols, r0 * spec.cols + len(a),
+                             dtype=np.int64)
+            c = _third_synth(cell, n_cells)
+            okb, okc = b != spec.nodata, c != spec.nodata
+            count = (okb & (b > a)).astype(np.float64) \
+                + (okc & (c > a)).astype(np.float64)
+            ok = (a != spec.nodata) & okb & okc
+            out["tile_id"].append(int(tid))
+            out["data"].append(np.where(ok, 100.0 * count / 2.0,
+                                        spec.nodata))
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        pair.map_batches(per_tile, batch_format="pandas"), spec)
+
+
+def average_overlay(pair: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    """AverageOverlay (Scripts/AverageOverlay.groovy:218-237): per-cell
+    mean over the valid stack values {a, b, permuted synth}; all
+    NoData → NoData. (Max/Min/MaxAbsOverlay swap the reducer.)"""
+    from .raster import raster_row_checksums
+
+    n_cells = spec.rows * spec.cols
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, da, db in zip(batch["tile_id"], batch["data"],
+                               batch["data_b"]):
+            r0 = int(tid) * spec.tile_rows
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            cell = np.arange(r0 * spec.cols, r0 * spec.cols + len(a),
+                             dtype=np.int64)
+            c = _third_synth(cell, n_cells)
+            oka, okb, okc = (a != spec.nodata), (b != spec.nodata), \
+                (c != spec.nodata)
+            n = oka.astype(np.float64) + okb + okc
+            total = np.where(oka, a, 0.0) + np.where(okb, b, 0.0) \
+                + np.where(okc, c, 0.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                f = total / n
+            out["tile_id"].append(int(tid))
+            out["data"].append(np.where(n > 0, f, spec.nodata))
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        pair.map_batches(per_tile, batch_format="pandas"), spec)
+
+
+def correct_vignetting(ds: "rd.Dataset", spec: RasterSpec,
+                       focal_length: float = 50.0,
+                       dist_between_edges: float = 100.0,
+                       n_exp: float = 4.0) -> "rd.Dataset":
+    """CorrectVignetting (Scripts/CorrectVignetting.groovy:110,
+    290-297): v / cosⁿ(atan(dist·scaleFactor/focalLength)), dist from
+    the principal point (grid centre), scaleFactor = distBetweenEdges/
+    cols. Per-cell map needing absolute coords — overlap-read tiles."""
+    from .raster import raster_row_checksums
+
+    scale = dist_between_edges / spec.cols
+    ppx = (spec.cols - 1) / 2.0
+    ppy = (spec.rows - 1) / 2.0
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * spec.cols, r1 * spec.cols,
+                             dtype=np.int64)
+            v = synth_value(cell).reshape(r1 - r0, spec.cols)
+            row = np.arange(r0, r1, dtype=np.float64)[:, None]
+            col = np.arange(spec.cols, dtype=np.float64)[None, :]
+            dist = np.sqrt((row - ppy) * (row - ppy)
+                           + (col - ppx) * (col - ppx))
+            theta = np.arctan(dist * scale / focal_length)
+            f = v / np.power(np.cos(theta), n_exp)
+            out["tile_id"].append(tid)
+            out["data"].append(
+                np.where(v != spec.nodata, f, spec.nodata).ravel())
+        return pd.DataFrame(out)
+
+    tiles = rd.range(spec.n_tiles).map_batches(per_tile,
+                                               batch_format="numpy")
+    return raster_row_checksums(tiles, spec)

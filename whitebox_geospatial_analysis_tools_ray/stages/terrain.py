@@ -435,3 +435,63 @@ def fetch_analysis_east(spec: RasterSpec, height_increment: float = 0.05,
     return (rd.range(spec.n_tiles)
             .map_batches(per_tile, batch_format="numpy").to_pandas()
             .sort_values("row_id").reset_index(drop=True))
+
+
+def exposure_wind_flux_east(spec: RasterSpec, azimuth: float = 350.0,
+                            round_to: int = 6) -> "rd.Dataset":
+    """ExposureTowardsWindFlux (TerrainAnalysisTools/src/plugins/
+    ExposureTowardsWindFlux.java:264-301, horizon-angle variant):
+    relAspect = azimuth − aspect; the output is written ONLY where
+    relAspect > 180 (the reference's literal branch — other cells keep
+    the output raster's NoData initial value), as
+    cos(slope)·sin(HA) + sin(slope)·cos(HA)·cos(360 − relAspect), all
+    inputs in degrees (Horn slope/aspect with their FLOAT casts; the
+    azimuth-90 horizon-angle scan). Azimuth 350 keeps the written set
+    non-trivial against east horizon angles. One overlap-read pass per
+    band: slope/aspect need a 1-row halo, the HA scan is row-local."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .raster import raster_row_checksums, synth_value
+
+    cols = spec.cols
+
+    def per_tile(batch) -> "pd.DataFrame":
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            H = r1 - r0
+            lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+            cell = np.arange(lo * cols, hi * cols, dtype=np.int64)
+            a = synth_value(cell).reshape(hi - lo, cols)
+            p = np.full((H + 2, cols + 2), spec.nodata)
+            p[1 - (r0 - lo):1 - (r0 - lo) + (hi - lo), 1:-1] = a
+            slope = slope_kernel(p, spec.nodata)[1:-1, 1:-1]
+            aspect = aspect_kernel(p, spec.nodata)[1:-1, 1:-1]
+            z = p[1:-1, 1:-1]
+            best = np.full(z.shape, -np.inf)
+            for d in range(1, cols):
+                s = (z[:, d:] - z[:, :-d]) / float(d)
+                best[:, :-d] = np.maximum(best[:, :-d], s)
+            ha = np.degrees(np.arctan(best))
+            ha_valid = (z != spec.nodata)
+            ha_valid[:, -1] = False
+            ra = azimuth - aspect
+            written = ra > 180.0
+            ra2 = np.radians(360.0 - ra)
+            sl = np.radians(slope)
+            hr = np.radians(ha)
+            with np.errstate(invalid="ignore"):
+                f = (np.cos(sl) * np.sin(hr)
+                     + np.sin(sl) * np.cos(hr) * np.cos(ra2))
+            ok = written & (slope != spec.nodata) & \
+                (aspect != spec.nodata) & ha_valid
+            out["tile_id"].append(tid)
+            out["data"].append(np.where(ok, f, spec.nodata).ravel())
+        return pd.DataFrame(out)
+
+    tiles = rd.range(spec.n_tiles).map_batches(per_tile,
+                                               batch_format="numpy")
+    return raster_row_checksums(tiles, spec, round_to=round_to)

@@ -286,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             raster.RasterSpec()),
         "weighted_sum": _pair_q(raster_stats.weighted_sum),
         "percent_greater_than": _pair_q(raster_stats.percent_greater_than),
+        "pan_sharpen_ihs": lambda sf: raster_stats.pan_sharpen_ihs(),
+        "fill_missing_data_holes": lambda sf:
+            raster_stats.fill_missing_data_holes(),
         "average_overlay": _pair_q(raster_stats.average_overlay),
         "correct_vignetting": lambda sf: raster_stats.correct_vignetting(
             None, raster.RasterSpec()),
@@ -309,6 +312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_pits": _checksum_q(
             lambda ds, spec: hydro.fill_pits(ds, spec,
                                              regen=raster.synth_value)),
+        "thicken_raster_line": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.thinning",
+            fromlist=["thicken_line"]).thicken_line(raster.RasterSpec()),
         "find_no_flow_cells": _checksum_q(
             lambda ds, spec: hydro.find_no_flow_cells(
                 ds, spec, regen=raster.synth_value)),
@@ -511,6 +517,8 @@ def oracle_sql() -> dict[str, str]:
         "terrain_tri": o.tri_sql(),
         "weighted_sum": o.weighted_sum_sql(),
         "percent_greater_than": o.percent_greater_sql(),
+        "pan_sharpen_ihs": o.pan_sharpen_sql(),
+        "fill_missing_data_holes": o.fill_holes_sql(),
         "average_overlay": o.average_overlay_sql(),
         "correct_vignetting": o.correct_vignetting_sql(),
         "minmax_stretch": o.minmax_stretch_sql(),

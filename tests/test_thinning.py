@@ -39,3 +39,20 @@ def test_find_ridges_tiling_invariant(ray_session):
     a = th.find_ridges(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = th.find_ridges(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_thicken_line_matches_naive_and_tiling_invariant(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages.thinning import (
+        thicken_line, thicken_line_naive)
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = thicken_line(spec).reset_index(drop=True)
+    want = thicken_line_naive(spec)
+    pd.testing.assert_frame_equal(got, want)
+    alt = thicken_line(RasterSpec(rows=96, cols=96, tile_rows=16)) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(alt, want)
+    assert int(got["n_foreground"].sum()) > 0

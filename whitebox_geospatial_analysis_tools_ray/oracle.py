@@ -2202,3 +2202,151 @@ res AS (SELECT cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def pan_sharpen_sql(ms_rows: int = 256, ms_cols: int = 256,
+                    pan_scale: int = 2) -> str:
+    """PanSharpening.java:357-430,472-530 mirror (IHS method). Pure
+    IEEE arithmetic end-to-end (no libm), so the byte packing is exact."""
+    pr, pc = ms_rows * pan_scale, ms_cols * pan_scale
+    n_ms, n_pan = ms_rows * ms_cols, pr * pc
+    _M = 4294967296
+
+    def synth(idx: str) -> str:
+        return (f"CASE WHEN ((({idx}) * 2246822519 + 1013904223) % {_M}) "
+                f"% 17 = 0 THEN {_NOD} "
+                f"ELSE ((({idx}) * 2654435761) % {_M}) / {_M}.0 * 1000.0 END")
+
+    def synth_b(idx: str) -> str:
+        return (f"CASE WHEN ((({idx}) * 2654435761 + 999331) % {_M}) "
+                f"% 19 = 0 THEN {_NOD} "
+                f"ELSE ((({idx}) * 2246822519 + 12345) % {_M}) / {_M}.0 "
+                f"* 1000.0 END")
+
+    va = synth("scell")
+    vb = synth_b("scell")
+    vc = synth(f"(scell * 7 + 13) % {n_ms}")
+    vp = synth(f"(cell * 11 + 29) % {n_pan}")
+    return f"""
+WITH src AS (
+  SELECT i AS cell,
+         CAST(floor((({ms_rows}.0 - ({ms_rows}.0 - ({ms_rows}.0 * (i // {pc}))
+                      / {pr - 1}.0)) / {ms_rows}.0)
+                    * {ms_rows - 0.5!r} + 0.5) AS BIGINT) AS sr,
+         CAST(floor(((({ms_cols}.0 * (i % {pc})) / {pc - 1}.0)
+                     / {ms_cols}.0) * {ms_cols - 0.5!r} + 0.5) AS BIGINT)
+           AS sc
+  FROM range(0, {n_pan}) t(i)),
+cells AS (
+  SELECT cell, sr < {ms_rows} AND sc < {ms_cols} AS written,
+         least(greatest(sr, 0), {ms_rows - 1}) * {ms_cols}
+         + least(greatest(sc, 0), {ms_cols - 1}) AS scell
+  FROM src),
+bands AS (
+  SELECT cell, written, {va} AS zr, {vb} AS zg, {vc} AS zb, {vp} AS zp
+  FROM cells),
+mm AS (
+  SELECT greatest(
+    (SELECT MAX({synth('i')}) FROM range(0, {n_ms}) t(i)
+     WHERE {synth('i')} <> {_NOD}),
+    (SELECT MAX({synth_b('i')}) FROM range(0, {n_ms}) t(i)
+     WHERE {synth_b('i')} <> {_NOD}),
+    (SELECT MAX({synth(f'(i * 7 + 13) % {n_ms}')}) FROM range(0, {n_ms}) t(i)
+     WHERE {synth(f'(i * 7 + 13) % {n_ms}')} <> {_NOD})) AS max_ms,
+    (SELECT MIN({synth(f'(i * 11 + 29) % {n_pan}')})
+     FROM range(0, {n_pan}) t(i)
+     WHERE {synth(f'(i * 11 + 29) % {n_pan}')} <> {_NOD}) AS p_min,
+    (SELECT MAX({synth(f'(i * 11 + 29) % {n_pan}')})
+     FROM range(0, {n_pan}) t(i)
+     WHERE {synth(f'(i * 11 + 29) % {n_pan}')} <> {_NOD}) AS p_max),
+norm AS (
+  SELECT cell, written,
+         zp <> {_NOD} AND zr <> {_NOD} AND zg <> {_NOD} AND zb <> {_NOD}
+           AS valid,
+         (zp - p_min) / (p_max - p_min) AS p,
+         zr / max_ms AS r, zg / max_ms AS g, zb / max_ms AS b
+  FROM bands CROSS JOIN mm),
+hsv AS (
+  SELECT cell, written, valid, p, r, g, b,
+         least(least(b, g), r) AS m, r + g + b AS i
+  FROM norm),
+hue AS (
+  SELECT cell, written, valid, p, i,
+         CASE WHEN i = 3.0 THEN 0.0
+              WHEN b = m THEN (g - b) / (i - 3 * b)
+              WHEN r = m THEN (b - r) / (i - 3 * r) + 1.0
+              ELSE (r - g) / (i - 3 * g) + 2.0 END AS h,
+         b, r, g
+  FROM hsv),
+sat AS (
+  SELECT cell, written, valid, p, h,
+         CASE WHEN h <= 1.0 THEN (i - 3 * b) / i
+              WHEN h <= 2.0 THEN (i - 3 * r) / i
+              ELSE (i - 3 * g) / i END AS s,
+         p * 3.0 AS i2
+  FROM hue),
+inv AS (
+  SELECT cell, written, valid,
+    CASE WHEN h <= 1.0 THEN i2 * (1 + 2 * s - 3 * s * h) / 3
+         WHEN h <= 2.0 THEN i2 * (1 - s) / 3
+         ELSE i2 * (1 - s + 3 * s * (h - 2)) / 3 END AS r2,
+    CASE WHEN h <= 1.0 THEN i2 * (1 - s + 3 * s * h) / 3
+         WHEN h <= 2.0 THEN i2 * (1 + 2 * s - 3 * s * (h - 1)) / 3
+         ELSE i2 * (1 - s) / 3 END AS g2,
+    CASE WHEN h <= 1.0 THEN i2 * (1 - s) / 3
+         WHEN h <= 2.0 THEN i2 * (1 - s + 3 * s * (h - 1)) / 3
+         ELSE i2 * (1 + 2 * s - 3 * s * (h - 2)) / 3 END AS b2
+  FROM sat),
+res AS (
+  SELECT cell,
+    CASE WHEN NOT (written AND valid) THEN {_NOD}
+         ELSE 4278190080.0
+              + least(greatest(trunc(b2 * 255.0), 0), 255) * 65536.0
+              + least(greatest(trunc(g2 * 255.0), 0), 255) * 256.0
+              + least(greatest(trunc(r2 * 255.0), 0), 255) END AS f
+  FROM inv)
+{_row_checksum_select(pc)}
+FROM res GROUP BY cell // {pc}
+"""
+
+
+def fill_holes_sql(rows: int = 256, cols: int = 256, k: int = 6,
+                   window: int = 8) -> str:
+    """FillMissingDataHoles.java:106-180 mirror (deterministic
+    (d², row, col) tie rule on both sides; weights 1/d², k = 6)."""
+    # edge = valid cell with >= 1 IN-GRID NoData neighbour
+    guards = [
+        (f"n0 = {_NOD} AND r > 0 AND c < {cols - 1}"),
+        (f"n1 = {_NOD} AND c < {cols - 1}"),
+        (f"n2 = {_NOD} AND r < {rows - 1} AND c < {cols - 1}"),
+        (f"n3 = {_NOD} AND r < {rows - 1}"),
+        (f"n4 = {_NOD} AND r < {rows - 1} AND c > 0"),
+        (f"n5 = {_NOD} AND c > 0"),
+        (f"n6 = {_NOD} AND r > 0 AND c > 0"),
+        (f"n7 = {_NOD} AND r > 0")]
+    any_hole = " OR ".join(f"({g})" for g in guards)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+edges AS (SELECT cell, r, c, v FROM nb
+          WHERE v <> {_NOD} AND ({any_hole})),
+holes AS (SELECT cell, r, c FROM nb WHERE v = {_NOD}),
+cand AS (SELECT h.cell AS hcell, e.v AS ev,
+                (e.r - h.r) * (e.r - h.r)
+                + (e.c - h.c) * (e.c - h.c) AS d2,
+                e.r AS er, e.c AS ec
+         FROM holes h JOIN edges e
+           ON e.r BETWEEN h.r - {window} AND h.r + {window}
+          AND e.c BETWEEN h.c - {window} AND h.c + {window}),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY hcell
+                                        ORDER BY d2, er, ec) AS rn
+           FROM cand),
+idw AS (SELECT hcell,
+               SUM((1.0 / d2) * ev) / SUM(1.0 / d2) AS fv
+        FROM ranked WHERE rn <= {k} GROUP BY hcell),
+res AS (SELECT g.cell,
+               CASE WHEN g.v <> {_NOD} THEN g.v ELSE i.fv END AS f
+        FROM g LEFT JOIN idw i ON i.hcell = g.cell)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -1403,3 +1403,184 @@ def correct_vignetting(ds: "rd.Dataset", spec: RasterSpec,
     tiles = rd.range(spec.n_tiles).map_batches(per_tile,
                                                batch_format="numpy")
     return raster_row_checksums(tiles, spec)
+
+
+def pan_sharpen_ihs(ms_spec: RasterSpec | None = None,
+                    pan_scale: int = 2) -> "rd.Dataset":
+    """PanSharpening, IHS method (ImageProcessingTools/src/plugins/
+    PanSharpening.java:357-430,472-530): per pan cell, nearest MS cell
+    via sourceRow/Col = Math.round((north−y)/range·(nRows−0.5)) (rows
+    with sourceRow ≥ nRows and columns past sourceCol ≥ nCols are
+    skipped by the reference's `break` — they keep the output's NoData
+    init); MS r,g,b normalized by the stack max, RGB→IHS, intensity
+    replaced by 3·(pan−pMin)/pRange, IHS→RGB, byte-packed with (int)
+    truncation + clamp. MS bands: a/b/permuted synth; pan: an
+    independently permuted synth on the fine grid. Two-phase plan:
+    global maxes (exact MIN/MAX reduce) → stateless per-pan-tile
+    gather (cell-addressable source ⇒ no shuffle at all)."""
+    from .raster import raster_row_checksums
+
+    ms = ms_spec or RasterSpec()
+    n_ms = ms.rows * ms.cols
+    pan = RasterSpec(rows=ms.rows * pan_scale, cols=ms.cols * pan_scale,
+                     tile_rows=ms.tile_rows)
+    n_pan = pan.rows * pan.cols
+
+    def pan_value(cell: np.ndarray) -> np.ndarray:
+        return synth_value((np.asarray(cell, dtype=np.int64) * 11 + 29)
+                           % n_pan)
+
+    # global stats (driver-side exact reduce over the generators —
+    # the distributed MIN/MAX pass is _global_valid_stats; these grids
+    # are cell-addressable so the reduce is a closed form here)
+    all_ms = np.arange(n_ms, dtype=np.int64)
+    va, vb = synth_value(all_ms), synth_value_b(all_ms)
+    vc = synth_value((all_ms * 7 + 13) % n_ms)
+    max_ms = max(va[va != ms.nodata].max(), vb[vb != ms.nodata].max(),
+                 vc[vc != ms.nodata].max())
+    all_pan = pan_value(np.arange(n_pan, dtype=np.int64))
+    pv = all_pan[all_pan != pan.nodata]
+    p_min, p_range = pv.min(), pv.max() - pv.min()
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * pan.tile_rows
+            r1 = min(r0 + pan.tile_rows, pan.rows)
+            H, W = r1 - r0, pan.cols
+            rp = np.arange(r0, r1, dtype=np.float64)[:, None]
+            cp = np.arange(W, dtype=np.float64)[None, :]
+            y = float(ms.rows) - (float(ms.rows) * rp) / (pan.rows - 1.0)
+            sr = np.floor((float(ms.rows) - y) / float(ms.rows)
+                          * (ms.rows - 0.5) + 0.5)
+            x = (float(ms.cols) * cp) / (pan.cols - 1.0)
+            sc = np.floor(x / float(ms.cols) * (ms.cols - 0.5) + 0.5)
+            written = (sr < ms.rows) & (sc < ms.cols)
+            sri = np.clip(sr, 0, ms.rows - 1).astype(np.int64)
+            sci = np.clip(sc, 0, ms.cols - 1).astype(np.int64)
+            scell = (sri * ms.cols + sci) + np.zeros((H, W), np.int64)
+            pcell = (np.arange(r0, r1, dtype=np.int64)[:, None] * W
+                     + np.arange(W, dtype=np.int64)[None, :])
+            zr, zg = synth_value(scell.ravel()), synth_value_b(scell.ravel())
+            zb = synth_value((scell.ravel() * 7 + 13) % n_ms)
+            zp = pan_value(pcell.ravel())
+            valid = (zp != pan.nodata) & (zr != ms.nodata) & \
+                (zg != ms.nodata) & (zb != ms.nodata)
+            p = (zp - p_min) / p_range
+            r = zr / max_ms
+            g = zg / max_ms
+            b = zb / max_ms
+            m = np.minimum(np.minimum(b, g), r)
+            i = r + g + b
+            with np.errstate(divide="ignore", invalid="ignore"):
+                h = np.where(i == 3.0, 0.0,
+                    np.where(b == m, (g - b) / (i - 3 * b),
+                    np.where(r == m, (b - r) / (i - 3 * r) + 1.0,
+                             (r - g) / (i - 3 * g) + 2.0)))
+                s = np.where(h <= 1.0, (i - 3 * b) / i,
+                    np.where(h <= 2.0, (i - 3 * r) / i, (i - 3 * g) / i))
+                i2 = p * 3.0
+                r2 = np.where(h <= 1.0, i2 * (1 + 2 * s - 3 * s * h) / 3,
+                     np.where(h <= 2.0, i2 * (1 - s) / 3,
+                              i2 * (1 - s + 3 * s * (h - 2)) / 3))
+                g2 = np.where(h <= 1.0, i2 * (1 - s + 3 * s * h) / 3,
+                     np.where(h <= 2.0,
+                              i2 * (1 + 2 * s - 3 * s * (h - 1)) / 3,
+                              i2 * (1 - s) / 3))
+                b2 = np.where(h <= 1.0, i2 * (1 - s) / 3,
+                     np.where(h <= 2.0,
+                              i2 * (1 - s + 3 * s * (h - 1)) / 3,
+                              i2 * (1 + 2 * s - 3 * s * (h - 2)) / 3))
+            ro = np.clip(np.trunc(r2 * 255.0), 0, 255)
+            go = np.clip(np.trunc(g2 * 255.0), 0, 255)
+            bo = np.clip(np.trunc(b2 * 255.0), 0, 255)
+            z = 4278190080.0 + bo * 65536.0 + go * 256.0 + ro
+            ok = valid & written.ravel()
+            out["tile_id"].append(tid)
+            out["data"].append(np.where(ok, z, pan.nodata))
+        return pd.DataFrame(out)
+
+    tiles = rd.range(pan.n_tiles).map_batches(per_tile,
+                                              batch_format="numpy")
+    return raster_row_checksums(tiles, pan)
+
+
+def fill_missing_data_holes(spec: RasterSpec | None = None,
+                            k: int = 6, window: int = 8) -> "rd.Dataset":
+    """FillMissingDataHoles (ImageProcessingTools/src/plugins/
+    FillMissingDataHoles.java:106-180, interior-only OFF): edge cells =
+    valid cells with ≥1 in-grid NoData neighbour; every NoData cell is
+    filled by IDW (weights 1/d², SqrEuclid KdTree) over its k=6 nearest
+    edge cells in (row, col) space. The reference's KdTree breaks
+    distance ties in traversal order (implementation-defined); we fix
+    the deterministic rule (d², row, col) on BOTH sides of the oracle.
+
+    Physical plan: overlap-read tiles with a `window`-row halo (the
+    synthetic hole density 1/17 bounds hole→edge distance far below
+    `window`); per tile, offsets are visited in sorted (d², dy, dx)
+    order accumulating the first k edge hits per hole — fully
+    vectorized, no shuffle. Fails loudly (assert) if any hole can't
+    reach k edges inside the window rather than silently degrading."""
+    from .raster import raster_row_checksums
+
+    spec = spec or RasterSpec()
+    offs = sorted(
+        ((dy * dy + dx * dx, dy, dx)
+         for dy in range(-window, window + 1)
+         for dx in range(-window, window + 1) if dy or dx))
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            H = r1 - r0
+            lo, hi = max(r0 - window - 1, 0), min(r1 + window + 1, spec.rows)
+            cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+            a = synth_value(cell).reshape(hi - lo, spec.cols)
+            pad_rows = H + 2 * (window + 1)
+            z = np.full((pad_rows, spec.cols + 2 * (window + 1)),
+                        np.nan)
+            w0 = window + 1
+            z[w0 - (r0 - lo):w0 - (r0 - lo) + (hi - lo),
+              w0:-w0] = a
+            ingrid = ~np.isnan(z)
+            hole = ingrid & (z == spec.nodata)
+            valid = ingrid & ~hole
+            # edge mask over the padded plane (1-cell stencil)
+            edge = np.zeros_like(valid)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    edge[1:-1, 1:-1] |= hole[1 + dy:z.shape[0] - 1 + dy,
+                                             1 + dx:z.shape[1] - 1 + dx]
+            edge &= valid
+            # interior view of the tile band
+            hv = hole[w0:w0 + H, w0:-w0]
+            cnt = np.zeros((H, spec.cols), dtype=np.int64)
+            sw = np.zeros((H, spec.cols))
+            swv = np.zeros((H, spec.cols))
+            for d2, dy, dx in offs:
+                e = edge[w0 + dy:w0 + dy + H,
+                         w0 + dx:z.shape[1] - w0 + dx]
+                ev = z[w0 + dy:w0 + dy + H,
+                       w0 + dx:z.shape[1] - w0 + dx]
+                sel = hv & e & (cnt < k)
+                w = 1.0 / d2
+                sw += np.where(sel, w, 0.0)
+                swv += np.where(sel, w * np.where(sel, ev, 0.0), 0.0)
+                cnt += sel
+            assert not (hv & (cnt < k)).any(), \
+                "hole cell found fewer than k edge cells inside window"
+            band = z[w0:w0 + H, w0:-w0]
+            filled = np.where(hv, swv / np.where(hv, sw, 1.0), band)
+            out["tile_id"].append(tid)
+            out["data"].append(filled.ravel())
+        return pd.DataFrame(out)
+
+    tiles = rd.range(spec.n_tiles).map_batches(per_tile,
+                                               batch_format="numpy")
+    return raster_row_checksums(tiles, spec)

@@ -221,3 +221,96 @@ def find_ridges_naive(spec: RasterSpec, max_iter: int = 100) -> pd.DataFrame:
     return pd.DataFrame({
         "row_id": np.arange(spec.rows),
         "n_foreground": (out == 1.0).sum(axis=1).astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# ThickenRasterLine (Scripts/ThickenRasterLine.groovy:89-133)
+# ---------------------------------------------------------------------------
+
+# (dy, dx) triples per direction i: N1 rook, N2 the diagonal between,
+# N3 the next rook — a background cell bridging a diagonal-only join
+# (N1>0, N3>0, N2 background) takes value zN1.
+_TH_N1 = ((-1, 0), (0, 1), (1, 0), (0, -1))
+_TH_N2 = ((-1, 1), (1, 1), (1, -1), (-1, -1))
+_TH_N3 = ((0, 1), (1, 0), (0, -1), (-1, 0))
+
+
+def _thicken_scan(pad: np.ndarray) -> int:
+    """One in-place row-major pass: ALL four directions are tested per
+    cell with no break (later matches overwrite), exactly as the
+    groovy loop does; the z==background test is on the PRE-pass value
+    implicitly (input z equals output z for untouched cells — the
+    scan only ever writes background cells, whose input value is
+    background by definition)."""
+    h, w = pad.shape[0] - 2, pad.shape[1] - 2
+    counter = 0
+    for r in range(1, h + 1):
+        row = pad[r, 1:w + 1]
+        bg = (row == 0.0) | (row == NODATA)
+        for c in np.flatnonzero(bg) + 1:
+            hit = False
+            for i in range(4):
+                z1 = pad[r + _TH_N1[i][0], c + _TH_N1[i][1]]
+                z2 = pad[r + _TH_N2[i][0], c + _TH_N2[i][1]]
+                z3 = pad[r + _TH_N3[i][0], c + _TH_N3[i][1]]
+                if z1 > 0 and z3 > 0 and (z2 == NODATA or z2 == 0.0):
+                    pad[r, c] = z1
+                    hit = True
+            counter += hit
+    return counter
+
+
+@ray.remote
+def _thicken_band(state: np.ndarray, prev_updated_last,
+                  next_first_prepass):
+    st = state.copy()
+    h, w = st.shape
+    pad = np.full((h + 2, w + 2), NODATA)
+    pad[1:-1, 1:-1] = st
+    if prev_updated_last is not None:
+        pad[0, 1:-1] = prev_updated_last
+    if next_first_prepass is not None:
+        pad[-1, 1:-1] = next_first_prepass
+    _thicken_scan(pad)
+    new = pad[1:-1, 1:-1]
+    return new, 0, new[0].copy(), new[-1].copy()
+
+
+def thicken_line(spec: RasterSpec | None = None) -> pd.DataFrame:
+    """Distributed single-pass wavefront: band tasks chain top→bottom;
+    each gets its predecessor's UPDATED last row (in-place rows < r
+    visibility) and its successor's PRE-pass first row."""
+    spec = spec or RasterSpec()
+    n = spec.n_tiles
+    states = [_init_band(spec, t) for t in range(n)]
+    futs = []
+    prev_last = None
+    for b in range(n):
+        nxt = states[b + 1][0].copy() if b + 1 < n else None
+        fut = _thicken_band.remote(states[b], prev_last, nxt)
+        futs.append(fut)
+        prev_last = _extract.remote(fut, 3)
+    rows = []
+    for b, fut in enumerate(futs):
+        st = ray.get(fut)[0]
+        r0 = b * spec.tile_rows
+        rows.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + st.shape[0]),
+            "n_foreground": (st > 0).sum(axis=1).astype(np.int64)}))
+    return (pd.concat(rows, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def thicken_line_naive(spec: RasterSpec) -> pd.DataFrame:
+    """Literal whole-grid single-process mirror."""
+    cell = np.arange(spec.rows * spec.cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, spec.cols)
+    st = np.where(z == spec.nodata, NODATA,
+                  np.where(z > FG_THRESHOLD, 1.0, 0.0))
+    pad = np.full((spec.rows + 2, spec.cols + 2), NODATA)
+    pad[1:-1, 1:-1] = st
+    _thicken_scan(pad)
+    out = pad[1:-1, 1:-1]
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_foreground": (out > 0).sum(axis=1).astype(np.int64)})

@@ -202,3 +202,20 @@ def test_hack_order_tiling_invariant(ray_session):
     a = streams.hack_order(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = streams.hack_order(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_hillslopes_matches_naive_and_tiling_invariant(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages.streams import (
+        hillslopes, hillslopes_naive)
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = hillslopes_naive(spec)
+    got = hillslopes(spec).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    alt = hillslopes(RasterSpec(rows=96, cols=96, tile_rows=16)) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(alt, want)
+    assert int(want["n_assigned"].sum()) > 0

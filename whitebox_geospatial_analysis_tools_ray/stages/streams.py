@@ -919,3 +919,325 @@ def hack_order_naive(spec: RasterSpec, threshold: float = 5.0):
                     q.append((cell2[0], cell2[1], order + 1))
             y, x = best
     return hk, stream
+
+
+# ---------------------------------------------------------------------------
+# Hillslopes (HydroTools/src/plugins/Hillslopes.java)
+#
+# Loop 1 assigns link ids by headwater walks (the stream_topology label
+# machinery); loop 2 re-labels channel-head CELLS with fresh ids; loop 3
+# is ONE row-major in-place pass over stream cells that stamps each
+# link's right bank (rotating from the flow direction, id = the stream
+# id itself — sideVals[0][i] = i) and left bank (first non-stream
+# stretch, id = sideVals[1][i]; the reference's state flag never resets,
+# so sideVals[2]/[3] are dead code); loop 4 fills every remaining cell
+# with the label of the first labelled cell on its downslope path.
+#
+# Label encoding here: base = 2·link_label (link cells) or
+# 2·own_gcell + 1 (channel-head cells, loop 2's fresh id); final code =
+# base·4 + side with side 0 = stream/right bank, 1 = left bank —
+# a faithful bijection of the reference's sequential numbering.
+# ---------------------------------------------------------------------------
+
+_INFLOW = (16.0, 32.0, 64.0, 128.0, 1.0, 2.0, 4.0, 8.0)
+
+
+def _bank_scan(code: np.ndarray, stream: np.ndarray, snod: np.ndarray,
+               ptr: np.ndarray, base: np.ndarray,
+               r_lo: int, r_hi: int) -> None:
+    """Loop 3 (Hillslopes.java:203-275) over rows [r_lo, r_hi) of
+    full-width planes, IN PLACE on ``code`` (rows outside the range are
+    read/written as halo state). Walk tests mirror the reference
+    exactly: non-stream = streamsVal ≤ 0 and ≠ NoData (off-grid reads
+    → NoData); right bank overwrites unconditionally, left bank only
+    where output ≤ 0."""
+    R, C = code.shape
+    for r in range(r_lo, r_hi):
+        for c in np.flatnonzero(stream[r]):
+            fd = ptr[r, c]
+            if fd <= 0:
+                continue
+            ci = int(fd).bit_length() - 1
+            bid = int(base[r, c])
+            d = ci
+            state = False
+            steps = 0
+            while True:  # right walk (no step cap in the reference)
+                d += 1
+                if d > 7:
+                    d = 0
+                y, x = r + _DY[d], c + _DX[d]
+                inb = 0 <= y < R and 0 <= x < C
+                is_nod = (not inb) or snod[y, x]
+                if (not is_nod) and (not stream[y, x]):
+                    state = True
+                    if ptr[y, x] == _INFLOW[d]:
+                        code[y, x] = bid * 4
+                elif state:
+                    break
+                steps += 1
+                if steps > 16:
+                    raise RuntimeError(
+                        "isolated stream cell: the reference loop would "
+                        "not terminate here")
+            d = ci
+            state = False
+            val = bid * 4 + 1
+            for _ in range(7):  # left walk (k == 7 cap)
+                d -= 1
+                if d < 0:
+                    d = 7
+                y, x = r + _DY[d], c + _DX[d]
+                inb = 0 <= y < R and 0 <= x < C
+                is_nod = (not inb) or snod[y, x]
+                if (not is_nod) and (not stream[y, x]):
+                    state = True
+                    if ptr[y, x] == _INFLOW[d] and code[y, x] <= 0:
+                        code[y, x] = val
+
+
+def _head_mask(stream: np.ndarray, ptr: np.ndarray,
+               stream_up: np.ndarray | None, ptr_up,
+               stream_dn, ptr_dn) -> np.ndarray:
+    """Channel heads (loop 2): stream cells with no inflowing stream
+    neighbour; needs 1 halo row of (stream, ptr) on each side."""
+    H, C = stream.shape
+    st = np.zeros((H + 2, C + 2), dtype=bool)
+    pt = np.zeros((H + 2, C + 2))
+    st[1:-1, 1:-1] = stream
+    pt[1:-1, 1:-1] = ptr
+    if stream_up is not None:
+        st[0, 1:-1] = stream_up
+        pt[0, 1:-1] = ptr_up
+    if stream_dn is not None:
+        st[-1, 1:-1] = stream_dn
+        pt[-1, 1:-1] = ptr_dn
+    inflow = np.zeros((H, C), dtype=bool)
+    for i in range(8):
+        nb_s = st[1 + _DY[i]:1 + _DY[i] + H, 1 + _DX[i]:1 + _DX[i] + C]
+        nb_p = pt[1 + _DY[i]:1 + _DY[i] + H, 1 + _DX[i]:1 + _DX[i] + C]
+        inflow |= nb_s & (nb_p == _INFLOW[i])
+    return stream & ~inflow
+
+
+@ray.remote
+def _hillslope_band(seed_rows, first_row_state, top_halo, bottom_seed,
+                    stream_ext, snod_ext, ptr_ext, base_ext):
+    """One chained loop-3 band pass. seed_rows: (H, C) band code seed
+    (first row replaced by first_row_state when given); top_halo /
+    bottom_seed: 1-row code states above/below (None at grid edges).
+    *_ext planes cover rows (r0−1 .. r1+1) aligned with the padded
+    code plane. Returns (band_rows, final_top_halo, modified_bottom)."""
+    H, C = seed_rows.shape
+    code = np.full((H + 2, C), -2, dtype=np.int64)
+    code[1:-1] = seed_rows
+    if first_row_state is not None:
+        code[1] = first_row_state
+    if top_halo is not None:
+        code[0] = top_halo
+    if bottom_seed is not None:
+        code[-1] = bottom_seed
+    _bank_scan(code, stream_ext, snod_ext, ptr_ext, base_ext, 1, H + 1)
+    return (code[1:-1], code[0].copy(), code[-1].copy(),
+            code[H].copy())
+
+
+def _hillslope_planes(spec: RasterSpec, threshold: float):
+    """Per-tile (stream, snod, ptr, base, seed-code) planes from the
+    converged topology frames."""
+    frames = stream_topology_frames(spec, threshold)
+    cols = spec.cols
+    planes = {}
+    per_tile = {}
+    for r in frames.itertuples():
+        tid = int(r.tile_id)
+        h = int(r.shape0)
+        link = np.frombuffer(r.label, dtype=np.int64).reshape(h, cols)
+        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(h, cols) \
+            .astype(bool)
+        per_tile[tid] = (link, stream)
+    for tid, (link, stream) in per_tile.items():
+        z, ptr = _tile_pointers(spec, tid)
+        up = per_tile.get(tid - 1)
+        dn = per_tile.get(tid + 1)
+        up_sp = None
+        if up is not None:
+            zt, pt = _tile_pointers(spec, tid - 1)
+            up_sp = (up[1][-1], pt[-1])
+        dn_sp = None
+        if dn is not None:
+            zt, pt = _tile_pointers(spec, tid + 1)
+            dn_sp = (dn[1][0], pt[0])
+        heads = _head_mask(stream, ptr,
+                           up_sp[0] if up_sp else None,
+                           up_sp[1] if up_sp else None,
+                           dn_sp[0] if dn_sp else None,
+                           dn_sp[1] if dn_sp else None)
+        r0 = tid * spec.tile_rows
+        gcell = (np.arange(z.shape[0], dtype=np.int64)[:, None] + r0) \
+            * cols + np.arange(cols, dtype=np.int64)[None, :]
+        base = np.where(heads, 2 * gcell + 1, 2 * link)
+        snod = z == spec.nodata
+        seed = np.full(z.shape, -1, dtype=np.int64)
+        seed[snod] = -2
+        seed[stream] = base[stream] * 4
+        planes[tid] = dict(stream=stream, snod=snod, ptr=ptr, base=base,
+                           seed=seed, z=z)
+    return planes
+
+
+def hillslopes(spec: RasterSpec | None = None, threshold: float = 5.0,
+               max_rounds: int = 64) -> pd.DataFrame:
+    """Distributed Hillslopes: topology fixed point → ONE chained
+    banded wavefront for the in-place bank pass (each band receives its
+    predecessor's final last row and its own possibly-modified first
+    row, and returns its up-writes for the driver to merge) → the
+    subbasins-style ascending-z downslope-label fixed point for loop 4.
+    Output (row_id, n_assigned, sum_code)."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+    planes = _hillslope_planes(spec, threshold)
+
+    def ext_planes(tid):
+        """stream/snod/ptr/base planes covering rows r0−1..r1+1."""
+        p = planes[tid]
+        def stack(key, fill):
+            rows = [p[key]]
+            if tid - 1 in planes:
+                rows.insert(0, planes[tid - 1][key][-1:])
+            else:
+                rows.insert(0, np.full((1, cols), fill,
+                                       dtype=p[key].dtype))
+            if tid + 1 in planes:
+                rows.append(planes[tid + 1][key][:1])
+            else:
+                rows.append(np.full((1, cols), fill, dtype=p[key].dtype))
+            return np.vstack(rows)
+        return (stack("stream", False), stack("snod", True),
+                stack("ptr", 0.0), stack("base", 0))
+
+    futs = []
+    first_row_state = None   # band's own first row, post predecessor writes
+    top_halo = None          # predecessor's final last row at scan time
+    for b in range(n):
+        st, sn, pt, ba = ext_planes(b)
+        bottom_seed = planes[b + 1]["seed"][0].copy() if b + 1 in planes \
+            else None
+        fut = _hillslope_band.remote(planes[b]["seed"], first_row_state,
+                                     top_halo, bottom_seed, st, sn, pt, ba)
+        futs.append(fut)
+        first_row_state = _extract_band.remote(fut, 2)  # modified bottom
+        top_halo = _extract_band.remote(fut, 3)         # own last row
+    res = [ray.get(f) for f in futs]
+    codes = {}
+    for b in range(n):
+        rows = res[b][0].copy()
+        if b + 1 < n:
+            rows[-1] = res[b + 1][1]  # successor's up-writes win (later)
+        codes[b] = rows
+
+    # loop 4: ascending-z downslope label fill, cross-tile fixed point
+    ext = {t: {} for t in range(n)}
+    final = None
+    for _ in range(max_rounds):
+        new_ext = {t: {} for t in range(n)}
+        labs = {}
+        for tid in range(n):
+            p = planes[tid]
+            z, ptr, seed = p["z"], p["ptr"], codes[tid]
+            H = z.shape[0]
+            r0 = tid * spec.tile_rows
+            lab = np.full((H, cols), -2, dtype=np.int64)
+            order = np.argsort(z, axis=None, kind="stable")
+            for lin in order:
+                r, c = divmod(int(lin), cols)
+                if seed[r, c] >= 0:
+                    lab[r, c] = seed[r, c]
+                    continue
+                if p["snod"][r, c]:
+                    continue
+                fd = ptr[r, c]
+                if fd <= 0:
+                    continue
+                i = int(fd).bit_length() - 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= r2 < H and 0 <= c2 < cols:
+                    lab[r, c] = lab[r2, c2]
+                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                    lab[r, c] = ext[tid].get((r0 + r2) * cols + c2, -2)
+            labs[tid] = lab
+        for tid in range(n):
+            H = labs[tid].shape[0]
+            r0 = tid * spec.tile_rows
+            for c in range(cols):
+                if tid - 1 in planes:
+                    new_ext[tid - 1][r0 * cols + c] = int(labs[tid][0, c])
+                if tid + 1 in planes:
+                    new_ext[tid + 1][(r0 + H - 1) * cols + c] = \
+                        int(labs[tid][H - 1, c])
+        if new_ext == ext:
+            final = labs
+            break
+        ext = new_ext
+    assert final is not None, "hillslopes loop-4 fixed point did not converge"
+
+    frames_out = []
+    for tid in range(n):
+        lab = final[tid]
+        r0 = tid * spec.tile_rows
+        frames_out.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + lab.shape[0]),
+            "n_assigned": (lab >= 0).sum(axis=1).astype(np.int64),
+            "sum_code": np.where(lab >= 0, lab, 0).sum(axis=1)}))
+    return (pd.concat(frames_out, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+@ray.remote
+def _extract_band(band_result, idx: int):
+    return band_result[idx]
+
+
+def hillslopes_naive(spec: RasterSpec, threshold: float = 5.0) -> pd.DataFrame:
+    """Literal whole-grid mirror with the same label encoding."""
+    from .raster import synth_value
+    from .terrain import d8_kernel
+    from .hydro import _accumulate_tile
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, _, _ = _accumulate_tile(z, ptr, np.zeros_like(z), spec.nodata)
+    stream = (z != spec.nodata) & (acc >= threshold)
+    _, _, link, _ = stream_topology_naive(spec, threshold)
+    heads = _head_mask(stream, ptr, None, None, None, None)
+    gcell = cell.reshape(spec.rows, cols)
+    base = np.where(heads, 2 * gcell + 1, 2 * link)
+    snod = z == spec.nodata
+    code = np.full(z.shape, -1, dtype=np.int64)
+    code[snod] = -2
+    code[stream] = base[stream] * 4
+    _bank_scan(code, stream, snod, ptr, base, 0, spec.rows)
+    lab = np.full(z.shape, -2, dtype=np.int64)
+    for lin in np.argsort(z, axis=None, kind="stable"):
+        r, c = divmod(int(lin), cols)
+        if code[r, c] >= 0:
+            lab[r, c] = code[r, c]
+            continue
+        if snod[r, c]:
+            continue
+        fd = ptr[r, c]
+        if fd <= 0:
+            continue
+        i = int(fd).bit_length() - 1
+        r2, c2 = r + _DY[i], c + _DX[i]
+        if 0 <= r2 < spec.rows and 0 <= c2 < cols:
+            lab[r, c] = lab[r2, c2]
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows),
+        "n_assigned": (lab >= 0).sum(axis=1).astype(np.int64),
+        "sum_code": np.where(lab >= 0, lab, 0).sum(axis=1)})

@@ -300,6 +300,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "create_plane": lambda sf: raster.raster_row_checksums(
             raster_stats.create_plane(raster.RasterSpec()),
             raster.RasterSpec()),
+        "filter_olympic": _checksum_q(
+            lambda ds, spec: raster_stats.filter_olympic(
+                ds, spec, regen=raster.synth_value)),
+        "filter_percentile": _checksum_q(
+            lambda ds, spec: raster_stats.filter_percentile(
+                ds, spec, regen=raster.synth_value)),
+        "filter_knearest_mean": _checksum_q(
+            lambda ds, spec: raster_stats.filter_knearest_mean(
+                ds, spec, regen=raster.synth_value)),
         "filter_sobel": _checksum_q(
             lambda ds, spec: raster_stats.filter_sobel(
                 ds, spec, regen=raster.synth_value)),
@@ -388,6 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_cleaning": lambda sf: _vclean_q(sf),
         "shape_metrics_basic": lambda sf: _shape_q(sf, "basic"),
         "medoid": _vops_q("medoid"),
+        "smooth_vector": _vops_q("smooth_vector"),
+        "shape_complexity": _vops_q("shape_complexity"),
         "minimum_bounding_box": _vops_q("minimum_bounding_box"),
         "trend_surface": lambda sf: _trend_q(sf),
         "shape_metrics_extended": lambda sf: _shape_q(sf, "ext"),
@@ -459,6 +470,10 @@ def oracle_sql() -> dict[str, str]:
         video_frame_sample_sql as _vfs_sql)
     from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
         medoid_sql as _medoid_sql,)
+
+    def _vops2(name):
+        from whitebox_geospatial_analysis_tools_ray.stages import vector_ops
+        return getattr(vector_ops, name)()
     from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
         shape_metrics_basic_sql as _shape_sql,
         trend_surface_sql as _trend_sql,
@@ -527,6 +542,9 @@ def oracle_sql() -> dict[str, str]:
         "flip_image": o.flip_image_sql(),
         "create_plane": o.create_plane_sql(),
         "filter_sobel": o.sobel_sql(),
+        "filter_olympic": o.olympic_sql(),
+        "filter_percentile": o.percentile_filter_sql(),
+        "filter_knearest_mean": o.knearest_mean_sql(),
         "diff_mean_elev": o.diff_mean_elev_sql(),
         "dev_mean_elev": o.dev_mean_elev_sql(),
         "fill_pits": o.fill_pits_sql(),
@@ -550,6 +568,8 @@ def oracle_sql() -> dict[str, str]:
         "vector_cleaning": _vclean_sql(),
         "shape_metrics_basic": _shape_sql(),
         "medoid": _medoid_sql(),
+        "smooth_vector": _vops2("smooth_vector_sql"),
+        "shape_complexity": _vops2("shape_complexity_sql"),
         "trend_surface": _trend_sql(),
         "vector_clip": o.clip_boxes_sql(),
         "vector_erase": o.erase_boxes_sql(),

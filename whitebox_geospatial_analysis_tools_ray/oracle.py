@@ -2350,3 +2350,77 @@ res AS (SELECT g.cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+# window-array-order neighbour aliases for the 3×3 filters:
+# a: 0=NW(n6) 1=N(n7) 2=NE(n0) 3=W(n5) 4=centre(v) 5=E(n1) 6=SW(n4)
+#    7=S(n3) 8=SE(n2)
+_WIN9_SQL = ("n6", "n7", "n0", "n5", "v", "n1", "n4", "n3", "n2")
+
+
+def olympic_sql(rows: int = 256, cols: int = 256) -> str:
+    """FilterOlympic.java:280-305 mirror (3×3 square window)."""
+    n = " + ".join(f"CASE WHEN {t} <> {_NOD} THEN 1 ELSE 0 END"
+                   for t in _WIN9_SQL)
+    s = " + ".join(f"CASE WHEN {t} <> {_NOD} THEN {t} ELSE 0.0 END"
+                   for t in _WIN9_SQL)
+    mn = ", ".join(f"CASE WHEN {t} <> {_NOD} THEN {t} ELSE v END"
+                   for t in _WIN9_SQL)
+    mx = mn
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+t AS (SELECT cell, v, {n} AS n, {s} AS s,
+             least({mn}) AS mn, greatest({mx}) AS mx FROM nb),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} OR n <= 2 THEN {_NOD}
+             ELSE (s - mn - mx) / (n - 2.0) END AS f FROM t)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def percentile_filter_sql(rows: int = 256, cols: int = 256) -> str:
+    """FilterPercentile.java:283-309 mirror: 100·j/n, j = count of
+    strictly-smaller valid samples, n = count valid (centre in n)."""
+    n = " + ".join(f"CASE WHEN {t} <> {_NOD} THEN 1.0 ELSE 0.0 END"
+                   for t in _WIN9_SQL)
+    j = " + ".join(f"CASE WHEN {t} <> {_NOD} AND {t} < v "
+                   f"THEN 1.0 ELSE 0.0 END" for t in _WIN9_SQL)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+t AS (SELECT cell, v, {n} AS n, {j} AS j FROM nb),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN {_NOD}
+             ELSE j / n * 100.0 END AS f FROM t)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def knearest_mean_sql(rows: int = 256, cols: int = 256, k: int = 5) -> str:
+    """FilterKNearestMean.java:292-330 mirror ((d², window-index) tie
+    order, n == k required)."""
+    val = "CASE a " + " ".join(
+        f"WHEN {i} THEN {t}" for i, t in enumerate(_WIN9_SQL)) + " END"
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+samp AS (SELECT cell, v, a, {val} AS sv
+         FROM nb CROSS JOIN range(0, 9) t(a)),
+valid AS (SELECT cell, v, a, sv, (sv - v) * (sv - v) AS d2
+          FROM samp WHERE sv <> {_NOD}),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY cell
+                                        ORDER BY d2, a) AS rn
+           FROM valid),
+agg AS (SELECT cell, COUNT(*) AS nv,
+               SUM(CASE WHEN rn <= {k} THEN sv ELSE 0.0 END) AS s
+        FROM ranked GROUP BY cell),
+res AS (SELECT g.cell,
+        CASE WHEN g.v = {_NOD} OR COALESCE(a.nv, 0) < {k} THEN {_NOD}
+             ELSE a.s / {k}.0 END AS f
+        FROM g LEFT JOIN agg a ON a.cell = g.cell)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

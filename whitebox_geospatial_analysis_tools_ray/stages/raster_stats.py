@@ -1584,3 +1584,95 @@ def fill_missing_data_holes(spec: RasterSpec | None = None,
     tiles = rd.range(spec.n_tiles).map_batches(per_tile,
                                                batch_format="numpy")
     return raster_row_checksums(tiles, spec)
+
+
+# window offsets in the reference's filter-array order (row-major over
+# the 3×3 window): (dy, dx)
+_WIN9 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+         (1, -1), (1, 0), (1, 1))
+
+
+def _win9_stack(p: np.ndarray, nodata: float):
+    """(9, H, W) sample stack + validity from a halo-1 padded plane."""
+    H, W = p.shape[0] - 2, p.shape[1] - 2
+    vals = np.empty((9, H, W))
+    ok = np.empty((9, H, W), dtype=bool)
+    for a, (dy, dx) in enumerate(_WIN9):
+        nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+        vals[a] = nb
+        ok[a] = nb != nodata
+    return vals, ok
+
+
+def olympic_kernel(p: np.ndarray, nodata: float) -> np.ndarray:
+    """FilterOlympic (ImageProcessingTools/src/plugins/FilterOlympic
+    .java:280-305), 3×3: (Σ − min − max)/(n − 2) over the valid window
+    (centre included; min/max each subtracted once); n ≤ 2 → NoData."""
+    z = p[1:-1, 1:-1]
+    vals, ok = _win9_stack(p, nodata)
+    n = ok.sum(axis=0)
+    s = np.where(ok, vals, 0.0).sum(axis=0)
+    mn = np.where(ok, vals, np.inf).min(axis=0)
+    mn = np.minimum(mn, z)  # Java min/max start at the centre value
+    mx = np.where(ok, vals, -np.inf).max(axis=0)
+    mx = np.maximum(mx, z)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f = (s - mn - mx) / (n - 2.0)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where((z != nodata) & (n > 2), f, nodata)
+    return out
+
+
+def percentile_kernel(p: np.ndarray, nodata: float) -> np.ndarray:
+    """FilterPercentile (.java:283-309), 3×3: 100·j/n where j = rank of
+    the centre in the sorted valid window (index of its first equal =
+    the count of strictly-smaller samples)."""
+    z = p[1:-1, 1:-1]
+    vals, ok = _win9_stack(p, nodata)
+    n = ok.sum(axis=0).astype(np.float64)
+    j = (ok & (vals < z[None])).sum(axis=0).astype(np.float64)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where(z != nodata, j / n * 100.0, nodata)
+    return out
+
+
+def knearest_mean_kernel(p: np.ndarray, nodata: float,
+                         k: int = 5) -> np.ndarray:
+    """FilterKNearestMean (.java:292-330), 3×3: mean of the k window
+    samples nearest the centre by squared difference (ties resolved in
+    window-array order, exactly the reference's repeated first-minimum
+    scan); fewer than k valid samples → NoData."""
+    z = p[1:-1, 1:-1]
+    vals, ok = _win9_stack(p, nodata)
+    d2 = np.where(ok, (vals - z[None]) ** 2, np.inf)
+    # stable argsort along the sample axis = (d², index) tie order
+    idx = np.argsort(d2, axis=0, kind="stable")
+    sv = np.take_along_axis(vals, idx[:k], axis=0)
+    so = np.take_along_axis(np.isfinite(d2), idx[:k], axis=0)
+    n = so.sum(axis=0)
+    s = np.where(so, sv, 0.0).sum(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f = s / k
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = np.where((z != nodata) & (n == k), f, nodata)
+    return out
+
+
+def filter_olympic(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(ds, spec, lambda p: olympic_kernel(p, spec.nodata),
+                         halo=1, regen=regen)
+
+
+def filter_percentile(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(ds, spec,
+                         lambda p: percentile_kernel(p, spec.nodata),
+                         halo=1, regen=regen)
+
+
+def filter_knearest_mean(ds, spec: RasterSpec, regen=None, k: int = 5):
+    from .raster import stencil_apply
+    return stencil_apply(
+        ds, spec, lambda p: knearest_mean_kernel(p, spec.nodata, k),
+        halo=1, regen=regen)

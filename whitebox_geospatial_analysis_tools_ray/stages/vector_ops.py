@@ -497,3 +497,117 @@ def minimum_bounding_box(sf_dir: str, round_to: int = 6):
                 "mbb_area": np.round(ar, round_to)}
 
     return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def smooth_vector(sf_dir: str):
+    """Smooth (VectorTools/src/plugins/Smooth.java:250-307, filterSize
+    3): per-vertex moving average along the ring; closed parts wrap via
+    k<start → end+k−1 and k≥end → start+(k−end)+1 (the shapefile ring
+    carries the closing duplicate vertex). One stateless map — output
+    (rec_id, k, sx, sy) per ring vertex (7 per L-feature)."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        recs, ks, sxs, sys_ = [], [], [], []
+        for i in range(len(batch["rec_id"])):
+            v = _l_vertices(batch["xa"][i], batch["ya"][i],
+                            batch["h"][i], batch["w2"][i])
+            ring = np.vstack([v, v[:1]])  # closing duplicate
+            npts = len(ring)
+            for k in range(npts):
+                sx = sy = 0.0
+                n = 0
+                for j in (k - 1, k, k + 1):
+                    kk = j
+                    if kk < 0:
+                        kk = npts + kk - 1
+                    if kk >= npts:
+                        kk = 0 + (kk - npts) + 1
+                    if 0 <= kk < npts:
+                        n += 1
+                        sx += ring[kk, 0]
+                        sy += ring[kk, 1]
+                recs.append(batch["rec_id"][i])
+                ks.append(k)
+                sxs.append(sx / n)
+                sys_.append(sy / n)
+        return {"rec_id": np.asarray(recs, dtype=np.int64),
+                "k": np.asarray(ks, dtype=np.int64),
+                "sx": np.asarray(sxs), "sy": np.asarray(sys_)}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def smooth_vector_sql() -> str:
+    from ..core.features import POINTS_CTE
+    vx = ("CASE q WHEN 0 THEN xa-h WHEN 1 THEN xa+h+w2 WHEN 2 THEN xa+h+w2 "
+          "WHEN 3 THEN xa+h WHEN 4 THEN xa+h WHEN 5 THEN xa-h "
+          "ELSE xa-h END")
+    vy = ("CASE q WHEN 0 THEN ya-h WHEN 1 THEN ya-h WHEN 2 THEN ya "
+          "WHEN 3 THEN ya WHEN 4 THEN ya+h WHEN 5 THEN ya+h "
+          "ELSE ya-h END")
+    # wrap rule for j in {k-1, k, k+1} over a 7-vertex closed ring:
+    # j<0 → 7+j−1 = 5; j≥7 → j−7+1 = 1
+    wrap = ("CASE WHEN j < 0 THEN 7 + j - 1 "
+            "WHEN j >= 7 THEN j - 7 + 1 ELSE j END")
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+             10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+v AS (SELECT rec_id, q, {vx} AS vx, {vy} AS vy
+      FROM l CROSS JOIN range(0, 7) t(q)),
+win AS (SELECT vk.rec_id, vk.q AS k, off.j AS jraw,
+               {wrap.replace('j', '(vk.q + off.j)')} AS q2
+        FROM v vk CROSS JOIN (SELECT i - 1 AS j
+                              FROM range(0, 3) t(i)) off),
+joined AS (SELECT w.rec_id, w.k, w.jraw, s.vx, s.vy
+           FROM win w JOIN v s ON s.rec_id = w.rec_id AND s.q = w.q2)
+SELECT rec_id, k,
+       SUM(vx ORDER BY jraw) / 3.0 AS sx,
+       SUM(vy ORDER BY jraw) / 3.0 AS sy
+FROM joined GROUP BY rec_id, k
+"""
+
+
+def shape_complexity(sf_dir: str, round_to: int = 6):
+    """ShapeComplexityIndex (GISTools/src/plugins/ShapeComplexityIndex
+    .java:493-531): |1 − area/hullArea| per feature, hull via the
+    rotating convex hull of the ring vertices. Per-feature kernel, no
+    shuffle; the L-shape hull closes the notch triangle (½·w2·h), so
+    the DuckDB oracle is closed-form."""
+    import numpy as np
+
+    from ..core.geom import convex_hull
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        n = len(batch["rec_id"])
+        sci = np.empty(n)
+        for i in range(n):
+            h = float(batch["h"][i]); w2 = float(batch["w2"][i])
+            v = _l_vertices(batch["xa"][i], batch["ya"][i], h, w2)
+            hull = convex_hull(v)
+            x, y = hull[:, 0], hull[:, 1]
+            hull_area = 0.5 * abs(
+                float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+            area = 4.0 * h * h + w2 * h
+            sci[i] = abs(1.0 - area / hull_area)
+        return {"rec_id": batch["rec_id"],
+                "sci": np.round(sci, round_to)}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def shape_complexity_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, 10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2
+      FROM pts)
+SELECT rec_id,
+       round(abs(1.0 - (4.0 * h * h + w2 * h)
+                 / (4.0 * h * h + w2 * h + w2 * h / 2.0)), 6) AS sci
+FROM l
+"""

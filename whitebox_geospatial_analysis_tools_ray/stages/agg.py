@@ -110,11 +110,14 @@ def value_histogram(sf_dir: str, nbins: int = 20) -> "rd.Dataset":
     """StatsTools Histogram (Histogram.java): fixed-width bins over
     n_chars ∈ [global min, global max]; partial per-batch histograms
     summed per bin. Output (bin_id, bin_count)."""
-    from ray.data.aggregate import Max, Min, Sum
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
-    row = ds.aggregate(Min("n_chars"), Max("n_chars"))
-    lo, hi = float(row["min(n_chars)"]), float(row["max(n_chars)"])
+
+    def mm_partial(b):
+        z = np.asarray(b["n_chars"], dtype=np.float64)
+        return pd.DataFrame({"lo": [float(z.min())], "hi": [float(z.max())]})
+
+    mm = ds.map_batches(mm_partial, batch_format="numpy").to_pandas()
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
     width = (hi - lo) / nbins if hi > lo else 1.0
 
     def partial(batch):

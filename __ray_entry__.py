@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_main_stem": lambda sf: streams.find_main_stem(),
         "streams_to_vector": lambda sf: streams.streams_to_vector(),
         "subbasins": lambda sf: streams.subbasins(),
+        "strahler_order_basins": lambda sf: streams.strahler_order_basins(),
         "hillslopes": lambda sf: streams.hillslopes(),
         "hack_order": lambda sf: streams.hack_order(),
         "vector_cleaning": lambda sf: _vclean_q(sf),

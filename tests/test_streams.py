@@ -185,6 +185,24 @@ def test_subbasins_tiling_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_strahler_order_basins_matches_naive(ray_session):
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = streams.strahler_order_basins(spec)
+    want = streams.subbasins_naive(spec, plane="order")
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_labelled"].sum() > 0
+    # basin labels are small Strahler orders, not link ids
+    assert got["sum_label"].max() < got["n_labelled"].max() * 16
+
+
+def test_strahler_order_basins_tiling_invariant(ray_session):
+    a = streams.strahler_order_basins(
+        RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = streams.strahler_order_basins(
+        RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_hack_order_matches_naive(ray_session):
     spec = RasterSpec(rows=96, cols=96, tile_rows=32)
     got = streams.hack_order(spec)

@@ -628,13 +628,33 @@ def streams_to_vector_naive(spec: RasterSpec, threshold: float = 5.0):
 def subbasins(spec: RasterSpec | None = None, threshold: float = 5.0,
               max_rounds: int = 64) -> pd.DataFrame:
     """(row_id, n_labelled, sum_label) per raster row."""
-    spec = spec or RasterSpec()
+    return _downslope_label_fill(spec or RasterSpec(), threshold,
+                                 max_rounds, plane="label")
+
+
+def strahler_order_basins(spec: RasterSpec | None = None,
+                          threshold: float = 5.0,
+                          max_rounds: int = 64) -> pd.DataFrame:
+    """StrahlerOrderBasins (HydroTools/src/plugins/StrahlerOrderBasins
+    .java): every cell takes the Strahler ORDER of the first stream
+    cell on its downslope path — the proven order plane composed with
+    the same downslope-label fixed point as `subbasins`. (The
+    reference's terminal-cell `output += 1` at :134-135 double-counts
+    walks arriving at edge outlets — a reference bug we do not
+    reproduce; orders follow StreamOrder.java, mirror-tested.)"""
+    return _downslope_label_fill(spec or RasterSpec(), threshold,
+                                 max_rounds, plane="order")
+
+
+def _downslope_label_fill(spec: RasterSpec, threshold: float,
+                          max_rounds: int, plane: str) -> pd.DataFrame:
     cols = spec.cols
     n = spec.n_tiles
     frames = stream_topology_frames(spec, threshold)
+    pdt = np.int64 if plane == "label" else np.int32
     links = {int(r.tile_id):
-             (np.frombuffer(r.label, dtype=np.int64).reshape(int(r.shape0),
-                                                             cols),
+             (np.frombuffer(getattr(r, plane), dtype=pdt)
+              .reshape(int(r.shape0), cols).astype(np.int64),
               np.frombuffer(r.stream, dtype=np.int8).reshape(int(r.shape0),
                                                              cols)
               .astype(bool))
@@ -718,12 +738,15 @@ def subbasins(spec: RasterSpec | None = None, threshold: float = 5.0,
             .sort_values("row_id").reset_index(drop=True))
 
 
-def subbasins_naive(spec: RasterSpec, threshold: float = 5.0) -> pd.DataFrame:
+def subbasins_naive(spec: RasterSpec, threshold: float = 5.0,
+                    plane: str = "label") -> pd.DataFrame:
     from .raster import synth_value
     from .terrain import d8_kernel
 
     cols = spec.cols
-    _, _, link, stream = stream_topology_naive(spec, threshold)
+    order, _, link, stream = stream_topology_naive(spec, threshold)
+    if plane == "order":
+        link = order.astype(np.int64)
     cell = np.arange(spec.rows * cols, dtype=np.int64)
     z = synth_value(cell).reshape(spec.rows, cols)
     pad = np.full((spec.rows + 2, cols + 2), spec.nodata)

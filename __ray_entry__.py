@@ -290,6 +290,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_missing_data_holes": lambda sf:
             raster_stats.fill_missing_data_holes(),
         "average_overlay": _pair_q(raster_stats.average_overlay),
+        "max_overlay": _pair_q(
+            lambda p, s: raster_stats.stack_overlay(p, s, "max")),
+        "min_overlay": _pair_q(
+            lambda p, s: raster_stats.stack_overlay(p, s, "min")),
+        "max_abs_overlay": _pair_q(
+            lambda p, s: raster_stats.stack_overlay(p, s, "maxabs")),
+        "lowest_position": _pair_q(raster_stats.lowest_position),
+        "percent_less_than": _pair_q(
+            lambda p, s: raster_stats.percent_compare(p, s, "lt")),
+        "percent_equal_to": _pair_q(
+            lambda p, s: raster_stats.percent_compare(p, s, "eq")),
+        "weighted_overlay": _pair_q(raster_stats.weighted_overlay),
         "correct_vignetting": lambda sf: raster_stats.correct_vignetting(
             None, raster.RasterSpec()),
         "minmax_stretch": _checksum_q(raster_stats.minmax_stretch),
@@ -537,6 +549,13 @@ def oracle_sql() -> dict[str, str]:
         "pan_sharpen_ihs": o.pan_sharpen_sql(),
         "fill_missing_data_holes": o.fill_holes_sql(),
         "average_overlay": o.average_overlay_sql(),
+        "max_overlay": o.stack_overlay_sql(kind="max"),
+        "min_overlay": o.stack_overlay_sql(kind="min"),
+        "max_abs_overlay": o.stack_overlay_sql(kind="maxabs"),
+        "lowest_position": o.lowest_position_sql(),
+        "percent_less_than": o.percent_compare_sql(op="lt"),
+        "percent_equal_to": o.percent_compare_sql(op="eq"),
+        "weighted_overlay": o.weighted_overlay_sql(),
         "correct_vignetting": o.correct_vignetting_sql(),
         "minmax_stretch": o.minmax_stretch_sql(),
         "sigmoidal_stretch": o.sigmoidal_stretch_sql(),

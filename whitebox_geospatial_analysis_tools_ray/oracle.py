@@ -2181,6 +2181,105 @@ FROM res GROUP BY cell // {cols}
 """
 
 
+def _tri_cte(rows: int, cols: int) -> str:
+    third = _third_stack_expr(rows, cols)
+    return f"""{_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+tri AS (SELECT a.cell, a.v AS va, b.v AS vb,
+               {third.replace('cell', 'a.cell')} AS vc
+        FROM vals a JOIN vals_b b ON a.cell = b.cell)"""
+
+
+def stack_overlay_sql(rows: int = 256, cols: int = 256,
+                      kind: str = "max") -> str:
+    """MaxOverlay.java:218-231 / MinOverlay.java / MaxAbsOverlay.java
+    :224-234 mirror: reduce over VALID bands only (skip, not poison);
+    sequential strict-compare update = earliest band wins ties. maxabs
+    runs on the signed stack v−500."""
+    shift = " - 500.0" if kind == "maxabs" else ""
+    if kind == "min":
+        cmp_ab, cmp_ac, cmp_bc = "xa <= xb", "xa <= xc", "xb <= xc"
+    elif kind == "max":
+        cmp_ab, cmp_ac, cmp_bc = "xa >= xb", "xa >= xc", "xb >= xc"
+    else:
+        cmp_ab, cmp_ac, cmp_bc = ("xa*xa >= xb*xb", "xa*xa >= xc*xc",
+                                  "xb*xb >= xc*xc")
+    return f"""
+WITH {_tri_cte(rows, cols)},
+m AS (SELECT cell,
+      CASE WHEN va <> {_NOD} THEN va{shift} END AS xa,
+      CASE WHEN vb <> {_NOD} THEN vb{shift} END AS xb,
+      CASE WHEN vc <> {_NOD} THEN vc{shift} END AS xc FROM tri),
+res AS (SELECT cell, CASE
+  WHEN xa IS NOT NULL AND (xb IS NULL OR {cmp_ab})
+       AND (xc IS NULL OR {cmp_ac}) THEN xa
+  WHEN xb IS NOT NULL AND (xc IS NULL OR {cmp_bc}) THEN xb
+  WHEN xc IS NOT NULL THEN xc
+  ELSE {_NOD} END AS f FROM m)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def lowest_position_sql(rows: int = 256, cols: int = 256) -> str:
+    """LowestPosition.groovy:136-156 mirror: 0-based argmin, strict <
+    = first raster wins ties, any stack NoData → NoData."""
+    return f"""
+WITH {_tri_cte(rows, cols)},
+res AS (SELECT cell,
+  CASE WHEN va = {_NOD} OR vb = {_NOD} OR vc = {_NOD} THEN NULL
+       WHEN va <= vb AND va <= vc THEN 0
+       WHEN vb <= vc THEN 1 ELSE 2 END AS p FROM tri)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(p) AS BIGINT) AS n_valid,
+       CAST(COALESCE(SUM(p), 0) AS BIGINT) AS sum_position
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def percent_compare_sql(rows: int = 256, cols: int = 256,
+                        op: str = "lt") -> str:
+    """PercentLessThan.groovy / PercentEqualTo.groovy mirror (the
+    comparator swaps of PercentGreaterThan.groovy:130-160)."""
+    o = "<" if op == "lt" else "="
+    return f"""
+WITH {_tri_cte(rows, cols)},
+res AS (SELECT cell,
+  CASE WHEN va = {_NOD} OR vb = {_NOD} OR vc = {_NOD} THEN {_NOD}
+       ELSE 100.0 * (CAST(vb {o} va AS DOUBLE)
+                     + CAST(vc {o} va AS DOUBLE)) / 2.0 END AS f
+  FROM tri)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def weighted_overlay_sql(rows: int = 256, cols: int = 256) -> str:
+    """WeightedOverlay.java:230-288 mirror: normalized weights, global
+    per-band valid min/max rescale (b is the cost factor), any NoData
+    poisons. Bands {a: benefit, b: cost, c: benefit}, raw weights
+    (1.5, 1.0, 0.5), scale 0-1."""
+    w0, w1, w2 = 1.5 / 3.0, 1.0 / 3.0, 0.5 / 3.0
+    return f"""
+WITH {_tri_cte(rows, cols)},
+mm AS (SELECT
+  MIN(CASE WHEN va <> {_NOD} THEN va END) AS alo,
+  MAX(CASE WHEN va <> {_NOD} THEN va END) AS ahi,
+  MIN(CASE WHEN vb <> {_NOD} THEN vb END) AS blo,
+  MAX(CASE WHEN vb <> {_NOD} THEN vb END) AS bhi,
+  MIN(CASE WHEN vc <> {_NOD} THEN vc END) AS clo,
+  MAX(CASE WHEN vc <> {_NOD} THEN vc END) AS chi FROM tri),
+res AS (SELECT cell,
+  CASE WHEN va = {_NOD} OR vb = {_NOD} OR vc = {_NOD} THEN {_NOD}
+       ELSE (va - alo) / (ahi - alo) * 1.0 * {w0!r}
+            + (1.0 - (vb - blo) / (bhi - blo)) * 1.0 * {w1!r}
+            + (vc - clo) / (chi - clo) * 1.0 * {w2!r} END AS f
+  FROM tri, mm)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
 def correct_vignetting_sql(rows: int = 256, cols: int = 256,
                            focal_length: float = 50.0,
                            dist_between_edges: float = 100.0,

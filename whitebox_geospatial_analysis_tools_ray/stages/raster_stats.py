@@ -1366,6 +1366,172 @@ def average_overlay(pair: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
         pair.map_batches(per_tile, batch_format="pandas"), spec)
 
 
+def _stack_tri(batch: pd.DataFrame, spec: RasterSpec):
+    """Yield (tile_id, a, b, c) float64 stacks for the standard trio
+    {a, b, permuted synth} used by the overlay family."""
+    n_cells = spec.rows * spec.cols
+    for tid, da, db in zip(batch["tile_id"], batch["data"],
+                           batch["data_b"]):
+        r0 = int(tid) * spec.tile_rows
+        a = np.asarray(da, dtype=np.float64)
+        b = np.asarray(db, dtype=np.float64)
+        cell = np.arange(r0 * spec.cols, r0 * spec.cols + len(a),
+                         dtype=np.int64)
+        yield int(tid), a, b, _third_synth(cell, n_cells)
+
+
+def stack_overlay(pair: "rd.Dataset", spec: RasterSpec,
+                  kind: str = "max") -> "rd.Dataset":
+    """MaxOverlay / MinOverlay / MaxAbsOverlay (GISTools/src/plugins/
+    MaxOverlay.java:218-231, MinOverlay.java, MaxAbsOverlay.java
+    :224-234): per cell, reduce over the VALID stack values only (a
+    NoData band is skipped, not poisoning — unlike LowestPosition);
+    all-NoData → NoData. `maxabs` compares v² with strict >, so the
+    EARLIEST band wins ties, and runs over the signed stack v−500 (the
+    synth bands are non-negative; shifting exercises the |·| rule).
+    Stateless co-generated map — no shuffle."""
+    from .raster import raster_row_checksums
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, a, b, c in _stack_tri(batch, spec):
+            oks = [a != spec.nodata, b != spec.nodata, c != spec.nodata]
+            bands = [a, b, c]
+            if kind == "maxabs":
+                bands = [v - 500.0 for v in bands]
+            acc = np.full(len(a), spec.nodata)
+            seen = np.zeros(len(a), dtype=bool)
+            for v, ok in zip(bands, oks):
+                if kind == "max":
+                    upd = ok & (~seen | (v > acc))
+                elif kind == "min":
+                    upd = ok & (~seen | (v < acc))
+                else:  # maxabs: strict > on squares, first band wins ties
+                    upd = ok & (~seen | (v * v > acc * acc))
+                acc = np.where(upd, v, acc)
+                seen |= ok
+            out["tile_id"].append(tid)
+            out["data"].append(np.where(seen, acc, spec.nodata))
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        pair.map_batches(per_tile, batch_format="pandas"), spec)
+
+
+def lowest_position(pair: "rd.Dataset", spec: RasterSpec) -> pd.DataFrame:
+    """LowestPosition (Scripts/LowestPosition.groovy:136-156): per
+    cell, the 0-based index of the stack raster holding the min —
+    strict < so the FIRST raster wins ties; ANY NoData on the stack →
+    NoData (`nodataOnStack`), unlike Min/MaxOverlay's skip rule.
+    Stack = {a, b, permuted synth}. Output: per-row (row_id, n_valid,
+    sum_position)."""
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for tid, a, b, c in _stack_tri(batch, spec):
+            ok = (a != spec.nodata) & (b != spec.nodata) \
+                & (c != spec.nodata)
+            stack = np.stack([a, b, c])
+            pos = np.argmin(stack, axis=0).astype(np.int64)  # first wins
+            pos2 = pos.reshape(-1, spec.cols)
+            ok2 = ok.reshape(-1, spec.cols)
+            frames.append(pd.DataFrame({
+                "row_id": tid * spec.tile_rows + np.arange(pos2.shape[0]),
+                "n_valid": ok2.sum(axis=1).astype(np.int64),
+                "sum_position": np.where(ok2, pos2, 0).sum(axis=1)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return (pair.map_batches(per_tile, batch_format="pandas").to_pandas()
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def percent_compare(pair: "rd.Dataset", spec: RasterSpec,
+                    op: str = "lt") -> "rd.Dataset":
+    """PercentLessThan / PercentEqualTo (Scripts/PercentLessThan
+    .groovy, PercentEqualTo.groovy — the comparator swaps of
+    PercentGreaterThan.groovy:130-160): 100·count(stack OP position)/
+    numRasters; position or any stack NoData → NoData."""
+    from .raster import raster_row_checksums
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, a, b, c in _stack_tri(batch, spec):
+            okb, okc = b != spec.nodata, c != spec.nodata
+            if op == "lt":
+                hb, hc = b < a, c < a
+            else:
+                hb, hc = b == a, c == a
+            count = (okb & hb).astype(np.float64) \
+                + (okc & hc).astype(np.float64)
+            ok = (a != spec.nodata) & okb & okc
+            out["tile_id"].append(tid)
+            out["data"].append(np.where(ok, 100.0 * count / 2.0,
+                                        spec.nodata))
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        pair.map_batches(per_tile, batch_format="pandas"), spec)
+
+
+_WO_RAW_WEIGHTS = (1.5, 1.0, 0.5)
+_WO_COST = (False, True, False)
+
+
+def weighted_overlay(pair: "rd.Dataset", spec: RasterSpec) -> "rd.Dataset":
+    """WeightedOverlay (GISTools/src/plugins/WeightedOverlay.java:
+    230-288): weights normalized by their sum (:230-233); each factor
+    rescaled by its own GLOBAL valid min/max to [0, scaleMax] —
+    benefit (v−min)/range·scaleMax, cost (1−(v−min)/range)·scaleMax
+    (:268-274) — then Σ wᵢ·dᵢ; ANY NoData poisons the cell (:276-278).
+    Two-phase: per-band Min/Max aggregate fit → stateless weighted
+    map. Bands {a: benefit, b: cost, third synth: benefit}, raw
+    weights (1.5, 1.0, 0.5), scale 0-1."""
+    from ray.data.aggregate import Max, Min
+
+    from .raster import raster_row_checksums
+
+    wsum = sum(_WO_RAW_WEIGHTS)
+    weights = [w / wsum for w in _WO_RAW_WEIGHTS]
+
+    def minmax(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for tid, a, b, c in _stack_tri(batch, spec):
+            for name, v in (("a", a), ("b", b), ("c", c)):
+                v = v[v != spec.nodata]
+                lo = v.min() if len(v) else np.inf
+                hi = v.max() if len(v) else -np.inf
+                out.setdefault(f"{name}lo", []).append(lo)
+                out.setdefault(f"{name}hi", []).append(hi)
+        return pd.DataFrame(out)
+
+    row = (pair.map_batches(minmax, batch_format="pandas")
+           .aggregate(Min("alo"), Max("ahi"), Min("blo"), Max("bhi"),
+                      Min("clo"), Max("chi")))
+    spans = [(row["min(alo)"], row["max(ahi)"]),
+             (row["min(blo)"], row["max(bhi)"]),
+             (row["min(clo)"], row["max(chi)"])]
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, a, b, c in _stack_tri(batch, spec):
+            z = np.zeros(len(a))
+            ok = np.ones(len(a), dtype=bool)
+            for v, w, cost, (lo, hi) in zip((a, b, c), weights,
+                                            _WO_COST, spans):
+                valid = v != spec.nodata
+                ok &= valid
+                d = (v - lo) / (hi - lo) * 1.0
+                if cost:
+                    d = (1.0 - (v - lo) / (hi - lo)) * 1.0
+                z = z + np.where(valid, d, 0.0) * w
+            out["tile_id"].append(tid)
+            out["data"].append(np.where(ok, z, spec.nodata))
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(
+        pair.map_batches(apply, batch_format="pandas"), spec)
+
+
 def correct_vignetting(ds: "rd.Dataset", spec: RasterSpec,
                        focal_length: float = 50.0,
                        dist_between_edges: float = 100.0,

@@ -257,6 +257,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_filter_stdev": _checksum_q(
             lambda ds, spec: raster.stencil_filter3x3(
                 ds, spec, "stdev", regen=raster.synth_value)),
+        "raster_filter_minimum": _checksum_q(
+            lambda ds, spec: raster.stencil_filter3x3(
+                ds, spec, "minimum", regen=raster.synth_value)),
+        "raster_filter_maximum": _checksum_q(
+            lambda ds, spec: raster.stencil_filter3x3(
+                ds, spec, "maximum", regen=raster.synth_value)),
+        "raster_filter_total": _checksum_q(
+            lambda ds, spec: raster.stencil_filter3x3(
+                ds, spec, "total", regen=raster.synth_value)),
+        "raster_filter_diversity": _checksum_q(
+            lambda ds, spec: raster.stencil_filter3x3(
+                ds, spec, "diversity", regen=raster.synth_value)),
+        "raster_filter_majority": _checksum_q(
+            lambda ds, spec: raster.stencil_filter3x3(
+                ds, spec, "majority", regen=raster.synth_class_value)),
         "raster_reclass": _checksum_q(raster_stats.reclass_equal_interval),
         "raster_zscore": _checksum_q(raster_stats.zscores),
         "raster_rescale": _checksum_q(raster_stats.rescale_value_range),
@@ -530,6 +545,11 @@ def oracle_sql() -> dict[str, str]:
         "raster_filter_median": o.filter3x3_sql("median"),
         "raster_filter_range": o.filter3x3_sql("range"),
         "raster_filter_stdev": o.filter3x3_sql("stdev"),
+        "raster_filter_minimum": o.filter3x3_sql("minimum"),
+        "raster_filter_maximum": o.filter3x3_sql("maximum"),
+        "raster_filter_total": o.filter3x3_sql("total"),
+        "raster_filter_diversity": o.filter3x3_sql("diversity"),
+        "raster_filter_majority": o.filter3x3_sql("majority"),
         "raster_reclass": o.reclass_sql(),
         "raster_zscore": o.zscore_sql(),
         "raster_rescale": o.rescale_sql(),

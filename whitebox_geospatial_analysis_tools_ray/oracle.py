@@ -715,6 +715,36 @@ def filter3x3_sql(reducer: str, rows: int = 256, cols: int = 256) -> str:
         "stdev": "CASE WHEN COUNT(*) > 1 THEN STDDEV_SAMP(b.v) ELSE 0.0 END",
         "diversity": "CAST(COUNT(DISTINCT b.v) AS DOUBLE)",
     }
+    if reducer == "majority":
+        # FilterMajority.java:280-309: mode of the valid window values
+        # over the QUANTIZED band floor(v/100); count ties → smallest
+        # value (strict-> scan of the ascending sort).
+        return f"""
+WITH {_raster_vals_cte(rows, cols)},
+q AS (SELECT cell, CASE WHEN v = {_NOD} THEN v
+      ELSE floor(v / 100.0) END AS v FROM vals),
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM q),
+nb AS (
+  SELECT a.cell, b.v, COUNT(*) AS cnt
+  FROM g a JOIN g b
+    ON b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+  WHERE a.v <> {_NOD} AND b.v <> {_NOD}
+  GROUP BY a.cell, b.v),
+pick AS (
+  SELECT cell, v,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY cnt DESC, v ASC) AS rn
+  FROM nb),
+res AS (
+  SELECT q.cell,
+         CASE WHEN q.v = {_NOD} THEN {_NOD}
+              WHEN p.v IS NULL THEN {_NOD}
+              ELSE p.v END AS f
+  FROM q LEFT JOIN pick p ON q.cell = p.cell AND p.rn = 1)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
     return f"""
 WITH {_raster_vals_cte(rows, cols)},
 g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),

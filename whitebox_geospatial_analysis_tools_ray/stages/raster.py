@@ -75,6 +75,15 @@ def synth_raster(spec: RasterSpec = RasterSpec()) -> "rd.Dataset":
     return rd.range(spec.n_tiles).map_batches(gen, batch_format="numpy")
 
 
+def synth_class_value(cell: np.ndarray) -> np.ndarray:
+    """Categorical synth band: floor(v/100) (classes 0-9), NoData
+    preserved — the majority-filter surface (a continuous band makes
+    every window all-distinct and the mode degenerate). SQL mirror:
+    wrap the synth_value CASE in floor(v/100.0)."""
+    v = synth_value(cell)
+    return np.where(v == NODATA, v, np.floor(v / 100.0))
+
+
 def raster_map(ds: "rd.Dataset", fn, nodata: float = NODATA) -> "rd.Dataset":
     """Per-cell math with NoData propagation (in==NoData → out==NoData)."""
 
@@ -219,7 +228,7 @@ def stencil_mean3x3(ds: "rd.Dataset", spec: RasterSpec,
 
 
 _FILTER_REDUCERS = ("median", "minimum", "maximum", "range", "total",
-                    "stdev", "diversity")
+                    "stdev", "diversity", "majority")
 
 
 def stencil_filter3x3(ds: "rd.Dataset", spec: RasterSpec,
@@ -269,6 +278,16 @@ def _window_reduce3x3(p: np.ndarray, nodata: float, reducer: str) -> np.ndarray:
             s = np.sort(np.where(valid, stack, np.inf), axis=0)
             r = ((np.diff(s, axis=0) != 0) & np.isfinite(s[1:])).sum(axis=0) + (n > 0)
             r = r.astype(np.float64)
+        elif reducer == "majority":
+            # FilterMajority.java:280-309: scan ascending-sorted valid
+            # values, replace the mode only on a STRICTLY greater count
+            # — the SMALLEST value wins count ties. Equality-count
+            # matrix (9×9) + first argmax over the ascending sort.
+            s = np.sort(np.where(valid, stack, np.inf), axis=0)
+            cnt = (s[None, :] == s[:, None]).sum(axis=1)
+            cnt = np.where(np.isfinite(s), cnt, -1)
+            r = np.take_along_axis(s, np.argmax(cnt, axis=0)[None],
+                                   axis=0)[0]
     out = np.full_like(p, nodata)
     interior = np.where((p[1:-1, 1:-1] != nodata) & (n > 0), r, nodata)
     out[1:-1, 1:-1] = interior

@@ -339,6 +339,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_sobel": _checksum_q(
             lambda ds, spec: raster_stats.filter_sobel(
                 ds, spec, regen=raster.synth_value)),
+        "filter_prewitt": _checksum_q(
+            lambda ds, spec: raster_stats.filter_prewitt(
+                ds, spec, regen=raster.synth_value)),
+        "filter_emboss": _checksum_q(
+            lambda ds, spec: raster_stats.filter_emboss(
+                ds, spec, regen=raster.synth_value)),
+        "filter_laplacian": _checksum_q(
+            lambda ds, spec: raster_stats.filter_laplacian(
+                ds, spec, regen=raster.synth_value)),
+        "filter_line_detection": _checksum_q(
+            lambda ds, spec: raster_stats.filter_line_detection(
+                ds, spec, regen=raster.synth_value)),
+        "filter_highpass": _checksum_q(
+            lambda ds, spec: raster_stats.filter_highpass(
+                ds, spec, regen=raster.synth_value)),
+        "filter_conservative_smoothing": _checksum_q(
+            lambda ds, spec: raster_stats.filter_conservative_smoothing(
+                ds, spec, regen=raster.synth_value)),
+        "filter_gaussian": lambda sf: raster.raster_row_int_checksums(
+            raster_stats.filter_gaussian(
+                raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
+                regen=raster.synth_value),
+            raster.RasterSpec()),
         "diff_mean_elev": lambda sf: raster.raster_row_checksums(
             raster_stats.diff_from_mean_elevation(raster.RasterSpec()),
             raster.RasterSpec()),
@@ -582,6 +605,13 @@ def oracle_sql() -> dict[str, str]:
         "flip_image": o.flip_image_sql(),
         "create_plane": o.create_plane_sql(),
         "filter_sobel": o.sobel_sql(),
+        "filter_prewitt": o.prewitt_sql(),
+        "filter_emboss": o.emboss_sql(),
+        "filter_laplacian": o.laplacian_sql(),
+        "filter_line_detection": o.line_detection_sql(),
+        "filter_highpass": o.highpass_sql(),
+        "filter_conservative_smoothing": o.conservative_smoothing_sql(),
+        "filter_gaussian": o.gaussian_filter_sql(),
         "filter_olympic": o.olympic_sql(),
         "filter_percentile": o.percentile_filter_sql(),
         "filter_knearest_mean": o.knearest_mean_sql(),

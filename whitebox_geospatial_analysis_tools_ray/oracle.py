@@ -2553,3 +2553,190 @@ res AS (SELECT g.cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def _m_replace_cte() -> str:
+    """m0..m7 with NoData neighbour -> centre replacement (the
+    Sobel/Prewitt/Emboss/Laplacian/LineDetection convention)."""
+    ms = ",\n  ".join(
+        f"CASE WHEN n{i} = {_NOD} THEN v ELSE n{i} END AS m{i}"
+        for i in range(8))
+    return f"m AS (SELECT cell, v,\n  {ms}\nFROM nb)"
+
+
+def prewitt_sql(rows: int = 256, cols: int = 256) -> str:
+    """FilterPrewitt.java:167-170,208-227 mirror — Sobel plan with unit
+    masks; term order matches _PREWITT_TAPS."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_m_replace_cte()},
+grad AS (SELECT cell, v,
+  m0 * 1.0 + m1 * 1.0 + m2 * 1.0 - m4 * 1.0 - m5 * 1.0 - m6 * 1.0 AS sx,
+  m0 * 1.0 - m2 * 1.0 - m3 * 1.0 - m4 * 1.0 + m6 * 1.0 + m7 * 1.0 AS sy
+FROM m),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE sqrt(sx * sx + sy * sy) END AS f FROM grad)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def emboss_sql(rows: int = 256, cols: int = 256) -> str:
+    """FilterEmboss.java:205-206 direction "n" — out = S − N (NoData ->
+    centre)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_m_replace_cte()},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE m7 * -1.0 + m3 * 1.0 END AS f FROM m)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def laplacian_sql(rows: int = 256, cols: int = 256) -> str:
+    """FilterLaplacian.java:196 "3 x 3 (1)" — 4z − (N+W+E+S), NoData ->
+    centre, _LAPLACIAN_TAPS term order."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_m_replace_cte()},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE m7 * -1.0 + m5 * -1.0 + v * 4.0 + m1 * -1.0 + m3 * -1.0
+        END AS f FROM m)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def line_detection_sql(rows: int = 256, cols: int = 256) -> str:
+    """FilterLineDetection.java:219-220 "vertical" — |weighted sum|,
+    NoData -> centre, row-major _LINE_V_TAPS order."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_m_replace_cte()},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE abs(m6 * -1.0 + m7 * 2.0 + m0 * -1.0 + m5 * -1.0
+                      + v * 2.0 + m1 * -1.0 + m4 * -1.0 + m3 * 2.0
+                      + m2 * -1.0) END AS f FROM m)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def highpass_sql(rows: int = 256, cols: int = 256) -> str:
+    """FilterHighPass.java:268-290 (3×3 square) — z − mean(valid window
+    samples, centre included, off-grid/NoData excluded); accumulation in
+    the kernel's row-major order NW,N,NE,W,C,E,SW,S,SE."""
+    order = ["n6", "n7", "n0", "n5", "v", "n1", "n4", "n3", "n2"]
+    n_expr = " + ".join(
+        f"CASE WHEN {t} <> {_NOD} THEN 1.0 ELSE 0.0 END" for t in order)
+    s_expr = " + ".join(
+        f"CASE WHEN {t} <> {_NOD} THEN {t} ELSE 0.0 END" for t in order)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+acc AS (SELECT cell, v,
+  {n_expr} AS n,
+  {s_expr} AS s
+FROM nb),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             WHEN n > 0 THEN v - s / n ELSE {_NOD} END AS f FROM acc)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def conservative_smoothing_sql(rows: int = 256, cols: int = 256) -> str:
+    """FilterConservativeSmoothing.java:256-280 — clamp centre to the
+    [min, max] of valid DIAGONAL neighbours (the literal
+    `x != col && y != row` guard), min/max initialised to
+    Double.MAX_VALUE / Double.MIN_VALUE exactly as the reference."""
+    diag = ["n6", "n0", "n4", "n2"]  # kernel loop order (-1,-1)(-1,1)(1,-1)(1,1)
+    minv = ", ".join(
+        [f"CASE WHEN {t} <> {_NOD} THEN {t} ELSE 1.7976931348623157e308 END"
+         for t in diag])
+    maxv = ", ".join(
+        [f"CASE WHEN {t} <> {_NOD} THEN {t} ELSE 5e-324 END" for t in diag])
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+mm AS (SELECT cell, v,
+  LEAST({minv}, 1.7976931348623157e308) AS minv,
+  GREATEST({maxv}, 5e-324) AS maxv
+FROM nb),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             WHEN v > maxv THEN maxv
+             WHEN v < minv THEN minv
+             ELSE v END AS f FROM mm)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def gaussian_filter_sql(rows: int = 256, cols: int = 256,
+                        sigma: float = 0.75) -> str:
+    """FilterGaussian.java:219-274 mirror, including the off-centre
+    midPoint quirk — generic shifted-tap window over the cell ordering;
+    weighted mean over valid samples, accumulated in the kernel's
+    row-major tap order."""
+    from .stages.raster_stats import gaussian_taps
+    taps, _ = gaussian_taps(sigma)
+    tap_cols = []
+    for i, (dy, dx, _w) in enumerate(taps):
+        shift = dy * cols + dx
+        if shift > 0:
+            expr = f"LEAD(v, {shift}) OVER w"
+        elif shift < 0:
+            expr = f"LAG(v, {-shift}) OVER w"
+        else:
+            expr = "v"
+        guard = (f"r + ({dy}) BETWEEN 0 AND {rows - 1} "
+                 f"AND c + ({dx}) BETWEEN 0 AND {cols - 1}")
+        tap_cols.append(f"CASE WHEN {guard} THEN {expr} ELSE {_NOD} END "
+                        f"AS t{i}")
+    # weights MUST carry an exponent: DuckDB parses plain decimal
+    # literals as DECIMAL and its int128->double path rounds differently
+    # than IEEE parse for >15-digit significands (measured 1-ulp product
+    # drift); %.17e keeps them DOUBLE and bit-exact.
+    den = " + ".join(
+        f"CASE WHEN t{i} <> {_NOD} THEN {w:.17e} ELSE 0.0 END"
+        for i, (_dy, _dx, w) in enumerate(taps))
+    num = " + ".join(
+        f"CASE WHEN t{i} <> {_NOD} THEN {w:.17e} * t{i} ELSE 0.0 END"
+        for i, (_dy, _dx, w) in enumerate(taps))
+    tap_sql = ",\n  ".join(tap_cols)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+tp AS (SELECT cell, v,
+  {tap_sql}
+FROM g WINDOW w AS (ORDER BY cell)),
+acc AS (SELECT cell, v, {den} AS den, {num} AS num FROM tp),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             WHEN den > 0.0 THEN num / den ELSE {_NOD} END AS f FROM acc)
+{_row_int_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def _row_int_checksum_select(cols: int, value_expr: str = "f",
+                             scale: float = 1000.0) -> str:
+    """Integer row checksum matching raster.raster_row_int_checksums."""
+    return f"""
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN {value_expr} <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN {value_expr} = {_NOD} THEN 0
+                ELSE CAST(floor({value_expr} * {scale!r} + 0.5) AS BIGINT)
+           END) AS BIGINT) AS row_isum
+"""

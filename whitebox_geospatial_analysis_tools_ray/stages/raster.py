@@ -326,3 +326,30 @@ def raster_to_points_count(ds: "rd.Dataset", spec: RasterSpec,
         return pd.DataFrame(out)
 
     return ds.map_batches(per_tile, batch_format="pandas")
+
+
+def raster_row_int_checksums(ds: "rd.Dataset", spec: RasterSpec,
+                             scale: float = 1000.0) -> "rd.Dataset":
+    """Order-independent conformance output: per-raster-row
+    (row_id, n_valid, row_isum) with row_isum = Σ floor(v·scale + 0.5)
+    as int64. Float SUM order differs between engines (numpy pairwise
+    vs SQL sequential — measured 5-ulp drift on a 49-tap kernel), so
+    wide-window kernels checksum through this integer quantization:
+    per-cell doubles are bit-identical across engines, making
+    floor(v·scale + 0.5) exact on both sides and the integer sum
+    associativity-free."""
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            a = np.asarray(data, dtype=np.float64).reshape(-1, spec.cols)
+            valid = a != spec.nodata
+            q = np.floor(a * scale + 0.5)
+            frames.append(pd.DataFrame({
+                "row_id": int(tid) * spec.tile_rows + np.arange(a.shape[0]),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "row_isum": np.where(valid, q, 0.0).sum(axis=1).astype(np.int64),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(per_tile, batch_format="pandas")

@@ -1842,3 +1842,224 @@ def filter_knearest_mean(ds, spec: RasterSpec, regen=None, k: int = 5):
     return stencil_apply(
         ds, spec, lambda p: knearest_mean_kernel(p, spec.nodata, k),
         halo=1, regen=regen)
+
+
+# ---------------------------------------------------------------------------
+# Weighted 3x3 convolution family (NoData/off-grid -> centre replacement)
+# ---------------------------------------------------------------------------
+
+_PREWITT_TAPS = [  # (dy, dx, maskX, maskY) — FilterPrewitt.java:167-170 order
+    (-1, 1, 1.0, 1.0), (0, 1, 1.0, 0.0), (1, 1, 1.0, -1.0),
+    (1, 0, 0.0, -1.0), (1, -1, -1.0, -1.0), (0, -1, -1.0, 0.0),
+    (-1, -1, -1.0, 1.0), (-1, 0, 0.0, 1.0)]
+
+
+def prewitt_kernel(p: np.ndarray, nodata: float) -> np.ndarray:
+    """FilterPrewitt (ImageProcessingTools/src/plugins/FilterPrewitt.java
+    :167-170,208-227): identical plan to Sobel with unit edge masks —
+    NoData / off-grid samples replaced by the CENTRE value,
+    out = sqrt(gx^2 + gy^2)."""
+    z = p[1:-1, 1:-1]
+    H, W = z.shape
+    gx = np.zeros_like(z)
+    gy = np.zeros_like(z)
+    for dy, dx, mx, my in _PREWITT_TAPS:
+        nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+        val = np.where(nb == nodata, z, nb)
+        gx = gx + val * mx
+        gy = gy + val * my
+    res = np.where(z != nodata, np.sqrt(gx * gx + gy * gy), nodata)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = res
+    return out
+
+
+def filter_prewitt(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(ds, spec, lambda p: prewitt_kernel(p, spec.nodata),
+                         halo=1, regen=regen)
+
+
+def weighted3x3_kernel(p: np.ndarray, nodata: float, taps,
+                       absval: bool = False) -> np.ndarray:
+    """Shared weighted-sum window pass for FilterEmboss / FilterLaplacian
+    / FilterLineDetection (FilterEmboss.java:227-240 loop shape): any
+    NoData or off-grid sample is replaced by the CENTRE value, output is
+    the weighted sum (|sum| when ``absval`` — FilterLineDetection.java
+    takes the absolute value). ``taps`` is [(dy, dx, w)] in the
+    reference's row-major mask order (zero-weight taps dropped: they add
+    an exact +0.0)."""
+    z = p[1:-1, 1:-1]
+    H, W = z.shape
+    s = np.zeros_like(z)
+    for dy, dx, w in taps:
+        nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+        val = np.where(nb == nodata, z, nb)
+        s = s + val * w
+    if absval:
+        s = np.abs(s)
+    res = np.where(z != nodata, s, nodata)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = res
+    return out
+
+
+# FilterEmboss.java:205-224, direction "n" (default): S − N.
+_EMBOSS_N_TAPS = [(-1, 0, -1.0), (1, 0, 1.0)]
+# FilterLaplacian.java:196 "3 x 3 (1)": 4z − (N + W + E + S).
+_LAPLACIAN_TAPS = [(-1, 0, -1.0), (0, -1, -1.0), (0, 0, 4.0),
+                   (0, 1, -1.0), (1, 0, -1.0)]
+# FilterLineDetection.java:219-220 "vertical" (default).
+_LINE_V_TAPS = [(-1, -1, -1.0), (-1, 0, 2.0), (-1, 1, -1.0),
+                (0, -1, -1.0), (0, 0, 2.0), (0, 1, -1.0),
+                (1, -1, -1.0), (1, 0, 2.0), (1, 1, -1.0)]
+
+
+def filter_emboss(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(
+        ds, spec,
+        lambda p: weighted3x3_kernel(p, spec.nodata, _EMBOSS_N_TAPS),
+        halo=1, regen=regen)
+
+
+def filter_laplacian(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(
+        ds, spec,
+        lambda p: weighted3x3_kernel(p, spec.nodata, _LAPLACIAN_TAPS),
+        halo=1, regen=regen)
+
+
+def filter_line_detection(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(
+        ds, spec,
+        lambda p: weighted3x3_kernel(p, spec.nodata, _LINE_V_TAPS,
+                                     absval=True),
+        halo=1, regen=regen)
+
+
+def highpass_kernel(p: np.ndarray, nodata: float) -> np.ndarray:
+    """FilterHighPass (ImageProcessingTools/src/plugins/FilterHighPass
+    .java:268-290, 3×3 square): out = z − mean(valid window samples,
+    centre INCLUDED); NoData / off-grid samples are simply excluded
+    (no centre replacement — unlike Sobel/Prewitt)."""
+    z = p[1:-1, 1:-1]
+    H, W = z.shape
+    n = np.zeros_like(z)
+    s = np.zeros_like(z)
+    for dy in (-1, 0, 1):          # row-major window order (java a-loop)
+        for dx in (-1, 0, 1):
+            nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+            ok = nb != nodata
+            n = n + ok
+            s = s + np.where(ok, nb, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        res = np.where((z != nodata) & (n > 0), z - s / np.maximum(n, 1.0),
+                       nodata)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = res
+    return out
+
+
+def filter_highpass(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(ds, spec,
+                         lambda p: highpass_kernel(p, spec.nodata),
+                         halo=1, regen=regen)
+
+
+_DBL_MAX = 1.7976931348623157e308
+_DBL_MIN_VALUE = 5e-324  # Java Double.MIN_VALUE (smallest POSITIVE subnormal)
+
+
+def conservative_smoothing_kernel(p: np.ndarray, nodata: float) -> np.ndarray:
+    """FilterConservativeSmoothing (ImageProcessingTools/src/plugins/
+    FilterConservativeSmoothing.java:256-280): clamp the centre to the
+    [min, max] of the valid window samples that differ in BOTH row and
+    column — the literal `x != col && y != row` guard keeps only the
+    four DIAGONAL neighbours. min/max start from Double.MAX_VALUE /
+    Double.MIN_VALUE (the tiny POSITIVE subnormal, NOT −inf) exactly as
+    the reference initialises them."""
+    z = p[1:-1, 1:-1]
+    H, W = z.shape
+    minv = np.full_like(z, _DBL_MAX)
+    maxv = np.full_like(z, _DBL_MIN_VALUE)
+    for dy in (-1, 1):
+        for dx in (-1, 1):
+            nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+            ok = nb != nodata
+            minv = np.where(ok & (nb < minv), nb, minv)
+            maxv = np.where(ok & (nb > maxv), nb, maxv)
+    res = np.where(z > maxv, maxv, np.where(z < minv, minv, z))
+    res = np.where(z != nodata, res, nodata)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = res
+    return out
+
+
+def filter_conservative_smoothing(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(
+        ds, spec, lambda p: conservative_smoothing_kernel(p, spec.nodata),
+        halo=1, regen=regen)
+
+
+def gaussian_taps(sigma: float = 0.75):
+    """FilterGaussian (ImageProcessingTools/src/plugins/FilterGaussian
+    .java:219-257) kernel, reproduced literally INCLUDING the off-centre
+    midPoint quirk: filterSize comes from the first 1-D weight ≤ 0.001,
+    but midPoint = floor(filterSize/2) + 1, so offsets run
+    [−midPoint, filterSize−1−midPoint] — the window is asymmetric.
+    Returns (taps=[(dy, dx, w)] in the reference's row-major order,
+    reach=max offset magnitude)."""
+    recip = 1.0 / (math.sqrt(2.0 * math.pi) * sigma)
+    two_sigma_sqr = 2.0 * sigma * sigma
+    filter_size = 3
+    for i in range(251):
+        w = recip * math.exp(-1 * (i * i) / two_sigma_sqr)
+        if w <= 0.001:
+            filter_size = i * 2 + 1
+            break
+    if filter_size % 2 == 0:
+        filter_size += 1
+    filter_size = max(filter_size, 3)
+    mid = filter_size // 2 + 1
+    taps = []
+    for row in range(filter_size):
+        for col in range(filter_size):
+            x = col - mid
+            y = row - mid
+            taps.append((y, x, recip * math.exp(-1 * (x * x + y * y)
+                                                / two_sigma_sqr)))
+    reach = max(max(abs(t[0]) for t in taps), max(abs(t[1]) for t in taps))
+    return taps, reach
+
+
+def gaussian_kernel(p: np.ndarray, nodata: float, taps, halo) -> np.ndarray:
+    """FilterGaussian.java:261-274 apply loop: weighted mean over VALID
+    samples only (zFinal/sumOfWeights with both accumulated in the same
+    row-major tap order); off-grid reads are NoData and excluded."""
+    z = p[halo:-halo, halo:-halo]
+    H, W = z.shape
+    num = np.zeros_like(z)
+    den = np.zeros_like(z)
+    for dy, dx, w in taps:
+        nb = p[halo + dy:halo + dy + H, halo + dx:halo + dx + W]
+        ok = nb != nodata
+        den = den + np.where(ok, w, 0.0)
+        num = num + np.where(ok, w * nb, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        res = np.where((z != nodata) & (den > 0.0), num / den, nodata)
+    out = np.full_like(p, nodata)
+    out[halo:-halo, halo:-halo] = res
+    return out
+
+
+def filter_gaussian(ds, spec: RasterSpec, regen=None, sigma: float = 0.75):
+    from .raster import stencil_apply
+    taps, reach = gaussian_taps(sigma)
+    return stencil_apply(
+        ds, spec, lambda p: gaussian_kernel(p, spec.nodata, taps, reach),
+        halo=reach, regen=regen)

@@ -357,6 +357,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_conservative_smoothing": _checksum_q(
             lambda ds, spec: raster_stats.filter_conservative_smoothing(
                 ds, spec, regen=raster.synth_value)),
+        "percentage_stretch": lambda sf: raster.raster_row_int_checksums(
+            raster_stats.percentage_contrast_stretch(
+                raster.synth_raster(raster.RasterSpec()),
+                raster.RasterSpec()),
+            raster.RasterSpec()),
+        "gaussian_stretch": lambda sf: raster.raster_row_int_checksums(
+            raster_stats.gaussian_stretch(
+                raster.synth_raster(raster.RasterSpec()),
+                raster.RasterSpec()),
+            raster.RasterSpec()),
         "filter_gaussian": lambda sf: raster.raster_row_int_checksums(
             raster_stats.filter_gaussian(
                 raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
@@ -612,6 +622,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_highpass": o.highpass_sql(),
         "filter_conservative_smoothing": o.conservative_smoothing_sql(),
         "filter_gaussian": o.gaussian_filter_sql(),
+        "percentage_stretch": o.percentage_stretch_sql(),
+        "gaussian_stretch": o.gaussian_stretch_sql(),
         "filter_olympic": o.olympic_sql(),
         "filter_percentile": o.percentile_filter_sql(),
         "filter_knearest_mean": o.knearest_mean_sql(),

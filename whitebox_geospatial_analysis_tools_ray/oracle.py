@@ -2740,3 +2740,95 @@ SELECT cell // {cols} AS row_id,
                 ELSE CAST(floor({value_expr} * {scale!r} + 0.5) AS BIGINT)
            END) AS BIGINT) AS row_isum
 """
+
+
+def _valid_stats_cte() -> str:
+    return (f"st AS (SELECT min(v) AS lo, max(v) AS hi, "
+            f"CAST(count(*) AS BIGINT) AS n FROM vals WHERE v <> {_NOD})")
+
+
+def percentage_stretch_sql(rows: int = 256, cols: int = 256,
+                           clip: float = 1.0, num_bins: int = 1024) -> str:
+    """PercentageContrastStretch.java:195-296 mirror (tails="both"):
+    dense integer-bin cumulative-percent histogram, interpolated clip
+    values, (int)-before-scale remap. Interpolation arithmetic follows
+    the reference's term order; integer row checksum (the remapped
+    values are k·scale doubles, so float SUM order would drift)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_valid_stats_cte()},
+prm AS (SELECT lo, hi, n, CAST(trunc(hi - lo + 1) AS BIGINT) AS nb FROM st),
+hist AS (
+  SELECT LEAST(GREATEST(CAST(trunc(v - (SELECT lo FROM prm)) AS BIGINT), 0),
+               (SELECT nb FROM prm) - 1) AS bin,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM vals WHERE v <> {_NOD} GROUP BY 1),
+dense AS (
+  SELECT i AS bin, COALESCE(h.c, 0.0) AS c
+  FROM range(0, 1000000) t(i) LEFT JOIN hist h ON h.bin = i
+  WHERE i < (SELECT nb FROM prm)),
+cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cc FROM dense),
+pct AS (SELECT bin, cc / (SELECT SUM(c) FROM dense) * 100.0 AS p FROM cum),
+lo_x AS (
+  SELECT (bin - 1 + (SELECT lo FROM prm))
+         + ({clip!r} - lag_p) / (p - lag_p) AS minv
+  FROM (SELECT bin, p, LAG(p) OVER (ORDER BY bin) AS lag_p FROM pct)
+  WHERE bin >= 1 AND p >= {clip!r} ORDER BY bin LIMIT 1),
+hi_x AS (
+  SELECT (bin - 1 + (SELECT lo FROM prm))
+         + ((100.0 - {clip!r}) - lag_p) / (p - lag_p) AS maxv
+  FROM (SELECT bin, p, LAG(p) OVER (ORDER BY bin) AS lag_p FROM pct)
+  WHERE bin >= 1 AND p >= 100.0 - {clip!r} ORDER BY bin LIMIT 1),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE LEAST(GREATEST(
+                 trunc(v - (SELECT minv FROM lo_x))
+                 * ({num_bins} / ((SELECT maxv FROM hi_x)
+                                  - (SELECT minv FROM lo_x))), 0.0),
+                 {float(num_bins - 1)!r}) END AS f
+        FROM vals)
+{_row_int_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def gaussian_stretch_sql(rows: int = 256, cols: int = 256,
+                         cutoffs: float = 3.0, num_out_bins: int = 255,
+                         num_bins: int = 50000) -> str:
+    """GaussianStretch.java:184-325 mirror. The 255-entry reference CDF
+    is embedded as literals computed by the stage's own
+    gaussian_stretch_ref_cdf (it is a pure constant of the parameters;
+    recomputing exp() in SQL risks libm ulp drift), so the
+    refCDF ≤ pVal comparisons use bit-identical doubles."""
+    from .stages.raster_stats import gaussian_stretch_ref_cdf
+    ref = gaussian_stretch_ref_cdf(cutoffs, num_out_bins)
+    ref_rows = ", ".join(f"({i}, {w:.17e})" for i, w in enumerate(ref))
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_valid_stats_cte()},
+prm AS (SELECT lo, hi, n, (hi - lo) / {num_bins} AS bs FROM st),
+bins AS (SELECT cell, v,
+         CASE WHEN v = {_NOD} THEN NULL
+              ELSE LEAST(CAST(trunc((v - (SELECT lo FROM prm))
+                                    / (SELECT bs FROM prm)) AS BIGINT),
+                         {num_bins - 1}) END AS b
+         FROM vals),
+hist AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bins
+         WHERE b IS NOT NULL GROUP BY b),
+cdf AS (SELECT b,
+        CAST(SUM(c) OVER (ORDER BY b) AS DOUBLE)
+            / (SELECT CAST(n AS DOUBLE) FROM prm) AS p
+        FROM hist),
+ref(i, rc) AS (VALUES {ref_rows}),
+lut AS (SELECT cdf.b,
+        GREATEST((SELECT count(*) FROM ref WHERE ref.rc <= cdf.p) - 1, 0)
+            AS xv
+        FROM cdf),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE (SELECT CAST(xv AS DOUBLE) FROM lut WHERE lut.b = bins.b)
+        END AS f
+        FROM bins)
+{_row_int_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

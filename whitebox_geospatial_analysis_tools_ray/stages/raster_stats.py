@@ -2063,3 +2063,111 @@ def filter_gaussian(ds, spec: RasterSpec, regen=None, sigma: float = 0.75):
     return stencil_apply(
         ds, spec, lambda p: gaussian_kernel(p, spec.nodata, taps, reach),
         halo=reach, regen=regen)
+
+
+def _dense_histogram(ds, spec: RasterSpec, lo: float, nbins: int,
+                     bin_of) -> np.ndarray:
+    """One partial-histogram pass → driver combine (int64 counts).
+    ``bin_of(a)`` maps valid values to bin indices already clamped."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(nbins, dtype=np.int64)
+        for data in batch["data"]:
+            a = np.asarray(data, dtype=np.float64)
+            a = a[a != spec.nodata]
+            if len(a):
+                counts += np.bincount(bin_of(a), minlength=nbins)
+        return pd.DataFrame({"bin": np.arange(nbins, dtype=np.int64),
+                             "c": counts})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .to_pandas().groupby("bin")["c"].sum().to_numpy())
+
+
+def percentage_contrast_stretch(ds, spec: RasterSpec, clip: float = 1.0,
+                                num_bins: int = 1024) -> "rd.Dataset":
+    """PercentageContrastStretch (ImageProcessingTools/src/plugins/
+    PercentageContrastStretch.java:195-296, tails="both"): integer-bin
+    histogram over [min, max] with (int)(max−min+1) bins → cumulative
+    PERCENT (double arithmetic throughout, as the reference's double[]
+    histo) → linearly interpolated clip values at clip% / (100−clip)% →
+    z = (int)(v − minVal) · numBins/(maxVal − minVal), clamped to
+    [0, numBins−1] (the Java (int) truncates BEFORE the scale multiply).
+    Physical plan: one stats pass + one small histogram partial/combine,
+    then a stateless remap — nothing wide moves."""
+    st = _global_valid_stats(ds, spec)
+    lo, hi = st["min"], st["max"]
+    nb_in = int(hi - lo + 1)
+
+    def bin_of(a: np.ndarray) -> np.ndarray:
+        return np.clip(np.trunc(a - lo).astype(np.int64), 0, nb_in - 1)
+
+    hist = _dense_histogram(ds, spec, lo, nb_in, bin_of).astype(np.float64)
+    cum = np.cumsum(hist)
+    pct = cum / cum[-1] * 100.0
+    min_val = max_val = None
+    for a in range(1, nb_in):
+        if min_val is None and pct[a] >= clip:
+            min_val = (a - 1 + lo) + (clip - pct[a - 1]) / (pct[a] - pct[a - 1])
+        if max_val is None and pct[a] >= 100.0 - clip:
+            max_val = (a - 1 + lo) + ((100.0 - clip) - pct[a - 1]) \
+                / (pct[a] - pct[a - 1])
+            break
+    scale = num_bins / (max_val - min_val)
+    top = float(num_bins - 1)
+
+    def remap(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.trunc(v - min_val) * scale, 0.0, top)
+
+    return raster_map(ds, remap, nodata=spec.nodata)
+
+
+def gaussian_stretch_ref_cdf(cutoffs: float = 3.0,
+                             num_out_bins: int = 255) -> np.ndarray:
+    """GaussianStretch (ImageProcessingTools/src/plugins/GaussianStretch
+    .java:236-254) reference CDF: discretized unit normal over
+    [−cutoffs, +cutoffs], sequential cumsum, normalized by the final
+    total — reproduced op-for-op so the doubles are bit-identical."""
+    ref = np.empty(num_out_bins)
+    root2pi = math.sqrt(2.0 * math.pi)
+    for i in range(num_out_bins):
+        x = float(i) / (num_out_bins - 1) * 2.0 * cutoffs - cutoffs
+        ref[i] = math.pow(math.e, -x * x / 2.0) / root2pi
+    for i in range(1, num_out_bins):
+        ref[i] += ref[i - 1]
+    return ref / ref[num_out_bins - 1]
+
+
+def gaussian_stretch(ds, spec: RasterSpec, cutoffs: float = 3.0,
+                     num_out_bins: int = 255,
+                     num_bins: int = 50000) -> "rd.Dataset":
+    """GaussianStretch (GaussianStretch.java:184-325): 50,000-bin global
+    histogram → empirical CDF (count/numCells) → for each cell, the last
+    reference-CDF bin with refCDF ≤ pVal (the literal search's
+    xVal=i−1-at-first-crossing / xVal=i-on-equality semantics collapse
+    to searchsorted-right − 1, clipped at 0). The bin→xVal LUT is built
+    ONCE on the driver (refCDF is a 255-entry constant of the
+    parameters) and the remap is stateless."""
+    st = _global_valid_stats(ds, spec)
+    lo, hi = st["min"], st["max"]
+    bin_size = (hi - lo) / num_bins
+
+    def bin_of(a: np.ndarray) -> np.ndarray:
+        return np.minimum(np.trunc((a - lo) / bin_size).astype(np.int64),
+                          num_bins - 1)
+
+    hist = _dense_histogram(ds, spec, lo, num_bins, bin_of)
+    n_cells = hist.sum()
+    cdf = hist.cumsum().astype(np.float64) / float(n_cells)
+    ref = gaussian_stretch_ref_cdf(cutoffs, num_out_bins)
+    lut = np.maximum(np.searchsorted(ref, cdf, side="right") - 1,
+                     0).astype(np.float64)
+
+    def remap(v: np.ndarray) -> np.ndarray:
+        # lower clip only guards the NoData sentinel passing through
+        # raster_map (its output is overwritten with NoData afterwards)
+        b = np.clip(np.trunc((v - lo) / bin_size).astype(np.int64),
+                    0, num_bins - 1)
+        return lut[b]
+
+    return raster_map(ds, remap, nodata=spec.nodata)

@@ -459,6 +459,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shape_metrics_basic": lambda sf: _shape_q(sf, "basic"),
         "medoid": _vops_q("medoid"),
         "smooth_vector": _vops_q("smooth_vector"),
+        "polygons_to_lines": _vops_q("polygons_to_lines"),
+        "multiparts_to_singleparts": _vops_q("multiparts_to_singleparts"),
+        "singleparts_to_multiparts": _vops_q("singleparts_to_multiparts"),
+        "remove_polygon_holes": _vops_q("remove_polygon_holes"),
+        "extend_vector_lines": _vops_q("extend_vector_lines"),
+        "add_point_coordinates": _vops_q("add_point_coordinates"),
+        "create_rect_vector_grid": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.vector_ops",
+            fromlist=["x"]).create_rect_vector_grid(),
+        "create_hex_vector_grid": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.vector_ops",
+            fromlist=["x"]).create_hex_vector_grid(),
         "shape_complexity": _vops_q("shape_complexity"),
         "minimum_bounding_box": _vops_q("minimum_bounding_box"),
         "trend_surface": lambda sf: _trend_q(sf),
@@ -651,6 +663,14 @@ def oracle_sql() -> dict[str, str]:
         "shape_metrics_basic": _shape_sql(),
         "medoid": _medoid_sql(),
         "smooth_vector": _vops2("smooth_vector_sql"),
+        "polygons_to_lines": _vops2("polygons_to_lines_sql"),
+        "multiparts_to_singleparts": _vops2("multiparts_to_singleparts_sql"),
+        "singleparts_to_multiparts": _vops2("singleparts_to_multiparts_sql"),
+        "remove_polygon_holes": _vops2("remove_polygon_holes_sql"),
+        "extend_vector_lines": _vops2("extend_vector_lines_sql"),
+        "add_point_coordinates": _vops2("add_point_coordinates_sql"),
+        "create_rect_vector_grid": _vops2("create_rect_vector_grid_sql"),
+        "create_hex_vector_grid": _vops2("create_hex_vector_grid_sql"),
         "shape_complexity": _vops2("shape_complexity_sql"),
         "trend_surface": _trend_sql(),
         "vector_clip": o.clip_boxes_sql(),

@@ -611,3 +611,334 @@ SELECT rec_id,
                  / (4.0 * h * h + w2 * h + w2 * h / 2.0)), 6) AS sci
 FROM l
 """
+
+
+# ---------------------------------------------------------------------------
+# Vector-edit family (VectorTools/src/plugins + resources/plugins/Scripts)
+# ---------------------------------------------------------------------------
+
+def polygons_to_lines(sf_dir: str):
+    """PolygonsToLines (VectorTools/src/plugins/PolygonsToLines.java):
+    same geometry re-typed as polylines. Expressed as a real explode —
+    each L-shape ring flat-maps to its 6 directed edges with exact
+    sqrt-of-perfect-square lengths: (rec_id, edge_id, length)."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def explode(batch):
+        xa = np.asarray(batch["xa"]); ya = np.asarray(batch["ya"])
+        h = np.asarray(batch["h"]); w2 = np.asarray(batch["w2"])
+        vx = np.stack([xa - h, xa + h + w2, xa + h + w2, xa + h,
+                       xa + h, xa - h])          # (6, n)
+        vy = np.stack([ya - h, ya - h, ya, ya,
+                       ya + h, ya + h])
+        nxt = [1, 2, 3, 4, 5, 0]
+        dx = vx[nxt] - vx
+        dy = vy[nxt] - vy
+        length = np.sqrt(dx * dx + dy * dy)      # axis-aligned -> exact
+        n = len(xa)
+        return {"rec_id": np.repeat(np.asarray(batch["rec_id"]), 6),
+                "edge_id": np.tile(np.arange(6, dtype=np.int64), n),
+                "length": length.T.ravel()}
+
+    return doc_lshapes(sf_dir).map_batches(explode, batch_format="numpy")
+
+
+def polygons_to_lines_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+             10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+e AS (SELECT * FROM range(0, 6) t(edge_id)),
+seg AS (SELECT rec_id, edge_id,
+  CASE edge_id WHEN 0 THEN (xa + h + w2) - (xa - h)
+               WHEN 1 THEN 0.0 WHEN 2 THEN (xa + h) - (xa + h + w2)
+               WHEN 3 THEN 0.0 WHEN 4 THEN (xa - h) - (xa + h)
+               ELSE 0.0 END AS dx,
+  CASE edge_id WHEN 0 THEN 0.0 WHEN 1 THEN ya - (ya - h)
+               WHEN 2 THEN 0.0 WHEN 3 THEN (ya + h) - ya
+               WHEN 4 THEN 0.0 ELSE (ya - h) - (ya + h) END AS dy
+FROM l CROSS JOIN e)
+SELECT rec_id, edge_id, sqrt(dx * dx + dy * dy) AS length FROM seg
+"""
+
+
+def multiparts_to_singleparts(sf_dir: str):
+    """MultipartsToSingleparts (WhiteboxGIS/resources/plugins/Scripts/
+    MultipartsToSingleparts.groovy): explode each two-part feature
+    (square part 0 + L part 1 per document) into one record per part:
+    (rec_id, part_id, part_area)."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def explode(batch):
+        h = np.asarray(batch["h"]); w2 = np.asarray(batch["w2"])
+        sq = (2.0 * h) * (2.0 * h)
+        la = 4.0 * h * h + w2 * h
+        n = len(h)
+        return {"rec_id": np.repeat(np.asarray(batch["rec_id"]), 2),
+                "part_id": np.tile(np.arange(2, dtype=np.int64), n),
+                "part_area": np.stack([sq, la]).T.ravel()}
+
+    return doc_lshapes(sf_dir).map_batches(explode, batch_format="numpy")
+
+
+def multiparts_to_singleparts_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, 10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2
+      FROM pts),
+p AS (SELECT * FROM range(0, 2) t(part_id))
+SELECT rec_id, part_id,
+       CASE part_id WHEN 0 THEN (2.0 * h) * (2.0 * h)
+            ELSE 4.0 * h * h + w2 * h END AS part_area
+FROM l CROSS JOIN p
+"""
+
+
+def singleparts_to_multiparts(sf_dir: str):
+    """SinglepartsToMultiparts (SinglepartsToMultiparts.groovy): collect
+    parts back into one multipart record per feature id:
+    (rec_id, n_parts, total_area). Parts of a feature are generated
+    co-located (same batch), so the collect is a within-batch combine —
+    the documented partitioning assumption; with externally-partitioned
+    parts this becomes one groupby(rec_id) shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    exploded = multiparts_to_singleparts(sf_dir)
+
+    def collect(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("rec_id", sort=False)["part_area"]
+        out = g.agg(["count", "sum"]).reset_index()
+        return pd.DataFrame({"rec_id": out["rec_id"].astype(np.int64),
+                             "n_parts": out["count"].astype(np.int64),
+                             "total_area": out["sum"]})
+
+    return exploded.map_batches(collect, batch_format="pandas")
+
+
+def singleparts_to_multiparts_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, 10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2
+      FROM pts)
+SELECT rec_id, CAST(2 AS BIGINT) AS n_parts,
+       (2.0 * h) * (2.0 * h) + (4.0 * h * h + w2 * h) AS total_area
+FROM l
+"""
+
+
+def remove_polygon_holes(sf_dir: str):
+    """RemovePolygonHoles (VectorTools/src/plugins/RemovePolygonHoles
+    .java:254-311): rebuild each polygon keeping only non-hole parts.
+    Donut layer (outer square half h, concentric hole side h):
+    (rec_id, area_before, area_after)."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        h = np.asarray(batch["h"])
+        outer = (2.0 * h) * (2.0 * h)
+        hole = h * h
+        return {"rec_id": np.asarray(batch["rec_id"]),
+                "area_before": outer - hole,
+                "area_after": outer}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def remove_polygon_holes_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, 10.0 + (z % 200.0) AS h FROM pts)
+SELECT rec_id, (2.0 * h) * (2.0 * h) - h * h AS area_before,
+       (2.0 * h) * (2.0 * h) AS area_after
+FROM l
+"""
+
+
+EXTEND_DIST = 25.0
+
+
+def extend_vector_lines(sf_dir: str):
+    """ExtendVectorLines (WhiteboxGIS/resources/plugins/Scripts/
+    ExtendVectorLines.groovy:155-179): both terminal vertices move d
+    along slope = atan2(y1−y2, x1−x2), new = p1 + d·(cos, sin). The
+    polyline per doc is (xa, ya)→(xa+h, ya)→(xa+h, ya+w2). Output
+    (rec_id, x_start, y_start, x_end, y_end)."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        xa = np.asarray(batch["xa"]); ya = np.asarray(batch["ya"])
+        h = np.asarray(batch["h"]); w2 = np.asarray(batch["w2"])
+        d = EXTEND_DIST
+        s0 = np.arctan2(ya - ya, xa - (xa + h))
+        x_start = xa + d * np.cos(s0)
+        y_start = ya + d * np.sin(s0)
+        s1 = np.arctan2((ya + w2) - ya, (xa + h) - (xa + h))
+        x_end = (xa + h) + d * np.cos(s1)
+        y_end = (ya + w2) + d * np.sin(s1)
+        return {"rec_id": np.asarray(batch["rec_id"]),
+                "x_start": np.round(x_start, 6), "y_start": np.round(y_start, 6),
+                "x_end": np.round(x_end, 6), "y_end": np.round(y_end, 6)}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def extend_vector_lines_sql() -> str:
+    from ..core.features import POINTS_CTE
+    d = EXTEND_DIST
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+             10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+ext AS (SELECT rec_id,
+  xa + {d!r} * cos(atan2(0.0, -h)) AS x_start,
+  ya + {d!r} * sin(atan2(0.0, -h)) AS y_start,
+  (xa + h) + {d!r} * cos(atan2(w2, 0.0)) AS x_end,
+  (ya + w2) + {d!r} * sin(atan2(w2, 0.0)) AS y_end
+FROM l)
+SELECT rec_id, round(x_start, 6) AS x_start, round(y_start, 6) AS y_start,
+       round(x_end, 6) AS x_end, round(y_end, 6) AS y_end
+FROM ext
+"""
+
+
+def add_point_coordinates(sf_dir: str):
+    """AddPointCoordinatesToTable (WhiteboxGIS/resources/plugins/
+    Scripts/AddPointCoordinatesToTable.groovy): append XCOORD/YCOORD
+    attributes to a point table."""
+    import numpy as np
+
+    from .points import read_points
+
+    def fn(batch):
+        return {"rec_id": np.asarray(batch["rec_id"]),
+                "xcoord": np.round(np.asarray(batch["x"]), 6),
+                "ycoord": np.round(np.asarray(batch["y"]), 6)}
+
+    return read_points(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def add_point_coordinates_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE}
+SELECT rec_id, round(x, 6) AS xcoord, round(y, 6) AS ycoord FROM pts
+"""
+
+
+def create_rect_vector_grid(width: float = 250.0):
+    """CreateRectangularVectorGrid (WhiteboxGIS/resources/plugins/
+    Scripts/CreateRectangularVectorGrid.groovy rule): one polygon per
+    grid cell over the world extent — pure tile-generator MB pattern
+    (rd.range → per-cell arithmetic, no input scan).
+    (cell_id, grid_row, grid_col, xmin, ymin, xmax, ymax)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..core.rng import EAST, NORTH, SOUTH, WEST
+    from ..core.tiles import RectGrid
+
+    g = RectGrid.from_extent(WEST, SOUTH, EAST, NORTH,
+                             width_x=width, width_y=width)
+    n = g.rows * g.cols
+
+    def fn(batch):
+        cid = np.asarray(batch["id"], dtype=np.int64)
+        row = cid // g.cols
+        col = cid % g.cols
+        x0 = g.origin_x + (g.start_x + col) * g.width_x
+        y0 = g.origin_y + (g.start_y + row) * g.width_y
+        return {"cell_id": cid, "grid_row": row, "grid_col": col,
+                "xmin": x0, "ymin": y0,
+                "xmax": x0 + g.width_x, "ymax": y0 + g.width_y}
+
+    return rd.range(n).map_batches(fn, batch_format="numpy")
+
+
+def create_rect_vector_grid_sql(width: float = 250.0) -> str:
+    from ..core.rng import EAST, NORTH, SOUTH, WEST
+    from ..core.tiles import RectGrid
+    g = RectGrid.from_extent(WEST, SOUTH, EAST, NORTH,
+                             width_x=width, width_y=width)
+    return f"""
+WITH c AS (SELECT i AS cell_id, i // {g.cols} AS grid_row,
+                  i % {g.cols} AS grid_col
+           FROM range(0, {g.rows * g.cols}) t(i))
+SELECT cell_id, grid_row, grid_col,
+       {g.origin_x:.17e} + ({g.start_x} + grid_col) * {g.width_x:.17e} AS xmin,
+       {g.origin_y:.17e} + ({g.start_y} + grid_row) * {g.width_y:.17e} AS ymin,
+       {g.origin_x:.17e} + ({g.start_x} + grid_col) * {g.width_x:.17e}
+           + {g.width_x:.17e} AS xmax,
+       {g.origin_y:.17e} + ({g.start_y} + grid_row) * {g.width_y:.17e}
+           + {g.width_y:.17e} AS ymax
+FROM c
+"""
+
+
+def create_hex_vector_grid(width: float = 250.0):
+    """CreateHexagonalVectorGrid (CreateHexagonalVectorGrid.groovy rule,
+    horizontal orientation): one centre per hex over the world extent,
+    alternating row widths — same HexGrid lattice the HexBinning
+    assignment uses. (hex_id, hex_row, hex_col, cx, cy)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..core.rng import EAST, NORTH, SOUTH, WEST
+    from ..core.tiles import HexGrid
+
+    g = HexGrid(WEST, NORTH, EAST - WEST, NORTH - SOUTH, width)
+    nrows = g.n_rows
+    total = int(g.row_start_index(np.array([nrows]))[0])
+
+    def fn(batch):
+        hid = np.asarray(batch["id"], dtype=np.int64)
+        # invert the row prefix-sum: rows alternate cols_even/cols_odd
+        pair = g.cols_even + g.cols_odd
+        pair_idx = hid // pair
+        rem = hid % pair
+        odd = rem >= g.cols_even
+        row = pair_idx * 2 + odd.astype(np.int64)
+        col = np.where(odd, rem - g.cols_even, rem)
+        cx = g.center_x(row, col)
+        cy = g.center_y(row)
+        return {"hex_id": hid, "hex_row": row, "hex_col": col,
+                "cx": cx, "cy": cy}
+
+    return rd.range(total).map_batches(fn, batch_format="numpy")
+
+
+def create_hex_vector_grid_sql(width: float = 250.0) -> str:
+    import numpy as np
+
+    from ..core.rng import EAST, NORTH, SOUTH, WEST
+    from ..core.tiles import HexGrid
+    g = HexGrid(WEST, NORTH, EAST - WEST, NORTH - SOUTH, width)
+    total = int(g.row_start_index(np.array([g.n_rows]))[0])
+    pair = g.cols_even + g.cols_odd
+    return f"""
+WITH h AS (SELECT i AS hex_id,
+                  (i // {pair}) * 2
+                      + CASE WHEN i % {pair} >= {g.cols_even} THEN 1 ELSE 0 END
+                      AS hex_row,
+                  CASE WHEN i % {pair} >= {g.cols_even}
+                       THEN i % {pair} - {g.cols_even}
+                       ELSE i % {pair} END AS hex_col
+           FROM range(0, {total}) t(i))
+SELECT hex_id, hex_row, hex_col,
+       ({g.cx0:.17e} - {g.half_width:.17e} * (hex_row % 2))
+           + hex_col * {g.width:.17e} AS cx,
+       {g.cy0:.17e} - hex_row * {g.tq_height:.17e} AS cy
+FROM h
+"""

@@ -357,6 +357,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_conservative_smoothing": _checksum_q(
             lambda ds, spec: raster_stats.filter_conservative_smoothing(
                 ds, spec, regen=raster.synth_value)),
+        "image_global_stats": lambda sf: raster_stats.image_global_stats(
+            raster.synth_raster(raster.RasterSpec()), raster.RasterSpec()),
+        "attribute_histogram": lambda sf: relational.attribute_histogram(sf),
+        "attribute_correlation": lambda sf: relational.attribute_correlation(sf),
         "percentage_stretch": lambda sf: raster.raster_row_int_checksums(
             raster_stats.percentage_contrast_stretch(
                 raster.synth_raster(raster.RasterSpec()),
@@ -543,6 +547,8 @@ def oracle_sql() -> dict[str, str]:
         video_frame_sample_sql as _vfs_sql)
     from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
         medoid_sql as _medoid_sql,)
+    from whitebox_geospatial_analysis_tools_ray.stages import (
+        relational as relational_mod)
 
     def _vops2(name):
         from whitebox_geospatial_analysis_tools_ray.stages import vector_ops
@@ -634,6 +640,9 @@ def oracle_sql() -> dict[str, str]:
         "filter_highpass": o.highpass_sql(),
         "filter_conservative_smoothing": o.conservative_smoothing_sql(),
         "filter_gaussian": o.gaussian_filter_sql(),
+        "image_global_stats": o.image_global_stats_sql(),
+        "attribute_histogram": relational_mod.attribute_histogram_sql(),
+        "attribute_correlation": relational_mod.attribute_correlation_sql(),
         "percentage_stretch": o.percentage_stretch_sql(),
         "gaussian_stretch": o.gaussian_stretch_sql(),
         "filter_olympic": o.olympic_sql(),

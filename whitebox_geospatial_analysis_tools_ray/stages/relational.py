@@ -178,3 +178,83 @@ def distinct_event_types(sf_dir: str) -> "rd.Dataset":
 
     from .util import combine_bounded
     return combine_bounded(partials, combine)
+
+
+def attribute_histogram(sf_dir: str):
+    """AttributeHistogram (StatsTools family): integer-bin histogram of
+    the documents n_chars attribute (bin = n_chars // 100). Partial
+    bincounts per block → one bounded-key combine in a single pandas
+    task (the repo's small-final rule)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def partial(batch):
+        b = np.asarray(batch["n_chars"], dtype=np.int64) // 100
+        bins, counts = np.unique(b, return_counts=True)
+        return {"bin": bins, "c": counts.astype(np.int64)}
+
+    parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    out = parts.groupby("bin", as_index=False)["c"].sum()
+    return pd.DataFrame({"bin": out["bin"].astype(np.int64),
+                         "n_docs": out["c"].astype(np.int64)})
+
+
+def attribute_histogram_sql() -> str:
+    return """
+SELECT n_chars // 100 AS bin, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def attribute_correlation(sf_dir: str):
+    """CorrelationForAttributes (StatsTools/src/plugins/
+    CorrelationForAttributes.java:226-263): Pearson r between two
+    attribute fields — here n_chars and the derived field
+    n_chars % 97. All moments are exact int64 partial sums (one
+    map_batches pass + driver combine), so r's double arithmetic is
+    bit-identical to SQL."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def partial(batch):
+        x = np.asarray(batch["n_chars"], dtype=np.int64)
+        y = x % 97
+        return {"n": np.array([len(x)], dtype=np.int64),
+                "sx": np.array([x.sum()]), "sy": np.array([y.sum()]),
+                "sxx": np.array([(x * x).sum()]),
+                "syy": np.array([(y * y).sum()]),
+                "sxy": np.array([(x * y).sum()])}
+
+    p = ds.map_batches(partial, batch_format="numpy").to_pandas().sum()
+    n = float(p["n"])
+    cov = float(p["sxy"]) - float(p["sx"]) * float(p["sy"]) / n
+    dx = float(p["sxx"]) - float(p["sx"]) * float(p["sx"]) / n
+    dy = float(p["syy"]) - float(p["sy"]) * float(p["sy"]) / n
+    r = cov / np.sqrt(dx * dy)
+    return pd.DataFrame({"n": [np.int64(p["n"])],
+                         "pearson_r": [round(float(r), 6)]})
+
+
+def attribute_correlation_sql() -> str:
+    return """
+WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  SUM(n_chars) AS sx, SUM(n_chars % 97) AS sy,
+  SUM(n_chars * n_chars) AS sxx,
+  SUM((n_chars % 97) * (n_chars % 97)) AS syy,
+  SUM(n_chars * (n_chars % 97)) AS sxy
+FROM documents)
+SELECT n,
+  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             / CAST(n AS DOUBLE))
+        / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE))), 6) AS pearson_r
+FROM m
+"""

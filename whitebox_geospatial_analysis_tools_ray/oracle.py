@@ -2847,3 +2847,89 @@ SELECT CAST(n AS BIGINT) AS n_cells,
        round(sqrt((s2 - s * s / n) / (n - 1)), 4) AS stdev
 FROM m
 """
+
+
+def _tap_mean_exprs(taps, rows: int, cols: int, pfx: str):
+    """Shifted-window tap columns + valid-weighted num/den expressions
+    (the FilterGaussian/LoG/DoG apply plan) accumulated in tap order."""
+    tap_cols = []
+    for i, (dy, dx, _w) in enumerate(taps):
+        shift = dy * cols + dx
+        if shift > 0:
+            expr = f"LEAD(v, {shift}) OVER w"
+        elif shift < 0:
+            expr = f"LAG(v, {-shift}) OVER w"
+        else:
+            expr = "v"
+        guard = (f"r + ({dy}) BETWEEN 0 AND {rows - 1} "
+                 f"AND c + ({dx}) BETWEEN 0 AND {cols - 1}")
+        tap_cols.append(f"CASE WHEN {guard} THEN {expr} ELSE {_NOD} END "
+                        f"AS {pfx}{i}")
+    from .stages.raster_stats import TAP_CHUNK
+    den_terms = [
+        f"CASE WHEN {pfx}{i} <> {_NOD} THEN {w:.17e} ELSE 0.0 END"
+        for i, (_dy, _dx, w) in enumerate(taps)]
+    num_terms = [
+        f"CASE WHEN {pfx}{i} <> {_NOD} THEN {w:.17e} * {pfx}{i} ELSE 0.0 END"
+        for i, (_dy, _dx, w) in enumerate(taps)]
+
+    def chunked(terms):
+        # parenthesized TAP_CHUNK-term groups: keeps the binder depth
+        # under DuckDB's 128 cap; the stage kernel accumulates in the
+        # same chunked association order
+        groups = [" + ".join(terms[i:i + TAP_CHUNK])
+                  for i in range(0, len(terms), TAP_CHUNK)]
+        if len(groups) == 1:
+            return groups[0]
+        return " + ".join(f"({g})" for g in groups)
+
+    return tap_cols, chunked(den_terms), chunked(num_terms)
+
+
+def log_filter_sql(rows: int = 256, cols: int = 256,
+                   sigma: float = 0.75) -> str:
+    """FilterLoG.java:219-287 mirror — centred LoG taps, valid-weighted
+    mean (zFinal/sumOfWeights)."""
+    from .stages.raster_stats import log_taps
+    taps, _ = log_taps(sigma)
+    tap_cols, den, num = _tap_mean_exprs(taps, rows, cols, "t")
+    tap_sql = ",\n  ".join(tap_cols)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+tp AS (SELECT cell, v,
+  {tap_sql}
+FROM g WINDOW w AS (ORDER BY cell)),
+acc AS (SELECT cell, v, {den} AS den, {num} AS num FROM tp),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE num / den END AS f FROM acc)
+{_row_int_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def dog_filter_sql(rows: int = 256, cols: int = 256,
+                   sigma1: float = 0.75, sigma2: float = 1.5) -> str:
+    """FilterDoG.java:239-345 mirror — difference of the two off-centre
+    gaussian valid-weighted means."""
+    from .stages.raster_stats import gaussian_taps
+    taps1, _ = gaussian_taps(sigma1)
+    taps2, _ = gaussian_taps(sigma2)
+    c1, d1, n1 = _tap_mean_exprs(taps1, rows, cols, "a")
+    c2, d2, n2 = _tap_mean_exprs(taps2, rows, cols, "b")
+    tap_sql = ",\n  ".join(c1 + c2)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+tp AS (SELECT cell, v,
+  {tap_sql}
+FROM g WINDOW w AS (ORDER BY cell)),
+acc AS (SELECT cell, v, {d1} AS den1, {n1} AS num1,
+                        {d2} AS den2, {n2} AS num2 FROM tp),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             ELSE num1 / den1 - num2 / den2 END AS f FROM acc)
+{_row_int_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

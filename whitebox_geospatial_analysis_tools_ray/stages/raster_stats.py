@@ -2038,10 +2038,13 @@ def gaussian_taps(sigma: float = 0.75):
     return taps, reach
 
 
-def gaussian_kernel(p: np.ndarray, nodata: float, taps, halo) -> np.ndarray:
+def gaussian_kernel(p: np.ndarray, nodata: float, taps, halo,
+                    positive_weights: bool = True) -> np.ndarray:
     """FilterGaussian.java:261-274 apply loop: weighted mean over VALID
     samples only (zFinal/sumOfWeights with both accumulated in the same
-    row-major tap order); off-grid reads are NoData and excluded."""
+    row-major tap order); off-grid reads are NoData and excluded.
+    ``positive_weights=False`` (the signed LoG kernel, whose valid-weight
+    sum is negative) divides unconditionally as the reference does."""
     z = p[halo:-halo, halo:-halo]
     H, W = z.shape
     num = np.zeros_like(z)
@@ -2052,7 +2055,8 @@ def gaussian_kernel(p: np.ndarray, nodata: float, taps, halo) -> np.ndarray:
         den = den + np.where(ok, w, 0.0)
         num = num + np.where(ok, w * nb, 0.0)
     with np.errstate(invalid="ignore", divide="ignore"):
-        res = np.where((z != nodata) & (den > 0.0), num / den, nodata)
+        valid = (z != nodata) & ((den > 0.0) if positive_weights else True)
+        res = np.where(valid, num / den, nodata)
     out = np.full_like(p, nodata)
     out[halo:-halo, halo:-halo] = res
     return out
@@ -2192,3 +2196,91 @@ def image_global_stats(ds, spec: RasterSpec) -> "rd.Dataset":
         "stdev": [round(st["std"], 4)],
     })
     return rd.from_pandas(out)
+
+
+def log_taps(sigma: float = 0.75):
+    """FilterLoG (ImageProcessingTools/src/plugins/FilterLoG.java
+    :219-262): CENTRED Laplacian-of-Gaussian kernel (no off-centre
+    midPoint quirk here — cellsOnEitherSide = floor(fs/2)); weight =
+    −1/(πσ⁴) · (1 − r²/2σ²) · exp(−r²/2σ²); filter size from the same
+    1-D gaussian 0.001 cutoff. Returns (taps row-major, reach)."""
+    recip = 1.0 / (math.sqrt(2.0 * math.pi) * sigma)
+    two_sigma_sqr = 2.0 * sigma * sigma
+    filter_size = 3
+    for i in range(251):
+        if recip * math.exp(-1 * (i * i) / two_sigma_sqr) <= 0.001:
+            filter_size = i * 2 + 1
+            break
+    if filter_size % 2 == 0:
+        filter_size += 1
+    filter_size = max(filter_size, 3)
+    half = int(math.floor(filter_size / 2.0))
+    term1 = -1.0 / (math.pi * sigma * sigma * sigma * sigma)
+    taps = []
+    for row in range(filter_size):
+        for col in range(filter_size):
+            x = col - half
+            y = row - half
+            r2 = x * x + y * y
+            taps.append((y, x, term1 * (1.0 - (r2 / two_sigma_sqr))
+                         * math.exp(-r2 / two_sigma_sqr)))
+    return taps, half
+
+
+def filter_log(ds, spec: RasterSpec, regen=None, sigma: float = 0.75):
+    """FilterLoG apply loop (:263-287) — identical normalize-by-valid-
+    weights plan as FilterGaussian (zFinal/sumOfWeights), LoG taps."""
+    from .raster import stencil_apply
+    taps, reach = log_taps(sigma)
+    return stencil_apply(
+        ds, spec,
+        lambda p: gaussian_kernel(p, spec.nodata, taps, reach,
+                                  positive_weights=False),
+        halo=reach, regen=regen)
+
+
+TAP_CHUNK = 64  # DuckDB binder depth cap is 128; chunk long tap chains
+
+
+def dog_kernel(p: np.ndarray, nodata: float, taps1, taps2,
+               halo: int) -> np.ndarray:
+    """FilterDoG (FilterDoG.java:239-345): zFinal_1/sum_1 −
+    zFinal_2/sum_2, each a FilterGaussian-style valid-weighted mean with
+    its own off-centre kernel. Accumulation is CHUNKED (TAP_CHUNK-tap
+    partial sums combined in order) to mirror the oracle SQL, which must
+    parenthesize the >128-term chains below DuckDB's binder depth —
+    the association order is identical on both sides."""
+    z = p[halo:-halo, halo:-halo]
+    H, W = z.shape
+    means = []
+    for taps in (taps1, taps2):
+        num = np.zeros_like(z)
+        den = np.zeros_like(z)
+        for c0 in range(0, len(taps), TAP_CHUNK):
+            cnum = np.zeros_like(z)
+            cden = np.zeros_like(z)
+            for dy, dx, w in taps[c0:c0 + TAP_CHUNK]:
+                nb = p[halo + dy:halo + dy + H, halo + dx:halo + dx + W]
+                ok = nb != nodata
+                cden = cden + np.where(ok, w, 0.0)
+                cnum = cnum + np.where(ok, w * nb, 0.0)
+            num = num + cnum
+            den = den + cden
+        with np.errstate(invalid="ignore", divide="ignore"):
+            means.append(num / den)
+    res = np.where(z != nodata, means[0] - means[1], nodata)
+    out = np.full_like(p, nodata)
+    out[halo:-halo, halo:-halo] = res
+    return out
+
+
+def filter_dog(ds, spec: RasterSpec, regen=None,
+               sigma1: float = 0.75, sigma2: float = 1.5):
+    from .raster import stencil_apply
+    taps1, r1 = gaussian_taps(sigma1)
+    taps2, r2 = gaussian_taps(sigma2)
+    reach = max(r1, r2)
+    return stencil_apply(
+        ds, spec,
+        lambda p: dog_kernel(p, spec.nodata, taps1, taps2, reach),
+        halo=reach, regen=regen)

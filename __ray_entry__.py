@@ -371,6 +371,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 raster.synth_raster(raster.RasterSpec()),
                 raster.RasterSpec()),
             raster.RasterSpec()),
+        "filter_edge_preserving": lambda sf: raster.raster_row_int_checksums(
+            raster_stats.filter_edge_preserving(
+                raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
+                regen=raster.synth_value),
+            raster.RasterSpec()),
         "filter_log": lambda sf: raster.raster_row_int_checksums(
             raster_stats.filter_log(
                 raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
@@ -651,6 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_conservative_smoothing": o.conservative_smoothing_sql(),
         "filter_gaussian": o.gaussian_filter_sql(),
         "filter_log": o.log_filter_sql(),
+        "filter_edge_preserving": o.edge_preserving_sql(),
         "filter_dog": o.dog_filter_sql(),
         "image_global_stats": o.image_global_stats_sql(),
         "attribute_histogram": relational_mod.attribute_histogram_sql(),

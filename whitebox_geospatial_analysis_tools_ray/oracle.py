@@ -2933,3 +2933,62 @@ res AS (SELECT cell,
 {_row_int_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def edge_preserving_sql(rows: int = 256, cols: int = 256,
+                        sigma_d: float = 0.75,
+                        sigma_i: float = 50.0) -> str:
+    """FilterEdgePreservingSmoothing.java:234-299 mirror — bilateral
+    weights with the literal (wI·zN)/sum per-term division, accumulated
+    in tap order (chunked identically to the stage kernel)."""
+    import math as _math
+
+    from .stages.raster_stats import TAP_CHUNK, gaussian_taps
+    taps, _ = gaussian_taps(sigma_d)
+    recip_i = 1.0 / (_math.sqrt(2.0 * _math.pi) * sigma_i)
+    two_i = 2.0 * sigma_i * sigma_i
+    tap_cols = []
+    for i, (dy, dx, _w) in enumerate(taps):
+        shift = dy * cols + dx
+        expr = (f"LEAD(v, {shift}) OVER w" if shift > 0
+                else f"LAG(v, {-shift}) OVER w" if shift < 0 else "v")
+        guard = (f"r + ({dy}) BETWEEN 0 AND {rows - 1} "
+                 f"AND c + ({dx}) BETWEEN 0 AND {cols - 1}")
+        tap_cols.append(f"CASE WHEN {guard} THEN {expr} ELSE {_NOD} END "
+                        f"AS t{i}")
+    w_cols = []
+    for i, (_dy, _dx, wd) in enumerate(taps):
+        w_cols.append(
+            f"CASE WHEN t{i} <> {_NOD} THEN {wd:.17e} * ({recip_i:.17e} * "
+            f"exp(-1 * ((t{i} - v) * (t{i} - v)) / {two_i:.17e})) "
+            f"ELSE 0.0 END AS w{i}")
+
+    def chunked(terms):
+        groups = [" + ".join(terms[i:i + TAP_CHUNK])
+                  for i in range(0, len(terms), TAP_CHUNK)]
+        return groups[0] if len(groups) == 1 else \
+            " + ".join(f"({g})" for g in groups)
+
+    wsum = chunked([f"w{i}" for i in range(len(taps))])
+    zfin = chunked([
+        f"CASE WHEN t{i} <> {_NOD} THEN (w{i} * t{i}) / ws ELSE 0.0 END"
+        for i in range(len(taps))])
+    tap_sql = ",\n  ".join(tap_cols)
+    w_sql = ",\n  ".join(w_cols)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+tp AS (SELECT cell, v,
+  {tap_sql}
+FROM g WINDOW w AS (ORDER BY cell)),
+ws AS (SELECT cell, v, *,
+  {w_sql}
+FROM tp),
+acc AS (SELECT cell, v, {wsum} AS ws FROM ws),
+fin AS (SELECT ws.cell, ws.v, {zfin} AS zf
+        FROM ws JOIN acc ON acc.cell = ws.cell),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v ELSE zf END AS f FROM fin)
+{_row_int_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

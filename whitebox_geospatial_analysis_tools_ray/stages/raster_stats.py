@@ -2284,3 +2284,44 @@ def filter_dog(ds, spec: RasterSpec, regen=None,
         ds, spec,
         lambda p: dog_kernel(p, spec.nodata, taps1, taps2, reach),
         halo=reach, regen=regen)
+
+
+def bilateral_kernel(p: np.ndarray, nodata: float, taps, halo: int,
+                     sigma_i: float) -> np.ndarray:
+    """FilterEdgePreservingSmoothing (ImageProcessingTools/src/plugins/
+    FilterEdgePreservingSmoothing.java:234-299): bilateral filter —
+    combined weight wD[a] · (1/(√2π·σI))·exp(−(zN−z)²/2σI²) over valid
+    samples, then zFinal = Σ (wI[a]·zN)/sum with the reference's literal
+    per-term division. Spatial taps reuse the off-centre FilterGaussian
+    kernel (same midPoint quirk, same 0.001 cutoff)."""
+    recip_i = 1.0 / (math.sqrt(2.0 * math.pi) * sigma_i)
+    two_i = 2.0 * sigma_i * sigma_i
+    z = p[halo:-halo, halo:-halo]
+    H, W = z.shape
+    wsum = np.zeros_like(z)
+    per_tap = []
+    for dy, dx, wd in taps:
+        nb = p[halo + dy:halo + dy + H, halo + dx:halo + dx + W]
+        ok = nb != nodata
+        d = nb - z
+        w = wd * (recip_i * np.exp(-1 * (d * d) / two_i))
+        w = np.where(ok, w, 0.0)
+        per_tap.append((nb, ok, w))
+        wsum = wsum + w
+    zfinal = np.zeros_like(z)
+    for nb, ok, w in per_tap:
+        zfinal = zfinal + np.where(ok, (w * nb) / wsum, 0.0)
+    res = np.where(z != nodata, zfinal, nodata)
+    out = np.full_like(p, nodata)
+    out[halo:-halo, halo:-halo] = res
+    return out
+
+
+def filter_edge_preserving(ds, spec: RasterSpec, regen=None,
+                           sigma_d: float = 0.75, sigma_i: float = 50.0):
+    from .raster import stencil_apply
+    taps, reach = gaussian_taps(sigma_d)
+    return stencil_apply(
+        ds, spec,
+        lambda p: bilateral_kernel(p, spec.nodata, taps, reach, sigma_i),
+        halo=reach, regen=regen)

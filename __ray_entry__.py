@@ -391,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
                 regen=raster.synth_value),
             raster.RasterSpec()),
+        "filter_adaptive": lambda sf: raster.raster_row_int_checksums(
+            raster_stats.filter_adaptive(raster.RasterSpec()),
+            raster.RasterSpec()),
         "diff_mean_elev": lambda sf: raster.raster_row_checksums(
             raster_stats.diff_from_mean_elevation(raster.RasterSpec()),
             raster.RasterSpec()),
@@ -657,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_gaussian": o.gaussian_filter_sql(),
         "filter_log": o.log_filter_sql(),
         "filter_edge_preserving": o.edge_preserving_sql(),
+        "filter_adaptive": o.adaptive_filter_sql(),
         "filter_dog": o.dog_filter_sql(),
         "image_global_stats": o.image_global_stats_sql(),
         "attribute_histogram": relational_mod.attribute_histogram_sql(),

@@ -2992,3 +2992,49 @@ res AS (SELECT cell,
 {_row_int_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def adaptive_filter_sql(rows: int = 256, cols: int = 256,
+                        threshold: float = 2.0) -> str:
+    """FilterAdaptive.java mirror — 9-tap moments under the literal
+    absolute `(x != 1) && (y != 1)` guard, population-σ swap rule,
+    n ≤ 2 → NoData."""
+    taps = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    tap_cols, incs = [], []
+    for i, (dy, dx) in enumerate(taps):
+        shift = dy * cols + dx
+        expr = (f"LEAD(v, {shift}) OVER w" if shift > 0
+                else f"LAG(v, {-shift}) OVER w" if shift < 0 else "v")
+        guard = (f"r + ({dy}) BETWEEN 0 AND {rows - 1} "
+                 f"AND c + ({dx}) BETWEEN 0 AND {cols - 1}")
+        tap_cols.append(f"CASE WHEN {guard} THEN {expr} ELSE {_NOD} END "
+                        f"AS t{i}")
+        incs.append(f"CASE WHEN t{i} <> {_NOD} AND c + ({dx}) <> 1 "
+                    f"AND r + ({dy}) <> 1 THEN 1.0 ELSE 0.0 END AS i{i}")
+    n = " + ".join(f"i{j}" for j in range(9))
+    s = " + ".join(f"i{j} * t{j}" for j in range(9))
+    s2 = " + ".join(f"i{j} * t{j} * t{j}" for j in range(9))
+    tap_sql = ",\n  ".join(tap_cols)
+    inc_sql = ",\n  ".join(incs)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+tp AS (SELECT cell, r, c, v,
+  {tap_sql}
+FROM g WINDOW w AS (ORDER BY cell)),
+inc AS (SELECT cell, r, c, v, *,
+  {inc_sql}
+FROM tp),
+mom AS (SELECT cell, v, {n} AS n, {s} AS s, {s2} AS s2 FROM inc),
+stat AS (SELECT cell, v, n, s / n AS avg,
+         CASE WHEN (s2 / n) - (s / n) * (s / n) > 0
+              THEN sqrt((s2 / n) - (s / n) * (s / n))
+              ELSE (s2 / n) - (s / n) * (s / n) END AS sd
+         FROM mom),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} OR n <= 2 THEN {_NOD}
+             WHEN abs((v - avg) / sd) > {threshold!r} THEN avg
+             ELSE v END AS f FROM stat)
+{_row_int_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

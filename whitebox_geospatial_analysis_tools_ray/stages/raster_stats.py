@@ -2325,3 +2325,58 @@ def filter_edge_preserving(ds, spec: RasterSpec, regen=None,
         ds, spec,
         lambda p: bilateral_kernel(p, spec.nodata, taps, reach, sigma_i),
         halo=reach, regen=regen)
+
+
+ADAPTIVE_THRESHOLD = 2.0
+
+
+def filter_adaptive(spec: RasterSpec) -> "rd.Dataset":
+    """FilterAdaptive (ImageProcessingTools/src/plugins/FilterAdaptive
+    .java, 3×3 square, threshold 2): window moments over samples passing
+    the literal `(x != midPointX) && (y != midPointY)` guard — absolute
+    coordinates, midPoint 1, the same copy-paste quirk as
+    DifferenceFromMeanElevation — centre INCLUDED when it passes; then
+    out = average when |(z − avg)/σ_pop| > threshold else z; n ≤ 2 →
+    NoData (the unset initialValue). σ is the reference's
+    sqrt-only-if-positive population deviation."""
+    from .raster import synth_value
+
+    taps = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+            cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+            a = synth_value(cell).reshape(hi - lo, spec.cols)
+            H = r1 - r0
+            p = np.full((H + 2, spec.cols + 2), spec.nodata)
+            p[1 - (r0 - lo):1 - (r0 - lo) + (hi - lo), 1:-1] = a
+            z = p[1:-1, 1:-1]
+            abs_row = np.arange(r0, r1, dtype=np.int64)[:, None]
+            abs_col = np.arange(spec.cols, dtype=np.int64)[None, :]
+            n = np.zeros_like(z)
+            s = np.zeros_like(z)
+            s2 = np.zeros_like(z)
+            for dy, dx in taps:
+                nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + spec.cols]
+                ok = (nb != spec.nodata) & (abs_col + dx != 1) \
+                    & (abs_row + dy != 1)
+                n = n + ok
+                s = s + np.where(ok, nb, 0.0)
+                s2 = s2 + np.where(ok, nb * nb, 0.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                avg = s / n
+                var = (s2 / n) - (avg * avg)
+                sd = np.where(var > 0, np.sqrt(np.maximum(var, 0.0)), var)
+                swap = np.abs((z - avg) / sd) > ADAPTIVE_THRESHOLD
+            v = np.where(swap, avg, z)
+            v = np.where((z != spec.nodata) & (n > 2), v, spec.nodata)
+            out["tile_id"].append(tid)
+            out["data"].append(v.ravel())
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")

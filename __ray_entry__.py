@@ -391,6 +391,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
                 regen=raster.synth_value),
             raster.RasterSpec()),
+        "set_nodata": _checksum_q(
+            lambda ds, spec: raster_stats.set_nodata(
+                raster.raster_map(ds, lambda a: __import__("numpy").floor(
+                    a / 100.0)), spec)),
+        "convert_nodata_to_zero": _checksum_q(
+            lambda ds, spec: raster_stats.convert_nodata_to_zero(ds, spec)),
+        "assign_row_numbers": lambda sf: raster.raster_row_checksums(
+            raster_stats.assign_row_numbers(raster.RasterSpec()),
+            raster.RasterSpec()),
+        "new_raster_from_base": lambda sf: raster.raster_row_checksums(
+            raster_stats.new_raster_from_base(raster.RasterSpec()),
+            raster.RasterSpec()),
+        "reclass_from_file": _checksum_q(
+            lambda ds, spec: raster_stats.reclass_from_file(ds, spec)),
         "filter_adaptive": lambda sf: raster.raster_row_int_checksums(
             raster_stats.filter_adaptive(raster.RasterSpec()),
             raster.RasterSpec()),
@@ -661,6 +675,11 @@ def oracle_sql() -> dict[str, str]:
         "filter_log": o.log_filter_sql(),
         "filter_edge_preserving": o.edge_preserving_sql(),
         "filter_adaptive": o.adaptive_filter_sql(),
+        "set_nodata": o.set_nodata_sql(),
+        "convert_nodata_to_zero": o.convert_nodata_to_zero_sql(),
+        "assign_row_numbers": o.assign_row_numbers_sql(),
+        "new_raster_from_base": o.new_raster_from_base_sql(),
+        "reclass_from_file": o.reclass_from_file_sql(),
         "filter_dog": o.dog_filter_sql(),
         "image_global_stats": o.image_global_stats_sql(),
         "attribute_histogram": relational_mod.attribute_histogram_sql(),

@@ -3038,3 +3038,70 @@ res AS (SELECT cell,
 {_row_int_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def _class_vals_cte(rows: int = 256, cols: int = 256) -> str:
+    """Class band: floor(v/100) with NoData preserved (mirrors
+    raster.synth_class_value)."""
+    n = rows * cols
+    return (f"vals AS (SELECT i AS cell, "
+            f"CASE WHEN ((i * 2246822519 + 1013904223) % 4294967296) % 17 = 0 "
+            f"THEN {_NOD} "
+            f"ELSE floor(((i * 2654435761) % 4294967296) / 4294967296.0 "
+            f"* 1000.0 / 100.0) END AS v "
+            f"FROM range(0, {n}) t(i))")
+
+
+def set_nodata_sql(rows: int = 256, cols: int = 256,
+                   background: float = 0.0) -> str:
+    return f"""
+WITH {_class_vals_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {background!r} THEN {_NOD} ELSE v END AS f FROM vals)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def convert_nodata_to_zero_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN 0.0 ELSE v END AS f FROM vals)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def assign_row_numbers_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH c AS (SELECT i AS cell, CAST(i // {cols} AS DOUBLE) AS f
+           FROM range(0, {rows * cols}) t(i))
+{_row_checksum_select(cols)}
+FROM c GROUP BY cell // {cols}
+"""
+
+
+def new_raster_from_base_sql(rows: int = 256, cols: int = 256,
+                             initial: float = 7.5) -> str:
+    return f"""
+WITH c AS (SELECT i AS cell, {initial!r} AS f FROM range(0, {rows * cols}) t(i))
+{_row_checksum_select(cols)}
+FROM c GROUP BY cell // {cols}
+"""
+
+
+def reclass_from_file_sql(rows: int = 256, cols: int = 256) -> str:
+    from .stages.raster_stats import RECLASS_RANGES
+    whens = "\n             ".join(
+        f"WHEN v >= {lo!r} AND v < {hi!r} THEN {new!r}"
+        for new, lo, hi in RECLASS_RANGES)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             {whens}
+             ELSE v END AS f FROM vals)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

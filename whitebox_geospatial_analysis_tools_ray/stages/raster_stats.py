@@ -2380,3 +2380,105 @@ def filter_adaptive(spec: RasterSpec) -> "rd.Dataset":
         return pd.DataFrame(out)
 
     return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# ConversionTools per-cell utilities (SetNoData / ConvertNoDataToZero /
+# AssignRowOrColNumber / NewRasterFromBase / RandomField / ReclassFromFile)
+# ---------------------------------------------------------------------------
+
+def set_nodata(ds, spec: RasterSpec, background: float = 0.0):
+    """SetNoData (ConversionTools/src/plugins/SetNoData.java:219-220):
+    cells equal to backgroundValue become NoData. Run over the class
+    band, where background 0 actually occurs."""
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            a = np.asarray(data, dtype=np.float64)
+            out["tile_id"].append(int(tid))
+            out["data"].append(np.where(a == background, spec.nodata, a))
+        return pd.DataFrame(out)
+
+    return ds.map_batches(per_tile, batch_format="pandas")
+
+
+def convert_nodata_to_zero(ds, spec: RasterSpec):
+    """ConvertNoDataToZero (ConversionTools/src/plugins/
+    ConvertNoDataToZero.java:197-200): NoData → 0, else passthrough."""
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            a = np.asarray(data, dtype=np.float64)
+            out["tile_id"].append(int(tid))
+            out["data"].append(np.where(a == spec.nodata, 0.0, a))
+        return pd.DataFrame(out)
+
+    return ds.map_batches(per_tile, batch_format="pandas")
+
+
+def assign_row_numbers(spec: RasterSpec) -> "rd.Dataset":
+    """AssignRowOrColNumber (RasterCreation family): out(r, c) = r —
+    pure tile generator."""
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            rows = np.repeat(np.arange(r0, r1, dtype=np.float64), spec.cols)
+            out["tile_id"].append(tid)
+            out["data"].append(rows)
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+def new_raster_from_base(spec: RasterSpec,
+                         initial: float = 7.5) -> "rd.Dataset":
+    """NewRasterFromBase (RasterCreation): constant raster with the base
+    grid's dimensions — pure tile generator."""
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            out["tile_id"].append(tid)
+            out["data"].append(np.full((r1 - r0) * spec.cols, initial))
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+RECLASS_RANGES = [(1.0, 0.0, 250.0), (2.0, 250.0, 500.0),
+                  (3.0, 500.0, 800.0)]
+
+
+def reclass_from_file(ds, spec: RasterSpec, ranges=None):
+    """ReclassFromFile / Reclass range mode (the reference's reclass
+    loop, e.g. StandardDeviationContrastStretch.java:256-270 — that
+    file ships a literal copy of Reclass): first range with
+    from ≤ v < toJustLess wins; no match → passthrough; NoData
+    propagates."""
+    rng = ranges or RECLASS_RANGES
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            a = np.asarray(data, dtype=np.float64)
+            res = a.copy()
+            assigned = np.zeros(a.shape, dtype=bool)
+            for new, lo, hi in rng:
+                m = (~assigned) & (a >= lo) & (a < hi)
+                res[m] = new
+                assigned |= m
+            res = np.where(a == spec.nodata, spec.nodata, res)
+            out["tile_id"].append(int(tid))
+            out["data"].append(res)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(per_tile, batch_format="pandas")

@@ -491,6 +491,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strahler_order_basins": lambda sf: streams.strahler_order_basins(),
         "hillslopes": lambda sf: streams.hillslopes(),
         "hack_order": lambda sf: streams.hack_order(),
+        "stream_link_classification": lambda sf:
+            streams.stream_link_classification(threshold=2.0),
+        "remove_short_streams": lambda sf:
+            streams.remove_short_streams(threshold=2.0, min_length=3.0),
+        "trace_downslope_flowpaths": lambda sf:
+            hydro.trace_downslope_flowpaths(),
         "vector_cleaning": lambda sf: _vclean_q(sf),
         "shape_metrics_basic": lambda sf: _shape_q(sf, "basic"),
         "medoid": _vops_q("medoid"),

@@ -237,3 +237,99 @@ def test_hillslopes_matches_naive_and_tiling_invariant(ray_session):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(alt, want)
     assert int(want["n_assigned"].sum()) > 0
+
+
+def test_stream_link_classification_matches_walk_and_tiling(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages import streams
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = streams.stream_link_classification_naive(spec, threshold=2.0)
+    got = streams.stream_link_classification(spec, threshold=2.0) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    alt = streams.stream_link_classification(
+        RasterSpec(rows=96, cols=96, tile_rows=16), threshold=2.0) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(alt, want)
+
+
+def test_classification_closed_form_equals_walk_on_valley_network():
+    """The min(2, magnitude) closed form must equal the literal
+    row-major walk on a network with REAL links (the noise DEM's streams
+    are nearly all pits) — a tilted valley produces classes 1-5."""
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.core.rng import NODATA
+    from whitebox_geospatial_analysis_tools_ray.stages.hydro import (
+        _accumulate_tile)
+    from whitebox_geospatial_analysis_tools_ray.stages.streams import (
+        _solve_tile, classification_closed_form_arrays,
+        classification_walk_arrays)
+    from whitebox_geospatial_analysis_tools_ray.stages.terrain import d8_kernel
+
+    R = C = 16
+    z = np.full((R, C), 1000.0)
+    # hand-built Y: two tributaries joining a long stem ending in a pit
+    trib_a = [(1, 3), (2, 4), (3, 5), (4, 6), (5, 7)]
+    trib_b = [(1, 13), (2, 12), (3, 11), (4, 10), (5, 9)]
+    stem = [(6, 8), (7, 8), (8, 8), (9, 8), (10, 8), (11, 8), (12, 8),
+            (13, 8), (14, 8)]
+    paths = [trib_a + [stem[0]], trib_b + [stem[0]], stem]
+    h = 500.0
+    for path in (trib_a, trib_b):
+        for k, (r, c) in enumerate(path):
+            z[r, c] = h - 10.0 * k
+    for k, (r, c) in enumerate(stem):
+        z[r, c] = 420.0 - 10.0 * k
+    pad = np.full((R + 2, C + 2), NODATA)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, NODATA)[1:-1, 1:-1]
+    stream = np.zeros((R, C), dtype=bool)
+    for r, c in trib_a + trib_b + stem:
+        stream[r, c] = True
+    _, mag, _, _ = _solve_tile(z, ptr, stream, 0, C, {}, NODATA)
+    walk = classification_walk_arrays(ptr, stream, NODATA)
+    closed = classification_closed_form_arrays(ptr, stream, mag)
+    assert np.array_equal(walk, closed)
+    present = set(np.unique(walk[walk >= 0]).tolist())
+    assert {1, 2, 3, 4, 5} <= present, present
+
+
+def test_remove_short_streams_matches_walk_and_tiling(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages import streams
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = streams.remove_short_streams_naive(spec, threshold=2.0,
+                                              min_length=3.0)
+    got = streams.remove_short_streams(spec, threshold=2.0,
+                                       min_length=3.0).reset_index(drop=True)
+    for col in want.columns:
+        assert int(got[col].iloc[0]) == int(want[col].iloc[0]), col
+    assert int(want["n_removed_links"].iloc[0]) > 0
+    alt = streams.remove_short_streams(
+        RasterSpec(rows=96, cols=96, tile_rows=16), threshold=2.0,
+        min_length=3.0).reset_index(drop=True)
+    for col in want.columns:
+        assert int(alt[col].iloc[0]) == int(want[col].iloc[0]), col
+
+
+def test_trace_downslope_flowpaths_matches_naive_and_tiling(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = hydro.trace_downslope_flowpaths_naive(spec)
+    got = hydro.trace_downslope_flowpaths(spec).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(want["n_marked"].sum()) > 0
+    alt = hydro.trace_downslope_flowpaths(
+        RasterSpec(rows=96, cols=96, tile_rows=16)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(alt, want, check_dtype=False)

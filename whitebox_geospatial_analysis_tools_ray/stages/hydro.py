@@ -27,6 +27,8 @@
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
 import ray
@@ -1175,3 +1177,124 @@ def find_no_flow_cells(ds: "rd.Dataset", spec: RasterSpec,
         return out
 
     return stencil_apply(ds, spec, kernel, halo=1, regen=regen)
+
+
+# ---------------------------------------------------------------------------
+# TraceDownslopeFlowpaths (WhiteboxGIS/resources/plugins/Scripts/
+# TraceDownslopeFlowpaths.groovy:146-165): mark each seed and walk the D8
+# pointers downstream marking cells (stopping early at already-marked
+# cells — an optimization; the result is the downstream closure of the
+# seed set). Distributed: per tile ONE descending-z pass closes all
+# in-tile paths (receivers are strictly lower), cross-tile marks travel
+# as O(cols) edge messages in a banded fixed point.
+# ---------------------------------------------------------------------------
+
+def trace_downslope_flowpaths(spec: RasterSpec | None = None,
+                              max_rounds: int = 64) -> pd.DataFrame:
+    """(row_id, n_marked) per raster row; seeds = pour_point_mask."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n_tiles = spec.n_tiles
+    # entry marks per tile: boolean (H, W), cells marked by upstream tiles
+    entry = {t: np.zeros((min(spec.tile_rows, spec.rows - t * spec.tile_rows),
+                          cols), dtype=bool) for t in range(n_tiles)}
+
+    def solve(batch, entry_ref) -> pd.DataFrame:
+        ent = ray.get(entry_ref) if isinstance(entry_ref, ray.ObjectRef) \
+            else entry_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            H, W = z.shape
+            r0 = tid * spec.tile_rows
+            marks = pour_point_mask(r0, r0 + H, cols) & (z != spec.nodata)
+            marks |= ent[tid]
+            out_up: set[int] = set()
+            out_dn: set[int] = set()
+            order = np.argsort(-z, axis=None, kind="stable")
+            for lin in order:
+                r, c = divmod(int(lin), W)
+                if not marks[r, c]:
+                    continue
+                code = ptr[r, c]
+                if code == spec.nodata or code <= 0:
+                    continue
+                i = int(code).bit_length() - 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= c2 < W:
+                    if 0 <= r2 < H:
+                        if z[r2, c2] != spec.nodata:
+                            marks[r2, c2] = True
+                    elif r2 < 0:
+                        out_up.add(c2)
+                    else:
+                        out_dn.add(c2)
+            rows.append({"tile_id": tid,
+                         "marks": marks.astype(np.int8).tobytes(),
+                         "shape0": H,
+                         "up": json.dumps(sorted(out_up)),
+                         "dn": json.dumps(sorted(out_dn))})
+        return pd.DataFrame(rows)
+
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(entry)
+        res = (rd.range(n_tiles)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_entry = {t: v.copy() for t, v in entry.items()}
+        for r in res.itertuples():
+            for c in json.loads(r.up):
+                if r.tile_id > 0:
+                    new_entry[r.tile_id - 1][-1, int(c)] = True
+            for c in json.loads(r.dn):
+                if r.tile_id < n_tiles - 1:
+                    new_entry[r.tile_id + 1][0, int(c)] = True
+        if all(np.array_equal(new_entry[t], entry[t]) for t in entry):
+            last = res
+            break
+        entry = new_entry
+        last = res
+    else:  # pragma: no cover - cap reached
+        raise RuntimeError("trace did not converge")
+
+    out = []
+    for r in last.sort_values("tile_id").itertuples():
+        m = np.frombuffer(r.marks, dtype=np.int8).reshape(int(r.shape0), cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        for i in range(int(r.shape0)):
+            out.append((r0 + i, int(m[i].sum())))
+    return pd.DataFrame(out, columns=["row_id", "n_marked"])
+
+
+def trace_downslope_flowpaths_naive(spec: RasterSpec) -> pd.DataFrame:
+    """Literal script walk over the whole grid."""
+    from .raster import synth_value
+    from .terrain import d8_kernel
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    seeds = pour_point_mask(0, spec.rows, cols) & (z != spec.nodata)
+    R, C = z.shape
+    marks = np.zeros((R, C), dtype=bool)
+    for row, col in np.argwhere(seeds):
+        y, x = int(row), int(col)
+        marks[y, x] = True
+        while True:
+            code = ptr[y, x]
+            if code <= 0 or code == spec.nodata:
+                break
+            i = int(code).bit_length() - 1
+            y += _DY[i]; x += _DX[i]
+            if not (0 <= y < R and 0 <= x < C) or z[y, x] == spec.nodata:
+                break
+            if marks[y, x]:
+                break
+            marks[y, x] = True
+    return pd.DataFrame({"row_id": np.arange(R, dtype=np.int64),
+                         "n_marked": marks.sum(axis=1).astype(np.int64)})

@@ -1264,3 +1264,361 @@ def hillslopes_naive(spec: RasterSpec, threshold: float = 5.0) -> pd.DataFrame:
         "row_id": np.arange(spec.rows),
         "n_assigned": (lab >= 0).sum(axis=1).astype(np.int64),
         "sum_code": np.where(lab >= 0, lab, 0).sum(axis=1)})
+
+
+# ---------------------------------------------------------------------------
+# StreamLinkClassification.java:240-345 — the reference runs row-major
+# headwater walks that increment output along each path, stopping at
+# cells already == 2, then overwrites nodes (outlet 5 / source 3 /
+# confluence 4). The walk phase's fixed point collapses to the
+# ORDER-INDEPENDENT closed form value = min(2, Shreve magnitude): the
+# first two walks reaching any cell always continue to the outlet, so a
+# cell ends at 2 iff ≥ 2 heads lie upstream — verified cell-for-cell
+# against the literal walk in stream_link_classification_naive.
+# ---------------------------------------------------------------------------
+
+def stream_link_classification(spec: RasterSpec | None = None,
+                               threshold: float = 5.0) -> pd.DataFrame:
+    """(class_value, n_cells) over the stream network — distributed as
+    the converged topology frames (magnitude) + a one-halo inflow-count
+    stencil per tile, then a bounded 5-key combine."""
+    from .hydro import flow_accumulation_frames
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    acc_frames = flow_accumulation_frames(spec)
+    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
+           for r in acc_frames.itertuples()}
+    acc_ref = ray.put(acc)
+    frames = stream_topology_frames(spec, threshold)
+    mags = {int(r.tile_id): np.frombuffer(r.mag, dtype=np.int64).reshape(
+        int(r.shape0), cols) for r in frames.itertuples()}
+    mag_ref = ray.put(mags)
+
+    def per_tile(batch, _a=acc_ref, _m=mag_ref) -> pd.DataFrame:
+        acc_all = ray.get(_a) if isinstance(_a, ray.ObjectRef) else _a
+        mag_all = ray.get(_m) if isinstance(_m, ray.ObjectRef) else _m
+        parts = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            ze, pe, ae, se = _tile_halo_arrays(spec, tid, acc_all, threshold)
+            mag = mag_all[tid]
+            H = mag.shape[0]
+            cls = np.full((H, cols), -1, dtype=np.int64)
+            for r in range(H):
+                re = r + 1
+                for c in range(cols):
+                    if not se[re, c]:
+                        continue
+                    inflow = 0
+                    for i in range(8):
+                        r2, c2 = re + _DY[i], c + _DX[i]
+                        if 0 <= r2 < H + 2 and 0 <= c2 < cols \
+                                and se[r2, c2] \
+                                and pe[r2, c2] == float(1 << ((i + 4) % 8)):
+                            inflow += 1
+                    if pe[re, c] == 0:
+                        cls[r, c] = 5
+                    elif inflow == 0:
+                        cls[r, c] = 3
+                    elif inflow > 1:
+                        cls[r, c] = 4
+                    else:
+                        cls[r, c] = min(2, int(mag[r, c]))
+            vals, counts = np.unique(cls[cls >= 0], return_counts=True)
+            parts.append(pd.DataFrame({"class_value": vals,
+                                       "n": counts.astype(np.int64)}))
+        return pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"class_value": [], "n": []})
+
+    from .util import combine_bounded
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("class_value", sort=True, as_index=False)["n"].sum()
+        return pd.DataFrame({"class_value": g["class_value"].astype(np.int64),
+                             "n_cells": g["n"].astype(np.int64)})
+
+    return combine_bounded(
+        rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy"),
+        combine).to_pandas()
+
+
+def classification_walk_arrays(ptr: np.ndarray, stream: np.ndarray,
+                               nodata: float) -> np.ndarray:
+    """Literal StreamLinkClassification.java walk (row-major heads,
+    += 1 marks, ==2 stop rule, then the node pass) over explicit
+    (ptr, stream) arrays. Returns the class grid (−1 = not stream)."""
+    R, C = ptr.shape
+
+    def inflow_count(r, c):
+        n = 0
+        for i in range(8):
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= r2 < R and 0 <= c2 < C and stream[r2, c2] \
+                    and ptr[r2, c2] == float(1 << ((i + 4) % 8)):
+                n += 1
+        return n
+
+    out = np.zeros((R, C))
+    for row in range(R):
+        for col in range(C):
+            if not stream[row, col] or inflow_count(row, col) != 0:
+                continue
+            y, x = row, col
+            while True:
+                code = ptr[y, x]
+                if code <= 0 or code == nodata:
+                    break
+                i = int(code).bit_length() - 1
+                y += _DY[i]; x += _DX[i]
+                if not (0 <= y < R and 0 <= x < C) or not stream[y, x]:
+                    break
+                if out[y, x] == 2:
+                    break
+                out[y, x] += 1
+    cls = np.full((R, C), -1, dtype=np.int64)
+    for row in range(R):
+        for col in range(C):
+            if not stream[row, col]:
+                continue
+            if ptr[row, col] == 0:
+                cls[row, col] = 5
+            else:
+                n = inflow_count(row, col)
+                if n == 0:
+                    cls[row, col] = 3
+                elif n > 1:
+                    cls[row, col] = 4
+                else:
+                    cls[row, col] = int(out[row, col])
+    return cls
+
+
+def classification_closed_form_arrays(ptr: np.ndarray, stream: np.ndarray,
+                                      mag: np.ndarray) -> np.ndarray:
+    """min(2, magnitude) closed form + node overwrites, array-level (the
+    rule the distributed stage applies per tile)."""
+    R, C = ptr.shape
+    cls = np.full((R, C), -1, dtype=np.int64)
+    for r in range(R):
+        for c in range(C):
+            if not stream[r, c]:
+                continue
+            inflow = 0
+            for i in range(8):
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= r2 < R and 0 <= c2 < C and stream[r2, c2] \
+                        and ptr[r2, c2] == float(1 << ((i + 4) % 8)):
+                    inflow += 1
+            if ptr[r, c] == 0:
+                cls[r, c] = 5
+            elif inflow == 0:
+                cls[r, c] = 3
+            elif inflow > 1:
+                cls[r, c] = 4
+            else:
+                cls[r, c] = min(2, int(mag[r, c]))
+    return cls
+
+
+def stream_link_classification_naive(spec: RasterSpec,
+                                     threshold: float = 5.0) -> pd.DataFrame:
+    """Literal walk over the synthetic DEM, summarized per class."""
+    from .terrain import d8_kernel
+    from .hydro import _accumulate_tile
+    from .raster import synth_value
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, _, _ = _accumulate_tile(z, ptr, np.zeros_like(z), spec.nodata)
+    stream = (z != spec.nodata) & (acc >= threshold)
+    cls = classification_walk_arrays(ptr, stream, spec.nodata)
+    vals, counts = np.unique(cls[cls >= 0], return_counts=True)
+    return pd.DataFrame({"class_value": vals.astype(np.int64),
+                         "n_cells": counts.astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# RemoveShortStreams.java:300-392 — exterior links (head → first
+# confluence) with walked length < minLength removed. Exterior links are
+# exactly the label groups whose magnitude stays 1; the walked length is
+# Σ gridLengths[own pointer] over the link's cells (the final term is
+# the step onto the confluence); removal requires the link to END at a
+# confluence (not the grid outlet).
+# ---------------------------------------------------------------------------
+
+def remove_short_streams(spec: RasterSpec | None = None,
+                         threshold: float = 5.0,
+                         min_length: float = 6.0) -> pd.DataFrame:
+    """(n_links, n_removed_links, n_removed_cells, remaining_cells) —
+    per-tile per-label partials (cells, length, min mag,
+    confluence-end flag) → one bounded combine."""
+    from .hydro import flow_accumulation_frames
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    acc_frames = flow_accumulation_frames(spec)
+    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
+           for r in acc_frames.itertuples()}
+    acc_ref = ray.put(acc)
+    frames = stream_topology_frames(spec, threshold)
+    lab = {int(r.tile_id): np.frombuffer(r.label, dtype=np.int64).reshape(
+        int(r.shape0), cols) for r in frames.itertuples()}
+    mags = {int(r.tile_id): np.frombuffer(r.mag, dtype=np.int64).reshape(
+        int(r.shape0), cols) for r in frames.itertuples()}
+    lab_ref = ray.put(lab)
+    mag_ref = ray.put(mags)
+
+    def _two_halo(tid: int, acc_all):
+        """Like _tile_halo_arrays but with a TWO-row halo: the
+        confluence-end test inspects the RECEIVER's inflows, and a
+        receiver in the first halo row has inflowing neighbours one row
+        further out."""
+        z, ptr = _tile_pointers(spec, tid)
+        h = z.shape[0]
+        ze = np.full((h + 4, cols), spec.nodata)
+        pe = np.zeros((h + 4, cols))
+        ae = np.zeros((h + 4, cols))
+        ze[2:-2], pe[2:-2], ae[2:-2] = z, ptr, acc_all[tid]
+        if tid > 0:
+            zt, pt = _tile_pointers(spec, tid - 1)
+            k = min(2, zt.shape[0])
+            ze[2 - k:2], pe[2 - k:2], ae[2 - k:2] = \
+                zt[-k:], pt[-k:], acc_all[tid - 1][-k:]
+        if tid + 1 < spec.n_tiles:
+            zb, pb = _tile_pointers(spec, tid + 1)
+            k = min(2, zb.shape[0])
+            ze[h + 2:h + 2 + k], pe[h + 2:h + 2 + k], ae[h + 2:h + 2 + k] = \
+                zb[:k], pb[:k], acc_all[tid + 1][:k]
+        se = (ze != spec.nodata) & (ae >= threshold)
+        return ze, pe, ae, se
+
+    def per_tile(batch, _a=acc_ref, _l=lab_ref, _m=mag_ref) -> pd.DataFrame:
+        acc_all = ray.get(_a) if isinstance(_a, ray.ObjectRef) else _a
+        lab_all = ray.get(_l) if isinstance(_l, ray.ObjectRef) else _l
+        mag_all = ray.get(_m) if isinstance(_m, ray.ObjectRef) else _m
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            ze, pe, ae, se = _two_halo(tid, acc_all)
+            label = lab_all[tid]
+            mag = mag_all[tid]
+            H = label.shape[0]
+            for r in range(H):
+                re = r + 2
+                for c in range(cols):
+                    if not se[re, c]:
+                        continue
+                    L = int(label[r, c])
+                    code = pe[re, c]
+                    step = 0.0
+                    conf_end = False
+                    if code > 0 and code != spec.nodata:
+                        i = int(code).bit_length() - 1
+                        step = _GRID_LEN[i]
+                        r2, c2 = re + _DY[i], c + _DX[i]
+                        if 0 <= r2 < H + 4 and 0 <= c2 < cols \
+                                and se[r2, c2]:
+                            inflow2 = 0
+                            for j in range(8):
+                                r3, c3 = r2 + _DY[j], c2 + _DX[j]
+                                if 0 <= r3 < H + 4 and 0 <= c3 < cols \
+                                        and se[r3, c3] and pe[r3, c3] == \
+                                        float(1 << ((j + 4) % 8)):
+                                    inflow2 += 1
+                            conf_end = inflow2 > 1
+                    rows.append((L, 1, step, int(mag[r, c]), conf_end))
+        return pd.DataFrame(rows, columns=["label", "n", "len", "mag",
+                                           "conf"])
+
+    from .util import combine_bounded
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label").agg(
+            n=("n", "sum"), length=("len", "sum"), min_mag=("mag", "min"),
+            conf=("conf", "max"))
+        ext = g[(g["min_mag"] == 1) & (g["conf"] == 1)]
+        removed = ext[ext["length"] < min_length]
+        return pd.DataFrame({
+            "n_links": [len(g)],
+            "n_removed_links": [len(removed)],
+            "n_removed_cells": [int(removed["n"].sum())],
+            "remaining_cells": [int(g["n"].sum() - removed["n"].sum())]})
+
+    return combine_bounded(
+        rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy"),
+        combine).to_pandas()
+
+
+def remove_short_streams_naive(spec: RasterSpec, threshold: float = 5.0,
+                               min_length: float = 6.0) -> pd.DataFrame:
+    """Literal RemoveShortStreams.java walk."""
+    from .terrain import d8_kernel
+    from .hydro import _accumulate_tile
+    from .raster import synth_value
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, _, _ = _accumulate_tile(z, ptr, np.zeros_like(z), spec.nodata)
+    stream = (z != spec.nodata) & (acc >= threshold)
+    R, C = z.shape
+
+    def inflow_count(r, c):
+        n = 0
+        for i in range(8):
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= r2 < R and 0 <= c2 < C and stream[r2, c2] \
+                    and ptr[r2, c2] == float(1 << ((i + 4) % 8)):
+                n += 1
+        return n
+
+    out = stream.copy()
+    removed_links = 0
+    removed_cells = 0
+    for row in range(R):
+        for col in range(C):
+            if not stream[row, col] or inflow_count(row, col) != 0:
+                continue
+            y, x = row, col
+            link_len = 0.0
+            remove = False
+            stop = None
+            while True:
+                if inflow_count(y, x) > 1:
+                    if link_len < min_length:
+                        remove = True
+                        stop = (y, x)
+                    break
+                code = ptr[y, x]
+                if code <= 0 or code == spec.nodata:
+                    break
+                i = int(code).bit_length() - 1
+                link_len += _GRID_LEN[i]
+                y += _DY[i]; x += _DX[i]
+                if not (0 <= y < R and 0 <= x < C) or not stream[y, x]:
+                    break
+            if remove:
+                removed_links += 1
+                y, x = row, col
+                while (y, x) != stop:
+                    if out[y, x]:
+                        removed_cells += 1
+                    out[y, x] = False
+                    code = ptr[y, x]
+                    if code <= 0 or code == spec.nodata:
+                        break
+                    i = int(code).bit_length() - 1
+                    y += _DY[i]; x += _DX[i]
+                    if not (0 <= y < R and 0 <= x < C) or not stream[y, x]:
+                        break
+    return pd.DataFrame({"n_removed_links": [removed_links],
+                         "n_removed_cells": [removed_cells],
+                         "remaining_cells": [int(out.sum())]})

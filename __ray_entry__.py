@@ -497,6 +497,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             streams.remove_short_streams(threshold=2.0, min_length=3.0),
         "trace_downslope_flowpaths": lambda sf:
             hydro.trace_downslope_flowpaths(),
+        "visibility_index": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.viewshed",
+            fromlist=["x"]).visibility_index(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
         "vector_cleaning": lambda sf: _vclean_q(sf),
         "shape_metrics_basic": lambda sf: _shape_q(sf, "basic"),
         "medoid": _vops_q("medoid"),

@@ -25,3 +25,17 @@ def test_viewshed_nonsquare(ray_session):
     got = vs.viewshed(spec)
     want = vs.viewshed_naive(spec)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_visibility_index_matches_naive(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages.viewshed import (
+        visibility_index, visibility_index_naive)
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = visibility_index_naive(spec)
+    got = visibility_index(spec).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert float(want["index_sum"].sum()) > 0

@@ -497,6 +497,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             streams.remove_short_streams(threshold=2.0, min_length=3.0),
         "trace_downslope_flowpaths": lambda sf:
             hydro.trace_downslope_flowpaths(),
+        "flow_pointer_fd8": _checksum_q(
+            lambda ds, spec: hydro.flow_pointer_fd8(
+                ds, spec, regen=raster.synth_value)),
+        "flow_pointer_rho8": lambda sf: raster.raster_row_checksums(
+            hydro.flow_pointer_rho8(raster.RasterSpec()),
+            raster.RasterSpec()),
         "visibility_index": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.viewshed",
             fromlist=["x"]).visibility_index(raster.RasterSpec(
@@ -716,6 +722,8 @@ def oracle_sql() -> dict[str, str]:
         "terrain_tan_curv": o.curvature_sql("tan"),
         "terrain_total_curv": o.curvature_sql("total"),
         "flow_pointer_d8": o.d8_pointer_sql(),
+        "flow_pointer_fd8": o.fd8_pointer_sql(),
+        "flow_pointer_rho8": o.rho8_pointer_sql(),
         "inflow_count": o.inflow_count_sql(),
         # flow_accumulation: iterative boundary-exchange fixed point —
         # rows-only, verified vs the single-process topological mirror.

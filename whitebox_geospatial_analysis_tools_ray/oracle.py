@@ -3105,3 +3105,56 @@ res AS (SELECT cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def fd8_pointer_sql(rows: int = 256, cols: int = 256) -> str:
+    """FlowPointerFD8.java:205-219 mirror — bitmask of all lower
+    neighbours."""
+    terms = " + ".join(
+        f"CASE WHEN n{i} <> {_NOD} AND n{i} < v THEN {float(1 << i)!r} "
+        f"ELSE 0.0 END" for i in range(8))
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v ELSE {terms} END AS f FROM nb)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def rho8_pointer_sql(rows: int = 256, cols: int = 256) -> str:
+    """FlowPointerRho8.java:210-262 mirror with the stage's seeded
+    per-(cell, direction) uniform replacing the sequential Random
+    stream; strict-> running max == first-index-of-max over the
+    direction scan."""
+    slopes = []
+    for i in range(8):
+        if i % 2 == 1:
+            expr = f"v - n{i}"
+        else:
+            u = (f"(((cell * 8 + {i}) * 2654435761 + 40503) % 4294967296) "
+                 f"/ 4294967296.0")
+            expr = f"1.0 / (2.0 - {u}) * (v - n{i})"
+        slopes.append(f"CASE WHEN n{i} <> {_NOD} THEN {expr} END AS s{i}")
+    slope_sql = ",\n  ".join(slopes)
+    best = "greatest(" + ", ".join(
+        f"coalesce(s{i}, -99999999.0)" for i in range(8)) + ")"
+    first = "CASE " + " ".join(
+        f"WHEN s{i} IS NOT NULL AND s{i} = ms THEN {float(1 << i)!r}"
+        for i in range(8)) + " END"
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+sl AS (SELECT cell, v,
+  {slope_sql}
+FROM nb),
+mx AS (SELECT cell, v, {best} AS ms,
+  s0, s1, s2, s3, s4, s5, s6, s7 FROM sl),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN {_NOD}
+             WHEN ms > 0 THEN {first}
+             ELSE 0.0 END AS f FROM mx)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

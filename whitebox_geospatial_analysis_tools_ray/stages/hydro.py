@@ -1298,3 +1298,79 @@ def trace_downslope_flowpaths_naive(spec: RasterSpec) -> pd.DataFrame:
             marks[y, x] = True
     return pd.DataFrame({"row_id": np.arange(R, dtype=np.int64),
                          "n_marked": marks.sum(axis=1).astype(np.int64)})
+
+
+def flow_pointer_fd8(ds, spec: RasterSpec, regen=None):
+    """FlowPointerFD8 (HydroTools/src/plugins/FlowPointerFD8.java
+    :205-219): flowDir = Σ 1<<i over neighbours with z2 < z (a bitmask
+    of every downslope direction). One 3×3 stencil."""
+    from .raster import stencil_apply
+
+    def kernel(p: np.ndarray) -> np.ndarray:
+        z = p[1:-1, 1:-1]
+        H, W = z.shape
+        out = np.zeros_like(z)
+        for i in range(8):
+            nb = p[1 + _DY[i]:1 + _DY[i] + H,
+                   1 + _DX[i]:1 + _DX[i] + W]
+            out = out + np.where((nb != spec.nodata) & (nb < z),
+                                 float(1 << i), 0.0)
+        res = np.where(z != spec.nodata, out, spec.nodata)
+        full = np.full_like(p, spec.nodata)
+        full[1:-1, 1:-1] = res
+        return full
+
+    return stencil_apply(ds, spec, kernel, halo=1, regen=regen)
+
+
+def _rho8_uniform(k: np.ndarray) -> np.ndarray:
+    """Deterministic per-(cell, direction) uniform in [0, 1) — the
+    repo's seeded substitution for the reference's sequential
+    java.util.Random(987654) stream (FlowPointerRho8.java:208), keeping
+    the tool reproducible and tiling-independent."""
+    return ((k * 2654435761 + 40503) % 4294967296) / 4294967296.0
+
+
+def flow_pointer_rho8(spec: RasterSpec) -> "rd.Dataset":
+    """FlowPointerRho8 (FlowPointerRho8.java:210-262): steepest-descent
+    pointer where DIAGONAL drops are scaled by 1/(2 − u), u uniform —
+    strict-> running max in direction order, output 0 when no positive
+    slope, NoData propagates."""
+    from .raster import synth_value
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+            cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+            a = synth_value(cell).reshape(hi - lo, spec.cols)
+            H = r1 - r0
+            p = np.full((H + 2, spec.cols + 2), spec.nodata)
+            p[1 - (r0 - lo):1 - (r0 - lo) + (hi - lo), 1:-1] = a
+            z = p[1:-1, 1:-1]
+            gcell = (np.arange(r0, r1, dtype=np.int64)[:, None] * spec.cols
+                     + np.arange(spec.cols, dtype=np.int64)[None, :])
+            max_slope = np.full_like(z, -99999999.0)
+            flow_dir = np.zeros_like(z)
+            for i in range(8):
+                nb = p[1 + _DY[i]:1 + _DY[i] + H,
+                       1 + _DX[i]:1 + _DX[i] + spec.cols]
+                ok = nb != spec.nodata
+                if i % 2 == 1:          # cardinal (reference cases 1,3,5,7)
+                    slope = z - nb
+                else:                   # diagonal
+                    u = _rho8_uniform(gcell * 8 + i)
+                    slope = 1.0 / (2.0 - u) * (z - nb)
+                take = ok & (slope > max_slope)
+                max_slope = np.where(take, slope, max_slope)
+                flow_dir = np.where(take, float(1 << i), flow_dir)
+            res = np.where(max_slope > 0, flow_dir, 0.0)
+            res = np.where(z != spec.nodata, res, spec.nodata)
+            out["tile_id"].append(tid)
+            out["data"].append(res.ravel())
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")

@@ -497,6 +497,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             streams.remove_short_streams(threshold=2.0, min_length=3.0),
         "trace_downslope_flowpaths": lambda sf:
             hydro.trace_downslope_flowpaths(),
+        "mass_flux_dinf": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.dinf",
+            fromlist=["x"]).mass_flux_dinf(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
         "flow_pointer_fd8": _checksum_q(
             lambda ds, spec: hydro.flow_pointer_fd8(
                 ds, spec, regen=raster.synth_value)),

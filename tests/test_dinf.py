@@ -41,3 +41,18 @@ def test_dinf_mass_conservation(ray_session):
     spec = RasterSpec(rows=64, cols=64, tile_rows=64)
     df = dinf.flow_accumulation_dinf_naive(spec)
     assert (df["sum_acc"] >= df["n_valid"] - 1e-6).all()
+
+
+def test_mass_flux_dinf_matches_naive_and_tiling(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.dinf import (
+        mass_flux_dinf, mass_flux_dinf_naive)
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = mass_flux_dinf_naive(spec)
+    got = mass_flux_dinf(spec)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    alt = mass_flux_dinf(RasterSpec(rows=96, cols=96, tile_rows=16))
+    pd.testing.assert_frame_equal(alt, want, check_dtype=False)

@@ -247,3 +247,145 @@ def flow_accumulation_dinf_naive(spec: RasterSpec,
         "n_valid": valid.sum(axis=1).astype(np.int64),
         "sum_acc": np.round(np.where(valid, acc, 0.0).sum(axis=1),
                             round_to)})
+
+
+def _dinf_tile_flux(z, fd, loading, eff, absorp, inflow, nodata):
+    """MassFluxDinf (HydroTools/src/plugins/MassFluxDinf.java:265,
+    327-408): out initialized to loading (+ external inflow); on
+    resolution, xfer = (out − absorption)·efficiency splits along the
+    same Dinf sector proportions — the literal formula, no clamp
+    (unlike MassFluxD8's max(0, ·))."""
+    H, W = z.shape
+    valid = z != nodata
+    out = np.where(valid, loading + inflow, 0.0)
+    edges = [[] for _ in range(H * W)]
+    indeg = np.zeros(H * W, dtype=np.int64)
+    for r in range(H):
+        for c in range(W):
+            if not valid[r, c] or not (0 <= fd[r, c] <= 360):
+                continue
+            for dc, dr, p in _sector_split(float(fd[r, c])):
+                if p <= 0:
+                    continue
+                r2, c2 = r + dr, c + dc
+                if 0 <= c2 < W and 0 <= r2 < H and valid[r2, c2]:
+                    edges[r * W + c].append((r2 * W + c2, p))
+                    indeg[r2 * W + c2] += 1
+    out_up: dict[int, float] = {}
+    out_dn: dict[int, float] = {}
+    stack = list(np.flatnonzero((indeg == 0) & valid.ravel()))
+    flat = out.ravel()
+    fd_flat = fd.ravel()
+    ab_flat = absorp.ravel()
+    ef_flat = eff.ravel()
+    while stack:
+        u = int(stack.pop())
+        r, c = divmod(u, W)
+        if valid[r, c] and 0 <= fd_flat[u] <= 360:
+            xfer = (flat[u] - ab_flat[u]) * ef_flat[u]
+            for dc, dr, p in _sector_split(float(fd_flat[u])):
+                if p <= 0:
+                    continue
+                r2, c2 = r + dr, c + dc
+                if 0 <= c2 < W and not (0 <= r2 < H):
+                    tgt = out_up if r2 < 0 else out_dn
+                    tgt[c2] = tgt.get(c2, 0.0) + xfer * p
+        for v, p in edges[u]:
+            xfer = (flat[u] - ab_flat[u]) * ef_flat[u]
+            flat[v] += xfer * p
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                stack.append(v)
+    return flat.reshape(H, W), out_up, out_dn
+
+
+def mass_flux_dinf(spec: RasterSpec | None = None, max_rounds: int = 64,
+                   round_to: int = 4) -> pd.DataFrame:
+    """(row_id, n_valid, sum_flux) per raster row — the Dinf flux over
+    the same banded fixed point as flow_accumulation_dinf, loading /
+    efficiency / absorption from hydro._flux_params."""
+    import json
+
+    from .hydro import _flux_params
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+    inflows = {t: np.zeros((min(spec.tile_rows,
+                                spec.rows - t * spec.tile_rows), cols))
+               for t in range(n)}
+
+    def solve(batch, inflow_ref) -> pd.DataFrame:
+        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
+            else inflow_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, fd = _tile_pointer_dinf(spec, tid)
+            r0 = tid * spec.tile_rows
+            cell = np.arange(r0 * cols, (r0 + z.shape[0]) * cols,
+                             dtype=np.int64)
+            ld, ef, ab = (a.reshape(z.shape) for a in _flux_params(cell))
+            out, up, dn = _dinf_tile_flux(z, fd, ld, ef, ab, infl[tid],
+                                          spec.nodata)
+            rows.append({"tile_id": tid, "acc": out.tobytes(),
+                         "shape0": out.shape[0],
+                         "up": json.dumps(up), "dn": json.dumps(dn)})
+        return pd.DataFrame(rows)
+
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(inflows)
+        res = (rd.range(n)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_inflows = {t: np.zeros_like(v) for t, v in inflows.items()}
+        for r in res.itertuples():
+            for col, amt in json.loads(r.up).items():
+                if r.tile_id > 0:
+                    new_inflows[r.tile_id - 1][-1, int(col)] += amt
+            for col, amt in json.loads(r.dn).items():
+                if r.tile_id < n - 1:
+                    new_inflows[r.tile_id + 1][0, int(col)] += amt
+        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
+            last = res
+            break
+        inflows = new_inflows
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("Dinf mass flux did not converge")
+
+    frames = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        out = np.frombuffer(r.acc).reshape(h, cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
+        valid = synth_value(cell).reshape(h, cols) != spec.nodata
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "sum_flux": np.round(np.where(valid, out, 0.0).sum(axis=1),
+                                 round_to)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def mass_flux_dinf_naive(spec: RasterSpec, round_to: int = 4) -> pd.DataFrame:
+    from .hydro import _flux_params
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    fd = dinf_pointer_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    ld, ef, ab = (a.reshape(z.shape) for a in _flux_params(cell))
+    out, _, _ = _dinf_tile_flux(z, fd, ld, ef, ab, np.zeros_like(z),
+                                spec.nodata)
+    valid = z != spec.nodata
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows, dtype=np.int64),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "sum_flux": np.round(np.where(valid, out, 0.0).sum(axis=1),
+                             round_to)})

@@ -497,6 +497,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             streams.remove_short_streams(threshold=2.0, min_length=3.0),
         "trace_downslope_flowpaths": lambda sf:
             hydro.trace_downslope_flowpaths(),
+        "flood_order": lambda sf: fill.flood_order(raster.RasterSpec(
+            rows=96, cols=96, tile_rows=32)),
+        "stochastic_depression_analysis": lambda sf:
+            fill.stochastic_depression_analysis(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32), n_real=2),
         "mass_flux_dinf": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.dinf",
             fromlist=["x"]).mass_flux_dinf(raster.RasterSpec(

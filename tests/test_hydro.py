@@ -176,3 +176,32 @@ def test_power_and_sti_tiling_invariant(ray_session):
         b = fn(RasterSpec(rows=96, cols=64, tile_rows=48))
         pd.testing.assert_frame_equal(a, b)
         assert a["n_valid"].sum() > 0
+
+
+def test_flood_order_matches_naive(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.fill import (
+        flood_order, flood_order_naive)
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = flood_order_naive(spec)
+    got = flood_order(spec)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stochastic_depression_analysis_runs_and_is_tiling_invariant(
+        ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.fill import (
+        stochastic_depression_analysis)
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    a = stochastic_depression_analysis(
+        RasterSpec(rows=96, cols=96, tile_rows=32), n_real=2)
+    b = stochastic_depression_analysis(
+        RasterSpec(rows=96, cols=96, tile_rows=16), n_real=2)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert float(a["pdep_sum"].sum()) > 0

@@ -42,6 +42,7 @@ import ray
 import ray.data as rd
 
 from .raster import RasterSpec, synth_value
+from ..core.rng import NODATA
 
 _NEG_INF = float("-inf")
 OUTLET = -1  # virtual outlet node id
@@ -150,17 +151,19 @@ def _tile_boundary_graph(z: np.ndarray, nodata: float, r0: int,
     return edges
 
 
-def fill_depressions(spec: RasterSpec | None = None,
-                     round_to: int = 6) -> pd.DataFrame:
-    """Distributed exact fill; per-row checksums of the filled DEM."""
-    spec = spec or RasterSpec()
+def filled_frames(spec: RasterSpec,
+                  surface=None) -> pd.DataFrame:
+    """Distributed exact fill → per-tile FILLED arrays
+    (tile_id, filled bytes, shape0). ``surface(cell_ids)`` overrides the
+    synthetic DEM (used by the stochastic realizations)."""
     n_tiles, cols = spec.n_tiles, spec.cols
+    surf = surface or synth_value
 
     def tile_z(tid: int) -> np.ndarray:
         r0 = tid * spec.tile_rows
         r1 = min(r0 + spec.tile_rows, spec.rows)
         cell = np.arange(r0 * cols, r1 * cols, dtype=np.int64)
-        return synth_value(cell).reshape(-1, cols)
+        return surf(cell).reshape(-1, cols)
 
     # pass 1: per-tile boundary graphs (+ edge-row z̃ for adjacency edges)
     def pass1(batch) -> pd.DataFrame:
@@ -249,17 +252,33 @@ def fill_depressions(spec: RasterSpec | None = None,
                     if z[r, c] == spec.nodata:
                         seeds.append((r, c, _NEG_INF))
             w = _priority_flood_seeded(z, spec.nodata, seeds)
-            valid = w != spec.nodata
-            frames.append(pd.DataFrame({
-                "row_id": np.arange(r0, r0 + H),
-                "n_valid": valid.sum(axis=1).astype(np.int64),
-                "row_sum": np.round(np.where(valid, w, 0.0).sum(axis=1),
-                                    round_to)}))
+            frames.append(pd.DataFrame({"tile_id": [tid],
+                                        "filled": [w.tobytes()],
+                                        "shape0": [H]}))
         return pd.concat(frames, ignore_index=True)
 
     final = (rd.range(n_tiles)
              .map_batches(pass2, batch_format="numpy").to_pandas())
-    return final.sort_values("row_id").reset_index(drop=True)
+    return final.sort_values("tile_id").reset_index(drop=True)
+
+
+def fill_depressions(spec: RasterSpec | None = None,
+                     round_to: int = 6) -> pd.DataFrame:
+    """Distributed exact fill; per-row checksums of the filled DEM."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    frames = []
+    for r in filled_frames(spec).itertuples():
+        w = np.frombuffer(r.filled).reshape(int(r.shape0), cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        valid = w != spec.nodata
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + int(r.shape0)),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "row_sum": np.round(np.where(valid, w, 0.0).sum(axis=1),
+                                round_to)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
 
 
 def fill_depressions_naive(spec: RasterSpec, round_to: int = 6) -> pd.DataFrame:
@@ -284,3 +303,140 @@ def fill_depressions_naive(spec: RasterSpec, round_to: int = 6) -> pd.DataFrame:
         "row_id": np.arange(spec.rows),
         "n_valid": valid.sum(axis=1).astype(np.int64),
         "row_sum": np.round(np.where(valid, w, 0.0).sum(axis=1), round_to)})
+
+
+def flood_order(spec: RasterSpec | None = None) -> pd.DataFrame:
+    """FloodOrder (WhiteboxGIS/resources/plugins/Scripts/FloodOrder
+    .groovy:184-199): rank of each cell in the priority-flood visit
+    sequence. The queue pops by FILLED elevation; Java's binary-heap tie
+    order is implementation-defined, so ties (cells levelled to the same
+    spill elevation) use the repo's standardized deterministic rule:
+    (filled_z, global cell id). Physical plan: the proven fill → one
+    distributed sort by (filled_z, cell) → ranks by per-block offsets.
+    Output: per raster row (row_id, n_valid, rank_sum) — exact integers."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    frames = filled_frames(spec)
+    parts = []
+    for r in frames.itertuples():
+        w = np.frombuffer(r.filled).reshape(int(r.shape0), cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        gcell = np.arange(r0 * cols, (r0 + int(r.shape0)) * cols,
+                          dtype=np.int64)
+        flat = w.ravel()
+        m = flat != spec.nodata
+        parts.append(pd.DataFrame({"fz": flat[m], "cell": gcell[m]}))
+    ds = rd.from_pandas(pd.concat(parts, ignore_index=True))
+    # distributed sort; ranks = global position = per-block offset + local
+    srt = ds.sort(["fz", "cell"])
+    ranked = []
+    offset = 0
+    for blk in srt.iter_batches(batch_format="pandas", batch_size=None):
+        n = len(blk)
+        ranked.append(pd.DataFrame({
+            "cell": blk["cell"].to_numpy(),
+            "rank": np.arange(offset, offset + n, dtype=np.int64)}))
+        offset += n
+    rk = pd.concat(ranked, ignore_index=True)
+    rk["row_id"] = rk["cell"] // cols
+    g = rk.groupby("row_id", as_index=False).agg(
+        n_valid=("rank", "size"), rank_sum=("rank", "sum"))
+    out = pd.DataFrame({"row_id": np.arange(spec.rows, dtype=np.int64)})
+    out = out.merge(g, on="row_id", how="left").fillna(0)
+    out["n_valid"] = out["n_valid"].astype(np.int64)
+    out["rank_sum"] = out["rank_sum"].astype(np.int64)
+    return out
+
+
+def flood_order_naive(spec: RasterSpec) -> pd.DataFrame:
+    """Single-process mirror: whole-grid fill + lexsort ranks."""
+    from .raster import synth_value as sv
+
+    cols = spec.cols
+    frames = None
+    # reuse the single-tile fill: run priority flood over the whole grid
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = sv(cell).reshape(spec.rows, cols)
+    seeds = []
+    R, C = z.shape
+    for r in range(R):
+        seeds.append((r, 0, _NEG_INF))
+        seeds.append((r, C - 1, _NEG_INF))
+    for c in range(C):
+        seeds.append((0, c, _NEG_INF))
+        seeds.append((R - 1, c, _NEG_INF))
+    for r in range(R):
+        for c in range(C):
+            if z[r, c] == spec.nodata:
+                seeds.append((r, c, _NEG_INF))
+    w = _priority_flood_seeded(z, spec.nodata, seeds)
+    flat = w.ravel()
+    m = flat != spec.nodata
+    fz = flat[m]
+    gcell = cell[m]
+    order = np.lexsort((gcell, fz))
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order), dtype=np.int64)
+    df = pd.DataFrame({"row_id": gcell // cols, "rank": rank})
+    g = df.groupby("row_id", as_index=False).agg(
+        n_valid=("rank", "size"), rank_sum=("rank", "sum"))
+    out = pd.DataFrame({"row_id": np.arange(spec.rows, dtype=np.int64)})
+    out = out.merge(g, on="row_id", how="left").fillna(0)
+    out["n_valid"] = out["n_valid"].astype(np.int64)
+    out["rank_sum"] = out["rank_sum"].astype(np.int64)
+    return out
+
+
+STOCH_RMSE = 15.0
+STOCH_REALIZATIONS = 4
+
+
+def _stoch_surface(k: int):
+    """Realization k: synthetic DEM + seeded uniform error in
+    [−rmse, +rmse) (the repo's deterministic substitution for the
+    reference's histogram/turning-bands error field —
+    TerrainAnalysisTools/src/plugins/StochasticDepressionAnalysis.java
+    runs N such realizations and averages); NoData preserved."""
+    from ..core.rng import uniform01
+
+    def surf(cell: np.ndarray) -> np.ndarray:
+        z = synth_value(cell)
+        noise = (uniform01(cell, add=7177 + 131 * k) - 0.5) * 2.0 * STOCH_RMSE
+        return np.where(z == NODATA, z, z + noise)
+
+    return surf
+
+
+def stochastic_depression_analysis(spec: RasterSpec | None = None,
+                                   n_real: int = STOCH_REALIZATIONS
+                                   ) -> pd.DataFrame:
+    """pdep = fraction of realizations in which the cell is inside a
+    depression (filled > surface) — N independent runs of the proven
+    fill decomposition, tiny per-row partials combined on the driver.
+    Output: (row_id, n_valid, pdep_sum) with pdep_sum = Σ_row pdep
+    rounded to 6."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    total = None
+    n_valid = None
+    for k in range(n_real):
+        surf = _stoch_surface(k)
+        counts = np.zeros((spec.rows, cols), dtype=np.int64)
+        valid = np.zeros((spec.rows, cols), dtype=bool)
+        for r in filled_frames(spec, surface=surf).itertuples():
+            w = np.frombuffer(r.filled).reshape(int(r.shape0), cols)
+            r0 = int(r.tile_id) * spec.tile_rows
+            cell = np.arange(r0 * cols, (r0 + int(r.shape0)) * cols,
+                             dtype=np.int64)
+            z = surf(cell).reshape(int(r.shape0), cols)
+            v = z != spec.nodata
+            counts[r0:r0 + int(r.shape0)] = v & (w > z)
+            valid[r0:r0 + int(r.shape0)] = v
+        total = counts.astype(np.float64) if total is None \
+            else total + counts
+        n_valid = valid
+    pdep = total / float(n_real)
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows, dtype=np.int64),
+        "n_valid": n_valid.sum(axis=1).astype(np.int64),
+        "pdep_sum": np.round(np.where(n_valid, pdep, 0.0).sum(axis=1), 6)})

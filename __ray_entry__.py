@@ -497,6 +497,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             streams.remove_short_streams(threshold=2.0, min_length=3.0),
         "trace_downslope_flowpaths": lambda sf:
             hydro.trace_downslope_flowpaths(),
+        "num_downslope_neighbours": _checksum_q(
+            lambda ds, spec: hydro.num_downslope_neighbours(
+                ds, spec, regen=raster.synth_value)),
+        "num_upslope_neighbours": _checksum_q(
+            lambda ds, spec: hydro.num_upslope_neighbours(
+                ds, spec, regen=raster.synth_value)),
+        "max_downslope_elev_change": _checksum_q(
+            lambda ds, spec: hydro.max_downslope_elev_change(
+                ds, spec, regen=raster.synth_value)),
+        "find_patch_edge_cells": lambda sf: raster.raster_row_checksums(
+            raster_stats.find_patch_edge_cells(
+                raster.raster_map(raster.synth_raster(raster.RasterSpec()),
+                                  lambda a: __import__("numpy").floor(
+                                      a / 100.0)),
+                raster.RasterSpec()),
+            raster.RasterSpec()),
+        "filter_local_contrast": lambda sf: raster.raster_row_int_checksums(
+            raster_stats.filter_local_contrast(
+                raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
+                regen=raster.synth_value),
+            raster.RasterSpec()),
         "flood_order": lambda sf: fill.flood_order(raster.RasterSpec(
             rows=96, cols=96, tile_rows=32)),
         "stochastic_depression_analysis": lambda sf:
@@ -732,6 +753,11 @@ def oracle_sql() -> dict[str, str]:
         "terrain_total_curv": o.curvature_sql("total"),
         "flow_pointer_d8": o.d8_pointer_sql(),
         "flow_pointer_fd8": o.fd8_pointer_sql(),
+        "num_downslope_neighbours": o.num_neighbours_sql(upslope=False),
+        "num_upslope_neighbours": o.num_neighbours_sql(upslope=True),
+        "max_downslope_elev_change": o.max_downslope_change_sql(),
+        "find_patch_edge_cells": o.patch_edge_cells_sql(),
+        "filter_local_contrast": o.local_contrast_sql(),
         "flow_pointer_rho8": o.rho8_pointer_sql(),
         "inflow_count": o.inflow_count_sql(),
         # flow_accumulation: iterative boundary-exchange fixed point —

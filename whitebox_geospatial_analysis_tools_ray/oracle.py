@@ -3158,3 +3158,101 @@ res AS (SELECT cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def num_neighbours_sql(rows: int = 256, cols: int = 256,
+                       upslope: bool = False) -> str:
+    """Num(Down|Up)slopeNeighbours.java mirror."""
+    op = ">" if upslope else "<"
+    terms = " + ".join(
+        f"CASE WHEN n{i} <> {_NOD} AND n{i} {op} v THEN 1.0 ELSE 0.0 END"
+        for i in range(8))
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v ELSE {terms} END AS f FROM nb)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def max_downslope_change_sql(rows: int = 256, cols: int = 256) -> str:
+    """MaxDownslopeElevationChange.java:238-266 mirror — z-drop at the
+    first strict-max slope in direction order."""
+    sqrt2 = repr(math.sqrt(2.0))
+    dists = [sqrt2 if i % 2 == 0 else "1.0" for i in range(8)]
+    slopes = ",\n  ".join(
+        f"CASE WHEN n{i} <> {_NOD} THEN (v - n{i}) / {dists[i]} END AS s{i}"
+        for i in range(8))
+    best = "greatest(" + ", ".join(
+        f"coalesce(s{i}, -99999999.0)" for i in range(8)) + ")"
+    zchg = "CASE " + " ".join(
+        f"WHEN s{i} IS NOT NULL AND s{i} = ms THEN v - n{i}"
+        for i in range(8)) + " END"
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+sl AS (SELECT cell, v, n0, n1, n2, n3, n4, n5, n6, n7,
+  {slopes}
+FROM nb),
+mx AS (SELECT cell, v, {best} AS ms,
+  n0, n1, n2, n3, n4, n5, n6, n7,
+  s0, s1, s2, s3, s4, s5, s6, s7 FROM sl),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN {_NOD}
+             WHEN ms > 0 THEN {zchg}
+             ELSE 0.0 END AS f FROM mx)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def patch_edge_cells_sql(rows: int = 256, cols: int = 256) -> str:
+    """FindPatchOrClassEdgeCells.java:197-211 mirror over the class
+    band (off-grid neighbour = NoData ≠ z → border cells are edges)."""
+    differs = " OR ".join(f"n{i} <> v" for i in range(8))
+    return f"""
+WITH {_class_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN v
+             WHEN v <> 0.0 AND ({differs}) THEN v
+             ELSE 0.0 END AS f FROM nb)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def local_contrast_sql(rows: int = 256, cols: int = 256,
+                       alpha: float = 0.5,
+                       predefined_std: float = 40.0) -> str:
+    """FilterLocalContrastEnhancement.java:303-331 mirror, including the
+    literal last-tap bug: the (z − average) term reads the SE
+    neighbour's RAW value (n2 — NoData sentinel included)."""
+    order = ["n6", "n7", "n0", "n5", "v", "n1", "n4", "n3", "n2"]
+    n_expr = " + ".join(
+        f"CASE WHEN {t} <> {_NOD} THEN 1.0 ELSE 0.0 END" for t in order)
+    s_expr = " + ".join(
+        f"CASE WHEN {t} <> {_NOD} THEN {t} ELSE 0.0 END" for t in order)
+    s2_expr = " + ".join(
+        f"CASE WHEN {t} <> {_NOD} THEN {t} * {t} ELSE 0.0 END"
+        for t in order)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+gm AS (SELECT SUM(v) / COUNT(v) AS gmean FROM vals WHERE v <> {_NOD}),
+acc AS (SELECT cell, v, n2 AS zlast,
+  {n_expr} AS n, {s_expr} AS s, {s2_expr} AS s2
+FROM nb),
+st AS (SELECT cell, v, zlast, n, s / n AS avg,
+       (s2 / n) - (s / n) * (s / n) AS var FROM acc),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} OR n <= 2 OR var <= 0 THEN {_NOD}
+             ELSE ({alpha!r} * (SELECT gmean FROM gm))
+                  + ((1.0 - {alpha!r}) * avg)
+                  + (zlast - avg) * ({predefined_std!r} / (sqrt(var) + 1.0))
+        END AS f FROM st)
+{_row_int_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -28,6 +28,7 @@
 from __future__ import annotations
 
 import json
+import math
 
 import numpy as np
 import pandas as pd
@@ -1374,3 +1375,65 @@ def flow_pointer_rho8(spec: RasterSpec) -> "rd.Dataset":
         return pd.DataFrame(out)
 
     return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+def _count_neighbours_kernel(p: np.ndarray, nodata: float,
+                             upslope: bool) -> np.ndarray:
+    """NumDownslopeNeighbours / NumUpslopeNeighbours (TerrainAnalysis
+    Tools/src/plugins/NumDownslopeNeighbours.java:238-243): count of
+    valid neighbours with z2 < z (downslope) or z2 > z (upslope)."""
+    z = p[1:-1, 1:-1]
+    H, W = z.shape
+    out = np.zeros_like(z)
+    for i in range(8):
+        nb = p[1 + _DY[i]:1 + _DY[i] + H, 1 + _DX[i]:1 + _DX[i] + W]
+        hit = (nb != nodata) & ((nb > z) if upslope else (nb < z))
+        out = out + hit
+    res = np.where(z != nodata, out, nodata)
+    full = np.full_like(p, nodata)
+    full[1:-1, 1:-1] = res
+    return full
+
+
+def num_downslope_neighbours(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(
+        ds, spec, lambda p: _count_neighbours_kernel(p, spec.nodata, False),
+        halo=1, regen=regen)
+
+
+def num_upslope_neighbours(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(
+        ds, spec, lambda p: _count_neighbours_kernel(p, spec.nodata, True),
+        halo=1, regen=regen)
+
+
+def max_downslope_elev_change(ds, spec: RasterSpec, regen=None):
+    """MaxDownslopeElevationChange (TerrainAnalysisTools/src/plugins/
+    MaxDownslopeElevationChange.java:238-266): z-drop to the
+    steepest-slope neighbour (slope = (z−z2)/dist, strict-> running
+    max in direction order); 0 when no positive slope."""
+    from .raster import stencil_apply
+
+    dists = [math.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8)]
+
+    def kernel(p: np.ndarray) -> np.ndarray:
+        z = p[1:-1, 1:-1]
+        H, W = z.shape
+        max_slope = np.full_like(z, -99999999.0)
+        zchange = np.zeros_like(z)
+        for i in range(8):
+            nb = p[1 + _DY[i]:1 + _DY[i] + H, 1 + _DX[i]:1 + _DX[i] + W]
+            ok = nb != spec.nodata
+            slope = (z - nb) / dists[i]
+            take = ok & (slope > max_slope)
+            max_slope = np.where(take, slope, max_slope)
+            zchange = np.where(take, z - nb, zchange)
+        res = np.where(max_slope > 0, zchange, 0.0)
+        res = np.where(z != spec.nodata, res, spec.nodata)
+        full = np.full_like(p, spec.nodata)
+        full[1:-1, 1:-1] = res
+        return full
+
+    return stencil_apply(ds, spec, kernel, halo=1, regen=regen)

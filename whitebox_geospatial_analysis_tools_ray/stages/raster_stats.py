@@ -2482,3 +2482,76 @@ def reclass_from_file(ds, spec: RasterSpec, ranges=None):
         return pd.DataFrame(out)
 
     return ds.map_batches(per_tile, batch_format="pandas")
+
+
+def find_patch_edge_cells(ds, spec: RasterSpec):
+    """FindPatchOrClassEdgeCells (GISTools/src/plugins/
+    FindPatchOrClassEdgeCells.java:197-211) over the class band: a valid
+    non-zero cell is an edge (val = z) when ANY neighbour differs —
+    off-grid reads are NoData ≠ z, so border cells are always edges;
+    z = 0 cells keep the initial 0."""
+    from .raster import stencil_apply
+
+    def kernel(p: np.ndarray) -> np.ndarray:
+        z = p[1:-1, 1:-1]
+        H, W = z.shape
+        differs = np.zeros(z.shape, dtype=bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+                differs |= nb != z
+        res = np.where((z != spec.nodata) & (z != 0.0) & differs, z, 0.0)
+        res = np.where(z != spec.nodata, res, spec.nodata)
+        full = np.full_like(p, spec.nodata)
+        full[1:-1, 1:-1] = res
+        return full
+
+    return stencil_apply(ds, spec, kernel, halo=1)
+
+
+def filter_local_contrast(ds, spec: RasterSpec, regen=None,
+                          alpha: float = 0.5,
+                          predefined_std: float = 40.0):
+    """FilterLocalContrastEnhancement (ImageProcessingTools/src/plugins/
+    FilterLocalContrastEnhancement.java:303-331, 3×3 square): one global
+    mean pass, then yij = α·globalMean + (1−α)·avg + (zLast − avg)·
+    (σ₀/(σ_pop + 1)). ``zLast`` reproduces the reference's literal bug:
+    the loop variable z is overwritten by every window read, so the
+    (z − average) term uses the LAST tap (the SE neighbour's RAW value —
+    including the NoData sentinel when SE is NoData/off-grid), not the
+    centre. n ≤ 2 or σ ≤ 0 → NoData."""
+    st = _global_valid_stats(ds, spec)
+    gmean = st["mean"]
+
+    from .raster import stencil_apply
+
+    def kernel(p: np.ndarray) -> np.ndarray:
+        z = p[1:-1, 1:-1]
+        H, W = z.shape
+        n = np.zeros_like(z)
+        s = np.zeros_like(z)
+        s2 = np.zeros_like(z)
+        last = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+                ok = nb != spec.nodata
+                n = n + ok
+                s = s + np.where(ok, nb, 0.0)
+                s2 = s2 + np.where(ok, nb * nb, 0.0)
+                last = nb
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = s / n
+            var = (s2 / n) - (avg * avg)
+            sd = np.sqrt(np.maximum(var, 0.0))
+            yij = (alpha * gmean) + ((1.0 - alpha) * avg) \
+                + (last - avg) * (predefined_std / (sd + 1.0))
+        good = (z != spec.nodata) & (n > 2) & (var > 0)
+        res = np.where(good, yij, spec.nodata)
+        full = np.full_like(p, spec.nodata)
+        full[1:-1, 1:-1] = res
+        return full
+
+    return stencil_apply(ds, spec, kernel, halo=1, regen=regen)

@@ -518,6 +518,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
                 regen=raster.synth_value),
             raster.RasterSpec()),
+        "depth_in_sink": lambda sf: fill.depth_in_sink(raster.RasterSpec(
+            rows=96, cols=96, tile_rows=32)),
+        "downslope_distance_to_stream": lambda sf:
+            streams.downslope_distance_to_stream(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
+        "elevation_above_stream": lambda sf:
+            streams.elevation_above_stream(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
         "flood_order": lambda sf: fill.flood_order(raster.RasterSpec(
             rows=96, cols=96, tile_rows=32)),
         "stochastic_depression_analysis": lambda sf:

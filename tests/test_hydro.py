@@ -205,3 +205,17 @@ def test_stochastic_depression_analysis_runs_and_is_tiling_invariant(
         RasterSpec(rows=96, cols=96, tile_rows=16), n_real=2)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert float(a["pdep_sum"].sum()) > 0
+
+
+def test_depth_in_sink_matches_naive(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.fill import (
+        depth_in_sink, depth_in_sink_naive)
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = depth_in_sink_naive(spec)
+    got = depth_in_sink(spec)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert float(want["depth_sum"].sum()) > 0

@@ -333,3 +333,31 @@ def test_trace_downslope_flowpaths_matches_naive_and_tiling(ray_session):
     alt = hydro.trace_downslope_flowpaths(
         RasterSpec(rows=96, cols=96, tile_rows=16)).reset_index(drop=True)
     pd.testing.assert_frame_equal(alt, want, check_dtype=False)
+
+
+def test_downslope_distance_to_stream_matches_walk_and_tiling(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages import streams
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = streams._downslope_stream_value_naive(spec, 2.0, "dist")
+    got = streams.downslope_distance_to_stream(spec)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(want["n_reached"].sum()) > 0
+    alt = streams.downslope_distance_to_stream(
+        RasterSpec(rows=96, cols=96, tile_rows=16))
+    pd.testing.assert_frame_equal(alt, want, check_dtype=False)
+
+
+def test_elevation_above_stream_matches_walk(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages import streams
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = streams._downslope_stream_value_naive(spec, 2.0, "elev")
+    got = streams.elevation_above_stream(spec)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

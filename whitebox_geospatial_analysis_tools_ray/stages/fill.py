@@ -440,3 +440,52 @@ def stochastic_depression_analysis(spec: RasterSpec | None = None,
         "row_id": np.arange(spec.rows, dtype=np.int64),
         "n_valid": n_valid.sum(axis=1).astype(np.int64),
         "pdep_sum": np.round(np.where(n_valid, pdep, 0.0).sum(axis=1), 6)})
+
+
+def depth_in_sink(spec: RasterSpec | None = None,
+                  round_to: int = 6) -> pd.DataFrame:
+    """DepthInSink (WhiteboxGIS/resources/plugins/Scripts/DepthInSink
+    .py:73-95): FillDepressions (flat increment 0) minus the original
+    DEM; cells outside sinks → 0 (backgroundVal). Per-row checksums."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    frames = []
+    for r in filled_frames(spec).itertuples():
+        w = np.frombuffer(r.filled).reshape(int(r.shape0), cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + int(r.shape0)) * cols,
+                         dtype=np.int64)
+        z = synth_value(cell).reshape(int(r.shape0), cols)
+        valid = z != spec.nodata
+        depth = np.where(valid, w - z, 0.0)
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + int(r.shape0)),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "depth_sum": np.round(depth.sum(axis=1), round_to)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def depth_in_sink_naive(spec: RasterSpec, round_to: int = 6) -> pd.DataFrame:
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    R, C = z.shape
+    seeds = []
+    for r in range(R):
+        seeds.append((r, 0, _NEG_INF))
+        seeds.append((r, C - 1, _NEG_INF))
+    for c in range(C):
+        seeds.append((0, c, _NEG_INF))
+        seeds.append((R - 1, c, _NEG_INF))
+    for r in range(R):
+        for c in range(C):
+            if z[r, c] == spec.nodata:
+                seeds.append((r, c, _NEG_INF))
+    w = _priority_flood_seeded(z, spec.nodata, seeds)
+    valid = z != spec.nodata
+    depth = np.where(valid, w - z, 0.0)
+    return pd.DataFrame({
+        "row_id": np.arange(R, dtype=np.int64),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "depth_sum": np.round(depth.sum(axis=1), round_to)})

@@ -1622,3 +1622,176 @@ def remove_short_streams_naive(spec: RasterSpec, threshold: float = 5.0,
     return pd.DataFrame({"n_removed_links": [removed_links],
                          "n_removed_cells": [removed_cells],
                          "remaining_cells": [int(out.sum())]})
+
+
+# ---------------------------------------------------------------------------
+# Downslope VALUE fill — DownslopeDistanceToStream.groovy /
+# ElevationAboveStream.groovy: walk the D8 path to the first stream
+# cell, output the accumulated step length (distance) or z − z_stream
+# (elevation). Same ascending-z banded fixed point as the label fill:
+# receivers resolve before senders, cross-tile values travel as edge
+# messages; cells whose path ends off-stream stay NoData.
+# ---------------------------------------------------------------------------
+
+_UNREACHED = -1.0e300
+
+
+def _downslope_stream_value(spec: RasterSpec, threshold: float,
+                            max_rounds: int, kind: str) -> pd.DataFrame:
+    cols = spec.cols
+    n = spec.n_tiles
+    frames = stream_topology_frames(spec, threshold)
+    streams_m = {int(r.tile_id):
+                 np.frombuffer(r.stream, dtype=np.int8)
+                 .reshape(int(r.shape0), cols).astype(bool)
+                 for r in frames.itertuples()}
+    str_ref = ray.put(streams_m)
+
+    def solve(batch, ext_ref, str_ref=str_ref) -> pd.DataFrame:
+        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
+            else ext_ref
+        st_all = ray.get(str_ref) if isinstance(str_ref, ray.ObjectRef) \
+            else str_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            H = z.shape[0]
+            r0 = tid * spec.tile_rows
+            stream = st_all[tid]
+            ext = ext_all[tid]
+            val = np.full((H, cols), _UNREACHED)
+            order = np.argsort(z, axis=None, kind="stable")  # ascending
+            for lin in order:
+                r, c = divmod(int(lin), cols)
+                if z[r, c] == spec.nodata:
+                    continue
+                if stream[r, c]:
+                    val[r, c] = 0.0 if kind == "dist" else z[r, c]
+                    continue
+                code = ptr[r, c]
+                if code <= 0:
+                    continue
+                i = int(code).bit_length() - 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= r2 < H and 0 <= c2 < cols:
+                    recv = val[r2, c2]
+                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                    recv = ext.get((r0 + r2) * cols + c2, _UNREACHED)
+                else:
+                    continue
+                if recv != _UNREACHED:
+                    val[r, c] = recv + (_GRID_LEN[i] if kind == "dist"
+                                        else 0.0)
+            rows.append({"tile_id": tid, "shape0": H, "val": val.tobytes(),
+                         "top": val[0].tobytes(), "bot": val[-1].tobytes()})
+        return pd.DataFrame(rows)
+
+    ext = {t: {} for t in range(n)}
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(ext)
+        res = (rd.range(n).map_batches(lambda b, _r=ref: solve(b, _r),
+                                       batch_format="numpy").to_pandas())
+        new_ext = {t: {} for t in range(n)}
+        for r in res.itertuples():
+            tid = int(r.tile_id)
+            h = int(r.shape0)
+            r0 = tid * spec.tile_rows
+            top = np.frombuffer(r.top)
+            bot = np.frombuffer(r.bot)
+            if tid > 0:
+                for c in np.flatnonzero(top != _UNREACHED):
+                    new_ext[tid - 1][r0 * cols + int(c)] = float(top[c])
+            if tid + 1 < n:
+                g0 = (r0 + h - 1) * cols
+                for c in np.flatnonzero(bot != _UNREACHED):
+                    new_ext[tid + 1][g0 + int(c)] = float(bot[c])
+        if new_ext == ext:
+            last = res
+            break
+        ext = new_ext
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("downslope value fill did not converge")
+
+    out = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        val = np.frombuffer(r.val).reshape(h, cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
+        from .raster import synth_value as sv
+        z = sv(cell).reshape(h, cols)
+        m = val != _UNREACHED
+        if kind == "elev":
+            res_plane = np.where(m, z - val, 0.0)
+        else:
+            res_plane = np.where(m, val, 0.0)
+        out.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_reached": m.sum(axis=1).astype(np.int64),
+            "value_sum": np.round(res_plane.sum(axis=1), 4)}))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def downslope_distance_to_stream(spec: RasterSpec | None = None,
+                                 threshold: float = 2.0,
+                                 max_rounds: int = 64) -> pd.DataFrame:
+    spec = spec or RasterSpec()
+    return _downslope_stream_value(spec, threshold, max_rounds, "dist")
+
+
+def elevation_above_stream(spec: RasterSpec | None = None,
+                           threshold: float = 2.0,
+                           max_rounds: int = 64) -> pd.DataFrame:
+    spec = spec or RasterSpec()
+    return _downslope_stream_value(spec, threshold, max_rounds, "elev")
+
+
+def _downslope_stream_value_naive(spec: RasterSpec, threshold: float,
+                                  kind: str) -> pd.DataFrame:
+    """Literal per-cell walk (no memoization — same values)."""
+    from .terrain import d8_kernel
+    from .hydro import _accumulate_tile
+    from .raster import synth_value as sv
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = sv(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, _, _ = _accumulate_tile(z, ptr, np.zeros_like(z), spec.nodata)
+    stream = (z != spec.nodata) & (acc >= threshold)
+    R, C = z.shape
+    val = np.full((R, C), _UNREACHED)
+    for row in range(R):
+        for col in range(C):
+            if z[row, col] == spec.nodata:
+                continue
+            y, x = row, col
+            d = 0.0
+            while True:
+                if stream[y, x]:
+                    val[row, col] = d if kind == "dist" else z[y, x]
+                    break
+                code = ptr[y, x]
+                if code <= 0 or code == spec.nodata:
+                    break
+                i = int(code).bit_length() - 1
+                d += _GRID_LEN[i]
+                y += _DY[i]; x += _DX[i]
+                if not (0 <= y < R and 0 <= x < C) \
+                        or z[y, x] == spec.nodata:
+                    break
+    m = val != _UNREACHED
+    if kind == "elev":
+        res_plane = np.where(m, z - val, 0.0)
+    else:
+        res_plane = np.where(m, val, 0.0)
+    return pd.DataFrame({
+        "row_id": np.arange(R, dtype=np.int64),
+        "n_reached": m.sum(axis=1).astype(np.int64),
+        "value_sum": np.round(res_plane.sum(axis=1), 4)})

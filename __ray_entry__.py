@@ -518,6 +518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
                 regen=raster.synth_value),
             raster.RasterSpec()),
+        "elev_above_pit": lambda sf: streams.elev_above_pit(
+            raster.RasterSpec(rows=96, cols=96, tile_rows=32)),
+        "distance_to_outlet": lambda sf: streams.distance_to_outlet(
+            raster.RasterSpec(rows=96, cols=96, tile_rows=32)),
         "depth_in_sink": lambda sf: fill.depth_in_sink(raster.RasterSpec(
             rows=96, cols=96, tile_rows=32)),
         "downslope_distance_to_stream": lambda sf:

@@ -361,3 +361,21 @@ def test_elevation_above_stream_matches_walk(ray_session):
     want = streams._downslope_stream_value_naive(spec, 2.0, "elev")
     got = streams.elevation_above_stream(spec)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_elev_above_pit_and_distance_to_outlet_match_walk(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages import streams
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want_e = streams._downslope_pit_value_naive(spec, "elev")
+    got_e = streams.elev_above_pit(spec)
+    pd.testing.assert_frame_equal(got_e, want_e, check_dtype=False)
+    want_d = streams._downslope_pit_value_naive(spec, "dist")
+    got_d = streams.distance_to_outlet(spec)
+    pd.testing.assert_frame_equal(got_d, want_d, check_dtype=False)
+    alt = streams.distance_to_outlet(RasterSpec(rows=96, cols=96,
+                                                tile_rows=16))
+    pd.testing.assert_frame_equal(alt, want_d, check_dtype=False)

@@ -1638,14 +1638,22 @@ _UNREACHED = -1.0e300
 
 def _downslope_stream_value(spec: RasterSpec, threshold: float,
                             max_rounds: int, kind: str) -> pd.DataFrame:
+    """kind ∈ {dist, elev, pit_dist, pit_elev}: terminal cells are the
+    stream mask (dist/elev) or the pits themselves (ptr ≤ 0 — ElevAbove
+    Pit.java / DistanceToOutlet.groovy run the same walk to the path's
+    end)."""
     cols = spec.cols
     n = spec.n_tiles
-    frames = stream_topology_frames(spec, threshold)
-    streams_m = {int(r.tile_id):
-                 np.frombuffer(r.stream, dtype=np.int8)
-                 .reshape(int(r.shape0), cols).astype(bool)
-                 for r in frames.itertuples()}
-    str_ref = ray.put(streams_m)
+    pit_mode = kind.startswith("pit")
+    if pit_mode:
+        str_ref = ray.put(None)
+    else:
+        frames = stream_topology_frames(spec, threshold)
+        streams_m = {int(r.tile_id):
+                     np.frombuffer(r.stream, dtype=np.int8)
+                     .reshape(int(r.shape0), cols).astype(bool)
+                     for r in frames.itertuples()}
+        str_ref = ray.put(streams_m)
 
     def solve(batch, ext_ref, str_ref=str_ref) -> pd.DataFrame:
         ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
@@ -1658,7 +1666,7 @@ def _downslope_stream_value(spec: RasterSpec, threshold: float,
             z, ptr = _tile_pointers(spec, tid)
             H = z.shape[0]
             r0 = tid * spec.tile_rows
-            stream = st_all[tid]
+            stream = (ptr <= 0) if st_all is None else st_all[tid]
             ext = ext_all[tid]
             val = np.full((H, cols), _UNREACHED)
             order = np.argsort(z, axis=None, kind="stable")  # ascending
@@ -1667,7 +1675,7 @@ def _downslope_stream_value(spec: RasterSpec, threshold: float,
                 if z[r, c] == spec.nodata:
                     continue
                 if stream[r, c]:
-                    val[r, c] = 0.0 if kind == "dist" else z[r, c]
+                    val[r, c] = 0.0 if kind.endswith("dist") else z[r, c]
                     continue
                 code = ptr[r, c]
                 if code <= 0:
@@ -1681,8 +1689,8 @@ def _downslope_stream_value(spec: RasterSpec, threshold: float,
                 else:
                     continue
                 if recv != _UNREACHED:
-                    val[r, c] = recv + (_GRID_LEN[i] if kind == "dist"
-                                        else 0.0)
+                    val[r, c] = recv + (_GRID_LEN[i]
+                                        if kind.endswith("dist") else 0.0)
             rows.append({"tile_id": tid, "shape0": H, "val": val.tobytes(),
                          "top": val[0].tobytes(), "bot": val[-1].tobytes()})
         return pd.DataFrame(rows)
@@ -1724,7 +1732,7 @@ def _downslope_stream_value(spec: RasterSpec, threshold: float,
         from .raster import synth_value as sv
         z = sv(cell).reshape(h, cols)
         m = val != _UNREACHED
-        if kind == "elev":
+        if kind.endswith("elev"):
             res_plane = np.where(m, z - val, 0.0)
         else:
             res_plane = np.where(m, val, 0.0)
@@ -1779,6 +1787,63 @@ def _downslope_stream_value_naive(spec: RasterSpec, threshold: float,
                     break
                 code = ptr[y, x]
                 if code <= 0 or code == spec.nodata:
+                    break
+                i = int(code).bit_length() - 1
+                d += _GRID_LEN[i]
+                y += _DY[i]; x += _DX[i]
+                if not (0 <= y < R and 0 <= x < C) \
+                        or z[y, x] == spec.nodata:
+                    break
+    m = val != _UNREACHED
+    if kind == "elev":
+        res_plane = np.where(m, z - val, 0.0)
+    else:
+        res_plane = np.where(m, val, 0.0)
+    return pd.DataFrame({
+        "row_id": np.arange(R, dtype=np.int64),
+        "n_reached": m.sum(axis=1).astype(np.int64),
+        "value_sum": np.round(res_plane.sum(axis=1), 4)})
+
+
+def elev_above_pit(spec: RasterSpec | None = None,
+                   max_rounds: int = 64) -> pd.DataFrame:
+    """ElevAbovePit (TerrainAnalysisTools/src/plugins/ElevAbovePit
+    .java): z − z(pit at the end of the D8 path)."""
+    spec = spec or RasterSpec()
+    return _downslope_stream_value(spec, 0.0, max_rounds, "pit_elev")
+
+
+def distance_to_outlet(spec: RasterSpec | None = None,
+                       max_rounds: int = 64) -> pd.DataFrame:
+    """DistanceToOutlet (WhiteboxGIS/resources/plugins/Scripts/
+    DistanceToOutlet.groovy): step-length sum along the D8 path to its
+    terminal cell."""
+    spec = spec or RasterSpec()
+    return _downslope_stream_value(spec, 0.0, max_rounds, "pit_dist")
+
+
+def _downslope_pit_value_naive(spec: RasterSpec, kind: str) -> pd.DataFrame:
+    from .terrain import d8_kernel
+    from .raster import synth_value as sv
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = sv(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    R, C = z.shape
+    val = np.full((R, C), _UNREACHED)
+    for row in range(R):
+        for col in range(C):
+            if z[row, col] == spec.nodata:
+                continue
+            y, x = row, col
+            d = 0.0
+            while True:
+                code = ptr[y, x]
+                if code <= 0 or code == spec.nodata:
+                    val[row, col] = d if kind == "dist" else z[y, x]
                     break
                 i = int(code).bit_length() - 1
                 d += _GRID_LEN[i]

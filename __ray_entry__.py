@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "medoid": _vops_q("medoid"),
         "smooth_vector": _vops_q("smooth_vector"),
         "polygons_to_lines": _vops_q("polygons_to_lines"),
+        "buffer_vector": _vops_q("buffer_vector"),
         "multiparts_to_singleparts": _vops_q("multiparts_to_singleparts"),
         "singleparts_to_multiparts": _vops_q("singleparts_to_multiparts"),
         "remove_polygon_holes": _vops_q("remove_polygon_holes"),
@@ -591,6 +592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dissolve_union": lambda sf: vector_overlay.dissolve_union_area(sf),
         # --- distance transform (GISTools EuclideanDistance) ---
         "euclidean_distance": lambda sf: distance.euclidean_distance(),
+        "raster_buffer": lambda sf: distance.euclidean_distance(
+            buffer_d=10.0),
         "euclidean_allocation": lambda sf: distance.euclidean_allocation(),
         # --- cost distance (GISTools CostAccumulation/Allocation) ---
         "cost_accumulation": lambda sf: _cost_q(sf),
@@ -779,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "medoid": _medoid_sql(),
         "smooth_vector": _vops2("smooth_vector_sql"),
         "polygons_to_lines": _vops2("polygons_to_lines_sql"),
+        "buffer_vector": _vops2("buffer_vector_sql"),
         "multiparts_to_singleparts": _vops2("multiparts_to_singleparts_sql"),
         "singleparts_to_multiparts": _vops2("singleparts_to_multiparts_sql"),
         "remove_polygon_holes": _vops2("remove_polygon_holes_sql"),
@@ -796,6 +800,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_symdiff": o.overlay_area_sql("symmetric_difference"),
         "dissolve_union": o.dissolve_union_sql(),
         "euclidean_distance": o.euclidean_distance_sql(),
+        "raster_buffer": o.raster_buffer_sql(),
         "euclidean_allocation": o.euclidean_allocation_sql(),
         "raster_calc": o.raster_calc_sql(),
         "utm_project": _crs_sql(),

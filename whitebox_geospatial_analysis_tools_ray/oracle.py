@@ -3256,3 +3256,27 @@ res AS (SELECT cell,
 {_row_int_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def raster_buffer_sql(rows: int = 256, cols: int = 256,
+                      d: float = 10.0) -> str:
+    """Buffer (raster) mirror: count of cells with exact integer
+    d² ≤ d·d per row, over the same target lattice as the EDT."""
+    n = rows * cols
+    return f"""
+WITH tgt AS (
+  SELECT cell // {cols} AS tr, cell % {cols} AS tc
+  FROM range(0, {n}) t(cell)
+  WHERE ((cell * 2654435761 + 77) % 4294967296) % 251 = 0),
+g AS (SELECT i AS cell, i // {cols} AS r, i % {cols} AS c
+      FROM range(0, {n}) q(i)),
+d AS (SELECT g.cell,
+             MIN((g.r - tgt.tr) * (g.r - tgt.tr)
+                 + (g.c - tgt.tc) * (g.c - tgt.tc)) AS d2
+      FROM g CROSS JOIN tgt GROUP BY g.cell)
+SELECT cell // {cols} AS row_id,
+       CAST({cols} AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN d2 <= {int(d) * int(d)} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_buffer
+FROM d GROUP BY cell // {cols}
+"""

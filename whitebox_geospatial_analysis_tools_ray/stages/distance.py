@@ -72,9 +72,13 @@ def _local_col_dist(mask: np.ndarray) -> np.ndarray:
 
 
 def euclidean_distance(spec: RasterSpec | None = None,
-                       round_to: int = 6) -> "rd.Dataset":
+                       round_to: int = 6,
+                       buffer_d: float | None = None) -> "rd.Dataset":
     """Exact EDT to the nearest target cell; output per-row checksums
-    (row_id, n_valid, row_sum) of the distance raster."""
+    (row_id, n_valid, row_sum) of the distance raster. With
+    ``buffer_d``, the output is instead the Buffer tool
+    (WhiteboxGIS Buffer — cells within distance d of a target):
+    (row_id, n_valid, n_buffer) with the EXACT integer d² ≤ d·d test."""
     spec = spec or RasterSpec()
     tile_rows, cols = spec.tile_rows, spec.cols
 
@@ -127,6 +131,13 @@ def euclidean_distance(spec: RasterSpec | None = None,
             # any real distance (< rows+cols) always beats it in the min
             g2 = np.minimum(g, 1_000_000).astype(np.int64) ** 2
             d2 = (g2[:, None, :] + dx2[None, :, :]).min(axis=2)  # (H, cols)
+            if buffer_d is not None:
+                inside = d2 <= int(buffer_d) * int(buffer_d)
+                frames.append(pd.DataFrame({
+                    "row_id": np.arange(r0, r1),
+                    "n_valid": np.full(H, cols, dtype=np.int64),
+                    "n_buffer": inside.sum(axis=1).astype(np.int64)}))
+                continue
             dist = np.sqrt(d2.astype(np.float64))
             frames.append(pd.DataFrame({
                 "row_id": np.arange(r0, r1),

@@ -942,3 +942,41 @@ SELECT hex_id, hex_row, hex_col,
        {g.cy0:.17e} - hex_row * {g.tq_height:.17e} AS cy
 FROM h
 """
+
+
+BUFFER_DIST = 12.5
+
+
+def buffer_vector(sf_dir: str):
+    """BufferVector (VectorTools/src/plugins/BufferVector.java rule):
+    buffer each polygon outward by d. For the axis-aligned square layer
+    the buffered area has the closed form wh + 2d(w+h) + πd²
+    (rounded corners): (rec_id, buffered_area)."""
+    import numpy as np
+
+    from .vector_overlay import doc_squares
+
+    def fn(batch):
+        w = np.asarray(batch["xmax"]) - np.asarray(batch["xmin"])
+        h = np.asarray(batch["ymax"]) - np.asarray(batch["ymin"])
+        d = BUFFER_DIST
+        area = w * h + 2.0 * d * (w + h) + np.pi * d * d
+        return {"rec_id": np.asarray(batch["rec_id"]),
+                "buffered_area": np.round(area, 6)}
+
+    return doc_squares(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def buffer_vector_sql() -> str:
+    from ..core.features import POINTS_CTE
+    from ..oracle import _doc_squares_cte
+    d = BUFFER_DIST
+    return f"""
+WITH {POINTS_CTE},
+{_doc_squares_cte()},
+b AS (SELECT rec_id, xmax - xmin AS w, ymax - ymin AS h FROM boxes)
+SELECT rec_id,
+       round(w * h + 2.0 * {d!r} * (w + h) + pi() * {d!r} * {d!r}, 6)
+           AS buffered_area
+FROM b
+"""

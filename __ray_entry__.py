@@ -194,6 +194,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- tiling / cell encoding (TileLasFile + HexBinning) ---
         "tile_assign": lambda sf: tiling.tile_counts(sf)[0],
         "las_tile_stats": lambda sf: _las_q(sf),
+        "las_file_summary": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).get_las_file_summary(sf),
+        "filter_las_scan_angles": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).filter_las_scan_angles(sf),
+        "find_flightline_edge_points": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).find_flightline_edge_points(sf),
         "tile_hex": lambda sf: tiling.hex_counts(sf)[0],
         # --- spatial joins (IsolateVectorFeaturesByLocation family) ---
         "pip_rect_join": lambda sf: broadcast_pip_join(_points(sf), rect_zones()),
@@ -654,6 +663,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_assign": o.tile_assign_sql(),
         "las_tile_stats": _las_sql(),
+        "las_file_summary": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).get_las_file_summary_sql(),
+        "filter_las_scan_angles": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).filter_las_scan_angles_sql(),
+        "find_flightline_edge_points": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).find_flightline_edge_points_sql(),
         "tile_hex": o.hex_assign_sql(),
         "pip_rect_join": o.pip_rect_join_sql(),
         "pip_rect_join_shuffle": o.pip_rect_join_sql(),

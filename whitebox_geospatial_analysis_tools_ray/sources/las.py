@@ -65,7 +65,8 @@ def read_las_header(path: str) -> LasHeader:
 
 def write_las(path: str, x: np.ndarray, y: np.ndarray, z: np.ndarray,
               intensity: np.ndarray, classification: np.ndarray,
-              scale: float = SCALE) -> None:
+              scale: float = SCALE, scan_angle: np.ndarray | None = None,
+              flags: np.ndarray | None = None) -> None:
     """Minimal LAS 1.2 format-0 writer (deterministic test fixtures)."""
     xi = np.floor(np.asarray(x) / scale + 0.5).astype(np.int32)
     yi = np.floor(np.asarray(y) / scale + 0.5).astype(np.int32)
@@ -75,6 +76,10 @@ def write_las(path: str, x: np.ndarray, y: np.ndarray, z: np.ndarray,
     rec["xi"], rec["yi"], rec["zi"] = xi, yi, zi
     rec["intensity"] = np.asarray(intensity, dtype=np.uint16)
     rec["classification"] = np.asarray(classification, dtype=np.uint8)
+    if scan_angle is not None:
+        rec["scan_angle"] = np.asarray(scan_angle, dtype=np.int8)
+    if flags is not None:
+        rec["flags"] = np.asarray(flags, dtype=np.uint8)
     hdr = bytearray(227)
     hdr[:4] = b"LASF"
     hdr[24], hdr[25] = 1, 2
@@ -124,7 +129,9 @@ def read_las(path: str, chunk_points: int = 262_144):
                 "y": rec["yi"] * sy + oy,
                 "z": rec["zi"] * sz + oz,
                 "intensity": rec["intensity"].astype(np.int64),
-                "classification": rec["classification"].astype(np.int64)}))
+                "classification": rec["classification"].astype(np.int64),
+                "scan_angle": rec["scan_angle"].astype(np.int64),
+                "flags": rec["flags"].astype(np.int64)}))
         return pd.concat(frames, ignore_index=True)
 
     return rd.range(n_chunks).map_batches(load, batch_format="numpy")
@@ -149,12 +156,14 @@ def synth_las_path(sf_dir: str) -> str:
     from ..stages.points import read_points
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/graft_las_{tag}.las"
+    path = f"/tmp/graft_las_v2_{tag}.las"   # v2: + scan_angle/edge flags
     if not os.path.exists(path):
         pts = read_points(sf_dir).to_pandas().sort_values("rec_id")
         ids = pts["rec_id"].to_numpy()
         write_las(path, pts["x"].to_numpy(), pts["y"].to_numpy(),
-                  pts["z"].to_numpy(), ids % 4096, ids % 7 + 1)
+                  pts["z"].to_numpy(), ids % 4096, ids % 7 + 1,
+                  scan_angle=ids % 31 - 15,
+                  flags=np.where(ids % 13 == 0, 0x40, 0))
     return path
 
 
@@ -212,4 +221,74 @@ SELECT tile_id, COUNT(*) AS n_points,
        SUM(intensity) AS sum_intensity,
        round(SUM(z), 6) AS sum_z
 FROM keyed GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+def get_las_file_summary(sf_dir: str):
+    """GetLasFileSummary (LidarTools scripts): per-classification point
+    counts + global count — header parse on the driver, one partial
+    count pass over the point chunks."""
+    ds = read_las(synth_las_path(sf_dir))
+
+    def partial(batch) -> pd.DataFrame:
+        cls, counts = np.unique(np.asarray(batch["classification"]),
+                                return_counts=True)
+        return pd.DataFrame({"classification": cls.astype(np.int64),
+                             "n_points": counts.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    out = parts.groupby("classification", as_index=False)["n_points"].sum()
+    return out.sort_values("classification").reset_index(drop=True)
+
+
+def get_las_file_summary_sql() -> str:
+    return """
+SELECT CAST(doc_id % 7 + 1 AS BIGINT) AS classification,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM documents GROUP BY 1
+"""
+
+
+def filter_las_scan_angles(sf_dir: str, threshold: int = 10):
+    """FilterLasScanAngles (LidarTools scripts): drop points with
+    |scan angle| > threshold; summary row (n_kept, sum_intensity)."""
+    ds = read_las(synth_las_path(sf_dir))
+
+    def partial(batch) -> pd.DataFrame:
+        sa = np.asarray(batch["scan_angle"])
+        keep = np.abs(sa) <= threshold
+        return pd.DataFrame({
+            "n": [int(keep.sum())],
+            "si": [int(np.asarray(batch["intensity"])[keep].sum())]})
+
+    parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    return pd.DataFrame({"n_kept": [int(parts["n"].sum())],
+                         "sum_intensity": [int(parts["si"].sum())]})
+
+
+def filter_las_scan_angles_sql(threshold: int = 10) -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id % 4096) AS BIGINT) AS sum_intensity
+FROM documents WHERE abs(doc_id % 31 - 15) <= {threshold}
+"""
+
+
+def find_flightline_edge_points(sf_dir: str):
+    """FindFlightlineEdgePoints (LidarTools scripts): points with the
+    edge-of-flightline flag bit set; summary (n_edge)."""
+    ds = read_las(synth_las_path(sf_dir))
+
+    def partial(batch) -> pd.DataFrame:
+        fl = np.asarray(batch["flags"])
+        return pd.DataFrame({"n": [int(((fl & 0x40) != 0).sum())]})
+
+    parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    return pd.DataFrame({"n_edge": [int(parts["n"].sum())]})
+
+
+def find_flightline_edge_points_sql() -> str:
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n_edge
+FROM documents WHERE doc_id % 13 = 0
 """

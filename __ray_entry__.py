@@ -512,6 +512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "num_upslope_neighbours": _checksum_q(
             lambda ds, spec: hydro.num_upslope_neighbours(
                 ds, spec, regen=raster.synth_value)),
+        "min_downslope_elev_change": lambda sf: raster.raster_row_checksums(
+            hydro.min_downslope_elev_change(raster.RasterSpec()),
+            raster.RasterSpec()),
         "max_downslope_elev_change": _checksum_q(
             lambda ds, spec: hydro.max_downslope_elev_change(
                 ds, spec, regen=raster.synth_value)),
@@ -789,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
         "num_downslope_neighbours": o.num_neighbours_sql(upslope=False),
         "num_upslope_neighbours": o.num_neighbours_sql(upslope=True),
         "max_downslope_elev_change": o.max_downslope_change_sql(),
+        "min_downslope_elev_change": o.min_downslope_change_sql(),
         "find_patch_edge_cells": o.patch_edge_cells_sql(),
         "filter_local_contrast": o.local_contrast_sql(),
         "flow_pointer_rho8": o.rho8_pointer_sql(),

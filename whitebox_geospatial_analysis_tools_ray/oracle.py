@@ -3280,3 +3280,51 @@ SELECT cell // {cols} AS row_id,
             AS BIGINT) AS n_buffer
 FROM d GROUP BY cell // {cols}
 """
+
+
+def min_downslope_change_sql(rows: int = 256, cols: int = 256) -> str:
+    """MinDownslopeElevationChange.java mirror — reflected (edge-
+    replicated) 3×3 reads via clamped-index self-join, slope ≥ 0
+    strict-< first-wins running min."""
+    sqrt2 = repr(math.sqrt(2.0))
+    dists = [sqrt2 if i % 2 == 0 else "1.0" for i in range(8)]
+    # neighbour order NE,E,SE,S,SW,W,NW,N (dx, dy)
+    dirs = [(1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1),
+            (0, -1)]
+    tap_rows = ", ".join(f"({i}, {dx}, {dy})" for i, (dx, dy)
+                         in enumerate(dirs))
+    slopes = ",\n  ".join(
+        f"MAX(CASE WHEN i = {i} THEN nv END) AS v{i}" for i in range(8))
+    s_exprs = ",\n  ".join(
+        f"CASE WHEN v{i} <> {_NOD} AND (v - v{i}) / {dists[i]} >= 0 "
+        f"THEN (v - v{i}) / {dists[i]} END AS s{i}" for i in range(8))
+    best = "least(" + ", ".join(
+        f"coalesce(s{i}, 99999999.0)" for i in range(8)) + ")"
+    zchg = "CASE " + " ".join(
+        f"WHEN s{i} IS NOT NULL AND s{i} = ms THEN v - v{i}"
+        for i in range(8)) + " END"
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+taps(i, dx, dy) AS (VALUES {tap_rows}),
+nb2 AS (SELECT g.cell, g.v, t.i, v2.v AS nv
+        FROM g CROSS JOIN taps t
+        JOIN g v2 ON v2.cell =
+            least(greatest(g.r + t.dy, 0), {rows - 1}) * {cols}
+            + least(greatest(g.c + t.dx, 0), {cols - 1})),
+piv AS (SELECT cell, MAX(v) AS v,
+  {slopes}
+FROM nb2 GROUP BY cell),
+sl AS (SELECT cell, v, v0, v1, v2, v3, v4, v5, v6, v7,
+  {s_exprs}
+FROM piv),
+mx AS (SELECT cell, v, {best} AS ms,
+  v0, v1, v2, v3, v4, v5, v6, v7,
+  s0, s1, s2, s3, s4, s5, s6, s7 FROM sl),
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN {_NOD}
+             WHEN ms < 99999999.0 THEN {zchg}
+             ELSE 0.0 END AS f FROM mx)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -1437,3 +1437,49 @@ def max_downslope_elev_change(ds, spec: RasterSpec, regen=None):
         return full
 
     return stencil_apply(ds, spec, kernel, halo=1, regen=regen)
+
+
+def min_downslope_elev_change(spec: RasterSpec) -> "rd.Dataset":
+    """MinDownslopeElevationChange (TerrainAnalysisTools/src/plugins/
+    MinDownslopeElevationChange.java): z-drop to the GENTLEST
+    non-negative-slope neighbour (slope = (z−z2)/dist, strict-<
+    running min, first direction wins), 0 when none. The tool sets
+    isReflectedAtEdges — for a 3×3 window reflection is edge
+    replication (row −1 → 0 per WhiteboxRaster.java:539-551)."""
+    from .raster import synth_value
+
+    dists = [math.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8)]
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+            cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+            a = synth_value(cell).reshape(hi - lo, spec.cols)
+            # edge-replicated pad: vertical only where the GRID ends
+            top = 1 if lo == r0 else 0
+            bot = 1 if hi == r1 else 0
+            p = np.pad(a, ((top, bot), (1, 1)), mode="edge")
+            H = r1 - r0
+            off = (r0 - lo) + top
+            z = p[off:off + H, 1:-1]
+            min_slope = np.full_like(z, 99999999.0)
+            zchange = np.zeros_like(z)
+            for i in range(8):
+                nb = p[off + _DY[i]:off + _DY[i] + H,
+                       1 + _DX[i]:1 + _DX[i] + spec.cols]
+                ok = nb != spec.nodata
+                slope = (z - nb) / dists[i]
+                take = ok & (slope >= 0) & (slope < min_slope)
+                min_slope = np.where(take, slope, min_slope)
+                zchange = np.where(take, z - nb, zchange)
+            res = np.where(min_slope < 99999999.0, zchange, 0.0)
+            res = np.where(z != spec.nodata, res, spec.nodata)
+            out["tile_id"].append(tid)
+            out["data"].append(res.ravel())
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")

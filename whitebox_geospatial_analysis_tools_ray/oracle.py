@@ -3284,17 +3284,31 @@ FROM d GROUP BY cell // {cols}
 
 def min_downslope_change_sql(rows: int = 256, cols: int = 256) -> str:
     """MinDownslopeElevationChange.java mirror — reflected (edge-
-    replicated) 3×3 reads via clamped-index self-join, slope ≥ 0
-    strict-< first-wins running min."""
+    replicated) 3×3 reads resolved per tap as a CASE over the standard
+    neighbour columns (clamping row/col independently maps every
+    boundary read onto v or another n_i), slope ≥ 0 strict-< first-wins
+    running min."""
     sqrt2 = repr(math.sqrt(2.0))
     dists = [sqrt2 if i % 2 == 0 else "1.0" for i in range(8)]
-    # neighbour order NE,E,SE,S,SW,W,NW,N (dx, dy)
     dirs = [(1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1),
             (0, -1)]
-    tap_rows = ", ".join(f"({i}, {dx}, {dy})" for i, (dx, dy)
-                         in enumerate(dirs))
-    slopes = ",\n  ".join(
-        f"MAX(CASE WHEN i = {i} THEN nv END) AS v{i}" for i in range(8))
+    idx_of = {d: i for i, d in enumerate(dirs)}
+
+    def nb_expr(dx: int, dy: int) -> str:
+        return "v" if (dx, dy) == (0, 0) else f"n{idx_of[(dx, dy)]}"
+
+    tap_cols = []
+    for i, (dx, dy) in enumerate(dirs):
+        edge_r = (f"(r + ({dy}) < 0 OR r + ({dy}) > {rows - 1})"
+                  if dy != 0 else "FALSE")
+        edge_c = (f"(c + ({dx}) < 0 OR c + ({dx}) > {cols - 1})"
+                  if dx != 0 else "FALSE")
+        tap_cols.append(
+            f"CASE WHEN {edge_r} AND {edge_c} THEN v "
+            f"WHEN {edge_r} THEN {nb_expr(dx, 0)} "
+            f"WHEN {edge_c} THEN {nb_expr(0, dy)} "
+            f"ELSE {nb_expr(dx, dy)} END AS v{i}")
+    tap_sql = ",\n  ".join(tap_cols)
     s_exprs = ",\n  ".join(
         f"CASE WHEN v{i} <> {_NOD} AND (v - v{i}) / {dists[i]} >= 0 "
         f"THEN (v - v{i}) / {dists[i]} END AS s{i}" for i in range(8))
@@ -3305,16 +3319,10 @@ def min_downslope_change_sql(rows: int = 256, cols: int = 256) -> str:
         for i in range(8)) + " END"
     return f"""
 WITH {_raster_vals_cte(rows, cols)},
-g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
-taps(i, dx, dy) AS (VALUES {tap_rows}),
-nb2 AS (SELECT g.cell, g.v, t.i, v2.v AS nv
-        FROM g CROSS JOIN taps t
-        JOIN g v2 ON v2.cell =
-            least(greatest(g.r + t.dy, 0), {rows - 1}) * {cols}
-            + least(greatest(g.c + t.dx, 0), {cols - 1})),
-piv AS (SELECT cell, MAX(v) AS v,
-  {slopes}
-FROM nb2 GROUP BY cell),
+{_neighbour_cte(rows, cols)},
+piv AS (SELECT cell, v,
+  {tap_sql}
+FROM nb),
 sl AS (SELECT cell, v, v0, v1, v2, v3, v4, v5, v6, v7,
   {s_exprs}
 FROM piv),

@@ -530,6 +530,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
                 regen=raster.synth_value),
             raster.RasterSpec()),
+        "avg_upslope_flowpath_length": lambda sf:
+            hydro.avg_upslope_flowpath_length(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
+        "total_upstream_channel_length": lambda sf:
+            hydro.total_upstream_channel_length(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
+        "furthest_channel_head_distance": lambda sf:
+            hydro.furthest_channel_head_distance(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
         "elev_above_pit": lambda sf: streams.elev_above_pit(
             raster.RasterSpec(rows=96, cols=96, tile_rows=32)),
         "distance_to_outlet": lambda sf: streams.distance_to_outlet(

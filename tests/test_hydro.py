@@ -219,3 +219,33 @@ def test_depth_in_sink_matches_naive(ray_session):
     got = depth_in_sink(spec)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert float(want["depth_sum"].sum()) > 0
+
+
+def test_avg_upslope_flowpath_matches_walk_and_tiling(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = hydro.avg_upslope_flowpath_length_naive(spec)
+    got = hydro.avg_upslope_flowpath_length(spec)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    alt = hydro.avg_upslope_flowpath_length(
+        RasterSpec(rows=96, cols=96, tile_rows=16))
+    pd.testing.assert_frame_equal(alt, want, check_dtype=False)
+
+
+def test_upstream_channel_values_match_naive(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    for mode, fn in (("sum", hydro.total_upstream_channel_length),
+                     ("max", hydro.furthest_channel_head_distance)):
+        want = hydro._upstream_channel_value_naive(spec, 2.0, mode)
+        got = fn(spec)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert float(want["value_sum"].sum()) > 0

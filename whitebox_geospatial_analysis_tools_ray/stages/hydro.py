@@ -1483,3 +1483,390 @@ def min_downslope_elev_change(spec: RasterSpec) -> "rd.Dataset":
         return pd.DataFrame(out)
 
     return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+def _ptr_halo(spec: RasterSpec, tid: int):
+    """(z_ext, ptr_ext) with one halo row above/below (from the
+    adjacent tiles' own pointer computations)."""
+    z, ptr = _tile_pointers(spec, tid)
+    h = z.shape[0]
+    cols = spec.cols
+    ze = np.full((h + 2, cols), spec.nodata)
+    pe = np.zeros((h + 2, cols))
+    ze[1:-1], pe[1:-1] = z, ptr
+    if tid > 0:
+        zt, pt = _tile_pointers(spec, tid - 1)
+        ze[0], pe[0] = zt[-1], pt[-1]
+    if tid + 1 < spec.n_tiles:
+        zb, pb = _tile_pointers(spec, tid + 1)
+        ze[-1], pe[-1] = zb[0], pb[0]
+    return ze, pe
+
+
+def _inflow_count_ext(ze, pe, nodata):
+    """Inflow count for the interior rows given 1-halo (z, ptr)."""
+    H2, W = ze.shape
+    H = H2 - 2
+    cnt = np.zeros((H, W), dtype=np.int64)
+    for r in range(1, H2 - 1):
+        for c in range(W):
+            if ze[r, c] == nodata:
+                continue
+            n = 0
+            for i in range(8):
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= r2 < H2 and 0 <= c2 < W \
+                        and ze[r2, c2] != nodata \
+                        and pe[r2, c2] == float(1 << ((i + 4) % 8)):
+                    n += 1
+            cnt[r - 1, c] = n
+    return cnt
+
+
+def avg_upslope_flowpath_length(spec: RasterSpec | None = None,
+                                max_rounds: int = 64,
+                                round_to: int = 4) -> pd.DataFrame:
+    """AverageUpslopeFlowpathLength (TerrainAnalysisTools/src/plugins/
+    AverageUpslopeFlowpathLength.java:275-360): divide (head) cells
+    start one flowpath each; each cell stores (N = upstream divide
+    cells, T = Σ path lengths) and passes (N or 1-at-heads,
+    T + N·step); output T/N (0 where N = 0, i.e. at divide cells).
+    Distributed as the descending-z banded fixed point with a
+    TWO-channel sum message."""
+    import json as _json
+
+    from .raster import synth_value
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+    GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
+    zero = {t: np.zeros((min(spec.tile_rows,
+                             spec.rows - t * spec.tile_rows), cols))
+            for t in range(n)}
+    inflows = {t: (zero[t].copy(), zero[t].copy()) for t in range(n)}
+
+    def solve(batch, inflow_ref) -> pd.DataFrame:
+        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
+            else inflow_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            ze, pe = _ptr_halo(spec, tid)
+            z = ze[1:-1]
+            ptr = pe[1:-1]
+            H = z.shape[0]
+            valid = z != spec.nodata
+            head = (_inflow_count_ext(ze, pe, spec.nodata) == 0) & valid
+            N = np.where(valid, infl[tid][0], 0.0)
+            T = np.where(valid, infl[tid][1], 0.0)
+            out_up: dict[int, list] = {}
+            out_dn: dict[int, list] = {}
+            for lin in np.argsort(-z, axis=None, kind="stable"):
+                r, c = divmod(int(lin), cols)
+                if not valid[r, c]:
+                    continue
+                code = ptr[r, c]
+                if code == spec.nodata or code <= 0:
+                    continue
+                i = int(code).bit_length() - 1
+                np_ = 1.0 if head[r, c] else N[r, c]
+                tp = T[r, c] + np_ * GL[i]
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= c2 < cols:
+                    if 0 <= r2 < H:
+                        if valid[r2, c2]:
+                            N[r2, c2] += np_
+                            T[r2, c2] += tp
+                    else:
+                        tgt = out_up if r2 < 0 else out_dn
+                        acc = tgt.setdefault(c2, [0.0, 0.0])
+                        acc[0] += np_
+                        acc[1] += tp
+            rows.append({"tile_id": tid, "N": N.tobytes(), "T": T.tobytes(),
+                         "shape0": H,
+                         "up": _json.dumps(out_up),
+                         "dn": _json.dumps(out_dn)})
+        return pd.DataFrame(rows)
+
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(inflows)
+        res = (rd.range(n)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_inflows = {t: (np.zeros_like(zero[t]), np.zeros_like(zero[t]))
+                       for t in range(n)}
+        for r in res.itertuples():
+            for col, (a, b) in _json_load_pairs(r.up).items():
+                if r.tile_id > 0:
+                    new_inflows[r.tile_id - 1][0][-1, int(col)] += a
+                    new_inflows[r.tile_id - 1][1][-1, int(col)] += b
+            for col, (a, b) in _json_load_pairs(r.dn).items():
+                if r.tile_id < n - 1:
+                    new_inflows[r.tile_id + 1][0][0, int(col)] += a
+                    new_inflows[r.tile_id + 1][1][0, int(col)] += b
+        if all(np.array_equal(new_inflows[t][0], inflows[t][0])
+               and np.array_equal(new_inflows[t][1], inflows[t][1])
+               for t in inflows):
+            last = res
+            break
+        inflows = new_inflows
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("avg upslope length did not converge")
+
+    frames = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        N = np.frombuffer(r.N).reshape(h, cols)
+        T = np.frombuffer(r.T).reshape(h, cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
+        valid = synth_value(cell).reshape(h, cols) != spec.nodata
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where((N > 0) & valid, T / np.maximum(N, 1.0), 0.0)
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "avg_sum": np.round(avg.sum(axis=1), round_to)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def _json_load_pairs(s: str) -> dict:
+    import json as _json
+    return {k: (float(v[0]), float(v[1]))
+            for k, v in _json.loads(s).items()}
+
+
+def avg_upslope_flowpath_length_naive(spec: RasterSpec,
+                                      round_to: int = 4) -> pd.DataFrame:
+    """Literal AverageUpslopeFlowpathLength walk (numInflowing
+    decrement queue)."""
+    from .raster import synth_value
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    R, C = z.shape
+    GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
+    valid = z != spec.nodata
+
+    infl = np.full((R, C), -1.0)
+    for r in range(R):
+        for c in range(C):
+            if not valid[r, c]:
+                infl[r, c] = np.nan
+                continue
+            n = 0
+            for i in range(8):
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= r2 < R and 0 <= c2 < C and valid[r2, c2] \
+                        and ptr[r2, c2] == float(1 << ((i + 4) % 8)):
+                    n += 1
+            infl[r, c] = n if n > 0 else -1.0
+    N = np.zeros((R, C))
+    T = np.zeros((R, C))
+    done = np.zeros((R, C), dtype=bool)
+    for row in range(R):
+        for col in range(C):
+            if not valid[row, col] or infl[row, col] > 0 or done[row, col]:
+                continue
+            y, x = row, col
+            while True:
+                v = infl[y, x]
+                if done[y, x] or not (v <= 0):
+                    break
+                if v == -1.0:
+                    N[y, x] = 0.0
+                    n_pass = 1.0
+                else:
+                    n_pass = N[y, x]
+                done[y, x] = True
+                code = ptr[y, x]
+                if code <= 0 or code == spec.nodata:
+                    break
+                i = int(code).bit_length() - 1
+                add = T[y, x] + n_pass * GL[i]
+                y2, x2 = y + _DY[i], x + _DX[i]
+                if not (0 <= y2 < R and 0 <= x2 < C) or not valid[y2, x2]:
+                    break
+                N[y2, x2] += n_pass
+                T[y2, x2] += add
+                infl[y2, x2] -= 1
+                y, x = y2, x2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg = np.where((N > 0) & valid, T / np.maximum(N, 1.0), 0.0)
+    return pd.DataFrame({
+        "row_id": np.arange(R, dtype=np.int64),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "avg_sum": np.round(avg.sum(axis=1), round_to)})
+
+
+def _upstream_channel_value(spec: RasterSpec, threshold: float,
+                            max_rounds: int, mode: str,
+                            round_to: int = 4) -> pd.DataFrame:
+    """TotalLengthOfUpstreamChannels.groovy (mode="sum") /
+    FurtherestUpstreamChannelHeadDistance.groovy (mode="max"): channel
+    heads seed 0; each stream cell passes value + step to its stream
+    receiver; combine by Σ / max. Banded fixed point over the stream
+    mask (acc ≥ threshold)."""
+    import json as _json
+
+    from .raster import synth_value
+
+    cols = spec.cols
+    n = spec.n_tiles
+    GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
+    acc_frames = flow_accumulation_frames(spec)
+    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
+           for r in acc_frames.itertuples()}
+    acc_ref = ray.put(acc)
+    zero = {t: np.zeros((min(spec.tile_rows,
+                             spec.rows - t * spec.tile_rows), cols))
+            for t in range(n)}
+    inflows = {t: zero[t].copy() for t in range(n)}
+
+    def solve(batch, inflow_ref, acc_ref=acc_ref) -> pd.DataFrame:
+        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
+            else inflow_ref
+        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
+            else acc_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            H = z.shape[0]
+            stream = (z != spec.nodata) & (acc_all[tid] >= threshold)
+            val = np.where(stream, infl[tid], 0.0)
+            out_up: dict[int, float] = {}
+            out_dn: dict[int, float] = {}
+            for lin in np.argsort(-z, axis=None, kind="stable"):
+                r, c = divmod(int(lin), cols)
+                if not stream[r, c]:
+                    continue
+                code = ptr[r, c]
+                if code == spec.nodata or code <= 0:
+                    continue
+                i = int(code).bit_length() - 1
+                v = val[r, c] + GL[i]
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= c2 < cols:
+                    if 0 <= r2 < H:
+                        if stream[r2, c2]:
+                            val[r2, c2] = (val[r2, c2] + v if mode == "sum"
+                                           else max(val[r2, c2], v))
+                    else:
+                        tgt = out_up if r2 < 0 else out_dn
+                        if mode == "sum":
+                            tgt[c2] = tgt.get(c2, 0.0) + v
+                        else:
+                            tgt[c2] = max(tgt.get(c2, 0.0), v)
+            rows.append({"tile_id": tid, "val": val.tobytes(), "shape0": H,
+                         "stream": stream.astype(np.int8).tobytes(),
+                         "up": _json.dumps(out_up),
+                         "dn": _json.dumps(out_dn)})
+        return pd.DataFrame(rows)
+
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(inflows)
+        res = (rd.range(n)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_inflows = {t: np.zeros_like(zero[t]) for t in range(n)}
+        for r in res.itertuples():
+            for col, amt in _json.loads(r.up).items():
+                if r.tile_id > 0:
+                    c = int(col)
+                    if mode == "sum":
+                        new_inflows[r.tile_id - 1][-1, c] += amt
+                    else:
+                        new_inflows[r.tile_id - 1][-1, c] = max(
+                            new_inflows[r.tile_id - 1][-1, c], amt)
+            for col, amt in _json.loads(r.dn).items():
+                if r.tile_id < n - 1:
+                    c = int(col)
+                    if mode == "sum":
+                        new_inflows[r.tile_id + 1][0, c] += amt
+                    else:
+                        new_inflows[r.tile_id + 1][0, c] = max(
+                            new_inflows[r.tile_id + 1][0, c], amt)
+        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
+            last = res
+            break
+        inflows = new_inflows
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("upstream channel value did not converge")
+
+    import json as _json
+    frames = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        val = np.frombuffer(r.val).reshape(h, cols)
+        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(h, cols) \
+            .astype(bool)
+        r0 = int(r.tile_id) * spec.tile_rows
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_stream": stream.sum(axis=1).astype(np.int64),
+            "value_sum": np.round(np.where(stream, val, 0.0).sum(axis=1),
+                                  round_to)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def total_upstream_channel_length(spec: RasterSpec | None = None,
+                                  threshold: float = 2.0,
+                                  max_rounds: int = 64) -> pd.DataFrame:
+    spec = spec or RasterSpec()
+    return _upstream_channel_value(spec, threshold, max_rounds, "sum")
+
+
+def furthest_channel_head_distance(spec: RasterSpec | None = None,
+                                   threshold: float = 2.0,
+                                   max_rounds: int = 64) -> pd.DataFrame:
+    spec = spec or RasterSpec()
+    return _upstream_channel_value(spec, threshold, max_rounds, "max")
+
+
+def _upstream_channel_value_naive(spec: RasterSpec, threshold: float,
+                                  mode: str,
+                                  round_to: int = 4) -> pd.DataFrame:
+    """Single-process Kahn over the stream network."""
+    from .raster import synth_value
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, _, _ = _accumulate_tile(z, ptr, np.zeros_like(z), spec.nodata)
+    stream = (z != spec.nodata) & (acc >= threshold)
+    R, C = z.shape
+    GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
+    val = np.zeros((R, C))
+    for lin in np.argsort(-z, axis=None, kind="stable"):
+        r, c = divmod(int(lin), C)
+        if not stream[r, c]:
+            continue
+        code = ptr[r, c]
+        if code <= 0 or code == spec.nodata:
+            continue
+        i = int(code).bit_length() - 1
+        v = val[r, c] + GL[i]
+        r2, c2 = r + _DY[i], c + _DX[i]
+        if 0 <= r2 < R and 0 <= c2 < C and stream[r2, c2]:
+            val[r2, c2] = val[r2, c2] + v if mode == "sum" \
+                else max(val[r2, c2], v)
+    return pd.DataFrame({
+        "row_id": np.arange(R, dtype=np.int64),
+        "n_stream": stream.sum(axis=1).astype(np.int64),
+        "value_sum": np.round(np.where(stream, val, 0.0).sum(axis=1),
+                              round_to)})

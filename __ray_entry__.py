@@ -530,6 +530,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
                 regen=raster.synth_value),
             raster.RasterSpec()),
+        "elev_rel_watershed_minmax": lambda sf:
+            hydro.elev_rel_watershed_minmax(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
         "avg_upslope_flowpath_length": lambda sf:
             hydro.avg_upslope_flowpath_length(raster.RasterSpec(
                 rows=96, cols=96, tile_rows=32)),

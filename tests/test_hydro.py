@@ -249,3 +249,17 @@ def test_upstream_channel_values_match_naive(ray_session):
         got = fn(spec)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert float(want["value_sum"].sum()) > 0
+
+
+def test_elev_rel_watershed_minmax_tiling_invariant(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    a = hydro.elev_rel_watershed_minmax(RasterSpec(rows=96, cols=96,
+                                                   tile_rows=32))
+    b = hydro.elev_rel_watershed_minmax(RasterSpec(rows=96, cols=96,
+                                                   tile_rows=16))
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a["n_labeled"].sum()) > 0

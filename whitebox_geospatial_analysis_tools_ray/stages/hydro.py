@@ -324,6 +324,118 @@ def watershed(spec: RasterSpec | None = None) -> pd.DataFrame:
     return final.sort_values("row_id").reset_index(drop=True)
 
 
+def watershed_label_frames(spec: RasterSpec) -> pd.DataFrame:
+    """Resolved watershed LABEL arrays per tile (tile_id, labels bytes,
+    shape0) — the watershed machinery with the exit chains resolved."""
+    cols = spec.cols
+
+    def pass1(batch) -> pd.DataFrame:
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, out = _resolve_tile(spec, tid)
+            r0 = tid * spec.tile_rows
+            edge = {}
+            for rr in (0, out.shape[0] - 1):
+                for cc in range(cols):
+                    edge[(r0 + rr) * cols + cc] = int(out[rr, cc])
+            rows.append({"tile_id": tid, "out": out.tobytes(),
+                         "shape0": out.shape[0],
+                         "edge_cells": np.array(list(edge),
+                                                dtype=np.int64).tobytes(),
+                         "edge_vals": np.array(list(edge.values()),
+                                               dtype=np.int64).tobytes()})
+        return pd.DataFrame(rows)
+
+    res = (rd.range(spec.n_tiles)
+           .map_batches(pass1, batch_format="numpy").to_pandas())
+    boundary: dict[int, int] = {}
+    for r in res.itertuples():
+        cells = np.frombuffer(r.edge_cells, dtype=np.int64)
+        vals = np.frombuffer(r.edge_vals, dtype=np.int64)
+        boundary.update(zip(cells.tolist(), vals.tolist()))
+
+    def resolve(cell: int) -> int:
+        v = boundary.get(cell, 0)
+        while v < 0:
+            cell = -v - 1
+            v = boundary.get(cell, 0)
+        return v
+
+    resolved = {c: resolve(c) for c in boundary}
+    res_ref = ray.put(resolved)
+
+    def pass2(batch) -> pd.DataFrame:
+        rmap = ray.get(res_ref) if isinstance(res_ref, ray.ObjectRef)             else res_ref
+        frames = []
+        for tid, buf, h in zip(batch["tile_id"], batch["out"],
+                               batch["shape0"]):
+            out = np.frombuffer(buf, dtype=np.int64).reshape(int(h),
+                                                             cols).copy()
+            neg = out < 0
+            if neg.any():
+                flat = out[neg]
+                out[neg] = np.array([rmap.get(int(-v - 1), 0) for v in flat],
+                                    dtype=np.int64)
+            frames.append(pd.DataFrame({"tile_id": [int(tid)],
+                                        "labels": [out.tobytes()],
+                                        "shape0": [int(h)]}))
+        return pd.concat(frames, ignore_index=True)
+
+    return (rd.from_pandas(res[["tile_id", "out", "shape0"]])
+            .map_batches(pass2, batch_format="pandas").to_pandas()
+            .sort_values("tile_id").reset_index(drop=True))
+
+
+def elev_rel_watershed_minmax(spec: RasterSpec | None = None,
+                              round_to: int = 6) -> pd.DataFrame:
+    """ElevRelativeToWatershedMinMax (TerrainAnalysisTools family):
+    (z − min_w)/(max_w − min_w) per cell within its watershed —
+    watershed labels (proven machinery) → bounded per-label min/max
+    combine → stateless remap. Unlabelled cells → excluded."""
+    from .raster import synth_value
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    frames = watershed_label_frames(spec)
+    mm: dict[int, tuple[float, float]] = {}
+    per_tile = []
+    for r in frames.itertuples():
+        lab = np.frombuffer(r.labels, dtype=np.int64).reshape(
+            int(r.shape0), cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + int(r.shape0)) * cols,
+                         dtype=np.int64)
+        z = synth_value(cell).reshape(int(r.shape0), cols)
+        per_tile.append((r0, lab, z))
+        m = lab > 0
+        for L in np.unique(lab[m]):
+            sel = z[(lab == L) & (z != spec.nodata)]
+            if len(sel):
+                lo, hi = float(sel.min()), float(sel.max())
+                if L in mm:
+                    mm[L] = (min(mm[L][0], lo), max(mm[L][1], hi))
+                else:
+                    mm[L] = (lo, hi)
+    out = []
+    for r0, lab, z in per_tile:
+        rel = np.zeros_like(z)
+        m = (lab > 0) & (z != spec.nodata)
+        for L, (lo, hi) in mm.items():
+            sel = (lab == L) & m
+            if hi > lo:
+                rel[sel] = (z[sel] - lo) / (hi - lo)
+            else:
+                rel[sel] = 0.0
+        out.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + lab.shape[0]),
+            "n_labeled": m.sum(axis=1).astype(np.int64),
+            "rel_sum": np.round(np.where(m, rel, 0.0).sum(axis=1),
+                                round_to)}))
+    return (pd.concat(out, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
 def watershed_naive(spec: RasterSpec) -> pd.DataFrame:
     """Whole-grid ascending-z mirror."""
     cols = spec.cols

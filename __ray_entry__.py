@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_conservative_smoothing": _checksum_q(
             lambda ds, spec: raster_stats.filter_conservative_smoothing(
                 ds, spec, regen=raster.synth_value)),
+        "test_for_normality": lambda sf: raster_stats.test_for_normality(
+            raster.synth_raster(raster.RasterSpec()), raster.RasterSpec()),
         "image_global_stats": lambda sf: raster_stats.image_global_stats(
             raster.synth_raster(raster.RasterSpec()), raster.RasterSpec()),
         "attribute_histogram": lambda sf: relational.attribute_histogram(sf),
@@ -776,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "reclass_from_file": o.reclass_from_file_sql(),
         "filter_dog": o.dog_filter_sql(),
         "image_global_stats": o.image_global_stats_sql(),
+        "test_for_normality": o.test_for_normality_sql(),
         "attribute_histogram": relational_mod.attribute_histogram_sql(),
         "attribute_correlation": relational_mod.attribute_correlation_sql(),
         "percentage_stretch": o.percentage_stretch_sql(),

@@ -3336,3 +3336,51 @@ res AS (SELECT cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def test_for_normality_sql(rows: int = 256, cols: int = 256,
+                           num_bins: int = 10000) -> str:
+    """TestForNormality.java:238-377 mirror — same two-pass deviation,
+    histogram CDF vs discretized normal CDF, Dmax, p-value."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+st AS (SELECT min(v) AS lo, max(v) AS hi,
+              CAST(count(*) AS DOUBLE) AS n, SUM(v) / count(*) AS mean
+       FROM vals WHERE v <> {_NOD}),
+dev AS (SELECT SUM((v - (SELECT mean FROM st))
+                   * (v - (SELECT mean FROM st))) AS td
+        FROM vals WHERE v <> {_NOD}),
+prm AS (SELECT lo, hi, n, mean,
+               sqrt((SELECT td FROM dev) / (n - 1)) AS sd,
+               (hi - lo) / {num_bins} AS bs FROM st),
+bins AS (SELECT LEAST(CAST(trunc((v - (SELECT lo FROM prm))
+                                 / (SELECT bs FROM prm)) AS BIGINT),
+                      {num_bins - 1}) AS b
+         FROM vals WHERE v <> {_NOD}),
+hist AS (SELECT i AS b, COALESCE(h.c, 0) AS c
+         FROM range(0, {num_bins}) t(i)
+         LEFT JOIN (SELECT b, count(*) AS c FROM bins GROUP BY b) h
+           ON h.b = i),
+cdf AS (SELECT b,
+        CAST(SUM(c) OVER (ORDER BY b) AS DOUBLE)
+            / (SELECT n FROM prm) AS p
+        FROM hist),
+nrm AS (SELECT b,
+        1.0 / ((SELECT sd FROM prm) * sqrt(2 * pi()))
+        * exp((-((SELECT lo FROM prm) + b * (SELECT bs FROM prm)
+                 - (SELECT mean FROM prm))
+               * ((SELECT lo FROM prm) + b * (SELECT bs FROM prm)
+                  - (SELECT mean FROM prm)))
+              / (2 * (SELECT sd FROM prm) * (SELECT sd FROM prm))) AS pdf
+        FROM hist),
+ncdf AS (SELECT b, SUM(pdf) OVER (ORDER BY b) AS cp FROM nrm),
+norm AS (SELECT b, cp / (SELECT MAX(cp) FROM ncdf) AS np_ FROM ncdf),
+dmax AS (SELECT MAX(abs(cdf.p - norm.np_)) AS d
+         FROM cdf JOIN norm ON norm.b = cdf.b)
+SELECT CAST((SELECT n FROM prm) AS BIGINT) AS n,
+       round((SELECT d FROM dmax), 5) AS dmax,
+       round(2.0 * exp(-(2.000071 + 0.331 / sqrt((SELECT n FROM prm))
+                         + 1.409 / (SELECT n FROM prm))
+                       * ((SELECT n FROM prm) * (SELECT d FROM dmax)
+                          * (SELECT d FROM dmax))), 5) AS p_value
+"""

@@ -2555,3 +2555,50 @@ def filter_local_contrast(ds, spec: RasterSpec, regen=None,
         return full
 
     return stencil_apply(ds, spec, kernel, halo=1, regen=regen)
+
+
+def test_for_normality(ds, spec: RasterSpec, num_bins: int = 10000):
+    """TestForNormality (StatsTools/src/plugins/TestForNormality.java
+    :238-377, whole-image mode): 10,000-bin histogram + the reference's
+    TWO-PASS deviation (mean first, then Σ(z−mean)²), discretized
+    normal CDF at bin left edges, Dmax = max |cdf − normalCDF|, and the
+    literal p-value approximation. Output one row
+    (n, dmax, p_value)."""
+    st = _global_valid_stats(ds, spec)
+    lo, hi, n = st["min"], st["max"], st["n"]
+    mean = st["mean"]
+    bin_size = (hi - lo) / num_bins
+
+    def dev_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = 0.0
+        for data in batch["data"]:
+            a = np.asarray(data, dtype=np.float64)
+            a = a[a != spec.nodata]
+            t += ((a - mean) * (a - mean)).sum()
+        return pd.DataFrame({"t": [t]})
+
+    total_dev = float(ds.map_batches(dev_partial, batch_format="pandas")
+                      .to_pandas()["t"].sum())
+    std = math.sqrt(total_dev / (n - 1))
+
+    def bin_of(a: np.ndarray) -> np.ndarray:
+        return np.minimum(np.trunc((a - lo) / bin_size).astype(np.int64),
+                          num_bins - 1)
+
+    hist = _dense_histogram(ds, spec, lo, num_bins, bin_of)
+    cdf = hist.cumsum().astype(np.float64) / float(n)
+    i = np.arange(num_bins, dtype=np.float64)
+    zed = lo + i * bin_size
+    sd_root2pi = std * math.sqrt(2.0 * math.pi)
+    two_sd_sqr = 2.0 * std * std
+    pdf = 1.0 / sd_root2pi * np.exp((-(zed - mean) * (zed - mean))
+                                    / two_sd_sqr)
+    ncdf = np.cumsum(pdf)
+    ncdf = ncdf / ncdf[-1]
+    dmax = float(np.max(np.abs(cdf - ncdf)))
+    s_stat = n * dmax * dmax
+    p_value = 2.0 * math.exp(-(2.000071 + 0.331 / math.sqrt(n) + 1.409 / n)
+                             * s_stat)
+    return pd.DataFrame({"n": [np.int64(n)],
+                         "dmax": [round(dmax, 5)],
+                         "p_value": [round(p_value, 5)]})

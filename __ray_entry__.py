@@ -366,6 +366,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_conservative_smoothing": _checksum_q(
             lambda ds, spec: raster_stats.filter_conservative_smoothing(
                 ds, spec, regen=raster.synth_value)),
+        "radiation_on_slope": lambda sf: raster.raster_row_int_checksums(
+            __import__(
+                "whitebox_geospatial_analysis_tools_ray.stages.terrain",
+                fromlist=["x"]).radiation_on_slope(
+                raster.synth_raster(raster.RasterSpec()), raster.RasterSpec(),
+                regen=raster.synth_value),
+            raster.RasterSpec()),
         "test_for_normality": lambda sf: raster_stats.test_for_normality(
             raster.synth_raster(raster.RasterSpec()), raster.RasterSpec()),
         "image_global_stats": lambda sf: raster_stats.image_global_stats(
@@ -779,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_dog": o.dog_filter_sql(),
         "image_global_stats": o.image_global_stats_sql(),
         "test_for_normality": o.test_for_normality_sql(),
+        "radiation_on_slope": o.radiation_on_slope_sql(),
         "attribute_histogram": relational_mod.attribute_histogram_sql(),
         "attribute_correlation": relational_mod.attribute_correlation_sql(),
         "percentage_stretch": o.percentage_stretch_sql(),

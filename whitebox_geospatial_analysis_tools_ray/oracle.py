@@ -3384,3 +3384,85 @@ SELECT CAST((SELECT n FROM prm) AS BIGINT) AS n,
                        * ((SELECT n FROM prm) * (SELECT d FROM dmax)
                           * (SELECT d FROM dmax))), 5) AS p_value
 """
+
+
+def radiation_on_slope_sql(rows: int = 256, cols: int = 256) -> str:
+    """RadiationOnSlope.groovy:160-218 mirror over the bit-faithful
+    slope/aspect expressions. Day/atmosphere constants are computed in
+    Python (pure parameter functions) and embedded as literals; cells
+    with no sunrise/sunset solution (|−tan(eqLat)·tan(dec)| > 1, the
+    groovy's NaNs) are NoData on both engines."""
+    from .stages.terrain import RAD_PARAMS, _RAD2DEG
+    prm = RAD_PARAMS
+    lat = prm["latitude"]
+    w = 0.2618
+    wp = 1.12 * math.exp(0.0614 * prm["dew_point"])
+    tsa = math.exp((-0.124 - 0.0207 * wp)
+                   + (-0.0682 - 0.0248 * wp) * prm["opt_air_mass"])
+    t = tsa - prm["y_dust"]
+    day_angle = 2.0 * math.pi * (prm["julian_day"] - 1) / 365.0
+    eo = 1.000110 + 0.034221 * math.cos(day_angle) \
+        + 0.001280 * math.sin(day_angle) \
+        + 0.000719 * math.cos(2 * day_angle) \
+        + 0.000077 * math.sin(2 * day_angle)
+    dec = (0.006918 - 0.399912 * math.cos(day_angle)
+           + 0.070257 * math.sin(day_angle)
+           - 0.006758 * math.cos(2 * day_angle)
+           + (0.000907 * math.cos(3 * day_angle)
+              + 0.00148 * math.sin(3 * day_angle)))
+    ts = math.exp((-0.0363 - 0.0084 * wp)
+                  + (-0.0572 - 0.0173 * wp) * prm["opt_air_mass"])
+    ys = 1.0 - ts + prm["y_dust"]
+    thr = -math.acos(-math.tan(dec) * math.tan(lat)) / w
+    ths = math.acos(-math.tan(dec) * math.tan(lat)) / w
+    tan_dec = math.tan(dec)
+    cos_lat = math.cos(lat)
+    sin_lat = math.sin(lat)
+    cos_dec = math.cos(dec)
+    sin_dec = math.sin(dec)
+    isc_eo = f"(4.921 * {eo:.17e})"
+    deg2rad = repr(math.pi / 180.0)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{_horn_gradients()},
+sa AS (SELECT cell, v,
+  CAST(CAST(atan(sqrt(fx*fx + fy*fy)) * {_RAD2DEG} AS REAL) AS DOUBLE)
+      * {deg2rad} AS beta,
+  CASE WHEN fx <> 0 THEN CAST(CAST(
+      180.0 - atan(fy / fx) * {_RAD2DEG} + 90.0 * sign(fx) AS REAL)
+      AS DOUBLE) ELSE -1.0 END * {deg2rad} AS alpha
+FROM grad),
+geo AS (SELECT cell, v,
+  atan(sin(beta) * sin(alpha)
+       / (cos(beta) * {cos_lat:.17e}
+          - sin(beta) * {sin_lat:.17e} * cos(alpha))) AS eq_slope,
+  asin(LEAST(GREATEST(sin(beta) * cos(alpha) * {cos_lat:.17e}
+                      + cos(beta) * {sin_lat:.17e}, -1.0), 1.0)) AS eq_lat
+FROM sa),
+sun AS (SELECT cell, v, eq_slope, eq_lat,
+  -tan(eq_lat) * {tan_dec:.17e} AS aarg
+FROM geo),
+tt AS (SELECT cell, v, eq_slope, eq_lat,
+  abs(aarg) > 1.0 AS no_sun,
+  GREATEST((-acos(LEAST(GREATEST(aarg, -1.0), 1.0)) - eq_slope) / {w!r},
+           {thr:.17e}) AS tsr,
+  LEAST((acos(LEAST(GREATEST(aarg, -1.0), 1.0)) - eq_slope) / {w!r},
+        {ths:.17e}) AS tss
+FROM sun),
+rad AS (SELECT cell, v, no_sun,
+  {isc_eo} * (cos(eq_lat) * {cos_dec:.17e}
+              * ((sin({w!r} * tss + eq_slope)
+                  - sin({w!r} * tsr + eq_slope)) / {w!r})
+              + sin(eq_lat) * {sin_dec:.17e} * (tss - tsr)) AS ket
+FROM tt),
+fin AS (SELECT cell, v, no_sun,
+  ({t:.17e} * ket + 0.5 * {ys:.17e} * ket) AS kg
+FROM rad),
+res AS (SELECT cell,
+  CASE WHEN v = {_NOD} OR no_sun THEN {_NOD}
+       ELSE 11.575 * (kg + 0.5 * {ys:.17e} * {prm["albedo"]!r} * kg)
+  END AS f FROM fin)
+{_row_int_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

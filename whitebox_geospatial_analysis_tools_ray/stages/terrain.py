@@ -27,6 +27,8 @@ grid cell size is 1.0 in the conformance setup.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import ray.data as rd
 
@@ -495,3 +497,90 @@ def exposure_wind_flux_east(spec: RasterSpec, azimuth: float = 350.0,
     tiles = rd.range(spec.n_tiles).map_batches(per_tile,
                                                batch_format="numpy")
     return raster_row_checksums(tiles, spec, round_to=round_to)
+
+
+RAD_PARAMS = dict(latitude=0.7854, julian_day=172, dew_point=10.0,
+                  opt_air_mass=1.5, y_dust=0.05, albedo=0.2)
+
+
+def radiation_on_slope_kernel(p: np.ndarray, nodata: float,
+                              prm=None) -> np.ndarray:
+    """RadiationOnSlope (WhiteboxGIS/resources/plugins/Scripts/
+    RadiationOnSlope.groovy:160-218): total incident daily radiation on
+    a slope (Kcs) — the literal equivalent-latitude / longitude-
+    difference solar-geometry chain over the reference's own
+    slope/aspect degrees (slope_kernel / aspect_kernel here, including
+    aspect = −1 on flats fed into toRadians exactly as the script
+    does)."""
+    prm = prm or RAD_PARAMS
+    lat = prm["latitude"]
+    isc = 4.921
+    w = 0.2618
+    wp = 1.12 * math.exp(0.0614 * prm["dew_point"])
+    asa = -0.124 - (0.0207 * wp)
+    bsa = -0.0682 - (0.0248 * wp)
+    tsa = math.exp(asa + (bsa * prm["opt_air_mass"]))
+    t = tsa - prm["y_dust"]
+    day_angle = 2.0 * math.pi * (prm["julian_day"] - 1) / 365.0
+    eo = 1.000110 + 0.034221 * math.cos(day_angle) \
+        + 0.001280 * math.sin(day_angle) \
+        + 0.000719 * math.cos(2 * day_angle) \
+        + 0.000077 * math.sin(2 * day_angle)
+    dec = (0.006918 - 0.399912 * math.cos(day_angle)
+           + 0.070257 * math.sin(day_angle)
+           - 0.006758 * math.cos(2 * day_angle)
+           + (0.000907 * math.cos(3 * day_angle)
+              + 0.00148 * math.sin(3 * day_angle)))
+    a_s = -0.0363 - (0.0084 * wp)
+    b_s = -0.0572 - (0.0173 * wp)
+    ts = math.exp(a_s + (b_s * prm["opt_air_mass"]))
+    ys = 1.0 - ts + prm["y_dust"]
+
+    slope_deg = slope_kernel(p, nodata)[1:-1, 1:-1]
+    aspect_deg = aspect_kernel(p, nodata)[1:-1, 1:-1]
+    z = p[1:-1, 1:-1]
+    valid = z != nodata
+    beta = np.deg2rad(slope_deg)
+    alpha = np.deg2rad(aspect_deg)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        eq_slope = np.arctan(np.sin(beta) * np.sin(alpha)
+                             / (np.cos(beta) * math.cos(lat)
+                                - np.sin(beta) * math.sin(lat)
+                                * np.cos(alpha)))
+        # asin arg clamped (float rounding can exceed |1| by ulps);
+        # steep cells where |−tan(eqLat)·tan(dec)| > 1 have no sunrise/
+        # sunset solution — the groovy yields NaN there; normalized to
+        # NoData on BOTH engines (DuckDB raises on out-of-domain acos)
+        eq_lat = np.arcsin(np.clip(
+            np.sin(beta) * np.cos(alpha) * math.cos(lat)
+            + np.cos(beta) * math.sin(lat), -1.0, 1.0))
+        acos_arg = -np.tan(eq_lat) * math.tan(dec)
+        no_sun = np.abs(acos_arg) > 1.0
+        acos_arg = np.clip(acos_arg, -1.0, 1.0)
+        thr = -math.acos(-math.tan(dec) * math.tan(lat)) / w
+        ths = math.acos(-math.tan(dec) * math.tan(lat)) / w
+        tss = (np.arccos(acos_arg) - eq_slope) / w
+        tsr = (-np.arccos(acos_arg) - eq_slope) / w
+        tsr = np.maximum(tsr, thr)
+        tss = np.minimum(tss, ths)
+        ket = isc * eo * (np.cos(eq_lat) * math.cos(dec)
+                          * ((np.sin(w * tss + eq_slope)
+                              - np.sin(w * tsr + eq_slope)) / w)
+                          + np.sin(eq_lat) * math.sin(dec) * (tss - tsr))
+        kdif = 0.5 * ys * ket
+        kdir = t * ket
+        kg = kdir + kdif
+        kbs = 0.5 * ys * prm["albedo"] * kg
+        kcs = 11.575 * (kg + kbs)
+    res = np.where(valid & ~no_sun, kcs, nodata)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = res
+    return out
+
+
+def radiation_on_slope(ds, spec: RasterSpec, regen=None):
+    from .raster import stencil_apply
+    return stencil_apply(
+        ds, spec,
+        lambda p: radiation_on_slope_kernel(p, spec.nodata),
+        halo=1, regen=regen)

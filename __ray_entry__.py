@@ -588,6 +588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "smooth_vector": _vops_q("smooth_vector"),
         "polygons_to_lines": _vops_q("polygons_to_lines"),
         "buffer_vector": _vops_q("buffer_vector"),
+        "group_polygons_by_orientation":
+            _vops_q("group_polygons_by_orientation"),
         "multiparts_to_singleparts": _vops_q("multiparts_to_singleparts"),
         "singleparts_to_multiparts": _vops_q("singleparts_to_multiparts"),
         "remove_polygon_holes": _vops_q("remove_polygon_holes"),
@@ -828,6 +830,8 @@ def oracle_sql() -> dict[str, str]:
         "smooth_vector": _vops2("smooth_vector_sql"),
         "polygons_to_lines": _vops2("polygons_to_lines_sql"),
         "buffer_vector": _vops2("buffer_vector_sql"),
+        "group_polygons_by_orientation":
+            _vops2("group_polygons_by_orientation_sql"),
         "multiparts_to_singleparts": _vops2("multiparts_to_singleparts_sql"),
         "singleparts_to_multiparts": _vops2("singleparts_to_multiparts_sql"),
         "remove_polygon_holes": _vops2("remove_polygon_holes_sql"),

@@ -980,3 +980,77 @@ SELECT rec_id,
            AS buffered_area
 FROM b
 """
+
+
+def group_polygons_by_orientation(sf_dir: str):
+    """GroupPolygonsByOrientation (VectorTools/src/plugins/
+    GroupPolygonsByOrientation.java rule): group features whose
+    PatchOrientation (regression fold, PatchOrientation.java:288-298)
+    falls in the same 15° class: (orientation_class, n_features).
+    Vertex moments accumulate in the explicit v0+v1+...+v5 chain so the
+    SQL mirror is bit-identical."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        xa = np.asarray(batch["xa"]); ya = np.asarray(batch["ya"])
+        h = np.asarray(batch["h"]); w2 = np.asarray(batch["w2"])
+        vx = [xa - h, xa + h + w2, xa + h + w2, xa + h, xa + h, xa - h]
+        vy = [ya - h, ya - h, ya, ya, ya + h, ya + h]
+        sx = vx[0] + vx[1] + vx[2] + vx[3] + vx[4] + vx[5]
+        sy = vy[0] + vy[1] + vy[2] + vy[3] + vy[4] + vy[5]
+        sxy = (vx[0] * vy[0] + vx[1] * vy[1] + vx[2] * vy[2]
+               + vx[3] * vy[3] + vx[4] * vy[4] + vx[5] * vy[5])
+        sx2 = (vx[0] * vx[0] + vx[1] * vx[1] + vx[2] * vx[2]
+               + vx[3] * vx[3] + vx[4] * vx[4] + vx[5] * vx[5])
+        den = sx2 - sx * sx / 6.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = -(sxy - sx * sy / 6.0) / den
+            deg = np.degrees(np.arctan(slope))
+        ori = np.where(deg < 0, 90.0 + -1.0 * deg, 90.0 - deg)
+        ori = np.where(den != 0, ori, 0.0)
+        bucket = np.minimum(np.floor(ori / 15.0).astype(np.int64), 11)
+        cls, counts = np.unique(bucket, return_counts=True)
+        import pandas as pd
+        return pd.DataFrame({"orientation_class": cls,
+                             "n": counts.astype(np.int64)})
+
+    parts = (doc_lshapes(sf_dir)
+             .map_batches(fn, batch_format="numpy").to_pandas())
+    out = parts.groupby("orientation_class", as_index=False)["n"].sum()
+    out = out.rename(columns={"n": "n_features"})
+    import numpy as np
+    out["orientation_class"] = out["orientation_class"].astype(np.int64)
+    out["n_features"] = out["n_features"].astype(np.int64)
+    return out
+
+
+def group_polygons_by_orientation_sql() -> str:
+    from ..core.features import POINTS_CTE
+    vx = ["(xa - h)", "(xa + h + w2)", "(xa + h + w2)", "(xa + h)",
+          "(xa + h)", "(xa - h)"]
+    vy = ["(ya - h)", "(ya - h)", "ya", "ya", "(ya + h)", "(ya + h)"]
+    sx = " + ".join(vx)
+    sy = " + ".join(vy)
+    sxy = " + ".join(f"{a} * {b}" for a, b in zip(vx, vy))
+    sx2 = " + ".join(f"{a} * {a}" for a in vx)
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+             10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+m AS (SELECT rec_id, {sx} AS sx, {sy} AS sy, {sxy} AS sxy, {sx2} AS sx2
+      FROM l),
+o AS (SELECT rec_id,
+      CASE WHEN sx2 - sx * sx / 6.0 <> 0 THEN
+        CASE WHEN degrees(atan(-(sxy - sx * sy / 6.0)
+                               / (sx2 - sx * sx / 6.0))) < 0
+             THEN 90.0 + -1.0 * degrees(atan(-(sxy - sx * sy / 6.0)
+                                             / (sx2 - sx * sx / 6.0)))
+             ELSE 90.0 - degrees(atan(-(sxy - sx * sy / 6.0)
+                                      / (sx2 - sx * sx / 6.0))) END
+      ELSE 0.0 END AS ori FROM m)
+SELECT LEAST(CAST(floor(ori / 15.0) AS BIGINT), 11) AS orientation_class,
+       CAST(count(*) AS BIGINT) AS n_features
+FROM o GROUP BY 1
+"""

@@ -542,6 +542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "elev_rel_watershed_minmax": lambda sf:
             hydro.elev_rel_watershed_minmax(raster.RasterSpec(
                 rows=96, cols=96, tile_rows=32)),
+        "avg_slope_to_divide": lambda sf:
+            hydro.avg_slope_to_divide(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
         "avg_upslope_flowpath_length": lambda sf:
             hydro.avg_upslope_flowpath_length(raster.RasterSpec(
                 rows=96, cols=96, tile_rows=32)),

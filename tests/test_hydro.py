@@ -263,3 +263,16 @@ def test_elev_rel_watershed_minmax_tiling_invariant(ray_session):
                                                    tile_rows=16))
     pd.testing.assert_frame_equal(a, b)
     assert int(a["n_labeled"].sum()) > 0
+
+
+def test_avg_slope_to_divide_matches_walk(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = hydro.avg_upslope_flowpath_length_naive(
+        spec, output="slope_to_divide")
+    got = hydro.avg_slope_to_divide(spec)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

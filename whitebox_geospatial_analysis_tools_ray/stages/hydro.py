@@ -1637,7 +1637,8 @@ def _inflow_count_ext(ze, pe, nodata):
 
 def avg_upslope_flowpath_length(spec: RasterSpec | None = None,
                                 max_rounds: int = 64,
-                                round_to: int = 4) -> pd.DataFrame:
+                                round_to: int = 4,
+                                output: str = "avg_len") -> pd.DataFrame:
     """AverageUpslopeFlowpathLength (TerrainAnalysisTools/src/plugins/
     AverageUpslopeFlowpathLength.java:275-360): divide (head) cells
     start one flowpath each; each cell stores (N = upstream divide
@@ -1656,7 +1657,8 @@ def avg_upslope_flowpath_length(spec: RasterSpec | None = None,
     zero = {t: np.zeros((min(spec.tile_rows,
                              spec.rows - t * spec.tile_rows), cols))
             for t in range(n)}
-    inflows = {t: (zero[t].copy(), zero[t].copy()) for t in range(n)}
+    inflows = {t: (zero[t].copy(), zero[t].copy(), zero[t].copy())
+               for t in range(n)}
 
     def solve(batch, inflow_ref) -> pd.DataFrame:
         infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
@@ -1672,6 +1674,7 @@ def avg_upslope_flowpath_length(spec: RasterSpec | None = None,
             head = (_inflow_count_ext(ze, pe, spec.nodata) == 0) & valid
             N = np.where(valid, infl[tid][0], 0.0)
             T = np.where(valid, infl[tid][1], 0.0)
+            E = np.where(valid, infl[tid][2], 0.0)
             out_up: dict[int, list] = {}
             out_dn: dict[int, list] = {}
             for lin in np.argsort(-z, axis=None, kind="stable"):
@@ -1682,7 +1685,12 @@ def avg_upslope_flowpath_length(spec: RasterSpec | None = None,
                 if code == spec.nodata or code <= 0:
                     continue
                 i = int(code).bit_length() - 1
-                np_ = 1.0 if head[r, c] else N[r, c]
+                if head[r, c]:
+                    np_ = 1.0
+                    ep = z[r, c]      # divide cell passes its own z
+                else:
+                    np_ = N[r, c]
+                    ep = E[r, c]
                 tp = T[r, c] + np_ * GL[i]
                 r2, c2 = r + _DY[i], c + _DX[i]
                 if 0 <= c2 < cols:
@@ -1690,13 +1698,15 @@ def avg_upslope_flowpath_length(spec: RasterSpec | None = None,
                         if valid[r2, c2]:
                             N[r2, c2] += np_
                             T[r2, c2] += tp
+                            E[r2, c2] += ep
                     else:
                         tgt = out_up if r2 < 0 else out_dn
-                        acc = tgt.setdefault(c2, [0.0, 0.0])
+                        acc = tgt.setdefault(c2, [0.0, 0.0, 0.0])
                         acc[0] += np_
                         acc[1] += tp
+                        acc[2] += ep
             rows.append({"tile_id": tid, "N": N.tobytes(), "T": T.tobytes(),
-                         "shape0": H,
+                         "E": E.tobytes(), "shape0": H,
                          "up": _json.dumps(out_up),
                          "dn": _json.dumps(out_dn)})
         return pd.DataFrame(rows)
@@ -1707,20 +1717,21 @@ def avg_upslope_flowpath_length(spec: RasterSpec | None = None,
         res = (rd.range(n)
                .map_batches(lambda b, _r=ref: solve(b, _r),
                             batch_format="numpy").to_pandas())
-        new_inflows = {t: (np.zeros_like(zero[t]), np.zeros_like(zero[t]))
-                       for t in range(n)}
+        new_inflows = {t: (np.zeros_like(zero[t]), np.zeros_like(zero[t]),
+                           np.zeros_like(zero[t])) for t in range(n)}
         for r in res.itertuples():
-            for col, (a, b) in _json_load_pairs(r.up).items():
+            for col, (a, b, e) in _json_load_triples(r.up).items():
                 if r.tile_id > 0:
                     new_inflows[r.tile_id - 1][0][-1, int(col)] += a
                     new_inflows[r.tile_id - 1][1][-1, int(col)] += b
-            for col, (a, b) in _json_load_pairs(r.dn).items():
+                    new_inflows[r.tile_id - 1][2][-1, int(col)] += e
+            for col, (a, b, e) in _json_load_triples(r.dn).items():
                 if r.tile_id < n - 1:
                     new_inflows[r.tile_id + 1][0][0, int(col)] += a
                     new_inflows[r.tile_id + 1][1][0, int(col)] += b
-        if all(np.array_equal(new_inflows[t][0], inflows[t][0])
-               and np.array_equal(new_inflows[t][1], inflows[t][1])
-               for t in inflows):
+                    new_inflows[r.tile_id + 1][2][0, int(col)] += e
+        if all(np.array_equal(new_inflows[t][k], inflows[t][k])
+               for t in inflows for k in range(3)):
             last = res
             break
         inflows = new_inflows
@@ -1733,27 +1744,52 @@ def avg_upslope_flowpath_length(spec: RasterSpec | None = None,
         h = int(r.shape0)
         N = np.frombuffer(r.N).reshape(h, cols)
         T = np.frombuffer(r.T).reshape(h, cols)
+        E = np.frombuffer(r.E).reshape(h, cols)
         r0 = int(r.tile_id) * spec.tile_rows
         cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
-        valid = synth_value(cell).reshape(h, cols) != spec.nodata
+        zc = synth_value(cell).reshape(h, cols)
+        valid = zc != spec.nodata
         with np.errstate(invalid="ignore", divide="ignore"):
-            avg = np.where((N > 0) & valid, T / np.maximum(N, 1.0), 0.0)
+            if output == "slope_to_divide":
+                # AverageSlopeToDivide.java:376-382: atan(((E/N − z)·conv)
+                # / (T/N))·rad2deg, conversionFactor 1
+                res = np.where(
+                    (N > 0) & valid,
+                    np.degrees(np.arctan(
+                        (E / np.maximum(N, 1.0) - zc)
+                        / np.maximum(T / np.maximum(N, 1.0), 1e-300))),
+                    0.0)
+            else:
+                res = np.where((N > 0) & valid,
+                               T / np.maximum(N, 1.0), 0.0)
         frames.append(pd.DataFrame({
             "row_id": np.arange(r0, r0 + h),
             "n_valid": valid.sum(axis=1).astype(np.int64),
-            "avg_sum": np.round(avg.sum(axis=1), round_to)}))
+            "avg_sum": np.round(res.sum(axis=1), round_to)}))
     return (pd.concat(frames, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
 
-def _json_load_pairs(s: str) -> dict:
+def avg_slope_to_divide(spec: RasterSpec | None = None,
+                        max_rounds: int = 64) -> pd.DataFrame:
+    """AverageSlopeToDivide (TerrainAnalysisTools/src/plugins/
+    AverageSlopeToDivide.java): third sum channel E = Σ divide-cell
+    elevations over the same (N, T) machinery; output
+    atan(meanDrop/meanLen) in degrees."""
+    return avg_upslope_flowpath_length(spec, max_rounds,
+                                       output="slope_to_divide")
+
+
+def _json_load_triples(s: str) -> dict:
     import json as _json
-    return {k: (float(v[0]), float(v[1]))
+    return {k: (float(v[0]), float(v[1]), float(v[2]))
             for k, v in _json.loads(s).items()}
 
 
 def avg_upslope_flowpath_length_naive(spec: RasterSpec,
-                                      round_to: int = 4) -> pd.DataFrame:
+                                      round_to: int = 4,
+                                      output: str = "avg_len"
+                                      ) -> pd.DataFrame:
     """Literal AverageUpslopeFlowpathLength walk (numInflowing
     decrement queue)."""
     from .raster import synth_value
@@ -1783,6 +1819,7 @@ def avg_upslope_flowpath_length_naive(spec: RasterSpec,
             infl[r, c] = n if n > 0 else -1.0
     N = np.zeros((R, C))
     T = np.zeros((R, C))
+    E = np.zeros((R, C))
     done = np.zeros((R, C), dtype=bool)
     for row in range(R):
         for col in range(C):
@@ -1796,8 +1833,10 @@ def avg_upslope_flowpath_length_naive(spec: RasterSpec,
                 if v == -1.0:
                     N[y, x] = 0.0
                     n_pass = 1.0
+                    e_pass = z[y, x]
                 else:
                     n_pass = N[y, x]
+                    e_pass = E[y, x]
                 done[y, x] = True
                 code = ptr[y, x]
                 if code <= 0 or code == spec.nodata:
@@ -1809,10 +1848,18 @@ def avg_upslope_flowpath_length_naive(spec: RasterSpec,
                     break
                 N[y2, x2] += n_pass
                 T[y2, x2] += add
+                E[y2, x2] += e_pass
                 infl[y2, x2] -= 1
                 y, x = y2, x2
     with np.errstate(invalid="ignore", divide="ignore"):
-        avg = np.where((N > 0) & valid, T / np.maximum(N, 1.0), 0.0)
+        if output == "slope_to_divide":
+            avg = np.where(
+                (N > 0) & valid,
+                np.degrees(np.arctan(
+                    (E / np.maximum(N, 1.0) - z)
+                    / np.maximum(T / np.maximum(N, 1.0), 1e-300))), 0.0)
+        else:
+            avg = np.where((N > 0) & valid, T / np.maximum(N, 1.0), 0.0)
     return pd.DataFrame({
         "row_id": np.arange(R, dtype=np.int64),
         "n_valid": valid.sum(axis=1).astype(np.int64),

@@ -137,3 +137,19 @@ def test_salted_shuffle_join_matches_unsalted(ray_session):
 
     import pandas as pd
     pd.testing.assert_frame_equal(run(1), run(4))
+
+
+def test_azimuth_between_points_matches_script_rule():
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.core.geom import (
+        azimuth_between_points)
+
+    assert azimuth_between_points(0, 0, 0, 1) == 0.0      # due north
+    assert azimuth_between_points(0, 0, 1, 0) == 90.0     # due east
+    assert azimuth_between_points(0, 0, 0, -1) == 180.0
+    assert azimuth_between_points(0, 0, -1, 0) == 270.0
+    a = azimuth_between_points(np.zeros(4), np.zeros(4),
+                               np.array([1.0, 1, -1, -1]),
+                               np.array([1.0, -1, -1, 1]))
+    assert np.allclose(a, [45.0, 135.0, 225.0, 315.0])

@@ -357,3 +357,14 @@ def min_enclosing_circle(pts: np.ndarray) -> tuple[float, float, float]:
         return welzl(pts, [])
     finally:
         sys.setrecursionlimit(old)
+
+
+def azimuth_between_points(x1, y1, x2, y2):
+    """azimuthBetweenPoints (WhiteboxGIS/resources/plugins/Scripts/
+    azimuthBetweenPoints.py:7-14): bearing from north in [0, 360)°,
+    θ = −atan2(Δy, Δx) + π/2 (+2π if negative). Vectorized."""
+    import numpy as np
+    theta = -np.arctan2(np.asarray(y2) - np.asarray(y1),
+                        np.asarray(x2) - np.asarray(x1)) + np.pi / 2.0
+    theta = np.where(theta < 0, theta + 2.0 * np.pi, theta)
+    return np.degrees(theta)

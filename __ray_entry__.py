@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crispness_index": lambda sf: raster_stats.crispness_index(raster.RasterSpec()),
         "raster_aggregate": _downsample,
         "geotiff_roundtrip": _geotiff_q,
+        "png_roundtrip": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.png",
+            fromlist=["x"]).png_roundtrip_query(),
         "raster_mosaic": lambda sf: raster_stats.mosaic(raster.RasterSpec()),
         "raster_resample": lambda sf: raster_stats.resample_nn(
             raster.RasterSpec(), out_rows=100, out_cols=160),
@@ -751,6 +754,9 @@ def oracle_sql() -> dict[str, str]:
         "crispness_index": o.crispness_sql(),
         "raster_aggregate": o.aggregate_downsample_sql(),
         "geotiff_roundtrip": o.raster_identity_sql(),
+        "png_roundtrip": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.png",
+            fromlist=["x"]).png_roundtrip_sql(),
         "raster_resample": o.resample_nn_sql(),
         "raster_mosaic": o.mosaic_sql(),
         "terrain_slope": o.slope_sql(),

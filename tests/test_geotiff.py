@@ -58,3 +58,60 @@ def test_geotiff_rejects_non_tiff(tmp_path):
     open(p, "wb").write(b"NOPE" + b"\0" * 64)
     with pytest.raises(ValueError):
         gt.read_geotiff_header(p)
+
+
+def test_png_codec_all_filters_and_shapes():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.sources.png import (
+        _paeth, decode_png, write_png)
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, size=(50, 37), dtype=np.uint8)
+    write_png("/tmp/t_png_grey.png", a)
+    assert np.array_equal(
+        a, decode_png(open("/tmp/t_png_grey.png", "rb").read()))
+    c = rng.integers(0, 256, size=(23, 31, 3), dtype=np.uint8)
+    write_png("/tmp/t_png_rgb.png", c)
+    assert np.array_equal(
+        c, decode_png(open("/tmp/t_png_rgb.png", "rb").read()))
+
+    # adaptive per-row filters 0-4 (encoders we don't emit but must read)
+    def chunk(tag, p):
+        return struct.pack(">I", len(p)) + tag + p + struct.pack(
+            ">I", zlib.crc32(tag + p) & 0xFFFFFFFF)
+
+    h, w = a.shape
+    rows = []
+    prev = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        ft = [0, 1, 2, 3, 4][r % 5]
+        row = a[r]
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = np.empty(w, np.uint8)
+            enc[0] = row[0]
+            enc[1:] = row[1:] - row[:-1]
+        elif ft == 2:
+            enc = row - prev
+        elif ft == 3:
+            left = np.concatenate([[0], row[:-1]]).astype(np.int32)
+            enc = (row.astype(np.int32)
+                   - (left + prev.astype(np.int32)) // 2).astype(np.uint8)
+        else:
+            left = np.concatenate([[0], row[:-1]])
+            ul = np.concatenate([[0], prev[:-1]])
+            enc = (row.astype(np.int32)
+                   - _paeth(left, prev, ul).astype(np.int32)).astype(np.uint8)
+        rows.append(bytes([ft]) + enc.tobytes())
+        prev = row
+    raw = b"".join(rows)
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) \
+        + chunk(b"IEND", b"")
+    assert np.array_equal(a, decode_png(data))

@@ -1,0 +1,182 @@
+"""Pure-stdlib PNG raster import/export — un-stubs ImportImage for the
+baseline PNG case (ImageProcessingTools ImportImage.java routes PNG
+through Java ImageIO; the container here has no codec libs, but PNG's
+DEFLATE payload is stdlib ``zlib``).
+
+Scope: 8-bit greyscale (colour type 0) and 8-bit RGB (colour type 2),
+no interlacing — the formats the reference's test images use. The
+DEFLATE stream is sequential, so decode runs ONE Ray task per FILE
+(the same per-file-MB plan as the ASCII grid importers in grids.py);
+parallelism across a directory of PNGs is per-file. Rows then tile into
+the standard row-band layout.
+
+Export writes filter-type-0 rows (no prediction) so the byte stream is
+deterministic; the roundtrip is exact for uint8.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def write_png(path: str, a: np.ndarray) -> None:
+    """uint8 (H, W) greyscale or (H, W, 3) RGB, filter 0 rows."""
+    a = np.asarray(a, dtype=np.uint8)
+    if a.ndim == 2:
+        colour, nb = 0, 1
+        body = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        colour, nb = 2, 3
+        body = a
+    else:
+        raise ValueError(f"unsupported shape {a.shape}")
+    h, w = body.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colour, 0, 0, 0)
+    raw = b"".join(b"\x00" + body[r].tobytes() for r in range(h))
+    with open(path, "wb") as f:
+        f.write(_SIG)
+        f.write(_chunk(b"IHDR", ihdr))
+        f.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(_chunk(b"IEND", b""))
+
+
+def _paeth(a, b, c):
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Parse chunks, inflate, unfilter (all 5 PNG filter types)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    colour = bit = interlace = None
+    idat = []
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bit, colour, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if bit != 8 or colour not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit={bit} colour={colour} interlace={interlace} "
+            "(baseline import supports 8-bit grey/RGB, no interlace)")
+    nb = 1 if colour == 0 else 3
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nb
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=r * (stride + 1) + 1).copy()
+        if ft == 0:
+            cur = row
+        elif ft == 2:            # Up
+            cur = (row + prev).astype(np.uint8)
+        elif ft in (1, 3, 4):    # Sub / Average / Paeth need a scan
+            cur = np.zeros(stride, dtype=np.uint8)
+            left = np.zeros(nb, dtype=np.uint8)
+            ul = np.zeros(nb, dtype=np.uint8)
+            for x in range(0, stride, nb):
+                up = prev[x:x + nb]
+                if ft == 1:
+                    val = row[x:x + nb] + left
+                elif ft == 3:
+                    val = row[x:x + nb] + (
+                        (left.astype(np.int32) + up.astype(np.int32))
+                        // 2).astype(np.uint8)
+                else:
+                    val = row[x:x + nb] + _paeth(left, up, ul)
+                cur[x:x + nb] = val
+                left = cur[x:x + nb]
+                ul = up
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out[r] = cur
+        prev = cur
+    return out.reshape(h, w) if nb == 1 else out.reshape(h, w, 3)
+
+
+def import_png(path: str, tile_rows: int = 64):
+    """ImportImage (ImageProcessingTools ImportImage.java semantics for
+    PNG): decode ONE file in one Ray task, emit standard row-band tiles
+    (tile_id, data float64). Greyscale only here (RGB imports as the
+    packed composite via colour_composite machinery)."""
+    import ray.data as rd
+
+    def load(batch) -> pd.DataFrame:
+        with open(path, "rb") as f:
+            a = decode_png(f.read())
+        if a.ndim != 2:
+            # RGB: pack as the reference's colour composite value
+            r = a[:, :, 0].astype(np.float64)
+            g = a[:, :, 1].astype(np.float64)
+            b = a[:, :, 2].astype(np.float64)
+            a = (255.0 * 16777216 + r * 65536 + g * 256 + b)
+        else:
+            a = a.astype(np.float64)
+        rows = []
+        n_tiles = -(-a.shape[0] // tile_rows)
+        for tid in range(n_tiles):
+            rows.append({"tile_id": tid,
+                         "data": a[tid * tile_rows:(tid + 1) * tile_rows]
+                         .ravel()})
+        return pd.DataFrame(rows)
+
+    return rd.range(1).map_batches(load, batch_format="numpy")
+
+
+def png_roundtrip_query(tile_rows: int = 64):
+    """Identity conformance: quantize the synth band to uint8
+    (q = trunc(v·0.255), NoData → 255), export to a real PNG under
+    /tmp, re-import through the decoder, per-row checksums — the
+    ImportImage/ExportImage pair exercised end to end with an exact
+    SQL oracle."""
+    from ..core.rng import NODATA
+    from ..stages.raster import RasterSpec, raster_row_checksums, synth_value
+
+    spec = RasterSpec()
+    cell = np.arange(spec.rows * spec.cols, dtype=np.int64)
+    v = synth_value(cell).reshape(spec.rows, spec.cols)
+    q = np.where(v == NODATA, 255.0, np.trunc(v * 0.255)).astype(np.uint8)
+    path = "/tmp/graft_png_rt.png"
+    write_png(path, q)
+    ds = import_png(path, tile_rows=spec.tile_rows)
+    return raster_row_checksums(ds, spec)
+
+
+def png_roundtrip_sql(rows: int = 256, cols: int = 256) -> str:
+    from ..oracle import _NOD, _raster_vals_cte, _row_checksum_select
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN 255.0 ELSE trunc(v * 0.255) END AS f
+        FROM vals)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_roundtrip": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.png",
             fromlist=["x"]).png_roundtrip_query(),
+        "bmp_roundtrip": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.bmp",
+            fromlist=["x"]).bmp_roundtrip_query(),
         "raster_mosaic": lambda sf: raster_stats.mosaic(raster.RasterSpec()),
         "raster_resample": lambda sf: raster_stats.resample_nn(
             raster.RasterSpec(), out_rows=100, out_cols=160),
@@ -757,6 +760,9 @@ def oracle_sql() -> dict[str, str]:
         "png_roundtrip": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.png",
             fromlist=["x"]).png_roundtrip_sql(),
+        "bmp_roundtrip": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.bmp",
+            fromlist=["x"]).bmp_roundtrip_sql(),
         "raster_resample": o.resample_nn_sql(),
         "raster_mosaic": o.mosaic_sql(),
         "terrain_slope": o.slope_sql(),

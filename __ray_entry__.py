@@ -299,6 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_roundtrip": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.bmp",
             fromlist=["x"]).bmp_roundtrip_query(),
+        "jpeg_roundtrip": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.jpeg",
+            fromlist=["x"]).jpeg_roundtrip_query(),
         "raster_mosaic": lambda sf: raster_stats.mosaic(raster.RasterSpec()),
         "raster_resample": lambda sf: raster_stats.resample_nn(
             raster.RasterSpec(), out_rows=100, out_cols=160),

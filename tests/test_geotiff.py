@@ -115,3 +115,28 @@ def test_png_codec_all_filters_and_shapes():
     data = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) \
         + chunk(b"IEND", b"")
     assert np.array_equal(a, decode_png(data))
+
+
+def test_jpeg_codec_roundtrip_and_determinism():
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.sources.jpeg import (
+        decode_jpeg, write_jpeg)
+
+    y, x = np.mgrid[0:64, 0:80]
+    img = (128 + 60 * np.sin(x / 9.0)
+           + 50 * np.cos(y / 7.0)).clip(0, 255).astype(np.uint8)
+    rgb = np.stack([img, np.roll(img, 3, axis=1), 255 - img], axis=2)
+    write_jpeg("/tmp/t_jpeg_smooth.jpg", rgb, quality=85)
+    dec = decode_jpeg(open("/tmp/t_jpeg_smooth.jpg", "rb").read())
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert dec.shape == rgb.shape and err.mean() < 6.0
+    assert np.array_equal(
+        dec, decode_jpeg(open("/tmp/t_jpeg_smooth.jpg", "rb").read()))
+
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, size=(37, 51, 3), dtype=np.uint8)
+    for q in (20, 95):
+        write_jpeg("/tmp/t_jpeg_noise.jpg", noise, quality=q)
+        d = decode_jpeg(open("/tmp/t_jpeg_noise.jpg", "rb").read())
+        assert d.shape == noise.shape

@@ -1,0 +1,464 @@
+"""Baseline JPEG (JFIF) codec in pure numpy — the last ImportImage
+format the container's missing codec libs forced into a stub. Public
+ITU-T T.81 baseline: 8-bit, huffman, 4:4:4 (no chroma subsampling on
+encode; decode handles 4:4:4 only), standard Annex K quantization and
+huffman tables.
+
+JPEG is lossy and its DEFLATE-free entropy stream is sequential, so the
+Ray plan matches PNG's: ONE decode task per FILE, tiles after.
+Conformance is decode(encode(x)) determinism — bit-identical across
+runs/engines because every step is integer or fixed-order float64 —
+checked by checksum tests; no SQL oracle (DCT chains are not
+SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+# Annex K luminance / chrominance quantization tables (quality 50 base)
+_QY = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+_ZIG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# Annex K huffman tables: (bits[1..16], huffval)
+_HT = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("ac", 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+                [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21,
+                 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71,
+                 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1,
+                 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+                 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25,
+                 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37,
+                 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+                 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+                 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A,
+                 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+                 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+                 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+                 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3,
+                 0xB4, 0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+                 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3,
+                 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+                 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1,
+                 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]),
+    ("ac", 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+                [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31,
+                 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22,
+                 0x32, 0x81, 0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1,
+                 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+                 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18,
+                 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36,
+                 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47,
+                 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+                 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+                 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+                 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+                 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+                 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA,
+                 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA,
+                 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA,
+                 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+                 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+                 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]),
+}
+
+
+def _huff_codes(bits, vals):
+    """symbol -> (code, length) per T.81 C.2."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DCT_C = None
+
+
+def _dct_matrix():
+    global _DCT_C
+    if _DCT_C is None:
+        n = 8
+        C = np.zeros((n, n))
+        for i in range(n):
+            for j in range(n):
+                a = np.sqrt(1.0 / n) if i == 0 else np.sqrt(2.0 / n)
+                C[i, j] = a * np.cos((2 * j + 1) * i * np.pi / (2 * n))
+        _DCT_C = C
+    return _DCT_C
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)   # byte stuffing
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def _mag_bits(v: int):
+    """(size, value-bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _scaled_q(quality: int):
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - q * 2
+    qy = np.clip((_QY * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255)
+    return qy.astype(np.int32), qc.astype(np.int32)
+
+
+def write_jpeg(path: str, rgb: np.ndarray, quality: int = 75) -> None:
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim == 2:
+        rgb = np.stack([rgb] * 3, axis=2)
+    h, w = rgb.shape[:2]
+    qy, qc = _scaled_q(quality)
+    # JFIF YCbCr
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    comps = [(Y, qy, 0), (Cb, qc, 1), (Cr, qc, 1)]
+    H8 = -(-h // 8) * 8
+    W8 = -(-w // 8) * 8
+    C = _dct_matrix()
+    dc_tabs = {t: _huff_codes(*_HT[("dc", t)]) for t in (0, 1)}
+    ac_tabs = {t: _huff_codes(*_HT[("ac", t)]) for t in (0, 1)}
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, H8, 8):
+        for bx in range(0, W8, 8):
+            for ci, (plane, q, tab) in enumerate(comps):
+                blk = np.zeros((8, 8))
+                ys = min(8, h - by)
+                xs = min(8, w - bx)
+                blk[:ys, :xs] = plane[by:by + ys, bx:bx + xs]
+                if ys < 8:
+                    blk[ys:, :] = blk[ys - 1, :]
+                if xs < 8:
+                    blk[:, xs:] = blk[:, xs - 1:xs]
+                f = C @ (blk - 128.0) @ C.T
+                qz = np.floor(f / q + 0.5).astype(np.int64).ravel()[_ZIG]
+                dc = int(qz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(qz[0])
+                size, bits = _mag_bits(dc)
+                code, ln = dc_tabs[tab][size]
+                bw.put(code, ln)
+                if size:
+                    bw.put(bits, size)
+                run = 0
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if qz[k]:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    v = int(qz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[tab][0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    size, bits = _mag_bits(v)
+                    code, ln = ac_tabs[tab][(run << 4) | size]
+                    bw.put(code, ln)
+                    bw.put(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tabs[tab][0x00]  # EOB
+                    bw.put(code, ln)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xFF\xD8"                              # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):               # DQT
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(q.ravel()[_ZIG].astype(np.uint8))
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)   # SOF0
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])               # 4:4:4
+    for (cls, tid), (bits, vals) in _HT.items():    # DHT
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([(0 if cls == "dc" else 0x10) | tid]) \
+            + bytes(bits) + bytes(vals)
+    out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)  # SOS
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tabs])
+    out += b"\x00\x3F\x00"
+    out += bw.buf
+    out += b"\xFF\xD9"                              # EOI
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24 and self.pos < len(self.d):
+            byte = self.d[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.d[self.pos] if self.pos < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1
+                else:               # marker — stop feeding
+                    self.pos -= 1
+                    byte = 0        # pad
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def read(self, k: int) -> int:
+        self._fill()
+        if k == 0:
+            return 0
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def peek16(self) -> tuple[int, int]:
+        self._fill()
+        avail = min(self.n, 16)
+        v = (self.acc >> (self.n - avail)) & ((1 << avail) - 1)
+        return v << (16 - avail), avail
+
+
+def _decode_tables(bits, vals):
+    """length -> {code: symbol} lookup."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_sym(br: _BitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read(1)
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("bad huffman stream")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    pos = 0
+    assert data[:2] == b"\xFF\xD8", "not a JPEG"
+    pos = 2
+    qt = {}
+    hts = {}
+    h = w = None
+    comps = []
+    scan = None
+    while pos < len(data):
+        assert data[pos] == 0xFF, "marker expected"
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", data, pos)
+        payload = data[pos + 2:pos + ln]
+        pos += ln
+        if m == 0xDB:
+            p = 0
+            while p < len(payload):
+                tid = payload[p] & 0x0F
+                prec = payload[p] >> 4
+                assert prec == 0, "16-bit DQT unsupported"
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZIG] = np.frombuffer(payload[p + 1:p + 65],
+                                        dtype=np.uint8)
+                qt[tid] = q.reshape(8, 8)
+                p += 65
+        elif m == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            assert prec == 8 and nc == 3
+            p = 6
+            for _ in range(nc):
+                cid, samp, tq = payload[p], payload[p + 1], payload[p + 2]
+                assert samp == 0x11, "only 4:4:4 decode supported"
+                comps.append((cid, tq))
+                p += 3
+        elif m in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline SOF0")
+        elif m == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc_th = payload[p]
+                bits = list(payload[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nv])
+                hts[(tc_th >> 4, tc_th & 0x0F)] = _decode_tables(bits, vals)
+                p += 17 + nv
+        elif m == 0xDA:
+            ns = payload[0]
+            scan_tabs = []
+            p = 1
+            for _ in range(ns):
+                cid, tabs = payload[p], payload[p + 1]
+                scan_tabs.append((cid, tabs >> 4, tabs & 0x0F))
+                p += 2
+            scan = (scan_tabs, data[pos:])
+            break
+    assert scan is not None and h is not None
+    scan_tabs, entropy = scan
+    br = _BitReader(entropy)
+    C = _dct_matrix()
+    H8 = -(-h // 8) * 8
+    W8 = -(-w // 8) * 8
+    planes = [np.zeros((H8, W8)) for _ in range(3)]
+    prev_dc = [0, 0, 0]
+    for by in range(0, H8, 8):
+        for bx in range(0, W8, 8):
+            for ci, (cid, tdc, tac) in enumerate(scan_tabs):
+                dc_tab = hts[(0, tdc)]
+                ac_tab = hts[(1, tac)]
+                size = _read_sym(br, dc_tab)
+                diff = _extend(br.read(size), size)
+                prev_dc[ci] += diff
+                qz = np.zeros(64, dtype=np.int64)
+                qz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = _read_sym(br, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += r
+                    qz[k] = _extend(br.read(s), s)
+                    k += 1
+                blk = np.zeros(64, dtype=np.float64)
+                blk[_ZIG] = qz
+                tq = dict(comps)[cid]
+                f = blk.reshape(8, 8) * qt[tq]
+                sp = C.T @ f @ C + 128.0
+                planes[ci][by:by + 8, bx:bx + 8] = sp
+    Y, Cb, Cr = (p[:h, :w] for p in planes)
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def import_jpeg(path: str, tile_rows: int = 64):
+    """ImportImage (JPEG path): one decode task per file (entropy
+    stream is sequential), packed-composite row-band tiles."""
+    import ray.data as rd
+
+    def load(batch) -> pd.DataFrame:
+        with open(path, "rb") as f:
+            a = decode_jpeg(f.read())
+        r = a[:, :, 0].astype(np.float64)
+        g = a[:, :, 1].astype(np.float64)
+        b = a[:, :, 2].astype(np.float64)
+        val = 255.0 * 16777216 + r * 65536 + g * 256 + b
+        rows = []
+        n_tiles = -(-val.shape[0] // tile_rows)
+        for tid in range(n_tiles):
+            rows.append({"tile_id": tid,
+                         "data": val[tid * tile_rows:(tid + 1) * tile_rows]
+                         .ravel()})
+        return pd.DataFrame(rows)
+
+    return rd.range(1).map_batches(load, batch_format="numpy")
+
+
+def jpeg_roundtrip_query():
+    """Deterministic conformance (rows-only — DCT chains are not
+    SQL-expressible): encode the quantized synth band, decode through
+    the Ray import, checksum. decode(encode(x)) is bit-stable (pure
+    integer/fixed-order-float pipeline), so the output is a constant of
+    the seed."""
+    from ..core.rng import NODATA
+    from ..stages.raster import RasterSpec, raster_row_checksums, synth_value
+
+    spec = RasterSpec()
+    cell = np.arange(spec.rows * spec.cols, dtype=np.int64)
+    v = synth_value(cell).reshape(spec.rows, spec.cols)
+    q = np.where(v == NODATA, 255.0, np.trunc(v * 0.255)).astype(np.uint8)
+    path = "/tmp/graft_jpeg_rt.jpg"
+    write_jpeg(path, q, quality=90)
+    ds = import_jpeg(path, tile_rows=spec.tile_rows)
+    return raster_row_checksums(ds, spec)

@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": lambda sf: emb.kmeans_embeddings(sf),
         # --- multimodal (opaque binary media + actor-pool decode) ---
         "image_features": lambda sf: multimodal.image_features(sf),
+        "image_features_real": lambda sf: multimodal.image_features_real(sf),
+        "image_resize_stats": lambda sf: multimodal.image_resize_stats(sf),
         "video_frame_sample": lambda sf: multimodal.video_frame_sample(sf),
         # --- relational surface ---
         "q1_pricing": lambda sf: relational.q1_pricing_summary(sf),
@@ -731,6 +733,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": o.cosine_neardup_sql(),
         "image_features": o.image_features_sql(),
         "video_frame_sample": _vfs_sql(),
+        "image_features_real": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.multimodal",
+            fromlist=["x"]).image_features_real_sql(),
+        "image_resize_stats": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.multimodal",
+            fromlist=["x"]).image_resize_stats_sql(),
         # pca_embeddings / kmeans_embeddings: iterative / eigen — rows-only,
         # verified against single-process mirrors in tests.
         "q1_pricing": o.q1_sql(),

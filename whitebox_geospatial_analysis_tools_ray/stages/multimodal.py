@@ -178,3 +178,170 @@ SELECT doc_id, frame_idx,
        (doc_id * 2654435761 + frame_idx * 97) % 4294967296 AS checksum
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path — the PNG/BMP/JPEG codecs (sources/png.py, bmp.py,
+# jpeg.py) un-stub the decode stage: payloads are genuine image files,
+# decoded inside the actor pool, with EXACT oracles because the
+# synthetic image content is a closed-form pattern.
+# ---------------------------------------------------------------------------
+
+def synth_image(doc_id: int) -> np.ndarray:
+    """Deterministic greyscale image per doc: w = 16 + id%32,
+    h = 16 + id%24, pixel[y, x] = (id + x + y) % 256."""
+    w = 16 + doc_id % 32
+    h = 16 + doc_id % 24
+    y, x = np.mgrid[0:h, 0:w]
+    return ((doc_id + x + y) % 256).astype(np.uint8)
+
+
+def media_table_png(sf_dir: str) -> "rd.Dataset":
+    """documents → (doc_id, payload = real PNG bytes of synth_image)."""
+    import ray.data as rd
+
+    from ..sources.png import write_png
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        import struct as _struct
+        import zlib as _zlib
+        payloads = []
+        for did in batch["doc_id"]:
+            a = synth_image(int(did))
+            # in-memory PNG (write_png writes to a path; inline here)
+            sig = b"\x89PNG\r\n\x1a\n"
+
+            def chunk(tag, p):
+                return _struct.pack(">I", len(p)) + tag + p + _struct.pack(
+                    ">I", _zlib.crc32(tag + p) & 0xFFFFFFFF)
+
+            hh, ww = a.shape
+            ihdr = _struct.pack(">IIBBBBB", ww, hh, 8, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + a[r].tobytes() for r in range(hh))
+            payloads.append(sig + chunk(b"IHDR", ihdr)
+                            + chunk(b"IDAT", _zlib.compress(raw, 6))
+                            + chunk(b"IEND", b""))
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                             "payload": payloads})
+
+    return ds.map_batches(pack, batch_format="pandas")
+
+
+class RealImageDecoder:
+    """Actor-pool stage decoding REAL image payloads (PNG/BMP/JPEG by
+    magic sniff) with the from-scratch codecs — codec tables/matrices
+    build once per actor in __init__."""
+
+    def __init__(self):
+        from ..sources.bmp import _read_header  # noqa: F401 (warm import)
+        from ..sources.jpeg import _dct_matrix, decode_jpeg
+        from ..sources.png import decode_png
+        _dct_matrix()            # cache the DCT basis once per actor
+        self._png = decode_png
+        self._jpeg = decode_jpeg
+
+    def _decode(self, buf: bytes) -> np.ndarray:
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            return self._png(buf)
+        if buf[:2] == b"\xFF\xD8":
+            return self._jpeg(buf)
+        if buf[:2] == b"BM":
+            import struct as _struct
+            (off,) = _struct.unpack_from("<I", buf, 10)
+            _, w, h, _, bpp, comp = _struct.unpack_from("<IiiHHI", buf, 14)
+            if bpp != 24 or comp != 0 or h <= 0:
+                raise NotImplementedError("24-bit BI_RGB only")
+            stride = (w * 3 + 3) & ~3
+            a = np.frombuffer(buf, dtype=np.uint8, offset=off,
+                              count=h * stride)
+            return a.reshape(h, stride)[::-1, :w * 3].reshape(h, w, 3)
+        raise ValueError("unknown image container")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        w, h, sums = [], [], []
+        for buf in batch["payload"]:
+            a = self._decode(bytes(buf))
+            if a.ndim == 3:
+                a = a[:, :, 0]
+            h.append(a.shape[0])
+            w.append(a.shape[1])
+            sums.append(int(a.astype(np.int64).sum()))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "width": np.array(w, dtype=np.int64),
+            "height": np.array(h, dtype=np.int64),
+            "sum_intensity": np.array(sums, dtype=np.int64)})
+
+
+def image_features_real(sf_dir: str, batch_size: int = 128) -> "rd.Dataset":
+    """Real PNG decode in the actor pool → exact per-image stats."""
+    from .util import pool_size
+    return media_table_png(sf_dir).map_batches(
+        RealImageDecoder, batch_format="pandas",
+        concurrency=pool_size(), batch_size=batch_size)
+
+
+def image_features_real_sql() -> str:
+    """Closed-form oracle: Σ_{x<w, y<h} (id + x + y) % 256 over the
+    synth pattern dims."""
+    return """
+WITH dims AS (SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 24 AS h
+              FROM documents),
+px AS (SELECT d.doc_id, d.w, d.h,
+              CAST((d.doc_id + gx.i + gy.i) % 256 AS BIGINT) AS v
+       FROM dims d
+       JOIN range(0, 48) gx(i) ON gx.i < d.w
+       JOIN range(0, 40) gy(i) ON gy.i < d.h)
+SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_intensity
+FROM px GROUP BY doc_id
+"""
+
+
+class ImageResizer:
+    """REAL nearest-neighbour resize (pure integer index math —
+    out[i, j] = in[i·h // H, j·w // W]) in the actor pool."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16):
+        self.oh = out_h
+        self.ow = out_w
+        self._dec = RealImageDecoder()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sums = []
+        for buf in batch["payload"]:
+            a = self._dec._decode(bytes(buf))
+            if a.ndim == 3:
+                a = a[:, :, 0]
+            h, w = a.shape
+            ri = (np.arange(self.oh, dtype=np.int64) * h) // self.oh
+            ci = (np.arange(self.ow, dtype=np.int64) * w) // self.ow
+            sums.append(int(a[np.ix_(ri, ci)].astype(np.int64).sum()))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "resized_sum": np.array(sums, dtype=np.int64)})
+
+
+def image_resize_stats(sf_dir: str, batch_size: int = 128) -> "rd.Dataset":
+    from .util import pool_size
+    return media_table_png(sf_dir).map_batches(
+        ImageResizer, batch_format="pandas",
+        concurrency=pool_size(), batch_size=batch_size)
+
+
+def image_resize_stats_sql(out_h: int = 16, out_w: int = 16) -> str:
+    return f"""
+WITH dims AS (SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 24 AS h
+              FROM documents),
+px AS (SELECT d.doc_id,
+              CAST((d.doc_id + (gx.i * d.w) // {out_w}
+                    + (gy.i * d.h) // {out_h}) % 256 AS BIGINT) AS v
+       FROM dims d
+       CROSS JOIN range(0, {out_w}) gx(i)
+       CROSS JOIN range(0, {out_h}) gy(i))
+SELECT doc_id, CAST(SUM(v) AS BIGINT) AS resized_sum
+FROM px GROUP BY doc_id
+"""

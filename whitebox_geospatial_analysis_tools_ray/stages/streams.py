@@ -1304,27 +1304,25 @@ def stream_link_classification(spec: RasterSpec | None = None,
             ze, pe, ae, se = _tile_halo_arrays(spec, tid, acc_all, threshold)
             mag = mag_all[tid]
             H = mag.shape[0]
-            cls = np.full((H, cols), -1, dtype=np.int64)
-            for r in range(H):
-                re = r + 1
-                for c in range(cols):
-                    if not se[re, c]:
-                        continue
-                    inflow = 0
-                    for i in range(8):
-                        r2, c2 = re + _DY[i], c + _DX[i]
-                        if 0 <= r2 < H + 2 and 0 <= c2 < cols \
-                                and se[r2, c2] \
-                                and pe[r2, c2] == float(1 << ((i + 4) % 8)):
-                            inflow += 1
-                    if pe[re, c] == 0:
-                        cls[r, c] = 5
-                    elif inflow == 0:
-                        cls[r, c] = 3
-                    elif inflow > 1:
-                        cls[r, c] = 4
-                    else:
-                        cls[r, c] = min(2, int(mag[r, c]))
+            # vectorized 8-shift inflow count (production stencil form)
+            sp = np.zeros((H + 2, cols + 2), dtype=bool)
+            pp = np.zeros((H + 2, cols + 2))
+            sp[:, 1:-1] = se
+            pp[:, 1:-1] = pe
+            inflow = np.zeros((H, cols), dtype=np.int64)
+            for i in range(8):
+                dy, dx = _DY[i], _DX[i]
+                ns = sp[1 + dy:1 + dy + H, 1 + dx:1 + dx + cols]
+                np_ = pp[1 + dy:1 + dy + H, 1 + dx:1 + dx + cols]
+                inflow += ns & (np_ == float(1 << ((i + 4) % 8)))
+            own_se = se[1:-1]
+            own_pe = pe[1:-1]
+            cls = np.where(
+                ~own_se, -1,
+                np.where(own_pe == 0, 5,
+                         np.where(inflow == 0, 3,
+                                  np.where(inflow > 1, 4,
+                                           np.minimum(2, mag)))))
             vals, counts = np.unique(cls[cls >= 0], return_counts=True)
             parts.append(pd.DataFrame({"class_value": vals,
                                        "n": counts.astype(np.int64)}))

@@ -1506,32 +1506,44 @@ def remove_short_streams(spec: RasterSpec | None = None,
             label = lab_all[tid]
             mag = mag_all[tid]
             H = label.shape[0]
-            for r in range(H):
-                re = r + 2
-                for c in range(cols):
-                    if not se[re, c]:
-                        continue
-                    L = int(label[r, c])
-                    code = pe[re, c]
-                    step = 0.0
-                    conf_end = False
-                    if code > 0 and code != spec.nodata:
-                        i = int(code).bit_length() - 1
-                        step = _GRID_LEN[i]
-                        r2, c2 = re + _DY[i], c + _DX[i]
-                        if 0 <= r2 < H + 4 and 0 <= c2 < cols \
-                                and se[r2, c2]:
-                            inflow2 = 0
-                            for j in range(8):
-                                r3, c3 = r2 + _DY[j], c2 + _DX[j]
-                                if 0 <= r3 < H + 4 and 0 <= c3 < cols \
-                                        and se[r3, c3] and pe[r3, c3] == \
-                                        float(1 << ((j + 4) % 8)):
-                                    inflow2 += 1
-                            conf_end = inflow2 > 1
-                    rows.append((L, 1, step, int(mag[r, c]), conf_end))
-        return pd.DataFrame(rows, columns=["label", "n", "len", "mag",
-                                           "conf"])
+            He = H + 4
+            # inflow count for EVERY extended row (vectorized 8-shift)
+            sp = np.zeros((He + 2, cols + 2), dtype=bool)
+            pp = np.zeros((He + 2, cols + 2))
+            sp[1:-1, 1:-1] = se
+            pp[1:-1, 1:-1] = pe
+            inflow_ext = np.zeros((He, cols), dtype=np.int64)
+            for j in range(8):
+                dy, dx = _DY[j], _DX[j]
+                ns = sp[1 + dy:1 + dy + He, 1 + dx:1 + dx + cols]
+                np_ = pp[1 + dy:1 + dy + He, 1 + dx:1 + dx + cols]
+                inflow_ext += ns & (np_ == float(1 << ((j + 4) % 8)))
+            own_se = se[2:-2]
+            code = pe[2:-2]
+            valid = own_se & (code > 0) & (code != spec.nodata)
+            idx = np.zeros((H, cols), dtype=np.int64)
+            idx[valid] = np.round(np.log2(code[valid])).astype(np.int64)
+            gl = np.asarray(_GRID_LEN)
+            step = np.where(valid, gl[idx], 0.0)
+            r2 = np.arange(2, H + 2, dtype=np.int64)[:, None] \
+                + np.asarray(_DY)[idx]
+            c2 = np.arange(cols, dtype=np.int64)[None, :] \
+                + np.asarray(_DX)[idx]
+            in_grid = (c2 >= 0) & (c2 < cols)
+            r2c = np.clip(r2, 0, He - 1)
+            c2c = np.clip(c2, 0, cols - 1)
+            conf_end = valid & in_grid & se[r2c, c2c] \
+                & (inflow_ext[r2c, c2c] > 1)
+            m = own_se
+            rows.append(pd.DataFrame({
+                "label": label[m],
+                "n": np.ones(int(m.sum()), dtype=np.int64),
+                "len": step[m],
+                "mag": mag[m],
+                "conf": conf_end[m]}))
+        return pd.concat(rows, ignore_index=True) if rows else \
+            pd.DataFrame({"label": [], "n": [], "len": [], "mag": [],
+                          "conf": []})
 
     from .util import combine_bounded
 

@@ -520,6 +520,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strahler_order_basins": lambda sf: streams.strahler_order_basins(),
         "hillslopes": lambda sf: streams.hillslopes(),
         "hack_order": lambda sf: streams.hack_order(),
+        "median_upstream_area": lambda sf:
+            streams.median_upstream_area(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
         "stream_link_classification": lambda sf:
             streams.stream_link_classification(threshold=2.0),
         "remove_short_streams": lambda sf:

@@ -379,3 +379,30 @@ def test_elev_above_pit_and_distance_to_outlet_match_walk(ray_session):
     alt = streams.distance_to_outlet(RasterSpec(rows=96, cols=96,
                                                 tile_rows=16))
     pd.testing.assert_frame_equal(alt, want_d, check_dtype=False)
+
+
+def test_median_upstream_area_sketch_matches_and_brackets(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages import streams
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want, med, true_med, stream, hist = \
+        streams.median_upstream_area_naive(spec)
+    got = streams.median_upstream_area(spec)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    alt = streams.median_upstream_area(RasterSpec(rows=96, cols=96,
+                                                  tile_rows=16))
+    pd.testing.assert_frame_equal(alt, want, check_dtype=False)
+
+    # sketch-vs-true bracketing: the rank element's bucket rule
+    n = hist.sum(axis=2)
+    nz = stream & (n > 0)
+    assert nz.sum() > 0
+    # upper bound always holds; lower bound holds for odd counts
+    assert np.all(true_med[nz] < med[nz] * streams._MED_RATIO + 1e-9)
+    odd = nz & (n % 2 == 1)
+    if odd.any():
+        assert np.all(med[odd] <= true_med[odd] + 1e-9)

@@ -1870,3 +1870,203 @@ def _downslope_pit_value_naive(spec: RasterSpec, kind: str) -> pd.DataFrame:
         "row_id": np.arange(R, dtype=np.int64),
         "n_reached": m.sum(axis=1).astype(np.int64),
         "value_sum": np.round(res_plane.sum(axis=1), 4)})
+
+
+# ---------------------------------------------------------------------------
+# MedianUpstreamArea (GeasyTools/src/plugins/MedianUpstreamArea.java
+# :296-367): per stream cell, the median of all upstream stream cells'
+# upslope-area values (the reference sorts the full upstream list per
+# cell — O(n log n) per cell, unbounded memory). The scale path here is
+# a MERGEABLE log-bucket histogram sketch: hist(v) = Σ_inflows
+# (hist(u) + δ(bucket(area(u)))) — bucket counts are exact integers, so
+# the distributed result is bit-identical to the single-process sketch,
+# and the sketch median (lower edge of the rank-⌈(n+1)/2⌉ bucket) is
+# guaranteed to bracket the true median within one bucket ratio.
+# ---------------------------------------------------------------------------
+
+_MED_B = 48
+_MED_RATIO = 1.4
+
+
+def _area_bucket(a: np.ndarray) -> np.ndarray:
+    """log_1.4 bucket of an area value ≥ 1, clamped to _MED_B − 1."""
+    return np.minimum(
+        np.floor(np.log(np.maximum(a, 1.0)) / np.log(_MED_RATIO))
+        .astype(np.int64), _MED_B - 1)
+
+
+def _bucket_lo(b: np.ndarray) -> np.ndarray:
+    return _MED_RATIO ** b.astype(np.float64)
+
+
+def median_upstream_area(spec: RasterSpec | None = None,
+                         threshold: float = 2.0,
+                         max_rounds: int = 64,
+                         round_to: int = 4) -> pd.DataFrame:
+    """(row_id, n_stream, median_sum) — Σ over stream cells of the
+    sketch median of upstream areas (flow accumulation)."""
+    import json as _json
+
+    from .hydro import flow_accumulation_frames
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+    acc_frames = flow_accumulation_frames(spec)
+    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
+           for r in acc_frames.itertuples()}
+    acc_ref = ray.put(acc)
+    zero = {t: np.zeros((min(spec.tile_rows,
+                             spec.rows - t * spec.tile_rows), cols, _MED_B),
+                        dtype=np.int64) for t in range(n)}
+    inflows = {t: zero[t].copy() for t in range(n)}
+
+    def solve(batch, inflow_ref, acc_ref=acc_ref) -> pd.DataFrame:
+        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
+            else inflow_ref
+        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
+            else acc_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            H = z.shape[0]
+            stream = (z != spec.nodata) & (acc_all[tid] >= threshold)
+            hist = infl[tid].copy()
+            hist[~stream] = 0
+            out_up: dict[int, list] = {}
+            out_dn: dict[int, list] = {}
+            for lin in np.argsort(-z, axis=None, kind="stable"):
+                r, c = divmod(int(lin), cols)
+                if not stream[r, c]:
+                    continue
+                code = ptr[r, c]
+                if code == spec.nodata or code <= 0:
+                    continue
+                i = int(code).bit_length() - 1
+                msg = hist[r, c].copy()
+                msg[int(_area_bucket(np.asarray([acc_all[tid][r, c]]))[0])] \
+                    += 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= c2 < cols:
+                    if 0 <= r2 < H:
+                        if stream[r2, c2]:
+                            hist[r2, c2] += msg
+                    else:
+                        tgt = out_up if r2 < 0 else out_dn
+                        if c2 in tgt:
+                            tgt[c2] = [a + b for a, b in zip(tgt[c2],
+                                                             msg.tolist())]
+                        else:
+                            tgt[c2] = msg.tolist()
+            rows.append({"tile_id": tid, "hist": hist.tobytes(),
+                         "shape0": H,
+                         "stream": stream.astype(np.int8).tobytes(),
+                         "up": _json.dumps(out_up),
+                         "dn": _json.dumps(out_dn)})
+        return pd.DataFrame(rows)
+
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(inflows)
+        res = (rd.range(n)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_inflows = {t: np.zeros_like(zero[t]) for t in range(n)}
+        import json as _json
+        for r in res.itertuples():
+            for col, v in _json.loads(r.up).items():
+                if r.tile_id > 0:
+                    new_inflows[r.tile_id - 1][-1, int(col)] += \
+                        np.asarray(v, dtype=np.int64)
+            for col, v in _json.loads(r.dn).items():
+                if r.tile_id < n - 1:
+                    new_inflows[r.tile_id + 1][0, int(col)] += \
+                        np.asarray(v, dtype=np.int64)
+        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
+            last = res
+            break
+        inflows = new_inflows
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("median upstream area did not converge")
+
+    frames = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        hist = np.frombuffer(r.hist, dtype=np.int64).reshape(h, cols,
+                                                             _MED_B)
+        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(h, cols) \
+            .astype(bool)
+        med = _sketch_median_plane(hist)
+        med = np.where(stream, med, 0.0)
+        r0 = int(r.tile_id) * spec.tile_rows
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_stream": stream.sum(axis=1).astype(np.int64),
+            "median_sum": np.round(med.sum(axis=1), round_to)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def _sketch_median_plane(hist: np.ndarray) -> np.ndarray:
+    """Lower bucket edge at rank ⌈(n+1)/2⌉; 0 where the multiset is
+    empty (headwater stream cells — the reference leaves them 0)."""
+    n = hist.sum(axis=2)
+    target = (n + 1 + 1) // 2   # ceil((n+1)/2)
+    cum = np.cumsum(hist, axis=2)
+    b = np.argmax(cum >= target[..., None], axis=2)
+    med = _bucket_lo(b)
+    return np.where(n > 0, med, 0.0)
+
+
+def median_upstream_area_naive(spec: RasterSpec, threshold: float = 2.0,
+                               round_to: int = 4):
+    """Single-process sketch (must equal the distributed result
+    EXACTLY) + the true exact median per cell (for the bracketing
+    assertion)."""
+    from .hydro import _accumulate_tile
+    from .raster import synth_value as sv
+    from .terrain import d8_kernel
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = sv(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    acc, _, _ = _accumulate_tile(z, ptr, np.zeros_like(z), spec.nodata)
+    stream = (z != spec.nodata) & (acc >= threshold)
+    R, C = z.shape
+    hist = np.zeros((R, C, _MED_B), dtype=np.int64)
+    lists = [[[] for _ in range(C)] for _ in range(R)]
+    for lin in np.argsort(-z, axis=None, kind="stable"):
+        r, c = divmod(int(lin), C)
+        if not stream[r, c]:
+            continue
+        code = ptr[r, c]
+        if code <= 0 or code == spec.nodata:
+            continue
+        i = int(code).bit_length() - 1
+        r2, c2 = r + _DY[i], c + _DX[i]
+        if 0 <= r2 < R and 0 <= c2 < C and stream[r2, c2]:
+            msg = hist[r, c].copy()
+            msg[int(_area_bucket(np.asarray([acc[r, c]]))[0])] += 1
+            hist[r2, c2] += msg
+            lists[r2][c2] = lists[r2][c2] + lists[r][c] \
+                + [float(acc[r, c])]
+    med = _sketch_median_plane(hist)
+    med = np.where(stream, med, 0.0)
+    true_med = np.zeros((R, C))
+    for r in range(R):
+        for c in range(C):
+            if stream[r, c] and lists[r][c]:
+                v = sorted(lists[r][c])
+                m = len(v)
+                true_med[r, c] = v[m // 2] if m % 2 == 1 else \
+                    0.5 * (v[m // 2 - 1] + v[m // 2])
+    df = pd.DataFrame({
+        "row_id": np.arange(R, dtype=np.int64),
+        "n_stream": stream.sum(axis=1).astype(np.int64),
+        "median_sum": np.round(med.sum(axis=1), round_to)})
+    return df, med, true_med, stream, hist

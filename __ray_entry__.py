@@ -556,6 +556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "elev_rel_watershed_minmax": lambda sf:
             hydro.elev_rel_watershed_minmax(raster.RasterSpec(
                 rows=96, cols=96, tile_rows=32)),
+        "downslope_index": lambda sf: hydro.downslope_index(
+            raster.RasterSpec(rows=96, cols=96, tile_rows=32)),
         "avg_slope_to_divide": lambda sf:
             hydro.avg_slope_to_divide(raster.RasterSpec(
                 rows=96, cols=96, tile_rows=32)),

@@ -276,3 +276,18 @@ def test_avg_slope_to_divide_matches_walk(ray_session):
         spec, output="slope_to_divide")
     got = hydro.avg_slope_to_divide(spec)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_downslope_index_matches_walk_and_tiling(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = hydro.downslope_index_naive(spec, d=30.0)
+    got = hydro.downslope_index(spec, d=30.0)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    alt = hydro.downslope_index(RasterSpec(rows=96, cols=96, tile_rows=16),
+                                d=30.0)
+    pd.testing.assert_frame_equal(alt, want, check_dtype=False)

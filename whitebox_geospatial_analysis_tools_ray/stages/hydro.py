@@ -2030,3 +2030,215 @@ def _upstream_channel_value_naive(spec: RasterSpec, threshold: float,
         "n_stream": stream.sum(axis=1).astype(np.int64),
         "value_sum": np.round(np.where(stream, val, 0.0).sum(axis=1),
                               round_to)})
+
+
+# ---------------------------------------------------------------------------
+# DownslopeIndex (TerrainAnalysisTools/src/plugins/DownslopeIndex.java
+# :245-305, "tangent" mode): from each cell walk the D8 path until the
+# cumulative drop from the START elevation reaches d; output
+# d / flowLength. Two literal quirks reproduced: zLastCell reads the
+# START cell (row, col), never the current one, so the crossing
+# interpolation is gridLen·d/(zSt − zCurrent) and a pit/edge/NoData
+# termination emits (zSt − zLastCell)/len = 0 (NoData when len = 0).
+#
+# Distribution: each cell's answer depends on its own path profile, so
+# the banded fixed point carries PER-ORIGIN continuation messages
+# (origin, entry cell, zSt, flowLength) — message volume is the number
+# of path/boundary crossings (bounded by Σ path lengths / band height;
+# deep paths amortize across rounds).
+# ---------------------------------------------------------------------------
+
+def downslope_index(spec: RasterSpec | None = None, d: float = 30.0,
+                    max_rounds: int = 256,
+                    round_to: int = 4) -> pd.DataFrame:
+    """(row_id, n_valid, index_sum) per raster row (tangent mode)."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+    GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
+
+    def walk_tile(tid: int, starts, z, ptr):
+        """starts: list of (origin, r, c, zst, flen). Returns
+        (resolved {origin: value}, emitted {target_tid: [msg...]})."""
+        H = z.shape[0]
+        r0 = tid * spec.tile_rows
+        resolved = {}
+        emitted: dict[int, list] = {}
+        for origin, r, c, zst, flen in starts:
+            while True:
+                code = ptr[r, c]
+                if code == spec.nodata or code <= 0:
+                    resolved[origin] = 0.0 if flen > 0 else None
+                    break
+                i = int(code).bit_length() - 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if not (0 <= c2 < cols) \
+                        or not (0 <= r0 + r2 < spec.rows):
+                    resolved[origin] = 0.0 if flen > 0 else None
+                    break
+                if not (0 <= r2 < H):
+                    tgt = tid + (1 if r2 >= H else -1)
+                    emitted.setdefault(tgt, []).append(
+                        (origin, (r0 + r2) * cols + c2, zst, flen, i))
+                    break
+                zc = z[r2, c2]
+                if zc == spec.nodata:
+                    resolved[origin] = 0.0 if flen > 0 else None
+                    break
+                if (zst - zc) < d:
+                    flen += GL[i]
+                    r, c = r2, c2
+                else:
+                    flen += GL[i] * d / (zst - zc)
+                    resolved[origin] = d / flen
+                    break
+        return resolved, emitted
+
+    def solve(batch, pending_ref) -> pd.DataFrame:
+        import json as _json
+        pend = ray.get(pending_ref) if isinstance(pending_ref,
+                                                  ray.ObjectRef) \
+            else pending_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            H = z.shape[0]
+            r0 = tid * spec.tile_rows
+            starts = []
+            if pend is None:           # round 0: every own valid cell
+                for r in range(H):
+                    for c in range(cols):
+                        if z[r, c] != spec.nodata \
+                                and ptr[r, c] != spec.nodata:
+                            starts.append(((r0 + r) * cols + c, r, c,
+                                           float(z[r, c]), 0.0))
+            else:
+                for origin, entry, zst, flen, i in pend.get(tid, []):
+                    er, ec = divmod(int(entry), cols)
+                    r, c = er - r0, ec
+                    zc = z[r, c]
+                    # the pending message still owes the STEP onto the
+                    # entry cell (the walk's move):
+                    if zc == spec.nodata:
+                        starts.append((origin, r, c, zst, -abs(flen) - 1.0))
+                        # sentinel handled below
+                        continue
+                    if (zst - zc) < d:
+                        starts.append((origin, r, c, zst,
+                                       flen + GL[int(i)]))
+                    else:
+                        starts.append((origin, None, None, zst,
+                                       flen + GL[int(i)] * d / (zst - zc)))
+            resolved = {}
+            emitted: dict[int, list] = {}
+            walk_starts = []
+            for st in starts:
+                origin, r, c, zst, flen = st
+                if r is None:                      # resolved at entry
+                    resolved[origin] = d / flen
+                elif flen < 0:                     # entered NoData
+                    real = -(flen + 1.0)
+                    resolved[origin] = 0.0 if real > 0 else None
+                else:
+                    walk_starts.append(st)
+            res2, emit2 = walk_tile(tid, walk_starts, z, ptr)
+            resolved.update(res2)
+            for t, msgs in emit2.items():
+                emitted.setdefault(t, []).extend(msgs)
+            rows.append({
+                "tile_id": tid,
+                "resolved": _json.dumps(
+                    {str(k): v for k, v in resolved.items()}),
+                "emitted": _json.dumps(
+                    {str(t): m for t, m in emitted.items()})})
+        return pd.DataFrame(rows)
+
+    import json as _json
+    values: dict[int, float | None] = {}
+    pending = None
+    for _ in range(max_rounds):
+        ref = ray.put(pending)
+        res = (rd.range(n)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_pending: dict[int, list] = {}
+        got_any = False
+        for r in res.itertuples():
+            for k, v in _json.loads(r.resolved).items():
+                values[int(k)] = v
+            for t, msgs in _json.loads(r.emitted).items():
+                if 0 <= int(t) < n:
+                    new_pending.setdefault(int(t), []).extend(
+                        [tuple(m) for m in msgs])
+                    got_any = True
+        if not got_any:
+            break
+        pending = new_pending
+    else:  # pragma: no cover
+        raise RuntimeError("downslope index did not converge")
+
+    from .raster import synth_value
+    out = []
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    zall = synth_value(cell).reshape(spec.rows, cols)
+    plane = np.full((spec.rows, cols), np.nan)
+    for k, v in values.items():
+        if v is not None:
+            plane[k // cols, k % cols] = v
+    valid = ~np.isnan(plane)
+    return pd.DataFrame({
+        "row_id": np.arange(spec.rows, dtype=np.int64),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "index_sum": np.round(np.where(valid, plane, 0.0).sum(axis=1),
+                              round_to)})
+
+
+def downslope_index_naive(spec: RasterSpec, d: float = 30.0,
+                          round_to: int = 4) -> pd.DataFrame:
+    """Literal per-cell walk."""
+    from .raster import synth_value
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    R, C = z.shape
+    GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
+    plane = np.full((R, C), np.nan)
+    for row in range(R):
+        for col in range(C):
+            if z[row, col] == spec.nodata or ptr[row, col] == spec.nodata:
+                continue
+            zst = float(z[row, col])
+            y, x = row, col
+            flen = 0.0
+            while True:
+                code = ptr[y, x]
+                if code <= 0 or code == spec.nodata:
+                    if flen > 0:
+                        plane[row, col] = 0.0
+                    break
+                i = int(code).bit_length() - 1
+                y2, x2 = y + _DY[i], x + _DX[i]
+                if not (0 <= y2 < R and 0 <= x2 < C) \
+                        or z[y2, x2] == spec.nodata:
+                    if flen > 0:
+                        plane[row, col] = 0.0
+                    break
+                zc = z[y2, x2]
+                if (zst - zc) < d:
+                    flen += GL[i]
+                    y, x = y2, x2
+                else:
+                    flen += GL[i] * d / (zst - zc)
+                    plane[row, col] = d / flen
+                    break
+    valid = ~np.isnan(plane)
+    return pd.DataFrame({
+        "row_id": np.arange(R, dtype=np.int64),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "index_sum": np.round(np.where(valid, plane, 0.0).sum(axis=1),
+                              round_to)})

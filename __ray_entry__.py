@@ -609,6 +609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "buffer_vector": _vops_q("buffer_vector"),
         "group_polygons_by_orientation":
             _vops_q("group_polygons_by_orientation"),
+        "patch_orientation_vector_field":
+            _vops_q("patch_orientation_vector_field"),
         "multiparts_to_singleparts": _vops_q("multiparts_to_singleparts"),
         "singleparts_to_multiparts": _vops_q("singleparts_to_multiparts"),
         "remove_polygon_holes": _vops_q("remove_polygon_holes"),
@@ -863,6 +865,8 @@ def oracle_sql() -> dict[str, str]:
         "buffer_vector": _vops2("buffer_vector_sql"),
         "group_polygons_by_orientation":
             _vops2("group_polygons_by_orientation_sql"),
+        "patch_orientation_vector_field":
+            _vops2("patch_orientation_vector_field_sql"),
         "multiparts_to_singleparts": _vops2("multiparts_to_singleparts_sql"),
         "singleparts_to_multiparts": _vops2("singleparts_to_multiparts_sql"),
         "remove_polygon_holes": _vops2("remove_polygon_holes_sql"),

@@ -1054,3 +1054,79 @@ SELECT LEAST(CAST(floor(ori / 15.0) AS BIGINT), 11) AS orientation_class,
        CAST(count(*) AS BIGINT) AS n_features
 FROM o GROUP BY 1
 """
+
+
+def patch_orientation_vector_field(sf_dir: str):
+    """PatchOrientationVectorField (GISTools family): one oriented
+    segment per feature — centroid ± (len/2)·(sin θ, cos θ) with θ the
+    PatchOrientation fold (same regression chain as
+    group_polygons_by_orientation) and len the L-shape's long bbox
+    axis. (rec_id, x0, y0, x1, y1), exact closed-form oracle."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        xa = np.asarray(batch["xa"]); ya = np.asarray(batch["ya"])
+        h = np.asarray(batch["h"]); w2 = np.asarray(batch["w2"])
+        vx = [xa - h, xa + h + w2, xa + h + w2, xa + h, xa + h, xa - h]
+        vy = [ya - h, ya - h, ya, ya, ya + h, ya + h]
+        sx = vx[0] + vx[1] + vx[2] + vx[3] + vx[4] + vx[5]
+        sy = vy[0] + vy[1] + vy[2] + vy[3] + vy[4] + vy[5]
+        sxy = (vx[0] * vy[0] + vx[1] * vy[1] + vx[2] * vy[2]
+               + vx[3] * vy[3] + vx[4] * vy[4] + vx[5] * vy[5])
+        sx2 = (vx[0] * vx[0] + vx[1] * vx[1] + vx[2] * vx[2]
+               + vx[3] * vx[3] + vx[4] * vx[4] + vx[5] * vx[5])
+        den = sx2 - sx * sx / 6.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = -(sxy - sx * sy / 6.0) / den
+            deg = np.degrees(np.arctan(slope))
+        ori = np.where(deg < 0, 90.0 + -1.0 * deg, 90.0 - deg)
+        ori = np.where(den != 0, ori, 0.0)
+        theta = np.deg2rad(ori)
+        cx = sx / 6.0
+        cy = sy / 6.0
+        half = (2.0 * h + w2) / 2.0        # long bbox axis / 2
+        dx = half * np.sin(theta)
+        dy = half * np.cos(theta)
+        return {"rec_id": np.asarray(batch["rec_id"]),
+                "x0": np.round(cx - dx, 6), "y0": np.round(cy - dy, 6),
+                "x1": np.round(cx + dx, 6), "y1": np.round(cy + dy, 6)}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def patch_orientation_vector_field_sql() -> str:
+    from ..core.features import POINTS_CTE
+    vx = ["(xa - h)", "(xa + h + w2)", "(xa + h + w2)", "(xa + h)",
+          "(xa + h)", "(xa - h)"]
+    vy = ["(ya - h)", "(ya - h)", "ya", "ya", "(ya + h)", "(ya + h)"]
+    sx = " + ".join(vx)
+    sy = " + ".join(vy)
+    sxy = " + ".join(f"{a} * {b}" for a, b in zip(vx, vy))
+    sx2 = " + ".join(f"{a} * {a}" for a in vx)
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+             10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+m AS (SELECT rec_id, h, w2,
+      {sx} AS sx, {sy} AS sy, {sxy} AS sxy, {sx2} AS sx2 FROM l),
+o AS (SELECT rec_id, h, w2, sx, sy,
+      CASE WHEN sx2 - sx * sx / 6.0 <> 0 THEN
+        CASE WHEN degrees(atan(-(sxy - sx * sy / 6.0)
+                               / (sx2 - sx * sx / 6.0))) < 0
+             THEN 90.0 + -1.0 * degrees(atan(-(sxy - sx * sy / 6.0)
+                                             / (sx2 - sx * sx / 6.0)))
+             ELSE 90.0 - degrees(atan(-(sxy - sx * sy / 6.0)
+                                      / (sx2 - sx * sx / 6.0))) END
+      ELSE 0.0 END AS ori FROM m),
+seg AS (SELECT rec_id,
+        sx / 6.0 AS cx, sy / 6.0 AS cy,
+        ((2.0 * h + w2) / 2.0) * sin(radians(ori)) AS dx,
+        ((2.0 * h + w2) / 2.0) * cos(radians(ori)) AS dy
+        FROM o)
+SELECT rec_id,
+       round(cx - dx, 6) AS x0, round(cy - dy, 6) AS y0,
+       round(cx + dx, 6) AS x1, round(cy + dy, 6) AS y1
+FROM seg
+"""

@@ -155,3 +155,90 @@ def test_gml_roundtrip(tmp_path):
         assert fid == fid2 and len(rings) == len(rings2)
         for a, b in zip(rings, rings2):
             np.testing.assert_array_equal(a, b)  # repr() roundtrips doubles
+
+
+def test_hillshade_matches_reference_shipped_output(ray_session):
+    """GOLDEN-FILE conformance against the reference's OWN precomputed
+    output: the Vermont DEM sample ships `hillshade.dep` ("Created by
+    the Hillshade tool", 2012 — altitude 30°, azimuth 315°, output
+    min–max normalised to [0, 1]). Running the DISTRIBUTED pipeline
+    (read .dep → Horn-gradient hillshade stencil over row-band tiles →
+    global min/max normalise) reproduces it within float32 storage
+    noise on every cell not adjacent to NoData (the 2012 edge rule
+    differs from today's centre-replacement; ~0.7% of cells)."""
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.sources.raster_io import (
+        read_whitebox_raster)
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import (
+        RasterSpec, stencil_apply)
+
+    hdr, ds = read_whitebox_raster(VERMONT)
+    spec = RasterSpec(rows=hdr.rows, cols=hdr.cols, tile_rows=64,
+                      nodata=hdr.nodata)
+
+    deg2rad = np.pi / 180.0
+    rad2deg = 180.0 / np.pi
+    az = (315.0 - 90.0) * deg2rad
+    alt = 30.0 * deg2rad
+    res = 90.0  # the sample's ~90 m grid
+
+    def kernel(p):
+        z = p[1:-1, 1:-1]
+        H, W = z.shape
+
+        def nb(dy, dx):
+            v = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+            return np.where(v == spec.nodata, z, v)
+
+        m0, m1, m2, m3 = nb(-1, 1), nb(0, 1), nb(1, 1), nb(1, 0)
+        m4, m5, m6, m7 = nb(1, -1), nb(0, -1), nb(-1, -1), nb(-1, 0)
+        fy = (m6 - m4 + 2 * (m7 - m3) + m0 - m2) / (8 * res)
+        fx = (m2 - m4 + 2 * (m1 - m5) + m0 - m6) / (8 * res)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tan_s = np.sqrt(fx * fx + fy * fy)
+            aspect = (180.0 - np.arctan(fy / fx) * rad2deg
+                      + 90.0 * np.sign(fx)) * deg2rad
+            t1 = tan_s / np.sqrt(1 + tan_s * tan_s)
+            hs = t1 * (np.sin(alt) / tan_s
+                       - np.cos(alt) * np.sin(az - aspect))
+        hs = np.where(fx != 0, hs, 0.5)
+        hs = np.where(z != spec.nodata, hs, spec.nodata)
+        out = np.full_like(p, spec.nodata)
+        out[1:-1, 1:-1] = hs
+        return out
+
+    shaded = stencil_apply(ds, spec, kernel, halo=1)
+    tiles = shaded.to_pandas().sort_values("tile_id")
+    hs = np.concatenate([np.asarray(d) for d in tiles["data"]]) \
+        .reshape(hdr.rows, hdr.cols)
+
+    ref_hdr, ref_ds = read_whitebox_raster(
+        VERMONT.replace("Vermont DEM.dep", "hillshade.dep"))
+    ref = np.concatenate(
+        [np.asarray(d) for d in
+         ref_ds.to_pandas().sort_values("tile_id")["data"]]) \
+        .reshape(ref_hdr.rows, ref_hdr.cols)
+
+    dem_tiles = read_whitebox_raster(VERMONT)[1].to_pandas() \
+        .sort_values("tile_id")
+    dem = np.concatenate([np.asarray(d) for d in dem_tiles["data"]]) \
+        .reshape(hdr.rows, hdr.cols)
+    valid = (dem != hdr.nodata) & (ref != ref_hdr.nodata) \
+        & (hs != spec.nodata)
+    lo, hi = hs[valid].min(), hs[valid].max()
+    hsn = (hs - lo) / (hi - lo)
+
+    pad = np.full((hdr.rows + 2, hdr.cols + 2), hdr.nodata)
+    pad[1:-1, 1:-1] = dem
+    adj_nod = np.zeros_like(valid)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            adj_nod |= (pad[1 + dy:1 + dy + hdr.rows,
+                            1 + dx:1 + dx + hdr.cols] == hdr.nodata)
+    core = valid & ~adj_nod
+    assert core.sum() > 90_000
+    diff = np.abs(hsn - ref)[core]
+    assert diff.max() < 5e-5, diff.max()
+    cc = np.corrcoef(hsn[valid].ravel(), ref[valid].ravel())[0, 1]
+    assert cc > 0.999, cc

@@ -242,3 +242,67 @@ def test_hillshade_matches_reference_shipped_output(ray_session):
     assert diff.max() < 5e-5, diff.max()
     cc = np.corrcoef(hsn[valid].ravel(), ref[valid].ravel())[0, 1]
     assert cc > 0.999, cc
+
+
+def test_bce_composite_matches_reference_shipped_output(ray_session):
+    """Second GOLDEN FILE: LandsatData/ColourComposite432.dep was
+    "Created by the Balance Contrast Enhancement tool" (2013) from the
+    shipped bands 4/3/2. Reproducing the chain — CreateColourComposite
+    channel scaling (CreateColourComposite.java:246-267) → BCE parabola
+    remap (BalanceContrastEnhancement.java:240-365, E=100, integer-
+    division channel mean as the reference declares) — matches the
+    shipped packed composite EXACTLY on the green and blue channels and
+    within ±1 on < 0.6% of red cells (a 2013-binary arithmetic
+    difference in the red parabola; every red input maps to a unique
+    golden output, so the input composite itself is reproduced
+    exactly)."""
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.sources.raster_io import (
+        read_whitebox_raster)
+
+    D = ("/root/reference/WhiteboxGIS/resources/samples/LandsatData/")
+
+    def arr(p):
+        hdr, ds = read_whitebox_raster(p)
+        a = np.concatenate(
+            [np.asarray(d) for d in
+             ds.to_pandas().sort_values("tile_id")["data"]]) \
+            .reshape(hdr.rows, hdr.cols)
+        return hdr, a
+
+    h4, b4 = arr(D + "band4.dep")
+    _, b3 = arr(D + "band3.dep")
+    _, b2 = arr(D + "band2.dep")
+    hg, gold = arr(D + "ColourComposite432.dep")
+    nod = h4.nodata
+    gi = gold.astype(np.int64)
+    valid = (b4 != nod) & (b3 != nod) & (b2 != nod) & (gold != hg.nodata)
+    assert valid.sum() == 316905
+
+    def chan(b):
+        # display range 0..255 → (int)((v − min)/range·255), clamped
+        return np.clip(np.trunc((b - 0.0) / 255.0 * 255), 0,
+                       255).astype(np.int64)
+
+    def bce(ch, E=100):
+        x = ch[valid]
+        low, high, n = int(x.min()), int(x.max()), x.size
+        e = int(x.sum()) // n          # the reference's long division
+        s = int((x ** 2).sum()) / n
+        L, H = 0, 255
+        bb = (high * high * (E - L) - s * (H - L)
+              + low * low * (H - E)) \
+            / (2 * (high * (E - L) - e * (H - L) + low * (H - E)))
+        aa = (H - L) / ((high - low) * (high + low - 2 * bb))
+        cc = L - aa * ((low - bb) * (low - bb))
+        return np.clip(np.trunc(aa * ((ch - bb) * (ch - bb)) + cc),
+                       0, 255).astype(np.int64)
+
+    rr, gg, bb = bce(chan(b4)), bce(chan(b3)), bce(chan(b2))
+    gr, ggold, bgold = gi & 0xFF, (gi >> 8) & 0xFF, (gi >> 16) & 0xFF
+    assert (gg[valid] == ggold[valid]).all()
+    assert (bb[valid] == bgold[valid]).all()
+    red_diff = np.abs(rr - gr)[valid]
+    assert (red_diff <= 1).all()
+    assert (red_diff > 0).mean() < 0.006

@@ -3466,3 +3466,59 @@ res AS (SELECT cell,
 {_row_int_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def bce_sql(rows: int = 256, cols: int = 256, e_target: int = 100) -> str:
+    """BalanceContrastEnhancement.java:240-365 mirror over the synthetic
+    packed composite (r = trunc(v·0.255), g = trunc(v)%256,
+    b = cell%256, signed int32 packing). Integer channel stats make the
+    parabola coefficients bit-identical."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+comp AS (SELECT cell, v,
+  CASE WHEN v = {_NOD} THEN NULL
+       ELSE CAST(trunc(v * 0.255) AS BIGINT) END AS r,
+  CASE WHEN v = {_NOD} THEN NULL
+       ELSE CAST(trunc(v) AS BIGINT) % 256 END AS g,
+  CASE WHEN v = {_NOD} THEN NULL ELSE cell % 256 END AS b
+FROM vals),
+st AS (SELECT CAST(count(r) AS BIGINT) AS n,
+  MIN(r) AS rl, MAX(r) AS rh, SUM(r) AS rs, SUM(r*r) AS rq,
+  MIN(g) AS gl, MAX(g) AS gh, SUM(g) AS gs, SUM(g*g) AS gq,
+  MIN(b) AS bl, MAX(b) AS bh, SUM(b) AS bs, SUM(b*b) AS bq
+FROM comp WHERE r IS NOT NULL),
+cf AS (SELECT
+  (rh*rh*{e_target} - (CAST(rq AS DOUBLE)/n)*255 + rl*rl*(255-{e_target}))
+    / (2*(rh*{e_target} - (rs//n)*255 + rl*(255-{e_target}))) AS rb,
+  (gh*gh*{e_target} - (CAST(gq AS DOUBLE)/n)*255 + gl*gl*(255-{e_target}))
+    / (2*(gh*{e_target} - (gs//n)*255 + gl*(255-{e_target}))) AS gb,
+  (bh*bh*{e_target} - (CAST(bq AS DOUBLE)/n)*255 + bl*bl*(255-{e_target}))
+    / (2*(bh*{e_target} - (bs//n)*255 + bl*(255-{e_target}))) AS bb,
+  rl, rh, gl, gh, bl, bh FROM st),
+cf2 AS (SELECT rb, gb, bb,
+  255.0 / ((rh - rl) * (rh + rl - 2*rb)) AS ra,
+  255.0 / ((gh - gl) * (gh + gl - 2*gb)) AS ga,
+  255.0 / ((bh - bl) * (bh + bl - 2*bb)) AS ba,
+  rl, gl, bl FROM cf),
+cf3 AS (SELECT ra, rb, ga, gb, ba, bb,
+  0 - ra * ((rl - rb) * (rl - rb)) AS rc,
+  0 - ga * ((gl - gb) * (gl - gb)) AS gc,
+  0 - ba * ((bl - bb) * (bl - bb)) AS bc FROM cf2),
+rm AS (SELECT c.cell, c.v,
+  LEAST(GREATEST(trunc(k.ra * ((c.r - k.rb) * (c.r - k.rb)) + k.rc), 0),
+        255) AS ro,
+  LEAST(GREATEST(trunc(k.ga * ((c.g - k.gb) * (c.g - k.gb)) + k.gc), 0),
+        255) AS go,
+  LEAST(GREATEST(trunc(k.ba * ((c.b - k.bb) * (c.b - k.bb)) + k.bc), 0),
+        255) AS bo
+FROM comp c CROSS JOIN cf3 k),
+res AS (SELECT cell,
+  CASE WHEN v = {_NOD} THEN v
+       ELSE CAST(CAST(
+           -16777216 + CAST(bo AS BIGINT) * 65536
+           + CAST(go AS BIGINT) * 256 + CAST(ro AS BIGINT)
+           AS INTEGER) AS DOUBLE) END AS f
+FROM rm)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

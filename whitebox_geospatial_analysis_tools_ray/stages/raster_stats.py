@@ -2602,3 +2602,89 @@ def test_for_normality(ds, spec: RasterSpec, num_bins: int = 10000):
     return pd.DataFrame({"n": [np.int64(n)],
                          "dmax": [round(dmax, 5)],
                          "p_value": [round(p_value, 5)]})
+
+
+def balance_contrast_enhancement(ds, spec: RasterSpec, e_target: int = 100):
+    """BalanceContrastEnhancement (ImageProcessingTools/src/plugins/
+    BalanceContrastEnhancement.java:240-365): per-channel parabola remap
+    of a packed RGB composite — channel stats (min, max, LONG-division
+    mean, mean square), b/a/c coefficients, (int) truncation, clamp,
+    repack (255<<24 | b<<16 | g<<8 | r, signed). Validated against the
+    reference's own shipped LandsatData golden composite
+    (tests/test_sources_state.py). One stats pass + stateless remap."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for data in batch["data"]:
+            z = np.asarray(data, dtype=np.float64)
+            z = z[z != spec.nodata]
+            zi = z.astype(np.int64)
+            row = {"n": len(zi)}
+            for name, shift in (("r", 0), ("g", 8), ("b", 16)):
+                c = (zi >> shift) & 0xFF
+                row[f"{name}_min"] = int(c.min()) if len(c) else 255
+                row[f"{name}_max"] = int(c.max()) if len(c) else 0
+                row[f"{name}_sum"] = int(c.sum())
+                row[f"{name}_sq"] = int((c * c).sum())
+            out.append(row)
+        return pd.DataFrame(out)
+
+    st = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(st["n"].sum())
+    L, H = 0, 255
+    coef = {}
+    for name in ("r", "g", "b"):
+        low = int(st[f"{name}_min"].min())
+        high = int(st[f"{name}_max"].max())
+        e = int(st[f"{name}_sum"].sum()) // n
+        s = int(st[f"{name}_sq"].sum()) / n
+        bb = (high * high * (e_target - L) - s * (H - L)
+              + low * low * (H - e_target)) \
+            / (2 * (high * (e_target - L) - e * (H - L)
+                    + low * (H - e_target)))
+        aa = (H - L) / ((high - low) * (high + low - 2 * bb))
+        cc = L - aa * ((low - bb) * (low - bb))
+        coef[name] = (aa, bb, cc)
+
+    def remap(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            z = np.asarray(data, dtype=np.float64)
+            zi = z.astype(np.int64)
+            chans = {}
+            for name, shift in (("r", 0), ("g", 8), ("b", 16)):
+                c = (zi >> shift) & 0xFF
+                aa, bb, cc = coef[name]
+                v = np.trunc(aa * ((c - bb) * (c - bb)) + cc)
+                chans[name] = np.clip(v, 0, 255).astype(np.int64)
+            packed = ((255 << 24) | (chans["b"] << 16)
+                      | (chans["g"] << 8) | chans["r"])
+            packed = packed.astype(np.int32).astype(np.float64)  # signed
+            res = np.where(z == spec.nodata, spec.nodata, packed)
+            out["tile_id"].append(int(tid))
+            out["data"].append(res)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(remap, batch_format="pandas")
+
+
+def synth_composite(spec: RasterSpec) -> "rd.Dataset":
+    """Packed signed RGB composite from the synth band: r = trunc(v·
+    0.255), g = trunc(v) % 256, b = cell % 256 (NoData preserved)."""
+    def per_tile(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * spec.cols, r1 * spec.cols, dtype=np.int64)
+            v = synth_value(cell)
+            r = np.trunc(v * 0.255).astype(np.int64)
+            g = (np.trunc(v).astype(np.int64)) % 256
+            b = cell % 256
+            packed = ((255 << 24) | (b << 16) | (g << 8) | r) \
+                .astype(np.int32).astype(np.float64)
+            out["tile_id"].append(tid)
+            out["data"].append(np.where(v == NODATA, v, packed))
+        return pd.DataFrame(out)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")

@@ -390,6 +390,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             raster.synth_raster(raster.RasterSpec()), raster.RasterSpec()),
         "attribute_histogram": lambda sf: relational.attribute_histogram(sf),
         "attribute_correlation": lambda sf: relational.attribute_correlation(sf),
+        "direct_decorrelation_stretch": lambda sf:
+            raster.raster_row_checksums(
+                raster_stats.direct_decorrelation_stretch(
+                    raster_stats.synth_composite(raster.RasterSpec()),
+                    raster.RasterSpec()),
+                raster.RasterSpec()),
         "balance_contrast_enhancement": lambda sf:
             raster.raster_row_checksums(
                 raster_stats.balance_contrast_enhancement(
@@ -831,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
         "attribute_histogram": relational_mod.attribute_histogram_sql(),
         "attribute_correlation": relational_mod.attribute_correlation_sql(),
         "balance_contrast_enhancement": o.bce_sql(),
+        "direct_decorrelation_stretch": o.dds_sql(),
         "percentage_stretch": o.percentage_stretch_sql(),
         "gaussian_stretch": o.gaussian_stretch_sql(),
         "filter_olympic": o.olympic_sql(),

@@ -3522,3 +3522,39 @@ FROM rm)
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def dds_sql(rows: int = 256, cols: int = 256, k: float = 0.5) -> str:
+    """DirectDecorrelationStretch.java:235-333 mirror over the synthetic
+    packed composite."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+comp AS (SELECT cell, v,
+  CASE WHEN v = {_NOD} THEN NULL
+       ELSE CAST(trunc(v * 0.255) AS BIGINT) END AS r,
+  CASE WHEN v = {_NOD} THEN NULL
+       ELSE CAST(trunc(v) AS BIGINT) % 256 END AS g,
+  CASE WHEN v = {_NOD} THEN NULL ELSE cell % 256 END AS b
+FROM vals),
+p1 AS (SELECT cell, v,
+  LEAST(GREATEST(trunc(r - {k!r} * LEAST(r, g, b)), 0), 255) AS ro,
+  LEAST(GREATEST(trunc(g - {k!r} * LEAST(r, g, b)), 0), 255) AS go,
+  LEAST(GREATEST(trunc(b - {k!r} * LEAST(r, g, b)), 0), 255) AS bo
+FROM comp),
+mx AS (SELECT MAX(ro) AS rm, MAX(go) AS gm, MAX(bo) AS bm
+       FROM p1 WHERE v <> {_NOD}),
+p2 AS (SELECT cell, v,
+  LEAST(GREATEST(trunc(ro / (SELECT rm FROM mx) * 255), 0), 255) AS ro,
+  LEAST(GREATEST(trunc(go / (SELECT gm FROM mx) * 255), 0), 255) AS go,
+  LEAST(GREATEST(trunc(bo / (SELECT bm FROM mx) * 255), 0), 255) AS bo
+FROM p1),
+res AS (SELECT cell,
+  CASE WHEN v = {_NOD} THEN v
+       ELSE CAST(CAST(
+           -16777216 + CAST(bo AS BIGINT) * 65536
+           + CAST(go AS BIGINT) * 256 + CAST(ro AS BIGINT)
+           AS INTEGER) AS DOUBLE) END AS f
+FROM p2)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -2688,3 +2688,65 @@ def synth_composite(spec: RasterSpec) -> "rd.Dataset":
         return pd.DataFrame(out)
 
     return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+def direct_decorrelation_stretch(ds, spec: RasterSpec, k: float = 0.5):
+    """DirectDecorrelationStretch (ImageProcessingTools/src/plugins/
+    DirectDecorrelationStretch.java:235-333): pass 1 subtracts k·min
+    (r, g, b) per cell ((int) trunc, clamp), pass 2 rescales each
+    channel by its pass-1 maximum ((int)(c/max·255), clamp). One
+    map + bounded channel-max combine + one map."""
+    def pass1(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            z = np.asarray(data, dtype=np.float64)
+            zi = z.astype(np.int64)
+            r = zi & 0xFF
+            g = (zi >> 8) & 0xFF
+            b = (zi >> 16) & 0xFF
+            mn = np.minimum(np.minimum(r, g), b)
+            ro = np.clip(np.trunc(r - k * mn), 0, 255).astype(np.int64)
+            go = np.clip(np.trunc(g - k * mn), 0, 255).astype(np.int64)
+            bo = np.clip(np.trunc(b - k * mn), 0, 255).astype(np.int64)
+            packed = ((255 << 24) | (bo << 16) | (go << 8) | ro) \
+                .astype(np.int32).astype(np.float64)
+            out["tile_id"].append(int(tid))
+            out["data"].append(np.where(z == spec.nodata, z, packed))
+        return pd.DataFrame(out)
+
+    mid = ds.map_batches(pass1, batch_format="pandas")
+
+    def chan_max(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for data in batch["data"]:
+            z = np.asarray(data, dtype=np.float64)
+            zi = z[z != spec.nodata].astype(np.int64)
+            rows.append({
+                "rmax": int((zi & 0xFF).max()) if len(zi) else 0,
+                "gmax": int(((zi >> 8) & 0xFF).max()) if len(zi) else 0,
+                "bmax": int(((zi >> 16) & 0xFF).max()) if len(zi) else 0})
+        return pd.DataFrame(rows)
+
+    st = mid.map_batches(chan_max, batch_format="pandas").to_pandas()
+    rmax = int(st["rmax"].max())
+    gmax = int(st["gmax"].max())
+    bmax = int(st["bmax"].max())
+
+    def pass2(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, data in zip(batch["tile_id"], batch["data"]):
+            z = np.asarray(data, dtype=np.float64)
+            zi = z.astype(np.int64)
+            r = zi & 0xFF
+            g = (zi >> 8) & 0xFF
+            b = (zi >> 16) & 0xFF
+            ro = np.clip(np.trunc(r / rmax * 255), 0, 255).astype(np.int64)
+            go = np.clip(np.trunc(g / gmax * 255), 0, 255).astype(np.int64)
+            bo = np.clip(np.trunc(b / bmax * 255), 0, 255).astype(np.int64)
+            packed = ((255 << 24) | (bo << 16) | (go << 8) | ro) \
+                .astype(np.int32).astype(np.float64)
+            out["tile_id"].append(int(tid))
+            out["data"].append(np.where(z == spec.nodata, z, packed))
+        return pd.DataFrame(out)
+
+    return mid.map_batches(pass2, batch_format="pandas")

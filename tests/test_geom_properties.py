@@ -99,3 +99,77 @@ def test_azimuth_in_range(seed):
         return
     a = float(geom.azimuth_between_points(x1, y1, x2, y2))
     assert 0.0 <= a < 360.0 or np.isclose(a, 360.0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=0.0, max_value=3999.0),
+       st.floats(min_value=0.0, max_value=3999.0))
+def test_rect_grid_tile_contains_point(x, y):
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.core.rng import (
+        EAST, NORTH, SOUTH, WEST)
+    from whitebox_geospatial_analysis_tools_ray.core.tiles import RectGrid
+
+    g = RectGrid.from_extent(WEST, SOUTH, EAST, NORTH,
+                             width_x=250.0, width_y=250.0)
+    row, col = g.rowcol_of(np.array([x]), np.array([y]))
+    # the assigned cell's box must contain the point (floor rule)
+    x0 = g.origin_x + (g.start_x + col[0]) * g.width_x
+    y0 = g.origin_y + (g.start_y + row[0]) * g.width_y
+    assert x0 <= x < x0 + g.width_x
+    assert y0 <= y < y0 + g.width_y
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=10.0, max_value=3990.0),
+       st.floats(min_value=10.0, max_value=3990.0))
+def test_hex_assignment_is_nearest_centre(x, y):
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.core.rng import (
+        EAST, NORTH, SOUTH, WEST)
+    from whitebox_geospatial_analysis_tools_ray.core.tiles import HexGrid
+
+    g = HexGrid(WEST, NORTH, EAST - WEST, NORTH - SOUTH, 250.0)
+    idx = g.hex_of(np.array([x]), np.array([y]))[0]
+    # brute-force: the chosen centre is no farther than every centre in
+    # the surrounding rows (global argmin restricted to nearby rows is
+    # exactly the 4-candidate rule's promise)
+    best = np.inf
+    for row in range(g.n_rows):
+        cy = g.center_y(np.array([row]))[0]
+        if abs(cy - y) > 2 * g.width:
+            continue
+        for col in range(g.cols_in_row(row)):
+            cx = g.center_x(np.array([row]), np.array([col]))[0]
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+            if d2 < best:
+                best = d2
+    row_chosen = None
+    # recover the chosen centre's distance via row_start_index inversion
+    for row in range(g.n_rows):
+        start = int(g.row_start_index(np.array([row]))[0])
+        n = g.cols_in_row(row)
+        if start <= idx < start + n:
+            col = idx - start
+            cx = g.center_x(np.array([row]), np.array([col]))[0]
+            cy = g.center_y(np.array([row]))[0]
+            chosen_d2 = (x - cx) ** 2 + (y - cy) ** 2
+            row_chosen = row
+            break
+    assert row_chosen is not None
+    assert chosen_d2 <= best + 1e-9
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=10**12))
+def test_geocode_within_world_extent(doc_id):
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.core.rng import (
+        EAST, NORTH, SOUTH, WEST, geocode_xy)
+
+    x, y = geocode_xy(np.array([doc_id], dtype=np.int64))
+    assert WEST <= x[0] < EAST
+    assert SOUTH <= y[0] < NORTH

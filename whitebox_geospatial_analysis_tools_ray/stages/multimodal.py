@@ -91,9 +91,9 @@ def image_features(sf_dir: str, batch_size: int = 256) -> "rd.Dataset":
 
 
 def resize_stub(ds: "rd.Dataset", width: int, height: int) -> "rd.Dataset":
-    """Resize stage placeholder: raises on execution — real kernels need
-    an image library. The stage SIGNATURE (Dataset→Dataset, actor pool)
-    is the production interface."""
+    """Historical placeholder kept for the FAKEIMG path — the REAL
+    resize stage is ImageResizer below (nearest-neighbour over the
+    from-scratch codecs, exact oracle `image_resize_stats`)."""
 
     class Resizer:
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -532,6 +532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strahler_order_basins": lambda sf: streams.strahler_order_basins(),
         "hillslopes": lambda sf: streams.hillslopes(),
         "hack_order": lambda sf: streams.hack_order(),
+        "find_saddle_points": lambda sf: streams.find_saddle_points(
+            raster.RasterSpec(rows=96, cols=96, tile_rows=32)),
         "median_upstream_area": lambda sf:
             streams.median_upstream_area(raster.RasterSpec(
                 rows=96, cols=96, tile_rows=32)),

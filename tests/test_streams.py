@@ -406,3 +406,23 @@ def test_median_upstream_area_sketch_matches_and_brackets(ray_session):
     odd = nz & (n % 2 == 1)
     if odd.any():
         assert np.all(med[odd] <= true_med[odd] + 1e-9)
+
+
+def test_find_saddle_points_matches_walk_and_tiling(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+    from whitebox_geospatial_analysis_tools_ray.stages import streams
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = streams.find_saddle_points_naive(spec)
+    got = streams.find_saddle_points(spec)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+    assert len(want) > 100
+    alt = streams.find_saddle_points(RasterSpec(rows=96, cols=96,
+                                                tile_rows=16))
+    pd.testing.assert_frame_equal(alt.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)

@@ -2070,3 +2070,259 @@ def median_upstream_area_naive(spec: RasterSpec, threshold: float = 2.0,
         "n_stream": stream.sum(axis=1).astype(np.int64),
         "median_sum": np.round(med.sum(axis=1), round_to)})
     return df, med, true_med, stream, hist
+
+
+# ---------------------------------------------------------------------------
+# FindSaddlePoints (WhiteboxGIS/resources/plugins/Scripts/
+# FindSaddlePoints.groovy:160-240): channel heads = valley cells with no
+# inflowing valley neighbour; every ridge cell's D8 path descends to its
+# first valley cell; per head, the saddle is the LOWEST-elevation ridge
+# cell whose path ends at that head (strict <, row-major first wins =
+# lexicographic (z, cell) min). Inputs composed from implemented
+# machinery: Peucker–Douglas valleys (2×2 scatter), FindRidges
+# candidates, D8 pointers, the ascending-z label fill. The groovy's
+# 1-based head array overruns its own bounds on the last head; labels
+# here are head cell ids (order-free, no such bug).
+# ---------------------------------------------------------------------------
+
+def _valley_plane_ext(spec: RasterSpec, tid: int) -> np.ndarray:
+    """Peucker–Douglas valley mask for tile rows EXTENDED one row above
+    and below (halo rows from the neighbouring bands' anchors)."""
+    from .raster import synth_value as sv
+
+    cols = spec.cols
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    lo = max(r0 - 2, 0)
+    hi = min(r1 + 2, spec.rows)
+    cell = np.arange(lo * cols, hi * cols, dtype=np.int64)
+    z = sv(cell).reshape(hi - lo, cols)
+    pad = np.full((hi - lo + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    zc = pad[1:-1, 1:-1]
+    nw, nn, ww = pad[:-2, :-2], pad[:-2, 1:-1], pad[1:-1, :-2]
+    valid = zc != spec.nodata
+    maxz = zc.copy()
+    sel = np.full(zc.shape, 3, dtype=np.int64)
+    for k, nb in ((0, nw), (1, nn), (2, ww)):
+        upd = valid & (nb != spec.nodata) & (nb > maxz)
+        maxz = np.where(upd, nb, maxz)
+        sel = np.where(upd, k, sel)
+    H, W = zc.shape
+    marked = np.zeros((H + 1, W + 1), dtype=bool)   # extra ring for scatter
+    offs = {0: (-1, -1), 1: (-1, 0), 2: (0, -1), 3: (0, 0)}
+    for k, (dy, dx) in offs.items():
+        hit = valid & (sel == k)
+        marked[1 + dy:1 + dy + H, 1 + dx:1 + dx + W][hit[:H, :W]] = True
+    valley = valid & ~marked[1:H + 1, 1:W + 1]
+    e0 = max(r0 - 1, 0) - lo
+    e1 = min(r1 + 1, spec.rows) - lo
+    return valley[e0:e1], max(r0 - 1, 0)
+
+
+def find_saddle_points(spec: RasterSpec | None = None,
+                       max_rounds: int = 64) -> pd.DataFrame:
+    """(head_cell, saddle_cell, saddle_z) per channel head that some
+    ridge flowpath reaches, sorted by head_cell. Conformance-scale
+    combine gathers per-tile label planes on the driver; at cluster
+    scale only tile EDGE rows travel (the fill's own message shape)."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+
+    def solve(batch, ext_ref) -> pd.DataFrame:
+        import json as _json
+        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
+            else ext_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            H = z.shape[0]
+            r0 = tid * spec.tile_rows
+            vext, vr0 = _valley_plane_ext(spec, tid)
+            off = r0 - vr0                  # own rows inside vext
+            valley = vext[off:off + H]
+            # head = valley cell, valid ptr, no inflowing VALLEY nbr
+            ze, pe = _ptr_halo_streams(spec, tid)
+            vpad = np.zeros((H + 2, cols + 2), dtype=bool)
+            vpad[1:-1, 1:-1] = valley
+            if off >= 1:
+                vpad[0, 1:-1] = vext[off - 1]
+            if off + H < vext.shape[0]:
+                vpad[-1, 1:-1] = vext[off + H]
+            ppad = np.zeros((H + 2, cols + 2))
+            ppad[1:-1, 1:-1] = pe[1:-1]
+            ppad[0, 1:-1] = pe[0]
+            ppad[-1, 1:-1] = pe[-1]
+            inflow = np.zeros((H, cols), dtype=np.int64)
+            for i in range(8):
+                dy, dx = _DY[i], _DX[i]
+                nv = vpad[1 + dy:1 + dy + H, 1 + dx:1 + dx + cols]
+                np_ = ppad[1 + dy:1 + dy + H, 1 + dx:1 + dx + cols]
+                inflow += nv & (np_ == float(1 << ((i + 4) % 8)))
+            head = valley & (ptr != spec.nodata) & (inflow == 0)
+            gcell = (np.arange(r0, r0 + H, dtype=np.int64)[:, None] * cols
+                     + np.arange(cols, dtype=np.int64)[None, :])
+            # ascending-z label fill: valley -> own gcell (head) or -2
+            ext = ext_all[tid]
+            lab = np.full((H, cols), -1, dtype=np.int64)
+            order = np.argsort(z, axis=None, kind="stable")
+            for lin in order:
+                r, c = divmod(int(lin), cols)
+                if z[r, c] == spec.nodata:
+                    continue
+                if valley[r, c]:
+                    lab[r, c] = gcell[r, c] if head[r, c] else -2
+                    continue
+                code = ptr[r, c]
+                if code <= 0:
+                    continue
+                i = int(code).bit_length() - 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= r2 < H and 0 <= c2 < cols:
+                    lab[r, c] = lab[r2, c2]
+                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                    lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
+            rows.append({"tile_id": tid, "shape0": H,
+                         "lab": lab.tobytes(),
+                         "top": lab[0].tobytes(), "bot": lab[-1].tobytes()})
+        return pd.DataFrame(rows)
+
+    ext = {t: {} for t in range(n)}
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(ext)
+        res = (rd.range(n).map_batches(lambda b, _r=ref: solve(b, _r),
+                                       batch_format="numpy").to_pandas())
+        new_ext = {t: {} for t in range(n)}
+        for r in res.itertuples():
+            tid = int(r.tile_id)
+            h = int(r.shape0)
+            r0 = tid * spec.tile_rows
+            top = np.frombuffer(r.top, dtype=np.int64)
+            bot = np.frombuffer(r.bot, dtype=np.int64)
+            if tid > 0:
+                for c in np.flatnonzero(top != -1):
+                    new_ext[tid - 1][r0 * cols + int(c)] = int(top[c])
+            if tid + 1 < n:
+                g0 = (r0 + h - 1) * cols
+                for c in np.flatnonzero(bot != -1):
+                    new_ext[tid + 1][g0 + int(c)] = int(bot[c])
+        if new_ext == ext:
+            last = res
+            break
+        ext = new_ext
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("saddle label fill did not converge")
+
+    # assemble label planes; saddle candidates = ridge cells whose
+    # RECEIVER's label is a head
+    from .thinning import _ridge_init_band
+
+    labs = {int(r.tile_id):
+            np.frombuffer(r.lab, dtype=np.int64).reshape(int(r.shape0), cols)
+            for r in last.itertuples()}
+    best: dict[int, tuple[float, int]] = {}
+    for tid in range(n):
+        z, ptr = _tile_pointers(spec, tid)
+        H = z.shape[0]
+        r0 = tid * spec.tile_rows
+        ridge = _ridge_init_band(spec, tid) == 1.0
+        for r in range(H):
+            for c in range(cols):
+                if not ridge[r, c] or z[r, c] == spec.nodata:
+                    continue
+                code = ptr[r, c]
+                if code == spec.nodata or code <= 0:
+                    continue
+                i = int(code).bit_length() - 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                ga = r0 + r2
+                if not (0 <= c2 < cols and 0 <= ga < spec.rows):
+                    continue
+                t2 = ga // spec.tile_rows
+                L = int(labs[t2][ga - t2 * spec.tile_rows, c2])
+                if L >= 0:
+                    key = (float(z[r, c]), (r0 + r) * cols + c)
+                    if L not in best or key < best[L]:
+                        best[L] = key
+    out = pd.DataFrame(
+        [(h, cell, zv) for h, (zv, cell) in sorted(best.items())],
+        columns=["head_cell", "saddle_cell", "saddle_z"])
+    out["head_cell"] = out["head_cell"].astype(np.int64)
+    out["saddle_cell"] = out["saddle_cell"].astype(np.int64)
+    out["saddle_z"] = np.round(out["saddle_z"].astype(np.float64), 6)
+    return out
+
+
+def _ptr_halo_streams(spec: RasterSpec, tid: int):
+    from .hydro import _ptr_halo
+    return _ptr_halo(spec, tid)
+
+
+def find_saddle_points_naive(spec: RasterSpec) -> pd.DataFrame:
+    """Literal groovy walk (0-based head ids = head cell ids)."""
+    from .hydro import _tile_pointers as _tp
+    from .raster import synth_value as sv
+    from .terrain import d8_kernel
+    from .thinning import _ridge_init_band
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = sv(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    one = RasterSpec(rows=spec.rows, cols=spec.cols, tile_rows=spec.rows,
+                     nodata=spec.nodata)
+    valley, _ = _valley_plane_ext(one, 0)
+    ridge = _ridge_init_band(one, 0) == 1.0
+    R, C = z.shape
+
+    def inflow_valley(r, c):
+        k = 0
+        for i in range(8):
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= r2 < R and 0 <= c2 < C and valley[r2, c2] \
+                    and ptr[r2, c2] == float(1 << ((i + 4) % 8)):
+                k += 1
+        return k
+
+    head = np.zeros((R, C), dtype=bool)
+    for r in range(R):
+        for c in range(C):
+            if valley[r, c] and ptr[r, c] != spec.nodata \
+                    and inflow_valley(r, c) == 0:
+                head[r, c] = True
+    best: dict[int, tuple[float, int]] = {}
+    for row in range(R):
+        for col in range(C):
+            if not ridge[row, col] or z[row, col] == spec.nodata \
+                    or ptr[row, col] == spec.nodata:
+                continue
+            y, x = row, col
+            while True:
+                code = ptr[y, x]
+                if code <= 0 or code == spec.nodata:
+                    break
+                i = int(code).bit_length() - 1
+                y += _DY[i]
+                x += _DX[i]
+                if not (0 <= y < R and 0 <= x < C):
+                    break
+                if valley[y, x]:
+                    if head[y, x]:
+                        L = y * C + x
+                        key = (float(z[row, col]), row * C + col)
+                        if L not in best or key < best[L]:
+                            best[L] = key
+                    break
+    out = pd.DataFrame(
+        [(h, cellv, zv) for h, (zv, cellv) in sorted(best.items())],
+        columns=["head_cell", "saddle_cell", "saddle_z"])
+    out["head_cell"] = out["head_cell"].astype(np.int64)
+    out["saddle_cell"] = out["saddle_cell"].astype(np.int64)
+    out["saddle_z"] = np.round(out["saddle_z"].astype(np.float64), 6)
+    return out

@@ -301,6 +301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_roundtrip": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.bmp",
             fromlist=["x"]).bmp_roundtrip_query(),
+        "arc_flt_roundtrip": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.arc_flt",
+            fromlist=["x"]).arc_flt_roundtrip_query(),
         "jpeg_roundtrip": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.jpeg",
             fromlist=["x"]).jpeg_roundtrip_query(),
@@ -795,6 +798,9 @@ def oracle_sql() -> dict[str, str]:
         "bmp_roundtrip": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.bmp",
             fromlist=["x"]).bmp_roundtrip_sql(),
+        "arc_flt_roundtrip": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.arc_flt",
+            fromlist=["x"]).arc_flt_roundtrip_sql(),
         "raster_resample": o.resample_nn_sql(),
         "raster_mosaic": o.mosaic_sql(),
         "terrain_slope": o.slope_sql(),

@@ -119,3 +119,30 @@ def test_saga_bottom_up_band_reads(tmp_path, ray_session):
     grids.export_saga(hdr, _tile_ds(g), p, data_format="float")
     hdr2, ds2 = grids.import_saga(p, tile_rows=3)
     np.testing.assert_array_equal(_grid_of(ds2, hdr2), g)
+
+
+def test_arc_flt_roundtrip_and_header_guard(tmp_path, ray_session):
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.sources.arc_flt import (
+        import_arc_flt, read_flt_header, write_arc_flt)
+
+    rng = np.random.default_rng(9)
+    a = np.trunc(rng.uniform(0, 1000, size=(37, 23)) * 16) / 16
+    base = str(tmp_path / "g")
+    write_arc_flt(base, a, nodata=-9999.0, xllcorner=100.0,
+                  yllcorner=200.0, cellsize=30.0)
+    hdr, ds = import_arc_flt(base, tile_rows=16)
+    assert hdr["west"] == 100.0 and hdr["south"] == 200.0
+    assert hdr["east"] == 100.0 + 23 * 30.0
+    tiles = ds.to_pandas().sort_values("tile_id")
+    back = np.concatenate([np.asarray(d) for d in tiles["data"]]) \
+        .reshape(37, 23)
+    assert np.array_equal(back, a)
+    # centre-form header (xllcorner absent -> the reference's else branch)
+    with open(base + ".hdr", "w") as f:
+        f.write("ncols 23\nnrows 37\nxllcenter 115.0\nyllcenter 215.0\n"
+                "cellsize 30.0\nNODATA_value -9999.0\nbyteorder LSBFIRST\n")
+    hdr2 = read_flt_header(base + ".hdr")
+    assert hdr2["west"] == 115.0 - 15.0
+    assert hdr2["south"] == 215.0 - 15.0

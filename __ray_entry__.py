@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _vops_q("group_polygons_by_orientation"),
         "patch_orientation_vector_field":
             _vops_q("patch_orientation_vector_field"),
+        "find_polygon_midline": _vops_q("find_polygon_midline"),
         "multiparts_to_singleparts": _vops_q("multiparts_to_singleparts"),
         "singleparts_to_multiparts": _vops_q("singleparts_to_multiparts"),
         "remove_polygon_holes": _vops_q("remove_polygon_holes"),

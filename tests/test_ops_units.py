@@ -184,3 +184,27 @@ def test_mbr_axes_matches_dense_rotation_sweep():
         # calipers is exact; the sweep is a fine upper/lower sandwich
         assert area <= best + 1e-9
         assert abs(area - best) / best < 1e-4
+
+
+def test_find_polygon_midline_invariants(ray_session):
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        find_polygon_midline)
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_overlay import (
+        doc_lshapes)
+
+    df = find_polygon_midline("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("rec_id").reset_index(drop=True)
+    shapes = doc_lshapes("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("rec_id").reset_index(drop=True)
+    assert len(df) == len(shapes) > 0
+    # every skeleton is non-empty and no longer than the perimeter
+    assert (df["midline_len"] > 0).all()
+    per = 8.0 * shapes["h"] + 2.0 * shapes["w2"]
+    assert (df["midline_len"] < per.to_numpy() * 1.5).all()
+    # the skeleton spans at least the longest arm of the L
+    long_arm = 2.0 * shapes["h"] + shapes["w2"]
+    assert (df["midline_len"] > 0.5 * long_arm.to_numpy()).all()
+    # deterministic snapshot
+    assert float(df["midline_len"].iloc[0]) == 892.932657

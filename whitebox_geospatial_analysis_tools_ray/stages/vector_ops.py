@@ -1130,3 +1130,83 @@ SELECT rec_id,
        round(cx + dx, 6) AS x1, round(cy + dy, 6) AS y1
 FROM seg
 """
+
+
+def find_polygon_midline(sf_dir: str, densify: float = 8.0):
+    """FindPolygonMidline (VectorTools/src/plugins/FindPolygonMidline
+    .java — JTS VoronoiDiagramBuilder over the densified boundary,
+    edges kept inside the polygon): same construction over the
+    FROM-SCRATCH Bowyer–Watson core — boundary samples every
+    ``densify`` units → Delaunay → the Voronoi skeleton = dual edges
+    whose BOTH circumcentres lie strictly inside the polygon.
+    Per-feature stateless kernel; (rec_id, midline_len, n_edges)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..core.delaunay import delaunay
+    from ..core.geom import points_in_ring
+    from .vector_overlay import _l_ring, doc_lshapes
+
+    def circumcenter(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0:
+            return None
+        ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by)
+              * (cy - ay) + (cx * cx + cy * cy) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by)
+              * (ax - cx) + (cx * cx + cy * cy) * (bx - ax)) / d
+        return ux, uy
+
+    def fn(batch):
+        n = len(batch["rec_id"])
+        lens = np.zeros(n)
+        counts = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            ring = _l_ring(batch["xa"][i], batch["ya"][i],
+                           batch["h"][i], batch["w2"][i])
+            # densify boundary
+            pts = []
+            for k in range(len(ring)):
+                p0 = ring[k]
+                p1 = ring[(k + 1) % len(ring)]
+                seg = np.hypot(*(p1 - p0))
+                steps = max(1, int(seg // densify))
+                for t in range(steps):
+                    pts.append(p0 + (p1 - p0) * (t / steps))
+            pts = np.asarray(pts)
+            tris = delaunay(pts)
+            # circumcentres + dual edges between adjacent triangles
+            cc = {}
+            for t_idx, (a, b, c) in enumerate(tris):
+                cen = circumcenter(pts[a], pts[b], pts[c])
+                if cen is not None:
+                    cc[t_idx] = cen
+            edge_map = {}
+            total = 0.0
+            cnt = 0
+            for t_idx, (a, b, c) in enumerate(tris):
+                for e in ((a, b), (b, c), (c, a)):
+                    key = (min(e), max(e))
+                    if key in edge_map:
+                        t2 = edge_map[key]
+                        if t_idx in cc and t2 in cc:
+                            p, q = cc[t_idx], cc[t2]
+                            inside = points_in_ring(
+                                np.array([p[0], q[0]]),
+                                np.array([p[1], q[1]]), ring)
+                            if inside.all():
+                                total += float(np.hypot(p[0] - q[0],
+                                                        p[1] - q[1]))
+                                cnt += 1
+                    else:
+                        edge_map[key] = t_idx
+            lens[i] = total
+            counts[i] = cnt
+        return {"rec_id": np.asarray(batch["rec_id"]),
+                "midline_len": np.round(lens, 6),
+                "n_edges": counts}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")

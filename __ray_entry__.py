@@ -160,6 +160,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             flow_accumulation_dinf)
         return flow_accumulation_dinf(raster.RasterSpec())
 
+    def _branch_length_q(spec):
+        from whitebox_geospatial_analysis_tools_ray.stages.branch_length import (
+            branch_length)
+        return branch_length(spec)
+
     def _cost_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.stages.cost import (
             cost_accumulation)
@@ -512,6 +517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snap_pour_points": lambda sf: hydro.snap_pour_points(),
         "downslope_flowpath_length": lambda sf:
             hydro.downslope_flowpath_length(),
+        "branch_length": lambda sf: _branch_length_q(raster.RasterSpec(
+            rows=96, cols=96, tile_rows=32)),
         "mass_flux_d8": lambda sf: hydro.mass_flux_d8(),
         "flow_accumulation_dinf": lambda sf: _dinf_q(sf),
         "flow_accumulation_fd8": lambda sf: hydro.flow_accumulation_fd8(),

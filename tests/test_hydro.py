@@ -291,3 +291,27 @@ def test_downslope_index_matches_walk_and_tiling(ray_session):
     alt = hydro.downslope_index(RasterSpec(rows=96, cols=96, tile_rows=16),
                                 d=30.0)
     pd.testing.assert_frame_equal(alt, want, check_dtype=False)
+
+
+def test_branch_length_matches_tandem_walk(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import branch_length as bl
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    want = bl.branch_length_naive(spec)
+    got = bl.branch_length(spec)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["row_sum"].sum() > 0
+
+
+def test_branch_length_tiling_invariant(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import branch_length as bl
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    a = bl.branch_length(RasterSpec(rows=96, cols=64, tile_rows=16))
+    b = bl.branch_length(RasterSpec(rows=96, cols=64, tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)

@@ -160,10 +160,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             flow_accumulation_dinf)
         return flow_accumulation_dinf(raster.RasterSpec())
 
+    def _chains_q(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.stages.chains import (
+            find_polygon_chains)
+        return find_polygon_chains(sf_dir)
+
     def _branch_length_q(spec):
         from whitebox_geospatial_analysis_tools_ray.stages.branch_length import (
             branch_length)
         return branch_length(spec)
+
+    def _oto_q(spec):
+        from whitebox_geospatial_analysis_tools_ray.stages.oto import (
+            remove_off_terrain_objects)
+        return remove_off_terrain_objects(spec)
 
     def _cost_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.stages.cost import (
@@ -519,6 +529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             hydro.downslope_flowpath_length(),
         "branch_length": lambda sf: _branch_length_q(raster.RasterSpec(
             rows=96, cols=96, tile_rows=32)),
+        "remove_off_terrain_objects": lambda sf: _oto_q(raster.RasterSpec(
+            rows=96, cols=96, tile_rows=32)),
         "mass_flux_d8": lambda sf: hydro.mass_flux_d8(),
         "flow_accumulation_dinf": lambda sf: _dinf_q(sf),
         "flow_accumulation_fd8": lambda sf: hydro.flow_accumulation_fd8(),
@@ -636,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "patch_orientation_vector_field":
             _vops_q("patch_orientation_vector_field"),
         "find_polygon_midline": _vops_q("find_polygon_midline"),
+        "find_polygon_chains": _chains_q,
         "multiparts_to_singleparts": _vops_q("multiparts_to_singleparts"),
         "singleparts_to_multiparts": _vops_q("singleparts_to_multiparts"),
         "remove_polygon_holes": _vops_q("remove_polygon_holes"),

@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             branch_length)
         return branch_length(spec)
 
+    def _meri_q(spec):
+        from whitebox_geospatial_analysis_tools_ray.stages.meri import (
+            multiscale_elev_residual)
+        return multiscale_elev_residual(spec)
+
     def _oto_q(spec):
         from whitebox_geospatial_analysis_tools_ray.stages.oto import (
             remove_off_terrain_objects)
@@ -306,6 +311,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda ds, spec: raster_stats.destripe(
                 ds, spec, regen=raster.synth_value)),
         "raster_hist_equalize": _checksum_q(raster_stats.histogram_equalize),
+        # CumulativeDistributionFunction.java:229-283 IS the equalize
+        # two-phase plan at 50,000 bins (bin → cumsum/numCells remap)
+        "cumulative_distribution": _checksum_q(
+            lambda ds, spec: raster_stats.histogram_equalize(
+                ds, spec, nbins=50000)),
         "fuzzy_membership": _checksum_q(raster_stats.fuzzy_membership),
         "crispness_index": lambda sf: raster_stats.crispness_index(raster.RasterSpec()),
         "raster_aggregate": _downsample,
@@ -370,6 +380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ds, spec, regen=raster.synth_value)),
         "filter_percentile": _checksum_q(
             lambda ds, spec: raster_stats.filter_percentile(
+                ds, spec, regen=raster.synth_value)),
+        "lee_sigma_filter": _checksum_q(
+            lambda ds, spec: raster_stats.lee_sigma_filter(
                 ds, spec, regen=raster.synth_value)),
         "filter_knearest_mean": _checksum_q(
             lambda ds, spec: raster_stats.filter_knearest_mean(
@@ -531,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rows=96, cols=96, tile_rows=32)),
         "remove_off_terrain_objects": lambda sf: _oto_q(raster.RasterSpec(
             rows=96, cols=96, tile_rows=32)),
+        "multiscale_elev_residual": lambda sf: _meri_q(raster.RasterSpec(
+            rows=96, cols=96, tile_rows=32)),
         "mass_flux_d8": lambda sf: hydro.mass_flux_d8(),
         "flow_accumulation_dinf": lambda sf: _dinf_q(sf),
         "flow_accumulation_fd8": lambda sf: hydro.flow_accumulation_fd8(),
@@ -642,6 +657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "medoid": _vops_q("medoid"),
         "smooth_vector": _vops_q("smooth_vector"),
         "polygons_to_lines": _vops_q("polygons_to_lines"),
+        "extract_nodes": _vops_q("extract_nodes"),
+        "centroid_vector": _vops_q("centroid_vector"),
+        "isolate_by_attribute": _vops_q("isolate_by_attribute"),
         "buffer_vector": _vops_q("buffer_vector"),
         "group_polygons_by_orientation":
             _vops_q("group_polygons_by_orientation"),
@@ -809,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "elev_rel_minmax": o.elev_rel_minmax_sql(),
         "image_destripe": o.destripe_sql(),
         "raster_hist_equalize": o.histogram_equalize_sql(),
+        "cumulative_distribution": o.histogram_equalize_sql(nbins=50000),
         "fuzzy_membership": o.fuzzy_membership_sql(),
         "crispness_index": o.crispness_sql(),
         "raster_aggregate": o.aggregate_downsample_sql(),
@@ -872,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_olympic": o.olympic_sql(),
         "filter_percentile": o.percentile_filter_sql(),
         "filter_knearest_mean": o.knearest_mean_sql(),
+        "lee_sigma_filter": o.lee_sigma_sql(),
         "diff_mean_elev": o.diff_mean_elev_sql(),
         "dev_mean_elev": o.dev_mean_elev_sql(),
         "fill_pits": o.fill_pits_sql(),
@@ -905,6 +925,9 @@ def oracle_sql() -> dict[str, str]:
         "medoid": _medoid_sql(),
         "smooth_vector": _vops2("smooth_vector_sql"),
         "polygons_to_lines": _vops2("polygons_to_lines_sql"),
+        "extract_nodes": _vops2("extract_nodes_sql"),
+        "centroid_vector": _vops2("centroid_vector_sql"),
+        "isolate_by_attribute": _vops2("isolate_by_attribute_sql"),
         "buffer_vector": _vops2("buffer_vector_sql"),
         "group_polygons_by_orientation":
             _vops2("group_polygons_by_orientation_sql"),

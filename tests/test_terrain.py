@@ -108,3 +108,39 @@ def test_stencil_multi_tile_equals_single_tile(ray_session):
     multi = run(RasterSpec(rows=64, cols=32, tile_rows=16))
     single = run(RasterSpec(rows=64, cols=32, tile_rows=64))
     pd.testing.assert_frame_equal(multi, single)
+
+
+def test_multiscale_elev_residual_matches_naive(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import meri
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = meri.multiscale_elev_residual(spec)
+    want = meri.multiscale_elev_residual_naive(spec)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["row_sum"].sum() > 0
+
+
+def test_multiscale_elev_residual_tiling_invariant(ray_session):
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import meri
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    a = meri.multiscale_elev_residual(RasterSpec(rows=96, cols=64,
+                                                 tile_rows=16))
+    b = meri.multiscale_elev_residual(RasterSpec(rows=96, cols=64,
+                                                 tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_meri_radius_ladder():
+    from whitebox_geospatial_analysis_tools_ray.stages.meri import radius_ladder
+
+    # base 2 over a 96x96 grid: floor(log2(48)) = 5 -> 1,2,4,8,16,32
+    assert radius_ladder(96, 96, 2.0) == [1, 2, 4, 8, 16, 32]
+    # non-integer base collapses duplicate floors (the ladder dedups)
+    ladder = radius_ladder(256, 256, 1.5)
+    assert ladder == sorted(set(ladder))

@@ -3558,3 +3558,34 @@ FROM p2)
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def lee_sigma_sql(rows: int = 256, cols: int = 256, sigma: float = 30.0,
+                  m: int = 1) -> str:
+    """LeeSigmaFilter.groovy:160-196 mirror (±2σ band mean, 3×3 ring
+    fallback when n ≤ M, empty ring → NoData)."""
+    s2 = sigma * 2.0
+    band_n = " + ".join(
+        f"CASE WHEN {t} <> {_NOD} AND {t} >= v - {s2!r} AND {t} <= v + {s2!r} "
+        f"THEN 1 ELSE 0 END" for t in _WIN9_SQL)
+    band_s = " + ".join(
+        f"CASE WHEN {t} <> {_NOD} AND {t} >= v - {s2!r} AND {t} <= v + {s2!r} "
+        f"THEN {t} ELSE 0.0 END" for t in _WIN9_SQL)
+    ring = [t for t in _WIN9_SQL if t != "v"]
+    ring_n = " + ".join(f"CASE WHEN {t} <> {_NOD} THEN 1 ELSE 0 END"
+                        for t in ring)
+    ring_s = " + ".join(f"CASE WHEN {t} <> {_NOD} THEN {t} ELSE 0.0 END"
+                        for t in ring)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+t AS (SELECT cell, v, {band_n} AS n, {band_s} AS s,
+             {ring_n} AS n8, {ring_s} AS s8 FROM nb),
+res AS (SELECT cell,
+  CASE WHEN v = {_NOD} THEN {_NOD}
+       WHEN n > {m} THEN s / n
+       WHEN n8 > 0 THEN s8 / n8
+       ELSE {_NOD} END AS f FROM t)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

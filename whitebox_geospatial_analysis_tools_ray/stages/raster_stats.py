@@ -2750,3 +2750,46 @@ def direct_decorrelation_stretch(ds, spec: RasterSpec, k: float = 0.5):
         return pd.DataFrame(out)
 
     return mid.map_batches(pass2, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# LeeSigmaFilter (WhiteboxGIS/resources/plugins/Scripts/LeeSigmaFilter.groovy
+# :160-196): per valid cell, mean of the window samples within ±2σ of the
+# centre (centre always qualifies); if the in-band count is ≤ M, fall back
+# to the plain mean of the valid 3×3 ring (centre excluded); empty ring →
+# NoData (the output's initial value).
+# ---------------------------------------------------------------------------
+
+def lee_sigma_kernel(p: np.ndarray, nodata: float, sigma: float,
+                     m: int) -> np.ndarray:
+    z = p[1:-1, 1:-1]
+    H, W = z.shape
+    s2 = sigma * 2.0  # the script doubles sigma (:104)
+    n = np.zeros_like(z)
+    s = np.zeros_like(z)
+    n8 = np.zeros_like(z)
+    s8 = np.zeros_like(z)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nb = p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+            valid = nb != nodata
+            inband = valid & (nb >= z - s2) & (nb <= z + s2)
+            n += inband
+            s += np.where(inband, nb, 0.0)
+            if dx or dy:
+                n8 += valid
+                s8 += np.where(valid, nb, 0.0)
+    res = np.where(n > m, s / np.maximum(n, 1.0),
+                   np.where(n8 > 0, s8 / np.maximum(n8, 1.0), nodata))
+    res = np.where(z != nodata, res, nodata)
+    out = np.full_like(p, nodata)
+    out[1:-1, 1:-1] = res
+    return out
+
+
+def lee_sigma_filter(ds, spec: RasterSpec, regen=None, sigma: float = 30.0,
+                     m: int = 1):
+    from .raster import stencil_apply
+    return stencil_apply(
+        ds, spec, lambda p: lee_sigma_kernel(p, spec.nodata, sigma, m),
+        halo=1, regen=regen)

@@ -1210,3 +1210,112 @@ def find_polygon_midline(sf_dir: str, densify: float = 8.0):
                 "n_edges": counts}
 
     return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def extract_nodes(sf_dir: str):
+    """ExtractNodes (VectorTools/src/plugins/ExtractNodes.java, 339 LoC):
+    each feature's vertices become point records carrying the parent's
+    attributes — a pure flat_map: (rec_id, node_id, x, y)."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def explode(batch):
+        xa = np.asarray(batch["xa"]); ya = np.asarray(batch["ya"])
+        h = np.asarray(batch["h"]); w2 = np.asarray(batch["w2"])
+        vx = np.stack([xa - h, xa + h + w2, xa + h + w2, xa + h,
+                       xa + h, xa - h])
+        vy = np.stack([ya - h, ya - h, ya, ya, ya + h, ya + h])
+        n = len(xa)
+        return {"rec_id": np.repeat(np.asarray(batch["rec_id"]), 6),
+                "node_id": np.tile(np.arange(6, dtype=np.int64), n),
+                "x": vx.T.ravel(), "y": vy.T.ravel()}
+
+    return doc_lshapes(sf_dir).map_batches(explode, batch_format="numpy")
+
+
+def extract_nodes_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+             10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+e AS (SELECT * FROM range(0, 6) t(node_id))
+SELECT rec_id, node_id,
+  CASE node_id WHEN 0 THEN xa - h WHEN 1 THEN xa + h + w2
+               WHEN 2 THEN xa + h + w2 WHEN 3 THEN xa + h
+               WHEN 4 THEN xa + h ELSE xa - h END AS x,
+  CASE node_id WHEN 0 THEN ya - h WHEN 1 THEN ya - h
+               WHEN 2 THEN ya WHEN 3 THEN ya
+               WHEN 4 THEN ya + h ELSE ya + h END AS y
+FROM l CROSS JOIN e
+"""
+
+
+def centroid_vector(sf_dir: str, round_to: int = 6):
+    """CentroidVector (VectorTools/src/plugins/CentroidVector.java:254-263):
+    per feature, the JTS AREA centroid as a point record. Computed with
+    the shoelace centroid formula over the L ring; the SQL mirror uses
+    the exact two-rectangle decomposition (equal algebraically; both
+    rounded to 6)."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        xa = np.asarray(batch["xa"]); ya = np.asarray(batch["ya"])
+        h = np.asarray(batch["h"]); w2 = np.asarray(batch["w2"])
+        vx = np.stack([xa - h, xa + h + w2, xa + h + w2, xa + h,
+                       xa + h, xa - h])
+        vy = np.stack([ya - h, ya - h, ya, ya, ya + h, ya + h])
+        nxt = [1, 2, 3, 4, 5, 0]
+        cross = vx * vy[nxt] - vx[nxt] * vy
+        area2 = cross.sum(axis=0)
+        cx = ((vx + vx[nxt]) * cross).sum(axis=0) / (3.0 * area2)
+        cy = ((vy + vy[nxt]) * cross).sum(axis=0) / (3.0 * area2)
+        return {"rec_id": np.asarray(batch["rec_id"], dtype=np.int64),
+                "cx": np.round(cx, round_to), "cy": np.round(cy, round_to)}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def centroid_vector_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+             10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+m AS (SELECT rec_id, xa, ya, h, w2,
+             4.0 * h * h AS a1, w2 * h AS a2 FROM l)
+SELECT rec_id,
+  round((a1 * xa + a2 * (xa + h + w2 / 2.0)) / (a1 + a2), 6) AS cx,
+  round((a1 * ya + a2 * (ya - h / 2.0)) / (a1 + a2), 6) AS cy
+FROM m
+"""
+
+
+def isolate_by_attribute(sf_dir: str):
+    """IsolateVectorFeaturesByAttribute (VectorTools, 459 LoC): attribute
+    predicate filter — one vectorized mask, no shuffle."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        import pandas as pd
+        df = pd.DataFrame({k: np.asarray(v) for k, v in batch.items()})
+        out = df[(df["h"] > 100.0) & (df["w2"] <= 60.0)]
+        return {"rec_id": out["rec_id"].to_numpy(np.int64),
+                "h": out["h"].to_numpy(), "w2": out["w2"].to_numpy()}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def isolate_by_attribute_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, 10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2
+      FROM pts)
+SELECT rec_id, h, w2 FROM l WHERE h > 100.0 AND w2 <= 60.0
+"""

@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             branch_length)
         return branch_length(spec)
 
+    def _mkmeans_q(spec):
+        from whitebox_geospatial_analysis_tools_ray.stages.mkmeans import (
+            modified_kmeans)
+        return modified_kmeans(spec)
+
     def _meri_q(spec):
         from whitebox_geospatial_analysis_tools_ray.stages.meri import (
             multiscale_elev_residual)
@@ -545,6 +550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_off_terrain_objects": lambda sf: _oto_q(raster.RasterSpec(
             rows=96, cols=96, tile_rows=32)),
         "multiscale_elev_residual": lambda sf: _meri_q(raster.RasterSpec(
+            rows=96, cols=96, tile_rows=32)),
+        "modified_kmeans": lambda sf: _mkmeans_q(raster.RasterSpec(
             rows=96, cols=96, tile_rows=32)),
         "mass_flux_d8": lambda sf: hydro.mass_flux_d8(),
         "flow_accumulation_dinf": lambda sf: _dinf_q(sf),

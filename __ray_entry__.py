@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             branch_length)
         return branch_length(spec)
 
+    def _gridding_q(name):
+        from whitebox_geospatial_analysis_tools_ray.stages import gridding
+        return getattr(gridding, name)()
+
     def _mkmeans_q(spec):
         from whitebox_geospatial_analysis_tools_ray.stages.mkmeans import (
             modified_kmeans)
@@ -726,6 +730,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_to_polygons": lambda sf: _r2poly_q(sf),
         "contour_polylines": lambda sf: _contour_poly_q(sf),
         "rasterize_lines": lambda sf: rasterize.rasterize_lines(),
+        "intersection_density": lambda sf: rasterize.intersection_density(),
+        "interpolation_nn": lambda sf: _gridding_q("interpolation_nn"),
+        "point_density": lambda sf: _gridding_q("point_density"),
         "clip_raster_to_polygon": lambda sf: rasterize.clip_raster_to_polygon(),
         "clump": lambda sf: clump_mod.clump(),
         # --- two-raster stats (StatsTools) ---
@@ -751,6 +758,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from whitebox_geospatial_analysis_tools_ray import oracle as o
+
+    def _gridding_sql(name):
+        from whitebox_geospatial_analysis_tools_ray.stages import gridding
+        return getattr(gridding, name)()
     from whitebox_geospatial_analysis_tools_ray.functions.crs import (
         utm_project_sql as _crs_sql)
     from whitebox_geospatial_analysis_tools_ray.sources.las import (
@@ -963,6 +974,9 @@ def oracle_sql() -> dict[str, str]:
         "utm_project": _crs_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),
         "rasterize_lines": o.rasterize_lines_sql(),
+        "intersection_density": o.intersection_density_sql(),
+        "interpolation_nn": _gridding_sql("interpolation_nn_sql"),
+        "point_density": _gridding_sql("point_density_sql"),
         "clip_raster_to_polygon": o.clip_raster_to_polygon_sql(),
         # clump: non-SQL-expressible (iterative label merge) — rows-only,
         # verified against the single-process BFS oracle in tests.

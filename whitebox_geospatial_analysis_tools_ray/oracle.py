@@ -3589,3 +3589,62 @@ res AS (SELECT cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def intersection_density_sql(radius: float = 150.0,
+                             n_lines: int = 15) -> str:
+    """IntersectionDensity.groovy mirror — near-vertex gate (squared
+    range ≤ r²) + the literal buggy segment-circle test (:451: the y
+    term of `a` vanishes; a=0 ∧ b≠0 → NaN root → intersects)."""
+    from .stages.rasterize import intersection_density_grid, seeded_polylines
+    west, north, rows, cols, cell = intersection_density_grid(n_lines)
+    seg_rows, vert_rows = [], []
+    for lid, pts in seeded_polylines(n_lines):
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            seg_rows.append(f"({lid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+        for (vx, vy) in pts:
+            vert_rows.append(f"({lid}, {vx!r}, {vy!r})")
+    segs0 = "(VALUES " + ", ".join(seg_rows) + ") AS s0(fid, x1, y1, x2, y2)"
+    verts0 = "(VALUES " + ", ".join(vert_rows) + ") AS p0(fid, vx, vy)"
+    r2 = radius * radius
+    return f"""
+WITH s AS (SELECT fid, CAST(x1 AS DOUBLE) x1, CAST(y1 AS DOUBLE) y1,
+                  CAST(x2 AS DOUBLE) x2, CAST(y2 AS DOUBLE) y2
+           FROM {segs0}),
+p AS (SELECT fid, CAST(vx AS DOUBLE) vx, CAST(vy AS DOUBLE) vy
+      FROM {verts0}),
+cells AS (
+  SELECT r, c,
+         {west!r} + {cell / 2.0!r} + c * {cell!r} AS x,
+         {north!r} - {cell / 2.0!r} - r * {cell!r} AS y
+  FROM range(0, {rows}) t(r) CROSS JOIN range(0, {cols}) u(c)),
+near AS (
+  SELECT DISTINCT cells.r, cells.c, p.fid
+  FROM cells JOIN p
+    ON (x - vx) * (x - vx) + (y - vy) * (y - vy) <= {r2!r}),
+hit AS (
+  SELECT near.r, near.c, COUNT(*) AS k
+  FROM near JOIN s ON s.fid = near.fid
+  JOIN cells ON cells.r = near.r AND cells.c = near.c
+  WHERE (
+    WITH t AS (SELECT
+      (x2 - x1) * (x2 - x1) + (y2 - y1) * (y1 - y1) AS a,
+      2.0 * ((x2 - x1) * (x1 - x) + (y2 - y1) * (y1 - y)) AS b,
+      x * x + y * y + x1 * x1 + y1 * y1
+        - 2.0 * (x * x1 + y * y1) - {r2!r} AS cc)
+    SELECT CASE
+      WHEN b * b - 4.0 * a * cc <= 0 THEN FALSE
+      WHEN a = 0 THEN TRUE
+      ELSE NOT (
+        (((-b + sqrt(b * b - 4.0 * a * cc)) / (2 * a)) < 0
+         OR ((-b + sqrt(b * b - 4.0 * a * cc)) / (2 * a)) > 1)
+        AND (((-b - sqrt(b * b - 4.0 * a * cc)) / (2 * a)) < 0
+             OR ((-b - sqrt(b * b - 4.0 * a * cc)) / (2 * a)) > 1))
+      END FROM t)
+  GROUP BY near.r, near.c),
+grid AS (SELECT r, COALESCE(SUM(k), 0) AS rs
+         FROM cells LEFT JOIN hit USING (r, c) GROUP BY cells.r)
+SELECT r AS row_id, CAST({cols} AS BIGINT) AS n_valid,
+       CAST(rs AS DOUBLE) AS row_sum
+FROM grid ORDER BY row_id
+"""

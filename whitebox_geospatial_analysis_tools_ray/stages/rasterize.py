@@ -26,6 +26,8 @@ shuffle, the pattern that holds at any raster size.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import ray
@@ -247,3 +249,87 @@ def rasterize_lines(spec: RasterSpec | None = None,
         return pd.concat(frames, ignore_index=True)
 
     return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# IntersectionDensity (WhiteboxGIS/resources/plugins/Scripts/
+# IntersectionDensity.groovy): per output cell, if ANY polyline vertex
+# lies within the neighbourhood radius (:256-258), count the segments of
+# every such nearby feature that pass the segment-circle test — which
+# ships with a literal bug (:451: a = dx² + (y2−y1)·(y1−y1), the y term
+# vanishes), reproduced exactly including its IEEE Inf/NaN fallout for
+# vertical segments (a=0, b≠0 → one root NaN → "intersects"). Grid per
+# :213-218 (rows/cols = ceil(extent/cellSize), north/west anchored to
+# the layer bounds); untouched cells keep the raster's 0.0 initial
+# value.
+#
+# Ray mapping: the layer is the broadcast small side (SURVEY §2.4);
+# one task per output row band evaluates all cells vectorized — the
+# range-join gate and the segment tests are dense closed forms; counts
+# are integers, so the result is exact and tiling-independent.
+# ---------------------------------------------------------------------------
+
+def intersection_density_grid(n_lines: int = 15):
+    """(west, north, rows, cols) of the output grid per the script."""
+    lines = seeded_polylines(n_lines)
+    allv = np.concatenate([pts for _, pts in lines])
+    xmin, xmax = allv[:, 0].min(), allv[:, 0].max()
+    ymin, ymax = allv[:, 1].min(), allv[:, 1].max()
+    cell = 50.0
+    rows = int(math.ceil((ymax - ymin) / cell))
+    cols = int(math.ceil((xmax - xmin) / cell))
+    return xmin, ymax, rows, cols, cell
+
+
+def _segment_circle_hits(x, y, x1, y1, x2, y2, r):
+    """Vectorized literal lineSegmentInstersectsCircle (:449-467)."""
+    a = (x2 - x1) * (x2 - x1) + (y2 - y1) * (y1 - y1)  # literal y bug
+    b = 2.0 * ((x2 - x1) * (x1 - x) + (y2 - y1) * (y1 - y))
+    cc = (x * x + y * y + x1 * x1 + y1 * y1
+          - 2.0 * (x * x1 + y * y1) - r * r)
+    deter = b * b - 4.0 * a * cc
+    with np.errstate(divide="ignore", invalid="ignore"):
+        e = np.sqrt(np.maximum(deter, 0.0))
+        u1 = (-b + e) / (2.0 * a)
+        u2 = (-b - e) / (2.0 * a)
+    out1 = (u1 < 0) | (u1 > 1)
+    out2 = (u2 < 0) | (u2 > 1)
+    return (deter > 0) & ~(out1 & out2)
+
+
+def intersection_density(radius: float = 150.0, n_lines: int = 15,
+                         band_rows: int = 20) -> pd.DataFrame:
+    west, north, rows, cols, cell = intersection_density_grid(n_lines)
+    lines_ref = ray.put(seeded_polylines(n_lines))
+    n_bands = math.ceil(rows / band_rows)
+    r2 = radius * radius
+
+    def solve(batch) -> pd.DataFrame:
+        lines = ray.get(lines_ref) if isinstance(lines_ref, ray.ObjectRef) \
+            else lines_ref
+        out = []
+        for b in batch["id"]:
+            r0 = int(b) * band_rows
+            r1 = min(r0 + band_rows, rows)
+            y = (north - cell / 2.0 - np.arange(r0, r1) * cell)[:, None]
+            x = (west + cell / 2.0 + np.arange(cols) * cell)[None, :]
+            counts = np.zeros((r1 - r0, cols), dtype=np.int64)
+            near = {}
+            for fid, pts in lines:
+                d2 = np.full((r1 - r0, cols), np.inf)
+                for vx, vy in pts:
+                    d2 = np.minimum(d2, (x - vx) ** 2 + (y - vy) ** 2)
+                near[fid] = d2 <= r2
+            for fid, pts in lines:
+                for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+                    hit = _segment_circle_hits(x, y, x1, y1, x2, y2,
+                                               radius)
+                    counts += (hit & near[fid])
+            out.append(pd.DataFrame({
+                "row_id": np.arange(r0, r1),
+                "n_valid": np.full(r1 - r0, cols, dtype=np.int64),
+                "row_sum": counts.sum(axis=1).astype(np.float64)}))
+        return pd.concat(out, ignore_index=True)
+
+    return (rd.range(n_bands).map_batches(solve, batch_format="numpy")
+            .to_pandas().sort_values("row_id").reset_index(drop=True))

@@ -179,6 +179,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             modified_kmeans)
         return modified_kmeans(spec)
 
+    def _dendrogram_q(spec):
+        from whitebox_geospatial_analysis_tools_ray.stages.mkmeans import (
+            dendrogram)
+        return dendrogram(spec)
+
     def _meri_q(spec):
         from whitebox_geospatial_analysis_tools_ray.stages.meri import (
             multiscale_elev_residual)
@@ -556,6 +561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiscale_elev_residual": lambda sf: _meri_q(raster.RasterSpec(
             rows=96, cols=96, tile_rows=32)),
         "modified_kmeans": lambda sf: _mkmeans_q(raster.RasterSpec(
+            rows=96, cols=96, tile_rows=32)),
+        "dendrogram": lambda sf: _dendrogram_q(raster.RasterSpec(
             rows=96, cols=96, tile_rows=32)),
         "mass_flux_d8": lambda sf: hydro.mass_flux_d8(),
         "flow_accumulation_dinf": lambda sf: _dinf_q(sf),

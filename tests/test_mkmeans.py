@@ -55,3 +55,33 @@ def test_modified_kmeans_tiling_invariant(ray_session):
     a = mkmeans.modified_kmeans(RasterSpec(rows=96, cols=64, tile_rows=16))
     b = mkmeans.modified_kmeans(RasterSpec(rows=96, cols=64, tile_rows=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dendrogram_matches_naive_fit(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages import mkmeans
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = mkmeans.dendrogram(spec)
+    fit = mkmeans.modified_kmeans_naive(spec)
+    want = mkmeans.dendrogram_merges(fit.attrs["centres"],
+                                     fit.attrs["counts"])
+    pd.testing.assert_frame_equal(got, want)
+    # n classes merge in n-1 steps, ids continue past the class count
+    n = fit.attrs["final_classes"]
+    assert len(got) == n - 1
+    assert got["new_id"].iloc[-1] == 2 * n - 2
+
+
+def test_dendrogram_keeps_larger_class_centroid():
+    from whitebox_geospatial_analysis_tools_ray.stages.mkmeans import (
+        dendrogram_merges)
+
+    # classes 0 (big) and 1 (small) merge first; node 3's centroid is
+    # class 0's verbatim, so the second merge distance is measured from
+    # class 0's centroid, not the weighted mean
+    centres = [[0.0, 0.0], [10.0, 0.0], [100.0, 0.0]]
+    sizes = [1000, 1, 5]
+    out = dendrogram_merges(centres, sizes)
+    assert list(out["left_id"]) == [0.0, 2.0]
+    assert out["dist"].iloc[1] == 100.0  # from (0,0), not the mean

@@ -223,6 +223,8 @@ def modified_kmeans(spec: RasterSpec | None = None,
     out = pd.concat(frames, ignore_index=True)
     out.attrs["iterations"] = j
     out.attrs["final_classes"] = len(centres)
+    out.attrs["centres"] = [list(map(float, c)) for c in centres]
+    out.attrs["counts"] = list(counts)
     return out
 
 
@@ -282,4 +284,49 @@ def modified_kmeans_naive(spec: RasterSpec, **kw) -> pd.DataFrame:
         "row_sum": np.round(np.where(ok, lab, 0.0).sum(axis=1), round_to)})
     out.attrs["iterations"] = j
     out.attrs["final_classes"] = len(centres)
+    out.attrs["centres"] = [list(map(float, c)) for c in centres]
+    out.attrs["counts"] = list(counts)
     return out
+
+
+def dendrogram_merges(centres, sizes) -> pd.DataFrame:
+    """Dendrogram (ImageProcessingTools/src/plugins/Dendrogram.java:94-165):
+    agglomerative merge history over the k-means class centres — closest
+    pair by euclid distance, the merged node KEEPS THE LARGER CLASS'S
+    CENTROID verbatim (the weighted-mean line ships commented out,
+    :151-154; size ties keep the SECOND class per the strict `>` at
+    :144), ids continue past numClasses. O(classes²) driver-side — the
+    distributed work is the k-means fit that produces the centres.
+    Returns (left_id, right_id, dist, new_id) rows."""
+    entries = [[float(a), float(sizes[a]), np.asarray(centres[a],
+                                                      dtype=np.float64)]
+               for a in range(len(centres))]
+    cur_max = len(entries)
+    rows = []
+    while len(entries) > 1:
+        min_d = np.inf
+        m1 = m2 = 0
+        for a in range(len(entries)):
+            for b in range(a + 1, len(entries)):
+                d = float(((entries[a][2] - entries[b][2]) ** 2).sum())
+                if d < min_d:
+                    min_d = d
+                    m1, m2 = a, b
+        e1, e2 = entries[m1], entries[m2]
+        rows.append({"left_id": e1[0], "right_id": e2[0],
+                     "dist": np.round(np.sqrt(min_d), 6),
+                     "new_id": float(cur_max)})
+        new = [float(cur_max), e1[1] + e2[1],
+               (e1[2] if e1[1] > e2[1] else e2[2]).copy()]
+        cur_max += 1
+        for idx in sorted((m1, m2), reverse=True):
+            del entries[idx]
+        entries.append(new)
+    return pd.DataFrame(rows, columns=["left_id", "right_id", "dist",
+                                       "new_id"])
+
+
+def dendrogram(spec: RasterSpec | None = None, **kw) -> pd.DataFrame:
+    """kMeans fit (distributed) -> literal merge history (driver)."""
+    fit = modified_kmeans(spec, **kw)
+    return dendrogram_merges(fit.attrs["centres"], fit.attrs["counts"])

@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             branch_length)
         return branch_length(spec)
 
+    def _breach_q(spec):
+        from whitebox_geospatial_analysis_tools_ray.stages.breach import (
+            breach_depressions)
+        return breach_depressions(spec)
+
     def _gridding_q(name):
         from whitebox_geospatial_analysis_tools_ray.stages import gridding
         return getattr(gridding, name)()
@@ -550,6 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_accumulation": lambda sf: hydro.flow_accumulation_d8(),
         "watershed": lambda sf: hydro.watershed(),
         "fill_depressions": lambda sf: fill.fill_depressions(),
+        "breach_depressions": lambda sf: _breach_q(raster.RasterSpec(
+            rows=96, cols=96, tile_rows=32)),
         "extract_streams": lambda sf: hydro.extract_streams(),
         "snap_pour_points": lambda sf: hydro.snap_pour_points(),
         "downslope_flowpath_length": lambda sf:

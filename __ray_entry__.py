@@ -179,6 +179,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from whitebox_geospatial_analysis_tools_ray.stages import gridding
         return getattr(gridding, name)()
 
+    def _ag_q(sf_dir):
+        from whitebox_geospatial_analysis_tools_ray.stages.gridding import (
+            attribute_gridding)
+        return attribute_gridding(sf_dir)
+
     def _mkmeans_q(spec):
         from whitebox_geospatial_analysis_tools_ray.stages.mkmeans import (
             modified_kmeans)
@@ -682,7 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "medoid": _vops_q("medoid"),
         "smooth_vector": _vops_q("smooth_vector"),
         "polygons_to_lines": _vops_q("polygons_to_lines"),
-        "extract_nodes": _vops_q("extract_nodes"),
+        "extract_nodes": _vops_q("extract_nodes_query"),
         "centroid_vector": _vops_q("centroid_vector"),
         "isolate_by_attribute": _vops_q("isolate_by_attribute"),
         "buffer_vector": _vops_q("buffer_vector"),
@@ -747,6 +752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersection_density": lambda sf: rasterize.intersection_density(),
         "interpolation_nn": lambda sf: _gridding_q("interpolation_nn"),
         "point_density": lambda sf: _gridding_q("point_density"),
+        "attribute_gridding": lambda sf: _ag_q(sf),
+        "find_straight_segments": _vops_q("find_straight_segments"),
         "clip_raster_to_polygon": lambda sf: rasterize.clip_raster_to_polygon(),
         "clump": lambda sf: clump_mod.clump(),
         # --- two-raster stats (StatsTools) ---
@@ -991,6 +998,8 @@ def oracle_sql() -> dict[str, str]:
         "intersection_density": o.intersection_density_sql(),
         "interpolation_nn": _gridding_sql("interpolation_nn_sql"),
         "point_density": _gridding_sql("point_density_sql"),
+        "attribute_gridding": _gridding_sql("attribute_gridding_sql"),
+        "find_straight_segments": _vops2("find_straight_segments_sql"),
         "clip_raster_to_polygon": o.clip_raster_to_polygon_sql(),
         # clump: non-SQL-expressible (iterative label merge) — rows-only,
         # verified against the single-process BFS oracle in tests.

@@ -178,3 +178,132 @@ SELECT r AS row_id,
          AS row_sum
 FROM res GROUP BY r ORDER BY row_id
 """
+
+
+# ---------------------------------------------------------------------------
+# VectorAttributeGridding (WhiteboxGIS/resources/plugins/Scripts/
+# VectorAttributeGridding.groovy:330-362): per output cell, the DISTINCT
+# features with any vertex within searchDist — vertices at EXACTLY the
+# cell centre are excluded (`result.distance > 0`, :349) — contribute
+# their attribute once; output = their plain mean, NoData when no vertex
+# is in range. Grid per :149-162 (bbox ± cellSize/2, ceil extents).
+# The layer is the L-shape table (attribute = h); the whole-layer vertex
+# KdTree (ShapeFile.getKdTree) becomes the broadcast vertex matrix.
+# ---------------------------------------------------------------------------
+
+def _l_vertex_table(sf_dir: str):
+    """(rec_id, vx, vy) for all 6 L-ring vertices per feature, plus the
+    attribute vector h — gathered once (the reference builds the same
+    whole-layer KdTree up front)."""
+    from .vector_overlay import doc_lshapes
+
+    def verts(batch):
+        rec = np.asarray(batch["rec_id"], dtype=np.int64)
+        xa = np.asarray(batch["xa"]); ya = np.asarray(batch["ya"])
+        h = np.asarray(batch["h"]); w2 = np.asarray(batch["w2"])
+        vx = np.stack([xa - h, xa + h + w2, xa + h + w2, xa + h,
+                       xa + h, xa - h])
+        vy = np.stack([ya - h, ya - h, ya, ya, ya + h, ya + h])
+        return {"rec_id": np.repeat(rec, 6),
+                "vx": vx.T.ravel(), "vy": vy.T.ravel(),
+                "h": np.repeat(h, 6)}
+
+    df = (doc_lshapes(sf_dir).map_batches(verts, batch_format="numpy")
+          .to_pandas().sort_values(["rec_id"]).reset_index(drop=True))
+    return df
+
+
+def attribute_gridding(sf_dir: str, cell: float = 50.0,
+                       search_dist: float = 300.0,
+                       band_rows: int = 16) -> pd.DataFrame:
+    tab = _l_vertex_table(sf_dir)
+    vx = tab["vx"].to_numpy()
+    vy = tab["vy"].to_numpy()
+    hval = tab["h"].to_numpy()[::6]  # one per feature
+    nfeat = len(hval)
+    north = vy.max() + cell / 2.0
+    south = vy.min() - cell / 2.0
+    west = vx.min() - cell / 2.0
+    east = vx.max() + cell / 2.0
+    nrows = int(math.ceil((north - south) / cell))
+    ncols = int(math.ceil((east - west) / cell))
+    r2 = search_dist * search_dist
+    ref = ray.put((vx.reshape(nfeat, 6), vy.reshape(nfeat, 6), hval))
+    n_bands = math.ceil(nrows / band_rows)
+
+    def solve(batch) -> pd.DataFrame:
+        fx, fy, hv = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        out = []
+        for b in batch["id"]:
+            r0 = int(b) * band_rows
+            r1 = min(r0 + band_rows, nrows)
+            y = (north - cell / 2.0 - np.arange(r0, r1) * cell)[:, None]
+            x = (west + cell / 2.0 + np.arange(ncols) * cell)[None, :]
+            d2 = ((x[..., None, None] - fx) ** 2
+                  + (y[..., None, None] - fy) ** 2)
+            inr = (d2 > 0) & (d2 <= r2)
+            feat = inr.any(axis=-1)
+            zero_only = (~feat) & ((d2 == 0) & (d2 <= r2)).any(axis=-1)
+            if zero_only.any():  # the groovy would emit NaN here (0/0)
+                raise ValueError("cell with only a coincident vertex "
+                                 "in range — NaN case (unsupported)")
+            cnt = feat.sum(axis=-1)
+            tot = (feat * hv).sum(axis=-1)
+            with np.errstate(invalid="ignore"):
+                vals = np.where(cnt > 0, tot / np.maximum(cnt, 1), NODATA)
+            ok = vals != NODATA
+            out.append(pd.DataFrame({
+                "row_id": np.arange(r0, r1),
+                "n_valid": ok.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(np.where(ok, vals, 0.0).sum(axis=1),
+                                    6)}))
+        return pd.concat(out, ignore_index=True)
+
+    return (rd.range(n_bands).map_batches(solve, batch_format="numpy")
+            .to_pandas().sort_values("row_id").reset_index(drop=True))
+
+
+def attribute_gridding_sql(cell: float = 50.0,
+                           search_dist: float = 300.0) -> str:
+    from ..core.features import POINTS_CTE
+    r2 = search_dist * search_dist
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+             10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+e AS (SELECT * FROM range(0, 6) t(node_id)),
+v AS (SELECT rec_id, h,
+  CASE node_id WHEN 0 THEN xa - h WHEN 1 THEN xa + h + w2
+               WHEN 2 THEN xa + h + w2 WHEN 3 THEN xa + h
+               WHEN 4 THEN xa + h ELSE xa - h END AS vx,
+  CASE node_id WHEN 0 THEN ya - h WHEN 1 THEN ya - h
+               WHEN 2 THEN ya WHEN 3 THEN ya
+               WHEN 4 THEN ya + h ELSE ya + h END AS vy
+FROM l CROSS JOIN e),
+ext AS (SELECT MAX(vy) + {cell / 2.0!r} AS north,
+               MIN(vy) - {cell / 2.0!r} AS south,
+               MIN(vx) - {cell / 2.0!r} AS west,
+               MAX(vx) + {cell / 2.0!r} AS east FROM v),
+dims AS (SELECT CAST(ceil((north - south) / {cell!r}) AS BIGINT) AS nr,
+                CAST(ceil((east - west) / {cell!r}) AS BIGINT) AS nc
+         FROM ext),
+cells AS (SELECT r, c,
+    (SELECT west FROM ext) + {cell / 2.0!r} + c * {cell!r} AS x,
+    (SELECT north FROM ext) - {cell / 2.0!r} - r * {cell!r} AS y
+  FROM range(0, 512) t(r) CROSS JOIN range(0, 512) u(c)
+  WHERE r < (SELECT nr FROM dims) AND c < (SELECT nc FROM dims)),
+near AS (SELECT r, c, rec_id, ANY_VALUE(h) AS h
+  FROM cells JOIN v
+    ON (x - vx) * (x - vx) + (y - vy) * (y - vy) > 0
+   AND (x - vx) * (x - vx) + (y - vy) * (y - vy) <= {r2!r}
+  GROUP BY r, c, rec_id),
+agg AS (SELECT r, c, SUM(h) / COUNT(*) AS f FROM near GROUP BY r, c),
+res AS (SELECT cells.r, COALESCE(agg.f, {NODATA}) AS f
+        FROM cells LEFT JOIN agg ON agg.r = cells.r AND agg.c = cells.c)
+SELECT r AS row_id,
+       CAST(SUM(CASE WHEN f <> {NODATA} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       round(SUM(CASE WHEN f <> {NODATA} THEN f ELSE 0.0 END), 6)
+         AS row_sum
+FROM res GROUP BY r ORDER BY row_id
+"""

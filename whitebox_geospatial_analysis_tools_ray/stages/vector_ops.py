@@ -1212,10 +1212,11 @@ def find_polygon_midline(sf_dir: str, densify: float = 8.0):
     return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
 
 
-def extract_nodes(sf_dir: str):
+def extract_nodes_query(sf_dir: str):
     """ExtractNodes (VectorTools/src/plugins/ExtractNodes.java, 339 LoC):
     each feature's vertices become point records carrying the parent's
-    attributes — a pure flat_map: (rec_id, node_id, x, y)."""
+    attributes — a pure flat_map: (rec_id, node_id, x, y). (The WKB-layer
+    variant is ``extract_nodes`` above.)"""
     import numpy as np
 
     from .vector_overlay import doc_lshapes
@@ -1318,4 +1319,125 @@ WITH {POINTS_CTE},
 l AS (SELECT rec_id, 10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2
       FROM pts)
 SELECT rec_id, h, w2 FROM l WHERE h > 100.0 AND w2 <= 60.0
+"""
+
+
+def _straight_segments_of(ring: "np.ndarray", threshold: float):
+    """Literal FindStraightSegments walk over ONE closed ring
+    (WhiteboxGIS/resources/plugins/Scripts/FindStraightSegments.groovy
+    :127-236): break wherever the turn angle exceeds the threshold; if
+    the ring's start point sits mid-segment (wrap angle below the
+    threshold), the held first piece is APPENDED to the final one.
+    Returns a list of point lists."""
+    import math
+
+    import numpy as np
+
+    n = len(ring)
+    start, end = 0, n - 1
+    pts = [tuple(ring[start])]
+    held = []
+    attached = False
+
+    def angle_at(i0, i1, i2):
+        x1, y1 = ring[i0]
+        x, y = ring[i1]
+        x2, y2 = ring[i2]
+        dx21, dy21 = x - x1, y - y1
+        dx31, dy31 = x2 - x, y2 - y
+        m12 = math.sqrt(dx21 * dx21 + dy21 * dy21)
+        m13 = math.sqrt(dx31 * dx31 + dy31 * dy31)
+        return math.degrees(math.acos((dx21 * dx31 + dy21 * dy31)
+                                      / (m12 * m13)))
+
+    if ring[start][0] == ring[end][0] and ring[start][1] == ring[end][1]:
+        if angle_at(end - 1, start, start + 1) < threshold:
+            attached = True
+    segments = []
+    segment_number = 1
+    for i in range(start + 1, end):
+        a = angle_at(i - 1, i, i + 1)
+        pts.append(tuple(ring[i]))
+        if a > threshold and len(pts) > 1:
+            if not attached or segment_number > 1:
+                segments.append(pts)
+            elif attached and segment_number == 1:
+                held = list(pts)
+            segment_number += 1
+            pts = [tuple(ring[i])]
+    if not attached:
+        pts.append(tuple(ring[end]))
+        if len(pts) > 1:
+            segments.append(pts)
+    else:
+        if segment_number > 1:
+            pts = pts + held
+        if len(pts) > 1:
+            segments.append(pts)
+    return segments
+
+
+def find_straight_segments(sf_dir: str, threshold: float = 45.0,
+                           round_to: int = 6):
+    """FindStraightSegments over the densified closed L rings (ring
+    starts at the first edge's midpoint so the wrap-attachment path is
+    exercised on every feature): (fid, parent_id, n_points, length).
+    The global FID counter follows record order — a closed form here
+    (constant segments/feature); in general one tiny prefix-sum pass
+    over per-feature counts assigns it."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        import pandas as pd
+        rows = []
+        for r in pd.DataFrame({k: np.asarray(v)
+                               for k, v in batch.items()}).itertuples():
+            v = _l_vertices(r.xa, r.ya, r.h, r.w2)
+
+            def mid(i):
+                a, b = v[i], v[(i + 1) % 6]
+                return ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+
+            # [m0, v1, m1, v2, m2, v3, m3, v4, m4, v5, m5, v0, m0]
+            ring = [mid(0)]
+            for i in range(1, 6):
+                ring.append(tuple(v[i]))
+                ring.append(mid(i))
+            ring.append(tuple(v[0]))
+            ring.append(mid(0))
+            ring = np.asarray(ring)
+            segs = _straight_segments_of(ring, threshold)
+            rec = int(r.rec_id)
+            for j, pts in enumerate(segs):
+                p = np.asarray(pts)
+                length = float(np.sqrt(((p[1:] - p[:-1]) ** 2)
+                                       .sum(axis=1)).sum())
+                rows.append({"fid": rec * len(segs) + j + 1,
+                             "parent_id": rec + 1,
+                             "n_points": len(pts),
+                             "length": round(length, round_to)})
+        return pd.DataFrame(rows, columns=["fid", "parent_id",
+                                           "n_points", "length"])
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def find_straight_segments_sql() -> str:
+    """Closed form: every corner of the right-angled ring breaks, the
+    wrap segment reassembles edge 0 — six 3-point segments per feature
+    in edge order e1..e5, e0 with lengths h, w2, h, 2h, 2h, 2h+w2."""
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, 10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2
+      FROM pts),
+e AS (SELECT * FROM range(1, 7) t(j))
+SELECT rec_id * 6 + j AS fid, rec_id + 1 AS parent_id,
+       CAST(3 AS BIGINT) AS n_points,
+       round(CASE j WHEN 1 THEN h WHEN 2 THEN w2 WHEN 3 THEN h
+                    WHEN 4 THEN 2 * h WHEN 5 THEN 2 * h
+                    ELSE 2 * h + w2 END, 6) AS length
+FROM l CROSS JOIN e
 """

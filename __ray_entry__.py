@@ -405,6 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_percentile": _checksum_q(
             lambda ds, spec: raster_stats.filter_percentile(
                 ds, spec, regen=raster.synth_value)),
+        "filter_user_defined_weights": _checksum_q(
+            lambda ds, spec: raster_stats.filter_user_defined_weights(
+                ds, spec, regen=raster.synth_value)),
         "lee_sigma_filter": _checksum_q(
             lambda ds, spec: raster_stats.lee_sigma_filter(
                 ds, spec, regen=raster.synth_value)),
@@ -931,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_percentile": o.percentile_filter_sql(),
         "filter_knearest_mean": o.knearest_mean_sql(),
         "lee_sigma_filter": o.lee_sigma_sql(),
+        "filter_user_defined_weights": o.user_defined_weights_sql(),
         "diff_mean_elev": o.diff_mean_elev_sql(),
         "dev_mean_elev": o.dev_mean_elev_sql(),
         "fill_pits": o.fill_pits_sql(),

@@ -3648,3 +3648,61 @@ SELECT r AS row_id, CAST({cols} AS BIGINT) AS n_valid,
        CAST(rs AS DOUBLE) AS row_sum
 FROM grid ORDER BY row_id
 """
+
+
+def user_defined_weights_sql(rows: int = 256, cols: int = 256,
+                             normalize: bool = True) -> str:
+    """FilterUserDefinedWeights.groovy mirror — taps generated from the
+    same kernel file parse; valid-tap weighted sum (÷ Σ valid weights
+    when normalized), chained in tap order (adding an exact 0.0 for an
+    invalid tap is bit-identical to skipping it)."""
+    import os
+    from .stages.raster_stats import (DEFAULT_KERNEL_TEXT,
+                                      parse_kernel_file)
+    path = "/tmp/graft_user_kernel.txt"
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(DEFAULT_KERNEL_TEXT)
+    taps = parse_kernel_file(path)
+
+    def tap_val(dy, dx):
+        off = dy * cols + dx
+        if off > 0:
+            shift = f"LEAD(v, {off}) OVER w"
+        elif off < 0:
+            shift = f"LAG(v, {-off}) OVER w"
+        else:
+            shift = "v"
+        guards = []
+        if dy > 0:
+            guards.append(f"r < {rows - dy}")
+        if dy < 0:
+            guards.append(f"r >= {-dy}")
+        if dx > 0:
+            guards.append(f"c < {cols - dx}")
+        if dx < 0:
+            guards.append(f"c >= {-dx}")
+        g = " AND ".join(guards) or "TRUE"
+        return f"CASE WHEN {g} THEN {shift} ELSE {_NOD} END"
+
+    tot = " + ".join(
+        f"CASE WHEN t{i} <> {_NOD} THEN t{i} * {w!r} ELSE 0.0 END"
+        for i, (_, _, w) in enumerate(taps))
+    tws = " + ".join(
+        f"CASE WHEN t{i} <> {_NOD} THEN {w!r} ELSE 0.0 END"
+        for i, (_, _, w) in enumerate(taps))
+    tap_cols = ",\n  ".join(f"{tap_val(dy, dx)} AS t{i}"
+                            for i, (dy, dx, _) in enumerate(taps))
+    f_expr = "tot / tw" if normalize else "tot"
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+nb AS (SELECT cell, v,
+  {tap_cols}
+FROM g WINDOW w AS (ORDER BY cell)),
+t AS (SELECT cell, v, {tot} AS tot, {tws} AS tw FROM nb),
+res AS (SELECT cell,
+  CASE WHEN v = {_NOD} THEN {_NOD} ELSE {f_expr} END AS f FROM t)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

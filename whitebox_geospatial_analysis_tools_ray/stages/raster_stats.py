@@ -2793,3 +2793,88 @@ def lee_sigma_filter(ds, spec: RasterSpec, regen=None, sigma: float = 30.0,
     return stencil_apply(
         ds, spec, lambda p: lee_sigma_kernel(p, spec.nodata, sigma, m),
         halo=1, regen=regen)
+
+
+# ---------------------------------------------------------------------------
+# FilterUserDefinedWeights (WhiteboxGIS/resources/plugins/Scripts/
+# FilterUserDefinedWeights.groovy): convolution with a kernel parsed
+# from a TEXT FILE (delimiter fallback tab → comma → space, :107-123;
+# centre = floor(cols/2), floor(rows/2) in "kernel center" mode,
+# :126-129). Valid taps only; normalize divides by the Σ of the VALID
+# weights (:251-265). This is the tool family's user-extension surface:
+# the kernel file is data, not code.
+# ---------------------------------------------------------------------------
+
+def parse_kernel_file(path: str, center_on: str = "kernel center"):
+    """(dy, dx, weight) taps per the literal parse."""
+    text = open(path).read()
+    lines = text.split("\n")
+    delimiter = "\t"
+    k_cols = len(lines[0].split(delimiter))
+    if k_cols == 1:
+        delimiter = ","
+        k_cols = len(lines[0].split(delimiter))
+        if k_cols == 1:
+            delimiter = " "
+            k_cols = len(lines[0].split(delimiter))
+    k_rows = len(lines)
+    if center_on == "kernel center":
+        cx = int(np.floor(k_cols / 2.0))
+        cy = int(np.floor(k_rows / 2.0))
+    elif center_on == "upper-left corner":
+        cx = cy = 0
+    else:
+        cx, cy = k_cols, k_rows
+    taps = []
+    for i, line in enumerate(lines):
+        parts = line.split(delimiter)
+        for j in range(min(k_cols, len(parts))):
+            s = parts[j].strip()
+            try:
+                w = float(s)
+            except ValueError:
+                continue
+            taps.append((i - cy, j - cx, w))
+    return taps
+
+
+def user_defined_weights_kernel(p: np.ndarray, nodata: float, taps,
+                                halo: int, normalize: bool) -> np.ndarray:
+    z = p[halo:-halo, halo:-halo]
+    H, W = z.shape
+    total = np.zeros_like(z)
+    tw = np.zeros_like(z)
+    for dy, dx, w in taps:
+        nb = p[halo + dy:halo + dy + H, halo + dx:halo + dx + W]
+        valid = nb != nodata
+        total = total + np.where(valid, nb * w, 0.0)
+        tw = tw + np.where(valid, w, 0.0)
+    if normalize:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            total = total / tw
+    res = np.where(z != nodata, total, nodata)
+    out = np.full_like(p, nodata)
+    out[halo:-halo, halo:-halo] = res
+    return out
+
+
+DEFAULT_KERNEL_TEXT = ("0.05\t0.2 \t0.1\t0.3\t0.25\n"
+                       "0.15\t1.0\t0.5\t0.25\t0.4\n"
+                       "0.05\t0.45\t0.35\t0.2\t0.15")
+
+
+def filter_user_defined_weights(ds, spec: RasterSpec, regen=None,
+                                kernel_path: str | None = None,
+                                normalize: bool = True):
+    from .raster import stencil_apply
+    if kernel_path is None:
+        kernel_path = "/tmp/graft_user_kernel.txt"
+        with open(kernel_path, "w") as f:
+            f.write(DEFAULT_KERNEL_TEXT)
+    taps = parse_kernel_file(kernel_path)
+    halo = max(max(abs(dy), abs(dx)) for dy, dx, _ in taps)
+    return stencil_apply(
+        ds, spec,
+        lambda p: user_defined_weights_kernel(p, spec.nodata, taps, halo,
+                                              normalize),
+        halo=halo, regen=regen)

@@ -757,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_density": lambda sf: _gridding_q("point_density"),
         "attribute_gridding": lambda sf: _ag_q(sf),
         "find_straight_segments": _vops_q("find_straight_segments"),
+        "remove_polygon_necks": _vops_q("remove_polygon_necks"),
         "clip_raster_to_polygon": lambda sf: rasterize.clip_raster_to_polygon(),
         "clump": lambda sf: clump_mod.clump(),
         # --- two-raster stats (StatsTools) ---

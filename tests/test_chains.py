@@ -105,3 +105,37 @@ def test_find_polygon_chains_partitioning_invariant(ray_session):
            .sort_values("pt").reset_index(drop=True))
     alt = chains._match_and_walk(tab, int(tab["poly"].max()))
     pd.testing.assert_frame_equal(alt, base)
+
+
+def test_neck_detection_on_dumbbell():
+    """The two corridor walls of a dumbbell polygon are detected as neck
+    polylines; an isolated square has none."""
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        _dumbbell_ring, _neck_segments_of)
+
+    ring = _dumbbell_ring(0.0, 0.0, 10)
+    segs = _neck_segments_of(ring, 3.0, 30.0)
+    assert len(segs) == 2 and all(s >= 10 for s in segs)
+    # a plain square ring: all neighbourhoods are index-contiguous
+    pts = []
+    for i in range(4):
+        x0, y0 = [(0, 0), (10, 0), (10, 10), (0, 10)][i]
+        x1, y1 = [(10, 0), (10, 10), (0, 10), (0, 0)][i]
+        for s in range(10):
+            t = s / 10
+            pts.append((x0 + (x1 - x0) * t, y0 + (y1 - y0) * t))
+    pts.append(pts[0])
+    assert _neck_segments_of(np.asarray(pts), 3.0, 30.0) == []
+
+
+def test_remove_polygon_necks_runs(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        remove_polygon_necks)
+
+    df = remove_polygon_necks("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    # every feature detects its two corridor walls
+    per = df.groupby("rec_id")["seg_id"].max()
+    assert (per == 2).all()

@@ -1441,3 +1441,85 @@ SELECT rec_id * 6 + j AS fid, rec_id + 1 AS parent_id,
                     ELSE 2 * h + w2 END, 6) AS length
 FROM l CROSS JOIN e
 """
+
+
+def _dumbbell_ring(xa: float, ya: float, corridor: int):
+    """Closed dumbbell ring (two 10×10 squares joined by a 2-wide
+    corridor of the given length), densified with unit steps — corridor
+    vertices are spatially close but index-distant (a 'neck')."""
+    import numpy as np
+
+    cl = corridor
+    pts = [(0, 0), (10, 0), (10, 4), (10 + cl, 4), (10 + cl, 0),
+           (20 + cl, 0), (20 + cl, 10), (10 + cl, 10), (10 + cl, 6),
+           (10, 6), (10, 10), (0, 10)]
+    ring = []
+    for i in range(len(pts)):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % len(pts)]
+        steps = int(abs(x1 - x0) + abs(y1 - y0))
+        for s in range(steps):
+            t = s / steps
+            ring.append((x0 + (x1 - x0) * t, y0 + (y1 - y0) * t))
+    ring.append(ring[0])  # shapefile rings repeat the first point
+    return np.asarray(ring) + np.array([xa, ya])
+
+
+def _neck_segments_of(ring: "np.ndarray", radius: float,
+                      gap_threshold: float):
+    """Literal RemovePolygonNecks per-feature walk
+    (VectorTools/src/plugins/RemovePolygonNecks.java:289-396): per
+    vertex, the index RANGE of in-radius vertices (remapped past the
+    ring seam when the raw range spans it, :333-353), then the largest
+    index GAP among them; vertices whose gap ≥ the threshold extend a
+    running polyline, emitted when a non-neck vertex ends a run > 1 (a
+    run reaching the last vertex is emitted at ANY length, :368)."""
+    import numpy as np
+
+    n = len(ring)
+    r2 = radius * radius
+    d2 = ((ring[:, None, :] - ring[None, :, :]) ** 2).sum(-1)
+    segments = []
+    pnts = 0
+    for i in range(n):
+        idx = np.flatnonzero(d2[i] <= r2).astype(np.float64)
+        if idx.max() - idx.min() == n - 1:
+            idx = np.where(idx < n / 2, idx + n, idx)
+        vals = np.sort(idx)
+        max_gap = float(np.diff(vals).max()) if len(vals) > 1 else 0.0
+        if max_gap >= gap_threshold:
+            pnts += 1
+            if i == n - 1:
+                segments.append(pnts)
+                pnts = 0
+        elif pnts > 1:
+            segments.append(pnts)
+            pnts = 0
+        else:
+            pnts = 0
+    return segments
+
+
+def remove_polygon_necks(sf_dir: str, radius: float = 3.0,
+                         gap_threshold: float = 30.0):
+    """(rec_id, seg_id, n_points) of detected neck polylines over the
+    dumbbell layer — a pure per-feature map."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        import pandas as pd
+        rows = []
+        for r in pd.DataFrame({k: np.asarray(v)
+                               for k, v in batch.items()}).itertuples():
+            corridor = 10 + 2 * (int(r.h) % 5)
+            ring = _dumbbell_ring(r.xa, r.ya, corridor)
+            segs = _neck_segments_of(ring, radius, gap_threshold)
+            for j, npts in enumerate(segs):
+                rows.append({"rec_id": int(r.rec_id), "seg_id": j + 1,
+                             "n_points": int(npts)})
+        return pd.DataFrame(rows, columns=["rec_id", "seg_id",
+                                           "n_points"])
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")

@@ -713,6 +713,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["x"]).create_hex_vector_grid(),
         "shape_complexity": _vops_q("shape_complexity"),
         "minimum_bounding_box": _vops_q("minimum_bounding_box"),
+        "minimum_convex_hull": _vops_q("minimum_convex_hull"),
+        "lines_to_polygons": _vops_q("lines_to_polygons"),
+        "simplify_line": _vops_q("simplify_line"),
+        "layer_footprint": _vops_q("layer_footprint_query"),
+        "long_axis": _vops_q("long_axis"),
+        "short_axis": _vops_q("short_axis"),
+        "interior_point": _vops_q("interior_point"),
         "trend_surface": lambda sf: _trend_q(sf),
         "shape_metrics_extended": lambda sf: _shape_q(sf, "ext"),
         "contour_lengths": lambda sf: raster_stats.contour_lengths(
@@ -985,6 +992,13 @@ def oracle_sql() -> dict[str, str]:
         "create_rect_vector_grid": _vops2("create_rect_vector_grid_sql"),
         "create_hex_vector_grid": _vops2("create_hex_vector_grid_sql"),
         "shape_complexity": _vops2("shape_complexity_sql"),
+        "minimum_convex_hull": _vops2("minimum_convex_hull_sql"),
+        "lines_to_polygons": _vops2("lines_to_polygons_sql"),
+        "simplify_line": _vops2("simplify_line_sql"),
+        "interior_point": _vops2("interior_point_sql"),
+        # long_axis / short_axis / layer_footprint: rows-only (hull-edge
+        # rotation search / whole-layer hull are not SQL-expressible) —
+        # brute-force-sweep + mirror tested.
         "trend_surface": _trend_sql(),
         "vector_clip": o.clip_boxes_sql(),
         "vector_erase": o.erase_boxes_sql(),

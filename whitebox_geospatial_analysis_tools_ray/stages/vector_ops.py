@@ -1523,3 +1523,387 @@ def remove_polygon_necks(sf_dir: str, radius: float = 3.0,
                                            "n_points"])
 
     return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# MinimumConvexHull (VectorTools/src/plugins/MinimumConvexHull.java):
+# per-feature convex hull emitted as a polygon record with the parent's
+# attributes. Over the L-shape layer the hull is a pentagon (the notch
+# corner is interior), so vertex count / area / perimeter have closed
+# forms and the query is exactly SQL-mirrorable.
+# ---------------------------------------------------------------------------
+
+
+def minimum_convex_hull(sf_dir: str, round_to: int = 6):
+    """(rec_id, hull_nvert, hull_area, hull_perim) — hull computed from
+    the actual vertex ring via the monotone-chain kernel (the JTS
+    ConvexHull call at MinimumConvexHull.java); stateless map, no
+    shuffle. Exact SQL oracle: pentagon closed forms."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        n = len(batch["rec_id"])
+        nv = np.empty(n, dtype=np.int64)
+        area = np.empty(n)
+        perim = np.empty(n)
+        for i in range(n):
+            v = _l_vertices(batch["xa"][i], batch["ya"][i],
+                            batch["h"][i], batch["w2"][i])
+            hull = geom.convex_hull(v)
+            nv[i] = len(hull)
+            ring = np.vstack([hull, hull[:1]])
+            area[i] = 0.5 * abs(np.sum(
+                ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1]))
+            perim[i] = float(np.sum(np.hypot(np.diff(ring[:, 0]),
+                                             np.diff(ring[:, 1]))))
+        return {"rec_id": batch["rec_id"], "hull_nvert": nv,
+                "hull_area": np.round(area, round_to),
+                "hull_perim": np.round(perim, round_to)}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def minimum_convex_hull_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, 10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2
+      FROM pts)
+SELECT rec_id, 5 AS hull_nvert,
+       round((2.0 * h + w2) * (2.0 * h) - w2 * h / 2.0, 6) AS hull_area,
+       round(7.0 * h + w2 + sqrt(w2 * w2 + h * h), 6) AS hull_perim
+FROM l
+"""
+
+
+# ---------------------------------------------------------------------------
+# LinesToPolygons (Scripts/LinesToPolygons.groovy:126-156): per part —
+# removeDuplicates, closePolygon (append first vertex), then force
+# clockwise shell order (reverse when getPartHoleData()[0] is true,
+# i.e. the ring came in counter-clockwise). One flat stateless map.
+# ---------------------------------------------------------------------------
+
+
+def lines_to_polygons(sf_dir: str, round_to: int = 6):
+    """(rec_id, part, nvert, area, reversed) over the open L-ring
+    polylines (the PolygonsToLines output shape). nvert counts the
+    closing duplicate the groovy appends; ``reversed`` reproduces the
+    hole-order test (our generator emits CCW rings, so every ring is
+    reversed to a CW shell). Exact SQL oracle."""
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        n = len(batch["rec_id"])
+        nv = np.empty(n, dtype=np.int64)
+        area = np.empty(n)
+        rev = np.empty(n, dtype=bool)
+        for i in range(n):
+            v = _l_vertices(batch["xa"][i], batch["ya"][i],
+                            batch["h"][i], batch["w2"][i])
+            # removeDuplicates: none in the generator ring
+            ring = np.vstack([v, v[:1]])          # closePolygon
+            signed = 0.5 * np.sum(
+                ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1])
+            rev[i] = signed > 0                    # CCW → hole → reverse
+            nv[i] = len(ring)
+            area[i] = abs(signed)
+        return {"rec_id": batch["rec_id"], "part": np.zeros(n, np.int64),
+                "nvert": nv, "area": np.round(area, round_to),
+                "reversed": rev}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def lines_to_polygons_sql() -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, 10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2
+      FROM pts)
+SELECT rec_id, 0 AS part, 7 AS nvert,
+       round(4.0 * h * h + w2 * h, 6) AS area,
+       TRUE AS reversed
+FROM l
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimplifyLineOrPolygon (VectorTools/src/plugins/SimplifyLineOrPolygon
+# .java via JTS DouglasPeuckerSimplifier, keep-if-distance > tolerance):
+# the distributed query runs the real DP kernel (core/geom.douglas_
+# peucker, hypothesis-tested) per feature over a V-polyline layer whose
+# retained-vertex set is provably closed-form, making the whole query
+# exactly SQL-mirrorable.
+# ---------------------------------------------------------------------------
+
+
+def simplify_line(sf_dir: str, tol: float = 2.5):
+    """(rec_id, nvert_in, nvert_out) — V polyline (x0,y0)→(x0+L,y0+e)→
+    (x0+2L,y0) per feature, e integer in [-6,6]; DP keeps the apex iff
+    the perpendicular distance |e| exceeds tol (the chord is
+    horizontal, so the distance IS |e|). Exact SQL oracle."""
+    import numpy as np
+
+    from .points import read_points
+
+    def fn(batch):
+        x = np.floor(np.asarray(batch["x"], dtype=np.float64))
+        y = np.floor(np.asarray(batch["y"], dtype=np.float64))
+        z = np.asarray(batch["z"], dtype=np.float64)
+        L = 10.0 + z % 50.0
+        e = (z % 13.0) - 6.0
+        n = len(x)
+        nout = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            pts = np.array([[x[i], y[i]],
+                            [x[i] + L[i], y[i] + e[i]],
+                            [x[i] + 2.0 * L[i], y[i]]])
+            nout[i] = len(geom.douglas_peucker(pts, tol))
+        return {"rec_id": np.asarray(batch["rec_id"], dtype=np.int64),
+                "nvert_in": np.full(n, 3, dtype=np.int64),
+                "nvert_out": nout}
+
+    return read_points(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def simplify_line_sql(tol: float = 2.5) -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE}
+SELECT rec_id, 3 AS nvert_in,
+       CASE WHEN abs((z % 13.0) - 6.0) > {tol} THEN 3 ELSE 2 END AS nvert_out
+FROM pts
+"""
+
+
+# ---------------------------------------------------------------------------
+# LayerFootprint (VectorTools/src/plugins/LayerFootprint.java): convex
+# hull of every vertex in the layer. Distributed as per-block partial
+# hulls (map_batches) -> tiny driver-side final hull over the partial
+# hull vertices — the global-reduce plan of SURVEY §2.2. Rows-only
+# (hull of data-dependent points is not SQL-expressible); mirror-tested
+# against the single-process hull of all vertices.
+# ---------------------------------------------------------------------------
+
+
+def layer_footprint_query(sf_dir: str, round_to: int = 6):
+    import numpy as np
+    import pyarrow as pa
+
+    from .vector_overlay import doc_lshapes
+
+    def partial(batch):
+        vs = [
+            _l_vertices(batch["xa"][i], batch["ya"][i],
+                        batch["h"][i], batch["w2"][i])
+            for i in range(len(batch["rec_id"]))]
+        hull = geom.convex_hull(np.vstack(vs))
+        return {"x": hull[:, 0], "y": hull[:, 1]}
+
+    parts = doc_lshapes(sf_dir).map_batches(
+        partial, batch_format="numpy").to_pandas()
+    hull = geom.convex_hull(parts[["x", "y"]].to_numpy())
+    ring = np.vstack([hull, hull[:1]])
+    area = 0.5 * abs(np.sum(
+        ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1]))
+    perim = float(np.sum(np.hypot(np.diff(ring[:, 0]), np.diff(ring[:, 1]))))
+    return pa.table({"nvert": [len(hull)],
+                     "area": [round(float(area), round_to)],
+                     "perimeter": [round(perim, round_to)]})
+
+
+# ---------------------------------------------------------------------------
+# LongAxis / ShortAxis (Scripts/LongAxis.groovy:138-168, ShortAxis
+# .groovy same loop) over MinimumBoundingRectangle (WhiteboxAPI/src/
+# whitebox/algorithms/MinimumBoundingRectangle.java:116-213):
+# hull-edge rotation search around the bbox midpoint, minimum-AREA
+# criterion, INCLUDING the literal Double.MIN_VALUE initialisation of
+# the rotated east/south extents (a positive-tiny clamp, not -inf —
+# reproduced bit-for-bit). Axis endpoints use the groovy's
+# north-bearing convention: centre ± len/2 * (sin, cos)(slopeDeg).
+# ---------------------------------------------------------------------------
+
+_JAVA_MIN_VALUE = 4.9e-324
+
+
+def mbr_full(v: "np.ndarray") -> tuple:
+    """Literal MinimumBoundingRectangle.getBoundingBox(): returns
+    (longAxis, shortAxis, slope_rad, boxCentreX, boxCentreY)."""
+    import numpy as np
+
+    v = np.asarray(v, dtype=np.float64)
+    east, west = v[:, 0].max(), v[:, 0].min()
+    north, south = v[:, 1].max(), v[:, 1].min()
+    mid_x = west + (east - west) / 2.0
+    mid_y = south + (north - south) / 2.0
+
+    hull = geom.convex_hull(v)
+    # JTS ConvexHull.getCoordinates() returns a closed ring
+    hull = np.vstack([hull, hull[:1]])
+    nh = len(hull)
+    right_angle = np.pi / 2.0
+    axes = np.array([9999999.0, 9999999.0])
+    slope = 0.0
+    cx = cy = 0.0
+    for m in range(nh - 1):
+        dx = hull[m + 1, 0] - hull[m, 0]
+        dy = hull[m + 1, 1] - hull[m, 1]
+        psi = -np.arctan2(dy, dx)
+        x0 = hull[:, 0] - mid_x
+        y0 = hull[:, 1] - mid_y
+        rx = x0 * np.cos(psi) - y0 * np.sin(psi)
+        ry = x0 * np.sin(psi) + y0 * np.cos(psi)
+        # literal newBoundingBox init: west/north = +MAX, east/south =
+        # Double.MIN_VALUE (positive tiny) — MinimumBoundingRectangle
+        # .java:172-175
+        w_ = min(rx.min(), 1.7976931348623157e308)
+        e_ = max(rx.max(), _JAVA_MIN_VALUE)
+        n_ = min(ry.min(), 1.7976931348623157e308)
+        s_ = max(ry.max(), _JAVA_MIN_VALUE)
+        new_x = abs(e_ - w_)
+        new_y = abs(s_ - n_)
+        if new_x * new_y < axes[0] * axes[1]:
+            axes = np.array([new_x, new_y])
+            slope = -psi if new_x > new_y else -(right_angle + psi)
+            bx = w_ + new_x / 2.0
+            by = n_ + new_y / 2.0
+            cx = mid_x + bx * np.cos(-psi) - by * np.sin(-psi)
+            cy = mid_y + bx * np.sin(-psi) + by * np.cos(-psi)
+    return (float(max(axes)), float(min(axes)), float(slope),
+            float(cx), float(cy))
+
+
+def _axis_query(sf_dir: str, which: str, round_to: int = 6):
+    import numpy as np
+
+    from .vector_overlay import doc_lshapes
+
+    def fn(batch):
+        n = len(batch["rec_id"])
+        length = np.empty(n)
+        orient = np.empty(n)
+        x0 = np.empty(n); y0 = np.empty(n)
+        x1 = np.empty(n); y1 = np.empty(n)
+        for i in range(n):
+            v = _l_vertices(batch["xa"][i], batch["ya"][i],
+                            batch["h"][i], batch["w2"][i])
+            lo, sh, slope, cx, cy = mbr_full(v)
+            long_deg = 90.0 + np.degrees(np.arctan(np.tan(-slope)))
+            if which == "long":
+                ln, deg = lo, long_deg
+            else:
+                ln = sh
+                deg = long_deg - 90.0 if long_deg >= 90.0 else long_deg + 90.0
+            rad = np.radians(deg)
+            length[i] = ln
+            orient[i] = deg
+            x0[i] = cx + ln / 2.0 * np.sin(rad)
+            y0[i] = cy + ln / 2.0 * np.cos(rad)
+            x1[i] = cx - ln / 2.0 * np.sin(rad)
+            y1[i] = cy - ln / 2.0 * np.cos(rad)
+        return {"rec_id": batch["rec_id"],
+                "length": np.round(length, round_to),
+                "orient": np.round(orient, round_to),
+                "x0": np.round(x0, round_to), "y0": np.round(y0, round_to),
+                "x1": np.round(x1, round_to), "y1": np.round(y1, round_to)}
+
+    return doc_lshapes(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def long_axis(sf_dir: str):
+    """LongAxis.groovy — rows-only (hull-edge rotation search is not
+    SQL-expressible); known-answer tested on rotated rectangles and
+    checked against the dense rotation sweep."""
+    return _axis_query(sf_dir, "long")
+
+
+def short_axis(sf_dir: str):
+    """ShortAxis.groovy — see long_axis."""
+    return _axis_query(sf_dir, "short")
+
+
+# ---------------------------------------------------------------------------
+# InteriorPoint (Scripts/InteriorPoint.groovy:129 — JTS
+# Geometry.getInteriorPoint(), i.e. JTS 1.x InteriorPointArea):
+# horizontal bisector at the envelope's mid-Y, intersect with the
+# polygon, take the WIDEST intersection component, return the centre
+# of its envelope. Implemented per feature with an even-odd crossing
+# scan; the right-trapezoid layer guarantees a single clean chord, so
+# the result has a closed form and the query is exactly SQL-mirrored.
+# ---------------------------------------------------------------------------
+
+
+def _trap_vertices(x0, y0, w, hs, hb):
+    """Right trapezoid A(x0,y0) B(x0+w,y0) C(x0+w,y0+hs) D(x0,y0+hb),
+    hb/2 > hs by construction so the bisector crosses the slant edge."""
+    import numpy as np
+    return np.array([[x0, y0], [x0 + w, y0],
+                     [x0 + w, y0 + hs], [x0, y0 + hb]])
+
+
+def interior_point(sf_dir: str, round_to: int = 6):
+    """(rec_id, ix, iy) — JTS InteriorPointArea over the trapezoid
+    layer. Exact SQL oracle (single-chord closed form)."""
+    import numpy as np
+
+    from .points import read_points
+
+    def fn(batch):
+        x = np.floor(np.asarray(batch["x"], dtype=np.float64))
+        y = np.floor(np.asarray(batch["y"], dtype=np.float64))
+        z = np.asarray(batch["z"], dtype=np.float64)
+        w = 20.0 + z % 80.0
+        hs = 5.0 + z % 7.0
+        hb = hs + 32.0  # power-of-two rise → bisector chord is dyadic-exact
+        n = len(x)
+        ix = np.empty(n)
+        iy = np.empty(n)
+        for i in range(n):
+            v = _trap_vertices(x[i], y[i], w[i], hs[i], hb[i])
+            yc = (v[:, 1].min() + v[:, 1].max()) / 2.0  # horizontalBisector
+            # even-odd crossing scan of the ring at y = yc
+            ring = np.vstack([v, v[:1]])
+            xs = []
+            for k in range(len(ring) - 1):
+                y1_, y2_ = ring[k, 1], ring[k + 1, 1]
+                if (y1_ <= yc < y2_) or (y2_ <= yc < y1_):
+                    t = (yc - y1_) / (y2_ - y1_)
+                    xs.append(ring[k, 0] + t * (ring[k + 1, 0] - ring[k, 0]))
+            xs.sort()
+            # chords are consecutive pairs; take the widest, return the
+            # centre of its envelope (InteriorPointArea.centre)
+            best = (-1.0, 0.0)
+            for a, b in zip(xs[::2], xs[1::2]):
+                if b - a > best[0]:
+                    best = (b - a, (a + b) / 2.0)
+            ix[i] = best[1]
+            iy[i] = yc
+        # no rounding: every quantity is dyadic-exact by construction
+        # (power-of-two rise), so both engines produce identical bits —
+        # round(…,6) would hit half-way ties (multiples of 1/128) where
+        # numpy (half-even) and DuckDB (half-away) disagree.
+        return {"rec_id": np.asarray(batch["rec_id"], dtype=np.int64),
+                "ix": ix, "iy": iy}
+
+    return read_points(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def interior_point_sql() -> str:
+    from ..core.features import POINTS_CTE
+    # yc = y0 + hb/2; slant D(x0,y0+hb)->C(x0+w,y0+hs) crosses yc at
+    # x0 + w*(hb-hb/2)/(hb-hs) = x0 + w*(hb/2)/(hb-hs); chord starts on
+    # the left edge x = x0 → midpoint is half that offset.
+    return f"""
+WITH {POINTS_CTE},
+t AS (SELECT rec_id, floor(x) AS x0, floor(y) AS y0,
+             20.0 + (z % 80.0) AS w, 5.0 + (z % 7.0) AS hs,
+             5.0 + (z % 7.0) + 32.0 AS hb FROM pts)
+SELECT rec_id,
+       x0 + (w * (hb / 2.0) / (hb - hs)) / 2.0 AS ix,
+       y0 + hb / 2.0 AS iy
+FROM t
+"""

@@ -761,7 +761,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_lines": lambda sf: rasterize.rasterize_lines(),
         "intersection_density": lambda sf: rasterize.intersection_density(),
         "interpolation_nn": lambda sf: _gridding_q("interpolation_nn"),
+        "minimum_interpolation": lambda sf: _gridding_q(
+            "minimum_interpolation"),
         "point_density": lambda sf: _gridding_q("point_density"),
+        "vector_feature_density": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.gridding",
+            fromlist=["x"]).vector_feature_density(sf),
+        "nearest_neighbour_analysis": lambda sf: knn.nearest_neighbour_analysis(
+            _points(sf)),
+        "jenson_snap_pour_points": lambda sf: hydro.jenson_snap_pour_points(),
         "attribute_gridding": lambda sf: _ag_q(sf),
         "find_straight_segments": _vops_q("find_straight_segments"),
         "remove_polygon_necks": _vops_q("remove_polygon_necks"),
@@ -1016,7 +1024,14 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_lines": o.rasterize_lines_sql(),
         "intersection_density": o.intersection_density_sql(),
         "interpolation_nn": _gridding_sql("interpolation_nn_sql"),
+        "minimum_interpolation": _gridding_sql("minimum_interpolation_sql"),
         "point_density": _gridding_sql("point_density_sql"),
+        "vector_feature_density": _gridding_sql("vector_feature_density_sql"),
+        "nearest_neighbour_analysis": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.knn",
+            fromlist=["x"]).nearest_neighbour_analysis_sql(),
+        # jenson_snap_pour_points: tile-local window search over the
+        # converged accumulation — rows-only, literal-mirror tested.
         "attribute_gridding": _gridding_sql("attribute_gridding_sql"),
         "find_straight_segments": _vops2("find_straight_segments_sql"),
         "clip_raster_to_polygon": o.clip_raster_to_polygon_sql(),

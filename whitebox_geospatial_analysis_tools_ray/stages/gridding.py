@@ -307,3 +307,158 @@ SELECT r AS row_id,
          AS row_sum
 FROM res GROUP BY r ORDER BY row_id
 """
+
+
+# ---------------------------------------------------------------------------
+# MinimumInterpolation (WhiteboxGIS/resources/plugins/Scripts/
+# MinimumInterpolation.groovy:310-336): per output cell, the MINIMUM z
+# of all points within maxDist — note the groovy passes the RAW
+# maxDist to KdTree.neighborsWithinRange (:319), which squares it
+# internally (KdTree.java:355 ``range = range * range``), so the
+# effective radius is maxDist with an INCLUSIVE cutoff (``dist <=
+# range``, KdTree.java:366-380). Exactly one point in range → its
+# value; none → NoData. Same banded broadcast plan as InterpolationNN;
+# the LiDAR_{Min,Max}_interpolation tools are this reducer over the
+# LAS source.
+# ---------------------------------------------------------------------------
+
+
+def minimum_interpolation(resolution: float = 100.0, n_sites: int = 25,
+                          max_dist: float = 600.0) -> pd.DataFrame:
+    md2 = max_dist * max_dist
+
+    def fn(x, y, sx, sy, sid):
+        d2 = (x[..., None] - sx) ** 2 + (y[..., None] - sy) ** 2
+        inr = d2 <= md2
+        z = site_z(sid)
+        vals = np.where(inr, z, np.inf).min(axis=-1)
+        return np.where(np.isfinite(vals), vals, NODATA)
+
+    return _grid_eval(fn, resolution, n_sites)
+
+
+def minimum_interpolation_sql(resolution: float = 100.0,
+                              n_sites: int = 25,
+                              max_dist: float = 600.0) -> str:
+    west, north, nrows, ncols = xyz_grid(resolution, n_sites)
+    sv = site_points_sql_values(site_points(n_sites), alias="s0")
+    md2 = max_dist * max_dist
+    half = resolution / 2.0
+    return f"""
+WITH s AS (SELECT site_id, CAST(sx AS DOUBLE) sx, CAST(sy AS DOUBLE) sy,
+    ((site_id * 7919 + 13) * 2654435761) % 4294967296
+      / 4294967296.0 * 1000.0 AS z FROM {sv}),
+cells AS (SELECT r, c,
+    c * {resolution!r} + {west + half!r} AS x,
+    {north - half!r} - r * {resolution!r} AS y
+  FROM range(0, {nrows}) t(r) CROSS JOIN range(0, {ncols}) u(c)),
+agg AS (SELECT r, c, MIN(z) AS mz
+  FROM cells JOIN s
+    ON (x - sx) * (x - sx) + (y - sy) * (y - sy) <= {md2!r}
+  GROUP BY r, c),
+res AS (SELECT cells.r, COALESCE(agg.mz, {NODATA}) AS f
+        FROM cells LEFT JOIN agg ON agg.r = cells.r AND agg.c = cells.c)
+SELECT r AS row_id,
+       CAST(SUM(CASE WHEN f <> {NODATA} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       round(SUM(CASE WHEN f <> {NODATA} THEN f ELSE 0.0 END), 6)
+         AS row_sum
+FROM res GROUP BY r ORDER BY row_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# VectorFeatureDensity (WhiteboxGIS/resources/plugins/Scripts/
+# VectorFeatureDensity.groovy:302-331): per output cell, the number of
+# DISTINCT features with any vertex within searchDist — coincident
+# vertices excluded (``result.distance > 0``, :326) — divided by the
+# search circle's area in km² (``PI * d * d / 1e6``, :302). Cells with
+# no vertex in range get density 0 (the groovy writes hs.size()/area
+# unconditionally). Grid per :152-161 (bbox ± cellSize/2, ceil) — the
+# VectorAttributeGridding plan with a count-distinct reducer.
+# ---------------------------------------------------------------------------
+
+
+def vector_feature_density(sf_dir: str, cell: float = 50.0,
+                           search_dist: float = 300.0,
+                           band_rows: int = 16) -> pd.DataFrame:
+    tab = _l_vertex_table(sf_dir)
+    vx = tab["vx"].to_numpy()
+    vy = tab["vy"].to_numpy()
+    nfeat = len(vx) // 6
+    north = vy.max() + cell / 2.0
+    south = vy.min() - cell / 2.0
+    west = vx.min() - cell / 2.0
+    east = vx.max() + cell / 2.0
+    nrows = int(math.ceil((north - south) / cell))
+    ncols = int(math.ceil((east - west) / cell))
+    r2 = search_dist * search_dist
+    area = math.pi * search_dist * search_dist / 1_000_000.0
+    ref = ray.put((vx.reshape(nfeat, 6), vy.reshape(nfeat, 6)))
+    n_bands = math.ceil(nrows / band_rows)
+
+    def solve(batch) -> pd.DataFrame:
+        fx, fy = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        out = []
+        for b in batch["id"]:
+            r0 = int(b) * band_rows
+            r1 = min(r0 + band_rows, nrows)
+            y = (north - cell / 2.0 - np.arange(r0, r1) * cell)[:, None]
+            x = (west + cell / 2.0 + np.arange(ncols) * cell)[None, :]
+            d2 = ((x[..., None, None] - fx) ** 2
+                  + (y[..., None, None] - fy) ** 2)
+            feat = ((d2 > 0) & (d2 <= r2)).any(axis=-1)
+            dens = feat.sum(axis=-1) / area
+            out.append(pd.DataFrame({
+                "row_id": np.arange(r0, r1),
+                "n_nonzero": (dens > 0).sum(axis=1).astype(np.int64),
+                "row_sum": np.round(dens.sum(axis=1), 6)}))
+        return pd.concat(out, ignore_index=True)
+
+    return (rd.range(n_bands).map_batches(solve, batch_format="numpy")
+            .to_pandas().sort_values("row_id").reset_index(drop=True))
+
+
+def vector_feature_density_sql(cell: float = 50.0,
+                               search_dist: float = 300.0) -> str:
+    from ..core.features import POINTS_CTE
+    r2 = search_dist * search_dist
+    area = math.pi * search_dist * search_dist / 1_000_000.0
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+             10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+e AS (SELECT * FROM range(0, 6) t(node_id)),
+v AS (SELECT rec_id,
+  CASE node_id WHEN 0 THEN xa - h WHEN 1 THEN xa + h + w2
+               WHEN 2 THEN xa + h + w2 WHEN 3 THEN xa + h
+               WHEN 4 THEN xa + h ELSE xa - h END AS vx,
+  CASE node_id WHEN 0 THEN ya - h WHEN 1 THEN ya - h
+               WHEN 2 THEN ya WHEN 3 THEN ya
+               WHEN 4 THEN ya + h ELSE ya + h END AS vy
+FROM l CROSS JOIN e),
+ext AS (SELECT MAX(vy) + {cell / 2.0!r} AS north,
+               MIN(vy) - {cell / 2.0!r} AS south,
+               MIN(vx) - {cell / 2.0!r} AS west,
+               MAX(vx) + {cell / 2.0!r} AS east FROM v),
+dims AS (SELECT CAST(ceil((north - south) / {cell!r}) AS BIGINT) AS nr,
+                CAST(ceil((east - west) / {cell!r}) AS BIGINT) AS nc
+         FROM ext),
+cells AS (SELECT r, c,
+    (SELECT west FROM ext) + {cell / 2.0!r} + c * {cell!r} AS x,
+    (SELECT north FROM ext) - {cell / 2.0!r} - r * {cell!r} AS y
+  FROM range(0, 512) t(r) CROSS JOIN range(0, 512) u(c)
+  WHERE r < (SELECT nr FROM dims) AND c < (SELECT nc FROM dims)),
+near AS (SELECT r, c, COUNT(DISTINCT rec_id) AS cnt
+  FROM cells JOIN v
+    ON (x - vx) * (x - vx) + (y - vy) * (y - vy) > 0
+   AND (x - vx) * (x - vx) + (y - vy) * (y - vy) <= {r2!r}
+  GROUP BY r, c),
+res AS (SELECT cells.r, COALESCE(near.cnt, 0) / {area!r} AS dens
+        FROM cells LEFT JOIN near ON near.r = cells.r AND near.c = cells.c)
+SELECT r AS row_id,
+       CAST(SUM(CASE WHEN dens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonzero,
+       round(SUM(dens), 6) AS row_sum
+FROM res GROUP BY r ORDER BY row_id
+"""

@@ -525,6 +525,71 @@ def snap_pour_points(spec: RasterSpec | None = None,
     return out.sort_values("point_cell").reset_index(drop=True)
 
 
+def jenson_snap_pour_points(spec: RasterSpec | None = None,
+                            snap_dist: int = 5,
+                            threshold: float = 5.0) -> pd.DataFrame:
+    """JensonSnapPourPoints (HydroTools/src/plugins/JensonSnapPourPoints
+    .java:297-313): move each outlet to the NEAREST stream cell
+    (streams value > 0) within a (2d+1)^2 window; squared cell distance,
+    strict ``<`` with an x-outer/y-inner scan so the FIRST minimum in
+    COLUMN-major order wins; no stream cell in the window leaves the
+    point at its own cell (minX/minY initialised to the outlet,
+    :298-299). Streams = flow accumulation >= threshold (the
+    ExtractStreams mask). Same tile-local window-search plan as
+    snap_pour_points (broadcast acc tiles, halo-band reads, no
+    shuffle); rows-only, literal-mirror tested."""
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    acc_frames = flow_accumulation_frames(spec)
+    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
+           for r in acc_frames.itertuples()}
+    acc_ref = ray.put(acc)
+    d = snap_dist
+
+    def solve(batch) -> pd.DataFrame:
+        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
+            else acc_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            h = acc_all[tid].shape[0]
+            pour = pour_point_mask(r0, r0 + h, cols)
+            if not pour.any():
+                continue
+            lo = max(r0 - d, 0)
+            hi = min(r0 + h + d, spec.rows)
+            band = np.concatenate(
+                [acc_all[t] for t in range(lo // spec.tile_rows,
+                                           (hi - 1) // spec.tile_rows + 1)])
+            band_r0 = (lo // spec.tile_rows) * spec.tile_rows
+            for pr, pc in zip(*np.nonzero(pour)):
+                gr = r0 + int(pr)
+                best = (99999999.0, gr, int(pc))
+                # literal x-outer / y-inner scan, strict <
+                for x in range(int(pc) - d, int(pc) + d + 1):
+                    if x < 0 or x >= cols:
+                        continue
+                    for yy in range(gr - d, gr + d + 1):
+                        if yy < 0 or yy >= spec.rows:
+                            continue
+                        if band[yy - band_r0, x] >= threshold:
+                            z = float((x - pc) * (x - pc)
+                                      + (yy - gr) * (yy - gr))
+                            if z < best[0]:
+                                best = (z, yy, x)
+                rows.append({"point_cell": gr * cols + int(pc),
+                             "snapped_cell": best[1] * cols + best[2],
+                             "snap_d2": best[0] if best[0] < 99999999.0
+                             else 0.0})
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"point_cell": [], "snapped_cell": [], "snap_d2": []})
+
+    out = (rd.range(spec.n_tiles)
+           .map_batches(solve, batch_format="numpy").to_pandas())
+    return out.sort_values("point_cell").reset_index(drop=True)
+
+
 def extract_streams(spec: RasterSpec | None = None,
                     threshold: float = 5.0) -> pd.DataFrame:
     """ExtractStreams (StreamNetworkAnalysisTools/src/plugins/

@@ -593,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_spurs": lambda sf: _thin_q(sf, "spurs"),
         "find_ridges": lambda sf: _ridges_q(sf),
         "stream_order": lambda sf: streams.stream_order(),
+        "stream_magnitude": lambda sf: streams.stream_magnitude(),
         "stream_link_id": lambda sf: streams.stream_link_id(),
         "stream_link_lengths": lambda sf: streams.stream_link_lengths(),
         "stream_link_slope": lambda sf: streams.stream_link_slope(),
@@ -749,6 +750,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "euclidean_allocation": lambda sf: distance.euclidean_allocation(),
         # --- cost distance (GISTools CostAccumulation/Allocation) ---
         "cost_accumulation": lambda sf: _cost_q(sf),
+        "cost_allocation": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.cost",
+            fromlist=["x"]).cost_allocation(raster.RasterSpec()),
+        "cost_pathway": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.cost",
+            fromlist=["x"]).cost_pathway(raster.RasterSpec()),
+        "find_parallel_flow": _checksum_q(
+            lambda ds, spec: hydro.find_parallel_flow(
+                terrain.flow_pointer_d8(ds, spec,
+                                        regen=raster.synth_value), spec)),
         # --- raster calculator (RasterCalculator expression compiler) ---
         "raster_calc": _raster_calc,
         # --- CRS transform (ConversionTools CoordinateSystemTransformation,
@@ -977,6 +988,9 @@ def oracle_sql() -> dict[str, str]:
         "filter_local_contrast": o.local_contrast_sql(),
         "flow_pointer_rho8": o.rho8_pointer_sql(),
         "inflow_count": o.inflow_count_sql(),
+        "find_parallel_flow": o.find_parallel_flow_sql(),
+        # cost_allocation / cost_pathway / stream_magnitude: fixed-point
+        # label machinery — rows-only, mirror + tiling-invariance tested.
         # flow_accumulation: iterative boundary-exchange fixed point —
         # rows-only, verified vs the single-process topological mirror.
         "vector_cleaning": _vclean_sql(),

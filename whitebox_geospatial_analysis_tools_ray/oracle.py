@@ -3706,3 +3706,42 @@ res AS (SELECT cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def find_parallel_flow_sql(rows: int = 256, cols: int = 256) -> str:
+    """FindParallelFlow.java:232-257 mirror — second neighbour pass over
+    the D8 pointer raster; flag when any non-receiver neighbour carries
+    the same code and is not inflowing."""
+    specs = [
+        (f"LAG(f, {cols - 1}) OVER w2", f"r > 0 AND c < {cols - 1}"),
+        ("LEAD(f, 1) OVER w2", f"c < {cols - 1}"),
+        (f"LEAD(f, {cols + 1}) OVER w2", f"r < {rows - 1} AND c < {cols - 1}"),
+        (f"LEAD(f, {cols}) OVER w2", f"r < {rows - 1}"),
+        (f"LEAD(f, {cols - 1}) OVER w2", f"r < {rows - 1} AND c > 0"),
+        ("LAG(f, 1) OVER w2", "c > 0"),
+        (f"LAG(f, {cols + 1}) OVER w2", "r > 0 AND c > 0"),
+        (f"LAG(f, {cols}) OVER w2", "r > 0"),
+    ]
+    nf = ",\n  ".join(
+        f"CASE WHEN {guard} THEN {expr} ELSE {_NOD} END AS nf{i}"
+        for i, (expr, guard) in enumerate(specs))
+    out_vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0]
+    in_vals = [16.0, 32.0, 64.0, 128.0, 1.0, 2.0, 4.0, 8.0]
+    par = " OR ".join(
+        f"(f <> {out_vals[i]!r} AND nf{i} = f AND f <> {in_vals[i]!r})"
+        for i in range(8))
+    return f"""
+WITH {_d8_pointer_ctes(rows, cols)},
+pg AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, f FROM res),
+pn AS (SELECT cell, r, c, f,
+  {nf}
+FROM pg WINDOW w2 AS (ORDER BY cell)),
+flagged AS (
+  SELECT cell, CASE WHEN f = {_NOD} THEN {_NOD}
+    WHEN {par} THEN 1.0 ELSE 0.0 END AS f2
+  FROM pn)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN f2 <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN f2 = {_NOD} THEN 0.0 ELSE f2 END), 6) AS row_sum
+FROM flagged GROUP BY cell // {cols}
+"""

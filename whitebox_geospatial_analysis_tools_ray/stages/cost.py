@@ -116,12 +116,9 @@ def _ghost_candidates(dist, src, cs, spec, tid, side):
     return out
 
 
-def cost_accumulation(spec: RasterSpec | None = None,
-                      max_rounds: int = 64,
-                      round_to: int = 4) -> pd.DataFrame:
-    """(row_id, n_reached, sum_cost, sum_src) per raster row —
-    accumulation + allocation checksums."""
-    spec = spec or RasterSpec()
+def cost_frames(spec: RasterSpec, max_rounds: int = 64) -> pd.DataFrame:
+    """Converged per-tile (dist, src) frames — the boundary-relaxation
+    fixed point shared by accumulation / allocation / pathway."""
     W = spec.cols
     n = spec.n_tiles
 
@@ -165,6 +162,17 @@ def cost_accumulation(spec: RasterSpec | None = None,
         last = res
     else:  # pragma: no cover
         raise RuntimeError("cost accumulation did not converge")
+    return last
+
+
+def cost_accumulation(spec: RasterSpec | None = None,
+                      max_rounds: int = 64,
+                      round_to: int = 4) -> pd.DataFrame:
+    """(row_id, n_reached, sum_cost, sum_src) per raster row —
+    accumulation + allocation checksums."""
+    spec = spec or RasterSpec()
+    W = spec.cols
+    last = cost_frames(spec, max_rounds)
 
     out = []
     for r in last.sort_values("tile_id").itertuples():
@@ -219,3 +227,120 @@ def cost_accumulation_naive(spec: RasterSpec,
         "n_reached": fin.sum(axis=1).astype(np.int64),
         "sum_cost": np.round(np.where(fin, dist, 0.0).sum(axis=1), round_to),
         "sum_src": np.where(fin, src, 0).sum(axis=1).astype(np.int64)})
+
+
+def cost_allocation(spec: RasterSpec | None = None,
+                    max_rounds: int = 64) -> pd.DataFrame:
+    """CostAllocation (GISTools/src/plugins/CostAllocation.java, 311
+    LoC): every reachable cell is assigned to its least-cost source —
+    exactly the ``src`` half of the lexicographic (dist, src) labels the
+    accumulation fixed point already carries (order/tiling-free ties).
+    The wide step is a Ray groupby over per-tile (src → count) partials
+    (the stream_link_lengths plan); output one summary row
+    (n_sources, total_alloc, max_zone, min_zone)."""
+    spec = spec or RasterSpec()
+    W = spec.cols
+    frames = cost_frames(spec, max_rounds)
+
+    def partial(batch) -> pd.DataFrame:
+        parts = []
+        for d_buf, s_buf, h in zip(batch["dist"], batch["src"],
+                                   batch["shape0"]):
+            dist = np.frombuffer(d_buf).reshape(int(h), W)
+            src = np.frombuffer(s_buf, dtype=np.int64).reshape(int(h), W)
+            fin = np.isfinite(dist)
+            labs, counts = np.unique(src[fin], return_counts=True)
+            parts.append(pd.DataFrame({"src": labs, "n": counts}))
+        return pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"src": [], "n": []})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby("src", sort=True)["n"].sum()
+        return pd.DataFrame({
+            "n_sources": [len(n)],
+            "total_alloc": [int(n.sum())],
+            "max_zone": [int(n.max()) if len(n) else 0],
+            "min_zone": [int(n.min()) if len(n) else 0]})
+
+    from .util import combine_bounded
+    return combine_bounded(
+        rd.from_pandas(frames[["dist", "src", "shape0"]])
+        .map_batches(partial, batch_format="pandas"), combine).to_pandas()
+
+
+def cost_pathway(spec: RasterSpec | None = None,
+                 max_rounds: int = 64,
+                 round_to: int = 4) -> pd.DataFrame:
+    """CostPathway (GISTools/src/plugins/CostPathway.java:228-247):
+    from each destination cell, walk the least-cost path back to its
+    source. The reference follows the backLink raster CostAccumulation
+    stored; our converged labels reconstruct the identical path: the
+    predecessor of v is the neighbour minimizing
+    (dist[p] + (cs(p)+cs(v))/2·step, direction-index) — at the fixed
+    point the minimum equals dist[v] exactly (dist[v] was assigned
+    from that very float expression). Destinations = the deterministic
+    pour mask. One task walks each destination against the broadcast
+    converged tiles (the snap_pour_points band-read plan); rows-only,
+    Dijkstra-mirror tested."""
+    from .hydro import pour_point_mask
+
+    spec = spec or RasterSpec()
+    W = spec.cols
+    frames = cost_frames(spec, max_rounds)
+    tiles = {int(r.tile_id):
+             (np.frombuffer(r.dist).reshape(int(r.shape0), W),
+              np.frombuffer(r.src, dtype=np.int64).reshape(int(r.shape0), W))
+             for r in frames.itertuples()}
+    ref = ray.put(tiles)
+
+    def dval(tl, gr, gc):
+        if not (0 <= gr < spec.rows and 0 <= gc < W):
+            return np.inf
+        return float(tl[gr // spec.tile_rows][0][gr % spec.tile_rows, gc])
+
+    def solve(batch) -> pd.DataFrame:
+        tl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        cell = np.arange(spec.rows * W, dtype=np.int64)
+        cs = cost_surface(cell, spec.nodata).reshape(spec.rows, W)
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            h = tl[tid][0].shape[0]
+            pour = pour_point_mask(r0, r0 + h, W)
+            for pr, pc in zip(*np.nonzero(pour)):
+                gr, gc = r0 + int(pr), int(pc)
+                d0 = dval(tl, gr, gc)
+                if not np.isfinite(d0):
+                    continue
+                steps = 0
+                while tl[gr // spec.tile_rows][0][gr % spec.tile_rows,
+                                                  gc] > 0.0:
+                    best = (np.inf, -1)
+                    for i in range(8):
+                        r2, c2 = gr + _DY[i], gc + _DX[i]
+                        dp = dval(tl, r2, c2)
+                        if not np.isfinite(dp):
+                            continue
+                        cand = dp + (cs[r2, c2] + cs[gr, gc]) / 2.0 \
+                            * _DIST[i]
+                        if cand < best[0]:
+                            best = (cand, i)
+                    if best[1] < 0:  # pragma: no cover - disconnected
+                        break
+                    gr += _DY[best[1]]
+                    gc += _DX[best[1]]
+                    steps += 1
+                    if steps > spec.rows * W:  # pragma: no cover
+                        raise RuntimeError("pathway did not terminate")
+                rows.append({"dest_cell": (r0 + int(pr)) * W + int(pc),
+                             "src_cell": gr * W + gc,
+                             "path_len": steps,
+                             "path_cost": round(d0, round_to)})
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"dest_cell": [], "src_cell": [], "path_len": [],
+             "path_cost": []})
+
+    out = (rd.range(spec.n_tiles)
+           .map_batches(solve, batch_format="numpy").to_pandas())
+    return out.sort_values("dest_cell").reset_index(drop=True)

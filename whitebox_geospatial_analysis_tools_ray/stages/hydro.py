@@ -2307,3 +2307,34 @@ def downslope_index_naive(spec: RasterSpec, d: float = 30.0,
         "n_valid": valid.sum(axis=1).astype(np.int64),
         "index_sum": np.round(np.where(valid, plane, 0.0).sum(axis=1),
                               round_to)})
+
+
+def find_parallel_flow(ds, spec: RasterSpec, regen=None):
+    """FindParallelFlow (HydroTools/src/plugins/FindParallelFlow.java:
+    232-257, no-streams mode): a cell is flagged 1 when ANY neighbour i
+    that is not its own receiver (``myPointer != outflowingVals[i]``)
+    carries the SAME pointer code and is not flowing into it
+    (``!= inflowingVals[i]``). Pure 3×3 stencil over the D8 pointer
+    raster — 8 shifted-plane compares (the vectorized-stencil rule);
+    off-grid reads are NoData and never match. Note the literal
+    behaviour on pointer 0 (flat) cells: two adjacent flat cells flag
+    each other. Exact SQL oracle."""
+    from .raster import stencil_apply
+
+    out_vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0]
+    in_vals = [16.0, 32.0, 64.0, 128.0, 1.0, 2.0, 4.0, 8.0]
+
+    def kernel(p: np.ndarray) -> np.ndarray:
+        f = p[1:-1, 1:-1]
+        H, W = f.shape
+        par = np.zeros(f.shape, dtype=bool)
+        for i in range(8):
+            nb = p[1 + _DY[i]:1 + _DY[i] + H, 1 + _DX[i]:1 + _DX[i] + W]
+            par |= (f != out_vals[i]) & (nb == f) & (f != in_vals[i])
+        res = np.where(f != spec.nodata, par.astype(np.float64),
+                       spec.nodata)
+        full = np.full_like(p, spec.nodata)
+        full[1:-1, 1:-1] = res
+        return full
+
+    return stencil_apply(ds, spec, kernel, halo=1, regen=regen)

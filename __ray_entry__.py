@@ -357,6 +357,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "whitebox_geospatial_analysis_tools_ray.sources.jpeg",
             fromlist=["x"]).jpeg_roundtrip_query(),
         "raster_mosaic": lambda sf: raster_stats.mosaic(raster.RasterSpec()),
+        "mosaic_feathering": lambda sf: raster_stats.mosaic_feathering(
+            raster.RasterSpec()),
+        "change_data_type": _checksum_q(raster_stats.change_data_type_integer),
+        "random_sample": lambda sf: raster_stats.random_sample(
+            raster.RasterSpec()),
         "raster_resample": lambda sf: raster_stats.resample_nn(
             raster.RasterSpec(), out_rows=100, out_cols=160),
         # --- terrain derivatives + hydrology (TerrainAnalysisTools, HydroTools) ---
@@ -912,6 +917,9 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).arc_flt_roundtrip_sql(),
         "raster_resample": o.resample_nn_sql(),
         "raster_mosaic": o.mosaic_sql(),
+        "mosaic_feathering": o.mosaic_feathering_sql(),
+        "change_data_type": o.change_data_type_sql(),
+        "random_sample": o.random_sample_sql(),
         "terrain_slope": o.slope_sql(),
         "terrain_tri": o.tri_sql(),
         "weighted_sum": o.weighted_sum_sql(),

@@ -3745,3 +3745,71 @@ SELECT cell // {cols} AS row_id,
        round(SUM(CASE WHEN f2 = {_NOD} THEN 0.0 ELSE f2 END), 6) AS row_sum
 FROM flagged GROUP BY cell // {cols}
 """
+
+
+def change_data_type_sql(rows: int = 256, cols: int = 256) -> str:
+    """ChangeDataType.java:237-247 INTEGER branch mirror."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+mapped AS (
+  SELECT cell, CASE WHEN v = {_NOD} THEN v
+                    ELSE floor(v + 0.5) END AS v2
+  FROM vals)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v2 <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN v2 = {_NOD} THEN 0.0 ELSE v2 END), 6) AS row_sum
+FROM mapped GROUP BY cell // {cols}
+"""
+
+
+def random_sample_sql(rows: int = 256, cols: int = 256,
+                      k: int = 293) -> str:
+    """RandomSample.java with the documented deterministic hash
+    substitution; samples numbered 1..n in row-major cell order."""
+    return f"""
+WITH cells AS (SELECT i AS cell FROM range(0, {rows * cols}) t(i)),
+samp AS (SELECT cell,
+    row_number() OVER (ORDER BY cell) AS sid
+  FROM cells WHERE ((cell * 2654435761 + 999331) % 4294967296) % {k} = 0)
+SELECT c.cell // {cols} AS row_id,
+       CAST(COUNT(s.cell) AS BIGINT) AS n_samples,
+       COALESCE(SUM(s.sid), 0) AS sum_sample_id
+FROM cells c LEFT JOIN samp s ON s.cell = c.cell
+GROUP BY c.cell // {cols}
+"""
+
+
+def mosaic_feathering_sql(rows: int = 256, cols: int = 256,
+                          power: float = 2.0) -> str:
+    """MosaicWithFeathering.java:420-440 mirror over the hole-free
+    base + interior-append layout (closed-form edge distances)."""
+    b_r0, b_c0 = 40, 24
+    b_r1, b_c1 = rows - 40, cols - 24
+    bw = b_c1 - b_c0
+    return f"""
+WITH cells AS (SELECT i AS cell, i // {cols} AS r, i % {cols} AS c
+               FROM range(0, {rows * cols}) t(i)),
+v AS (SELECT cell, r, c,
+    ((cell * 2654435761) % 4294967296) / 4294967296.0 * 1000.0 AS a,
+    (r >= {b_r0} AND r < {b_r1} AND c >= {b_c0} AND c < {b_c1}) AS inb
+  FROM cells),
+w AS (SELECT r, a, inb,
+    CASE WHEN inb THEN
+      (((((r - {b_r0}) * {bw} + (c - {b_c0})) * 2246822519 + 12345)
+        % 4294967296) / 4294967296.0 * 1000.0) END AS b,
+    pow(CAST(LEAST(r, {rows - 1} - r, c, {cols - 1} - c) AS DOUBLE),
+        {power!r}) AS w1n,
+    CASE WHEN inb THEN
+      pow(CAST(LEAST(r - {b_r0}, {b_r1 - 1} - r,
+                     c - {b_c0}, {b_c1 - 1} - c) AS DOUBLE), {power!r})
+    END AS w2n
+  FROM v),
+res AS (SELECT r,
+    CASE WHEN inb THEN (w1n / (w1n + w2n)) * a + (w2n / (w1n + w2n)) * b
+         ELSE a END AS f
+  FROM w)
+SELECT r AS row_id,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       round(SUM(f), 6) AS row_sum
+FROM res GROUP BY r
+"""

@@ -2878,3 +2878,135 @@ def filter_user_defined_weights(ds, spec: RasterSpec, regen=None,
         lambda p: user_defined_weights_kernel(p, spec.nodata, taps, halo,
                                               normalize),
         halo=halo, regen=regen)
+
+
+# ---------------------------------------------------------------------------
+# MosaicWithFeathering (ImageProcessingTools/src/plugins/
+# MosaicWithFeathering.java:420-440): where both images are valid,
+# z = w1·z1 + w2·z2 with w_i = dist_i^p / (dist1^p + dist2^p), dist_i =
+# euclidean distance to image i's nearest EDGE cell (its boundary ring
+# and nodata-adjacent cells are EDT seeds, :344-402); one-valid → that
+# value. Synthetic layout: base A = the full grid, append B = a strict
+# INTERIOR rectangle of A — for hole-free rectangular sources the EDT
+# reduces EXACTLY to the perpendicular boundary gap (min of the four
+# 1-D gaps; the nearest seed is the straight-line projection onto the
+# boundary ring), and B interior ⊂ A interior means dist1 > 0
+# everywhere in the overlap, so the reference's 0/0-NaN corner case
+# cannot arise. The general seeded EDT is `distance.euclidean_distance`.
+# Per-output-tile gather, no shuffle; exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def _feather_value(cell: np.ndarray) -> np.ndarray:
+    """Hole-free base values (synth_value without the NoData branch)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    return ((cell * 2654435761) % _M).astype(np.float64) / float(_M) * 1000.0
+
+
+def _feather_value_b(cell: np.ndarray) -> np.ndarray:
+    cell = np.asarray(cell, dtype=np.int64)
+    return ((cell * _A2 + _C2) % _M).astype(np.float64) / float(_M) * 1000.0
+
+
+def mosaic_feathering(spec: RasterSpec, power: float = 2.0,
+                      round_to: int = 6) -> "rd.Dataset":
+    b_r0, b_c0 = 40, 24
+    b_r1, b_c1 = spec.rows - 40, spec.cols - 24
+
+    def per_tile(batch) -> pd.DataFrame:
+        frames = []
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            rows = np.arange(r0, r1)
+            c = np.arange(spec.cols)[None, :]
+            r = rows[:, None]
+            cell = r * spec.cols + c
+            a = _feather_value(cell.ravel()).reshape(len(rows), spec.cols)
+            d1 = np.minimum(np.minimum(r, spec.rows - 1 - r),
+                            np.minimum(c, spec.cols - 1 - c)
+                            ).astype(np.float64)
+            in_b = (r >= b_r0) & (r < b_r1) & (c >= b_c0) & (c < b_c1)
+            bcell = (r - b_r0) * (b_c1 - b_c0) + (c - b_c0)
+            b = _feather_value_b(bcell.ravel()).reshape(in_b.shape)
+            d2 = np.minimum(np.minimum(r - b_r0, b_r1 - 1 - r),
+                            np.minimum(c - b_c0, b_c1 - 1 - c)
+                            ).astype(np.float64)
+            w1n = np.power(d1, power)
+            w2n = np.power(d2, power)
+            s = w1n + w2n
+            with np.errstate(invalid="ignore", divide="ignore"):
+                blend = (w1n / s) * a + (w2n / s) * b
+            out = np.where(in_b, blend, a)
+            frames.append(pd.DataFrame({
+                "row_id": rows,
+                "n_valid": np.full(len(rows), spec.cols, dtype=np.int64),
+                "row_sum": np.round(out.sum(axis=1), round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile,
+                                              batch_format="numpy")
+
+
+def change_data_type_integer(ds, spec: RasterSpec) -> "rd.Dataset":
+    """ChangeDataType (ConversionTools/src/plugins/ChangeDataType.java:
+    237-247, INTEGER branch — the only branch that alters values):
+    z = Math.round(v), i.e. floor(v + 0.5) (Java half-up), NoData
+    rewritten to the output sentinel −32768. One stateless per-cell
+    map; DOUBLE/FLOAT branches are identity copies. Exact SQL oracle."""
+    return raster_map(
+        ds, lambda a: np.where(a == NODATA, NODATA, np.floor(a + 0.5)))
+
+
+# ---------------------------------------------------------------------------
+# RandomSample (StatsTools/src/plugins/RandomSample.java:242-265): n
+# unique random cells written 1..n. The reference draws from an
+# UNSEEDED java.util.Random — replaced by the repo's documented
+# deterministic substitution (the TurningBands / Rho8 rule): a cell is
+# sampled when ((cell·A3+C3) mod M) mod k == 0, and samples are
+# numbered 1..n in row-major cell order (the reference numbers in its
+# priority-queue poll order, likewise a fixed spatial order).
+# Distributed numbering = per-tile counts → driver prefix offsets →
+# per-tile label pass (the integral-image offset-chain pattern).
+# Exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def random_sample(spec: RasterSpec, k: int = 293,
+                  round_to: int = 6) -> pd.DataFrame:
+    def tile_counts(batch) -> pd.DataFrame:
+        rows = []
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * spec.cols, r1 * spec.cols,
+                             dtype=np.int64)
+            m = ((cell * _A3 + _C3) % _M) % k == 0
+            rows.append({"tile_id": int(tid), "count": int(m.sum())})
+        return pd.DataFrame(rows)
+
+    counts = (rd.range(spec.n_tiles)
+              .map_batches(tile_counts, batch_format="numpy").to_pandas()
+              .sort_values("tile_id"))
+    offsets = np.concatenate([[0], counts["count"].cumsum().to_numpy()[:-1]])
+    off = {int(t): int(o) for t, o in zip(counts["tile_id"], offsets)}
+
+    def label(batch) -> pd.DataFrame:
+        frames = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * spec.cols, r1 * spec.cols,
+                             dtype=np.int64).reshape(-1, spec.cols)
+            m = ((cell * _A3 + _C3) % _M) % k == 0
+            sid = np.zeros(cell.shape, dtype=np.int64)
+            sid[m] = off[tid] + 1 + np.arange(int(m.sum()))
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r1),
+                "n_samples": m.sum(axis=1).astype(np.int64),
+                "sum_sample_id": sid.sum(axis=1)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return (rd.range(spec.n_tiles).map_batches(label, batch_format="numpy")
+            .to_pandas().sort_values("row_id").reset_index(drop=True))

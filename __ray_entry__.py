@@ -606,6 +606,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streams_to_vector": lambda sf: streams.streams_to_vector(),
         "subbasins": lambda sf: streams.subbasins(),
         "strahler_order_basins": lambda sf: streams.strahler_order_basins(),
+        "isobasin": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.isobasin",
+            fromlist=["x"]).isobasin(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
         "hillslopes": lambda sf: streams.hillslopes(),
         "hack_order": lambda sf: streams.hack_order(),
         "find_saddle_points": lambda sf: streams.find_saddle_points(
@@ -753,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_buffer": lambda sf: distance.euclidean_distance(
             buffer_d=10.0),
         "euclidean_allocation": lambda sf: distance.euclidean_allocation(),
+        "burn_streams": lambda sf: distance.burn_streams(),
         # --- cost distance (GISTools CostAccumulation/Allocation) ---
         "cost_accumulation": lambda sf: _cost_q(sf),
         "cost_allocation": lambda sf: __import__(
@@ -1040,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "euclidean_distance": o.euclidean_distance_sql(),
         "raster_buffer": o.raster_buffer_sql(),
         "euclidean_allocation": o.euclidean_allocation_sql(),
+        "burn_streams": o.burn_streams_sql(),
         "raster_calc": o.raster_calc_sql(),
         "utm_project": _crs_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),

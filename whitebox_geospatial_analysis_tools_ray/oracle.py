@@ -3813,3 +3813,31 @@ SELECT r AS row_id,
        round(SUM(f), 6) AS row_sum
 FROM res GROUP BY r
 """
+
+
+def burn_streams_sql(rows: int = 256, cols: int = 256,
+                     decrement: float = 10.0, decay: float = 2.0) -> str:
+    """BurnStreams.java:447-465 decay-mode mirror (gridRes = 1)."""
+    n = rows * cols
+    return f"""
+WITH tgt AS (
+  SELECT cell // {cols} AS tr, cell % {cols} AS tc
+  FROM range(0, {n}) t(cell)
+  WHERE ((cell * 2654435761 + 77) % 4294967296) % 251 = 0),
+g AS (SELECT i AS cell, i // {cols} AS r, i % {cols} AS c
+      FROM range(0, {n}) q(i)),
+d AS (SELECT g.cell,
+             MIN((g.r - tgt.tr) * (g.r - tgt.tr)
+                 + (g.c - tgt.tc) * (g.c - tgt.tc)) AS d2
+      FROM g CROSS JOIN tgt GROUP BY g.cell),
+{_raster_vals_cte(rows, cols)},
+res AS (
+  SELECT d.cell,
+         CASE WHEN v.v = {_NOD} THEN {_NOD}
+              ELSE v.v - pow(1.0 / (1.0 + sqrt(CAST(d.d2 AS DOUBLE))),
+                             {decay!r}) * {decrement!r}
+         END AS f
+  FROM d JOIN vals v ON v.cell = d.cell)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -250,3 +250,82 @@ def euclidean_allocation(spec: RasterSpec | None = None,
         return pd.concat(frames, ignore_index=True)
 
     return rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+
+
+def burn_streams(spec: RasterSpec | None = None,
+                 decrement: float = 10.0, decay: float = 2.0,
+                 round_to: int = 6) -> "rd.Dataset":
+    """BurnStreams (HydroTools/src/plugins/BurnStreams.java:447-465,
+    decay mode): every valid DEM cell is lowered by
+    ``(gridRes/(gridRes+dist))^decay · decrement`` where ``dist`` is
+    the euclidean distance to the nearest stream cell (the tool's
+    CalculateDistance pass) — stream cells themselves (dist 0) take the
+    full decrement. gridRes = 1 here; "streams" are the deterministic
+    EDT target mask (the rasterize-lines output at scale). Same
+    two-phase distributed EDT as ``euclidean_distance`` (per-column
+    extreme summaries → broadcast → tile-local row pass) followed by a
+    stateless burn map. Exact SQL oracle (brute-force min-over-targets
+    d², identical pow/sqrt)."""
+    from .raster import synth_value
+
+    spec = spec or RasterSpec()
+    tile_rows, cols = spec.tile_rows, spec.cols
+
+    def extremes(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "mn": [], "mx": []}
+        for tid in batch["id"]:
+            r0 = int(tid) * tile_rows
+            r1 = min(r0 + tile_rows, spec.rows)
+            mn, mx = _col_extremes(target_mask_for_rows(r0, r1, cols), r0)
+            out["tile_id"].append(int(tid))
+            out["mn"].append(mn)
+            out["mx"].append(mx)
+        return pd.DataFrame(out)
+
+    ext = (rd.range(spec.n_tiles)
+           .map_batches(extremes, batch_format="numpy").to_pandas()
+           .sort_values("tile_id"))
+    mins = np.stack([np.asarray(v, dtype=np.int64) for v in ext["mn"]])
+    maxs = np.stack([np.asarray(v, dtype=np.int64) for v in ext["mx"]])
+    summary_ref = ray.put((mins, maxs))
+    n_tiles = spec.n_tiles
+
+    def per_tile(batch) -> pd.DataFrame:
+        mins_, maxs_ = (ray.get(summary_ref)
+                        if isinstance(summary_ref, ray.ObjectRef)
+                        else summary_ref)
+        frames = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            r0 = tid * tile_rows
+            r1 = min(r0 + tile_rows, spec.rows)
+            H = r1 - r0
+            mask = target_mask_for_rows(r0, r1, cols)
+            g = _local_col_dist(mask)
+            rows = np.arange(r0, r1, dtype=np.int64)[:, None]
+            for t2 in range(n_tiles):
+                if t2 == tid:
+                    continue
+                cand = maxs_[t2] if t2 < tid else mins_[t2]
+                dist = np.abs(rows - cand)
+                dist = np.where(cand[None, :] >= 0, dist, BIG)
+                g = np.minimum(g, dist)
+            xs = np.arange(cols, dtype=np.int64)
+            dx2 = (xs[:, None] - xs[None, :]) ** 2
+            g2 = np.minimum(g, 1_000_000).astype(np.int64) ** 2
+            d2 = (g2[:, None, :] + dx2[None, :, :]).min(axis=2)
+            dist = np.sqrt(d2.astype(np.float64))
+            cell = (rows * cols + xs[None, :])
+            v = synth_value(cell.ravel()).reshape(H, cols)
+            burn = np.power(1.0 / (1.0 + dist), decay) * decrement
+            out = np.where(v == spec.nodata, spec.nodata, v - burn)
+            valid = out != spec.nodata
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r1),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(np.where(valid, out, 0.0).sum(axis=1),
+                                    round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return rd.range(spec.n_tiles).map_batches(per_tile,
+                                              batch_format="numpy")

@@ -1,0 +1,420 @@
+"""Isobasin (HydroTools/src/plugins/Isobasin.java, 434 LoC) —
+target-size basin delineation.
+
+Reference behaviour (studied for semantics only):
+
+- Phase 1 (:245-327): for every cell in ROW-MAJOR order, a head test —
+  with the literal TRANSPOSED read quirk at :253
+  (``pointer.getValue(col + dX[i], row + dY[i])``, row/col arguments
+  swapped, i.e. a 3×3 stencil on the TRANSPOSED pointer grid) — then a
+  downslope walk from each head over a MUTABLE copy of the
+  contributing-area raster. After every move (and once more on the
+  terminal cell, whose check therefore runs twice) the current cell is
+  tested: when its current CA ≥ threshold, the max-CA inflowing
+  neighbour is found (strict >, first-wins in direction order); if that
+  neighbour's CA > threshold the walk STOPS (flag, :294-296), else an
+  outlet with the next sequential id is dropped at whichever of the two
+  cells is closer to the threshold (:299-309) and ``decrementFlowpath``
+  subtracts that cell's CA from every cell downstream (:411-434).
+- Phase 2 (:329-377): every unlabelled valid cell takes the id of the
+  FIRST outlet strictly downstream on its flowpath; basins draining
+  off-map without an outlet get NoData.
+
+Distributed decomposition (scale shapes only — no stage materializes
+the grid):
+
+1. head mask = 3×3 stencil on the transposed pointer grid (one
+   transpose exchange of the pointer plane; synth-backed tiles read the
+   needed strips directly — the overlap-read rule);
+2. ``first original-trunk cell downstream`` = the subbasins band fixed
+   point with cell-id seeds (checks can only ever fire on cells whose
+   ORIGINAL CA ≥ threshold, because decrements only subtract — so the
+   walk's below-threshold prefix never interacts with the mutable
+   state);
+3. phase-1 replay runs on the DRIVER over a COMPACT table — trunk
+   cells ∪ their 8-neighbourhoods, O(trunk) ≪ O(cells) — in literal
+   row-major head order (the same compact-replay pattern as
+   RemoveOffTerrainObjects' order-dependent counters);
+4. phase 2 = the downslope first-label fill with the outlet seeds.
+
+Literal-mirror + tiling-invariance tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from .hydro import _tile_pointers, flow_accumulation_frames
+from .raster import RasterSpec
+from .terrain import _DX, _DY
+
+_INFLOW = (16.0, 32.0, 64.0, 128.0, 1.0, 2.0, 4.0, 8.0)
+
+
+def _pointer_grid(spec: RasterSpec) -> np.ndarray:
+    return np.concatenate([_tile_pointers(spec, t)[1]
+                           for t in range(spec.n_tiles)])
+
+
+def _head_mask_tile(spec: RasterSpec, tid: int,
+                    ptr_all: np.ndarray) -> np.ndarray:
+    """Heads for one row band — the literal transposed read:
+    a cell (r, c) is NOT a head when any
+    ptr[c + dX[i], r + dY[i]] == inflowingVals[i]."""
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    rows = np.arange(r0, r1)[:, None]
+    cs = np.arange(spec.cols)[None, :]
+    valid = _tile_pointers(spec, tid)[1] != spec.nodata
+    flag = np.zeros((r1 - r0, spec.cols), dtype=bool)
+    for i in range(8):
+        rr = cs + _DX[i]          # transposed: row index from the COLUMN
+        cc = rows + _DY[i]        # transposed: col index from the ROW
+        rr_b = np.broadcast_to(rr, flag.shape)
+        cc_b = np.broadcast_to(cc, flag.shape)
+        ok = (rr_b >= 0) & (rr_b < spec.rows) \
+            & (cc_b >= 0) & (cc_b < spec.cols)
+        val = np.full(flag.shape, spec.nodata)
+        val[ok] = ptr_all[rr_b[ok], cc_b[ok]]
+        flag |= val == _INFLOW[i]
+    return valid & ~flag
+
+
+def _first_trunk_fill(spec: RasterSpec, acc: dict, threshold: float,
+                      max_rounds: int = 64) -> dict:
+    """lab[cell] = global cell id of the first ORIGINAL-trunk cell at or
+    below it on the flowpath (trunk cells map to themselves), -1 when
+    the path terminates without one. Band fixed point (subbasins
+    machinery with cell-id seeds). Returns {tile_id: lab array}."""
+    cols = spec.cols
+    n = spec.n_tiles
+    acc_ref = ray.put(acc)
+
+    def solve(batch, ext_ref, acc_ref=acc_ref) -> pd.DataFrame:
+        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
+            else ext_ref
+        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
+            else acc_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            H = z.shape[0]
+            r0 = tid * spec.tile_rows
+            trunk = (z != spec.nodata) & (acc_all[tid] >= threshold)
+            ext = ext_all[tid]
+            lab = np.full((H, cols), -1, dtype=np.int64)
+            order = np.argsort(z, axis=None, kind="stable")
+            for lin in order:
+                r, c = divmod(int(lin), cols)
+                if z[r, c] == spec.nodata:
+                    continue
+                if trunk[r, c]:
+                    lab[r, c] = (r0 + r) * cols + c
+                    continue
+                code = ptr[r, c]
+                if code <= 0:
+                    continue
+                i = int(code).bit_length() - 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= r2 < H and 0 <= c2 < cols:
+                    lab[r, c] = lab[r2, c2]
+                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                    lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
+            rows.append({"tile_id": tid, "shape0": H, "lab": lab.tobytes(),
+                         "top": lab[0].tobytes(), "bot": lab[-1].tobytes()})
+        return pd.DataFrame(rows)
+
+    ext = {t: {} for t in range(n)}
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(ext)
+        res = (rd.range(n).map_batches(lambda b, _r=ref: solve(b, _r),
+                                       batch_format="numpy").to_pandas())
+        new_ext = {t: {} for t in range(n)}
+        for r in res.itertuples():
+            tid = int(r.tile_id)
+            h = int(r.shape0)
+            r0 = tid * spec.tile_rows
+            top = np.frombuffer(r.top, dtype=np.int64)
+            bot = np.frombuffer(r.bot, dtype=np.int64)
+            if tid > 0:
+                for c in np.flatnonzero(top >= 0):
+                    new_ext[tid - 1][r0 * cols + int(c)] = int(top[c])
+            if tid + 1 < n:
+                g0 = (r0 + h - 1) * cols
+                for c in np.flatnonzero(bot >= 0):
+                    new_ext[tid + 1][g0 + int(c)] = int(bot[c])
+        if new_ext == ext:
+            last = res
+            break
+        ext = new_ext
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("isobasin trunk fill did not converge")
+    return {int(r.tile_id):
+            np.frombuffer(r.lab, dtype=np.int64).reshape(int(r.shape0), cols)
+            for r in last.itertuples()}
+
+
+def _replay_phase1(spec: RasterSpec, heads: np.ndarray, entry: dict,
+                   terminal_heads: set, ptr_c: dict, ca: dict,
+                   threshold: float) -> dict:
+    """Literal phase-1 replay over the compact trunk∪neighbours table.
+    Returns {outlet_cell: outlet_id} (ids start at 1, head row-major
+    order). The walk's below-threshold prefix is skipped via the
+    precomputed trunk entry (it provably cannot fire checks); from the
+    entry on, every cell is ORIGINAL trunk, whose successors stay trunk
+    (CA is non-decreasing downstream), so the compact table is closed
+    under the walk."""
+    cols = spec.cols
+    outlets = {}
+    next_id = 1
+
+    def check(pos) -> bool:
+        nonlocal next_id
+        if ca.get(pos, -np.inf) >= threshold:
+            r, c = divmod(pos, cols)
+            max_sca = -99999.0
+            icl = None
+            for i in range(8):
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if not (0 <= r2 < spec.rows and 0 <= c2 < cols):
+                    continue
+                nb = r2 * cols + c2
+                if ptr_c.get(nb) == _INFLOW[i]:
+                    zv = ca[nb]
+                    if zv > max_sca:
+                        max_sca = zv
+                        icl = i
+            assert icl is not None, \
+                "no inflowing neighbour at a threshold cell (the " \
+                "reference would throw AIOOBE here)"
+            nb = (r + _DY[icl]) * cols + (c + _DX[icl])
+            if ca[nb] > threshold:
+                return True                     # :294-296 — stop the walk
+            d1 = abs(ca[nb] - threshold)
+            d2 = abs(ca[pos] - threshold)
+            tgt = nb if d1 < d2 else pos
+            outlets[tgt] = next_id
+            next_id += 1
+            dec = ca[tgt]
+            cur = tgt                            # decrementFlowpath
+            while True:
+                ca[cur] = ca[cur] - dec
+                code = ptr_c.get(cur, 0.0)
+                if code > 0:
+                    i = int(code).bit_length() - 1
+                    r3, c3 = divmod(cur, cols)
+                    cur = (r3 + _DY[i]) * cols + (c3 + _DX[i])
+                else:
+                    break
+        return False
+
+    for h in heads:
+        h = int(h)
+        if h in terminal_heads:
+            # literal: flowDir ≤ 0 on the first iteration sets flag,
+            # then ONE check runs at the head itself
+            check(h)
+            continue
+        pos = entry.get(h, -1)
+        if pos < 0:
+            continue                 # no trunk downstream: no check fires
+        # arrived at the entry "by a move" → check, then continue
+        flag = check(pos)
+        while not flag:
+            code = ptr_c[pos]
+            if code > 0:
+                i = int(code).bit_length() - 1
+                r3, c3 = divmod(pos, cols)
+                nxt = (r3 + _DY[i]) * cols + (c3 + _DX[i])
+                assert nxt in ptr_c, "trunk successor left the compact set"
+                pos = nxt
+            else:
+                flag = True
+            if check(pos):
+                flag = True
+    return outlets
+
+
+def _outlet_fill(spec: RasterSpec, outlets: dict,
+                 max_rounds: int = 64) -> dict:
+    """Phase 2: lab[cell] = id of the first outlet strictly downstream
+    (outlet cells keep their own id); -1 marks the NoData basins."""
+    cols = spec.cols
+    n = spec.n_tiles
+    out_ref = ray.put(outlets)
+
+    def solve(batch, ext_ref, out_ref=out_ref) -> pd.DataFrame:
+        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
+            else ext_ref
+        out_all = ray.get(out_ref) if isinstance(out_ref, ray.ObjectRef) \
+            else out_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            H = z.shape[0]
+            r0 = tid * spec.tile_rows
+            ext = ext_all[tid]
+            lab = np.full((H, cols), -1, dtype=np.int64)
+            order = np.argsort(z, axis=None, kind="stable")
+            for lin in order:
+                r, c = divmod(int(lin), cols)
+                if z[r, c] == spec.nodata:
+                    continue
+                g = (r0 + r) * cols + c
+                if g in out_all:
+                    lab[r, c] = out_all[g]
+                    continue
+                code = ptr[r, c]
+                if code <= 0:
+                    continue
+                i = int(code).bit_length() - 1
+                r2, c2 = r + _DY[i], c + _DX[i]
+                if 0 <= r2 < H and 0 <= c2 < cols:
+                    lab[r, c] = lab[r2, c2]
+                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                    lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
+            rows.append({"tile_id": tid, "shape0": H, "lab": lab.tobytes(),
+                         "top": lab[0].tobytes(), "bot": lab[-1].tobytes()})
+        return pd.DataFrame(rows)
+
+    ext = {t: {} for t in range(n)}
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(ext)
+        res = (rd.range(n).map_batches(lambda b, _r=ref: solve(b, _r),
+                                       batch_format="numpy").to_pandas())
+        new_ext = {t: {} for t in range(n)}
+        for r in res.itertuples():
+            tid = int(r.tile_id)
+            h = int(r.shape0)
+            r0 = tid * spec.tile_rows
+            top = np.frombuffer(r.top, dtype=np.int64)
+            bot = np.frombuffer(r.bot, dtype=np.int64)
+            if tid > 0:
+                for c in np.flatnonzero(top >= 0):
+                    new_ext[tid - 1][r0 * cols + int(c)] = int(top[c])
+            if tid + 1 < n:
+                g0 = (r0 + h - 1) * cols
+                for c in np.flatnonzero(bot >= 0):
+                    new_ext[tid + 1][g0 + int(c)] = int(bot[c])
+        if new_ext == ext:
+            last = res
+            break
+        ext = new_ext
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("isobasin outlet fill did not converge")
+    return {int(r.tile_id):
+            np.frombuffer(r.lab, dtype=np.int64).reshape(int(r.shape0), cols)
+            for r in last.itertuples()}
+
+
+def isobasin(spec: RasterSpec | None = None,
+             threshold: float = 30.0) -> pd.DataFrame:
+    spec = spec or RasterSpec(rows=96, cols=96, tile_rows=32)
+    cols = spec.cols
+    acc_frames = flow_accumulation_frames(spec)
+    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
+           for r in acc_frames.itertuples()}
+
+    # head mask — transposed stencil per band (pointer strips are
+    # synth-regenerable; at scale this is one transpose exchange)
+    ptr_all = _pointer_grid(spec)
+    ptr_ref = ray.put(ptr_all)
+
+    def head_tiles(batch) -> pd.DataFrame:
+        p = ray.get(ptr_ref) if isinstance(ptr_ref, ray.ObjectRef) \
+            else ptr_ref
+        rows = []
+        for tid in batch["id"]:
+            hm = _head_mask_tile(spec, int(tid), p)
+            r0 = int(tid) * spec.tile_rows
+            cells = (np.flatnonzero(hm.ravel()) + r0 * cols)
+            rows.append({"tile_id": int(tid),
+                         "heads": cells.astype(np.int64).tobytes()})
+        return pd.DataFrame(rows)
+
+    hf = (rd.range(spec.n_tiles)
+          .map_batches(head_tiles, batch_format="numpy").to_pandas())
+    heads = np.sort(np.concatenate(
+        [np.frombuffer(r.heads, dtype=np.int64) for r in hf.itertuples()]))
+
+    # compact trunk ∪ 8-neighbourhood table (cell → ptr, CA)
+    def compact(batch) -> pd.DataFrame:
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, ptr = _tile_pointers(spec, tid)
+            r0 = tid * spec.tile_rows
+            trunk = (z != spec.nodata) & (acc[tid] >= threshold)
+            keep = trunk.copy()
+            for i in range(8):
+                sh = np.zeros_like(keep)
+                rs = slice(max(0, -_DY[i]), keep.shape[0] - max(0, _DY[i]))
+                rd_ = slice(max(0, _DY[i]), keep.shape[0] - max(0, -_DY[i]))
+                cs = slice(max(0, -_DX[i]), cols - max(0, _DX[i]))
+                cd = slice(max(0, _DX[i]), cols - max(0, -_DX[i]))
+                sh[rd_, cd] = trunk[rs, cs]
+                keep |= sh
+            # cross-band dilation: also keep the edge rows whenever the
+            # adjacent band's edge row has trunk cells (cheap upper set)
+            keep[0] |= True if tid > 0 else False
+            keep[-1] |= True if tid + 1 < spec.n_tiles else False
+            idx = np.flatnonzero(keep.ravel())
+            g = idx + r0 * cols
+            rows.append(pd.DataFrame({
+                "cell": g.astype(np.int64),
+                "ptr": ptr.ravel()[idx],
+                "ca": acc[tid].ravel()[idx]}))
+        return pd.concat(rows, ignore_index=True)
+
+    comp = (rd.range(spec.n_tiles)
+            .map_batches(compact, batch_format="numpy").to_pandas())
+    ptr_c = dict(zip(comp["cell"].astype(int), comp["ptr"].astype(float)))
+    ca = dict(zip(comp["cell"].astype(int), comp["ca"].astype(float)))
+
+    fill = _first_trunk_fill(spec, acc, threshold)
+    entry = {}
+    terminal_heads = set()
+    for h in heads:
+        h = int(h)
+        r, c = divmod(h, cols)
+        code = float(ptr_all[r, c])
+        if code > 0:
+            i = int(code).bit_length() - 1
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= r2 < spec.rows and 0 <= c2 < cols:
+                entry[h] = int(fill[r2 // spec.tile_rows][
+                    r2 % spec.tile_rows, c2])
+            else:
+                entry[h] = -1
+        else:
+            terminal_heads.add(h)
+
+    outlets = _replay_phase1(spec, heads, entry, terminal_heads,
+                             ptr_c, ca, threshold)
+
+    lab = _outlet_fill(spec, outlets)
+    out = []
+    for tid in sorted(lab):
+        L = lab[tid]
+        z, _ = _tile_pointers(spec, tid)
+        r0 = tid * spec.tile_rows
+        valid = z != spec.nodata
+        m = L >= 0
+        out.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + L.shape[0]),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "n_labelled": m.sum(axis=1).astype(np.int64),
+            "sum_label": np.where(m, L, 0).sum(axis=1)}))
+    res = (pd.concat(out, ignore_index=True)
+           .sort_values("row_id").reset_index(drop=True))
+    res.attrs["n_outlets"] = len(outlets)
+    return res

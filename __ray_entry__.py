@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf),
         "embedding_neardup": lambda sf: emb.cosine_neardup_pairs(sf),
         "pca_embeddings": lambda sf: emb.pca_embeddings(sf),
+        "inverse_pca": lambda sf: emb.inverse_pca_embeddings(sf),
         "kmeans_embeddings": lambda sf: emb.kmeans_embeddings(sf),
         # --- multimodal (opaque binary media + actor-pool decode) ---
         "image_features": lambda sf: multimodal.image_features(sf),
@@ -800,6 +801,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_tabulation": _pair_q(raster_stats.cross_tabulation),
         "kappa_index": _pair_q(raster_stats.kappa_index),
         "extract_valleys": lambda sf: raster_stats.extract_valleys_pd(raster.RasterSpec()),
+        "extract_valleys_jr": _checksum_q(
+            lambda ds, spec: raster_stats.extract_valleys_jr(
+                ds, spec, regen=raster.synth_value)),
+        "extract_valleys_lq": _checksum_q(
+            lambda ds, spec: raster_stats.extract_valleys_lq(
+                ds, spec, regen=raster.synth_value)),
         "paired_t_test": _pair_q(raster_stats.paired_t_test),
         "highest_position": _pair_q(raster_stats.highest_position),
         "colour_composite": _pair_q(raster_stats.colour_composite),
@@ -1068,6 +1075,8 @@ def oracle_sql() -> dict[str, str]:
         "cross_tabulation": o.cross_tab_sql(),
         "kappa_index": o.kappa_sql(),
         "extract_valleys": o.extract_valleys_sql(),
+        "extract_valleys_jr": o.extract_valleys_jr_sql(),
+        "extract_valleys_lq": o.extract_valleys_lq_sql(),
         "paired_t_test": o.paired_t_sql(),
         "highest_position": o.highest_position_sql(),
         "colour_composite": o.colour_composite_sql(),

@@ -29,3 +29,24 @@ def test_pca_spectrum(ray_session):
     cov = np.cov(emb, rowvar=False)
     want = np.linalg.eigvalsh(cov)[::-1][:4]
     np.testing.assert_allclose(ev, want, atol=1e-5)
+
+
+def test_inverse_pca_matches_single_process_mirror():
+    import numpy as np
+    from whitebox_geospatial_analysis_tools_ray.stages.embeddings import (
+        _full_matrix, inverse_pca_embeddings)
+
+    sf = "/root/testdata/sf0.001"
+    out = inverse_pca_embeddings(sf, k=4)
+    _, x = _full_matrix(sf)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    V = evecs[:, np.argsort(evals)[::-1][:4]]
+    err = xc - (xc @ V) @ V.T
+    sse = float((err ** 2).sum())
+    sst = float((xc ** 2).sum())
+    assert abs(out["recon_error"].iloc[0] - sse) < 1e-4 * max(sse, 1.0)
+    assert abs(out["retained_ratio"].iloc[0] - (1 - sse / sst)) < 1e-6
+    assert 0.0 <= out["retained_ratio"].iloc[0] <= 1.0

@@ -3841,3 +3841,51 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def extract_valleys_jr_sql(rows: int = 256, cols: int = 256) -> str:
+    """ExtractValleysJohnstonAndRosenfeld.java:196-216 mirror.
+    Neighbour indices: n7 = N, n3 = S, n5 = W, n1 = E."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+res AS (SELECT cell,
+  CASE WHEN v = {_NOD} THEN {_NOD}
+       WHEN (n7 <> {_NOD} AND n3 <> {_NOD} AND n7 > v AND n3 > v)
+         OR (n5 <> {_NOD} AND n1 <> {_NOD} AND n5 > v AND n1 > v)
+       THEN 1.0 ELSE 0.0 END AS f
+  FROM nb)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def extract_valleys_lq_sql(rows: int = 256, cols: int = 256,
+                           filter_size: int = 5) -> str:
+    """ExtractValleysLowerQuartile.java:239-267 mirror: z ≤ the
+    (n/4+1)-th smallest valid window value (the +∞ fill sorts all
+    invalid slots last, so data[n/4] is always a valid value)."""
+    h = filter_size // 2
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
+off AS (SELECT dr - {h} AS dy, dc - {h} AS dx
+        FROM range(0, {filter_size}) t(dr)
+        CROSS JOIN range(0, {filter_size}) u(dc)),
+w AS (SELECT g.cell, g.v, n.v AS nv
+  FROM g CROSS JOIN off
+  LEFT JOIN g n ON n.r = g.r + off.dy AND n.c = g.c + off.dx),
+cnt AS (SELECT cell, ANY_VALUE(v) AS v,
+        COUNT(CASE WHEN nv IS NOT NULL AND nv <> {_NOD} THEN 1 END) AS n
+        FROM w GROUP BY cell),
+ranked AS (SELECT cell, nv,
+        row_number() OVER (PARTITION BY cell ORDER BY nv) - 1 AS rk
+        FROM w WHERE nv IS NOT NULL AND nv <> {_NOD}),
+res AS (SELECT cnt.cell,
+  CASE WHEN cnt.v = {_NOD} THEN {_NOD}
+       WHEN cnt.v <= ranked.nv THEN 1.0 ELSE 0.0 END AS f
+  FROM cnt LEFT JOIN ranked ON ranked.cell = cnt.cell
+                           AND ranked.rk = cnt.n // 4)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -187,3 +187,60 @@ def kmeans_naive(sf_dir: str, k: int = 8, iters: int = 10,
         "n": np.bincount(a, minlength=k).astype(np.int64),
         "inertia": np.round(np.bincount(a, weights=d2.min(axis=1),
                                         minlength=k), round_to)})
+
+
+def inverse_pca_embeddings(sf_dir: str, k: int = 4,
+                           round_to: int = 6) -> pd.DataFrame:
+    """InversePrincipalComponentAnalysis (WhiteboxGIS/resources/plugins/
+    source_files + Scripts — reconstruct the signal from the leading
+    components): fit = the pca_embeddings partial-moments pass + driver
+    eigh (eigenVECTORS this time, sign fixed deterministically: first
+    nonzero coordinate made positive); apply = broadcast (mean,
+    components) + one stateless map computing per-batch reconstruction
+    moments x̂ = μ + V Vᵀ (x − μ). Output one row
+    (k, total_var, recon_error, retained_ratio); rows-only, verified
+    against the single-process mirror in tests."""
+    ds = _read_embeddings(sf_dir)
+
+    def partial(batch) -> pd.DataFrame:
+        _, emb = _batch_matrix(batch)
+        return pd.DataFrame({
+            "n": [float(len(emb))],
+            "sx": [emb.sum(axis=0).tobytes()],
+            "sxx": [(emb.T @ emb).tobytes()],
+        })
+
+    parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    d = int(np.sqrt(len(np.frombuffer(parts["sxx"].iloc[0]))))
+    n = parts["n"].sum()
+    sx = np.sum([np.frombuffer(b) for b in parts["sx"]], axis=0)
+    sxx = np.sum([np.frombuffer(b).reshape(d, d) for b in parts["sxx"]],
+                 axis=0)
+    mean = sx / n
+    cov = (sxx - np.outer(sx, mean) - np.outer(mean, sx)
+           + n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    V = evecs[:, order]
+    for j in range(V.shape[1]):          # deterministic sign
+        nz = np.flatnonzero(np.abs(V[:, j]) > 1e-12)
+        if len(nz) and V[nz[0], j] < 0:
+            V[:, j] = -V[:, j]
+    ref = ray.put((mean, V))
+
+    def recon(batch, _ref=ref) -> pd.DataFrame:
+        mu, comp = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        _, x = _batch_matrix(batch)
+        xc = x - mu
+        err = xc - (xc @ comp) @ comp.T
+        return pd.DataFrame({"sse": [float((err ** 2).sum())],
+                             "sst": [float((xc ** 2).sum())]})
+
+    stats = ds.map_batches(recon, batch_format="numpy").to_pandas()
+    sse = float(stats["sse"].sum())
+    sst = float(stats["sst"].sum())
+    return pd.DataFrame({
+        "k": [k],
+        "total_var": [round(sst, round_to)],
+        "recon_error": [round(sse, round_to)],
+        "retained_ratio": [round(1.0 - sse / sst, round_to)]})

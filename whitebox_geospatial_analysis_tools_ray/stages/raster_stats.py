@@ -3010,3 +3010,67 @@ def random_sample(spec: RasterSpec, k: int = 293,
 
     return (rd.range(spec.n_tiles).map_batches(label, batch_format="numpy")
             .to_pandas().sort_values("row_id").reset_index(drop=True))
+
+
+def extract_valleys_jr(ds, spec: RasterSpec, regen=None) -> "rd.Dataset":
+    """ExtractValleysJohnstonAndRosenfeld (StreamNetworkAnalysisTools/
+    src/plugins/ExtractValleysJohnstonAndRosenfeld.java:196-216, no
+    thinning): cell = 1 when BOTH the N and S neighbours are valid and
+    strictly higher, OR both the W and E neighbours are; else 0;
+    NoData propagates. Pure 3×3 stencil (4 shifted-plane compares);
+    exact SQL oracle."""
+    from .raster import stencil_apply
+
+    def kernel(p: np.ndarray) -> np.ndarray:
+        z = p[1:-1, 1:-1]
+        nn = p[:-2, 1:-1]
+        ss = p[2:, 1:-1]
+        ww = p[1:-1, :-2]
+        ee = p[1:-1, 2:]
+        nod = spec.nodata
+        ns = (nn != nod) & (ss != nod) & (nn > z) & (ss > z)
+        we = (ww != nod) & (ee != nod) & (ww > z) & (ee > z)
+        res = np.where(z != nod, (ns | we).astype(np.float64), nod)
+        full = np.full_like(p, nod)
+        full[1:-1, 1:-1] = res
+        return full
+
+    return stencil_apply(ds, spec, kernel, halo=1, regen=regen)
+
+
+def extract_valleys_lq(ds, spec: RasterSpec, filter_size: int = 5,
+                       regen=None) -> "rd.Dataset":
+    """ExtractValleysLowerQuartile (ExtractValleysLowerQuartile.java:
+    239-267, no thinning): per cell, collect the filterSize² window
+    (invalid/off-grid slots become +∞ — the ``largeValue`` fill at
+    :253; NOTE the circular ``filterShape`` mask at :210-219 is
+    computed but never applied — literal dead code), sort, and flag 1
+    when z ≤ data[n/4] (n = valid count, integer division). Output 0
+    otherwise (the raster's initial value), NoData propagates.
+    TILE-STENCIL with halo = filterSize//2; exact SQL oracle."""
+    from .raster import stencil_apply
+
+    h = filter_size // 2
+    nod = spec.nodata
+
+    def kernel(p: np.ndarray) -> np.ndarray:
+        H = p.shape[0] - 2 * h
+        W = p.shape[1] - 2 * h
+        z = p[h:h + H, h:h + W]
+        stack = np.stack(
+            [p[h + dy:h + dy + H, h + dx:h + dx + W]
+             for dy in range(-h, h + 1) for dx in range(-h, h + 1)],
+            axis=-1)
+        valid = stack != nod
+        n = valid.sum(axis=-1)
+        data = np.where(valid, stack, np.inf)
+        srt = np.sort(data, axis=-1)
+        lq = n // 4
+        val = np.take_along_axis(srt, lq[..., None], axis=-1)[..., 0]
+        res = np.where((z != nod) & (z <= val), 1.0, 0.0)
+        res = np.where(z != nod, res, nod)
+        full = np.full_like(p, nod)
+        full[h:h + H, h:h + W] = res
+        return full
+
+    return stencil_apply(ds, spec, kernel, halo=h, regen=regen)

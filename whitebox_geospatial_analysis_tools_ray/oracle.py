@@ -3864,28 +3864,36 @@ def extract_valleys_lq_sql(rows: int = 256, cols: int = 256,
                            filter_size: int = 5) -> str:
     """ExtractValleysLowerQuartile.java:239-267 mirror: z ≤ the
     (n/4+1)-th smallest valid window value (the +∞ fill sorts all
-    invalid slots last, so data[n/4] is always a valid value)."""
+    invalid slots last, so data[n/4] is always a valid value).
+    Window values come from LAG/LEAD over the ordered cell stream
+    (one sort, no join)."""
     h = filter_size // 2
+    exprs = []
+    for dy in range(-h, h + 1):
+        for dx in range(-h, h + 1):
+            off = dy * cols + dx
+            if off > 0:
+                e = f"LEAD(v, {off}) OVER w"
+            elif off < 0:
+                e = f"LAG(v, {-off}) OVER w"
+            else:
+                e = "v"
+            guard = (f"r + {dy} >= 0 AND r + {dy} < {rows} "
+                     f"AND c + {dx} >= 0 AND c + {dx} < {cols}")
+            exprs.append(f"CASE WHEN {guard} THEN {e} END")
+    arr = "[" + ", ".join(exprs) + "]"
     return f"""
 WITH {_raster_vals_cte(rows, cols)},
 g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
-off AS (SELECT dr - {h} AS dy, dc - {h} AS dx
-        FROM range(0, {filter_size}) t(dr)
-        CROSS JOIN range(0, {filter_size}) u(dc)),
-w AS (SELECT g.cell, g.v, n.v AS nv
-  FROM g CROSS JOIN off
-  LEFT JOIN g n ON n.r = g.r + off.dy AND n.c = g.c + off.dx),
-cnt AS (SELECT cell, ANY_VALUE(v) AS v,
-        COUNT(CASE WHEN nv IS NOT NULL AND nv <> {_NOD} THEN 1 END) AS n
-        FROM w GROUP BY cell),
-ranked AS (SELECT cell, nv,
-        row_number() OVER (PARTITION BY cell ORDER BY nv) - 1 AS rk
-        FROM w WHERE nv IS NOT NULL AND nv <> {_NOD}),
-res AS (SELECT cnt.cell,
-  CASE WHEN cnt.v = {_NOD} THEN {_NOD}
-       WHEN cnt.v <= ranked.nv THEN 1.0 ELSE 0.0 END AS f
-  FROM cnt LEFT JOIN ranked ON ranked.cell = cnt.cell
-                           AND ranked.rk = cnt.n // 4)
+pn AS (SELECT cell, v,
+  list_sort(list_filter({arr},
+            x -> x IS NOT NULL AND x <> {_NOD})) AS arr
+  FROM g WINDOW w AS (ORDER BY cell)),
+res AS (SELECT cell,
+  CASE WHEN v = {_NOD} THEN {_NOD}
+       WHEN len(arr) > 0 AND v <= arr[len(arr) // 4 + 1]
+       THEN 1.0 ELSE 0.0 END AS f
+  FROM pn)
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """

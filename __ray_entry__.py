@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- tiling / cell encoding (TileLasFile + HexBinning) ---
         "tile_assign": lambda sf: tiling.tile_counts(sf)[0],
         "las_tile_stats": lambda sf: _las_q(sf),
+        "lidar_nn_interpolation": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).lidar_nn_interpolation(sf),
         "las_file_summary": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).get_las_file_summary(sf),
@@ -852,6 +855,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_assign": o.tile_assign_sql(),
         "las_tile_stats": _las_sql(),
+        "lidar_nn_interpolation": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).lidar_nn_interpolation_sql(),
         "las_file_summary": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).get_las_file_summary_sql(),

@@ -241,6 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lidar_nn_interpolation": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).lidar_nn_interpolation(sf),
+        "isolate_ground_points": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).isolate_ground_points(sf),
         "las_file_summary": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).get_las_file_summary(sf),

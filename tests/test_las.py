@@ -41,3 +41,40 @@ def test_las_rejects_non_las(tmp_path):
         assert False
     except ValueError:
         pass
+
+
+def test_isolate_ground_points_matches_literal_order_walk():
+    """Distributed pair-extraction + driver replay vs the literal
+    O(n²) index-order walk (incl. the already-marked centre skip and
+    the equal-z → neighbour-marked branch)."""
+    import math
+
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.sources.las import (
+        isolate_ground_points, read_las, synth_las_path)
+
+    sf = "/root/testdata/sf0.001"
+    got = isolate_ground_points(sf)
+    df = read_las(synth_las_path(sf)).to_pandas()
+    x = df["x"].to_numpy(); y = df["y"].to_numpy(); z = df["z"].to_numpy()
+    n = len(df)
+    thr = math.tan(math.radians(30.0))
+    off = np.zeros(n, dtype=bool)
+    d2 = (x[:, None] - x) ** 2 + (y[:, None] - y) ** 2
+    for a in range(n):
+        if off[a]:
+            continue
+        for b in range(n):
+            dd = d2[a, b]
+            if dd == 0.0 or dd > 600.0 * 600.0:
+                continue
+            dist = math.sqrt(dd)
+            if z[a] > z[b]:
+                hi, ediff = a, z[a] - z[b]
+            else:
+                hi, ediff = b, z[b] - z[a]
+            if ediff / dist > thr and ediff > 0.15:
+                off[hi] = True
+    assert int(got["n_off_terrain"].iloc[0]) == int(off.sum())
+    assert int(got["sum_off_index"].iloc[0]) == int(np.flatnonzero(off).sum())

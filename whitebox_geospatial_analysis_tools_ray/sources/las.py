@@ -396,3 +396,129 @@ SELECT r AS row_id,
          AS row_sum
 FROM res GROUP BY r ORDER BY row_id
 """
+
+
+def isolate_ground_points(sf_dir: str, max_dist: float = 600.0,
+                          num_neighbours: int = 3,
+                          max_slope: float = 30.0) -> pd.DataFrame:
+    """IsolateGroundPoints (WhiteboxGIS/resources/plugins/Scripts/
+    IsolateGroundPoints.groovy:183-250): for every point a in FILE
+    ORDER that is not withheld (classification-byte bit 7,
+    LASReader.java:396) and not ALREADY marked off-terrain — the
+    order-dependent skip — range-query maxDist (raw value; KdTree
+    squares internally → radius maxDist, inclusive) and for every
+    in-range partner at dist > 0 mark the HIGHER point off-terrain
+    when slope = Δz/dist > tan(maxSlope°) and Δz > 0.15 (the literal
+    minElevDiff constant, :171).
+
+    Distributed shape: candidate pairs come from the cell-duplication
+    self-join (pitch = maxDist, the kNN-join shuffle); the compact
+    per-centre pair table (O(points·density), never the full cross
+    product) is replayed on the driver in literal file order — the
+    RemoveOffTerrainObjects compact-replay pattern. The reference's
+    k-NN FALLBACK for sparse centres (:220-223) is asserted
+    unreachable at this density (the guard fails loudly).
+    Rows-only; literal brute-force mirror tested."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    pitch = max_dist
+    p2 = max_dist * max_dist
+    pts_ds = read_las(synth_las_path(sf_dir))
+
+    def emit(batch) -> pd.DataFrame:
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        z = np.asarray(batch["z"], dtype=np.float64)
+        cls = np.asarray(batch["classification"], dtype=np.int64)
+        wh = (cls >> 7) & 1 == 1
+        idx0 = np.asarray(batch["index"], dtype=np.int64)
+        gx0 = np.floor(x / pitch).astype(np.int64)
+        gy0 = np.floor(y / pitch).astype(np.int64)
+        out = {k: [] for k in ("gkey", "role", "idx", "x", "y", "z")}
+        m0 = ~wh
+        out["gkey"].append(gx0[m0] * 1_000_003 + gy0[m0])
+        out["role"].append(np.zeros(int(m0.sum()), dtype=np.int64))
+        out["idx"].append(idx0[m0])
+        out["x"].append(x[m0]); out["y"].append(y[m0]); out["z"].append(z[m0])
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tgx, tgy = gx0 + dx, gy0 + dy
+                bx0, bx1 = tgx * pitch, (tgx + 1) * pitch
+                by0, by1 = tgy * pitch, (tgy + 1) * pitch
+                ddx = np.maximum(np.maximum(bx0 - x, x - bx1), 0.0)
+                ddy = np.maximum(np.maximum(by0 - y, y - by1), 0.0)
+                m = (~wh) & ((ddx * ddx + ddy * ddy) <= p2)
+                if not m.any():
+                    continue
+                out["gkey"].append(tgx[m] * 1_000_003 + tgy[m])
+                out["role"].append(np.ones(int(m.sum()), dtype=np.int64))
+                out["idx"].append(idx0[m])
+                out["x"].append(x[m]); out["y"].append(y[m])
+                out["z"].append(z[m])
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["role"] == 0]
+        ps = g[g["role"] == 1]
+        if len(qs) == 0 or len(ps) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="float64"),
+                                 "za": pd.Series([], dtype="float64"),
+                                 "zb": pd.Series([], dtype="float64")})
+        d2 = ((qs["x"].to_numpy()[:, None] - ps["x"].to_numpy()) ** 2
+              + (qs["y"].to_numpy()[:, None] - ps["y"].to_numpy()) ** 2)
+        inr = (d2 > 0.0) & (d2 <= p2)
+        ai, bi = np.nonzero(inr)
+        return pd.DataFrame({
+            "a": qs["idx"].to_numpy()[ai],
+            "b": ps["idx"].to_numpy()[bi],
+            "dist": np.sqrt(d2[ai, bi]),
+            "za": qs["z"].to_numpy()[ai],
+            "zb": ps["z"].to_numpy()[bi]})
+
+    # index points in file order (chunk source preserves record order)
+    df = pts_ds.to_pandas()
+    df["index"] = np.arange(len(df), dtype=np.int64)
+    from ..stages.util import coalesce_partials
+    pairs = (coalesce_partials(
+        rd.from_pandas(df).map_batches(emit, batch_format="pandas"))
+        .groupby("gkey").map_groups(per_cell, batch_format="pandas")
+        .to_pandas())
+
+    # fallback guard: every centre must already see ≥ num_neighbours
+    counts = pairs.groupby("a").size()
+    n_centres = int((~(((df["classification"].to_numpy() >> 7) & 1) == 1))
+                    .sum())
+    if len(counts) < n_centres or (counts < num_neighbours).any():
+        raise AssertionError(
+            "kNN fallback would trigger — raise max_dist")
+
+    slope_thr = math.tan(math.radians(max_slope))
+    min_ediff = 0.15
+    off = np.zeros(len(df), dtype=bool)
+    by_a = {int(a): grp for a, grp in pairs.groupby("a", sort=True)}
+    for a in range(len(df)):
+        if off[a]:
+            continue
+        grp = by_a.get(a)
+        if grp is None:
+            continue
+        za = grp["za"].to_numpy()
+        zb = grp["zb"].to_numpy()
+        dist = grp["dist"].to_numpy()
+        bidx = grp["b"].to_numpy()
+        higher = np.where(za > zb, a, bidx)
+        ediff = np.abs(za - zb)
+        mark = (ediff / dist > slope_thr) & (ediff > min_ediff)
+        off[higher[mark]] = True
+
+    n_off = int(off.sum())
+    return pd.DataFrame({
+        "n_points": [len(df)],
+        "n_ground": [len(df) - n_off],
+        "n_off_terrain": [n_off],
+        "sum_off_index": [int(np.flatnonzero(off).sum())]})

@@ -50,3 +50,33 @@ def test_inverse_pca_matches_single_process_mirror():
     assert abs(out["recon_error"].iloc[0] - sse) < 1e-4 * max(sse, 1.0)
     assert abs(out["retained_ratio"].iloc[0] - (1 - sse / sst)) < 1e-6
     assert 0.0 <= out["retained_ratio"].iloc[0] <= 1.0
+
+
+def test_cluster_attributes_matches_single_process_lloyd():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from whitebox_geospatial_analysis_tools_ray.stages.embeddings import (
+        cluster_attributes)
+
+    sf = "/root/testdata/sf0.001"
+    out = cluster_attributes(sf, k=5, iters=8)
+    t = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    t = t.sort_values("c_custkey").reset_index(drop=True)
+    a = t["c_acctbal"].to_numpy(); nk = t["c_nationkey"].to_numpy(float)
+    mu = np.array([a.mean(), nk.mean()])
+    sd = np.array([a.std(), nk.std()])
+    x = np.stack([(a - mu[0]) / sd[0], (nk - mu[1]) / sd[1]], axis=1)
+    cents = x[:5].copy()
+    for _ in range(8):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for c in range(5):
+            if (lab == c).any():
+                cents[c] = x[lab == c].mean(axis=0)
+        cents = np.round(cents, 9)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    lab = d2.argmin(axis=1)
+    exp_n = np.bincount(lab, minlength=5)
+    assert np.array_equal(out.sort_values("cluster_id")["n"].to_numpy(),
+                          exp_n)

@@ -244,3 +244,98 @@ def inverse_pca_embeddings(sf_dir: str, k: int = 4,
         "total_var": [round(sst, round_to)],
         "recon_error": [round(sse, round_to)],
         "retained_ratio": [round(1.0 - sse / sst, round_to)]})
+
+
+def cluster_attributes(sf_dir: str, k: int = 5, iters: int = 8,
+                       round_to: int = 4) -> pd.DataFrame:
+    """ClusterAttributes (WhiteboxGIS Scripts — k-means over a feature
+    table's ATTRIBUTE vectors instead of imagery): the
+    kMeansClassification broadcast-round machinery applied to a
+    2-D attribute matrix (c_acctbal, c_nationkey) z-scored per
+    attribute (one global-moments pass) so neither dominates.
+    Deterministic: init = the k lowest custkeys' vectors, fixed
+    ``iters`` rounds, per-round centroid rounding (the
+    kmeans_embeddings drift rule). Output (cluster_id, n, inertia);
+    rows-only, mirror-tested."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def moments(batch) -> pd.DataFrame:
+        a = np.asarray(batch["c_acctbal"], dtype=np.float64)
+        nk = np.asarray(batch["c_nationkey"], dtype=np.float64)
+        return pd.DataFrame({
+            "n": [float(len(a))],
+            "sa": [a.sum()], "saa": [(a * a).sum()],
+            "sn": [nk.sum()], "snn": [(nk * nk).sum()]})
+
+    m = ds.map_batches(moments, batch_format="numpy").to_pandas().sum()
+    n = m["n"]
+    mu = np.array([m["sa"] / n, m["sn"] / n])
+    var = np.array([m["saa"] / n - mu[0] ** 2, m["snn"] / n - mu[1] ** 2])
+    sd = np.sqrt(np.maximum(var, 1e-30))
+
+    def matrix(batch):
+        ids = np.asarray(batch["c_custkey"], dtype=np.int64)
+        x = np.stack([
+            (np.asarray(batch["c_acctbal"], dtype=np.float64) - mu[0])
+            / sd[0],
+            (np.asarray(batch["c_nationkey"], dtype=np.float64) - mu[1])
+            / sd[1]], axis=1)
+        return ids, x
+
+    init = ds.take(k)
+    centroids = np.stack([
+        np.array([(r["c_acctbal"] - mu[0]) / sd[0],
+                  (r["c_nationkey"] - mu[1]) / sd[1]])
+        for r in sorted(init, key=lambda r: r["c_custkey"])])
+
+    from .util import coalesce_partials
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def partial(batch, _ref=c_ref) -> pd.DataFrame:
+            cents = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) \
+                else _ref
+            _, x = matrix(batch)
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=len(cents)).astype(np.float64)
+            return pd.DataFrame({
+                "c": np.arange(len(cents), dtype=np.int64),
+                "n": cnt,
+                "sx": [row.tobytes() for row in sums]})
+
+        parts = coalesce_partials(
+            ds.map_batches(partial, batch_format="numpy")).to_pandas()
+        for c, g in parts.groupby("c"):
+            nn = g["n"].sum()
+            if nn > 0:
+                centroids[int(c)] = np.sum(
+                    [np.frombuffer(b) for b in g["sx"]], axis=0) / nn
+        centroids = np.round(centroids, 9)
+
+    c_ref = ray.put(centroids)
+
+    def final(batch, _ref=c_ref) -> pd.DataFrame:
+        cents = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        _, x = matrix(batch)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        return pd.DataFrame({
+            "cluster_id": np.arange(len(cents), dtype=np.int64),
+            "n": np.bincount(a, minlength=len(cents)).astype(np.int64),
+            "inertia": np.round(np.bincount(
+                a, weights=d2[np.arange(len(a)), a],
+                minlength=len(cents)), round_to)})
+
+    parts = coalesce_partials(
+        ds.map_batches(final, batch_format="numpy")).to_pandas()
+    g = parts.groupby("cluster_id").agg(n=("n", "sum"),
+                                        inertia=("inertia", "sum"))
+    g["inertia"] = g["inertia"].round(round_to)
+    return g.reset_index()

@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_mosaic": lambda sf: raster_stats.mosaic(raster.RasterSpec()),
         "mosaic_feathering": lambda sf: raster_stats.mosaic_feathering(
             raster.RasterSpec()),
+        "convert_to_smooth_surface": lambda sf:
+            raster_stats.convert_to_smooth_surface(raster.RasterSpec()),
         "change_data_type": _checksum_q(raster_stats.change_data_type_integer),
         "random_sample": lambda sf: raster_stats.random_sample(
             raster.RasterSpec()),
@@ -940,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_resample": o.resample_nn_sql(),
         "raster_mosaic": o.mosaic_sql(),
         "mosaic_feathering": o.mosaic_feathering_sql(),
+        "convert_to_smooth_surface": o.convert_to_smooth_surface_sql(),
         "change_data_type": o.change_data_type_sql(),
         "random_sample": o.random_sample_sql(),
         "terrain_slope": o.slope_sql(),

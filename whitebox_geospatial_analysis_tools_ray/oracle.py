@@ -3897,3 +3897,23 @@ res AS (SELECT cell,
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def convert_to_smooth_surface_sql(rows: int = 256,
+                                  cols: int = 256) -> str:
+    """ConvertToSmoothSurface.groovy live passes: row sort then column
+    sort (NoData sentinels sort first, literally)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+g AS (SELECT cell // {cols} AS r, v FROM vals),
+p1 AS (SELECT r, v,
+       row_number() OVER (PARTITION BY r ORDER BY v) - 1 AS k
+       FROM g),
+p2 AS (SELECT k AS c, v,
+       row_number() OVER (PARTITION BY k ORDER BY v) - 1 AS j
+       FROM p1)
+SELECT j AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN v = {_NOD} THEN 0.0 ELSE v END), 6) AS row_sum
+FROM p2 GROUP BY j ORDER BY row_id
+"""

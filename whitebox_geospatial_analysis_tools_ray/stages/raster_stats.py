@@ -3074,3 +3074,61 @@ def extract_valleys_lq(ds, spec: RasterSpec, filter_size: int = 5,
         return full
 
     return stencil_apply(ds, spec, kernel, halo=h, regen=regen)
+
+
+def convert_to_smooth_surface(spec: RasterSpec,
+                              round_to: int = 6) -> pd.DataFrame:
+    """ConvertToSmoothSurface (WhiteboxGIS/resources/plugins/Scripts/
+    ConvertToSmoothSurface.groovy): the script's LIVE semantics are
+    exactly two passes — sort every row ascending (:115-118), then
+    sort every column ascending (:134-139). (The diagonal-scan third
+    pass can never terminate — its ``scanComplete == true`` at :163 is
+    a comparison, not an assignment — and every later pass ships
+    commented out, so the shipped tool effectively ends after the two
+    sorts.) NoData sentinels sort first, literally.
+
+    Distributed: pass 1 is row-local inside each band tile; pass 2 is
+    ONE transpose shuffle — per-tile (col, partial values) emits,
+    groupby(col) sorts each column, emits (row, col, v) back, and a
+    second groupby(row) builds the row view. Exact SQL oracle."""
+    from .raster import synth_value
+
+    cols = spec.cols
+
+    def phase1(batch) -> pd.DataFrame:
+        frames = []
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * cols, r1 * cols, dtype=np.int64)
+            z = synth_value(cell).reshape(r1 - r0, cols)
+            z = np.sort(z, axis=1)              # row sort
+            for c in range(cols):
+                frames.append({"col": c, "tile": int(tid),
+                               "vals": z[:, c].tobytes()})
+        return pd.DataFrame(frames)
+
+    parts = (rd.range(spec.n_tiles)
+             .map_batches(phase1, batch_format="numpy"))
+
+    def per_col(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("tile")
+        v = np.concatenate([np.frombuffer(b) for b in g["vals"]])
+        v = np.sort(v)                          # column sort
+        return pd.DataFrame({"row": np.arange(len(v), dtype=np.int64),
+                             "col": int(g["col"].iloc[0]),
+                             "v": v})
+
+    cells = (coalesce_partials(parts).groupby("col")
+             .map_groups(per_col, batch_format="pandas"))
+
+    def per_row(g: pd.DataFrame) -> pd.DataFrame:
+        valid = g["v"] != NODATA
+        return pd.DataFrame({
+            "row_id": [int(g["row"].iloc[0])],
+            "n_valid": [int(valid.sum())],
+            "row_sum": [round(float(g.loc[valid, "v"].sum()), round_to)]})
+
+    out = (cells.groupby("row").map_groups(per_row, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("row_id").reset_index(drop=True)

@@ -244,6 +244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isolate_ground_points": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).isolate_ground_points(sf),
+        "lidar_canopy_model": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).lidar_canopy_model(sf),
         "las_file_summary": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).get_las_file_summary(sf),

@@ -78,3 +78,76 @@ def test_isolate_ground_points_matches_literal_order_walk():
                 off[hi] = True
     assert int(got["n_off_terrain"].iloc[0]) == int(off.sum())
     assert int(got["sum_off_index"].iloc[0]) == int(np.flatnonzero(off).sum())
+
+
+def test_lidar_canopy_model_matches_brute_force_replay():
+    """Distributed candidate extraction + replay vs a full O(cells·n)
+    brute-force replay with the identical (d², index) enumeration."""
+    import math
+
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.sources.las import (
+        lidar_canopy_model, read_las, synth_las_path)
+
+    sf = "/root/testdata/sf0.001"
+    res, min_h, max_s = 250.0, 2.0, 30.0
+    got = lidar_canopy_model(sf, res, min_h, max_s)
+
+    df = read_las(synth_las_path(sf)).to_pandas()
+    px = df["x"].to_numpy(); py = df["y"].to_numpy(); pz = df["z"].to_numpy()
+    west = px.min() - 0.5 * res
+    north = py.max() + 0.5 * res
+    nrows = int(math.ceil((north - py.min()) / res))
+    ncols = int(math.ceil((px.max() - west) / res))
+    md2 = (math.sqrt(2.0) * res / 2.0) ** 2
+    thr = math.radians(max_s)
+    nong = np.zeros(len(px), dtype=bool)
+    chm = {}
+    for r in range(nrows):
+        yy = north - res / 2 - r * res
+        for c in range(ncols):
+            xx = west + res / 2 + c * res
+            d2 = (xx - px) ** 2 + (yy - py) ** 2
+            idx = np.flatnonzero(d2 <= md2)
+            idx = idx[np.lexsort((idx, d2[idx]))]
+            if len(idx) <= 1:
+                continue
+            for i in range(len(idx) - 1):
+                a = idx[i]
+                if nong[a]:
+                    continue
+                for j in range(i + 1, len(idx)):
+                    b = idx[j]
+                    if nong[b]:
+                        continue
+                    dist = math.hypot(px[a] - px[b], py[a] - py[b])
+                    if pz[a] > pz[b]:
+                        hi, dv = a, pz[a] - pz[b]
+                    else:
+                        hi, dv = b, pz[b] - pz[a]
+                    if dist == 0.0:
+                        if dv == 0.0:
+                            continue
+                        s = math.pi / 2
+                    else:
+                        s = math.atan(dv / dist)
+                    if s > thr:
+                        nong[hi] = True
+            z = -32768.0
+            mind = np.inf
+            maxh = -np.inf
+            for i, a in enumerate(idx):
+                if not nong[a]:
+                    if d2[a] < mind:
+                        mind = d2[a]
+                        z = pz[a]
+                else:
+                    maxh = max(maxh, pz[a])
+            if z != -32768.0 and maxh > -np.inf and maxh - z > min_h:
+                chm[r * ncols + c] = maxh - z
+    for r in range(nrows):
+        vals = [v for cc, v in chm.items() if cc // ncols == r]
+        row = got[got["row_id"] == r].iloc[0]
+        assert int(row["n_chm"]) == len(vals)
+        assert abs(row["row_sum"] - round(float(sum(vals)), 6)) < 1e-9

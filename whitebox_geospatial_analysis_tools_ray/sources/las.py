@@ -522,3 +522,126 @@ def isolate_ground_points(sf_dir: str, max_dist: float = 600.0,
         "n_ground": [len(df) - n_off],
         "n_off_terrain": [n_off],
         "sum_off_index": [int(np.flatnonzero(off).sum())]})
+
+
+def lidar_canopy_model(sf_dir: str, resolution: float = 250.0,
+                       min_height: float = 2.0, max_slope: float = 30.0,
+                       round_to: int = 6) -> pd.DataFrame:
+    """LiDAR_CanopyModel (WhiteboxGIS/resources/plugins/Scripts/
+    LiDAR_CanopyModel.groovy:313-430): grid per the InterpolationNN
+    anchoring; per cell (ROW-MAJOR, sharing ONE nonground bit array
+    across all cells) the in-range points (radius √2·res/2, inclusive)
+    are pair-scanned — an already-marked point is skipped as either
+    pair end — and the HIGHER point of any pair with
+    atan(Δz/dist) > maxSlope is marked nonground; then z = the nearest
+    surviving ground point's value and CHM = maxNonground − z when
+    that exceeds minHeight. Coincident pairs follow Java float
+    semantics (Δz/0 → ∞ → marked; 0/0 → NaN → not marked).
+
+    DOCUMENTED DEVIATION: the reference enumerates range results in
+    KdTree traversal order (a structure artifact); we substitute the
+    deterministic (d², point index) ascending order — the same
+    substitution rule as the repo's other KdTree-order cases — and the
+    mirror test uses the identical order.
+
+    Distributed shape: per-band cell×point candidate extraction
+    against the broadcast LAS table (compact per-cell lists, O(density)
+    each), then a driver replay of the literal row-major mutation —
+    the isobasin compact-replay pattern. Rows-only."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    NODATA = -32768.0
+    pts = read_las(synth_las_path(sf_dir)).to_pandas()
+    px = pts["x"].to_numpy(); py = pts["y"].to_numpy()
+    pz = pts["z"].to_numpy()
+    west = px.min() - 0.5 * resolution
+    north = py.max() + 0.5 * resolution
+    nrows = int(math.ceil((north - py.min()) / resolution))
+    ncols = int(math.ceil((px.max() - west) / resolution))
+    max_dist = math.sqrt(2.0) * resolution / 2.0
+    md2 = max_dist * max_dist
+    half = resolution / 2.0
+    ref = ray.put((px, py, pz))
+    band_rows = 8
+    n_bands = math.ceil(nrows / band_rows)
+
+    def extract(batch) -> pd.DataFrame:
+        sx, sy, sz = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        rows = []
+        for b in batch["id"]:
+            r0 = int(b) * band_rows
+            r1 = min(r0 + band_rows, nrows)
+            for r in range(r0, r1):
+                yy = north - half - r * resolution
+                for c in range(ncols):
+                    xx = west + half + c * resolution
+                    d2 = (xx - sx) ** 2 + (yy - sy) ** 2
+                    m = d2 <= md2
+                    idx = np.flatnonzero(m)
+                    if len(idx) == 0:
+                        continue
+                    order = np.lexsort((idx, d2[idx]))
+                    idx = idx[order]
+                    rows.append({"cell": r * ncols + c,
+                                 "idx": idx.astype(np.int64).tobytes(),
+                                 "d2": d2[idx].tobytes()})
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"cell": [], "idx": [], "d2": []})
+
+    cand = (rd.range(n_bands).map_batches(extract, batch_format="numpy")
+            .to_pandas().sort_values("cell"))
+
+    slope_thr = math.radians(max_slope)
+    nonground = np.zeros(len(px), dtype=bool)
+    chm = {}
+    for rec in cand.itertuples():
+        idx = np.frombuffer(rec.idx, dtype=np.int64)
+        d2c = np.frombuffer(rec.d2)
+        if len(idx) <= 1:
+            continue
+        n = len(idx)
+        for i in range(n - 1):
+            a = idx[i]
+            if nonground[a]:
+                continue
+            for j in range(i + 1, n):
+                bq = idx[j]
+                if nonground[bq]:
+                    continue
+                dist = math.hypot(px[a] - px[bq], py[a] - py[bq])
+                if pz[a] > pz[bq]:
+                    hi, dv = a, pz[a] - pz[bq]
+                else:
+                    hi, dv = bq, pz[bq] - pz[a]
+                if dist == 0.0:
+                    if dv == 0.0:
+                        continue        # 0/0 → NaN → no mark
+                    slope = math.pi / 2
+                else:
+                    slope = math.atan(dv / dist)
+                if slope > slope_thr:
+                    nonground[hi] = True
+        z = NODATA
+        min_d = np.inf
+        max_h = -np.inf
+        for i in range(n):
+            a = idx[i]
+            if not nonground[a]:
+                if d2c[i] < min_d:
+                    min_d = d2c[i]
+                    z = pz[a]
+            else:
+                if pz[a] > max_h:
+                    max_h = pz[a]
+        if z != NODATA and max_h > -np.inf and max_h - z > min_height:
+            chm[int(rec.cell)] = max_h - z
+
+    out = []
+    for r in range(nrows):
+        vals = [v for c, v in chm.items() if c // ncols == r]
+        out.append({"row_id": r, "n_chm": len(vals),
+                    "row_sum": round(float(sum(vals)), round_to)})
+    return pd.DataFrame(out)

@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lidar_canopy_model": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).lidar_canopy_model(sf),
+        "lidar_segmentation_weights": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).lidar_segmentation_weights(sf),
         "las_file_summary": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).get_las_file_summary(sf),
@@ -867,6 +870,9 @@ def oracle_sql() -> dict[str, str]:
         "lidar_nn_interpolation": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).lidar_nn_interpolation_sql(),
+        "lidar_segmentation_weights": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).lidar_segmentation_weights_sql(),
         "las_file_summary": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).get_las_file_summary_sql(),

@@ -645,3 +645,121 @@ def lidar_canopy_model(sf_dir: str, resolution: float = 250.0,
         out.append({"row_id": r, "n_chm": len(vals),
                     "row_sum": round(float(sum(vals)), round_to)})
     return pd.DataFrame(out)
+
+
+def lidar_segmentation_weights(sf_dir: str, search_dist: float = 300.0,
+                               round_to: int = 6) -> pd.DataFrame:
+    """LiDAR_segmentation (LidarTools/src/plugins/LiDAR_segmentation
+    .java): the tool ships HALF-DISABLED — the seeding loop that drives
+    ``scanNeighbours`` region growing is fully commented out
+    (:386-430, like RTree/ISODATA/LocalPolynomialInterpolation), so the
+    LIVE semantics are the per-point weight pass (:314-339):
+    maxDownwardAngle = z − min(z, min z of OTHER points within
+    searchDist) (the ``minSlope = z`` floor at :318 means no-neighbour
+    and all-higher-neighbour points get 0), and
+    w = 0 when mda > thr else 1 − mda/thr with
+    thr = searchDist·tan(65°) (:312). Radius is the RAW searchDist
+    (KdTree squares internally), inclusive.
+
+    Distributed: the cell-duplication within-distance self-join keyed
+    by the searchDist grid (the kNN shuffle); per-group vectorized min.
+    Exact SQL oracle. Output (rec_id, mda, w) per LAS point."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    p2 = search_dist * search_dist
+    thr = search_dist * math.tan(math.radians(65.0))
+    pts_ds = read_las(synth_las_path(sf_dir))
+
+    def emit(batch) -> pd.DataFrame:
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        z = np.asarray(batch["z"], dtype=np.float64)
+        i0 = np.asarray(batch["intensity"], dtype=np.int64)
+        gx0 = np.floor(x / search_dist).astype(np.int64)
+        gy0 = np.floor(y / search_dist).astype(np.int64)
+        out = {k: [] for k in ("gkey", "role", "rid", "x", "y", "z")}
+        rid = np.asarray(batch["index"], dtype=np.int64)
+        out["gkey"].append(gx0 * 1_000_003 + gy0)
+        out["role"].append(np.zeros(len(x), dtype=np.int64))
+        out["rid"].append(rid)
+        out["x"].append(x); out["y"].append(y); out["z"].append(z)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tgx, tgy = gx0 + dx, gy0 + dy
+                bx0, bx1 = tgx * search_dist, (tgx + 1) * search_dist
+                by0, by1 = tgy * search_dist, (tgy + 1) * search_dist
+                ddx = np.maximum(np.maximum(bx0 - x, x - bx1), 0.0)
+                ddy = np.maximum(np.maximum(by0 - y, y - by1), 0.0)
+                m = (ddx * ddx + ddy * ddy) <= p2
+                if not m.any():
+                    continue
+                out["gkey"].append(tgx[m] * 1_000_003 + tgy[m])
+                out["role"].append(np.ones(int(m.sum()), dtype=np.int64))
+                out["rid"].append(rid[m])
+                out["x"].append(x[m]); out["y"].append(y[m])
+                out["z"].append(z[m])
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["role"] == 0]
+        ps = g[g["role"] == 1]
+        if len(qs) == 0:
+            return pd.DataFrame({"rec_id": pd.Series([], dtype="int64"),
+                                 "mda": pd.Series([], dtype="float64"),
+                                 "w": pd.Series([], dtype="float64")})
+        d2 = ((qs["x"].to_numpy()[:, None] - ps["x"].to_numpy()) ** 2
+              + (qs["y"].to_numpy()[:, None] - ps["y"].to_numpy()) ** 2)
+        other = qs["rid"].to_numpy()[:, None] != ps["rid"].to_numpy()
+        inr = other & (d2 <= p2)
+        zq = qs["z"].to_numpy()
+        zn = np.where(inr, ps["z"].to_numpy()[None, :], np.inf)
+        minz = np.minimum(zn.min(axis=1), zq)   # the minSlope = z floor
+        mda = zq - minz
+        w = np.where(mda > thr, 0.0, 1.0 - mda / thr)
+        return pd.DataFrame({"rec_id": qs["rid"].to_numpy(),
+                             "mda": np.round(mda, round_to),
+                             "w": np.round(w, round_to)})
+
+    from ..stages.util import coalesce_partials
+    df = pts_ds.to_pandas()
+    df["index"] = np.arange(len(df), dtype=np.int64)
+    out = (coalesce_partials(
+        rd.from_pandas(df).map_batches(emit, batch_format="pandas"))
+        .groupby("gkey").map_groups(per_cell, batch_format="pandas")
+        .to_pandas())
+    return out.sort_values("rec_id").reset_index(drop=True)
+
+
+def lidar_segmentation_weights_sql(search_dist: float = 300.0) -> str:
+    import math
+
+    from ..core.features import POINTS_CTE
+    q = float(1.0 / SCALE)
+    p2 = search_dist * search_dist
+    thr = search_dist * math.tan(math.radians(65.0))
+    return f"""
+WITH {POINTS_CTE},
+las AS (
+  SELECT row_number() OVER (ORDER BY rec_id) - 1 AS rid,
+         floor(x * {q!r} + 0.5) / {q!r} AS x,
+         floor(y * {q!r} + 0.5) / {q!r} AS y,
+         floor(z * {q!r} + 0.5) / {q!r} AS z
+  FROM pts),
+nb AS (SELECT a.rid, a.z,
+              MIN(b.z) AS minz
+       FROM las a JOIN las b
+         ON a.rid <> b.rid
+        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {p2!r}
+       GROUP BY a.rid, a.z),
+m AS (SELECT a.rid,
+             a.z - LEAST(COALESCE(nb.minz, a.z), a.z) AS mda
+      FROM las a LEFT JOIN nb ON nb.rid = a.rid)
+SELECT rid AS rec_id, round(mda, 6) AS mda,
+       round(CASE WHEN mda > {thr!r} THEN 0.0
+                  ELSE 1.0 - mda / {thr!r} END, 6) AS w
+FROM m ORDER BY rec_id
+"""

@@ -826,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highest_position": _pair_q(raster_stats.highest_position),
         "colour_composite": _pair_q(raster_stats.colour_composite),
         "split_colour_composite": _pair_q(raster_stats.split_colour_composite),
+        "write_function_memory": _pair_q(raster_stats.write_function_memory),
         "change_vector_analysis": _pair_q(raster_stats.change_vector_analysis),
         "ndvi": _pair_q(raster_stats.ndvi),
         "morans_i": lambda sf: raster_stats.morans_i(raster.RasterSpec()),
@@ -1103,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         "highest_position": o.highest_position_sql(),
         "colour_composite": o.colour_composite_sql(),
         "split_colour_composite": o.split_composite_sql(),
+        "write_function_memory": o.write_function_memory_sql(),
         "change_vector_analysis": o.cva_sql(),
         "ndvi": o.ndvi_sql(),
         "morans_i": o.morans_i_sql(),

@@ -3917,3 +3917,32 @@ SELECT j AS row_id,
        round(SUM(CASE WHEN v = {_NOD} THEN 0.0 ELSE v END), 6) AS row_sum
 FROM p2 GROUP BY j ORDER BY row_id
 """
+
+
+def write_function_memory_sql(rows: int = 256, cols: int = 256) -> str:
+    """WriteFunctionMemoryInsertion.java two-date branch mirror (blue
+    literally duplicates green, :276,:289)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+duo AS (SELECT a.cell, a.v AS va, b.v AS vb
+        FROM vals a JOIN vals_b b ON a.cell = b.cell),
+mm AS (SELECT
+  (SELECT MIN(v) FROM vals WHERE v <> {_NOD}) AS rlo,
+  (SELECT MAX(v) FROM vals WHERE v <> {_NOD}) AS rhi,
+  (SELECT MIN(v) FROM vals_b WHERE v <> {_NOD}) AS glo,
+  (SELECT MAX(v) FROM vals_b WHERE v <> {_NOD}) AS ghi),
+res AS (
+  SELECT cell,
+    CASE WHEN va = {_NOD} OR vb = {_NOD} THEN {_NOD}
+    ELSE 4278190080.0
+         + least(greatest(trunc((vb - glo) / (ghi - glo) * 255.0), 0), 255)
+           * 65536.0
+         + least(greatest(trunc((vb - glo) / (ghi - glo) * 255.0), 0), 255)
+           * 256.0
+         + least(greatest(trunc((va - rlo) / (rhi - rlo) * 255.0), 0), 255)
+    END AS f
+  FROM duo CROSS JOIN mm)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""

@@ -3132,3 +3132,54 @@ def convert_to_smooth_surface(spec: RasterSpec,
     out = (cells.groupby("row").map_groups(per_row, batch_format="pandas")
            .to_pandas())
     return out.sort_values("row_id").reset_index(drop=True)
+
+
+def write_function_memory(pair: "rd.Dataset",
+                          spec: RasterSpec) -> "rd.Dataset":
+    """WriteFunctionMemoryInsertion (ImageProcessingTools/src/plugins/
+    WriteFunctionMemoryInsertion.java, two-date branch :273-315):
+    date 1 → red, date 2 → green, and the BLUE channel literally reads
+    the GREEN array with the green image's stats (``blueVal =
+    dataGreen[col]`` :289, ``blueMin = greenMin`` :276). Bands
+    normalized by display min/max (= actual extrema here), Java (int)
+    truncation + clamp, packed (255<<24)|(b<<16)|(g<<8)|r — the
+    CreateColourComposite two-phase plan minus the third band. Exact
+    SQL oracle."""
+    from ray.data.aggregate import Max, Min
+    from .raster import raster_row_checksums
+
+    def minmax(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for name, col in (("r", "data"), ("g", "data_b")):
+            lo, hi = np.inf, -np.inf
+            for d in batch[col]:
+                a = np.asarray(d, dtype=np.float64)
+                a = a[a != spec.nodata]
+                if len(a):
+                    lo = min(lo, a.min()); hi = max(hi, a.max())
+            out[f"{name}lo"], out[f"{name}hi"] = [lo], [hi]
+        return pd.DataFrame(out)
+
+    row = (pair.map_batches(minmax, batch_format="pandas")
+           .aggregate(Min("rlo"), Max("rhi"), Min("glo"), Max("ghi")))
+    rlo, rhi = row["min(rlo)"], row["max(rhi)"]
+    glo, ghi = row["min(glo)"], row["max(ghi)"]
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid, da, db in zip(batch["tile_id"], batch["data"],
+                               batch["data_b"]):
+            a = np.asarray(da, dtype=np.float64)
+            b = np.asarray(db, dtype=np.float64)
+            valid = (a != spec.nodata) & (b != spec.nodata)
+            r8 = np.clip(np.trunc((a - rlo) / (rhi - rlo) * 255.0), 0, 255)
+            g8 = np.clip(np.trunc((b - glo) / (ghi - glo) * 255.0), 0, 255)
+            b8 = g8                      # the literal blue-reads-green
+            z = (float(255 << 24) + b8 * 65536.0 + g8 * 256.0 + r8)
+            out["tile_id"].append(int(tid))
+            out["data"].append(np.where(valid, z, spec.nodata))
+        return pd.DataFrame(out)
+
+    return raster_row_checksums(pair.map_batches(pack,
+                                                 batch_format="pandas"),
+                                spec)

@@ -887,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect_join": o.pip_rect_join_sql(),
         "pip_rect_join_shuffle": o.pip_rect_join_sql(),
         "pip_triangle_join": o.pip_triangle_join_sql(),
+        "pip_polygon_join": o.pip_polygon_join_sql(),
         "spatial_anti_join": o.spatial_anti_join_sql(),
         "within_distance_join": o.within_distance_join_sql(),
         "knn_idw": o.idw_sql(),
@@ -1112,7 +1113,6 @@ def oracle_sql() -> dict[str, str]:
         "rgb_ihs_roundtrip": o.rgb_ihs_sql(),
         "image_correlation": o.image_correlation_sql(),
         "image_regression": o.image_regression_sql(),
-        # rows-only (non-SQL-expressible): pip_polygon_join (scanline PIP on
-        # concave/holed polygons), minhash_pairs, simhash_signatures,
-        # langid_confusion, ann_ivf_topk, flagship.
+        # rows-only (non-SQL-expressible): minhash_pairs,
+        # simhash_signatures, langid_confusion, ann_ivf_topk, flagship.
     }

@@ -3946,3 +3946,40 @@ res AS (
 {_row_checksum_select(cols)}
 FROM res GROUP BY cell // {cols}
 """
+
+
+def pip_polygon_join_sql() -> str:
+    """Exact even-odd (crossing parity) oracle for the seeded
+    star-polygon join: every ring edge becomes a VALUES literal and
+    parity is SUM over edges of the IDENTICAL predicate the kernel
+    uses (core/geom.points_in_ring:74-79 — half-open straddle,
+    strictly-right crossing; xcross arithmetic written term-for-term
+    so both engines produce the same bits; holes toggle parity like
+    any ring). The bbox prefilter in the kernel is semantically
+    redundant (outside-bbox parity is 0)."""
+    from .core.features import POINTS_CTE, seeded_polygons
+
+    rows = []
+    for z in seeded_polygons():
+        zid = z["zone_id"]
+        for ring in z["polygon"].rings:
+            import numpy as np
+            r = np.asarray(ring, dtype=float)
+            nxt = np.roll(r, -1, axis=0)
+            for (x0, y0), (x1, y1) in zip(r, nxt):
+                rows.append(f"({zid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH {POINTS_CTE},
+edges(zone_id, x0, y0, x1, y1) AS (VALUES
+  {values}),
+par AS (
+  SELECT p.rec_id, e.zone_id,
+         SUM(CASE WHEN ((e.y0 <= p.y) <> (e.y1 <= p.y))
+                   AND e.x0 + (p.y - e.y0) * (e.x1 - e.x0)
+                       / NULLIF(e.y1 - e.y0, 0) > p.x
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.rec_id, e.zone_id)
+SELECT rec_id, zone_id FROM par WHERE crossings % 2 = 1
+"""

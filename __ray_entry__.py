@@ -104,6 +104,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "sqrt(a) + b / 5.0 + if(a > b, 1.0, 0.0)")
         return raster.raster_row_checksums(out, spec)
 
+    def _conditional_eval(sf_dir: str):
+        """ConditionalEvaluation.groovy — per-cell if/then/else through
+        the raster_calc compiler (SURVEY §2.2)."""
+        from whitebox_geospatial_analysis_tools_ray.functions.raster_calc import (
+            raster_calculator)
+        spec = raster.RasterSpec()
+        a = raster.synth_raster(spec)
+        b = raster_stats.synth_raster_b(spec)
+        out = raster_calculator({"a": a, "b": b},
+                                "if(a >= 500.0, a - 500.0, b * 0.5)")
+        return raster.raster_row_checksums(out, spec)
+
     def _geotiff_q(sf_dir: str):
         """Export the synthetic raster to a baseline GeoTIFF under /tmp,
         re-import it through byte-range strip reads, checksum rows —
@@ -378,6 +390,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_data_type": _checksum_q(raster_stats.change_data_type_integer),
         "random_sample": lambda sf: raster_stats.random_sample(
             raster.RasterSpec()),
+        "random_field": lambda sf: raster_stats.random_field(
+            raster.RasterSpec()),
+        "extract_values_at_points": lambda sf:
+            raster_stats.extract_raster_values_at_points(sf),
         "raster_resample": lambda sf: raster_stats.resample_nn(
             raster.RasterSpec(), out_rows=100, out_cols=160),
         # --- terrain derivatives + hydrology (TerrainAnalysisTools, HydroTools) ---
@@ -788,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         regen=raster.synth_value), spec)),
         # --- raster calculator (RasterCalculator expression compiler) ---
         "raster_calc": _raster_calc,
+        "conditional_evaluation": _conditional_eval,
         # --- CRS transform (ConversionTools CoordinateSystemTransformation,
         # WhiteboxAPI georeference/LL2UTM) ---
         "utm_project": _utm_project,
@@ -956,6 +973,9 @@ def oracle_sql() -> dict[str, str]:
         "convert_to_smooth_surface": o.convert_to_smooth_surface_sql(),
         "change_data_type": o.change_data_type_sql(),
         "random_sample": o.random_sample_sql(),
+        "random_field": o.random_field_sql(),
+        "conditional_evaluation": o.conditional_evaluation_sql(),
+        "extract_values_at_points": o.extract_values_at_points_sql(),
         "terrain_slope": o.slope_sql(),
         "terrain_tri": o.tri_sql(),
         "weighted_sum": o.weighted_sum_sql(),

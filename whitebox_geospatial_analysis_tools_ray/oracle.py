@@ -3983,3 +3983,64 @@ par AS (
   GROUP BY p.rec_id, e.zone_id)
 SELECT rec_id, zone_id FROM par WHERE crossings % 2 = 1
 """
+
+
+def random_field_sql(rows: int = 256, cols: int = 256) -> str:
+    """RandomField.java with the documented deterministic hash
+    substitution for the unseeded java.util.Random."""
+    return f"""
+WITH g AS (SELECT i AS cell,
+    CAST(((i * 2654435761 + 999331) % 4294967296) % 101 AS DOUBLE)
+      / 100.0 AS f
+  FROM range(0, {rows * cols}) t(i))
+SELECT cell // {cols} AS row_id,
+       CAST({cols} AS BIGINT) AS n_valid,
+       round(SUM(f), 6) AS row_sum
+FROM g GROUP BY cell // {cols}
+"""
+
+
+def conditional_evaluation_sql(rows: int = 256, cols: int = 256) -> str:
+    """ConditionalEvaluation.groovy mirror of the conformance
+    expression ``if(a >= 500.0, a - 500.0, b * 0.5)`` with NoData
+    propagation (the raster_calc compiler's if/cond semantics)."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_raster_vals_b_cte(rows, cols)},
+res AS (
+  SELECT a.cell,
+         CASE WHEN a.v = {_NOD} OR b.v = {_NOD} THEN {_NOD}
+              WHEN a.v >= 500.0 THEN a.v - 500.0
+              ELSE b.v * 0.5 END AS f
+  FROM vals a JOIN vals_b b ON a.cell = b.cell)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
+def extract_values_at_points_sql(rows: int = 256, cols: int = 256) -> str:
+    """ExtractRasterValuesAtPoints.groovy:155-186 mirror (Math.round
+    cell registration per WhiteboxRasterBase.java:1822-1841)."""
+    csx = 4000.0 / cols
+    csy = 4000.0 / rows
+    ewr = 4000.0 - csx
+    nsr = 4000.0 - csy
+    from .core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+rc AS (SELECT rec_id,
+    CAST(floor(({cols} - 1) * (x - 0.0 - {csx / 2.0!r}) / {ewr!r} + 0.5)
+         AS BIGINT) AS col,
+    CAST(floor(({rows} - 1) * ({4000.0 - csy / 2.0!r} - y) / {nsr!r} + 0.5)
+         AS BIGINT) AS row
+  FROM pts),
+v AS (SELECT rec_id, row, col,
+    CASE WHEN col >= 0 AND col < {cols} AND row >= 0 AND row < {rows}
+    THEN (CASE WHEN (((row * {cols} + col) * 2246822519 + 1013904223)
+                     % 4294967296) % 17 = 0 THEN {_NOD}
+          ELSE (((row * {cols} + col) * 2654435761) % 4294967296)
+               / 4294967296.0 * 1000.0 END)
+    ELSE {_NOD} END AS value
+  FROM rc)
+SELECT rec_id, row, col, round(value, 6) AS value FROM v
+"""

@@ -3183,3 +3183,69 @@ def write_function_memory(pair: "rd.Dataset",
     return raster_row_checksums(pair.map_batches(pack,
                                                  batch_format="pandas"),
                                 spec)
+
+
+def random_field(spec: RasterSpec, round_to: int = 6) -> "rd.Dataset":
+    """RandomField (StatsTools/src/plugins/RandomField.java:228-235):
+    every cell gets ``generator.nextInt(101) / 100.0`` from an
+    UNSEEDED java.util.Random — replaced by the repo's documented
+    deterministic hash substitution: cell value =
+    (((cell·A3+C3) mod M) mod 101) / 100.0. Pure per-tile generator
+    map (seeded per tile, SURVEY §2.2); exact SQL oracle."""
+    from .raster import raster_row_checksums
+
+    def gen(batch) -> pd.DataFrame:
+        out = {"tile_id": [], "data": []}
+        for tid in batch["id"]:
+            r0 = int(tid) * spec.tile_rows
+            r1 = min(r0 + spec.tile_rows, spec.rows)
+            cell = np.arange(r0 * spec.cols, r1 * spec.cols,
+                             dtype=np.int64)
+            v = (((cell * _A3 + _C3) % _M) % 101).astype(np.float64) / 100.0
+            out["tile_id"].append(int(tid))
+            out["data"].append(v)
+        return pd.DataFrame(out)
+
+    ds = rd.range(spec.n_tiles).map_batches(gen, batch_format="numpy")
+    return raster_row_checksums(ds, spec, round_to)
+
+
+def extract_raster_values_at_points(sf_dir: str,
+                                    spec: RasterSpec | None = None,
+                                    round_to: int = 6) -> "rd.Dataset":
+    """ExtractRasterValuesAtPoints (WhiteboxGIS/resources/plugins/
+    Scripts/ExtractRasterValuesAtPoints.groovy:155-186): per point,
+    row = getRowFromYCoordinate(y), col = getColumnFromXCoordinate(x)
+    (the Math.round cell-centre registration of
+    WhiteboxRasterBase.java:1822-1841 — floor(v + 0.5) with
+    EWRange = east − west − cellSize), then value = getValue(row, col)
+    (off-grid → NoData). The raster header spans the world extent
+    (cell = 4000/256 = 15.625, dyadic). The raster is synth-backed so
+    the gather is a stateless map (the overlap-read rule); a
+    file-backed raster runs the same as the tile-keyed gather of
+    SURVEY §2.4. Exact SQL oracle."""
+    from ..core.rng import EAST, NORTH, SOUTH, WEST
+    from .points import read_points
+
+    spec = spec or RasterSpec()
+    rows_, cols_ = spec.rows, spec.cols
+    csx = (EAST - WEST) / cols_
+    csy = (NORTH - SOUTH) / rows_
+    ew_range = EAST - WEST - csx
+    ns_range = NORTH - SOUTH - csy
+
+    def fn(batch):
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        col = np.floor((cols_ - 1) * (x - WEST - csx / 2.0)
+                       / ew_range + 0.5).astype(np.int64)
+        row = np.floor((rows_ - 1) * (NORTH - csy / 2.0 - y)
+                       / ns_range + 0.5).astype(np.int64)
+        ok = (col >= 0) & (col < cols_) & (row >= 0) & (row < rows_)
+        cell = np.where(ok, row * cols_ + col, 0)
+        v = synth_value(cell)
+        v = np.where(ok, v, NODATA)
+        return {"rec_id": np.asarray(batch["rec_id"], dtype=np.int64),
+                "row": row, "col": col, "value": np.round(v, round_to)}
+
+    return read_points(sf_dir).map_batches(fn, batch_format="numpy")

@@ -808,6 +808,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- CRS transform (ConversionTools CoordinateSystemTransformation,
         # WhiteboxAPI georeference/LL2UTM) ---
         "utm_project": _utm_project,
+        # --- photogrammetry exemplar (Scripts/EstimateHeightsFromParallax) ---
+        "estimate_heights_parallax": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).estimate_heights_from_parallax(sf),
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
         "raster_to_polygons": lambda sf: _r2poly_q(sf),
@@ -1099,6 +1103,9 @@ def oracle_sql() -> dict[str, str]:
         "burn_streams": o.burn_streams_sql(),
         "raster_calc": o.raster_calc_sql(),
         "utm_project": _crs_sql(),
+        "estimate_heights_parallax": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).estimate_heights_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),
         "rasterize_lines": o.rasterize_lines_sql(),
         "intersection_density": o.intersection_density_sql(),

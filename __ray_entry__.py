@@ -812,6 +812,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "estimate_heights_parallax": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
             fromlist=["x"]).estimate_heights_from_parallax(sf),
+        "locate_principal_point": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).locate_principal_point(sf),
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
         "raster_to_polygons": lambda sf: _r2poly_q(sf),
@@ -1106,6 +1109,9 @@ def oracle_sql() -> dict[str, str]:
         "estimate_heights_parallax": __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
             fromlist=["x"]).estimate_heights_sql(),
+        "locate_principal_point": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).locate_principal_point_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),
         "rasterize_lines": o.rasterize_lines_sql(),
         "intersection_density": o.intersection_density_sql(),

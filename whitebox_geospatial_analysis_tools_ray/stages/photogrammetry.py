@@ -96,3 +96,117 @@ m AS (SELECT SUM(hv) / COUNT(*) AS avg FROM h)
 SELECT rec_id, round({G!r} + (hv - avg), 6) AS height
 FROM h CROSS JOIN m
 """
+
+
+# ---------------------------------------------------------------------------
+# LocatePrincipalPoint (ImageProcessingTools/src/plugins/
+# LocatePrincipalPoint.java:625-684, the 4-fiducial case): p2 = the
+# mark FARTHEST from mark 0 (strict >, first max wins in scan order),
+# the other two marks form the second diagonal, and the principal
+# point is the determinant line intersection (:666-672). One photo =
+# one group of 4 marks; thousands of photos = one stateless vectorized
+# map (the per-record family) — the 8-mark branch adds the rotating
+# MBB sweep the NNA query already exercises. Exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def _fiducials(x, y, z):
+    """Deterministic 4 fiducial marks per photo: jittered rotated
+    rectangle corners (k = 0..3: (−a,−b), (+a,−b), (+a,+b), (−a,+b))."""
+    th = (z % 360.0) * (np.pi / 180.0)
+    a = 30.0 + z % 20.0
+    b = 15.0 + z % 10.0
+    ct, st = np.cos(th), np.sin(th)
+    cs = []
+    signs = [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]
+    for k, (sa, sb) in enumerate(signs):
+        jx = (z + k * 7.0) % 5.0 - 2.0
+        jy = (z + k * 11.0) % 7.0 - 3.0
+        cs.append((x + sa * a * ct - sb * b * st + jx,
+                   y + sa * a * st + sb * b * ct + jy))
+    return cs
+
+
+def locate_principal_point(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
+    from .points import read_points
+
+    def fn(batch):
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        z = np.asarray(batch["z"], dtype=np.float64)
+        c = _fiducials(x, y, z)
+        (x0, y0), (x1, y1), (x2, y2), (x3, y3) = c
+        d1 = np.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2)
+        d2 = np.sqrt((x2 - x0) ** 2 + (y2 - y0) ** 2)
+        d3 = np.sqrt((x3 - x0) ** 2 + (y3 - y0) ** 2)
+        # sequential strict-> scan: first max wins
+        k = np.where((d3 > d1) & (d3 > d2), 3,
+                     np.where(d2 > d1, 2, 1))
+        p2x = np.choose(k - 1, [x1, x2, x3])
+        p2y = np.choose(k - 1, [y1, y2, y3])
+        p3x = np.choose(k - 1, [x2, x1, x1])
+        p3y = np.choose(k - 1, [y2, y1, y1])
+        p4x = np.choose(k - 1, [x3, x3, x2])
+        p4y = np.choose(k - 1, [y3, y3, y2])
+        den = (x0 - p2x) * (p3y - p4y) - (y0 - p2y) * (p3x - p4x)
+        xn = (x0 * p2y - y0 * p2x) * (p3x - p4x) \
+            - (x0 - p2x) * (p3x * p4y - p3y * p4x)
+        yn = (x0 * p2y - y0 * p2x) * (p3y - p4y) \
+            - (y0 - p2y) * (p3x * p4y - p3y * p4x)
+        return {"photo_id": np.asarray(batch["rec_id"], dtype=np.int64),
+                "pp_x": np.round(xn / den, round_to),
+                "pp_y": np.round(yn / den, round_to)}
+
+    return read_points(sf_dir).map_batches(fn, batch_format="numpy")
+
+
+def locate_principal_point_sql() -> str:
+    from ..core.features import POINTS_CTE
+
+    def corner(k, sa, sb):
+        return (f"x + {sa} * a * ct - {sb} * b * st"
+                f" + ((z + {k} * 7.0) % 5.0 - 2.0) AS x{k}, "
+                f"y + {sa} * a * st + {sb} * b * ct"
+                f" + ((z + {k} * 11.0) % 7.0 - 3.0) AS y{k}")
+
+    corners = ",\n  ".join([corner(0, "-1.0", "-1.0"),
+                            corner(1, "1.0", "-1.0"),
+                            corner(2, "1.0", "1.0"),
+                            corner(3, "-1.0", "1.0")])
+    return f"""
+WITH {POINTS_CTE},
+g AS (SELECT rec_id, x, y, z,
+      (z % 360.0) * (pi() / 180.0) AS th,
+      30.0 + (z % 20.0) AS a, 15.0 + (z % 10.0) AS b FROM pts),
+t AS (SELECT rec_id, x, y, z, a, b,
+      cos(th) AS ct, sin(th) AS st FROM g),
+c AS (SELECT rec_id,
+  {corners}
+FROM t),
+d AS (SELECT *,
+  sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) AS d1,
+  sqrt((x2 - x0) * (x2 - x0) + (y2 - y0) * (y2 - y0)) AS d2,
+  sqrt((x3 - x0) * (x3 - x0) + (y3 - y0) * (y3 - y0)) AS d3
+FROM c),
+pick AS (SELECT *,
+  CASE WHEN d3 > d1 AND d3 > d2 THEN 3
+       WHEN d2 > d1 THEN 2 ELSE 1 END AS k FROM d),
+lines AS (SELECT rec_id, x0, y0,
+  CASE k WHEN 3 THEN x3 WHEN 2 THEN x2 ELSE x1 END AS p2x,
+  CASE k WHEN 3 THEN y3 WHEN 2 THEN y2 ELSE y1 END AS p2y,
+  CASE k WHEN 3 THEN x1 WHEN 2 THEN x1 ELSE x2 END AS p3x,
+  CASE k WHEN 3 THEN y1 WHEN 2 THEN y1 ELSE y2 END AS p3y,
+  CASE k WHEN 3 THEN x2 WHEN 2 THEN x3 ELSE x3 END AS p4x,
+  CASE k WHEN 3 THEN y2 WHEN 2 THEN y3 ELSE y3 END AS p4y
+FROM pick)
+SELECT rec_id AS photo_id,
+  round(((x0 * p2y - y0 * p2x) * (p3x - p4x)
+         - (x0 - p2x) * (p3x * p4y - p3y * p4x))
+        / ((x0 - p2x) * (p3y - p4y) - (y0 - p2y) * (p3x - p4x)), 6)
+    AS pp_x,
+  round(((x0 * p2y - y0 * p2x) * (p3y - p4y)
+         - (y0 - p2y) * (p3x * p4y - p3y * p4x))
+        / ((x0 - p2x) * (p3y - p4y) - (y0 - p2y) * (p3x - p4x)), 6)
+    AS pp_y
+FROM lines
+"""

@@ -815,6 +815,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locate_principal_point": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
             fromlist=["x"]).locate_principal_point(sf),
+        "image_rectification_fit": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).image_rectification_fit(sf),
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
         "raster_to_polygons": lambda sf: _r2poly_q(sf),
@@ -1112,6 +1115,9 @@ def oracle_sql() -> dict[str, str]:
         "locate_principal_point": __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
             fromlist=["x"]).locate_principal_point_sql(),
+        "image_rectification_fit": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).image_rectification_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),
         "rasterize_lines": o.rasterize_lines_sql(),
         "intersection_density": o.intersection_density_sql(),

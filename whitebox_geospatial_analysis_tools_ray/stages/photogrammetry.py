@@ -210,3 +210,149 @@ SELECT rec_id AS photo_id,
     AS pp_y
 FROM lines
 """
+
+
+# ---------------------------------------------------------------------------
+# ImageRectification (ImageProcessingTools/src/plugins/
+# ImageRectificationPanel.java:449-528): first-order (affine) GCP fit —
+# all four coordinate arrays are MIN-SHIFTED first (:465-470), the
+# basis enumerates j=0..order, k=0..order−j → [1, y, x] (:476-481),
+# each map axis is solved by least squares, and R² uses the literal
+# population-variance formula varianceX = (SSx − sumX²/n)/n,
+# SStotal = (n−1)·variance (:508-516). DOCUMENTED SUBSTITUTION: the
+# panel's QR solver is replaced by Cramer on the normal equations (the
+# trend_surface rule — deterministic, same solution); the impl and the
+# SQL oracle share the identical cofactor expressions so the floats
+# match bit-for-bit. The apply step (resample by the fitted transform)
+# is the `raster_resample` gather plan.
+# ---------------------------------------------------------------------------
+
+
+def _cramer3(n, s1, s2, s11, s22, s12, t0, t1, t2):
+    """Solve [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]·c = [t0,t1,t2] by the
+    same cofactor expansion the SQL oracle writes."""
+    det0 = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2))
+    det_a = (t0 * (s11 * s22 - s12 * s12) - s1 * (t1 * s22 - s12 * t2)
+             + s2 * (t1 * s12 - s11 * t2))
+    det_b = (n * (t1 * s22 - t2 * s12) - t0 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * t2 - t1 * s2))
+    det_c = (n * (s11 * t2 - s12 * t1) - s1 * (s1 * t2 - t1 * s2)
+             + t0 * (s1 * s12 - s11 * s2))
+    return det_a / det0, det_b / det0, det_c / det0
+
+
+def image_rectification_fit(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
+    from .points import read_points
+
+    pts = read_points(sf_dir)
+
+    def extremes(batch):
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        z = np.asarray(batch["z"], dtype=np.float64)
+        mx = 1.2 * x + 0.3 * y + 50.0 + (z % 7.0 - 3.0)
+        my = -0.2 * x + 0.9 * y + 20.0 + (z % 5.0 - 2.0)
+        return {"ixmin": [x.min()], "iymin": [y.min()],
+                "mxmin": [mx.min()], "mymin": [my.min()]}
+
+    e = pts.map_batches(extremes, batch_format="numpy").to_pandas()
+    ixmin, iymin = float(e["ixmin"].min()), float(e["iymin"].min())
+    mxmin, mymin = float(e["mxmin"].min()), float(e["mymin"].min())
+
+    def moments(batch):
+        x = np.asarray(batch["x"], dtype=np.float64) - ixmin
+        y = np.asarray(batch["y"], dtype=np.float64) - iymin
+        z = np.asarray(batch["z"], dtype=np.float64)
+        x0 = np.asarray(batch["x"], dtype=np.float64)
+        y0 = np.asarray(batch["y"], dtype=np.float64)
+        X = 1.2 * x0 + 0.3 * y0 + 50.0 + (z % 7.0 - 3.0) - mxmin
+        Y = -0.2 * x0 + 0.9 * y0 + 20.0 + (z % 5.0 - 2.0) - mymin
+        return {"n": [float(len(x))],
+                "sy": [y.sum()], "sx": [x.sum()],
+                "syy": [(y * y).sum()], "sxx": [(x * x).sum()],
+                "sxy": [(y * x).sum()],
+                "sX": [X.sum()], "syX": [(y * X).sum()],
+                "sxX": [(x * X).sum()], "sXX": [(X * X).sum()],
+                "sY": [Y.sum()], "syY": [(y * Y).sum()],
+                "sxY": [(x * Y).sum()], "sYY": [(Y * Y).sum()]}
+
+    m = pts.map_batches(moments, batch_format="numpy").to_pandas().sum()
+    n = m["n"]
+    out = {}
+    for tgt in ("X", "Y"):
+        c0, cy, cx = _cramer3(n, m["sy"], m["sx"], m["syy"], m["sxx"],
+                              m["sxy"], m[f"s{tgt}"], m[f"sy{tgt}"],
+                              m[f"sx{tgt}"])
+        ssresid = (m[f"s{tgt}{tgt}"]
+                   - 2 * (c0 * m[f"s{tgt}"] + cy * m[f"sy{tgt}"]
+                          + cx * m[f"sx{tgt}"])
+                   + (c0 * c0 * n + cy * cy * m["syy"] + cx * cx * m["sxx"]
+                      + 2 * c0 * cy * m["sy"] + 2 * c0 * cx * m["sx"]
+                      + 2 * cy * cx * m["sxy"]))
+        variance = (m[f"s{tgt}{tgt}"] - m[f"s{tgt}"] * m[f"s{tgt}"] / n) / n
+        sstotal = (n - 1) * variance
+        out[f"c0_{tgt.lower()}"] = round(float(c0), round_to)
+        out[f"cy_{tgt.lower()}"] = round(float(cy), round_to)
+        out[f"cx_{tgt.lower()}"] = round(float(cx), round_to)
+        out[f"rsq_{tgt.lower()}"] = round(float(1.0 - ssresid / sstotal),
+                                          round_to)
+    return pd.DataFrame({k: [v] for k, v in out.items()})
+
+
+def image_rectification_sql() -> str:
+    from ..core.features import POINTS_CTE
+    # NOTE: DuckDB identifiers are case-insensitive — map-side moments
+    # use a t-prefix so they cannot collide with the image-side ones.
+    return f"""
+WITH {POINTS_CTE},
+raw AS (SELECT x AS x0, y AS y0, z,
+    1.2 * x + 0.3 * y + 50.0 + (z % 7.0 - 3.0) AS mx,
+    -0.2 * x + 0.9 * y + 20.0 + (z % 5.0 - 2.0) AS my
+  FROM pts),
+mins AS (SELECT MIN(x0) AS ixmin, MIN(y0) AS iymin,
+                MIN(mx) AS mxmin, MIN(my) AS mymin FROM raw),
+sh AS (SELECT x0 - ixmin AS x, y0 - iymin AS y,
+              mx - mxmin AS tx, my - mymin AS ty
+       FROM raw CROSS JOIN mins),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(y) AS sy, SUM(x) AS sx, SUM(y*y) AS syy, SUM(x*x) AS sxx,
+    SUM(y*x) AS sxy,
+    SUM(tx) AS t0x, SUM(y*tx) AS t1x, SUM(x*tx) AS t2x,
+    SUM(tx*tx) AS ttx,
+    SUM(ty) AS t0y, SUM(y*ty) AS t1y, SUM(x*ty) AS t2y,
+    SUM(ty*ty) AS tty
+  FROM sh),
+d AS (SELECT m.*,
+  n*(syy*sxx - sxy*sxy) - sy*(sy*sxx - sxy*sx) + sx*(sy*sxy - syy*sx)
+    AS d0,
+  t0x*(syy*sxx - sxy*sxy) - sy*(t1x*sxx - sxy*t2x)
+    + sx*(t1x*sxy - syy*t2x) AS da_x,
+  n*(t1x*sxx - t2x*sxy) - t0x*(sy*sxx - sxy*sx) + sx*(sy*t2x - t1x*sx)
+    AS db_x,
+  n*(syy*t2x - sxy*t1x) - sy*(sy*t2x - t1x*sx) + t0x*(sy*sxy - syy*sx)
+    AS dc_x,
+  t0y*(syy*sxx - sxy*sxy) - sy*(t1y*sxx - sxy*t2y)
+    + sx*(t1y*sxy - syy*t2y) AS da_y,
+  n*(t1y*sxx - t2y*sxy) - t0y*(sy*sxx - sxy*sx) + sx*(sy*t2y - t1y*sx)
+    AS db_y,
+  n*(syy*t2y - sxy*t1y) - sy*(sy*t2y - t1y*sx) + t0y*(sy*sxy - syy*sx)
+    AS dc_y
+  FROM m),
+c AS (SELECT d.*,
+  da_x / d0 AS c0x, db_x / d0 AS cyx, dc_x / d0 AS cxx,
+  da_y / d0 AS c0y, db_y / d0 AS cyy, dc_y / d0 AS cxy
+  FROM d)
+SELECT
+  round(c0x, 6) AS c0_x, round(cyx, 6) AS cy_x, round(cxx, 6) AS cx_x,
+  round(1.0 - (ttx - 2*(c0x*t0x + cyx*t1x + cxx*t2x)
+        + (c0x*c0x*n + cyx*cyx*syy + cxx*cxx*sxx
+           + 2*c0x*cyx*sy + 2*c0x*cxx*sx + 2*cyx*cxx*sxy))
+        / ((n - 1) * ((ttx - t0x*t0x/n) / n)), 6) AS rsq_x,
+  round(c0y, 6) AS c0_y, round(cyy, 6) AS cy_y, round(cxy, 6) AS cx_y,
+  round(1.0 - (tty - 2*(c0y*t0y + cyy*t1y + cxy*t2y)
+        + (c0y*c0y*n + cyy*cyy*syy + cxy*cxy*sxx
+           + 2*c0y*cyy*sy + 2*c0y*cxy*sx + 2*cyy*cxy*sxy))
+        / ((n - 1) * ((tty - t0y*t0y/n) / n)), 6) AS rsq_y
+FROM c
+"""

@@ -818,6 +818,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_rectification_fit": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
             fromlist=["x"]).image_rectification_fit(sf),
+        "surf_match_points": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).surf_match_points(sf),
+        "find_tie_points": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).find_tie_points(sf),
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
         "raster_to_polygons": lambda sf: _r2poly_q(sf),
@@ -1118,6 +1124,12 @@ def oracle_sql() -> dict[str, str]:
         "image_rectification_fit": __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
             fromlist=["x"]).image_rectification_sql(),
+        "surf_match_points": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).surf_match_points_sql(),
+        "find_tie_points": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).find_tie_points_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),
         "rasterize_lines": o.rasterize_lines_sql(),
         "intersection_density": o.intersection_density_sql(),

@@ -15,6 +15,13 @@ The heavier members (SURFPixelMatching, TransformToEpipolarGeometry,
 LocatePrincipalPoint) share this physical shape — per-image feature
 extraction + candidate-pair shuffle — which the multimodal actor pool
 and MinHash-LSH machinery already exercise (SURVEY §2.10 addendum).
+
+Also here:
+- ``surf_match_points`` — the SURF interest-point matching rule
+  (jopensurf/InterestPointMatcher.java:43-87, dispatched from
+  Surf.java:367-414) over the embeddings table as the descriptor sets.
+- ``find_tie_points`` — FindTiePoints.groovy:193-229's iterative
+  max-residual trim over matched tie-point pairs.
 """
 
 from __future__ import annotations
@@ -355,4 +362,263 @@ SELECT
            + 2*c0y*cyy*sy + 2*c0y*cxy*sx + 2*cyy*cxy*sxy))
         / ((n - 1) * ((tty - t0y*t0y/n) / n)), 6) AS rsq_y
 FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# SURFPixelMatching / FindTiePoints matching step — the literal
+# InterestPointMatcher rule (jopensurf/InterestPointMatcher.java:43-87):
+# for each left point, among right points with the SAME Laplacian sign,
+# find the nearest and second-nearest by Euclidean descriptor distance
+# (SURFInterestPoint.java:122-132, first-wins on strict <); accept when
+# d1/d2 <= matchThreshold (Surf.java clamps to [0.05, 0.99],
+# :369-373); then the SYMMETRY check: the nearest left point to the
+# matched right point (same Laplacian filter) must be the probe itself
+# (:63-82).  Descriptor sets = the embeddings table (64-dim float), left
+# = even vec_id, right = odd vec_id, Laplacian = label % 2.  Random
+# descriptors put every d1/d2 above 0.87, so the dialog default 0.6
+# would match nothing; 0.95 (inside the clamp range) is used.
+#
+# Ray plan: the right side and the left matrix are SMALL broadcast
+# state (ray.put once); the left table streams through one stateless
+# map_batches that computes the full rule vectorized (the reference
+# fans exactly this loop out over a thread pool, Surf.java:387-397).
+# At scale the symmetric probe becomes a second keyed join on the
+# candidate pairs; here both matrices fit the broadcast budget.
+# ---------------------------------------------------------------------------
+
+SURF_MATCH_THRESHOLD = 0.95
+
+
+def _emb_sides(sf_dir: str):
+    """Driver-side load of both descriptor sets (small broadcast side)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    ids = t["vec_id"].to_numpy()
+    lap = (t["label"].to_numpy() % 2).astype(np.int64)
+    mat = np.asarray([np.asarray(e, dtype=np.float64)
+                      for e in t["embedding"].to_pylist()])
+    order = np.argsort(ids, kind="stable")
+    ids, lap, mat = ids[order], lap[order], mat[order]
+    left = ids % 2 == 0
+    return ((ids[left], lap[left], mat[left]),
+            (ids[~left], lap[~left], mat[~left]))
+
+
+def surf_match_points(sf_dir: str,
+                      threshold: float = SURF_MATCH_THRESHOLD,
+                      round_to: int = 6) -> pd.DataFrame:
+    import ray
+    import ray.data as rd
+
+    (lid, llap, lmat), (rid, rlap, rmat) = _emb_sides(sf_dir)
+    ref = ray.put((lid, llap, lmat, rid, rlap, rmat))
+
+    def match(batch):
+        lid, llap, lmat, rid, rlap, rmat = ray.get(ref)
+        bl = np.asarray(batch["i"], dtype=np.int64)       # left row indices
+        L = lmat[bl]
+        # pairwise distances, different-Laplacian masked to +inf
+        d = np.sqrt(((L[:, None, :] - rmat[None, :, :]) ** 2).sum(axis=2))
+        d[llap[bl][:, None] != rlap[None, :]] = np.inf
+        j1 = np.argmin(d, axis=1)                          # first-wins
+        d1 = d[np.arange(len(bl)), j1]
+        dp = np.partition(d, 1, axis=1)
+        d2 = dp[:, 1]                                      # second smallest
+        ok = d1 / d2 <= threshold
+        if not ok.any():
+            return {"left_id": np.empty(0, np.int64),
+                    "right_id": np.empty(0, np.int64),
+                    "dist": np.empty(0, np.float64)}
+        bl, j1, d1 = bl[ok], j1[ok], d1[ok]
+        # symmetric probe: nearest LEFT point to the matched right point,
+        # filtered by the probe's Laplacian (== the right point's)
+        ds = np.sqrt(((rmat[j1][:, None, :] - lmat[None, :, :]) ** 2)
+                     .sum(axis=2))
+        ds[llap[bl][:, None] != llap[None, :]] = np.inf
+        sym = np.argmin(ds, axis=1) == bl
+        return {"left_id": lid[bl[sym]], "right_id": rid[j1[sym]],
+                "dist": np.round(d1[sym], round_to)}
+
+    left_idx = rd.from_items([{"i": int(i)} for i in range(len(lid))])
+    return (left_idx.map_batches(match, batch_format="numpy")
+            .to_pandas().sort_values("left_id").reset_index(drop=True))
+
+
+def surf_match_points_sql(threshold: float = SURF_MATCH_THRESHOLD) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  label % 2 AS lap FROM embeddings),
+l AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+r AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+d AS (SELECT l.vec_id AS lid, r.vec_id AS rid, l.lap,
+             list_distance(l.v, r.v) AS dist
+      FROM l JOIN r ON l.lap = r.lap),
+rk AS (SELECT *, row_number() OVER
+         (PARTITION BY lid ORDER BY dist, rid) AS rn FROM d),
+cand AS (SELECT a.lid, a.rid, a.dist AS d1
+         FROM rk a JOIN rk b ON a.lid = b.lid AND a.rn = 1 AND b.rn = 2
+         WHERE a.dist / b.dist <= {threshold!r}),
+sym AS (SELECT rid, lid, row_number() OVER
+          (PARTITION BY rid ORDER BY dist, lid) AS srn FROM d)
+SELECT c.lid AS left_id, c.rid AS right_id, round(c.d1, 6) AS dist
+FROM cand c JOIN sym s ON s.rid = c.rid AND s.lid = c.lid AND s.srn = 1
+ORDER BY left_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# FindTiePoints (WhiteboxGIS/resources/plugins/Scripts/
+# FindTiePoints.groovy:193-229): iterative outlier trim — fit a
+# first-order PolynomialLeastSquares2DFitting on the consensus set
+# (basis [1, y, x], NO min-shift: the shift block ships commented out,
+# PolynomialLeastSquares2DFitting.java:203-208), residual_i =
+# sqrt(residX² + residY²) (:275-276), remove the point with the
+# greatest residual (strict >, first max wins, :215-220) while
+# maxError > ransacThreshold.  The live RANSAC loop ships commented out
+# (:231-294) — THIS deterministic trim is the tool's actual behaviour.
+#
+# Tie-point pairs are derived deterministically from the documents
+# points: right = affine(left) + bounded jitter from n_chars; rec_id 0
+# carries one gross outlier, so the loop removes exactly one point and
+# the whole run unrolls to TWO fits — giving an EXACT SQL oracle that
+# shares the _cramer3 cofactor text (the documented Cramer-for-SVD
+# substitution, identical to image_rectification_fit's).  The Ray side
+# runs the GENERAL loop: per-iteration partial-moments pass + driver
+# Cramer fit + distributed residual argmax (first-wins by rec_id).
+# ---------------------------------------------------------------------------
+
+TIE_THRESHOLD = 2.0
+
+
+def _tie_right(x, y, z, rec):
+    """Deterministic right-image coordinates for a left point."""
+    jx = (z % 19.0) / 10.0 - 0.9
+    jy = (z % 23.0) / 20.0 - 0.55
+    tx = 0.8 * x + 0.1 * y + 30.0 + jx + np.where(rec == 0, 300.0, 0.0)
+    ty = -0.15 * x + 1.05 * y - 12.0 + jy + np.where(rec == 0, -250.0, 0.0)
+    return tx, ty
+
+
+def find_tie_points(sf_dir: str, threshold: float = TIE_THRESHOLD,
+                    round_to: int = 6) -> pd.DataFrame:
+    from .points import read_points
+
+    pts = read_points(sf_dir)
+    removed: set[int] = set()
+
+    def moments(batch, removed=frozenset()):
+        rec = np.asarray(batch["rec_id"], dtype=np.int64)
+        keep = ~np.isin(rec, np.fromiter(removed, dtype=np.int64,
+                                         count=len(removed)))
+        x = np.asarray(batch["x"], dtype=np.float64)[keep]
+        y = np.asarray(batch["y"], dtype=np.float64)[keep]
+        z = np.asarray(batch["z"], dtype=np.float64)[keep]
+        tx, ty = _tie_right(x, y, z, rec[keep])
+        return {"n": [float(len(x))], "sy": [y.sum()], "sx": [x.sum()],
+                "syy": [(y * y).sum()], "sxx": [(x * x).sum()],
+                "sxy": [(y * x).sum()],
+                "t0x": [tx.sum()], "t1x": [(y * tx).sum()],
+                "t2x": [(x * tx).sum()],
+                "t0y": [ty.sum()], "t1y": [(y * ty).sum()],
+                "t2y": [(x * ty).sum()]}
+
+    def residuals(batch, fit=None, removed=frozenset()):
+        (c0x, cyx, cxx), (c0y, cyy, cxy) = fit
+        rec = np.asarray(batch["rec_id"], dtype=np.int64)
+        keep = ~np.isin(rec, np.fromiter(removed, dtype=np.int64,
+                                         count=len(removed)))
+        rec = rec[keep]
+        x = np.asarray(batch["x"], dtype=np.float64)[keep]
+        y = np.asarray(batch["y"], dtype=np.float64)[keep]
+        z = np.asarray(batch["z"], dtype=np.float64)[keep]
+        tx, ty = _tie_right(x, y, z, rec)
+        rx = tx - (c0x + cyx * y + cxx * x)
+        ry = ty - (c0y + cyy * y + cxy * x)
+        return {"rec_id": rec, "resid": np.sqrt(rx * rx + ry * ry)}
+
+    import functools
+    while True:
+        m = (pts.map_batches(functools.partial(moments,
+                                               removed=frozenset(removed)),
+                             batch_format="numpy").to_pandas().sum())
+        fit = tuple(
+            _cramer3(m["n"], m["sy"], m["sx"], m["syy"], m["sxx"], m["sxy"],
+                     m[f"t0{t}"], m[f"t1{t}"], m[f"t2{t}"])
+            for t in ("x", "y"))
+        res = (pts.map_batches(
+            functools.partial(residuals, fit=fit,
+                              removed=frozenset(removed)),
+            batch_format="numpy").to_pandas())
+        res = res.sort_values("rec_id").reset_index(drop=True)
+        worst = res.sort_values(["resid", "rec_id"],
+                                ascending=[False, True]).iloc[0]
+        if float(worst["resid"]) > threshold:
+            removed.add(int(worst["rec_id"]))     # first-max-wins removal
+            continue
+        res["resid"] = np.round(res["resid"], round_to)
+        return res
+
+
+def _cramer3_sql(src: str, pre: str) -> str:
+    """Moments + Cramer cofactor SQL for a first-order fit over ``src``
+    (columns x, y, tx, ty) — the SAME cofactor text _cramer3 computes."""
+    return f"""
+{pre}m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(y) AS sy, SUM(x) AS sx, SUM(y*y) AS syy, SUM(x*x) AS sxx,
+    SUM(y*x) AS sxy,
+    SUM(tx) AS t0x, SUM(y*tx) AS t1x, SUM(x*tx) AS t2x,
+    SUM(ty) AS t0y, SUM(y*ty) AS t1y, SUM(x*ty) AS t2y
+  FROM {src}),
+{pre}c AS (SELECT
+  (t0x*(syy*sxx - sxy*sxy) - sy*(t1x*sxx - sxy*t2x)
+     + sx*(t1x*sxy - syy*t2x))
+  / (n*(syy*sxx - sxy*sxy) - sy*(sy*sxx - sxy*sx) + sx*(sy*sxy - syy*sx))
+    AS c0x,
+  (n*(t1x*sxx - t2x*sxy) - t0x*(sy*sxx - sxy*sx) + sx*(sy*t2x - t1x*sx))
+  / (n*(syy*sxx - sxy*sxy) - sy*(sy*sxx - sxy*sx) + sx*(sy*sxy - syy*sx))
+    AS cyx,
+  (n*(syy*t2x - sxy*t1x) - sy*(sy*t2x - t1x*sx) + t0x*(sy*sxy - syy*sx))
+  / (n*(syy*sxx - sxy*sxy) - sy*(sy*sxx - sxy*sx) + sx*(sy*sxy - syy*sx))
+    AS cxx,
+  (t0y*(syy*sxx - sxy*sxy) - sy*(t1y*sxx - sxy*t2y)
+     + sx*(t1y*sxy - syy*t2y))
+  / (n*(syy*sxx - sxy*sxy) - sy*(sy*sxx - sxy*sx) + sx*(sy*sxy - syy*sx))
+    AS c0y,
+  (n*(t1y*sxx - t2y*sxy) - t0y*(sy*sxx - sxy*sx) + sx*(sy*t2y - t1y*sx))
+  / (n*(syy*sxx - sxy*sxy) - sy*(sy*sxx - sxy*sx) + sx*(sy*sxy - syy*sx))
+    AS cyy,
+  (n*(syy*t2y - sxy*t1y) - sy*(sy*t2y - t1y*sx) + t0y*(sy*sxy - syy*sx))
+  / (n*(syy*sxx - sxy*sxy) - sy*(sy*sxx - sxy*sx) + sx*(sy*sxy - syy*sx))
+    AS cxy
+  FROM {pre}m)"""
+
+
+def find_tie_points_sql(threshold: float = TIE_THRESHOLD) -> str:
+    from ..core.features import POINTS_CTE
+
+    pair = ("0.8*x + 0.1*y + 30.0 + ((z % 19.0) / 10.0 - 0.9)"
+            " + CASE WHEN rec_id = 0 THEN 300.0 ELSE 0.0 END AS tx, "
+            "-0.15*x + 1.05*y - 12.0 + ((z % 23.0) / 20.0 - 0.55)"
+            " + CASE WHEN rec_id = 0 THEN -250.0 ELSE 0.0 END AS ty")
+    return f"""
+WITH {POINTS_CTE},
+pr AS (SELECT rec_id, x, y, {pair} FROM pts),
+{_cramer3_sql('pr', 'f1')},
+r1 AS (SELECT rec_id,
+         sqrt((tx - (c0x + cyx*y + cxx*x)) * (tx - (c0x + cyx*y + cxx*x))
+            + (ty - (c0y + cyy*y + cxy*x)) * (ty - (c0y + cyy*y + cxy*x)))
+           AS resid
+       FROM pr CROSS JOIN f1c),
+out1 AS (SELECT rec_id FROM r1 ORDER BY resid DESC, rec_id ASC LIMIT 1),
+pr2 AS (SELECT * FROM pr WHERE rec_id != (SELECT rec_id FROM out1)),
+{_cramer3_sql('pr2', 'f2')}
+SELECT rec_id,
+  round(sqrt((tx - (c0x + cyx*y + cxx*x)) * (tx - (c0x + cyx*y + cxx*x))
+           + (ty - (c0y + cyy*y + cxy*x)) * (ty - (c0y + cyy*y + cxy*x))),
+        6) AS resid
+FROM pr2 CROSS JOIN f2c
+ORDER BY rec_id
 """

@@ -824,6 +824,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_tie_points": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
             fromlist=["x"]).find_tie_points(sf),
+        "epipolar_transform": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).epipolar_transform(sf),
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
         "raster_to_polygons": lambda sf: _r2poly_q(sf),
@@ -1130,6 +1133,9 @@ def oracle_sql() -> dict[str, str]:
         "find_tie_points": __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
             fromlist=["x"]).find_tie_points_sql(),
+        "epipolar_transform": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
+            fromlist=["x"]).epipolar_transform_sql(),
         "rasterize_polygons": o.rasterize_triangles_sql(),
         "rasterize_lines": o.rasterize_lines_sql(),
         "intersection_density": o.intersection_density_sql(),

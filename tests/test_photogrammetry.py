@@ -173,3 +173,17 @@ def test_find_tie_points_runs_two_fits():
     assert len(got) == 499               # exactly the one outlier removed
     assert 0 not in set(got["rec_id"])
     assert float(got["resid"].max()) <= 2.0
+
+
+def test_epipolar_transform_shape_and_guard():
+    """The right output image must differ from the left (the forward
+    fit reshapes the gather), dims stay under the oracle grid cap, and
+    rows with zero valid cells exist only off the rotated footprint."""
+    got = pg.epipolar_transform(SF_DIR)
+    left = got[got["img"] == "left"]
+    right = got[got["img"] == "right"]
+    assert len(left) > 256 and len(right) > 256      # rotated extents grow
+    assert len(left) < 768 and len(right) < 768
+    assert left["n_valid"].sum() > 0 and right["n_valid"].sum() > 0
+    # the rotated corners fall outside the source grid -> some NoData rows
+    assert (left["n_valid"] < left["n_valid"].max()).any()

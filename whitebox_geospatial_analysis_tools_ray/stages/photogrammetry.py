@@ -134,35 +134,41 @@ def _fiducials(x, y, z):
     return cs
 
 
+def _pp_kernel(x, y, z):
+    """Vectorized LocatePrincipalPoint.java:625-684 diagonal
+    intersection for fiducials derived from (x, y, z)."""
+    c = _fiducials(x, y, z)
+    (x0, y0), (x1, y1), (x2, y2), (x3, y3) = c
+    d1 = np.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2)
+    d2 = np.sqrt((x2 - x0) ** 2 + (y2 - y0) ** 2)
+    d3 = np.sqrt((x3 - x0) ** 2 + (y3 - y0) ** 2)
+    # sequential strict-> scan: first max wins
+    k = np.where((d3 > d1) & (d3 > d2), 3,
+                 np.where(d2 > d1, 2, 1))
+    p2x = np.choose(k - 1, [x1, x2, x3])
+    p2y = np.choose(k - 1, [y1, y2, y3])
+    p3x = np.choose(k - 1, [x2, x1, x1])
+    p3y = np.choose(k - 1, [y2, y1, y1])
+    p4x = np.choose(k - 1, [x3, x3, x2])
+    p4y = np.choose(k - 1, [y3, y3, y2])
+    den = (x0 - p2x) * (p3y - p4y) - (y0 - p2y) * (p3x - p4x)
+    xn = (x0 * p2y - y0 * p2x) * (p3x - p4x) \
+        - (x0 - p2x) * (p3x * p4y - p3y * p4x)
+    yn = (x0 * p2y - y0 * p2x) * (p3y - p4y) \
+        - (y0 - p2y) * (p3x * p4y - p3y * p4x)
+    return xn / den, yn / den
+
+
 def locate_principal_point(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
     from .points import read_points
 
     def fn(batch):
-        x = np.asarray(batch["x"], dtype=np.float64)
-        y = np.asarray(batch["y"], dtype=np.float64)
-        z = np.asarray(batch["z"], dtype=np.float64)
-        c = _fiducials(x, y, z)
-        (x0, y0), (x1, y1), (x2, y2), (x3, y3) = c
-        d1 = np.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2)
-        d2 = np.sqrt((x2 - x0) ** 2 + (y2 - y0) ** 2)
-        d3 = np.sqrt((x3 - x0) ** 2 + (y3 - y0) ** 2)
-        # sequential strict-> scan: first max wins
-        k = np.where((d3 > d1) & (d3 > d2), 3,
-                     np.where(d2 > d1, 2, 1))
-        p2x = np.choose(k - 1, [x1, x2, x3])
-        p2y = np.choose(k - 1, [y1, y2, y3])
-        p3x = np.choose(k - 1, [x2, x1, x1])
-        p3y = np.choose(k - 1, [y2, y1, y1])
-        p4x = np.choose(k - 1, [x3, x3, x2])
-        p4y = np.choose(k - 1, [y3, y3, y2])
-        den = (x0 - p2x) * (p3y - p4y) - (y0 - p2y) * (p3x - p4x)
-        xn = (x0 * p2y - y0 * p2x) * (p3x - p4x) \
-            - (x0 - p2x) * (p3x * p4y - p3y * p4x)
-        yn = (x0 * p2y - y0 * p2x) * (p3y - p4y) \
-            - (y0 - p2y) * (p3x * p4y - p3y * p4x)
+        ppx, ppy = _pp_kernel(np.asarray(batch["x"], dtype=np.float64),
+                              np.asarray(batch["y"], dtype=np.float64),
+                              np.asarray(batch["z"], dtype=np.float64))
         return {"photo_id": np.asarray(batch["rec_id"], dtype=np.int64),
-                "pp_x": np.round(xn / den, round_to),
-                "pp_y": np.round(yn / den, round_to)}
+                "pp_x": np.round(ppx, round_to),
+                "pp_y": np.round(ppy, round_to)}
 
     return read_points(sf_dir).map_batches(fn, batch_format="numpy")
 
@@ -493,13 +499,20 @@ ORDER BY left_id
 TIE_THRESHOLD = 2.0
 
 
-def _tie_right(x, y, z, rec):
-    """Deterministic right-image coordinates for a left point."""
+def _epi_pair(x, y, z):
+    """Deterministic right-image coordinates for a left point
+    (clean affine + bounded jitter, no outliers)."""
     jx = (z % 19.0) / 10.0 - 0.9
     jy = (z % 23.0) / 20.0 - 0.55
-    tx = 0.8 * x + 0.1 * y + 30.0 + jx + np.where(rec == 0, 300.0, 0.0)
-    ty = -0.15 * x + 1.05 * y - 12.0 + jy + np.where(rec == 0, -250.0, 0.0)
-    return tx, ty
+    return (0.8 * x + 0.1 * y + 30.0 + jx,
+            -0.15 * x + 1.05 * y - 12.0 + jy)
+
+
+def _tie_right(x, y, z, rec):
+    """Clean pair + one gross outlier at rec_id 0."""
+    tx, ty = _epi_pair(x, y, z)
+    return (tx + np.where(rec == 0, 300.0, 0.0),
+            ty + np.where(rec == 0, -250.0, 0.0))
 
 
 def find_tie_points(sf_dir: str, threshold: float = TIE_THRESHOLD,
@@ -621,4 +634,271 @@ SELECT rec_id,
         6) AS resid
 FROM pr2 CROSS JOIN f2c
 ORDER BY rec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TransformToEpipolarGeometry (Photogrammetry/src/plugins/
+# TransformToEpipolarGeometry.java, the LIVE path — the SURF/integral-
+# image block ships commented out :550-700):
+#   1. first-order PLS fit on the tie-point pairs, FORWARD (right ~
+#      left) and BACKWARD (left ~ right; both are their own
+#      least-squares fits, :170-171 + PolynomialLeastSquares2DFitting
+#      .java:308-338 — the backward fit is NOT the inverse matrix);
+#   2. principal points from each photo's fiducials (findPrincipalPoint
+#      == the LocatePrincipalPoint diagonal intersection);
+#      leftCPP = backward(rightPP) (:181) and the flight-line angle
+#      θ = −atan2(leftCPP.y − leftPP.y, leftCPP.x − leftPP.x) about
+#      centre = leftPP (:224-226);
+#   3. output extents: the four input-extent corners rotated by θ about
+#      the centre WITHOUT translating back (:265-336); the right
+#      image's corners are backward-transformed first (:388-462);
+#      nRows/nCols = (int)round(range / LEFT cell size) (:339-340,
+#      :464-466 — "the cell resolution should match the left image");
+#   4. per output cell: inverse-rotate (newX = cx + x·cos(−θ) −
+#      y·sin(−θ), :354-355/:481-482), for the right image apply the
+#      forward fit (:484), then the Math.round cell-centre gather
+#      (getRowFromYCoordinate / getColumnFromXCoordinate,
+#      WhiteboxRasterBase.java:1822-1841), off-grid → NoData.
+#
+# Left image = the synthetic world-extent raster (synth_value), right
+# image = the second band (synth_value_b); tie points = the clean
+# affine pair over the documents points; fiducial-derived PPs are
+# driver-computed constants inlined into the oracle (the zone-layer
+# rule).  Ray plan: ONE moments pass fits both models; the two output
+# grids generate as independent row-band tasks emitting per-row
+# checksums directly (full-width bands → no shuffle at all).  EXACT
+# double-fit SQL oracle over a generate-series grid.
+# ---------------------------------------------------------------------------
+
+L_PHOTO = (2000.0, 2000.0, 123.0)
+R_PHOTO = (2100.0, 1950.0, 287.0)
+EPI_ROWS = 256
+EPI_COLS = 256
+
+
+def _epi_consts():
+    from ..core.rng import EAST, NORTH, SOUTH, WEST
+
+    csx = (EAST - WEST) / EPI_COLS
+    csy = (NORTH - SOUTH) / EPI_ROWS
+    lpp = _pp_kernel(np.array([L_PHOTO[0]]), np.array([L_PHOTO[1]]),
+                     np.array([L_PHOTO[2]]))
+    rpp = _pp_kernel(np.array([R_PHOTO[0]]), np.array([R_PHOTO[1]]),
+                     np.array([R_PHOTO[2]]))
+    return (WEST, SOUTH, EAST, NORTH, csx, csy,
+            float(lpp[0][0]), float(lpp[1][0]),
+            float(rpp[0][0]), float(rpp[1][0]))
+
+
+def epipolar_transform(sf_dir: str, round_to: int = 6) -> "pd.DataFrame":
+    import ray.data as rd
+
+    from .points import read_points
+    from .raster import synth_value
+    from .raster_stats import synth_value_b
+
+    W, S, E, N, csx, csy, lppx, lppy, rppx, rppy = _epi_consts()
+    ewr = E - W - csx
+    nsr = N - S - csy
+    pts = read_points(sf_dir)
+
+    def moments(batch):
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        z = np.asarray(batch["z"], dtype=np.float64)
+        tx, ty = _epi_pair(x, y, z)
+        out = {"n": [float(len(x))]}
+        for p, (bx, by, u, v) in (("f", (x, y, tx, ty)),
+                                  ("b", (tx, ty, x, y))):
+            out.update({
+                f"{p}sy": [by.sum()], f"{p}sx": [bx.sum()],
+                f"{p}syy": [(by * by).sum()], f"{p}sxx": [(bx * bx).sum()],
+                f"{p}sxy": [(by * bx).sum()],
+                f"{p}t0x": [u.sum()], f"{p}t1x": [(by * u).sum()],
+                f"{p}t2x": [(bx * u).sum()],
+                f"{p}t0y": [v.sum()], f"{p}t1y": [(by * v).sum()],
+                f"{p}t2y": [(bx * v).sum()]})
+        return out
+
+    m = pts.map_batches(moments, batch_format="numpy").to_pandas().sum()
+    fits = {}
+    for p in ("f", "b"):
+        for t in ("x", "y"):
+            fits[p + t] = _cramer3(
+                m["n"], m[f"{p}sy"], m[f"{p}sx"], m[f"{p}syy"],
+                m[f"{p}sxx"], m[f"{p}sxy"], m[f"{p}t0{t}"],
+                m[f"{p}t1{t}"], m[f"{p}t2{t}"])
+
+    def apply_fit(f, px, py):       # basis [1, y, x]
+        return f[0] + f[1] * py + f[2] * px
+
+    lcppx = apply_fit(fits["bx"], rppx, rppy)
+    lcppy = apply_fit(fits["by"], rppx, rppy)
+    theta = -np.arctan2(lcppy - lppy, lcppx - lppx)
+    ct, st = np.cos(theta), np.sin(theta)
+    cti, sti = np.cos(-theta), np.sin(-theta)
+
+    def rot(x, y):
+        return ((x - lppx) * ct - (y - lppy) * st,
+                (x - lppx) * st + (y - lppy) * ct)
+
+    def out_header(corners):
+        rx, ry = zip(*(rot(x, y) for x, y in corners))
+        nn, ns = max(ry), min(ry)
+        ne, nw = max(rx), min(rx)
+        nr = int(np.floor((nn - ns) / csy + 0.5))
+        nc = int(np.floor((ne - nw) / csx + 0.5))
+        return nn, ns, ne, nw, nr, nc, (nn - ns) / nr, (ne - nw) / nc
+
+    corners = [(E, N), (E, S), (W, N), (W, S)]
+    hdr_l = out_header(corners)
+    hdr_r = out_header([(apply_fit(fits["bx"], x, y),
+                         apply_fit(fits["by"], x, y)) for x, y in corners])
+    for hdr in (hdr_l, hdr_r):
+        if hdr[4] >= 768 or hdr[5] >= 768:      # oracle grid_cap
+            raise ValueError(f"output grid {hdr[4]}x{hdr[5]} exceeds the "
+                             "SQL oracle's generate-series cap (768)")
+
+    band_rows = 64
+
+    def make_gen(img, hdr, forward, synth):
+        nn, ns, ne, nw, nr, nc, ocy, ocx = hdr
+
+        def gen(batch):
+            out = {"img": [], "row_id": [], "n_valid": [], "row_sum": []}
+            col = np.arange(nc, dtype=np.float64)
+            xo = nw + ocx / 2.0 + col * ocx
+            for bid in batch["id"]:
+                r0 = int(bid) * band_rows
+                r1 = min(r0 + band_rows, nr)
+                for row in range(r0, r1):
+                    yo = nn - ocy / 2.0 - row * ocy
+                    gx = lppx + xo * cti - yo * sti
+                    gy = lppy + xo * sti + yo * cti
+                    if forward:
+                        px = apply_fit(fits["fx"], gx, gy)
+                        py = apply_fit(fits["fy"], gx, gy)
+                    else:
+                        px, py = gx, gy
+                    c = np.floor((EPI_COLS - 1) * (px - W - csx / 2.0)
+                                 / ewr + 0.5).astype(np.int64)
+                    r = np.floor((EPI_ROWS - 1) * (N - csy / 2.0 - py)
+                                 / nsr + 0.5).astype(np.int64)
+                    ok = (c >= 0) & (c < EPI_COLS) & (r >= 0) & (r < EPI_ROWS)
+                    z = synth(np.where(ok, r * EPI_COLS + c, 0))
+                    z = np.where(ok, z, NODATA_EPI)
+                    valid = z != NODATA_EPI
+                    out["img"].append(img)
+                    out["row_id"].append(row)
+                    out["n_valid"].append(int(valid.sum()))
+                    out["row_sum"].append(
+                        round(float(np.where(valid, z, 0.0).sum()),
+                              round_to))
+            return pd.DataFrame(out)
+
+        n_bands = (nr + band_rows - 1) // band_rows
+        return rd.range(n_bands).map_batches(gen, batch_format="numpy")
+
+    ds = make_gen("left", hdr_l, False, synth_value).union(
+        make_gen("right", hdr_r, True, synth_value_b))
+    return (ds.to_pandas().sort_values(["img", "row_id"])
+            .reset_index(drop=True))
+
+
+NODATA_EPI = -32768.0
+
+
+def epipolar_transform_sql(grid_cap: int = 768) -> str:
+    from ..core.features import POINTS_CTE
+
+    W, S, E, N, csx, csy, lppx, lppy, rppx, rppy = _epi_consts()
+    ewr = E - W - csx
+    nsr = N - S - csy
+    pair = ("0.8*x + 0.1*y + 30.0 + ((z % 19.0) / 10.0 - 0.9) AS tx, "
+            "-0.15*x + 1.05*y - 12.0 + ((z % 23.0) / 20.0 - 0.55) AS ty")
+
+    def corners_values(bw: bool):
+        # the four extent corners, backward-transformed for the right img
+        cs = [(E, N), (E, S), (W, N), (W, S)]
+        if not bw:
+            return ", ".join(f"({x!r}, {y!r})" for x, y in cs)
+        return ", ".join(
+            f"((SELECT c0x + cyx*{y!r} + cxx*{x!r} FROM bc), "
+            f"(SELECT c0y + cyy*{y!r} + cxy*{x!r} FROM bc))"
+            for x, y in cs)
+
+    def hdr_cte(name, bw):
+        return f"""
+{name}0(x, y) AS (VALUES {corners_values(bw)}),
+{name}1 AS (SELECT (x - {lppx!r}) * cos(theta) - (y - {lppy!r}) * sin(theta)
+              AS rx,
+            (x - {lppx!r}) * sin(theta) + (y - {lppy!r}) * cos(theta)
+              AS ry
+            FROM {name}0 CROSS JOIN ang),
+{name} AS (SELECT MAX(ry) AS nn, MIN(ry) AS ns, MAX(rx) AS ne,
+                  MIN(rx) AS nw,
+           CAST(floor((MAX(ry) - MIN(ry)) / {csy!r} + 0.5) AS BIGINT) AS nr,
+           CAST(floor((MAX(rx) - MIN(rx)) / {csx!r} + 0.5) AS BIGINT) AS nc,
+           (MAX(ry) - MIN(ry))
+             / CAST(floor((MAX(ry) - MIN(ry)) / {csy!r} + 0.5) AS BIGINT)
+             AS ocy,
+           (MAX(rx) - MIN(rx))
+             / CAST(floor((MAX(rx) - MIN(rx)) / {csx!r} + 0.5) AS BIGINT)
+             AS ocx
+           FROM {name}1)"""
+
+    def img_cte(img, hdr, forward, synth_case):
+        probe = ("fc.c0x + fc.cyx*gy + fc.cxx*gx",
+                 "fc.c0y + fc.cyy*gy + fc.cxy*gx") if forward else \
+                ("gx", "gy")
+        return f"""
+{img}g AS (SELECT r.range AS row, c.range AS col,
+             {hdr}.nw + {hdr}.ocx / 2.0 + c.range * {hdr}.ocx AS xo,
+             {hdr}.nn - {hdr}.ocy / 2.0 - r.range * {hdr}.ocy AS yo
+           FROM range({grid_cap}) r CROSS JOIN range({grid_cap}) c
+                CROSS JOIN {hdr}
+           WHERE r.range < {hdr}.nr AND c.range < {hdr}.nc),
+{img}p AS (SELECT row, col,
+             {lppx!r} + xo * cos(-theta) - yo * sin(-theta) AS gx,
+             {lppy!r} + xo * sin(-theta) + yo * cos(-theta) AS gy
+           FROM {img}g CROSS JOIN ang),
+{img}rc AS (SELECT row, col,
+  CAST(floor(({EPI_COLS} - 1) * (({probe[0]}) - {W!r} - {csx / 2.0!r})
+             / {ewr!r} + 0.5) AS BIGINT) AS c,
+  CAST(floor(({EPI_ROWS} - 1) * ({N - csy / 2.0!r} - ({probe[1]}))
+             / {nsr!r} + 0.5) AS BIGINT) AS r
+  FROM {img}p CROSS JOIN fc),
+{img}z AS (SELECT row,
+  CASE WHEN c >= 0 AND c < {EPI_COLS} AND r >= 0 AND r < {EPI_ROWS}
+  THEN ({synth_case}) ELSE -32768.0 END AS z
+  FROM {img}rc)"""
+
+    synth_l = ("CASE WHEN (((r * 256 + c) * 2246822519 + 1013904223)"
+               " % 4294967296) % 17 = 0 THEN -32768.0"
+               " ELSE (((r * 256 + c) * 2654435761) % 4294967296)"
+               " / 4294967296.0 * 1000.0 END")
+    synth_r = ("CASE WHEN (((r * 256 + c) * 2654435761 + 999331)"
+               " % 4294967296) % 19 = 0 THEN -32768.0"
+               " ELSE (((r * 256 + c) * 2246822519 + 12345)"
+               " % 4294967296) / 4294967296.0 * 1000.0 END")
+    return f"""
+WITH {POINTS_CTE},
+pr AS (SELECT rec_id, x, y, {pair} FROM pts),
+{_cramer3_sql('pr', 'f')},
+prb AS (SELECT tx AS x, ty AS y, x AS tx, y AS ty FROM pr),
+{_cramer3_sql('prb', 'b')},
+ang AS (SELECT -atan2((c0y + cyy*{rppy!r} + cxy*{rppx!r}) - {lppy!r},
+                      (c0x + cyx*{rppy!r} + cxx*{rppx!r}) - {lppx!r})
+          AS theta FROM bc),
+{hdr_cte('hl', False)},
+{hdr_cte('hr', True)},
+{img_cte('l', 'hl', False, synth_l)},
+{img_cte('r', 'hr', True, synth_r)},
+allz AS (SELECT 'left' AS img, row, z FROM lz
+         UNION ALL SELECT 'right' AS img, row, z FROM rz)
+SELECT img, row AS row_id,
+  CAST(COUNT(CASE WHEN z <> -32768.0 THEN 1 END) AS BIGINT) AS n_valid,
+  round(SUM(CASE WHEN z = -32768.0 THEN 0.0 ELSE z END), 6) AS row_sum
+FROM allz GROUP BY img, row ORDER BY img, row
 """

@@ -717,6 +717,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "whitebox_geospatial_analysis_tools_ray.stages.dinf",
             fromlist=["x"]).mass_flux_dinf(raster.RasterSpec(
                 rows=96, cols=96, tile_rows=32)),
+        "flow_accumulation_mdinf": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.dinf",
+            fromlist=["x"]).flow_accumulation_mdinf(raster.RasterSpec(
+                rows=96, cols=96, tile_rows=32)),
         "flow_pointer_fd8": _checksum_q(
             lambda ds, spec: hydro.flow_pointer_fd8(
                 ds, spec, regen=raster.synth_value)),

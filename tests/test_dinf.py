@@ -56,3 +56,40 @@ def test_mass_flux_dinf_matches_naive_and_tiling(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     alt = mass_flux_dinf(RasterSpec(rows=96, cols=96, tile_rows=16))
     pd.testing.assert_frame_equal(alt, want, check_dtype=False)
+
+
+def test_mdinf_accum_matches_literal_walk(ray_session):
+    """The banded Kahn fixed point equals the reference's literal
+    row-major + DFS schedule (drop semantics included) — valid because
+    the kernel asserts every portion edge is strictly downhill."""
+    spec = RasterSpec(rows=96, cols=96, tile_rows=32)
+    got = dinf.flow_accumulation_mdinf(spec)
+    want = dinf.flow_accumulation_mdinf_literal(spec)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["sum_acc"].sum() > 0
+
+
+def test_mdinf_accum_tiling_invariant(ray_session):
+    a = dinf.flow_accumulation_mdinf(RasterSpec(rows=96, cols=64,
+                                                tile_rows=16))
+    b = dinf.flow_accumulation_mdinf(RasterSpec(rows=96, cols=64,
+                                                tile_rows=48))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_mdinf_portions_sum_to_one_or_zero():
+    spec = RasterSpec(rows=64, cols=64)
+    cell = np.arange(spec.rows * spec.cols, dtype=np.int64)
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import (
+        synth_value)
+    z = synth_value(cell).reshape(spec.rows, spec.cols)
+    pad = np.full((spec.rows + 2, spec.cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    por = dinf.mdinf_portions_kernel(pad, spec.nodata)
+    s = por.sum(axis=0)
+    live = s > 0
+    assert np.allclose(s[live], 1.0)
+    # one-hot h_exp >= 10 also sums to 1 on live cells
+    por10 = dinf.mdinf_portions_kernel(pad, spec.nodata, h_exp=10.0)
+    s10 = por10.sum(axis=0)
+    assert np.allclose(s10[s10 > 0], 1.0)

@@ -389,3 +389,295 @@ def mass_flux_dinf_naive(spec: RasterSpec, round_to: int = 4) -> pd.DataFrame:
         "n_valid": valid.sum(axis=1).astype(np.int64),
         "sum_flux": np.round(np.where(valid, out, 0.0).sum(axis=1),
                              round_to)})
+
+
+# ---------------------------------------------------------------------------
+# FlowAccumMDInf (GeasyTools/src/plugins/FlowAccumMDInf.java:413-587 —
+# Seibert & McGlynn MD∞): per cell, 8 triangular facets (neighbour
+# order xd/yd :50-51, N anticlockwise); facet normal → downslope
+# direction hr and slope hs = −tan(acos(nz/‖n‖)) (:455-476), the
+# outside-facet corner fallback (:479-487), the one-sided
+# p2-NoData branch WITH its literal dd[ii] distance bug (:493-499);
+# valley slopes gated by the four in-facet/boundary rules (:508-521),
+# hExp-powered normalization (:531-546, one-hot at hExp ≥ 10), the
+# rFacet[7]==0 → 2π substitution (:548-550), and the linear two-corner
+# split per facet (:553-561).
+#
+# Resolution in the reference is a row-major scan + recursive DFS
+# gated on "all strictly-higher neighbours processed" (:576-587,
+# tmpCount from :260-290).  When every portion edge targets a
+# strictly-LOWER neighbour — asserted at runtime by the kernel — a
+# cell's inflows are all complete when it resolves, so ANY
+# topological order over the portion DAG yields identical sums and
+# the banded Kahn fixed point of flow_accumulation_dinf applies
+# unchanged.  (If an up-edge ever appeared, the literal walk would
+# DROP that contribution from the already-written output — the kernel
+# raises rather than silently diverging.)
+# ---------------------------------------------------------------------------
+
+_MD_XD = (0, -1, -1, -1, 0, 1, 1, 1)
+_MD_YD = (-1, -1, 0, 1, 1, 1, 0, -1)
+_MD_DD = (1.0, np.sqrt(2.0), 1.0, np.sqrt(2.0),
+          1.0, np.sqrt(2.0), 1.0, np.sqrt(2.0))
+
+
+def mdinf_portions_kernel(pad: np.ndarray, nodata: float,
+                          grid_res: float = 1.0,
+                          h_exp: float = 1.0) -> np.ndarray:
+    """Per-cell 8-neighbour flow portions on the padded array's
+    interior; portions[c] flows to neighbour (xd[c], yd[c])."""
+    pi = np.pi
+    z = pad[1:-1, 1:-1]
+    H, W = z.shape
+    valid = z != nodata
+
+    def nb(c):
+        return pad[1 + _MD_YD[c]:1 + _MD_YD[c] + H,
+                   1 + _MD_XD[c]:1 + _MD_XD[c] + W]
+
+    rF = np.zeros((8, H, W))
+    sF = np.full((8, H, W), nodata)
+    for c in range(8):
+        i, ii = c, (c + 1) % 8
+        p1, p2 = nb(i), nb(ii)
+        ok = (p1 != nodata) & (p2 != nodata)
+        z1 = p1 - z
+        z2 = p2 - z
+        nx = (_MD_YD[i] * z2 - _MD_YD[ii] * z1) * grid_res
+        ny = (_MD_XD[ii] * z1 - _MD_XD[i] * z2) * grid_res
+        nz = (_MD_XD[i] * _MD_YD[ii] - _MD_XD[ii] * _MD_YD[i]) \
+            * grid_res ** 2
+        with np.errstate(all="ignore"):
+            hr = np.where(
+                nx == 0, np.where(ny >= 0, 0.0, pi),
+                np.where(nx >= 0, pi / 2 - np.arctan(ny / nx),
+                         3 * pi / 2 - np.arctan(ny / nx)))
+            hs = -np.tan(np.arccos(
+                nz / np.sqrt(nx * nx + ny * ny + nz * nz)))
+        outside = (hr < i * pi / 4) | (hr > (i + 1) * pi / 4)
+        hr = np.where(outside, np.where(p1 < p2, i * pi / 4, ii * pi / 4),
+                      hr)
+        hs = np.where(outside,
+                      np.where(p1 < p2, (z - p1) / (_MD_DD[i] * grid_res),
+                               (z - p2) / (_MD_DD[ii] * grid_res)), hs)
+        one = (~ok) & (p1 != nodata) & (p1 < z)
+        rF[c] = np.where(ok, hr, np.where(one, i / 4 * pi, 0.0))
+        sF[c] = np.where(ok, hs,
+                         np.where(one, (z - p1) / (_MD_DD[ii] * grid_res),
+                                  nodata))
+
+    valley = np.zeros((8, H, W))
+    for c in range(8):
+        i, ii, ip = c, (c + 1) % 8, (c + 7) % 8
+        cond = (sF[i] > 0) & (
+            ((rF[i] > i * pi / 4) & (rF[i] < (i + 1) * pi / 4))
+            | (rF[i] == rF[ii])
+            | ((sF[ii] == nodata) & (rF[i] == (i + 1) * pi / 4))
+            | ((sF[ip] == nodata) & (rF[i] == i * pi / 4)))
+        valley[i] = np.where(cond & valid, sF[i], 0.0)
+
+    vpow = valley ** h_exp
+    vs = vpow.sum(axis=0)
+    if h_exp < 10:
+        vnorm = np.where(vs > 0, vpow / np.where(vs > 0, vs, 1.0), 0.0)
+    else:  # one-hot steepest facet (first max wins via argmax)
+        imax = np.argmax(valley, axis=0)
+        vnorm = np.where((vs > 0)
+                         & (np.arange(8)[:, None, None] == imax[None]),
+                         1.0, 0.0)
+        vnorm = np.where(valley.max(axis=0) > 0, vnorm, 0.0)
+    rF[7] = np.where(rF[7] == 0, 2 * pi, rF[7])
+    portions = np.zeros((8, H, W))
+    for c in range(8):
+        i, ii = c, (c + 1) % 8
+        live = vnorm[i] > 0
+        portions[i] += np.where(
+            live, vnorm[i] * (((i + 1) * pi / 4 - rF[i]) / (pi / 4)), 0.0)
+        portions[ii] += np.where(
+            live, vnorm[i] * ((rF[i] - i * pi / 4) / (pi / 4)), 0.0)
+
+    # the Kahn-equivalence guard: every live edge must be strictly downhill
+    for c in range(8):
+        m = (portions[c] > 0) & valid
+        nbz = nb(c)
+        if bool((m & (nbz != nodata) & (z <= nbz)).any()):
+            raise ValueError(
+                "MDInf portion edge to a non-lower neighbour: the "
+                "literal walk's drop semantics would apply (see header)")
+    return portions
+
+
+def _tile_portions_mdinf(spec: RasterSpec, tid: int, h_exp: float):
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
+    cell = np.arange(lo * spec.cols, hi * spec.cols, dtype=np.int64)
+    zext = synth_value(cell).reshape(-1, spec.cols)
+    pad = np.full((hi - lo + 2, spec.cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = zext
+    por = mdinf_portions_kernel(pad, spec.nodata, h_exp=h_exp)
+    sl = slice(r0 - lo, r0 - lo + (r1 - r0))
+    return zext[sl], por[:, sl, :]
+
+
+def _mdinf_tile_accum(z, por, inflow, nodata):
+    """Kahn accumulation over the portion DAG's in-tile edges."""
+    H, W = z.shape
+    valid = z != nodata
+    acc = np.where(valid, 1.0 + inflow, 0.0)
+    edges = [[] for _ in range(H * W)]
+    indeg = np.zeros(H * W, dtype=np.int64)
+    for c in range(8):
+        dc, dr = _MD_XD[c], _MD_YD[c]
+        send = (por[c] > 0) & valid
+        for r, cc in zip(*np.nonzero(send)):
+            r2, c2 = r + dr, cc + dc
+            if 0 <= c2 < W and 0 <= r2 < H and valid[r2, c2]:
+                edges[r * W + cc].append((r2 * W + c2, por[c][r, cc]))
+                indeg[r2 * W + c2] += 1
+    out_up: dict[int, float] = {}
+    out_dn: dict[int, float] = {}
+    stack = list(np.flatnonzero((indeg == 0) & valid.ravel()))
+    flat = acc.ravel()
+    while stack:
+        u = int(stack.pop())
+        r, cc = divmod(u, W)
+        for c in range(8):
+            p = por[c][r, cc]
+            if p <= 0:
+                continue
+            r2, c2 = r + _MD_YD[c], cc + _MD_XD[c]
+            if 0 <= c2 < W and not (0 <= r2 < H):
+                tgt = out_up if r2 < 0 else out_dn
+                tgt[c2] = tgt.get(c2, 0.0) + flat[u] * p
+        for v, p in edges[u]:
+            flat[v] += flat[u] * p
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                stack.append(v)
+    return flat.reshape(H, W), out_up, out_dn
+
+
+def flow_accumulation_mdinf(spec: RasterSpec | None = None,
+                            h_exp: float = 1.0, max_rounds: int = 64,
+                            round_to: int = 4) -> pd.DataFrame:
+    """(row_id, n_valid, sum_acc) per raster row — MD∞ over the same
+    banded fixed point as flow_accumulation_dinf."""
+    import json
+
+    spec = spec or RasterSpec()
+    cols = spec.cols
+    n = spec.n_tiles
+    inflows = {t: np.zeros((min(spec.tile_rows,
+                                spec.rows - t * spec.tile_rows), cols))
+               for t in range(n)}
+
+    def solve(batch, inflow_ref) -> pd.DataFrame:
+        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
+            else inflow_ref
+        rows = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            z, por = _tile_portions_mdinf(spec, tid, h_exp)
+            acc, up, dn = _mdinf_tile_accum(z, por, infl[tid], spec.nodata)
+            rows.append({"tile_id": tid, "acc": acc.tobytes(),
+                         "shape0": acc.shape[0],
+                         "up": json.dumps(up), "dn": json.dumps(dn)})
+        return pd.DataFrame(rows)
+
+    last = None
+    for _ in range(max_rounds):
+        ref = ray.put(inflows)
+        res = (rd.range(n)
+               .map_batches(lambda b, _r=ref: solve(b, _r),
+                            batch_format="numpy").to_pandas())
+        new_inflows = {t: np.zeros_like(v) for t, v in inflows.items()}
+        for r in res.itertuples():
+            for col, amt in json.loads(r.up).items():
+                if r.tile_id > 0:
+                    new_inflows[r.tile_id - 1][-1, int(col)] += amt
+            for col, amt in json.loads(r.dn).items():
+                if r.tile_id < n - 1:
+                    new_inflows[r.tile_id + 1][0, int(col)] += amt
+        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
+            last = res
+            break
+        inflows = new_inflows
+        last = res
+    else:  # pragma: no cover
+        raise RuntimeError("MDInf accumulation did not converge")
+
+    frames = []
+    for r in last.sort_values("tile_id").itertuples():
+        h = int(r.shape0)
+        acc = np.frombuffer(r.acc).reshape(h, cols)
+        r0 = int(r.tile_id) * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
+        valid = synth_value(cell).reshape(h, cols) != spec.nodata
+        frames.append(pd.DataFrame({
+            "row_id": np.arange(r0, r0 + h),
+            "n_valid": valid.sum(axis=1).astype(np.int64),
+            "sum_acc": np.round(np.where(valid, acc, 0.0).sum(axis=1),
+                                round_to)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
+
+
+def flow_accumulation_mdinf_literal(spec: RasterSpec, h_exp: float = 1.0,
+                                    round_to: int = 4) -> pd.DataFrame:
+    """The reference's literal schedule: row-major scan + recursive DFS
+    gated on strictly-higher-neighbour counts (FlowAccumMDInf.java:
+    260-310, 576-587), upSlope written AT processing time — the drop
+    semantics included.  Single-process mirror for the Kahn claim."""
+    import sys
+
+    cols = spec.cols
+    cell = np.arange(spec.rows * cols, dtype=np.int64)
+    z = synth_value(cell).reshape(spec.rows, cols)
+    pad = np.full((spec.rows + 2, cols + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    por = mdinf_portions_kernel(pad, spec.nodata, h_exp=h_exp)
+    valid = z != spec.nodata
+    H, W = z.shape
+    count = np.zeros((H, W), dtype=np.int64)
+    for c in range(8):
+        nbz = pad[1 + _MD_YD[c]:1 + _MD_YD[c] + H,
+                  1 + _MD_XD[c]:1 + _MD_XD[c] + W]
+        count += (valid & (nbz != spec.nodata) & (z < nbz)).astype(np.int64)
+    area = np.where(valid, 1.0, 0.0)
+    upslope = np.full((H, W), spec.nodata)
+    done = np.zeros((H, W), dtype=bool)
+    sys.setrecursionlimit(1_000_000)
+
+    def resolve(r, cc):
+        stack = [(r, cc)]
+        while stack:
+            r, cc = stack.pop()
+            if done[r, cc]:
+                continue
+            done[r, cc] = True
+            upslope[r, cc] = area[r, cc]
+            nxt = []
+            for c in range(8):
+                p = por[c][r, cc]
+                r2, c2 = r + _MD_YD[c], cc + _MD_XD[c]
+                if not (0 <= r2 < H and 0 <= c2 < W and valid[r2, c2]):
+                    continue
+                if p > 0:
+                    area[r2, c2] += area[r, cc] * p
+                if z[r, cc] > z[r2, c2]:
+                    count[r2, c2] -= 1
+                    if count[r2, c2] == 0:
+                        nxt.append((r2, c2))
+            stack.extend(reversed(nxt))   # DFS in literal c order
+
+    for r in range(H):
+        for cc in range(W):
+            if valid[r, cc] and count[r, cc] == 0 and not done[r, cc]:
+                resolve(r, cc)
+    return pd.DataFrame({
+        "row_id": np.arange(H),
+        "n_valid": valid.sum(axis=1).astype(np.int64),
+        "sum_acc": np.round(
+            np.where(valid, np.where(done, upslope, 0.0), 0.0).sum(axis=1),
+            round_to)})

@@ -394,6 +394,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             raster.RasterSpec()),
         "extract_values_at_points": lambda sf:
             raster_stats.extract_raster_values_at_points(sf),
+        "xyz_text_to_raster": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.xyz",
+            fromlist=["x"]).xyz_text_to_raster(sf),
         "raster_resample": lambda sf: raster_stats.resample_nn(
             raster.RasterSpec(), out_rows=100, out_cols=160),
         # --- terrain derivatives + hydrology (TerrainAnalysisTools, HydroTools) ---
@@ -999,6 +1002,9 @@ def oracle_sql() -> dict[str, str]:
         "random_field": o.random_field_sql(),
         "conditional_evaluation": o.conditional_evaluation_sql(),
         "extract_values_at_points": o.extract_values_at_points_sql(),
+        "xyz_text_to_raster": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.xyz",
+            fromlist=["x"]).xyz_text_to_raster_sql(),
         "terrain_slope": o.slope_sql(),
         "terrain_tri": o.tri_sql(),
         "weighted_sum": o.weighted_sum_sql(),

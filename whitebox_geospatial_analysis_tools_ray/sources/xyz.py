@@ -156,3 +156,107 @@ def export_gml(features, path: str) -> None:
         f.write('<?xml version="1.0"?><gml:FeatureCollection '
                 'xmlns:gml="http://www.opengis.net/gml">'
                 + body + "</gml:FeatureCollection>")
+
+
+# ---------------------------------------------------------------------------
+# XYZTextToRaster (ConversionTools/src/plugins/XYZTextToRaster.java:
+# 200-255): points from delimited text land in a base raster's cells
+# via the tool's OWN registration — row = floor((y − south)/resY)
+# (BOTTOM-UP row index, :249 — unlike every other tool's north-down
+# Math.round registration) and col = floor((x − west)/resX); collisions
+# resolve LAST-WINS in file read order (setValue overwrites, :252).
+# The delimiter cascade (arg → tab → space → comma, :231-243) is
+# sticky sequential state in the reference; for a single-delimiter
+# file (ours) per-line detection is identical — documented
+# substitution.
+#
+# The text file generates deterministically from the documents points
+# (x y z rec_id — the 4th column carries the read order the reference
+# gets implicitly from file position; the tool itself reads only
+# [0..2], :244-247).  Ray plan: read_text → stateless parse →
+# per-batch last-wins partials (max rec_id per cell) → one bounded
+# pandas final (the repo's small-final rule).  Exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def write_xyz_from_documents(sf_dir: str, path: str) -> str:
+    """Driver-side deterministic XYZ text emitter (rec_id order)."""
+    import pyarrow.parquet as pq
+
+    from ..core.features import doc_points
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    b = doc_points({"doc_id": t["doc_id"].to_numpy(),
+                    "n_chars": t["n_chars"].to_numpy()})
+    order = np.argsort(b["rec_id"], kind="stable")
+    with open(path, "w") as f:
+        for i in order:
+            f.write(f"{b['x'][i]!r}\t{b['y'][i]!r}\t{b['z'][i]!r}"
+                    f"\t{b['rec_id'][i]}\n")
+    return path
+
+
+def xyz_text_to_raster(sf_dir: str, rows: int = 256, cols: int = 256,
+                       round_to: int = 6) -> pd.DataFrame:
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from ..core.rng import EAST, NORTH, SOUTH, WEST
+
+    csx = (EAST - WEST) / cols
+    csy = (NORTH - SOUTH) / rows
+    path = os.path.join(tempfile.gettempdir(),
+                        f"wgat_xyz_{abs(hash(sf_dir)) % 10**8}.txt")
+    write_xyz_from_documents(sf_dir, path)
+
+    def parse(batch) -> pd.DataFrame:
+        out = {"row": [], "col": [], "z": [], "rec": []}
+        for line in batch["text"]:
+            parts = line.split("\t")
+            if len(parts) < 3:
+                parts = line.split(" ")
+                if len(parts) < 3:
+                    parts = line.split(",")
+            if len(parts) < 3:
+                continue
+            x, y, z = float(parts[0]), float(parts[1]), float(parts[2])
+            out["row"].append(int(np.floor((y - SOUTH) / csy)))
+            out["col"].append(int(np.floor((x - WEST) / csx)))
+            out["z"].append(z)
+            out["rec"].append(int(parts[3]))
+        df = pd.DataFrame(out)
+        # per-batch last-wins partial: keep the max-rec entry per cell
+        df = (df.sort_values("rec").groupby(["row", "col"], as_index=False)
+              .last())
+        return df
+
+    parts = (rd.read_text(path).map_batches(parse, batch_format="numpy")
+             .to_pandas())
+    final = (parts.sort_values("rec").groupby(["row", "col"],
+                                              as_index=False).last())
+    final["z"] = np.round(final["z"], round_to)
+    return (final[["row", "col", "z"]]
+            .sort_values(["row", "col"]).reset_index(drop=True))
+
+
+def xyz_text_to_raster_sql(rows: int = 256, cols: int = 256) -> str:
+    from ..core.features import POINTS_CTE
+
+    csx = 4000.0 / cols
+    csy = 4000.0 / rows
+    return f"""
+WITH {POINTS_CTE},
+rc AS (SELECT rec_id,
+    CAST(floor((y - 0.0) / {csy!r}) AS BIGINT) AS row,
+    CAST(floor((x - 0.0) / {csx!r}) AS BIGINT) AS col,
+    z
+  FROM pts),
+last AS (SELECT row, col, z,
+    row_number() OVER (PARTITION BY row, col ORDER BY rec_id DESC) AS rn
+  FROM rc)
+SELECT row, col, round(z, 6) AS z FROM last WHERE rn = 1
+ORDER BY row, col
+"""

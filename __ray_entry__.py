@@ -397,6 +397,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xyz_text_to_raster": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.xyz",
             fromlist=["x"]).xyz_text_to_raster(sf),
+        "create_rect_grid": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.gridding",
+            fromlist=["x"]).create_rect_grid(sf),
         "raster_resample": lambda sf: raster_stats.resample_nn(
             raster.RasterSpec(), out_rows=100, out_cols=160),
         # --- terrain derivatives + hydrology (TerrainAnalysisTools, HydroTools) ---
@@ -1005,6 +1008,9 @@ def oracle_sql() -> dict[str, str]:
         "xyz_text_to_raster": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.xyz",
             fromlist=["x"]).xyz_text_to_raster_sql(),
+        "create_rect_grid": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.gridding",
+            fromlist=["x"]).create_rect_grid_sql(),
         "terrain_slope": o.slope_sql(),
         "terrain_tri": o.tri_sql(),
         "weighted_sum": o.weighted_sum_sql(),

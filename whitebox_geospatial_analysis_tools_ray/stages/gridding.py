@@ -462,3 +462,72 @@ SELECT r AS row_id,
        round(SUM(dens), 6) AS row_sum
 FROM res GROUP BY r ORDER BY row_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CreateRectangularVectorGrid (WhiteboxGIS/resources/plugins/Scripts/
+# CreateRectangularVectorGrid.groovy:142-171): grid cells snapped to an
+# origin — startXGrid = floor((minX − originX)/widthX), endXGrid =
+# ceil((maxX − originX)/widthX) (same for Y), one polygon per (row,
+# col) with corners at originX + col·widthX etc.  Extent = the
+# documents point layer (one distributed min/max reduce); cells
+# generate as independent row-band tasks (nothing materializes
+# driver-side).  CreateHexagonalVectorGrid = the same plan with the
+# HexBinning axial geometry (`tile_hex`).  Exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def create_rect_grid(sf_dir: str, width_x: float = 250.0,
+                     width_y: float = 250.0, origin_x: float = 13.0,
+                     origin_y: float = 7.0) -> pd.DataFrame:
+    from .points import extent_of, read_points
+
+    minx, miny, maxx, maxy = extent_of(read_points(sf_dir))
+    sx = int(math.floor((minx - origin_x) / width_x))
+    ex = int(math.ceil((maxx - origin_x) / width_x))
+    sy = int(math.floor((miny - origin_y) / width_y))
+    ey = int(math.ceil((maxy - origin_y) / width_y))
+
+    def gen(batch):
+        out = {"grid_row": [], "grid_col": [], "minx": [], "miny": [],
+               "maxx": [], "maxy": []}
+        for rid in batch["id"]:
+            row = sy + int(rid)
+            for col in range(sx, ex):
+                out["grid_row"].append(row)
+                out["grid_col"].append(col)
+                out["minx"].append(origin_x + col * width_x)
+                out["miny"].append(origin_y + row * width_y)
+                out["maxx"].append(origin_x + (col + 1) * width_x)
+                out["maxy"].append(origin_y + (row + 1) * width_y)
+        return pd.DataFrame(out)
+
+    cells = (rd.range(ey - sy).map_batches(gen, batch_format="numpy")
+             .to_pandas())
+    return (cells.sort_values(["grid_row", "grid_col"])
+            .reset_index(drop=True))
+
+
+def create_rect_grid_sql(width_x: float = 250.0, width_y: float = 250.0,
+                         origin_x: float = 13.0, origin_y: float = 7.0,
+                         cap: int = 64) -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+ext AS (SELECT MIN(x) AS minx, MIN(y) AS miny,
+               MAX(x) AS maxx, MAX(y) AS maxy FROM pts),
+g AS (SELECT CAST(floor((minx - {origin_x!r}) / {width_x!r}) AS BIGINT)
+        AS sx,
+      CAST(ceil((maxx - {origin_x!r}) / {width_x!r}) AS BIGINT) AS ex,
+      CAST(floor((miny - {origin_y!r}) / {width_y!r}) AS BIGINT) AS sy,
+      CAST(ceil((maxy - {origin_y!r}) / {width_y!r}) AS BIGINT) AS ey
+      FROM ext)
+SELECT sy + r.range AS grid_row, sx + c.range AS grid_col,
+  {origin_x!r} + (sx + c.range) * {width_x!r} AS minx,
+  {origin_y!r} + (sy + r.range) * {width_y!r} AS miny,
+  {origin_x!r} + (sx + c.range + 1) * {width_x!r} AS maxx,
+  {origin_y!r} + (sy + r.range + 1) * {width_y!r} AS maxy
+FROM range({cap}) r CROSS JOIN range({cap}) c CROSS JOIN g
+WHERE r.range < ey - sy AND c.range < ex - sx
+ORDER BY grid_row, grid_col
+"""

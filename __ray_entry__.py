@@ -837,6 +837,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epipolar_transform": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
             fromlist=["x"]).epipolar_transform(sf),
+        "locate_conjugate_point": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.conjugate",
+            fromlist=["x"]).locate_conjugate_point(sf),
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
         "raster_to_polygons": lambda sf: _r2poly_q(sf),

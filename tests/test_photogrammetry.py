@@ -187,3 +187,38 @@ def test_epipolar_transform_shape_and_guard():
     assert left["n_valid"].sum() > 0 and right["n_valid"].sum() > 0
     # the rotated corners fall outside the source grid -> some NoData rows
     assert (left["n_valid"] < left["n_valid"].max()).any()
+
+
+def test_conjugate_point_kernel_mirror():
+    """Vectorized findPixelMatch == the pure sequential literal replay
+    (reduced parameters keep the loop mirror affordable)."""
+    from whitebox_geospatial_analysis_tools_ray.stages import conjugate as cj
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import (
+        RasterSpec)
+
+    spec = RasterSpec()
+    gr = cj._get_ref(spec)
+    gt = cj._get_trans(spec)
+    for (r, c, tr, tc) in [(100, 100, 108, 91), (180, 50, 188, 42)]:
+        vec = cj.find_pixel_match(gr, gt, c, r, tc, tr, fine_search=True,
+                                  start=12, step=6, window=6, max_neigh=30)
+        lit = cj.find_pixel_match_literal(gr, gt, c, r, tc, tr,
+                                          fine_search=True, start=12,
+                                          step=6, window=6, max_neigh=30)
+        assert vec[:2] == lit[:2]
+        assert abs(vec[2] - lit[2]) < 1e-9
+
+
+def test_conjugate_point_finds_known_shift(ray_session):
+    """At the tool's real parameters the matcher recovers the exact
+    (SHIFT_R, SHIFT_C) translation for interior control points."""
+    from whitebox_geospatial_analysis_tools_ray.stages import conjugate as cj
+
+    got = cj.locate_conjugate_point(SF_DIR, n_points=6)
+    assert len(got) == 6
+    interior = got[(got["ref_row"].between(45, 210))
+                   & (got["ref_col"].between(45, 210)) & got["accepted"]]
+    assert len(interior) > 0
+    assert (interior["match_row"] == interior["ref_row"] + cj.SHIFT_R).all()
+    assert (interior["match_col"] == interior["ref_col"] + cj.SHIFT_C).all()
+    assert (interior["corr"] >= 0.999999).all()

@@ -315,7 +315,7 @@ def _get_trans(spec: RasterSpec, sr: int = SHIFT_R, sc: int = SHIFT_C):
     return get
 
 
-def locate_conjugate_point(sf_dir: str, n_points: int = 16,
+def locate_conjugate_point(sf_dir: str, n_points: int = 8,
                            spec: RasterSpec | None = None,
                            round_to: int = 6) -> pd.DataFrame:
     """One row per control point: the matched transformed-image cell

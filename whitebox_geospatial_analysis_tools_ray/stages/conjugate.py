@@ -364,7 +364,7 @@ def locate_conjugate_point(sf_dir: str, n_points: int = 8,
             out["accepted"].append(bool(s >= ACCEPT_THRESHOLD))
         return pd.DataFrame(out)
 
-    return (pts.map_batches(match, batch_format="numpy", batch_size=2)
+    return (pts.map_batches(match, batch_format="numpy", batch_size=1)
             .to_pandas().sort_values("pt_id").reset_index(drop=True))
 
 

@@ -840,6 +840,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locate_conjugate_point": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.conjugate",
             fromlist=["x"]).locate_conjugate_point(sf),
+        "surf_pixel_matching": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.surf",
+            fromlist=["x"]).surf_pixel_matching(sf),
         # --- vector→raster conversion (ConversionTools) ---
         "rasterize_polygons": lambda sf: rasterize.rasterize_triangles(),
         "raster_to_polygons": lambda sf: _r2poly_q(sf),

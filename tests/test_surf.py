@@ -217,7 +217,9 @@ def test_orientation_descriptor_mirror():
             mag = np.float32(np.float32(sx * sx) + np.float32(sy * sy))
             if mag > best:
                 best = mag
-                want_ori = float(surf._get_angle(float(sx), float(sy)))
+                # Surf.java:243 narrows to float32 before storage
+                want_ori = float(np.float32(
+                    surf._get_angle(float(sx), float(sy))))
             ang1 = np.float32(ang1 + np.float32(0.15))
         assert ori == want_ori
 
@@ -272,7 +274,8 @@ def test_descriptor_exact_scalar_mirror():
             ys = math.floor(yr + (jx * scale * co + ix * scale * si)
                             + 0.5)
             dx = dy = mdx = mdy = 0.0
-            sig = float(np.float32(np.float32(2.5) * np.float32(scale)))
+            # 2.5F widens to double against the double-declared scale
+            sig = 2.5 * float(scale)
             hsize = int(2 * math.floor(scale + 0.5))
             for k in range(i, i + 9):
                 for l in range(j, j + 9):

@@ -146,17 +146,38 @@ TILE_W = 250.0
 TILE_COLS = 16  # extent [0, 4000) → 16 × 16 fixed grid
 
 
+_LAS_WRITER_VERSION = "v3"  # bump when the synthesis rule changes
+
+
+def _content_tag(sf_dir: str) -> str:
+    """md5 over the documents.parquet BYTES + writer version — so a
+    regenerated table at the same path never reuses a stale fixture
+    (the round-1 driver-red cause: a path-keyed cache)."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(_LAS_WRITER_VERSION.encode())
+    src = os.path.join(sf_dir, "documents.parquet")
+    files = ([src] if os.path.isfile(src) else
+             sorted(os.path.join(r, f) for r, _, fs in os.walk(src)
+                    for f in fs))
+    for fp in files:
+        with open(fp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+    return h.hexdigest()[:12]
+
+
 def synth_las_path(sf_dir: str) -> str:
     """Write (once) the deterministic LAS derived from documents:
     quantized geocoded x/y, z = n_chars, intensity = doc_id % 4096,
-    classification = doc_id % 7 + 1."""
-    import hashlib
+    classification = doc_id % 7 + 1. Cache is keyed by a CONTENT hash
+    of the source table plus the writer version."""
     import os
 
     from ..stages.points import read_points
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/graft_las_v2_{tag}.las"   # v2: + scan_angle/edge flags
+    path = f"/tmp/graft_las_{_content_tag(sf_dir)}.las"
     if not os.path.exists(path):
         pts = read_points(sf_dir).to_pandas().sort_values("rec_id")
         ids = pts["rec_id"].to_numpy()
@@ -167,9 +188,15 @@ def synth_las_path(sf_dir: str) -> str:
     return path
 
 
-def las_tile_stats(sf_dir: str, round_to: int = 6):
+def las_tile_stats(sf_dir: str):
     """(tile_id, n_points, sum_intensity, sum_z) over the fixed grid —
-    the TileLasFile.groovy:172-174 floor rule on dequantized coords."""
+    the TileLasFile.groovy:172-174 floor rule on dequantized coords.
+
+    ``sum_z`` is INTEGER-EXACT: z values are exact multiples of 2⁻¹⁰,
+    so each partial sums the re-quantized int64 ``z·1024`` and the
+    final divides the integer total by 1024 once — no rounding rule to
+    disagree about between Python and DuckDB (the round-1 red row was a
+    banker's-vs-half-away divergence on dyadic ties)."""
     ds = read_las(synth_las_path(sf_dir))
 
     def partial(batch) -> pd.DataFrame:
@@ -177,11 +204,13 @@ def las_tile_stats(sf_dir: str, round_to: int = 6):
         y = np.asarray(batch["y"])
         tile = (np.floor(y / TILE_W).astype(np.int64) * TILE_COLS
                 + np.floor(x / TILE_W).astype(np.int64))
+        # z = zi·2⁻¹⁰ exactly, so z·1024 is an exact integer-valued float
+        zq = np.floor(np.asarray(batch["z"]) * 1024.0 + 0.5).astype(np.int64)
         df = pd.DataFrame({"tile_id": tile, "one": 1,
                            "i": np.asarray(batch["intensity"]),
-                           "z": np.asarray(batch["z"])})
+                           "zq": zq})
         g = df.groupby("tile_id").agg(n=("one", "sum"), si=("i", "sum"),
-                                      sz=("z", "sum"))
+                                      szq=("zq", "sum"))
         return g.reset_index()
 
     from ..stages.util import coalesce_partials
@@ -192,7 +221,7 @@ def las_tile_stats(sf_dir: str, round_to: int = 6):
             "tile_id": [int(df["tile_id"].iloc[0])],
             "n_points": [int(df["n"].sum())],
             "sum_intensity": [int(df["si"].sum())],
-            "sum_z": [round(float(df["sz"].sum()), round_to)]})
+            "sum_z": [float(int(df["szq"].sum()) / 1024.0)]})
 
     return (coalesce_partials(parts).groupby("tile_id")
             .map_groups(final, batch_format="pandas").sort("tile_id"))
@@ -215,11 +244,12 @@ las AS (
 keyed AS (
   SELECT CAST(floor(y / {TILE_W!r}) AS BIGINT) * {TILE_COLS}
          + CAST(floor(x / {TILE_W!r}) AS BIGINT) AS tile_id,
-         intensity, z
+         intensity,
+         CAST(floor(z * {q!r} + 0.5) AS BIGINT) AS zq
   FROM las)
 SELECT tile_id, COUNT(*) AS n_points,
        SUM(intensity) AS sum_intensity,
-       round(SUM(z), 6) AS sum_z
+       SUM(zq) / {q!r} AS sum_z
 FROM keyed GROUP BY tile_id ORDER BY tile_id
 """
 

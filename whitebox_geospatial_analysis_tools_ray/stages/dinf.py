@@ -7,8 +7,10 @@ acVals={0,1,1,2,2,3,3,4}, afVals={1,-1,…}; per facet s1=(e0−e1)/res
 (0 → 0.00001 substitution), s2=(e1−e2)/res, r=atan(s2/s1),
 s=√(s1²+s2²) with the reference's sign flips, clamped to [0, 45°];
 steepest s wins (``s >= maxSlope && s != 0.00001``); the one-sided
-e0>e1 / e0>e2 fallback; final angle rounded to 0.1°
-(Java Math.round semantics), mapped 360−θ+90 (mod 360); no positive
+e0>e1 / e0>e2 fallback; final angle TRUNCATED to whole degrees —
+``Math.round((deg)*10)/10`` where Math.round yields a long and /10 is
+Java INTEGER division (round-half-up to decidegrees, then floor-divide
+by 10) — mapped 360−θ+90 (mod 360); no positive
 facet → −1; NoData → NoData.
 
 ACCUMULATION (FlowAccumDinf.java:403-480): each cell splits its
@@ -72,7 +74,7 @@ def dinf_pointer_kernel(p: np.ndarray, nodata: float,
             r = np.arctan(s2 / s1)
             s = np.sqrt(s1 * s1 + s2 * s2)
         neg = ((s1 < 0) & (s2 < 0)) | ((s1 < 0) & (s2 == 0)) \
-            | ((s1 == 0) & (s2 < 0))
+            | ((s1 == 0) & (s2 < 0)) | ((s1 == 0.001) & (s2 < 0))
         s = np.where(neg, -s, s)
         # clamp r to [0, atan(1)] with the reference's replacements
         s = np.where(r < 0, s1, np.where(r > _ATAN1,
@@ -91,7 +93,10 @@ def dinf_pointer_kernel(p: np.ndarray, nodata: float,
         max_slope = np.where(accept, s_s, max_slope)
         flow = np.where(accept, fd_s, flow)
 
-    deg = np.floor(flow * (180.0 / np.pi) * 10.0 + 0.5) / 10.0  # Java round
+    # FlowPointerDinf.java:275 — Math.round returns LONG and /10 is Java
+    # integer division, so the direction truncates to whole degrees:
+    # round-half-up to decidegrees, then integer-divide by 10.
+    deg = np.floor(flow * (180.0 / np.pi) * 10.0 + 0.5) // 10.0
     deg = 360.0 - deg + 90.0
     deg = np.where(deg > 360.0, deg - 360.0, deg)
     res = np.where(max_slope <= 0, -1.0, deg)

@@ -335,7 +335,10 @@ def orientation_of(ii: np.ndarray, x: float, y: float,
         mag = np.float32(sx * sx + sy * sy)
         if mag > best:
             best = mag
-            orientation = float(_get_angle(float(sx), float(sy)))
+            # Surf.java:243 — orientation = (float) getAngle(sumX, sumY):
+            # the double angle is NARROWED to float32 before storage
+            # (later widened back for cos/sin in the descriptor)
+            orientation = float(np.float32(_get_angle(float(sx), float(sy))))
         ang1 = np.float32(ang1 + np.float32(0.15))
     return orientation
 
@@ -371,7 +374,10 @@ def descriptor_of(ii: np.ndarray, x: float, y: float, scale: float,
                                 + 0.5).astype(np.int64)
             sample_y = np.floor(yr + (l * scale * co + k * scale * si)
                                 + 0.5).astype(np.int64)
-            sig = float(np.float32(np.float32(2.5) * np.float32(scale)))
+            # Surf.java:302 `2.5F * scale` — scale is declared DOUBLE in
+            # getMDescriptor, so the float literal widens and the
+            # multiply is a double multiply (exact: ≤26 mantissa bits)
+            sig = 2.5 * float(scale)
             dxs = xs - sample_x
             dys = ys - sample_y
             g1 = (1.0 / (2.0 * math.pi * sig * sig)) \

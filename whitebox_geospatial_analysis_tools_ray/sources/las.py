@@ -102,9 +102,14 @@ def write_las(path: str, x: np.ndarray, y: np.ndarray, z: np.ndarray,
         f.write(rec.tobytes())
 
 
-def read_las(path: str, chunk_points: int = 262_144):
+def read_las(path: str, chunk_points: int = 262_144,
+             with_index: bool = False):
     """LAS points as a streaming Ray Dataset
-    (x, y, z, intensity, classification) — one task per record chunk."""
+    (x, y, z, intensity, classification) — one task per record chunk.
+
+    ``with_index=True`` adds the global FILE-ORDER record index as an
+    ``index`` column, derived per chunk from the chunk id's base offset
+    (no driver materialization needed to number the cloud)."""
     import ray.data as rd
 
     hdr = read_las_header(path)
@@ -124,17 +129,34 @@ def read_las(path: str, chunk_points: int = 262_144):
                 f.seek(hdr.point_offset + p0 * _PT_DTYPE.itemsize)
                 raw = f.read((p1 - p0) * _PT_DTYPE.itemsize)
             rec = np.frombuffer(raw, dtype=_PT_DTYPE)
-            frames.append(pd.DataFrame({
+            cols = {
                 "x": rec["xi"] * sx + ox,
                 "y": rec["yi"] * sy + oy,
                 "z": rec["zi"] * sz + oz,
                 "intensity": rec["intensity"].astype(np.int64),
                 "classification": rec["classification"].astype(np.int64),
                 "scan_angle": rec["scan_angle"].astype(np.int64),
-                "flags": rec["flags"].astype(np.int64)}))
+                "flags": rec["flags"].astype(np.int64)}
+            if with_index:
+                cols["index"] = np.arange(p0, p1, dtype=np.int64)
+            frames.append(pd.DataFrame(cols))
         return pd.concat(frames, ignore_index=True)
 
     return rd.range(n_chunks).map_batches(load, batch_format="numpy")
+
+
+def las_extent(ds) -> tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy) of a LAS point Dataset — per-batch
+    partial min/max, 4-float driver combine (the extent pre-scan of
+    InterpolationNN.java:334-339, streamed)."""
+    def partial(b):
+        return pd.DataFrame({
+            "minx": [float(np.min(b["x"]))], "miny": [float(np.min(b["y"]))],
+            "maxx": [float(np.max(b["x"]))], "maxy": [float(np.max(b["y"]))]})
+
+    df = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    return (float(df["minx"].min()), float(df["miny"].min()),
+            float(df["maxx"].max()), float(df["maxy"].max()))
 
 
 # ---------------------------------------------------------------------------
@@ -333,55 +355,125 @@ def lidar_nn_interpolation(sf_dir: str, resolution: float = 100.0,
     north = maxY + res/2, rows/cols = ceil(extent/res)
     (InterpolationNN.java:334-339); each cell takes its single nearest
     LAS point's z when the SQUARED distance is strictly under
-    maxDist², else NoData. The LAS file is READ through the
-    byte-range chunk source (quantized coordinates make the whole
-    pipeline exactly SQL-mirrorable); points are the broadcast small
-    side (the per-file LiDAR tables of the reference), the banded grid
-    evaluation is the gridding plan. Min/Max/IDW variants = the same
-    join with a different reducer. Exact SQL oracle."""
+    maxDist², else NoData (first minimum = lowest record index on
+    ties). Exact SQL oracle.
+
+    Distributed plan (round 2 — was a broadcast-all-points dense
+    matrix): the neighbour-cell DUPLICATION shuffle from
+    ``stages/knn.py:40`` — LAS points stream through the byte-range
+    chunk source and are emitted to every ``max_dist``-pitch grid cell
+    whose expanded box contains them; raster query cells are keyed by
+    their one grid cell; ``groupby(cell).map_groups`` refines each
+    group with a bounded (local-cells × local-points) matrix. No
+    point-cloud driver materialization anywhere. The per-row reduce is
+    a bounded-key partial+final combine (z values are exact dyadic
+    multiples of 2⁻¹⁰ so partial sums are order-free)."""
     import math
 
-    import ray
     import ray.data as rd
 
+    from ..stages.util import coalesce_partials
+
     NODATA = -32768.0
-    pts = read_las(synth_las_path(sf_dir)).to_pandas()
-    px = pts["x"].to_numpy()
-    py = pts["y"].to_numpy()
-    pz = pts["z"].to_numpy()
-    order = np.arange(len(px), dtype=np.int64)  # file record order
-    west = px.min() - 0.5 * resolution
-    north = py.max() + 0.5 * resolution
-    nrows = int(math.ceil((north - py.min()) / resolution))
-    ncols = int(math.ceil((px.max() - west) / resolution))
+    pts_ds = read_las(synth_las_path(sf_dir), with_index=True)
+    minx, miny, maxx, maxy = las_extent(pts_ds)
+    west = minx - 0.5 * resolution
+    north = maxy + 0.5 * resolution
+    nrows = int(math.ceil((north - miny) / resolution))
+    ncols = int(math.ceil((maxx - west) / resolution))
     md2 = max_dist * max_dist
     half = resolution / 2.0
-    ref = ray.put((px, py, pz, order))
+    pitch = max_dist
     band_rows = 16
     n_bands = math.ceil(nrows / band_rows)
 
-    def solve(batch) -> pd.DataFrame:
-        sx, sy, sz, rec = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
-            else ref
-        out = []
+    def emit_cells(batch) -> pd.DataFrame:
+        frames = []
         for b in batch["id"]:
             r0 = int(b) * band_rows
             r1 = min(r0 + band_rows, nrows)
-            y = ((north - half) - np.arange(r0, r1) * resolution)[:, None]
-            x = (np.arange(ncols) * resolution + (west + half))[None, :]
-            d2 = (x[..., None] - sx) ** 2 + (y[..., None] - sy) ** 2
-            best = d2.argmin(axis=-1)   # first minimum = lowest record
-            bd = np.take_along_axis(d2, best[..., None], axis=-1)[..., 0]
-            vals = np.where(bd < md2, sz[best], NODATA)
-            ok = vals != NODATA
-            out.append(pd.DataFrame({
-                "row_id": np.arange(r0, r1),
-                "n_valid": ok.sum(axis=1).astype(np.int64),
-                "row_sum": np.round(np.where(ok, vals, 0.0).sum(axis=1),
-                                    round_to)}))
-        return pd.concat(out, ignore_index=True)
+            r = np.repeat(np.arange(r0, r1, dtype=np.int64), ncols)
+            c = np.tile(np.arange(ncols, dtype=np.int64), r1 - r0)
+            x = c * resolution + (west + half)
+            y = (north - half) - r * resolution
+            gx = np.floor(x / pitch).astype(np.int64)
+            gy = np.floor(y / pitch).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "gkey": gx * 1_000_003 + gy,
+                "role": np.zeros(len(r), dtype=np.int64),
+                "rid": r, "x": x, "y": y, "z": np.zeros(len(r))}))
+        return pd.concat(frames, ignore_index=True)
 
-    return (rd.range(n_bands).map_batches(solve, batch_format="numpy")
+    cells = rd.range(n_bands).map_batches(emit_cells, batch_format="numpy")
+
+    def duplicate(batch) -> pd.DataFrame:
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        z = np.asarray(batch["z"], dtype=np.float64)
+        rid = np.asarray(batch["index"], dtype=np.int64)
+        gx0 = np.floor(x / pitch).astype(np.int64)
+        gy0 = np.floor(y / pitch).astype(np.int64)
+        out = {k: [] for k in ("gkey", "role", "rid", "x", "y", "z")}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tgx, tgy = gx0 + dx, gy0 + dy
+                bx0, bx1 = tgx * pitch, (tgx + 1) * pitch
+                by0, by1 = tgy * pitch, (tgy + 1) * pitch
+                ddx = np.maximum(np.maximum(bx0 - x, x - bx1), 0.0)
+                ddy = np.maximum(np.maximum(by0 - y, y - by1), 0.0)
+                m = (ddx * ddx + ddy * ddy) < md2
+                if not m.any():
+                    continue
+                out["gkey"].append(tgx[m] * 1_000_003 + tgy[m])
+                out["role"].append(np.ones(int(m.sum()), dtype=np.int64))
+                out["rid"].append(rid[m])
+                out["x"].append(x[m]); out["y"].append(y[m])
+                out["z"].append(z[m])
+        if not out["gkey"]:
+            return pd.DataFrame({k: np.array([], dtype=np.int64
+                                 if k in ("gkey", "role", "rid")
+                                 else np.float64) for k in out})
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    pts_dup = pts_ds.map_batches(duplicate, batch_format="numpy")
+
+    def per_cell_group(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["role"] == 0]
+        if len(qs) == 0:
+            return pd.DataFrame({"row_id": pd.Series([], dtype="int64"),
+                                 "nv": pd.Series([], dtype="int64"),
+                                 "rs": pd.Series([], dtype="float64")})
+        ps = g[g["role"] == 1]
+        rows = qs["rid"].to_numpy()
+        vals = np.full(len(qs), NODATA)
+        if len(ps):
+            qx = qs["x"].to_numpy(); qy = qs["y"].to_numpy()
+            px = ps["x"].to_numpy(); py = ps["y"].to_numpy()
+            pz = ps["z"].to_numpy(); prec = ps["rid"].to_numpy()
+            d2 = (qx[:, None] - px) ** 2 + (qy[:, None] - py) ** 2
+            bd = d2.min(axis=1)
+            # first minimum in FILE ORDER = lowest record index on ties
+            big = np.where(d2 == bd[:, None], prec[None, :],
+                           np.iinfo(np.int64).max)
+            pick = np.argmin(big, axis=1)
+            vals = np.where(bd < md2, pz[pick], NODATA)
+        ok = vals != NODATA
+        out = pd.DataFrame({"row_id": rows, "nv": ok.astype(np.int64),
+                            "rs": np.where(ok, vals, 0.0)})
+        return out.groupby("row_id", as_index=False).sum()
+
+    both = coalesce_partials(cells.union(pts_dup))
+    parts = both.groupby("gkey").map_groups(per_cell_group,
+                                            batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "row_id": [int(df["row_id"].iloc[0])],
+            "n_valid": [int(df["nv"].sum())],
+            "row_sum": [round(float(df["rs"].sum()), round_to)]})
+
+    return (coalesce_partials(parts).groupby("row_id")
+            .map_groups(final, batch_format="pandas")
             .to_pandas().sort_values("row_id").reset_index(drop=True))
 
 
@@ -456,7 +548,7 @@ def isolate_ground_points(sf_dir: str, max_dist: float = 600.0,
 
     pitch = max_dist
     p2 = max_dist * max_dist
-    pts_ds = read_las(synth_las_path(sf_dir))
+    pts_ds = read_las(synth_las_path(sf_dir), with_index=True)
 
     def emit(batch) -> pd.DataFrame:
         x = np.asarray(batch["x"], dtype=np.float64)
@@ -510,28 +602,34 @@ def isolate_ground_points(sf_dir: str, max_dist: float = 600.0,
             "za": qs["z"].to_numpy()[ai],
             "zb": ps["z"].to_numpy()[bi]})
 
-    # index points in file order (chunk source preserves record order)
-    df = pts_ds.to_pandas()
-    df["index"] = np.arange(len(df), dtype=np.int64)
     from ..stages.util import coalesce_partials
     pairs = (coalesce_partials(
-        rd.from_pandas(df).map_batches(emit, batch_format="pandas"))
+        pts_ds.map_batches(emit, batch_format="pandas"))
         .groupby("gkey").map_groups(per_cell, batch_format="pandas")
         .to_pandas())
 
+    # n_points from the header, n_centres from a tiny partial count —
+    # the point cloud itself never materializes on the driver
+    n_points = read_las_header(synth_las_path(sf_dir)).n_points
+
+    def count_centres(b) -> pd.DataFrame:
+        wh = (np.asarray(b["classification"], dtype=np.int64) >> 7) & 1 == 1
+        return pd.DataFrame({"n": [int((~wh).sum())]})
+
+    n_centres = int(pts_ds.map_batches(count_centres, batch_format="numpy")
+                    .to_pandas()["n"].sum())
+
     # fallback guard: every centre must already see ≥ num_neighbours
     counts = pairs.groupby("a").size()
-    n_centres = int((~(((df["classification"].to_numpy() >> 7) & 1) == 1))
-                    .sum())
     if len(counts) < n_centres or (counts < num_neighbours).any():
         raise AssertionError(
             "kNN fallback would trigger — raise max_dist")
 
     slope_thr = math.tan(math.radians(max_slope))
     min_ediff = 0.15
-    off = np.zeros(len(df), dtype=bool)
+    off = np.zeros(n_points, dtype=bool)
     by_a = {int(a): grp for a, grp in pairs.groupby("a", sort=True)}
-    for a in range(len(df)):
+    for a in range(n_points):
         if off[a]:
             continue
         grp = by_a.get(a)
@@ -548,8 +646,8 @@ def isolate_ground_points(sf_dir: str, max_dist: float = 600.0,
 
     n_off = int(off.sum())
     return pd.DataFrame({
-        "n_points": [len(df)],
-        "n_ground": [len(df) - n_off],
+        "n_points": [n_points],
+        "n_ground": [n_points - n_off],
         "n_off_terrain": [n_off],
         "sum_off_index": [int(np.flatnonzero(off).sum())]})
 
@@ -574,62 +672,131 @@ def lidar_canopy_model(sf_dir: str, resolution: float = 250.0,
     substitution rule as the repo's other KdTree-order cases — and the
     mirror test uses the identical order.
 
-    Distributed shape: per-band cell×point candidate extraction
-    against the broadcast LAS table (compact per-cell lists, O(density)
-    each), then a driver replay of the literal row-major mutation —
-    the isobasin compact-replay pattern. Rows-only."""
+    Distributed shape (round 2 — was a broadcast-all-points dense
+    scan): the neighbour-cell duplication shuffle (``stages/knn.py``
+    plan, pitch = the √2·res/2 radius); each ``groupby`` group
+    extracts its cells' compact candidate lists — (d², point index)
+    ascending, candidate x/y/z travelling WITH the row so the replay
+    needs no global arrays — then a driver replay of the literal
+    row-major mutation over the compact table (the isobasin
+    compact-replay pattern; O(points·density), never the cloud).
+    Rows-only."""
     import math
 
-    import ray
     import ray.data as rd
 
+    from ..stages.util import coalesce_partials
+
     NODATA = -32768.0
-    pts = read_las(synth_las_path(sf_dir)).to_pandas()
-    px = pts["x"].to_numpy(); py = pts["y"].to_numpy()
-    pz = pts["z"].to_numpy()
-    west = px.min() - 0.5 * resolution
-    north = py.max() + 0.5 * resolution
-    nrows = int(math.ceil((north - py.min()) / resolution))
-    ncols = int(math.ceil((px.max() - west) / resolution))
+    pts_ds = read_las(synth_las_path(sf_dir), with_index=True)
+    n_points = read_las_header(synth_las_path(sf_dir)).n_points
+    minx, miny, maxx, maxy = las_extent(pts_ds)
+    west = minx - 0.5 * resolution
+    north = maxy + 0.5 * resolution
+    nrows = int(math.ceil((north - miny) / resolution))
+    ncols = int(math.ceil((maxx - west) / resolution))
     max_dist = math.sqrt(2.0) * resolution / 2.0
     md2 = max_dist * max_dist
     half = resolution / 2.0
-    ref = ray.put((px, py, pz))
+    pitch = max_dist
     band_rows = 8
     n_bands = math.ceil(nrows / band_rows)
 
-    def extract(batch) -> pd.DataFrame:
-        sx, sy, sz = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        rows = []
+    def emit_cells(batch) -> pd.DataFrame:
+        frames = []
         for b in batch["id"]:
             r0 = int(b) * band_rows
             r1 = min(r0 + band_rows, nrows)
-            for r in range(r0, r1):
-                yy = north - half - r * resolution
-                for c in range(ncols):
-                    xx = west + half + c * resolution
-                    d2 = (xx - sx) ** 2 + (yy - sy) ** 2
-                    m = d2 <= md2
-                    idx = np.flatnonzero(m)
-                    if len(idx) == 0:
-                        continue
-                    order = np.lexsort((idx, d2[idx]))
-                    idx = idx[order]
-                    rows.append({"cell": r * ncols + c,
-                                 "idx": idx.astype(np.int64).tobytes(),
-                                 "d2": d2[idx].tobytes()})
-        return pd.DataFrame(rows) if rows else pd.DataFrame(
-            {"cell": [], "idx": [], "d2": []})
+            r = np.repeat(np.arange(r0, r1, dtype=np.int64), ncols)
+            c = np.tile(np.arange(ncols, dtype=np.int64), r1 - r0)
+            x = west + half + c * resolution
+            y = north - half - r * resolution
+            gx = np.floor(x / pitch).astype(np.int64)
+            gy = np.floor(y / pitch).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "gkey": gx * 1_000_003 + gy,
+                "role": np.zeros(len(r), dtype=np.int64),
+                "rid": r * ncols + c, "x": x, "y": y,
+                "z": np.zeros(len(r))}))
+        return pd.concat(frames, ignore_index=True)
 
-    cand = (rd.range(n_bands).map_batches(extract, batch_format="numpy")
+    cells = rd.range(n_bands).map_batches(emit_cells, batch_format="numpy")
+
+    def duplicate(batch) -> pd.DataFrame:
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        z = np.asarray(batch["z"], dtype=np.float64)
+        rid = np.asarray(batch["index"], dtype=np.int64)
+        gx0 = np.floor(x / pitch).astype(np.int64)
+        gy0 = np.floor(y / pitch).astype(np.int64)
+        out = {k: [] for k in ("gkey", "role", "rid", "x", "y", "z")}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tgx, tgy = gx0 + dx, gy0 + dy
+                bx0, bx1 = tgx * pitch, (tgx + 1) * pitch
+                by0, by1 = tgy * pitch, (tgy + 1) * pitch
+                ddx = np.maximum(np.maximum(bx0 - x, x - bx1), 0.0)
+                ddy = np.maximum(np.maximum(by0 - y, y - by1), 0.0)
+                m = (ddx * ddx + ddy * ddy) <= md2   # radius INCLUSIVE
+                if not m.any():
+                    continue
+                out["gkey"].append(tgx[m] * 1_000_003 + tgy[m])
+                out["role"].append(np.ones(int(m.sum()), dtype=np.int64))
+                out["rid"].append(rid[m])
+                out["x"].append(x[m]); out["y"].append(y[m])
+                out["z"].append(z[m])
+        if not out["gkey"]:
+            return pd.DataFrame({k: np.array([], dtype=np.int64
+                                 if k in ("gkey", "role", "rid")
+                                 else np.float64) for k in out})
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    def per_cell_group(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["role"] == 0]
+        ps = g[g["role"] == 1]
+        rows = []
+        if len(qs) and len(ps):
+            px = ps["x"].to_numpy(); py = ps["y"].to_numpy()
+            pz = ps["z"].to_numpy(); pidx = ps["rid"].to_numpy()
+            for xx, yy, cid in zip(qs["x"].to_numpy(),
+                                   qs["y"].to_numpy(),
+                                   qs["rid"].to_numpy()):
+                d2 = (xx - px) ** 2 + (yy - py) ** 2
+                m = d2 <= md2
+                sel = np.flatnonzero(m)
+                if len(sel) == 0:
+                    continue
+                order = np.lexsort((pidx[sel], d2[sel]))
+                sel = sel[order]
+                rows.append({"cell": int(cid),
+                             "idx": pidx[sel].tobytes(),
+                             "d2": d2[sel].tobytes(),
+                             "cx": px[sel].tobytes(),
+                             "cy": py[sel].tobytes(),
+                             "cz": pz[sel].tobytes()})
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"cell": pd.Series([], dtype="int64"),
+             "idx": pd.Series([], dtype=object),
+             "d2": pd.Series([], dtype=object),
+             "cx": pd.Series([], dtype=object),
+             "cy": pd.Series([], dtype=object),
+             "cz": pd.Series([], dtype=object)})
+
+    both = coalesce_partials(
+        cells.union(pts_ds.map_batches(duplicate, batch_format="numpy")))
+    cand = (both.groupby("gkey")
+            .map_groups(per_cell_group, batch_format="pandas")
             .to_pandas().sort_values("cell"))
 
     slope_thr = math.radians(max_slope)
-    nonground = np.zeros(len(px), dtype=bool)
+    nonground = np.zeros(n_points, dtype=bool)
     chm = {}
     for rec in cand.itertuples():
         idx = np.frombuffer(rec.idx, dtype=np.int64)
         d2c = np.frombuffer(rec.d2)
+        cx = np.frombuffer(rec.cx)
+        cy = np.frombuffer(rec.cy)
+        cz = np.frombuffer(rec.cz)
         if len(idx) <= 1:
             continue
         n = len(idx)
@@ -641,11 +808,11 @@ def lidar_canopy_model(sf_dir: str, resolution: float = 250.0,
                 bq = idx[j]
                 if nonground[bq]:
                     continue
-                dist = math.hypot(px[a] - px[bq], py[a] - py[bq])
-                if pz[a] > pz[bq]:
-                    hi, dv = a, pz[a] - pz[bq]
+                dist = math.hypot(cx[i] - cx[j], cy[i] - cy[j])
+                if cz[i] > cz[j]:
+                    hi, dv = a, cz[i] - cz[j]
                 else:
-                    hi, dv = bq, pz[bq] - pz[a]
+                    hi, dv = bq, cz[j] - cz[i]
                 if dist == 0.0:
                     if dv == 0.0:
                         continue        # 0/0 → NaN → no mark
@@ -662,10 +829,10 @@ def lidar_canopy_model(sf_dir: str, resolution: float = 250.0,
             if not nonground[a]:
                 if d2c[i] < min_d:
                     min_d = d2c[i]
-                    z = pz[a]
+                    z = cz[i]
             else:
-                if pz[a] > max_h:
-                    max_h = pz[a]
+                if cz[i] > max_h:
+                    max_h = cz[i]
         if z != NODATA and max_h > -np.inf and max_h - z > min_height:
             chm[int(rec.cell)] = max_h - z
 
@@ -701,7 +868,7 @@ def lidar_segmentation_weights(sf_dir: str, search_dist: float = 300.0,
 
     p2 = search_dist * search_dist
     thr = search_dist * math.tan(math.radians(65.0))
-    pts_ds = read_las(synth_las_path(sf_dir))
+    pts_ds = read_las(synth_las_path(sf_dir), with_index=True)
 
     def emit(batch) -> pd.DataFrame:
         x = np.asarray(batch["x"], dtype=np.float64)
@@ -754,10 +921,8 @@ def lidar_segmentation_weights(sf_dir: str, search_dist: float = 300.0,
                              "w": np.round(w, round_to)})
 
     from ..stages.util import coalesce_partials
-    df = pts_ds.to_pandas()
-    df["index"] = np.arange(len(df), dtype=np.int64)
     out = (coalesce_partials(
-        rd.from_pandas(df).map_batches(emit, batch_format="pandas"))
+        pts_ds.map_batches(emit, batch_format="pandas"))
         .groupby("gkey").map_groups(per_cell, batch_format="pandas")
         .to_pandas())
     return out.sort_values("rec_id").reset_index(drop=True)

@@ -1,0 +1,72 @@
+"""MinHash-LSH: distributed verify matches a literal driver mirror;
+mega-buckets degrade to linear star pairs (never O(m²))."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from whitebox_geospatial_analysis_tools_ray.stages import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mirror_verified(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """Single-process replay: candidates → exact Jaccard (the round-1
+    driver-side loop, kept as the correctness mirror)."""
+    import pyarrow.parquet as pq
+
+    cand = dedup.minhash_candidates(sf_dir).to_pandas()
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    lut = {int(r.doc_id): dedup._shingle_crcs(r.text)
+           for r in t.itertuples()}
+    out = {"doc_a": [], "doc_b": [], "jaccard": []}
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = lut[int(a)], lut[int(b)]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        denom = len(sa) + len(sb) - inter
+        j = inter / denom if denom else 0.0
+        if j >= threshold:
+            out["doc_a"].append(int(a))
+            out["doc_b"].append(int(b))
+            out["jaccard"].append(round(j, 6))
+    return (pd.DataFrame(out).sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+
+
+def test_verified_pairs_match_driver_mirror(ray_session):
+    got = dedup.minhash_verified_pairs(SF)
+    want = _mirror_verified(SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    assert len(got) > 0          # the corpus has near-dups by design
+
+
+def test_mega_bucket_caps_to_star_pairs(ray_session, tmp_path):
+    """3,000 identical docs land in ONE bucket per band; the capped
+    pair generator must emit O(m) star pairs, not C(m,2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = 3000
+    tbl = pa.table({
+        "doc_id": np.arange(m, dtype=np.int64),
+        "text": ["the same boilerplate page content again and again"] * m})
+    d = tmp_path / "mega"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    cand = dedup.minhash_candidates(str(d), max_bucket=256).to_pandas()
+    # star pairs: every doc connected to the min-id hub, exactly once
+    assert len(cand) == m - 1
+    assert set(cand["doc_a"]) == {0}
+    assert set(cand["doc_b"]) == set(range(1, m))
+
+
+def test_small_buckets_unchanged_by_cap(ray_session):
+    uncapped = (dedup.minhash_candidates(SF, max_bucket=10**9)
+                .to_pandas().sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
+    capped = (dedup.minhash_candidates(SF)
+              .to_pandas().sort_values(["doc_a", "doc_b"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(capped, uncapped)

@@ -136,11 +136,19 @@ class MinHasher:
         return pd.DataFrame(rows)
 
 
-def minhash_candidates(sf_dir: str, concurrency=None) -> "rd.Dataset":
+def minhash_candidates(sf_dir: str, concurrency=None,
+                       max_bucket: int = 1024) -> "rd.Dataset":
     """LSH bucket → candidate pairs (doc_a < doc_b), deduplicated.
 
     shingle→minhash→band in an actor pool; groupby (band_id, band_hash);
-    pairs per bucket; exact pair-dedup via a second groupby."""
+    pairs per bucket; exact pair-dedup via a second groupby.
+
+    MEGA-BUCKET CAP: an LSH bucket larger than ``max_bucket`` (the
+    boilerplate-heavy web-corpus case — thousands of near-identical
+    pages landing in one band hash) would emit O(m²) pairs. Above the
+    cap the bucket degrades to STAR pairs (min-id hub → every other
+    member): O(m) pairs that preserve the connected components a
+    dedup pass actually consumes. Below the cap output is unchanged."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from .util import pool_size
     bands = ds.map_batches(MinHasher, batch_format="pandas",
@@ -152,6 +160,9 @@ def minhash_candidates(sf_dir: str, concurrency=None) -> "rd.Dataset":
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
+        if len(ids) > max_bucket:   # star expansion: same components
+            return pd.DataFrame({"doc_a": np.full(len(ids) - 1, ids[0]),
+                                 "doc_b": ids[1:]})
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
@@ -194,40 +205,101 @@ def minhash_candidates(sf_dir: str, concurrency=None) -> "rd.Dataset":
     return uniq
 
 
-def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6) -> "rd.Dataset":
-    """Verify LSH candidates with EXACT n-gram Jaccard (shingle sets).
+def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """Verify LSH candidates with EXACT n-gram Jaccard (shingle sets),
+    fully DISTRIBUTED (round 2 — was a driver-side dict + Python loop
+    over the whole candidate set).
 
-    Broadcast the shingle sets of candidate docs?  No — candidates are
-    few; we re-read texts for candidate doc ids via a broadcast id set
-    and verify per pair in a map_groups over pair rows joined to texts.
-    Output: (doc_a, doc_b, jaccard)."""
-    import ray
+    Plan: candidate pairs fan out to two side rows keyed by doc_id;
+    a doc-bucketed groupby joins each side row to its document's
+    shingle set (shingles computed once inside the same shuffle, never
+    held on the driver); a pair-bucketed second groupby brings the two
+    shingle sets together and computes exact Jaccard. Both shuffles
+    use a BOUNDED bucket key (doc_id % NB / pair-hash % NB) so Ray's
+    per-group machinery stays ∝ parallelism, not ∝ keys — the repo's
+    standard bounded-bucket rule. Output: (doc_a, doc_b, jaccard) for
+    pairs ≥ threshold."""
+    from .util import coalesce_partials
 
-    cand = minhash_candidates(sf_dir).to_pandas()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    need_ref = ray.put(need)
+    NB = 64
+    cand = minhash_candidates(sf_dir)
 
-    def collect(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(need_ref) if not isinstance(need_ref, set) else need_ref
-        m = batch["doc_id"].isin(ids)
-        sub = batch[m]
+    def pair_sides(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        did = np.concatenate([a, b])
         return pd.DataFrame({
-            "doc_id": sub["doc_id"],
-            "crcs": sub["text"].map(lambda t: _shingle_crcs(t).tobytes())})
+            "bucket": did % NB,
+            "doc_id": did,
+            "doc_a": np.concatenate([a, a]),
+            "doc_b": np.concatenate([b, b]),
+            "crcs": [b""] * (2 * len(a)),
+            "role": np.zeros(2 * len(a), dtype=np.int64)})
 
-    shingles = ds.map_batches(collect, batch_format="pandas").to_pandas()
-    lut = {int(r.doc_id): np.frombuffer(r.crcs, dtype=np.int64)
-           for r in shingles.itertuples()}
-    out = {"doc_a": [], "doc_b": [], "jaccard": []}
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = lut[int(a)], lut[int(b)]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        j = inter / (len(sa) + len(sb) - inter) if (len(sa) + len(sb) - inter) else 0.0
-        if j >= threshold:
-            out["doc_a"].append(int(a)); out["doc_b"].append(int(b))
-            out["jaccard"].append(round(j, 6))
-    return pd.DataFrame(out)
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "bucket": did % NB,
+            "doc_id": did,
+            "doc_a": np.full(len(batch), -1, dtype=np.int64),
+            "doc_b": np.full(len(batch), -1, dtype=np.int64),
+            "crcs": batch["text"].map(
+                lambda t: _shingle_crcs(t).tobytes()),
+            "role": np.ones(len(batch), dtype=np.int64)})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    unioned = (cand.map_batches(pair_sides, batch_format="pandas")
+               .union(docs.map_batches(shingle_rows,
+                                       batch_format="pandas")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        sides = g[g["role"] == 0]
+        if len(sides) == 0:
+            return pd.DataFrame({"pbucket": pd.Series([], dtype="int64"),
+                                 "doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "side": pd.Series([], dtype="int64"),
+                                 "crcs": pd.Series([], dtype=object)})
+        lut = dict(zip(g.loc[g["role"] == 1, "doc_id"],
+                       g.loc[g["role"] == 1, "crcs"]))
+        a = sides["doc_a"].to_numpy()
+        b = sides["doc_b"].to_numpy()
+        did = sides["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "pbucket": (a * 2654435761 + b) % NB,
+            "doc_a": a, "doc_b": b,
+            "side": (b == did).astype(np.int64),
+            "crcs": [lut[d] for d in did]})
+
+    attached = (coalesce_partials(unioned).groupby("bucket")
+                .map_groups(attach, batch_format="pandas"))
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for (a, b), sub in g.groupby(["doc_a", "doc_b"], sort=False):
+            sa_rows = sub.loc[sub["side"] == 0, "crcs"]
+            sb_rows = sub.loc[sub["side"] == 1, "crcs"]
+            if len(sa_rows) == 0 or len(sb_rows) == 0:
+                continue
+            sa = np.frombuffer(sa_rows.iloc[0], dtype=np.int64)
+            sb = np.frombuffer(sb_rows.iloc[0], dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            denom = len(sa) + len(sb) - inter
+            j = inter / denom if denom else 0.0
+            if j >= threshold:
+                out["doc_a"].append(int(a))
+                out["doc_b"].append(int(b))
+                out["jaccard"].append(round(j, 6))
+        return pd.DataFrame(out) if out["doc_a"] else pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")})
+
+    out = (coalesce_partials(attached).groupby("pbucket")
+           .map_groups(verify_bucket, batch_format="pandas").to_pandas())
+    return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            if len(out) else out)
 
 
 # ---------------------------------------------------------------------------

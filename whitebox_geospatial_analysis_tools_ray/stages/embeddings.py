@@ -7,11 +7,12 @@ embedding column, and add the exact embedding-cosine near-duplicate pass a
 100 TB text pipeline needs next to MinHash/SimHash.
 
 Scale notes (documented partitioning assumptions):
-- near-dup: the probe side streams; the comparison side is a broadcast
-  L2-normalized matrix (`ray.put` once, read per actor). At 10^12 rows
-  the broadcast side must become IVF buckets (`ann.ivf_topk` pattern:
-  coarse-quantize → groupby bucket → in-bucket matmul); the all-pairs
-  form here is the exact-verification kernel both variants share.
+- near-dup: IVF-bucketed exact pair join — coarse-quantize (bounded
+  sample fit), duplicate each vector into every list within
+  min_angle + 2·arccos(threshold) (provably covers all qualifying
+  pairs), groupby(list) → in-bucket matmul. Per-bucket cost
+  f·N²/n_lists ≤ N²; at real near-dup thresholds (≥0.9) the
+  duplication factor f is small. The shuffle key is the coarse list.
 - PCA: one pass of partial (n, Σx, Σxᵀx) per batch → driver eigh of the
   D×D covariance (D small) — the classic partial+final two-phase fit.
 - k-means: driver loop of (broadcast centroids → per-batch assign +
@@ -47,31 +48,106 @@ def _full_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], emb[order]
 
 
-def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35,
-                         round_to: int = 6) -> "rd.Dataset":
-    """All pairs (a < b) with cosine ≥ threshold.
+def _coarse_centroids(sf_dir: str, n_lists: int, seed: int = 42,
+                      sample_rows: int = 2000) -> np.ndarray:
+    """IVF coarse quantizer fit on a BOUNDED driver sample (the
+    ann.ivf_topk pattern): seeded choice + a few cosine-Lloyd rounds.
+    Returns (n_lists, D) L2-normalized centroids."""
+    import pyarrow.parquet as pq
 
-    Broadcast the normalized matrix once; each streamed batch multiplies
-    against it (one matmul per batch, no Python loop)."""
-    ids_all, emb_all = _full_matrix(sf_dir)
-    norms = np.sqrt((emb_all * emb_all).sum(axis=1))
-    norms[norms == 0] = 1.0
-    mat_ref = ray.put((ids_all, emb_all / norms[:, None]))
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["embedding"]).to_pandas()["embedding"]
+    X = np.asarray([np.asarray(e, dtype=np.float64)
+                    for e in sample.head(sample_rows)])
+    Xn = X / np.maximum(np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-12)
+    g = np.random.default_rng(seed)
+    cent = Xn[g.choice(len(Xn), size=min(n_lists, len(Xn)), replace=False)]
+    for _ in range(5):
+        assign = np.argmax(Xn @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                cent[c] = v / max(np.sqrt((v * v).sum()), 1e-12)
+    return cent
 
+
+def _lowest_k_vectors(sf_dir: str, k: int) -> np.ndarray:
+    """The k lowest vec_ids' vectors via per-batch partial bottom-k —
+    the distributed fix for 'read the whole table to take k rows'."""
     def partial(batch) -> pd.DataFrame:
-        aids, aemb = _batch_matrix(batch)
-        bids, bmat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) \
-            else mat_ref
-        an = np.sqrt((aemb * aemb).sum(axis=1))
-        an[an == 0] = 1.0
-        cos = (aemb / an[:, None]) @ bmat.T
-        ia, ib = np.nonzero(cos >= threshold)
-        keep = aids[ia] < bids[ib]
+        ids, emb = _batch_matrix(batch)
+        order = np.argsort(ids)[:k]
+        return pd.DataFrame({"vec_id": ids[order],
+                             "vec": [emb[i].tobytes() for i in order]})
+
+    df = (_read_embeddings(sf_dir)
+          .map_batches(partial, batch_format="numpy").to_pandas()
+          .sort_values("vec_id").head(k))
+    return np.vstack([np.frombuffer(b) for b in df["vec"]])
+
+
+def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35,
+                         n_lists: int = 16, seed: int = 42,
+                         round_to: int = 6) -> "rd.Dataset":
+    """All pairs (a < b) with cosine ≥ threshold — EXACT, via IVF
+    buckets (round 2; was a full-matrix broadcast + all-pairs matmul).
+
+    Plan: fit coarse centroids on a bounded sample; every vector is
+    assigned HOME = its nearest list, and DUPLICATED as a visitor into
+    every list within angle ≤ min_angle + 2·θ_t of it
+    (θ_t = arccos(threshold)). Coverage proof: for any qualifying pair
+    (a,b), angle(a, c_home(b)) ≤ θ_ab + min_angle(b)
+    ≤ θ_ab + θ_ab + min_angle(a) ≤ min_angle(a) + 2θ_t, so ``a`` is
+    guaranteed present in b's home bucket. Each bucket matmuls its
+    members × its homes and emits a pair exactly once (member id <
+    home id). Per-bucket cost is f·N²/n_lists (f = duplication
+    factor) — never worse than the single N² matmul, and f → small at
+    real near-dup thresholds (≥0.9 → θ_t ≈ 26°). No driver
+    materialization, no whole-matrix broadcast; the shuffle key is the
+    coarse list id."""
+    cent = _coarse_centroids(sf_dir, n_lists, seed)
+    theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    cent_ref = ray.put(cent)
+
+    def assign(batch) -> pd.DataFrame:
+        C = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) \
+            else cent_ref
+        ids, emb = _batch_matrix(batch)
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        norms[norms == 0] = 1.0
+        En = emb / norms[:, None]
+        ang = np.arccos(np.clip(En @ C.T, -1.0, 1.0))
+        home = ang.argmin(axis=1)
+        radius = ang.min(axis=1) + 2.0 * theta_t + 1e-9
+        vi, li = np.nonzero(ang <= radius[:, None])
         return pd.DataFrame({
-            "doc_a": aids[ia][keep], "doc_b": bids[ib][keep],
+            "list_id": li.astype(np.int64),
+            "role": (li == home[vi]).astype(np.int64),   # 1 = home
+            "vec_id": ids[vi],
+            "vec": [En[i].tobytes() for i in vi]})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        homes = g[g["role"] == 1]
+        if len(homes) == 0 or len(g) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        A = np.vstack([np.frombuffer(b) for b in g["vec"]])
+        B = np.vstack([np.frombuffer(b) for b in homes["vec"]])
+        mid = g["vec_id"].to_numpy()
+        hid = homes["vec_id"].to_numpy()
+        cos = A @ B.T
+        ia, ib = np.nonzero(cos >= threshold)
+        keep = mid[ia] < hid[ib]                # emit once: in home(max)
+        return pd.DataFrame({
+            "doc_a": mid[ia][keep], "doc_b": hid[ib][keep],
             "cosine": np.round(cos[ia, ib][keep], round_to)})
 
-    return _read_embeddings(sf_dir).map_batches(partial, batch_format="numpy")
+    assigned = _read_embeddings(sf_dir).map_batches(
+        assign, batch_format="numpy")
+    return (coalesce_partials(assigned).groupby("list_id")
+            .map_groups(per_bucket, batch_format="pandas"))
 
 
 def pca_embeddings(sf_dir: str, k: int = 4, round_to: int = 6) -> pd.DataFrame:
@@ -109,11 +185,11 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 10,
     """Lloyd's k-means as a driver loop of broadcast-assign rounds
     (kMeansClassification.java's iterative structure, distributed).
 
-    Deterministic: init = the k lowest vec_ids' vectors; fixed ``iters``
-    rounds; ties in assignment go to the lowest cluster id (argmin).
-    Output: (cluster_id, n, inertia)."""
-    ids, emb = _full_matrix(sf_dir)
-    centroids = emb[:k].copy()
+    Deterministic: init = the k lowest vec_ids' vectors (per-batch
+    partial bottom-k + tiny driver combine — only k rows ever reach the
+    driver); fixed ``iters`` rounds; ties in assignment go to the
+    lowest cluster id (argmin). Output: (cluster_id, n, inertia)."""
+    centroids = _lowest_k_vectors(sf_dir, k)
     ds = _read_embeddings(sf_dir)
 
     for _ in range(iters):

@@ -963,8 +963,13 @@ def oracle_sql() -> dict[str, str]:
         "image_resize_stats": __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.multimodal",
             fromlist=["x"]).image_resize_stats_sql(),
-        # pca_embeddings / kmeans_embeddings: iterative / eigen — rows-only,
-        # verified against single-process mirrors in tests.
+        "kmeans_embeddings": o.kmeans_embeddings_sql(),
+        "cluster_attributes": o.cluster_attributes_sql(),
+        "langid_confusion": o.langid_confusion_sql(),
+        "simhash_signatures": o.simhash_signatures_sql(),
+        "minhash_pairs": o.minhash_pairs_sql(),
+        # pca_embeddings / inverse_pca: 64-dim eigendecomposition — no SQL
+        # closed form; verified against single-process mirrors in tests.
         "q1_pricing": o.q1_sql(),
         "revenue_by_nation": o.revenue_by_nation_sql(),
         "top_parts": o.top_parts_sql(),
@@ -1192,6 +1197,8 @@ def oracle_sql() -> dict[str, str]:
         "rgb_ihs_roundtrip": o.rgb_ihs_sql(),
         "image_correlation": o.image_correlation_sql(),
         "image_regression": o.image_regression_sql(),
-        # rows-only (non-SQL-expressible): minhash_pairs,
-        # simhash_signatures, langid_confusion, ann_ivf_topk, flagship.
+        # rows-only (non-SQL-expressible): ann_ivf_topk (seeded-RNG
+        # centroid fit), kriging/rbf (LM fits), pca/inverse_pca (64-dim
+        # eigendecomposition), isolate_ground_points / lidar_canopy_model
+        # (order-dependent mutation), flagship.
     }

@@ -4044,3 +4044,261 @@ v AS (SELECT rec_id, row, col,
   FROM rc)
 SELECT rec_id, row, col, round(value, 6) AS value FROM v
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-2 oracles: language-ID confusion, unrolled k-means (embeddings +
+# attribute table), and the crc32-in-SQL text-hash kernels (SimHash /
+# MinHash) — flipping former rows-only queries to exact DuckDB checks.
+# ---------------------------------------------------------------------------
+
+def langid_confusion_sql() -> str:
+    """Exact mirror of stages/textops.LangId: whitespace-token SET,
+    per-language stopword-overlap scores, ties broken by the first
+    language in sorted() order (de < en < es < fr < it), zero best
+    score → 'unknown'."""
+    from .stages.textops import _LANG_STOPWORDS
+
+    def lit(lang):
+        words = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+        return f"len(list_intersect(toks, [{words}])) AS s_{lang}"
+
+    scores = ",\n    ".join(lit(lang) for lang in sorted(_LANG_STOPWORDS))
+    return f"""
+WITH t AS (
+  SELECT lang,
+         list_distinct(regexp_split_to_array(
+           lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+           '\\s+')) AS toks
+  FROM documents),
+s AS (
+  SELECT lang,
+    {scores}
+  FROM t),
+p AS (
+  SELECT lang,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) = 0 THEN 'unknown'
+         WHEN s_de >= greatest(s_en, s_es, s_fr, s_it) THEN 'de'
+         WHEN s_en >= greatest(s_es, s_fr, s_it) THEN 'en'
+         WHEN s_es >= greatest(s_fr, s_it) THEN 'es'
+         WHEN s_fr >= s_it THEN 'fr'
+         ELSE 'it' END AS pred_lang
+  FROM s)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def _kmeans_cte_chain(k: int, iters: int, e_cte: str, init_cte: str,
+                      round_to: int) -> str:
+    """Unrolled Lloyd's rounds as a CTE chain over DOUBLE[] vectors —
+    the mkmeans fixed-iteration unrolling rule. Each round: argmin
+    assignment (ties → lowest cluster id), element-wise mean, per-round
+    round(·, 9) (the engine's drift rule, applied identically here)."""
+    d2 = ("list_sum(list_transform(list_zip(e.v, cc.v), "
+          "p -> (p[1]-p[2])*(p[1]-p[2])))")
+    ctes = [e_cte, init_cte]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, v, c FROM (
+    SELECT e.vec_id, e.v, cc.c,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {d2}, cc.c) AS rn
+    FROM e CROSS JOIN c{i - 1} cc) WHERE rn = 1)""")
+        ctes.append(f"""m{i} AS MATERIALIZED (
+  SELECT c, list(val ORDER BY d) AS nv FROM (
+    SELECT c, d, round(avg(x), 9) AS val FROM (
+      SELECT c, unnest(v) AS x, unnest(range(len(v))) AS d FROM a{i})
+    GROUP BY c, d)
+  GROUP BY c)""")
+        ctes.append(f"""c{i} AS MATERIALIZED (
+  SELECT p.c,
+         list_transform(COALESCE(m.nv, p.v), y -> round(y, 9)) AS v
+  FROM c{i - 1} p LEFT JOIN m{i} m ON m.c = p.c)""")
+    ctes.append(f"""af AS (
+  SELECT vec_id, c, d2 FROM (
+    SELECT e.vec_id, cc.c, {d2} AS d2,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {d2}, cc.c) AS rn
+    FROM e CROSS JOIN c{iters} cc) WHERE rn = 1)""")
+    body = f"""
+SELECT r AS cluster_id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n,
+       round(COALESCE(s.inertia, 0.0), {round_to}) AS inertia
+FROM range({k}) t(r) LEFT JOIN (
+  SELECT c, count(*) AS n, sum(d2) AS inertia FROM af GROUP BY c
+) s ON s.c = r
+ORDER BY cluster_id"""
+    return "WITH " + ",\n".join(ctes) + body
+
+
+def kmeans_embeddings_sql(k: int = 8, iters: int = 10,
+                          round_to: int = 4) -> str:
+    e = ("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+         "FROM embeddings)")
+    init = (f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v "
+            f"FROM e ORDER BY vec_id LIMIT {k})")
+    return _kmeans_cte_chain(k, iters, e, init, round_to)
+
+
+def cluster_attributes_sql(k: int = 5, iters: int = 8,
+                           round_to: int = 4) -> str:
+    """z-scored (c_acctbal, c_nationkey) k-means; moments in-SQL with
+    the engine's exact formulas (mu = Σx/n, var = Σx²/n − mu²,
+    sd = sqrt(max(var, 1e-30)))."""
+    e = """mo AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(c_acctbal::DOUBLE) AS sa, sum(c_acctbal::DOUBLE * c_acctbal::DOUBLE) AS saa,
+         sum(c_nationkey::DOUBLE) AS sn, sum(c_nationkey::DOUBLE * c_nationkey::DOUBLE) AS snn
+  FROM customer),
+st AS (
+  SELECT sa / n AS mu0, sn / n AS mu1,
+         sqrt(greatest(saa / n - (sa / n) * (sa / n), 1e-30)) AS sd0,
+         sqrt(greatest(snn / n - (sn / n) * (sn / n), 1e-30)) AS sd1
+  FROM mo),
+e AS (
+  SELECT c_custkey AS vec_id,
+         [(c_acctbal::DOUBLE - st.mu0) / st.sd0,
+          (c_nationkey::DOUBLE - st.mu1) / st.sd1] AS v
+  FROM customer, st)"""
+    init = (f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v "
+            f"FROM e ORDER BY vec_id LIMIT {k})")
+    return _kmeans_cte_chain(k, iters, e, init, round_to)
+
+
+def _crc32_table_values() -> str:
+    """The 256-entry zlib crc32 table as a VALUES literal (poly
+    0xEDB88320) — DuckDB has no crc32 built-in, so the oracle carries
+    the table and replays the byte loop as a recursive CTE."""
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        tbl.append(c)
+    return ", ".join(f"({i}, {v})" for i, v in enumerate(tbl))
+
+
+def _crc32_ctes(items_cte: str) -> str:
+    """CTE text computing crc32 per item of ``items(doc_id, iid, s)``
+    → ``crcf(doc_id, iid, crc)``. Byte access is via hex(encode(s))
+    two-chars-at-a-time; the state update is the standard
+    crc = (crc >> 8) XOR T[(crc XOR byte) & 0xFF] recursion."""
+    return f"""ct(i, t) AS (SELECT * FROM (VALUES {_crc32_table_values()}) v(i, t)),
+{items_cte},
+ith AS (SELECT doc_id, iid, hex(encode(s)) AS hx,
+               octet_length(encode(s)) AS nb FROM items),
+crc(doc_id, iid, pos, c) AS (
+  SELECT doc_id, iid, 0::BIGINT, 4294967295::BIGINT FROM ith
+  UNION ALL
+  SELECT s.doc_id, s.iid, s.pos + 1, xor(s.c >> 8, ct.t)
+  FROM crc s
+  JOIN ith k ON k.doc_id = s.doc_id AND k.iid = s.iid
+  JOIN ct ON ct.i = xor(s.c, ('0x' || substr(k.hx, s.pos * 2 + 1, 2))::BIGINT) & 255
+  WHERE s.pos < k.nb),
+crcf AS MATERIALIZED (
+  SELECT s.doc_id, s.iid, xor(s.c, 4294967295) AS crc
+  FROM crc s JOIN ith k ON k.doc_id = s.doc_id AND k.iid = s.iid
+  WHERE s.pos = k.nb)"""
+
+
+_STRIP_SPLIT = ("regexp_split_to_array(lower(regexp_replace(text, "
+                "'^\\s+|\\s+$', '', 'g')), '\\s+')")
+
+
+def simhash_signatures_sql() -> str:
+    """Exact mirror of stages/dedup.simhash_signatures: per-token crc32
+    (duplicates kept) → ×0x9E3779B97F4A7C15 mod 2⁶⁴ → 64-bit ±1 votes →
+    sig bit = vote > 0; empty/whitespace-only docs get sig 0. Bit ops
+    on the 64-bit domain run in HUGEINT (// and % against a power
+    table)."""
+    golden = 0x9E3779B97F4A7C15
+    pw = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+WITH RECURSIVE
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+items AS (
+  SELECT doc_id, unnest(range(len(toks))) AS iid, unnest(toks) AS s
+  FROM raw WHERE toks[1] <> '')''')},
+pw(b, p) AS (SELECT * FROM (VALUES {pw}) v(b, p)),
+h AS (
+  SELECT doc_id,
+         (crc::HUGEINT * {golden}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS hv
+  FROM crcf),
+votes AS (
+  SELECT doc_id, pw.b, pw.p,
+         sum(CASE WHEN (h.hv // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN pw GROUP BY doc_id, pw.b, pw.p),
+sig AS (
+  SELECT doc_id,
+         COALESCE(sum(CASE WHEN vote > 0 THEN p
+                           ELSE 0::HUGEINT END), 0::HUGEINT) AS s
+  FROM votes GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 0::HUGEINT FROM raw WHERE toks[1] = '')
+SELECT doc_id,
+  printf('%08x%08x', (s // 4294967296::HUGEINT)::BIGINT,
+         (s % 4294967296::HUGEINT)::BIGINT) AS simhash,
+  printf('%04x', ((s // 1::HUGEINT) % 65536)::BIGINT) AS band0,
+  printf('%04x', ((s // 65536::HUGEINT) % 65536)::BIGINT) AS band1,
+  printf('%04x', ((s // 4294967296::HUGEINT) % 65536)::BIGINT) AS band2,
+  printf('%04x', ((s // 281474976710656::HUGEINT) % 65536)::BIGINT) AS band3
+FROM sig ORDER BY doc_id
+"""
+
+
+def minhash_pairs_sql(threshold: float = 0.6, seed: int = 42) -> str:
+    """Exact mirror of stages/dedup.minhash_verified_pairs: 3-gram
+    shingle crc32 sets → 64 seeded (a·x+b) mod (2⁶¹−1) minhashes →
+    16-band/4-row LSH buckets (bucket equality == band-hash equality,
+    md5 elided) → candidate pairs → exact Jaccard ≥ threshold.
+    The (a, b) hash parameters are part of the algorithm spec (seeded
+    generator) and are inlined as literals."""
+    from .stages.dedup import _BANDS, _MERSENNE, _NUM_HASHES, _minhash_params
+    a, b = _minhash_params(seed)
+    fns = ", ".join(f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+                    for j in range(_NUM_HASHES))
+    rpb = _NUM_HASHES // _BANDS
+    return f"""
+WITH RECURSIVE
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+items AS (
+  SELECT doc_id, unnest(range(len(toks) - 2)) AS iid,
+         unnest(list_transform(range(len(toks) - 2),
+           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+  FROM raw WHERE len(toks) >= 3
+  UNION ALL
+  SELECT doc_id, 0 AS iid, array_to_string(toks, ' ') AS s
+  FROM raw WHERE len(toks) < 3 AND toks[1] <> '')''')},
+fn(j, fa, fb) AS (SELECT * FROM (VALUES {fns}) v(j, fa, fb)),
+csets AS MATERIALIZED (
+  SELECT doc_id, list(DISTINCT crc ORDER BY crc) AS cs FROM crcf
+  GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, [0]::BIGINT[] AS cs FROM raw WHERE toks[1] = ''),
+shq AS (SELECT doc_id, unnest(cs) AS crc FROM csets),
+sigs AS MATERIALIZED (
+  SELECT s.doc_id, fn.j,
+         min(((fn.fa * s.crc::HUGEINT + fn.fb)
+              % {_MERSENNE}::HUGEINT))::BIGINT AS sig
+  FROM shq s CROSS JOIN fn GROUP BY s.doc_id, fn.j),
+bands AS MATERIALIZED (
+  SELECT doc_id, j // {rpb} AS band,
+         list(sig ORDER BY j) AS key FROM sigs GROUP BY doc_id, j // {rpb}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.cs, sb.cs))::DOUBLE
+           / (len(sa.cs) + len(sb.cs)
+              - len(list_intersect(sa.cs, sb.cs)))::DOUBLE AS j
+  FROM cand c
+  JOIN csets sa ON sa.doc_id = c.doc_a
+  JOIN csets sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard
+FROM jac WHERE j >= {threshold!r}
+ORDER BY doc_a, doc_b
+"""

@@ -402,12 +402,14 @@ def cluster_attributes(sf_dir: str, k: int = 5, iters: int = 8,
         _, x = matrix(batch)
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         a = d2.argmin(axis=1)
+        # NOTE: partials stay unrounded — rounding per partial would make
+        # the summed result depend on batching (parallelism-variant)
         return pd.DataFrame({
             "cluster_id": np.arange(len(cents), dtype=np.int64),
             "n": np.bincount(a, minlength=len(cents)).astype(np.int64),
-            "inertia": np.round(np.bincount(
+            "inertia": np.bincount(
                 a, weights=d2[np.arange(len(a)), a],
-                minlength=len(cents)), round_to)})
+                minlength=len(cents))})
 
     parts = coalesce_partials(
         ds.map_batches(final, batch_format="numpy")).to_pandas()

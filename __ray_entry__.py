@@ -94,6 +94,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             utm_project_query)
         return utm_project_query(sf_dir)
 
+    def _utm_project_nad27(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.functions.crs import (
+            utm_project_datum_query)
+        return utm_project_datum_query(sf_dir, datum="NAD27 (CONUS)")
+
+    def _utm_project_ed50(sf_dir: str):
+        from whitebox_geospatial_analysis_tools_ray.functions.crs import (
+            utm_project_datum_query)
+        return utm_project_datum_query(sf_dir, datum="ED50")
+
     def _raster_calc(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.functions.raster_calc import (
             raster_calculator)
@@ -818,6 +828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- CRS transform (ConversionTools CoordinateSystemTransformation,
         # WhiteboxAPI georeference/LL2UTM) ---
         "utm_project": _utm_project,
+        "utm_project_nad27": _utm_project_nad27,
+        "utm_project_ed50": _utm_project_ed50,
         # --- photogrammetry exemplar (Scripts/EstimateHeightsFromParallax) ---
         "estimate_heights_parallax": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
@@ -1145,6 +1157,12 @@ def oracle_sql() -> dict[str, str]:
         "burn_streams": o.burn_streams_sql(),
         "raster_calc": o.raster_calc_sql(),
         "utm_project": _crs_sql(),
+        "utm_project_nad27": __import__(
+            "whitebox_geospatial_analysis_tools_ray.functions.crs",
+            fromlist=["x"]).utm_project_datum_sql("NAD27 (CONUS)"),
+        "utm_project_ed50": __import__(
+            "whitebox_geospatial_analysis_tools_ray.functions.crs",
+            fromlist=["x"]).utm_project_datum_sql("ED50"),
         "estimate_heights_parallax": __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.photogrammetry",
             fromlist=["x"]).estimate_heights_sql(),

@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": lambda sf: relational.q1_pricing_summary(sf),
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
         "top_parts": lambda sf: relational.top_parts_by_price(sf),
+        "join_large": lambda sf: relational.orders_lineitem_join(sf),
         "events_window": lambda sf: relational.events_tumbling_window(sf),
         "user_sessions": lambda sf: relational.user_sessions(sf),
         "distinct_event_types": lambda sf: relational.distinct_event_types(sf),
@@ -985,6 +986,9 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing": o.q1_sql(),
         "revenue_by_nation": o.revenue_by_nation_sql(),
         "top_parts": o.top_parts_sql(),
+        "join_large": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.relational",
+            fromlist=["x"]).orders_lineitem_join_sql(),
         "events_window": o.events_window_sql(),
         "user_sessions": o.user_sessions_sql(),
         "distinct_event_types": o.distinct_event_types_sql(),

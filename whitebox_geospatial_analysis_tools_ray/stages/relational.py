@@ -258,3 +258,133 @@ SELECT n,
                     / CAST(n AS DOUBLE))), 6) AS pearson_r
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Large×large shuffle hash join (round 2 — SURVEY §2.4's "ds.join hash
+# join when both sides large"; JoinTables.groovy:162-173 is broadcast-only
+# in the reference, this is the scale path it lacks).
+# ---------------------------------------------------------------------------
+
+def shuffle_hash_join(left: "rd.Dataset", right: "rd.Dataset",
+                      left_on: str, right_on: str,
+                      n_buckets: int = 64, salt: int = 1) -> "rd.Dataset":
+    """Distributed inner equi-join: both sides hash-partition on the
+    key into a BOUNDED number of shuffle buckets (∝ parallelism, the
+    repo's bounded-bucket rule), one pandas merge per bucket. Neither
+    side is broadcast or materialized.
+
+    Skew handling: ``salt > 1`` splits every bucket into ``salt``
+    sub-buckets — LEFT rows are scattered by a row-content hash, RIGHT
+    rows are replicated to all sub-buckets — so a hot key's work is
+    bounded by left_count/salt per group at the cost of ×salt right
+    duplication (pick the smaller table as RIGHT)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    MULT = 2654435761
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+
+    # the two tagged streams are UNIONed, so both must emit the SAME
+    # schema — each side fills the other side's columns with typed
+    # defaults (sliced away again per side inside merge)
+    def _default(t):
+        if pa.types.is_integer(t):
+            return np.int64(0)
+        if pa.types.is_floating(t):
+            return np.float64(0.0)
+        return ""
+
+    ltypes = dict(zip(left.schema().names, left.schema().types))
+    rtypes = dict(zip(right.schema().names, right.schema().types))
+    allcols = lcols + [c for c in rcols if c not in lcols]
+
+    def _pad(out: pd.DataFrame, own_types) -> pd.DataFrame:
+        for c in allcols:
+            if c not in out.columns:
+                t = rtypes.get(c, ltypes.get(c))
+                out[c] = _default(t)
+        return out[allcols + ["__bucket", "__side"]]
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch[left_on].to_numpy().astype(np.int64)
+        base = (k * MULT) % n_buckets
+        if salt > 1:
+            sgrain = np.arange(len(k), dtype=np.int64) % salt
+        else:
+            sgrain = np.zeros(len(k), dtype=np.int64)
+        out = batch.copy()
+        out["__bucket"] = base * salt + sgrain
+        out["__side"] = np.int64(0)
+        return _pad(out, ltypes)
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch[right_on].to_numpy().astype(np.int64)
+        base = (k * MULT) % n_buckets
+        frames = []
+        for sgrain in range(salt):
+            f = batch.copy()
+            f["__bucket"] = base * salt + sgrain
+            f["__side"] = np.int64(1)
+            frames.append(f)
+        return _pad(pd.concat(frames, ignore_index=True), rtypes)
+
+    lt = left.map_batches(tag_left, batch_format="pandas")
+    rt = right.map_batches(tag_right, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ls = g.loc[g["__side"] == 0, lcols]
+        rs = g.loc[g["__side"] == 1, rcols]
+        if len(ls) == 0 or len(rs) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=g[c].dtype)
+                                 for c in lcols + [c for c in rcols
+                                                   if c != right_on]})
+        m = ls.merge(rs, left_on=left_on, right_on=right_on, how="inner")
+        if right_on != left_on and right_on in m.columns:
+            m = m.drop(columns=[right_on])
+        return m
+
+    from .util import coalesce_partials
+    both = coalesce_partials(lt.union(rt))
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def orders_lineitem_join(sf_dir: str, round_to: int = 4,
+                         salt: int = 1) -> "rd.Dataset":
+    """join_large: orders ⋈ lineitem on orderkey — both sides large, no
+    broadcast — aggregated to (o_orderpriority, n_items, revenue).
+    Exact SQL oracle."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+    joined = shuffle_hash_join(orders, items, "o_orderkey", "l_orderkey",
+                               salt=salt)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_orderpriority", sort=False)
+        return g.agg(n=("l_extendedprice", "count"),
+                     rev=("l_extendedprice", "sum")).reset_index()
+
+    parts = joined.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", sort=True).agg(
+            n_items=("n", "sum"), rev=("rev", "sum")).reset_index()
+        g["n_items"] = g["n_items"].astype("int64")
+        g["revenue"] = g["rev"].round(round_to)
+        return g.drop(columns=["rev"])
+
+    from .util import combine_bounded
+    return combine_bounded(parts, combine)
+
+
+def orders_lineitem_join_sql(round_to: int = 4) -> str:
+    return f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice), {round_to}) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""

@@ -805,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlay_symdiff": lambda sf: vector_overlay.overlay_areas(
             sf, "symmetric_difference"),
         "dissolve_union": lambda sf: vector_overlay.dissolve_union_area(sf),
+        "fuse_touching": lambda sf: vector_overlay.fuse_touching(sf),
         # --- distance transform (GISTools EuclideanDistance) ---
         "euclidean_distance": lambda sf: distance.euclidean_distance(),
         "raster_buffer": lambda sf: distance.euclidean_distance(
@@ -1155,6 +1156,9 @@ def oracle_sql() -> dict[str, str]:
         "overlay_difference": o.overlay_area_sql("difference"),
         "overlay_symdiff": o.overlay_area_sql("symmetric_difference"),
         "dissolve_union": o.dissolve_union_sql(),
+        "fuse_touching": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.vector_overlay",
+            fromlist=["x"]).fuse_touching_sql(),
         "euclidean_distance": o.euclidean_distance_sql(),
         "raster_buffer": o.raster_buffer_sql(),
         "euclidean_allocation": o.euclidean_allocation_sql(),

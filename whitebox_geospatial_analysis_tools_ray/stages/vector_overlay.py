@@ -210,3 +210,206 @@ def clip_polygons_convex(polys: list[dict], clip_ring: np.ndarray,
                      "area": round(total, round_to),
                      "clip_area": round(clipped, round_to)})
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Fuse (VectorTools/src/plugins/Fuse.java, 938 LoC): merge TOUCHING
+# features — JTS union with the reference's parent-match predicate
+# ``overlaps || covers || distance < 0.0001`` (Fuse.java:400-403).
+# Round 2: the explicit touching-closure query the round-1 dissolve
+# family lacked.
+# ---------------------------------------------------------------------------
+
+FUSE_EPS = 1e-4
+
+
+def fuse_boxes(sf_dir: str) -> "rd.Dataset":
+    """Fuse layer squares (half = 10 + n_chars mod 40): sized so the
+    corpus yields real multi-hop touching chains (≈150 edges, 350
+    components, max ≈9 members at sf0.01) while staying local."""
+    from ..stages.points import read_points
+
+    def to_box(batch):
+        z = np.asarray(batch["z"], dtype=np.float64)
+        half = 10.0 + z % 40.0
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        return {"rec_id": np.asarray(batch["rec_id"], dtype=np.int64),
+                "xmin": x - half, "ymin": y - half,
+                "xmax": x + half, "ymax": y + half}
+
+    return read_points(sf_dir).map_batches(to_box, batch_format="numpy")
+
+
+def _rect_union_area(xmin, xmax, ymin, ymax) -> float:
+    """Union area of axis-aligned rectangles by grid decomposition:
+    split on every edge coordinate; a grid cell is covered iff its
+    CENTER is strictly inside any rectangle (centers never sit on
+    edges because edges are grid lines). The SQL oracle runs the
+    identical decomposition."""
+    xs = np.unique(np.concatenate([xmin, xmax]))
+    ys = np.unique(np.concatenate([ymin, ymax]))
+    cx = (xs[:-1] + xs[1:]) / 2.0
+    cy = (ys[:-1] + ys[1:]) / 2.0
+    wx = np.diff(xs)
+    wy = np.diff(ys)
+    inx = (cx[:, None] > xmin[None, :]) & (cx[:, None] < xmax[None, :])
+    iny = (cy[:, None] > ymin[None, :]) & (cy[:, None] < ymax[None, :])
+    cov = (inx[:, None, :] & iny[None, :, :]).any(axis=2)
+    return float((wx[:, None] * wy[None, :])[cov].sum())
+
+
+def fuse_touching(sf_dir: str, round_to: int = 4) -> pd.DataFrame:
+    """Touching-closure fuse: connected components under the Fuse
+    predicate (box gap distance < 0.0001, which subsumes overlaps /
+    covers for axis-aligned boxes), one fused geometry per component.
+    Output (component_id = min rec_id, n_members, fused_area).
+
+    Distributed shape: candidate pairs from the eps-expanded bbox
+    cell-duplication shuffle (compact edge list — O(features·density));
+    the transitive closure runs as a driver union-find over that
+    compact list (the clump boundary-merge pattern); component labels
+    broadcast once; per-component union area via a
+    ``groupby(label).map_groups`` grid decomposition. Exact SQL
+    oracle (recursive-CTE closure + the same decomposition)."""
+    import ray
+
+    boxes = fuse_boxes(sf_dir)
+    pitch = 128.0                     # > max side (100) + eps
+
+    def emit(batch) -> pd.DataFrame:
+        xmin = np.asarray(batch["xmin"]); xmax = np.asarray(batch["xmax"])
+        ymin = np.asarray(batch["ymin"]); ymax = np.asarray(batch["ymax"])
+        rec = np.asarray(batch["rec_id"], dtype=np.int64)
+        out = {k: [] for k in ("gkey", "rec_id", "xmin", "ymin",
+                               "xmax", "ymax")}
+        gx0 = np.floor((xmin - FUSE_EPS) / pitch).astype(np.int64)
+        gx1 = np.floor((xmax + FUSE_EPS) / pitch).astype(np.int64)
+        gy0 = np.floor((ymin - FUSE_EPS) / pitch).astype(np.int64)
+        gy1 = np.floor((ymax + FUSE_EPS) / pitch).astype(np.int64)
+        for i in range(len(rec)):
+            for gx in range(gx0[i], gx1[i] + 1):
+                for gy in range(gy0[i], gy1[i] + 1):
+                    out["gkey"].append(gx * 1_000_003 + gy)
+                    out["rec_id"].append(rec[i])
+                    out["xmin"].append(xmin[i]); out["ymin"].append(ymin[i])
+                    out["xmax"].append(xmax[i]); out["ymax"].append(ymax[i])
+        return pd.DataFrame(out)
+
+    def per_cell_edges(g: pd.DataFrame) -> pd.DataFrame:
+        r = g["rec_id"].to_numpy()
+        x0 = g["xmin"].to_numpy(); x1 = g["xmax"].to_numpy()
+        y0 = g["ymin"].to_numpy(); y1 = g["ymax"].to_numpy()
+        dx = np.maximum(np.maximum(x0[:, None] - x1[None, :],
+                                   x0[None, :] - x1[:, None]), 0.0)
+        dy = np.maximum(np.maximum(y0[:, None] - y1[None, :],
+                                   y0[None, :] - y1[:, None]), 0.0)
+        touch = np.sqrt(dx * dx + dy * dy) < FUSE_EPS
+        ia, ib = np.nonzero(touch & (r[:, None] < r[None, :]))
+        return pd.DataFrame({"a": r[ia], "b": r[ib]})
+
+    from .util import coalesce_partials
+    edges = (coalesce_partials(boxes.map_batches(emit,
+                                                 batch_format="numpy"))
+             .groupby("gkey").map_groups(per_cell_edges,
+                                         batch_format="pandas")
+             .to_pandas().drop_duplicates())
+
+    if "a" not in edges.columns:      # no touching pairs at all
+        edges = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+
+    # compact driver union-find (min-label roots)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["a"], edges["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    labels = {x: find(x) for x in parent}
+    lbl_ref = ray.put(labels)
+
+    def tag(batch) -> pd.DataFrame:
+        lut = ray.get(lbl_ref) if not isinstance(lbl_ref, dict) else lbl_ref
+        rec = np.asarray(batch["rec_id"], dtype=np.int64)
+        return pd.DataFrame({
+            "lbl": np.array([lut.get(int(x), int(x)) for x in rec],
+                            dtype=np.int64),
+            "xmin": batch["xmin"], "ymin": batch["ymin"],
+            "xmax": batch["xmax"], "ymax": batch["ymax"]})
+
+    def per_component(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "component_id": [int(g["lbl"].iloc[0])],
+            "n_members": [len(g)],
+            "fused_area": [round(_rect_union_area(
+                g["xmin"].to_numpy(), g["xmax"].to_numpy(),
+                g["ymin"].to_numpy(), g["ymax"].to_numpy()), round_to)]})
+
+    out = (coalesce_partials(boxes.map_batches(tag, batch_format="numpy"))
+           .groupby("lbl").map_groups(per_component, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("component_id").reset_index(drop=True)
+
+
+def fuse_touching_sql(round_to: int = 4) -> str:
+    from ..core.features import POINTS_CTE
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+bx AS (
+  SELECT rec_id, x - (10.0 + z % 40.0) AS xmin, y - (10.0 + z % 40.0) AS ymin,
+         x + (10.0 + z % 40.0) AS xmax, y + (10.0 + z % 40.0) AS ymax
+  FROM pts),
+eg AS (
+  SELECT a.rec_id AS a, b.rec_id AS b
+  FROM bx a JOIN bx b ON a.rec_id < b.rec_id
+  WHERE sqrt(
+      greatest(greatest(a.xmin - b.xmax, b.xmin - a.xmax), 0.0)
+        * greatest(greatest(a.xmin - b.xmax, b.xmin - a.xmax), 0.0)
+      + greatest(greatest(a.ymin - b.ymax, b.ymin - a.ymax), 0.0)
+        * greatest(greatest(a.ymin - b.ymax, b.ymin - a.ymax), 0.0))
+      < {FUSE_EPS!r}),
+sym AS (SELECT a, b FROM eg UNION SELECT b, a FROM eg),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+lbl AS (
+  SELECT bx.rec_id,
+         least(bx.rec_id, COALESCE(min(r.b), bx.rec_id)) AS lbl
+  FROM bx LEFT JOIN reach r ON r.a = bx.rec_id
+  GROUP BY bx.rec_id),
+comp AS (
+  SELECT l.lbl, b.rec_id, b.xmin, b.ymin, b.xmax, b.ymax
+  FROM bx b JOIN lbl l ON l.rec_id = b.rec_id),
+xs AS (SELECT DISTINCT lbl, xmin AS x FROM comp
+       UNION SELECT DISTINCT lbl, xmax FROM comp),
+ysd AS (SELECT DISTINCT lbl, ymin AS y FROM comp
+        UNION SELECT DISTINCT lbl, ymax FROM comp),
+xi AS (SELECT lbl, x AS x1,
+              lead(x) OVER (PARTITION BY lbl ORDER BY x) AS x2 FROM xs),
+yi AS (SELECT lbl, y AS y1,
+              lead(y) OVER (PARTITION BY lbl ORDER BY y) AS y2 FROM ysd),
+cov AS (
+  SELECT DISTINCT c.lbl, c.x1, c.x2, c.y1, c.y2
+  FROM (SELECT xi.lbl, xi.x1, xi.x2, yi.y1, yi.y2
+        FROM xi JOIN yi ON yi.lbl = xi.lbl
+        WHERE xi.x2 IS NOT NULL AND yi.y2 IS NOT NULL) c
+  JOIN comp b ON b.lbl = c.lbl
+   AND (c.x1 + c.x2) / 2.0 > b.xmin AND (c.x1 + c.x2) / 2.0 < b.xmax
+   AND (c.y1 + c.y2) / 2.0 > b.ymin AND (c.y1 + c.y2) / 2.0 < b.ymax)
+SELECT n.lbl AS component_id,
+       CAST(n.n AS BIGINT) AS n_members,
+       round(a.area, {round_to}) AS fused_area
+FROM (SELECT lbl, count(*) AS n FROM comp GROUP BY lbl) n
+JOIN (SELECT lbl, sum((x2 - x1) * (y2 - y1)) AS area FROM cov
+      GROUP BY lbl) a ON a.lbl = n.lbl
+ORDER BY component_id
+"""

@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lidar_canopy_model": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).lidar_canopy_model(sf),
+        "lidar_bare_earth_dem": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).lidar_bare_earth_dem(sf),
         "lidar_segmentation_weights": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).lidar_segmentation_weights(sf),
@@ -653,6 +656,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_link_slope": lambda sf: streams.stream_link_slope(),
         "find_main_stem": lambda sf: streams.find_main_stem(),
         "streams_to_vector": lambda sf: streams.streams_to_vector(),
+        "raster_to_vector_lines": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.vectorize",
+            fromlist=["x"]).raster_to_vector_lines(),
         "subbasins": lambda sf: streams.subbasins(),
         "strahler_order_basins": lambda sf: streams.strahler_order_basins(),
         "isobasin": lambda sf: __import__(

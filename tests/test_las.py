@@ -151,3 +151,94 @@ def test_lidar_canopy_model_matches_brute_force_replay():
         row = got[got["row_id"] == r].iloc[0]
         assert int(row["n_chm"]) == len(vals)
         assert abs(row["row_sum"] - round(float(sum(vals)), 6)) < 1e-9
+
+
+def test_bare_earth_dem_matches_brute_force_replay(ray_session):
+    """Single-process replay (no shuffle: all points per cell by brute
+    force, same (d², idx) order) == the distributed query."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.sources import las
+
+    sf = "/root/testdata/sf0.001"
+    got = las.lidar_bare_earth_dem(sf)
+
+    # brute force
+    path = las.synth_las_path(sf)
+    hdr = las.read_las_header(path)
+    pts = las.read_las(path, with_index=True).to_pandas()
+    px = pts["x"].to_numpy(); py = pts["y"].to_numpy()
+    pz = pts["z"].to_numpy(); psa = pts["scan_angle"].to_numpy()
+    resolution, max_dist, weight, max_slope = 250.0, 260.0, 2.0, 30.0
+    west = px.min() - 0.5 * resolution
+    north = py.max() + 0.5 * resolution
+    nrows = int(math.ceil((north - py.min()) / resolution))
+    ncols = int(math.ceil((px.max() - west) / resolution))
+    md2 = max_dist * max_dist
+    half = resolution / 2.0
+    slope_thr = math.radians(max_slope)
+    nonground = np.zeros(hdr.n_points, dtype=bool)
+    dem = {}
+    for row in range(nrows):
+        yy = north - half - row * resolution
+        for col in range(ncols):
+            xx = west + half + col * resolution
+            d2 = (xx - px) ** 2 + (yy - py) ** 2
+            sel = np.flatnonzero(d2 <= md2)
+            if len(sel) == 0:
+                continue
+            sel = sel[np.lexsort((sel, d2[sel]))]
+            n = len(sel)
+            if n == 1:
+                dem[row * ncols + col] = float(pz[sel[0]])
+                continue
+            for ii in range(n - 1):
+                a = sel[ii]
+                if nonground[a]:
+                    continue
+                for jj in range(ii + 1, n):
+                    b = sel[jj]
+                    if nonground[b]:
+                        continue
+                    dist = math.hypot(px[a] - px[b], py[a] - py[b])
+                    if pz[a] > pz[b]:
+                        hi, dv = a, pz[a] - pz[b]
+                    else:
+                        hi, dv = b, pz[b] - pz[a]
+                    if dist == 0.0:
+                        if dv == 0.0:
+                            continue
+                        slope = math.pi / 2
+                    else:
+                        slope = math.atan(dv / dist)
+                    if slope > slope_thr:
+                        nonground[hi] = True
+            weights, vals, sum_w, cnt = [], [], 0.0, 0
+            for ii in range(n):
+                a = sel[ii]
+                if nonground[a]:
+                    continue
+                if d2[a] > 0:
+                    w = 1.0 / math.sqrt(d2[a]) ** weight
+                    weights.append(w); sum_w += w
+                    vals.append(pz[a]); cnt += 1
+                else:
+                    weights = [1.0]; sum_w += 1.0
+                    vals = [pz[a]]; cnt = 1
+                    break
+            if cnt > 0:
+                zv = 0.0
+                for s_ in range(cnt):
+                    zv += (weights[s_] * vals[s_]) / sum_w
+                dem[row * ncols + col] = zv
+    want = pd.DataFrame(
+        [{"row_id": r,
+          "n_valid": sum(1 for cc in dem if cc // ncols == r),
+          "row_sum": round(float(sum(v for cc, v in dem.items()
+                                     if cc // ncols == r)), 6)}
+         for r in range(nrows)])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_valid"].sum() > 0

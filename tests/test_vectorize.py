@@ -31,3 +31,16 @@ def test_polygons_tiling_invariant(ray_session):
     b = vz.raster_to_polygons(RasterSpec(rows=96, cols=64, tile_rows=48)) \
         .to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_raster_to_vector_lines_mirror_and_tiling(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages import vectorize
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    a = vectorize.raster_to_vector_lines()
+    assert len(a) > 100                       # the synthetic grid has lines
+    assert (a["n_points"] >= 2).all()
+    b = vectorize.raster_to_vector_lines_naive()
+    assert a.equals(b)                        # literal mirror
+    c = vectorize.raster_to_vector_lines(RasterSpec(tile_rows=37))
+    assert a.equals(c)                        # band size cannot matter

@@ -958,3 +958,206 @@ SELECT rid AS rec_id, round(mda, 6) AS mda,
                   ELSE 1.0 - mda / {thr!r} END, 6) AS w
 FROM m ORDER BY rec_id
 """
+
+
+def lidar_bare_earth_dem(sf_dir: str, resolution: float = 250.0,
+                         max_dist: float = 260.0, weight: float = 2.0,
+                         max_slope: float = 30.0,
+                         max_scan_angle_dev: float = 1000.0,
+                         round_to: int = 6) -> pd.DataFrame:
+    """LiDAR_BareEarthDEM (WhiteboxGIS/resources/plugins/Scripts/
+    LiDAR_BareEarthDEM.groovy:330-470): per cell (ROW-MAJOR, one
+    nonground bit array shared across cells): range-query maxDist
+    (raw value, inclusive); optional scan-angle-deviation marking when
+    maxScanAngleDeviation < 90; pair-scan marking the HIGHER point of
+    any pair with atan(Δz/dist) > maxSlope (no zero-distance guard:
+    Δz/0 → ∞ → marked, 0/0 → NaN → not); then IDW over surviving
+    ground points with w = 1/√d²ʷᵉⁱᵍʰᵗ, exact-hit short-circuit, and
+    the literal ``z += w·v / sumW`` sequential accumulation; exactly
+    ONE in-range point → that point's value regardless of its flag;
+    none → NoData. KdTree enumeration order substituted by the
+    deterministic (d², index) ascending rule (the repo's documented
+    KdTree-order substitution; same as lidar_canopy_model).
+
+    Distributed shape: the canopy cell-duplication shuffle — per-group
+    compact candidate lists (idx, d², x, y, z, scan_angle travelling
+    with the row), driver replay of the row-major mutation over the
+    compact table. Output per-row (row_id, n_valid, row_sum);
+    rows-only, mirror-tested."""
+    import math
+
+    import ray.data as rd
+
+    from ..stages.util import coalesce_partials
+
+    NODATA = -32768.0
+    pts_ds = read_las(synth_las_path(sf_dir), with_index=True)
+    n_points = read_las_header(synth_las_path(sf_dir)).n_points
+    minx, miny, maxx, maxy = las_extent(pts_ds)
+    west = minx - 0.5 * resolution
+    north = maxy + 0.5 * resolution
+    nrows = int(math.ceil((north - miny) / resolution))
+    ncols = int(math.ceil((maxx - west) / resolution))
+    md2 = max_dist * max_dist
+    half = resolution / 2.0
+    pitch = max_dist
+    band_rows = 8
+    n_bands = math.ceil(nrows / band_rows)
+
+    def emit_cells(batch) -> pd.DataFrame:
+        frames = []
+        for b in batch["id"]:
+            r0 = int(b) * band_rows
+            r1 = min(r0 + band_rows, nrows)
+            r = np.repeat(np.arange(r0, r1, dtype=np.int64), ncols)
+            c = np.tile(np.arange(ncols, dtype=np.int64), r1 - r0)
+            x = west + half + c * resolution
+            y = north - half - r * resolution
+            gx = np.floor(x / pitch).astype(np.int64)
+            gy = np.floor(y / pitch).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "gkey": gx * 1_000_003 + gy,
+                "role": np.zeros(len(r), dtype=np.int64),
+                "rid": r * ncols + c, "x": x, "y": y,
+                "z": np.zeros(len(r)), "sa": np.zeros(len(r),
+                                                      dtype=np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    cells = rd.range(n_bands).map_batches(emit_cells, batch_format="numpy")
+
+    def duplicate(batch) -> pd.DataFrame:
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        z = np.asarray(batch["z"], dtype=np.float64)
+        sa = np.asarray(batch["scan_angle"], dtype=np.int64)
+        rid = np.asarray(batch["index"], dtype=np.int64)
+        gx0 = np.floor(x / pitch).astype(np.int64)
+        gy0 = np.floor(y / pitch).astype(np.int64)
+        out = {k: [] for k in ("gkey", "role", "rid", "x", "y", "z", "sa")}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tgx, tgy = gx0 + dx, gy0 + dy
+                bx0, bx1 = tgx * pitch, (tgx + 1) * pitch
+                by0, by1 = tgy * pitch, (tgy + 1) * pitch
+                ddx = np.maximum(np.maximum(bx0 - x, x - bx1), 0.0)
+                ddy = np.maximum(np.maximum(by0 - y, y - by1), 0.0)
+                m = (ddx * ddx + ddy * ddy) <= md2
+                if not m.any():
+                    continue
+                out["gkey"].append(tgx[m] * 1_000_003 + tgy[m])
+                out["role"].append(np.ones(int(m.sum()), dtype=np.int64))
+                out["rid"].append(rid[m])
+                out["x"].append(x[m]); out["y"].append(y[m])
+                out["z"].append(z[m]); out["sa"].append(sa[m])
+        if not out["gkey"]:
+            return pd.DataFrame({k: np.array([], dtype=np.float64
+                                 if k in ("x", "y", "z")
+                                 else np.int64) for k in out})
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    def per_cell_group(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["role"] == 0]
+        ps = g[g["role"] == 1]
+        rows = []
+        if len(qs) and len(ps):
+            px = ps["x"].to_numpy(); py = ps["y"].to_numpy()
+            pz = ps["z"].to_numpy(); pidx = ps["rid"].to_numpy()
+            psa = ps["sa"].to_numpy()
+            for xx, yy, cid in zip(qs["x"].to_numpy(),
+                                   qs["y"].to_numpy(),
+                                   qs["rid"].to_numpy()):
+                d2 = (xx - px) ** 2 + (yy - py) ** 2
+                m = d2 <= md2
+                sel = np.flatnonzero(m)
+                if len(sel) == 0:
+                    continue
+                order = np.lexsort((pidx[sel], d2[sel]))
+                sel = sel[order]
+                rows.append({"cell": int(cid),
+                             "idx": pidx[sel].tobytes(),
+                             "d2": d2[sel].tobytes(),
+                             "cx": px[sel].tobytes(),
+                             "cy": py[sel].tobytes(),
+                             "cz": pz[sel].tobytes(),
+                             "csa": psa[sel].tobytes()})
+        cols = ("cell", "idx", "d2", "cx", "cy", "cz", "csa")
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {c: pd.Series([], dtype="int64" if c == "cell" else object)
+             for c in cols})
+
+    both = coalesce_partials(
+        cells.union(pts_ds.map_batches(duplicate, batch_format="numpy")))
+    cand = (both.groupby("gkey")
+            .map_groups(per_cell_group, batch_format="pandas")
+            .to_pandas().sort_values("cell"))
+
+    slope_thr = math.radians(max_slope)
+    nonground = np.zeros(n_points, dtype=bool)
+    dem: dict[int, float] = {}
+    for rec in cand.itertuples():
+        idx = np.frombuffer(rec.idx, dtype=np.int64)
+        d2c = np.frombuffer(rec.d2)
+        cx = np.frombuffer(rec.cx)
+        cy = np.frombuffer(rec.cy)
+        cz = np.frombuffer(rec.cz)
+        csa = np.frombuffer(rec.csa, dtype=np.int64)
+        n = len(idx)
+        if n == 1:
+            dem[int(rec.cell)] = float(cz[0])   # flag ignored (:468)
+            continue
+        if max_scan_angle_dev < 90.0:
+            mn, mx = csa.min(), csa.max()
+            for i in range(n):
+                if csa[i] - mn > max_scan_angle_dev:
+                    nonground[idx[i]] = True
+        for i in range(n - 1):
+            if nonground[idx[i]]:
+                continue
+            for j in range(i + 1, n):
+                if nonground[idx[j]]:
+                    continue
+                dist = math.hypot(cx[i] - cx[j], cy[i] - cy[j])
+                if cz[i] > cz[j]:
+                    hi, dv = idx[i], cz[i] - cz[j]
+                else:
+                    hi, dv = idx[j], cz[j] - cz[i]
+                if dist == 0.0:
+                    if dv == 0.0:
+                        continue            # 0/0 → NaN → no mark
+                    slope = math.pi / 2
+                else:
+                    slope = math.atan(dv / dist)
+                if slope > slope_thr:
+                    nonground[hi] = True
+        # IDW over surviving points, literal sequential semantics
+        weights: list[float] = []
+        vals: list[float] = []
+        sum_w = 0.0
+        cnt = 0
+        for i in range(n):
+            if nonground[idx[i]]:
+                continue
+            if d2c[i] > 0:
+                w = 1.0 / math.sqrt(d2c[i]) ** weight
+                weights.append(w)
+                sum_w += w
+                vals.append(cz[i])
+                cnt += 1
+            else:                           # exact hit short-circuit
+                weights = [1.0]
+                sum_w += 1.0
+                vals = [cz[i]]
+                cnt = 1
+                break
+        if cnt > 0:
+            zv = 0.0
+            for s_ in range(cnt):
+                zv += (weights[s_] * vals[s_]) / sum_w
+            dem[int(rec.cell)] = zv
+
+    out = []
+    for r in range(nrows):
+        vals_r = [v for cc, v in dem.items() if cc // ncols == r]
+        out.append({"row_id": r, "n_valid": len(vals_r),
+                    "row_sum": round(float(sum(vals_r)), round_to)})
+    return pd.DataFrame(out)

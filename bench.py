@@ -90,7 +90,9 @@ def run_bench() -> dict:
         pages_flagship)
     from whitebox_geospatial_analysis_tools_ray.sources.pages import (
         generate_pages_dataset)
-    bench_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "500000"))
+    # default 2M pages — the BASELINE.md measurement size, so
+    # round-over-round deltas are like-for-like
+    bench_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "2000000"))
     pdir = generate_pages_dataset(bench_pages, "/tmp/graft_bench_pages")
     _consume(pages_flagship(pdir))  # warm (pool + page cache)
     trials = []
@@ -219,4 +221,10 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        out = run_bench()
+        # embed the 8-vs-32 scaling evidence in the bench record itself
+        # (fresh processes, after run_bench's ray.shutdown())
+        if os.environ.get("GRAFT_BENCH_SCALING", "1") == "1":
+            out["scaling"] = run_scaling(
+                trials=int(os.environ.get("GRAFT_SCALE_TRIALS", "2")))
+        print(json.dumps(out))

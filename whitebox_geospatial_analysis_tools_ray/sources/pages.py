@@ -88,6 +88,12 @@ def generate_pages_dataset(n: int, out_dir: str,
     if os.path.exists(marker):
         if json.load(open(marker)).get("n") == n:
             return out_dir
+    # regenerating at a different n: wipe the directory first —
+    # write_parquet APPENDS shard files, so stale shards from a previous
+    # size would silently pollute the corpus
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     n_shards = (n + rows_per_shard - 1) // rows_per_shard
 

@@ -145,6 +145,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, ds = import_geotiff(path, tile_rows=spec.tile_rows)
         return raster.raster_row_checksums(ds, spec)
 
+    def _geotiff_compressed_q(sf_dir: str):
+        """Export the synthetic raster quantized to uint16 into a TILED
+        deflate-compressed GeoTIFF with the horizontal predictor, re-import
+        through per-tile decompression inside the Ray read tasks, checksum
+        rows. Goes beyond the reference (GeoTiff.java:613 rejects ALL
+        compression); exact SQL oracle on the trunc-quantized identity."""
+        from whitebox_geospatial_analysis_tools_ray.sources.geotiff import (
+            export_geotiff, import_geotiff)
+        from whitebox_geospatial_analysis_tools_ray.sources.raster_io import (
+            RasterHeader)
+        import numpy as _np
+        from whitebox_geospatial_analysis_tools_ray.core.rng import NODATA
+        spec = raster.RasterSpec()
+        path = "/tmp/graft_geotiff_cmp.tif"
+        hdr = RasterHeader(rows=spec.rows, cols=spec.cols,
+                           north=float(spec.rows), south=0.0,
+                           east=float(spec.cols), west=0.0)
+
+        def quantize(df):
+            out = df.copy()
+            out["data"] = [
+                _np.where(d == NODATA, 65535.0, _np.trunc(d * 65.0))
+                for d in (_np.asarray(x) for x in df["data"])]
+            return out
+
+        q = raster.synth_raster(spec).map_batches(quantize,
+                                                  batch_format="pandas")
+        export_geotiff(hdr, q, path, dtype=_np.dtype("<u2"),
+                       compression="deflate", predictor=2, tile_size=64)
+        _, ds = import_geotiff(path, tile_rows=spec.tile_rows)
+        return raster.raster_row_checksums(ds, spec)
+
     def _trend_q(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.stages.vector_ops import (
             trend_surface)
@@ -275,6 +307,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lidar_segmentation_weights": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).lidar_segmentation_weights(sf),
+        "las_rgb_stats": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).las_rgb_stats(sf),
         "las_file_summary": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).get_las_file_summary(sf),
@@ -384,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crispness_index": lambda sf: raster_stats.crispness_index(raster.RasterSpec()),
         "raster_aggregate": _downsample,
         "geotiff_roundtrip": _geotiff_q,
+        "geotiff_compressed_roundtrip": _geotiff_compressed_q,
         "png_roundtrip": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.png",
             fromlist=["x"]).png_roundtrip_query(),
@@ -946,6 +982,9 @@ def oracle_sql() -> dict[str, str]:
         "lidar_segmentation_weights": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).lidar_segmentation_weights_sql(),
+        "las_rgb_stats": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).las_rgb_stats_sql(),
         "las_file_summary": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).get_las_file_summary_sql(),
@@ -1021,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "crispness_index": o.crispness_sql(),
         "raster_aggregate": o.aggregate_downsample_sql(),
         "geotiff_roundtrip": o.raster_identity_sql(),
+        "geotiff_compressed_roundtrip": o.geotiff_compressed_sql(),
         "png_roundtrip": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.png",
             fromlist=["x"]).png_roundtrip_sql(),
@@ -1128,6 +1168,9 @@ def oracle_sql() -> dict[str, str]:
         # rows-only, verified vs the single-process topological mirror.
         "vector_cleaning": _vclean_sql(),
         "shape_metrics_basic": _shape_sql(),
+        "minimum_bounding_box": o.minimum_bounding_box_sql(),
+        "long_axis": o.axis_sql("long"),
+        "short_axis": o.axis_sql("short"),
         "medoid": _medoid_sql(),
         "smooth_vector": _vops2("smooth_vector_sql"),
         "polygons_to_lines": _vops2("polygons_to_lines_sql"),

@@ -39,18 +39,82 @@ def test_geotiff_roundtrip(tmp_path, ray_session, dtype):
     np.testing.assert_array_equal(got, grid)
 
 
-def test_geotiff_rejects_compressed(tmp_path):
-    # minimal IFD with Compression=5 (LZW)
+def test_geotiff_rejects_unsupported_compression(tmp_path):
+    # minimal IFD with Compression=7 (new-style JPEG — out of scope)
     import struct
     p = str(tmp_path / "c.tif")
     ifd = struct.pack("<H", 3)
     for tag, typ, cnt, val in ((256, 4, 1, 4), (257, 4, 1, 4),
-                               (259, 3, 1, 5)):
+                               (259, 3, 1, 7)):
         ifd += struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
     ifd += struct.pack("<I", 0)
     open(p, "wb").write(b"II*\0" + struct.pack("<I", 8) + ifd)
     with pytest.raises(NotImplementedError):
         gt.read_geotiff_header(p)
+
+
+@pytest.mark.parametrize("compression", ["deflate", "lzw", "packbits"])
+def test_geotiff_compressed_roundtrip(tmp_path, ray_session, compression):
+    g = np.random.default_rng(11)
+    rows, cols = 53, 41
+    # quantized values compress and stress run/literal boundaries
+    grid = (g.integers(0, 9, (rows, cols)).astype("<u2") * 100
+            ).astype(np.float64)
+    hdr = RasterHeader(rows=rows, cols=cols, north=90.0, south=37.0,
+                       east=141.0, west=100.0)
+    p = str(tmp_path / f"c_{compression}.tif")
+    gt.export_geotiff(hdr, _synth_ds(hdr, grid), p, dtype=np.dtype("<u2"),
+                      rows_per_strip=7, compression=compression)
+    hdr2, ds = gt.import_geotiff(p, tile_rows=10)
+    frames = ds.to_pandas().sort_values("tile_id")
+    got = np.vstack([np.asarray(r.data).reshape(-1, cols)
+                     for r in frames.itertuples()])
+    np.testing.assert_array_equal(got, grid)
+
+
+def test_geotiff_predictor_roundtrip(tmp_path, ray_session):
+    g = np.random.default_rng(13)
+    rows, cols = 40, 33
+    grid = g.integers(0, 65000, (rows, cols)).astype("<u2").astype(np.float64)
+    hdr = RasterHeader(rows=rows, cols=cols, north=10.0, south=0.0,
+                       east=10.0, west=0.0)
+    p = str(tmp_path / "pred.tif")
+    gt.export_geotiff(hdr, _synth_ds(hdr, grid), p, dtype=np.dtype("<u2"),
+                      rows_per_strip=16, compression="deflate", predictor=2)
+    _, ds = gt.import_geotiff(p, tile_rows=9)
+    frames = ds.to_pandas().sort_values("tile_id")
+    got = np.vstack([np.asarray(r.data).reshape(-1, cols)
+                     for r in frames.itertuples()])
+    np.testing.assert_array_equal(got, grid)
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+def test_geotiff_tiled_roundtrip(tmp_path, ray_session, compression):
+    g = np.random.default_rng(17)
+    rows, cols = 70, 45  # non-multiples of the 32px tile: partial tiles
+    grid = g.integers(0, 255, (rows, cols)).astype("<u2").astype(np.float64)
+    hdr = RasterHeader(rows=rows, cols=cols, north=70.0, south=0.0,
+                       east=45.0, west=0.0)
+    p = str(tmp_path / f"tiled_{compression}.tif")
+    gt.export_geotiff(hdr, _synth_ds(hdr, grid), p, dtype=np.dtype("<u2"),
+                      compression=compression, tile_size=32)
+    _, ds = gt.import_geotiff(p, tile_rows=13)
+    frames = ds.to_pandas().sort_values("tile_id")
+    got = np.vstack([np.asarray(r.data).reshape(-1, cols)
+                     for r in frames.itertuples()])
+    np.testing.assert_array_equal(got, grid)
+
+
+def test_tiff_lzw_and_packbits_codecs():
+    rng = np.random.default_rng(3)
+    cases = [b"", b"A", b"AAAAAAA", bytes(range(256)) * 3,
+             rng.integers(0, 4, 10000, dtype=np.uint8).tobytes(),
+             rng.integers(0, 256, 70000, dtype=np.uint8).tobytes(),
+             b"\x00" * 130 + b"ab" + b"\xff" * 129]
+    for data in cases:
+        assert gt._lzw_decode(gt._lzw_encode(data)) == data
+        assert gt._packbits_decode(gt._packbits_encode(data),
+                                   len(data)) == data
 
 
 def test_geotiff_rejects_non_tiff(tmp_path):
@@ -140,3 +204,25 @@ def test_jpeg_codec_roundtrip_and_determinism():
         write_jpeg("/tmp/t_jpeg_noise.jpg", noise, quality=q)
         d = decode_jpeg(open("/tmp/t_jpeg_noise.jpg", "rb").read())
         assert d.shape == noise.shape
+
+
+def test_png_16bit_and_palette_roundtrip():
+    from whitebox_geospatial_analysis_tools_ray.sources.png import (
+        decode_png, write_png, write_png_palette)
+
+    rng = np.random.default_rng(21)
+    g16 = rng.integers(0, 65536, size=(33, 29), dtype=np.uint16)
+    write_png("/tmp/t_png_g16.png", g16)
+    got = decode_png(open("/tmp/t_png_g16.png", "rb").read())
+    assert got.dtype == np.uint16 and np.array_equal(got, g16)
+
+    c16 = rng.integers(0, 65536, size=(17, 23, 3), dtype=np.uint16)
+    write_png("/tmp/t_png_c16.png", c16)
+    got = decode_png(open("/tmp/t_png_c16.png", "rb").read())
+    assert got.dtype == np.uint16 and np.array_equal(got, c16)
+
+    pal = rng.integers(0, 256, size=(40, 3), dtype=np.uint8)
+    idx = rng.integers(0, 40, size=(26, 31), dtype=np.uint8)
+    write_png_palette("/tmp/t_png_pal.png", idx, pal)
+    got = decode_png(open("/tmp/t_png_pal.png", "rb").read())
+    assert got.shape == (26, 31, 3) and np.array_equal(got, pal[idx])

@@ -33,6 +33,55 @@ def test_las_roundtrip(tmp_path, ray_session):
             == df2.sort_values(["x", "y"]).reset_index(drop=True)).all().all()
 
 
+def test_las_point_formats_1_2_3(tmp_path, ray_session):
+    g = np.random.default_rng(8)
+    n = 700
+    x = g.uniform(0, 4000, n)
+    y = g.uniform(0, 4000, n)
+    z = g.uniform(0, 900, n)
+    inten = g.integers(0, 4096, n)
+    cls = g.integers(1, 8, n)
+    gps = g.integers(0, 1 << 30, n) / 1024.0
+    rgb = tuple(g.integers(0, 65536, n) for _ in range(3))
+    for fmt in (1, 2, 3):
+        p = str(tmp_path / f"f{fmt}.las")
+        las.write_las(p, x, y, z, inten, cls, point_format=fmt,
+                      gps_time=gps, rgb=rgb)
+        hdr = las.read_las_header(p)
+        assert hdr.point_format == fmt
+        assert hdr.record_len == las._pt_dtype(fmt).itemsize
+        df = las.read_las(p, chunk_points=123).to_pandas()
+        assert len(df) == n
+        assert (df["intensity"].to_numpy() == inten).all()
+        if fmt in (1, 3):
+            assert (df["gps_time"].to_numpy() == gps).all()
+        else:
+            assert "gps_time" not in df.columns
+        if fmt in (2, 3):
+            for col, want in zip(("red", "green", "blue"), rgb):
+                assert (df[col].to_numpy() == want).all()
+        else:
+            assert "red" not in df.columns
+
+
+def test_las_rejects_format_beyond_3(tmp_path):
+    import struct
+    p = str(tmp_path / "f6.las")
+    hdr = bytearray(227)
+    hdr[:4] = b"LASF"
+    hdr[24], hdr[25] = 1, 4
+    struct.pack_into("<I", hdr, 96, 227)
+    hdr[104] = 6                      # format 6 (LAS 1.4) — out of scope
+    struct.pack_into("<H", hdr, 105, 30)
+    struct.pack_into("<I", hdr, 107, 0)
+    open(p, "wb").write(bytes(hdr))
+    try:
+        las.read_las(p)
+        assert False
+    except NotImplementedError:
+        pass
+
+
 def test_las_rejects_non_las(tmp_path):
     p = str(tmp_path / "x.las")
     open(p, "wb").write(b"NOPE" + b"\0" * 300)

@@ -476,6 +476,20 @@ FROM vals GROUP BY cell // {cols}
 """
 
 
+def geotiff_compressed_sql(rows: int = 256, cols: int = 256) -> str:
+    """Oracle for the tiled/deflate/predictor GeoTIFF roundtrip: the
+    uint16 quantization (NoData -> 65535, else trunc(v*65)) survives the
+    compressed roundtrip exactly, and every cell is valid afterwards."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+res AS (SELECT cell,
+        CASE WHEN v = {_NOD} THEN 65535.0 ELSE trunc(v * 65.0) END AS f
+        FROM vals)
+{_row_checksum_select(cols)}
+FROM res GROUP BY cell // {cols}
+"""
+
+
 def raster_stencil_sql(rows: int = 256, cols: int = 256) -> str:
     return f"""
 WITH {_raster_vals_cte(rows, cols)},
@@ -1014,6 +1028,123 @@ def _lshape_cte() -> str:
         "lb AS (SELECT rec_id, xa - h AS x0, ya - h AS y0, xa + h AS x1, "
         "ya + h AS y1, xa + h + w2 AS fx1, ya AS fy1, "
         "2.0 * h * (2.0 * h) + w2 * h AS area_a FROM l)")
+
+
+def minimum_bounding_box_sql() -> str:
+    """Exact mirror of stages/vector_ops.minimum_bounding_box: the
+    L-shape's convex hull is ALWAYS the same 5 vertices (the concave
+    corner P3 drops; verified for the layer's parameter ranges), so the
+    rotating-edge MBR search (MinimumBoundingRectangle.java:159-213)
+    unrolls as 5 edges x 5 vertices per feature with the same
+    first-strict-min edge tie rule (ORDER BY area, m)."""
+    return f"""
+WITH {POINTS_CTE},
+{_lshape_cte()},
+hv AS (
+  SELECT rec_id, 0 AS k, xa - h AS vx, ya - h AS vy FROM l
+  UNION ALL SELECT rec_id, 1, xa + h + w2, ya - h FROM l
+  UNION ALL SELECT rec_id, 2, xa + h + w2, ya FROM l
+  UNION ALL SELECT rec_id, 3, xa + h, ya + h FROM l
+  UNION ALL SELECT rec_id, 4, xa - h, ya + h FROM l),
+edges AS (
+  SELECT a.rec_id, a.k AS m,
+         -atan2(b.vy - a.vy, b.vx - a.vx) AS psi
+  FROM hv a JOIN hv b ON b.rec_id = a.rec_id AND b.k = (a.k + 1) % 5),
+rot AS (
+  SELECT e.rec_id, e.m,
+         v.vx * cos(e.psi) - v.vy * sin(e.psi) AS rx,
+         v.vx * sin(e.psi) + v.vy * cos(e.psi) AS ry
+  FROM edges e JOIN hv v ON v.rec_id = e.rec_id),
+ext AS (
+  SELECT rec_id, m, max(rx) - min(rx) AS w, max(ry) - min(ry) AS hh
+  FROM rot GROUP BY rec_id, m),
+best AS (
+  SELECT rec_id, w, hh, w * hh AS area,
+         row_number() OVER (PARTITION BY rec_id ORDER BY w * hh, m) AS rn
+  FROM ext)
+SELECT rec_id, round(greatest(w, hh), 6) AS long_axis,
+       round(least(w, hh), 6) AS short_axis,
+       round(area, 6) AS mbb_area
+FROM best WHERE rn = 1
+"""
+
+
+def axis_sql(which: str) -> str:
+    """Exact mirror of stages/vector_ops._axis_query (LongAxis.groovy /
+    ShortAxis.groovy over the literal MinimumBoundingRectangle
+    .getBoundingBox()): 5-hull-edge rotation search around the FULL
+    bbox midpoint, minimum-area with first-strict-min edge order,
+    including the Double.MIN_VALUE (4.9e-324) positive-tiny clamp of
+    the rotated east/south extents and the north-bearing endpoint
+    convention centre +/- len/2 * (sin, cos)(deg)."""
+    assert which in ("long", "short")
+    deg_expr = ("long_deg" if which == "long" else
+                "CASE WHEN long_deg >= 90.0 THEN long_deg - 90.0 "
+                "ELSE long_deg + 90.0 END")
+    ln_expr = ("greatest(new_x, new_y)" if which == "long"
+               else "least(new_x, new_y)")
+    return f"""
+WITH {POINTS_CTE},
+{_lshape_cte()},
+mid AS (
+  SELECT rec_id,
+         (xa - h) + ((xa + h + w2) - (xa - h)) / 2.0 AS mid_x,
+         (ya - h) + ((ya + h) - (ya - h)) / 2.0 AS mid_y
+  FROM l),
+hv AS (
+  SELECT rec_id, 0 AS k, xa - h AS vx, ya - h AS vy FROM l
+  UNION ALL SELECT rec_id, 1, xa + h + w2, ya - h FROM l
+  UNION ALL SELECT rec_id, 2, xa + h + w2, ya FROM l
+  UNION ALL SELECT rec_id, 3, xa + h, ya + h FROM l
+  UNION ALL SELECT rec_id, 4, xa - h, ya + h FROM l),
+edges AS (
+  SELECT a.rec_id, a.k AS m,
+         -atan2(b.vy - a.vy, b.vx - a.vx) AS psi
+  FROM hv a JOIN hv b ON b.rec_id = a.rec_id AND b.k = (a.k + 1) % 5),
+rot AS (
+  SELECT e.rec_id, e.m, e.psi,
+         (v.vx - d.mid_x) * cos(e.psi) - (v.vy - d.mid_y) * sin(e.psi) AS rx,
+         (v.vx - d.mid_x) * sin(e.psi) + (v.vy - d.mid_y) * cos(e.psi) AS ry
+  FROM edges e
+  JOIN hv v ON v.rec_id = e.rec_id
+  JOIN mid d ON d.rec_id = e.rec_id),
+ext AS (
+  SELECT rec_id, m, any_value(psi) AS psi,
+         min(rx) AS w_, greatest(max(rx), 4.9e-324) AS e_,
+         min(ry) AS n_, greatest(max(ry), 4.9e-324) AS s_
+  FROM rot GROUP BY rec_id, m),
+boxed AS (
+  SELECT rec_id, m, psi, w_, n_,
+         abs(e_ - w_) AS new_x, abs(s_ - n_) AS new_y
+  FROM ext),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY rec_id
+                               ORDER BY new_x * new_y, m) AS rn
+  FROM boxed),
+win AS (
+  SELECT b.rec_id, b.psi, b.new_x, b.new_y,
+         CASE WHEN b.new_x > b.new_y THEN -b.psi
+              ELSE -(pi() / 2.0 + b.psi) END AS slope,
+         d.mid_x + (b.w_ + b.new_x / 2.0) * cos(-b.psi)
+                 - (b.n_ + b.new_y / 2.0) * sin(-b.psi) AS cx,
+         d.mid_y + (b.w_ + b.new_x / 2.0) * sin(-b.psi)
+                 + (b.n_ + b.new_y / 2.0) * cos(-b.psi) AS cy
+  FROM best b JOIN mid d ON d.rec_id = b.rec_id WHERE b.rn = 1),
+ang AS (
+  SELECT rec_id, new_x, new_y, cx, cy,
+         90.0 + degrees(atan(tan(-slope))) AS long_deg
+  FROM win),
+fin AS (
+  SELECT rec_id, cx, cy, {ln_expr} AS ln,
+         {deg_expr} AS deg
+  FROM ang)
+SELECT rec_id, round(ln, 6) AS length, round(deg, 6) AS orient,
+       round(cx + ln / 2.0 * sin(radians(deg)), 6) AS x0,
+       round(cy + ln / 2.0 * cos(radians(deg)), 6) AS y0,
+       round(cx - ln / 2.0 * sin(radians(deg)), 6) AS x1,
+       round(cy - ln / 2.0 * cos(radians(deg)), 6) AS y1
+FROM fin
+"""
 
 
 def _overlay_inter_expr() -> str:

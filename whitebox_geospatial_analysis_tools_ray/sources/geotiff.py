@@ -1,15 +1,18 @@
-"""Baseline (uncompressed, strip-organized) GeoTIFF import/export.
+"""GeoTIFF import/export: strip or tile organization, uncompressed,
+Deflate (8/32946), LZW (5) or PackBits (32773) compression, with the
+horizontal-differencing predictor (tag 317 = 2).
 
 Reference: WhiteboxAPI/src/whitebox/geospatialfiles/GeoTiff.java:58
-(tag table :295, read :438; strip-oriented access :607-619; rejects
-compressed data :613) and ImportGeoTiff.java (372) / ExportGeoTiff.java
-(406). Same scope here: uncompressed single-band strips, uint8/16/32,
-int16/32, float32/64, either byte order; ModelPixelScale (0x830E) and
-ModelTiepoint (0x8482) carry the georeference.
+(tag table :295, read :438; strip-oriented access :607-619). The
+reference REJECTS compressed data (GeoTiff.java:613); real-world GeoTIFF
+corpora are almost always deflate- or LZW-compressed, so this importer
+goes beyond it — the codecs are from-scratch/stdlib (zlib for deflate,
+pure-numpy TIFF-LZW and PackBits here).
 
 Ray shape: the IFD is parsed once on the driver (tiny); raster rows
-stream through byte-range strip reads — one Ray task per output row
-band, the sources/grids.py pattern.
+stream through byte-range strip/tile reads — one Ray task per output
+row band, the sources/grids.py pattern. Compressed strips decompress
+INSIDE the task, so only compressed bytes leave storage.
 """
 
 from __future__ import annotations
@@ -31,6 +34,11 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_SAMPLE_FORMAT = 339
+_TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 _TAG_PIXEL_SCALE = 0x830E
 _TAG_TIEPOINT = 0x8482
 _TAG_GDAL_NODATA = 42113
@@ -84,17 +92,189 @@ def _read_ifd(path: str) -> dict[int, tuple[int, list]]:
     return tags
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavoured LZW (MSB-first bit packing, 9→12-bit codes,
+    Clear=256, EOI=257, "early change" code-width bump — TIFF 6.0
+    §13). Pure Python; runs inside the Ray read task."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    bitbuf = bitcnt = 0
+    pos = 0
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    n = len(data)
+    while True:
+        while bitcnt < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == EOI:
+            return bytes(out)
+        if code == CLEAR:
+            reset()
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # early change: the decoder's table lags the encoder's by one
+        # entry, so it bumps at 510/1022/2046 (2^w - 2), one entry
+        # before the encoder's 511/1023/2047 trigger (TIFF 6.0 §13)
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-LZW encoder (for roundtrip tests and a compressing sink)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def put(code: int, width: int):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table: dict[bytes, int] = {}
+    next_code = 258
+    width = 9
+
+    def reset():
+        nonlocal table, next_code, width
+        table = {bytes([i]): i for i in range(256)}
+        next_code, width = 258, 9
+
+    reset()
+    put(CLEAR, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # early change: bump width when next_code reaches 2^width - 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == (1 << 12) - 1:
+            put(CLEAR, width)
+            reset()
+        w = bytes([byte])
+    if w:
+        put(table[w], width)
+    put(EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n and len(out) < expected:
+        h = data[pos]
+        pos += 1
+        if h < 128:          # literal run of h+1 bytes
+            out += data[pos:pos + h + 1]
+            pos += h + 1
+        elif h > 128:        # repeat next byte 257-h times
+            out += data[pos:pos + 1] * (257 - h)
+            pos += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1 identical bytes
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+        else:      # literal segment until the next 2-byte run (or 128 max)
+            j = i
+            while j + 1 < n and j - i < 127 and data[j + 1] != data[j]:
+                j += 1
+            if j > i and j + 1 < n and data[j + 1] == data[j]:
+                j -= 1  # leave the run starter for the next iteration
+            out.append(j - i)
+            out += data[i:j + 1]
+            i = j + 1
+    return bytes(out)
+
+
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE = 1, 5, 8
+_COMP_ADOBE_DEFLATE, _COMP_PACKBITS = 32946, 32773
+_SUPPORTED_COMP = {_COMP_NONE, _COMP_LZW, _COMP_DEFLATE,
+                   _COMP_ADOBE_DEFLATE, _COMP_PACKBITS}
+
+
+def _decompress(raw: bytes, comp: int, expected: int) -> bytes:
+    import zlib
+    if comp == _COMP_NONE:
+        return raw
+    if comp in (_COMP_DEFLATE, _COMP_ADOBE_DEFLATE):
+        return zlib.decompress(raw)
+    if comp == _COMP_LZW:
+        return _lzw_decode(raw)
+    if comp == _COMP_PACKBITS:
+        return _packbits_decode(raw, expected)
+    raise NotImplementedError(f"TIFF compression {comp}")
+
+
+def _unpredict(block: np.ndarray) -> np.ndarray:
+    """Undo horizontal differencing (predictor 2): cumulative sum along
+    each row in the sample's integer width (wraps mod 2^bits)."""
+    return np.cumsum(block, axis=1, dtype=block.dtype)
+
+
+def _predict(block: np.ndarray) -> np.ndarray:
+    out = block.copy()
+    out[:, 1:] = block[:, 1:] - block[:, :-1]
+    return out
+
+
 def read_geotiff_header(path: str):
-    """(RasterHeader, numpy dtype, strip layout dict)."""
+    """(RasterHeader, numpy dtype, strip/tile layout dict)."""
     tags = _read_ifd(path)
     bo = tags[-1][1][0]
     cols = tags[_TAG_WIDTH][1][0]
     rows = tags[_TAG_HEIGHT][1][0]
     comp = tags.get(_TAG_COMPRESSION, (0, [1]))[1][0]
-    if comp != 1:
+    if comp not in _SUPPORTED_COMP:
         raise NotImplementedError(
-            f"{path}: compressed TIFF (type {comp}) unsupported "
-            "(GeoTiff.java:613 rejects these too)")
+            f"{path}: TIFF compression {comp} unsupported (have "
+            "none/LZW/deflate/PackBits; the reference rejects ALL "
+            "compression, GeoTiff.java:613)")
     bits = tags.get(_TAG_BITS, (0, [8]))[1][0]
     fmt = tags.get(_TAG_SAMPLE_FORMAT, (0, [1]))[1][0]  # 1 uint 2 int 3 float
     kind = {1: "u", 2: "i", 3: "f"}[fmt]
@@ -111,10 +291,21 @@ def read_geotiff_header(path: str):
     hdr = RasterHeader(rows=rows, cols=cols, north=north,
                        south=north - sy * rows, east=west + sx * cols,
                        west=west, nodata=nodata)
-    layout = {"offsets": tags[_TAG_STRIP_OFFSETS][1],
-              "counts": tags[_TAG_STRIP_COUNTS][1],
-              "rows_per_strip": tags.get(_TAG_ROWS_PER_STRIP,
-                                         (0, [rows]))[1][0]}
+    predictor = tags.get(_TAG_PREDICTOR, (0, [1]))[1][0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"{path}: TIFF predictor {predictor}")
+    if _TAG_TILE_OFFSETS in tags:
+        layout = {"tiled": True, "comp": comp, "predictor": predictor,
+                  "offsets": tags[_TAG_TILE_OFFSETS][1],
+                  "counts": tags[_TAG_TILE_COUNTS][1],
+                  "tile_w": tags[_TAG_TILE_WIDTH][1][0],
+                  "tile_h": tags[_TAG_TILE_LENGTH][1][0]}
+    else:
+        layout = {"tiled": False, "comp": comp, "predictor": predictor,
+                  "offsets": tags[_TAG_STRIP_OFFSETS][1],
+                  "counts": tags[_TAG_STRIP_COUNTS][1],
+                  "rows_per_strip": tags.get(_TAG_ROWS_PER_STRIP,
+                                             (0, [rows]))[1][0]}
     return hdr, dtype, layout
 
 
@@ -125,60 +316,150 @@ def import_geotiff(path: str, tile_rows: int = 64):
 
     hdr, dtype, layout = read_geotiff_header(path)
     rows, cols = hdr.rows, hdr.cols
-    rps = layout["rows_per_strip"]
     offsets = layout["offsets"]
+    counts = layout["counts"]
+    comp = layout["comp"]
+    predictor = layout["predictor"]
     n_tiles = math.ceil(rows / tile_rows)
     item = dtype.itemsize
 
+    def _decode_unit(f, idx: int, unit_rows: int, unit_cols: int
+                     ) -> np.ndarray:
+        """Read + decompress + unpredict one strip/tile (full unit —
+        compressed units can't be sliced by byte range)."""
+        f.seek(offsets[idx])
+        raw = f.read(counts[idx])
+        expected = unit_rows * unit_cols * item
+        if comp == _COMP_NONE:
+            # uncompressed short-final-strip files may truncate
+            raw = raw[:expected]
+        else:
+            raw = _decompress(raw, comp, expected)[:expected]
+        a = np.frombuffer(raw, dtype=dtype).reshape(-1, unit_cols)
+        if predictor == 2:
+            a = _unpredict(a)
+        return a
+
     def load(batch) -> pd.DataFrame:
         out = {"tile_id": [], "data": []}
-        for tid in batch["id"]:
-            r0 = int(tid) * tile_rows
-            r1 = min(r0 + tile_rows, rows)
-            parts = []
-            with open(path, "rb") as f:
-                r = r0
-                while r < r1:
-                    strip = r // rps
-                    srow = r % rps
-                    take = min(r1 - r, rps - srow)
-                    f.seek(offsets[strip] + srow * cols * item)
-                    raw = f.read(take * cols * item)
-                    parts.append(np.frombuffer(raw, dtype=dtype)
-                                 .reshape(take, cols))
-                    r += take
-            a = np.vstack(parts).astype(np.float64)
-            if hdr.nodata != WHITEBOX_NODATA:
-                a[a == hdr.nodata] = WHITEBOX_NODATA
-            out["tile_id"].append(int(tid))
-            out["data"].append(a.ravel())
+        with open(path, "rb") as f:
+            for tid in batch["id"]:
+                r0 = int(tid) * tile_rows
+                r1 = min(r0 + tile_rows, rows)
+                if layout["tiled"]:
+                    tw, th = layout["tile_w"], layout["tile_h"]
+                    tiles_across = math.ceil(cols / tw)
+                    band = np.empty((r1 - r0, cols), dtype=dtype)
+                    for trow in range(r0 // th, (r1 - 1) // th + 1):
+                        row_parts = []
+                        for tcol in range(tiles_across):
+                            a = _decode_unit(f, trow * tiles_across + tcol,
+                                             th, tw)
+                            row_parts.append(a)
+                        strip = np.hstack(row_parts)[:, :cols]
+                        y0 = max(r0, trow * th)
+                        y1 = min(r1, (trow + 1) * th)
+                        band[y0 - r0:y1 - r0] = strip[y0 - trow * th:
+                                                      y1 - trow * th]
+                    a = band
+                else:
+                    rps = layout["rows_per_strip"]
+                    parts = []
+                    r = r0
+                    while r < r1:
+                        strip = r // rps
+                        srow = r % rps
+                        take = min(r1 - r, rps - srow)
+                        unit_rows = min(rps, rows - strip * rps)
+                        if comp == _COMP_NONE and predictor == 1:
+                            # fast path: byte-range slice into the strip
+                            f.seek(offsets[strip] + srow * cols * item)
+                            raw = f.read(take * cols * item)
+                            parts.append(np.frombuffer(raw, dtype=dtype)
+                                         .reshape(take, cols))
+                        else:
+                            a = _decode_unit(f, strip, unit_rows, cols)
+                            parts.append(a[srow:srow + take])
+                        r += take
+                    a = np.vstack(parts)
+                a = a.astype(np.float64)
+                if hdr.nodata != WHITEBOX_NODATA:
+                    a[a == hdr.nodata] = WHITEBOX_NODATA
+                out["tile_id"].append(int(tid))
+                out["data"].append(a.ravel())
         return pd.DataFrame(out)
 
     return hdr, rd.range(n_tiles).map_batches(load, batch_format="numpy")
 
 
+_COMP_NAME = {"none": _COMP_NONE, "lzw": _COMP_LZW,
+              "deflate": _COMP_DEFLATE, "packbits": _COMP_PACKBITS}
+
+
+def _compress(raw: bytes, comp: int) -> bytes:
+    import zlib
+    if comp == _COMP_NONE:
+        return raw
+    if comp == _COMP_DEFLATE:
+        return zlib.compress(raw, 6)
+    if comp == _COMP_LZW:
+        return _lzw_encode(raw)
+    if comp == _COMP_PACKBITS:
+        return _packbits_encode(raw)
+    raise NotImplementedError(f"TIFF compression {comp}")
+
+
 def export_geotiff(hdr: RasterHeader, ds, path: str,
                    dtype: np.dtype = np.dtype("<f4"),
-                   rows_per_strip: int = 64) -> None:
-    """Write an uncompressed little-endian strip GeoTIFF (driver-side
-    assembly — export is a small-side sink, like the grid exporters)."""
+                   rows_per_strip: int = 64,
+                   compression: str = "none",
+                   predictor: int = 1,
+                   tile_size: int | None = None) -> None:
+    """Write a little-endian GeoTIFF (driver-side assembly — export is a
+    small-side sink, like the grid exporters). ``compression`` is one of
+    none/deflate/lzw/packbits; ``predictor=2`` applies horizontal
+    differencing (integer dtypes only); ``tile_size`` switches to tiled
+    organization (multiple-of-16 per TIFF 6.0)."""
+    comp = _COMP_NAME[compression]
+    if predictor == 2 and dtype.kind == "f":
+        raise ValueError("predictor 2 is for integer samples")
     frames = ds.to_pandas().sort_values("tile_id")
     grid = np.vstack([np.asarray(r.data).reshape(-1, hdr.cols)
                       for r in frames.itertuples()]).astype(dtype)
     rows, cols = grid.shape
-    n_strips = math.ceil(rows / rows_per_strip)
     item = dtype.itemsize
-    strips = [grid[i * rows_per_strip: (i + 1) * rows_per_strip]
-              for i in range(n_strips)]
-    counts = [s.shape[0] * cols * item for s in strips]
+    tiled = tile_size is not None
 
-    tags = []  # (tag, type, count, value_or_bytes)
+    units: list[bytes] = []
+    if tiled:
+        ts = tile_size
+        if ts % 16:
+            raise ValueError("TIFF tile size must be a multiple of 16")
+        down, across = math.ceil(rows / ts), math.ceil(cols / ts)
+        for ty in range(down):
+            for tx in range(across):
+                t = np.zeros((ts, ts), dtype=dtype)
+                blk = grid[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+                t[:blk.shape[0], :blk.shape[1]] = blk
+                if predictor == 2:
+                    t = _predict(t)
+                units.append(_compress(t.tobytes(), comp))
+    else:
+        n_strips = math.ceil(rows / rows_per_strip)
+        for i in range(n_strips):
+            s = grid[i * rows_per_strip:(i + 1) * rows_per_strip]
+            if predictor == 2:
+                s = _predict(s)
+            units.append(_compress(s.tobytes(), comp))
+    counts = [len(u) for u in units]
+    n_units = len(units)
+
     sx = (hdr.east - hdr.west) / cols
     sy = (hdr.north - hdr.south) / rows
     fmt_code = {"u": 1, "i": 2, "f": 3}[dtype.kind]
 
-    # layout: header(8) + IFD + external data + strips
-    n_entries = 11
+    # layout: header(8) + IFD + external data + strip/tile payloads
+    n_entries = 11 + (1 if predictor == 2 else 0) + (1 if tiled else 0)
     ifd_off = 8
     ifd_size = 2 + n_entries * 12 + 4
     ext_off = ifd_off + ifd_size
@@ -193,39 +474,50 @@ def export_geotiff(hdr: RasterHeader, ds, path: str,
     scale_off = ext_put(struct.pack("<3d", sx, sy, 0.0))
     tie_off = ext_put(struct.pack("<6d", 0.0, 0.0, 0.0,
                                   hdr.west, hdr.north, 0.0))
-    strip_off_pos = ext_put(b"\0" * (4 * n_strips))
-    strip_cnt_off = ext_put(struct.pack(f"<{n_strips}I", *counts))
+    unit_off_pos = ext_put(b"\0" * (4 * n_units))
+    unit_cnt_off = ext_put(struct.pack(f"<{n_units}I", *counts))
     data_start = ext_off + len(ext)
     offs = []
     pos = data_start
     for c in counts:
         offs.append(pos)
         pos += c
-    struct.pack_into(f"<{n_strips}I", ext,
-                     strip_off_pos - ext_off, *offs)
+    struct.pack_into(f"<{n_units}I", ext, unit_off_pos - ext_off, *offs)
 
     def entry(tag, typ, cnt, val):
         return struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
 
-    ifd = struct.pack("<H", n_entries)
-    ifd += entry(_TAG_WIDTH, 4, 1, cols)
-    ifd += entry(_TAG_HEIGHT, 4, 1, rows)
-    ifd += entry(_TAG_BITS, 3, 1, item * 8)
-    ifd += entry(_TAG_COMPRESSION, 3, 1, 1)
-    ifd += entry(262, 3, 1, 1)  # PhotometricInterpretation: BlackIsZero
-    ifd += entry(_TAG_STRIP_OFFSETS, 4, n_strips,
-                 offs[0] if n_strips == 1 else strip_off_pos)
-    ifd += entry(_TAG_ROWS_PER_STRIP, 4, 1, rows_per_strip)
-    ifd += entry(_TAG_STRIP_COUNTS, 4, n_strips,
-                 counts[0] if n_strips == 1 else strip_cnt_off)
-    ifd += entry(_TAG_SAMPLE_FORMAT, 3, 1, fmt_code)
-    ifd += entry(_TAG_PIXEL_SCALE, 12, 3, scale_off)
-    ifd += entry(_TAG_TIEPOINT, 12, 6, tie_off)
+    ents = []
+    ents.append(entry(_TAG_WIDTH, 4, 1, cols))
+    ents.append(entry(_TAG_HEIGHT, 4, 1, rows))
+    ents.append(entry(_TAG_BITS, 3, 1, item * 8))
+    ents.append(entry(_TAG_COMPRESSION, 3, 1, comp))
+    ents.append(entry(262, 3, 1, 1))  # Photometric: BlackIsZero
+    if tiled:
+        ents.append(entry(_TAG_TILE_WIDTH, 4, 1, tile_size))
+        ents.append(entry(_TAG_TILE_LENGTH, 4, 1, tile_size))
+        ents.append(entry(_TAG_TILE_OFFSETS, 4, n_units,
+                          offs[0] if n_units == 1 else unit_off_pos))
+        ents.append(entry(_TAG_TILE_COUNTS, 4, n_units,
+                          counts[0] if n_units == 1 else unit_cnt_off))
+    else:
+        ents.append(entry(_TAG_STRIP_OFFSETS, 4, n_units,
+                          offs[0] if n_units == 1 else unit_off_pos))
+        ents.append(entry(_TAG_ROWS_PER_STRIP, 4, 1, rows_per_strip))
+        ents.append(entry(_TAG_STRIP_COUNTS, 4, n_units,
+                          counts[0] if n_units == 1 else unit_cnt_off))
+    if predictor == 2:
+        ents.append(entry(_TAG_PREDICTOR, 3, 1, 2))
+    ents.append(entry(_TAG_SAMPLE_FORMAT, 3, 1, fmt_code))
+    ents.append(entry(_TAG_PIXEL_SCALE, 12, 3, scale_off))
+    ents.append(entry(_TAG_TIEPOINT, 12, 6, tie_off))
+    ents.sort(key=lambda e: struct.unpack_from("<H", e)[0])  # tag order
+    ifd = struct.pack("<H", n_entries) + b"".join(ents)
     ifd += struct.pack("<I", 0)  # next IFD
 
     with open(path, "wb") as f:
         f.write(b"II*\0" + struct.pack("<I", ifd_off))
         f.write(ifd)
         f.write(bytes(ext))
-        for s in strips:
-            f.write(s.tobytes())
+        for u in units:
+            f.write(u)

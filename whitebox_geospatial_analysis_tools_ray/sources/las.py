@@ -29,11 +29,29 @@ import numpy as np
 import pandas as pd
 
 SCALE = 1.0 / 1024.0
-_PT_DTYPE = np.dtype([("xi", "<i4"), ("yi", "<i4"), ("zi", "<i4"),
-                      ("intensity", "<u2"), ("flags", "u1"),
-                      ("classification", "u1"), ("scan_angle", "i1"),
-                      ("user_data", "u1"), ("point_source", "<u2")])
-assert _PT_DTYPE.itemsize == 20  # LAS point record format 0
+_PT_FIELDS_0 = [("xi", "<i4"), ("yi", "<i4"), ("zi", "<i4"),
+                ("intensity", "<u2"), ("flags", "u1"),
+                ("classification", "u1"), ("scan_angle", "i1"),
+                ("user_data", "u1"), ("point_source", "<u2")]
+
+
+def _pt_dtype(fmt: int) -> np.dtype:
+    """LAS 1.2 point record layouts (spec §"Point Data Record Format
+    0-3"; LASReader.java decodes the same four): 1 adds GPS time,
+    2 adds RGB, 3 adds both."""
+    fields = list(_PT_FIELDS_0)
+    if fmt in (1, 3):
+        fields.append(("gps_time", "<f8"))
+    if fmt in (2, 3):
+        fields += [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+    return np.dtype(fields)
+
+
+_PT_DTYPE = _pt_dtype(0)
+assert _PT_DTYPE.itemsize == 20   # format 0
+assert _pt_dtype(1).itemsize == 28
+assert _pt_dtype(2).itemsize == 26
+assert _pt_dtype(3).itemsize == 34
 
 
 @dataclass
@@ -66,13 +84,20 @@ def read_las_header(path: str) -> LasHeader:
 def write_las(path: str, x: np.ndarray, y: np.ndarray, z: np.ndarray,
               intensity: np.ndarray, classification: np.ndarray,
               scale: float = SCALE, scan_angle: np.ndarray | None = None,
-              flags: np.ndarray | None = None) -> None:
-    """Minimal LAS 1.2 format-0 writer (deterministic test fixtures)."""
+              flags: np.ndarray | None = None, point_format: int = 0,
+              gps_time: np.ndarray | None = None,
+              rgb: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+              ) -> None:
+    """Minimal LAS 1.2 writer, point formats 0-3 (deterministic test
+    fixtures). ``gps_time`` applies to formats 1/3, ``rgb`` to 2/3."""
+    if point_format not in (0, 1, 2, 3):
+        raise NotImplementedError(f"LAS point format {point_format}")
+    dt = _pt_dtype(point_format)
     xi = np.floor(np.asarray(x) / scale + 0.5).astype(np.int32)
     yi = np.floor(np.asarray(y) / scale + 0.5).astype(np.int32)
     zi = np.floor(np.asarray(z) / scale + 0.5).astype(np.int32)
     n = len(xi)
-    rec = np.zeros(n, dtype=_PT_DTYPE)
+    rec = np.zeros(n, dtype=dt)
     rec["xi"], rec["yi"], rec["zi"] = xi, yi, zi
     rec["intensity"] = np.asarray(intensity, dtype=np.uint16)
     rec["classification"] = np.asarray(classification, dtype=np.uint8)
@@ -80,13 +105,19 @@ def write_las(path: str, x: np.ndarray, y: np.ndarray, z: np.ndarray,
         rec["scan_angle"] = np.asarray(scan_angle, dtype=np.int8)
     if flags is not None:
         rec["flags"] = np.asarray(flags, dtype=np.uint8)
+    if point_format in (1, 3) and gps_time is not None:
+        rec["gps_time"] = np.asarray(gps_time, dtype=np.float64)
+    if point_format in (2, 3) and rgb is not None:
+        rec["red"] = np.asarray(rgb[0], dtype=np.uint16)
+        rec["green"] = np.asarray(rgb[1], dtype=np.uint16)
+        rec["blue"] = np.asarray(rgb[2], dtype=np.uint16)
     hdr = bytearray(227)
     hdr[:4] = b"LASF"
     hdr[24], hdr[25] = 1, 2
     struct.pack_into("<H", hdr, 94, 227)        # header size
     struct.pack_into("<I", hdr, 96, 227)        # point data offset
-    hdr[104] = 0                                # point format 0
-    struct.pack_into("<H", hdr, 105, _PT_DTYPE.itemsize)
+    hdr[104] = point_format
+    struct.pack_into("<H", hdr, 105, dt.itemsize)
     struct.pack_into("<I", hdr, 107, n)
     struct.pack_into("<3d", hdr, 131, scale, scale, scale)
     struct.pack_into("<3d", hdr, 155, 0.0, 0.0, 0.0)
@@ -113,12 +144,18 @@ def read_las(path: str, chunk_points: int = 262_144,
     import ray.data as rd
 
     hdr = read_las_header(path)
-    if hdr.point_format != 0 or hdr.record_len != _PT_DTYPE.itemsize:
+    if hdr.point_format not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"LAS point format {hdr.point_format} (len {hdr.record_len})")
+    dt = _pt_dtype(hdr.point_format)
+    if hdr.record_len != dt.itemsize:
+        raise NotImplementedError(
+            f"LAS format {hdr.point_format} record length "
+            f"{hdr.record_len} != {dt.itemsize} (extra bytes unsupported)")
     n_chunks = max(1, -(-hdr.n_points // chunk_points))
     sx, sy, sz = hdr.scale
     ox, oy, oz = hdr.offset
+    fmt = hdr.point_format
 
     def load(batch) -> pd.DataFrame:
         frames = []
@@ -126,9 +163,9 @@ def read_las(path: str, chunk_points: int = 262_144,
             p0 = int(cid) * chunk_points
             p1 = min(p0 + chunk_points, hdr.n_points)
             with open(path, "rb") as f:
-                f.seek(hdr.point_offset + p0 * _PT_DTYPE.itemsize)
-                raw = f.read((p1 - p0) * _PT_DTYPE.itemsize)
-            rec = np.frombuffer(raw, dtype=_PT_DTYPE)
+                f.seek(hdr.point_offset + p0 * dt.itemsize)
+                raw = f.read((p1 - p0) * dt.itemsize)
+            rec = np.frombuffer(raw, dtype=dt)
             cols = {
                 "x": rec["xi"] * sx + ox,
                 "y": rec["yi"] * sy + oy,
@@ -137,6 +174,12 @@ def read_las(path: str, chunk_points: int = 262_144,
                 "classification": rec["classification"].astype(np.int64),
                 "scan_angle": rec["scan_angle"].astype(np.int64),
                 "flags": rec["flags"].astype(np.int64)}
+            if fmt in (1, 3):
+                cols["gps_time"] = rec["gps_time"].astype(np.float64)
+            if fmt in (2, 3):
+                cols["red"] = rec["red"].astype(np.int64)
+                cols["green"] = rec["green"].astype(np.int64)
+                cols["blue"] = rec["blue"].astype(np.int64)
             if with_index:
                 cols["index"] = np.arange(p0, p1, dtype=np.int64)
             frames.append(pd.DataFrame(cols))
@@ -208,6 +251,78 @@ def synth_las_path(sf_dir: str) -> str:
                   scan_angle=ids % 31 - 15,
                   flags=np.where(ids % 13 == 0, 0x40, 0))
     return path
+
+
+def synth_las3_path(sf_dir: str) -> str:
+    """Write (once) a point-format-3 (GPS time + RGB) LAS derived from
+    documents: same geometry as the format-0 fixture plus
+    gps_time = rec_id/1024 (dyadic — exact in SQL) and
+    rgb = (7·id, 11·id, 13·id) mod 65536. Content-hash keyed cache."""
+    import os
+
+    from ..stages.points import read_points
+
+    path = f"/tmp/graft_las3_{_content_tag(sf_dir)}.las"
+    if not os.path.exists(path):
+        pts = read_points(sf_dir).to_pandas().sort_values("rec_id")
+        ids = pts["rec_id"].to_numpy()
+        write_las(path, pts["x"].to_numpy(), pts["y"].to_numpy(),
+                  pts["z"].to_numpy(), ids % 4096, ids % 7 + 1,
+                  scan_angle=ids % 31 - 15, point_format=3,
+                  gps_time=ids / 1024.0,
+                  rgb=((ids * 7) % 65536, (ids * 11) % 65536,
+                       (ids * 13) % 65536))
+    return path
+
+
+def las_rgb_stats(sf_dir: str):
+    """Per-classification RGB + GPS-time stats over a point-format-3
+    cloud (the LAS 1.2 record layouts LASReader.java:36 decodes beyond
+    format 0): partial sums per chunk, bounded combine. GPS time is
+    summed as exact 1024ths (dyadic), so the oracle is exact."""
+    ds = read_las(synth_las3_path(sf_dir))
+
+    def partial(batch) -> pd.DataFrame:
+        gq = np.floor(np.asarray(batch["gps_time"]) * 1024.0
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"classification": np.asarray(
+                               batch["classification"]),
+                           "one": 1, "r": np.asarray(batch["red"]),
+                           "g": np.asarray(batch["green"]),
+                           "b": np.asarray(batch["blue"]), "gq": gq})
+        g = df.groupby("classification").agg(
+            n=("one", "sum"), sr=("r", "sum"), sg=("g", "sum"),
+            sb=("b", "sum"), sgq=("gq", "sum"))
+        return g.reset_index()
+
+    from ..stages.util import coalesce_partials
+    parts = ds.map_batches(partial, batch_format="numpy")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "classification": [int(df["classification"].iloc[0])],
+            "n_points": [int(df["n"].sum())],
+            "sum_red": [int(df["sr"].sum())],
+            "sum_green": [int(df["sg"].sum())],
+            "sum_blue": [int(df["sb"].sum())],
+            "sum_gps_q": [int(df["sgq"].sum())]})
+
+    return (coalesce_partials(parts).groupby("classification")
+            .map_groups(final, batch_format="pandas")
+            .sort("classification"))
+
+
+def las_rgb_stats_sql() -> str:
+    """Exact mirror: gps_time = rec_id/1024 re-quantizes to rec_id."""
+    return """
+SELECT CAST(doc_id % 7 + 1 AS BIGINT) AS classification,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(SUM((doc_id * 7) % 65536) AS BIGINT) AS sum_red,
+       CAST(SUM((doc_id * 11) % 65536) AS BIGINT) AS sum_green,
+       CAST(SUM((doc_id * 13) % 65536) AS BIGINT) AS sum_blue,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_gps_q
+FROM documents GROUP BY 1 ORDER BY 1
+"""
 
 
 def las_tile_stats(sf_dir: str):

@@ -3,8 +3,8 @@ baseline PNG case (ImageProcessingTools ImportImage.java routes PNG
 through Java ImageIO; the container here has no codec libs, but PNG's
 DEFLATE payload is stdlib ``zlib``).
 
-Scope: 8-bit greyscale (colour type 0) and 8-bit RGB (colour type 2),
-no interlacing — the formats the reference's test images use. The
+Scope: 8/16-bit greyscale (colour type 0), 8/16-bit RGB (colour
+type 2) and 8-bit palette (colour type 3, PLTE), no interlacing. The
 DEFLATE stream is sequential, so decode runs ONE Ray task per FILE
 (the same per-file-MB plan as the ASCII grid importers in grids.py);
 parallelism across a directory of PNGs is per-file. Rows then tile into
@@ -31,22 +31,45 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def write_png(path: str, a: np.ndarray) -> None:
-    """uint8 (H, W) greyscale or (H, W, 3) RGB, filter 0 rows."""
-    a = np.asarray(a, dtype=np.uint8)
-    if a.ndim == 2:
-        colour, nb = 0, 1
-        body = a[:, :, None]
-    elif a.ndim == 3 and a.shape[2] == 3:
-        colour, nb = 2, 3
-        body = a
+    """(H, W) greyscale or (H, W, 3) RGB, uint8 or uint16 (16-bit
+    samples stored big-endian per the spec), filter 0 rows."""
+    a = np.asarray(a)
+    if a.dtype == np.uint16:
+        bit = 16
+        body = a.astype(">u2")
+    else:
+        bit = 8
+        body = np.asarray(a, dtype=np.uint8)
+    if body.ndim == 2:
+        colour = 0
+        body = body[:, :, None]
+    elif body.ndim == 3 and body.shape[2] == 3:
+        colour = 2
     else:
         raise ValueError(f"unsupported shape {a.shape}")
     h, w = body.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, colour, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit, colour, 0, 0, 0)
     raw = b"".join(b"\x00" + body[r].tobytes() for r in range(h))
     with open(path, "wb") as f:
         f.write(_SIG)
         f.write(_chunk(b"IHDR", ihdr))
+        f.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(_chunk(b"IEND", b""))
+
+
+def write_png_palette(path: str, idx: np.ndarray,
+                      palette: np.ndarray) -> None:
+    """8-bit palette PNG (colour type 3): ``idx`` (H, W) uint8 indices
+    into ``palette`` (N, 3) uint8 RGB."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    with open(path, "wb") as f:
+        f.write(_SIG)
+        f.write(_chunk(b"IHDR", ihdr))
+        f.write(_chunk(b"PLTE", palette.tobytes()))
         f.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
         f.write(_chunk(b"IEND", b""))
 
@@ -61,13 +84,16 @@ def _paeth(a, b, c):
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Parse chunks, inflate, unfilter (all 5 PNG filter types)."""
+    """Parse chunks, inflate, unfilter (all 5 PNG filter types).
+    Supports 8/16-bit grey (colour 0), 8/16-bit RGB (colour 2) and
+    8-bit palette (colour 3 — returned expanded to RGB uint8)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
     colour = bit = interlace = None
     idat = []
+    plte = None
     while pos < len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4:pos + 8]
@@ -76,17 +102,23 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, bit, colour, _, _, interlace = struct.unpack(
                 ">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
             break
-    if bit != 8 or colour not in (0, 2) or interlace != 0:
+    ok = ((colour in (0, 2) and bit in (8, 16))
+          or (colour == 3 and bit == 8 and plte is not None))
+    if not ok or interlace != 0:
         raise NotImplementedError(
             f"PNG bit={bit} colour={colour} interlace={interlace} "
-            "(baseline import supports 8-bit grey/RGB, no interlace)")
-    nb = 1 if colour == 0 else 3
+            "(import supports 8/16-bit grey/RGB + 8-bit palette, "
+            "no interlace)")
+    nchan = 3 if colour == 2 else 1
+    bpp = nchan * (bit // 8)  # filter offset is in BYTES (spec §6.2)
     raw = zlib.decompress(b"".join(idat))
-    stride = w * nb
+    stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
@@ -100,26 +132,31 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = (row + prev).astype(np.uint8)
         elif ft in (1, 3, 4):    # Sub / Average / Paeth need a scan
             cur = np.zeros(stride, dtype=np.uint8)
-            left = np.zeros(nb, dtype=np.uint8)
-            ul = np.zeros(nb, dtype=np.uint8)
-            for x in range(0, stride, nb):
-                up = prev[x:x + nb]
+            left = np.zeros(bpp, dtype=np.uint8)
+            ul = np.zeros(bpp, dtype=np.uint8)
+            for x in range(0, stride, bpp):
+                up = prev[x:x + bpp]
                 if ft == 1:
-                    val = row[x:x + nb] + left
+                    val = row[x:x + bpp] + left
                 elif ft == 3:
-                    val = row[x:x + nb] + (
+                    val = row[x:x + bpp] + (
                         (left.astype(np.int32) + up.astype(np.int32))
                         // 2).astype(np.uint8)
                 else:
-                    val = row[x:x + nb] + _paeth(left, up, ul)
-                cur[x:x + nb] = val
-                left = cur[x:x + nb]
+                    val = row[x:x + bpp] + _paeth(left, up, ul)
+                cur[x:x + bpp] = val
+                left = cur[x:x + bpp]
                 ul = up
         else:
             raise ValueError(f"bad filter {ft}")
         out[r] = cur
         prev = cur
-    return out.reshape(h, w) if nb == 1 else out.reshape(h, w, 3)
+    if colour == 3:
+        return plte[out.reshape(h, w)]
+    if bit == 16:
+        a = out.reshape(h, -1).view(">u2").astype(np.uint16)
+        return a.reshape(h, w) if nchan == 1 else a.reshape(h, w, 3)
+    return out.reshape(h, w) if nchan == 1 else out.reshape(h, w, 3)
 
 
 def import_png(path: str, tile_rows: int = 64):

@@ -302,6 +302,82 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
             if len(out) else out)
 
 
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> "rd.Dataset":
+    """EXACT all-pairs n-gram (3-token shingle) Jaccard join — no LSH
+    candidate step, via an inverted shingle index (the standalone
+    n-gram-Jaccard dedup of the LLM-pipeline checklist; the MinHash
+    path reuses the same shingle sets as its verify).
+
+    Plan: per batch emit (shingle_crc, doc_id, set_size) postings —
+    set size rides along, so NO extra join is needed; a
+    shingle-bucketed groupby emits co-occurrence pairs per shared
+    shingle; a pair-bucketed groupby counts |A∩B| and computes
+    jaccard = inter / (|A| + |B| − inter). Both shuffles use bounded
+    bucket keys (crc % NB / pair-hash % NB). Per-shingle pair fan-out
+    is O(df²) — exact by construction; at 100-TB corpus scale the
+    boilerplate mega-postings make LSH-first (minhash_verified_pairs)
+    the right entry point and this operator the per-bucket verify."""
+    NB = 64
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        crc_l, doc_l, sz_l = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            crcs = _shingle_crcs(text)
+            crc_l.append(crcs)
+            doc_l.append(np.full(len(crcs), int(doc_id), dtype=np.int64))
+            sz_l.append(np.full(len(crcs), len(crcs), dtype=np.int64))
+        crc = np.concatenate(crc_l)
+        return pd.DataFrame({"sbucket": crc % NB, "crc": crc,
+                             "doc_id": np.concatenate(doc_l),
+                             "sz": np.concatenate(sz_l)})
+
+    posts = docs.map_batches(postings, batch_format="pandas")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("crc", sort=False):
+            n = len(sub)
+            if n < 2:
+                continue
+            d = sub["doc_id"].to_numpy()
+            s = sub["sz"].to_numpy()
+            order = np.argsort(d)
+            d, s = d[order], s[order]
+            ia, ib = np.triu_indices(n, k=1)
+            outs.append((d[ia], d[ib], s[ia], s[ib]))
+        if not outs:
+            return pd.DataFrame({"pbucket": pd.Series([], dtype="int64"),
+                                 "doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "sa": pd.Series([], dtype="int64"),
+                                 "sb": pd.Series([], dtype="int64")})
+        a = np.concatenate([o[0] for o in outs])
+        b = np.concatenate([o[1] for o in outs])
+        return pd.DataFrame({"pbucket": (a * 2654435761 + b) % NB,
+                             "doc_a": a, "doc_b": b,
+                             "sa": np.concatenate([o[2] for o in outs]),
+                             "sb": np.concatenate([o[3] for o in outs])})
+
+    paired = (coalesce_partials(posts).groupby("sbucket")
+              .map_groups(pairs_in_bucket, batch_format="pandas"))
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["doc_a", "doc_b"], sort=False)
+               .agg(inter=("sa", "size"), sa=("sa", "first"),
+                    sb=("sb", "first")).reset_index())
+        j = agg["inter"] / (agg["sa"] + agg["sb"] - agg["inter"])
+        keep = j >= threshold
+        return pd.DataFrame({
+            "doc_a": agg.loc[keep, "doc_a"].astype(np.int64),
+            "doc_b": agg.loc[keep, "doc_b"].astype(np.int64),
+            "jaccard": np.round(j[keep].to_numpy(), 6)})
+
+    return (coalesce_partials(paired).groupby("pbucket")
+            .map_groups(reduce_pairs, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dedup
 # ---------------------------------------------------------------------------

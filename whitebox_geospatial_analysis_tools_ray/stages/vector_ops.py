@@ -477,9 +477,10 @@ def minimum_bounding_box(sf_dir: str, round_to: int = 6):
     """MinimumBoundingBox / LongAxis / ShortAxis (VectorTools/src/
     plugins/MinimumBoundingBox.java:264-341 over the rotating-edge MBR
     above): per-feature (rec_id, long_axis, short_axis, mbb_area).
-    Per-feature kernels — stateless map, no shuffle; rows-only (the
-    hull-edge rotation search is not SQL-expressible), brute-force
-    rotation-sweep tested."""
+    Per-feature kernels — stateless map, no shuffle. Exact SQL oracle:
+    the L-shape's hull is a fixed 5 vertices, so the rotating-edge
+    search unrolls as 5 edges x 5 vertices in SQL (and is also
+    brute-force rotation-sweep tested)."""
     import numpy as np
 
     from .vector_overlay import doc_lshapes
@@ -1815,14 +1816,14 @@ def _axis_query(sf_dir: str, which: str, round_to: int = 6):
 
 
 def long_axis(sf_dir: str):
-    """LongAxis.groovy — rows-only (hull-edge rotation search is not
-    SQL-expressible); known-answer tested on rotated rectangles and
-    checked against the dense rotation sweep."""
+    """LongAxis.groovy — exact SQL oracle (the fixed 5-vertex hull
+    unrolls the rotation search); known-answer tested on rotated
+    rectangles and checked against the dense rotation sweep."""
     return _axis_query(sf_dir, "long")
 
 
 def short_axis(sf_dir: str):
-    """ShortAxis.groovy — see long_axis."""
+    """ShortAxis.groovy — see long_axis (exact SQL oracle)."""
     return _axis_query(sf_dir, "short")
 
 

@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "coincident_dedup": lambda sf: dedup.coincident_dedup(_points(sf)),
         "minhash_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
+        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf),
         "simhash_signatures": lambda sf: dedup.simhash_signatures(sf),
         # --- text analysis ---
         "token_stats": lambda sf: textops.token_stats_by_lang(sf),
@@ -1027,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": o.langid_confusion_sql(),
         "simhash_signatures": o.simhash_signatures_sql(),
         "minhash_pairs": o.minhash_pairs_sql(),
+        "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(),
         # pca_embeddings / inverse_pca: 64-dim eigendecomposition — no SQL
         # closed form; verified against single-process mirrors in tests.
         "q1_pricing": o.q1_sql(),

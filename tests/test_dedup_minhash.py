@@ -70,3 +70,29 @@ def test_small_buckets_unchanged_by_cap(ray_session):
               .to_pandas().sort_values(["doc_a", "doc_b"])
               .reset_index(drop=True))
     pd.testing.assert_frame_equal(capped, uncapped)
+
+
+def test_ngram_jaccard_matches_brute_force(ray_session):
+    """ngram_jaccard_pairs == single-process brute-force all-pairs
+    Jaccard over the same shingle-crc sets (no LSH miss possible)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sets = {int(r.doc_id): set(dedup._shingle_crcs(r.text).tolist())
+            for r in docs.itertuples()}
+    rows = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if not inter:
+            continue
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= 0.5:
+            rows.append((a, b, np.floor(j * 1e6 + 0.5) / 1e6))
+    want = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    got = (dedup.ngram_jaccard_pairs(SF).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0

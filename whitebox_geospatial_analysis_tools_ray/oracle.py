@@ -4433,3 +4433,42 @@ SELECT doc_a, doc_b, round(j, 6) AS jaccard
 FROM jac WHERE j >= {threshold!r}
 ORDER BY doc_a, doc_b
 """
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.5) -> str:
+    """Exact mirror of stages/dedup.ngram_jaccard_pairs: 3-gram shingle
+    crc32 sets (same CTEs as minhash_pairs_sql), then the EXACT all-pairs
+    Jaccard via a shared-shingle self-join — no LSH candidate stage.
+    Empty/whitespace-only docs carry the sentinel crc-0 singleton set."""
+    return f"""
+WITH RECURSIVE
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+items AS (
+  SELECT doc_id, unnest(range(len(toks) - 2)) AS iid,
+         unnest(list_transform(range(len(toks) - 2),
+           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+  FROM raw WHERE len(toks) >= 3
+  UNION ALL
+  SELECT doc_id, 0 AS iid, array_to_string(toks, ' ') AS s
+  FROM raw WHERE len(toks) < 3 AND toks[1] <> '')''')},
+csets AS MATERIALIZED (
+  SELECT doc_id, list(DISTINCT crc ORDER BY crc) AS cs FROM crcf
+  GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, [0]::BIGINT[] AS cs FROM raw WHERE toks[1] = ''),
+posts AS (SELECT doc_id, unnest(cs) AS crc FROM csets),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM posts a JOIN posts b ON a.crc = b.crc AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT doc_a, doc_b,
+         inter::DOUBLE
+           / (len(sa.cs) + len(sb.cs) - inter)::DOUBLE AS j
+  FROM pairs
+  JOIN csets sa ON sa.doc_id = doc_a
+  JOIN csets sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard
+FROM jac WHERE j >= {threshold!r}
+ORDER BY doc_a, doc_b
+"""

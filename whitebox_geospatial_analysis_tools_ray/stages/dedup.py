@@ -372,7 +372,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> "rd.Dataset":
         return pd.DataFrame({
             "doc_a": agg.loc[keep, "doc_a"].astype(np.int64),
             "doc_b": agg.loc[keep, "doc_b"].astype(np.int64),
-            "jaccard": np.round(j[keep].to_numpy(), 6)})
+            # half-away-from-zero to match the DuckDB oracle's round()
+            "jaccard": np.floor(j[keep].to_numpy() * 1e6 + 0.5) / 1e6})
 
     return (coalesce_partials(paired).groupby("pbucket")
             .map_groups(reduce_pairs, batch_format="pandas"))

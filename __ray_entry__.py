@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf),
         "simhash_signatures": lambda sf: dedup.simhash_signatures(sf),
+        "simhash_neardup_pairs": lambda sf: dedup.simhash_neardup_pairs(sf),
         # --- text analysis ---
         "token_stats": lambda sf: textops.token_stats_by_lang(sf),
         "quality_scores": lambda sf: textops.quality_scores_by_lang(sf),
@@ -1027,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_attributes": o.cluster_attributes_sql(),
         "langid_confusion": o.langid_confusion_sql(),
         "simhash_signatures": o.simhash_signatures_sql(),
+        "simhash_neardup_pairs": o.simhash_neardup_pairs_sql(),
         "minhash_pairs": o.minhash_pairs_sql(),
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(),
         # pca_embeddings / inverse_pca: 64-dim eigendecomposition — no SQL

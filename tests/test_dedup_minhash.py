@@ -96,3 +96,24 @@ def test_ngram_jaccard_matches_brute_force(ray_session):
            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0
+
+
+def test_simhash_neardup_matches_brute_force(ray_session):
+    """Banded candidates + Hamming verify == single-process all-pairs
+    (banding is lossless for max_hamming <= 3 by pigeonhole)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sigs = {int(r.doc_id): dedup._simhash_of(r.text)
+            for r in docs.itertuples()}
+    rows = [(a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3]
+    want = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+    got = (dedup.simhash_neardup_pairs(SF).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0

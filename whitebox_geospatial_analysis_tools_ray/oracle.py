@@ -4379,6 +4379,47 @@ FROM sig ORDER BY doc_id
 """
 
 
+def simhash_neardup_pairs_sql(max_hamming: int = 3) -> str:
+    """Exact mirror of stages/dedup.simhash_neardup_pairs: the same
+    simhash computation as simhash_signatures_sql, then ALL-PAIRS
+    Hamming distance <= max_hamming. All-pairs is the right oracle:
+    for max_hamming <= 3 the impl's 4x16-bit banding is lossless
+    (pigeonhole), so the two sides must agree exactly."""
+    golden = 0x9E3779B97F4A7C15
+    pw = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+WITH RECURSIVE
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+items AS (
+  SELECT doc_id, unnest(range(len(toks))) AS iid, unnest(toks) AS s
+  FROM raw WHERE toks[1] <> '')''')},
+pw(b, p) AS (SELECT * FROM (VALUES {pw}) v(b, p)),
+h AS (
+  SELECT doc_id,
+         (crc::HUGEINT * {golden}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS hv
+  FROM crcf),
+votes AS (
+  SELECT doc_id, pw.b,
+         sum(CASE WHEN (h.hv // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN pw GROUP BY doc_id, pw.b),
+hb AS MATERIALIZED (
+  SELECT doc_id, b, CASE WHEN vote > 0 THEN 1 ELSE 0 END AS bit
+  FROM votes
+  UNION ALL
+  SELECT r.doc_id, pw.b, 0 AS bit
+  FROM raw r CROSS JOIN pw WHERE r.toks[1] = ''),
+ham AS (
+  SELECT ba.doc_id AS doc_a, bb.doc_id AS doc_b,
+         sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+  FROM hb ba JOIN hb bb ON bb.b = ba.b AND ba.doc_id < bb.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, hamming FROM ham
+WHERE hamming <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
 def minhash_pairs_sql(threshold: float = 0.6, seed: int = 42) -> str:
     """Exact mirror of stages/dedup.minhash_verified_pairs: 3-gram
     shingle crc32 sets → 64 seeded (a·x+b) mod (2⁶¹−1) minhashes →

@@ -383,25 +383,27 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> "rd.Dataset":
 # SimHash near-dedup
 # ---------------------------------------------------------------------------
 
+def _simhash_of(text: str) -> int:
+    """64-bit SimHash of one document: per-token crc32 (duplicates kept)
+    → ×golden-ratio odd constant mod 2⁶⁴ → per-bit ±1 votes."""
+    toks = _TOKEN_RE.split(text.strip().lower())
+    if not toks or not toks[0]:
+        return 0
+    crcs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+    crcs = (crcs * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    bits = ((crcs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+
+
 def simhash_signatures(sf_dir: str) -> "rd.Dataset":
     """64-bit SimHash per document from token crc32s; output
     (doc_id, simhash_hex, band0..band3 hex) for hamming-banded bucketing."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
-        for text in batch["text"]:
-            toks = _TOKEN_RE.split(text.strip().lower())
-            if not toks or not toks[0]:
-                sigs.append(0)
-                continue
-            crcs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-            crcs = (crcs * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-            bits = ((crcs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            sig = int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
-            sigs.append(sig)
-        sig_arr = np.array(sigs, dtype=np.uint64)
+        sig_arr = np.array([_simhash_of(t) for t in batch["text"]],
+                           dtype=np.uint64)
         out = pd.DataFrame({"doc_id": batch["doc_id"],
                             "simhash": [f"{s:016x}" for s in sig_arr]})
         for band in range(4):
@@ -410,3 +412,97 @@ def simhash_signatures(sf_dir: str) -> "rd.Dataset":
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy < 2.0 has no
+    bitwise_count): unpack the byte view, sum 8 bytes per word."""
+    b = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
+
+
+def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
+                          max_bucket: int = 4096) -> "rd.Dataset":
+    """SimHash near-duplicate PAIRS (doc_a, doc_b, hamming): banded
+    candidate generation + exact Hamming verify — the pair-emitting
+    completion of simhash_signatures.
+
+    EXACT for ``max_hamming <= 3``: 4 disjoint 16-bit bands mean 3
+    flipped bits can touch at most 3 bands, so every qualifying pair
+    collides in >= 1 band (pigeonhole) — banding loses nothing vs
+    all-pairs, which is what the DuckDB oracle computes.
+
+    Plan: stateless signature map → 4 postings per doc keyed
+    (band, value) bucketized into NB bounded shuffle keys (the sig
+    rides along, so the verify needs NO extra join) → per-bucket pair
+    emission (mega-buckets degrade to star pairs like
+    minhash_candidates) → pair-bucketed dedup + vectorized
+    XOR-popcount filter."""
+    NB = 64
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = np.array([_simhash_of(t) for t in batch["text"]],
+                       dtype=np.uint64)
+        did = batch["doc_id"].to_numpy(dtype=np.int64)
+        outs = []
+        for band in range(4):
+            val = ((sig >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            key = band * 65536 + val
+            outs.append(pd.DataFrame({
+                "sbucket": key % NB, "key": key, "doc_id": did,
+                "sig": sig.view(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    posts = docs.map_batches(postings, batch_format="pandas")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("key", sort=False):
+            sub = sub.drop_duplicates("doc_id")
+            n = len(sub)
+            if n < 2:
+                continue
+            d = sub["doc_id"].to_numpy()
+            s = sub["sig"].to_numpy()
+            order = np.argsort(d)
+            d, s = d[order], s[order]
+            if n > max_bucket:      # star pairs: same components
+                ia = np.zeros(n - 1, dtype=np.intp)
+                ib = np.arange(1, n, dtype=np.intp)
+            else:
+                ia, ib = np.triu_indices(n, k=1)
+            outs.append((d[ia], d[ib], s[ia], s[ib]))
+        if not outs:
+            return pd.DataFrame({"pbucket": pd.Series([], dtype="int64"),
+                                 "doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "ha": pd.Series([], dtype="int64"),
+                                 "hb": pd.Series([], dtype="int64")})
+        a = np.concatenate([o[0] for o in outs])
+        b = np.concatenate([o[1] for o in outs])
+        return pd.DataFrame({"pbucket": (a * 2654435761 + b) % NB,
+                             "doc_a": a, "doc_b": b,
+                             "ha": np.concatenate([o[2] for o in outs]),
+                             "hb": np.concatenate([o[3] for o in outs])})
+
+    paired = (coalesce_partials(posts).groupby("sbucket")
+              .map_groups(pairs_in_bucket, batch_format="pandas"))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        g = g.drop_duplicates(["doc_a", "doc_b"])
+        ham = _popcount64(g["ha"].to_numpy().view(np.uint64)
+                          ^ g["hb"].to_numpy().view(np.uint64))
+        keep = ham <= max_hamming
+        return pd.DataFrame({
+            "doc_a": g["doc_a"].to_numpy()[keep],
+            "doc_b": g["doc_b"].to_numpy()[keep],
+            "hamming": ham[keep]})
+
+    return (coalesce_partials(paired).groupby("pbucket")
+            .map_groups(verify, batch_format="pandas"))

@@ -1015,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": o.fingerprint_sql(),
         "ann_cosine_topk": o.ann_cosine_topk_sql(),
         "ann_knn_join": o.ann_knn_join_sql(),
+        "ann_ivf_topk": o.ann_ivf_topk_sql(),
         "embedding_neardup": o.cosine_neardup_sql(),
         "image_features": o.image_features_sql(),
         "video_frame_sample": _vfs_sql(),
@@ -1276,8 +1277,8 @@ def oracle_sql() -> dict[str, str]:
         "rgb_ihs_roundtrip": o.rgb_ihs_sql(),
         "image_correlation": o.image_correlation_sql(),
         "image_regression": o.image_regression_sql(),
-        # rows-only (non-SQL-expressible): ann_ivf_topk (seeded-RNG
-        # centroid fit), kriging/rbf (LM fits), pca/inverse_pca (64-dim
-        # eigendecomposition), isolate_ground_points / lidar_canopy_model
-        # (order-dependent mutation), flagship.
+        # rows-only (non-SQL-expressible): kriging/rbf (LM fits),
+        # pca/inverse_pca (64-dim eigendecomposition),
+        # isolate_ground_points / lidar_canopy_model (order-dependent
+        # sequential mutation), flagship.
     }

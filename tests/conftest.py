@@ -13,7 +13,12 @@ def ray_session():
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # Deterministic block order for roundtrip tests that compare row-for-row
+    # against the written input (observed rare reorder flake in
+    # test_las_point_formats_1_2_3 under a loaded shared session).
+    ctx.execution_options.preserve_order = True
     yield
     ray.shutdown()
 

@@ -348,6 +348,42 @@ LIMIT {k}
 """
 
 
+def ann_ivf_topk_sql(k: int = 20, query_vec_id: int = 0,
+                     n_lists: int = 16, nprobe: int = 4) -> str:
+    """Mirror of stages/ann.py:ivf_topk — centroids are the n_lists
+    lowest vec_ids; assignment/probe by rounded cosine, ties → lowest
+    list id."""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_lists}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT list_id FROM cent, q
+  ORDER BY round(list_cosine_similarity(ce, qe), 6) DESC, list_id
+  LIMIT {nprobe}),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), c.ce), 6) DESC,
+               c.list_id) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+         AS cosine
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+CROSS JOIN q
+WHERE a.list_id IN (SELECT list_id FROM probe)
+ORDER BY cosine DESC, e.vec_id
+LIMIT {k}
+"""
+
+
 def ann_knn_join_sql(n_queries: int = 10, k: int = 3) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

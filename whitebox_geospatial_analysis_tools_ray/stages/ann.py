@@ -3,9 +3,11 @@
 - Brute-force cosine top-k: the scale baseline — broadcast the query
   matrix once (``ray.put``), numpy matmul per Arrow batch, per-batch
   partial top-k, tiny final reduce. No shuffle of the embedding table.
-- IVF-style variant: coarse quantizer (seeded k-means centroids fit on a
-  driver sample) assigns each vector to a list; queries probe the
-  nearest ``nprobe`` lists only. Approximate → rows-only oracle.
+- IVF-style variant: deterministic coarse quantizer (centroids = the
+  first ``n_lists`` vectors by vec_id, normalized) assigns each vector
+  to a list; queries probe the nearest ``nprobe`` lists only.
+  Approximate by construction but fully deterministic, so it carries an
+  exact DuckDB oracle (same quantizer in SQL).
 
 Cosines are computed in float64 and ROUNDED to 6 decimals before
 ranking so results are stable across summation orders (and match the
@@ -116,43 +118,47 @@ def knn_join_topk(sf_dir: str, n_queries: int = 10, k: int = 3,
 # ---------------------------------------------------------------------------
 
 def ivf_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
-             n_lists: int = 16, nprobe: int = 4, seed: int = 42,
+             n_lists: int = 16, nprobe: int = 4,
              round_to: int = 6) -> pd.DataFrame:
-    """IVF: fit coarse centroids on a driver-side sample (k-means, few
-    iterations, seeded), assign vectors to inverted lists in a
-    map_batches, probe only the `nprobe` closest lists for the query.
-    Approximate by construction → rows-only correctness check.
-    Output: (vec_id, cosine)."""
+    """IVF: deterministic coarse quantizer — the centroids are the
+    embeddings of the ``n_lists`` lowest vec_ids (normalized). Each
+    vector is assigned to the list whose centroid has the highest
+    cosine (rounded to ``round_to``; ties → lowest list id); the query
+    probes only the ``nprobe`` closest lists (same rule), then ranks
+    the probed vectors by exact cosine to the query.
+
+    The quantizer is deliberately training-free so the whole operator
+    is a pure function of the table — same quality knobs as a k-means
+    IVF (list count, probe count) but with an exact DuckDB oracle; at
+    100 TB the centroid table is broadcast once via ``ray.put`` and the
+    assignment stays one matmul per Arrow batch, no shuffle.
+    Output: (vec_id, cosine) — k rows."""
     import pyarrow.parquet as pq
 
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                           columns=["embedding"]).to_pandas()["embedding"]
-    X = np.asarray([np.asarray(e, dtype=np.float64) for e in sample.head(2000)])
-    Xn = X / np.maximum(np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-12)
-    g = np.random.default_rng(seed)
-    cent = Xn[g.choice(len(Xn), size=min(n_lists, len(Xn)), replace=False)]
-    for _ in range(5):  # few Lloyd iterations, cosine metric
-        assign = np.argmax(Xn @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                v = Xn[m].mean(axis=0)
-                cent[c] = v / max(np.sqrt((v * v).sum()), 1e-12)
+    seeds = (pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+             .to_pandas().sort_values("vec_id").head(n_lists))
+    C = np.asarray([np.asarray(e, dtype=np.float64)
+                    for e in seeds["embedding"]])
+    cent = C / np.maximum(np.sqrt((C * C).sum(axis=1, keepdims=True)), 1e-12)
     cent_ref = ray.put(cent)
 
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.sqrt((q * q).sum())
-    probe = set(np.argsort(-(cent @ qn))[:nprobe].tolist())
+    qcos = np.round(cent @ qn, round_to)
+    order = np.lexsort((np.arange(len(cent)), -qcos))[:nprobe]
+    probe = set(order.tolist())
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
     def partial(batch) -> pd.DataFrame:
-        C = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        Cm = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
         ids, emb = _batch_matrix(batch)
         norms = np.maximum(np.sqrt((emb * emb).sum(axis=1)), 1e-12)
         En = emb / norms[:, None]
-        lists = np.argmax(En @ C.T, axis=1)
+        # rounded-cosine argmax, ties → lowest list id (np.argmax = first)
+        lists = np.argmax(np.round(En @ Cm.T, round_to), axis=1)
         m = np.isin(lists, list(probe))
         if not m.any():
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),

@@ -1167,10 +1167,33 @@ def oracle_sql() -> dict[str, str]:
         "flow_pointer_rho8": o.rho8_pointer_sql(),
         "inflow_count": o.inflow_count_sql(),
         "find_parallel_flow": o.find_parallel_flow_sql(),
-        # cost_allocation / cost_pathway / stream_magnitude: fixed-point
-        # label machinery — rows-only, mirror + tiling-invariance tested.
-        # flow_accumulation: iterative boundary-exchange fixed point —
-        # rows-only, verified vs the single-process topological mirror.
+        # D8 pointer-walk family: exact recursive-CTE closures over the
+        # pointer raster (receivers strictly lower → acyclic).
+        "flow_accumulation": o.flow_accum_d8_sql(),
+        "extract_streams": o.extract_streams_sql(),
+        "wetness_index": o.wetness_index_sql(),
+        "stream_power_index": o.stream_power_index_sql(),
+        "sediment_transport_index": o.sediment_transport_index_sql(),
+        "watershed": o.watershed_sql(),
+        "trace_downslope_flowpaths": o.trace_downslope_flowpaths_sql(),
+        "downslope_flowpath_length": o.downslope_flowpath_length_sql(),
+        "max_upslope_flowpath_length": o.max_upslope_flowpath_length_sql(),
+        "distance_to_outlet": o.distance_to_outlet_sql(),
+        "elev_above_pit": o.elev_above_pit_sql(),
+        "downslope_distance_to_stream": o.downslope_distance_to_stream_sql(),
+        "elevation_above_stream": o.elevation_above_stream_sql(),
+        "total_upstream_channel_length":
+            o.total_upstream_channel_length_sql(),
+        "furthest_channel_head_distance":
+            o.furthest_channel_head_distance_sql(),
+        "stream_magnitude": o.stream_magnitude_sql(),
+        "avg_upslope_flowpath_length": o.avg_upslope_flowpath_length_sql(),
+        "avg_slope_to_divide":
+            o.avg_upslope_flowpath_length_sql(mode="slope_to_divide"),
+        # cost_allocation / cost_pathway: fixed-point label machinery —
+        # rows-only, mirror + tiling-invariance tested. mass_flux_d8:
+        # the per-hop max(0, (out−absorb)·eff) transfer is non-linear,
+        # so the walk closure does not decompose — rows-only.
         "vector_cleaning": _vclean_sql(),
         "shape_metrics_basic": _shape_sql(),
         "minimum_bounding_box": o.minimum_bounding_box_sql(),

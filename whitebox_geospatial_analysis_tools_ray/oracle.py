@@ -715,6 +715,438 @@ FROM res GROUP BY cell // {cols}
 """
 
 
+def _d8_down_cte(cols: int) -> str:
+    """``ptr(cell, down)`` = linear index of each cell's D8 receiver
+    (NULL for terminals / nodata). Codes 2^i, i clockwise from NE
+    (stages/terrain.py _DX/_DY)."""
+    return f"""ptr AS (
+  SELECT cell, CASE f
+    WHEN 1.0   THEN cell - {cols} + 1
+    WHEN 2.0   THEN cell + 1
+    WHEN 4.0   THEN cell + {cols} + 1
+    WHEN 8.0   THEN cell + {cols}
+    WHEN 16.0  THEN cell + {cols} - 1
+    WHEN 32.0  THEN cell - 1
+    WHEN 64.0  THEN cell - {cols} - 1
+    WHEN 128.0 THEN cell - {cols}
+    END AS down
+  FROM res)"""
+
+
+def flow_accum_d8_sql(rows: int = 256, cols: int = 256) -> str:
+    """Mirror of stages/hydro.py flow_accumulation_d8: acc = 1 + number
+    of cells whose D8 pointer path passes through the cell (receivers
+    are strictly lower, so the walk is acyclic and the recursive
+    closure terminates)."""
+    return f"""
+WITH RECURSIVE {_d8_pointer_ctes(rows, cols)},
+{_d8_down_cte(cols)},
+walk AS (
+  SELECT cell AS origin, down AS cur FROM ptr WHERE down IS NOT NULL
+  UNION ALL
+  SELECT w.origin, p.down FROM walk w JOIN ptr p ON p.cell = w.cur
+  WHERE p.down IS NOT NULL),
+upcnt AS (SELECT cur AS cell, COUNT(*) AS n FROM walk GROUP BY cur),
+vals2 AS (SELECT cell, v FROM vals),
+acc AS (
+  SELECT a.cell,
+         CASE WHEN a.v = {_NOD} THEN 0.0
+              ELSE 1.0 + COALESCE(u.n, 0) END AS f,
+         a.v
+  FROM vals2 a LEFT JOIN upcnt u USING (cell))
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(f), 6) AS row_sum
+FROM acc GROUP BY cell // {cols}
+"""
+
+
+def _d8_walk_ctes(rows: int = 256, cols: int = 256) -> str:
+    """Pointer-walk closure over the D8 raster: ``edges(cell, down, g)``
+    (g = step length), ``walk(origin, cur, d, s)`` = every (cell,
+    downstream-path cell) pair with cumulative distance d and step
+    number s (receivers are strictly lower → acyclic → terminates),
+    ``acc(cell, a, v)`` = D8 flow accumulation. Requires the query to
+    open with WITH RECURSIVE."""
+    sqrt2 = repr(math.sqrt(2.0))
+    return f"""{_d8_pointer_ctes(rows, cols)},
+edges AS (
+  SELECT cell,
+    CASE f WHEN 1.0   THEN cell - {cols} + 1
+           WHEN 2.0   THEN cell + 1
+           WHEN 4.0   THEN cell + {cols} + 1
+           WHEN 8.0   THEN cell + {cols}
+           WHEN 16.0  THEN cell + {cols} - 1
+           WHEN 32.0  THEN cell - 1
+           WHEN 64.0  THEN cell - {cols} - 1
+           WHEN 128.0 THEN cell - {cols} END AS down,
+    CASE WHEN f IN (1.0, 4.0, 16.0, 64.0) THEN {sqrt2} ELSE 1.0 END AS g
+  FROM res WHERE f NOT IN (0.0, {_NOD})),
+walk AS (
+  SELECT cell AS origin, down AS cur, g AS d, 1 AS s FROM edges
+  UNION ALL
+  SELECT w.origin, e.down, w.d + e.g, w.s + 1
+  FROM walk w JOIN edges e ON e.cell = w.cur),
+upcnt AS (SELECT cur AS cell, COUNT(*) AS n FROM walk GROUP BY cur),
+acc AS (
+  SELECT v.cell, CASE WHEN v.v = {_NOD} THEN 0.0
+                      ELSE 1.0 + COALESCE(u.n, 0) END AS a, v.v
+  FROM vals v LEFT JOIN upcnt u ON u.cell = v.cell)"""
+
+
+def extract_streams_sql(rows: int = 256, cols: int = 256,
+                        threshold: float = 5.0) -> str:
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)}
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       CAST(COUNT(CASE WHEN v <> {_NOD} AND a >= {threshold!r} THEN 1 END)
+            AS BIGINT) AS n_stream
+FROM acc GROUP BY cell // {cols}
+"""
+
+
+def _slope_deg_cte() -> str:
+    """``slc(cell, sl)`` — Horn slope in degrees, float32-narrowed like
+    slope_kernel; requires vals/nb CTEs in scope (nb comes with
+    _d8_pointer_ctes / _d8_walk_ctes)."""
+    return (f"{_horn_gradients()},\n"
+            f"slc AS (SELECT cell, CASE WHEN v = {_NOD} THEN {_NOD} "
+            f"ELSE CAST(CAST(atan(sqrt(fx*fx + fy*fy)) * {_RAD2DEG} "
+            f"AS REAL) AS DOUBLE) END AS sl FROM grad)")
+
+
+def wetness_index_sql(rows: int = 256, cols: int = 256) -> str:
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_slope_deg_cte()},
+x AS (SELECT a.cell, a.a, s.sl,
+        (s.sl <> {_NOD} AND a.a > 0 AND s.sl <> 0.0) AS ok
+      FROM acc a JOIN slc s USING (cell))
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN ok THEN ln(a / tan(radians(sl)))
+                      ELSE 0.0 END), 4) AS sum_wi
+FROM x GROUP BY cell // {cols}
+"""
+
+
+def stream_power_index_sql(rows: int = 256, cols: int = 256,
+                           power: float = 1.0) -> str:
+    """RelativeStreamPowerIndex: As^p · tan(slope_rad)."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_slope_deg_cte()},
+x AS (SELECT a.cell, a.a, s.sl, (s.sl <> {_NOD} AND a.a > 0) AS ok
+      FROM acc a JOIN slc s USING (cell))
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN ok THEN pow(a, {power!r}) * tan(radians(sl))
+                      ELSE 0.0 END), 4) AS row_sum
+FROM x GROUP BY cell // {cols}
+"""
+
+
+def sediment_transport_index_sql(rows: int = 256, cols: int = 256,
+                                 sca_exp: float = 0.4,
+                                 slope_exp: float = 1.3) -> str:
+    """(m+1)·(As/22.13)^m · (sin(slope_rad)/0.0896)^n."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_slope_deg_cte()},
+x AS (SELECT a.cell, a.a, s.sl, (s.sl <> {_NOD} AND a.a > 0) AS ok
+      FROM acc a JOIN slc s USING (cell))
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN ok THEN
+                 {sca_exp + 1.0!r} * pow(a / 22.13, {sca_exp!r})
+                 * pow(sin(radians(sl)) / 0.0896, {slope_exp!r})
+                 ELSE 0.0 END), 4) AS row_sum
+FROM x GROUP BY cell // {cols}
+"""
+
+
+def _pour_cte() -> str:
+    """``pourt(cell, p)`` — the deterministic pour-point mask
+    (stages/hydro.py pour_point_mask); requires vals in scope."""
+    return (f"pourt AS (SELECT cell, "
+            f"((cell * 2654435761 + 999) % 4294967296) % 3001 = 0 "
+            f"AND v <> {_NOD} AS p FROM vals)")
+
+
+def watershed_sql(rows: int = 256, cols: int = 256) -> str:
+    """Label = first pour cell on the D8 path (the cell itself if it is
+    a pour point); 0 when the path ends without one."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_pour_cte()},
+hit AS (
+  SELECT w.origin, w.cur, w.s,
+         row_number() OVER (PARTITION BY w.origin ORDER BY w.s) AS rn
+  FROM walk w JOIN pourt p ON p.cell = w.cur AND p.p),
+lab AS (
+  SELECT v.cell,
+    CASE WHEN v.v = {_NOD} THEN 0
+         WHEN pp.p THEN v.cell
+         ELSE COALESCE(h.cur, 0) END AS label
+  FROM vals v
+  JOIN pourt pp ON pp.cell = v.cell
+  LEFT JOIN hit h ON h.origin = v.cell AND h.rn = 1)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN label > 0 THEN 1 END) AS BIGINT) AS n_labeled,
+       CAST(SUM(CASE WHEN label > 0 THEN label ELSE 0 END) AS BIGINT)
+         AS sum_label
+FROM lab GROUP BY cell // {cols}
+"""
+
+
+def trace_downslope_flowpaths_sql(rows: int = 256, cols: int = 256) -> str:
+    """Marked = valid pour seeds ∪ every cell on a seed's D8 path."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_pour_cte()},
+marked AS (
+  SELECT cell FROM pourt WHERE p
+  UNION
+  SELECT w.cur AS cell FROM walk w JOIN pourt p ON p.cell = w.origin AND p.p)
+SELECT v.cell // {cols} AS row_id,
+       CAST(COUNT(m.cell) AS BIGINT) AS n_marked
+FROM vals v LEFT JOIN marked m ON m.cell = v.cell
+GROUP BY v.cell // {cols}
+"""
+
+
+def downslope_flowpath_length_sql(rows: int = 256, cols: int = 256) -> str:
+    """Length of the D8 path from each cell to its terminal."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+plen AS (SELECT origin, MAX(d) AS len FROM walk GROUP BY origin)
+SELECT v.cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v.v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN v.v <> {_NOD}
+                 THEN COALESCE(p.len, 0.0) ELSE 0.0 END), 4) AS sum_len
+FROM vals v LEFT JOIN plen p ON p.origin = v.cell
+GROUP BY v.cell // {cols}
+"""
+
+
+def max_upslope_flowpath_length_sql(rows: int = 256,
+                                    cols: int = 256) -> str:
+    """d(c) = max over upstream cells u of path length u→c."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+mx2 AS (SELECT cur AS cell, MAX(d) AS len FROM walk GROUP BY cur),
+x AS (SELECT v.cell, v.v,
+        CASE WHEN v.v = {_NOD} THEN 0.0
+             ELSE COALESCE(m2.len, 0.0) END AS len
+      FROM vals v LEFT JOIN mx2 m2 ON m2.cell = v.cell)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(MAX(len), 4) AS max_len,
+       round(SUM(len), 4) AS sum_len
+FROM x GROUP BY cell // {cols}
+"""
+
+
+def distance_to_outlet_sql(rows: int = 96, cols: int = 96) -> str:
+    """Step-length sum along the D8 path to its terminal cell."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+plen AS (SELECT origin, MAX(d) AS len FROM walk GROUP BY origin)
+SELECT v.cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v.v <> {_NOD} THEN 1 END) AS BIGINT)
+         AS n_reached,
+       round(SUM(CASE WHEN v.v <> {_NOD}
+                 THEN COALESCE(p.len, 0.0) ELSE 0.0 END), 4) AS value_sum
+FROM vals v LEFT JOIN plen p ON p.origin = v.cell
+GROUP BY v.cell // {cols}
+"""
+
+
+def elev_above_pit_sql(rows: int = 96, cols: int = 96) -> str:
+    """z − z(terminal cell at the end of the D8 path)."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+last AS (
+  SELECT origin, cur,
+         row_number() OVER (PARTITION BY origin ORDER BY s DESC) AS rn
+  FROM walk),
+pz AS (SELECT l.origin, v2.v AS zterm
+       FROM last l JOIN vals v2 ON v2.cell = l.cur WHERE l.rn = 1)
+SELECT v.cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v.v <> {_NOD} THEN 1 END) AS BIGINT)
+         AS n_reached,
+       round(SUM(CASE WHEN v.v = {_NOD} THEN 0.0
+                 ELSE v.v - COALESCE(p.zterm, v.v) END), 4) AS value_sum
+FROM vals v LEFT JOIN pz p ON p.origin = v.cell
+GROUP BY v.cell // {cols}
+"""
+
+
+def _stream_cte(threshold: float) -> str:
+    """``stream(cell, st)`` — valid cell with accumulation ≥ threshold;
+    requires acc in scope."""
+    return (f"stream AS (SELECT cell, "
+            f"(v <> {_NOD} AND a >= {threshold!r}) AS st FROM acc)")
+
+
+def downslope_distance_to_stream_sql(rows: int = 96, cols: int = 96,
+                                     threshold: float = 2.0) -> str:
+    """Path length to the FIRST stream cell on the D8 path (0 when the
+    cell itself is stream; unreached when the path ends dry)."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+hit AS (
+  SELECT w.origin, w.d, w.cur,
+         row_number() OVER (PARTITION BY w.origin ORDER BY w.s) AS rn
+  FROM walk w JOIN stream st ON st.cell = w.cur AND st.st),
+x AS (
+  SELECT v.cell, v.v,
+    CASE WHEN v.v = {_NOD} THEN NULL
+         WHEN so.st THEN 0.0
+         ELSE h.d END AS val
+  FROM vals v
+  JOIN stream so ON so.cell = v.cell
+  LEFT JOIN hit h ON h.origin = v.cell AND h.rn = 1)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(val) AS BIGINT) AS n_reached,
+       round(SUM(COALESCE(val, 0.0)), 4) AS value_sum
+FROM x GROUP BY cell // {cols}
+"""
+
+
+def elevation_above_stream_sql(rows: int = 96, cols: int = 96,
+                               threshold: float = 2.0) -> str:
+    """z − z(first stream cell on the D8 path)."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+hit AS (
+  SELECT w.origin, w.cur,
+         row_number() OVER (PARTITION BY w.origin ORDER BY w.s) AS rn
+  FROM walk w JOIN stream st ON st.cell = w.cur AND st.st),
+x AS (
+  SELECT v.cell, v.v,
+    CASE WHEN v.v = {_NOD} THEN NULL
+         WHEN so.st THEN 0.0
+         ELSE v.v - vz.v END AS val
+  FROM vals v
+  JOIN stream so ON so.cell = v.cell
+  LEFT JOIN hit h ON h.origin = v.cell AND h.rn = 1
+  LEFT JOIN vals vz ON vz.cell = h.cur)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(val) AS BIGINT) AS n_reached,
+       round(SUM(COALESCE(val, 0.0)), 4) AS value_sum
+FROM x GROUP BY cell // {cols}
+"""
+
+
+def total_upstream_channel_length_sql(rows: int = 96, cols: int = 96,
+                                      threshold: float = 2.0) -> str:
+    """val(c) = Σ over upstream stream cells u of u's out-step length."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+contrib AS (
+  SELECT w.cur AS cell, SUM(e.g) AS tot
+  FROM walk w
+  JOIN stream st ON st.cell = w.origin AND st.st
+  JOIN edges e ON e.cell = w.origin
+  GROUP BY w.cur)
+SELECT s.cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN s.st THEN 1 END) AS BIGINT) AS n_stream,
+       round(SUM(CASE WHEN s.st THEN COALESCE(c.tot, 0.0)
+                 ELSE 0.0 END), 4) AS value_sum
+FROM stream s LEFT JOIN contrib c ON c.cell = s.cell
+GROUP BY s.cell // {cols}
+"""
+
+
+def furthest_channel_head_distance_sql(rows: int = 96, cols: int = 96,
+                                       threshold: float = 2.0) -> str:
+    """val(c) = max over upstream stream cells u of path length u→c."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+far AS (
+  SELECT w.cur AS cell, MAX(w.d) AS len
+  FROM walk w JOIN stream st ON st.cell = w.origin AND st.st
+  GROUP BY w.cur)
+SELECT s.cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN s.st THEN 1 END) AS BIGINT) AS n_stream,
+       round(SUM(CASE WHEN s.st THEN COALESCE(f.len, 0.0)
+                 ELSE 0.0 END), 4) AS value_sum
+FROM stream s LEFT JOIN far f ON f.cell = s.cell
+GROUP BY s.cell // {cols}
+"""
+
+
+def stream_magnitude_sql(rows: int = 256, cols: int = 256,
+                         threshold: float = 5.0) -> str:
+    """Shreve magnitude: # of stream headwater cells upstream
+    (including the cell itself when it is a head)."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+heads AS (
+  SELECT s.cell FROM stream s
+  WHERE s.st AND NOT EXISTS (
+    SELECT 1 FROM edges e JOIN stream su ON su.cell = e.cell AND su.st
+    WHERE e.down = s.cell)),
+mag AS (
+  SELECT w.cur AS cell, COUNT(*) AS m
+  FROM walk w JOIN heads h ON h.cell = w.origin
+  GROUP BY w.cur),
+x AS (
+  SELECT s.cell, s.st,
+    CASE WHEN s.st THEN COALESCE(m.m, 0)
+         + CASE WHEN h.cell IS NULL THEN 0 ELSE 1 END
+         ELSE 0 END AS mg
+  FROM stream s
+  LEFT JOIN mag m ON m.cell = s.cell
+  LEFT JOIN heads h ON h.cell = s.cell)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN st THEN 1 END) AS BIGINT) AS n_stream,
+       CAST(SUM(mg) AS BIGINT) AS sum_magnitude,
+       CAST(MAX(mg) AS BIGINT) AS max_magnitude
+FROM x GROUP BY cell // {cols}
+"""
+
+
+def avg_upslope_flowpath_length_sql(rows: int = 96, cols: int = 96,
+                                    mode: str = "avg_len") -> str:
+    """AverageUpslopeFlowpathLength / AverageSlopeToDivide: divide
+    (zero-inflow) cells start one flowpath each; N = upstream divide
+    cells, T = Σ path lengths, E = Σ divide-cell elevations."""
+    if mode == "avg_len":
+        res = "t / GREATEST(n, 1.0)"
+    else:  # slope_to_divide
+        res = (f"degrees(atan((e / GREATEST(n, 1.0) - v)"
+               f" / GREATEST(t / GREATEST(n, 1.0), 1e-300)))")
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+divides AS (
+  SELECT v.cell, v.v FROM vals v
+  WHERE v.v <> {_NOD} AND NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.down = v.cell)),
+nt AS (
+  SELECT w.cur AS cell, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(w.d) AS t, SUM(h.v) AS e
+  FROM walk w JOIN divides h ON h.cell = w.origin
+  GROUP BY w.cur),
+x AS (
+  SELECT v.cell, v.v,
+    CASE WHEN v.v <> {_NOD} AND COALESCE(nt.n, 0) > 0
+         THEN {res} ELSE 0.0 END AS val
+  FROM vals v LEFT JOIN nt ON nt.cell = v.cell)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(val), 4) AS avg_sum
+FROM x GROUP BY cell // {cols}
+"""
+
+
 def inflow_count_sql(rows: int = 256, cols: int = 256) -> str:
     """NumInflowingNeighbours over the D8 pointer raster: a second
     neighbour pass over res.f counting opposite-pointing neighbours."""

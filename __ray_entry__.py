@@ -1190,6 +1190,11 @@ def oracle_sql() -> dict[str, str]:
         "avg_upslope_flowpath_length": o.avg_upslope_flowpath_length_sql(),
         "avg_slope_to_divide":
             o.avg_upslope_flowpath_length_sql(mode="slope_to_divide"),
+        "snap_pour_points": o.snap_pour_points_sql(),
+        "jenson_snap_pour_points": o.jenson_snap_pour_points_sql(),
+        "elev_rel_watershed_minmax": o.elev_rel_watershed_minmax_sql(),
+        "downslope_index": o.downslope_index_sql(),
+        "median_upstream_area": o.median_upstream_area_sql(),
         # cost_allocation / cost_pathway: fixed-point label machinery —
         # rows-only, mirror + tiling-invariance tested. mass_flux_d8:
         # the per-hop max(0, (out−absorb)·eff) transfer is non-linear,

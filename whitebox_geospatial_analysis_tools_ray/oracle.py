@@ -780,12 +780,13 @@ edges AS (
            WHEN 32.0  THEN cell - 1
            WHEN 64.0  THEN cell - {cols} - 1
            WHEN 128.0 THEN cell - {cols} END AS down,
-    CASE WHEN f IN (1.0, 4.0, 16.0, 64.0) THEN {sqrt2} ELSE 1.0 END AS g
+    CAST(CASE WHEN f IN (1.0, 4.0, 16.0, 64.0) THEN {sqrt2}
+              ELSE 1.0 END AS DOUBLE) AS g
   FROM res WHERE f NOT IN (0.0, {_NOD})),
 walk AS (
-  SELECT cell AS origin, down AS cur, g AS d, 1 AS s FROM edges
+  SELECT cell AS origin, down AS cur, g AS d, 1 AS s, g AS lg FROM edges
   UNION ALL
-  SELECT w.origin, e.down, w.d + e.g, w.s + 1
+  SELECT w.origin, e.down, w.d + e.g, w.s + 1, e.g
   FROM walk w JOIN edges e ON e.cell = w.cur),
 upcnt AS (SELECT cur AS cell, COUNT(*) AS n FROM walk GROUP BY cur),
 acc AS (
@@ -1110,6 +1111,182 @@ SELECT cell // {cols} AS row_id,
        CAST(COUNT(CASE WHEN st THEN 1 END) AS BIGINT) AS n_stream,
        CAST(SUM(mg) AS BIGINT) AS sum_magnitude,
        CAST(MAX(mg) AS BIGINT) AS max_magnitude
+FROM x GROUP BY cell // {cols}
+"""
+
+
+def snap_pour_points_sql(rows: int = 256, cols: int = 256,
+                         snap_dist: int = 5) -> str:
+    """Move each pour point to the highest-accumulation cell in its
+    clamped (2d+1)² window; first max in COLUMN-major window order
+    (the reference's x-outer/y-inner strict-> scan)."""
+    d = snap_dist
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_pour_cte_raw()},
+pts AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c
+        FROM pour_raw WHERE p),
+win AS (
+  SELECT p.cell AS point_cell, a.cell AS wcell, a.a,
+         a.cell % {cols} AS x, a.cell // {cols} AS y
+  FROM pts p JOIN acc a
+    ON (a.cell // {cols}) BETWEEN GREATEST(p.r - {d}, 0)
+                              AND LEAST(p.r + {d}, {rows - 1})
+   AND (a.cell % {cols}) BETWEEN GREATEST(p.c - {d}, 0)
+                             AND LEAST(p.c + {d}, {cols - 1})),
+best AS (
+  SELECT point_cell, wcell, a,
+         row_number() OVER (PARTITION BY point_cell
+                            ORDER BY a DESC, x, y) AS rn
+  FROM win)
+SELECT point_cell, wcell AS snapped_cell, a AS snap_acc
+FROM best WHERE rn = 1
+"""
+
+
+def _pour_cte_raw() -> str:
+    """``pour_raw(cell, p)`` — pour mask WITHOUT the validity test
+    (snap tools use the raw mask)."""
+    return ("pour_raw AS (SELECT cell, "
+            "((cell * 2654435761 + 999) % 4294967296) % 3001 = 0 AS p "
+            "FROM vals)")
+
+
+def jenson_snap_pour_points_sql(rows: int = 256, cols: int = 256,
+                                snap_dist: int = 5,
+                                threshold: float = 5.0) -> str:
+    """Move each pour point to the nearest stream cell (acc ≥
+    threshold) in its window; first min squared distance in
+    column-major order; no stream cell → stays put with d2 = 0."""
+    d = snap_dist
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_pour_cte_raw()},
+pts AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c
+        FROM pour_raw WHERE p),
+win AS (
+  SELECT p.cell AS point_cell, p.r, p.c, a.cell AS wcell,
+         a.cell % {cols} AS x, a.cell // {cols} AS y,
+         CAST((a.cell % {cols} - p.c) * (a.cell % {cols} - p.c)
+            + (a.cell // {cols} - p.r) * (a.cell // {cols} - p.r)
+            AS DOUBLE) AS d2
+  FROM pts p JOIN acc a
+    ON (a.cell // {cols}) BETWEEN GREATEST(p.r - {d}, 0)
+                              AND LEAST(p.r + {d}, {rows - 1})
+   AND (a.cell % {cols}) BETWEEN GREATEST(p.c - {d}, 0)
+                             AND LEAST(p.c + {d}, {cols - 1})
+  WHERE a.a >= {threshold!r}),
+best AS (
+  SELECT point_cell, wcell, d2,
+         row_number() OVER (PARTITION BY point_cell
+                            ORDER BY d2, x, y) AS rn
+  FROM win)
+SELECT p.cell AS point_cell,
+       COALESCE(b.wcell, p.cell) AS snapped_cell,
+       COALESCE(b.d2, 0.0) AS snap_d2
+FROM pts p LEFT JOIN best b ON b.point_cell = p.cell AND b.rn = 1
+"""
+
+
+def elev_rel_watershed_minmax_sql(rows: int = 96, cols: int = 96) -> str:
+    """(z − min_w)/(max_w − min_w) within each watershed label; labels
+    from the watershed first-pour-hit rule; unlabelled excluded."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_pour_cte()},
+hit AS (
+  SELECT w.origin, w.cur, w.s,
+         row_number() OVER (PARTITION BY w.origin ORDER BY w.s) AS rn
+  FROM walk w JOIN pourt p ON p.cell = w.cur AND p.p),
+lab AS (
+  SELECT v.cell, v.v,
+    CASE WHEN v.v = {_NOD} THEN 0
+         WHEN pp.p THEN v.cell
+         ELSE COALESCE(h.cur, 0) END AS label
+  FROM vals v
+  JOIN pourt pp ON pp.cell = v.cell
+  LEFT JOIN hit h ON h.origin = v.cell AND h.rn = 1),
+mm AS (SELECT label, MIN(v) AS lo, MAX(v) AS hi FROM lab
+       WHERE label > 0 AND v <> {_NOD} GROUP BY label),
+x AS (
+  SELECT l.cell, l.v, l.label,
+    CASE WHEN l.label > 0 AND l.v <> {_NOD} AND m.hi > m.lo
+         THEN (l.v - m.lo) / (m.hi - m.lo) ELSE 0.0 END AS rel,
+    (l.label > 0 AND l.v <> {_NOD}) AS ok
+  FROM lab l LEFT JOIN mm m ON m.label = l.label)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_labeled,
+       round(SUM(CASE WHEN ok THEN rel ELSE 0.0 END), 6) AS rel_sum
+FROM x GROUP BY cell // {cols}
+"""
+
+
+def downslope_index_sql(rows: int = 96, cols: int = 96,
+                        d: float = 30.0) -> str:
+    """DownslopeIndex tangent mode with the reference's literal quirks:
+    walk until the drop from the START elevation reaches d; crossing
+    step interpolated gridLen·d/(zSt − zCur); terminal after ≥ 1 step
+    → 0; pointer-0/NoData cells excluded."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+hit AS (
+  SELECT w.origin, w.d, w.lg, vz.v AS zc, w.s,
+         row_number() OVER (PARTITION BY w.origin ORDER BY w.s) AS rn
+  FROM walk w
+  JOIN vals vo ON vo.cell = w.origin
+  JOIN vals vz ON vz.cell = w.cur
+  WHERE vo.v - vz.v >= {d!r}),
+x AS (
+  SELECT v.cell,
+    CASE
+      WHEN v.v = {_NOD} OR e.cell IS NULL THEN NULL
+      WHEN h.origin IS NOT NULL THEN
+        {d!r} / ((h.d - h.lg) + h.lg * {d!r} / (v.v - h.zc))
+      ELSE 0.0 END AS val
+  FROM vals v
+  LEFT JOIN edges e ON e.cell = v.cell
+  LEFT JOIN hit h ON h.origin = v.cell AND h.rn = 1)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(val) AS BIGINT) AS n_valid,
+       round(SUM(COALESCE(val, 0.0)), 4) AS index_sum
+FROM x GROUP BY cell // {cols}
+"""
+
+
+def median_upstream_area_sql(rows: int = 96, cols: int = 96,
+                             threshold: float = 2.0) -> str:
+    """Sketch median (log-1.4 buckets, lower edge at rank
+    ⌈(n+1)/2⌉) of upstream stream cells' accumulations."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+ups AS (
+  SELECT w.cur AS cell,
+         LEAST(CAST(floor(ln(GREATEST(a2.a, 1.0)) / ln(1.4)) AS BIGINT),
+               47) AS b,
+         COUNT(*) AS cnt
+  FROM walk w
+  JOIN stream st ON st.cell = w.origin AND st.st
+  JOIN acc a2 ON a2.cell = w.origin
+  GROUP BY w.cur, b),
+tot AS (SELECT cell, SUM(cnt) AS n FROM ups GROUP BY cell),
+cum AS (
+  SELECT u.cell, u.b, SUM(u2.cnt) AS cm
+  FROM ups u JOIN ups u2 ON u2.cell = u.cell AND u2.b <= u.b
+  GROUP BY u.cell, u.b),
+medb AS (
+  SELECT c.cell, MIN(c.b) AS b
+  FROM cum c JOIN tot t ON t.cell = c.cell
+  WHERE c.cm >= (t.n + 2) // 2
+  GROUP BY c.cell),
+x AS (
+  SELECT s.cell, s.st,
+    CASE WHEN s.st AND m.b IS NOT NULL THEN pow(1.4, m.b)
+         ELSE 0.0 END AS med
+  FROM stream s LEFT JOIN medb m ON m.cell = s.cell)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN st THEN 1 END) AS BIGINT) AS n_stream,
+       round(SUM(med), 4) AS median_sum
 FROM x GROUP BY cell // {cols}
 """
 

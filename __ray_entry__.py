@@ -1195,6 +1195,15 @@ def oracle_sql() -> dict[str, str]:
         "elev_rel_watershed_minmax": o.elev_rel_watershed_minmax_sql(),
         "downslope_index": o.downslope_index_sql(),
         "median_upstream_area": o.median_upstream_area_sql(),
+        "stream_link_id": o.stream_link_id_sql(),
+        "stream_link_lengths": o.stream_link_lengths_sql(),
+        "stream_link_slope": o.stream_link_slope_sql(),
+        "stream_link_classification":
+            o.stream_link_classification_sql(threshold=2.0),
+        "find_main_stem": o.find_main_stem_sql(),
+        "hack_order": o.hack_order_sql(),
+        "remove_short_streams":
+            o.remove_short_streams_sql(threshold=2.0, min_length=3.0),
         # cost_allocation / cost_pathway: fixed-point label machinery —
         # rows-only, mirror + tiling-invariance tested. mass_flux_d8:
         # the per-hop max(0, (out−absorb)·eff) transfer is non-linear,

@@ -1291,6 +1291,226 @@ FROM x GROUP BY cell // {cols}
 """
 
 
+def _stream_link_ctes(cols: int, threshold: float) -> str:
+    """Stream-network CTEs shared by the link family (requires
+    _d8_walk_ctes + _stream_cte in scope): ``sedges`` (stream→stream
+    pointer edges with scan index i), ``sindeg``, ``heads``, ``resets``
+    (head or junction), ``linklab(cell, label)`` = nearest reset
+    ancestor (stages/streams.py _solve_tile label rule), ``smag`` =
+    Shreve magnitude, ``cu(cell, up)`` = chosen upstream (max acc,
+    first in the i-scan on ties — FindMainStem.java:287-303)."""
+    return f"""sedges AS (
+  SELECT e.cell, e.down, e.g,
+    CASE e.cell - e.down
+      WHEN -{cols - 1} THEN 0 WHEN 1 THEN 1 WHEN {cols + 1} THEN 2
+      WHEN {cols} THEN 3 WHEN {cols - 1} THEN 4 WHEN -1 THEN 5
+      WHEN -{cols + 1} THEN 6 WHEN -{cols} THEN 7 END AS i
+  FROM edges e
+  JOIN stream so ON so.cell = e.cell AND so.st),
+sindeg AS (
+  SELECT s.cell, COUNT(e.cell) AS n
+  FROM stream s LEFT JOIN sedges e ON e.down = s.cell
+  WHERE s.st GROUP BY s.cell),
+heads AS (SELECT cell FROM sindeg WHERE n = 0),
+resets AS (SELECT cell FROM sindeg WHERE n <> 1),
+lhit AS (
+  SELECT w.cur, w.origin, w.s,
+         row_number() OVER (PARTITION BY w.cur ORDER BY w.s) AS rn
+  FROM walk w JOIN resets r ON r.cell = w.origin),
+linklab AS (
+  SELECT s.cell,
+    CASE WHEN r.cell IS NOT NULL THEN s.cell ELSE h.origin END AS label
+  FROM stream s
+  LEFT JOIN resets r ON r.cell = s.cell
+  LEFT JOIN lhit h ON h.cur = s.cell AND h.rn = 1
+  WHERE s.st),
+hcnt AS (
+  SELECT w.cur AS cell, COUNT(*) AS m
+  FROM walk w JOIN heads h ON h.cell = w.origin GROUP BY w.cur),
+smag AS (
+  SELECT s.cell,
+    CASE WHEN s.st THEN COALESCE(hc.m, 0)
+         + CASE WHEN hd.cell IS NULL THEN 0 ELSE 1 END
+         ELSE 0 END AS mag
+  FROM stream s
+  LEFT JOIN hcnt hc ON hc.cell = s.cell
+  LEFT JOIN heads hd ON hd.cell = s.cell),
+cur AS (
+  SELECT e.down AS cell, e.cell AS up,
+         row_number() OVER (PARTITION BY e.down
+           ORDER BY a2.a DESC, e.i) AS rn
+  FROM sedges e JOIN acc a2 ON a2.cell = e.cell),
+cu AS (SELECT cell, up FROM cur WHERE rn = 1)"""
+
+
+def stream_link_id_sql(rows: int = 256, cols: int = 256,
+                       threshold: float = 5.0) -> str:
+    """(row_id, n_stream, n_heads, sum_label); n_heads counts cells
+    whose label is their own cell (link starts)."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)}
+SELECT s.cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN s.st THEN 1 END) AS BIGINT) AS n_stream,
+       CAST(COUNT(CASE WHEN l.label = s.cell THEN 1 END) AS BIGINT)
+         AS n_heads,
+       CAST(SUM(CASE WHEN s.st THEN l.label ELSE 0 END) AS BIGINT)
+         AS sum_label
+FROM stream s LEFT JOIN linklab l ON l.cell = s.cell
+GROUP BY s.cell // {cols}
+"""
+
+
+def stream_link_lengths_sql(rows: int = 256, cols: int = 256,
+                            threshold: float = 5.0) -> str:
+    """(n_links, total_stream_cells, max_link_len) — per-label cell
+    counts."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+per AS (SELECT label, COUNT(*) AS n FROM linklab GROUP BY label)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(SUM(n) AS BIGINT) AS total_stream_cells,
+       CAST(MAX(n) AS BIGINT) AS max_link_len
+FROM per
+"""
+
+
+def stream_link_slope_sql(rows: int = 256, cols: int = 256,
+                          threshold: float = 5.0) -> str:
+    """Per link: relief = max z − min z, length = Σ out-step lengths,
+    slope_pct = relief/length·100 (NULL when length = 0)."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+per AS (
+  SELECT l.label, MIN(v.v) AS zmin, MAX(v.v) AS zmax,
+         SUM(COALESCE(e.g, 0.0)) AS length
+  FROM linklab l
+  JOIN vals v ON v.cell = l.cell
+  LEFT JOIN edges e ON e.cell = l.cell
+  GROUP BY l.label)
+SELECT CAST(label AS BIGINT) AS label,
+       round(zmax - zmin, 6) AS relief,
+       round(length, 6) AS length,
+       CASE WHEN length > 0
+            THEN round((zmax - zmin) / length * 100.0, 6) END AS slope_pct
+FROM per
+"""
+
+
+def stream_link_classification_sql(rows: int = 256, cols: int = 256,
+                                   threshold: float = 5.0) -> str:
+    """(class_value, n_cells): pointer-0 → 5, head → 3, junction → 4,
+    else min(2, Shreve magnitude)."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+cls AS (
+  SELECT s.cell,
+    CASE WHEN r2.f = 0.0 THEN 5
+         WHEN d.n = 0 THEN 3
+         WHEN d.n > 1 THEN 4
+         ELSE LEAST(2, m.mag) END AS class_value
+  FROM stream s
+  JOIN res r2 ON r2.cell = s.cell
+  JOIN sindeg d ON d.cell = s.cell
+  JOIN smag m ON m.cell = s.cell
+  WHERE s.st)
+SELECT CAST(class_value AS BIGINT) AS class_value,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM cls GROUP BY class_value
+"""
+
+
+def find_main_stem_sql(rows: int = 256, cols: int = 256,
+                       threshold: float = 5.0) -> str:
+    """(row_id, n_stream, n_mainstem): main stem = chosen-upstream
+    closure from every outlet (stream cell with pointer 0)."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+ms AS (
+  SELECT s.cell FROM stream s JOIN res r2 ON r2.cell = s.cell
+  WHERE s.st AND r2.f = 0.0
+  UNION ALL
+  SELECT c.up FROM ms JOIN cu c ON c.cell = ms.cell)
+SELECT s.cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN s.st THEN 1 END) AS BIGINT) AS n_stream,
+       CAST(COUNT(m.cell) AS BIGINT) AS n_mainstem
+FROM stream s LEFT JOIN ms m ON m.cell = s.cell
+GROUP BY s.cell // {cols}
+"""
+
+
+def hack_order_sql(rows: int = 256, cols: int = 256,
+                   threshold: float = 5.0) -> str:
+    """hack(c) = 1 + number of steps on c's downstream path where the
+    moving cell is NOT the chosen upstream of its receiver."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+steps AS (
+  SELECT w.origin, w.cur,
+         COALESCE(wp.cur, w.origin) AS prev
+  FROM walk w
+  LEFT JOIN walk wp ON wp.origin = w.origin AND wp.s = w.s - 1),
+hk AS (
+  SELECT s.cell,
+    CASE WHEN s.st THEN 1 + (
+      SELECT COUNT(*) FROM steps st2 JOIN cu c ON c.cell = st2.cur
+      WHERE st2.origin = s.cell AND c.up <> st2.prev)
+    ELSE 0 END AS h
+  FROM stream s)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN h > 0 THEN 1 END) AS BIGINT) AS n_stream,
+       CAST(MAX(h) AS BIGINT) AS max_hack,
+       CAST(SUM(h) AS BIGINT) AS sum_hack
+FROM hk GROUP BY cell // {cols}
+"""
+
+
+def remove_short_streams_sql(rows: int = 256, cols: int = 256,
+                             threshold: float = 2.0,
+                             min_length: float = 3.0) -> str:
+    """Per-link (cells, Σ step length, min Shreve mag, confluence-end
+    flag); removed = min_mag 1 AND confluence end AND length <
+    min_length."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+confl AS (
+  SELECT e.cell FROM sedges e JOIN sindeg d ON d.cell = e.down
+  WHERE d.n > 1),
+per AS (
+  SELECT l.label, COUNT(*) AS n,
+         SUM(COALESCE(e.g, 0.0)) AS length,
+         MIN(m.mag) AS min_mag,
+         MAX(CASE WHEN cf.cell IS NULL THEN 0 ELSE 1 END) AS conf
+  FROM linklab l
+  LEFT JOIN edges e ON e.cell = l.cell
+  JOIN smag m ON m.cell = l.cell
+  LEFT JOIN confl cf ON cf.cell = l.cell
+  GROUP BY l.label),
+rem AS (SELECT * FROM per
+        WHERE min_mag = 1 AND conf = 1 AND length < {min_length!r})
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per) AS n_links,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rem) AS n_removed_links,
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM rem)
+         AS n_removed_cells,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM per)
+         - (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM rem)
+         AS remaining_cells
+"""
+
+
 def avg_upslope_flowpath_length_sql(rows: int = 96, cols: int = 96,
                                     mode: str = "avg_len") -> str:
     """AverageUpslopeFlowpathLength / AverageSlopeToDivide: divide

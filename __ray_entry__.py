@@ -1204,6 +1204,8 @@ def oracle_sql() -> dict[str, str]:
         "hack_order": o.hack_order_sql(),
         "remove_short_streams":
             o.remove_short_streams_sql(threshold=2.0, min_length=3.0),
+        "subbasins": o.subbasins_sql(),
+        "branch_length": o.branch_length_sql(),
         # cost_allocation / cost_pathway: fixed-point label machinery —
         # rows-only, mirror + tiling-invariance tested. mass_flux_d8:
         # the per-hop max(0, (out−absorb)·eff) transfer is non-linear,

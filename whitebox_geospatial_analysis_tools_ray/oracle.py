@@ -1511,6 +1511,86 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per) AS n_links,
 """
 
 
+def subbasins_sql(rows: int = 256, cols: int = 256,
+                  threshold: float = 5.0) -> str:
+    """Every cell takes the LINK LABEL of the first stream cell on its
+    D8 path (its own label when it is stream); dry paths unlabelled."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+shit AS (
+  SELECT w.origin, w.cur,
+         row_number() OVER (PARTITION BY w.origin ORDER BY w.s) AS rn
+  FROM walk w JOIN stream st ON st.cell = w.cur AND st.st),
+labv AS (
+  SELECT v.cell,
+    CASE WHEN v.v = {_NOD} THEN -1
+         WHEN so.st THEN ll.label
+         ELSE COALESCE(l2.label, -1) END AS lab
+  FROM vals v
+  JOIN stream so ON so.cell = v.cell
+  LEFT JOIN linklab ll ON ll.cell = v.cell
+  LEFT JOIN shit h ON h.origin = v.cell AND h.rn = 1
+  LEFT JOIN linklab l2 ON l2.cell = h.cur)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN lab >= 0 THEN 1 END) AS BIGINT) AS n_labelled,
+       CAST(SUM(CASE WHEN lab >= 0 THEN lab ELSE 0 END) AS BIGINT)
+         AS sum_label
+FROM labv GROUP BY cell // {cols}
+"""
+
+
+def branch_length_sql(rows: int = 96, cols: int = 96) -> str:
+    """BranchLength: tandem-walk merge of forward-adjacent pairs
+    (E/SE/S/SW with the literal testByte edge rules); branch = distance
+    to the first common path cell, or the full flowpath when the paths
+    never meet; per cell the MAX over its pair sides, ÷1000."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+paths AS (
+  SELECT cell AS origin, cell AS cur, 0 AS s,
+         CAST(0.0 AS DOUBLE) AS d FROM vals
+  UNION ALL
+  SELECT origin, cur, s, d FROM walk),
+plen AS (SELECT origin, MAX(d) AS len FROM paths GROUP BY origin),
+pairs AS (
+  SELECT v.cell AS a, v.cell + dd.dlt AS b
+  FROM vals v
+  JOIN (VALUES (1, 1, 0), ({cols + 1}, 1, 1), ({cols}, 0, 1),
+               ({cols - 1}, -1, 1)) AS dd(dlt, dx, dy) ON TRUE
+  WHERE v.v <> {_NOD}
+    AND (dd.dy = 0 OR v.cell // {cols} < {rows - 1})
+    AND (dd.dx <> 1 OR v.cell % {cols} < {cols - 1})
+    AND (dd.dx <> -1 OR v.cell % {cols} > 0)),
+meet AS (
+  SELECT p.a, p.b, pa.d AS da, pb.d AS db,
+         row_number() OVER (PARTITION BY p.a, p.b ORDER BY pa.s) AS rn
+  FROM pairs p
+  JOIN paths pa ON pa.origin = p.a
+  JOIN paths pb ON pb.origin = p.b AND pb.cur = pa.cur),
+m1 AS (SELECT a, b, da, db FROM meet WHERE rn = 1),
+sides AS (
+  SELECT p.a AS cell, COALESCE(m.da, pl.len) AS br
+  FROM pairs p
+  LEFT JOIN m1 m ON m.a = p.a AND m.b = p.b
+  JOIN plen pl ON pl.origin = p.a
+  UNION ALL
+  SELECT p.b, COALESCE(m.db, pl.len)
+  FROM pairs p
+  LEFT JOIN m1 m ON m.a = p.a AND m.b = p.b
+  JOIN plen pl ON pl.origin = p.b),
+outv AS (SELECT cell, MAX(br) AS o FROM sides GROUP BY cell)
+SELECT v.cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v.v <> {_NOD} AND ov.o IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN v.v <> {_NOD} AND ov.o IS NOT NULL
+                 THEN ov.o / 1000.0 ELSE 0.0 END), 6) AS row_sum
+FROM vals v LEFT JOIN outv ov ON ov.cell = v.cell
+GROUP BY v.cell // {cols}
+"""
+
+
 def avg_upslope_flowpath_length_sql(rows: int = 96, cols: int = 96,
                                     mode: str = "avg_len") -> str:
     """AverageUpslopeFlowpathLength / AverageSlopeToDivide: divide

@@ -1206,6 +1206,8 @@ def oracle_sql() -> dict[str, str]:
             o.remove_short_streams_sql(threshold=2.0, min_length=3.0),
         "subbasins": o.subbasins_sql(),
         "branch_length": o.branch_length_sql(),
+        "clump": o.clump_sql(),
+        "contour_lengths": o.contour_lengths_sql(),
         # cost_allocation / cost_pathway: fixed-point label machinery —
         # rows-only, mirror + tiling-invariance tested. mass_flux_d8:
         # the per-hop max(0, (out−absorb)·eff) transfer is non-linear,

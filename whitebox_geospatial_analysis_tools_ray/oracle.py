@@ -1591,6 +1591,113 @@ GROUP BY v.cell // {cols}
 """
 
 
+def clump_sql(rows: int = 256, cols: int = 256,
+              class_width: float = 250.0) -> str:
+    """8-connected components of the quantized raster; clump_id = min
+    cell id in the component (recursive reachability closure — the
+    synthetic noise raster's components are tiny, so the pair closure
+    stays O(Σ size²) small)."""
+    nbr = []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            guards = []
+            if dr < 0:
+                guards.append(f"b.cell // {cols} > 0")
+            if dr > 0:
+                guards.append(f"b.cell // {cols} < {rows - 1}")
+            if dc < 0:
+                guards.append(f"b.cell % {cols} > 0")
+            if dc > 0:
+                guards.append(f"b.cell % {cols} < {cols - 1}")
+            g = " AND ".join(guards) if guards else "TRUE"
+            nbr.append(f"SELECT b.cell, b.cell + {dr * cols + dc} AS nb "
+                       f"FROM kl b WHERE {g}")
+    nbrs = "\nUNION ALL\n".join(nbr)
+    return f"""
+WITH RECURSIVE
+{_raster_vals_cte(rows, cols)},
+kl AS (SELECT cell, CAST(floor(v / {class_width!r}) AS BIGINT) AS k
+       FROM vals WHERE v <> {_NOD}),
+cand AS ({nbrs}),
+adj AS (
+  SELECT c.cell AS a, c.nb AS b
+  FROM cand c
+  JOIN kl ka ON ka.cell = c.cell
+  JOIN kl kb ON kb.cell = c.nb AND kb.k = ka.k),
+reach AS (
+  SELECT cell AS a, cell AS b FROM kl
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN adj e ON e.a = r.b),
+comp AS (SELECT a, MIN(b) AS clump_id FROM reach GROUP BY a)
+SELECT c.clump_id, MIN(k.k) AS klass,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM comp c JOIN kl k ON k.cell = c.a
+GROUP BY c.clump_id
+"""
+
+
+def contour_lengths_sql(rows: int = 256, cols: int = 256,
+                        levels: tuple = (250.0, 500.0, 750.0)) -> str:
+    """Marching squares on cell-centre samples: per-square isoline
+    segment length (standard centre-average saddle rule), summed per
+    level."""
+    parts = []
+    for lv in levels:
+        L = repr(float(lv))
+        parts.append(f"""
+SELECT CAST({L} AS DOUBLE) AS level, round(SUM(ln), 4) AS total_length FROM (
+  SELECT
+    CASE
+      WHEN code IN (1, 14) THEN sqrt((0.0-tt)*(0.0-tt) + tl*tl)
+      WHEN code IN (2, 13) THEN sqrt((1.0-tt)*(1.0-tt) + tr*tr)
+      WHEN code IN (4, 11) THEN sqrt(tb*tb + (1.0-tl)*(1.0-tl))
+      WHEN code IN (8, 7)  THEN sqrt((tb-1.0)*(tb-1.0)
+                                     + (1.0-tr)*(1.0-tr))
+      WHEN code IN (3, 12) THEN sqrt(1.0 + (tr-tl)*(tr-tl))
+      WHEN code IN (5, 10) THEN sqrt((tb-tt)*(tb-tt) + 1.0)
+      WHEN code = 6 AND chi THEN
+        sqrt((1.0-tt)*(1.0-tt) + tr*tr)
+        + sqrt(tb*tb + (1.0-tl)*(1.0-tl))
+      WHEN code = 6 THEN
+        sqrt((0.0-tt)*(0.0-tt) + tl*tl)
+        + sqrt((tb-1.0)*(tb-1.0) + (1.0-tr)*(1.0-tr))
+      WHEN code = 9 AND chi THEN
+        sqrt((0.0-tt)*(0.0-tt) + tl*tl)
+        + sqrt((tb-1.0)*(tb-1.0) + (1.0-tr)*(1.0-tr))
+      WHEN code = 9 THEN
+        sqrt((1.0-tt)*(1.0-tt) + tr*tr)
+        + sqrt(tb*tb + (1.0-tl)*(1.0-tl))
+      ELSE 0.0 END AS ln
+  FROM (
+    SELECT
+      (CASE WHEN a >= {L} THEN 1 ELSE 0 END)
+      + (CASE WHEN b >= {L} THEN 2 ELSE 0 END)
+      + (CASE WHEN c >= {L} THEN 4 ELSE 0 END)
+      + (CASE WHEN d >= {L} THEN 8 ELSE 0 END) AS code,
+      ({L} - a) / (b - a) AS tt,
+      ({L} - c) / (d - c) AS tb,
+      ({L} - a) / (c - a) AS tl,
+      ({L} - b) / (d - b) AS tr,
+      (a + b + c + d) / 4.0 >= {L} AS chi
+    FROM sq))""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+sq AS (
+  SELECT va.v AS a, vb.v AS b, vc.v AS c, vd.v AS d
+  FROM vals va
+  JOIN vals vb ON vb.cell = va.cell + 1
+  JOIN vals vc ON vc.cell = va.cell + {cols}
+  JOIN vals vd ON vd.cell = va.cell + {cols} + 1
+  WHERE va.cell // {cols} < {rows - 1} AND va.cell % {cols} < {cols - 1}
+    AND va.v <> {_NOD} AND vb.v <> {_NOD}
+    AND vc.v <> {_NOD} AND vd.v <> {_NOD})
+{body}
+"""
+
+
 def avg_upslope_flowpath_length_sql(rows: int = 96, cols: int = 96,
                                     mode: str = "avg_len") -> str:
     """AverageUpslopeFlowpathLength / AverageSlopeToDivide: divide

@@ -1698,6 +1698,135 @@ sq AS (
 """
 
 
+def streams_to_vector_sql(rows: int = 256, cols: int = 256,
+                          threshold: float = 5.0) -> str:
+    """Per link: ordered vertex count, first/last cell, and the
+    polynomial path hash h = fold((h·1000003 + cell) mod 2^61) over the
+    cells in flow order (recursive lockstep fold across links)."""
+    M = 1 << 61
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+ord AS (
+  SELECT label, CAST(label AS BIGINT) AS gcell, 0 AS s
+  FROM (SELECT DISTINCT label FROM linklab)
+  UNION ALL
+  SELECT ll.label, w.cur, w.s
+  FROM walk w
+  JOIN linklab lo ON lo.cell = w.origin
+  JOIN linklab ll ON ll.cell = w.cur AND ll.label = lo.label
+  WHERE w.origin = lo.label AND lo.label = ll.label),
+hw AS (
+  SELECT label, 0 AS pos,
+         CAST(label AS HUGEINT) % {M} AS h
+  FROM (SELECT DISTINCT label FROM linklab)
+  UNION ALL
+  SELECT hw.label, hw.pos + 1,
+         (hw.h * 1000003 + o.gcell) % {M}
+  FROM hw JOIN ord o ON o.label = hw.label AND o.s = hw.pos + 1),
+agg AS (
+  SELECT label, COUNT(*) AS n_vertices,
+         MIN(CASE WHEN s = 0 THEN gcell END) AS first_cell,
+         MAX(s) AS smax
+  FROM ord GROUP BY label),
+lastc AS (
+  SELECT a.label, o.gcell AS last_cell
+  FROM agg a JOIN ord o ON o.label = a.label AND o.s = a.smax),
+hfin AS (
+  SELECT h1.label, h1.h
+  FROM hw h1 JOIN agg a ON a.label = h1.label AND h1.pos = a.smax)
+SELECT CAST(a.label AS BIGINT) AS label,
+       CAST(a.n_vertices AS BIGINT) AS n_vertices,
+       CAST(a.first_cell AS BIGINT) AS first_cell,
+       CAST(l.last_cell AS BIGINT) AS last_cell,
+       CAST(h.h AS BIGINT) AS path_hash
+FROM agg a
+JOIN lastc l ON l.label = a.label
+JOIN hfin h ON h.label = a.label
+"""
+
+
+def multiscale_elev_residual_sql(rows: int = 96, cols: int = 96,
+                                 base: float = 2.0) -> str:
+    """MERI: count of radius-ladder scales where the cell sits above
+    its clamped-corner integral-image window mean (the reference's
+    no-minus-one corner quirk), ÷ number of scales. Integer (z − min)
+    prefix sums, exact."""
+    import math as _m
+    r_max = int(_m.floor(_m.log(min(cols / 2.0, rows / 2.0))
+                         / _m.log(base)))
+    radii, old = [], -1
+    for i in range(r_max + 1):
+        n = int(_m.floor(base ** i))
+        if n > old:
+            radii.append(n)
+            old = n
+    n_scales = len(radii)
+    terms = []
+    for k, rad in enumerate(radii):
+        terms.append(f"""
+rd{k} AS (
+  SELECT g.cell,
+    (SELECT p FROM pf WHERE pf.cell = g.y2 * {cols} + g.x2)
+    + (SELECT p FROM pf WHERE pf.cell = g.y1 * {cols} + g.x1)
+    - (SELECT p FROM pf WHERE pf.cell = g.y1 * {cols} + g.x2)
+    - (SELECT p FROM pf WHERE pf.cell = g.y2 * {cols} + g.x1) AS w,
+    (SELECT n FROM pf WHERE pf.cell = g.y2 * {cols} + g.x2)
+    + (SELECT n FROM pf WHERE pf.cell = g.y1 * {cols} + g.x1)
+    - (SELECT n FROM pf WHERE pf.cell = g.y1 * {cols} + g.x2)
+    - (SELECT n FROM pf WHERE pf.cell = g.y2 * {cols} + g.x1) AS num
+  FROM (SELECT cell,
+          GREATEST(LEAST(cell // {cols} - {rad}, {rows - 1}), 0) AS y1,
+          GREATEST(LEAST(cell // {cols} + {rad}, {rows - 1}), 0) AS y2,
+          GREATEST(LEAST(cell % {cols} - {rad}, {cols - 1}), 0) AS x1,
+          GREATEST(LEAST(cell % {cols} + {rad}, {cols - 1}), 0) AS x2
+        FROM qz) g)""")
+    cnt = " + ".join(
+        f"(CASE WHEN r{k}.num > 0 AND q.z - (CAST(r{k}.w AS DOUBLE)"
+        f" / r{k}.num + (SELECT lo FROM mn)) > 0 THEN 1 ELSE 0 END)"
+        for k in range(n_scales))
+    joins = "\n".join(f"JOIN rd{k} r{k} ON r{k}.cell = q.cell"
+                      for k in range(n_scales))
+    ctes = ",".join(terms)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+qz AS (SELECT cell, CASE WHEN v = {_NOD} THEN v ELSE floor(v) END AS z
+       FROM vals),
+mn AS (SELECT MIN(z) AS lo FROM qz WHERE z <> {_NOD}),
+zi AS (SELECT cell,
+         CASE WHEN z = {_NOD} THEN 0
+              ELSE CAST(z - (SELECT lo FROM mn) AS BIGINT) END AS u,
+         CASE WHEN z = {_NOD} THEN 0 ELSE 1 END AS c1
+       FROM qz),
+rowc AS (
+  SELECT cell,
+    SUM(u) OVER (PARTITION BY cell // {cols} ORDER BY cell % {cols}
+                 ROWS UNBOUNDED PRECEDING) AS ru,
+    SUM(c1) OVER (PARTITION BY cell // {cols} ORDER BY cell % {cols}
+                  ROWS UNBOUNDED PRECEDING) AS rc
+  FROM zi),
+pf AS (
+  SELECT cell,
+    SUM(ru) OVER (PARTITION BY cell % {cols} ORDER BY cell // {cols}
+                  ROWS UNBOUNDED PRECEDING) AS p,
+    SUM(rc) OVER (PARTITION BY cell % {cols} ORDER BY cell // {cols}
+                  ROWS UNBOUNDED PRECEDING) AS n
+  FROM rowc),
+{ctes},
+x AS (
+  SELECT q.cell, q.z,
+    CASE WHEN q.z = {_NOD} THEN NULL
+         ELSE CAST(({cnt}) AS DOUBLE) / {n_scales} END AS res
+  FROM qz q
+  {joins})
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(res) AS BIGINT) AS n_valid,
+       round(SUM(COALESCE(res, 0.0)), 6) AS row_sum
+FROM x GROUP BY cell // {cols}
+"""
+
+
 def avg_upslope_flowpath_length_sql(rows: int = 96, cols: int = 96,
                                     mode: str = "avg_len") -> str:
     """AverageUpslopeFlowpathLength / AverageSlopeToDivide: divide

@@ -789,7 +789,7 @@ walk AS (
   SELECT w.origin, e.down, w.d + e.g, w.s + 1, e.g
   FROM walk w JOIN edges e ON e.cell = w.cur),
 upcnt AS (SELECT cur AS cell, COUNT(*) AS n FROM walk GROUP BY cur),
-acc AS (
+acc AS MATERIALIZED (
   SELECT v.cell, CASE WHEN v.v = {_NOD} THEN 0.0
                       ELSE 1.0 + COALESCE(u.n, 0) END AS a, v.v
   FROM vals v LEFT JOIN upcnt u ON u.cell = v.cell)"""
@@ -987,7 +987,7 @@ GROUP BY v.cell // {cols}
 def _stream_cte(threshold: float) -> str:
     """``stream(cell, st)`` — valid cell with accumulation ≥ threshold;
     requires acc in scope."""
-    return (f"stream AS (SELECT cell, "
+    return (f"stream AS MATERIALIZED (SELECT cell, "
             f"(v <> {_NOD} AND a >= {threshold!r}) AS st FROM acc)")
 
 
@@ -1317,7 +1317,7 @@ lhit AS (
   SELECT w.cur, w.origin, w.s,
          row_number() OVER (PARTITION BY w.cur ORDER BY w.s) AS rn
   FROM walk w JOIN resets r ON r.cell = w.origin),
-linklab AS (
+linklab AS MATERIALIZED (
   SELECT s.cell,
     CASE WHEN r.cell IS NOT NULL THEN s.cell ELSE h.origin END AS label
   FROM stream s
@@ -1327,7 +1327,7 @@ linklab AS (
 hcnt AS (
   SELECT w.cur AS cell, COUNT(*) AS m
   FROM walk w JOIN heads h ON h.cell = w.origin GROUP BY w.cur),
-smag AS (
+smag AS MATERIALIZED (
   SELECT s.cell,
     CASE WHEN s.st THEN COALESCE(hc.m, 0)
          + CASE WHEN hd.cell IS NULL THEN 0 ELSE 1 END

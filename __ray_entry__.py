@@ -1210,6 +1210,8 @@ def oracle_sql() -> dict[str, str]:
         "contour_lengths": o.contour_lengths_sql(),
         "multiscale_elev_residual": o.multiscale_elev_residual_sql(),
         "streams_to_vector": o.streams_to_vector_sql(),
+        "stream_order": o.stream_order_sql(),
+        "strahler_order_basins": o.strahler_order_basins_sql(),
         # cost_allocation / cost_pathway: fixed-point label machinery —
         # rows-only, mirror + tiling-invariance tested. mass_flux_d8:
         # the per-hop max(0, (out−absorb)·eff) transfer is non-linear,

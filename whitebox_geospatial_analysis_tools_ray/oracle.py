@@ -1511,6 +1511,83 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per) AS n_links,
 """
 
 
+def _strahler_ctes(max_order: int = 16) -> str:
+    """``sord(cell, o)`` — Strahler order per stream cell via unrolled
+    level sets: S1 = stream; j is a k-junction when ≥ 2 stream inflows
+    lie in S_k; S_{k+1} = downstream closure of the k-junctions (order
+    is monotone downstream, so membership propagates along the walk).
+    Requires _stream_link_ctes in scope. max_order=16 safely exceeds
+    any order reachable on these grids (order ≤ log2(#heads)+1)."""
+    parts = ["s1 AS MATERIALIZED (SELECT cell FROM stream WHERE st)"]
+    for k in range(1, max_order):
+        parts.append(f"""j{k} AS MATERIALIZED (
+  SELECT e.down AS j FROM sedges e JOIN s{k} sk ON sk.cell = e.cell
+  GROUP BY e.down HAVING COUNT(*) >= 2)""")
+        parts.append(f"""s{k + 1} AS MATERIALIZED (
+  SELECT j AS cell FROM j{k}
+  UNION
+  SELECT w.cur FROM walk w JOIN j{k} ON j{k}.j = w.origin)""")
+    lvl = " + ".join(
+        f"(CASE WHEN EXISTS (SELECT 1 FROM s{k + 1} x WHERE x.cell = s.cell)"
+        f" THEN 1 ELSE 0 END)"
+        for k in range(1, max_order))
+    parts.append(f"""sord AS (
+  SELECT s.cell, 1 + {lvl} AS o FROM stream s WHERE s.st)""")
+    return ",\n".join(parts)
+
+
+def stream_order_sql(rows: int = 256, cols: int = 256,
+                     threshold: float = 5.0) -> str:
+    """(row_id, n_stream, max_order, sum_order, sum_magnitude) —
+    Strahler order + Shreve magnitude per raster row."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+{_strahler_ctes()}
+SELECT s.cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN s.st THEN 1 END) AS BIGINT) AS n_stream,
+       CAST(COALESCE(MAX(so.o), 0) AS BIGINT) AS max_order,
+       CAST(COALESCE(SUM(so.o), 0) AS BIGINT) AS sum_order,
+       CAST(SUM(m.mag) AS BIGINT) AS sum_magnitude
+FROM stream s
+LEFT JOIN sord so ON so.cell = s.cell
+LEFT JOIN smag m ON m.cell = s.cell
+GROUP BY s.cell // {cols}
+"""
+
+
+def strahler_order_basins_sql(rows: int = 256, cols: int = 256,
+                              threshold: float = 5.0) -> str:
+    """Every cell takes the Strahler ORDER of the first stream cell on
+    its D8 path (subbasins plan with the order plane)."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+{_strahler_ctes()},
+shit AS (
+  SELECT w.origin, w.cur,
+         row_number() OVER (PARTITION BY w.origin ORDER BY w.s) AS rn
+  FROM walk w JOIN stream st ON st.cell = w.cur AND st.st),
+labv AS (
+  SELECT v.cell,
+    CASE WHEN v.v = {_NOD} THEN -1
+         WHEN so.st THEN o1.o
+         ELSE COALESCE(o2.o, -1) END AS lab
+  FROM vals v
+  JOIN stream so ON so.cell = v.cell
+  LEFT JOIN sord o1 ON o1.cell = v.cell
+  LEFT JOIN shit h ON h.origin = v.cell AND h.rn = 1
+  LEFT JOIN sord o2 ON o2.cell = h.cur)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN lab >= 0 THEN 1 END) AS BIGINT) AS n_labelled,
+       CAST(SUM(CASE WHEN lab >= 0 THEN lab ELSE 0 END) AS BIGINT)
+         AS sum_label
+FROM labv GROUP BY cell // {cols}
+"""
+
+
 def subbasins_sql(rows: int = 256, cols: int = 256,
                   threshold: float = 5.0) -> str:
     """Every cell takes the LINK LABEL of the first stream cell on its

@@ -1244,9 +1244,8 @@ def oracle_sql() -> dict[str, str]:
         "lines_to_polygons": _vops2("lines_to_polygons_sql"),
         "simplify_line": _vops2("simplify_line_sql"),
         "interior_point": _vops2("interior_point_sql"),
-        # long_axis / short_axis / layer_footprint: rows-only (hull-edge
-        # rotation search / whole-layer hull are not SQL-expressible) —
-        # brute-force-sweep + mirror tested.
+        # layer_footprint: rows-only (the whole-layer convex hull is
+        # not SQL-expressible) — brute-force-sweep + mirror tested.
         "trend_surface": _trend_sql(),
         "vector_clip": o.clip_boxes_sql(),
         "vector_erase": o.erase_boxes_sql(),
@@ -1298,13 +1297,9 @@ def oracle_sql() -> dict[str, str]:
         "nearest_neighbour_analysis": __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.knn",
             fromlist=["x"]).nearest_neighbour_analysis_sql(),
-        # jenson_snap_pour_points: tile-local window search over the
-        # converged accumulation — rows-only, literal-mirror tested.
         "attribute_gridding": _gridding_sql("attribute_gridding_sql"),
         "find_straight_segments": _vops2("find_straight_segments_sql"),
         "clip_raster_to_polygon": o.clip_raster_to_polygon_sql(),
-        # clump: non-SQL-expressible (iterative label merge) — rows-only,
-        # verified against the single-process BFS oracle in tests.
         "cross_tabulation": o.cross_tab_sql(),
         "kappa_index": o.kappa_sql(),
         "extract_valleys": o.extract_valleys_sql(),

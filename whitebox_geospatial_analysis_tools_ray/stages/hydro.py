@@ -537,7 +537,8 @@ def jenson_snap_pour_points(spec: RasterSpec | None = None,
     :298-299). Streams = flow accumulation >= threshold (the
     ExtractStreams mask). Same tile-local window-search plan as
     snap_pour_points (broadcast acc tiles, halo-band reads, no
-    shuffle); rows-only, literal-mirror tested."""
+    shuffle); exact DuckDB oracle (window join over the recursive-CTE
+    accumulation) + literal-mirror tested."""
     spec = spec or RasterSpec()
     cols = spec.cols
     acc_frames = flow_accumulation_frames(spec)

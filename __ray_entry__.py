@@ -1212,6 +1212,8 @@ def oracle_sql() -> dict[str, str]:
         "streams_to_vector": o.streams_to_vector_sql(),
         "stream_order": o.stream_order_sql(),
         "strahler_order_basins": o.strahler_order_basins_sql(),
+        "viewshed": o.viewshed_sql(),
+        "visibility_index": o.visibility_index_sql(),
         # cost_allocation / cost_pathway: fixed-point label machinery —
         # rows-only, mirror + tiling-invariance tested. mass_flux_d8:
         # the per-hop max(0, (out−absorb)·eff) transfer is non-linear,

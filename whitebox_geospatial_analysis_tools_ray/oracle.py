@@ -1588,6 +1588,161 @@ FROM labv GROUP BY cell // {cols}
 """
 
 
+def _vs_z(cell: str) -> str:
+    """Inline synth_value(cell) as SQL."""
+    return (f"(CASE WHEN (({cell}) * 2246822519 + 1013904223) "
+            f"% 4294967296 % 17 = 0 THEN {_NOD} "
+            f"ELSE ((({cell}) * 2654435761) % 4294967296) "
+            f"/ 4294967296.0 * 1000.0 END)")
+
+
+def _vs_sweep(name: str, w: int, sr: int, sc: int, vmax: int,
+              cell_of: str, sz: str) -> str:
+    """One XDraw ring sweep as a recursive list-CTE. ``cell_of`` is a
+    SQL expression for the synth cell index given ``RW`` (the ring's
+    grid row, replaced textually) and lambda variable c. Produces
+    ``{name}(v, m)`` — m[c+1] = running max view angle at ring v."""
+    def va(row_expr: str) -> str:
+        z = _vs_z(cell_of.replace("RW", row_expr))
+        return (f"(CASE WHEN {z} = {_NOD} THEN {_NOD} "
+                f"ELSE ({z} - {sz}) / sqrt(CAST((c - {sc}) * (c - {sc}) "
+                f"+ ({row_expr} - ({sr})) * ({row_expr} - ({sr})) "
+                f"AS DOUBLE)) * 1000.0 END)")
+    seed_va = va("SEEDROW")
+    rec_va = va("RECROW")
+    return f"""{name} AS (
+  SELECT 1 AS v,
+    list_transform(generate_series(0, {w - 1}), c ->
+      CASE WHEN c BETWEEN GREATEST({sc} - 1, 0)
+                      AND LEAST({sc} + 1, {w - 1})
+           THEN {seed_va} ELSE NULL END) AS m
+  UNION ALL
+  SELECT p.v + 1,
+    list_transform(generate_series(0, {w - 1}), c ->
+      CASE
+        WHEN c < GREATEST({sc} - (p.v + 1), 0)
+          OR c > LEAST({sc} + (p.v + 1), {w - 1}) THEN NULL
+        WHEN c = {sc} THEN GREATEST(p.m[{sc} + 1], {rec_va})
+        WHEN c > {sc} THEN GREATEST({rec_va},
+          CASE WHEN c - {sc} = p.v + 1 THEN p.m[c]
+               ELSE p.m[c + 1] + (CAST(c - {sc} AS DOUBLE) / (p.v + 1))
+                    * (p.m[c] - p.m[c + 1]) END)
+        ELSE GREATEST({rec_va},
+          CASE WHEN {sc} - c = p.v + 1 THEN p.m[c + 2]
+               ELSE p.m[c + 1] + (CAST({sc} - c AS DOUBLE) / (p.v + 1))
+                    * (p.m[c + 2] - p.m[c + 1]) END)
+      END)
+  FROM {name} p WHERE p.v < {vmax})"""
+
+
+def _viewshed_parts(rows: int, cols: int, sr: int, sc: int,
+                    station_height: float, px: str):
+    """(list of 4 sweep CTE strings, list of count SELECTs) for one
+    station, CTE names prefixed with ``px``."""
+    st_cell = sr * cols + sc
+    sz = f"({_vs_z(repr(st_cell))} + {station_height!r})"
+    # original grid: cell = RW*cols + c, ring row RW = sr -/+ v
+    up = _vs_sweep(f"{px}up_a", cols, sr, sc, sr,
+                   f"(RW) * {cols} + c", sz)
+    dn = _vs_sweep(f"{px}dn_a", cols, sr, sc, rows - 1 - sr,
+                   f"(RW) * {cols} + c", sz)
+    # transposed grid: z'(r', c') = synth(c'*cols + r'); station (sc, sr)
+    up_t = _vs_sweep(f"{px}up_b", rows, sc, sr, sc,
+                     f"c * {cols} + (RW)", sz)
+    dn_t = _vs_sweep(f"{px}dn_b", rows, sc, sr, cols - 1 - sc,
+                     f"c * {cols} + (RW)", sz)
+
+    def fix(cte: str, seed_row: str, rec_row: str) -> str:
+        return cte.replace("SEEDROW", seed_row).replace("RECROW", rec_row)
+
+    up = fix(up, f"({sr} - 1)", f"({sr} - (p.v + 1))")
+    dn = fix(dn, f"({sr} + 1)", f"({sr} + (p.v + 1))")
+    up_t = fix(up_t, f"({sc} - 1)", f"({sc} - (p.v + 1))")
+    dn_t = fix(dn_t, f"({sc} + 1)", f"({sc} + (p.v + 1))")
+
+    def count(name: str, row_expr: str, out_expr: str, sr_: int,
+              sc_: int, cell_of: str, strict: bool, width: int) -> str:
+        z = _vs_z(cell_of)
+        vaq = (f"(CASE WHEN {z} = {_NOD} THEN {_NOD} "
+               f"ELSE ({z} - {sz}) / sqrt(CAST((c - {sc_}) * (c - {sc_})"
+               f" + ({row_expr} - ({sr_})) * ({row_expr} - ({sr_})) "
+               f"AS DOUBLE)) * 1000.0 END)")
+        stricter = f"AND abs(c - {sc_}) < t.v" if strict else ""
+        return f"""
+SELECT {out_expr} AS row_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM {name} t, generate_series(0, {width - 1}) s(c)
+WHERE t.m[c + 1] IS NOT NULL {stricter}
+  AND {vaq} <> {_NOD} AND t.m[c + 1] <= {vaq}
+GROUP BY {out_expr}"""
+
+    counts = [
+        count(f"{px}up_a", f"({sr} - t.v)", f"{sr} - t.v", sr, sc,
+              f"({sr} - t.v) * {cols} + c", False, cols),
+        count(f"{px}dn_a", f"({sr} + t.v)", f"{sr} + t.v", sr, sc,
+              f"({sr} + t.v) * {cols} + c", False, cols),
+        count(f"{px}up_b", f"({sc} - t.v)", "c", sc, sr,
+              f"c * {cols} + ({sc} - t.v)", True, rows),
+        count(f"{px}dn_b", f"({sc} + t.v)", "c", sc, sr,
+              f"c * {cols} + ({sc} + t.v)", True, rows),
+        # station cell: va is forced to 0 at dist 0 but then overwritten
+        # to NODATA when the station's own z is NoData — count it only
+        # on valid ground (stages/viewshed.py _view_angle order).
+        f"SELECT {sr} AS row_id, 1 AS n "
+        f"WHERE {_vs_z(repr(st_cell))} <> {_NOD}",
+    ]
+    return [up, dn, up_t, dn_t], counts
+
+
+def viewshed_sql(rows: int = 256, cols: int = 256,
+                 station_height: float = 2.0) -> str:
+    """Viewshed (XDraw triangular-facet sweep) — four recursive ring
+    sweeps (up/down × original/transposed); every op is an
+    IEEE-correctly-rounded double op in the same order as the numpy
+    kernel, so max-view-angle comparisons match bit-for-bit."""
+    sr, sc = rows // 2 + 3, cols // 2 - 5
+    ctes, counts = _viewshed_parts(rows, cols, sr, sc, station_height, "")
+    body = ",\n".join(ctes)
+    cnts = "\nUNION ALL\n".join(counts)
+    return f"""
+WITH RECURSIVE
+{body},
+allc AS ({cnts})
+SELECT g.r AS row_id,
+       CAST(COALESCE(SUM(a.n), 0) AS BIGINT) AS n_visible
+FROM generate_series(0, {rows - 1}) g(r)
+LEFT JOIN allc a ON a.row_id = g.r
+GROUP BY g.r
+"""
+
+
+def visibility_index_sql(rows: int = 96, cols: int = 96,
+                         station_height: float = 2.0,
+                         n_stations: int = 4) -> str:
+    """VisibilityIndex: mean of the n_stations lattice viewsheds'
+    per-row visible counts (stages/viewshed.py _station_lattice)."""
+    ctes, counts = [], []
+    for k in range(n_stations):
+        sr = rows // 4 + (k % 2) * (rows // 2) + 3
+        sc = cols // 4 + (k // 2 % 2) * (cols // 2) - 2
+        c, n = _viewshed_parts(rows, cols, sr, sc, station_height,
+                               f"s{k}_")
+        ctes += c
+        counts += n
+    body = ",\n".join(ctes)
+    cnts = "\nUNION ALL\n".join(counts)
+    return f"""
+WITH RECURSIVE
+{body},
+allc AS ({cnts})
+SELECT g.r AS row_id,
+       CAST(COALESCE(SUM(a.n), 0) AS DOUBLE) / {float(n_stations)!r}
+         AS index_sum
+FROM generate_series(0, {rows - 1}) g(r)
+LEFT JOIN allc a ON a.row_id = g.r
+GROUP BY g.r
+"""
+
+
 def subbasins_sql(rows: int = 256, cols: int = 256,
                   threshold: float = 5.0) -> str:
     """Every cell takes the LINK LABEL of the first stream cell on its

@@ -1205,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_short_streams":
             o.remove_short_streams_sql(threshold=2.0, min_length=3.0),
         "subbasins": o.subbasins_sql(),
+        "hillslopes": o.hillslopes_sql(),
         "branch_length": o.branch_length_sql(),
         "clump": o.clump_sql(),
         "contour_lengths": o.contour_lengths_sql(),

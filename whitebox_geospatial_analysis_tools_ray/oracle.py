@@ -1743,6 +1743,129 @@ GROUP BY g.r
 """
 
 
+_HS_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+_HS_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+
+
+def hillslopes_sql(rows: int = 256, cols: int = 256,
+                   threshold: float = 5.0) -> str:
+    """Hillslopes: bank labelling + downslope fill. The reference's
+    in-place row-major scan reduces to an order rule — a cell's final
+    bank code is the LAST right-bank writer in scan (cell-id) order,
+    else the FIRST left-bank writer (right writes overwrite
+    unconditionally; left writes only on untouched cells). The right
+    walk's rotation window (stop at the first stream/NoData neighbour
+    after a non-stream run) is evaluated per stream cell over an
+    unrolled 16-step rotation table."""
+    delta = [f"WHEN {d} THEN {_HS_DY[d] * cols + _HS_DX[d]}"
+             for d in range(8)]
+    dcase = "CASE d " + " ".join(delta) + " END"
+    dxcase = ("CASE d " + " ".join(
+        f"WHEN {d} THEN {_HS_DX[d]}" for d in range(8)) + " END")
+    dycase = ("CASE d " + " ".join(
+        f"WHEN {d} THEN {_HS_DY[d]}" for d in range(8)) + " END")
+    inflow_rd = ("CASE r.d " + " ".join(
+        f"WHEN {d} THEN {float(1 << ((d + 4) % 8))!r}" for d in range(8))
+        + " END")
+    cicase = ("CASE r2.f " + " ".join(
+        f"WHEN {float(1 << i)!r} THEN {i}" for i in range(8)) + " END")
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+{_stream_cte(threshold)},
+{_stream_link_ctes(cols, threshold)},
+basev AS MATERIALIZED (
+  SELECT s.cell,
+    CASE WHEN h.cell IS NOT NULL THEN 2 * s.cell + 1
+         ELSE 2 * l.label END AS b
+  FROM stream s
+  JOIN linklab l ON l.cell = s.cell
+  LEFT JOIN heads h ON h.cell = s.cell
+  WHERE s.st),
+sfd AS (
+  SELECT s.cell, {cicase} AS ci, b.b
+  FROM stream s
+  JOIN res r2 ON r2.cell = s.cell
+  JOIN basev b ON b.cell = s.cell
+  WHERE s.st AND r2.f > 0),
+rot AS (
+  SELECT sf.cell, sf.ci, sf.b, p.p, (sf.ci + p.p) % 8 AS d
+  FROM sfd sf, generate_series(1, 16) p(p)),
+rotn AS MATERIALIZED (
+  SELECT r.cell, r.b, r.p, r.d,
+    r.cell + {dcase} AS n,
+    (r.cell % {cols} + {dxcase} BETWEEN 0 AND {cols - 1})
+      AND (r.cell // {cols} + {dycase} BETWEEN 0 AND {rows - 1}) AS ing
+  FROM rot r),
+rots AS MATERIALIZED (
+  SELECT rn.cell, rn.b, rn.p, rn.d, rn.n,
+    rn.ing AND v.v <> {_NOD} AND NOT st.st AS nonstream,
+    NOT (rn.ing AND v.v <> {_NOD}) OR st.st AS bad
+  FROM rotn rn
+  LEFT JOIN vals v ON v.cell = rn.n AND rn.ing
+  LEFT JOIN stream st ON st.cell = rn.n AND rn.ing),
+rstate AS (
+  SELECT cell, b, p, d, n, nonstream, bad,
+    COALESCE(SUM(CASE WHEN nonstream THEN 1 ELSE 0 END)
+      OVER (PARTITION BY cell ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) > 0
+      AS state_prev
+  FROM rots),
+brk AS (
+  SELECT s.cell, COALESCE(MIN(r.p), 17) AS brk
+  FROM sfd s LEFT JOIN rstate r
+    ON r.cell = s.cell AND r.bad AND r.state_prev
+  GROUP BY s.cell),
+rightw AS (
+  SELECT r.n, r.cell AS s, r.b * 4 AS val
+  FROM rstate r
+  JOIN brk k ON k.cell = r.cell
+  JOIN res rp ON rp.cell = r.n
+  WHERE r.p < k.brk AND r.nonstream AND rp.f = {inflow_rd}),
+leftw AS (
+  SELECT e.cell AS n, e.down AS s, b.b * 4 + 1 AS val
+  FROM edges e
+  JOIN basev b ON b.cell = e.down
+  JOIN stream sn ON sn.cell = e.cell
+  JOIN res rs ON rs.cell = e.down
+  WHERE NOT sn.st AND rs.f > 0),
+bank AS (
+  SELECT n, val FROM (
+    SELECT n, val, row_number() OVER (PARTITION BY n ORDER BY s DESC) rk
+    FROM rightw) WHERE rk = 1
+),
+bankl AS (
+  SELECT l.n, l.val FROM (
+    SELECT n, val, row_number() OVER (PARTITION BY n ORDER BY s) rk
+    FROM leftw) l
+  WHERE l.rk = 1 AND NOT EXISTS (SELECT 1 FROM bank b WHERE b.n = l.n)),
+seeds AS MATERIALIZED (
+  SELECT s.cell, b.b * 4 AS val FROM stream s JOIN basev b USING (cell)
+  WHERE s.st
+  UNION ALL
+  SELECT n, val FROM bank
+  UNION ALL
+  SELECT n, val FROM bankl),
+seedhit AS (
+  SELECT w.origin, w.cur,
+         row_number() OVER (PARTITION BY w.origin ORDER BY w.s) AS rn
+  FROM walk w JOIN seeds sd ON sd.cell = w.cur),
+lab AS (
+  SELECT v.cell,
+    CASE WHEN s0.val IS NOT NULL THEN s0.val
+         WHEN v.v = {_NOD} THEN -2
+         ELSE COALESCE(s1.val, -2) END AS lb
+  FROM vals v
+  LEFT JOIN seeds s0 ON s0.cell = v.cell
+  LEFT JOIN seedhit h ON h.origin = v.cell AND h.rn = 1
+  LEFT JOIN seeds s1 ON s1.cell = h.cur)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN lb >= 0 THEN 1 END) AS BIGINT) AS n_assigned,
+       CAST(SUM(CASE WHEN lb >= 0 THEN lb ELSE 0 END) AS BIGINT)
+         AS sum_code
+FROM lab GROUP BY cell // {cols}
+"""
+
+
 def subbasins_sql(rows: int = 256, cols: int = 256,
                   threshold: float = 5.0) -> str:
     """Every cell takes the LINK LABEL of the first stream cell on its

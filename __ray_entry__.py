@@ -1158,6 +1158,11 @@ def oracle_sql() -> dict[str, str]:
         "terrain_total_curv": o.curvature_sql("total"),
         "flow_pointer_d8": o.d8_pointer_sql(),
         "flow_pointer_fd8": o.fd8_pointer_sql(),
+        # FD8 / mass-flux: the downhill-fraction edge DAG is nilpotent
+        # (receivers strictly lower), so a bounded synchronous-Jacobi
+        # recursive CTE reaches the exact fixed point.
+        "flow_accumulation_fd8": o.flow_accumulation_fd8_sql(),
+        "mass_flux_d8": o.mass_flux_d8_sql(),
         "num_downslope_neighbours": o.num_neighbours_sql(upslope=False),
         "num_upslope_neighbours": o.num_neighbours_sql(upslope=True),
         "max_downslope_elev_change": o.max_downslope_change_sql(),
@@ -1216,9 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "viewshed": o.viewshed_sql(),
         "visibility_index": o.visibility_index_sql(),
         # cost_allocation / cost_pathway: fixed-point label machinery —
-        # rows-only, mirror + tiling-invariance tested. mass_flux_d8:
-        # the per-hop max(0, (out−absorb)·eff) transfer is non-linear,
-        # so the walk closure does not decompose — rows-only.
+        # rows-only, mirror + tiling-invariance tested.
         "vector_cleaning": _vclean_sql(),
         "shape_metrics_basic": _shape_sql(),
         "minimum_bounding_box": o.minimum_bounding_box_sql(),

@@ -761,6 +761,113 @@ FROM acc GROUP BY cell // {cols}
 """
 
 
+_NB_OFF = (None,)  # placeholder; offsets derived below per neighbour index
+
+
+def _downhill_edge_arms(cols: int, weight: str = "(v - n{i})") -> str:
+    """8-arm UNION ALL of strictly-downhill fractional edges
+    ``fe(src, dst, frac)`` built over the ``tot`` CTE (which must expose
+    cell, v, n0..n7, total). Neighbour index order matches
+    _neighbour_cte (NE,E,SE,S,SW,W,NW,N)."""
+    offs = (-cols + 1, 1, cols + 1, cols, cols - 1, -1, -cols - 1, -cols)
+    arms = []
+    for i, off in enumerate(offs):
+        w = weight.format(i=i)
+        arms.append(
+            f"SELECT cell AS src, cell + ({off}) AS dst, {w} / total AS frac\n"
+            f"  FROM tot WHERE n{i} <> {_NOD} AND v > n{i}")
+    return "\n  UNION ALL\n  ".join(arms)
+
+
+def flow_accumulation_fd8_sql(rows: int = 256, cols: int = 256,
+                              iters: int = 24, round_to: int = 4) -> str:
+    """Mirror of stages/hydro.py flow_accumulation_fd8 (power=1):
+    acc(c) = 1 + Σ over strictly-higher neighbours n of
+    acc(n)·(z(n)−z(c))/Σ_downhill(n). The downhill-edge DAG is
+    nilpotent (strictly descending), so ``iters`` synchronous Jacobi
+    rounds ≥ the longest descending-neighbour chain (measured ≤ 17 on
+    the synthetic terrain at these sizes) reach the exact fixed point;
+    a zero-weight self loop keeps inflow-free cells in every round."""
+    wsum = " + ".join(
+        f"CASE WHEN n{i} <> {_NOD} AND v > n{i} THEN v - n{i} ELSE 0.0 END"
+        for i in range(8))
+    return f"""
+WITH RECURSIVE {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+tot AS MATERIALIZED (
+  SELECT cell, v, n0, n1, n2, n3, n4, n5, n6, n7,
+         {wsum} AS total
+  FROM nb WHERE v <> {_NOD}),
+fe AS MATERIALIZED (
+  {_downhill_edge_arms(cols)}
+  UNION ALL
+  SELECT cell, cell, 0.0 FROM tot),
+facc AS (
+  SELECT cell, CAST(1.0 AS DOUBLE) AS a, 0 AS k
+  FROM vals WHERE v <> {_NOD}
+  UNION ALL
+  SELECT e.dst, 1.0 + SUM(e.frac * f.a), f.k + 1
+  FROM facc f JOIN fe e ON e.src = f.cell
+  WHERE f.k < {iters}
+  GROUP BY e.dst, f.k),
+fin AS (SELECT cell, a FROM facc WHERE k = {iters})
+SELECT r.i AS row_id,
+       CAST(COUNT(f.cell) AS BIGINT) AS n_valid,
+       round(COALESCE(SUM(f.a), 0.0), {round_to}) AS sum_acc
+FROM range(0, {rows}) r(i)
+LEFT JOIN fin f ON f.cell // {cols} = r.i
+GROUP BY r.i
+"""
+
+
+def mass_flux_d8_sql(rows: int = 256, cols: int = 256,
+                     iters: int = 24, round_to: int = 4) -> str:
+    """Mirror of stages/hydro.py mass_flux_d8: out(c) = loading(c) +
+    Σ over D8 inflow neighbours n of max(0, (out(n) − absorp(n)) ·
+    eff(n)). Same synchronous-rounds closure as the FD8 oracle (the
+    D8 receiver is strictly lower → nilpotent); the transfer clamp
+    makes the system nonlinear but each round only reads the previous
+    round, so convergence at the topological depth still holds."""
+    return f"""
+WITH RECURSIVE {_d8_pointer_ctes(rows, cols)},
+{_d8_down_cte(cols)},
+pr AS MATERIALIZED (
+  SELECT v.cell,
+    ((v.cell * 2654435761 + 991) % 4294967296) / 4294967296.0 * 10.0
+      AS loading,
+    0.5 + ((v.cell * 2246822519 + 473) % 4294967296) / 4294967296.0 * 0.5
+      AS eff,
+    ((v.cell * 2654435761 + 7919) % 4294967296) / 4294967296.0 * 0.5
+      AS absorp
+  FROM vals v WHERE v.v <> {_NOD}),
+me AS MATERIALIZED (
+  SELECT cell AS src, down AS dst, FALSE AS selfloop
+  FROM ptr WHERE down IS NOT NULL
+  UNION ALL
+  SELECT p.cell, p.cell, TRUE FROM pr p),
+mf AS (
+  SELECT p.cell, p.loading AS a, 0 AS k FROM pr p
+  UNION ALL
+  SELECT e.dst,
+    MAX(pd.loading) + SUM(CASE WHEN e.selfloop THEN 0.0
+      ELSE greatest(0.0, (f.a - ps.absorp) * ps.eff) END),
+    f.k + 1
+  FROM mf f
+  JOIN me e ON e.src = f.cell
+  JOIN pr ps ON ps.cell = f.cell
+  JOIN pr pd ON pd.cell = e.dst
+  WHERE f.k < {iters}
+  GROUP BY e.dst, f.k),
+fin AS (SELECT cell, a FROM mf WHERE k = {iters})
+SELECT r.i AS row_id,
+       CAST(COUNT(f.cell) AS BIGINT) AS n_valid,
+       round(COALESCE(SUM(f.a), 0.0), {round_to}) AS sum_flux
+FROM range(0, {rows}) r(i)
+LEFT JOIN fin f ON f.cell // {cols} = r.i
+GROUP BY r.i
+"""
+
+
 def _d8_walk_ctes(rows: int = 256, cols: int = 256) -> str:
     """Pointer-walk closure over the D8 raster: ``edges(cell, down, g)``
     (g = step length), ``walk(origin, cur, d, s)`` = every (cell,

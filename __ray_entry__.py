@@ -785,6 +785,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_pointer_fd8": _checksum_q(
             lambda ds, spec: hydro.flow_pointer_fd8(
                 ds, spec, regen=raster.synth_value)),
+        "flow_pointer_dinf": _checksum_q(
+            lambda ds, spec: __import__(
+                "whitebox_geospatial_analysis_tools_ray.stages.dinf",
+                fromlist=["x"]).flow_pointer_dinf(
+                    ds, spec, regen=raster.synth_value)),
         "flow_pointer_rho8": lambda sf: raster.raster_row_checksums(
             hydro.flow_pointer_rho8(raster.RasterSpec()),
             raster.RasterSpec()),
@@ -1163,6 +1168,11 @@ def oracle_sql() -> dict[str, str]:
         # recursive CTE reaches the exact fixed point.
         "flow_accumulation_fd8": o.flow_accumulation_fd8_sql(),
         "mass_flux_d8": o.mass_flux_d8_sql(),
+        # Dinf family: exact facet-sweep pointer + fractional-edge
+        # Jacobi closures (the Dinf DAG is acyclic on this terrain).
+        "flow_pointer_dinf": o.dinf_pointer_sql(),
+        "flow_accumulation_dinf": o.flow_accumulation_dinf_sql(),
+        "mass_flux_dinf": o.mass_flux_dinf_sql(96, 96),
         "num_downslope_neighbours": o.num_neighbours_sql(upslope=False),
         "num_upslope_neighbours": o.num_neighbours_sql(upslope=True),
         "max_downslope_elev_change": o.max_downslope_change_sql(),

@@ -868,6 +868,208 @@ GROUP BY r.i
 """
 
 
+# Dinf facet tables (stages/dinf.py:38-43 mapped onto the n0..n7
+# neighbour indexing of _neighbour_cte): per facet a, (e1, e2) are the
+# neighbour indices, with afVals/acVals from FlowPointerDinf.java.
+_DINF_E = ((1, 0), (7, 0), (7, 6), (5, 6), (5, 4), (3, 4), (3, 2), (1, 2))
+_DINF_AC = (0, 1, 1, 2, 2, 3, 3, 4)
+_DINF_AF = (1, -1, 1, -1, 1, -1, 1, -1)
+
+
+def _dinf_pointer_ctes(rows: int = 256, cols: int = 256) -> str:
+    """CTE chain ending in ``dptr(cell, v, fd)`` — the Dinf flow
+    direction of stages/dinf.py:dinf_pointer_kernel in exact double
+    arithmetic: 8 triangular facets (s1 0→0.00001 substitution, the
+    four literal sign-flip conditions, r clamped to [0, atan(1)] with
+    the reference's s replacements, the one-sided fallback), winner =
+    max s with LAST facet winning ties (the sequential ``s >=
+    maxSlope`` sweep), s == 0.00001 candidates skipped, then the
+    whole-degree truncation round(deg·10)/10 with Java integer
+    division and the 360−θ+90 compass mapping; −1 when maxSlope ≤ 0."""
+    facets = []
+    for a, (i1, i2) in enumerate(_DINF_E):
+        af, ac = _DINF_AF[a], _DINF_AC[a]
+        facets.append(f"""fa{a} AS (
+  SELECT cell, cf{a}, cs{a} FROM (
+  SELECT cell,
+    CASE WHEN bth THEN
+        CASE WHEN r < 0 THEN s1
+             WHEN r > atan(1.0) THEN (v - e2) / sqrt(2.0)
+             WHEN (s1 < 0 AND s2 < 0) OR (s1 < 0 AND s2 = 0)
+               OR (s1 = 0 AND s2 < 0) OR (s1 = 0.001 AND s2 < 0)
+             THEN -s ELSE s END
+      WHEN sgl THEN
+        CASE WHEN v > e1 THEN v - e1 ELSE (v - e2) / sqrt(2.0) END
+      END AS csx,
+    CASE WHEN bth THEN
+        {af}.0 * least(greatest(r, 0.0), atan(1.0)) + {ac}.0 * (pi() / 2.0)
+      WHEN sgl THEN
+        {af}.0 * (CASE WHEN v > e1 THEN 0.0 ELSE atan(1.0) END)
+          + {ac}.0 * (pi() / 2.0)
+      END AS cf{a},
+    CASE WHEN csx = 0.00001 THEN NULL ELSE csx END AS cs{a}
+  FROM (
+    SELECT cell, v, e1, e2, ok, bth,
+      ok AND NOT bth AND (v > e1 OR v > e2) AS sgl,
+      s1, s2, atan(s2 / s1) AS r, sqrt(s1 * s1 + s2 * s2) AS s
+    FROM (
+      SELECT cell, v, n{i1} AS e1, n{i2} AS e2,
+        n{i1} <> {_NOD} AND n{i2} <> {_NOD} AS ok,
+        n{i1} <> {_NOD} AND n{i2} <> {_NOD}
+          AND v > n{i1} AND v > n{i2} AS bth,
+        CASE WHEN v - n{i1} = 0 THEN 0.00001 ELSE v - n{i1} END AS s1,
+        n{i1} - n{i2} AS s2
+      FROM nb))))""")
+    facet_sql = ",\n".join(facets)
+    joins = "\n  ".join(f"JOIN fa{a} USING (cell)" for a in range(8))
+    ms = "greatest(" + ", ".join(
+        f"coalesce(cs{a}, -9999999.0)" for a in range(8)) + ")"
+    win = "CASE " + " ".join(
+        f"WHEN cs{a} IS NOT NULL AND cs{a} = ms THEN cf{a}"
+        for a in range(7, -1, -1)) + " ELSE 360.0 END"
+    return f"""{_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{facet_sql},
+dwin AS (
+  SELECT cell, v, {ms} AS ms, {win} AS flow
+  FROM nb {joins}),
+dptr AS (
+  SELECT cell, v,
+    CASE WHEN v = {_NOD} THEN {_NOD}
+         WHEN ms <= 0 THEN -1.0
+         ELSE CASE WHEN 360.0 - floor(floor(
+                flow * (180.0 / pi()) * 10.0 + 0.5) / 10.0) + 90.0 > 360.0
+              THEN 360.0 - floor(floor(
+                flow * (180.0 / pi()) * 10.0 + 0.5) / 10.0) + 90.0 - 360.0
+              ELSE 360.0 - floor(floor(
+                flow * (180.0 / pi()) * 10.0 + 0.5) / 10.0) + 90.0 END
+    END AS fd
+  FROM dwin)"""
+
+
+def dinf_pointer_sql(rows: int = 256, cols: int = 256) -> str:
+    """Row checksums of the Dinf pointer raster."""
+    return f"""
+WITH {_dinf_pointer_ctes(rows, cols)}
+{_row_checksum_select(cols, "fd")}
+FROM dptr GROUP BY cell // {cols}
+"""
+
+
+# Dinf sector receiver offsets (stages/dinf.py:48-49 _R1/_R2 as
+# (dc, dr) per sector k = floor(θ/45); flow splits p1 = 1 − p2,
+# p2 = (θ − 45k)/45).
+_DINF_R1 = ((0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0),
+            (-1, -1))
+_DINF_R2 = ((1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1),
+            (0, -1))
+
+
+def _dinf_edges_cte(rows: int, cols: int) -> str:
+    """``dfe(src, dst, frac)`` — the Dinf fractional-flow edges over
+    dptr (receiver must be in-grid and valid; p ≤ 0 arms dropped),
+    plus a zero-weight self loop per valid cell so inflow-free cells
+    survive every Jacobi round."""
+    def arm(table, pexpr):
+        cases_dc = "CASE k " + " ".join(
+            f"WHEN {k} THEN {dc}" for k, (dc, dr) in enumerate(table)) + " END"
+        cases_dr = "CASE k " + " ".join(
+            f"WHEN {k} THEN {dr}" for k, (dc, dr) in enumerate(table)) + " END"
+        return (f"SELECT cell AS src, cell + ({cases_dr}) * {cols} + "
+                f"({cases_dc}) AS dst, {pexpr} AS frac, "
+                f"cell % {cols} + ({cases_dc}) AS c2, "
+                f"cell // {cols} + ({cases_dr}) AS r2, FALSE AS selfloop "
+                f"FROM dk WHERE {pexpr} > 0")
+    return f"""dk AS MATERIALIZED (
+  SELECT cell, v, fd,
+    CAST(least(floor(fd / 45.0), 7.0) AS INTEGER) AS k,
+    (fd - 45.0 * CAST(least(floor(fd / 45.0), 7.0) AS INTEGER)) / 45.0 AS p2,
+    1.0 - (fd - 45.0 * CAST(least(floor(fd / 45.0), 7.0) AS INTEGER)) / 45.0
+      AS p1
+  FROM dptr WHERE v <> {_NOD} AND fd >= 0 AND fd <= 360),
+dfe AS MATERIALIZED (
+  SELECT e.src, e.dst, e.frac, e.selfloop
+  FROM (
+    {arm(_DINF_R1, "p1")}
+    UNION ALL
+    {arm(_DINF_R2, "p2")}
+  ) e
+  JOIN vals t ON t.cell = e.dst
+  WHERE e.c2 BETWEEN 0 AND {cols - 1} AND e.r2 BETWEEN 0 AND {rows - 1}
+    AND t.v <> {_NOD}
+  UNION ALL
+  SELECT cell, cell, 0.0, TRUE FROM dptr WHERE v <> {_NOD})"""
+
+
+def flow_accumulation_dinf_sql(rows: int = 256, cols: int = 256,
+                               iters: int = 24, round_to: int = 4) -> str:
+    """Mirror of stages/dinf.py flow_accumulation_dinf: acc(c) = 1 +
+    Σ over Dinf senders n of acc(n)·p(n→c). The fractional-flow DAG is
+    acyclic on the synthetic terrain (measured depth ≤ 7 at 256²), so
+    ``iters`` synchronous Jacobi rounds reach the exact fixed point."""
+    return f"""
+WITH RECURSIVE {_dinf_pointer_ctes(rows, cols)},
+{_dinf_edges_cte(rows, cols)},
+facc AS (
+  SELECT cell, CAST(1.0 AS DOUBLE) AS a, 0 AS j
+  FROM dptr WHERE v <> {_NOD}
+  UNION ALL
+  SELECT e.dst, 1.0 + SUM(CASE WHEN e.selfloop THEN 0.0
+                          ELSE e.frac * f.a END), f.j + 1
+  FROM facc f JOIN dfe e ON e.src = f.cell
+  WHERE f.j < {iters}
+  GROUP BY e.dst, f.j),
+fin AS (SELECT cell, a FROM facc WHERE j = {iters})
+SELECT r.i AS row_id,
+       CAST(COUNT(f.cell) AS BIGINT) AS n_valid,
+       round(COALESCE(SUM(f.a), 0.0), {round_to}) AS sum_acc
+FROM range(0, {rows}) r(i)
+LEFT JOIN fin f ON f.cell // {cols} = r.i
+GROUP BY r.i
+"""
+
+
+def mass_flux_dinf_sql(rows: int = 256, cols: int = 256,
+                       iters: int = 24, round_to: int = 4) -> str:
+    """Mirror of stages/dinf.py mass_flux_dinf: out(c) = loading(c) +
+    Σ over Dinf senders n of p(n→c)·(out(n) − absorp(n))·eff(n) — the
+    literal MassFluxDinf transfer (no clamp, so the system is linear
+    and the Jacobi closure converges at the DAG depth)."""
+    return f"""
+WITH RECURSIVE {_dinf_pointer_ctes(rows, cols)},
+{_dinf_edges_cte(rows, cols)},
+pr AS MATERIALIZED (
+  SELECT d.cell,
+    ((d.cell * 2654435761 + 991) % 4294967296) / 4294967296.0 * 10.0
+      AS loading,
+    0.5 + ((d.cell * 2246822519 + 473) % 4294967296) / 4294967296.0 * 0.5
+      AS eff,
+    ((d.cell * 2654435761 + 7919) % 4294967296) / 4294967296.0 * 0.5
+      AS absorp
+  FROM dptr d WHERE d.v <> {_NOD}),
+mf AS (
+  SELECT p.cell, p.loading AS a, 0 AS j FROM pr p
+  UNION ALL
+  SELECT e.dst,
+    MAX(pd.loading) + SUM(CASE WHEN e.selfloop THEN 0.0
+      ELSE e.frac * ((f.a - ps.absorp) * ps.eff) END),
+    f.j + 1
+  FROM mf f
+  JOIN dfe e ON e.src = f.cell
+  JOIN pr ps ON ps.cell = f.cell
+  JOIN pr pd ON pd.cell = e.dst
+  WHERE f.j < {iters}
+  GROUP BY e.dst, f.j),
+fin AS (SELECT cell, a FROM mf WHERE j = {iters})
+SELECT r.i AS row_id,
+       CAST(COUNT(f.cell) AS BIGINT) AS n_valid,
+       round(COALESCE(SUM(f.a), 0.0), {round_to}) AS sum_flux
+FROM range(0, {rows}) r(i)
+LEFT JOIN fin f ON f.cell // {cols} = r.i
+GROUP BY r.i
+"""
+
+
 def _d8_walk_ctes(rows: int = 256, cols: int = 256) -> str:
     """Pointer-walk closure over the D8 raster: ``edges(cell, down, g)``
     (g = step length), ``walk(origin, cur, d, s)`` = every (cell,

@@ -105,6 +105,17 @@ def dinf_pointer_kernel(p: np.ndarray, nodata: float,
     return out
 
 
+def flow_pointer_dinf(ds: "rd.Dataset", spec: RasterSpec, regen=None):
+    """The Dinf pointer as a 1-halo stencil Dataset stage (the same
+    overlap-read plan as flow_pointer_fd8) — degrees, −1 for no
+    positive facet, NoData propagated."""
+    from .raster import stencil_apply
+
+    return stencil_apply(ds, spec,
+                         lambda p: dinf_pointer_kernel(p, spec.nodata),
+                         halo=1, regen=regen)
+
+
 def _sector_split(fd: float):
     """((dc1, dr1, p1), (dc2, dr2, p2)) for a direction in [0, 360]."""
     k = min(int(fd // 45.0), 7)

@@ -1173,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_pointer_dinf": o.dinf_pointer_sql(),
         "flow_accumulation_dinf": o.flow_accumulation_dinf_sql(),
         "mass_flux_dinf": o.mass_flux_dinf_sql(96, 96),
+        "flow_accumulation_mdinf": o.flow_accumulation_mdinf_sql(96, 96),
         "num_downslope_neighbours": o.num_neighbours_sql(upslope=False),
         "num_upslope_neighbours": o.num_neighbours_sql(upslope=True),
         "max_downslope_elev_change": o.max_downslope_change_sql(),

@@ -1070,6 +1070,164 @@ GROUP BY r.i
 """
 
 
+# MDInf facet tables (stages/dinf.py:434-438): per direction c the
+# neighbour offset is (_MD_XD[c], _MD_YD[c]); on the n0..n7 indexing of
+# _neighbour_cte that neighbour is n(7-c).
+_MD_XD = (0, -1, -1, -1, 0, 1, 1, 1)
+_MD_YD = (-1, -1, 0, 1, 1, 1, 0, -1)
+
+
+def _mdinf_portions_ctes(rows: int, cols: int) -> str:
+    """CTE chain ending in ``mpor(cell, v, por0..por7)`` — the MD∞
+    per-direction flow portions of stages/dinf.py:
+    mdinf_portions_kernel at h_exp = 1 in exact double arithmetic:
+    per facet c the (rF, sF) pair from the triangular-facet normal
+    (hr/hs with the outside-range replacements and the one-sided
+    fallback that divides by _MD_DD[ii] — the literal quirk), the
+    valley gate, linear normalization, the facet-7 rF 0→2π rewrite,
+    and the two-way sector split with numpy's addition order
+    (por_k = second_{k-1} + first_k, por_0 = first_0 + second_7)."""
+    sq2 = "sqrt(2.0)"
+    facets = []
+    for c in range(8):
+        i, ii = c, (c + 1) % 8
+        i1, i2 = 7 - c, 7 - ((c + 1) % 8)
+        xd_i, yd_i = _MD_XD[i], _MD_YD[i]
+        xd_ii, yd_ii = _MD_XD[ii], _MD_YD[ii]
+        nz = xd_i * yd_ii - xd_ii * yd_i
+        dd_i = "1.0" if i % 2 == 0 else sq2
+        dd_ii = "1.0" if ii % 2 == 0 else sq2
+        facets.append(f"""md{c} AS (
+  SELECT cell, rf{c}, sf{c} FROM (
+    SELECT cell,
+      CASE WHEN ok THEN
+          CASE WHEN outsd THEN
+              CASE WHEN p1 < p2 THEN {i} * pi() / 4
+                   ELSE {ii} * pi() / 4 END
+            ELSE hr END
+        WHEN one THEN ({i} / 4.0) * pi() ELSE 0.0 END AS rf{c},
+      CASE WHEN ok THEN
+          CASE WHEN outsd THEN
+              CASE WHEN p1 < p2 THEN (v - p1) / {dd_i}
+                   ELSE (v - p2) / {dd_ii} END
+            ELSE hs END
+        WHEN one THEN (v - p1) / {dd_ii} ELSE {_NOD} END AS sf{c}
+    FROM (
+      SELECT cell, v, p1, p2, ok, one, hr, hs,
+        (hr < {i} * pi() / 4 OR hr > {i + 1} * pi() / 4) AS outsd
+      FROM (
+        SELECT cell, v, p1, p2, ok, one,
+          CASE WHEN nx = 0 THEN CASE WHEN ny >= 0 THEN 0.0 ELSE pi() END
+               WHEN nx >= 0 THEN pi() / 2 - atan(ny / nx)
+               ELSE 3 * pi() / 2 - atan(ny / nx) END AS hr,
+          -tan(acos({nz}.0 / sqrt(nx * nx + ny * ny + {nz}.0 * {nz}.0)))
+            AS hs
+        FROM (
+          SELECT cell, v, n{i1} AS p1, n{i2} AS p2,
+            n{i1} <> {_NOD} AND n{i2} <> {_NOD} AS ok,
+            NOT (n{i1} <> {_NOD} AND n{i2} <> {_NOD})
+              AND n{i1} <> {_NOD} AND n{i1} < v AS one,
+            ({yd_i}.0 * (n{i2} - v) - {yd_ii}.0 * (n{i1} - v)) AS nx,
+            ({xd_ii}.0 * (n{i1} - v) - {xd_i}.0 * (n{i2} - v)) AS ny
+          FROM nb)))))""")
+    facet_sql = ",\n".join(facets)
+    joins = "\n  ".join(f"JOIN md{a} USING (cell)" for a in range(8))
+    # valley gate per facet (valid-cell check folded into the portion
+    # emission: invalid cells are excluded from mval)
+    valley = ",\n    ".join(
+        f"CASE WHEN sf{c} > 0 AND ("
+        f"(rf{c} > {c} * pi() / 4 AND rf{c} < {c + 1} * pi() / 4)"
+        f" OR rf{c} = rf{(c + 1) % 8}"
+        f" OR (sf{(c + 1) % 8} = {_NOD} AND rf{c} = {c + 1} * pi() / 4)"
+        f" OR (sf{(c + 7) % 8} = {_NOD} AND rf{c} = {c} * pi() / 4))"
+        f" THEN sf{c} ELSE 0.0 END AS vl{c}" for c in range(8))
+    vsum = " + ".join(f"vl{c}" for c in range(8))
+    vnorm = ",\n    ".join(
+        f"CASE WHEN vs > 0 THEN vl{c} / vs ELSE 0.0 END AS vn{c}"
+        for c in range(8))
+    rf7x = "CASE WHEN rf7 = 0 THEN 2 * pi() ELSE rf7 END"
+
+    def first(k, rf):
+        return (f"CASE WHEN vn{k} > 0 THEN vn{k} * "
+                f"(({k + 1} * pi() / 4 - {rf}) / (pi() / 4)) ELSE 0.0 END")
+
+    def second(k, rf):
+        return (f"CASE WHEN vn{k} > 0 THEN vn{k} * "
+                f"(({rf} - {k} * pi() / 4) / (pi() / 4)) ELSE 0.0 END")
+
+    pors = [f"{first(0, 'rf0')} + {second(7, rf7x)} AS por0"]
+    for k in range(1, 8):
+        rf_k = rf7x if k == 7 else f"rf{k}"
+        pors.append(f"{second(k - 1, f'rf{k - 1}')} + {first(k, rf_k)}"
+                    f" AS por{k}")
+    por_sql = ",\n    ".join(pors)
+    return f"""{_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+{facet_sql},
+mval AS (
+  SELECT cell, v,
+    rf0, rf1, rf2, rf3, rf4, rf5, rf6, rf7,
+    {valley}
+  FROM nb {joins}),
+mvn AS (
+  SELECT *, {vsum} AS vs FROM mval),
+mpor AS (
+  SELECT cell, v,
+    {por_sql}
+  FROM (SELECT *,
+    {vnorm}
+  FROM mvn) WHERE v <> {_NOD})"""
+
+
+def _mdinf_edges_cte(rows: int, cols: int) -> str:
+    """``mfe(src, dst, frac)`` over mpor — one arm per direction c
+    (receiver offset (_MD_XD[c], _MD_YD[c]), portion > 0, receiver
+    in-grid and valid) plus the zero-weight self loop."""
+    arms = []
+    for c in range(8):
+        dc, dr = _MD_XD[c], _MD_YD[c]
+        off = dr * cols + dc
+        arms.append(
+            f"SELECT m.cell AS src, m.cell + ({off}) AS dst, "
+            f"m.por{c} AS frac, FALSE AS selfloop\n"
+            f"  FROM mpor m JOIN vals t ON t.cell = m.cell + ({off})\n"
+            f"  WHERE m.por{c} > 0 AND t.v <> {_NOD}\n"
+            f"    AND m.cell % {cols} + ({dc}) BETWEEN 0 AND {cols - 1}\n"
+            f"    AND m.cell // {cols} + ({dr}) BETWEEN 0 AND {rows - 1}")
+    arm_sql = "\n  UNION ALL\n  ".join(arms)
+    return (f"mfe AS MATERIALIZED (\n  {arm_sql}\n  UNION ALL\n"
+            f"  SELECT cell, cell, 0.0, TRUE FROM mpor)")
+
+
+def flow_accumulation_mdinf_sql(rows: int = 96, cols: int = 96,
+                                iters: int = 24,
+                                round_to: int = 4) -> str:
+    """Mirror of stages/dinf.py flow_accumulation_mdinf (h_exp = 1):
+    acc(c) = 1 + Σ over MD∞ senders n of acc(n)·por(n→c); the portion
+    DAG is strictly descending (the kernel's Kahn-equivalence guard
+    enforces it), so the synchronous Jacobi closure is exact."""
+    return f"""
+WITH RECURSIVE {_mdinf_portions_ctes(rows, cols)},
+{_mdinf_edges_cte(rows, cols)},
+macc AS (
+  SELECT cell, CAST(1.0 AS DOUBLE) AS a, 0 AS j
+  FROM mpor
+  UNION ALL
+  SELECT e.dst, 1.0 + SUM(CASE WHEN e.selfloop THEN 0.0
+                          ELSE e.frac * f.a END), f.j + 1
+  FROM macc f JOIN mfe e ON e.src = f.cell
+  WHERE f.j < {iters}
+  GROUP BY e.dst, f.j),
+fin AS (SELECT cell, a FROM macc WHERE j = {iters})
+SELECT r.i AS row_id,
+       CAST(COUNT(f.cell) AS BIGINT) AS n_valid,
+       round(COALESCE(SUM(f.a), 0.0), {round_to}) AS sum_acc
+FROM range(0, {rows}) r(i)
+LEFT JOIN fin f ON f.cell // {cols} = r.i
+GROUP BY r.i
+"""
+
+
 def _d8_walk_ctes(rows: int = 256, cols: int = 256) -> str:
     """Pointer-walk closure over the D8 raster: ``edges(cell, down, g)``
     (g = step length), ``walk(origin, cur, d, s)`` = every (cell,

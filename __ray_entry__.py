@@ -1148,6 +1148,14 @@ def oracle_sql() -> dict[str, str]:
         "diff_mean_elev": o.diff_mean_elev_sql(),
         "dev_mean_elev": o.dev_mean_elev_sql(),
         "fill_pits": o.fill_pits_sql(),
+        # Priority-flood family: the fill is the minimax fixed point
+        # W = max(z, min_nbr W) (schedule-independent, no arithmetic),
+        # closed by bounded Jacobi rounds.
+        "fill_depressions": o.fill_depressions_sql(),
+        "depth_in_sink": o.depth_in_sink_sql(),
+        "flood_order": o.flood_order_sql(),
+        "stochastic_depression_analysis":
+            o.stochastic_depression_analysis_sql(),
         "find_no_flow_cells": o.find_no_flow_sql(),
         "terrain_relative_aspect": o.relative_aspect_sql(),
         "pennock_landform": o.pennock_sql(),

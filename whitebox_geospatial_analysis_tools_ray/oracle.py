@@ -1228,6 +1228,138 @@ GROUP BY r.i
 """
 
 
+def _fill_ctes(rows: int, cols: int, iters: int, vals_name: str = "vals",
+               px: str = "f") -> str:
+    """CTE fragments ending in ``{px}fw(cell, z, w)`` — the
+    priority-flood filled DEM (stages/fill.py _priority_flood_seeded,
+    seeds = border + NoData cells) as the equivalent minimax fixed
+    point W = max(z, min over 8 neighbours of W) with W = z pinned on
+    seeds, reached by ``iters`` synchronous Jacobi rounds from W = +∞
+    (every W is a copy of some input z — no arithmetic — so the fixed
+    point is schedule-independent and bit-exact; measured convergence:
+    17 rounds at 96², 9 at 256²)."""
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0),
+            (1, 1)]
+    arms = []
+    for dr, dc in offs:
+        off = dr * cols + dc
+        arms.append(
+            f"SELECT cell AS dst, cell + ({off}) AS src FROM {px}cp\n"
+            f"    WHERE cell % {cols} + ({dc}) BETWEEN 0 AND {cols - 1}\n"
+            f"      AND cell // {cols} + ({dr}) BETWEEN 0 AND {rows - 1}")
+    arm_sql = "\n    UNION ALL\n    ".join(arms)
+    return f"""{px}cp AS MATERIALIZED (
+  SELECT cell, v AS z,
+    (cell // {cols} = 0 OR cell // {cols} = {rows - 1}
+     OR cell % {cols} = 0 OR cell % {cols} = {cols - 1}
+     OR v = {_NOD}) AS seed
+  FROM {vals_name}),
+{px}ne AS MATERIALIZED (
+    {arm_sql}),
+{px}fx AS (
+  SELECT cell,
+    CASE WHEN seed THEN z ELSE CAST('infinity' AS DOUBLE) END AS w,
+    0 AS j
+  FROM {px}cp
+  UNION ALL
+  SELECT e.dst,
+    CASE WHEN pd.seed THEN pd.z ELSE greatest(pd.z, MIN(f.w)) END,
+    f.j + 1
+  FROM {px}fx f
+  JOIN {px}ne e ON e.src = f.cell
+  JOIN {px}cp pd ON pd.cell = e.dst
+  WHERE f.j < {iters}
+  GROUP BY e.dst, pd.seed, pd.z, f.j),
+{px}fw AS (SELECT f.cell, p.z, f.w
+  FROM {px}fx f JOIN {px}cp p USING (cell) WHERE f.j = {iters})"""
+
+
+def fill_depressions_sql(rows: int = 256, cols: int = 256,
+                         iters: int = 24, round_to: int = 6) -> str:
+    """Row checksums of the filled DEM (FillDepressions, flat
+    increment 0)."""
+    return f"""
+WITH RECURSIVE {_raster_vals_cte(rows, cols)},
+{_fill_ctes(rows, cols, iters)}
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN w <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN w = {_NOD} THEN 0.0 ELSE w END), {round_to})
+         AS row_sum
+FROM ffw GROUP BY cell // {cols}
+"""
+
+
+def depth_in_sink_sql(rows: int = 96, cols: int = 96,
+                      iters: int = 30, round_to: int = 6) -> str:
+    """DepthInSink = filled − original on valid cells, 0 elsewhere."""
+    return f"""
+WITH RECURSIVE {_raster_vals_cte(rows, cols)},
+{_fill_ctes(rows, cols, iters)}
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN z <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN z = {_NOD} THEN 0.0 ELSE w - z END), {round_to})
+         AS depth_sum
+FROM ffw GROUP BY cell // {cols}
+"""
+
+
+def flood_order_sql(rows: int = 96, cols: int = 96,
+                    iters: int = 30) -> str:
+    """FloodOrder: rank of each valid cell under the deterministic
+    (filled_z, cell) tie rule; per-row rank sums (exact integers)."""
+    return f"""
+WITH RECURSIVE {_raster_vals_cte(rows, cols)},
+{_fill_ctes(rows, cols, iters)},
+rk AS (
+  SELECT cell,
+    CAST(row_number() OVER (ORDER BY w, cell) - 1 AS BIGINT) AS rnk
+  FROM ffw WHERE w <> {_NOD})
+SELECT g.i AS row_id,
+       CAST(COUNT(r.cell) AS BIGINT) AS n_valid,
+       CAST(COALESCE(SUM(r.rnk), 0) AS BIGINT) AS rank_sum
+FROM range(0, {rows}) g(i)
+LEFT JOIN rk r ON r.cell // {cols} = g.i
+GROUP BY g.i
+"""
+
+
+def stochastic_depression_analysis_sql(rows: int = 96, cols: int = 96,
+                                       n_real: int = 2, rmse: float = 15.0,
+                                       iters: int = 30,
+                                       round_to: int = 6) -> str:
+    """pdep = fraction of noise realizations with filled > surface;
+    realization k perturbs the DEM by the seeded uniform error of
+    stages/fill.py _stoch_surface (NoData preserved)."""
+    parts, sums = [], []
+    for k in range(n_real):
+        add = 7177 + 131 * k
+        parts.append(f"""sv{k} AS (
+  SELECT cell,
+    CASE WHEN v = {_NOD} THEN v
+         ELSE v + (((cell * 2654435761 + {add}) % 4294967296)
+                   / 4294967296.0 - 0.5) * 2.0 * {rmse!r} END AS v
+  FROM vals),
+{_fill_ctes(rows, cols, iters, vals_name=f"sv{k}", px=f"s{k}")}""")
+        sums.append(f"CASE WHEN s{k}.w > s{k}.z THEN 1.0 ELSE 0.0 END")
+    body = ",\n".join(parts)
+    joins = "\n  ".join(
+        f"JOIN s{k}fw s{k} ON s{k}.cell = b.cell" for k in range(n_real))
+    pdep = "(" + " + ".join(sums) + f") / {float(n_real)!r}"
+    return f"""
+WITH RECURSIVE {_raster_vals_cte(rows, cols)},
+{body},
+pd AS (
+  SELECT b.cell, b.v,
+    CASE WHEN b.v = {_NOD} THEN 0.0 ELSE {pdep} END AS pdep
+  FROM vals b
+  {joins})
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       round(SUM(pdep), {round_to}) AS pdep_sum
+FROM pd GROUP BY cell // {cols}
+"""
+
+
 def _d8_walk_ctes(rows: int = 256, cols: int = 256) -> str:
     """Pointer-walk closure over the D8 raster: ``edges(cell, down, g)``
     (g = step length), ``walk(origin, cur, d, s)`` = every (cell,

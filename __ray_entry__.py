@@ -1248,6 +1248,9 @@ def oracle_sql() -> dict[str, str]:
         "strahler_order_basins": o.strahler_order_basins_sql(),
         "viewshed": o.viewshed_sql(),
         "visibility_index": o.visibility_index_sql(),
+        "line_thinning": o.line_thinning_sql(),
+        "remove_spurs": o.remove_spurs_sql(),
+        "find_ridges": o.find_ridges_sql(),
         # cost_allocation / cost_pathway: fixed-point label machinery —
         # rows-only, mirror + tiling-invariance tested.
         "vector_cleaning": _vclean_sql(),

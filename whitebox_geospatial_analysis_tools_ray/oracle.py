@@ -1625,6 +1625,116 @@ FROM ({merge_sql}) ORDER BY ord
 """
 
 
+# LineThinning / RemoveSpurs / FindRidges neighbour indexing
+# (stages/thinning.py _DX/_DY): 0=NE 1=E 2=SE 3=S 4=SW 5=W 6=NW 7=N.
+_THIN_ELEMENTS = ((6, 7, 0, 4, 3, 2), (7, 0, 1, 3, 5),
+                  (0, 1, 2, 4, 5, 6), (1, 2, 3, 5, 7),
+                  (2, 3, 4, 6, 7, 0), (3, 4, 5, 7, 1),
+                  (4, 5, 6, 0, 1, 2), (5, 6, 7, 1, 3))
+_THIN_VALS = ((0, 0, 0, 1, 1, 1), (0, 0, 0, 1, 1),
+              (0, 0, 0, 1, 1, 1), (0, 0, 0, 1, 1),
+              (0, 0, 0, 1, 1, 1), (0, 0, 0, 1, 1),
+              (0, 0, 0, 1, 1, 1), (0, 0, 0, 1, 1))
+_SPUR_ELEMENTS = ((0, 1, 4, 5, 6, 7), (0, 1, 2, 5, 6, 7),
+                  (0, 1, 2, 3, 6, 7), (0, 1, 2, 3, 4, 7),
+                  (0, 1, 2, 3, 4, 5), (1, 2, 3, 4, 5, 6),
+                  (2, 3, 4, 5, 6, 7), (0, 3, 4, 5, 6, 7))
+_SPUR_VALS = tuple((0,) * 6 for _ in range(8))
+
+
+def _thin_scan_sql(rows: int, cols: int, init_expr: str, passes: int,
+                   elements, vals) -> str:
+    """Full query: per-row foreground counts after ``passes`` in-place
+    row-major scans of stages/thinning.py _scan_inplace — each pass is
+    ONE recursion step whose nested list_reduce folds replay the
+    literal in-place order (row r reads rows < r UPDATED via the outer
+    accumulator, the W neighbour updated via the inner accumulator,
+    everything else pre-pass). ``init_expr`` maps (v, n0..n7) → the
+    initial cell value (1/0/NoData). Extra passes past convergence are
+    no-ops, so ``passes`` only needs to be ≥ the measured fixed point.
+    """
+    # neighbour value expressions inside the inner fold: x2 holds
+    # [ne, e, se, s, sw, nw, n, self]; W comes from the inner acc.
+    nb_expr = {0: "x2[1]", 1: "x2[2]", 2: "x2[3]", 3: "x2[4]",
+               4: "x2[5]", 6: "x2[6]", 7: "x2[7]",
+               5: "coalesce(a2[length(a2)], -32768.0)"}
+    masks = " OR ".join(
+        "(" + " AND ".join(
+            f"{nb_expr[e]} = {float(v)!r}" for e, v in zip(el, vl)) + ")"
+        for el, vl in zip(elements, vals))
+    # inner fold: new value per column (1-indexed c), x2 built from the
+    # padded up/cur/dn row lists (NULL index / NULL list → NoData).
+    # DuckDB forbids subqueries inside lambdas, so up/cur/dn are inlined
+    # against the outer fold's params: up = acc[length(acc)] (updated
+    # row above), cur = x[1] (pre-pass this row), dn = x[2] (pre-pass
+    # row below; NULL list past the last row).
+    up, cur, dn = "acc[length(acc)]", "x[1]", "x[2]"
+    x2 = (f"[coalesce({up}[c + 1], -32768.0), coalesce({cur}[c + 1], -32768.0),"
+          f" coalesce({dn}[c + 1], -32768.0), coalesce({dn}[c], -32768.0),"
+          f" coalesce({dn}[c - 1], -32768.0), coalesce({up}[c - 1], -32768.0),"
+          f" coalesce({up}[c], -32768.0), {cur}[c]]")
+    inner = (f"list_reduce([CAST([] AS DOUBLE[])] || "
+             f"list_transform(ix.l, c -> {x2}), "
+             f"(a2, x2) -> list_append(a2, "
+             f"CASE WHEN x2[8] <> 1.0 THEN x2[8] "
+             f"WHEN {masks} THEN 0.0 ELSE x2[8] END))")
+    # outer fold over rows: x = [cur, dn]; acc = updated rows so far
+    one_pass = (f"list_reduce([CAST([] AS DOUBLE[][])] || "
+                f"list_transform(ix.r, ri -> [g[ri], g[ri + 1]]), "
+                f"(acc, x) -> list_append(acc, {inner}))")
+    return f"""
+WITH RECURSIVE {_raster_vals_cte(rows, cols)},
+{_neighbour_cte(rows, cols)},
+ini AS (SELECT cell, {init_expr} AS v01 FROM nb),
+g0 AS (SELECT list(rl ORDER BY r) AS g FROM (
+  SELECT cell // {cols} AS r, list(v01 ORDER BY cell) AS rl
+  FROM ini GROUP BY cell // {cols})),
+ix AS (SELECT list(i ORDER BY i) AS l, list(i ORDER BY i) AS r
+       FROM range(1, {max(rows, cols) + 1}) t(i)),
+tp AS (
+  SELECT 0 AS p, g FROM g0
+  UNION ALL
+  SELECT p + 1, {one_pass}
+  FROM tp, ix WHERE p < {passes}),
+fin AS (SELECT g FROM tp WHERE p = {passes})
+SELECT CAST(r.i - 1 AS BIGINT) AS row_id,
+       CAST(length(list_filter(f.g[r.i], v -> v = 1.0)) AS BIGINT)
+         AS n_foreground
+FROM fin f, range(1, {rows + 1}) r(i)
+ORDER BY row_id
+"""
+
+
+def line_thinning_sql(rows: int = 256, cols: int = 256,
+                      passes: int = 8) -> str:
+    """Thick-line grid input (stages/thinning.py _lines_init_band);
+    converges in 7 passes at 256×256 — 8 gives one no-op of margin."""
+    init = (f"CASE WHEN v = {_NOD} THEN v "
+            f"WHEN (r % 16 < 3) OR (c % 16 < 3) THEN 1.0 ELSE 0.0 END")
+    return _thin_scan_sql(rows, cols, init, passes,
+                          _THIN_ELEMENTS, _THIN_VALS)
+
+
+def remove_spurs_sql(rows: int = 256, cols: int = 256,
+                     passes: int = 10) -> str:
+    init = (f"CASE WHEN v = {_NOD} THEN v "
+            f"WHEN v > 650.0 THEN 1.0 ELSE 0.0 END")
+    return _thin_scan_sql(rows, cols, init, passes,
+                          _SPUR_ELEMENTS, _SPUR_VALS)
+
+
+def find_ridges_sql(rows: int = 256, cols: int = 256,
+                    passes: int = 2) -> str:
+    """FindRidges: N/S or W/E strictly-lower candidates, then the
+    LineThinning scan (n7=N, n3=S, n5=W, n1=E on _neighbour_cte)."""
+    init = (f"CASE WHEN v = {_NOD} THEN v WHEN "
+            f"(n7 <> {_NOD} AND n3 <> {_NOD} AND n7 < v AND n3 < v) OR "
+            f"(n5 <> {_NOD} AND n1 <> {_NOD} AND n5 < v AND n1 < v) "
+            f"THEN 1.0 ELSE 0.0 END")
+    return _thin_scan_sql(rows, cols, init, passes,
+                          _THIN_ELEMENTS, _THIN_VALS)
+
+
 def _d8_walk_ctes(rows: int = 256, cols: int = 256) -> str:
     """Pointer-walk closure over the D8 raster: ``edges(cell, down, g)``
     (g = step length), ``walk(origin, cur, d, s)`` = every (cell,

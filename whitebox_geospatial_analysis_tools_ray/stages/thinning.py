@@ -55,6 +55,24 @@ def _init_band(spec: RasterSpec, tid: int) -> np.ndarray:
     return out
 
 
+def _lines_init_band(spec: RasterSpec, tid: int) -> np.ndarray:
+    """Thick-line binary input (3-wide grid lines every 16 cells, NoData
+    speckle kept). The threshold speckle is useless for LineThinning:
+    ``synth_value`` is a lattice (horizontally adjacent cells differ by
+    a constant mod 1000), so two E/W-adjacent cells are never both
+    foreground and every thinning mask — each needs a horizontal
+    foreground pair — is structurally unmatchable (measured: 0 cells
+    zeroed). This pattern thins 11k cells over 7 in-place passes."""
+    r0 = tid * spec.tile_rows
+    r1 = min(r0 + spec.tile_rows, spec.rows)
+    cell = np.arange(r0 * spec.cols, r1 * spec.cols, dtype=np.int64)
+    z = synth_value(cell).reshape(r1 - r0, spec.cols)
+    r = (cell // spec.cols).reshape(z.shape)
+    c = (cell % spec.cols).reshape(z.shape)
+    return np.where(z == spec.nodata, NODATA,
+                    np.where((r % 16 < 3) | (c % 16 < 3), 1.0, 0.0))
+
+
 def _scan_inplace(pad: np.ndarray, elements, vals) -> int:
     """One in-place row-major pass over the padded interior."""
     h, w = pad.shape[0] - 2, pad.shape[1] - 2
@@ -127,7 +145,8 @@ def _iterate(spec: RasterSpec, elements, vals,
 
 def line_thinning(spec: RasterSpec | None = None,
                   max_iter: int = 100) -> pd.DataFrame:
-    return _iterate(spec or RasterSpec(), THIN_ELEMENTS, THIN_VALS, max_iter)
+    return _iterate(spec or RasterSpec(), THIN_ELEMENTS, THIN_VALS, max_iter,
+                    init_band=_lines_init_band)
 
 
 def remove_spurs(spec: RasterSpec | None = None,
@@ -140,11 +159,11 @@ def remove_spurs(spec: RasterSpec | None = None,
 # Literal single-process mirrors
 # ---------------------------------------------------------------------------
 
-def _naive(spec: RasterSpec, elements, vals, max_iter: int) -> pd.DataFrame:
-    cell = np.arange(spec.rows * spec.cols, dtype=np.int64)
-    z = synth_value(cell).reshape(spec.rows, spec.cols)
-    st = np.where(z == spec.nodata, NODATA,
-                  np.where(z > FG_THRESHOLD, 1.0, 0.0))
+def _naive(spec: RasterSpec, elements, vals, max_iter: int,
+           init_band=None) -> pd.DataFrame:
+    one = RasterSpec(rows=spec.rows, cols=spec.cols, tile_rows=spec.rows,
+                     nodata=spec.nodata)
+    st = (init_band or _init_band)(one, 0)
     pad = np.full((spec.rows + 2, spec.cols + 2), NODATA)
     pad[1:-1, 1:-1] = st
     for _ in range(max_iter):
@@ -157,7 +176,8 @@ def _naive(spec: RasterSpec, elements, vals, max_iter: int) -> pd.DataFrame:
 
 
 def line_thinning_naive(spec: RasterSpec, max_iter: int = 100):
-    return _naive(spec, THIN_ELEMENTS, THIN_VALS, max_iter)
+    return _naive(spec, THIN_ELEMENTS, THIN_VALS, max_iter,
+                  init_band=_lines_init_band)
 
 
 def remove_spurs_naive(spec: RasterSpec, max_iter: int = 10):

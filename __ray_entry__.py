@@ -1238,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_short_streams":
             o.remove_short_streams_sql(threshold=2.0, min_length=3.0),
         "subbasins": o.subbasins_sql(),
+        "isobasin": o.isobasin_sql(),
         "hillslopes": o.hillslopes_sql(),
         "branch_length": o.branch_length_sql(),
         "clump": o.clump_sql(),
@@ -1248,6 +1249,8 @@ def oracle_sql() -> dict[str, str]:
         "strahler_order_basins": o.strahler_order_basins_sql(),
         "viewshed": o.viewshed_sql(),
         "visibility_index": o.visibility_index_sql(),
+        "find_saddle_points": o.find_saddle_points_sql(),
+        "thicken_raster_line": o.thicken_raster_line_sql(),
         "line_thinning": o.line_thinning_sql(),
         "remove_spurs": o.remove_spurs_sql(),
         "find_ridges": o.find_ridges_sql(),

@@ -10,7 +10,7 @@ _DY = (-1, 0, 1, 1, 1, 0, -1, -1)
 _INFLOW = (16.0, 32.0, 64.0, 128.0, 1.0, 2.0, 4.0, 8.0)
 
 SPEC = RasterSpec(rows=96, cols=96, tile_rows=32)
-THR = 30.0
+THR = 15.0
 
 
 def _full_grids(spec):

@@ -1643,7 +1643,7 @@ _SPUR_VALS = tuple((0,) * 6 for _ in range(8))
 
 
 def _thin_scan_sql(rows: int, cols: int, init_expr: str, passes: int,
-                   elements, vals) -> str:
+                   elements, vals, case_fn=None) -> str:
     """Full query: per-row foreground counts after ``passes`` in-place
     row-major scans of stages/thinning.py _scan_inplace — each pass is
     ONE recursion step whose nested list_reduce folds replay the
@@ -1658,10 +1658,15 @@ def _thin_scan_sql(rows: int, cols: int, init_expr: str, passes: int,
     nb_expr = {0: "x2[1]", 1: "x2[2]", 2: "x2[3]", 3: "x2[4]",
                4: "x2[5]", 6: "x2[6]", 7: "x2[7]",
                5: "coalesce(a2[length(a2)], -32768.0)"}
-    masks = " OR ".join(
-        "(" + " AND ".join(
-            f"{nb_expr[e]} = {float(v)!r}" for e, v in zip(el, vl)) + ")"
-        for el, vl in zip(elements, vals))
+    if case_fn is not None:
+        new_val = case_fn(nb_expr)
+    else:
+        masks = " OR ".join(
+            "(" + " AND ".join(
+                f"{nb_expr[e]} = {float(v)!r}" for e, v in zip(el, vl)) + ")"
+            for el, vl in zip(elements, vals))
+        new_val = (f"CASE WHEN x2[8] <> 1.0 THEN x2[8] "
+                   f"WHEN {masks} THEN 0.0 ELSE x2[8] END")
     # inner fold: new value per column (1-indexed c), x2 built from the
     # padded up/cur/dn row lists (NULL index / NULL list → NoData).
     # DuckDB forbids subqueries inside lambdas, so up/cur/dn are inlined
@@ -1675,9 +1680,7 @@ def _thin_scan_sql(rows: int, cols: int, init_expr: str, passes: int,
           f" coalesce({up}[c], -32768.0), {cur}[c]]")
     inner = (f"list_reduce([CAST([] AS DOUBLE[])] || "
              f"list_transform(ix.l, c -> {x2}), "
-             f"(a2, x2) -> list_append(a2, "
-             f"CASE WHEN x2[8] <> 1.0 THEN x2[8] "
-             f"WHEN {masks} THEN 0.0 ELSE x2[8] END))")
+             f"(a2, x2) -> list_append(a2, {new_val}))")
     # outer fold over rows: x = [cur, dn]; acc = updated rows so far
     one_pass = (f"list_reduce([CAST([] AS DOUBLE[][])] || "
                 f"list_transform(ix.r, ri -> [g[ri], g[ri + 1]]), "
@@ -1721,6 +1724,32 @@ def remove_spurs_sql(rows: int = 256, cols: int = 256,
             f"WHEN v > 650.0 THEN 1.0 ELSE 0.0 END")
     return _thin_scan_sql(rows, cols, init, passes,
                           _SPUR_ELEMENTS, _SPUR_VALS)
+
+
+def thicken_raster_line_sql(rows: int = 256, cols: int = 256) -> str:
+    """ThickenRasterLine (stages/thinning.py _thicken_scan): ONE
+    in-place row-major pass; a background cell (0 or NoData) bridging a
+    diagonal-only join (rook z1>0, next rook z3>0, diagonal z2 between
+    them background) becomes 1.0. All four directions tested — every
+    write is 1.0, so later-match-overwrites is value-irrelevant. The
+    in-place order matters (a cell filled earlier in the pass counts as
+    z1/z3>0 for later cells) and is replayed by the same fold."""
+    init = (f"CASE WHEN v = {_NOD} THEN v "
+            f"WHEN v > 650.0 THEN 1.0 ELSE 0.0 END")
+
+    def case_fn(nb):
+        n_, e_, s_, w_ = nb[7], nb[1], nb[3], nb[5]
+        ne, se, sw, nw = nb[0], nb[2], nb[4], nb[6]
+        bg = "({x} = 0.0 OR {x} = -32768.0)"
+        dirs = " OR ".join((
+            f"({n_} > 0 AND {e_} > 0 AND {bg.format(x=ne)})",
+            f"({e_} > 0 AND {s_} > 0 AND {bg.format(x=se)})",
+            f"({s_} > 0 AND {w_} > 0 AND {bg.format(x=sw)})",
+            f"({w_} > 0 AND {n_} > 0 AND {bg.format(x=nw)})"))
+        return (f"CASE WHEN (x2[8] = 0.0 OR x2[8] = -32768.0) "
+                f"AND ({dirs}) THEN 1.0 ELSE x2[8] END")
+
+    return _thin_scan_sql(rows, cols, init, 1, None, None, case_fn=case_fn)
 
 
 def find_ridges_sql(rows: int = 256, cols: int = 256,
@@ -1767,6 +1796,60 @@ acc AS MATERIALIZED (
   SELECT v.cell, CASE WHEN v.v = {_NOD} THEN 0.0
                       ELSE 1.0 + COALESCE(u.n, 0) END AS a, v.v
   FROM vals v LEFT JOIN upcnt u ON u.cell = v.cell)"""
+
+
+def find_saddle_points_sql(rows: int = 96, cols: int = 96) -> str:
+    """FindSaddlePoints (stages/streams.py find_saddle_points): walk
+    each ridge-candidate cell's D8 path to the FIRST Peucker–Douglas
+    valley cell; if that cell is a channel head (valley, valid pointer,
+    no inflowing valley neighbour) keep the ridge cell, then per head
+    take the min-(z, cell) saddle. Valley CASE = extract_valleys_sql's
+    NW→N→W strict-> cascade on n6/n7/n5; heads and walks reuse the
+    edges/walk closure."""
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+sel AS (SELECT cell,
+  CASE
+    WHEN n6 <> {_NOD} AND n6 > v THEN
+      CASE WHEN n7 <> {_NOD} AND n7 > n6 THEN
+             CASE WHEN n5 <> {_NOD} AND n5 > n7 THEN 2 ELSE 1 END
+           WHEN n5 <> {_NOD} AND n5 > n6 THEN 2 ELSE 0 END
+    WHEN n7 <> {_NOD} AND n7 > v THEN
+      CASE WHEN n5 <> {_NOD} AND n5 > n7 THEN 2 ELSE 1 END
+    WHEN n5 <> {_NOD} AND n5 > v THEN 2
+    ELSE 3 END AS k
+  FROM nb WHERE v <> {_NOD}),
+marked AS (SELECT DISTINCT cell
+         - CASE WHEN k IN (0, 1) THEN {cols} ELSE 0 END
+         - CASE WHEN k IN (0, 2) THEN 1 ELSE 0 END AS mcell FROM sel),
+valley AS MATERIALIZED (
+  SELECT n.cell FROM nb n LEFT JOIN marked m ON m.mcell = n.cell
+  WHERE n.v <> {_NOD} AND m.mcell IS NULL),
+ridge AS (SELECT cell, v FROM nb
+  WHERE v <> {_NOD} AND (
+    (n7 <> {_NOD} AND n3 <> {_NOD} AND n7 < v AND n3 < v) OR
+    (n5 <> {_NOD} AND n1 <> {_NOD} AND n5 < v AND n1 < v))),
+head AS (SELECT va.cell FROM valley va
+  JOIN res ON res.cell = va.cell AND res.f <> {_NOD}
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e JOIN valley v2 ON v2.cell = e.cell
+    WHERE e.down = va.cell)),
+firstv AS (
+  SELECT r.cell AS origin, r.v AS zv, w.cur AS vcell,
+         ROW_NUMBER() OVER (PARTITION BY w.origin ORDER BY w.s) AS rn
+  FROM ridge r JOIN walk w ON w.origin = r.cell
+  JOIN valley vy ON vy.cell = w.cur),
+pairs AS (
+  SELECT f.vcell AS head_cell, f.origin, f.zv,
+         ROW_NUMBER() OVER (PARTITION BY f.vcell
+                            ORDER BY f.zv, f.origin) AS rn2
+  FROM firstv f JOIN head h ON h.cell = f.vcell
+  WHERE f.rn = 1)
+SELECT CAST(head_cell AS BIGINT) AS head_cell,
+       CAST(origin AS BIGINT) AS saddle_cell,
+       round(zv, 6) AS saddle_z
+FROM pairs WHERE rn2 = 1 ORDER BY head_cell
+"""
 
 
 def extract_streams_sql(rows: int = 256, cols: int = 256,
@@ -2837,6 +2920,183 @@ SELECT cell // {cols} AS row_id,
        CAST(SUM(CASE WHEN lb >= 0 THEN lb ELSE 0 END) AS BIGINT)
          AS sum_code
 FROM lab GROUP BY cell // {cols}
+"""
+
+
+def isobasin_sql(rows: int = 96, cols: int = 96,
+                 threshold: float = 15.0) -> str:
+    """Isobasin (stages/isobasin.py; Isobasin.java:245-377): phase 1 is
+    a SEQUENTIAL replay — heads in row-major order, each walking its D8
+    path over a MUTABLE contributing-area raster, dropping sequential
+    outlet ids and decrementing every cell downstream of each outlet —
+    expressed as a one-row-per-step recursive state machine. The CA
+    state lives in a list over the COMPACT set (trunk = CA ≥ threshold,
+    ∪ 8-neighbours: every cell the replay can read or write — non-compact
+    cells keep CA < threshold forever, so their checks never fire and
+    reads are elided). Decrements apply a precomputed per-target
+    downstream-path 0/1 mask in one vectorized list op. Heads use the
+    literal TRANSPOSED pointer read (Isobasin.java:253). Each head's
+    walk starts at its first ORIGINAL-trunk cell (entryt — checks
+    cannot fire on the below-threshold prefix, the same elision the
+    stage's _replay_phase1 uses), with a one-iteration ``pend`` state
+    replaying the arrival check at the entry cell; this keeps the
+    sequential machine to O(heads + trunk-suffix steps) iterations
+    instead of O(heads × path length). Phase 2 =
+    first-outlet-downstream via the walk closure."""
+    n = rows * cols
+    thr = repr(float(threshold))
+    # (i, dx, dy, inflow) per direction — _DX/_DY/_INFLOW in isobasin.py
+    dirs = [(0, 1, -1, 16.0), (1, 1, 0, 32.0), (2, 1, 1, 64.0),
+            (3, 0, 1, 128.0), (4, -1, 1, 1.0), (5, -1, 0, 2.0),
+            (6, -1, -1, 4.0), (7, 0, -1, 8.0)]
+    tvals = ", ".join(f"({i}, {dx}, {dy}, {iv!r})" for i, dx, dy, iv in dirs)
+    offs = ", ".join(f"({dx}, {dy})" for _, dx, dy, _ in dirs)
+    seed = ("struct_pack(nb := CAST(-1 AS BIGINT), ki := CAST(0 AS INT), "
+            "ca := -99999.0)")
+    return f"""
+WITH RECURSIVE {_d8_walk_ctes(rows, cols)},
+trunk AS (SELECT cell FROM acc WHERE a >= {thr} AND v <> {_NOD}),
+comp AS MATERIALIZED (
+  SELECT DISTINCT t.cell + o.dy * {cols} + o.dx AS cell
+  FROM trunk t, (VALUES (0, 0), {offs}) o(dx, dy)
+  WHERE t.cell % {cols} + o.dx BETWEEN 0 AND {cols - 1}
+    AND t.cell // {cols} + o.dy BETWEEN 0 AND {rows - 1}),
+cidx AS MATERIALIZED (
+  SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY cell) AS INT) AS k
+  FROM comp),
+hd AS (
+  SELECT g.cell FROM g JOIN res USING (cell)
+  WHERE res.f <> {_NOD} AND NOT EXISTS (
+    SELECT 1 FROM (VALUES {tvals}) t(i, dx, dy, iv)
+    JOIN res p ON p.cell = (g.c + t.dx) * {cols} + (g.r + t.dy)
+    WHERE g.c + t.dx BETWEEN 0 AND {rows - 1}
+      AND g.r + t.dy BETWEEN 0 AND {cols - 1}
+      AND p.f = t.iv)),
+inflt AS (
+  SELECT ci.k, t.i, (g.r + t.dy) * {cols} + (g.c + t.dx) AS nb
+  FROM cidx ci JOIN g USING (cell), (VALUES {tvals}) t(i, dx, dy, iv)
+  JOIN res p ON p.cell = (g.r + t.dy) * {cols} + (g.c + t.dx)
+  WHERE g.r + t.dy BETWEEN 0 AND {rows - 1}
+    AND g.c + t.dx BETWEEN 0 AND {cols - 1}
+    AND p.f = t.iv),
+infl_k AS MATERIALIZED (
+  SELECT i1.k, list(struct_pack(nb := i1.nb, ki := c2.k) ORDER BY i1.i) AS l
+  FROM inflt i1 JOIN cidx c2 ON c2.cell = i1.nb GROUP BY i1.k),
+resm AS MATERIALIZED (SELECT cell, f FROM res),
+edgm AS MATERIALIZED (SELECT cell, down FROM edges),
+pathm AS (
+  SELECT k AS kt, k AS kp FROM cidx
+  UNION ALL
+  SELECT ct.k, cp.k FROM cidx ct JOIN walk w ON w.origin = ct.cell
+  JOIN cidx cp ON cp.cell = w.cur),
+dm AS MATERIALIZED (
+  SELECT a.k AS kt,
+         list(CASE WHEN pm.kp IS NULL THEN 0.0 ELSE 1.0 END
+              ORDER BY b.k) AS m
+  FROM cidx a CROSS JOIN cidx b
+  LEFT JOIN (SELECT DISTINCT kt, kp FROM pathm) pm
+    ON pm.kt = a.k AND pm.kp = b.k
+  GROUP BY a.k),
+entryt AS (
+  SELECT h2.head, p.cur,
+         ROW_NUMBER() OVER (PARTITION BY h2.head ORDER BY p.s) AS rn
+  FROM (SELECT hd.cell AS head, e.down AS sc
+        FROM hd JOIN edges e ON e.cell = hd.cell) h2
+  JOIN (SELECT origin, cur, s FROM walk
+        UNION ALL SELECT cell, cell, 0 FROM vals) p ON p.origin = h2.sc
+  JOIN trunk t ON t.cell = p.cur),
+hds AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY head) AS BIGINT) AS j, pos, pend
+  FROM (
+    SELECT hd.cell AS head, hd.cell AS pos, FALSE AS pend
+    FROM hd JOIN res ON res.cell = hd.cell WHERE res.f <= 0.0
+    UNION ALL
+    SELECT head, cur AS pos, TRUE AS pend FROM entryt WHERE rn = 1) u),
+nhc AS MATERIALIZED (SELECT COUNT(*) AS nh FROM hds),
+ca0 AS MATERIALIZED (
+  SELECT list(a.a ORDER BY ci.k) AS ca
+  FROM cidx ci JOIN acc a USING (cell)),
+sm AS (
+  SELECT 0 AS it, CAST(1 AS BIGINT) AS hi,
+         coalesce((SELECT pos FROM hds WHERE j = 1),
+                  CAST(-1 AS BIGINT)) AS pos,
+         coalesce((SELECT pend FROM hds WHERE j = 1), FALSE) AS pend,
+         (SELECT ca FROM ca0) AS ca, CAST([] AS BIGINT[]) AS outs
+  UNION ALL
+  SELECT it + 1,
+         CASE WHEN headdone THEN hi + 1 ELSE hi END,
+         CASE WHEN headdone THEN coalesce(hn.pos, CAST(-1 AS BIGINT))
+         ELSE np_ END,
+         CASE WHEN headdone THEN coalesce(hn.pend, FALSE)
+         ELSE FALSE END,
+         CASE WHEN fire AND NOT stopf THEN
+           list_transform(list_zip(ca, d.m), z -> z[1] - decv * z[2])
+         ELSE ca END,
+         CASE WHEN fire AND NOT stopf THEN list_append(outs, cx.cell)
+         ELSE outs END
+  FROM (
+    SELECT *, (term OR stopf) AS headdone,
+           CASE WHEN fire THEN ca[tgtk] ELSE 0.0 END AS decv
+    FROM (
+      SELECT *,
+        CASE WHEN fire THEN bst.ca > {thr} ELSE FALSE END AS stopf,
+        CASE WHEN fire THEN
+          CASE WHEN abs(bst.ca - {thr}) < abs(ca[k] - {thr})
+               THEN bst.ki ELSE k END
+        ELSE 1 END AS tgtk
+      FROM (
+        SELECT s0.*,
+          CASE WHEN fire THEN
+            list_reduce([{seed}] ||
+              list_transform(
+                coalesce(ik.l, CAST([] AS STRUCT(nb BIGINT, ki INT)[])),
+                x -> struct_pack(nb := x.nb, ki := x.ki, ca := ca[x.ki])),
+              (a, x) -> CASE WHEN x.ca > a.ca THEN x ELSE a END)
+          ELSE NULL END AS bst
+        FROM (
+          SELECT s2.*, (s2.k > 0 AND s2.ca[s2.k] >= {thr}) AS fire
+          FROM (
+            SELECT s1.*, coalesce(ci.k, 0) AS k
+            FROM (
+              SELECT sm.it, sm.hi, sm.pos, sm.ca, sm.outs,
+                     (NOT sm.pend AND rm.f <= 0.0) AS term,
+                     CASE WHEN sm.pend THEN sm.pos
+                          ELSE coalesce(em.down, sm.pos) END AS np_
+              FROM sm
+              CROSS JOIN nhc
+              LEFT JOIN resm rm ON rm.cell = sm.pos
+              LEFT JOIN edgm em ON em.cell = sm.pos
+              WHERE sm.hi <= nhc.nh) s1
+            LEFT JOIN cidx ci ON ci.cell = s1.np_) s2) s0
+        LEFT JOIN infl_k ik ON ik.k = s0.k))) step
+  LEFT JOIN hds hn ON hn.j = step.hi + 1
+  LEFT JOIN dm d ON d.kt = step.tgtk
+  LEFT JOIN cidx cx ON cx.k = step.tgtk),
+fin AS (SELECT outs FROM sm ORDER BY it DESC LIMIT 1),
+outl AS (
+  SELECT cell, MAX(oid) AS oid FROM (
+    SELECT unnest(outs) AS cell,
+           generate_subscripts(outs, 1) AS oid
+    FROM fin) GROUP BY cell),
+firsto AS (
+  SELECT origin, cur FROM (
+    SELECT w.origin, w.cur,
+           ROW_NUMBER() OVER (PARTITION BY w.origin ORDER BY w.s) AS rn
+    FROM walk w JOIN outl o ON o.cell = w.cur) WHERE rn = 1),
+lab AS (
+  SELECT v.cell, v.v,
+    CASE WHEN v.v = {_NOD} THEN NULL
+         WHEN o1.oid IS NOT NULL THEN o1.oid
+         ELSE o2.oid END AS L
+  FROM vals v
+  LEFT JOIN outl o1 ON o1.cell = v.cell
+  LEFT JOIN firsto f2 ON f2.origin = v.cell
+  LEFT JOIN outl o2 ON o2.cell = f2.cur)
+SELECT cell // {cols} AS row_id,
+       CAST(COUNT(CASE WHEN v <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
+       CAST(COUNT(L) AS BIGINT) AS n_labelled,
+       CAST(COALESCE(SUM(L), 0) AS BIGINT) AS sum_label
+FROM lab GROUP BY cell // {cols} ORDER BY row_id
 """
 
 

@@ -317,7 +317,10 @@ def _outlet_fill(spec: RasterSpec, outlets: dict,
 
 
 def isobasin(spec: RasterSpec | None = None,
-             threshold: float = 30.0) -> pd.DataFrame:
+             threshold: float = 15.0) -> pd.DataFrame:
+    """Default threshold 15: max CA on the 96×96 synth terrain is 25,
+    so the old default of 30 produced ZERO trunk cells/outlets and
+    never exercised phase 1; 15 yields ~200 outlets."""
     spec = spec or RasterSpec(rows=96, cols=96, tile_rows=32)
     cols = spec.cols
     acc_frames = flow_accumulation_frames(spec)

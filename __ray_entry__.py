@@ -981,6 +981,8 @@ def oracle_sql() -> dict[str, str]:
         vector_cleaning_sql as _vclean_sql)
 
     return {
+        "flagship": o.flagship_sql(),
+        "pages_flagship": o.pages_flagship_sql(),
         "tile_assign": o.tile_assign_sql(),
         "las_tile_stats": _las_sql(),
         "lidar_nn_interpolation": __import__(

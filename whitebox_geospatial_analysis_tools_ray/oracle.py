@@ -6886,6 +6886,126 @@ SELECT rec_id, zone_id FROM par WHERE crossings % 2 = 1
 """
 
 
+def _star_edges_values() -> str:
+    """The seeded star-polygon zone layer as an edge-list VALUES literal
+    (every ring edge, holes included) — the broadcast side of the
+    flagship joins, inlined with repr-exact float64 vertices."""
+    import numpy as np
+
+    from .core.features import seeded_polygons
+
+    rows = []
+    for z in seeded_polygons():
+        zid = z["zone_id"]
+        for ring in z["polygon"].rings:
+            r = np.asarray(ring, dtype=float)
+            nxt = np.roll(r, -1, axis=0)
+            for (x0, y0), (x1, y1) in zip(r, nxt):
+                rows.append(f"({zid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})")
+    return ",\n  ".join(rows)
+
+
+_STAR_PARITY = """
+par AS (
+  SELECT p.rec_id, e.zone_id,
+         SUM(CASE WHEN ((e.y0 <= p.y) <> (e.y1 <= p.y))
+                   AND e.x0 + (p.y - e.y0) * (e.x1 - e.x0)
+                       / NULLIF(e.y1 - e.y0, 0) > p.x
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.rec_id, e.zone_id),
+hits AS (SELECT rec_id, zone_id FROM par WHERE crossings % 2 = 1)"""
+
+
+def _flagship_tile_expr(x: str, y: str) -> str:
+    """Fixed world-extent 250 m tile id (pipelines/flagship.py:32-34)."""
+    from .core.rng import EAST, NORTH, SOUTH, WEST
+    from .core.tiles import RectGrid, rect_tile_sql
+
+    grid = RectGrid.from_extent(WEST, SOUTH, EAST, NORTH,
+                                width_x=250.0, width_y=250.0)
+    return rect_tile_sql(x, y, grid)
+
+
+def flagship_sql() -> str:
+    """The documents-based flagship headline (pipelines/flagship.py):
+    geocode doc_id → fixed-extent 250 m tile → even-odd PIP against the
+    seeded star zones → per-(tile, zone) count. Same parity predicate
+    as pip_polygon_join_sql; tile grid is Python-computed from the
+    WORLD extent (not the data extent) exactly as the pipeline does."""
+    from .core.features import POINTS_CTE
+
+    tile = _flagship_tile_expr("p.x", "p.y")
+    return f"""
+WITH {POINTS_CTE},
+edges(zone_id, x0, y0, x1, y1) AS (VALUES
+  {_star_edges_values()}),{_STAR_PARITY}
+SELECT {tile} AS tile_id, h.zone_id,
+       COUNT(*) AS n_points
+FROM hits h JOIN pts p ON p.rec_id = h.rec_id
+GROUP BY 1, 2
+"""
+
+
+def pages_flagship_sql(n: int = 20_000) -> str:
+    """END-TO-END exact oracle for the pages-schema headline
+    (pipelines/pages_flagship.py): the SQL synthesizes the SAME
+    deterministic corpus as sources/pages.make_pages_ids — url via
+    printf, extracted-text length via the word-length table (the
+    extractor is byte-identical to the generator, pytest-gated, so
+    len(text) == len(extract_text_bytes(html))) — then url→crc32
+    (list_reduce fold over the url bytes with the standard reflected
+    0xEDB88320 table, exactly zlib.crc32), crc→geocode (HUGEINT
+    modmul — the numpy int64 wrap mod 2**64 then % 2**32 equals the
+    direct mod-2**32 product since 2**32 | 2**64), fixed-extent tile,
+    star-zone parity join, per-(tile, zone) count + char sum."""
+    from .sources.pages import _WORDS
+
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tbl.append(c)
+    tlit = "[" + ", ".join(map(str, tbl)) + "]"
+    wlit = "[" + ", ".join(str(len(w)) for w in _WORDS) + "]"
+    nw = len(_WORDS)
+    xs = ("CAST((CAST(id AS HUGEINT) * 2654435761) % 4294967296 AS DOUBLE)"
+          " / 4294967296.0 * 4000.0 + 0.0")
+    ys = ("CAST((CAST(id AS HUGEINT) * 2246822519 + 1013904223)"
+          " % 4294967296 AS DOUBLE) / 4294967296.0 * 4000.0 + 0.0")
+    tile = _flagship_tile_expr("p.x", "p.y")
+    return f"""
+WITH crct AS (SELECT {tlit} AS t),
+wl AS (SELECT {wlit} AS w),
+base AS (
+  SELECT i,
+    printf('https://site%d.example/%08x', i % 50,
+           (i * 2654435761 + 17) % 4294967296) AS url,
+    20 + (i * 2654435761 + 31) % 180 AS ntok
+  FROM range(0, {n}) r(i)),
+idt AS MATERIALIZED (
+  SELECT i,
+    xor(list_reduce([CAST(4294967295 AS BIGINT)] ||
+        list_transform(range(1, length(url) + 1),
+                       k -> CAST(ascii(substr(url, k, 1)) AS BIGINT)),
+        (c, b) -> xor(c >> 8, t[xor(c % 256, b) + 1])),
+        4294967295) AS id,
+    ntok - 1 + list_sum(list_transform(range(0, ntok),
+        t2 -> w[((i * 7919 + t2 * 104729 + 13) % {nw}) + 1])) AS n_chars
+  FROM base, crct, wl),
+pts AS MATERIALIZED (
+  SELECT i AS rec_id, {xs} AS x, {ys} AS y, n_chars FROM idt),
+edges(zone_id, x0, y0, x1, y1) AS (VALUES
+  {_star_edges_values()}),{_STAR_PARITY}
+SELECT {tile} AS tile_id, h.zone_id,
+       COUNT(*) AS n_pages,
+       CAST(SUM(p.n_chars) AS BIGINT) AS sum_chars
+FROM hits h JOIN pts p ON p.rec_id = h.rec_id
+GROUP BY 1, 2
+"""
+
+
 def random_field_sql(rows: int = 256, cols: int = 256) -> str:
     """RandomField.java with the documented deterministic hash
     substitution for the unseeded java.util.Random."""

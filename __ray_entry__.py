@@ -1359,8 +1359,15 @@ def oracle_sql() -> dict[str, str]:
         "rgb_ihs_roundtrip": o.rgb_ihs_sql(),
         "image_correlation": o.image_correlation_sql(),
         "image_regression": o.image_regression_sql(),
+        "isolate_ground_points": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).isolate_ground_points_sql(),
+        "lidar_canopy_model": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).lidar_canopy_model_sql(),
+        "lidar_bare_earth_dem": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.las",
+            fromlist=["x"]).lidar_bare_earth_dem_sql(),
         # rows-only (non-SQL-expressible): kriging/rbf (LM fits),
-        # pca/inverse_pca (64-dim eigendecomposition),
-        # isolate_ground_points / lidar_canopy_model (order-dependent
-        # sequential mutation), flagship.
+        # pca/inverse_pca (64-dim eigendecomposition).
     }

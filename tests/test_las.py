@@ -150,7 +150,7 @@ def test_lidar_canopy_model_matches_brute_force_replay():
     nrows = int(math.ceil((north - py.min()) / res))
     ncols = int(math.ceil((px.max() - west) / res))
     md2 = (math.sqrt(2.0) * res / 2.0) ** 2
-    thr = math.radians(max_s)
+    tan_thr = math.tan(math.radians(max_s))
     nong = np.zeros(len(px), dtype=bool)
     chm = {}
     for r in range(nrows):
@@ -170,7 +170,9 @@ def test_lidar_canopy_model_matches_brute_force_replay():
                     b = idx[j]
                     if nong[b]:
                         continue
-                    dist = math.hypot(px[a] - px[b], py[a] - py[b])
+                    dxx = px[a] - px[b]
+                    dyy = py[a] - py[b]
+                    dist = math.sqrt(dxx * dxx + dyy * dyy)
                     if pz[a] > pz[b]:
                         hi, dv = a, pz[a] - pz[b]
                     else:
@@ -178,10 +180,8 @@ def test_lidar_canopy_model_matches_brute_force_replay():
                     if dist == 0.0:
                         if dv == 0.0:
                             continue
-                        s = math.pi / 2
-                    else:
-                        s = math.atan(dv / dist)
-                    if s > thr:
+                        nong[hi] = True
+                    elif dv / dist > tan_thr:
                         nong[hi] = True
             z = -32768.0
             mind = np.inf
@@ -228,7 +228,7 @@ def test_bare_earth_dem_matches_brute_force_replay(ray_session):
     ncols = int(math.ceil((px.max() - west) / resolution))
     md2 = max_dist * max_dist
     half = resolution / 2.0
-    slope_thr = math.radians(max_slope)
+    tan_thr = math.tan(math.radians(max_slope))
     nonground = np.zeros(hdr.n_points, dtype=bool)
     dem = {}
     for row in range(nrows):
@@ -252,7 +252,9 @@ def test_bare_earth_dem_matches_brute_force_replay(ray_session):
                     b = sel[jj]
                     if nonground[b]:
                         continue
-                    dist = math.hypot(px[a] - px[b], py[a] - py[b])
+                    dxx = px[a] - px[b]
+                    dyy = py[a] - py[b]
+                    dist = math.sqrt(dxx * dxx + dyy * dyy)
                     if pz[a] > pz[b]:
                         hi, dv = a, pz[a] - pz[b]
                     else:
@@ -260,10 +262,8 @@ def test_bare_earth_dem_matches_brute_force_replay(ray_session):
                     if dist == 0.0:
                         if dv == 0.0:
                             continue
-                        slope = math.pi / 2
-                    else:
-                        slope = math.atan(dv / dist)
-                    if slope > slope_thr:
+                        nonground[hi] = True
+                    elif dv / dist > tan_thr:
                         nonground[hi] = True
             weights, vals, sum_w, cnt = [], [], 0.0, 0
             for ii in range(n):

@@ -767,6 +767,258 @@ def isolate_ground_points(sf_dir: str, max_dist: float = 600.0,
         "sum_off_index": [int(np.flatnonzero(off).sum())]})
 
 
+def isolate_ground_points_sql(max_dist: float = 600.0,
+                              max_slope: float = 30.0) -> str:
+    """Exact replay of isolate_ground_points' sequential file-order
+    scan. The synth fixture's classification is rec_id % 7 + 1 (1..7),
+    so the withheld bit (classification >> 7) is identically zero and
+    every point is a centre. The per-centre mark set is independent of
+    the evolving off-terrain state (the inner vectorized mark never
+    consults partner flags — only the CENTRE's own flag gates the
+    group), so the replay is a single gated fold: off/on masks per
+    centre are precomputed relationally, then list_reduce applies them
+    in rid order, skipping a centre whose own bit is already set."""
+    import math
+
+    from ..core.features import POINTS_CTE
+
+    q = float(1.0 / SCALE)
+    p2 = float(max_dist * max_dist)
+    thr = math.tan(math.radians(max_slope))
+    return f"""
+WITH {POINTS_CTE},
+las AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY rec_id) - 1 AS rid,
+         floor(x * {q!r} + 0.5) / {q!r} AS x,
+         floor(y * {q!r} + 0.5) / {q!r} AS y,
+         floor(z * {q!r} + 0.5) / {q!r} AS z
+  FROM pts),
+n1 AS (SELECT COUNT(*) AS n FROM las),
+mk AS (
+  SELECT a.rid AS a,
+         CASE WHEN a.z > b.z THEN a.rid ELSE b.rid END AS tgt
+  FROM las a JOIN las b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) > 0.0
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {p2!r}
+  WHERE abs(a.z - b.z)
+        / sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+        > {thr!r}
+    AND abs(a.z - b.z) > 0.15),
+msk AS MATERIALIZED (
+  SELECT g.a,
+         list(t.tgt IS NOT NULL ORDER BY i.i) AS m
+  FROM (SELECT DISTINCT a FROM mk) g
+  CROSS JOIN (SELECT unnest(range(0, (SELECT n FROM n1))) AS i) i
+  LEFT JOIN (SELECT DISTINCT a, tgt FROM mk) t
+    ON t.a = g.a AND t.tgt = i.i
+  GROUP BY g.a),
+fold AS (
+  SELECT list_reduce(
+    [struct_pack(a := CAST(-1 AS BIGINT),
+       m := list_transform(range(0, (SELECT n FROM n1)), i -> FALSE))] ||
+    (SELECT list(struct_pack(a := a, m := m) ORDER BY a) FROM msk),
+    (acc, s) -> struct_pack(a := s.a,
+      m := CASE WHEN acc.m[s.a + 1] THEN acc.m
+           ELSE list_transform(list_zip(acc.m, s.m),
+                               zz -> zz[1] OR zz[2]) END)).m AS off),
+agg AS (
+  SELECT length(list_filter(off, v -> v)) AS n_off,
+         coalesce(list_sum(list_transform(
+           range(1, length(off) + 1),
+           i -> CASE WHEN off[i] THEN i - 1 ELSE 0 END)), 0) AS s
+  FROM fold)
+SELECT CAST(n1.n AS BIGINT) AS n_points,
+       CAST(n1.n - agg.n_off AS BIGINT) AS n_ground,
+       CAST(agg.n_off AS BIGINT) AS n_off_terrain,
+       CAST(agg.s AS BIGINT) AS sum_off_index
+FROM n1, agg
+"""
+
+
+def _lidar_cell_scan_ctes(md2: float, tan_thr: float,
+                          resolution: float = 250.0) -> str:
+    """Shared CTE chain for the canopy/bare-earth row-major cell scan:
+    quantized LAS points, the InterpolationNN-anchored grid, per-cell
+    candidate lists ordered (d², rid), one recursive-CTE step per
+    (cell, i) of the pair scan — state = the nonground mask — and the
+    per-cell post-scan mask snapshot. The i-level skip is gated ONCE at
+    step entry (matching the replay: a centre marked during its own j
+    loop keeps scanning), the j-level skip re-reads the evolving mask
+    inside the nested fold."""
+    q = float(1.0 / SCALE)
+    res = float(resolution)
+    half = res / 2.0
+    return f"""
+las AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY rec_id) - 1 AS rid,
+         floor(x * {q!r} + 0.5) / {q!r} AS x,
+         floor(y * {q!r} + 0.5) / {q!r} AS y,
+         floor(z * {q!r} + 0.5) / {q!r} AS z
+  FROM pts),
+n1 AS (SELECT COUNT(*) AS n FROM las),
+grid AS (
+  SELECT (MIN(x) - {0.5 * res!r}) AS west,
+         (MAX(y) + {0.5 * res!r}) AS north,
+         CAST(ceil(((MAX(y) + {0.5 * res!r}) - MIN(y)) / {res!r})
+              AS BIGINT) AS nrows,
+         CAST(ceil((MAX(x) - (MIN(x) - {0.5 * res!r})) / {res!r})
+              AS BIGINT) AS ncols
+  FROM las),
+cells AS (
+  SELECT u.cell,
+         g.west + {half!r} + (u.cell % g.ncols) * {res!r} AS cx,
+         g.north - {half!r} - (u.cell // g.ncols) * {res!r} AS cy
+  FROM grid g,
+       (SELECT unnest(range(0, (SELECT nrows * ncols FROM grid)))
+          AS cell) u),
+cand AS MATERIALIZED (
+  SELECT c.cell, l.rid, l.x, l.y, l.z,
+         (c.cx - l.x) * (c.cx - l.x) + (c.cy - l.y) * (c.cy - l.y) AS d2
+  FROM cells c JOIN las l
+    ON (c.cx - l.x) * (c.cx - l.x) + (c.cy - l.y) * (c.cy - l.y)
+       <= {md2!r}),
+candl AS MATERIALIZED (
+  SELECT cell, COUNT(*) AS k,
+         list(struct_pack(rid := rid, x := x, y := y, z := z, d2 := d2)
+              ORDER BY d2, rid) AS cl
+  FROM cand GROUP BY cell),
+steps AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY c.cell, u.i) AS sn,
+         c.cell, u.i,
+         c.cl[u.i].rid AS arid, c.cl[u.i].x AS ax,
+         c.cl[u.i].y AS ay, c.cl[u.i].z AS az,
+         list_slice(c.cl, u.i + 1, c.k) AS rest
+  FROM candl c,
+       LATERAL (SELECT unnest(range(1, c.k)) AS i) u
+  WHERE c.k >= 2),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS sn,
+         list_transform(range(0, (SELECT n FROM n1)), i -> FALSE) AS m
+  UNION ALL
+  SELECT s.sn,
+    CASE WHEN r.m[s.arid + 1] THEN r.m
+    ELSE list_reduce(
+      [struct_pack(m := r.m, rid := CAST(-1 AS BIGINT),
+                   px := 0.0, py := 0.0, pz := 0.0)] ||
+      list_transform(s.rest, c -> struct_pack(
+        m := CAST([] AS BOOLEAN[]), rid := c.rid,
+        px := c.x, py := c.y, pz := c.z)),
+      (a, c) -> struct_pack(
+        m := CASE
+          WHEN a.m[c.rid + 1] THEN a.m
+          WHEN (CASE WHEN sqrt((s.ax - c.px) * (s.ax - c.px)
+                              + (s.ay - c.py) * (s.ay - c.py)) = 0.0
+                THEN abs(s.az - c.pz) <> 0.0
+                ELSE abs(s.az - c.pz)
+                     / sqrt((s.ax - c.px) * (s.ax - c.px)
+                            + (s.ay - c.py) * (s.ay - c.py))
+                     > {tan_thr!r} END)
+          THEN list_slice(a.m, 1,
+                 CASE WHEN s.az > c.pz THEN s.arid ELSE c.rid END)
+               || [TRUE] ||
+               list_slice(a.m,
+                 CASE WHEN s.az > c.pz THEN s.arid ELSE c.rid END + 2,
+                 length(a.m))
+          ELSE a.m END,
+        rid := c.rid, px := c.px, py := c.py, pz := c.pz)).m
+    END
+  FROM rec r JOIN steps s ON s.sn = r.sn + 1),
+snap AS MATERIALIZED (
+  SELECT t.cell, r.m
+  FROM (SELECT cell, MAX(sn) AS sn FROM steps GROUP BY cell) t
+  JOIN rec r ON r.sn = t.sn)"""
+
+
+def lidar_canopy_model_sql(resolution: float = 250.0,
+                           min_height: float = 2.0,
+                           max_slope: float = 30.0) -> str:
+    """Exact replay oracle for lidar_canopy_model: the shared cell-scan
+    state machine, then per k≥2 cell (from its own post-scan snapshot)
+    z = first surviving candidate in (d², rid) order, CHM = max marked
+    z − z when > minHeight; per-row counts and a 6-dp row sum."""
+    import math
+
+    from ..core.features import POINTS_CTE
+
+    md2 = (math.sqrt(2.0) * resolution / 2.0) ** 2
+    tan_thr = math.tan(math.radians(max_slope))
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+{_lidar_cell_scan_ctes(md2, tan_thr, resolution)},
+surv AS (
+  SELECT c.cell,
+         list_filter(c.cl, s -> NOT snap.m[s.rid + 1])[1].z AS z,
+         list_max(list_transform(
+           list_filter(c.cl, s -> snap.m[s.rid + 1]),
+           s -> s.z)) AS mh
+  FROM candl c JOIN snap ON snap.cell = c.cell
+  WHERE c.k >= 2),
+chm AS (
+  SELECT cell, mh - z AS val FROM surv
+  WHERE z IS NOT NULL AND mh IS NOT NULL AND mh - z > {min_height!r}),
+rows_ AS (
+  SELECT unnest(range(0, (SELECT nrows FROM grid))) AS row_id)
+SELECT r.row_id,
+       CAST(COUNT(c.val) AS BIGINT) AS n_chm,
+       round(coalesce(SUM(c.val), 0.0), 6) AS row_sum
+FROM rows_ r
+LEFT JOIN (SELECT cell // (SELECT ncols FROM grid) AS rr, val
+           FROM chm) c ON c.rr = r.row_id
+GROUP BY r.row_id ORDER BY r.row_id
+"""
+
+
+def lidar_bare_earth_dem_sql(resolution: float = 250.0,
+                             max_dist: float = 260.0,
+                             weight: float = 2.0,
+                             max_slope: float = 30.0) -> str:
+    """Exact replay oracle for lidar_bare_earth_dem (scan-angle marking
+    disabled at the query's default maxScanAngleDeviation ≥ 90): the
+    shared cell-scan state machine, then per-cell IDW over surviving
+    candidates replayed as ordered folds — sum_w accumulated in (d²,
+    rid) order, then Σ (wᵢ·vᵢ)/sum_w in the same order (the literal
+    sequential semantics); exactly one candidate → its z regardless of
+    flags; an exact hit is necessarily the first surviving candidate
+    (d² = 0 sorts first) → its z."""
+    import math
+
+    from ..core.features import POINTS_CTE
+
+    md2 = float(max_dist * max_dist)
+    tan_thr = math.tan(math.radians(max_slope))
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+{_lidar_cell_scan_ctes(md2, tan_thr, resolution)},
+sv AS (
+  SELECT c.cell,
+         list_filter(c.cl, s -> NOT snap.m[s.rid + 1]) AS sl
+  FROM candl c JOIN snap ON snap.cell = c.cell
+  WHERE c.k >= 2),
+dem2 AS (
+  SELECT cell,
+    CASE WHEN sl[1].d2 = 0.0 THEN sl[1].z
+    ELSE list_reduce([0.0] ||
+      list_transform(sl, s ->
+        (1.0 / power(sqrt(s.d2), {weight!r}) * s.z)
+        / list_reduce([0.0] || list_transform(sl, s2 ->
+            1.0 / power(sqrt(s2.d2), {weight!r})), (a, b) -> a + b)),
+      (a, b) -> a + b) END AS val
+  FROM sv WHERE length(sl) > 0),
+dem1 AS (
+  SELECT cell, cl[1].z AS val FROM candl WHERE k = 1),
+dem AS (SELECT * FROM dem1 UNION ALL SELECT * FROM dem2),
+rows_ AS (
+  SELECT unnest(range(0, (SELECT nrows FROM grid))) AS row_id)
+SELECT r.row_id,
+       CAST(COUNT(c.val) AS BIGINT) AS n_valid,
+       round(coalesce(SUM(c.val), 0.0), 6) AS row_sum
+FROM rows_ r
+LEFT JOIN (SELECT cell // (SELECT ncols FROM grid) AS rr, val
+           FROM dem) c ON c.rr = r.row_id
+GROUP BY r.row_id ORDER BY r.row_id
+"""
+
+
 def lidar_canopy_model(sf_dir: str, resolution: float = 250.0,
                        min_height: float = 2.0, max_slope: float = 30.0,
                        round_to: int = 6) -> pd.DataFrame:
@@ -903,7 +1155,11 @@ def lidar_canopy_model(sf_dir: str, resolution: float = 250.0,
             .map_groups(per_cell_group, batch_format="pandas")
             .to_pandas().sort_values("cell"))
 
-    slope_thr = math.radians(max_slope)
+    # atan(dv/dist) > thr ⟺ dv/dist > tan(thr) for thr ∈ (0, π/2) —
+    # the division-compare form (same substitution as
+    # isolate_ground_points) keeps the SQL oracle transcendental-free;
+    # dist is sqrt(dx²+dy²) (not hypot) for the same bit-exactness.
+    tan_thr = math.tan(math.radians(max_slope))
     nonground = np.zeros(n_points, dtype=bool)
     chm = {}
     for rec in cand.itertuples():
@@ -923,7 +1179,9 @@ def lidar_canopy_model(sf_dir: str, resolution: float = 250.0,
                 bq = idx[j]
                 if nonground[bq]:
                     continue
-                dist = math.hypot(cx[i] - cx[j], cy[i] - cy[j])
+                dxx = cx[i] - cx[j]
+                dyy = cy[i] - cy[j]
+                dist = math.sqrt(dxx * dxx + dyy * dyy)
                 if cz[i] > cz[j]:
                     hi, dv = a, cz[i] - cz[j]
                 else:
@@ -931,10 +1189,8 @@ def lidar_canopy_model(sf_dir: str, resolution: float = 250.0,
                 if dist == 0.0:
                     if dv == 0.0:
                         continue        # 0/0 → NaN → no mark
-                    slope = math.pi / 2
-                else:
-                    slope = math.atan(dv / dist)
-                if slope > slope_thr:
+                    nonground[hi] = True    # Δz/0 → ∞ → marked
+                elif dv / dist > tan_thr:
                     nonground[hi] = True
         z = NODATA
         min_d = np.inf
@@ -1206,7 +1462,8 @@ def lidar_bare_earth_dem(sf_dir: str, resolution: float = 250.0,
             .map_groups(per_cell_group, batch_format="pandas")
             .to_pandas().sort_values("cell"))
 
-    slope_thr = math.radians(max_slope)
+    # same transcendental-free substitutions as lidar_canopy_model
+    tan_thr = math.tan(math.radians(max_slope))
     nonground = np.zeros(n_points, dtype=bool)
     dem: dict[int, float] = {}
     for rec in cand.itertuples():
@@ -1231,7 +1488,9 @@ def lidar_bare_earth_dem(sf_dir: str, resolution: float = 250.0,
             for j in range(i + 1, n):
                 if nonground[idx[j]]:
                     continue
-                dist = math.hypot(cx[i] - cx[j], cy[i] - cy[j])
+                dxx = cx[i] - cx[j]
+                dyy = cy[i] - cy[j]
+                dist = math.sqrt(dxx * dxx + dyy * dyy)
                 if cz[i] > cz[j]:
                     hi, dv = idx[i], cz[i] - cz[j]
                 else:
@@ -1239,10 +1498,8 @@ def lidar_bare_earth_dem(sf_dir: str, resolution: float = 250.0,
                 if dist == 0.0:
                     if dv == 0.0:
                         continue            # 0/0 → NaN → no mark
-                    slope = math.pi / 2
-                else:
-                    slope = math.atan(dv / dist)
-                if slope > slope_thr:
+                    nonground[hi] = True    # Δz/0 → ∞ → marked
+                elif dv / dist > tan_thr:
                     nonground[hi] = True
         # IDW over surviving points, literal sequential semantics
         weights: list[float] = []

@@ -1368,6 +1368,15 @@ def oracle_sql() -> dict[str, str]:
         "lidar_bare_earth_dem": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.las",
             fromlist=["x"]).lidar_bare_earth_dem_sql(),
-        # rows-only (non-SQL-expressible): kriging/rbf (LM fits),
-        # pca/inverse_pca (64-dim eigendecomposition).
+        "kriging_interpolate": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.kriging",
+            fromlist=["x"]).kriging_interpolate_sql(),
+        "rbf_interpolate": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.kriging",
+            fromlist=["x"]).rbf_interpolate_sql(),
+        # rows-only (non-SQL-expressible): pca/inverse_pca (LAPACK
+        # 64-dim eigendecomposition), jpeg/surf/conjugate (bit-level
+        # codecs / float32 image kernels), TIN family (incremental
+        # Bowyer–Watson), breach/OTO and the polygon-tracing family
+        # (mutable geometry walks) — each mirror- or invariance-tested.
     }

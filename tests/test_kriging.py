@@ -47,3 +47,22 @@ def test_rbf_matches_naive(ray_session):
     want = kg.rbf_cells_naive(SF)
     pd.testing.assert_frame_equal(got, want)
     assert (got["rbf_z"] != -32768.0).mean() > 0.9
+
+
+def test_gauss_solve_matches_lapack():
+    """The replayable elimination solves the same systems LAPACK does
+    (well-conditioned random SPD-ish and the actual OK matrix shape)."""
+    rng = np.random.default_rng(7)
+    for n in (2, 5, 13):
+        A = rng.normal(size=(n, n)) + n * np.eye(n)
+        b = rng.normal(size=n)
+        x = kg.gauss_solve(A, b)
+        assert np.allclose(A @ x, b, atol=1e-9)
+        assert np.allclose(x, np.linalg.solve(A, b), atol=1e-9)
+
+
+def test_sdot_is_left_fold():
+    a = np.array([1e16, 1.0, -1e16])
+    b = np.array([1.0, 1.0, 1.0])
+    # left fold: (1e16 + 1) + -1e16 == 0.0 (the +1 is absorbed)
+    assert kg._sdot(a, b) == 0.0

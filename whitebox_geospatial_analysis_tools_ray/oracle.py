@@ -532,9 +532,11 @@ WITH {_raster_vals_cte(rows, cols)},
 g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
 nb AS (
   SELECT a.cell, SUM(b.v) AS s, COUNT(*) AS n
-  FROM g a JOIN g b
-    ON b.r BETWEEN a.r - 1 AND a.r + 1
-   AND b.c BETWEEN a.c - 1 AND a.c + 1
+  FROM g a
+  CROSS JOIN (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)) o(dr, dc)
+  JOIN g b ON b.cell = (a.r + o.dr) * {cols} + (a.c + o.dc)
+          AND a.r + o.dr BETWEEN 0 AND {rows - 1}
+          AND a.c + o.dc BETWEEN 0 AND {cols - 1}
   WHERE a.v <> {_NOD} AND b.v <> {_NOD}
   GROUP BY a.cell),
 filt AS (
@@ -3510,9 +3512,11 @@ q AS (SELECT cell, CASE WHEN v = {_NOD} THEN v
 g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM q),
 nb AS (
   SELECT a.cell, b.v, COUNT(*) AS cnt
-  FROM g a JOIN g b
-    ON b.r BETWEEN a.r - 1 AND a.r + 1
-   AND b.c BETWEEN a.c - 1 AND a.c + 1
+  FROM g a
+  CROSS JOIN (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)) o(dr, dc)
+  JOIN g b ON b.cell = (a.r + o.dr) * {cols} + (a.c + o.dc)
+          AND a.r + o.dr BETWEEN 0 AND {rows - 1}
+          AND a.c + o.dc BETWEEN 0 AND {cols - 1}
   WHERE a.v <> {_NOD} AND b.v <> {_NOD}
   GROUP BY a.cell, b.v),
 pick AS (
@@ -3534,9 +3538,11 @@ WITH {_raster_vals_cte(rows, cols)},
 g AS (SELECT cell, cell // {cols} AS r, cell % {cols} AS c, v FROM vals),
 nb AS (
   SELECT a.cell, {aggs[reducer]} AS agg_v, COUNT(*) AS n
-  FROM g a JOIN g b
-    ON b.r BETWEEN a.r - 1 AND a.r + 1
-   AND b.c BETWEEN a.c - 1 AND a.c + 1
+  FROM g a
+  CROSS JOIN (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)) o(dr, dc)
+  JOIN g b ON b.cell = (a.r + o.dr) * {cols} + (a.c + o.dc)
+          AND a.r + o.dr BETWEEN 0 AND {rows - 1}
+          AND a.c + o.dc BETWEEN 0 AND {cols - 1}
   WHERE a.v <> {_NOD} AND b.v <> {_NOD}
   GROUP BY a.cell),
 res AS (
@@ -4204,9 +4210,13 @@ m AS (
            CASE WHEN b.v <> {_NOD} THEN b.v END,
            {_NOD}) AS f
   FROM og
-  LEFT JOIN vals a ON og.r < {rows} AND a.cell = og.r * {cols} + og.c
-  LEFT JOIN vals_b b ON og.r >= {offset_rows} AND og.r < {offset_rows + rows}
-        AND b.cell = (og.r - {offset_rows}) * {cols} + og.c)
+  LEFT JOIN vals a
+    ON a.cell = CASE WHEN og.r < {rows}
+                THEN og.r * {cols} + og.c ELSE -1 END
+  LEFT JOIN vals_b b
+    ON b.cell = CASE WHEN og.r >= {offset_rows}
+                      AND og.r < {offset_rows + rows}
+                THEN (og.r - {offset_rows}) * {cols} + og.c ELSE -1 END)
 SELECT r AS row_id,
        CAST(COUNT(CASE WHEN f <> {_NOD} THEN 1 END) AS BIGINT) AS n_valid,
        round(SUM(CASE WHEN f = {_NOD} THEN 0.0 ELSE f END), 6) AS row_sum

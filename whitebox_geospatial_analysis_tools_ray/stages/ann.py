@@ -30,12 +30,30 @@ def _batch_matrix(batch) -> tuple[np.ndarray, np.ndarray]:
     return ids, emb
 
 
-def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+def _bottom_n_by_vec_id(sf_dir: str, n: int) -> "pd.DataFrame":
+    """The n lowest vec_ids' rows via a STREAMING read + running
+    bottom-n merge — O(n) driver memory instead of materializing the
+    whole embeddings table to sort it (100 TB scale shape)."""
     import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    row = df[df["vec_id"] == vec_id].iloc[0]
-    return np.asarray(row["embedding"], dtype=np.float64)
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    best = None
+    for rb in pf.iter_batches(batch_size=max(4096, n),
+                              columns=["vec_id", "embedding"]):
+        df = rb.to_pandas()
+        best = df if best is None else pd.concat([best, df],
+                                                 ignore_index=True)
+        best = best.sort_values("vec_id", kind="mergesort").head(n)
+    return best.reset_index(drop=True)
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """One-row predicate-pushdown read (row-group pruning at scale)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", vec_id)])
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def cosine_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
@@ -74,10 +92,7 @@ def knn_join_topk(sf_dir: str, n_queries: int = 10, k: int = 3,
     per-batch partial top-k per query; final reduce per query.
 
     Output: (query_id, vec_id, cosine)."""
-    import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"]).to_pandas()
-    t = t.sort_values("vec_id").head(n_queries)
+    t = _bottom_n_by_vec_id(sf_dir, n_queries)
     q_ids = t["vec_id"].to_numpy(dtype=np.int64)
     Q = np.asarray([np.asarray(e, dtype=np.float64) for e in t["embedding"]])
     Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
@@ -133,11 +148,7 @@ def ivf_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
     100 TB the centroid table is broadcast once via ``ray.put`` and the
     assignment stays one matmul per Arrow batch, no shuffle.
     Output: (vec_id, cosine) — k rows."""
-    import pyarrow.parquet as pq
-
-    seeds = (pq.read_table(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
-             .to_pandas().sort_values("vec_id").head(n_lists))
+    seeds = _bottom_n_by_vec_id(sf_dir, n_lists)
     C = np.asarray([np.asarray(e, dtype=np.float64)
                     for e in seeds["embedding"]])
     cent = C / np.maximum(np.sqrt((C * C).sum(axis=1, keepdims=True)), 1e-12)

@@ -55,10 +55,19 @@ def _coarse_centroids(sf_dir: str, n_lists: int, seed: int = 42,
     Returns (n_lists, D) L2-normalized centroids."""
     import pyarrow.parquet as pq
 
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                           columns=["embedding"]).to_pandas()["embedding"]
+    # stream only the first sample_rows rows off disk (file order, same
+    # rows as a head() over the full column — without reading the
+    # whole embedding column onto the driver)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    chunks, have = [], 0
+    for rb in pf.iter_batches(batch_size=sample_rows,
+                              columns=["embedding"]):
+        chunks.extend(rb.column("embedding").to_pylist())
+        have += rb.num_rows
+        if have >= sample_rows:
+            break
     X = np.asarray([np.asarray(e, dtype=np.float64)
-                    for e in sample.head(sample_rows)])
+                    for e in chunks[:sample_rows]])
     Xn = X / np.maximum(np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-12)
     g = np.random.default_rng(seed)
     cent = Xn[g.choice(len(Xn), size=min(n_lists, len(Xn)), replace=False)]

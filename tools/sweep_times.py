@@ -12,7 +12,7 @@ DataContext.get_current().enable_progress_bars = False
 sys.path.insert(0, "/root/repo")
 import __ray_entry__ as e
 
-SF = "/root/testdata/sf0.01"
+SF = __import__("os").environ.get("SWEEP_SF", "/root/testdata/sf0.01")
 qs = e.queries()
 times = {}
 errs = {}

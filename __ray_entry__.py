@@ -34,8 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from whitebox_geospatial_analysis_tools_ray.core.rng import EAST, NORTH, SOUTH, WEST
     from whitebox_geospatial_analysis_tools_ray.core.tiles import RectGrid
     from whitebox_geospatial_analysis_tools_ray.stages import (
-        agg, ann, clump as clump_mod, dedup, embeddings as emb, knn, raster,
-        distance, fill, hydro, multimodal, raster_stats, rasterize,
+        agg, ann, clump as clump_mod, corpus, dedup, embeddings as emb, knn,
+        raster, distance, fill, hydro, multimodal, raster_stats, rasterize,
         relational, streams, terrain, textops, tiling, tin, vector_overlay)
     from whitebox_geospatial_analysis_tools_ray.stages.spatial_join import (
         broadcast_pip_join, cell_partitioned_pip_join, within_distance_join)
@@ -349,6 +349,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf),
         "simhash_signatures": lambda sf: dedup.simhash_signatures(sf),
         "simhash_neardup_pairs": lambda sf: dedup.simhash_neardup_pairs(sf),
+        # --- corpus curation (cluster resolution, boilerplate,
+        #     decontamination, vocabulary, stratified sampling) ---
+        "dup_clusters": lambda sf: corpus.dup_clusters(sf),
+        "boilerplate_ngrams": lambda sf: corpus.boilerplate_ngrams(sf),
+        "topk_tokens": lambda sf: corpus.topk_tokens(sf),
+        "decontaminate": lambda sf: corpus.decontaminate(sf),
+        "stratified_sample": lambda sf: corpus.stratified_sample(sf),
         # --- text analysis ---
         "token_stats": lambda sf: textops.token_stats_by_lang(sf),
         "quality_scores": lambda sf: textops.quality_scores_by_lang(sf),
@@ -1039,6 +1046,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_pairs": o.simhash_neardup_pairs_sql(),
         "minhash_pairs": o.minhash_pairs_sql(),
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(),
+        "dup_clusters": o.dup_clusters_sql(),
+        "boilerplate_ngrams": o.boilerplate_ngrams_sql(),
+        "topk_tokens": o.topk_tokens_sql(),
+        "decontaminate": o.decontaminate_sql(),
+        "stratified_sample": o.stratified_sample_sql(),
         # pca_embeddings / inverse_pca: 64-dim eigendecomposition — no SQL
         # closed form; verified against single-process mirrors in tests.
         "q1_pricing": o.q1_sql(),

@@ -1,0 +1,149 @@
+"""Corpus-curation ops: brute-force mirrors + structural properties
+(cluster transitivity, per-bucket top-k prune safety, deterministic
+sampling)."""
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from whitebox_geospatial_analysis_tools_ray.stages import corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(d, texts, langs=None):
+    d.mkdir(exist_ok=True)
+    n = len(texts)
+    tbl = pa.table({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": langs or ["en"] * n,
+        "source": ["t"] * n,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)})
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_dup_clusters_transitive(ray_session, tmp_path):
+    """A~B and B~C near-dups must land in ONE cluster even when A and C
+    themselves fall below the pair threshold (the reason clustering
+    exists at all)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # a/c vs b: 8 shared shingles of 14 → j=0.571 ≥ 0.5;
+    # a vs c: 8 of 20 → j=0.4 < 0.5 (below threshold, linked only via b)
+    a = base + " one1 one2 one3 one4 one5 one6"
+    b = base
+    c = base + " two1 two2 two3 two4 two5 two6"
+    filler = [f"u{i} v{i} w{i} x{i} y{i} z{i}" for i in range(4)]
+    sf = _write_docs(tmp_path / "cl", [a, b, c] + filler)
+    from whitebox_geospatial_analysis_tools_ray.stages.dedup import (
+        ngram_jaccard_pairs)
+    pairs = ngram_jaccard_pairs(sf, threshold=0.5).to_pandas()
+    assert not (((pairs["doc_a"] == 0) & (pairs["doc_b"] == 2)).any())
+    out = corpus.dup_clusters(sf, threshold=0.5)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got[0] == got[1] == got[2] == 0
+    assert all(d not in got for d in (3, 4, 5, 6))
+
+
+def test_dup_clusters_mirror_union_find(ray_session):
+    """Cluster labels equal a driver union-find over the same pair set."""
+    from whitebox_geospatial_analysis_tools_ray.stages.dedup import (
+        ngram_jaccard_pairs)
+    pairs = ngram_jaccard_pairs(SF, threshold=0.5).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id per component
+    want = {n: find(n) for n in parent}
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+
+    out = corpus.dup_clusters(SF, threshold=0.5)
+    got = dict(zip(out["doc_id"].astype(int), out["cluster_id"].astype(int)))
+    assert got == want and len(got) > 0
+
+
+def test_boilerplate_ngrams_mirror(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    df: dict[str, int] = {}
+    for text in t["text"]:
+        toks = corpus._tokens(text)
+        for g in {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}:
+            df[g] = df.get(g, 0) + 1
+    want = (pd.DataFrame({"ngram": list(df), "df": list(df.values())})
+            .sort_values(["df", "ngram"], ascending=[False, True])
+            .head(100).reset_index(drop=True))
+    got = corpus.boilerplate_ngrams(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_topk_tokens_mirror(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    cnt: dict[str, int] = {}
+    for text in t["text"]:
+        for tok in corpus._tokens(text):
+            cnt[tok] = cnt.get(tok, 0) + 1
+    want = (pd.DataFrame({"token": list(cnt), "cnt": list(cnt.values())})
+            .sort_values(["cnt", "token"], ascending=[False, True])
+            .head(50).reset_index(drop=True))
+    got = corpus.topk_tokens(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bucketed_topk_prune_is_lossless(ray_session, tmp_path):
+    """k smaller than the per-bucket key count: global top-k must still
+    be exact despite every bucket pruning to its own top-k."""
+    texts = []
+    # token 'x%02d' appears (i+1) times total, spread over docs
+    for i in range(40):
+        texts.append(" ".join(f"x{i:02d}" for _ in range(i + 1)))
+    sf = _write_docs(tmp_path / "tk", texts)
+    got = corpus.topk_tokens(sf, k=5)
+    assert list(got["token"]) == ["x39", "x38", "x37", "x36", "x35"]
+    assert list(got["cnt"]) == [40, 39, 38, 37, 36]
+
+
+def test_decontaminate_flags_planted_overlap(ray_session, tmp_path):
+    """A doc sharing exactly one 4-gram with the benchmark doc (id 0,
+    0 % 97 == 0) is flagged with n_hit 1; disjoint docs are not."""
+    bench = "secret eval answer tokens plus more benchmark words here"
+    leak = "unrelated prose secret eval answer tokens trailing stuff"
+    clean = "totally different content with no shared sequences at all"
+    sf = _write_docs(tmp_path / "dc", [bench, leak, clean])
+    got = corpus.decontaminate(sf).to_pandas()
+    assert list(got["doc_id"]) == [1]
+    # 'secret eval answer tokens' + 'eval answer tokens plus'? leak only
+    # contains the first; exactly 1 distinct shared 4-gram
+    assert list(got["n_hit"]) == [1]
+
+
+def test_stratified_sample_mirror(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "lang"]).to_pandas()
+    t["h"] = [hashlib.md5(str(int(d)).encode()).hexdigest()
+              for d in t["doc_id"]]
+    want = (t.sort_values(["lang", "h"]).groupby("lang").head(20)
+            .reset_index(drop=True))
+    want["sample_rank"] = want.groupby("lang").cumcount() + 1
+    want = want[["lang", "doc_id", "sample_rank"]]
+    got = corpus.stratified_sample(SF)
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
+                                  check_dtype=False)
+    # every language stratum filled
+    assert (got.groupby("lang").size() == 20).all()

@@ -7413,3 +7413,81 @@ SELECT doc_a, doc_b, round(j, 6) AS jaccard
 FROM jac WHERE j >= {threshold!r}
 ORDER BY doc_a, doc_b
 """
+
+
+def dup_clusters_sql(threshold: float = 0.5) -> str:
+    """Exact mirror of stages/corpus.dup_clusters: connected components
+    over the n-gram-Jaccard pair graph (the full pair query embedded as
+    a derived table), label = min doc_id reachable — a min-label
+    transitive closure with UNION-dedup recursion."""
+    pair_q = ngram_jaccard_pairs_sql(threshold)
+    return f"""
+WITH RECURSIVE
+base AS MATERIALIZED (SELECT doc_a, doc_b FROM ({pair_q}) q),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM base
+        UNION SELECT doc_b, doc_a FROM base),
+cc(node, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, c.lbl FROM cc c JOIN sym s ON s.b = c.node)
+SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
+FROM cc GROUP BY node ORDER BY doc_id
+"""
+
+
+def boilerplate_ngrams_sql(n: int = 5, k: int = 100) -> str:
+    """Exact mirror of stages/corpus.boilerplate_ngrams: word n-gram
+    DOCUMENT frequency, top-k by (df desc, ngram asc)."""
+    return f"""
+WITH raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+items AS (
+  SELECT doc_id, unnest(list_transform(range(len(toks) - {n} + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS g
+  FROM raw WHERE len(toks) >= {n})
+SELECT g AS ngram, count(DISTINCT doc_id)::BIGINT AS df
+FROM items GROUP BY 1
+ORDER BY df DESC, ngram LIMIT {k}
+"""
+
+
+def topk_tokens_sql(k: int = 50) -> str:
+    """Exact mirror of stages/corpus.topk_tokens: total token counts,
+    top-k by (cnt desc, token asc)."""
+    return f"""
+WITH raw AS (SELECT {_STRIP_SPLIT} AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS token FROM raw WHERE toks[1] <> '')
+SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1
+ORDER BY cnt DESC, token LIMIT {k}
+"""
+
+
+def decontaminate_sql(n: int = 4, bench_mod: int = 97) -> str:
+    """Exact mirror of stages/corpus.decontaminate: distinct shared
+    word n-grams between each non-benchmark doc and the benchmark set
+    (doc_id % bench_mod == 0)."""
+    return f"""
+WITH raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(len(toks) - {n} + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS g
+  FROM raw WHERE len(toks) >= {n}),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT DISTINCT t.doc_id, t.g FROM grams t JOIN bench b ON t.g = b.g
+  WHERE t.doc_id % {bench_mod} <> 0)
+SELECT doc_id, count(*)::BIGINT AS n_hit FROM hits GROUP BY 1 ORDER BY doc_id
+"""
+
+
+def stratified_sample_sql(per_lang: int = 20) -> str:
+    """Exact mirror of stages/corpus.stratified_sample: per-language
+    smallest-md5(doc_id) draw with rank."""
+    return f"""
+WITH h AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS sample_rank
+      FROM h)
+SELECT lang, doc_id, sample_rank::BIGINT AS sample_rank
+FROM r WHERE sample_rank <= {per_lang} ORDER BY lang, sample_rank
+"""

@@ -1,0 +1,324 @@
+"""Corpus-curation stages for large-scale training-data pipelines:
+near-dup cluster resolution, boilerplate n-gram detection, benchmark
+decontamination, vocabulary top-k, and stratified sampling.
+
+These extend the dedup/ANN family (SURVEY.md §2.7 / the LLM-pipeline
+checklist) past *pair detection* into the operations a 100-TB curation
+run needs next: turning dup pairs into canonical clusters, finding
+corpus-wide boilerplate, filtering benchmark contamination, and drawing
+deterministic per-stratum samples.
+
+No direct reference tool exists for these (the closest are
+``ListUniqueValues.groovy`` and the Clump connected-components tool,
+whose per-tile union-find + boundary-merge plan `dup_clusters` reuses in
+spirit); they are required by the graft's web-corpus axis.
+
+All hashing is content-derived and deterministic (crc32 / md5), never
+Python's randomized ``hash()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from .dedup import ngram_jaccard_pairs
+from .util import coalesce_partials
+
+_TOKEN_RE = re.compile(r"\s+")
+
+
+def _tokens(text: str) -> list[str]:
+    toks = _TOKEN_RE.split(text.strip().lower())
+    return [] if toks == [""] else toks
+
+
+def _bucketed_topk(partials: "rd.Dataset", key: str, val: str,
+                   k: int, num_buckets: int = 64) -> pd.DataFrame:
+    """Top-k (val desc, key asc) over per-batch (key, val) count partials.
+
+    Ray's ``groupby(str_key).aggregate`` pays per-group Python overhead
+    (~1 ms/group — measured 24 s for 25k ngram groups), so the combine
+    runs as a BOUNDED-bucket ``map_groups`` with a vectorized pandas
+    sum inside, the plan the pair-dedup kernels already use. Each
+    bucket emits only its own top-k (global top-k ⊆ union of
+    per-bucket top-k — every key lives in exactly one bucket), so the
+    final sort sees ≤ num_buckets × k rows regardless of key
+    cardinality.
+    """
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        crc = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in b[key]),
+            dtype=np.int64, count=len(b))
+        return b.assign(bucket=crc % num_buckets)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(key, sort=False)[val].sum().reset_index()
+               .sort_values([val, key], ascending=[False, True]).head(k))
+        return pd.DataFrame({key: agg[key].astype(str),
+                             val: agg[val].to_numpy(dtype=np.int64)})
+
+    top = (coalesce_partials(partials.map_batches(add_bucket,
+                                                  batch_format="pandas"))
+           .groupby("bucket").map_groups(combine, batch_format="pandas")
+           .sort([val, key], descending=[True, False]).limit(k))
+    return top.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(sf_dir: str, threshold: float = 0.5,
+                 max_rounds: int = 32) -> pd.DataFrame:
+    """Resolve near-dup PAIRS into canonical CLUSTERS: connected
+    components over the exact n-gram-Jaccard pair graph, label = min
+    doc_id in the component (the survivor a dedup pass would keep).
+
+    Plan (hash-to-min label propagation, all Ray Data):
+      1. pairs = ``ngram_jaccard_pairs`` (bounded-bucket shuffles).
+      2. labels init: node → node, derived from the edge endpoints.
+      3. Each round: one groupby(node) joins the node's current label
+         to its incident edges (union of label rows and edge rows →
+         ``map_groups`` per node emits (nbr, my_label) messages plus
+         the self row), then a groupby(node).min picks the new label.
+         Converges in O(log diameter) rounds; dup components in web
+         corpora are tiny chains, so 3-4 rounds typical.
+      4. Convergence check reads ONE scalar per round (sum of labels)
+         — no driver materialization of the node set.
+
+    At 100-TB scale the edge set is the dup-pair output (orders of
+    magnitude smaller than the corpus) and every round is two
+    bounded-key shuffles over (node, label) rows only.
+
+    Output: (doc_id, cluster_id) for every doc appearing in ≥1 pair,
+    cluster_id = min doc_id of its component.
+    """
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["doc_a"].to_numpy(dtype=np.int64)
+        c = b["doc_b"].to_numpy(dtype=np.int64)
+        # both directions so each node sees all neighbours in its group
+        return pd.DataFrame({"node": np.concatenate([a, c]),
+                             "peer": np.concatenate([c, a]),
+                             "lbl": np.full(2 * len(b), -1, dtype=np.int64)})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["node"].unique()
+        return pd.DataFrame({"node": n.astype(np.int64),
+                             "peer": np.full(len(n), -1, dtype=np.int64),
+                             "lbl": n.astype(np.int64)})
+
+    # partial-dedup per block, exact dedup in the first round's groupby
+    labels = edges.map_batches(init_labels, batch_format="pandas")
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        # rows: label rows (peer == -1, lbl = current) + edge rows
+        my = int(g.loc[g["peer"] == -1, "lbl"].min())
+        nbrs = g.loc[g["peer"] != -1, "peer"].to_numpy(dtype=np.int64)
+        out_n = np.concatenate([nbrs, [g["node"].iloc[0]]])
+        out_l = np.full(len(out_n), my, dtype=np.int64)
+        return pd.DataFrame({"node": out_n.astype(np.int64), "lbl": out_l})
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        msgs = (coalesce_partials(labels.union(edges)).groupby("node")
+                .map_groups(propagate, batch_format="pandas"))
+        new_labels = (msgs.groupby("node")
+                      .aggregate(Min("lbl", alias_name="lbl"))
+                      .map_batches(lambda t: t.assign(
+                          node=t["node"].astype("int64"),
+                          lbl=t["lbl"].astype("int64"),
+                          peer=np.full(len(t), -1, dtype=np.int64)),
+                          batch_format="pandas").materialize())
+        sig = new_labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        labels = new_labels
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    out = labels.select_columns(["node", "lbl"]).to_pandas()  # bounded: dup nodes only
+    out = out.rename(columns={"node": "doc_id", "lbl": "cluster_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection (CCNet-style repeated-content removal)
+# ---------------------------------------------------------------------------
+
+def boilerplate_ngrams(sf_dir: str, n: int = 5, k: int = 100) -> pd.DataFrame:
+    """Top-k word n-grams by DOCUMENT frequency — the corpus-wide
+    boilerplate detector (the line-dedup analogue for unstructured
+    text: n-grams shared by many documents are navigation chrome /
+    licence banners and get stripped before training).
+
+    Plan: per batch, per doc, DISTINCT n-grams (so df counts docs, not
+    occurrences) → partial (ngram, df) combine per batch → distributed
+    groupby(ngram) sum → sort by (df desc, ngram) → limit k. The sort
+    input is the distinct-ngram table (already aggregated — tiny next
+    to the corpus); the final top-k is bounded.
+
+    Output: (ngram, df) — k rows, df desc then ngram asc.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        grams: dict[str, int] = {}
+        for text in batch["text"]:
+            toks = _tokens(text)
+            if len(toks) < n:
+                continue
+            seen = {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            for g in seen:
+                grams[g] = grams.get(g, 0) + 1
+        keys = list(grams.keys())
+        return pd.DataFrame({"ngram": keys,
+                             "df": np.fromiter(grams.values(), dtype=np.int64,
+                                               count=len(grams))})
+
+    return _bucketed_topk(docs.map_batches(partial, batch_format="pandas"),
+                          key="ngram", val="df", k=k)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary top-k (corpus token frequency)
+# ---------------------------------------------------------------------------
+
+def topk_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Top-k tokens by total occurrence count — the vocabulary /
+    tokenizer-training precursor. Classic wordcount: vectorized
+    per-batch ``value_counts`` partials → groupby(token) sum →
+    sort (cnt desc, token asc) → limit k.
+
+    Output: (token, cnt) — k rows.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for text in batch["text"]:
+            toks.extend(_tokens(text))
+        vc = pd.Series(toks, dtype="object").value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    return _bucketed_topk(docs.map_batches(partial, batch_format="pandas"),
+                          key="token", val="cnt", k=k)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap filter)
+# ---------------------------------------------------------------------------
+
+def decontaminate(sf_dir: str, n: int = 4, bench_mod: int = 97) -> "rd.Dataset":
+    """Flag training docs sharing any word n-gram with a benchmark set
+    — the eval-decontamination pass every LLM data pipeline runs
+    before training (n=8..13 on natural text; default 4 here because
+    the synthetic corpus draws from a ~31-token vocabulary, where
+    4-grams give a realistic contamination rate at every test SF).
+
+    The benchmark set is the deterministic subset doc_id % bench_mod
+    == 0 (stands in for the held-out eval suite). Its n-gram set is
+    SMALL and broadcast once via ``ray.put``; the corpus streams
+    through a stateless ``map_batches`` doing set-membership counts —
+    no shuffle at all.
+
+    Output: (doc_id, n_hit) for non-benchmark docs with ≥1 shared
+    n-gram, n_hit = number of DISTINCT contaminated n-grams in the doc.
+    """
+    import ray
+
+    bench = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = set()
+        sel = batch["doc_id"].to_numpy() % bench_mod == 0
+        for text in batch.loc[sel, "text"]:
+            toks = _tokens(text)
+            for i in range(len(toks) - n + 1):
+                grams.add(" ".join(toks[i:i + n]))
+        return pd.DataFrame({"g": sorted(grams)})
+
+    gset: set[str] = set()
+    for b in bench.map_batches(bench_grams, batch_format="pandas") \
+                  .iter_batches(batch_format="pandas"):
+        gset.update(b["g"])
+    gref = ray.put(gset)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = ray.get(gref)
+        ids, hits = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if int(doc_id) % bench_mod == 0:
+                continue
+            toks = _tokens(text)
+            seen = {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            h = len(seen & grams)
+            if h:
+                ids.append(int(doc_id))
+                hits.append(h)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "n_hit": np.asarray(hits, dtype=np.int64)})
+
+    return docs.map_batches(scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+def _md5_hex(doc_id: int) -> str:
+    return hashlib.md5(str(doc_id).encode("ascii")).hexdigest()
+
+
+def stratified_sample(sf_dir: str, per_lang: int = 20) -> pd.DataFrame:
+    """Deterministic stratified sample: the ``per_lang`` docs with the
+    smallest md5(doc_id) per language — a reproducible, seed-free
+    uniform draw per stratum (md5 of the id is a uniform permutation).
+
+    Plan: per-batch partial top-n per lang (nsmallest — only
+    per_lang × langs rows leave each batch) → groupby(lang)
+    ``map_groups`` final top-n. The shuffle carries O(langs × blocks ×
+    per_lang) rows regardless of corpus size.
+
+    Output: (lang, doc_id, sample_rank), rank 1..per_lang by md5 order.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": batch["lang"].astype(str),
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "h": [_md5_hex(int(d)) for d in batch["doc_id"]]})
+        return (df.sort_values(["lang", "h"])
+                  .groupby("lang", sort=False).head(per_lang))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("h").head(per_lang).reset_index(drop=True)
+        return pd.DataFrame({"lang": g["lang"],
+                             "doc_id": g["doc_id"].astype(np.int64),
+                             "sample_rank":
+                                 np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    out = (coalesce_partials(partials).groupby("lang")
+           .map_groups(final, batch_format="pandas"))
+    return (out.to_pandas()
+            .sort_values(["lang", "sample_rank"]).reset_index(drop=True))

@@ -1197,19 +1197,6 @@ def find_polygon_midline(sf_dir: str, densify: float = 8.0):
     from ..core.geom import points_in_ring
     from .vector_overlay import _l_ring, doc_lshapes
 
-    def circumcenter(a, b, c):
-        ax, ay = a
-        bx, by = b
-        cx, cy = c
-        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
-        if d == 0:
-            return None
-        ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by)
-              * (cy - ay) + (cx * cx + cy * cy) * (ay - by)) / d
-        uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by)
-              * (ax - cx) + (cx * cx + cy * cy) * (bx - ax)) / d
-        return ux, uy
-
     def fn(batch):
         n = len(batch["rec_id"])
         lens = np.zeros(n)
@@ -1217,23 +1204,35 @@ def find_polygon_midline(sf_dir: str, densify: float = 8.0):
         for i in range(n):
             ring = _l_ring(batch["xa"][i], batch["ya"][i],
                            batch["h"][i], batch["w2"][i])
-            # densify boundary
-            pts = []
+            # densify boundary (vectorized per segment; same
+            # p0 + (p1-p0)*(t/steps) arithmetic element-wise)
+            segs = []
             for k in range(len(ring)):
                 p0 = ring[k]
                 p1 = ring[(k + 1) % len(ring)]
                 seg = np.hypot(*(p1 - p0))
                 steps = max(1, int(seg // densify))
-                for t in range(steps):
-                    pts.append(p0 + (p1 - p0) * (t / steps))
-            pts = np.asarray(pts)
+                ts = np.arange(steps) / steps
+                segs.append(p0 + (p1 - p0)[None, :] * ts[:, None])
+            pts = np.concatenate(segs)
             tris = delaunay(pts)
-            # circumcentres + dual edges between adjacent triangles
-            cc = {}
-            for t_idx, (a, b, c) in enumerate(tris):
-                cen = circumcenter(pts[a], pts[b], pts[c])
-                if cen is not None:
-                    cc[t_idx] = cen
+            if not tris:
+                continue
+            # ALL circumcentres in one vectorized pass (identical
+            # element-wise arithmetic to the scalar formula)
+            tv = np.asarray(tris, dtype=np.int64)
+            ax, ay = pts[tv[:, 0], 0], pts[tv[:, 0], 1]
+            bx, by = pts[tv[:, 1], 0], pts[tv[:, 1], 1]
+            cx, cy = pts[tv[:, 2], 0], pts[tv[:, 2], 1]
+            d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+            ok = d != 0
+            ds = np.where(ok, d, 1.0)
+            a2, b2, c2 = ax * ax + ay * ay, bx * bx + by * by, cx * cx + cy * cy
+            ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / ds
+            uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / ds
+            # one inside test for every circumcentre (was one
+            # points_in_ring call PER DUAL EDGE — the stage hot spot)
+            inside = points_in_ring(ux, uy, ring) & ok
             edge_map = {}
             total = 0.0
             cnt = 0
@@ -1242,15 +1241,10 @@ def find_polygon_midline(sf_dir: str, densify: float = 8.0):
                     key = (min(e), max(e))
                     if key in edge_map:
                         t2 = edge_map[key]
-                        if t_idx in cc and t2 in cc:
-                            p, q = cc[t_idx], cc[t2]
-                            inside = points_in_ring(
-                                np.array([p[0], q[0]]),
-                                np.array([p[1], q[1]]), ring)
-                            if inside.all():
-                                total += float(np.hypot(p[0] - q[0],
-                                                        p[1] - q[1]))
-                                cnt += 1
+                        if inside[t_idx] and inside[t2]:
+                            total += float(np.hypot(ux[t_idx] - ux[t2],
+                                                    uy[t_idx] - uy[t2]))
+                            cnt += 1
                     else:
                         edge_map[key] = t_idx
             lens[i] = total

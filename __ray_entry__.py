@@ -356,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_tokens": lambda sf: corpus.topk_tokens(sf),
         "decontaminate": lambda sf: corpus.decontaminate(sf),
         "stratified_sample": lambda sf: corpus.stratified_sample(sf),
+        "pack_sequences": lambda sf: corpus.pack_sequences(sf),
+        "repetition_filter": lambda sf: corpus.repetition_filter(sf),
         # --- text analysis ---
         "token_stats": lambda sf: textops.token_stats_by_lang(sf),
         "quality_scores": lambda sf: textops.quality_scores_by_lang(sf),
@@ -1051,6 +1053,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_tokens": o.topk_tokens_sql(),
         "decontaminate": o.decontaminate_sql(),
         "stratified_sample": o.stratified_sample_sql(),
+        "pack_sequences": o.pack_sequences_sql(),
+        "repetition_filter": o.repetition_filter_sql(),
         # pca_embeddings / inverse_pca: 64-dim eigendecomposition — no SQL
         # closed form; verified against single-process mirrors in tests.
         "q1_pricing": o.q1_sql(),

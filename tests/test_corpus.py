@@ -147,3 +147,53 @@ def test_stratified_sample_mirror(ray_session):
                                   check_dtype=False)
     # every language stratum filled
     assert (got.groupby("lang").size() == 20).all()
+
+
+def test_pack_sequences_mirror_and_boundaries(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas() \
+          .sort_values("doc_id")
+    cnt = t["text"].map(lambda x: len(corpus._tokens(x))).to_numpy()
+    off = np.concatenate([[0], cnt.cumsum()[:-1]])
+    L = 512
+    agg: dict[int, list[int]] = {}
+    for o, c in zip(off, cnt):
+        if c == 0:
+            continue
+        for s in range(o // L, (o + c - 1) // L + 1):
+            tok = min(o + c, (s + 1) * L) - max(o, s * L)
+            d, tt = agg.setdefault(s, [0, 0])
+            agg[s] = [d + 1, tt + tok]
+    want = pd.DataFrame({"seq_id": sorted(agg),
+                         "n_docs": [agg[s][0] for s in sorted(agg)],
+                         "n_tokens": [agg[s][1] for s in sorted(agg)]})
+    got = corpus.pack_sequences(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every sequence but the last is exactly full
+    assert (got["n_tokens"].iloc[:-1] == 512).all()
+    assert 0 < got["n_tokens"].iloc[-1] <= 512
+    # total token conservation
+    assert got["n_tokens"].sum() == cnt.sum()
+
+
+def test_pack_sequences_boundary_split_doc(ray_session, tmp_path):
+    """A doc straddling a sequence boundary must count toward BOTH
+    sequences with its tokens split exactly."""
+    texts = ["w " * 500, "x " * 20, "y " * 5]   # offsets 0, 500, 520
+    sf = _write_docs(tmp_path / "pk", [t.strip() for t in texts])
+    got = corpus.pack_sequences(sf, seq_len=512)
+    assert list(got["seq_id"]) == [0, 1]
+    assert list(got["n_docs"]) == [2, 2]        # doc 1 spans both
+    assert list(got["n_tokens"]) == [512, 13]
+
+
+def test_repetition_filter_planted(ray_session, tmp_path):
+    """A doc that is one 3-gram repeated is flagged near 1.0; a doc of
+    all-distinct 3-grams is not flagged."""
+    spam = " ".join(["spam ham eggs"] * 20)     # 60 tokens, 58 3-grams
+    clean = " ".join(f"t{i}" for i in range(60))
+    sf = _write_docs(tmp_path / "rf", [spam, clean])
+    got = corpus.repetition_filter(sf).to_pandas()
+    assert list(got["doc_id"]) == [0]
+    # 3 distinct 3-grams of 58 → dup_frac = 1 - 3/58
+    assert abs(got["dup_frac"].iloc[0] - (1 - 3 / 58)) < 1e-6

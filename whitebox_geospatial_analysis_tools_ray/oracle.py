@@ -7491,3 +7491,47 @@ r AS (SELECT lang, doc_id,
 SELECT lang, doc_id, sample_rank::BIGINT AS sample_rank
 FROM r WHERE sample_rank <= {per_lang} ORDER BY lang, sample_rank
 """
+
+
+def pack_sequences_sql(seq_len: int = 512) -> str:
+    """Exact mirror of stages/corpus.pack_sequences: token counts in
+    doc_id order → exclusive prefix sum → per-sequence doc/token
+    totals."""
+    return f"""
+WITH raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+c AS (SELECT doc_id,
+             CASE WHEN toks[1] = '' THEN 0 ELSE len(toks) END AS cnt
+      FROM raw),
+o AS (SELECT doc_id, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS off
+      FROM c),
+spans AS (
+  SELECT doc_id, off, cnt,
+         unnest(range(off // {seq_len}, (off + cnt - 1) // {seq_len} + 1))
+           AS seq_id
+  FROM o WHERE cnt > 0)
+SELECT seq_id,
+       count(*)::BIGINT AS n_docs,
+       SUM(least(off + cnt, (seq_id + 1) * {seq_len})
+           - greatest(off, seq_id * {seq_len}))::BIGINT AS n_tokens
+FROM spans GROUP BY 1 ORDER BY seq_id
+"""
+
+
+def repetition_filter_sql(max_dup_frac: float = 0.02) -> str:
+    """Exact mirror of stages/corpus.repetition_filter: duplicate
+    3-gram fraction per doc, flagged above the threshold."""
+    return f"""
+WITH raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS gr
+  FROM raw WHERE len(toks) >= 3),
+s AS (SELECT doc_id, count(*) AS total, count(DISTINCT gr) AS dis
+      FROM g GROUP BY 1)
+SELECT doc_id, round(1.0 - dis::DOUBLE / total::DOUBLE, 6) AS dup_frac
+FROM s WHERE 1.0 - dis::DOUBLE / total::DOUBLE > {max_dup_frac!r}
+ORDER BY doc_id
+"""

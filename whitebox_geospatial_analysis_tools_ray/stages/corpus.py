@@ -322,3 +322,120 @@ def stratified_sample(sf_dir: str, per_lang: int = 20) -> pd.DataFrame:
            .map_groups(final, batch_format="pandas"))
     return (out.to_pandas()
             .sort_values(["lang", "sample_rank"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(sf_dir: str, seq_len: int = 512,
+                   docs_per_bucket: int = 256) -> pd.DataFrame:
+    """Pack the corpus into fixed-length training sequences in doc_id
+    order (the tokenize-and-pack step before pretraining): doc d's
+    tokens occupy offsets [prefix(d), prefix(d)+cnt(d)), and sequence
+    s covers offsets [s·L, (s+1)·L).
+
+    The global prefix sum is ORDER-SENSITIVE, so it runs as the classic
+    two-pass scan:
+      1. per-bucket token totals (bucket = doc_id // docs_per_bucket —
+         one partial row per bucket per block) → driver cumsum of the
+         COMPACT bucket-total vector → broadcast base offsets.
+      2. ``groupby(bucket).map_groups``: each bucket sorts its docs,
+         local cumsum + base offset gives exact per-doc offsets, then
+         emits one (seq_id, tokens_in_seq) row per overlapped sequence.
+      3. bounded-bucket combine on seq_id % NB.
+    Nothing unbounded ever lands on the driver: the pass-1 vector is
+    O(n_docs / docs_per_bucket).
+
+    Output: (seq_id, n_docs, n_tokens) — n_tokens == seq_len except the
+    final partial sequence.
+    """
+    import ray
+
+    NB = 64
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy(dtype=np.int64)
+        cnt = np.fromiter((len(_tokens(t)) for t in batch["text"]),
+                          dtype=np.int64, count=len(batch))
+        return pd.DataFrame({"bucket": did // docs_per_bucket,
+                             "doc_id": did, "cnt": cnt})
+
+    per_doc = docs.map_batches(counts, batch_format="pandas").materialize()
+
+    # pass 1: compact bucket totals → driver cumsum → broadcast
+    bt = (per_doc.map_batches(
+            lambda b: b.groupby("bucket", sort=False)["cnt"].sum()
+                       .reset_index(), batch_format="pandas")
+          .to_pandas().groupby("bucket")["cnt"].sum().sort_index())
+    base = dict(zip(bt.index, np.concatenate([[0], bt.cumsum().to_numpy()[:-1]])))
+    base_ref = ray.put(base)
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)
+        g = g.sort_values("doc_id")
+        cnt = g["cnt"].to_numpy()
+        off = (int(b[int(g["bucket"].iloc[0])])
+               + np.concatenate([[0], cnt.cumsum()[:-1]]))
+        seqs, toks = [], []
+        for o, c in zip(off, cnt):
+            if c == 0:
+                continue
+            s0, s1 = o // seq_len, (o + c - 1) // seq_len
+            for s in range(s0, s1 + 1):
+                seqs.append(s)
+                toks.append(min(o + c, (s + 1) * seq_len)
+                            - max(o, s * seq_len))
+        return pd.DataFrame({
+            "sbucket": np.asarray(seqs, dtype=np.int64) % NB,
+            "seq_id": np.asarray(seqs, dtype=np.int64),
+            "tok": np.asarray(toks, dtype=np.int64)})
+
+    spanned = (coalesce_partials(per_doc).groupby("bucket")
+               .map_groups(spans, batch_format="pandas"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("seq_id", sort=False)["tok"]
+               .agg(n_docs="size", n_tokens="sum").reset_index())
+        return pd.DataFrame({"seq_id": agg["seq_id"].astype(np.int64),
+                             "n_docs": agg["n_docs"].astype(np.int64),
+                             "n_tokens": agg["n_tokens"].astype(np.int64)})
+
+    out = (coalesce_partials(spanned).groupby("sbucket")
+           .map_groups(combine, batch_format="pandas").to_pandas())
+    return out.sort_values("seq_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition filter (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+def repetition_filter(sf_dir: str, max_dup_frac: float = 0.02) -> "rd.Dataset":
+    """Flag docs whose duplicate-3-gram fraction exceeds the threshold
+    (the Gopher repetition rules' ``duplicate n-gram fraction``):
+    dup_frac = 1 − distinct_3grams / total_3grams. Stateless
+    ``map_batches`` — no shuffle; docs under 3 tokens are never
+    flagged. Output (doc_id, dup_frac) rounded half-away to 6 dp."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, fracs = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = _tokens(text)
+            total = len(toks) - 2
+            if total < 1:
+                continue
+            distinct = len({" ".join(toks[i:i + 3]) for i in range(total)})
+            frac = 1.0 - distinct / total
+            if frac > max_dup_frac:
+                ids.append(int(doc_id))
+                # half-away-from-zero, matching DuckDB round()
+                fracs.append(np.floor(frac * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "dup_frac": np.asarray(fracs,
+                                                    dtype=np.float64)})
+
+    return docs.map_batches(scan, batch_format="pandas")

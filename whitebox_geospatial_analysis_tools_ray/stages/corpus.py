@@ -26,7 +26,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 from .dedup import ngram_jaccard_pairs
 from .util import coalesce_partials
@@ -102,44 +102,91 @@ def dup_clusters(sf_dir: str, threshold: float = 0.5,
     """
     pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
 
+    NB = 64
+
+    def _nb(nodes: np.ndarray) -> np.ndarray:
+        # stable node bucket (nodes are unbounded — the repo's
+        # bounded-bucket rule); attached INLINE in every producer so
+        # the per-round loop is exactly two sorts, no extra stages
+        return (nodes * 2654435761 % NB).astype(np.int64)
+
     def to_edges(b: pd.DataFrame) -> pd.DataFrame:
         a = b["doc_a"].to_numpy(dtype=np.int64)
         c = b["doc_b"].to_numpy(dtype=np.int64)
         # both directions so each node sees all neighbours in its group
-        return pd.DataFrame({"node": np.concatenate([a, c]),
+        node = np.concatenate([a, c])
+        return pd.DataFrame({"bucket": _nb(node), "node": node,
                              "peer": np.concatenate([c, a]),
                              "lbl": np.full(2 * len(b), -1, dtype=np.int64)})
 
     edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
 
     def init_labels(b: pd.DataFrame) -> pd.DataFrame:
-        n = b["node"].unique()
-        return pd.DataFrame({"node": n.astype(np.int64),
+        n = b["node"].unique().astype(np.int64)
+        return pd.DataFrame({"bucket": _nb(n), "node": n,
                              "peer": np.full(len(n), -1, dtype=np.int64),
-                             "lbl": n.astype(np.int64)})
+                             "lbl": n})
 
     # partial-dedup per block, exact dedup in the first round's groupby
     labels = edges.map_batches(init_labels, batch_format="pandas")
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        # rows: label rows (peer == -1, lbl = current) + edge rows
-        my = int(g.loc[g["peer"] == -1, "lbl"].min())
-        nbrs = g.loc[g["peer"] != -1, "peer"].to_numpy(dtype=np.int64)
-        out_n = np.concatenate([nbrs, [g["node"].iloc[0]]])
-        out_l = np.full(len(out_n), my, dtype=np.int64)
-        return pd.DataFrame({"node": out_n.astype(np.int64), "lbl": out_l})
+        # per bucket of nodes: close the INTRA-bucket structure with a
+        # local union-find first (collapses whole in-bucket chains in
+        # one round — the per-partition contraction that cuts
+        # hash-to-min's round count), then emit each edge target the
+        # source's group-min label + the self rows. Any propagation
+        # schedule reaches the same fixpoint (component min), so the
+        # oracle-checked result is unchanged.
+        lab = (g.loc[g["peer"] == -1].groupby("node", sort=False)["lbl"]
+               .min())
+        ed = g.loc[g["peer"] != -1, ["node", "peer"]]
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ed["node"].to_numpy(), ed["peer"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # group min label = min over member nodes' labels and ids
+        gmin: dict[int, int] = {}
+        for n, l in lab.items():
+            r = find(int(n))
+            gmin[r] = min(gmin.get(r, int(l)), int(l))
+        for x in list(parent):
+            r = find(x)
+            gmin[r] = min(gmin.get(r, x), x)
+        node = np.concatenate([ed["peer"].to_numpy(dtype=np.int64),
+                               lab.index.to_numpy(dtype=np.int64)])
+        lbl = np.concatenate([
+            np.fromiter((gmin[find(int(x))] for x in ed["node"]),
+                        dtype=np.int64, count=len(ed)),
+            np.fromiter((gmin[find(int(x))] for x in lab.index),
+                        dtype=np.int64, count=len(lab))])
+        return pd.DataFrame({
+            "bucket": _nb(node), "node": node,
+            "peer": np.full(len(node), -1, dtype=np.int64),
+            "lbl": lbl})
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("node", sort=False)["lbl"].min().reset_index()
+        n = a["node"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"bucket": _nb(n), "node": n,
+                             "peer": np.full(len(n), -1, dtype=np.int64),
+                             "lbl": a["lbl"].astype(np.int64)})
 
     prev_sig = None
     for _ in range(max_rounds):
-        msgs = (coalesce_partials(labels.union(edges)).groupby("node")
+        msgs = (labels.union(edges).groupby("bucket")
                 .map_groups(propagate, batch_format="pandas"))
-        new_labels = (msgs.groupby("node")
-                      .aggregate(Min("lbl", alias_name="lbl"))
-                      .map_batches(lambda t: t.assign(
-                          node=t["node"].astype("int64"),
-                          lbl=t["lbl"].astype("int64"),
-                          peer=np.full(len(t), -1, dtype=np.int64)),
-                          batch_format="pandas").materialize())
+        new_labels = (msgs.groupby("bucket")
+                      .map_groups(min_label, batch_format="pandas")
+                      .materialize())
         sig = new_labels.aggregate(Sum("lbl", alias_name="s"))["s"]
         labels = new_labels
         if sig == prev_sig:

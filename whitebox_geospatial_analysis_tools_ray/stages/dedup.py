@@ -23,9 +23,8 @@ import zlib
 import numpy as np
 import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
 
-from .util import coalesce_partials
+from .util import bucketed_agg, coalesce_partials
 
 _TOKEN_RE = re.compile(r"\s+")
 
@@ -50,13 +49,16 @@ def exact_dedup(sf_dir: str) -> "rd.Dataset":
         return g.agg(survivor="min", c="count").reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    agg = coalesce_partials(partials).groupby("text_md5").aggregate(
-        Min("survivor", alias_name="survivor_id"),
-        Sum("c", alias_name="dup_count"))
-    return agg.map_batches(
-        lambda t: t.assign(survivor_id=t["survivor_id"].astype("int64"),
-                           dup_count=t["dup_count"].astype("int64")),
-        batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df.groupby("text_md5", sort=False)
+             .agg(survivor_id=("survivor", "min"), dup_count=("c", "sum"))
+             .reset_index())
+        return a.astype({"survivor_id": "int64", "dup_count": "int64"})
+
+    # content hashes are an UNBOUNDED key — bucketed vectorized combine
+    # (Ray's per-group aggregate machinery cost 4.8 s for 4.7k groups)
+    return bucketed_agg(partials, ["text_md5"], combine)
 
 
 def coincident_dedup(points: "rd.Dataset", tol: float = 50.0) -> "rd.Dataset":
@@ -75,13 +77,15 @@ def coincident_dedup(points: "rd.Dataset", tol: float = 50.0) -> "rd.Dataset":
         return g.agg(survivor="min", c="count").reset_index()
 
     partials = points.map_batches(partial, batch_format="numpy")
-    agg = coalesce_partials(partials).groupby(["snap_x", "snap_y"]).aggregate(
-        Min("survivor", alias_name="survivor_id"),
-        Sum("c", alias_name="n_coincident"))
-    return agg.map_batches(
-        lambda t: t.assign(survivor_id=t["survivor_id"].astype("int64"),
-                           n_coincident=t["n_coincident"].astype("int64")),
-        batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df.groupby(["snap_x", "snap_y"], sort=False)
+             .agg(survivor_id=("survivor", "min"),
+                  n_coincident=("c", "sum")).reset_index())
+        return a.astype({"survivor_id": "int64", "n_coincident": "int64"})
+
+    # snapped cells are an UNBOUNDED key (grow with extent/data)
+    return bucketed_agg(partials, ["snap_x", "snap_y"], combine)
 
 
 # ---------------------------------------------------------------------------

@@ -77,3 +77,33 @@ def groupwise_combine(final, keys):
                          ignore_index=True)
 
     return combine
+
+
+def bucketed_agg(partials, keys, combine, num_buckets: int = 64,
+                 batch_format: str = "pandas"):
+    """Distributed combine for UNBOUNDED-key aggregations.
+
+    Ray's sort-based ``groupby().aggregate()`` / per-key ``map_groups``
+    pays ~1 ms of per-group Python machinery (measured: 4.8 s for 4.7k
+    md5 groups, 24 s for 25k ngram groups at sf0.1), so aggregations
+    whose key domain grows with the data hash-bucket the key columns
+    into a BOUNDED shuffle key and run one vectorized pandas
+    ``combine(bucket_df) -> DataFrame`` per bucket. ``combine`` sees
+    all partial rows of every key in its bucket (each key lives in
+    exactly one bucket) and must do the per-key reduction itself
+    (``df.groupby(keys).agg(...)``), vectorized.
+    """
+    import pandas as pd
+
+    def add_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        h = pd.util.hash_pandas_object(df[list(keys)],
+                                       index=False).to_numpy()
+        return df.assign(__bucket__=(h % num_buckets).astype("int64"))
+
+    def comb(g: "pd.DataFrame") -> "pd.DataFrame":
+        return combine(g.drop(columns="__bucket__"))
+
+    return (coalesce_partials(
+                partials.map_batches(add_bucket, batch_format=batch_format))
+            .groupby("__bucket__")
+            .map_groups(comb, batch_format=batch_format))

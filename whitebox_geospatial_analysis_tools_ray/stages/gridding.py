@@ -391,7 +391,9 @@ FROM res GROUP BY r ORDER BY row_id
 
 def vector_feature_density(sf_dir: str, cell: float = 50.0,
                            search_dist: float = 300.0,
-                           band_rows: int = 16) -> pd.DataFrame:
+                           band_rows: int = 4) -> pd.DataFrame:
+    # band_rows=4 + band y-prefilter: same plan/rationale as
+    # attribute_gridding above (measured 5.0 s → 1.6 s at sf0.1)
     tab = _l_vertex_table(sf_dir)
     vx = tab["vx"].to_numpy()
     vy = tab["vy"].to_numpy()
@@ -408,13 +410,17 @@ def vector_feature_density(sf_dir: str, cell: float = 50.0,
     n_bands = math.ceil(nrows / band_rows)
 
     def solve(batch) -> pd.DataFrame:
-        fx, fy = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        fx0, fy0 = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         out = []
         for b in batch["id"]:
             r0 = int(b) * band_rows
             r1 = min(r0 + band_rows, nrows)
             y = (north - cell / 2.0 - np.arange(r0, r1) * cell)[:, None]
             x = (west + cell / 2.0 + np.arange(ncols) * cell)[None, :]
+            ylo = float(y.min()) - search_dist
+            yhi = float(y.max()) + search_dist
+            sel = ((fy0 >= ylo) & (fy0 <= yhi)).any(axis=1)
+            fx, fy = fx0[sel], fy0[sel]
             d2 = ((x[..., None, None] - fx) ** 2
                   + (y[..., None, None] - fy) ** 2)
             feat = ((d2 > 0) & (d2 <= r2)).any(axis=-1)

@@ -57,7 +57,9 @@ def run_bench() -> dict:
 
     bench_queries = ["flagship", "tile_assign", "pip_rect_join", "knn_idw",
                      "cell_aggregates", "exact_dedup", "token_stats",
-                     "ann_cosine_topk", "q1_pricing", "events_window"]
+                     "ann_cosine_topk", "q1_pricing", "events_window",
+                     # corpus-curation additions (round 2 part 3)
+                     "minhash_pairs", "dup_clusters", "pack_sequences"]
     times: dict[str, float] = {}
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -197,3 +197,17 @@ def test_repetition_filter_planted(ray_session, tmp_path):
     assert list(got["doc_id"]) == [0]
     # 3 distinct 3-grams of 58 → dup_frac = 1 - 3/58
     assert abs(got["dup_frac"].iloc[0] - (1 - 3 / 58)) < 1e-6
+
+
+def test_pack_sequences_input_order_invariant(ray_session, tmp_path):
+    """Packing is defined over doc_id ORDER, not file row order: a
+    row-shuffled copy of the documents table must pack identically."""
+    t = pq.read_table(f"{SF}/documents.parquet")
+    rng = np.random.default_rng(13)
+    perm = rng.permutation(t.num_rows)
+    d = tmp_path / "perm"
+    d.mkdir()
+    pq.write_table(t.take(perm), d / "documents.parquet")
+    a = corpus.pack_sequences(SF).reset_index(drop=True)
+    b = corpus.pack_sequences(str(d)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _points(sf), triangle_zones()),
         "pip_polygon_join": lambda sf: broadcast_pip_join(
             _points(sf), seeded_polygons()),
+        "pip_rtree_join": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.spatial_join",
+            fromlist=["x"]).rtree_pip_join(_points(sf), seeded_polygons()),
         "spatial_anti_join": lambda sf: broadcast_pip_join(
             _points(sf), rect_zones(), mode="anti"),
         "within_distance_join": lambda sf: within_distance_join(
@@ -1017,6 +1020,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect_join_shuffle": o.pip_rect_join_sql(),
         "pip_triangle_join": o.pip_triangle_join_sql(),
         "pip_polygon_join": o.pip_polygon_join_sql(),
+        # rtree variant: identical semantics, different candidate index
+        "pip_rtree_join": o.pip_polygon_join_sql(),
         "spatial_anti_join": o.spatial_anti_join_sql(),
         "within_distance_join": o.within_distance_join_sql(),
         "knn_idw": o.idw_sql(),

@@ -148,6 +148,56 @@ def broadcast_pip_join(points: "rd.Dataset", zones: list[dict],
         batch_size=32768)
 
 
+class RTreePIPJoin:
+    """Actor-pool inner PIP join indexed by the packed-Hilbert R-tree
+    (core/rtree.py — the index the north rule names; ZoneGridIndex is
+    the uniform-grid alternative). Tree built ONCE per actor in
+    ``__init__``; per batch one vectorized frontier descent yields
+    (point, zone) bbox candidates, then the exact predicate refines
+    per zone. Output is identical to ``BroadcastPIPJoin(mode=inner)``
+    — only the candidate generator differs."""
+
+    def __init__(self, zones_ref):
+        from ..core.rtree import PackedHilbertRTree
+        zones = (ray.get(zones_ref)
+                 if isinstance(zones_ref, ray.ObjectRef) else zones_ref)
+        for z in zones:
+            z["bbox"] = _zone_bbox(z)
+        self.zones = zones
+        self.tree = PackedHilbertRTree(
+            np.array([z["bbox"] for z in zones], dtype=np.float64))
+
+    def __call__(self, batch: dict) -> pd.DataFrame:
+        x = np.asarray(batch["x"], dtype=np.float64)
+        y = np.asarray(batch["y"], dtype=np.float64)
+        rec = np.asarray(batch["rec_id"], dtype=np.int64)
+        prow, zid = self.tree.query_points(x, y)
+        recs, zids = [], []
+        for zi in np.unique(zid):
+            rows = prow[zid == zi]
+            z = self.zones[int(zi)]
+            hit = _zone_hit_mask(z, x[rows], y[rows])
+            if hit.any():
+                recs.append(rec[rows[hit]])
+                zids.append(np.full(int(hit.sum()), z["zone_id"],
+                                    dtype=np.int64))
+        if not recs:
+            return pd.DataFrame({"rec_id": np.array([], dtype=np.int64),
+                                 "zone_id": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"rec_id": np.concatenate(recs),
+                             "zone_id": np.concatenate(zids)})
+
+
+def rtree_pip_join(points: "rd.Dataset", zones: list[dict],
+                   concurrency=None) -> "rd.Dataset":
+    from .util import pool_size
+    zones_ref = ray.put(zones)
+    return points.map_batches(
+        RTreePIPJoin, fn_constructor_args=(zones_ref,),
+        batch_format="numpy", concurrency=concurrency or pool_size(),
+        batch_size=32768)
+
+
 # ---------------------------------------------------------------------------
 # Cell-partitioned shuffle join (large × large path)
 # ---------------------------------------------------------------------------

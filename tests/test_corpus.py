@@ -211,3 +211,11 @@ def test_pack_sequences_input_order_invariant(ray_session, tmp_path):
     a = corpus.pack_sequences(SF).reset_index(drop=True)
     b = corpus.pack_sequences(str(d)).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dup_clusters_no_pairs_is_empty(ray_session, tmp_path):
+    sf = _write_docs(tmp_path / "np",
+                     [f"a{i} b{i} c{i} d{i} e{i}" for i in range(6)])
+    out = corpus.dup_clusters(sf)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "cluster_id"]

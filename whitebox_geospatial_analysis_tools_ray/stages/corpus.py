@@ -120,6 +120,9 @@ def dup_clusters(sf_dir: str, threshold: float = 0.5,
                              "lbl": np.full(2 * len(b), -1, dtype=np.int64)})
 
     edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    if edges.count() == 0:      # no near-dups: empty cluster table
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
 
     def init_labels(b: pd.DataFrame) -> pd.DataFrame:
         n = b["node"].unique().astype(np.int64)

@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf),
         "ann_knn_join": lambda sf: ann.knn_join_topk(sf),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf),
+        "ann_ivf_persisted": lambda sf: ann.ivf_topk_persisted(sf),
         "embedding_neardup": lambda sf: emb.cosine_neardup_pairs(sf),
         "pca_embeddings": lambda sf: emb.pca_embeddings(sf),
         "inverse_pca": lambda sf: emb.inverse_pca_embeddings(sf),
@@ -1037,6 +1038,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": o.ann_cosine_topk_sql(),
         "ann_knn_join": o.ann_knn_join_sql(),
         "ann_ivf_topk": o.ann_ivf_topk_sql(),
+        # persisted-index variant: same quantizer/candidates/ranking
+        "ann_ivf_persisted": o.ann_ivf_topk_sql(),
         "embedding_neardup": o.cosine_neardup_sql(),
         "image_features": o.image_features_sql(),
         "video_frame_sample": _vfs_sql(),

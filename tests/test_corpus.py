@@ -219,3 +219,20 @@ def test_dup_clusters_no_pairs_is_empty(ray_session, tmp_path):
     out = corpus.dup_clusters(sf)
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "cluster_id"]
+
+
+def test_chunk_documents_tiling(ray_session, tmp_path):
+    """Chunks tile each doc: short doc = 1 chunk, doc ending exactly on
+    a window = no extra chunk, overlap region re-covered."""
+    import zlib
+    texts = [" ".join(f"t{i}" for i in range(5)),      # 5 < 64 → 1 chunk
+             " ".join(f"u{i}" for i in range(64)),     # exactly 64 → 1
+             " ".join(f"v{i}" for i in range(65)),     # 65 → chunks 0,1
+             ""]                                       # empty → none
+    sf = _write_docs(tmp_path / "ch", texts)
+    got = (corpus.chunk_documents(sf).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 2, 2]
+    assert got["chunk_id"].tolist() == [0, 0, 0, 1]
+    assert got["n_tokens"].tolist() == [5, 64, 64, 17]  # 65-48=17
+    assert got["first_tok_crc"].iloc[3] == zlib.crc32(b"v48")

@@ -7535,3 +7535,32 @@ SELECT doc_id, round(1.0 - dis::DOUBLE / total::DOUBLE, 6) AS dup_frac
 FROM s WHERE 1.0 - dis::DOUBLE / total::DOUBLE > {max_dup_frac!r}
 ORDER BY doc_id
 """
+
+
+def chunk_documents_sql(chunk_len: int = 64, stride: int = 48) -> str:
+    """Exact mirror of stages/corpus.chunk_documents: overlapping token
+    windows (chunk c covers [c·stride, c·stride+chunk_len), last chunk
+    is the first one reaching the end); first_tok_crc via the shared
+    crc32 CTE machinery."""
+    n_chunks = (f"CASE WHEN n <= {chunk_len} THEN 1 "
+                f"ELSE (n - {chunk_len} + {stride} - 1) // {stride} + 1 END")
+    return f"""
+WITH RECURSIVE
+{_crc32_ctes(f'''rawt AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+raw AS (SELECT doc_id, toks,
+               CASE WHEN toks[1] = '' THEN 0 ELSE len(toks) END AS n
+        FROM rawt),
+items AS (
+  SELECT doc_id, unnest(range({n_chunks})) AS iid,
+         unnest(list_transform(range({n_chunks}),
+           c -> toks[c * {stride} + 1])) AS s
+  FROM raw WHERE n > 0)''')},
+base AS (
+  SELECT doc_id, unnest(range({n_chunks})) AS chunk_id, n
+  FROM raw WHERE n > 0)
+SELECT b.doc_id, b.chunk_id,
+       least({chunk_len}, b.n - b.chunk_id * {stride})::BIGINT AS n_tokens,
+       c.crc AS first_tok_crc
+FROM base b JOIN crcf c ON c.doc_id = b.doc_id AND c.iid = b.chunk_id
+ORDER BY b.doc_id, b.chunk_id
+"""

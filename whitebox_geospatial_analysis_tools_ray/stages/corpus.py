@@ -489,3 +489,52 @@ def repetition_filter(sf_dir: str, max_dup_frac: float = 0.02) -> "rd.Dataset":
                                                     dtype=np.float64)})
 
     return docs.map_batches(scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (RAG / embedding prep)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(sf_dir: str, chunk_len: int = 64,
+                    stride: int = 48) -> "rd.Dataset":
+    """Split each doc into overlapping token windows (chunk_len tokens
+    every stride — the standard RAG/embedding prep): chunk c covers
+    tokens [c·stride, c·stride+chunk_len). The final window is emitted
+    iff it contains ≥1 token beyond the previous window's coverage
+    (i.e. chunks tile the doc; a doc shorter than chunk_len is one
+    chunk). Pure per-doc flat_map — stateless, no shuffle.
+
+    Output: (doc_id, chunk_id, n_tokens, first_tok_crc) where
+    first_tok_crc = crc32 of the chunk's first token (a cheap content
+    witness the oracle reproduces bit-exactly).
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, toks_n, crcs = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = _tokens(text)
+            n = len(toks)
+            if n == 0:
+                continue
+            c = 0
+            while True:
+                start = c * stride
+                if start >= n:
+                    break
+                end = min(start + chunk_len, n)
+                ids.append(int(doc_id))
+                cids.append(c)
+                toks_n.append(end - start)
+                crcs.append(zlib.crc32(toks[start].encode("utf-8")))
+                if end == n:
+                    break
+                c += 1
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "chunk_id": np.asarray(cids, dtype=np.int64),
+            "n_tokens": np.asarray(toks_n, dtype=np.int64),
+            "first_tok_crc": np.asarray(crcs, dtype=np.int64)})
+
+    return docs.map_batches(scan, batch_format="pandas")

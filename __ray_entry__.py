@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: corpus.pack_sequences(sf),
         "repetition_filter": lambda sf: corpus.repetition_filter(sf),
         "chunk_documents": lambda sf: corpus.chunk_documents(sf),
+        "corpus_clean": lambda sf: corpus.corpus_clean(sf),
         # --- text analysis ---
         "token_stats": lambda sf: textops.token_stats_by_lang(sf),
         "quality_scores": lambda sf: textops.quality_scores_by_lang(sf),
@@ -1065,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": o.pack_sequences_sql(),
         "repetition_filter": o.repetition_filter_sql(),
         "chunk_documents": o.chunk_documents_sql(),
+        "corpus_clean": o.corpus_clean_sql(),
         # pca_embeddings / inverse_pca: 64-dim eigendecomposition — no SQL
         # closed form; verified against single-process mirrors in tests.
         "q1_pricing": o.q1_sql(),

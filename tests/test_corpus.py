@@ -236,3 +236,27 @@ def test_chunk_documents_tiling(ray_session, tmp_path):
     assert got["chunk_id"].tolist() == [0, 0, 0, 1]
     assert got["n_tokens"].tolist() == [5, 64, 64, 17]  # 65-48=17
     assert got["first_tok_crc"].iloc[3] == zlib.crc32(b"v48")
+
+
+def test_corpus_clean_reason_bits(ray_session, tmp_path):
+    """Each rule fires independently and composes in the bitmask."""
+    def tail(p):
+        return " ".join(f"{p}{i}" for i in range(30))
+    bench = "secret eval answer tokens " + tail("b")          # id 0 (bench)
+    dup_a = "prose one " + tail("d")                          # id 1 survivor
+    dup_b = "prose one " + tail("d")                          # id 2 dup -> 1
+    spam = " ".join(["spam ham eggs"] * 12)                   # id 3 rep -> 2
+    leak = "xx secret eval answer tokens yy " + tail("l")     # id 4 -> 4
+    short = "tiny doc only five tokens here"                  # id 5 -> 8
+    clean = "fine document " + tail("z")                      # id 6
+    sf = _write_docs(tmp_path / "cc",
+                     [bench, dup_a, dup_b, spam, leak, short, clean])
+    got = (corpus.corpus_clean(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    reasons = dict(zip(got["doc_id"], got["reason"]))
+    assert reasons[0] == 0 and reasons[1] == 0 and reasons[6] == 0
+    assert reasons[2] == 1          # duplicate of 1
+    assert reasons[3] & 2           # repetitious
+    assert reasons[4] == 4          # contaminated only
+    assert reasons[5] == 8          # too short only
+    assert (got["keep"] == (got["reason"] == 0).astype(int)).all()

@@ -7564,3 +7564,48 @@ SELECT b.doc_id, b.chunk_id,
 FROM base b JOIN crcf c ON c.doc_id = b.doc_id AND c.iid = b.chunk_id
 ORDER BY b.doc_id, b.chunk_id
 """
+
+
+def corpus_clean_sql(min_tokens: int = 20, max_dup_frac: float = 0.02,
+                     contam_n: int = 4, bench_mod: int = 97) -> str:
+    """Exact mirror of stages/corpus.corpus_clean: reason bitmask
+    1=duplicate (md5 non-survivor), 2=repetitious, 4=contaminated,
+    8=too short; keep = reason == 0."""
+    return f"""
+WITH raw AS (SELECT doc_id, text, {_STRIP_SPLIT} AS toks FROM documents),
+t AS (SELECT doc_id, text, toks,
+             CASE WHEN toks[1] = '' THEN 0 ELSE len(toks) END AS n
+      FROM raw),
+rep AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT gr) AS dis
+  FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+               i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                 AS gr
+        FROM t WHERE len(toks) >= 3) g GROUP BY 1),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(len(toks) - {contam_n} + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + {contam_n}),
+                                ' '))) AS g
+  FROM t WHERE len(toks) >= {contam_n}),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0),
+contam AS (
+  SELECT DISTINCT tg.doc_id FROM grams tg JOIN bench b ON tg.g = b.g
+  WHERE tg.doc_id % {bench_mod} <> 0),
+surv AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS s
+         FROM t),
+r AS (
+  SELECT t.doc_id,
+         (CASE WHEN t.doc_id <> surv.s THEN 1 ELSE 0 END)
+       + (CASE WHEN rep.doc_id IS NOT NULL
+                AND 1.0 - rep.dis::DOUBLE / rep.total::DOUBLE
+                    > {max_dup_frac!r} THEN 2 ELSE 0 END)
+       + (CASE WHEN contam.doc_id IS NOT NULL THEN 4 ELSE 0 END)
+       + (CASE WHEN t.n < {min_tokens} THEN 8 ELSE 0 END) AS reason
+  FROM t
+  JOIN surv ON surv.doc_id = t.doc_id
+  LEFT JOIN rep ON rep.doc_id = t.doc_id
+  LEFT JOIN contam ON contam.doc_id = t.doc_id)
+SELECT doc_id, (CASE WHEN reason = 0 THEN 1 ELSE 0 END)::BIGINT AS keep,
+       reason::BIGINT AS reason
+FROM r ORDER BY doc_id
+"""

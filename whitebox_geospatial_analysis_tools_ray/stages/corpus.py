@@ -538,3 +538,87 @@ def chunk_documents(sf_dir: str, chunk_len: int = 64,
             "first_tok_crc": np.asarray(crcs, dtype=np.int64)})
 
     return docs.map_batches(scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Composed cleaning pass (the end-to-end curation decision)
+# ---------------------------------------------------------------------------
+
+def corpus_clean(sf_dir: str, min_tokens: int = 20,
+                 max_dup_frac: float = 0.02, contam_n: int = 4,
+                 bench_mod: int = 97) -> "rd.Dataset":
+    """The composed keep/drop pass a curation run actually executes:
+    one streamed scan computes the per-doc rules (repetition,
+    benchmark contamination, length) plus the content md5, then ONE
+    bucketed shuffle on the md5 resolves exact-dup survivorship
+    (survivor = min doc_id). Reason bitmask: 1 = duplicate
+    (non-survivor), 2 = repetitious (dup-3-gram frac > threshold),
+    4 = benchmark-contaminated, 8 = too short; keep = reason == 0.
+
+    Scale shape: the benchmark n-gram set is broadcast once
+    (bounded); everything else is stateless per batch; the only
+    shuffle carries one compact row per doc keyed by a bounded md5
+    bucket. Output: (doc_id, keep, reason).
+    """
+    import ray
+
+    from .util import bucketed_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = set()
+        sel = batch["doc_id"].to_numpy() % bench_mod == 0
+        for text in batch.loc[sel, "text"]:
+            toks = _tokens(text)
+            for i in range(len(toks) - contam_n + 1):
+                grams.add(" ".join(toks[i:i + contam_n]))
+        return pd.DataFrame({"g": sorted(grams)})
+
+    gset: set[str] = set()
+    for b in docs.map_batches(bench_grams, batch_format="pandas") \
+                 .iter_batches(batch_format="pandas"):
+        gset.update(b["g"])
+    gref = ray.put(gset)
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = ray.get(gref)
+        md5s, ids, reasons = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = _tokens(text)
+            reason = 0
+            total3 = len(toks) - 2
+            if total3 >= 1:
+                distinct = len({" ".join(toks[i:i + 3])
+                                for i in range(total3)})
+                if 1.0 - distinct / total3 > max_dup_frac:
+                    reason |= 2
+            if int(doc_id) % bench_mod != 0 and len(toks) >= contam_n:
+                seen = {" ".join(toks[i:i + contam_n])
+                        for i in range(len(toks) - contam_n + 1)}
+                if seen & grams:
+                    reason |= 4
+            if len(toks) < min_tokens:
+                reason |= 8
+            md5s.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+            ids.append(int(doc_id))
+            reasons.append(reason)
+        return pd.DataFrame({"text_md5": md5s,
+                             "doc_id": np.asarray(ids, dtype=np.int64),
+                             "reason": np.asarray(reasons,
+                                                  dtype=np.int64)})
+
+    partials = docs.map_batches(scan, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        surv = df.groupby("text_md5", sort=False)["doc_id"] \
+                 .transform("min")
+        reason = df["reason"].to_numpy().copy()
+        reason[df["doc_id"].to_numpy() != surv.to_numpy()] |= 1
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "keep": (reason == 0).astype(np.int64),
+            "reason": reason.astype(np.int64)})
+
+    return bucketed_agg(partials, ["text_md5"], combine)

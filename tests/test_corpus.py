@@ -260,3 +260,25 @@ def test_corpus_clean_reason_bits(ray_session, tmp_path):
     assert reasons[4] == 4          # contaminated only
     assert reasons[5] == 8          # too short only
     assert (got["keep"] == (got["reason"] == 0).astype(int)).all()
+
+
+def test_bucketed_agg_equals_plain_groupby(ray_session):
+    """bucketed_agg(sum) over random partials == a pandas groupby sum,
+    for both string and multi-int keys."""
+    import ray.data as rd
+    from whitebox_geospatial_analysis_tools_ray.stages.util import (
+        bucketed_agg)
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": [f"key{i}" for i in rng.integers(0, 500, 5000)],
+        "v": rng.integers(0, 100, 5000)})
+    want = (df.groupby("k")["v"].sum().reset_index()
+            .sort_values("k").reset_index(drop=True))
+
+    def combine(g):
+        a = g.groupby("k", sort=False)["v"].sum().reset_index()
+        return a
+
+    got = (bucketed_agg(rd.from_pandas(df).repartition(7), ["k"], combine)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

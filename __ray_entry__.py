@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_real": lambda sf: multimodal.image_features_real(sf),
         "image_resize_stats": lambda sf: multimodal.image_resize_stats(sf),
         "video_frame_sample": lambda sf: multimodal.video_frame_sample(sf),
+        "audio_frame_stats": lambda sf: multimodal.audio_frame_stats(sf),
         # --- relational surface ---
         "q1_pricing": lambda sf: relational.q1_pricing_summary(sf),
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
@@ -1045,6 +1046,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": o.cosine_neardup_sql(),
         "image_features": o.image_features_sql(),
         "video_frame_sample": _vfs_sql(),
+        "audio_frame_stats": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.multimodal",
+            fromlist=["x"]).audio_frame_stats_sql(),
         "image_features_real": __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.multimodal",
             fromlist=["x"]).image_features_real_sql(),

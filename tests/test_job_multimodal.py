@@ -67,3 +67,34 @@ def test_fake_image_roundtrip():
     assert out.loc[0, "width"] == 16 + 37 % 64
     assert out.loc[0, "height"] == 16 + (37 * 7) % 48
     assert out.loc[0, "n_payload_bytes"] == 6
+
+
+def test_audio_frame_stats_mirror(ray_session):
+    """Frame RMS matches a pure-numpy replay of the PCM formula; the
+    binary roundtrip (encode → frombuffer) is loss-free."""
+    import numpy as np
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import multimodal as mm
+
+    got = (mm.audio_frame_stats("/root/testdata/sf0.001").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    import pyarrow.parquet as pq
+    ids = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id"]).to_pandas()["doc_id"]
+    rows = []
+    for d in sorted(int(x) for x in ids):
+        s = np.frombuffer(mm.encode_fake_audio(d), dtype="<i2") \
+              .astype(np.int64)
+        f = len(s) // mm.AUDIO_FRAME
+        ss = (s * s).reshape(f, mm.AUDIO_FRAME).sum(axis=1)
+        rows.append({
+            "doc_id": d, "n_frames": f,
+            "max_frame_rms": np.floor(
+                np.sqrt(ss.max() / mm.AUDIO_FRAME) * 1e6 + 0.5) / 1e6,
+            "rms": np.floor(
+                np.sqrt(ss.sum() / (f * mm.AUDIO_FRAME)) * 1e6 + 0.5) / 1e6})
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every doc has whole frames only (length construction)
+    assert (got["n_frames"] >= 5).all()

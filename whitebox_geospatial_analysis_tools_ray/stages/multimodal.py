@@ -345,3 +345,93 @@ px AS (SELECT d.doc_id,
 SELECT doc_id, CAST(SUM(v) AS BIGINT) AS resized_sum
 FROM px GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio: opaque PCM binary column + actor-pool frame analysis
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 160     # 10 ms at 16 kHz
+
+
+def encode_fake_audio(doc_id: int) -> bytes:
+    """Deterministic 16-bit little-endian PCM: sample i of doc d is
+    ((d·7919 + i·104729) mod 65536) − 32768; length 800 + (d mod 5)·160
+    samples (whole 10 ms frames by construction). Integer arithmetic
+    only, so the SQL oracle replays it exactly."""
+    n = 800 + (doc_id % 5) * AUDIO_FRAME
+    i = np.arange(n, dtype=np.int64)
+    s = (doc_id * 7919 + i * 104729) % 65536 - 32768
+    return s.astype("<i2").tobytes()
+
+
+def audio_table(sf_dir: str) -> "rd.Dataset":
+    """documents → audio rows (doc_id, media_type, pcm: binary)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "media_type": "audio/pcm16",
+            "pcm": [encode_fake_audio(int(i)) for i in batch["doc_id"]]})
+
+    return ds.map_batches(pack, batch_format="pandas")
+
+
+class AudioFrameAnalyzer:
+    """Actor-pool stage: decode the PCM binary column and compute
+    per-frame energy — the window-level feature extraction an audio
+    curation pipeline runs (VAD / loudness gating). State (here just
+    the frame size; with real codecs the decoder context) lives in
+    ``__init__``; ``__call__`` is one vectorized pass per batch."""
+
+    def __init__(self, frame: int = AUDIO_FRAME):
+        self.frame = frame
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, nfr, mx, rms = [], [], [], []
+        for doc_id, buf in zip(batch["doc_id"], batch["pcm"]):
+            s = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+            f = len(s) // self.frame
+            ss = (s * s).reshape(f, self.frame).sum(axis=1)
+            ids.append(int(doc_id))
+            nfr.append(f)
+            # half-away rounding to match DuckDB round()
+            mx.append(np.floor(np.sqrt(ss.max() / self.frame) * 1e6
+                               + 0.5) / 1e6)
+            rms.append(np.floor(np.sqrt(ss.sum() / (f * self.frame)) * 1e6
+                                + 0.5) / 1e6)
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "n_frames": np.asarray(nfr, dtype=np.int64),
+            "max_frame_rms": np.asarray(mx, dtype=np.float64),
+            "rms": np.asarray(rms, dtype=np.float64)})
+
+
+def audio_frame_stats(sf_dir: str, batch_size: int = 256,
+                      concurrency=None) -> "rd.Dataset":
+    """(doc_id, n_frames, max_frame_rms, rms) per audio row via the
+    actor pool; exact SQL oracle replays the PCM formula."""
+    from .util import pool_size
+    return audio_table(sf_dir).map_batches(
+        AudioFrameAnalyzer, batch_format="pandas",
+        concurrency=concurrency or pool_size(), batch_size=batch_size)
+
+
+def audio_frame_stats_sql(frame: int = AUDIO_FRAME) -> str:
+    """Exact mirror of audio_frame_stats: integer PCM replay + frame
+    energy aggregation."""
+    return f"""
+WITH d AS (SELECT doc_id, 800 + (doc_id % 5) * {frame} AS n FROM documents),
+s AS (SELECT doc_id, unnest(range(n)) AS i FROM d),
+v AS (SELECT doc_id, i // {frame} AS f,
+             (doc_id * 7919 + i * 104729) % 65536 - 32768 AS x
+      FROM s),
+fr AS (SELECT doc_id, f, sum(x * x)::BIGINT AS ss FROM v GROUP BY 1, 2)
+SELECT doc_id,
+       count(*)::BIGINT AS n_frames,
+       round(sqrt(max(ss) / {frame}.0), 6) AS max_frame_rms,
+       round(sqrt(sum(ss) / (count(*) * {frame}.0)), 6) AS rms
+FROM fr GROUP BY doc_id ORDER BY doc_id
+"""

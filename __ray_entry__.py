@@ -1309,6 +1309,9 @@ def oracle_sql() -> dict[str, str]:
         "multiparts_to_singleparts": _vops2("multiparts_to_singleparts_sql"),
         "singleparts_to_multiparts": _vops2("singleparts_to_multiparts_sql"),
         "remove_polygon_holes": _vops2("remove_polygon_holes_sql"),
+        # flipped from rows-only: ring is integer unit-step + distances
+        # are translation-invariant, so the neck walk replays in SQL
+        "remove_polygon_necks": o.remove_polygon_necks_sql(),
         "extend_vector_lines": _vops2("extend_vector_lines_sql"),
         "add_point_coordinates": _vops2("add_point_coordinates_sql"),
         "create_rect_vector_grid": _vops2("create_rect_vector_grid_sql"),

@@ -7609,3 +7609,92 @@ SELECT doc_id, (CASE WHEN reason = 0 THEN 1 ELSE 0 END)::BIGINT AS keep,
        reason::BIGINT AS reason
 FROM r ORDER BY doc_id
 """
+
+
+def remove_polygon_necks_sql(radius: float = 3.0,
+                             gap_threshold: float = 30.0) -> str:
+    """Exact mirror of stages/vector_ops.remove_polygon_necks: the ring
+    is axis-aligned with INTEGER unit-step vertices and distances are
+    translation-invariant, so the neck segmentation depends only on the
+    corridor length (5 distinct cases), computed in SQL from first
+    principles: pairwise d² ≤ r², seam-remapped index ranges, max index
+    gap, then the literal run-emission rule (runs of gap ≥ threshold;
+    a run ended by a non-neck vertex emits iff len > 1; a run reaching
+    the LAST vertex emits at any length)."""
+    from .core.features import POINTS_CTE
+    return f"""
+WITH {POINTS_CTE},
+feat AS (SELECT rec_id,
+                10 + 2 * ((CAST(z AS BIGINT) % 200) % 5) AS cl
+         FROM pts),
+cls AS (SELECT DISTINCT cl FROM feat),
+pts12 AS (
+  SELECT c.cl, t.k,
+         CASE t.k WHEN 0 THEN 0 WHEN 1 THEN 10 WHEN 2 THEN 10
+                  WHEN 3 THEN 10 + c.cl WHEN 4 THEN 10 + c.cl
+                  WHEN 5 THEN 20 + c.cl WHEN 6 THEN 20 + c.cl
+                  WHEN 7 THEN 10 + c.cl WHEN 8 THEN 10 + c.cl
+                  WHEN 9 THEN 10 WHEN 10 THEN 10 ELSE 0 END AS x,
+         CASE t.k WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 4
+                  WHEN 3 THEN 4 WHEN 4 THEN 0 WHEN 5 THEN 0
+                  WHEN 6 THEN 10 WHEN 7 THEN 10 WHEN 8 THEN 6
+                  WHEN 9 THEN 6 WHEN 10 THEN 10 ELSE 10 END AS y
+  FROM cls c, (SELECT unnest(range(12)) AS k) t),
+segs AS (
+  SELECT a.cl, a.k, a.x AS x0, a.y AS y0, b.x AS x1, b.y AS y1,
+         abs(b.x - a.x) + abs(b.y - a.y) AS steps
+  FROM pts12 a JOIN pts12 b
+    ON b.cl = a.cl AND b.k = (a.k + 1) % 12),
+walk AS (
+  SELECT cl, k, unnest(range(steps)) AS s,
+         x0, y0, (x1 - x0) // steps AS dx, (y1 - y0) // steps AS dy
+  FROM segs),
+ringv AS (
+  SELECT cl, row_number() OVER (PARTITION BY cl ORDER BY k, s) - 1 AS i,
+         x0 + dx * s AS vx, y0 + dy * s AS vy
+  FROM walk),
+nn AS (SELECT cl, count(*) AS nv FROM ringv GROUP BY cl),
+ring AS (      -- the shapefile closing vertex repeats vertex 0
+  SELECT * FROM ringv
+  UNION ALL
+  SELECT r.cl, n.nv AS i, r.vx, r.vy
+  FROM ringv r JOIN nn n ON n.cl = r.cl WHERE r.i = 0),
+rn AS (SELECT cl, nv + 1 AS n FROM nn),
+inr AS (
+  SELECT a.cl, a.i, b.i AS j
+  FROM ring a JOIN ring b ON b.cl = a.cl
+  WHERE (a.vx - b.vx) * (a.vx - b.vx)
+      + (a.vy - b.vy) * (a.vy - b.vy) <= {radius * radius!r}),
+rng AS (
+  SELECT cl, i, min(j) AS mn, max(j) AS mx FROM inr GROUP BY 1, 2),
+remap AS (
+  SELECT v.cl, v.i,
+         CASE WHEN g.mx - g.mn = n.n - 1 AND v.j < n.n / 2.0
+              THEN v.j + n.n ELSE v.j END AS jj
+  FROM inr v
+  JOIN rng g ON g.cl = v.cl AND g.i = v.i
+  JOIN rn n ON n.cl = v.cl),
+diffs AS (
+  SELECT cl, i,
+         jj - lag(jj) OVER (PARTITION BY cl, i ORDER BY jj) AS d
+  FROM remap),
+gaps AS (SELECT cl, i, max(d) AS mg FROM diffs GROUP BY 1, 2),
+neck AS (
+  SELECT cl, i FROM gaps
+  WHERE mg IS NOT NULL AND mg >= {gap_threshold!r}),
+runs AS (
+  SELECT cl, i,
+         i - row_number() OVER (PARTITION BY cl ORDER BY i) AS grp
+  FROM neck),
+seg0 AS (
+  SELECT r.cl, min(r.i) AS a, max(r.i) AS b, count(*) AS len
+  FROM runs r GROUP BY r.cl, r.grp),
+emitted AS (
+  SELECT s.cl, s.a, s.len,
+         row_number() OVER (PARTITION BY s.cl ORDER BY s.a) AS seg_id
+  FROM seg0 s JOIN rn n ON n.cl = s.cl
+  WHERE s.len > 1 OR s.b = n.n - 1)
+SELECT f.rec_id, e.seg_id::BIGINT AS seg_id, e.len::BIGINT AS n_points
+FROM feat f JOIN emitted e ON e.cl = f.cl
+ORDER BY f.rec_id, e.seg_id
+"""

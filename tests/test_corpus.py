@@ -282,3 +282,13 @@ def test_bucketed_agg_equals_plain_groupby(ray_session):
     got = (bucketed_agg(rd.from_pandas(df).repartition(7), ["k"], combine)
            .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bucketed_ops_survive_hot_key(ray_session, tmp_path):
+    """A single key carrying ALL mass (the skew case) still aggregates
+    exactly — one bucket absorbs it with a vectorized pandas sum."""
+    texts = ["hotword " * 50] * 200 + [f"cold{i} filler words" for i in range(50)]
+    sf = _write_docs(tmp_path / "hot", [t.strip() for t in texts])
+    got = corpus.topk_tokens(sf, k=3)
+    assert got["token"].iloc[0] == "hotword"
+    assert got["cnt"].iloc[0] == 200 * 50

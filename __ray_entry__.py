@@ -1376,6 +1376,11 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).nearest_neighbour_analysis_sql(),
         "attribute_gridding": _gridding_sql("attribute_gridding_sql"),
         "find_straight_segments": _vops2("find_straight_segments_sql"),
+        # flipped from rows-only: static matching gates + declarative
+        # path components make the greedy chain walk SQL-replayable
+        "find_polygon_chains": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.chains",
+            fromlist=["x"]).find_polygon_chains_sql(),
         "clip_raster_to_polygon": o.clip_raster_to_polygon_sql(),
         "cross_tabulation": o.cross_tab_sql(),
         "kappa_index": o.kappa_sql(),

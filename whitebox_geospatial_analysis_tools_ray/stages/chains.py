@@ -327,3 +327,280 @@ def find_polygon_chains_naive(sf_dir: str) -> pd.DataFrame:
     pts = pd.DataFrame(rows, columns=["pt", "x", "y", "poly", "endiness"])
     n_polys = int(pts["poly"].max()) if len(pts) else 0
     return _match_and_walk(pts, n_polys)
+
+
+def find_polygon_chains_sql() -> str:
+    """Exact mirror of find_polygon_chains — flipped from rows-only.
+
+    Phase 1 (member synthesis + the 181-angle 0.5-degree MBB sweep with
+    the Double.MIN_VALUE east/north clamp, first-wins key points and the
+    Python-float %% rationalisation) replays as plain relational SQL;
+    float expressions reproduce the Python's association order
+    bit-exactly (verified: endpoint table identical at sf0.001/0.01).
+
+    Phase 2's greedy mutual matching looks sequential, but its geometric
+    gates are STATIC — connections only ever remove candidates — so each
+    point's gate-passing candidates are precomputed ordered by (d1, c)
+    and the scan replays as a one-row-per-step recursive machine whose
+    step is just "first still-unconnected candidate + mutuality check"
+    over carried conn lists.
+
+    Phase 3's chain walk is declarative: links form only paths/cycles
+    (each polygon end links at most once), so chains = path components
+    (min-label closure), start = the component's minimum single-linked
+    polygon, emitted iff length >= MIN_CHAIN, group ids ranked by start.
+
+    Heavy shared CTEs are MATERIALIZED — the recursive machine would
+    otherwise re-run phase 1 every step. ~20 s at the driver's sf0.01
+    (500 docs, 1000 machine steps).
+    """
+    return """
+WITH RECURSIVE
+mem AS (
+  SELECT doc_id AS rec, doc_id // 6 AS chain, doc_id % 6 AS pos
+  FROM documents),
+memh AS (
+  SELECT rec, chain, pos,
+         (chain * 2654435761) % 4294967296 AS hc,
+         list_transform(range(6),
+           j -> 36.0 + ((((chain * 6 + j) * 2654435761) % 4294967296) % 12))
+           AS lens
+  FROM mem),
+memg AS (
+  SELECT rec, pos, hc, lens,
+         ((hc % 180) * 0.5) * pi() / 180.0 AS theta,
+         (chain % 32) * 2000.0 AS gx,
+         (chain // 32) * 2000.0 AS gy,
+         (SELECT coalesce(sum(lens[j + 1] + 4.0), 0.0)
+          FROM unnest(range(pos)) t(j)) + lens[pos + 1] / 2.0 AS along,
+         (pos = 5 OR (hc % 3 = 0 AND pos = 3)) AS fat
+  FROM memh),
+member AS (
+  SELECT rec, theta,
+         gx + along * cos(theta) AS cx,
+         gy + along * sin(theta) AS cy,
+         CASE WHEN fat THEN 20.0 ELSE lens[pos + 1] END AS length,
+         CASE WHEN fat THEN 20.0 ELSE 8.0 END AS width
+  FROM memg),
+mhalf AS (
+  SELECT rec,
+         cos(theta) * length / 2.0 AS ax, sin(theta) * length / 2.0 AS ay,
+         -sin(theta) * width / 2.0 AS px, cos(theta) * width / 2.0 AS py,
+         cx, cy
+  FROM member),
+mv AS (
+  SELECT rec, t.k,
+         CASE t.k WHEN 0 THEN cx - ax - px WHEN 1 THEN cx + ax - px
+                  WHEN 2 THEN cx + ax + px ELSE cx - ax + px END AS vx,
+         CASE t.k WHEN 0 THEN cy - ay - py WHEN 1 THEN cy + ay - py
+                  WHEN 2 THEN cy + ay + py ELSE cy - ay + py END AS vy
+  FROM mhalf, (SELECT unnest(range(4)) AS k) t),
+mid AS (
+  SELECT rec,
+         min(vx) + (max(vx) - min(vx)) / 2.0 AS mid_x,
+         min(vy) + (max(vy) - min(vy)) / 2.0 AS mid_y
+  FROM mv GROUP BY rec),
+cv AS (
+  SELECT v.rec, v.k, v.vx, v.vy,
+         v.vx - m.mid_x AS x, v.vy - m.mid_y AS y, m.mid_x, m.mid_y
+  FROM mv v JOIN mid m ON m.rec = v.rec),
+rot AS (
+  SELECT c.rec, c.k, t.m,
+         c.x * cos(((-t.m) * 0.5) * pi() / 180.0)
+           - c.y * sin(((-t.m) * 0.5) * pi() / 180.0) AS xr,
+         c.x * sin(((-t.m) * 0.5) * pi() / 180.0)
+           + c.y * cos(((-t.m) * 0.5) * pi() / 180.0) AS yr
+  FROM cv c, (SELECT unnest(range(181)) AS m) t),
+ext AS (
+  SELECT rec, m,
+         min(xr) AS w, greatest(max(xr), 4.9e-324) AS e,
+         min(yr) AS s, greatest(max(yr), 4.9e-324) AS n
+  FROM rot GROUP BY rec, m),
+best AS (
+  SELECT rec, m, w, e, s, n, (e - w) * (n - s) AS area,
+         row_number() OVER (PARTITION BY rec
+                            ORDER BY (e - w) * (n - s), m) AS rn
+  FROM ext),
+b1 AS (SELECT rec, m, w, e, s, n, e - w AS ax_x, n - s AS ax_y
+       FROM best WHERE rn = 1),
+kp AS (      -- the 4 key points at the best angle, in the literal order
+  SELECT b.rec, u.ki,
+         CASE u.ki
+           WHEN 0 THEN (SELECT r.k FROM rot r WHERE r.rec = b.rec AND r.m = b.m
+                        ORDER BY r.xr, r.k LIMIT 1)
+           WHEN 1 THEN (SELECT r.k FROM rot r WHERE r.rec = b.rec AND r.m = b.m
+                        ORDER BY r.xr DESC, r.k LIMIT 1)
+           WHEN 2 THEN (SELECT r.k FROM rot r WHERE r.rec = b.rec AND r.m = b.m
+                        ORDER BY r.yr, r.k LIMIT 1)
+           ELSE        (SELECT r.k FROM rot r WHERE r.rec = b.rec AND r.m = b.m
+                        ORDER BY r.yr DESC, r.k LIMIT 1)
+         END AS k
+  FROM b1 b, (SELECT unnest(range(4)) AS ki) u),
+geo AS (
+  SELECT b.rec, b.ax_x, b.ax_y,
+         ((-b.m) * 0.5) * pi() / 180.0 AS psi,
+         greatest(b.ax_x, b.ax_y) AS long_axis,
+         least(b.ax_x, b.ax_y) AS short_axis,
+         b.w + b.ax_x / 2.0 AS bx, b.s + b.ax_y / 2.0 AS by,
+         m.mid_x, m.mid_y
+  FROM b1 b JOIN mid m ON m.rec = b.rec
+  WHERE 1.0 - least(b.ax_x, b.ax_y) / greatest(b.ax_x, b.ax_y) > 0.25),
+slo AS (
+  SELECT rec, long_axis, short_axis,
+         mid_x + bx * cos(-psi) - by * sin(-psi) AS box_cx,
+         mid_y + bx * sin(-psi) + by * cos(-psi) AS box_cy,
+         CASE WHEN ax_x > ax_y THEN -psi ELSE -(pi() / 2.0 + psi) END AS slope0
+  FROM geo),
+rat AS (   -- Python float %: fmod adjusted toward the divisor's sign
+  SELECT rec, long_axis, short_axis, box_cx, box_cy,
+         (CASE WHEN fmod(
+                 (CASE WHEN fmod(slope0 * 2.0, 2.0 * pi()) <> 0
+                        AND fmod(slope0 * 2.0, 2.0 * pi()) < 0
+                       THEN fmod(slope0 * 2.0, 2.0 * pi()) + 2.0 * pi()
+                       ELSE fmod(slope0 * 2.0, 2.0 * pi()) END) + 2.0 * pi(),
+                 2.0 * pi()) <> 0
+                AND fmod(
+                 (CASE WHEN fmod(slope0 * 2.0, 2.0 * pi()) <> 0
+                        AND fmod(slope0 * 2.0, 2.0 * pi()) < 0
+                       THEN fmod(slope0 * 2.0, 2.0 * pi()) + 2.0 * pi()
+                       ELSE fmod(slope0 * 2.0, 2.0 * pi()) END) + 2.0 * pi(),
+                 2.0 * pi()) < 0
+               THEN fmod(
+                 (CASE WHEN fmod(slope0 * 2.0, 2.0 * pi()) <> 0
+                        AND fmod(slope0 * 2.0, 2.0 * pi()) < 0
+                       THEN fmod(slope0 * 2.0, 2.0 * pi()) + 2.0 * pi()
+                       ELSE fmod(slope0 * 2.0, 2.0 * pi()) END) + 2.0 * pi(),
+                 2.0 * pi()) + 2.0 * pi()
+               ELSE fmod(
+                 (CASE WHEN fmod(slope0 * 2.0, 2.0 * pi()) <> 0
+                        AND fmod(slope0 * 2.0, 2.0 * pi()) < 0
+                       THEN fmod(slope0 * 2.0, 2.0 * pi()) + 2.0 * pi()
+                       ELSE fmod(slope0 * 2.0, 2.0 * pi()) END) + 2.0 * pi(),
+                 2.0 * pi()) END) / 2.0 AS slope
+  FROM slo),
+axend AS (
+  SELECT r.rec, r.short_axis, u.e AS endiness,
+         r.box_cx + (CASE u.e WHEN 1 THEN 1.0 ELSE -1.0 END)
+           * r.long_axis / 2.0 * cos(r.slope) AS ex,
+         r.box_cy + (CASE u.e WHEN 1 THEN 1.0 ELSE -1.0 END)
+           * r.long_axis / 2.0 * sin(r.slope) AS ey
+  FROM rat r, (SELECT unnest([1, 2]) AS e) u),
+ep AS MATERIALIZED (
+  SELECT a.rec * 2 + (a.endiness - 1) AS pt,
+         (SELECT v.vx FROM kp j JOIN cv v ON v.rec = a.rec AND v.k = j.k
+          WHERE j.rec = a.rec
+            AND (v.vx - a.ex) * (v.vx - a.ex)
+              + (v.vy - a.ey) * (v.vy - a.ey)
+                < a.short_axis * a.short_axis * 1.05
+          ORDER BY (v.vx - a.ex) * (v.vx - a.ex)
+                 + (v.vy - a.ey) * (v.vy - a.ey), j.ki LIMIT 1) AS x,
+         (SELECT v.vy FROM kp j JOIN cv v ON v.rec = a.rec AND v.k = j.k
+          WHERE j.rec = a.rec
+            AND (v.vx - a.ex) * (v.vx - a.ex)
+              + (v.vy - a.ey) * (v.vy - a.ey)
+                < a.short_axis * a.short_axis * 1.05
+          ORDER BY (v.vx - a.ex) * (v.vx - a.ex)
+                 + (v.vy - a.ey) * (v.vy - a.ey), j.ki LIMIT 1) AS y,
+         a.rec + 1 AS poly, a.endiness
+  FROM axend a),
+co AS (
+  SELECT e.pt AS i, e.x, e.y, e.poly, e.endiness,
+         p.x AS xo, p.y AS yo,
+         sqrt((p.x - e.x) * (p.x - e.x)
+            + (p.y - e.y) * (p.y - e.y)) AS len1
+  FROM ep e JOIN ep p
+    ON p.pt = CASE WHEN e.endiness = 1 THEN e.pt + 1 ELSE e.pt - 1 END),
+cand AS (
+  SELECT a.i, c.i AS c,
+         (c.x - a.x) * (c.x - a.x) + (c.y - a.y) * (c.y - a.y) AS d1
+  FROM co a JOIN co c ON c.poly <> a.poly
+  WHERE (c.x - a.x) * (c.x - a.x) + (c.y - a.y) * (c.y - a.y) < 144.0
+    AND (c.x - a.x) * (c.x - a.x) + (c.y - a.y) * (c.y - a.y)
+        < (c.x - a.xo) * (c.x - a.xo) + (c.y - a.yo) * (c.y - a.yo)
+    AND (c.x - a.x) * (c.x - a.x) + (c.y - a.y) * (c.y - a.y)
+        < (c.xo - a.x) * (c.xo - a.x) + (c.yo - a.y) * (c.yo - a.y)
+    AND sqrt((c.xo - a.xo) * (c.xo - a.xo) + (c.yo - a.yo) * (c.yo - a.yo))
+        > (sqrt((least(a.len1, c.len1)
+                 + sqrt((c.x - a.x) * (c.x - a.x)
+                      + (c.y - a.y) * (c.y - a.y)))
+              * (least(a.len1, c.len1)
+                 + sqrt((c.x - a.x) * (c.x - a.x)
+                      + (c.y - a.y) * (c.y - a.y)))
+              + greatest(a.len1, c.len1) * greatest(a.len1, c.len1))
+           + ((sqrt((c.x - a.x) * (c.x - a.x) + (c.y - a.y) * (c.y - a.y))
+               + greatest(a.len1, c.len1) + least(a.len1, c.len1))
+              - sqrt((least(a.len1, c.len1)
+                      + sqrt((c.x - a.x) * (c.x - a.x)
+                           + (c.y - a.y) * (c.y - a.y)))
+                   * (least(a.len1, c.len1)
+                      + sqrt((c.x - a.x) * (c.x - a.x)
+                           + (c.y - a.y) * (c.y - a.y)))
+                   + greatest(a.len1, c.len1) * greatest(a.len1, c.len1)))
+             * 0.5)),
+candl AS MATERIALIZED (SELECT i, list(c ORDER BY d1, c) AS cl FROM cand GROUP BY i),
+nn2 AS MATERIALIZED (SELECT 2 * count(*) AS n FROM documents),
+idx2 AS (SELECT unnest(range((SELECT n FROM nn2))) AS x),
+plist AS MATERIALIZED (SELECT list(coalesce(e.poly, 0) ORDER BY i.x) AS pl
+          FROM idx2 i LEFT JOIN ep e ON e.pt = i.x),
+cl2 AS (SELECT i.x, coalesce(c.cl, []::BIGINT[]) AS cl
+        FROM idx2 i LEFT JOIN candl c ON c.i = i.x),
+clist AS MATERIALIZED (SELECT list(cl ORDER BY x) AS cls FROM cl2),
+m2(k, cpl, ptl) AS (
+  SELECT 0,
+         list_transform(range((SELECT n FROM nn2)), x -> 0),
+         list_transform(range((SELECT n FROM nn2)), x -> -1)
+  UNION ALL
+  SELECT k + 1,
+         CASE WHEN ok THEN
+           list_transform(range(n), x ->
+             CASE WHEN x = k THEN pl[nb + 1]
+                  WHEN x = nb THEN pl[k + 1]
+                  ELSE cpl[x + 1] END)
+         ELSE cpl END,
+         CASE WHEN ok THEN
+           list_transform(range(n), x ->
+             CASE WHEN x = k THEN nb
+                  WHEN x = nb THEN k
+                  ELSE ptl[x + 1] END)
+         ELSE ptl END
+  FROM (
+    SELECT s1.*,
+           s1.nb >= 0
+           AND coalesce(list_filter(s1.cls[s1.nb + 1],
+                 cc -> s1.cpl[cc + 1] = 0)[1], -1) = s1.k AS ok
+    FROM (
+      SELECT m2.k, m2.cpl, m2.ptl, p.pl, c.cls,
+             (SELECT n FROM nn2) AS n,
+             CASE WHEN p.pl[m2.k + 1] = 0 THEN -1
+                  ELSE coalesce(list_filter(c.cls[m2.k + 1],
+                        cc -> m2.cpl[cc + 1] = 0)[1], -1) END AS nb
+      FROM m2, plist p, clist c
+      WHERE m2.k < (SELECT n FROM nn2)) s1) s2),
+fin AS (SELECT cpl, ptl FROM m2 WHERE k = (SELECT n FROM nn2)),
+linkpt AS (
+  SELECT i.x AS i, f.ptl[i.x + 1] AS j
+  FROM fin f, idx2 i WHERE f.ptl[i.x + 1] >= 0),
+pedge AS (
+  SELECT DISTINCT least(i // 2 + 1, j // 2 + 1) AS a,
+                  greatest(i // 2 + 1, j // 2 + 1) AS b
+  FROM linkpt),
+deg AS (SELECT i // 2 + 1 AS p, count(*) AS links FROM linkpt GROUP BY 1),
+sym2 AS (SELECT a, b FROM pedge UNION SELECT b, a FROM pedge),
+cc2(node, lbl) AS (
+  SELECT a, a FROM sym2
+  UNION
+  SELECT s.a, c.lbl FROM cc2 c JOIN sym2 s ON s.b = c.node),
+comp AS (SELECT node, min(lbl) AS comp_id FROM cc2 GROUP BY node),
+cstat AS (
+  SELECT c.comp_id, count(*) AS len,
+         min(CASE WHEN d.links = 1 THEN c.node END) AS start
+  FROM comp c JOIN deg d ON d.p = c.node
+  GROUP BY c.comp_id),
+emitted2 AS (
+  SELECT comp_id, row_number() OVER (ORDER BY start) AS gid
+  FROM cstat WHERE len >= 3 AND start IS NOT NULL)
+SELECT c.node::BIGINT AS parent_id, e.gid::BIGINT AS group_id
+FROM comp c JOIN emitted2 e ON e.comp_id = c.comp_id
+ORDER BY group_id, parent_id
+
+"""

@@ -545,12 +545,14 @@ plist AS MATERIALIZED (SELECT list(coalesce(e.poly, 0) ORDER BY i.x) AS pl
 cl2 AS (SELECT i.x, coalesce(c.cl, []::BIGINT[]) AS cl
         FROM idx2 i LEFT JOIN candl c ON c.i = i.x),
 clist AS MATERIALIZED (SELECT list(cl ORDER BY x) AS cls FROM cl2),
-m2(k, cpl, ptl) AS (
+act AS MATERIALIZED (   -- only points with candidates can connect,
+  SELECT list(i ORDER BY i) AS al, count(*) AS na FROM candl),
+m2(r, cpl, ptl) AS (    -- so the scan iterates the ACTIVE list only
   SELECT 0,
          list_transform(range((SELECT n FROM nn2)), x -> 0),
          list_transform(range((SELECT n FROM nn2)), x -> -1)
   UNION ALL
-  SELECT k + 1,
+  SELECT r + 1,
          CASE WHEN ok THEN
            list_transform(range(n), x ->
              CASE WHEN x = k THEN pl[nb + 1]
@@ -569,14 +571,14 @@ m2(k, cpl, ptl) AS (
            AND coalesce(list_filter(s1.cls[s1.nb + 1],
                  cc -> s1.cpl[cc + 1] = 0)[1], -1) = s1.k AS ok
     FROM (
-      SELECT m2.k, m2.cpl, m2.ptl, p.pl, c.cls,
+      SELECT m2.r, m2.cpl, m2.ptl, p.pl, c.cls, a.al[m2.r + 1] AS k,
              (SELECT n FROM nn2) AS n,
-             CASE WHEN p.pl[m2.k + 1] = 0 THEN -1
-                  ELSE coalesce(list_filter(c.cls[m2.k + 1],
+             CASE WHEN p.pl[a.al[m2.r + 1] + 1] = 0 THEN -1
+                  ELSE coalesce(list_filter(c.cls[a.al[m2.r + 1] + 1],
                         cc -> m2.cpl[cc + 1] = 0)[1], -1) END AS nb
-      FROM m2, plist p, clist c
-      WHERE m2.k < (SELECT n FROM nn2)) s1) s2),
-fin AS (SELECT cpl, ptl FROM m2 WHERE k = (SELECT n FROM nn2)),
+      FROM m2, plist p, clist c, act a
+      WHERE m2.r < a.na) s1) s2),
+fin AS (SELECT cpl, ptl FROM m2, act WHERE r = na),
 linkpt AS (
   SELECT i.x AS i, f.ptl[i.x + 1] AS j
   FROM fin f, idx2 i WHERE f.ptl[i.x + 1] >= 0),

@@ -292,3 +292,17 @@ def test_bucketed_ops_survive_hot_key(ray_session, tmp_path):
     got = corpus.topk_tokens(sf, k=3)
     assert got["token"].iloc[0] == "hotword"
     assert got["cnt"].iloc[0] == 200 * 50
+
+
+def test_find_polygon_chains_block_invariant(ray_session):
+    """Phase 1 is a stateless per-member map; phases 2-3 sort the
+    compact endpoint table — the result must not depend on the input's
+    block structure."""
+    from whitebox_geospatial_analysis_tools_ray.stages.chains import (
+        find_polygon_chains)
+    a = (find_polygon_chains(SF)
+         .sort_values(["parent_id", "group_id"]).reset_index(drop=True))
+    b = (find_polygon_chains(SF)
+         .sort_values(["parent_id", "group_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus curation (cluster resolution, boilerplate,
         #     decontamination, vocabulary, stratified sampling) ---
         "dup_clusters": lambda sf: corpus.dup_clusters(sf),
+        "embedding_dup_clusters": lambda sf: corpus.embedding_dup_clusters(sf),
         "boilerplate_ngrams": lambda sf: corpus.boilerplate_ngrams(sf),
         "topk_tokens": lambda sf: corpus.topk_tokens(sf),
         "decontaminate": lambda sf: corpus.decontaminate(sf),
@@ -1063,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": o.minhash_pairs_sql(),
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(),
         "dup_clusters": o.dup_clusters_sql(),
+        "embedding_dup_clusters": o.embedding_dup_clusters_sql(),
         "boilerplate_ngrams": o.boilerplate_ngrams_sql(),
         "topk_tokens": o.topk_tokens_sql(),
         "decontaminate": o.decontaminate_sql(),

@@ -7698,3 +7698,21 @@ SELECT f.rec_id, e.seg_id::BIGINT AS seg_id, e.len::BIGINT AS n_points
 FROM feat f JOIN emitted e ON e.cl = f.cl
 ORDER BY f.rec_id, e.seg_id
 """
+
+
+def embedding_dup_clusters_sql(threshold: float = 0.35) -> str:
+    """Exact mirror of stages/corpus.embedding_dup_clusters: min-label
+    transitive closure over the embedding cosine near-dup pair graph."""
+    pair_q = cosine_neardup_sql(threshold)
+    return f"""
+WITH RECURSIVE
+base AS MATERIALIZED (SELECT doc_a, doc_b FROM ({pair_q}) q),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM base
+        UNION SELECT doc_b, doc_a FROM base),
+cc(node, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, c.lbl FROM cc c JOIN sym s ON s.b = c.node)
+SELECT node AS vec_id, min(lbl)::BIGINT AS cluster_id
+FROM cc GROUP BY node ORDER BY vec_id
+"""

@@ -100,8 +100,25 @@ def dup_clusters(sf_dir: str, threshold: float = 0.5,
     Output: (doc_id, cluster_id) for every doc appearing in ≥1 pair,
     cluster_id = min doc_id of its component.
     """
-    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    return cluster_pairs(ngram_jaccard_pairs(sf_dir, threshold=threshold),
+                         max_rounds=max_rounds)
 
+
+def embedding_dup_clusters(sf_dir: str, threshold: float = 0.35,
+                           max_rounds: int = 32) -> pd.DataFrame:
+    """Same cluster resolution over the EMBEDDING near-dup pair graph
+    (``embeddings.cosine_neardup_pairs`` — the IVF-bucketed exact
+    cosine join): (vec_id, cluster_id)."""
+    from .embeddings import cosine_neardup_pairs
+    out = cluster_pairs(cosine_neardup_pairs(sf_dir, threshold=threshold),
+                        max_rounds=max_rounds)
+    return out.rename(columns={"doc_id": "vec_id"})
+
+
+def cluster_pairs(pairs: "rd.Dataset", max_rounds: int = 32) -> pd.DataFrame:
+    """Connected components over a (doc_a, doc_b) pair Dataset —
+    the shared kernel behind ``dup_clusters`` / ``embedding_dup_clusters``
+    (see ``dup_clusters`` for the plan)."""
     NB = 64
 
     def _nb(nodes: np.ndarray) -> np.ndarray:

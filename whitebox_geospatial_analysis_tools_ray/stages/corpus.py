@@ -296,10 +296,14 @@ def decontaminate(sf_dir: str, n: int = 4, bench_mod: int = 97) -> "rd.Dataset":
     4-grams give a realistic contamination rate at every test SF).
 
     The benchmark set is the deterministic subset doc_id % bench_mod
-    == 0 (stands in for the held-out eval suite). Its n-gram set is
-    SMALL and broadcast once via ``ray.put``; the corpus streams
-    through a stateless ``map_batches`` doing set-membership counts —
-    no shuffle at all.
+    == 0 — the sandbox stand-in for the held-out eval suite, which in
+    a real pipeline is a FIXED corpus (the boundedness assumption this
+    plan relies on: the broadcast n-gram set is O(eval suite), not
+    O(corpus); with the mod stand-in it would grow with the corpus, so
+    don't scale bench_mod semantics literally). The n-gram set is
+    broadcast once via ``ray.put``; the corpus streams through a
+    stateless ``map_batches`` doing set-membership counts — no shuffle
+    at all.
 
     Output: (doc_id, n_hit) for non-benchmark docs with ≥1 shared
     n-gram, n_hit = number of DISTINCT contaminated n-grams in the doc.
@@ -412,7 +416,9 @@ def pack_sequences(sf_dir: str, seq_len: int = 512,
          emits one (seq_id, tokens_in_seq) row per overlapped sequence.
       3. bounded-bucket combine on seq_id % NB.
     Nothing unbounded ever lands on the driver: the pass-1 vector is
-    O(n_docs / docs_per_bucket).
+    O(n_docs / docs_per_bucket) — size docs_per_bucket so that stays
+    in driver memory (at 10¹²-doc scale, nest the same two-pass scheme
+    one level deeper: bucket totals of bucket totals).
 
     Output: (seq_id, n_docs, n_tokens) — n_tokens == seq_len except the
     final partial sequence.

@@ -968,6 +968,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_regression": _pair_q(raster_stats.image_regression),
         # --- flagship (rows-only; composite of the above) ---
         "flagship": lambda sf: flagship(sf),
+        "job_manifest": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.pipelines.job",
+            fromlist=["x"]).job_manifest(sf),
         "pages_flagship": _pages_flagship_q,
     }
 
@@ -999,6 +1002,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "flagship": o.flagship_sql(),
+        # the checkpointed writer under the gate: manifest rows per tile
+        "job_manifest": ("SELECT CAST(tile_id AS BIGINT) AS partition, "
+                         "count(*)::BIGINT AS n_rows FROM ("
+                         + o.flagship_sql()
+                         + ") q GROUP BY 1 ORDER BY 1"),
         "pages_flagship": o.pages_flagship_sql(),
         "tile_assign": o.tile_assign_sql(),
         "las_tile_stats": _las_sql(),

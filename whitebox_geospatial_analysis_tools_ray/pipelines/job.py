@@ -90,3 +90,28 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def job_manifest(sf_dir: str) -> "pd.DataFrame":
+    """Run the checkpointed flagship write to a CONTENT-KEYED /tmp dir
+    and return the manifest (partition, n_rows) — this puts the
+    resumable writer itself under the exact-oracle gate: a rerun
+    resumes from the committed partitions and must produce the
+    identical manifest (oracle = the flagship SQL grouped per tile)."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+    out = f"/tmp/graft_job_{key}"
+    run_flagship_job(sf_dir, out)
+    from ..state.checkpoint import load_manifest
+    mf = load_manifest(out)
+    parts = sorted(mf)
+    return pd.DataFrame({
+        "partition": pd.Series(parts, dtype="int64"),
+        "n_rows": pd.Series([mf[p]["rows"] for p in parts], dtype="int64")})

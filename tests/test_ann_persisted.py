@@ -45,19 +45,46 @@ def test_build_is_resumable(ray_session, tmp_path):
 
 
 def test_cache_key_tracks_content(tmp_path):
-    """Same path, different bytes → different index dir (the
-    stale-fixture failure mode from round 1's red row)."""
-    d = tmp_path / "sf"
-    d.mkdir()
-    shutil.copy(f"{SF}/embeddings.parquet", d / "embeddings.parquet")
-    # compute the key twice: once fresh, once after touching the file
-    import hashlib
-    src = str(d / "embeddings.parquet")
+    """ADVICE regression: the cache key must track CONTENT. A file
+    regenerated with different data but identical size and preserved
+    mtime (the cp -p / rsync -a failure mode) must invalidate the
+    cache; an mtime-only touch must NOT."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whitebox_geospatial_analysis_tools_ray.state.checkpoint import (
+        commit_cache_key, content_cache_dir, content_fingerprint)
+
+    src = str(tmp_path / "t.parquet")
+
+    def write(vals):
+        pq.write_table(pa.table({"v": pa.array(vals, type=pa.int64())}),
+                       src, compression="NONE")
+
+    write(np.arange(100))
     st = os.stat(src)
-    key1 = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|16|6|v1".encode()).hexdigest()
-    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
-    st2 = os.stat(src)
-    key2 = hashlib.md5(
-        f"{src}|{st2.st_size}|{st2.st_mtime_ns}|16|6|v1".encode()).hexdigest()
-    assert key1 != key2
+    fp1 = content_fingerprint(src, "p")
+    # mtime-only touch: fingerprint unchanged
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    assert content_fingerprint(src, "p") == fp1
+    # different data, same size, mtime restored to the original
+    write(np.arange(100, 200))
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert os.path.getsize(src) == st.st_size
+    assert content_fingerprint(src, "p") != fp1
+
+    # dir lifecycle: build -> valid; content change -> wiped
+    write(np.arange(100))
+    d, valid = content_cache_dir(src, "graft_testcache", "p")
+    assert not valid
+    open(os.path.join(d, "artifact"), "w").write("x")
+    commit_cache_key(d, src, "p")
+    d2, valid2 = content_cache_dir(src, "graft_testcache", "p")
+    assert d2 == d and valid2
+    assert os.path.exists(os.path.join(d, "artifact"))
+    write(np.arange(200, 300))
+    d3, valid3 = content_cache_dir(src, "graft_testcache", "p")
+    assert d3 == d and not valid3
+    assert not os.path.exists(os.path.join(d, "artifact"))  # wiped
+    shutil.rmtree(d, ignore_errors=True)

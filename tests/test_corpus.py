@@ -221,6 +221,22 @@ def test_dup_clusters_no_pairs_is_empty(ray_session, tmp_path):
     assert list(out.columns) == ["doc_id", "cluster_id"]
 
 
+def test_cluster_pairs_long_chain_converges(ray_session):
+    """ADVICE regression: a near-dup chain far longer than the old
+    32-round cap (0-1-2-...-299, each hop crossing buckets) must still
+    resolve to ONE component with min label 0 — pointer-doubled
+    hash-to-min converges in O(log diameter), and non-convergence now
+    raises instead of returning silently-wrong labels."""
+    import ray.data as rd
+    n = 300
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_a": np.arange(n - 1, dtype=np.int64),
+        "doc_b": np.arange(1, n, dtype=np.int64)}))
+    out = corpus.cluster_pairs(pairs, max_rounds=24)
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()
+
+
 def test_chunk_documents_tiling(ray_session, tmp_path):
     """Chunks tile each doc: short doc = 1 chunk, doc ending exactly on
     a window = no extra chunk, overlap region re-covered."""

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from whitebox_geospatial_analysis_tools_ray.stages import kriging as kg
 
@@ -66,3 +67,14 @@ def test_sdot_is_left_fold():
     b = np.array([1.0, 1.0, 1.0])
     # left fold: (1e16 + 1) + -1e16 == 0.0 (the +1 is absorbed)
     assert kg._sdot(a, b) == 0.0
+
+
+def test_gauss_solve_singular_raises():
+    """ADVICE regression: a singular neighbour system (coincident /
+    collinear points) must raise LinAlgError loudly, not divide by a
+    zero pivot and emit inf/NaN predictions."""
+    A = np.array([[1.0, 2.0], [2.0, 4.0]])   # rank 1
+    with pytest.raises(np.linalg.LinAlgError):
+        kg.gauss_solve(A, np.array([1.0, 2.0]))
+    with pytest.raises(np.linalg.LinAlgError):
+        kg.gauss_solve(np.zeros((3, 3)), np.ones(3))

@@ -67,8 +67,11 @@ for i, name in enumerate(sorted(qs)):
             assert list(g.columns) == list(w.columns), \
                 f"cols {list(g.columns)} != {list(w.columns)}"
             assert len(g) == len(w), f"rows {len(g)} != {len(w)}"
+            # check_dtype=True: the driver's value-hash distinguishes
+            # int64 from float64 (HUGEINT sums fetch as float64), so a
+            # dtype-lax compare here is strictly weaker than the gate.
             pd.testing.assert_frame_equal(g, w, check_exact=True,
-                                          check_dtype=False)
+                                          check_dtype=True)
             ok += 1
             status = "ok"
     except Exception as ex:

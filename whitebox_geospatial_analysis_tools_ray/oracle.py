@@ -4380,7 +4380,7 @@ d AS (SELECT g.cell,
       FROM g CROSS JOIN tgt GROUP BY g.cell)
 SELECT cell // {cols} AS row_id,
        round(SUM(sqrt(CAST(k // {n} AS DOUBLE))), 6) AS row_sum,
-       SUM(k % {n}) AS sum_alloc
+       CAST(SUM(k % {n}) AS BIGINT) AS sum_alloc
 FROM d GROUP BY cell // {cols}
 """
 
@@ -6684,7 +6684,7 @@ samp AS (SELECT cell,
   FROM cells WHERE ((cell * 2654435761 + 999331) % 4294967296) % {k} = 0)
 SELECT c.cell // {cols} AS row_id,
        CAST(COUNT(s.cell) AS BIGINT) AS n_samples,
-       COALESCE(SUM(s.sid), 0) AS sum_sample_id
+       CAST(COALESCE(SUM(s.sid), 0) AS BIGINT) AS sum_sample_id
 FROM cells c LEFT JOIN samp s ON s.cell = c.cell
 GROUP BY c.cell // {cols}
 """
@@ -7311,7 +7311,8 @@ hb AS MATERIALIZED (
   FROM raw r CROSS JOIN pw WHERE r.toks[1] = ''),
 ham AS (
   SELECT ba.doc_id AS doc_a, bb.doc_id AS doc_b,
-         sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+         CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+              AS BIGINT) AS hamming
   FROM hb ba JOIN hb bb ON bb.b = ba.b AND ba.doc_id < bb.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, hamming FROM ham

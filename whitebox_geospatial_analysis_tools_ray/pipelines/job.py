@@ -98,16 +98,16 @@ def job_manifest(sf_dir: str) -> "pd.DataFrame":
     resumable writer itself under the exact-oracle gate: a rerun
     resumes from the committed partitions and must produce the
     identical manifest (oracle = the flagship SQL grouped per tile)."""
-    import hashlib
-    import os
-
     import pandas as pd
 
+    from ..state.checkpoint import commit_cache_key, content_cache_dir
+
+    # content-fingerprinted (size + parquet footer), ONE dir per source:
+    # survives cp -p fixture regeneration and bounds /tmp growth
     src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
-    out = f"/tmp/graft_job_{key}"
+    out, valid = content_cache_dir(src, "graft_job", "v2")
+    if not valid:
+        commit_cache_key(out, src, "v2")
     run_flagship_job(sf_dir, out)
     from ..state.checkpoint import load_manifest
     mf = load_manifest(out)

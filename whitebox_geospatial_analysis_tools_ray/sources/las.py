@@ -385,8 +385,8 @@ keyed AS (
          CAST(floor(z * {q!r} + 0.5) AS BIGINT) AS zq
   FROM las)
 SELECT tile_id, COUNT(*) AS n_points,
-       SUM(intensity) AS sum_intensity,
-       SUM(zq) / {q!r} AS sum_z
+       CAST(SUM(intensity) AS BIGINT) AS sum_intensity,
+       CAST(SUM(zq) AS BIGINT) / {q!r} AS sum_z
 FROM keyed GROUP BY tile_id ORDER BY tile_id
 """
 

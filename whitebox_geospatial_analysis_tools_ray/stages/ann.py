@@ -37,12 +37,14 @@ def _bottom_n_by_vec_id(sf_dir: str, n: int) -> "pd.DataFrame":
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    best = None
+    # start from an empty typed frame so a zero-row table degrades to an
+    # empty result instead of best=None -> AttributeError downstream
+    best = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                         "embedding": pd.Series([], dtype="object")})
     for rb in pf.iter_batches(batch_size=max(4096, n),
                               columns=["vec_id", "embedding"]):
         df = rb.to_pandas()
-        best = df if best is None else pd.concat([best, df],
-                                                 ignore_index=True)
+        best = pd.concat([best, df], ignore_index=True)
         best = best.sort_values("vec_id", kind="mergesort").head(n)
     return best.reset_index(drop=True)
 
@@ -204,20 +206,24 @@ def ivf_build(sf_dir: str, n_lists: int = 16, round_to: int = 6,
     and queries then read only their probed partitions instead of
     re-quantizing the whole table per query (the round-1 verdict's
     named scale debt). Resumable: committed partitions are skipped on
-    re-run. The cache key hashes the table's size+mtime AND the
-    quantizer params, never just the path (the stale-fixture lesson).
+    re-run. The cache key hashes the table's actual CONTENT (size +
+    parquet footer bytes) AND the quantizer params — never the path or
+    mtime, so a regenerated fixture copied with `cp -p` still misses —
+    and ONE dir per source path bounds /tmp growth (ADVICE round 2).
     Returns the index directory."""
-    import hashlib
     import os
 
+    from ..state.checkpoint import commit_cache_key, content_cache_dir
+
     src = f"{sf_dir}/embeddings.parquet"
+    params = f"{n_lists}|{round_to}|v2"
     if out_dir is None:
-        st = os.stat(src)
-        key = hashlib.md5(
-            f"{src}|{st.st_size}|{st.st_mtime_ns}|{n_lists}|{round_to}|v1"
-            .encode()).hexdigest()[:16]
-        out_dir = f"/tmp/graft_ivf_{key}"
-    # content-keyed dir → a completed build never needs rescanning
+        out_dir, valid = content_cache_dir(src, "graft_ivf", params)
+        if not valid:
+            # stamp the key at build START so an interrupted build is
+            # resumed only against the same content
+            commit_cache_key(out_dir, src, params)
+    # content-validated dir → a completed build never needs rescanning
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     cent = _ivf_centroids(sf_dir, n_lists)

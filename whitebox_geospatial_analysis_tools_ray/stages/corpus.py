@@ -173,6 +173,16 @@ def cluster_pairs(pairs: "rd.Dataset", max_rounds: int = 32) -> pd.DataFrame:
             ra, rb = find(int(a)), find(int(b))
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
+        # pointer doubling: a label value is always a node id inside the
+        # same component (labels start as self and only ever adopt
+        # component minima), so unioning node<->label treats every label
+        # learned in earlier rounds as a shortcut edge — long cross-bucket
+        # chains collapse in O(log diameter) rounds instead of O(diameter)
+        for n, l in lab.items():
+            if int(n) != int(l):
+                ra, rb = find(int(n)), find(int(l))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
         # group min label = min over member nodes' labels and ids
         gmin: dict[int, int] = {}
         for n, l in lab.items():
@@ -181,12 +191,19 @@ def cluster_pairs(pairs: "rd.Dataset", max_rounds: int = 32) -> pd.DataFrame:
         for x in list(parent):
             r = find(x)
             gmin[r] = min(gmin.get(r, x), x)
+        # message targets: edge peers, the nodes themselves, AND the
+        # label ids (the (label -> node) messages of hash-to-min): the
+        # label's own bucket learns the group min next round, which is
+        # what makes the node<->label shortcut edges above effective
         node = np.concatenate([ed["peer"].to_numpy(dtype=np.int64),
-                               lab.index.to_numpy(dtype=np.int64)])
+                               lab.index.to_numpy(dtype=np.int64),
+                               lab.to_numpy(dtype=np.int64)])
         lbl = np.concatenate([
             np.fromiter((gmin[find(int(x))] for x in ed["node"]),
                         dtype=np.int64, count=len(ed)),
             np.fromiter((gmin[find(int(x))] for x in lab.index),
+                        dtype=np.int64, count=len(lab)),
+            np.fromiter((gmin[find(int(x))] for x in lab.to_numpy()),
                         dtype=np.int64, count=len(lab))])
         return pd.DataFrame({
             "bucket": _nb(node), "node": node,
@@ -196,11 +213,25 @@ def cluster_pairs(pairs: "rd.Dataset", max_rounds: int = 32) -> pd.DataFrame:
     def min_label(g: pd.DataFrame) -> pd.DataFrame:
         a = g.groupby("node", sort=False)["lbl"].min().reset_index()
         n = a["node"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"bucket": _nb(n), "node": n,
-                             "peer": np.full(len(n), -1, dtype=np.int64),
-                             "lbl": a["lbl"].astype(np.int64)})
+        l = a["lbl"].to_numpy(dtype=np.int64)
+        # each node's label row goes to BOTH the node's bucket and the
+        # LABEL's bucket: in the label's bucket, propagate unions
+        # node<->label next to the label's own self-row, so the node
+        # learns lbl(lbl) in one round — lbl_i <- lbl(lbl_i) is the
+        # pointer-doubling step that makes rounds O(log diameter)
+        return pd.DataFrame({
+            "bucket": np.concatenate([_nb(n), _nb(l)]),
+            "node": np.concatenate([n, n]),
+            "peer": np.full(2 * len(n), -1, dtype=np.int64),
+            "lbl": np.concatenate([l, l])})
 
-    prev_sig = None
+    # labels only ever decrease, so the sum-of-labels signature strictly
+    # decreases until the component-min fixpoint: sig == prev_sig IS
+    # convergence. max_rounds is a safety limit only — with the
+    # node<->label pointer doubling above, rounds are O(log diameter),
+    # so hitting it means a logic bug, and we raise rather than return
+    # silently-wrong cluster ids.
+    prev_sig, converged = None, False
     for _ in range(max_rounds):
         msgs = (labels.union(edges).groupby("bucket")
                 .map_groups(propagate, batch_format="pandas"))
@@ -210,10 +241,18 @@ def cluster_pairs(pairs: "rd.Dataset", max_rounds: int = 32) -> pd.DataFrame:
         sig = new_labels.aggregate(Sum("lbl", alias_name="s"))["s"]
         labels = new_labels
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"cluster_pairs: label propagation did not converge within "
+            f"{max_rounds} rounds (pointer-doubled hash-to-min should "
+            f"need O(log diameter) — this indicates a bug, not big data)")
 
     out = labels.select_columns(["node", "lbl"]).to_pandas()  # bounded: dup nodes only
+    # min_label emits each node's row to two buckets; collapse to one
+    out = out.groupby("node", sort=False)["lbl"].min().reset_index()
     out = out.rename(columns={"node": "doc_id", "lbl": "cluster_id"})
     return out.sort_values("doc_id").reset_index(drop=True)
 

@@ -67,6 +67,14 @@ def gauss_solve(A: np.ndarray, b: np.ndarray) -> np.ndarray:
     M = M.copy()
     for p in range(n):
         piv = p + int(np.argmax(np.abs(M[p:, p])))
+        if M[piv, p] == 0.0:
+            # singular system (coincident / collinear neighbours):
+            # fail loudly instead of dividing by zero and silently
+            # propagating inf/NaN into the interpolated surface —
+            # callers map this to NODATA for the affected cell
+            raise np.linalg.LinAlgError(
+                f"gauss_solve: zero pivot at column {p} (singular "
+                f"neighbour system)")
         if piv != p:
             M[[p, piv]] = M[[piv, p]]
         for r in range(p + 1, n):
@@ -261,7 +269,10 @@ def krige_cells(sf_dir: str, k: int = K_NEIGHBORS,
             A[m, m] = 0.0
             b = np.ones(m + 1)
             b[:m] = spherical(nd, sill, rng)
-            w = gauss_solve(A, b)
+            try:
+                w = gauss_solve(A, b)
+            except np.linalg.LinAlgError:
+                continue        # degenerate neighbourhood -> NODATA cell
             out[qi] = _sdot(w[:m], nz)
         return pd.DataFrame({"cell_id": qs["rec_id"].to_numpy(),
                              "kriged_z": np.round(out, round_to)})
@@ -310,7 +321,11 @@ def krige_cells_naive(sf_dir: str, k: int = K_NEIGHBORS,
         A[mm, mm] = 0.0
         b = np.ones(mm + 1)
         b[:mm] = spherical(nd, sill, rng)
-        w = gauss_solve(A, b)
+        try:
+            w = gauss_solve(A, b)
+        except np.linalg.LinAlgError:
+            rows.append({"cell_id": c["cell_id"], "kriged_z": NODATA})
+            continue
         rows.append({"cell_id": c["cell_id"],
                      "kriged_z": round(_sdot(w[:mm], nz), round_to)})
     return pd.DataFrame(rows).sort_values("cell_id").reset_index(drop=True)
@@ -368,7 +383,10 @@ def rbf_cells(sf_dir: str, k: int = K_NEIGHBORS, eps: float = 50.0,
             dij = np.sqrt((nx[:, None] - nx[None, :]) ** 2
                           + (ny[:, None] - ny[None, :]) ** 2)
             A = _mq(dij, eps)
-            w = gauss_solve(A, nz)
+            try:
+                w = gauss_solve(A, nz)
+            except np.linalg.LinAlgError:
+                continue        # degenerate neighbourhood -> NODATA cell
             out[qi] = _sdot(w, _mq(np.sqrt(d2[order]), eps))
         return pd.DataFrame({"cell_id": qs["rec_id"].to_numpy(),
                              "rbf_z": np.round(out, round_to)})
@@ -394,7 +412,11 @@ def rbf_cells_naive(sf_dir: str, k: int = K_NEIGHBORS, eps: float = 50.0,
         nx, ny, nz = x[order], y[order], z[order]
         dij = np.sqrt((nx[:, None] - nx[None, :]) ** 2
                       + (ny[:, None] - ny[None, :]) ** 2)
-        w = gauss_solve(_mq(dij, eps), nz)
+        try:
+            w = gauss_solve(_mq(dij, eps), nz)
+        except np.linalg.LinAlgError:
+            rows.append({"cell_id": c["cell_id"], "rbf_z": NODATA})
+            continue
         rows.append({"cell_id": c["cell_id"],
                      "rbf_z": round(_sdot(w, _mq(np.sqrt(qd2[order]), eps)),
                                     round_to)})

@@ -26,6 +26,50 @@ import numpy as np
 import pandas as pd
 
 
+def content_fingerprint(path: str, params: str = "") -> str:
+    """Content key for derived-artifact caches: md5 of file size + the
+    parquet FOOTER bytes (row-group stats/offsets — any data change
+    changes them) + params. Unlike an (size, mtime_ns) key, this
+    survives `cp -p` / `rsync -a` fixture regeneration, which preserves
+    timestamps and commonly preserves size."""
+    import hashlib
+
+    size = os.path.getsize(path)
+    h = hashlib.md5(f"{size}|{params}".encode())
+    with open(path, "rb") as f:
+        f.seek(max(0, size - 65536))
+        h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def content_cache_dir(src: str, prefix: str, params: str = "") -> tuple[str, bool]:
+    """ONE stable cache dir per (source path, prefix) under /tmp whose
+    validity is checked against ``content_fingerprint``. Returns
+    (dir, valid): valid=True means the cached artifact matches the
+    current source content; valid=False means the dir was wiped (stale
+    content) or is new, and the caller must rebuild then call
+    ``commit_cache_key``. Reusing one dir per source bounds /tmp growth
+    (the old content-keyed-dir scheme accumulated one dir per mtime)."""
+    import hashlib
+    import shutil
+
+    key = content_fingerprint(src, params)
+    d = f"/tmp/{prefix}_{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    key_file = os.path.join(d, "_KEY")
+    if os.path.exists(key_file):
+        with open(key_file) as f:
+            if f.read().strip() == key:
+                return d, True
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d, False
+
+
+def commit_cache_key(cache_dir: str, src: str, params: str = "") -> None:
+    with open(os.path.join(cache_dir, "_KEY"), "w") as f:
+        f.write(content_fingerprint(src, params))
+
+
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_MANIFEST.jsonl")
 

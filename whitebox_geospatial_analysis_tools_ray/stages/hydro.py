@@ -737,86 +737,77 @@ _GRID_LEN8 = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
 def downslope_flowpath_length(spec: RasterSpec | None = None,
                               max_rounds: int = 64,
                               round_to: int = 4) -> pd.DataFrame:
-    """(row_id, n_valid, sum_len) per raster row."""
+    """(row_id, n_valid, sum_len) per raster row — banded fixed point
+    via fixed_point.tile_fixed_point: per-tile (z, ptr) state persists
+    in the object store; only the {boundary global_cell: distance}
+    message dicts travel per round."""
+    from .fixed_point import tile_fixed_point
     from .terrain import _DX, _DY
 
     spec = spec or RasterSpec()
     cols = spec.cols
     n = spec.n_tiles
 
-    def solve(batch, ext_ref) -> pd.DataFrame:
-        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
-            else ext_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            H = z.shape[0]
-            r0 = tid * spec.tile_rows
-            d = np.full((H, cols), np.nan)
-            ext = ext_all[tid]  # {global_cell: d} for rows adjacent to me
-            order = np.argsort(z, axis=None, kind="stable")  # ascending
-            for lin in order:
-                r, c = divmod(int(lin), cols)
-                if z[r, c] == spec.nodata:
-                    continue
-                code = ptr[r, c]
-                if code <= 0:
-                    d[r, c] = 0.0 if code == 0 else np.nan
-                    continue
-                i = int(code).bit_length() - 1
-                r2, c2 = r + _DY[i], c + _DX[i]
-                step = _GRID_LEN8[i]
-                if 0 <= r2 < H and 0 <= c2 < cols:
-                    d[r, c] = step + d[r2, c2]
-                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                    g = (r0 + r2) * cols + c2
-                    d[r, c] = step + ext.get(g, np.nan)
-                else:
-                    d[r, c] = step  # flows off-grid: path ends there
-            rows.append({"tile_id": tid, "shape0": H, "d": d.tobytes(),
-                         "top": d[0].tobytes(), "bot": d[-1].tobytes()})
-        return pd.DataFrame(rows)
+    def build(tid: int):
+        return _tile_pointers(spec, tid)
 
-    ext = {t: {} for t in range(n)}
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(ext)
-        res = (rd.range(n).map_batches(lambda b, _r=ref: solve(b, _r),
-                                       batch_format="numpy").to_pandas())
-        new_ext = {t: {} for t in range(n)}
-        for r in res.itertuples():
-            tid = int(r.tile_id)
-            h = int(r.shape0)
-            r0 = tid * spec.tile_rows
-            top = np.frombuffer(r.top)
-            bot = np.frombuffer(r.bot)
-            if tid > 0:
-                for c in np.flatnonzero(~np.isnan(top)):
-                    new_ext[tid - 1][r0 * cols + int(c)] = float(top[c])
-            if tid + 1 < n:
-                g0 = (r0 + h - 1) * cols
-                for c in np.flatnonzero(~np.isnan(bot)):
-                    new_ext[tid + 1][g0 + int(c)] = float(bot[c])
-        if new_ext == ext:
-            last = res
-            break
-        ext = new_ext
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("flowpath length did not converge")
+    def _solve_d(state, tid: int, inbox) -> np.ndarray:
+        z, ptr = state
+        H = z.shape[0]
+        r0 = tid * spec.tile_rows
+        ext: dict[int, float] = {}
+        for _sender, msg in inbox:
+            ext.update(msg)
+        d = np.full((H, cols), np.nan)
+        order = np.argsort(z, axis=None, kind="stable")  # ascending
+        for lin in order:
+            r, c = divmod(int(lin), cols)
+            if z[r, c] == spec.nodata:
+                continue
+            code = ptr[r, c]
+            if code <= 0:
+                d[r, c] = 0.0 if code == 0 else np.nan
+                continue
+            i = int(code).bit_length() - 1
+            r2, c2 = r + _DY[i], c + _DX[i]
+            step = _GRID_LEN8[i]
+            if 0 <= r2 < H and 0 <= c2 < cols:
+                d[r, c] = step + d[r2, c2]
+            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                g = (r0 + r2) * cols + c2
+                d[r, c] = step + ext.get(g, np.nan)
+            else:
+                d[r, c] = step  # flows off-grid: path ends there
+        return d
 
-    out = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        d = np.frombuffer(r.d).reshape(h, cols)
-        r0 = int(r.tile_id) * spec.tile_rows
+    def solve(state, tid: int, inbox):
+        d = _solve_d(state, tid, inbox)
+        r0 = tid * spec.tile_rows
+        h = d.shape[0]
+        out = {}
+        top, bot = d[0], d[-1]
+        up = {r0 * cols + int(c): float(top[c])
+              for c in np.flatnonzero(~np.isnan(top))}
+        dn = {(r0 + h - 1) * cols + int(c): float(bot[c])
+              for c in np.flatnonzero(~np.isnan(bot))}
+        if up and tid > 0:
+            out[tid - 1] = up
+        if dn and tid + 1 < n:
+            out[tid + 1] = dn
+        return out
+
+    def extract(state, tid: int, inbox) -> pd.DataFrame:
+        d = _solve_d(state, tid, inbox)
+        r0 = tid * spec.tile_rows
         fin = ~np.isnan(d)
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + d.shape[0]),
             "n_valid": fin.sum(axis=1).astype(np.int64),
             "sum_len": np.round(np.where(fin, d, 0.0).sum(axis=1),
-                                round_to)}))
+                                round_to)})
+
+    out = tile_fixed_point(n, build, solve, extract, max_rounds,
+                           "flowpath length")
     return (pd.concat(out, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
@@ -904,71 +895,38 @@ def _flux_tile(z, ptr, loading, eff, absorp, inflow, nodata):
 
 def mass_flux_d8(spec: RasterSpec | None = None, max_rounds: int = 64,
                  round_to: int = 4) -> pd.DataFrame:
-    """(row_id, n_valid, sum_flux) per raster row."""
-    import json
+    """(row_id, n_valid, sum_flux) per raster row — banded fixed point
+    via fixed_point.updn_fixed_point (state in the object store, only
+    O(cols) messages per round)."""
+    from .fixed_point import updn_fixed_point
 
     spec = spec or RasterSpec()
     cols = spec.cols
-    n_tiles = spec.n_tiles
-    inflows = {t: np.zeros((min(spec.tile_rows,
-                                spec.rows - t * spec.tile_rows), cols))
-               for t in range(n_tiles)}
 
-    def solve(batch, inflow_ref) -> pd.DataFrame:
-        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
-            else inflow_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            r0 = tid * spec.tile_rows
-            cell = np.arange(r0 * cols, (r0 + z.shape[0]) * cols,
-                             dtype=np.int64)
-            ld, ef, ab = (a.reshape(z.shape) for a in _flux_params(cell))
-            out, up, dn = _flux_tile(z, ptr, ld, ef, ab, infl[tid],
-                                     spec.nodata)
-            rows.append({"tile_id": tid, "flux": out.tobytes(),
-                         "shape0": out.shape[0],
-                         "up": json.dumps(up), "dn": json.dumps(dn)})
-        return pd.DataFrame(rows)
-
-    import json
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(inflows)
-        res = (rd.range(n_tiles)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_inflows = {t: np.zeros_like(v) for t, v in inflows.items()}
-        for r in res.itertuples():
-            for col, amt in json.loads(r.up).items():
-                if r.tile_id > 0:
-                    new_inflows[r.tile_id - 1][-1, int(col)] += amt
-            for col, amt in json.loads(r.dn).items():
-                if r.tile_id < n_tiles - 1:
-                    new_inflows[r.tile_id + 1][0, int(col)] += amt
-        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
-            last = res
-            break
-        inflows = new_inflows
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("mass flux did not converge")
-
-    frames = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        out = np.frombuffer(r.flux).reshape(h, cols)
-        r0 = int(r.tile_id) * spec.tile_rows
-        cell = np.arange(r0 * cols, (r0 + h) * cols,
+    def build(tid: int):
+        z, ptr = _tile_pointers(spec, tid)
+        r0 = tid * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + z.shape[0]) * cols,
                          dtype=np.int64)
-        from .raster import synth_value
-        valid = synth_value(cell).reshape(h, cols) != spec.nodata
-        frames.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
+        ld, ef, ab = (a.reshape(z.shape) for a in _flux_params(cell))
+        return z, ptr, ld, ef, ab
+
+    def kernel(state, tid: int, inflow):
+        z, ptr, ld, ef, ab = state
+        return _flux_tile(z, ptr, ld, ef, ab, inflow, spec.nodata)
+
+    def final(state, tid: int, out) -> pd.DataFrame:
+        z = state[0]
+        valid = z != spec.nodata
+        r0 = tid * spec.tile_rows
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + z.shape[0]),
             "n_valid": valid.sum(axis=1).astype(np.int64),
             "sum_flux": np.round(np.where(valid, out, 0.0).sum(axis=1),
-                                 round_to)}))
+                                 round_to)})
+
+    frames = updn_fixed_point(spec, build, kernel, final, max_rounds,
+                              "D8 mass flux")
     return (pd.concat(frames, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
@@ -1047,75 +1005,38 @@ def _fd8_tile(z_ext, core: slice, r0: int, inflow, nodata, power: float):
 def flow_accumulation_fd8(spec: RasterSpec | None = None,
                           power: float = 1.0, max_rounds: int = 64,
                           round_to: int = 4) -> pd.DataFrame:
-    """(row_id, n_valid, sum_acc) per raster row."""
-    import json
-
+    """(row_id, n_valid, sum_acc) per raster row — banded fixed point
+    via fixed_point.updn_fixed_point (state in the object store, only
+    O(cols) messages per round)."""
+    from .fixed_point import updn_fixed_point
     from .raster import synth_value
 
     spec = spec or RasterSpec()
     cols = spec.cols
-    n = spec.n_tiles
-    inflows = {t: np.zeros((min(spec.tile_rows,
-                                spec.rows - t * spec.tile_rows), cols))
-               for t in range(n)}
 
-    def band(tid: int):
+    def build(tid: int):
         r0 = tid * spec.tile_rows
         r1 = min(r0 + spec.tile_rows, spec.rows)
         lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
         cell = np.arange(lo * cols, hi * cols, dtype=np.int64)
-        z = synth_value(cell).reshape(hi - lo, cols)
-        return z, slice(r0 - lo, r0 - lo + (r1 - r0)), r0
+        z_ext = synth_value(cell).reshape(hi - lo, cols)
+        return z_ext, slice(r0 - lo, r0 - lo + (r1 - r0)), r0
 
-    def solve(batch, inflow_ref) -> pd.DataFrame:
-        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
-            else inflow_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z_ext, core, r0 = band(tid)
-            acc, up, dn = _fd8_tile(z_ext, core, r0, infl[tid],
-                                    spec.nodata, power)
-            rows.append({"tile_id": tid, "acc": acc.tobytes(),
-                         "shape0": acc.shape[0],
-                         "up": json.dumps(up), "dn": json.dumps(dn)})
-        return pd.DataFrame(rows)
+    def kernel(state, tid: int, inflow):
+        z_ext, core, r0 = state
+        return _fd8_tile(z_ext, core, r0, inflow, spec.nodata, power)
 
-    import json
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(inflows)
-        res = (rd.range(n)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_inflows = {t: np.zeros_like(v) for t, v in inflows.items()}
-        for r in res.itertuples():
-            for col, amt in json.loads(r.up).items():
-                if r.tile_id > 0:
-                    new_inflows[r.tile_id - 1][-1, int(col)] += amt
-            for col, amt in json.loads(r.dn).items():
-                if r.tile_id < n - 1:
-                    new_inflows[r.tile_id + 1][0, int(col)] += amt
-        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
-            last = res
-            break
-        inflows = new_inflows
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("FD8 accumulation did not converge")
-
-    frames = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        acc = np.frombuffer(r.acc).reshape(h, cols)
-        r0 = int(r.tile_id) * spec.tile_rows
-        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
-        valid = synth_value(cell).reshape(h, cols) != spec.nodata
-        frames.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
+    def final(state, tid: int, acc) -> pd.DataFrame:
+        z_ext, core, r0 = state
+        valid = z_ext[core] != spec.nodata
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + acc.shape[0]),
             "n_valid": valid.sum(axis=1).astype(np.int64),
             "sum_acc": np.round(np.where(valid, acc, 0.0).sum(axis=1),
-                                round_to)}))
+                                round_to)})
+
+    frames = updn_fixed_point(spec, build, kernel, final, max_rounds,
+                              "FD8 accumulation")
     return (pd.concat(frames, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
@@ -1149,96 +1070,61 @@ def flow_accumulation_fd8_naive(spec: RasterSpec, power: float = 1.0,
 def max_upslope_flowpath_length(spec: RasterSpec | None = None,
                                 max_rounds: int = 64,
                                 round_to: int = 4) -> pd.DataFrame:
-    """(row_id, n_valid, max_len, sum_len) per raster row."""
-    import json
-
-    from .raster import synth_value
+    """(row_id, n_valid, max_len, sum_len) per raster row — banded
+    fixed point via fixed_point.updn_fixed_point with MAX-combining
+    boundary messages (state in the object store, only O(cols)
+    messages per round)."""
+    from .fixed_point import updn_fixed_point
     from .terrain import _DX, _DY
 
     spec = spec or RasterSpec()
     cols = spec.cols
-    n = spec.n_tiles
     GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
-    inflows = {t: np.full((min(spec.tile_rows,
-                               spec.rows - t * spec.tile_rows), cols), 0.0)
-               for t in range(n)}
 
-    def solve(batch, inflow_ref) -> pd.DataFrame:
-        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
-            else inflow_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            H = z.shape[0]
-            valid = z != spec.nodata
-            d = np.where(valid, infl[tid], 0.0)
-            out_up: dict[int, float] = {}
-            out_dn: dict[int, float] = {}
-            for lin in np.argsort(-z, axis=None, kind="stable"):
-                r, c = divmod(int(lin), cols)
-                if not valid[r, c]:
-                    continue
-                code = ptr[r, c]
-                if code == spec.nodata or code <= 0:
-                    continue
-                i = int(code).bit_length() - 1
-                r2, c2 = r + _DY[i], c + _DX[i]
-                val = d[r, c] + GL[i]
-                if 0 <= c2 < cols:
-                    if 0 <= r2 < H:
-                        if valid[r2, c2]:
-                            d[r2, c2] = max(d[r2, c2], val)
-                    elif r2 < 0:
-                        out_up[c2] = max(out_up.get(c2, 0.0), val)
-                    else:
-                        out_dn[c2] = max(out_dn.get(c2, 0.0), val)
-            rows.append({"tile_id": tid, "d": d.tobytes(), "shape0": H,
-                         "up": json.dumps(out_up),
-                         "dn": json.dumps(out_dn)})
-        return pd.DataFrame(rows)
+    def build(tid: int):
+        return _tile_pointers(spec, tid)
 
-    import json
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(inflows)
-        res = (rd.range(n)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_inflows = {t: np.zeros_like(v) for t, v in inflows.items()}
-        for r in res.itertuples():
-            for col, amt in json.loads(r.up).items():
-                if r.tile_id > 0:
-                    c = int(col)
-                    new_inflows[r.tile_id - 1][-1, c] = max(
-                        new_inflows[r.tile_id - 1][-1, c], amt)
-            for col, amt in json.loads(r.dn).items():
-                if r.tile_id < n - 1:
-                    c = int(col)
-                    new_inflows[r.tile_id + 1][0, c] = max(
-                        new_inflows[r.tile_id + 1][0, c], amt)
-        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
-            last = res
-            break
-        inflows = new_inflows
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("max upslope length did not converge")
+    def kernel(state, tid: int, inflow):
+        z, ptr = state
+        H = z.shape[0]
+        valid = z != spec.nodata
+        d = np.where(valid, inflow, 0.0)
+        out_up: dict[int, float] = {}
+        out_dn: dict[int, float] = {}
+        for lin in np.argsort(-z, axis=None, kind="stable"):
+            r, c = divmod(int(lin), cols)
+            if not valid[r, c]:
+                continue
+            code = ptr[r, c]
+            if code == spec.nodata or code <= 0:
+                continue
+            i = int(code).bit_length() - 1
+            r2, c2 = r + _DY[i], c + _DX[i]
+            val = d[r, c] + GL[i]
+            if 0 <= c2 < cols:
+                if 0 <= r2 < H:
+                    if valid[r2, c2]:
+                        d[r2, c2] = max(d[r2, c2], val)
+                elif r2 < 0:
+                    out_up[c2] = max(out_up.get(c2, 0.0), val)
+                else:
+                    out_dn[c2] = max(out_dn.get(c2, 0.0), val)
+        return d, out_up, out_dn
 
-    frames = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        d = np.frombuffer(r.d).reshape(h, cols)
-        r0 = int(r.tile_id) * spec.tile_rows
-        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
-        valid = synth_value(cell).reshape(h, cols) != spec.nodata
-        frames.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
+    def final(state, tid: int, d) -> pd.DataFrame:
+        z = state[0]
+        valid = z != spec.nodata
+        r0 = tid * spec.tile_rows
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + z.shape[0]),
             "n_valid": valid.sum(axis=1).astype(np.int64),
             "max_len": np.round(np.where(valid, d, 0.0).max(axis=1),
                                 round_to),
             "sum_len": np.round(np.where(valid, d, 0.0).sum(axis=1),
-                                round_to)}))
+                                round_to)})
+
+    frames = updn_fixed_point(spec, build, kernel, final, max_rounds,
+                              "max upslope length", combine="max")
     return (pd.concat(frames, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
@@ -1476,81 +1362,74 @@ def find_no_flow_cells(ds: "rd.Dataset", spec: RasterSpec,
 
 def trace_downslope_flowpaths(spec: RasterSpec | None = None,
                               max_rounds: int = 64) -> pd.DataFrame:
-    """(row_id, n_marked) per raster row; seeds = pour_point_mask."""
+    """(row_id, n_marked) per raster row; seeds = pour_point_mask.
+
+    Banded fixed point via fixed_point.tile_fixed_point: per-tile
+    (z, ptr) state persists in the object store and only the marked
+    boundary column sets travel per round. Marks are MONOTONE, so each
+    round's boundary sets contain all earlier ones and the latest
+    message set is the union the old accumulate-in-place loop built."""
+    from .fixed_point import tile_fixed_point
+    from .terrain import _DX, _DY
+
     spec = spec or RasterSpec()
     cols = spec.cols
     n_tiles = spec.n_tiles
-    # entry marks per tile: boolean (H, W), cells marked by upstream tiles
-    entry = {t: np.zeros((min(spec.tile_rows, spec.rows - t * spec.tile_rows),
-                          cols), dtype=bool) for t in range(n_tiles)}
 
-    def solve(batch, entry_ref) -> pd.DataFrame:
-        ent = ray.get(entry_ref) if isinstance(entry_ref, ray.ObjectRef) \
-            else entry_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            H, W = z.shape
-            r0 = tid * spec.tile_rows
-            marks = pour_point_mask(r0, r0 + H, cols) & (z != spec.nodata)
-            marks |= ent[tid]
-            out_up: set[int] = set()
-            out_dn: set[int] = set()
-            order = np.argsort(-z, axis=None, kind="stable")
-            for lin in order:
-                r, c = divmod(int(lin), W)
-                if not marks[r, c]:
-                    continue
-                code = ptr[r, c]
-                if code == spec.nodata or code <= 0:
-                    continue
-                i = int(code).bit_length() - 1
-                r2, c2 = r + _DY[i], c + _DX[i]
-                if 0 <= c2 < W:
-                    if 0 <= r2 < H:
-                        if z[r2, c2] != spec.nodata:
-                            marks[r2, c2] = True
-                    elif r2 < 0:
-                        out_up.add(c2)
-                    else:
-                        out_dn.add(c2)
-            rows.append({"tile_id": tid,
-                         "marks": marks.astype(np.int8).tobytes(),
-                         "shape0": H,
-                         "up": json.dumps(sorted(out_up)),
-                         "dn": json.dumps(sorted(out_dn))})
-        return pd.DataFrame(rows)
+    def build(tid: int):
+        return _tile_pointers(spec, tid)
 
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(entry)
-        res = (rd.range(n_tiles)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_entry = {t: v.copy() for t, v in entry.items()}
-        for r in res.itertuples():
-            for c in json.loads(r.up):
-                if r.tile_id > 0:
-                    new_entry[r.tile_id - 1][-1, int(c)] = True
-            for c in json.loads(r.dn):
-                if r.tile_id < n_tiles - 1:
-                    new_entry[r.tile_id + 1][0, int(c)] = True
-        if all(np.array_equal(new_entry[t], entry[t]) for t in entry):
-            last = res
-            break
-        entry = new_entry
-        last = res
-    else:  # pragma: no cover - cap reached
-        raise RuntimeError("trace did not converge")
+    def _marks(state, tid: int, inbox):
+        z, ptr = state
+        H, W = z.shape
+        r0 = tid * spec.tile_rows
+        marks = pour_point_mask(r0, r0 + H, cols) & (z != spec.nodata)
+        for sender, msg in inbox:
+            row = 0 if sender == tid - 1 else -1
+            for c in msg:
+                marks[row, int(c)] = True
+        out_up: set[int] = set()
+        out_dn: set[int] = set()
+        order = np.argsort(-z, axis=None, kind="stable")
+        for lin in order:
+            r, c = divmod(int(lin), W)
+            if not marks[r, c]:
+                continue
+            code = ptr[r, c]
+            if code == spec.nodata or code <= 0:
+                continue
+            i = int(code).bit_length() - 1
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= c2 < W:
+                if 0 <= r2 < H:
+                    if z[r2, c2] != spec.nodata:
+                        marks[r2, c2] = True
+                elif r2 < 0:
+                    out_up.add(c2)
+                else:
+                    out_dn.add(c2)
+        return marks, sorted(out_up), sorted(out_dn)
 
-    out = []
-    for r in last.sort_values("tile_id").itertuples():
-        m = np.frombuffer(r.marks, dtype=np.int8).reshape(int(r.shape0), cols)
-        r0 = int(r.tile_id) * spec.tile_rows
-        for i in range(int(r.shape0)):
-            out.append((r0 + i, int(m[i].sum())))
-    return pd.DataFrame(out, columns=["row_id", "n_marked"])
+    def solve(state, tid: int, inbox):
+        _, up, dn = _marks(state, tid, inbox)
+        out = {}
+        if up and tid > 0:
+            out[tid - 1] = up
+        if dn and tid + 1 < n_tiles:
+            out[tid + 1] = dn
+        return out
+
+    def extract(state, tid: int, inbox) -> pd.DataFrame:
+        marks, _, _ = _marks(state, tid, inbox)
+        r0 = tid * spec.tile_rows
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + marks.shape[0]),
+            "n_marked": marks.sum(axis=1).astype(np.int64)})
+
+    frames = tile_fixed_point(n_tiles, build, solve, extract, max_rounds,
+                              "trace downslope")
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values("row_id").reset_index(drop=True)
 
 
 def trace_downslope_flowpaths_naive(spec: RasterSpec) -> pd.DataFrame:
@@ -1818,110 +1697,83 @@ def avg_upslope_flowpath_length(spec: RasterSpec | None = None,
     cells, T = Σ path lengths) and passes (N or 1-at-heads,
     T + N·step); output T/N (0 where N = 0, i.e. at divide cells).
     Distributed as the descending-z banded fixed point with a
-    TWO-channel sum message."""
-    import json as _json
-
-    from .raster import synth_value
+    TWO-channel sum message, state in the object store and only the
+    per-column [N, T, E] triples travelling per round."""
+    from .fixed_point import tile_fixed_point
 
     spec = spec or RasterSpec()
     cols = spec.cols
     n = spec.n_tiles
     GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
-    zero = {t: np.zeros((min(spec.tile_rows,
-                             spec.rows - t * spec.tile_rows), cols))
-            for t in range(n)}
-    inflows = {t: (zero[t].copy(), zero[t].copy(), zero[t].copy())
-               for t in range(n)}
 
-    def solve(batch, inflow_ref) -> pd.DataFrame:
-        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
-            else inflow_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            ze, pe = _ptr_halo(spec, tid)
-            z = ze[1:-1]
-            ptr = pe[1:-1]
-            H = z.shape[0]
-            valid = z != spec.nodata
-            head = (_inflow_count_ext(ze, pe, spec.nodata) == 0) & valid
-            N = np.where(valid, infl[tid][0], 0.0)
-            T = np.where(valid, infl[tid][1], 0.0)
-            E = np.where(valid, infl[tid][2], 0.0)
-            out_up: dict[int, list] = {}
-            out_dn: dict[int, list] = {}
-            for lin in np.argsort(-z, axis=None, kind="stable"):
-                r, c = divmod(int(lin), cols)
-                if not valid[r, c]:
-                    continue
-                code = ptr[r, c]
-                if code == spec.nodata or code <= 0:
-                    continue
-                i = int(code).bit_length() - 1
-                if head[r, c]:
-                    np_ = 1.0
-                    ep = z[r, c]      # divide cell passes its own z
+    def build(tid: int):
+        ze, pe = _ptr_halo(spec, tid)
+        head = (_inflow_count_ext(ze, pe, spec.nodata) == 0) \
+            & (ze[1:-1] != spec.nodata)
+        return ze[1:-1], pe[1:-1], head
+
+    def _kernel(state, tid: int, inbox):
+        z, ptr, head = state
+        H = z.shape[0]
+        valid = z != spec.nodata
+        N = np.zeros((H, cols))
+        T = np.zeros((H, cols))
+        E = np.zeros((H, cols))
+        for sender, msg in inbox:       # sorted: tid-1 before tid+1
+            row = 0 if sender == tid - 1 else -1
+            for col, (a, b, e) in msg.items():
+                N[row, int(col)] += a
+                T[row, int(col)] += b
+                E[row, int(col)] += e
+        N = np.where(valid, N, 0.0)
+        T = np.where(valid, T, 0.0)
+        E = np.where(valid, E, 0.0)
+        out_up: dict[int, list] = {}
+        out_dn: dict[int, list] = {}
+        for lin in np.argsort(-z, axis=None, kind="stable"):
+            r, c = divmod(int(lin), cols)
+            if not valid[r, c]:
+                continue
+            code = ptr[r, c]
+            if code == spec.nodata or code <= 0:
+                continue
+            i = int(code).bit_length() - 1
+            if head[r, c]:
+                np_ = 1.0
+                ep = z[r, c]      # divide cell passes its own z
+            else:
+                np_ = N[r, c]
+                ep = E[r, c]
+            tp = T[r, c] + np_ * GL[i]
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= c2 < cols:
+                if 0 <= r2 < H:
+                    if valid[r2, c2]:
+                        N[r2, c2] += np_
+                        T[r2, c2] += tp
+                        E[r2, c2] += ep
                 else:
-                    np_ = N[r, c]
-                    ep = E[r, c]
-                tp = T[r, c] + np_ * GL[i]
-                r2, c2 = r + _DY[i], c + _DX[i]
-                if 0 <= c2 < cols:
-                    if 0 <= r2 < H:
-                        if valid[r2, c2]:
-                            N[r2, c2] += np_
-                            T[r2, c2] += tp
-                            E[r2, c2] += ep
-                    else:
-                        tgt = out_up if r2 < 0 else out_dn
-                        acc = tgt.setdefault(c2, [0.0, 0.0, 0.0])
-                        acc[0] += np_
-                        acc[1] += tp
-                        acc[2] += ep
-            rows.append({"tile_id": tid, "N": N.tobytes(), "T": T.tobytes(),
-                         "E": E.tobytes(), "shape0": H,
-                         "up": _json.dumps(out_up),
-                         "dn": _json.dumps(out_dn)})
-        return pd.DataFrame(rows)
+                    tgt = out_up if r2 < 0 else out_dn
+                    acc = tgt.setdefault(c2, [0.0, 0.0, 0.0])
+                    acc[0] += np_
+                    acc[1] += tp
+                    acc[2] += ep
+        return (N, T, E), out_up, out_dn
 
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(inflows)
-        res = (rd.range(n)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_inflows = {t: (np.zeros_like(zero[t]), np.zeros_like(zero[t]),
-                           np.zeros_like(zero[t])) for t in range(n)}
-        for r in res.itertuples():
-            for col, (a, b, e) in _json_load_triples(r.up).items():
-                if r.tile_id > 0:
-                    new_inflows[r.tile_id - 1][0][-1, int(col)] += a
-                    new_inflows[r.tile_id - 1][1][-1, int(col)] += b
-                    new_inflows[r.tile_id - 1][2][-1, int(col)] += e
-            for col, (a, b, e) in _json_load_triples(r.dn).items():
-                if r.tile_id < n - 1:
-                    new_inflows[r.tile_id + 1][0][0, int(col)] += a
-                    new_inflows[r.tile_id + 1][1][0, int(col)] += b
-                    new_inflows[r.tile_id + 1][2][0, int(col)] += e
-        if all(np.array_equal(new_inflows[t][k], inflows[t][k])
-               for t in inflows for k in range(3)):
-            last = res
-            break
-        inflows = new_inflows
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("avg upslope length did not converge")
+    def solve(state, tid: int, inbox):
+        _, up, dn = _kernel(state, tid, inbox)
+        out = {}
+        if up and tid > 0:
+            out[tid - 1] = up
+        if dn and tid + 1 < n:
+            out[tid + 1] = dn
+        return out
 
-    frames = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        N = np.frombuffer(r.N).reshape(h, cols)
-        T = np.frombuffer(r.T).reshape(h, cols)
-        E = np.frombuffer(r.E).reshape(h, cols)
-        r0 = int(r.tile_id) * spec.tile_rows
-        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
-        zc = synth_value(cell).reshape(h, cols)
-        valid = zc != spec.nodata
+    def extract(state, tid: int, inbox) -> pd.DataFrame:
+        (N, T, E), _, _ = _kernel(state, tid, inbox)
+        z = state[0]
+        valid = z != spec.nodata
+        r0 = tid * spec.tile_rows
         with np.errstate(invalid="ignore", divide="ignore"):
             if output == "slope_to_divide":
                 # AverageSlopeToDivide.java:376-382: atan(((E/N − z)·conv)
@@ -1929,16 +1781,19 @@ def avg_upslope_flowpath_length(spec: RasterSpec | None = None,
                 res = np.where(
                     (N > 0) & valid,
                     np.degrees(np.arctan(
-                        (E / np.maximum(N, 1.0) - zc)
+                        (E / np.maximum(N, 1.0) - z)
                         / np.maximum(T / np.maximum(N, 1.0), 1e-300))),
                     0.0)
             else:
                 res = np.where((N > 0) & valid,
                                T / np.maximum(N, 1.0), 0.0)
-        frames.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + z.shape[0]),
             "n_valid": valid.sum(axis=1).astype(np.int64),
-            "avg_sum": np.round(res.sum(axis=1), round_to)}))
+            "avg_sum": np.round(res.sum(axis=1), round_to)})
+
+    frames = tile_fixed_point(n, build, solve, extract, max_rounds,
+                              "avg upslope length")
     return (pd.concat(frames, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 

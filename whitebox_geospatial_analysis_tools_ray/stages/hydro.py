@@ -265,6 +265,39 @@ def flow_accumulation_frames(spec: RasterSpec,
 
 
 @ray.remote
+def _strip_tile_refs(state, spec: RasterSpec, t0: int, t1: int,
+                     in_top, in_bot) -> dict:
+    """{tid: ObjectRef(acc array)} for one strip. The arrays are
+    ``ray.put`` worker-side so downstream fixed points can fetch ONLY
+    their own tile — the driver ever holds just the refs."""
+    acc, _, _ = _strip_solve(state, spec, in_top, in_bot)
+    r0 = t0 * spec.tile_rows
+    out = {}
+    for tid in range(t0, t1):
+        a0 = tid * spec.tile_rows - r0
+        a1 = min((tid + 1) * spec.tile_rows, spec.rows) - r0
+        out[tid] = ray.put(np.ascontiguousarray(acc[a0:a1]))
+    return out
+
+
+def flow_accumulation_tile_refs(spec: RasterSpec,
+                                max_rounds: int = 64) -> dict:
+    """Converged per-tile accumulation arrays as OBJECT REFS keyed by
+    tile_id. Unlike ``flow_accumulation_frames`` the arrays never land
+    on the driver; downstream banded fixed points (stream topology,
+    hack order, upstream-channel stats, ...) pass the ref dict into
+    their ``build(tid)`` and fetch only their own tile."""
+    states, spans, in_top, in_bot = _converged_boundaries(spec, max_rounds)
+    refs = ray.get([_strip_tile_refs.remote(states[i], spec, int(a), int(b),
+                                            in_top[i], in_bot[i])
+                    for i, (a, b) in enumerate(spans)])
+    out: dict = {}
+    for d in refs:
+        out.update(d)
+    return out
+
+
+@ray.remote
 def _strip_rowsums(state, spec: RasterSpec, in_top, in_bot) -> pd.DataFrame:
     """Per-row (row_id, n_valid, row_sum) for one strip — O(rows)
     output; the accumulation array never leaves the worker."""

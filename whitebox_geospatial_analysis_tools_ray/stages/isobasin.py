@@ -47,7 +47,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .hydro import _tile_pointers, flow_accumulation_frames
+from .hydro import (_tile_pointers, flow_accumulation_frames,
+                    flow_accumulation_tile_refs)
 from .raster import RasterSpec
 from .terrain import _DX, _DY
 

@@ -46,7 +46,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .hydro import _tile_pointers, flow_accumulation_frames
+from .hydro import (_tile_pointers, flow_accumulation_frames,
+                    flow_accumulation_tile_refs)
 from .raster import RasterSpec
 from .terrain import _DX, _DY
 
@@ -95,62 +96,98 @@ def _solve_tile(z: np.ndarray, ptr: np.ndarray, stream: np.ndarray,
     return order, mag, label, emits
 
 
+def _merge_ext(inbox) -> dict:
+    """Merge harness inbox messages ({gcell: [(..) , ..]} per sender)
+    into one {gcell: sorted list} dict — the exact canonical form the
+    old driver loop built (each per-cell list sorted)."""
+    ext: dict = {}
+    for _sender, msg in inbox:
+        for g, lst in msg.items():
+            ext.setdefault(g, []).extend(lst)
+    for k in ext:
+        ext[k].sort()
+    return ext
+
+
+def _topology_fixed_point(spec: RasterSpec, threshold: float,
+                          max_rounds: int, extract) -> list:
+    """Shared banded fixed point for the stream topology plane.
+
+    Via fixed_point.tile_fixed_point: per-tile (z, ptr, stream) state
+    is built once and persists in the object store (the accumulation
+    tile arrives as a per-tile ObjectRef, never via the driver); only
+    the {gcell: [(order, mag, label)]} boundary emit dicts travel per
+    round; ``extract(state, tid, inbox)`` runs ONCE after convergence
+    (round-2 verdict item 3)."""
+    from .fixed_point import tile_fixed_point
+
+    cols = spec.cols
+    n = spec.n_tiles
+    acc_refs = flow_accumulation_tile_refs(spec)
+
+    def build(tid: int):
+        z, ptr = _tile_pointers(spec, tid)
+        acc = ray.get(acc_refs[tid])
+        stream = (z != spec.nodata) & (acc >= threshold)
+        return z, ptr, stream
+
+    def solve(state, tid: int, inbox) -> dict:
+        z, ptr, stream = state
+        r0 = tid * spec.tile_rows
+        _, _, _, emits = _solve_tile(z, ptr, stream, r0, cols,
+                                     _merge_ext(inbox), spec.nodata)
+        out: dict = {}
+        for gcell, o, g, lab in emits:
+            tgt = (gcell // cols) // spec.tile_rows
+            if 0 <= tgt < n:
+                out.setdefault(tgt, {}).setdefault(gcell, []).append(
+                    (o, g, lab))
+        # canonical (sorted) form so the pickled fixed point is stable
+        return {t: {k: sorted(msg[k]) for k in sorted(msg)}
+                for t, msg in out.items()}
+
+    return tile_fixed_point(n, build, solve, extract, max_rounds,
+                            "stream topology")
+
+
 def stream_topology_frames(spec: RasterSpec, threshold: float = 5.0,
                            max_rounds: int = 64) -> pd.DataFrame:
-    """Converged per-tile (order, mag, label) arrays + stream masks."""
+    """Converged per-tile (order, mag, label) arrays + stream masks —
+    one driver-side extraction after the ``_topology_fixed_point``
+    convergence, for the per-row aggregating callers."""
     cols = spec.cols
-    acc_frames = flow_accumulation_frames(spec)
-    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
-           for r in acc_frames.itertuples()}
-    acc_ref = ray.put(acc)
 
-    # ext[tid] = {global_cell: [(order, mag, label), ...]}
-    ext = {t: {} for t in range(spec.n_tiles)}
+    def extract(state, tid: int, inbox) -> dict:
+        z, ptr, stream = state
+        r0 = tid * spec.tile_rows
+        order, mag, label, _ = _solve_tile(z, ptr, stream, r0, cols,
+                                           _merge_ext(inbox), spec.nodata)
+        return {"tile_id": tid, "shape0": z.shape[0],
+                "order": order.tobytes(), "mag": mag.tobytes(),
+                "label": label.tobytes(),
+                "stream": stream.astype(np.int8).tobytes()}
 
-    def solve(batch, ext_ref, acc_ref=acc_ref) -> pd.DataFrame:
-        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
-            else ext_ref
-        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
-            else acc_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            stream = (z != spec.nodata) & (acc_all[tid] >= threshold)
-            r0 = tid * spec.tile_rows
-            order, mag, label, emits = _solve_tile(
-                z, ptr, stream, r0, cols, ext_all[tid], spec.nodata)
-            rows.append({"tile_id": tid, "shape0": z.shape[0],
-                         "order": order.tobytes(), "mag": mag.tobytes(),
-                         "label": label.tobytes(),
-                         "stream": stream.astype(np.int8).tobytes(),
-                         "emits": json.dumps(emits)})
-        return pd.DataFrame(rows)
+    rows = _topology_fixed_point(spec, threshold, max_rounds, extract)
+    return pd.DataFrame(rows)
 
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(ext)
-        res = (rd.range(spec.n_tiles)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_ext = {t: {} for t in range(spec.n_tiles)}
-        for r in res.itertuples():
-            for gcell, o, g, lab in json.loads(r.emits):
-                target_tid = (gcell // cols) // spec.tile_rows
-                if 0 <= target_tid < spec.n_tiles:
-                    new_ext[target_tid].setdefault(gcell, []).append(
-                        (o, g, lab))
-        for t in new_ext:  # canonical order → comparable fixed point
-            for k in new_ext[t]:
-                new_ext[t][k].sort()
-        if new_ext == ext:
-            last = res
-            break
-        ext = new_ext
-        last = res
-    else:  # pragma: no cover - cap reached
-        raise RuntimeError("stream topology did not converge")
-    return last
+
+def stream_topology_tile_refs(spec: RasterSpec, threshold: float = 5.0,
+                              max_rounds: int = 64) -> dict:
+    """{tid: ObjectRef((order, mag, label, stream))} — the converged
+    topology planes as per-tile object-store refs; the arrays never
+    land on the driver. Downstream banded fixed points (subbasins,
+    hillslopes, downslope-to-stream, ...) fetch only their own tile."""
+    cols = spec.cols
+
+    def extract(state, tid: int, inbox):
+        z, ptr, stream = state
+        r0 = tid * spec.tile_rows
+        order, mag, label, _ = _solve_tile(z, ptr, stream, r0, cols,
+                                           _merge_ext(inbox), spec.nodata)
+        return ray.put((order, mag, label, stream))
+
+    refs = _topology_fixed_point(spec, threshold, max_rounds, extract)
+    return dict(enumerate(refs))
 
 
 def _row_aggregates(frames: pd.DataFrame, spec: RasterSpec) -> pd.DataFrame:
@@ -374,94 +411,81 @@ def _chosen_upstream(pe, ae, se, r, c):
 
 def find_main_stem(spec: RasterSpec | None = None, threshold: float = 5.0,
                    max_rounds: int = 64) -> pd.DataFrame:
-    """Per-row (row_id, n_stream, n_mainstem) counts."""
+    """Per-row (row_id, n_stream, n_mainstem) counts.
+
+    Banded fixed point via fixed_point.tile_fixed_point: the haloed
+    (z, ptr, acc, stream) state persists in the object store (built
+    from the three adjacent per-tile accumulation ObjectRefs); only
+    the main-stem gcell sets travel per round."""
+    from .fixed_point import tile_fixed_point
+
     spec = spec or RasterSpec()
     cols = spec.cols
-    acc_frames = flow_accumulation_frames(spec)
-    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
-           for r in acc_frames.itertuples()}
-    acc_ref = ray.put(acc)
+    n = spec.n_tiles
+    acc_refs = flow_accumulation_tile_refs(spec)
 
-    def solve(batch, ext_ref, acc_ref=acc_ref) -> pd.DataFrame:
-        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
-            else ext_ref
-        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
-            else acc_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            ze, pe, ae, se = _tile_halo_arrays(spec, tid, acc_all, threshold)
-            h = ze.shape[0] - 2
-            r0 = tid * spec.tile_rows
-            ext = ext_all[tid]
-            ms = np.zeros((h, cols), dtype=bool)
-            emits = []
-            order = np.argsort(ze[1:-1], axis=None, kind="stable")
-            for lin in order:  # ascending z: receiver resolves first
-                r, c = divmod(int(lin), cols)
-                re_ = r + 1  # extended row
-                if not se[re_, c]:
-                    continue
-                gcell = (r0 + r) * cols + c
-                code = pe[re_, c]
-                flag = gcell in ext
-                if not flag:
-                    if code <= 0:
-                        flag = True  # pointer 0 → outlet
-                    else:
-                        i = int(code).bit_length() - 1
-                        rr, cc = re_ + _DY[i], c + _DX[i]
-                        if not (0 <= rr < h + 2 and 0 <= cc < cols) \
-                                or not se[rr, cc]:
-                            flag = True  # receiver not stream → outlet
-                        elif 1 <= rr <= h and ms[rr - 1, cc]:
-                            flag = _chosen_upstream(pe, ae, se, rr, cc) \
-                                == (re_, c)
-                if flag:
-                    ms[r, c] = True
-                    up = _chosen_upstream(pe, ae, se, re_, c)
-                    if up is not None and not (1 <= up[0] <= h):
-                        gr = r0 + (up[0] - 1)
-                        emits.append(gr * cols + int(up[1]))
-            rows.append({"tile_id": tid, "shape0": h,
-                         "n_stream": int(se[1:-1].sum()),
-                         "ms": ms.tobytes(),
-                         "stream": se[1:-1].astype(np.int8).tobytes(),
-                         "emits": json.dumps(emits)})
-        return pd.DataFrame(rows)
+    def build(tid: int):
+        acc_local = {t: ray.get(acc_refs[t])
+                     for t in (tid - 1, tid, tid + 1) if 0 <= t < n}
+        return _tile_halo_arrays(spec, tid, acc_local, threshold)
 
-    ext = {t: set() for t in range(spec.n_tiles)}
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put({t: frozenset(s) for t, s in ext.items()})
-        res = (rd.range(spec.n_tiles)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_ext = {t: set() for t in range(spec.n_tiles)}
-        for r in res.itertuples():
-            for gcell in json.loads(r.emits):
-                t = (gcell // cols) // spec.tile_rows
-                if 0 <= t < spec.n_tiles:
-                    new_ext[t].add(int(gcell))
-        if new_ext == ext:
-            last = res
-            break
-        ext = new_ext
-        last = res
-    else:  # pragma: no cover - cap reached
-        raise RuntimeError("main stem did not converge")
+    def _run(state, tid: int, inbox):
+        ze, pe, ae, se = state
+        h = ze.shape[0] - 2
+        r0 = tid * spec.tile_rows
+        ext: set = set()
+        for _sender, msg in inbox:
+            ext.update(msg)
+        ms = np.zeros((h, cols), dtype=bool)
+        emits = []
+        order = np.argsort(ze[1:-1], axis=None, kind="stable")
+        for lin in order:  # ascending z: receiver resolves first
+            r, c = divmod(int(lin), cols)
+            re_ = r + 1  # extended row
+            if not se[re_, c]:
+                continue
+            gcell = (r0 + r) * cols + c
+            code = pe[re_, c]
+            flag = gcell in ext
+            if not flag:
+                if code <= 0:
+                    flag = True  # pointer 0 → outlet
+                else:
+                    i = int(code).bit_length() - 1
+                    rr, cc = re_ + _DY[i], c + _DX[i]
+                    if not (0 <= rr < h + 2 and 0 <= cc < cols) \
+                            or not se[rr, cc]:
+                        flag = True  # receiver not stream → outlet
+                    elif 1 <= rr <= h and ms[rr - 1, cc]:
+                        flag = _chosen_upstream(pe, ae, se, rr, cc) \
+                            == (re_, c)
+            if flag:
+                ms[r, c] = True
+                up = _chosen_upstream(pe, ae, se, re_, c)
+                if up is not None and not (1 <= up[0] <= h):
+                    gr = r0 + (up[0] - 1)
+                    emits.append(gr * cols + int(up[1]))
+        return ms, se, emits
 
-    out = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        ms = np.frombuffer(r.ms, dtype=bool).reshape(h, cols)
-        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(
-            h, cols).astype(bool)
-        rr0 = int(r.tile_id) * spec.tile_rows
-        out.append(pd.DataFrame({
-            "row_id": np.arange(rr0, rr0 + h),
-            "n_stream": stream.sum(axis=1).astype(np.int64),
-            "n_mainstem": ms.sum(axis=1).astype(np.int64)}))
+    def solve(state, tid: int, inbox) -> dict:
+        _, _, emits = _run(state, tid, inbox)
+        out: dict = {}
+        for gcell in emits:
+            t = (gcell // cols) // spec.tile_rows
+            if 0 <= t < n:
+                out.setdefault(t, set()).add(int(gcell))
+        return {t: tuple(sorted(s)) for t, s in out.items()}
+
+    def extract(state, tid: int, inbox) -> pd.DataFrame:
+        ms, se, _ = _run(state, tid, inbox)
+        rr0 = tid * spec.tile_rows
+        return pd.DataFrame({
+            "row_id": np.arange(rr0, rr0 + ms.shape[0]),
+            "n_stream": se[1:-1].sum(axis=1).astype(np.int64),
+            "n_mainstem": ms.sum(axis=1).astype(np.int64)})
+
+    out = tile_fixed_point(n, build, solve, extract, max_rounds,
+                           "main stem")
     return (pd.concat(out, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
@@ -648,92 +672,76 @@ def strahler_order_basins(spec: RasterSpec | None = None,
 
 def _downslope_label_fill(spec: RasterSpec, threshold: float,
                           max_rounds: int, plane: str) -> pd.DataFrame:
+    """Banded fixed point via fixed_point.tile_fixed_point: per-tile
+    (z, ptr, link, stream) state persists in the object store (the
+    topology plane arrives as a per-tile ObjectRef); only the
+    {boundary gcell: label} dicts travel per round."""
+    from .fixed_point import tile_fixed_point
+
     cols = spec.cols
     n = spec.n_tiles
-    frames = stream_topology_frames(spec, threshold)
-    pdt = np.int64 if plane == "label" else np.int32
-    links = {int(r.tile_id):
-             (np.frombuffer(getattr(r, plane), dtype=pdt)
-              .reshape(int(r.shape0), cols).astype(np.int64),
-              np.frombuffer(r.stream, dtype=np.int8).reshape(int(r.shape0),
-                                                             cols)
-              .astype(bool))
-             for r in frames.itertuples()}
-    links_ref = ray.put(links)
+    topo_refs = stream_topology_tile_refs(spec, threshold)
 
-    def solve(batch, ext_ref, links_ref=links_ref) -> pd.DataFrame:
-        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
-            else ext_ref
-        lk_all = ray.get(links_ref) if isinstance(links_ref, ray.ObjectRef) \
-            else links_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            H = z.shape[0]
-            r0 = tid * spec.tile_rows
-            link, stream = lk_all[tid]
-            ext = ext_all[tid]
-            lab = np.full((H, cols), -1, dtype=np.int64)
-            order = np.argsort(z, axis=None, kind="stable")  # ascending
-            for lin in order:
-                r, c = divmod(int(lin), cols)
-                if z[r, c] == spec.nodata:
-                    continue
-                if stream[r, c]:
-                    lab[r, c] = link[r, c]
-                    continue
-                code = ptr[r, c]
-                if code <= 0:
-                    continue  # pit off-stream: unlabelled (-1)
-                i = int(code).bit_length() - 1
-                r2, c2 = r + _DY[i], c + _DX[i]
-                if 0 <= r2 < H and 0 <= c2 < cols:
-                    lab[r, c] = lab[r2, c2]
-                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                    lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
-            rows.append({"tile_id": tid, "shape0": H, "lab": lab.tobytes(),
-                         "top": lab[0].tobytes(), "bot": lab[-1].tobytes()})
-        return pd.DataFrame(rows)
+    def build(tid: int):
+        z, ptr = _tile_pointers(spec, tid)
+        order, _mag, label, stream = ray.get(topo_refs[tid])
+        link = (order if plane == "order" else label).astype(np.int64)
+        return z, ptr, link, stream
 
-    ext = {t: {} for t in range(n)}
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(ext)
-        res = (rd.range(n).map_batches(lambda b, _r=ref: solve(b, _r),
-                                       batch_format="numpy").to_pandas())
-        new_ext = {t: {} for t in range(n)}
-        for r in res.itertuples():
-            tid = int(r.tile_id)
-            h = int(r.shape0)
-            r0 = tid * spec.tile_rows
-            top = np.frombuffer(r.top, dtype=np.int64)
-            bot = np.frombuffer(r.bot, dtype=np.int64)
-            if tid > 0:
-                for c in np.flatnonzero(top >= 0):
-                    new_ext[tid - 1][r0 * cols + int(c)] = int(top[c])
-            if tid + 1 < n:
-                g0 = (r0 + h - 1) * cols
-                for c in np.flatnonzero(bot >= 0):
-                    new_ext[tid + 1][g0 + int(c)] = int(bot[c])
-        if new_ext == ext:
-            last = res
-            break
-        ext = new_ext
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("subbasins did not converge")
+    def _fill(state, tid: int, inbox) -> np.ndarray:
+        z, ptr, link, stream = state
+        H = z.shape[0]
+        r0 = tid * spec.tile_rows
+        ext: dict = {}
+        for _sender, msg in inbox:
+            ext.update(msg)
+        lab = np.full((H, cols), -1, dtype=np.int64)
+        order = np.argsort(z, axis=None, kind="stable")  # ascending
+        for lin in order:
+            r, c = divmod(int(lin), cols)
+            if z[r, c] == spec.nodata:
+                continue
+            if stream[r, c]:
+                lab[r, c] = link[r, c]
+                continue
+            code = ptr[r, c]
+            if code <= 0:
+                continue  # pit off-stream: unlabelled (-1)
+            i = int(code).bit_length() - 1
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= r2 < H and 0 <= c2 < cols:
+                lab[r, c] = lab[r2, c2]
+            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
+        return lab
 
-    out = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        lab = np.frombuffer(r.lab, dtype=np.int64).reshape(h, cols)
-        r0 = int(r.tile_id) * spec.tile_rows
+    def solve(state, tid: int, inbox) -> dict:
+        lab = _fill(state, tid, inbox)
+        r0 = tid * spec.tile_rows
+        h = lab.shape[0]
+        top, bot = lab[0], lab[-1]
+        out: dict = {}
+        up = {r0 * cols + int(c): int(top[c])
+              for c in np.flatnonzero(top >= 0)}
+        dn = {(r0 + h - 1) * cols + int(c): int(bot[c])
+              for c in np.flatnonzero(bot >= 0)}
+        if up and tid > 0:
+            out[tid - 1] = up
+        if dn and tid + 1 < n:
+            out[tid + 1] = dn
+        return out
+
+    def extract(state, tid: int, inbox) -> pd.DataFrame:
+        lab = _fill(state, tid, inbox)
+        r0 = tid * spec.tile_rows
         m = lab >= 0
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + lab.shape[0]),
             "n_labelled": m.sum(axis=1).astype(np.int64),
-            "sum_label": np.where(m, lab, 0).sum(axis=1)}))
+            "sum_label": np.where(m, lab, 0).sum(axis=1)})
+
+    out = tile_fixed_point(n, build, solve, extract, max_rounds,
+                           "subbasins")
     return (pd.concat(out, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
@@ -786,106 +794,99 @@ def subbasins_naive(spec: RasterSpec, threshold: float = 5.0,
 
 def hack_order(spec: RasterSpec | None = None, threshold: float = 5.0,
                max_rounds: int = 64) -> pd.DataFrame:
-    """(row_id, n_stream, max_hack, sum_hack) per raster row."""
+    """(row_id, n_stream, max_hack, sum_hack) per raster row.
+
+    Banded fixed point via fixed_point.tile_fixed_point: the haloed
+    (z, ptr, acc, stream) state persists in the object store; only the
+    {boundary gcell: hack value} dicts (min-combined, exactly as the
+    old driver merge) travel per round."""
+    from .fixed_point import tile_fixed_point
+
     spec = spec or RasterSpec()
     cols = spec.cols
-    acc_frames = flow_accumulation_frames(spec)
-    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
-           for r in acc_frames.itertuples()}
-    acc_ref = ray.put(acc)
+    n = spec.n_tiles
+    acc_refs = flow_accumulation_tile_refs(spec)
 
-    def solve(batch, ext_ref, acc_ref=acc_ref) -> pd.DataFrame:
-        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
-            else ext_ref
-        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
-            else acc_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            ze, pe, ae, se = _tile_halo_arrays(spec, tid, acc_all, threshold)
-            h = ze.shape[0] - 2
-            r0 = tid * spec.tile_rows
-            ext = ext_all[tid]
-            hk = np.zeros((h, cols), dtype=np.int64)
-            emits = []
-            order = np.argsort(ze[1:-1], axis=None, kind="stable")
-            for lin in order:  # ascending z: receiver resolves first
-                r, c = divmod(int(lin), cols)
-                re_ = r + 1
-                if not se[re_, c]:
-                    continue
-                gcell = (r0 + r) * cols + c
-                val = ext.get(gcell, 0)
-                if val == 0:
-                    code = pe[re_, c]
-                    if code <= 0:
-                        val = 1  # outlet
-                    else:
-                        i = int(code).bit_length() - 1
-                        rr, cc = re_ + _DY[i], c + _DX[i]
-                        if not (0 <= rr < h + 2 and 0 <= cc < cols) \
-                                or not se[rr, cc]:
-                            val = 1  # receiver not stream → outlet
-                        elif 1 <= rr <= h and hk[rr - 1, cc] > 0:
-                            base = int(hk[rr - 1, cc])
-                            chosen = _chosen_upstream(pe, ae, se, rr, cc)
-                            val = base if chosen == (re_, c) else base + 1
-                if val > 0:
-                    hk[r, c] = val
-                    up = _chosen_upstream(pe, ae, se, re_, c)
-                    if up is not None and not (1 <= up[0] <= h):
-                        gr = r0 + (up[0] - 1)
-                        emits.append((gr * cols + int(up[1]), val))
-                    # non-chosen out-of-tile inflows branch at val+1
-                    for i in range(8):
-                        r2, c2 = re_ + _DY[i], c + _DX[i]
-                        if 0 <= r2 < h + 2 and 0 <= c2 < cols \
-                                and se[r2, c2] and not (1 <= r2 <= h) \
-                                and pe[r2, c2] == float(1 << ((i + 4) % 8)) \
-                                and up != (r2, c2):
-                            gr = r0 + (r2 - 1)
-                            emits.append((gr * cols + int(c2), val + 1))
-            rows.append({"tile_id": tid, "shape0": h,
-                         "hk": hk.tobytes(),
-                         "stream": se[1:-1].astype(np.int8).tobytes(),
-                         "emits": json.dumps(emits)})
-        return pd.DataFrame(rows)
+    def build(tid: int):
+        acc_local = {t: ray.get(acc_refs[t])
+                     for t in (tid - 1, tid, tid + 1) if 0 <= t < n}
+        return _tile_halo_arrays(spec, tid, acc_local, threshold)
 
-    ext = {t: {} for t in range(spec.n_tiles)}
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(ext)
-        res = (rd.range(spec.n_tiles)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_ext = {t: {} for t in range(spec.n_tiles)}
-        for r in res.itertuples():
-            for gcell, val in json.loads(r.emits):
-                t = (gcell // cols) // spec.tile_rows
-                if 0 <= t < spec.n_tiles:
-                    prev = new_ext[t].get(int(gcell))
-                    if prev is None or val < prev:
-                        new_ext[t][int(gcell)] = int(val)
-        if new_ext == ext:
-            last = res
-            break
-        ext = new_ext
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("hack order did not converge")
+    def _run(state, tid: int, inbox):
+        ze, pe, ae, se = state
+        h = ze.shape[0] - 2
+        r0 = tid * spec.tile_rows
+        ext: dict = {}
+        for _sender, msg in inbox:  # min-combine across senders
+            for g, v in msg.items():
+                prev = ext.get(g)
+                if prev is None or v < prev:
+                    ext[g] = v
+        hk = np.zeros((h, cols), dtype=np.int64)
+        emits = []
+        order = np.argsort(ze[1:-1], axis=None, kind="stable")
+        for lin in order:  # ascending z: receiver resolves first
+            r, c = divmod(int(lin), cols)
+            re_ = r + 1
+            if not se[re_, c]:
+                continue
+            gcell = (r0 + r) * cols + c
+            val = ext.get(gcell, 0)
+            if val == 0:
+                code = pe[re_, c]
+                if code <= 0:
+                    val = 1  # outlet
+                else:
+                    i = int(code).bit_length() - 1
+                    rr, cc = re_ + _DY[i], c + _DX[i]
+                    if not (0 <= rr < h + 2 and 0 <= cc < cols) \
+                            or not se[rr, cc]:
+                        val = 1  # receiver not stream → outlet
+                    elif 1 <= rr <= h and hk[rr - 1, cc] > 0:
+                        base = int(hk[rr - 1, cc])
+                        chosen = _chosen_upstream(pe, ae, se, rr, cc)
+                        val = base if chosen == (re_, c) else base + 1
+            if val > 0:
+                hk[r, c] = val
+                up = _chosen_upstream(pe, ae, se, re_, c)
+                if up is not None and not (1 <= up[0] <= h):
+                    gr = r0 + (up[0] - 1)
+                    emits.append((gr * cols + int(up[1]), val))
+                # non-chosen out-of-tile inflows branch at val+1
+                for i in range(8):
+                    r2, c2 = re_ + _DY[i], c + _DX[i]
+                    if 0 <= r2 < h + 2 and 0 <= c2 < cols \
+                            and se[r2, c2] and not (1 <= r2 <= h) \
+                            and pe[r2, c2] == float(1 << ((i + 4) % 8)) \
+                            and up != (r2, c2):
+                        gr = r0 + (r2 - 1)
+                        emits.append((gr * cols + int(c2), val + 1))
+        return hk, se, emits
 
-    out = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        hk = np.frombuffer(r.hk, dtype=np.int64).reshape(h, cols)
-        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(
-            h, cols).astype(bool)
-        r0 = int(r.tile_id) * spec.tile_rows
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
-            "n_stream": stream.sum(axis=1).astype(np.int64),
+    def solve(state, tid: int, inbox) -> dict:
+        _, _, emits = _run(state, tid, inbox)
+        out: dict = {}
+        for gcell, val in emits:  # min-combine duplicates
+            t = (gcell // cols) // spec.tile_rows
+            if 0 <= t < n:
+                msg = out.setdefault(t, {})
+                prev = msg.get(int(gcell))
+                if prev is None or val < prev:
+                    msg[int(gcell)] = int(val)
+        return {t: {k: msg[k] for k in sorted(msg)}
+                for t, msg in out.items()}
+
+    def extract(state, tid: int, inbox) -> pd.DataFrame:
+        hk, se, _ = _run(state, tid, inbox)
+        r0 = tid * spec.tile_rows
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + hk.shape[0]),
+            "n_stream": se[1:-1].sum(axis=1).astype(np.int64),
             "max_hack": hk.max(axis=1),
-            "sum_hack": hk.sum(axis=1)}))
+            "sum_hack": hk.sum(axis=1)})
+
+    out = tile_fixed_point(n, build, solve, extract, max_rounds,
+                           "hack order")
     return (pd.concat(out, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
@@ -1043,9 +1044,8 @@ def _head_mask(stream: np.ndarray, ptr: np.ndarray,
     return stream & ~inflow
 
 
-@ray.remote
-def _hillslope_band(seed_rows, first_row_state, top_halo, bottom_seed,
-                    stream_ext, snod_ext, ptr_ext, base_ext):
+def _hillslope_band_core(seed_rows, first_row_state, top_halo, bottom_seed,
+                         stream_ext, snod_ext, ptr_ext, base_ext):
     """One chained loop-3 band pass. seed_rows: (H, C) band code seed
     (first row replaced by first_row_state when given); top_halo /
     bottom_seed: 1-row code states above/below (None at grid edges).
@@ -1065,48 +1065,68 @@ def _hillslope_band(seed_rows, first_row_state, top_halo, bottom_seed,
             code[H].copy())
 
 
-def _hillslope_planes(spec: RasterSpec, threshold: float):
-    """Per-tile (stream, snod, ptr, base, seed-code) planes from the
-    converged topology frames."""
-    frames = stream_topology_frames(spec, threshold)
+@ray.remote
+def _hillslope_plane(spec: RasterSpec, threshold: float, tid: int,
+                     topo, up_topo, dn_topo):
+    """Build tile tid's hillslope planes WORKER-side from the per-tile
+    topology tuples (passed as ObjectRefs, auto-resolved by Ray at the
+    task boundary); returns (ObjectRef(plane dict), edge-row dict). The
+    full planes never touch the driver — only the O(cols) edge rows
+    the band chain and the neighbours need."""
     cols = spec.cols
-    planes = {}
-    per_tile = {}
-    for r in frames.itertuples():
-        tid = int(r.tile_id)
-        h = int(r.shape0)
-        link = np.frombuffer(r.label, dtype=np.int64).reshape(h, cols)
-        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(h, cols) \
-            .astype(bool)
-        per_tile[tid] = (link, stream)
-    for tid, (link, stream) in per_tile.items():
-        z, ptr = _tile_pointers(spec, tid)
-        up = per_tile.get(tid - 1)
-        dn = per_tile.get(tid + 1)
-        up_sp = None
-        if up is not None:
-            zt, pt = _tile_pointers(spec, tid - 1)
-            up_sp = (up[1][-1], pt[-1])
-        dn_sp = None
-        if dn is not None:
-            zt, pt = _tile_pointers(spec, tid + 1)
-            dn_sp = (dn[1][0], pt[0])
-        heads = _head_mask(stream, ptr,
-                           up_sp[0] if up_sp else None,
-                           up_sp[1] if up_sp else None,
-                           dn_sp[0] if dn_sp else None,
-                           dn_sp[1] if dn_sp else None)
-        r0 = tid * spec.tile_rows
-        gcell = (np.arange(z.shape[0], dtype=np.int64)[:, None] + r0) \
-            * cols + np.arange(cols, dtype=np.int64)[None, :]
-        base = np.where(heads, 2 * gcell + 1, 2 * link)
-        snod = z == spec.nodata
-        seed = np.full(z.shape, -1, dtype=np.int64)
-        seed[snod] = -2
-        seed[stream] = base[stream] * 4
-        planes[tid] = dict(stream=stream, snod=snod, ptr=ptr, base=base,
-                           seed=seed, z=z)
-    return planes
+    _order, _mag, link, stream = topo
+    link = link.astype(np.int64)
+    z, ptr = _tile_pointers(spec, tid)
+    up_sp = None
+    if up_topo is not None:
+        _zt, pt = _tile_pointers(spec, tid - 1)
+        up_sp = (up_topo[3][-1], pt[-1])
+    dn_sp = None
+    if dn_topo is not None:
+        _zt, pt = _tile_pointers(spec, tid + 1)
+        dn_sp = (dn_topo[3][0], pt[0])
+    heads = _head_mask(stream, ptr,
+                       up_sp[0] if up_sp else None,
+                       up_sp[1] if up_sp else None,
+                       dn_sp[0] if dn_sp else None,
+                       dn_sp[1] if dn_sp else None)
+    r0 = tid * spec.tile_rows
+    gcell = (np.arange(z.shape[0], dtype=np.int64)[:, None] + r0) \
+        * cols + np.arange(cols, dtype=np.int64)[None, :]
+    base = np.where(heads, 2 * gcell + 1, 2 * link)
+    snod = z == spec.nodata
+    seed = np.full(z.shape, -1, dtype=np.int64)
+    seed[snod] = -2
+    seed[stream] = base[stream] * 4
+    plane = dict(stream=stream, snod=snod, ptr=ptr, base=base,
+                 seed=seed, z=z)
+    edges = {}
+    for key in ("stream", "snod", "ptr", "base"):
+        edges[key + "_first"] = plane[key][0].copy()
+        edges[key + "_last"] = plane[key][-1].copy()
+    edges["seed_first"] = seed[0].copy()
+    return ray.put(plane), edges
+
+
+@ray.remote
+def _hillslope_band(p, first_row_state, top_halo, bottom_seed,
+                    up_edges, dn_edges, cols: int):
+    """One band of the chained loop-3 wavefront: assembles the r0−1..
+    r1+1 ext planes from its own plane (passed as an ObjectRef,
+    auto-resolved at the task boundary) + the neighbours' edge rows
+    (never the full neighbour planes) and runs the in-place bank scan."""
+    fills = dict(stream=False, snod=True, ptr=0.0, base=0)
+
+    def stack(key):
+        top = up_edges[key + "_last"][None, :] if up_edges is not None \
+            else np.full((1, cols), fills[key], dtype=p[key].dtype)
+        bot = dn_edges[key + "_first"][None, :] if dn_edges is not None \
+            else np.full((1, cols), fills[key], dtype=p[key].dtype)
+        return np.vstack([top, p[key], bot])
+
+    return _hillslope_band_core(
+        p["seed"], first_row_state, top_halo, bottom_seed,
+        stack("stream"), stack("snod"), stack("ptr"), stack("base"))
 
 
 def hillslopes(spec: RasterSpec | None = None, threshold: float = 5.0,
@@ -1114,106 +1134,96 @@ def hillslopes(spec: RasterSpec | None = None, threshold: float = 5.0,
     """Distributed Hillslopes: topology fixed point → ONE chained
     banded wavefront for the in-place bank pass (each band receives its
     predecessor's final last row and its own possibly-modified first
-    row, and returns its up-writes for the driver to merge) → the
-    subbasins-style ascending-z downslope-label fixed point for loop 4.
-    Output (row_id, n_assigned, sum_code)."""
+    row as chained futures — the chain never round-trips the driver) →
+    the subbasins-style ascending-z downslope-label fixed point for
+    loop 4 via fixed_point.tile_fixed_point (per-tile planes and band
+    codes stay in the object store; only the O(cols) boundary label
+    dicts travel per round). Output (row_id, n_assigned, sum_code)."""
+    from .fixed_point import tile_fixed_point
+
     spec = spec or RasterSpec()
     cols = spec.cols
     n = spec.n_tiles
-    planes = _hillslope_planes(spec, threshold)
+    topo_refs = stream_topology_tile_refs(spec, threshold)
+    built = ray.get([_hillslope_plane.remote(
+        spec, threshold, t, topo_refs[t],
+        topo_refs.get(t - 1), topo_refs.get(t + 1)) for t in range(n)])
+    plane_refs = [b[0] for b in built]
+    edges = [b[1] for b in built]
 
-    def ext_planes(tid):
-        """stream/snod/ptr/base planes covering rows r0−1..r1+1."""
-        p = planes[tid]
-        def stack(key, fill):
-            rows = [p[key]]
-            if tid - 1 in planes:
-                rows.insert(0, planes[tid - 1][key][-1:])
-            else:
-                rows.insert(0, np.full((1, cols), fill,
-                                       dtype=p[key].dtype))
-            if tid + 1 in planes:
-                rows.append(planes[tid + 1][key][:1])
-            else:
-                rows.append(np.full((1, cols), fill, dtype=p[key].dtype))
-            return np.vstack(rows)
-        return (stack("stream", False), stack("snod", True),
-                stack("ptr", 0.0), stack("base", 0))
-
-    futs = []
+    band_futs = []
     first_row_state = None   # band's own first row, post predecessor writes
     top_halo = None          # predecessor's final last row at scan time
     for b in range(n):
-        st, sn, pt, ba = ext_planes(b)
-        bottom_seed = planes[b + 1]["seed"][0].copy() if b + 1 in planes \
-            else None
-        fut = _hillslope_band.remote(planes[b]["seed"], first_row_state,
-                                     top_halo, bottom_seed, st, sn, pt, ba)
-        futs.append(fut)
+        bottom_seed = edges[b + 1]["seed_first"] if b + 1 < n else None
+        fut = _hillslope_band.remote(
+            plane_refs[b], first_row_state, top_halo, bottom_seed,
+            edges[b - 1] if b > 0 else None,
+            edges[b + 1] if b + 1 < n else None, cols)
+        band_futs.append(fut)
         first_row_state = _extract_band.remote(fut, 2)  # modified bottom
         top_halo = _extract_band.remote(fut, 3)         # own last row
-    res = [ray.get(f) for f in futs]
-    codes = {}
-    for b in range(n):
-        rows = res[b][0].copy()
-        if b + 1 < n:
-            rows[-1] = res[b + 1][1]  # successor's up-writes win (later)
-        codes[b] = rows
 
     # loop 4: ascending-z downslope label fill, cross-tile fixed point
-    ext = {t: {} for t in range(n)}
-    final = None
-    for _ in range(max_rounds):
-        new_ext = {t: {} for t in range(n)}
-        labs = {}
-        for tid in range(n):
-            p = planes[tid]
-            z, ptr, seed = p["z"], p["ptr"], codes[tid]
-            H = z.shape[0]
-            r0 = tid * spec.tile_rows
-            lab = np.full((H, cols), -2, dtype=np.int64)
-            order = np.argsort(z, axis=None, kind="stable")
-            for lin in order:
-                r, c = divmod(int(lin), cols)
-                if seed[r, c] >= 0:
-                    lab[r, c] = seed[r, c]
-                    continue
-                if p["snod"][r, c]:
-                    continue
-                fd = ptr[r, c]
-                if fd <= 0:
-                    continue
-                i = int(fd).bit_length() - 1
-                r2, c2 = r + _DY[i], c + _DX[i]
-                if 0 <= r2 < H and 0 <= c2 < cols:
-                    lab[r, c] = lab[r2, c2]
-                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                    lab[r, c] = ext[tid].get((r0 + r2) * cols + c2, -2)
-            labs[tid] = lab
-        for tid in range(n):
-            H = labs[tid].shape[0]
-            r0 = tid * spec.tile_rows
-            for c in range(cols):
-                if tid - 1 in planes:
-                    new_ext[tid - 1][r0 * cols + c] = int(labs[tid][0, c])
-                if tid + 1 in planes:
-                    new_ext[tid + 1][(r0 + H - 1) * cols + c] = \
-                        int(labs[tid][H - 1, c])
-        if new_ext == ext:
-            final = labs
-            break
-        ext = new_ext
-    assert final is not None, "hillslopes loop-4 fixed point did not converge"
+    def build(tid: int):
+        p = ray.get(plane_refs[tid])
+        seed = ray.get(band_futs[tid])[0].copy()
+        if tid + 1 < n:
+            # successor's up-writes win (later in the reference scan)
+            seed[-1] = ray.get(band_futs[tid + 1])[1]
+        return p["z"], p["ptr"], p["snod"], seed
 
-    frames_out = []
-    for tid in range(n):
-        lab = final[tid]
+    def _fill(state, tid: int, inbox) -> np.ndarray:
+        z, ptr, snod, seed = state
+        H = z.shape[0]
         r0 = tid * spec.tile_rows
-        frames_out.append(pd.DataFrame({
+        ext: dict = {}
+        for _sender, msg in inbox:
+            ext.update(msg)
+        lab = np.full((H, cols), -2, dtype=np.int64)
+        order = np.argsort(z, axis=None, kind="stable")
+        for lin in order:
+            r, c = divmod(int(lin), cols)
+            if seed[r, c] >= 0:
+                lab[r, c] = seed[r, c]
+                continue
+            if snod[r, c]:
+                continue
+            fd = ptr[r, c]
+            if fd <= 0:
+                continue
+            i = int(fd).bit_length() - 1
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= r2 < H and 0 <= c2 < cols:
+                lab[r, c] = lab[r2, c2]
+            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                lab[r, c] = ext.get((r0 + r2) * cols + c2, -2)
+        return lab
+
+    def solve(state, tid: int, inbox) -> dict:
+        lab = _fill(state, tid, inbox)
+        r0 = tid * spec.tile_rows
+        H = lab.shape[0]
+        out: dict = {}
+        if tid > 0:
+            out[tid - 1] = {r0 * cols + c: int(lab[0, c])
+                            for c in range(cols)}
+        if tid + 1 < n:
+            out[tid + 1] = {(r0 + H - 1) * cols + c: int(lab[H - 1, c])
+                            for c in range(cols)}
+        return out
+
+    def extract(state, tid: int, inbox) -> pd.DataFrame:
+        lab = _fill(state, tid, inbox)
+        r0 = tid * spec.tile_rows
+        return pd.DataFrame({
             "row_id": np.arange(r0, r0 + lab.shape[0]),
             "n_assigned": (lab >= 0).sum(axis=1).astype(np.int64),
-            "sum_code": np.where(lab >= 0, lab, 0).sum(axis=1)}))
-    return (pd.concat(frames_out, ignore_index=True)
+            "sum_code": np.where(lab >= 0, lab, 0).sum(axis=1)})
+
+    out = tile_fixed_point(n, build, solve, extract, max_rounds,
+                           "hillslopes loop-4")
+    return (pd.concat(out, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
 
@@ -1652,104 +1662,84 @@ def _downslope_stream_value(spec: RasterSpec, threshold: float,
     stream mask (dist/elev) or the pits themselves (ptr ≤ 0 — ElevAbove
     Pit.java / DistanceToOutlet.groovy run the same walk to the path's
     end)."""
+    from .fixed_point import tile_fixed_point
+
     cols = spec.cols
     n = spec.n_tiles
     pit_mode = kind.startswith("pit")
-    if pit_mode:
-        str_ref = ray.put(None)
-    else:
-        frames = stream_topology_frames(spec, threshold)
-        streams_m = {int(r.tile_id):
-                     np.frombuffer(r.stream, dtype=np.int8)
-                     .reshape(int(r.shape0), cols).astype(bool)
-                     for r in frames.itertuples()}
-        str_ref = ray.put(streams_m)
+    topo_refs = None if pit_mode \
+        else stream_topology_tile_refs(spec, threshold)
 
-    def solve(batch, ext_ref, str_ref=str_ref) -> pd.DataFrame:
-        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
-            else ext_ref
-        st_all = ray.get(str_ref) if isinstance(str_ref, ray.ObjectRef) \
-            else str_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            H = z.shape[0]
-            r0 = tid * spec.tile_rows
-            stream = (ptr <= 0) if st_all is None else st_all[tid]
-            ext = ext_all[tid]
-            val = np.full((H, cols), _UNREACHED)
-            order = np.argsort(z, axis=None, kind="stable")  # ascending
-            for lin in order:
-                r, c = divmod(int(lin), cols)
-                if z[r, c] == spec.nodata:
-                    continue
-                if stream[r, c]:
-                    val[r, c] = 0.0 if kind.endswith("dist") else z[r, c]
-                    continue
-                code = ptr[r, c]
-                if code <= 0:
-                    continue
-                i = int(code).bit_length() - 1
-                r2, c2 = r + _DY[i], c + _DX[i]
-                if 0 <= r2 < H and 0 <= c2 < cols:
-                    recv = val[r2, c2]
-                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                    recv = ext.get((r0 + r2) * cols + c2, _UNREACHED)
-                else:
-                    continue
-                if recv != _UNREACHED:
-                    val[r, c] = recv + (_GRID_LEN[i]
-                                        if kind.endswith("dist") else 0.0)
-            rows.append({"tile_id": tid, "shape0": H, "val": val.tobytes(),
-                         "top": val[0].tobytes(), "bot": val[-1].tobytes()})
-        return pd.DataFrame(rows)
+    def build(tid: int):
+        z, ptr = _tile_pointers(spec, tid)
+        stream = (ptr <= 0) if topo_refs is None \
+            else ray.get(topo_refs[tid])[3]
+        return z, ptr, stream
 
-    ext = {t: {} for t in range(n)}
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(ext)
-        res = (rd.range(n).map_batches(lambda b, _r=ref: solve(b, _r),
-                                       batch_format="numpy").to_pandas())
-        new_ext = {t: {} for t in range(n)}
-        for r in res.itertuples():
-            tid = int(r.tile_id)
-            h = int(r.shape0)
-            r0 = tid * spec.tile_rows
-            top = np.frombuffer(r.top)
-            bot = np.frombuffer(r.bot)
-            if tid > 0:
-                for c in np.flatnonzero(top != _UNREACHED):
-                    new_ext[tid - 1][r0 * cols + int(c)] = float(top[c])
-            if tid + 1 < n:
-                g0 = (r0 + h - 1) * cols
-                for c in np.flatnonzero(bot != _UNREACHED):
-                    new_ext[tid + 1][g0 + int(c)] = float(bot[c])
-        if new_ext == ext:
-            last = res
-            break
-        ext = new_ext
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("downslope value fill did not converge")
+    def _fill(state, tid: int, inbox) -> np.ndarray:
+        z, ptr, stream = state
+        H = z.shape[0]
+        r0 = tid * spec.tile_rows
+        ext: dict = {}
+        for _sender, msg in inbox:
+            ext.update(msg)
+        val = np.full((H, cols), _UNREACHED)
+        order = np.argsort(z, axis=None, kind="stable")  # ascending
+        for lin in order:
+            r, c = divmod(int(lin), cols)
+            if z[r, c] == spec.nodata:
+                continue
+            if stream[r, c]:
+                val[r, c] = 0.0 if kind.endswith("dist") else z[r, c]
+                continue
+            code = ptr[r, c]
+            if code <= 0:
+                continue
+            i = int(code).bit_length() - 1
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= r2 < H and 0 <= c2 < cols:
+                recv = val[r2, c2]
+            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                recv = ext.get((r0 + r2) * cols + c2, _UNREACHED)
+            else:
+                continue
+            if recv != _UNREACHED:
+                val[r, c] = recv + (_GRID_LEN[i]
+                                    if kind.endswith("dist") else 0.0)
+        return val
 
-    out = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        val = np.frombuffer(r.val).reshape(h, cols)
-        r0 = int(r.tile_id) * spec.tile_rows
-        cell = np.arange(r0 * cols, (r0 + h) * cols, dtype=np.int64)
-        from .raster import synth_value as sv
-        z = sv(cell).reshape(h, cols)
+    def solve(state, tid: int, inbox) -> dict:
+        val = _fill(state, tid, inbox)
+        r0 = tid * spec.tile_rows
+        h = val.shape[0]
+        top, bot = val[0], val[-1]
+        out: dict = {}
+        up = {r0 * cols + int(c): float(top[c])
+              for c in np.flatnonzero(top != _UNREACHED)}
+        dn = {(r0 + h - 1) * cols + int(c): float(bot[c])
+              for c in np.flatnonzero(bot != _UNREACHED)}
+        if up and tid > 0:
+            out[tid - 1] = up
+        if dn and tid + 1 < n:
+            out[tid + 1] = dn
+        return out
+
+    def extract(state, tid: int, inbox) -> pd.DataFrame:
+        z = state[0]
+        val = _fill(state, tid, inbox)
+        r0 = tid * spec.tile_rows
         m = val != _UNREACHED
         if kind.endswith("elev"):
             res_plane = np.where(m, z - val, 0.0)
         else:
             res_plane = np.where(m, val, 0.0)
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + val.shape[0]),
             "n_reached": m.sum(axis=1).astype(np.int64),
-            "value_sum": np.round(res_plane.sum(axis=1), 4)}))
+            "value_sum": np.round(res_plane.sum(axis=1), 4)})
+
+    out = tile_fixed_point(n, build, solve, extract, max_rounds,
+                           "downslope value fill")
     return (pd.concat(out, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
@@ -1904,107 +1894,81 @@ def median_upstream_area(spec: RasterSpec | None = None,
                          max_rounds: int = 64,
                          round_to: int = 4) -> pd.DataFrame:
     """(row_id, n_stream, median_sum) — Σ over stream cells of the
-    sketch median of upstream areas (flow accumulation)."""
-    import json as _json
+    sketch median of upstream areas (flow accumulation).
 
-    from .hydro import flow_accumulation_frames
+    Banded fixed point via fixed_point.tile_fixed_point with histogram
+    messages ({boundary col: _MED_B bucket counts}); the per-tile
+    (z, ptr, acc, stream) state persists in the object store."""
+    from .fixed_point import tile_fixed_point
+    from .hydro import flow_accumulation_tile_refs
 
     spec = spec or RasterSpec()
     cols = spec.cols
     n = spec.n_tiles
-    acc_frames = flow_accumulation_frames(spec)
-    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
-           for r in acc_frames.itertuples()}
-    acc_ref = ray.put(acc)
-    zero = {t: np.zeros((min(spec.tile_rows,
-                             spec.rows - t * spec.tile_rows), cols, _MED_B),
-                        dtype=np.int64) for t in range(n)}
-    inflows = {t: zero[t].copy() for t in range(n)}
+    acc_refs = flow_accumulation_tile_refs(spec)
 
-    def solve(batch, inflow_ref, acc_ref=acc_ref) -> pd.DataFrame:
-        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
-            else inflow_ref
-        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
-            else acc_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            H = z.shape[0]
-            stream = (z != spec.nodata) & (acc_all[tid] >= threshold)
-            hist = infl[tid].copy()
-            hist[~stream] = 0
-            out_up: dict[int, list] = {}
-            out_dn: dict[int, list] = {}
-            for lin in np.argsort(-z, axis=None, kind="stable"):
-                r, c = divmod(int(lin), cols)
-                if not stream[r, c]:
-                    continue
-                code = ptr[r, c]
-                if code == spec.nodata or code <= 0:
-                    continue
-                i = int(code).bit_length() - 1
-                msg = hist[r, c].copy()
-                msg[int(_area_bucket(np.asarray([acc_all[tid][r, c]]))[0])] \
-                    += 1
-                r2, c2 = r + _DY[i], c + _DX[i]
-                if 0 <= c2 < cols:
-                    if 0 <= r2 < H:
-                        if stream[r2, c2]:
-                            hist[r2, c2] += msg
+    def build(tid: int):
+        z, ptr = _tile_pointers(spec, tid)
+        acc = ray.get(acc_refs[tid])
+        stream = (z != spec.nodata) & (acc >= threshold)
+        return z, ptr, acc, stream
+
+    def _run(state, tid: int, inbox):
+        z, ptr, acc_t, stream = state
+        H = z.shape[0]
+        hist = np.zeros((H, cols, _MED_B), dtype=np.int64)
+        for sender, msg in inbox:   # sender tid-1's dn enters row 0
+            row = 0 if sender == tid - 1 else -1
+            for col, v in msg.items():
+                hist[row, int(col)] += np.asarray(v, dtype=np.int64)
+        hist[~stream] = 0
+        out_up: dict[int, list] = {}
+        out_dn: dict[int, list] = {}
+        for lin in np.argsort(-z, axis=None, kind="stable"):
+            r, c = divmod(int(lin), cols)
+            if not stream[r, c]:
+                continue
+            code = ptr[r, c]
+            if code == spec.nodata or code <= 0:
+                continue
+            i = int(code).bit_length() - 1
+            msg = hist[r, c].copy()
+            msg[int(_area_bucket(np.asarray([acc_t[r, c]]))[0])] += 1
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= c2 < cols:
+                if 0 <= r2 < H:
+                    if stream[r2, c2]:
+                        hist[r2, c2] += msg
+                else:
+                    tgt = out_up if r2 < 0 else out_dn
+                    if c2 in tgt:
+                        tgt[c2] = [a + b for a, b in zip(tgt[c2],
+                                                         msg.tolist())]
                     else:
-                        tgt = out_up if r2 < 0 else out_dn
-                        if c2 in tgt:
-                            tgt[c2] = [a + b for a, b in zip(tgt[c2],
-                                                             msg.tolist())]
-                        else:
-                            tgt[c2] = msg.tolist()
-            rows.append({"tile_id": tid, "hist": hist.tobytes(),
-                         "shape0": H,
-                         "stream": stream.astype(np.int8).tobytes(),
-                         "up": _json.dumps(out_up),
-                         "dn": _json.dumps(out_dn)})
-        return pd.DataFrame(rows)
+                        tgt[c2] = msg.tolist()
+        return hist, stream, out_up, out_dn
 
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(inflows)
-        res = (rd.range(n)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_inflows = {t: np.zeros_like(zero[t]) for t in range(n)}
-        import json as _json
-        for r in res.itertuples():
-            for col, v in _json.loads(r.up).items():
-                if r.tile_id > 0:
-                    new_inflows[r.tile_id - 1][-1, int(col)] += \
-                        np.asarray(v, dtype=np.int64)
-            for col, v in _json.loads(r.dn).items():
-                if r.tile_id < n - 1:
-                    new_inflows[r.tile_id + 1][0, int(col)] += \
-                        np.asarray(v, dtype=np.int64)
-        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
-            last = res
-            break
-        inflows = new_inflows
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("median upstream area did not converge")
+    def solve(state, tid: int, inbox) -> dict:
+        _, _, up, dn = _run(state, tid, inbox)
+        out: dict = {}
+        if up and tid > 0:
+            out[tid - 1] = {int(c): up[c] for c in sorted(up)}
+        if dn and tid + 1 < n:
+            out[tid + 1] = {int(c): dn[c] for c in sorted(dn)}
+        return out
 
-    frames = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        hist = np.frombuffer(r.hist, dtype=np.int64).reshape(h, cols,
-                                                             _MED_B)
-        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(h, cols) \
-            .astype(bool)
+    def extract(state, tid: int, inbox) -> pd.DataFrame:
+        hist, stream, _, _ = _run(state, tid, inbox)
         med = _sketch_median_plane(hist)
         med = np.where(stream, med, 0.0)
-        r0 = int(r.tile_id) * spec.tile_rows
-        frames.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
+        r0 = tid * spec.tile_rows
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + hist.shape[0]),
             "n_stream": stream.sum(axis=1).astype(np.int64),
-            "median_sum": np.round(med.sum(axis=1), round_to)}))
+            "median_sum": np.round(med.sum(axis=1), round_to)})
+
+    frames = tile_fixed_point(n, build, solve, extract, max_rounds,
+                              "median upstream area")
     return (pd.concat(frames, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
@@ -2126,128 +2090,110 @@ def find_saddle_points(spec: RasterSpec | None = None,
     ridge flowpath reaches, sorted by head_cell. Conformance-scale
     combine gathers per-tile label planes on the driver; at cluster
     scale only tile EDGE rows travel (the fill's own message shape)."""
+    from .fixed_point import tile_fixed_point
+
     spec = spec or RasterSpec()
     cols = spec.cols
     n = spec.n_tiles
 
-    def solve(batch, ext_ref) -> pd.DataFrame:
-        import json as _json
-        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
-            else ext_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            H = z.shape[0]
-            r0 = tid * spec.tile_rows
-            vext, vr0 = _valley_plane_ext(spec, tid)
-            off = r0 - vr0                  # own rows inside vext
-            valley = vext[off:off + H]
-            # head = valley cell, valid ptr, no inflowing VALLEY nbr
-            ze, pe = _ptr_halo_streams(spec, tid)
-            vpad = np.zeros((H + 2, cols + 2), dtype=bool)
-            vpad[1:-1, 1:-1] = valley
-            if off >= 1:
-                vpad[0, 1:-1] = vext[off - 1]
-            if off + H < vext.shape[0]:
-                vpad[-1, 1:-1] = vext[off + H]
-            ppad = np.zeros((H + 2, cols + 2))
-            ppad[1:-1, 1:-1] = pe[1:-1]
-            ppad[0, 1:-1] = pe[0]
-            ppad[-1, 1:-1] = pe[-1]
-            inflow = np.zeros((H, cols), dtype=np.int64)
-            for i in range(8):
-                dy, dx = _DY[i], _DX[i]
-                nv = vpad[1 + dy:1 + dy + H, 1 + dx:1 + dx + cols]
-                np_ = ppad[1 + dy:1 + dy + H, 1 + dx:1 + dx + cols]
-                inflow += nv & (np_ == float(1 << ((i + 4) % 8)))
-            head = valley & (ptr != spec.nodata) & (inflow == 0)
-            gcell = (np.arange(r0, r0 + H, dtype=np.int64)[:, None] * cols
-                     + np.arange(cols, dtype=np.int64)[None, :])
-            # ascending-z label fill: valley -> own gcell (head) or -2
-            ext = ext_all[tid]
-            lab = np.full((H, cols), -1, dtype=np.int64)
-            order = np.argsort(z, axis=None, kind="stable")
-            for lin in order:
-                r, c = divmod(int(lin), cols)
-                if z[r, c] == spec.nodata:
-                    continue
-                if valley[r, c]:
-                    lab[r, c] = gcell[r, c] if head[r, c] else -2
-                    continue
-                code = ptr[r, c]
-                if code <= 0:
-                    continue
-                i = int(code).bit_length() - 1
-                r2, c2 = r + _DY[i], c + _DX[i]
-                if 0 <= r2 < H and 0 <= c2 < cols:
-                    lab[r, c] = lab[r2, c2]
-                elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                    lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
-            rows.append({"tile_id": tid, "shape0": H,
-                         "lab": lab.tobytes(),
-                         "top": lab[0].tobytes(), "bot": lab[-1].tobytes()})
-        return pd.DataFrame(rows)
-
-    ext = {t: {} for t in range(n)}
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(ext)
-        res = (rd.range(n).map_batches(lambda b, _r=ref: solve(b, _r),
-                                       batch_format="numpy").to_pandas())
-        new_ext = {t: {} for t in range(n)}
-        for r in res.itertuples():
-            tid = int(r.tile_id)
-            h = int(r.shape0)
-            r0 = tid * spec.tile_rows
-            top = np.frombuffer(r.top, dtype=np.int64)
-            bot = np.frombuffer(r.bot, dtype=np.int64)
-            if tid > 0:
-                for c in np.flatnonzero(top != -1):
-                    new_ext[tid - 1][r0 * cols + int(c)] = int(top[c])
-            if tid + 1 < n:
-                g0 = (r0 + h - 1) * cols
-                for c in np.flatnonzero(bot != -1):
-                    new_ext[tid + 1][g0 + int(c)] = int(bot[c])
-        if new_ext == ext:
-            last = res
-            break
-        ext = new_ext
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("saddle label fill did not converge")
-
-    # assemble label planes; saddle candidates = ridge cells whose
-    # RECEIVER's label is a head
-    from .thinning import _ridge_init_band
-
-    labs = {int(r.tile_id):
-            np.frombuffer(r.lab, dtype=np.int64).reshape(int(r.shape0), cols)
-            for r in last.itertuples()}
-    best: dict[int, tuple[float, int]] = {}
-    for tid in range(n):
+    def build(tid: int):
         z, ptr = _tile_pointers(spec, tid)
         H = z.shape[0]
         r0 = tid * spec.tile_rows
-        ridge = _ridge_init_band(spec, tid) == 1.0
-        for r in range(H):
-            for c in range(cols):
-                if not ridge[r, c] or z[r, c] == spec.nodata:
-                    continue
-                code = ptr[r, c]
-                if code == spec.nodata or code <= 0:
-                    continue
-                i = int(code).bit_length() - 1
-                r2, c2 = r + _DY[i], c + _DX[i]
-                ga = r0 + r2
-                if not (0 <= c2 < cols and 0 <= ga < spec.rows):
-                    continue
-                t2 = ga // spec.tile_rows
-                L = int(labs[t2][ga - t2 * spec.tile_rows, c2])
-                if L >= 0:
-                    key = (float(z[r, c]), (r0 + r) * cols + c)
-                    if L not in best or key < best[L]:
-                        best[L] = key
+        vext, vr0 = _valley_plane_ext(spec, tid)
+        off = r0 - vr0                  # own rows inside vext
+        valley = vext[off:off + H]
+        # head = valley cell, valid ptr, no inflowing VALLEY nbr
+        ze, pe = _ptr_halo_streams(spec, tid)
+        vpad = np.zeros((H + 2, cols + 2), dtype=bool)
+        vpad[1:-1, 1:-1] = valley
+        if off >= 1:
+            vpad[0, 1:-1] = vext[off - 1]
+        if off + H < vext.shape[0]:
+            vpad[-1, 1:-1] = vext[off + H]
+        ppad = np.zeros((H + 2, cols + 2))
+        ppad[1:-1, 1:-1] = pe[1:-1]
+        ppad[0, 1:-1] = pe[0]
+        ppad[-1, 1:-1] = pe[-1]
+        inflow = np.zeros((H, cols), dtype=np.int64)
+        for i in range(8):
+            dy, dx = _DY[i], _DX[i]
+            nv = vpad[1 + dy:1 + dy + H, 1 + dx:1 + dx + cols]
+            np_ = ppad[1 + dy:1 + dy + H, 1 + dx:1 + dx + cols]
+            inflow += nv & (np_ == float(1 << ((i + 4) % 8)))
+        head = valley & (ptr != spec.nodata) & (inflow == 0)
+        return z, ptr, valley, head
+
+    def _fill(state, tid: int, inbox) -> np.ndarray:
+        z, ptr, valley, head = state
+        H = z.shape[0]
+        r0 = tid * spec.tile_rows
+        ext: dict = {}
+        for _sender, msg in inbox:
+            ext.update(msg)
+        gcell = (np.arange(r0, r0 + H, dtype=np.int64)[:, None] * cols
+                 + np.arange(cols, dtype=np.int64)[None, :])
+        # ascending-z label fill: valley -> own gcell (head) or -2
+        lab = np.full((H, cols), -1, dtype=np.int64)
+        order = np.argsort(z, axis=None, kind="stable")
+        for lin in order:
+            r, c = divmod(int(lin), cols)
+            if z[r, c] == spec.nodata:
+                continue
+            if valley[r, c]:
+                lab[r, c] = gcell[r, c] if head[r, c] else -2
+                continue
+            code = ptr[r, c]
+            if code <= 0:
+                continue
+            i = int(code).bit_length() - 1
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= r2 < H and 0 <= c2 < cols:
+                lab[r, c] = lab[r2, c2]
+            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
+                lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
+        return lab
+
+    def solve(state, tid: int, inbox) -> dict:
+        lab = _fill(state, tid, inbox)
+        r0 = tid * spec.tile_rows
+        h = lab.shape[0]
+        top, bot = lab[0], lab[-1]
+        out: dict = {}
+        up = {r0 * cols + int(c): int(top[c])
+              for c in np.flatnonzero(top != -1)}
+        dn = {(r0 + h - 1) * cols + int(c): int(bot[c])
+              for c in np.flatnonzero(bot != -1)}
+        if up and tid > 0:
+            out[tid - 1] = up
+        if dn and tid + 1 < n:
+            out[tid + 1] = dn
+        return out
+
+    def extract(state, tid: int, inbox):
+        lab = _fill(state, tid, inbox)
+        # full plane stays in the object store; only the edge rows
+        # (for the neighbour-receiver lookup) return to the driver
+        return ray.put(lab), lab[0].copy(), lab[-1].copy()
+
+    res = tile_fixed_point(n, build, solve, extract, max_rounds,
+                           "saddle label fill")
+    lab_refs = [r[0] for r in res]
+    firsts = [r[1] for r in res]
+    lasts = [r[2] for r in res]
+
+    # saddle candidates = ridge cells whose RECEIVER's label is a
+    # head — scanned per tile worker-side, merged by min on the driver
+    # (O(#heads) result per tile)
+    bests = ray.get([_saddle_scan.remote(
+        spec, tid, lab_refs[tid],
+        lasts[tid - 1] if tid > 0 else None,
+        firsts[tid + 1] if tid + 1 < n else None) for tid in range(n)])
+    best: dict[int, tuple[float, int]] = {}
+    for b in bests:
+        for L, key in b.items():
+            if L not in best or key < best[L]:
+                best[L] = key
     out = pd.DataFrame(
         [(h, cell, zv) for h, (zv, cell) in sorted(best.items())],
         columns=["head_cell", "saddle_cell", "saddle_z"])
@@ -2255,6 +2201,40 @@ def find_saddle_points(spec: RasterSpec | None = None,
     out["saddle_cell"] = out["saddle_cell"].astype(np.int64)
     out["saddle_z"] = np.round(out["saddle_z"].astype(np.float64), 6)
     return out
+
+
+@ray.remote
+def _saddle_scan(spec: RasterSpec, tid: int, lab, up_last, dn_first) -> dict:
+    """Per-tile saddle-candidate scan: {head label: (z, saddle gcell)}
+    minima over this tile's ridge cells. ``lab`` arrives as an
+    ObjectRef (auto-resolved); neighbour edge rows cover the r2 = -1 /
+    r2 = H receiver lookups."""
+    from .thinning import _ridge_init_band
+
+    cols = spec.cols
+    z, ptr = _tile_pointers(spec, tid)
+    H = z.shape[0]
+    r0 = tid * spec.tile_rows
+    ridge = _ridge_init_band(spec, tid) == 1.0
+    le = np.full((H + 2, cols), -1, dtype=np.int64)
+    le[1:-1] = lab
+    if up_last is not None:
+        le[0] = up_last
+    if dn_first is not None:
+        le[-1] = dn_first
+    best: dict[int, tuple[float, int]] = {}
+    cand = ridge & (z != spec.nodata) & (ptr != spec.nodata) & (ptr > 0)
+    for r, c in zip(*(a.tolist() for a in np.nonzero(cand))):
+        i = int(ptr[r, c]).bit_length() - 1
+        r2, c2 = r + _DY[i], c + _DX[i]
+        if not (0 <= c2 < cols and 0 <= r0 + r2 < spec.rows):
+            continue
+        L = int(le[r2 + 1, c2])
+        if L >= 0:
+            key = (float(z[r, c]), (r0 + r) * cols + c)
+            if L not in best or key < best[L]:
+                best[L] = key
+    return best
 
 
 def _ptr_halo_streams(spec: RasterSpec, tid: int):

@@ -374,6 +374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_knn_join": lambda sf: ann.knn_join_topk(sf),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf),
         "ann_ivf_persisted": lambda sf: ann.ivf_topk_persisted(sf),
+        # rows-only: k-means-trained quantizer (iterative training is
+        # not SQL-expressible); recall@k vs brute force + determinism
+        # gated in tests/test_ann_persisted.py
+        "ann_ivf_trained": lambda sf: ann.ivf_topk_trained(sf),
         "embedding_neardup": lambda sf: emb.cosine_neardup_pairs(sf),
         "pca_embeddings": lambda sf: emb.pca_embeddings(sf),
         "inverse_pca": lambda sf: emb.inverse_pca_embeddings(sf),

@@ -88,3 +88,26 @@ def test_cache_key_tracks_content(tmp_path):
     assert d3 == d and not valid3
     assert not os.path.exists(os.path.join(d, "artifact"))  # wiped
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_trained_ivf_recall_and_determinism(ray_session):
+    """Round-2 verdict item 4: the k-means-trained quantizer must reach
+    recall@k >= the seeded quantizer's on the same (n_lists, nprobe)
+    budget, beat a non-trivial floor vs the brute-force ground truth,
+    and be deterministic across runs."""
+    k = 20
+    t1 = ann.ivf_topk_trained(SF, k=k).to_pandas()
+    t2 = ann.ivf_topk_trained(SF, k=k).to_pandas()
+    pd.testing.assert_frame_equal(t1, t2)      # deterministic
+    rt, rs = [], []
+    for q in (0, 50, 123, 200, 444):           # averaged: per-query noisy
+        truth = set(ann.cosine_topk(SF, k=k,
+                                    query_vec_id=q).to_pandas()["vec_id"])
+        seeded = set(ann.ivf_topk(SF, k=k,
+                                  query_vec_id=q).to_pandas()["vec_id"])
+        trained = set(ann.ivf_topk_trained(
+            SF, k=k, query_vec_id=q).to_pandas()["vec_id"])
+        rt.append(len(trained & truth) / k)
+        rs.append(len(seeded & truth) / k)
+    assert sum(rt) / len(rt) >= sum(rs) / len(rs)   # training helps
+    assert sum(rt) / len(rt) >= 0.6                 # non-trivial floor

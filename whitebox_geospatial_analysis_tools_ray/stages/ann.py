@@ -186,6 +186,98 @@ def ivf_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
         ["cosine", "vec_id"], descending=[True, False]).limit(k)
 
 
+def ivf_train_centroids(sf_dir: str, n_lists: int = 16, iters: int = 8,
+                        round_to: int = 6) -> np.ndarray:
+    """Spherical-k-means-trained IVF quantizer (round-2 verdict item 4):
+    broadcast-assign rounds exactly like stages/embeddings
+    .kmeans_embeddings, but with COSINE assignment over normalized
+    vectors and per-round centroid renormalization — the quantizer an
+    IVF index wants on clustered data (the seeded first-n quantizer
+    stays for the exact DuckDB oracle).
+
+    Deterministic: init = the n_lists lowest vec_ids (normalized),
+    fixed ``iters`` rounds, ties → lowest list id, per-round rounding
+    so partial-sum order can never drift an assignment. Per round only
+    (n_lists × dim) sums reach the driver."""
+    from .embeddings import _lowest_k_vectors, _read_embeddings
+
+    C = _lowest_k_vectors(sf_dir, n_lists)
+    cent = C / np.maximum(np.sqrt((C * C).sum(axis=1, keepdims=True)),
+                          1e-12)
+    ds = _read_embeddings(sf_dir)
+
+    for _ in range(iters):
+        c_ref = ray.put(cent)
+
+        def partial(batch, _ref=c_ref) -> pd.DataFrame:
+            Cm = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            _, emb = _batch_matrix(batch)
+            norms = np.maximum(np.sqrt((emb * emb).sum(axis=1)), 1e-12)
+            En = emb / norms[:, None]
+            a = np.argmax(np.round(En @ Cm.T, round_to), axis=1)
+            sums = np.zeros_like(Cm)
+            np.add.at(sums, a, En)
+            cnt = np.bincount(a, minlength=len(Cm)).astype(np.float64)
+            return pd.DataFrame({
+                "c": np.arange(len(Cm), dtype=np.int64),
+                "n": cnt,
+                "sx": [row.tobytes() for row in sums]})
+
+        parts = coalesce_partials(
+            ds.map_batches(partial, batch_format="numpy")).to_pandas()
+        new = cent.copy()
+        for c, g in parts.groupby("c"):
+            if g["n"].sum() > 0:
+                s = np.sum([np.frombuffer(b) for b in g["sx"]], axis=0)
+                nrm = np.sqrt((s * s).sum())
+                if nrm > 0:
+                    new[int(c)] = s / nrm
+        cent = np.round(new, 9)
+    return cent
+
+
+def ivf_topk_trained(sf_dir: str, k: int = 20, query_vec_id: int = 0,
+                     n_lists: int = 16, nprobe: int = 4, iters: int = 8,
+                     round_to: int = 6) -> pd.DataFrame:
+    """``ivf_topk`` with the k-means-TRAINED quantizer: same probe rule,
+    candidate selection and exact-cosine ranking, but list assignment
+    against trained centroids (better recall on clustered data; see
+    tests/test_ann_persisted.py's recall@k assertion vs the brute-force
+    ground truth). Not SQL-expressible (iterative training) — verified
+    by the recall bound + determinism test instead of a DuckDB oracle.
+    Output: (vec_id, cosine) — ≤ k rows."""
+    cent = ivf_train_centroids(sf_dir, n_lists, iters, round_to)
+    cent_ref = ray.put(cent)
+
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.sqrt((q * q).sum())
+    qcos = np.round(cent @ qn, round_to)
+    probe = set(np.lexsort((np.arange(len(cent)), -qcos))[:nprobe].tolist())
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial(batch) -> pd.DataFrame:
+        Cm = (ray.get(cent_ref)
+              if isinstance(cent_ref, ray.ObjectRef) else cent_ref)
+        ids, emb = _batch_matrix(batch)
+        norms = np.maximum(np.sqrt((emb * emb).sum(axis=1)), 1e-12)
+        En = emb / norms[:, None]
+        lists = np.argmax(np.round(En @ Cm.T, round_to), axis=1)
+        m = np.isin(lists, list(probe))
+        if not m.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        cos = np.round(En[m] @ qn, round_to)
+        ids_m = ids[m]
+        order = np.lexsort((ids_m, -cos))[:k]
+        return pd.DataFrame({"vec_id": ids_m[order], "cosine": cos[order]})
+
+    partials = ds.map_batches(partial, batch_format="numpy")
+    return coalesce_partials(partials).sort(
+        ["cosine", "vec_id"], descending=[True, False]).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVF index (build once, query with partition pruning)
 # ---------------------------------------------------------------------------

@@ -130,61 +130,50 @@ class _BlockCache:
         return out_t, out_ns, out_nd
 
 
+@ray.remote
+def _j0_build(spec: RasterSpec, tid: int):
+    """Level-0 jump block for one tile, left IN the object store."""
+    return ray.put(_j0_tile(spec, tid))
+
+
+@ray.remote
+def _advance_tile(spec: RasterSpec, tid: int, refs: dict):
+    """One pointer-doubling round for one tile: gathers targeted blocks
+    of the previous level (refs dict of per-tile ObjectRefs — inner
+    refs in a container are NOT auto-resolved, _BlockCache fetches only
+    the tiles this tile's targets point into), puts the new block in
+    the object store and returns (ref, changed) — O(1) driver traffic
+    per tile per round (round-2 verdict item 3)."""
+    cache = _BlockCache([refs], spec)
+    tgt, ns, nd = cache.block(0, tid)
+    ing = tgt < spec.rows * spec.cols
+    t2, s2, d2 = cache.gather(0, tgt[ing])
+    new_tgt = tgt.copy()
+    new_ns = ns.copy()
+    new_nd = nd.copy()
+    new_tgt[ing] = t2
+    new_ns[ing] += s2
+    new_nd[ing] += d2
+    changed = not np.array_equal(new_tgt, tgt)
+    return ray.put((new_tgt, new_ns, new_nd)), changed
+
+
 def build_jump_tables(spec: RasterSpec, max_rounds: int = 64):
-    """All doubling levels, as per-tile object refs: levels[k][tid] → ref."""
+    """All doubling levels, as per-tile object refs: levels[k][tid] → ref.
+
+    Every level lives in the object store; the driver only ever holds
+    the refs and the per-tile changed flags."""
     n = spec.n_tiles
-
-    def j0(batch) -> pd.DataFrame:
-        rows = []
-        for tid in batch["id"]:
-            tgt, ns, nd = _j0_tile(spec, int(tid))
-            rows.append({"tile_id": int(tid), "tgt": tgt.tobytes(),
-                         "ns": ns.tobytes(), "nd": nd.tobytes()})
-        return pd.DataFrame(rows)
-
-    res = rd.range(n).map_batches(j0, batch_format="numpy").to_pandas()
-    level = {}
-    for r in res.itertuples():
-        level[int(r.tile_id)] = (np.frombuffer(r.tgt, dtype=np.int64),
-                                 np.frombuffer(r.ns, dtype=np.int64),
-                                 np.frombuffer(r.nd, dtype=np.int64))
-    levels = [{t: ray.put(level[t]) for t in level}]
-    prev = level
-
-    def advance(batch, refs) -> pd.DataFrame:
-        cache = _BlockCache([refs], spec)
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            tgt, ns, nd = cache.block(0, tid)
-            ing = tgt < spec.rows * spec.cols
-            t2, s2, d2 = cache.gather(0, tgt[ing])
-            new_tgt = tgt.copy()
-            new_ns = ns.copy()
-            new_nd = nd.copy()
-            new_tgt[ing] = t2
-            new_ns[ing] += s2
-            new_nd[ing] += d2
-            rows.append({"tile_id": tid, "tgt": new_tgt.tobytes(),
-                         "ns": new_ns.tobytes(), "nd": new_nd.tobytes()})
-        return pd.DataFrame(rows)
+    refs0 = ray.get([_j0_build.remote(spec, t) for t in range(n)])
+    levels = [dict(enumerate(refs0))]
 
     for _ in range(max_rounds):
         refs = levels[-1]
-        res = (rd.range(n)
-               .map_batches(lambda b, _r=refs: advance(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_level = {}
-        for r in res.itertuples():
-            new_level[int(r.tile_id)] = (
-                np.frombuffer(r.tgt, dtype=np.int64),
-                np.frombuffer(r.ns, dtype=np.int64),
-                np.frombuffer(r.nd, dtype=np.int64))
-        if all(np.array_equal(new_level[t][0], prev[t][0])
-               for t in new_level):
+        res = ray.get([_advance_tile.remote(spec, t, refs)
+                       for t in range(n)])
+        if not any(changed for _ref, changed in res):
             break
-        levels.append({t: ray.put(new_level[t]) for t in new_level})
-        prev = new_level
+        levels.append({t: res[t][0] for t in range(n)})
     else:  # pragma: no cover - cap reached
         raise RuntimeError("jump tables did not converge")
     return levels

@@ -118,51 +118,48 @@ def _ghost_candidates(dist, src, cs, spec, tid, side):
 
 def cost_frames(spec: RasterSpec, max_rounds: int = 64) -> pd.DataFrame:
     """Converged per-tile (dist, src) frames — the boundary-relaxation
-    fixed point shared by accumulation / allocation / pathway."""
-    W = spec.cols
+    fixed point shared by accumulation / allocation / pathway.
+
+    Banded fixed point via fixed_point.tile_fixed_point: per round only
+    the {ghost gcell: (dist, src)} relaxation candidates travel; the
+    full (dist, src) planes are extracted ONCE after convergence
+    (round-2 verdict item 3)."""
+    from .fixed_point import tile_fixed_point
+
     n = spec.n_tiles
 
-    def solve(batch, ext_ref) -> pd.DataFrame:
-        ext_all = ray.get(ext_ref) if isinstance(ext_ref, ray.ObjectRef) \
-            else ext_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            dist, src, cs = _tile_solve(spec, tid, ext_all[tid])
-            # relaxed candidates for the adjacent bands' edge rows
-            top = _ghost_candidates(dist, src, cs, spec, tid, -1)
-            bot = _ghost_candidates(dist, src, cs, spec, tid, +1)
-            rows.append({"tile_id": tid, "shape0": dist.shape[0],
-                         "dist": dist.tobytes(), "src": src.tobytes(),
-                         "top": json.dumps(list(top.items())),
-                         "bot": json.dumps(list(bot.items()))})
-        return pd.DataFrame(rows)
+    def build(tid: int):
+        return None  # the Dijkstra re-derives its surface per round
 
-    ext = {t: {} for t in range(n)}
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(ext)
-        res = (rd.range(n)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_ext = {t: {} for t in range(n)}
-        for r in res.itertuples():
-            tid = int(r.tile_id)
-            # my top row relaxes the band above; bottom row the band below
-            if tid > 0:
-                for g, lab in json.loads(r.top):
-                    new_ext[tid - 1][int(g)] = tuple(lab)
-            if tid + 1 < n:
-                for g, lab in json.loads(r.bot):
-                    new_ext[tid + 1][int(g)] = tuple(lab)
-        if new_ext == ext:
-            last = res
-            break
-        ext = new_ext
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("cost accumulation did not converge")
-    return last
+    def _merge(inbox) -> dict:
+        seeds: dict = {}
+        for _sender, msg in inbox:   # min-combine across senders
+            for g, lab in msg.items():
+                lab = tuple(lab)
+                if g not in seeds or lab < seeds[g]:
+                    seeds[g] = lab
+        return seeds
+
+    def solve(state, tid: int, inbox) -> dict:
+        dist, src, cs = _tile_solve(spec, tid, _merge(inbox))
+        # relaxed candidates for the adjacent bands' edge rows
+        top = _ghost_candidates(dist, src, cs, spec, tid, -1)
+        bot = _ghost_candidates(dist, src, cs, spec, tid, +1)
+        out: dict = {}
+        if top and tid > 0:
+            out[tid - 1] = {int(g): top[g] for g in sorted(top)}
+        if bot and tid + 1 < n:
+            out[tid + 1] = {int(g): bot[g] for g in sorted(bot)}
+        return out
+
+    def extract(state, tid: int, inbox) -> dict:
+        dist, src, _cs = _tile_solve(spec, tid, _merge(inbox))
+        return {"tile_id": tid, "shape0": dist.shape[0],
+                "dist": dist.tobytes(), "src": src.tobytes()}
+
+    rows = tile_fixed_point(n, build, solve, extract, max_rounds,
+                            "cost accumulation")
+    return pd.DataFrame(rows)
 
 
 def cost_accumulation(spec: RasterSpec | None = None,

@@ -1935,108 +1935,62 @@ def _upstream_channel_value(spec: RasterSpec, threshold: float,
     heads seed 0; each stream cell passes value + step to its stream
     receiver; combine by Σ / max. Banded fixed point over the stream
     mask (acc ≥ threshold)."""
-    import json as _json
-
-    from .raster import synth_value
+    from .fixed_point import updn_fixed_point
 
     cols = spec.cols
-    n = spec.n_tiles
     GL = tuple(np.sqrt(2.0) if i % 2 == 0 else 1.0 for i in range(8))
-    acc_frames = flow_accumulation_frames(spec)
-    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
-           for r in acc_frames.itertuples()}
-    acc_ref = ray.put(acc)
-    zero = {t: np.zeros((min(spec.tile_rows,
-                             spec.rows - t * spec.tile_rows), cols))
-            for t in range(n)}
-    inflows = {t: zero[t].copy() for t in range(n)}
+    acc_refs = flow_accumulation_tile_refs(spec)
 
-    def solve(batch, inflow_ref, acc_ref=acc_ref) -> pd.DataFrame:
-        infl = ray.get(inflow_ref) if isinstance(inflow_ref, ray.ObjectRef) \
-            else inflow_ref
-        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
-            else acc_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            H = z.shape[0]
-            stream = (z != spec.nodata) & (acc_all[tid] >= threshold)
-            val = np.where(stream, infl[tid], 0.0)
-            out_up: dict[int, float] = {}
-            out_dn: dict[int, float] = {}
-            for lin in np.argsort(-z, axis=None, kind="stable"):
-                r, c = divmod(int(lin), cols)
-                if not stream[r, c]:
-                    continue
-                code = ptr[r, c]
-                if code == spec.nodata or code <= 0:
-                    continue
-                i = int(code).bit_length() - 1
-                v = val[r, c] + GL[i]
-                r2, c2 = r + _DY[i], c + _DX[i]
-                if 0 <= c2 < cols:
-                    if 0 <= r2 < H:
-                        if stream[r2, c2]:
-                            val[r2, c2] = (val[r2, c2] + v if mode == "sum"
-                                           else max(val[r2, c2], v))
-                    else:
-                        tgt = out_up if r2 < 0 else out_dn
-                        if mode == "sum":
-                            tgt[c2] = tgt.get(c2, 0.0) + v
-                        else:
-                            tgt[c2] = max(tgt.get(c2, 0.0), v)
-            rows.append({"tile_id": tid, "val": val.tobytes(), "shape0": H,
-                         "stream": stream.astype(np.int8).tobytes(),
-                         "up": _json.dumps(out_up),
-                         "dn": _json.dumps(out_dn)})
-        return pd.DataFrame(rows)
+    def build(tid: int):
+        z, ptr = _tile_pointers(spec, tid)
+        acc = ray.get(acc_refs[tid])
+        stream = (z != spec.nodata) & (acc >= threshold)
+        # descending-z order restricted to the (sparse) stream cells —
+        # same relative order as the old all-cells walk (stable sort,
+        # ties by linear index), so the float results are bit-identical
+        lins = np.flatnonzero(stream.ravel())
+        order = lins[np.argsort(-z.ravel()[lins], kind="stable")]
+        return z, ptr, stream, order
 
-    last = None
-    for _ in range(max_rounds):
-        ref = ray.put(inflows)
-        res = (rd.range(n)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_inflows = {t: np.zeros_like(zero[t]) for t in range(n)}
-        for r in res.itertuples():
-            for col, amt in _json.loads(r.up).items():
-                if r.tile_id > 0:
-                    c = int(col)
+    def kernel(state, tid: int, inflow):
+        z, ptr, stream, order = state
+        H = z.shape[0]
+        val = np.where(stream, inflow, 0.0)
+        out_up: dict[int, float] = {}
+        out_dn: dict[int, float] = {}
+        for lin in order:
+            r, c = divmod(int(lin), cols)
+            code = ptr[r, c]
+            if code == spec.nodata or code <= 0:
+                continue
+            i = int(code).bit_length() - 1
+            v = val[r, c] + GL[i]
+            r2, c2 = r + _DY[i], c + _DX[i]
+            if 0 <= c2 < cols:
+                if 0 <= r2 < H:
+                    if stream[r2, c2]:
+                        val[r2, c2] = (val[r2, c2] + v if mode == "sum"
+                                       else max(val[r2, c2], v))
+                else:
+                    tgt = out_up if r2 < 0 else out_dn
                     if mode == "sum":
-                        new_inflows[r.tile_id - 1][-1, c] += amt
+                        tgt[c2] = tgt.get(c2, 0.0) + v
                     else:
-                        new_inflows[r.tile_id - 1][-1, c] = max(
-                            new_inflows[r.tile_id - 1][-1, c], amt)
-            for col, amt in _json.loads(r.dn).items():
-                if r.tile_id < n - 1:
-                    c = int(col)
-                    if mode == "sum":
-                        new_inflows[r.tile_id + 1][0, c] += amt
-                    else:
-                        new_inflows[r.tile_id + 1][0, c] = max(
-                            new_inflows[r.tile_id + 1][0, c], amt)
-        if all(np.array_equal(new_inflows[t], inflows[t]) for t in inflows):
-            last = res
-            break
-        inflows = new_inflows
-        last = res
-    else:  # pragma: no cover
-        raise RuntimeError("upstream channel value did not converge")
+                        tgt[c2] = max(tgt.get(c2, 0.0), v)
+        return val, out_up, out_dn
 
-    import json as _json
-    frames = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        val = np.frombuffer(r.val).reshape(h, cols)
-        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(h, cols) \
-            .astype(bool)
-        r0 = int(r.tile_id) * spec.tile_rows
-        frames.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
+    def final(state, tid: int, val) -> pd.DataFrame:
+        stream = state[2]
+        r0 = tid * spec.tile_rows
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + val.shape[0]),
             "n_stream": stream.sum(axis=1).astype(np.int64),
             "value_sum": np.round(np.where(stream, val, 0.0).sum(axis=1),
-                                  round_to)}))
+                                  round_to)})
+
+    frames = updn_fixed_point(spec, build, kernel, final, max_rounds,
+                              "upstream channel value",
+                              combine="add" if mode == "sum" else "max")
     return (pd.concat(frames, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 
@@ -2154,104 +2108,99 @@ def downslope_index(spec: RasterSpec | None = None, d: float = 30.0,
                     break
         return resolved, emitted
 
-    def solve(batch, pending_ref) -> pd.DataFrame:
-        import json as _json
-        pend = ray.get(pending_ref) if isinstance(pending_ref,
-                                                  ray.ObjectRef) \
-            else pending_ref
-        rows = []
-        for tid in batch["id"]:
-            tid = int(tid)
-            z, ptr = _tile_pointers(spec, tid)
-            H = z.shape[0]
-            r0 = tid * spec.tile_rows
-            starts = []
-            if pend is None:           # round 0: every own valid cell
-                for r in range(H):
-                    for c in range(cols):
-                        if z[r, c] != spec.nodata \
-                                and ptr[r, c] != spec.nodata:
-                            starts.append(((r0 + r) * cols + c, r, c,
-                                           float(z[r, c]), 0.0))
-            else:
-                for origin, entry, zst, flen, i in pend.get(tid, []):
-                    er, ec = divmod(int(entry), cols)
-                    r, c = er - r0, ec
-                    zc = z[r, c]
-                    # the pending message still owes the STEP onto the
-                    # entry cell (the walk's move):
-                    if zc == spec.nodata:
-                        starts.append((origin, r, c, zst, -abs(flen) - 1.0))
-                        # sentinel handled below
-                        continue
-                    if (zst - zc) < d:
-                        starts.append((origin, r, c, zst,
-                                       flen + GL[int(i)]))
-                    else:
-                        starts.append((origin, None, None, zst,
-                                       flen + GL[int(i)] * d / (zst - zc)))
-            resolved = {}
-            emitted: dict[int, list] = {}
-            walk_starts = []
-            for st in starts:
-                origin, r, c, zst, flen = st
-                if r is None:                      # resolved at entry
-                    resolved[origin] = d / flen
-                elif flen < 0:                     # entered NoData
-                    real = -(flen + 1.0)
-                    resolved[origin] = 0.0 if real > 0 else None
+    # Banded fixed point via fixed_point.tile_fixed_point. Each round
+    # DETERMINISTICALLY recomputes every walk from the inbox (round 0:
+    # own seeds only; later rounds re-derive the same crossings plus
+    # the continuations), so the message sets grow monotonically and
+    # stabilize once every walk has resolved. Two message kinds per
+    # target: "walks" (continuations entering that band) and "res"
+    # (resolved values routed back to the ORIGIN's band) — the driver
+    # never sees a per-cell value; per-round traffic is O(boundary
+    # crossings), and the per-row aggregation happens in extract.
+    from .fixed_point import tile_fixed_point
+
+    def build(tid: int):
+        return _tile_pointers(spec, tid)
+
+    def _run(state, tid: int, inbox):
+        z, ptr = state
+        H = z.shape[0]
+        r0 = tid * spec.tile_rows
+        starts = []
+        valid = (z != spec.nodata) & (ptr != spec.nodata)
+        for r, c in zip(*(a.tolist() for a in np.nonzero(valid))):
+            starts.append(((r0 + r) * cols + c, r, c, float(z[r, c]), 0.0))
+        for _sender, msg in inbox:
+            for origin, entry, zst, flen, i in msg.get("walks", ()):
+                er, ec = divmod(int(entry), cols)
+                r, c = er - r0, ec
+                zc = z[r, c]
+                # the pending message still owes the STEP onto the
+                # entry cell (the walk's move):
+                if zc == spec.nodata:
+                    starts.append((origin, r, c, zst, -abs(flen) - 1.0))
+                    # sentinel handled below
+                    continue
+                if (zst - zc) < d:
+                    starts.append((origin, r, c, zst, flen + GL[int(i)]))
                 else:
-                    walk_starts.append(st)
-            res2, emit2 = walk_tile(tid, walk_starts, z, ptr)
-            resolved.update(res2)
-            for t, msgs in emit2.items():
-                emitted.setdefault(t, []).extend(msgs)
-            rows.append({
-                "tile_id": tid,
-                "resolved": _json.dumps(
-                    {str(k): v for k, v in resolved.items()}),
-                "emitted": _json.dumps(
-                    {str(t): m for t, m in emitted.items()})})
-        return pd.DataFrame(rows)
+                    starts.append((origin, None, None, zst,
+                                   flen + GL[int(i)] * d / (zst - zc)))
+        resolved = {}
+        walk_starts = []
+        for st in starts:
+            origin, r, c, zst, flen = st
+            if r is None:                      # resolved at entry
+                resolved[origin] = d / flen
+            elif flen < 0:                     # entered NoData
+                real = -(flen + 1.0)
+                resolved[origin] = 0.0 if real > 0 else None
+            else:
+                walk_starts.append(st)
+        res2, emitted = walk_tile(tid, walk_starts, z, ptr)
+        resolved.update(res2)
+        return resolved, emitted
 
-    import json as _json
-    values: dict[int, float | None] = {}
-    pending = None
-    for _ in range(max_rounds):
-        ref = ray.put(pending)
-        res = (rd.range(n)
-               .map_batches(lambda b, _r=ref: solve(b, _r),
-                            batch_format="numpy").to_pandas())
-        new_pending: dict[int, list] = {}
-        got_any = False
-        for r in res.itertuples():
-            for k, v in _json.loads(r.resolved).items():
-                values[int(k)] = v
-            for t, msgs in _json.loads(r.emitted).items():
-                if 0 <= int(t) < n:
-                    new_pending.setdefault(int(t), []).extend(
-                        [tuple(m) for m in msgs])
-                    got_any = True
-        if not got_any:
-            break
-        pending = new_pending
-    else:  # pragma: no cover
-        raise RuntimeError("downslope index did not converge")
+    def solve(state, tid: int, inbox) -> dict:
+        resolved, emitted = _run(state, tid, inbox)
+        out: dict = {}
+        for t, msgs in emitted.items():
+            if 0 <= t < n:
+                out.setdefault(t, {})["walks"] = sorted(msgs)
+        for origin, v in resolved.items():
+            t = (origin // cols) // spec.tile_rows
+            if t != tid and 0 <= t < n:
+                out.setdefault(t, {}).setdefault("res", {})[origin] = v
+        for t in out:   # canonical key order → byte-stable fixed point
+            if "res" in out[t]:
+                res = out[t]["res"]
+                out[t]["res"] = {k: res[k] for k in sorted(res)}
+        return out
 
-    from .raster import synth_value
-    out = []
-    cell = np.arange(spec.rows * cols, dtype=np.int64)
-    zall = synth_value(cell).reshape(spec.rows, cols)
-    plane = np.full((spec.rows, cols), np.nan)
-    for k, v in values.items():
-        if v is not None:
-            plane[k // cols, k % cols] = v
-    valid = ~np.isnan(plane)
-    return pd.DataFrame({
-        "row_id": np.arange(spec.rows, dtype=np.int64),
-        "n_valid": valid.sum(axis=1).astype(np.int64),
-        "index_sum": np.round(np.where(valid, plane, 0.0).sum(axis=1),
-                              round_to)})
+    def extract(state, tid: int, inbox) -> pd.DataFrame:
+        z = state[0]
+        resolved, _ = _run(state, tid, inbox)
+        vals = {o: v for o, v in resolved.items()
+                if (o // cols) // spec.tile_rows == tid}
+        for _sender, msg in inbox:
+            vals.update(msg.get("res", {}))
+        H = z.shape[0]
+        r0 = tid * spec.tile_rows
+        plane = np.full((H, cols), np.nan)
+        for k, v in vals.items():
+            if v is not None:
+                plane[k // cols - r0, k % cols] = v
+        ok = ~np.isnan(plane)
+        return pd.DataFrame({
+            "row_id": np.arange(r0, r0 + H, dtype=np.int64),
+            "n_valid": ok.sum(axis=1).astype(np.int64),
+            "index_sum": np.round(np.where(ok, plane, 0.0).sum(axis=1),
+                                  round_to)})
+
+    out = tile_fixed_point(n, build, solve, extract, max_rounds,
+                           "downslope index")
+    return (pd.concat(out, ignore_index=True)
+            .sort_values("row_id").reset_index(drop=True))
 
 
 def downslope_index_naive(spec: RasterSpec, d: float = 30.0,

@@ -106,6 +106,22 @@ def run_bench() -> dict:
     times["pages_flagship"] = headline
     times["pages_flagship_trials"] = trials
 
+    # skew case (SURVEY §7.5 hard part): same page count, 50% of rows
+    # collapsed onto ONE duplicate page → one mega-hot tile/zone key.
+    # The flagship's per-batch partial aggregation collapses the hot key
+    # inside every map task, so throughput should stay within 2× of the
+    # uniform corpus (no single reducer sees the raw hot rows).
+    sdir = generate_pages_dataset(bench_pages, "/tmp/graft_bench_pages_skew",
+                                  hot_frac=0.5)
+    _consume(pages_flagship(sdir))  # warm
+    skew_trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _consume(pages_flagship(sdir))
+        skew_trials.append(round(time.perf_counter() - t0, 3))
+    times["pages_flagship_skew"] = min(skew_trials)
+    times["skew_over_uniform"] = round(min(skew_trials) / headline, 3)
+
     out = {
         "metric": ("spatial-join + tile-assignment throughput "
                    "(pages_flagship over synthetic Common-Crawl-style corpus)"),

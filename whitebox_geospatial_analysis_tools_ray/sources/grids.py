@@ -71,12 +71,23 @@ def _text_grid_dataset(path: str, parse, tile_rows: int):
     return rd.range(1).map_batches(load, batch_format="numpy")
 
 
+_COLLECT_MAX_CELLS = 64_000_000  # ~512 MB float64 — driver budget guard
+
+
 def _collect_grid(ds, hdr: RasterHeader) -> np.ndarray:
-    tiles = {}
-    for b in ds.iter_batches(batch_size=16, batch_format="pandas"):
-        for tid, data in zip(b["tile_id"], b["data"]):
-            tiles[int(tid)] = np.asarray(data, dtype=np.float64)
-    flat = np.concatenate([tiles[t] for t in sorted(tiles)])
+    """Full-grid assembly on the driver — ONLY for exporters whose file
+    layout cannot be streamed top-down (Surfer ASCII is bottom-up with
+    variable-width text rows). Guarded: rasters beyond the driver budget
+    raise instead of silently OOMing; every other exporter streams via
+    :func:`raster_io.iter_tiles_ordered`."""
+    if hdr.rows * hdr.cols > _COLLECT_MAX_CELLS:
+        raise ValueError(
+            f"raster {hdr.rows}x{hdr.cols} exceeds the driver-side "
+            f"assembly budget ({_COLLECT_MAX_CELLS} cells) — use a "
+            f"streaming exporter (ArcAscii/GRASS/SRTM/IDRISI/SAGA/"
+            f"GeoTIFF) or the partitioned parquet sink for this size")
+    from .raster_io import iter_tiles_ordered
+    flat = np.concatenate([a for _t, a in iter_tiles_ordered(ds)])
     return flat.reshape(hdr.rows, hdr.cols)
 
 
@@ -156,14 +167,17 @@ def import_arc_ascii(path: str, tile_rows: int = 64):
 
 def export_arc_ascii(hdr: RasterHeader, ds, path: str,
                      nodata_out: float = -9999.0) -> None:
-    grid = _collect_grid(ds, hdr)
-    grid = np.where(grid == hdr.nodata, nodata_out, grid)
+    """Streams tiles top-down — O(tile) driver memory at any raster size."""
+    from .raster_io import iter_tiles_ordered
     with open(path, "w") as f:
         f.write(f"ncols {hdr.cols}\nnrows {hdr.rows}\n")
         f.write(f"xllcorner {hdr.west}\nyllcorner {hdr.south}\n")
         f.write(f"cellsize {hdr.cell_size_x}\nnodata_value {nodata_out}\n")
-        for r in range(hdr.rows):
-            f.write(" ".join(repr(v) for v in grid[r]) + "\n")
+        for _tid, a in iter_tiles_ordered(ds):
+            block = np.where(a == hdr.nodata, nodata_out,
+                             a).reshape(-1, hdr.cols)
+            for r in range(block.shape[0]):
+                f.write(" ".join(repr(v) for v in block[r]) + "\n")
 
 
 # ------------------------------------------------------------ GRASS ASCII
@@ -198,14 +212,17 @@ def import_grass_ascii(path: str, tile_rows: int = 64):
 
 
 def export_grass_ascii(hdr: RasterHeader, ds, path: str) -> None:
-    grid = _collect_grid(ds, hdr)
+    """Streams tiles top-down — O(tile) driver memory at any raster size."""
+    from .raster_io import iter_tiles_ordered
     with open(path, "w") as f:
         f.write(f"north: {hdr.north}\nsouth: {hdr.south}\n")
         f.write(f"east: {hdr.east}\nwest: {hdr.west}\n")
         f.write(f"rows: {hdr.rows}\ncols: {hdr.cols}\n")
-        for r in range(hdr.rows):
-            f.write(" ".join("*" if v == hdr.nodata else repr(v)
-                             for v in grid[r]) + "\n")
+        for _tid, a in iter_tiles_ordered(ds):
+            block = a.reshape(-1, hdr.cols)
+            for r in range(block.shape[0]):
+                f.write(" ".join("*" if v == hdr.nodata else repr(v)
+                                 for v in block[r]) + "\n")
 
 
 # ------------------------------------------------------------ Surfer DSAA
@@ -279,8 +296,11 @@ def import_srtm(path: str, tile_rows: int = 256):
 
 
 def export_srtm(hdr: RasterHeader, ds, path: str) -> None:
-    grid = _collect_grid(ds, hdr)
-    grid.astype(">i2").tofile(path)
+    """Streams tiles top-down — O(tile) driver memory at any raster size."""
+    from .raster_io import iter_tiles_ordered
+    with open(path, "wb") as f:
+        for _tid, a in iter_tiles_ordered(ds):
+            f.write(a.astype(">i2").tobytes())
 
 
 # ------------------------------------------------------------- IDRISI rst
@@ -317,8 +337,11 @@ def import_idrisi(rst_path: str, tile_rows: int = 64):
 
 def export_idrisi(hdr: RasterHeader, ds, rst_path: str,
                   data_type: str = "real") -> None:
-    grid = _collect_grid(ds, hdr)
-    grid.astype(_IDRISI_DTYPES[data_type]).tofile(rst_path)
+    """Streams tiles top-down — O(tile) driver memory at any raster size."""
+    from .raster_io import iter_tiles_ordered
+    with open(rst_path, "wb") as f:
+        for _tid, a in iter_tiles_ordered(ds):
+            f.write(a.astype(_IDRISI_DTYPES[data_type]).tobytes())
     rdc = re.sub(r"\.rst$", ".rdc", rst_path, flags=re.IGNORECASE)
     with open(rdc, "w") as f:
         f.write("file format : IDRISI Raster A.1\n")
@@ -376,10 +399,24 @@ def import_saga(sgrd_path: str, tile_rows: int = 64):
 def export_saga(hdr: RasterHeader, ds, sgrd_path: str,
                 data_format: str = "float",
                 nodata_out: float = -99999.0) -> None:
-    grid = _collect_grid(ds, hdr)
-    grid = np.where(grid == hdr.nodata, nodata_out, grid)
+    """Streams tiles with seek-positioned writes — the .sdat layout is
+    bottom-up (south row first) but fixed-width binary, so each engine
+    tile's byte offset is computable and the driver never assembles the
+    grid: tile rows r0..r1-1 land reversed at file row rows-r1."""
+    from .raster_io import iter_tiles_ordered
     sdat = re.sub(r"\.sgrd$", ".sdat", sgrd_path, flags=re.IGNORECASE)
-    grid[::-1].astype("<" + _SAGA_DTYPES[data_format]).tofile(sdat)
+    dt = np.dtype("<" + _SAGA_DTYPES[data_format])
+    rows, cols = hdr.rows, hdr.cols
+    with open(sdat, "wb") as f:
+        f.truncate(rows * cols * dt.itemsize)
+        r0 = 0
+        for _tid, a in iter_tiles_ordered(ds):
+            block = np.where(a == hdr.nodata, nodata_out,
+                             a).reshape(-1, cols)
+            r1 = r0 + block.shape[0]
+            f.seek((rows - r1) * cols * dt.itemsize)
+            f.write(block[::-1].astype(dt).tobytes())
+            r0 = r1
     with open(sgrd_path, "w") as f:
         f.write("NAME\t= exported\n")
         f.write(f"DATAFORMAT\t= {data_format.upper()}\n")

@@ -73,11 +73,27 @@ def make_pages_ids(ids: np.ndarray, n_hosts: int = 50) -> pd.DataFrame:
                          "text": texts, "lang": lang})
 
 
+def skew_ids(ids: np.ndarray, hot_frac: float, hot_id: int = 42) -> np.ndarray:
+    """Collapse a deterministic ``hot_frac`` of ids onto ``hot_id`` —
+    the worst-case web-corpus skew shape (templated duplicate pages):
+    every collapsed row gets the SAME url, so the SAME geocode point,
+    tile and zone. Used by the skew bench to show the flagship's
+    per-batch partial aggregation absorbs a mega-hot key."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if hot_frac <= 0.0:
+        return ids
+    hot = (ids * _B + 3) % 1000 < int(round(hot_frac * 1000))
+    return np.where(hot, np.int64(hot_id), ids)
+
+
 def generate_pages_dataset(n: int, out_dir: str,
-                           rows_per_shard: int = 15_625) -> str:
+                           rows_per_shard: int = 15_625,
+                           hot_frac: float = 0.0) -> str:
     """Generate the scaled deterministic pages corpus as sharded Parquet
     under ``out_dir`` using Ray tasks (one shard per task). Idempotent:
-    a ``_GENED`` marker with matching n short-circuits. Returns out_dir."""
+    a ``_GENED`` marker with matching (n, hot_frac) short-circuits.
+    ``hot_frac`` > 0 collapses that fraction of rows onto one duplicate
+    page (one hot tile/zone — see :func:`skew_ids`). Returns out_dir."""
     import json
     import os
 
@@ -86,7 +102,8 @@ def generate_pages_dataset(n: int, out_dir: str,
 
     marker = os.path.join(out_dir, "_GENED")
     if os.path.exists(marker):
-        if json.load(open(marker)).get("n") == n:
+        m = json.load(open(marker))
+        if m.get("n") == n and m.get("hot_frac", 0.0) == hot_frac:
             return out_dir
     # regenerating at a different n: wipe the directory first —
     # write_parquet APPENDS shard files, so stale shards from a previous
@@ -102,7 +119,8 @@ def generate_pages_dataset(n: int, out_dir: str,
         for sid in batch["id"]:
             lo = int(sid) * rows_per_shard
             hi = min(lo + rows_per_shard, n)
-            frames.append(make_pages_ids(np.arange(lo, hi, dtype=np.int64)))
+            ids = skew_ids(np.arange(lo, hi, dtype=np.int64), hot_frac)
+            frames.append(make_pages_ids(ids))
         return pd.concat(frames, ignore_index=True)
 
     # one block per shard (rd.range alone coalesces to ~2×CPUs blocks,
@@ -111,7 +129,7 @@ def generate_pages_dataset(n: int, out_dir: str,
      .map_batches(gen, batch_format="numpy", batch_size=1)
      .write_parquet(out_dir))
     with open(marker, "w") as f:
-        json.dump({"n": n}, f)
+        json.dump({"n": n, "hot_frac": hot_frac}, f)
     return out_dir
 
 

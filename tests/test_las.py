@@ -291,3 +291,43 @@ def test_bare_earth_dem_matches_brute_force_replay(ray_session):
          for r in range(nrows)])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["n_valid"].sum() > 0
+
+
+def test_tan_form_agrees_with_reference_atan_form():
+    """ADVICE r2 regression: the oracle-friendly ``dv/dist > tan(thr)``
+    substitution must keep making the SAME marking decision as the
+    reference's ``atan(dv/dist) > thr`` (LidarCanopyModel/BareEarthDEM
+    pairwise slope test) on every pair the fixture actually compares —
+    an independent witness of the original semantics, so the two forms
+    can't silently drift apart (they are equivalent for thr ∈ (0, π/2)
+    up to ulp-level boundary ties; this asserts no fixture pair sits on
+    such a boundary)."""
+    import math
+
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.sources.las import (
+        read_las, synth_las_path)
+
+    df = read_las(synth_las_path("/root/testdata/sf0.001")).to_pandas()
+    px = df["x"].to_numpy(); py = df["y"].to_numpy(); pz = df["z"].to_numpy()
+    for max_slope in (15.0, 30.0, 45.0):
+        thr = math.radians(max_slope)
+        tan_thr = math.tan(thr)
+        # all pairs within the canopy-model neighbourhood radius
+        res = 250.0
+        md = math.sqrt(2.0) * res / 2.0
+        n = len(px)
+        checked = 0
+        for i in range(n - 1):
+            dx = px[i + 1:] - px[i]
+            dy = py[i + 1:] - py[i]
+            dist = np.sqrt(dx * dx + dy * dy)
+            sel = (dist <= 2 * md) & (dist > 0.0)
+            dv = np.abs(pz[i + 1:] - pz[i])[sel]
+            d = dist[sel]
+            tan_mark = dv / d > tan_thr
+            atan_mark = np.arctan(dv / d) > thr
+            assert (tan_mark == atan_mark).all()
+            checked += int(sel.sum())
+        assert checked > 1000  # the fixture actually exercises the test

@@ -267,3 +267,65 @@ def test_collect_grid_budget_guard(ray_session):
                        east=1.0, west=0.0)
     with pytest.raises(ValueError, match="budget"):
         grids._collect_grid(None, hdr)
+
+
+def test_jpeg_progressive_decode_matches_baseline(tmp_path):
+    """SOF2 progressive (T.81 Annex G: DC first/refine + per-component
+    AC first/refine with successive approximation) decodes to EXACTLY
+    the same pixels as the baseline encoding of the same image — both
+    carry the same quantized coefficients, so the IDCT inputs are
+    identical. The reference accepts progressive via Java ImageIO
+    (ImportImage.java:528); this closes the round-2 codec-breadth gap."""
+    from whitebox_geospatial_analysis_tools_ray.sources.jpeg import (
+        decode_jpeg, write_jpeg, write_jpeg_progressive)
+
+    g = np.random.default_rng(31)
+    for shape, q in (((45, 61), 90), ((64, 64), 75), ((17, 23), 50)):
+        base = np.clip(
+            np.add.outer(np.linspace(40, 200, shape[0]),
+                         np.linspace(0, 55, shape[1]))
+            + g.normal(0, 12, shape), 0, 255).astype(np.uint8)
+        rgb = np.stack([base, 255 - base,
+                        np.roll(base, 3, axis=0)], axis=2)
+        bp = str(tmp_path / f"b{shape[0]}.jpg")
+        pp = str(tmp_path / f"p{shape[0]}.jpg")
+        write_jpeg(bp, rgb, quality=q)
+        write_jpeg_progressive(pp, rgb, quality=q)
+        a = decode_jpeg(open(bp, "rb").read())
+        b = decode_jpeg(open(pp, "rb").read())
+        np.testing.assert_array_equal(a, b)
+    # determinism: progressive decode is bit-stable across calls
+    d1 = decode_jpeg(open(pp, "rb").read())
+    d2 = decode_jpeg(open(pp, "rb").read())
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_jpeg_restart_interval_rejected(tmp_path):
+    """DRI with a nonzero interval is a loud NotImplementedError, not a
+    silent mis-decode."""
+    import struct as _s
+
+    from whitebox_geospatial_analysis_tools_ray.sources.jpeg import (
+        decode_jpeg, write_jpeg)
+
+    p = str(tmp_path / "r.jpg")
+    write_jpeg(p, np.full((8, 8), 128, dtype=np.uint8))
+    raw = open(p, "rb").read()
+    # splice a DRI(interval=4) right after SOI
+    spliced = raw[:2] + b"\xFF\xDD" + _s.pack(">HH", 4, 4) + raw[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(spliced)
+
+
+def test_jpeg_progressive_query_equals_baseline_query(ray_session):
+    """The registry's progressive roundtrip checksums equal the baseline
+    roundtrip's — same coefficients, same IDCT."""
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.sources.jpeg import (
+        jpeg_progressive_roundtrip_query, jpeg_roundtrip_query)
+
+    a = jpeg_roundtrip_query().to_pandas().sort_values("row_id")
+    b = jpeg_progressive_roundtrip_query().to_pandas().sort_values("row_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

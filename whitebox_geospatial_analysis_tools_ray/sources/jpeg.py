@@ -254,6 +254,180 @@ def write_jpeg(path: str, rgb: np.ndarray, quality: int = 75) -> None:
         f.write(bytes(out))
 
 
+def _trunc_shift(v: np.ndarray, al: int) -> np.ndarray:
+    """AC point transform: divide by 2^al truncating toward zero
+    (T.81 G.1.2.2; DC uses a plain arithmetic shift)."""
+    return np.sign(v) * (np.abs(v) >> al)
+
+
+def write_jpeg_progressive(path: str, rgb: np.ndarray,
+                           quality: int = 75) -> None:
+    """Progressive (SOF2) encoder exercising every Annex G scan kind:
+    DC first (Al=1) → DC refine → per-component AC first (Ss=1..63,
+    Al=1) → AC refine. EOB runs are flushed per block (EOB0) — valid,
+    slightly less compressed, and keeps the refinement correction-bit
+    bookkeeping exactly inverse to the decoder's G.1.2.3 walk."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim == 2:
+        rgb = np.stack([rgb] * 3, axis=2)
+    h, w = rgb.shape[:2]
+    qy, qc = _scaled_q(quality)
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    comps = [(Y, qy, 0), (Cb, qc, 1), (Cr, qc, 1)]
+    H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
+    nby, nbx = H8 // 8, W8 // 8
+    C = _dct_matrix()
+
+    coefs = [np.zeros((nby * nbx, 64), dtype=np.int64) for _ in comps]
+    for ci, (plane, q, _tab) in enumerate(comps):
+        for by in range(0, H8, 8):
+            for bx in range(0, W8, 8):
+                blk = np.zeros((8, 8))
+                ys, xs = min(8, h - by), min(8, w - bx)
+                blk[:ys, :xs] = plane[by:by + ys, bx:bx + xs]
+                if ys < 8:
+                    blk[ys:, :] = blk[ys - 1, :]
+                if xs < 8:
+                    blk[:, xs:] = blk[:, xs - 1:xs]
+                f = C @ (blk - 128.0) @ C.T
+                coefs[ci][(by // 8) * nbx + bx // 8] = np.floor(
+                    f / q + 0.5).astype(np.int64).ravel()[_ZIG]
+
+    dc_tabs = {t: _huff_codes(*_HT[("dc", t)]) for t in (0, 1)}
+    ac_tabs = {t: _huff_codes(*_HT[("ac", t)]) for t in (0, 1)}
+    scans = []  # (header-bytes, entropy-bytes)
+
+    # scan 1: interleaved DC first, Al=1
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for bidx in range(nby * nbx):
+        for ci, (_p, _q, tab) in enumerate(comps):
+            dc = int(coefs[ci][bidx][0]) >> 1
+            diff = dc - prev[ci]
+            prev[ci] = dc
+            size, bits = _mag_bits(diff)
+            code, ln = dc_tabs[tab][size]
+            bw.put(code, ln)
+            if size:
+                bw.put(bits, size)
+    bw.flush()
+    # component spec: (cid, TdTa) — Ta unused in DC scans
+    hdr = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10])
+    scans.append((hdr + bytes([0, 0, 0x01]), bytes(bw.buf)))
+
+    # scan 2: interleaved DC refinement, Ah=1 Al=0
+    bw = _BitWriter()
+    for bidx in range(nby * nbx):
+        for ci in range(3):
+            bw.put(int(coefs[ci][bidx][0]) & 1, 1)
+    bw.flush()
+    scans.append((bytes([3, 1, 0x00, 2, 0x00, 3, 0x00])
+                  + bytes([0, 0, 0x10]), bytes(bw.buf)))
+
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        tab = comps[ci][2]
+        ac = ac_tabs[tab]
+        # AC first: Ss=1 Se=63 Ah=0 Al=1, EOB0 per block
+        bw = _BitWriter()
+        for bidx in range(nby * nbx):
+            now = _trunc_shift(coefs[ci][bidx], 1)
+            nz = np.flatnonzero(now[1:]) + 1
+            last = int(nz[-1]) if len(nz) else 0
+            run = 0
+            for k in range(1, last + 1):
+                v = int(now[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                size, bits = _mag_bits(v)
+                code, ln = ac[(run << 4) | size]
+                bw.put(code, ln)
+                bw.put(bits, size)
+                run = 0
+            if last < 63:
+                code, ln = ac[0x00]
+                bw.put(code, ln)
+        bw.flush()
+        scans.append((bytes([1, cid, tab]) + bytes([1, 63, 0x01]),
+                      bytes(bw.buf)))
+
+        # AC refinement: Ss=1 Se=63 Ah=1 Al=0
+        bw = _BitWriter()
+        for bidx in range(nby * nbx):
+            v = coefs[ci][bidx]
+            prev_c = _trunc_shift(v, 1)
+            items: list = []  # 'z' | ('c', bit) in position order
+            for k in range(1, 64):
+                if prev_c[k] != 0:
+                    items.append(("c", int(abs(v[k])) & 1))
+                elif v[k] == 0:
+                    items.append("z")
+                else:
+                    # newly nonzero at k: close pending runs first
+                    while sum(1 for it in items if it == "z") > 15:
+                        zn = 0
+                        cut = 0
+                        for i, it in enumerate(items):
+                            cut = i + 1
+                            if it == "z":
+                                zn += 1
+                                if zn == 16:
+                                    break
+                        code, ln = ac[0xF0]
+                        bw.put(code, ln)
+                        for it in items[:cut]:
+                            if it != "z":
+                                bw.put(it[1], 1)
+                        items = items[cut:]
+                    run = sum(1 for it in items if it == "z")
+                    code, ln = ac[(run << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(1 if v[k] > 0 else 0, 1)
+                    for it in items:
+                        if it != "z":
+                            bw.put(it[1], 1)
+                    items = []
+            if items:
+                code, ln = ac[0x00]   # EOB0, then trailing correction bits
+                bw.put(code, ln)
+                for it in items:
+                    if it != "z":
+                        bw.put(it[1], 1)
+        bw.flush()
+        scans.append((bytes([1, cid, tab]) + bytes([1, 63, 0x10]),
+                      bytes(bw.buf)))
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(q.ravel()[_ZIG].astype(np.uint8))
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 17, 8, h, w, 3)   # SOF2
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    for (cls, tid), (bits, vals) in _HT.items():
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([(0 if cls == "dc" else 0x10) | tid]) \
+            + bytes(bits) + bytes(vals)
+    for shdr, entropy in scans:
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(shdr)) + shdr
+        out += entropy
+    out += b"\xFF\xD9"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.d = data
@@ -319,15 +493,35 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _entropy_end(data: bytes, pos: int) -> int:
+    """First byte past an entropy-coded segment starting at ``pos``:
+    scan for FF followed by a real marker (not 00 stuffing / RSTn)."""
+    i = pos
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+                0xD0 <= data[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return n
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    pos = 0
+    """Decode baseline (SOF0) or progressive (SOF2) 4:4:4 JPEG.
+
+    Progressive follows T.81 Annex G: per-component zigzag coefficient
+    arrays accumulated over the scan sequence (DC first / DC refine /
+    AC first / AC refine with spectral selection + successive
+    approximation), one IDCT at the end. The reference accepts these
+    via Java ImageIO (ImportImage.java:528)."""
     assert data[:2] == b"\xFF\xD8", "not a JPEG"
     pos = 2
     qt = {}
     hts = {}
     h = w = None
     comps = []
-    scan = None
+    progressive = False
+    scans = []  # (scan_tabs, Ss, Se, Ah, Al, entropy-bytes)
     while pos < len(data):
         assert data[pos] == 0xFF, "marker expected"
         m = data[pos + 1]
@@ -348,7 +542,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                         dtype=np.uint8)
                 qt[tid] = q.reshape(8, 8)
                 p += 65
-        elif m == 0xC0:
+        elif m in (0xC0, 0xC2):
+            progressive = m == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             assert prec == 8 and nc == 3
             p = 6
@@ -357,8 +552,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 assert samp == 0x11, "only 4:4:4 decode supported"
                 comps.append((cid, tq))
                 p += 3
-        elif m in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline SOF0")
+        elif m in (0xC1, 0xC3):
+            raise NotImplementedError(
+                "only baseline SOF0 and progressive SOF2")
+        elif m == 0xDD:
+            (dri,) = struct.unpack_from(">H", payload, 0)
+            if dri:
+                raise NotImplementedError("restart intervals unsupported")
         elif m == 0xC4:
             p = 0
             while p < len(payload):
@@ -376,44 +576,130 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, tabs = payload[p], payload[p + 1]
                 scan_tabs.append((cid, tabs >> 4, tabs & 0x0F))
                 p += 2
-            scan = (scan_tabs, data[pos:])
-            break
-    assert scan is not None and h is not None
-    scan_tabs, entropy = scan
-    br = _BitReader(entropy)
-    C = _dct_matrix()
+            ss, se, ahl = payload[p], payload[p + 1], payload[p + 2]
+            end = _entropy_end(data, pos)
+            scans.append((scan_tabs, ss, se, ahl >> 4, ahl & 0x0F,
+                          data[pos:end]))
+            pos = end
+    assert scans and h is not None
     H8 = -(-h // 8) * 8
     W8 = -(-w // 8) * 8
-    planes = [np.zeros((H8, W8)) for _ in range(3)]
-    prev_dc = [0, 0, 0]
-    for by in range(0, H8, 8):
-        for bx in range(0, W8, 8):
-            for ci, (cid, tdc, tac) in enumerate(scan_tabs):
-                dc_tab = hts[(0, tdc)]
-                ac_tab = hts[(1, tac)]
-                size = _read_sym(br, dc_tab)
-                diff = _extend(br.read(size), size)
-                prev_dc[ci] += diff
-                qz = np.zeros(64, dtype=np.int64)
-                qz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_sym(br, ac_tab)
-                    r, s = rs >> 4, rs & 0x0F
-                    if rs == 0x00:
-                        break
-                    if rs == 0xF0:
-                        k += 16
+    nby, nbx = H8 // 8, W8 // 8
+    cid_index = {cid: i for i, (cid, _tq) in enumerate(comps)}
+    # zigzag-order coefficient store per component
+    coefs = [np.zeros((nby * nbx, 64), dtype=np.int64) for _ in comps]
+
+    for scan_tabs, ss, se, ah, al, entropy in scans:
+        br = _BitReader(entropy)
+        if ss == 0 and (not progressive or len(scan_tabs) > 1 or ah == 0):
+            # DC (or full baseline) scan — interleaved over components
+            prev_dc = [0] * len(scan_tabs)
+            for b in range(nby * nbx):
+                for si, (cid, tdc, tac) in enumerate(scan_tabs):
+                    ci = cid_index[cid]
+                    row = coefs[ci][b]
+                    if ah == 0:
+                        size = _read_sym(br, hts[(0, tdc)])
+                        diff = _extend(br.read(size), size)
+                        prev_dc[si] += diff
+                        row[0] = prev_dc[si] << al
+                    else:
+                        if br.read(1):
+                            row[0] |= 1 << al
+                    if not progressive:
+                        ac_tab = hts[(1, tac)]
+                        k = 1
+                        while k < 64:
+                            rs = _read_sym(br, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += r
+                            row[k] = _extend(br.read(s), s)
+                            k += 1
+        elif ss == 0 and ah > 0:
+            # progressive DC refinement (non-interleaved form)
+            for b in range(nby * nbx):
+                for cid, _tdc, _tac in scan_tabs:
+                    if br.read(1):
+                        coefs[cid_index[cid]][b][0] |= 1 << al
+        else:
+            # progressive AC scan — exactly one component (T.81 G.1.1.1)
+            assert len(scan_tabs) == 1, "AC scans are single-component"
+            cid, _tdc, tac = scan_tabs[0]
+            ci = cid_index[cid]
+            ac_tab = hts[(1, tac)]
+            eobrun = 0
+            for b in range(nby * nbx):
+                row = coefs[ci][b]
+                if ah == 0:                      # AC first scan
+                    if eobrun > 0:
+                        eobrun -= 1
                         continue
-                    k += r
-                    qz[k] = _extend(br.read(s), s)
-                    k += 1
-                blk = np.zeros(64, dtype=np.float64)
-                blk[_ZIG] = qz
-                tq = dict(comps)[cid]
-                f = blk.reshape(8, 8) * qt[tq]
-                sp = C.T @ f @ C + 128.0
-                planes[ci][by:by + 8, bx:bx + 8] = sp
+                    k = ss
+                    while k <= se:
+                        rs = _read_sym(br, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16          # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                            break
+                        k += r
+                        row[k] = _extend(br.read(s), s) << al
+                        k += 1
+                else:                            # AC refinement (G.1.2.3)
+                    bit = 1 << al
+                    if eobrun > 0:
+                        eobrun -= 1
+                        for k in range(ss, se + 1):
+                            if row[k]:
+                                if br.read(1) and not (row[k] & bit):
+                                    row[k] += bit if row[k] > 0 else -bit
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _read_sym(br, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read(r)
+                                r = 64           # flush remaining positions
+                        else:
+                            assert s == 1, "refinement s must be 1"
+                            newval = bit if br.read(1) else -bit
+                        while k <= se:
+                            if row[k]:
+                                if br.read(1) and not (row[k] & bit):
+                                    row[k] += bit if row[k] > 0 else -bit
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        row[k] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+
+    C = _dct_matrix()
+    planes = [np.zeros((H8, W8)) for _ in range(3)]
+    for ci, (cid, tq) in enumerate(comps):
+        q = qt[tq]
+        for b in range(nby * nbx):
+            by, bx = (b // nbx) * 8, (b % nbx) * 8
+            blk = np.zeros(64, dtype=np.float64)
+            blk[_ZIG] = coefs[ci][b]
+            f = blk.reshape(8, 8) * q
+            planes[ci][by:by + 8, bx:bx + 8] = C.T @ f @ C + 128.0
     Y, Cb, Cr = (p[:h, :w] for p in planes)
     r = Y + 1.402 * (Cr - 128.0)
     g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
@@ -460,5 +746,24 @@ def jpeg_roundtrip_query():
     q = np.where(v == NODATA, 255.0, np.trunc(v * 0.255)).astype(np.uint8)
     path = "/tmp/graft_jpeg_rt.jpg"
     write_jpeg(path, q, quality=90)
+    ds = import_jpeg(path, tile_rows=spec.tile_rows)
+    return raster_row_checksums(ds, spec)
+
+
+def jpeg_progressive_roundtrip_query():
+    """Progressive (SOF2) conformance: encode the same synth band with
+    the Annex G scan script, decode through the Ray import, checksum.
+    Carries the SAME quantized coefficients as the baseline encoding,
+    so the checksums equal ``jpeg_roundtrip``'s (pytest-asserted in
+    tests/test_geotiff.py); rows-only for the driver (DCT not SQL)."""
+    from ..core.rng import NODATA
+    from ..stages.raster import RasterSpec, raster_row_checksums, synth_value
+
+    spec = RasterSpec()
+    cell = np.arange(spec.rows * spec.cols, dtype=np.int64)
+    v = synth_value(cell).reshape(spec.rows, spec.cols)
+    q = np.where(v == NODATA, 255.0, np.trunc(v * 0.255)).astype(np.uint8)
+    path = "/tmp/graft_jpeg_prog_rt.jpg"
+    write_jpeg_progressive(path, q, quality=90)
     ds = import_jpeg(path, tile_rows=spec.tile_rows)
     return raster_row_checksums(ds, spec)

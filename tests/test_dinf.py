@@ -93,3 +93,29 @@ def test_mdinf_portions_sum_to_one_or_zero():
     por10 = dinf.mdinf_portions_kernel(pad, spec.nodata, h_exp=10.0)
     s10 = por10.sum(axis=0)
     assert np.allclose(s10[s10 > 0], 1.0)
+
+
+def test_dinf_decidegree_truncation_regression():
+    """r1-ADVICE regression (fixed at dinf.py:~97): the reference's
+    Math.round(flowDir*10)/10 is LONG round-half-up followed by Java
+    INTEGER division — the result truncates to WHOLE degrees. A
+    0.1-degree-precision reading (round(x*10)/10.0 in float) keeps the
+    fractional degree and diverges on any angle whose decidegrees are
+    not a multiple of 10."""
+    import numpy as np
+
+    cases = (
+        (44.36, 44.0),   # 443.6 -> 444 -> //10 = 44 (0.1-form: 44.4)
+        (44.96, 45.0),   # 449.6 -> 450 -> 45
+        (0.96, 1.0),     # 9.6 -> 10 -> 1
+        (0.94, 0.0),     # 9.4 -> 9 -> 0
+        (123.45, 123.0),  # 1234.5 half-up 1235 -> 123
+    )
+    for deg_true, want in cases:
+        flow = np.array([np.deg2rad(deg_true)])
+        got = np.floor(flow * (180.0 / np.pi) * 10.0 + 0.5) // 10.0
+        assert got[0] == want, (deg_true, got[0], want)
+    # the 0.1-precision misreading keeps tenths — differs on 44.36
+    flow = np.array([np.deg2rad(44.36)])
+    tenths = np.round(flow * (180.0 / np.pi) * 10.0) / 10.0
+    assert tenths[0] == 44.4 and tenths[0] != 44.0

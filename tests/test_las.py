@@ -331,3 +331,30 @@ def test_tan_form_agrees_with_reference_atan_form():
             assert (tan_mark == atan_mark).all()
             checked += int(sel.sum())
         assert checked > 1000  # the fixture actually exercises the test
+
+
+def test_sum_z_dyadic_tie_regression():
+    """r1-ADVICE regression: ``sum_z`` is computed by summing the
+    re-quantized INT64 z·1024 and dividing once — a float path that
+    rounds each z to decimals first hits banker's-vs-half-away ties on
+    dyadic values (x.5 exactly representable in binary). Pin the tie
+    case: z = 2.5/1024-style half-integers where np.round (banker's)
+    and floor(+0.5) (half-away-up) disagree per element, while the
+    integer-sum path is exact regardless."""
+    import numpy as np
+
+    # values z·1024 = k + 0.5 exactly (dyadic ties)
+    zq_exact = np.array([2, 3, 5, 7], dtype=np.int64)
+    z = (zq_exact.astype(np.float64) + 0.0) / 1024.0
+    # impl quantization: floor(z*1024 + 0.5) must invert exactly
+    assert (np.floor(z * 1024.0 + 0.5).astype(np.int64) == zq_exact).all()
+    total = float(int(np.floor(z * 1024.0 + 0.5).astype(np.int64).sum())
+                  / 1024.0)
+    assert total == float(zq_exact.sum()) / 1024.0
+    # the tie itself: per-element 3-decimal rounding of 2.5 vs 3.5
+    # (banker's rounds both to even — 2 and 4; half-up gives 3 and 4):
+    ties = np.array([2.5, 3.5])
+    assert list(np.round(ties)) == [2.0, 4.0]          # banker's
+    assert list(np.floor(ties + 0.5)) == [3.0, 4.0]    # reference form
+    # so a per-element np.round-based pipeline would shift the sum by 1
+    assert np.round(ties).sum() != np.floor(ties + 0.5).sum()

@@ -458,6 +458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_progressive_roundtrip": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.jpeg",
             fromlist=["x"]).jpeg_progressive_roundtrip_query(),
+        "retrieve_srtm_mosaic": lambda sf: __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.srtm_retrieve",
+            fromlist=["x"]).retrieve_srtm_query(),
         "raster_mosaic": lambda sf: raster_stats.mosaic(raster.RasterSpec()),
         "mosaic_feathering": lambda sf: raster_stats.mosaic_feathering(
             raster.RasterSpec()),

@@ -253,10 +253,10 @@ def _converged_boundaries(spec: RasterSpec, max_rounds: int = 64):
 
 def flow_accumulation_frames(spec: RasterSpec,
                              max_rounds: int = 64) -> pd.DataFrame:
-    """Converged per-tile accumulation arrays (tile_id, acc, shape0) —
-    see ``_converged_boundaries`` for the fixed-point plan; the full
-    arrays are extracted ONCE after convergence for the callers that
-    stencil over them."""
+    """Converged per-tile accumulation arrays (tile_id, acc, shape0)
+    ON THE DRIVER — test/mirror utility only; every production caller
+    uses :func:`flow_accumulation_tile_refs` (object-store refs) so the
+    arrays never land on the driver."""
     states, spans, in_top, in_bot = _converged_boundaries(spec, max_rounds)
     frames = ray.get([_strip_frames.remote(states[i], spec, int(a), int(b),
                                            in_top[i], in_bot[i])
@@ -419,24 +419,28 @@ def watershed(spec: RasterSpec | None = None) -> pd.DataFrame:
                                                dtype=np.int64).tobytes()})
         return pd.DataFrame(rows)
 
-    res = (rd.range(spec.n_tiles)
-           .map_batches(pass1, batch_format="numpy").to_pandas())
+    # pass-1 results stay IN THE OBJECT STORE (materialize); the driver
+    # pulls ONLY the O(cols·tiles) edge columns to resolve exit chains —
+    # the full label arrays never round-trip through the driver
+    # (round-2 verdict item 3, extended to the two-pass family)
+    t1 = (rd.range(spec.n_tiles)
+          .map_batches(pass1, batch_format="numpy").materialize())
+    res = t1.select_columns(["edge_cells", "edge_vals"]).to_pandas()
 
-    # driver: resolve exit chains over boundary outcomes
     boundary: dict[int, int] = {}
     for r in res.itertuples():
         cells = np.frombuffer(r.edge_cells, dtype=np.int64)
         vals = np.frombuffer(r.edge_vals, dtype=np.int64)
         boundary.update(zip(cells.tolist(), vals.tolist()))
 
-    def resolve(cell: int, seen=None) -> int:
+    def resolve(cell: int) -> int:
         v = boundary.get(cell, 0)
         while v < 0:
             cell = -v - 1
             v = boundary.get(cell, 0)
         return v
 
-    resolved = {c: resolve(c) for c, v in boundary.items() if True}
+    resolved = {c: resolve(c) for c in boundary}
     import ray as _ray
     res_ref = _ray.put(resolved)
 
@@ -458,14 +462,15 @@ def watershed(spec: RasterSpec | None = None) -> pd.DataFrame:
                 "sum_label": np.where(lab, out, 0).sum(axis=1)}))
         return pd.concat(frames, ignore_index=True)
 
-    final = (rd.from_pandas(res[["tile_id", "out", "shape0"]])
+    final = (t1.select_columns(["tile_id", "out", "shape0"])
              .map_batches(pass2, batch_format="pandas").to_pandas())
     return final.sort_values("row_id").reset_index(drop=True)
 
 
-def watershed_label_frames(spec: RasterSpec) -> pd.DataFrame:
-    """Resolved watershed LABEL arrays per tile (tile_id, labels bytes,
-    shape0) — the watershed machinery with the exit chains resolved."""
+def watershed_label_tile_refs(spec: RasterSpec) -> dict:
+    """Resolved watershed LABEL arrays per tile as OBJECT REFS keyed by
+    tile_id — the watershed machinery with the exit chains resolved;
+    the arrays never land on the driver."""
     cols = spec.cols
 
     def pass1(batch) -> pd.DataFrame:
@@ -486,8 +491,12 @@ def watershed_label_frames(spec: RasterSpec) -> pd.DataFrame:
                                                dtype=np.int64).tobytes()})
         return pd.DataFrame(rows)
 
-    res = (rd.range(spec.n_tiles)
-           .map_batches(pass1, batch_format="numpy").to_pandas())
+    # pass-1 tiles stay in the object store; the driver touches only
+    # the O(cols·tiles) edge columns, and pass-2 re-puts the RESOLVED
+    # label arrays worker-side, returning {tile_id: ObjectRef}
+    t1 = (rd.range(spec.n_tiles)
+          .map_batches(pass1, batch_format="numpy").materialize())
+    res = t1.select_columns(["edge_cells", "edge_vals"]).to_pandas()
     boundary: dict[int, int] = {}
     for r in res.itertuples():
         cells = np.frombuffer(r.edge_cells, dtype=np.int64)
@@ -505,7 +514,8 @@ def watershed_label_frames(spec: RasterSpec) -> pd.DataFrame:
     res_ref = ray.put(resolved)
 
     def pass2(batch) -> pd.DataFrame:
-        rmap = ray.get(res_ref) if isinstance(res_ref, ray.ObjectRef)             else res_ref
+        rmap = ray.get(res_ref) if isinstance(res_ref, ray.ObjectRef) \
+            else res_ref
         frames = []
         for tid, buf, h in zip(batch["tile_id"], batch["out"],
                                batch["shape0"]):
@@ -516,14 +526,15 @@ def watershed_label_frames(spec: RasterSpec) -> pd.DataFrame:
                 flat = out[neg]
                 out[neg] = np.array([rmap.get(int(-v - 1), 0) for v in flat],
                                     dtype=np.int64)
-            frames.append(pd.DataFrame({"tile_id": [int(tid)],
-                                        "labels": [out.tobytes()],
-                                        "shape0": [int(h)]}))
+            frames.append(pd.DataFrame({
+                "tile_id": [int(tid)],
+                "labels_ref": [ray.put(out)],
+                "shape0": [int(h)]}))
         return pd.concat(frames, ignore_index=True)
 
-    return (rd.from_pandas(res[["tile_id", "out", "shape0"]])
-            .map_batches(pass2, batch_format="pandas").to_pandas()
-            .sort_values("tile_id").reset_index(drop=True))
+    refs = (t1.select_columns(["tile_id", "out", "shape0"])
+            .map_batches(pass2, batch_format="pandas").to_pandas())
+    return {int(r.tile_id): r.labels_ref for r in refs.itertuples()}
 
 
 def elev_rel_watershed_minmax(spec: RasterSpec | None = None,
@@ -536,43 +547,62 @@ def elev_rel_watershed_minmax(spec: RasterSpec | None = None,
 
     spec = spec or RasterSpec()
     cols = spec.cols
-    frames = watershed_label_frames(spec)
-    mm: dict[int, tuple[float, float]] = {}
-    per_tile = []
-    for r in frames.itertuples():
-        lab = np.frombuffer(r.labels, dtype=np.int64).reshape(
-            int(r.shape0), cols)
-        r0 = int(r.tile_id) * spec.tile_rows
-        cell = np.arange(r0 * cols, (r0 + int(r.shape0)) * cols,
+    label_refs = watershed_label_tile_refs(spec)
+
+    def _tile_zl(tid: int):
+        lab = ray.get(label_refs[tid])
+        r0 = tid * spec.tile_rows
+        cell = np.arange(r0 * cols, (r0 + lab.shape[0]) * cols,
                          dtype=np.int64)
-        z = synth_value(cell).reshape(int(r.shape0), cols)
-        per_tile.append((r0, lab, z))
-        m = lab > 0
-        for L in np.unique(lab[m]):
-            sel = z[(lab == L) & (z != spec.nodata)]
-            if len(sel):
-                lo, hi = float(sel.min()), float(sel.max())
-                if L in mm:
-                    mm[L] = (min(mm[L][0], lo), max(mm[L][1], hi))
+        z = synth_value(cell).reshape(lab.shape[0], cols)
+        return r0, lab, z
+
+    # stage 1: per-tile per-label (min, max) partials — O(labels) rows
+    def partial(batch) -> pd.DataFrame:
+        rows = []
+        for tid in batch["id"]:
+            _r0, lab, z = _tile_zl(int(tid))
+            m = (lab > 0) & (z != spec.nodata)
+            for L in np.unique(lab[m]):
+                sel = z[(lab == L) & m]
+                rows.append({"label": int(L), "lo": float(sel.min()),
+                             "hi": float(sel.max())})
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"label": pd.Series([], dtype="int64"),
+             "lo": pd.Series([], dtype="float64"),
+             "hi": pd.Series([], dtype="float64")})
+
+    parts = (rd.range(spec.n_tiles)
+             .map_batches(partial, batch_format="numpy").to_pandas())
+    g = parts.groupby("label").agg(lo=("lo", "min"), hi=("hi", "max"))
+    mm = {int(L): (float(r.lo), float(r.hi)) for L, r in g.iterrows()}
+    mm_ref = ray.put(mm)
+
+    # stage 2: broadcast remap, per-tile rows
+    def remap(batch) -> pd.DataFrame:
+        mmv = ray.get(mm_ref) if isinstance(mm_ref, ray.ObjectRef) \
+            else mm_ref
+        out = []
+        for tid in batch["id"]:
+            r0, lab, z = _tile_zl(int(tid))
+            rel = np.zeros_like(z)
+            m = (lab > 0) & (z != spec.nodata)
+            for L, (lo, hi) in mmv.items():
+                sel = (lab == L) & m
+                if hi > lo:
+                    rel[sel] = (z[sel] - lo) / (hi - lo)
                 else:
-                    mm[L] = (lo, hi)
-    out = []
-    for r0, lab, z in per_tile:
-        rel = np.zeros_like(z)
-        m = (lab > 0) & (z != spec.nodata)
-        for L, (lo, hi) in mm.items():
-            sel = (lab == L) & m
-            if hi > lo:
-                rel[sel] = (z[sel] - lo) / (hi - lo)
-            else:
-                rel[sel] = 0.0
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + lab.shape[0]),
-            "n_labeled": m.sum(axis=1).astype(np.int64),
-            "rel_sum": np.round(np.where(m, rel, 0.0).sum(axis=1),
-                                round_to)}))
-    return (pd.concat(out, ignore_index=True)
-            .sort_values("row_id").reset_index(drop=True))
+                    rel[sel] = 0.0
+            out.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + lab.shape[0]),
+                "n_labeled": m.sum(axis=1).astype(np.int64),
+                "rel_sum": np.round(np.where(m, rel, 0.0).sum(axis=1),
+                                    round_to)}))
+        return pd.concat(out, ignore_index=True)
+
+    final = (rd.range(spec.n_tiles)
+             .map_batches(remap, batch_format="numpy").to_pandas())
+    return final.sort_values("row_id").reset_index(drop=True)
 
 
 def watershed_naive(spec: RasterSpec) -> pd.DataFrame:
@@ -621,29 +651,26 @@ def snap_pour_points(spec: RasterSpec | None = None,
     a tile-local window search (range join), no shuffle."""
     spec = spec or RasterSpec()
     cols = spec.cols
-    acc_frames = flow_accumulation_frames(spec)
-    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
-           for r in acc_frames.itertuples()}
-    acc_ref = ray.put(acc)
+    acc_refs = flow_accumulation_tile_refs(spec)
     d = snap_dist
 
     def solve(batch) -> pd.DataFrame:
-        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
-            else acc_ref
         rows = []
         for tid in batch["id"]:
             tid = int(tid)
             r0 = tid * spec.tile_rows
-            h = acc_all[tid].shape[0]
+            own = ray.get(acc_refs[tid])   # only this tile + halo tiles
+            h = own.shape[0]
             pour = pour_point_mask(r0, r0 + h, cols)
             if not pour.any():
                 continue
             lo = max(r0 - d, 0)
             hi = min(r0 + h + d, spec.rows)
-            # assemble the needed halo band from broadcast tiles
+            # assemble the needed halo band from the per-tile refs
             band = np.concatenate(
-                [acc_all[t] for t in range(lo // spec.tile_rows,
-                                           (hi - 1) // spec.tile_rows + 1)])
+                ray.get([acc_refs[t]
+                         for t in range(lo // spec.tile_rows,
+                                        (hi - 1) // spec.tile_rows + 1)]))
             band_r0 = (lo // spec.tile_rows) * spec.tile_rows
             for pr, pc in zip(*np.nonzero(pour)):
                 gr = r0 + int(pr)
@@ -680,28 +707,25 @@ def jenson_snap_pour_points(spec: RasterSpec | None = None,
     accumulation) + literal-mirror tested."""
     spec = spec or RasterSpec()
     cols = spec.cols
-    acc_frames = flow_accumulation_frames(spec)
-    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
-           for r in acc_frames.itertuples()}
-    acc_ref = ray.put(acc)
+    acc_refs = flow_accumulation_tile_refs(spec)
     d = snap_dist
 
     def solve(batch) -> pd.DataFrame:
-        acc_all = ray.get(acc_ref) if isinstance(acc_ref, ray.ObjectRef) \
-            else acc_ref
         rows = []
         for tid in batch["id"]:
             tid = int(tid)
             r0 = tid * spec.tile_rows
-            h = acc_all[tid].shape[0]
+            own = ray.get(acc_refs[tid])
+            h = own.shape[0]
             pour = pour_point_mask(r0, r0 + h, cols)
             if not pour.any():
                 continue
             lo = max(r0 - d, 0)
             hi = min(r0 + h + d, spec.rows)
             band = np.concatenate(
-                [acc_all[t] for t in range(lo // spec.tile_rows,
-                                           (hi - 1) // spec.tile_rows + 1)])
+                ray.get([acc_refs[t]
+                         for t in range(lo // spec.tile_rows,
+                                        (hi - 1) // spec.tile_rows + 1)]))
             band_r0 = (lo // spec.tile_rows) * spec.tile_rows
             for pr, pc in zip(*np.nonzero(pour)):
                 gr = r0 + int(pr)
@@ -736,19 +760,27 @@ def extract_streams(spec: RasterSpec | None = None,
     ExtractStreams.java, 283 LoC): stream cells = flow accumulation ≥
     threshold. Output per row: (row_id, n_valid, n_stream)."""
     spec = spec or RasterSpec()
-    acc = flow_accumulation_frames(spec)
-    frames = []
-    for r in acc.sort_values("tile_id").itertuples():
-        a = np.frombuffer(r.acc).reshape(r.shape0, spec.cols)
-        r0 = r.tile_id * spec.tile_rows
-        z, _ = _tile_pointers(spec, r.tile_id)
-        valid = z != spec.nodata
-        frames.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + a.shape[0]),
-            "n_valid": valid.sum(axis=1).astype(np.int64),
-            "n_stream": (valid & (a >= threshold)).sum(axis=1).astype(np.int64)}))
-    return (pd.concat(frames, ignore_index=True)
-            .sort_values("row_id").reset_index(drop=True))
+    cols = spec.cols
+    acc_refs = flow_accumulation_tile_refs(spec)
+
+    def per_tile(batch) -> pd.DataFrame:
+        frames = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            a = ray.get(acc_refs[tid])      # ONLY this task's tile
+            r0 = tid * spec.tile_rows
+            z, _ = _tile_pointers(spec, tid)
+            valid = z != spec.nodata
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + a.shape[0]),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "n_stream": (valid & (a >= threshold)).sum(axis=1)
+                .astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    out = (rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+           .to_pandas())
+    return out.sort_values("row_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1207,63 +1239,55 @@ def wetness_index(spec: RasterSpec | None = None,
     from .terrain import slope_kernel
 
     spec = spec or RasterSpec()
-    cols = spec.cols
-    frames = flow_accumulation_frames(spec)
-    out = []
-    for r in frames.sort_values("tile_id").itertuples():
-        tid = int(r.tile_id)
-        h = int(r.shape0)
-        acc = np.frombuffer(r.acc).reshape(h, cols)
-        r0 = tid * spec.tile_rows
-        r1 = r0 + h
-        lo, hi = max(r0 - 1, 0), min(r1 + 1, spec.rows)
-        cell = np.arange(lo * cols, hi * cols, dtype=np.int64)
-        z = synth_value(cell).reshape(hi - lo, cols)
-        pad = np.full((hi - lo + 2, cols + 2), spec.nodata)
-        pad[1:-1, 1:-1] = z
-        sl = slope_kernel(pad, spec.nodata)[1:-1, 1:-1]
-        sl = sl[r0 - lo: r0 - lo + h]
+
+    def fn(acc, sl):
         valid = (sl != spec.nodata) & (acc > 0) & (sl != 0.0)
         with np.errstate(divide="ignore", invalid="ignore"):
             wi = np.log(acc / np.tan(np.deg2rad(sl)))
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r1),
-            "n_valid": valid.sum(axis=1).astype(np.int64),
-            "sum_wi": np.round(np.where(valid, wi, 0.0).sum(axis=1),
-                               round_to)}))
-    return (pd.concat(out, ignore_index=True)
-            .sort_values("row_id").reset_index(drop=True))
+        return valid, wi
+
+    return (_acc_slope_composite(spec, fn, round_to=round_to)
+            .rename(columns={"row_sum": "sum_wi"}))
 
 
 def _acc_slope_composite(spec: RasterSpec, fn, round_to: int = 4):
-    """Shared accumulation × slope composite driver (WetnessIndex
-    pattern): per band, fn(acc, slope_deg, valid) → values; NoData/zero
-    handling inside fn. Output: (row_id, n_valid, row_sum)."""
+    """Shared accumulation × slope composite (WetnessIndex pattern):
+    per band, fn(acc, slope_deg) → (valid, values). Distributed: one
+    Ray task per tile fetching ONLY its own converged accumulation ref
+    (slope regenerates from the overlap-read band) — the full arrays
+    never land on the driver, zero shuffles.
+    Output: (row_id, n_valid, row_sum)."""
     from .raster import synth_value
     from .terrain import slope_kernel
 
     cols = spec.cols
-    frames = flow_accumulation_frames(spec)
-    out = []
-    for r in frames.sort_values("tile_id").itertuples():
-        tid = int(r.tile_id)
-        h = int(r.shape0)
-        acc = np.frombuffer(r.acc).reshape(h, cols)
-        r0 = tid * spec.tile_rows
-        lo, hi = max(r0 - 1, 0), min(r0 + h + 1, spec.rows)
-        cell = np.arange(lo * cols, hi * cols, dtype=np.int64)
-        z = synth_value(cell).reshape(hi - lo, cols)
-        pad = np.full((hi - lo + 2, cols + 2), spec.nodata)
-        pad[1:-1, 1:-1] = z
-        sl = slope_kernel(pad, spec.nodata)[1:-1, 1:-1][r0 - lo: r0 - lo + h]
-        valid, vals = fn(acc, sl)
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
-            "n_valid": valid.sum(axis=1).astype(np.int64),
-            "row_sum": np.round(np.where(valid, vals, 0.0).sum(axis=1),
-                                round_to)}))
-    return (pd.concat(out, ignore_index=True)
-            .sort_values("row_id").reset_index(drop=True))
+    acc_refs = flow_accumulation_tile_refs(spec)
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            acc = ray.get(acc_refs[tid])
+            h = acc.shape[0]
+            r0 = tid * spec.tile_rows
+            lo, hi = max(r0 - 1, 0), min(r0 + h + 1, spec.rows)
+            cell = np.arange(lo * cols, hi * cols, dtype=np.int64)
+            z = synth_value(cell).reshape(hi - lo, cols)
+            pad = np.full((hi - lo + 2, cols + 2), spec.nodata)
+            pad[1:-1, 1:-1] = z
+            sl = slope_kernel(pad, spec.nodata)[1:-1, 1:-1][
+                r0 - lo: r0 - lo + h]
+            valid, vals = fn(acc, sl)
+            out.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + h),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(np.where(valid, vals, 0.0).sum(axis=1),
+                                    round_to)}))
+        return pd.concat(out, ignore_index=True)
+
+    out = (rd.range(spec.n_tiles).map_batches(per_tile, batch_format="numpy")
+           .to_pandas())
+    return out.sort_values("row_id").reset_index(drop=True)
 
 
 def relative_stream_power(spec: RasterSpec | None = None,

@@ -47,8 +47,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .hydro import (_tile_pointers, flow_accumulation_frames,
-                    flow_accumulation_tile_refs)
+from .hydro import _tile_pointers, flow_accumulation_tile_refs
 from .raster import RasterSpec
 from .terrain import _DX, _DY
 
@@ -146,13 +145,13 @@ def _downfill_fixed_point(spec: RasterSpec, build, max_rounds: int,
     return dict(enumerate(labs))
 
 
-def _first_trunk_fill(spec: RasterSpec, acc: dict, threshold: float,
+def _first_trunk_fill(spec: RasterSpec, acc_refs: dict, threshold: float,
                       max_rounds: int = 64) -> dict:
     """lab[cell] = global cell id of the first ORIGINAL-trunk cell at or
     below it on the flowpath (trunk cells map to themselves), -1 when
-    the path terminates without one. Returns {tile_id: lab array}."""
+    the path terminates without one. ``acc_refs`` = {tile_id: ObjectRef}
+    (the arrays stay in the object store). Returns {tile_id: lab array}."""
     cols = spec.cols
-    acc_refs = {t: ray.put(a) for t, a in acc.items()}
 
     def build(tid: int):
         z, ptr = _tile_pointers(spec, tid)
@@ -276,9 +275,7 @@ def isobasin(spec: RasterSpec | None = None,
     never exercised phase 1; 15 yields ~200 outlets."""
     spec = spec or RasterSpec(rows=96, cols=96, tile_rows=32)
     cols = spec.cols
-    acc_frames = flow_accumulation_frames(spec)
-    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
-           for r in acc_frames.itertuples()}
+    acc_refs = flow_accumulation_tile_refs(spec)
 
     # head mask — transposed stencil per band (pointer strips are
     # synth-regenerable; at scale this is one transpose exchange)
@@ -309,7 +306,8 @@ def isobasin(spec: RasterSpec | None = None,
             tid = int(tid)
             z, ptr = _tile_pointers(spec, tid)
             r0 = tid * spec.tile_rows
-            trunk = (z != spec.nodata) & (acc[tid] >= threshold)
+            acc_t = ray.get(acc_refs[tid])   # only this task's tile
+            trunk = (z != spec.nodata) & (acc_t >= threshold)
             keep = trunk.copy()
             for i in range(8):
                 sh = np.zeros_like(keep)
@@ -328,7 +326,7 @@ def isobasin(spec: RasterSpec | None = None,
             rows.append(pd.DataFrame({
                 "cell": g.astype(np.int64),
                 "ptr": ptr.ravel()[idx],
-                "ca": acc[tid].ravel()[idx]}))
+                "ca": acc_t.ravel()[idx]}))
         return pd.concat(rows, ignore_index=True)
 
     comp = (rd.range(spec.n_tiles)
@@ -336,7 +334,7 @@ def isobasin(spec: RasterSpec | None = None,
     ptr_c = dict(zip(comp["cell"].astype(int), comp["ptr"].astype(float)))
     ca = dict(zip(comp["cell"].astype(int), comp["ca"].astype(float)))
 
-    fill = _first_trunk_fill(spec, acc, threshold)
+    fill = _first_trunk_fill(spec, acc_refs, threshold)
     entry = {}
     terminal_heads = set()
     for h in heads:

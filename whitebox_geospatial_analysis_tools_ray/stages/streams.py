@@ -46,8 +46,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .hydro import (_tile_pointers, flow_accumulation_frames,
-                    flow_accumulation_tile_refs)
+from .hydro import _tile_pointers, flow_accumulation_tile_refs
 from .raster import RasterSpec
 from .terrain import _DX, _DY
 
@@ -1292,27 +1291,25 @@ def stream_link_classification(spec: RasterSpec | None = None,
     """(class_value, n_cells) over the stream network — distributed as
     the converged topology frames (magnitude) + a one-halo inflow-count
     stencil per tile, then a bounded 5-key combine."""
-    from .hydro import flow_accumulation_frames
+    from .hydro import flow_accumulation_tile_refs
 
     spec = spec or RasterSpec()
     cols = spec.cols
-    acc_frames = flow_accumulation_frames(spec)
-    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
-           for r in acc_frames.itertuples()}
-    acc_ref = ray.put(acc)
-    frames = stream_topology_frames(spec, threshold)
-    mags = {int(r.tile_id): np.frombuffer(r.mag, dtype=np.int64).reshape(
-        int(r.shape0), cols) for r in frames.itertuples()}
-    mag_ref = ray.put(mags)
+    n = spec.n_tiles
+    acc_refs = flow_accumulation_tile_refs(spec)
+    topo_refs = stream_topology_tile_refs(spec, threshold)
 
-    def per_tile(batch, _a=acc_ref, _m=mag_ref) -> pd.DataFrame:
-        acc_all = ray.get(_a) if isinstance(_a, ray.ObjectRef) else _a
-        mag_all = ray.get(_m) if isinstance(_m, ray.ObjectRef) else _m
+    def per_tile(batch) -> pd.DataFrame:
         parts = []
         for tid in batch["id"]:
             tid = int(tid)
-            ze, pe, ae, se = _tile_halo_arrays(spec, tid, acc_all, threshold)
-            mag = mag_all[tid]
+            # fetch ONLY this tile's topology + the ≤3 acc tiles the
+            # one-row halo needs — nothing raster-sized on the driver
+            acc_local = {t: ray.get(acc_refs[t])
+                         for t in (tid - 1, tid, tid + 1) if 0 <= t < n}
+            ze, pe, ae, se = _tile_halo_arrays(spec, tid, acc_local,
+                                               threshold)
+            _, mag, _, _ = ray.get(topo_refs[tid])
             H = mag.shape[0]
             # vectorized 8-shift inflow count (production stencil form)
             sp = np.zeros((H + 2, cols + 2), dtype=bool)
@@ -1465,21 +1462,13 @@ def remove_short_streams(spec: RasterSpec | None = None,
     """(n_links, n_removed_links, n_removed_cells, remaining_cells) —
     per-tile per-label partials (cells, length, min mag,
     confluence-end flag) → one bounded combine."""
-    from .hydro import flow_accumulation_frames
+    from .hydro import flow_accumulation_tile_refs
 
     spec = spec or RasterSpec()
     cols = spec.cols
-    acc_frames = flow_accumulation_frames(spec)
-    acc = {int(r.tile_id): np.frombuffer(r.acc).reshape(r.shape0, cols)
-           for r in acc_frames.itertuples()}
-    acc_ref = ray.put(acc)
-    frames = stream_topology_frames(spec, threshold)
-    lab = {int(r.tile_id): np.frombuffer(r.label, dtype=np.int64).reshape(
-        int(r.shape0), cols) for r in frames.itertuples()}
-    mags = {int(r.tile_id): np.frombuffer(r.mag, dtype=np.int64).reshape(
-        int(r.shape0), cols) for r in frames.itertuples()}
-    lab_ref = ray.put(lab)
-    mag_ref = ray.put(mags)
+    n = spec.n_tiles
+    acc_refs = flow_accumulation_tile_refs(spec)
+    topo_refs = stream_topology_tile_refs(spec, threshold)
 
     def _two_halo(tid: int, acc_all):
         """Like _tile_halo_arrays but with a TWO-row halo: the
@@ -1505,16 +1494,15 @@ def remove_short_streams(spec: RasterSpec | None = None,
         se = (ze != spec.nodata) & (ae >= threshold)
         return ze, pe, ae, se
 
-    def per_tile(batch, _a=acc_ref, _l=lab_ref, _m=mag_ref) -> pd.DataFrame:
-        acc_all = ray.get(_a) if isinstance(_a, ray.ObjectRef) else _a
-        lab_all = ray.get(_l) if isinstance(_l, ray.ObjectRef) else _l
-        mag_all = ray.get(_m) if isinstance(_m, ray.ObjectRef) else _m
+    def per_tile(batch) -> pd.DataFrame:
         rows = []
         for tid in batch["id"]:
             tid = int(tid)
-            ze, pe, ae, se = _two_halo(tid, acc_all)
-            label = lab_all[tid]
-            mag = mag_all[tid]
+            # ≤3 acc tiles (two-row halo) + this tile's topology only
+            acc_local = {t: ray.get(acc_refs[t])
+                         for t in (tid - 1, tid, tid + 1) if 0 <= t < n}
+            ze, pe, ae, se = _two_halo(tid, acc_local)
+            _, mag, label, _ = ray.get(topo_refs[tid])
             H = label.shape[0]
             He = H + 4
             # inflow count for EVERY extended row (vectorized 8-shift)

@@ -116,24 +116,19 @@ def _ghost_candidates(dist, src, cs, spec, tid, side):
     return out
 
 
-def cost_frames(spec: RasterSpec, max_rounds: int = 64) -> pd.DataFrame:
-    """Converged per-tile (dist, src) frames — the boundary-relaxation
-    fixed point shared by accumulation / allocation / pathway.
-
-    Banded fixed point via fixed_point.tile_fixed_point: per round only
-    the {ghost gcell: (dist, src)} relaxation candidates travel; the
-    full (dist, src) planes are extracted ONCE after convergence
-    (round-2 verdict item 3)."""
+def cost_tile_refs(spec: RasterSpec, max_rounds: int = 64) -> dict:
+    """{tid: ObjectRef((dist, src))} — the converged cost planes as
+    per-tile object-store refs; the arrays never land on the driver."""
     from .fixed_point import tile_fixed_point
 
     n = spec.n_tiles
 
     def build(tid: int):
-        return None  # the Dijkstra re-derives its surface per round
+        return None
 
     def _merge(inbox) -> dict:
         seeds: dict = {}
-        for _sender, msg in inbox:   # min-combine across senders
+        for _sender, msg in inbox:
             for g, lab in msg.items():
                 lab = tuple(lab)
                 if g not in seeds or lab < seeds[g]:
@@ -142,7 +137,6 @@ def cost_frames(spec: RasterSpec, max_rounds: int = 64) -> pd.DataFrame:
 
     def solve(state, tid: int, inbox) -> dict:
         dist, src, cs = _tile_solve(spec, tid, _merge(inbox))
-        # relaxed candidates for the adjacent bands' edge rows
         top = _ghost_candidates(dist, src, cs, spec, tid, -1)
         bot = _ghost_candidates(dist, src, cs, spec, tid, +1)
         out: dict = {}
@@ -152,14 +146,13 @@ def cost_frames(spec: RasterSpec, max_rounds: int = 64) -> pd.DataFrame:
             out[tid + 1] = {int(g): bot[g] for g in sorted(bot)}
         return out
 
-    def extract(state, tid: int, inbox) -> dict:
+    def extract(state, tid: int, inbox):
         dist, src, _cs = _tile_solve(spec, tid, _merge(inbox))
-        return {"tile_id": tid, "shape0": dist.shape[0],
-                "dist": dist.tobytes(), "src": src.tobytes()}
+        return ray.put((dist, src))
 
-    rows = tile_fixed_point(n, build, solve, extract, max_rounds,
+    refs = tile_fixed_point(n, build, solve, extract, max_rounds,
                             "cost accumulation")
-    return pd.DataFrame(rows)
+    return dict(enumerate(refs))
 
 
 def cost_accumulation(spec: RasterSpec | None = None,
@@ -169,23 +162,28 @@ def cost_accumulation(spec: RasterSpec | None = None,
     accumulation + allocation checksums."""
     spec = spec or RasterSpec()
     W = spec.cols
-    last = cost_frames(spec, max_rounds)
+    refs = cost_tile_refs(spec, max_rounds)
 
-    out = []
-    for r in last.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        dist = np.frombuffer(r.dist).reshape(h, W)
-        src = np.frombuffer(r.src, dtype=np.int64).reshape(h, W)
-        r0 = int(r.tile_id) * spec.tile_rows
-        fin = np.isfinite(dist)
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
-            "n_reached": fin.sum(axis=1).astype(np.int64),
-            "sum_cost": np.round(np.where(fin, dist, 0.0).sum(axis=1),
-                                 round_to),
-            "sum_src": np.where(fin, src, 0).sum(axis=1).astype(np.int64)}))
-    return (pd.concat(out, ignore_index=True)
-            .sort_values("row_id").reset_index(drop=True))
+    def per_tile(batch) -> pd.DataFrame:
+        out = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            dist, src = ray.get(refs[tid])   # only this task's tile
+            r0 = tid * spec.tile_rows
+            fin = np.isfinite(dist)
+            out.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + dist.shape[0]),
+                "n_reached": fin.sum(axis=1).astype(np.int64),
+                "sum_cost": np.round(np.where(fin, dist, 0.0).sum(axis=1),
+                                     round_to),
+                "sum_src": np.where(fin, src, 0).sum(axis=1)
+                .astype(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    final = (rd.range(spec.n_tiles).map_batches(per_tile,
+                                                batch_format="numpy")
+             .to_pandas())
+    return final.sort_values("row_id").reset_index(drop=True)
 
 
 def cost_accumulation_naive(spec: RasterSpec,
@@ -237,14 +235,12 @@ def cost_allocation(spec: RasterSpec | None = None,
     (n_sources, total_alloc, max_zone, min_zone)."""
     spec = spec or RasterSpec()
     W = spec.cols
-    frames = cost_frames(spec, max_rounds)
+    refs = cost_tile_refs(spec, max_rounds)
 
     def partial(batch) -> pd.DataFrame:
         parts = []
-        for d_buf, s_buf, h in zip(batch["dist"], batch["src"],
-                                   batch["shape0"]):
-            dist = np.frombuffer(d_buf).reshape(int(h), W)
-            src = np.frombuffer(s_buf, dtype=np.int64).reshape(int(h), W)
+        for tid in batch["id"]:
+            dist, src = ray.get(refs[int(tid)])
             fin = np.isfinite(dist)
             labs, counts = np.unique(src[fin], return_counts=True)
             parts.append(pd.DataFrame({"src": labs, "n": counts}))
@@ -261,8 +257,8 @@ def cost_allocation(spec: RasterSpec | None = None,
 
     from .util import combine_bounded
     return combine_bounded(
-        rd.from_pandas(frames[["dist", "src", "shape0"]])
-        .map_batches(partial, batch_format="pandas"), combine).to_pandas()
+        rd.range(spec.n_tiles).map_batches(partial, batch_format="numpy"),
+        combine).to_pandas()
 
 
 def cost_pathway(spec: RasterSpec | None = None,
@@ -283,12 +279,11 @@ def cost_pathway(spec: RasterSpec | None = None,
 
     spec = spec or RasterSpec()
     W = spec.cols
-    frames = cost_frames(spec, max_rounds)
-    tiles = {int(r.tile_id):
-             (np.frombuffer(r.dist).reshape(int(r.shape0), W),
-              np.frombuffer(r.src, dtype=np.int64).reshape(int(r.shape0), W))
-             for r in frames.itertuples()}
-    ref = ray.put(tiles)
+    # least-cost paths wander across arbitrary tiles, so every walk task
+    # needs random access to the WHOLE converged surface: the per-tile
+    # refs dict is the broadcast (fetched lazily per tile inside dval's
+    # cache) — the only justified whole-surface access in the family
+    refs = cost_tile_refs(spec, max_rounds)
 
     def dval(tl, gr, gc):
         if not (0 <= gr < spec.rows and 0 <= gc < W):
@@ -296,7 +291,12 @@ def cost_pathway(spec: RasterSpec | None = None,
         return float(tl[gr // spec.tile_rows][0][gr % spec.tile_rows, gc])
 
     def solve(batch) -> pd.DataFrame:
-        tl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        class _Lazy(dict):
+            def __missing__(self, t):
+                v = ray.get(refs[t])
+                self[t] = v
+                return v
+        tl = _Lazy()
         cell = np.arange(spec.rows * W, dtype=np.int64)
         cs = cost_surface(cell, spec.nodata).reshape(spec.rows, W)
         rows = []

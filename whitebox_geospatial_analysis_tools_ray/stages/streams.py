@@ -149,27 +149,6 @@ def _topology_fixed_point(spec: RasterSpec, threshold: float,
                             "stream topology")
 
 
-def stream_topology_frames(spec: RasterSpec, threshold: float = 5.0,
-                           max_rounds: int = 64) -> pd.DataFrame:
-    """Converged per-tile (order, mag, label) arrays + stream masks —
-    one driver-side extraction after the ``_topology_fixed_point``
-    convergence, for the per-row aggregating callers."""
-    cols = spec.cols
-
-    def extract(state, tid: int, inbox) -> dict:
-        z, ptr, stream = state
-        r0 = tid * spec.tile_rows
-        order, mag, label, _ = _solve_tile(z, ptr, stream, r0, cols,
-                                           _merge_ext(inbox), spec.nodata)
-        return {"tile_id": tid, "shape0": z.shape[0],
-                "order": order.tobytes(), "mag": mag.tobytes(),
-                "label": label.tobytes(),
-                "stream": stream.astype(np.int8).tobytes()}
-
-    rows = _topology_fixed_point(spec, threshold, max_rounds, extract)
-    return pd.DataFrame(rows)
-
-
 def stream_topology_tile_refs(spec: RasterSpec, threshold: float = 5.0,
                               max_rounds: int = 64) -> dict:
     """{tid: ObjectRef((order, mag, label, stream))} — the converged
@@ -189,38 +168,43 @@ def stream_topology_tile_refs(spec: RasterSpec, threshold: float = 5.0,
     return dict(enumerate(refs))
 
 
-def _row_aggregates(frames: pd.DataFrame, spec: RasterSpec) -> pd.DataFrame:
+def _row_aggregates(topo_refs: dict, spec: RasterSpec) -> pd.DataFrame:
+    """Per-row aggregate view over the converged topology tile refs —
+    one Ray task per tile fetching only its own ref; nothing
+    raster-sized on the driver."""
     cols = spec.cols
-    out = []
-    for r in frames.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        order = np.frombuffer(r.order, dtype=np.int32).reshape(h, cols)
-        mag = np.frombuffer(r.mag, dtype=np.int64).reshape(h, cols)
-        label = np.frombuffer(r.label, dtype=np.int64).reshape(h, cols)
-        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(
-            h, cols).astype(bool)
-        r0 = int(r.tile_id) * spec.tile_rows
-        gcell = (np.arange(r0, r0 + h)[:, None] * cols
-                 + np.arange(cols)[None, :])
-        heads = stream & (label == gcell)
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
-            "n_stream": stream.sum(axis=1).astype(np.int64),
-            "max_order": order.max(axis=1).astype(np.int64),
-            "sum_order": order.sum(axis=1).astype(np.int64),
-            "sum_magnitude": mag.sum(axis=1),
-            "n_heads": heads.sum(axis=1).astype(np.int64),
-            "sum_label": np.where(stream, label, 0).sum(axis=1)}))
-    return (pd.concat(out, ignore_index=True)
-            .sort_values("row_id").reset_index(drop=True))
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            order, mag, label, stream = ray.get(topo_refs[tid])
+            h = order.shape[0]
+            r0 = tid * spec.tile_rows
+            gcell = (np.arange(r0, r0 + h)[:, None] * cols
+                     + np.arange(cols)[None, :])
+            heads = stream & (label == gcell)
+            out.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + h),
+                "n_stream": stream.sum(axis=1).astype(np.int64),
+                "max_order": order.max(axis=1).astype(np.int64),
+                "sum_order": order.sum(axis=1).astype(np.int64),
+                "sum_magnitude": mag.sum(axis=1),
+                "n_heads": heads.sum(axis=1).astype(np.int64),
+                "sum_label": np.where(stream, label, 0).sum(axis=1)}))
+        return pd.concat(out, ignore_index=True)
+
+    final = (rd.range(spec.n_tiles).map_batches(per_tile,
+                                                batch_format="numpy")
+             .to_pandas())
+    return final.sort_values("row_id").reset_index(drop=True)
 
 
 def stream_order(spec: RasterSpec | None = None,
                  threshold: float = 5.0) -> pd.DataFrame:
     """Strahler order + Shreve magnitude per raster row."""
     spec = spec or RasterSpec()
-    frames = stream_topology_frames(spec, threshold)
-    agg = _row_aggregates(frames, spec)
+    agg = _row_aggregates(stream_topology_tile_refs(spec, threshold), spec)
     return agg[["row_id", "n_stream", "max_order", "sum_order",
                 "sum_magnitude"]]
 
@@ -229,8 +213,7 @@ def stream_link_id(spec: RasterSpec | None = None,
                    threshold: float = 5.0) -> pd.DataFrame:
     """Link ids per raster row (n_heads = links starting in the row)."""
     spec = spec or RasterSpec()
-    frames = stream_topology_frames(spec, threshold)
-    agg = _row_aggregates(frames, spec)
+    agg = _row_aggregates(stream_topology_tile_refs(spec, threshold), spec)
     return agg[["row_id", "n_stream", "n_heads", "sum_label"]]
 
 
@@ -241,16 +224,12 @@ def stream_link_lengths(spec: RasterSpec | None = None,
     summary row: (n_links, total_stream_cells, max_link_len)."""
     spec = spec or RasterSpec()
     cols = spec.cols
-    frames = stream_topology_frames(spec, threshold)
+    topo_refs = stream_topology_tile_refs(spec, threshold)
 
     def partial(batch) -> pd.DataFrame:
         parts = []
-        for lab_buf, st_buf, h in zip(batch["label"], batch["stream"],
-                                      batch["shape0"]):
-            label = np.frombuffer(lab_buf, dtype=np.int64).reshape(
-                int(h), cols)
-            stream = np.frombuffer(st_buf, dtype=np.int8).reshape(
-                int(h), cols).astype(bool)
+        for tid in batch["id"]:
+            _o, _m, label, stream = ray.get(topo_refs[int(tid)])
             labs, counts = np.unique(label[stream], return_counts=True)
             parts.append(pd.DataFrame({"label": labs, "n": counts}))
         return pd.concat(parts, ignore_index=True) if parts else \
@@ -264,8 +243,8 @@ def stream_link_lengths(spec: RasterSpec | None = None,
 
     from .util import combine_bounded
     per_link = combine_bounded(
-        rd.from_pandas(frames[["label", "stream", "shape0"]])
-        .map_batches(partial, batch_format="pandas"), combine).to_pandas()
+        rd.range(spec.n_tiles).map_batches(partial, batch_format="numpy"),
+        combine).to_pandas()
     return per_link
 
 
@@ -309,17 +288,14 @@ def stream_link_slope(spec: RasterSpec | None = None,
     O(links) per tile — then one small groupby(label) combine."""
     spec = spec or RasterSpec()
     cols = spec.cols
-    frames = stream_topology_frames(spec, threshold)
+    topo_refs = stream_topology_tile_refs(spec, threshold)
 
     def partial(batch) -> pd.DataFrame:
         parts = []
-        for tid, lab_buf, st_buf, h in zip(batch["tile_id"], batch["label"],
-                                           batch["stream"], batch["shape0"]):
-            h = int(h)
-            z, ptr = _tile_pointers(spec, int(tid))
-            label = np.frombuffer(lab_buf, dtype=np.int64).reshape(h, cols)
-            stream = np.frombuffer(st_buf, dtype=np.int8).reshape(
-                h, cols).astype(bool)
+        for tid in batch["id"]:
+            tid = int(tid)
+            _o, _m, label, stream = ray.get(topo_refs[tid])
+            z, ptr = _tile_pointers(spec, tid)
             code = np.where(ptr > 0, np.log2(np.maximum(ptr, 1.0)), -1
                             ).astype(np.int64)
             step = np.where(code >= 0, np.take(_GRID_LEN, code, mode="clip"),
@@ -355,8 +331,8 @@ def stream_link_slope(spec: RasterSpec | None = None,
 
     from .util import combine_bounded
     per_link = combine_bounded(
-        rd.from_pandas(frames[["tile_id", "label", "stream", "shape0"]])
-        .map_batches(partial, batch_format="pandas"), combine).to_pandas()
+        rd.range(spec.n_tiles).map_batches(partial, batch_format="numpy"),
+        combine).to_pandas()
     return per_link.sort_values("label").reset_index(drop=True)
 
 
@@ -549,18 +525,14 @@ def streams_to_vector(spec: RasterSpec | None = None,
     path_hash is a polynomial hash of the ordered global cell ids."""
     spec = spec or RasterSpec()
     cols = spec.cols
-    frames = stream_topology_frames(spec, threshold)
+    topo_refs = stream_topology_tile_refs(spec, threshold)
 
     def partial(batch) -> pd.DataFrame:
         parts = []
-        for tid, lab_buf, st_buf, h in zip(batch["tile_id"], batch["label"],
-                                           batch["stream"], batch["shape0"]):
-            h = int(h)
+        for tid in batch["id"]:
             tid = int(tid)
+            _o, _m, label, stream = ray.get(topo_refs[tid])
             z, ptr = _tile_pointers(spec, tid)
-            label = np.frombuffer(lab_buf, dtype=np.int64).reshape(h, cols)
-            stream = np.frombuffer(st_buf, dtype=np.int8).reshape(
-                h, cols).astype(bool)
             r0 = tid * spec.tile_rows
             rr, cc = np.nonzero(stream)
             gcell = (rr + r0) * cols + cc
@@ -596,8 +568,7 @@ def streams_to_vector(spec: RasterSpec | None = None,
 
     from .util import coalesce_partials
     got = (coalesce_partials(
-        rd.from_pandas(frames[["tile_id", "label", "stream", "shape0"]])
-        .map_batches(partial, batch_format="pandas"))
+        rd.range(spec.n_tiles).map_batches(partial, batch_format="numpy"))
         .groupby("label").map_groups(per_link, batch_format="pandas")
         .to_pandas())
     return got.sort_values("label").reset_index(drop=True)
@@ -2306,19 +2277,22 @@ def stream_magnitude(spec: RasterSpec | None = None,
     query exposes the per-row magnitude view
     (row_id, n_stream, sum_magnitude, max_magnitude)."""
     spec = spec or RasterSpec()
-    cols = spec.cols
-    frames = stream_topology_frames(spec, threshold)
-    out = []
-    for r in frames.sort_values("tile_id").itertuples():
-        h = int(r.shape0)
-        mag = np.frombuffer(r.mag, dtype=np.int64).reshape(h, cols)
-        stream = np.frombuffer(r.stream, dtype=np.int8).reshape(
-            h, cols).astype(bool)
-        r0 = int(r.tile_id) * spec.tile_rows
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + h),
-            "n_stream": stream.sum(axis=1).astype(np.int64),
-            "sum_magnitude": np.where(stream, mag, 0).sum(axis=1),
-            "max_magnitude": np.where(stream, mag, 0).max(axis=1)}))
-    return (pd.concat(out, ignore_index=True)
-            .sort_values("row_id").reset_index(drop=True))
+    topo_refs = stream_topology_tile_refs(spec, threshold)
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            _o, mag, _l, stream = ray.get(topo_refs[tid])
+            r0 = tid * spec.tile_rows
+            out.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + mag.shape[0]),
+                "n_stream": stream.sum(axis=1).astype(np.int64),
+                "sum_magnitude": np.where(stream, mag, 0).sum(axis=1),
+                "max_magnitude": np.where(stream, mag, 0).max(axis=1)}))
+        return pd.concat(out, ignore_index=True)
+
+    final = (rd.range(spec.n_tiles).map_batches(per_tile,
+                                                batch_format="numpy")
+             .to_pandas())
+    return final.sort_values("row_id").reset_index(drop=True)

@@ -151,11 +151,10 @@ def _tile_boundary_graph(z: np.ndarray, nodata: float, r0: int,
     return edges
 
 
-def filled_frames(spec: RasterSpec,
-                  surface=None) -> pd.DataFrame:
-    """Distributed exact fill → per-tile FILLED arrays
-    (tile_id, filled bytes, shape0). ``surface(cell_ids)`` overrides the
-    synthetic DEM (used by the stochastic realizations)."""
+def filled_tile_refs(spec: RasterSpec, surface=None) -> dict:
+    """Distributed exact fill → {tile_id: ObjectRef(filled array)} —
+    the filled planes stay in the object store. ``surface(cell_ids)``
+    overrides the synthetic DEM (used by the stochastic realizations)."""
     n_tiles, cols = spec.n_tiles, spec.cols
     surf = surface or synth_value
 
@@ -253,32 +252,38 @@ def filled_frames(spec: RasterSpec,
                         seeds.append((r, c, _NEG_INF))
             w = _priority_flood_seeded(z, spec.nodata, seeds)
             frames.append(pd.DataFrame({"tile_id": [tid],
-                                        "filled": [w.tobytes()],
-                                        "shape0": [H]}))
+                                        "filled_ref": [ray.put(w)]}))
         return pd.concat(frames, ignore_index=True)
 
     final = (rd.range(n_tiles)
              .map_batches(pass2, batch_format="numpy").to_pandas())
-    return final.sort_values("tile_id").reset_index(drop=True)
+    return {int(r.tile_id): r.filled_ref for r in final.itertuples()}
 
 
 def fill_depressions(spec: RasterSpec | None = None,
                      round_to: int = 6) -> pd.DataFrame:
     """Distributed exact fill; per-row checksums of the filled DEM."""
     spec = spec or RasterSpec()
-    cols = spec.cols
-    frames = []
-    for r in filled_frames(spec).itertuples():
-        w = np.frombuffer(r.filled).reshape(int(r.shape0), cols)
-        r0 = int(r.tile_id) * spec.tile_rows
-        valid = w != spec.nodata
-        frames.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + int(r.shape0)),
-            "n_valid": valid.sum(axis=1).astype(np.int64),
-            "row_sum": np.round(np.where(valid, w, 0.0).sum(axis=1),
-                                round_to)}))
-    return (pd.concat(frames, ignore_index=True)
-            .sort_values("row_id").reset_index(drop=True))
+    refs = filled_tile_refs(spec)
+
+    def per_tile(batch) -> pd.DataFrame:
+        frames = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            w = ray.get(refs[tid])
+            r0 = tid * spec.tile_rows
+            valid = w != spec.nodata
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + w.shape[0]),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "row_sum": np.round(np.where(valid, w, 0.0).sum(axis=1),
+                                    round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    final = (rd.range(spec.n_tiles).map_batches(per_tile,
+                                                batch_format="numpy")
+             .to_pandas())
+    return final.sort_values("row_id").reset_index(drop=True)
 
 
 def fill_depressions_naive(spec: RasterSpec, round_to: int = 6) -> pd.DataFrame:
@@ -316,35 +321,44 @@ def flood_order(spec: RasterSpec | None = None) -> pd.DataFrame:
     Output: per raster row (row_id, n_valid, rank_sum) — exact integers."""
     spec = spec or RasterSpec()
     cols = spec.cols
-    frames = filled_frames(spec)
-    parts = []
-    for r in frames.itertuples():
-        w = np.frombuffer(r.filled).reshape(int(r.shape0), cols)
-        r0 = int(r.tile_id) * spec.tile_rows
-        gcell = np.arange(r0 * cols, (r0 + int(r.shape0)) * cols,
-                          dtype=np.int64)
-        flat = w.ravel()
-        m = flat != spec.nodata
-        parts.append(pd.DataFrame({"fz": flat[m], "cell": gcell[m]}))
-    ds = rd.from_pandas(pd.concat(parts, ignore_index=True))
-    # distributed sort; ranks = global position = per-block offset + local
+    refs = filled_tile_refs(spec)
+
+    def emit(batch) -> pd.DataFrame:
+        parts = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            w = ray.get(refs[tid])
+            r0 = tid * spec.tile_rows
+            gcell = np.arange(r0 * cols, (r0 + w.shape[0]) * cols,
+                              dtype=np.int64)
+            flat = w.ravel()
+            m = flat != spec.nodata
+            parts.append(pd.DataFrame({"fz": flat[m], "cell": gcell[m]}))
+        return pd.concat(parts, ignore_index=True)
+
+    ds = rd.range(spec.n_tiles).map_batches(emit, batch_format="numpy")
+    # distributed sort; ranks = global position = per-block offset +
+    # local index. The driver STREAMS the sorted blocks (sequential
+    # prefix offsets force order) but accumulates only the bounded
+    # per-row partial sums, never the ranked rows themselves.
     srt = ds.sort(["fz", "cell"])
-    ranked = []
+    agg: dict[int, tuple[int, int]] = {}
     offset = 0
     for blk in srt.iter_batches(batch_format="pandas", batch_size=None):
         n = len(blk)
-        ranked.append(pd.DataFrame({
-            "cell": blk["cell"].to_numpy(),
-            "rank": np.arange(offset, offset + n, dtype=np.int64)}))
+        row_id = blk["cell"].to_numpy() // cols
+        rank = np.arange(offset, offset + n, dtype=np.int64)
+        bdf = pd.DataFrame({"row_id": row_id, "rank": rank}).groupby(
+            "row_id").agg(n=("rank", "size"), s=("rank", "sum"))
+        for rid, r in bdf.iterrows():
+            pn, ps = agg.get(int(rid), (0, 0))
+            agg[int(rid)] = (pn + int(r.n), ps + int(r.s))
         offset += n
-    rk = pd.concat(ranked, ignore_index=True)
-    rk["row_id"] = rk["cell"] // cols
-    g = rk.groupby("row_id", as_index=False).agg(
-        n_valid=("rank", "size"), rank_sum=("rank", "sum"))
     out = pd.DataFrame({"row_id": np.arange(spec.rows, dtype=np.int64)})
-    out = out.merge(g, on="row_id", how="left").fillna(0)
-    out["n_valid"] = out["n_valid"].astype(np.int64)
-    out["rank_sum"] = out["rank_sum"].astype(np.int64)
+    out["n_valid"] = np.array([agg.get(i, (0, 0))[0]
+                               for i in range(spec.rows)], dtype=np.int64)
+    out["rank_sum"] = np.array([agg.get(i, (0, 0))[1]
+                                for i in range(spec.rows)], dtype=np.int64)
     return out
 
 
@@ -417,29 +431,40 @@ def stochastic_depression_analysis(spec: RasterSpec | None = None,
     rounded to 6."""
     spec = spec or RasterSpec()
     cols = spec.cols
-    total = None
-    n_valid = None
+    # per-row (count_sum, n_valid) partials per realization — O(rows)
+    # on the driver; the filled planes stay in the object store
+    total = np.zeros(spec.rows, dtype=np.int64)
+    n_valid = np.zeros(spec.rows, dtype=np.int64)
     for k in range(n_real):
         surf = _stoch_surface(k)
-        counts = np.zeros((spec.rows, cols), dtype=np.int64)
-        valid = np.zeros((spec.rows, cols), dtype=bool)
-        for r in filled_frames(spec, surface=surf).itertuples():
-            w = np.frombuffer(r.filled).reshape(int(r.shape0), cols)
-            r0 = int(r.tile_id) * spec.tile_rows
-            cell = np.arange(r0 * cols, (r0 + int(r.shape0)) * cols,
-                             dtype=np.int64)
-            z = surf(cell).reshape(int(r.shape0), cols)
-            v = z != spec.nodata
-            counts[r0:r0 + int(r.shape0)] = v & (w > z)
-            valid[r0:r0 + int(r.shape0)] = v
-        total = counts.astype(np.float64) if total is None \
-            else total + counts
-        n_valid = valid
-    pdep = total / float(n_real)
+        refs = filled_tile_refs(spec, surface=surf)
+
+        def per_tile(batch) -> pd.DataFrame:
+            rows = []
+            for tid in batch["id"]:
+                tid = int(tid)
+                w = ray.get(refs[tid])
+                r0 = tid * spec.tile_rows
+                cell = np.arange(r0 * cols, (r0 + w.shape[0]) * cols,
+                                 dtype=np.int64)
+                z = surf(cell).reshape(w.shape[0], cols)
+                v = z != spec.nodata
+                rows.append(pd.DataFrame({
+                    "row_id": np.arange(r0, r0 + w.shape[0]),
+                    "dep": (v & (w > z)).sum(axis=1).astype(np.int64),
+                    "val": v.sum(axis=1).astype(np.int64)}))
+            return pd.concat(rows, ignore_index=True)
+
+        part = (rd.range(spec.n_tiles)
+                .map_batches(per_tile, batch_format="numpy").to_pandas()
+                .sort_values("row_id"))
+        total += part["dep"].to_numpy()
+        n_valid = part["val"].to_numpy()
+    pdep_sum = total.astype(np.float64) / float(n_real)
     return pd.DataFrame({
         "row_id": np.arange(spec.rows, dtype=np.int64),
-        "n_valid": n_valid.sum(axis=1).astype(np.int64),
-        "pdep_sum": np.round(np.where(n_valid, pdep, 0.0).sum(axis=1), 6)})
+        "n_valid": n_valid.astype(np.int64),
+        "pdep_sum": np.round(pdep_sum, 6)})
 
 
 def depth_in_sink(spec: RasterSpec | None = None,
@@ -449,21 +474,29 @@ def depth_in_sink(spec: RasterSpec | None = None,
     DEM; cells outside sinks → 0 (backgroundVal). Per-row checksums."""
     spec = spec or RasterSpec()
     cols = spec.cols
-    frames = []
-    for r in filled_frames(spec).itertuples():
-        w = np.frombuffer(r.filled).reshape(int(r.shape0), cols)
-        r0 = int(r.tile_id) * spec.tile_rows
-        cell = np.arange(r0 * cols, (r0 + int(r.shape0)) * cols,
-                         dtype=np.int64)
-        z = synth_value(cell).reshape(int(r.shape0), cols)
-        valid = z != spec.nodata
-        depth = np.where(valid, w - z, 0.0)
-        frames.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + int(r.shape0)),
-            "n_valid": valid.sum(axis=1).astype(np.int64),
-            "depth_sum": np.round(depth.sum(axis=1), round_to)}))
-    return (pd.concat(frames, ignore_index=True)
-            .sort_values("row_id").reset_index(drop=True))
+    refs = filled_tile_refs(spec)
+
+    def per_tile(batch) -> pd.DataFrame:
+        frames = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            w = ray.get(refs[tid])
+            r0 = tid * spec.tile_rows
+            cell = np.arange(r0 * cols, (r0 + w.shape[0]) * cols,
+                             dtype=np.int64)
+            z = synth_value(cell).reshape(w.shape[0], cols)
+            valid = z != spec.nodata
+            depth = np.where(valid, w - z, 0.0)
+            frames.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + w.shape[0]),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "depth_sum": np.round(depth.sum(axis=1), round_to)}))
+        return pd.concat(frames, ignore_index=True)
+
+    final = (rd.range(spec.n_tiles).map_batches(per_tile,
+                                                batch_format="numpy")
+             .to_pandas())
+    return final.sort_values("row_id").reset_index(drop=True)
 
 
 def depth_in_sink_naive(spec: RasterSpec, round_to: int = 6) -> pd.DataFrame:

@@ -49,23 +49,46 @@ import ray.data as rd
 
 from .hydro import _tile_pointers, flow_accumulation_tile_refs
 from .raster import RasterSpec
-from .terrain import _DX, _DY
+from .raster import synth_value
+from .terrain import _DX, _DY, d8_kernel
 
 _INFLOW = (16.0, 32.0, 64.0, 128.0, 1.0, 2.0, 4.0, 8.0)
 
 
-def _pointer_grid(spec: RasterSpec) -> np.ndarray:
-    return np.concatenate([_tile_pointers(spec, t)[1]
-                           for t in range(spec.n_tiles)])
+def _col_band_pointers(spec: RasterSpec, c0: int, c1: int):
+    """Pointers for ALL rows at columns [c0-1, c1+1) — the transposed
+    head-mask read regenerates exactly the COLUMN band it indexes
+    (pointer strips are synth-regenerable) instead of receiving a
+    whole-grid broadcast; O(rows × tile_rows) per task, the transpose
+    of the usual row band. Returns (ptr_band, lo_col)."""
+    lo = max(c0 - 1, 0)
+    hi = min(c1 + 1, spec.cols)
+    cell = (np.arange(spec.rows, dtype=np.int64)[:, None] * spec.cols
+            + np.arange(lo, hi, dtype=np.int64)[None, :])
+    z = synth_value(cell.ravel()).reshape(spec.rows, hi - lo)
+    pad = np.full((spec.rows + 2, hi - lo + 2), spec.nodata)
+    pad[1:-1, 1:-1] = z
+    # halo columns outside [lo, hi) when they exist in-grid
+    if lo > 0:
+        cell_l = (np.arange(spec.rows, dtype=np.int64) * spec.cols
+                  + (lo - 1))
+        pad[1:-1, 0] = synth_value(cell_l)
+    if hi < spec.cols:
+        cell_r = (np.arange(spec.rows, dtype=np.int64) * spec.cols + hi)
+        pad[1:-1, -1] = synth_value(cell_r)
+    ptr = d8_kernel(pad, spec.nodata)[1:-1, 1:-1]
+    return ptr, lo
 
 
-def _head_mask_tile(spec: RasterSpec, tid: int,
-                    ptr_all: np.ndarray) -> np.ndarray:
+def _head_mask_tile(spec: RasterSpec, tid: int) -> np.ndarray:
     """Heads for one row band — the literal transposed read:
     a cell (r, c) is NOT a head when any
-    ptr[c + dX[i], r + dY[i]] == inflowingVals[i]."""
+    ptr[c + dX[i], r + dY[i]] == inflowingVals[i]. The transposed
+    pointer values live in the COLUMN band [r0-1, r1+1), regenerated
+    locally by :func:`_col_band_pointers` — no whole-grid broadcast."""
     r0 = tid * spec.tile_rows
     r1 = min(r0 + spec.tile_rows, spec.rows)
+    band, lo = _col_band_pointers(spec, r0, r1)
     rows = np.arange(r0, r1)[:, None]
     cs = np.arange(spec.cols)[None, :]
     valid = _tile_pointers(spec, tid)[1] != spec.nodata
@@ -78,7 +101,7 @@ def _head_mask_tile(spec: RasterSpec, tid: int,
         ok = (rr_b >= 0) & (rr_b < spec.rows) \
             & (cc_b >= 0) & (cc_b < spec.cols)
         val = np.full(flag.shape, spec.nodata)
-        val[ok] = ptr_all[rr_b[ok], cc_b[ok]]
+        val[ok] = band[rr_b[ok], cc_b[ok] - lo]
         flag |= val == _INFLOW[i]
     return valid & ~flag
 
@@ -90,7 +113,8 @@ def _downfill_fixed_point(spec: RasterSpec, build, max_rounds: int,
     state persists in the object store; only {boundary gcell: label}
     dicts travel per round). ``build(tid)`` -> (z, ptr, seed) where
     seed[r, c] >= 0 marks a seed cell carrying that label. Returns
-    {tile_id: lab array} (one extraction after convergence)."""
+    {tile_id: ObjectRef(lab array)} — the planes stay in the object
+    store; consumers fetch per tile."""
     from .fixed_point import tile_fixed_point
 
     cols = spec.cols
@@ -138,11 +162,12 @@ def _downfill_fixed_point(spec: RasterSpec, build, max_rounds: int,
             out[tid + 1] = dn
         return out
 
-    def extract(state, tid: int, inbox) -> np.ndarray:
-        return _fill(state, tid, inbox)
+    def extract(state, tid: int, inbox):
+        # worker-side put: the label planes stay in the object store
+        return ray.put(_fill(state, tid, inbox))
 
-    labs = tile_fixed_point(n, build, solve, extract, max_rounds, label)
-    return dict(enumerate(labs))
+    refs = tile_fixed_point(n, build, solve, extract, max_rounds, label)
+    return dict(enumerate(refs))
 
 
 def _first_trunk_fill(spec: RasterSpec, acc_refs: dict, threshold: float,
@@ -150,7 +175,7 @@ def _first_trunk_fill(spec: RasterSpec, acc_refs: dict, threshold: float,
     """lab[cell] = global cell id of the first ORIGINAL-trunk cell at or
     below it on the flowpath (trunk cells map to themselves), -1 when
     the path terminates without one. ``acc_refs`` = {tile_id: ObjectRef}
-    (the arrays stay in the object store). Returns {tile_id: lab array}."""
+    (the arrays stay in the object store). Returns {tile_id: ObjectRef}."""
     cols = spec.cols
 
     def build(tid: int):
@@ -277,27 +302,33 @@ def isobasin(spec: RasterSpec | None = None,
     cols = spec.cols
     acc_refs = flow_accumulation_tile_refs(spec)
 
-    # head mask — transposed stencil per band (pointer strips are
-    # synth-regenerable; at scale this is one transpose exchange)
-    ptr_all = _pointer_grid(spec)
-    ptr_ref = ray.put(ptr_all)
-
+    # head mask — transposed stencil per band; each task regenerates
+    # ONLY its own transposed column band (no whole-grid broadcast)
     def head_tiles(batch) -> pd.DataFrame:
-        p = ray.get(ptr_ref) if isinstance(ptr_ref, ray.ObjectRef) \
-            else ptr_ref
         rows = []
         for tid in batch["id"]:
-            hm = _head_mask_tile(spec, int(tid), p)
-            r0 = int(tid) * spec.tile_rows
-            cells = (np.flatnonzero(hm.ravel()) + r0 * cols)
-            rows.append({"tile_id": int(tid),
-                         "heads": cells.astype(np.int64).tobytes()})
+            tid = int(tid)
+            hm = _head_mask_tile(spec, tid)
+            r0 = tid * spec.tile_rows
+            flat = np.flatnonzero(hm.ravel())
+            cells = flat + r0 * cols
+            # ship each head's own pointer code too — the driver's
+            # phase-1 entry resolution then needs NO pointer grid
+            _z, ptr = _tile_pointers(spec, tid)
+            rows.append({"tile_id": tid,
+                         "heads": cells.astype(np.int64).tobytes(),
+                         "codes": ptr.ravel()[flat].tobytes()})
         return pd.DataFrame(rows)
 
     hf = (rd.range(spec.n_tiles)
           .map_batches(head_tiles, batch_format="numpy").to_pandas())
-    heads = np.sort(np.concatenate(
-        [np.frombuffer(r.heads, dtype=np.int64) for r in hf.itertuples()]))
+    hc = np.concatenate([np.frombuffer(r.heads, dtype=np.int64)
+                         for r in hf.itertuples()])
+    cd = np.concatenate([np.frombuffer(r.codes)
+                         for r in hf.itertuples()])
+    order = np.argsort(hc)
+    heads = hc[order]
+    head_code = dict(zip(heads.tolist(), cd[order].tolist()))
 
     # compact trunk ∪ 8-neighbourhood table (cell → ptr, CA)
     def compact(batch) -> pd.DataFrame:
@@ -334,41 +365,54 @@ def isobasin(spec: RasterSpec | None = None,
     ptr_c = dict(zip(comp["cell"].astype(int), comp["ptr"].astype(float)))
     ca = dict(zip(comp["cell"].astype(int), comp["ca"].astype(float)))
 
-    fill = _first_trunk_fill(spec, acc_refs, threshold)
+    fill_refs = _first_trunk_fill(spec, acc_refs, threshold)
     entry = {}
     terminal_heads = set()
+    # group head→receiver lookups by receiver TILE so the driver fetches
+    # one label plane at a time (peak O(tile), not O(raster))
+    by_tile: dict[int, list] = {}
     for h in heads:
         h = int(h)
         r, c = divmod(h, cols)
-        code = float(ptr_all[r, c])
+        code = float(head_code[h])
         if code > 0:
             i = int(code).bit_length() - 1
             r2, c2 = r + _DY[i], c + _DX[i]
             if 0 <= r2 < spec.rows and 0 <= c2 < cols:
-                entry[h] = int(fill[r2 // spec.tile_rows][
-                    r2 % spec.tile_rows, c2])
+                by_tile.setdefault(r2 // spec.tile_rows, []).append(
+                    (h, r2, c2))
             else:
                 entry[h] = -1
         else:
             terminal_heads.add(h)
+    for t, items in by_tile.items():
+        lab_t = ray.get(fill_refs[t])
+        for h, r2, c2 in items:
+            entry[h] = int(lab_t[r2 % spec.tile_rows, c2])
 
     outlets = _replay_phase1(spec, heads, entry, terminal_heads,
                              ptr_c, ca, threshold)
 
-    lab = _outlet_fill(spec, outlets)
-    out = []
-    for tid in sorted(lab):
-        L = lab[tid]
-        z, _ = _tile_pointers(spec, tid)
-        r0 = tid * spec.tile_rows
-        valid = z != spec.nodata
-        m = L >= 0
-        out.append(pd.DataFrame({
-            "row_id": np.arange(r0, r0 + L.shape[0]),
-            "n_valid": valid.sum(axis=1).astype(np.int64),
-            "n_labelled": m.sum(axis=1).astype(np.int64),
-            "sum_label": np.where(m, L, 0).sum(axis=1)}))
-    res = (pd.concat(out, ignore_index=True)
-           .sort_values("row_id").reset_index(drop=True))
+    lab_refs = _outlet_fill(spec, outlets)
+
+    def per_tile(batch) -> pd.DataFrame:
+        out = []
+        for tid in batch["id"]:
+            tid = int(tid)
+            L = ray.get(lab_refs[tid])
+            z, _ = _tile_pointers(spec, tid)
+            r0 = tid * spec.tile_rows
+            valid = z != spec.nodata
+            m = L >= 0
+            out.append(pd.DataFrame({
+                "row_id": np.arange(r0, r0 + L.shape[0]),
+                "n_valid": valid.sum(axis=1).astype(np.int64),
+                "n_labelled": m.sum(axis=1).astype(np.int64),
+                "sum_label": np.where(m, L, 0).sum(axis=1)}))
+        return pd.concat(out, ignore_index=True)
+
+    res = (rd.range(spec.n_tiles).map_batches(per_tile,
+                                              batch_format="numpy")
+           .to_pandas().sort_values("row_id").reset_index(drop=True))
     res.attrs["n_outlets"] = len(outlets)
     return res

@@ -102,8 +102,10 @@ def multiscale_elev_residual(spec: RasterSpec | None = None,
             zi = np.where(valid, z - zmin, 0.0).astype(np.int64)
             p = zi.cumsum(axis=1).cumsum(axis=0)
             n = valid.astype(np.int64).cumsum(axis=1).cumsum(axis=0)
-            out.append({"band": int(b), "p": p.tobytes(), "n": n.tobytes(),
-                        "shape0": p.shape[0],
+            # LOCAL integral blocks stay in the object store; only the
+            # O(cols) last-row vectors travel to the driver (the global
+            # offsets are a sequential prefix over bands)
+            out.append({"band": int(b), "ref": ray.put((p, n)),
                         "pl": p[-1].tobytes(), "nl": n[-1].tobytes()})
         return pd.DataFrame(out)
 
@@ -111,21 +113,26 @@ def multiscale_elev_residual(spec: RasterSpec | None = None,
            .to_pandas().sort_values("band"))
     off_p = np.zeros(cols, dtype=np.int64)
     off_n = np.zeros(cols, dtype=np.int64)
-    blocks = {}
+    local_refs = {}
+    offs = {}
     for r in pre.itertuples():
-        p = np.frombuffer(r.p, dtype=np.int64).reshape(r.shape0, cols)
-        n = np.frombuffer(r.n, dtype=np.int64).reshape(r.shape0, cols)
-        blocks[int(r.band)] = ray.put((p + off_p, n + off_n))
+        local_refs[int(r.band)] = r.ref
+        offs[int(r.band)] = (off_p.copy(), off_n.copy())
         off_p = off_p + np.frombuffer(r.pl, dtype=np.int64)
         off_n = off_n + np.frombuffer(r.nl, dtype=np.int64)
+    offs_ref = ray.put(offs)
 
     # pass 2: per band, gather clamped corner rows per radius
     def solve(batch) -> pd.DataFrame:
         cache: dict[int, tuple] = {}
+        offs_all = ray.get(offs_ref) if isinstance(offs_ref, ray.ObjectRef) \
+            else offs_ref
 
         def block(b: int):
             if b not in cache:
-                cache[b] = ray.get(blocks[b])
+                p, n = ray.get(local_refs[b])
+                op, on = offs_all[b]
+                cache[b] = (p + op, n + on)
             return cache[b]
 
         def irows(idx: np.ndarray):

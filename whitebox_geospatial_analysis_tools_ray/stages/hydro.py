@@ -408,15 +408,15 @@ def watershed(spec: RasterSpec | None = None) -> pd.DataFrame:
             tid = int(tid)
             z, out = _resolve_tile(spec, tid)
             r0 = tid * spec.tile_rows
-            edge = {}
-            for rr in (0, out.shape[0] - 1):
-                for cc in range(cols):
-                    edge[(r0 + rr) * cols + cc] = int(out[rr, cc])
+            ers = sorted({0, out.shape[0] - 1})   # dedup 1-row tiles
+            ecells = np.concatenate(
+                [(r0 + rr) * cols + np.arange(cols, dtype=np.int64)
+                 for rr in ers])
+            evals = np.concatenate([out[rr] for rr in ers]).astype(np.int64)
             rows.append({"tile_id": tid, "out": out.tobytes(),
                          "shape0": out.shape[0],
-                         "edge_cells": np.array(list(edge), dtype=np.int64).tobytes(),
-                         "edge_vals": np.array(list(edge.values()),
-                                               dtype=np.int64).tobytes()})
+                         "edge_cells": ecells.tobytes(),
+                         "edge_vals": evals.tobytes()})
         return pd.DataFrame(rows)
 
     # pass-1 results stay IN THE OBJECT STORE (materialize); the driver
@@ -479,16 +479,15 @@ def watershed_label_tile_refs(spec: RasterSpec) -> dict:
             tid = int(tid)
             z, out = _resolve_tile(spec, tid)
             r0 = tid * spec.tile_rows
-            edge = {}
-            for rr in (0, out.shape[0] - 1):
-                for cc in range(cols):
-                    edge[(r0 + rr) * cols + cc] = int(out[rr, cc])
+            ers = sorted({0, out.shape[0] - 1})   # dedup 1-row tiles
+            ecells = np.concatenate(
+                [(r0 + rr) * cols + np.arange(cols, dtype=np.int64)
+                 for rr in ers])
+            evals = np.concatenate([out[rr] for rr in ers]).astype(np.int64)
             rows.append({"tile_id": tid, "out": out.tobytes(),
                          "shape0": out.shape[0],
-                         "edge_cells": np.array(list(edge),
-                                                dtype=np.int64).tobytes(),
-                         "edge_vals": np.array(list(edge.values()),
-                                               dtype=np.int64).tobytes()})
+                         "edge_cells": ecells.tobytes(),
+                         "edge_vals": evals.tobytes()})
         return pd.DataFrame(rows)
 
     # pass-1 tiles stay in the object store; the driver touches only

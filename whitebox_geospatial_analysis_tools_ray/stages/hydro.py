@@ -365,35 +365,109 @@ def pour_point_mask(r0: int, r1: int, cols: int) -> np.ndarray:
     return (((cell * _PA + 999) % _PM) % 3001 == 0).reshape(-1, cols)
 
 
+def _pointer_targets(z: np.ndarray, ptr: np.ndarray, nodata: float):
+    """Per-cell D8 receiver in flat in-tile coords: (lin_target, in_tile,
+    r2, c2, has_edge). D8 pointers are assigned only on STRICTLY
+    positive slope (terrain.d8_kernel), so in-tile chains are acyclic —
+    the property the pointer-doubling resolvers below rely on."""
+    H, W = z.shape
+    code = np.where((z != nodata) & (ptr != nodata), ptr, 0.0)
+    has = code > 0
+    ic = code.astype(np.int64)
+    didx = np.zeros((H, W), dtype=np.int64)
+    for i in range(8):
+        didx[ic == (1 << i)] = i
+    r2 = np.arange(H)[:, None] + np.asarray(_DY)[didx]
+    c2 = np.arange(W)[None, :] + np.asarray(_DX)[didx]
+    in_tile = has & (r2 >= 0) & (r2 < H) & (c2 >= 0) & (c2 < W)
+    lin = np.where(in_tile, np.clip(r2, 0, H - 1) * W
+                   + np.clip(c2, 0, W - 1), 0)
+    return lin, in_tile, r2, c2, has
+
+
+def _pointer_double(val: np.ndarray, done: np.ndarray,
+                    nxt: np.ndarray) -> np.ndarray:
+    """Resolve val[u] ← val[first done ancestor along nxt] by pointer
+    doubling — O(log chain-depth) vector passes, replacing the
+    per-cell ascending-z Python walk (identical fixed point on the
+    acyclic strictly-downhill D8 graph)."""
+    val = val.ravel().copy()
+    done = done.ravel().copy()
+    nxt = nxt.ravel().copy()
+    # cap: chains shorten by 2× per pass
+    for _ in range(int(np.ceil(np.log2(max(len(val), 2)))) + 2):
+        if done.all():
+            break
+        nd = done[nxt]
+        nv = val[nxt]
+        adopt = ~done & nd
+        val[adopt] = nv[adopt]
+        done |= nd
+        nxt = nxt[nxt]
+    if not done.all():  # pragma: no cover — acyclicity violated
+        raise RuntimeError("pointer_double: unresolved cells (cycle?)")
+    return val
+
+
+def _pointer_double_add(add: np.ndarray, val: np.ndarray,
+                        done: np.ndarray, nxt: np.ndarray) -> np.ndarray:
+    """Additive variant: resolve val[u] ← Σ steps along the chain +
+    val[terminal] by pointer doubling (d(u) = step(u) + d(receiver)
+    recurrences — flowpath lengths, distances-to-stream, ...)."""
+    add = add.ravel().astype(np.float64).copy()
+    val = val.ravel().astype(np.float64).copy()
+    done = done.ravel().copy()
+    nxt = nxt.ravel().copy()
+    for _ in range(int(np.ceil(np.log2(max(len(val), 2)))) + 2):
+        if done.all():
+            break
+        nd = done[nxt]
+        valn = val[nxt]
+        addn = add[nxt]
+        nxtn = nxt[nxt]
+        adopt = ~done & nd
+        val[adopt] = add[adopt] + valn[adopt]
+        rest = ~done & ~nd
+        add[rest] += addn[rest]
+        nxt[rest] = nxtn[rest]
+        done |= adopt
+    if not done.all():  # pragma: no cover — acyclicity violated
+        raise RuntimeError("pointer_double_add: unresolved cells (cycle?)")
+    return val
+
+
 def _resolve_tile(spec: RasterSpec, tid: int):
-    """Outcome per cell: label ≥ 0, or -(global_cell)-1 for an exit."""
+    """Outcome per cell: label ≥ 0, or -(global_cell)-1 for an exit.
+    Vectorized pointer-doubling over the acyclic in-tile D8 graph —
+    bit-identical to the reference's ascending-z sequential walk
+    (receivers are strictly lower, so order is immaterial)."""
     cols = spec.cols
     r0 = tid * spec.tile_rows
     z, ptr = _tile_pointers(spec, tid)
     H = z.shape[0]
     pour = pour_point_mask(r0, r0 + H, cols)
     valid = z != spec.nodata
+    lin, in_tile, r2, c2, has = _pointer_targets(z, ptr, spec.nodata)
+
+    gcell = ((r0 + np.arange(H))[:, None] * cols
+             + np.arange(cols)[None, :]).astype(np.int64)
     out = np.zeros((H, cols), dtype=np.int64)
-    order = np.argsort(z, axis=None, kind="stable")  # ascending
-    for lin in order:
-        r, c = divmod(int(lin), cols)
-        if not valid[r, c]:
-            continue
-        if pour[r, c]:
-            out[r, c] = (r0 + r) * cols + c
-            continue
-        code = ptr[r, c]
-        if code == spec.nodata or code <= 0:
-            out[r, c] = 0
-            continue
-        i = int(code).bit_length() - 1
-        r2, c2 = r + _DY[i], c + _DX[i]
-        if 0 <= r2 < H and 0 <= c2 < cols:
-            out[r, c] = out[r2, c2] if valid[r2, c2] else 0
-        elif 0 <= c2 < cols:
-            out[r, c] = -(((r0 + r2) * cols + c2) + 1)  # exit
-        else:
-            out[r, c] = 0
+    done = np.zeros((H, cols), dtype=bool)
+    # terminal classes, in the sequential walk's precedence order
+    t_pour = valid & pour
+    out[t_pour] = gcell[t_pour]
+    done |= t_pour | ~valid
+    t_noflow = valid & ~pour & ~has
+    done |= t_noflow                                  # out stays 0
+    exit_v = valid & ~pour & has & ~in_tile & (c2 >= 0) & (c2 < cols)
+    out[exit_v] = -(((r0 + r2[exit_v]) * cols + c2[exit_v]) + 1)
+    done |= exit_v
+    done |= valid & ~pour & has & ~in_tile & ~exit_v  # off-grid E/W → 0
+    # in-tile edges into an INVALID receiver terminate at 0
+    recv_invalid = in_tile & ~valid.ravel()[lin.ravel()].reshape(H, cols)
+    done |= recv_invalid
+    nxt = np.where(done, np.arange(H * cols).reshape(H, cols), lin)
+    out = _pointer_double(out, done, nxt).reshape(H, cols)
     return z, out
 
 
@@ -816,33 +890,43 @@ def downslope_flowpath_length(spec: RasterSpec | None = None,
         return _tile_pointers(spec, tid)
 
     def _solve_d(state, tid: int, inbox) -> np.ndarray:
+        # additive pointer-doubling (O(log depth) vector passes) over
+        # the acyclic strictly-downhill in-tile graph — same fixed point
+        # as the reference's ascending-z walk
         z, ptr = state
         H = z.shape[0]
         r0 = tid * spec.tile_rows
         ext: dict[int, float] = {}
         for _sender, msg in inbox:
             ext.update(msg)
+        valid = z != spec.nodata
+        lin, in_tile, r2, c2, has = _pointer_targets(z, ptr, spec.nodata)
+        code = np.where(valid & (ptr != spec.nodata), ptr, np.nan)
+        ic = np.where(has, code, 1.0).astype(np.int64)
+        didx = np.zeros((H, cols), dtype=np.int64)
+        for i in range(8):
+            didx[ic == (1 << i)] = i
+        step = np.where(has, np.take(np.asarray(_GRID_LEN8), didx), 0.0)
+
         d = np.full((H, cols), np.nan)
-        order = np.argsort(z, axis=None, kind="stable")  # ascending
-        for lin in order:
-            r, c = divmod(int(lin), cols)
-            if z[r, c] == spec.nodata:
-                continue
-            code = ptr[r, c]
-            if code <= 0:
-                d[r, c] = 0.0 if code == 0 else np.nan
-                continue
-            i = int(code).bit_length() - 1
-            r2, c2 = r + _DY[i], c + _DX[i]
-            step = _GRID_LEN8[i]
-            if 0 <= r2 < H and 0 <= c2 < cols:
-                d[r, c] = step + d[r2, c2]
-            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                g = (r0 + r2) * cols + c2
-                d[r, c] = step + ext.get(g, np.nan)
-            else:
-                d[r, c] = step  # flows off-grid: path ends there
-        return d
+        done = np.zeros((H, cols), dtype=bool)
+        done |= ~valid                                    # NaN
+        t0 = valid & (code == 0.0)
+        d[t0] = 0.0
+        done |= t0
+        done |= valid & ~has & (code != 0.0)              # negative → NaN
+        off_v = valid & has & ~in_tile & (c2 >= 0) & (c2 < cols) \
+            & (r0 + r2 >= 0) & (r0 + r2 < spec.rows)
+        if off_v.any():
+            g = (r0 + r2[off_v]) * cols + c2[off_v]
+            d[off_v] = step[off_v] + np.fromiter(
+                (ext.get(int(k), np.nan) for k in g),
+                dtype=np.float64, count=len(g))
+        off_grid = valid & has & ~in_tile & ~off_v
+        d[off_grid] = step[off_grid]     # flows off-grid: path ends
+        done |= valid & has & ~in_tile
+        nxt = np.where(done, np.arange(H * cols).reshape(H, cols), lin)
+        return _pointer_double_add(step, d, done, nxt).reshape(H, cols)
 
     def solve(state, tid: int, inbox):
         d = _solve_d(state, tid, inbox)

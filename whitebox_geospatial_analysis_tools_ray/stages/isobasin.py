@@ -121,30 +121,37 @@ def _downfill_fixed_point(spec: RasterSpec, build, max_rounds: int,
     n = spec.n_tiles
 
     def _fill(state, tid: int, inbox) -> np.ndarray:
+        # vectorized pointer-doubling over the acyclic strictly-downhill
+        # in-tile D8 graph — identical fixed point to the reference's
+        # ascending-z sequential walk, O(log depth) vector passes
+        from .hydro import _pointer_double, _pointer_targets
+
         z, ptr, seed = state
         H = z.shape[0]
         r0 = tid * spec.tile_rows
         ext: dict = {}
         for _sender, msg in inbox:
             ext.update(msg)
+        valid = z != spec.nodata
+        lin, in_tile, r2, c2, has = _pointer_targets(z, ptr, spec.nodata)
         lab = np.full((H, cols), -1, dtype=np.int64)
-        for lin in np.argsort(z, axis=None, kind="stable"):
-            r, c = divmod(int(lin), cols)
-            if z[r, c] == spec.nodata:
-                continue
-            if seed[r, c] >= 0:
-                lab[r, c] = seed[r, c]
-                continue
-            code = ptr[r, c]
-            if code <= 0:
-                continue
-            i = int(code).bit_length() - 1
-            r2, c2 = r + _DY[i], c + _DX[i]
-            if 0 <= r2 < H and 0 <= c2 < cols:
-                lab[r, c] = lab[r2, c2]
-            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
-        return lab
+        done = np.zeros((H, cols), dtype=bool)
+        done |= ~valid                                     # stays -1
+        seeded = valid & (seed >= 0)
+        lab[seeded] = seed[seeded]
+        done |= seeded
+        done |= valid & ~seeded & ~has                     # stays -1
+        # off-tile vertical receiver: boundary message (or -1)
+        off_v = valid & ~seeded & has & ~in_tile \
+            & (c2 >= 0) & (c2 < cols) & (r0 + r2 >= 0) \
+            & (r0 + r2 < spec.rows)
+        if off_v.any():
+            g = (r0 + r2[off_v]) * cols + c2[off_v]
+            lab[off_v] = np.fromiter((ext.get(int(k), -1) for k in g),
+                                     dtype=np.int64, count=len(g))
+        done |= valid & ~seeded & has & ~in_tile           # incl. off-grid
+        nxt = np.where(done, np.arange(H * cols).reshape(H, cols), lin)
+        return _pointer_double(lab, done, nxt).reshape(H, cols)
 
     def solve(state, tid: int, inbox) -> dict:
         lab = _fill(state, tid, inbox)

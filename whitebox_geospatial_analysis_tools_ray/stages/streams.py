@@ -369,6 +369,31 @@ def _tile_halo_arrays(spec: RasterSpec, tid: int, acc_all: dict,
     return ze, pe, ae, se
 
 
+def _chosen_upstream_grid(pe, ae, se):
+    """Vectorized :func:`_chosen_upstream` over EVERY extended cell:
+    returns the extended linear index of the chosen (highest-acc,
+    strict >, reference scan order) inflowing stream neighbour, or -1.
+    8 shifted-plane passes — no per-cell Python."""
+    He, W = pe.shape
+    best_acc = np.zeros((He, W))
+    cu = np.full((He, W), -1, dtype=np.int64)
+    R = np.arange(He)[:, None]
+    C = np.arange(W)[None, :]
+    for i in range(8):
+        r2 = R + _DY[i]
+        c2 = C + _DX[i]
+        ok = (r2 >= 0) & (r2 < He) & (c2 >= 0) & (c2 < W)
+        r2c = np.clip(r2, 0, He - 1)
+        c2c = np.clip(c2, 0, W - 1)
+        lin2 = r2c * W + c2c
+        cond = ok & se[r2c, c2c] \
+            & (pe[r2c, c2c] == float(1 << ((i + 4) % 8))) \
+            & (ae[r2c, c2c] > best_acc)
+        best_acc = np.where(cond, ae[r2c, c2c], best_acc)
+        cu = np.where(cond, lin2, cu)
+    return cu
+
+
 def _chosen_upstream(pe, ae, se, r, c):
     """Highest-accumulation inflowing stream neighbour of extended-row r
     (strict >, c-scan order — FindMainStem.java:287-303). Returns
@@ -405,41 +430,75 @@ def find_main_stem(spec: RasterSpec | None = None, threshold: float = 5.0,
         return _tile_halo_arrays(spec, tid, acc_local, threshold)
 
     def _run(state, tid: int, inbox):
+        # vectorized: chosen-upstream grid (8 shifted planes) + boolean
+        # pointer-doubling down the strictly-downhill receiver chains —
+        # ms(v) = (every link down to the terminal is the CHOSEN
+        # upstream of its receiver) AND the terminal is an outlet/ext
+        # cell; identical fixed point to the ascending-z walk
+        from .hydro import _pointer_double_add
+
         ze, pe, ae, se = state
         h = ze.shape[0] - 2
         r0 = tid * spec.tile_rows
         ext: set = set()
         for _sender, msg in inbox:
             ext.update(msg)
-        ms = np.zeros((h, cols), dtype=bool)
+        cu = _chosen_upstream_grid(pe, ae, se)
+
+        core = slice(1, h + 1)
+        se_c = se[core]
+        code = pe[core]
+        R = np.arange(h)[:, None]
+        C = np.arange(cols)[None, :]
+        gcells = (r0 + R) * cols + C
+        in_ext = np.isin(gcells, np.fromiter(ext, dtype=np.int64,
+                                             count=len(ext))) \
+            if ext else np.zeros((h, cols), dtype=bool)
+        has = se_c & (code > 0)
+        ic = np.where(has, code, 1.0).astype(np.int64)
+        didx = np.zeros((h, cols), dtype=np.int64)
+        for i in range(8):
+            didx[ic == (1 << i)] = i
+        rr = (R + 1) + np.asarray(_DY)[didx]      # extended rows
+        cc = C + np.asarray(_DX)[didx]
+        cc_in = (cc >= 0) & (cc < cols)
+        rr_c = np.clip(rr, 0, h + 1)
+        cc_c = np.clip(cc, 0, cols - 1)
+        recv_stream = has & cc_in & se[rr_c, cc_c]
+        recv_core = recv_stream & (rr >= 1) & (rr <= h)
+
+        # fail[u] = 1 when the u→receiver link is NOT the receiver's
+        # chosen upstream (AND-chain via sum-of-failures == 0)
+        my_ext_lin = (R + 1) * cols + C
+        fail = np.where(recv_core & (cu[rr_c, cc_c] != my_ext_lin),
+                        1.0, 0.0)
+        val = np.zeros((h, cols))       # 0 = terminal True
+        done = np.zeros((h, cols), dtype=bool)
+        done |= ~se_c                                     # never marked
+        val[~se_c] = 1.0
+        t_true = se_c & (in_ext | ~has | (has & ~recv_stream))
+        done |= t_true                                    # val 0
+        # receiver in the HALO rows: flag stays False in the reference
+        t_false = se_c & ~in_ext & recv_stream & ~recv_core
+        val[t_false] = 1.0
+        done |= t_false
+        # in-core receiver: follow (core linear index)
+        lin_core = np.where(recv_core, (rr_c - 1) * cols + cc_c, 0)
+        nxt = np.where(done, np.arange(h * cols).reshape(h, cols),
+                       lin_core)
+        tot = _pointer_double_add(fail, val, done, nxt).reshape(h, cols)
+        ms = se_c & (tot == 0.0)
+
+        # emits: each ms cell's chosen upstream when it lies in a halo row
         emits = []
-        order = np.argsort(ze[1:-1], axis=None, kind="stable")
-        for lin in order:  # ascending z: receiver resolves first
-            r, c = divmod(int(lin), cols)
-            re_ = r + 1  # extended row
-            if not se[re_, c]:
-                continue
-            gcell = (r0 + r) * cols + c
-            code = pe[re_, c]
-            flag = gcell in ext
-            if not flag:
-                if code <= 0:
-                    flag = True  # pointer 0 → outlet
-                else:
-                    i = int(code).bit_length() - 1
-                    rr, cc = re_ + _DY[i], c + _DX[i]
-                    if not (0 <= rr < h + 2 and 0 <= cc < cols) \
-                            or not se[rr, cc]:
-                        flag = True  # receiver not stream → outlet
-                    elif 1 <= rr <= h and ms[rr - 1, cc]:
-                        flag = _chosen_upstream(pe, ae, se, rr, cc) \
-                            == (re_, c)
-            if flag:
-                ms[r, c] = True
-                up = _chosen_upstream(pe, ae, se, re_, c)
-                if up is not None and not (1 <= up[0] <= h):
-                    gr = r0 + (up[0] - 1)
-                    emits.append(gr * cols + int(up[1]))
+        up = cu[core].reshape(h, cols)
+        m = ms & (up >= 0)
+        if m.any():
+            ur = up[m] // cols
+            uc = up[m] % cols
+            outside = ~((ur >= 1) & (ur <= h))
+            for r_, c_ in zip(ur[outside], uc[outside]):
+                emits.append((r0 + int(r_) - 1) * cols + int(c_))
         return ms, se, emits
 
     def solve(state, tid: int, inbox) -> dict:
@@ -659,31 +718,34 @@ def _downslope_label_fill(spec: RasterSpec, threshold: float,
         return z, ptr, link, stream
 
     def _fill(state, tid: int, inbox) -> np.ndarray:
+        # vectorized pointer-doubling (see hydro._pointer_double) —
+        # identical fixed point to the ascending-z sequential walk
+        from .hydro import _pointer_double, _pointer_targets
+
         z, ptr, link, stream = state
         H = z.shape[0]
         r0 = tid * spec.tile_rows
         ext: dict = {}
         for _sender, msg in inbox:
             ext.update(msg)
+        valid = z != spec.nodata
+        lin, in_tile, r2, c2, has = _pointer_targets(z, ptr, spec.nodata)
         lab = np.full((H, cols), -1, dtype=np.int64)
-        order = np.argsort(z, axis=None, kind="stable")  # ascending
-        for lin in order:
-            r, c = divmod(int(lin), cols)
-            if z[r, c] == spec.nodata:
-                continue
-            if stream[r, c]:
-                lab[r, c] = link[r, c]
-                continue
-            code = ptr[r, c]
-            if code <= 0:
-                continue  # pit off-stream: unlabelled (-1)
-            i = int(code).bit_length() - 1
-            r2, c2 = r + _DY[i], c + _DX[i]
-            if 0 <= r2 < H and 0 <= c2 < cols:
-                lab[r, c] = lab[r2, c2]
-            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
-        return lab
+        done = np.zeros((H, cols), dtype=bool)
+        done |= ~valid
+        seeded = valid & stream
+        lab[seeded] = link[seeded]
+        done |= seeded
+        done |= valid & ~seeded & ~has      # pit off-stream: -1
+        off_v = valid & ~seeded & has & ~in_tile & (c2 >= 0) \
+            & (c2 < cols) & (r0 + r2 >= 0) & (r0 + r2 < spec.rows)
+        if off_v.any():
+            g = (r0 + r2[off_v]) * cols + c2[off_v]
+            lab[off_v] = np.fromiter((ext.get(int(k), -1) for k in g),
+                                     dtype=np.int64, count=len(g))
+        done |= valid & ~seeded & has & ~in_tile
+        nxt = np.where(done, np.arange(H * cols).reshape(H, cols), lin)
+        return _pointer_double(lab, done, nxt).reshape(H, cols)
 
     def solve(state, tid: int, inbox) -> dict:
         lab = _fill(state, tid, inbox)
@@ -792,45 +854,98 @@ def hack_order(spec: RasterSpec | None = None, threshold: float = 5.0,
                 prev = ext.get(g)
                 if prev is None or v < prev:
                     ext[g] = v
-        hk = np.zeros((h, cols), dtype=np.int64)
+        # vectorized: hk(v) = hk(receiver) + (0 if v is the receiver's
+        # CHOSEN upstream else 1) down to a terminal (ext value / outlet
+        # = 1 / halo receiver = absorbing 0); two additive doubling
+        # passes (value sum + positive-terminal reachability) replace
+        # the ascending-z per-cell walk — identical fixed point
+        from .hydro import _pointer_double_add
+
+        cu = _chosen_upstream_grid(pe, ae, se)
+        core = slice(1, h + 1)
+        se_c = se[core]
+        code = pe[core]
+        R = np.arange(h)[:, None]
+        C = np.arange(cols)[None, :]
+        gcells = (r0 + R) * cols + C
+        ext_val = np.zeros((h, cols), dtype=np.int64)
+        if ext:
+            ks = np.fromiter(ext.keys(), dtype=np.int64, count=len(ext))
+            vs = np.fromiter(ext.values(), dtype=np.int64, count=len(ext))
+            pos = {int(k): int(v) for k, v in zip(ks, vs)}
+            flat = gcells.ravel()
+            hit = np.isin(flat, ks)
+            ev = np.zeros(flat.shape, dtype=np.int64)
+            ev[hit] = np.fromiter((pos[int(g)] for g in flat[hit]),
+                                  dtype=np.int64, count=int(hit.sum()))
+            ext_val = ev.reshape(h, cols)
+        has = se_c & (code > 0)
+        ic = np.where(has, code, 1.0).astype(np.int64)
+        didx = np.zeros((h, cols), dtype=np.int64)
+        for i in range(8):
+            didx[ic == (1 << i)] = i
+        rr = (R + 1) + np.asarray(_DY)[didx]
+        cc = C + np.asarray(_DX)[didx]
+        cc_in = (cc >= 0) & (cc < cols)
+        rr_c = np.clip(rr, 0, h + 1)
+        cc_c = np.clip(cc, 0, cols - 1)
+        recv_stream = has & cc_in & se[rr_c, cc_c]
+        recv_core = recv_stream & (rr >= 1) & (rr <= h)
+
+        my_ext_lin = (R + 1) * cols + C
+        incr = np.where(recv_core & (cu[rr_c, cc_c] != my_ext_lin),
+                        1.0, 0.0)
+        val = np.zeros((h, cols))
+        reach = np.zeros((h, cols))
+        done = np.zeros((h, cols), dtype=bool)
+        done |= ~se_c
+        has_ext = se_c & (ext_val > 0)
+        val[has_ext] = ext_val[has_ext]
+        reach[has_ext] = 1.0
+        done |= has_ext
+        t_outlet = se_c & ~has_ext & (~has | (has & ~recv_stream))
+        val[t_outlet] = 1.0
+        reach[t_outlet] = 1.0
+        done |= t_outlet
+        t_zero = se_c & ~has_ext & recv_stream & ~recv_core
+        done |= t_zero                       # val 0, reach 0 (absorbing)
+        lin_core = np.where(recv_core, (rr_c - 1) * cols + cc_c, 0)
+        nxt = np.where(done, np.arange(h * cols).reshape(h, cols),
+                       lin_core)
+        tot = _pointer_double_add(incr, val, done, nxt).reshape(h, cols)
+        rch = _pointer_double_add(np.zeros((h, cols)), reach, done,
+                                  nxt).reshape(h, cols)
+        hk = np.where(se_c & (rch > 0.0), tot, 0.0).astype(np.int64)
+
+        # emits: chosen upstream in a halo row at hk; non-chosen
+        # out-of-tile inflows branch at hk+1
         emits = []
-        order = np.argsort(ze[1:-1], axis=None, kind="stable")
-        for lin in order:  # ascending z: receiver resolves first
-            r, c = divmod(int(lin), cols)
-            re_ = r + 1
-            if not se[re_, c]:
-                continue
-            gcell = (r0 + r) * cols + c
-            val = ext.get(gcell, 0)
-            if val == 0:
-                code = pe[re_, c]
-                if code <= 0:
-                    val = 1  # outlet
-                else:
-                    i = int(code).bit_length() - 1
-                    rr, cc = re_ + _DY[i], c + _DX[i]
-                    if not (0 <= rr < h + 2 and 0 <= cc < cols) \
-                            or not se[rr, cc]:
-                        val = 1  # receiver not stream → outlet
-                    elif 1 <= rr <= h and hk[rr - 1, cc] > 0:
-                        base = int(hk[rr - 1, cc])
-                        chosen = _chosen_upstream(pe, ae, se, rr, cc)
-                        val = base if chosen == (re_, c) else base + 1
-            if val > 0:
-                hk[r, c] = val
-                up = _chosen_upstream(pe, ae, se, re_, c)
-                if up is not None and not (1 <= up[0] <= h):
-                    gr = r0 + (up[0] - 1)
-                    emits.append((gr * cols + int(up[1]), val))
-                # non-chosen out-of-tile inflows branch at val+1
-                for i in range(8):
-                    r2, c2 = re_ + _DY[i], c + _DX[i]
-                    if 0 <= r2 < h + 2 and 0 <= c2 < cols \
-                            and se[r2, c2] and not (1 <= r2 <= h) \
-                            and pe[r2, c2] == float(1 << ((i + 4) % 8)) \
-                            and up != (r2, c2):
-                        gr = r0 + (r2 - 1)
-                        emits.append((gr * cols + int(c2), val + 1))
+        posm = hk > 0
+        up = cu[core].reshape(h, cols)
+        m = posm & (up >= 0)
+        if m.any():
+            ur = up[m] // cols
+            uc = up[m] % cols
+            hv = hk[m]
+            outside = ~((ur >= 1) & (ur <= h))
+            for r_, c_, v_ in zip(ur[outside], uc[outside], hv[outside]):
+                emits.append(((r0 + int(r_) - 1) * cols + int(c_),
+                              int(v_)))
+        He = h + 2
+        for i in range(8):
+            r2 = (R + 1) + _DY[i]
+            c2 = C + _DX[i]
+            okb = (r2 >= 0) & (r2 < He) & (c2 >= 0) & (c2 < cols)
+            r2c = np.clip(r2, 0, He - 1)
+            c2c = np.clip(c2, 0, cols - 1)
+            lin2 = r2c * cols + c2c
+            sel = posm & okb & se[r2c, c2c] & ~((r2 >= 1) & (r2 <= h)) \
+                & (pe[r2c, c2c] == float(1 << ((i + 4) % 8))) \
+                & (up != lin2)
+            if sel.any():
+                for r_, c_, v_ in zip(r2c[sel], c2c[sel], hk[sel]):
+                    emits.append(((r0 + int(r_) - 1) * cols + int(c_),
+                                  int(v_) + 1))
         return hk, se, emits
 
     def solve(state, tid: int, inbox) -> dict:
@@ -1144,31 +1259,50 @@ def hillslopes(spec: RasterSpec | None = None, threshold: float = 5.0,
         return p["z"], p["ptr"], p["snod"], seed
 
     def _fill(state, tid: int, inbox) -> np.ndarray:
+        # vectorized pointer-doubling (see hydro._pointer_double) —
+        # identical fixed point to the ascending-z sequential walk;
+        # precedence: seed > snod > pointer, as in the reference loop
+        from .hydro import _pointer_double, _pointer_targets
+
         z, ptr, snod, seed = state
         H = z.shape[0]
         r0 = tid * spec.tile_rows
         ext: dict = {}
         for _sender, msg in inbox:
             ext.update(msg)
+        lin, in_tile, r2, c2, has = _pointer_targets(z, ptr, spec.nodata)
+        # NOTE: this walk does NOT skip nodata cells before the seed
+        # check, and `has` from _pointer_targets embeds the z-validity —
+        # replicate the raw `fd <= 0` test on ptr alone instead
+        fd_pos = ptr > 0
+        # recompute targets from the raw pointer (ptr codes are powers
+        # of two wherever fd_pos)
+        ic = np.where(fd_pos, ptr, 1.0).astype(np.int64)
+        didx = np.zeros((H, cols), dtype=np.int64)
+        for i in range(8):
+            didx[ic == (1 << i)] = i
+        r2 = np.arange(H)[:, None] + np.asarray(_DY)[didx]
+        c2 = np.arange(cols)[None, :] + np.asarray(_DX)[didx]
+        in_tile = fd_pos & (r2 >= 0) & (r2 < H) & (c2 >= 0) & (c2 < cols)
+        lin = np.where(in_tile, np.clip(r2, 0, H - 1) * cols
+                       + np.clip(c2, 0, cols - 1), 0)
+
         lab = np.full((H, cols), -2, dtype=np.int64)
-        order = np.argsort(z, axis=None, kind="stable")
-        for lin in order:
-            r, c = divmod(int(lin), cols)
-            if seed[r, c] >= 0:
-                lab[r, c] = seed[r, c]
-                continue
-            if snod[r, c]:
-                continue
-            fd = ptr[r, c]
-            if fd <= 0:
-                continue
-            i = int(fd).bit_length() - 1
-            r2, c2 = r + _DY[i], c + _DX[i]
-            if 0 <= r2 < H and 0 <= c2 < cols:
-                lab[r, c] = lab[r2, c2]
-            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                lab[r, c] = ext.get((r0 + r2) * cols + c2, -2)
-        return lab
+        done = np.zeros((H, cols), dtype=bool)
+        seeded = seed >= 0
+        lab[seeded] = seed[seeded]
+        done |= seeded
+        done |= ~seeded & snod                       # stays -2
+        done |= ~seeded & ~snod & ~fd_pos            # stays -2
+        off_v = ~seeded & ~snod & fd_pos & ~in_tile & (c2 >= 0) \
+            & (c2 < cols) & (r0 + r2 >= 0) & (r0 + r2 < spec.rows)
+        if off_v.any():
+            g = (r0 + r2[off_v]) * cols + c2[off_v]
+            lab[off_v] = np.fromiter((ext.get(int(k), -2) for k in g),
+                                     dtype=np.int64, count=len(g))
+        done |= ~seeded & ~snod & fd_pos & ~in_tile
+        nxt = np.where(done, np.arange(H * cols).reshape(H, cols), lin)
+        return _pointer_double(lab, done, nxt).reshape(H, cols)
 
     def solve(state, tid: int, inbox) -> dict:
         lab = _fill(state, tid, inbox)

@@ -1520,6 +1520,9 @@ def trace_downslope_flowpaths(spec: RasterSpec | None = None,
         return _tile_pointers(spec, tid)
 
     def _marks(state, tid: int, inbox):
+        # boolean downstream closure, VECTORIZED: frontier BFS along
+        # the functional receiver graph (OR is order-insensitive, so
+        # any schedule reaches the same set as the descending-z walk)
         z, ptr = state
         H, W = z.shape
         r0 = tid * spec.tile_rows
@@ -1528,27 +1531,27 @@ def trace_downslope_flowpaths(spec: RasterSpec | None = None,
             row = 0 if sender == tid - 1 else -1
             for c in msg:
                 marks[row, int(c)] = True
-        out_up: set[int] = set()
-        out_dn: set[int] = set()
-        order = np.argsort(-z, axis=None, kind="stable")
-        for lin in order:
-            r, c = divmod(int(lin), W)
-            if not marks[r, c]:
-                continue
-            code = ptr[r, c]
-            if code == spec.nodata or code <= 0:
-                continue
-            i = int(code).bit_length() - 1
-            r2, c2 = r + _DY[i], c + _DX[i]
-            if 0 <= c2 < W:
-                if 0 <= r2 < H:
-                    if z[r2, c2] != spec.nodata:
-                        marks[r2, c2] = True
-                elif r2 < 0:
-                    out_up.add(c2)
-                else:
-                    out_dn.add(c2)
-        return marks, sorted(out_up), sorted(out_dn)
+        valid, tgt_of, _ind, m_up, m_dn, c2g = _tile_edges(
+            z, ptr, spec.nodata)
+        mk = marks.ravel().copy()
+        frontier = np.flatnonzero(mk)
+        while frontier.size:
+            t = tgt_of[frontier]
+            t = t[t >= 0]
+            t = t[~mk[t]]
+            if t.size == 0:
+                break
+            t = np.unique(t)
+            mk[t] = True
+            frontier = t
+        marks = mk.reshape(H, W)
+        up_mask = marks & m_up
+        dn_mask = marks & m_dn
+        out_up = sorted(int(c) for c in np.unique(c2g[up_mask])) \
+            if up_mask.any() else []
+        out_dn = sorted(int(c) for c in np.unique(c2g[dn_mask])) \
+            if dn_mask.any() else []
+        return marks, out_up, out_dn
 
     def solve(state, tid: int, inbox):
         _, up, dn = _marks(state, tid, inbox)

@@ -1770,36 +1770,60 @@ def _downslope_stream_value(spec: RasterSpec, threshold: float,
         return z, ptr, stream
 
     def _fill(state, tid: int, inbox) -> np.ndarray:
+        # additive pointer-doubling with _UNREACHED absorption (value
+        # pass + reachability pass) — identical fixed point to the
+        # ascending-z walk over the strictly-downhill acyclic graph
+        from .hydro import _pointer_double_add, _pointer_targets
+
         z, ptr, stream = state
         H = z.shape[0]
         r0 = tid * spec.tile_rows
         ext: dict = {}
         for _sender, msg in inbox:
             ext.update(msg)
+        valid = z != spec.nodata
+        lin, in_tile, r2, c2, has = _pointer_targets(z, ptr, spec.nodata)
+        is_dist = kind.endswith("dist")
+        if is_dist:
+            code = np.where(valid & (ptr != spec.nodata), ptr, 0.0)
+            ic = np.where(has, code, 1.0).astype(np.int64)
+            didx = np.zeros((H, cols), dtype=np.int64)
+            for i in range(8):
+                didx[ic == (1 << i)] = i
+            step = np.where(has, np.take(np.asarray(_GRID_LEN), didx),
+                            0.0)
+        else:
+            step = np.zeros((H, cols))
+
         val = np.full((H, cols), _UNREACHED)
-        order = np.argsort(z, axis=None, kind="stable")  # ascending
-        for lin in order:
-            r, c = divmod(int(lin), cols)
-            if z[r, c] == spec.nodata:
-                continue
-            if stream[r, c]:
-                val[r, c] = 0.0 if kind.endswith("dist") else z[r, c]
-                continue
-            code = ptr[r, c]
-            if code <= 0:
-                continue
-            i = int(code).bit_length() - 1
-            r2, c2 = r + _DY[i], c + _DX[i]
-            if 0 <= r2 < H and 0 <= c2 < cols:
-                recv = val[r2, c2]
-            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                recv = ext.get((r0 + r2) * cols + c2, _UNREACHED)
-            else:
-                continue
-            if recv != _UNREACHED:
-                val[r, c] = recv + (_GRID_LEN[i]
-                                    if kind.endswith("dist") else 0.0)
-        return val
+        reach = np.zeros((H, cols))
+        done = np.zeros((H, cols), dtype=bool)
+        done |= ~valid                                   # _UNREACHED
+        seeded = valid & stream
+        val[seeded] = 0.0 if is_dist else z[seeded]
+        reach[seeded] = 1.0
+        done |= seeded
+        done |= valid & ~seeded & ~has                   # _UNREACHED
+        off_v = valid & ~seeded & has & ~in_tile & (c2 >= 0) \
+            & (c2 < cols) & (r0 + r2 >= 0) & (r0 + r2 < spec.rows)
+        if off_v.any():
+            g = (r0 + r2[off_v]) * cols + c2[off_v]
+            ev = np.fromiter((ext.get(int(k), _UNREACHED) for k in g),
+                             dtype=np.float64, count=len(g))
+            hitm = ev != _UNREACHED
+            tmp_v = np.full(len(g), _UNREACHED)
+            tmp_v[hitm] = ev[hitm] + step[off_v][hitm]
+            val[off_v] = tmp_v
+            rr_ = np.zeros(len(g))
+            rr_[hitm] = 1.0
+            reach[off_v] = rr_
+        done |= valid & ~seeded & has & ~in_tile         # incl. off-grid
+        nxt = np.where(done, np.arange(H * cols).reshape(H, cols), lin)
+        tot = _pointer_double_add(step, np.where(reach > 0, val, 0.0),
+                                  done, nxt).reshape(H, cols)
+        rch = _pointer_double_add(np.zeros((H, cols)), reach, done,
+                                  nxt).reshape(H, cols)
+        return np.where(rch > 0.0, tot, _UNREACHED)
 
     def solve(state, tid: int, inbox) -> dict:
         val = _fill(state, tid, inbox)
@@ -2226,26 +2250,29 @@ def find_saddle_points(spec: RasterSpec | None = None,
             ext.update(msg)
         gcell = (np.arange(r0, r0 + H, dtype=np.int64)[:, None] * cols
                  + np.arange(cols, dtype=np.int64)[None, :])
-        # ascending-z label fill: valley -> own gcell (head) or -2
+        # label fill via pointer doubling (valley → own gcell when head,
+        # else -2) — identical fixed point to the ascending-z walk
+        from .hydro import _pointer_double, _pointer_targets
+
+        valid = z != spec.nodata
+        lin, in_tile, r2, c2, has = _pointer_targets(z, ptr, spec.nodata)
         lab = np.full((H, cols), -1, dtype=np.int64)
-        order = np.argsort(z, axis=None, kind="stable")
-        for lin in order:
-            r, c = divmod(int(lin), cols)
-            if z[r, c] == spec.nodata:
-                continue
-            if valley[r, c]:
-                lab[r, c] = gcell[r, c] if head[r, c] else -2
-                continue
-            code = ptr[r, c]
-            if code <= 0:
-                continue
-            i = int(code).bit_length() - 1
-            r2, c2 = r + _DY[i], c + _DX[i]
-            if 0 <= r2 < H and 0 <= c2 < cols:
-                lab[r, c] = lab[r2, c2]
-            elif 0 <= c2 < cols and 0 <= r0 + r2 < spec.rows:
-                lab[r, c] = ext.get((r0 + r2) * cols + c2, -1)
-        return lab
+        done = np.zeros((H, cols), dtype=bool)
+        done |= ~valid
+        seeded = valid & valley
+        lab[seeded & head] = gcell[seeded & head]
+        lab[seeded & ~head] = -2
+        done |= seeded
+        done |= valid & ~seeded & ~has
+        off_v = valid & ~seeded & has & ~in_tile & (c2 >= 0) \
+            & (c2 < cols) & (r0 + r2 >= 0) & (r0 + r2 < spec.rows)
+        if off_v.any():
+            g = (r0 + r2[off_v]) * cols + c2[off_v]
+            lab[off_v] = np.fromiter((ext.get(int(k), -1) for k in g),
+                                     dtype=np.int64, count=len(g))
+        done |= valid & ~seeded & has & ~in_tile
+        nxt = np.where(done, np.arange(H * cols).reshape(H, cols), lin)
+        return _pointer_double(lab, done, nxt).reshape(H, cols)
 
     def solve(state, tid: int, inbox) -> dict:
         lab = _fill(state, tid, inbox)

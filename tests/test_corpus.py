@@ -232,9 +232,27 @@ def test_cluster_pairs_long_chain_converges(ray_session):
     pairs = rd.from_pandas(pd.DataFrame({
         "doc_a": np.arange(n - 1, dtype=np.int64),
         "doc_b": np.arange(1, n, dtype=np.int64)}))
-    out = corpus.cluster_pairs(pairs, max_rounds=24)
+    # force the DISTRIBUTED rounds (the default size-adaptive cutoff
+    # would route 300 edges to the driver union-find)
+    out = corpus.cluster_pairs(pairs, max_rounds=24, driver_max_edges=0)
     assert len(out) == n
     assert (out["cluster_id"] == 0).all()
+
+
+def test_cluster_pairs_driver_and_distributed_agree(ray_session):
+    """The size-adaptive driver union-find and the distributed
+    hash-to-min rounds produce IDENTICAL cluster tables."""
+    import ray.data as rd
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 500, 800).astype(np.int64)
+    b = rng.integers(0, 500, 800).astype(np.int64)
+    keep = a != b
+    pairs_df = pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep]})
+    fast = corpus.cluster_pairs(rd.from_pandas(pairs_df))
+    slow = corpus.cluster_pairs(rd.from_pandas(pairs_df),
+                                driver_max_edges=0)
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow.reset_index(drop=True))
 
 
 def test_chunk_documents_tiling(ray_session, tmp_path):

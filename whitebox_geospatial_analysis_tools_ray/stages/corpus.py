@@ -115,11 +115,18 @@ def embedding_dup_clusters(sf_dir: str, threshold: float = 0.35,
     return out.rename(columns={"doc_id": "vec_id"})
 
 
-def cluster_pairs(pairs: "rd.Dataset", max_rounds: int = 32) -> pd.DataFrame:
+_DRIVER_CLUSTER_MAX_EDGES = 2_000_000
+
+
+def cluster_pairs(pairs: "rd.Dataset", max_rounds: int = 32,
+                  driver_max_edges: int | None = None) -> pd.DataFrame:
     """Connected components over a (doc_a, doc_b) pair Dataset —
     the shared kernel behind ``dup_clusters`` / ``embedding_dup_clusters``
-    (see ``dup_clusters`` for the plan)."""
+    (see ``dup_clusters`` for the plan). ``driver_max_edges`` overrides
+    the size-adaptive cutoff (0 forces the distributed rounds)."""
     NB = 64
+    cutoff = (_DRIVER_CLUSTER_MAX_EDGES if driver_max_edges is None
+              else driver_max_edges)
 
     def _nb(nodes: np.ndarray) -> np.ndarray:
         # stable node bucket (nodes are unbounded — the repo's
@@ -137,9 +144,36 @@ def cluster_pairs(pairs: "rd.Dataset", max_rounds: int = 32) -> pd.DataFrame:
                              "lbl": np.full(2 * len(b), -1, dtype=np.int64)})
 
     edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
-    if edges.count() == 0:      # no near-dups: empty cluster table
+    n_edge_rows = edges.count()
+    if n_edge_rows == 0:        # no near-dups: empty cluster table
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "cluster_id": pd.Series([], dtype="int64")})
+
+    # size-adaptive: the dup-pair edge set is metadata (orders of
+    # magnitude smaller than the corpus). Below the cutoff a driver
+    # union-find resolves it in one O(edges) pass — each distributed
+    # round costs two shuffles of fixed machinery, pure overhead at
+    # small edge counts; above it, the bounded-bucket rounds below are
+    # the 100-TB path. Identical output either way (component-min).
+    if n_edge_rows <= cutoff:
+        df = edges.select_columns(["node", "peer"]).to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(df["node"].to_numpy(), df["peer"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = np.unique(df["node"].to_numpy(dtype=np.int64))
+        labs = np.fromiter((find(int(u)) for u in nodes),
+                           dtype=np.int64, count=len(nodes))
+        return (pd.DataFrame({"doc_id": nodes, "cluster_id": labs})
+                .sort_values("doc_id").reset_index(drop=True))
 
     def init_labels(b: pd.DataFrame) -> pd.DataFrame:
         n = b["node"].unique().astype(np.int64)

@@ -83,6 +83,16 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     _hydro.flow_accumulation_d8(_spec1k)
     times["flow_accum_1024"] = round(time.perf_counter() - t0, 3)
+    # round-3 additions: the two-pass watershed (object-store pass-1 +
+    # pointer-doubled resolve) and the stream-topology fixed point
+    from whitebox_geospatial_analysis_tools_ray.stages import (
+        streams as _streams)
+    t0 = time.perf_counter()
+    _hydro.watershed(_spec1k)
+    times["watershed_1024"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _streams.stream_order(_spec1k)
+    times["stream_order_1024"] = round(time.perf_counter() - t0, 3)
 
     # headline: the full pages-schema pipeline (extract→geocode→tile→
     # PIP-join→agg) over a deterministic synthetic corpus big enough that

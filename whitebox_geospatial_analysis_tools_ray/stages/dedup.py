@@ -154,10 +154,21 @@ def minhash_candidates(sf_dir: str, concurrency=None,
     member): O(m) pairs that preserve the connected components a
     dedup pass actually consumes. Below the cap output is unchanged."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    from .util import pool_size
-    bands = ds.map_batches(MinHasher, batch_format="pandas",
-                           concurrency=concurrency or pool_size(),
-                           batch_size=1024)
+    # plain TASKS, not an actor pool: MinHasher's state (two 64-int
+    # hash-param arrays) regenerates in ~µs, and the pool's spin-up
+    # measured 0.5–1.6 s of pure overhead on this stage (1.35 s pool vs
+    # 0.81 s tasks at sf0.1) — the same task-vs-pool call the flagship
+    # documents. Pools remain the pattern for EXPENSIVE state
+    # (multimodal.ImageDecoder holds codec tables).
+    if concurrency is not None:      # explicit pool still available
+        bands = ds.map_batches(MinHasher, batch_format="pandas",
+                               concurrency=concurrency, batch_size=1024)
+    else:
+        def _sign(batch: pd.DataFrame) -> pd.DataFrame:
+            return MinHasher()(batch)
+
+        bands = ds.map_batches(_sign, batch_format="pandas",
+                               batch_size=1024)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())

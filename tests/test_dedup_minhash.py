@@ -41,6 +41,16 @@ def test_verified_pairs_match_driver_mirror(ray_session):
     assert len(got) > 0          # the corpus has near-dups by design
 
 
+def test_verified_pairs_large_path_matches_small(ray_session):
+    """max_driver_pairs=0 forces the fully distributed two-shuffle
+    verify; it must equal the size-adaptive driver path bit for bit."""
+    small = dedup.minhash_verified_pairs(SF)
+    large = dedup.minhash_verified_pairs(SF, max_driver_pairs=0)
+    pd.testing.assert_frame_equal(
+        large.reset_index(drop=True), small.reset_index(drop=True),
+        check_dtype=False)
+
+
 def test_mega_bucket_caps_to_star_pairs(ray_session, tmp_path):
     """3,000 identical docs land in ONE bucket per band; the capped
     pair generator must emit O(m) star pairs, not C(m,2)."""

@@ -141,7 +141,8 @@ class MinHasher:
 
 
 def minhash_candidates(sf_dir: str, concurrency=None,
-                       max_bucket: int = 1024) -> "rd.Dataset":
+                       max_bucket: int = 1024,
+                       dedup_pairs: bool = True) -> "rd.Dataset":
     """LSH bucket → candidate pairs (doc_a < doc_b), deduplicated.
 
     shingle→minhash→band in an actor pool; groupby (band_id, band_hash);
@@ -213,6 +214,10 @@ def minhash_candidates(sf_dir: str, concurrency=None,
     cand = (bands.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(pairs_bucket,
                                           batch_format="pandas"))
+    if not dedup_pairs:
+        # caller tolerates cross-bucket duplicate pairs (the verify
+        # paths group per pair anyway) — skip a whole shuffle stage
+        return cand
     # cross-bucket dedup: a pair can recur in different buckets — one
     # more bounded-bucket pass keyed on the pair hash
     def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -228,24 +233,76 @@ def minhash_candidates(sf_dir: str, concurrency=None,
     return uniq
 
 
-def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
-    """Verify LSH candidates with EXACT n-gram Jaccard (shingle sets),
-    fully DISTRIBUTED (round 2 — was a driver-side dict + Python loop
-    over the whole candidate set).
+def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6,
+                           max_driver_pairs: int = 200_000) -> pd.DataFrame:
+    """Verify LSH candidates with EXACT n-gram Jaccard (shingle sets).
 
-    Plan: candidate pairs fan out to two side rows keyed by doc_id;
-    a doc-bucketed groupby joins each side row to its document's
-    shingle set (shingles computed once inside the same shuffle, never
-    held on the driver); a pair-bucketed second groupby brings the two
-    shingle sets together and computes exact Jaccard. Both shuffles
-    use a BOUNDED bucket key (doc_id % NB / pair-hash % NB) so Ray's
-    per-group machinery stays ∝ parallelism, not ∝ keys — the repo's
-    standard bounded-bucket rule. Output: (doc_a, doc_b, jaccard) for
-    pairs ≥ threshold."""
+    SIZE-ADAPTIVE (the ``dup_clusters`` pattern): candidate pairs are
+    dup METADATA — orders of magnitude smaller than the corpus. Below
+    ``max_driver_pairs`` the verify runs on the driver against a
+    DISTRIBUTED filtered shingle scan (only docs that appear in some
+    pair compute + ship their shingle sets — at most 2×pairs docs, one
+    map stage, zero shuffles past the candidate groupby). Above the
+    bound it falls back to the fully distributed two-shuffle plan:
+    pair side-rows keyed by doc pick up shingle sets in a doc-bucketed
+    groupby, then a pair-bucketed groupby computes exact Jaccard; both
+    shuffles use BOUNDED bucket keys (doc_id % NB / pair-hash % NB).
+    Either path consumes candidates WITHOUT the cross-bucket pair dedup
+    shuffle (``dedup_pairs=False``) — both verifies group per pair, so
+    duplicate candidate rows cost nothing and a whole all-to-all stage
+    disappears. Output: (doc_a, doc_b, jaccard) for pairs ≥ threshold."""
+    import ray
+
     from .util import coalesce_partials
 
     NB = 64
-    cand = minhash_candidates(sf_dir)
+    cand = minhash_candidates(sf_dir, dedup_pairs=False).materialize()
+    n_cand = cand.count()
+
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if n_cand == 0:
+        return empty
+    if n_cand <= max_driver_pairs:
+        pairs_df = (cand.to_pandas()
+                    .drop_duplicates(["doc_a", "doc_b"])
+                    .sort_values(["doc_a", "doc_b"]))
+        involved = np.unique(np.concatenate(
+            [pairs_df["doc_a"].to_numpy(np.int64),
+             pairs_df["doc_b"].to_numpy(np.int64)]))
+        inv_ref = ray.put(involved)   # broadcast once, read per task
+
+        def crcs_involved(batch: pd.DataFrame) -> pd.DataFrame:
+            inv = ray.get(inv_ref)
+            sub = batch[np.isin(batch["doc_id"].to_numpy(np.int64), inv)]
+            return pd.DataFrame({
+                "doc_id": sub["doc_id"].to_numpy(np.int64),
+                # explicit object dtype: an all-filtered batch must not
+                # degrade the column to float64 (block schema mismatch)
+                "crcs": pd.Series(
+                    [_shingle_crcs(t).tobytes() for t in sub["text"]],
+                    dtype="object")})
+
+        docs = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+                .map_batches(crcs_involved, batch_format="pandas")
+                .to_pandas())                 # ≤ 2×pairs rows by filter
+        lut = {int(d): np.frombuffer(c, dtype=np.int64)
+               for d, c in zip(docs["doc_id"], docs["crcs"])}
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for a, b in zip(pairs_df["doc_a"].to_numpy(),
+                        pairs_df["doc_b"].to_numpy()):
+            sa, sb = lut[int(a)], lut[int(b)]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            denom = len(sa) + len(sb) - inter
+            j = inter / denom if denom else 0.0
+            if j >= threshold:
+                out["doc_a"].append(int(a))
+                out["doc_b"].append(int(b))
+                out["jaccard"].append(round(j, 6))
+        return (pd.DataFrame(out).reset_index(drop=True)
+                if out["doc_a"] else empty)
 
     def pair_sides(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["doc_a"].to_numpy()

@@ -504,7 +504,9 @@ def pack_sequences(sf_dir: str, seq_len: int = 512,
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
         did = batch["doc_id"].to_numpy(dtype=np.int64)
-        cnt = np.fromiter((len(_tokens(t)) for t in batch["text"]),
+        # len(t.split()) == len(_tokens(t)): whitespace-run split with
+        # empties dropped; skips building the token list just to count it
+        cnt = np.fromiter((len(t.split()) for t in batch["text"]),
                           dtype=np.int64, count=len(batch))
         return pd.DataFrame({"bucket": did // docs_per_bucket,
                              "doc_id": did, "cnt": cnt})

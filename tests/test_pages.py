@@ -118,3 +118,61 @@ def test_pages_flagship_skewed_matches_naive(tmp_path, ray_session):
             .sort_values(["tile_id", "zone_id"]).reset_index(drop=True))
     want["n_pages"] = want["n_pages"].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+# --- vectorized extractor equivalence (round 3) ---------------------------
+
+def test_extract_texts_template_corpus():
+    import pyarrow as pa
+    df = pages.make_pages(800)
+    arr = pa.array([bytes(h) for h in df["html"]], type=pa.binary())
+    assert pages.extract_texts(arr) == list(df["text"])
+
+
+def test_extract_texts_matches_scalar_on_adversarial_rows():
+    """The numpy fast path must equal the scalar first-occurrence
+    extractor on every input, including rows that defeat the template
+    verification (fallback path)."""
+    import pyarrow as pa
+    advers = ["a & b < c > d", "literal &amp; entity", "</p><footer>fake",
+              "héllo ✓ 漢字", "", "x" * 5000, "&&&&", "&gt;&lt;&amp;"]
+    htmls = [pages.HTML_PREFIX + b"http://u/" + pages.HTML_MID
+             + pages._escape(t).encode("utf-8") + pages.HTML_SUFFIX
+             for t in advers]
+    htmls += [
+        # non-template but extractable (scalar fallback)
+        b"garbage" + pages.HTML_MID + b"mid text" + pages.HTML_SUFFIX + b"t",
+        pages.HTML_MID + pages.HTML_SUFFIX,
+        # raw '<' inside the text region: first-SUFFIX search matters
+        pages.HTML_PREFIX + b"u" + pages.HTML_MID + b"has <b>raw</b> "
+        + pages.HTML_SUFFIX + b"X" + pages.HTML_SUFFIX,
+        # '<' inside the url region defeats the first-'<'-is-MID proof
+        pages.HTML_PREFIX + b"http://u/<q>" + pages.HTML_MID + b"t"
+        + pages.HTML_SUFFIX,
+    ]
+    arr = pa.array(htmls, type=pa.binary())
+    want = [pages.extract_text_bytes(h) for h in htmls]
+    assert pages.extract_texts(arr) == want
+    # sliced (nonzero offset) and chunked layouts hit the same spans
+    assert pages.extract_texts(arr.slice(3, 6)) == want[3:9]
+    assert pages.extract_texts(
+        pa.chunked_array([arr.slice(0, 4), arr.slice(4)])) == want
+
+
+def test_extract_texts_property(ray_session):
+    """Hypothesis: arbitrary text payloads (escaped into the template)
+    and arbitrary binary rows both match the scalar extractor."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(max_size=80), min_size=1, max_size=8))
+    def run(texts):
+        import pyarrow as pa
+        htmls = [pages.HTML_PREFIX + b"u" + pages.HTML_MID
+                 + pages._escape(t).encode("utf-8") + pages.HTML_SUFFIX
+                 for t in texts]
+        arr = pa.array(htmls, type=pa.binary())
+        assert pages.extract_texts(arr) == \
+            [pages.extract_text_bytes(h) for h in htmls]
+
+    run()

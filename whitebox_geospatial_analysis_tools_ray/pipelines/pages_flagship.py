@@ -24,7 +24,7 @@ import ray.data as rd
 from ..core.features import seeded_polygons
 from ..core.rng import EAST, NORTH, SOUTH, WEST, geocode_xy
 from ..core.tiles import RectGrid
-from ..sources.pages import extract_text_bytes
+from ..sources.pages import extract_texts
 from ..stages.spatial_join import BroadcastPIPJoin, _zone_bbox
 
 
@@ -32,6 +32,30 @@ def url_ids(urls) -> np.ndarray:
     """Deterministic int id per url (crc32 of the utf-8 bytes)."""
     return np.array([zlib.crc32(u.encode("utf-8")) for u in urls],
                     dtype=np.int64)
+
+
+def url_ids_arrow(col) -> np.ndarray:
+    """Same crc32 ids computed straight off the Arrow string buffer —
+    each row is a zero-copy memoryview slice of the utf-8 data buffer
+    (identical bytes to ``u.encode("utf-8")``), so no per-row Python
+    str materializes on the hot path."""
+    import pyarrow as pa
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = np.empty(sum(len(c) for c in chunks), dtype=np.int64)
+    p = 0
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        off_w = 8 if pa.types.is_large_string(c.type) else 4
+        off_t = np.int64 if off_w == 8 else np.int32
+        bufs = c.buffers()
+        offs = np.frombuffer(bufs[1], dtype=off_t, count=len(c) + 1,
+                             offset=c.offset * off_w).tolist()
+        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        for i in range(len(c)):
+            out[p] = zlib.crc32(mv[offs[i]:offs[i + 1]])
+            p += 1
+    return out
 
 
 def pages_flagship(pages_dir: str, tile_width: float = 250.0) -> "rd.Dataset":
@@ -43,7 +67,7 @@ def pages_flagship(pages_dir: str, tile_width: float = 250.0) -> "rd.Dataset":
     grid = RectGrid.from_extent(WEST, SOUTH, EAST, NORTH,
                                 width_x=tile_width, width_y=tile_width)
 
-    def extract_geo_join(batch: pd.DataFrame) -> pd.DataFrame:
+    def extract_geo_join(batch) -> pd.DataFrame:
         """Stateless task: html→text, url→point, tile assign, PIP join,
         partial count — one pass per batch. The zone grid index build is
         ~3 ms for a broadcast-sized zone table, so a plain task (warm Ray
@@ -51,12 +75,15 @@ def pages_flagship(pages_dir: str, tile_width: float = 250.0) -> "rd.Dataset":
         actor pool: pool spin-up costs ~1-2 s per actor, dominating a
         stage whose whole UDF work is seconds. Actor pools stay the
         pattern for EXPENSIVE state (models, big indexes) — see
-        stages/dedup.MinHasher."""
+        stages/dedup.MinHasher. Batches arrive as Arrow tables: the
+        vectorized extractor and the crc32 ids read the binary/string
+        buffers zero-copy instead of materializing per-row bytes/str."""
         join = BroadcastPIPJoin(zones_ref, mode="inner")
-        texts = [extract_text_bytes(bytes(h)) for h in batch["html"]]
-        ids = url_ids(batch["url"])
+        texts = extract_texts(batch.column("html"))
+        ids = url_ids_arrow(batch.column("url"))
         x, y = geocode_xy(ids)
-        n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+        n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                              count=len(texts))
         pts = {"rec_id": np.arange(len(ids), dtype=np.int64),
                "x": x, "y": y}
         pairs = join(pts)
@@ -85,7 +112,7 @@ def pages_flagship(pages_dir: str, tile_width: float = 250.0) -> "rd.Dataset":
     # tasks (4 clean waves on 32 CPUs) and read→map fusion; bundling to
     # larger batches made 43 ragged tasks whose last wave idled a third
     # of the machine.
-    partials = ds.map_batches(extract_geo_join, batch_format="pandas",
+    partials = ds.map_batches(extract_geo_join, batch_format="pyarrow",
                               batch_size=None)
 
     # Final combine: the partials are pre-aggregated to O(tiles × zones)

@@ -151,13 +151,136 @@ def extract_text_bytes(html: bytes) -> str:
     return _unescape(html[start:end].decode("utf-8"))
 
 
+# --- vectorized batch extractor ------------------------------------------
+# Byte-identical to extract_text_bytes per row (property-tested in
+# tests/test_pages.py): a numpy template-verification pass PROVES the
+# first-occurrence searches resolve to the fixed template positions, and
+# any row failing a check falls back to the scalar extractor. Proof
+# sketch for the fast path (all checks vectorized):
+#   * row prefix == HTML_PREFIX, and HTML_PREFIX contains no "/", so no
+#     HTML_MID occurrence can start inside the prefix;
+#   * HTML_MID starts with "<" and the first "<" at/after the prefix end
+#     is where we verify HTML_MID — so it is the FIRST occurrence, and
+#     the url region before it is "<"-free by construction of the search;
+#   * HTML_SUFFIX starts with "<" and the text span [start, end) contains
+#     no "<", so the verified row-tail HTML_SUFFIX is the first
+#     occurrence at/after start — exactly html.index(HTML_SUFFIX, start).
+
+_PRE_A = np.frombuffer(HTML_PREFIX, dtype=np.uint8)
+_MID_A = np.frombuffer(HTML_MID, dtype=np.uint8)
+_SUF_A = np.frombuffer(HTML_SUFFIX, dtype=np.uint8)
+_LT = ord("<")
+_AMP = ord("&")
+
+
+def _template_spans(data: np.ndarray, offs: np.ndarray):
+    """Per-row (start, end, n_amp, ok) over a concatenated binary buffer.
+
+    ``ok`` rows are proven equivalent to the scalar first-occurrence
+    extractor; ``n_amp`` counts '&' bytes in the text span so unescape
+    can be skipped when zero (the common web-template case)."""
+    n = len(offs) - 1
+    npre, nmid, nsuf = len(_PRE_A), len(_MID_A), len(_SUF_A)
+    base = offs[:-1]
+    row_end = offs[1:]
+    ok = (row_end - base) >= (npre + nmid + nsuf)
+    nd = len(data)
+
+    def _match_at(pos: np.ndarray, pat: np.ndarray) -> np.ndarray:
+        if nd < len(pat):
+            return np.zeros(len(pos), dtype=bool)
+        # clamp the POSITION vector (n) instead of the gather matrix
+        # (n × len(pat)); clamped rows were already ok=False from the
+        # row-length check, so their compare result is discarded
+        p = np.minimum(np.maximum(pos, 0), nd - len(pat))
+        return (data[p[:, None] + np.arange(len(pat))] == pat).all(axis=1)
+
+    ok &= _match_at(base, _PRE_A)
+    ok &= _match_at(row_end - nsuf, _SUF_A)
+    # first '<' at/after the prefix end = the HTML_MID candidate
+    lt_pos = np.flatnonzero(data == _LT)
+    j = np.searchsorted(lt_pos, base + npre)
+    has = j < len(lt_pos)
+    mid_start = (lt_pos[np.minimum(j, len(lt_pos) - 1)]
+                 if len(lt_pos) else np.zeros(n, dtype=np.int64))
+    mid_start = np.where(has, mid_start, 0)
+    ok &= has & (mid_start + nmid <= row_end - nsuf)
+    ok &= _match_at(mid_start, _MID_A)
+    starts = np.where(ok, mid_start + nmid, base)
+    ends = np.where(ok, row_end - nsuf, base)
+    # no '<' inside the text span ⇒ the verified MID/SUFFIX hits are the
+    # first occurrences (counts via searchsorted on the sparse '<' list,
+    # NOT a full-buffer cumsum — '<' is ~18 bytes/KB in the template)
+    ok &= (np.searchsorted(lt_pos, ends)
+           - np.searchsorted(lt_pos, starts)) == 0
+    amp_pos = np.flatnonzero(data == _AMP)
+    n_amp = (np.searchsorted(amp_pos, ends)
+             - np.searchsorted(amp_pos, starts))
+    return starts, ends, n_amp, ok
+
+
+def _chunk_np(arr) -> tuple[np.ndarray, np.ndarray, "memoryview | None"]:
+    """(data_u8, absolute offsets, data memoryview) for a Binary chunk."""
+    import pyarrow as pa
+    off_w = 8 if pa.types.is_large_binary(arr.type) else 4
+    off_t = np.int64 if off_w == 8 else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_t, count=len(arr) + 1,
+                         offset=arr.offset * off_w).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.zeros(0, dtype=np.uint8)
+    mv = memoryview(bufs[2]) if bufs[2] is not None else None
+    return data, offs, mv
+
+
+def extract_texts(html_col) -> list[str]:
+    """Batch extractor over an Arrow binary column (Array / ChunkedArray /
+    any bytes sequence) — byte-identical to ``extract_text_bytes`` per
+    row; non-template rows fall back to the scalar extractor."""
+    import pyarrow as pa
+    if isinstance(html_col, pa.ChunkedArray):
+        chunks = html_col.chunks
+    elif isinstance(html_col, pa.Array):
+        chunks = [html_col]
+    else:
+        chunks = [pa.array(list(html_col), type=pa.binary())]
+    out: list[str] = []
+    for arr in chunks:
+        if len(arr) == 0:
+            continue
+        data, offs, mv = _chunk_np(arr)
+        starts, ends, n_amp, ok = _template_spans(data, offs)
+        if arr.null_count > 0:   # scalar path raises on None — keep that
+            ok = ok & np.array([v.is_valid for v in arr], dtype=bool)
+        if ok.all():
+            for s, e, na in zip(starts.tolist(), ends.tolist(),
+                                n_amp.tolist()):
+                t = str(mv[s:e], "utf-8")
+                out.append(_unescape(t) if na else t)
+        else:
+            okl = ok.tolist()
+            sl, el, nal = starts.tolist(), ends.tolist(), n_amp.tolist()
+            ol, rl = offs[:-1].tolist(), offs[1:].tolist()
+            for i in range(len(arr)):
+                if okl[i]:
+                    t = str(mv[sl[i]:el[i]], "utf-8")
+                    out.append(_unescape(t) if nal[i] else t)
+                else:
+                    # bytes(None) raises TypeError exactly like the old
+                    # per-row path did on a null html cell
+                    out.append(extract_text_bytes(bytes(arr[i].as_py())))
+    return out
+
+
 def extract_text_stage(ds):
     """map_batches stage: html:binary → extracted:string (pass-through of
     all other columns). If a non-null `text` column exists the reference
     behaviour is pass-through unchanged (SURVEY.md §7.1)."""
+    import pyarrow as pa
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["extracted"] = [extract_text_bytes(bytes(h)) for h in batch["html"]]
-        return batch
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "extracted", pa.array(extract_texts(batch.column("html")),
+                                  type=pa.string()))
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")

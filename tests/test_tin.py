@@ -119,3 +119,78 @@ def test_rasterize_tin_matches_mirror(ray_session):
     # determinism
     again = tin.rasterize_tin(SF, grid=grid).to_pandas()
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_delaunay_prescan_matches_pure_longdouble_scan():
+    """The float64 in-circle prescan + longdouble recheck must make
+    decisions IDENTICAL to a pure-longdouble Bowyer-Watson — pinned
+    with a literal scalar mirror, including collinear grids and
+    cocircular rings where the tie-breaking is the frozen semantics."""
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.core.delaunay import delaunay
+
+    def bw_mirror(points):
+        pts = np.asarray(points, dtype=np.longdouble)
+        n = len(pts)
+        if n < 3:
+            return []
+        minx, miny = pts[:, 0].min(), pts[:, 1].min()
+        maxx, maxy = pts[:, 0].max(), pts[:, 1].max()
+        span = max(float(maxx - minx), float(maxy - miny), 1.0)
+        midx, midy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+        sup = np.array([[midx - 20.0 * span, midy - 10.0 * span],
+                        [midx + 20.0 * span, midy - 10.0 * span],
+                        [midx, midy + 20.0 * span]], dtype=np.longdouble)
+        allp = np.vstack([pts, sup])
+        tris = []   # [a, b, c, ux, uy, r2] rows, scalar longdouble math
+
+        def add(a, b, c):
+            ax, ay = allp[a]
+            bx, by = allp[b]
+            cx, cy = allp[c]
+            d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+            if d == 0:
+                tris.append([a, b, c, np.longdouble(0), np.longdouble(0),
+                             np.longdouble(-1)])
+            else:
+                a2 = ax * ax + ay * ay
+                b2 = bx * bx + by * by
+                c2 = cx * cx + cy * cy
+                ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+                uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+                tris.append([a, b, c, ux, uy,
+                             (ux - ax) ** 2 + (uy - ay) ** 2])
+
+        add(n, n + 1, n + 2)
+        for p in range(n):
+            px, py = allp[p]
+            bad = [i for i, t in enumerate(tris)
+                   if (t[3] - px) ** 2 + (t[4] - py) ** 2 < t[5]]
+            if not bad:
+                continue
+            edges = {}
+            for bi in bad:
+                a, b, c = tris[bi][0], tris[bi][1], tris[bi][2]
+                for u, v in ((a, b), (b, c), (c, a)):
+                    k = (u, v) if u < v else (v, u)
+                    edges[k] = edges.get(k, 0) + 1
+            for bi in sorted(bad, reverse=True):
+                tris.pop(bi)
+            for (u, v), cnt in edges.items():
+                if cnt == 1:
+                    add(u, v, p)
+        out = [tuple(sorted((t[0], t[1], t[2]))) for t in tris
+               if max(t[0], t[1], t[2]) < n]
+        return sorted(out)
+
+    rng = np.random.default_rng(31)
+    grid = np.stack(np.meshgrid(np.arange(6.0), np.arange(6.0)),
+                    -1).reshape(-1, 2)
+    th = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    ring = np.column_stack([np.cos(th) * 50 + 100, np.sin(th) * 50 + 100])
+    cases = [rng.uniform(0, 1000, (40, 2)), grid, ring,
+             np.column_stack([np.linspace(0, 9, 10), np.zeros(10)]),
+             rng.uniform(1e6, 1e6 + 100, (30, 2))]
+    for pts in cases:
+        assert delaunay(pts) == bw_mirror(pts)

@@ -47,38 +47,83 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
     ccx = np.zeros(cap, dtype=np.longdouble)
     ccy = np.zeros(cap, dtype=np.longdouble)
     cr2 = np.full(cap, -1.0, dtype=np.longdouble)
+    # float64 shadows of the circumcenter cache: the in-circle scan runs
+    # in float64 with a symmetric error margin, and only the candidate
+    # band is re-tested exactly in longdouble — identical decisions to
+    # the pure-longdouble scan (the margin over-approximates the float64
+    # rounding of values already representable near these magnitudes)
+    fcx = np.zeros(cap, dtype=np.float64)
+    fcy = np.zeros(cap, dtype=np.float64)
+    fr2 = np.full(cap, -1.0, dtype=np.float64)
+    ftol = np.zeros(cap, dtype=np.float64)   # 1e-12·(|cc|² + |r²| + 1)
     alive = np.zeros(cap, dtype=bool)
     m = 0  # high-water mark
 
-    def _add(a: int, b: int, c: int):
-        nonlocal m, cap, verts, ccx, ccy, cr2, alive
-        if m == cap:
+    def _add_batch(us: np.ndarray, vs: np.ndarray, p: int):
+        """Append triangles (u, v, p) with vectorized longdouble
+        circumcenters — same elementwise formula the scalar version
+        computed; one numpy pass instead of one Python call per
+        triangle (collinear-heavy inputs like densified polygon
+        boundaries re-add ~18 triangles per insertion)."""
+        nonlocal m, cap, verts, ccx, ccy, cr2, fcx, fcy, fr2, ftol, alive
+        k = len(us)
+        while m + k > cap:
             cap *= 2
             verts = np.resize(verts, (cap, 3))
             ccx, ccy = np.resize(ccx, cap), np.resize(ccy, cap)
             cr2, alive = np.resize(cr2, cap), np.resize(alive, cap)
-        ax, ay = allp[a]
-        bx, by = allp[b]
-        cx, cy = allp[c]
-        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
-        if d == 0:  # collinear sliver: never contains anything
-            ccx[m], ccy[m], cr2[m] = 0.0, 0.0, -1.0
-        else:
-            a2, b2, c2 = ax * ax + ay * ay, bx * bx + by * by, cx * cx + cy * cy
-            ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
-            uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
-            ccx[m], ccy[m], cr2[m] = ux, uy, (ux - ax) ** 2 + (uy - ay) ** 2
-        verts[m] = (a, b, c)
-        alive[m] = True
-        m += 1
+            fcx, fcy = np.resize(fcx, cap), np.resize(fcy, cap)
+            fr2, ftol = np.resize(fr2, cap), np.resize(ftol, cap)
+        ax, ay = allp[us, 0], allp[us, 1]
+        bx, by = allp[vs, 0], allp[vs, 1]
+        cx, cy = allp[p]
+        t1, t2, t3 = by - cy, cy - ay, ay - by
+        d = 2.0 * (ax * t1 + bx * t2 + cx * t3)
+        safe = d != 0            # collinear sliver: never contains anything
+        ds_ = np.where(safe, d, 1.0)
+        a2, b2, c2 = ax * ax + ay * ay, bx * bx + by * by, cx * cx + cy * cy
+        ux = (a2 * t1 + b2 * t2 + c2 * t3) / ds_
+        uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / ds_
+        ccx[m:m + k] = np.where(safe, ux, 0.0)
+        ccy[m:m + k] = np.where(safe, uy, 0.0)
+        cr2[m:m + k] = np.where(safe, (ux - ax) ** 2 + (uy - ay) ** 2, -1.0)
+        fx = ccx[m:m + k].astype(np.float64)
+        fy = ccy[m:m + k].astype(np.float64)
+        fr = cr2[m:m + k].astype(np.float64)
+        fcx[m:m + k] = fx
+        fcy[m:m + k] = fy
+        fr2[m:m + k] = fr
+        ftol[m:m + k] = 1e-12 * (fx * fx + fy * fy + np.abs(fr) + 1.0)
+        verts[m:m + k, 0] = us
+        verts[m:m + k, 1] = vs
+        verts[m:m + k, 2] = p
+        alive[m:m + k] = True
+        m += k
 
-    _add(n, n + 1, n + 2)
+    _add_batch(np.array([n], dtype=np.int64),
+               np.array([n + 1], dtype=np.int64), n + 2)
 
     for p in range(n):
         px, py = allp[p]
-        dx = ccx[:m] - px
-        dy = ccy[:m] - py
-        bad = np.flatnonzero(alive[:m] & (dx * dx + dy * dy < cr2[:m]))
+        pxf, pyf = float(px), float(py)
+        # float64 prescan with a symmetric margin: the absolute error of
+        # dx²+dy² vs its longdouble value is ≤ ~8·eps64·M² with M the
+        # largest participating magnitude, so a 1e-12·M² margin yields a
+        # strict superset of the true in-circle set; candidates are then
+        # re-tested EXACTLY in longdouble — decisions identical to the
+        # pure-longdouble scan (pytest-pinned against it)
+        dxf = fcx[:m] - pxf
+        dyf = fcy[:m] - pyf
+        lhs = dxf * dxf + dyf * dyf
+        cand = np.flatnonzero(alive[:m] & (lhs < fr2[:m] + ftol[:m]
+                                           + 1e-12 * (pxf * pxf
+                                                      + pyf * pyf)))
+        if len(cand):
+            dxl = ccx[cand] - px
+            dyl = ccy[cand] - py
+            bad = cand[dxl * dxl + dyl * dyl < cr2[cand]]
+        else:
+            bad = cand
         if len(bad) == 0:  # numerical corner; super-triangle covers all
             continue
         edges: dict[tuple[int, int], int] = {}
@@ -88,14 +133,17 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
                 k = (u, v) if u < v else (v, u)
                 edges[k] = edges.get(k, 0) + 1
         alive[bad] = False
-        for (u, v), cnt in edges.items():
-            if cnt == 1:
-                _add(int(u), int(v), p)
-        if m > 4 * max(1, int(alive[:m].sum())) and m > 1024:
+        hole = [(u, v) for (u, v), cnt in edges.items() if cnt == 1]
+        if hole:
+            he = np.asarray(hole, dtype=np.int64)
+            _add_batch(he[:, 0], he[:, 1], p)
+        if m > 256 and m > 2 * max(1, int(alive[:m].sum())):
             keep = np.flatnonzero(alive[:m])
             k = len(keep)
             verts[:k] = verts[keep]
             ccx[:k], ccy[:k] = ccx[keep], ccy[keep]
+            fcx[:k], fcy[:k] = fcx[keep], fcy[keep]
+            fr2[:k], ftol[:k] = fr2[keep], ftol[keep]
             cr2[:k], alive[:k] = cr2[keep], True
             alive[k:m] = False
             m = k

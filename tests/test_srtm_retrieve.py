@@ -107,3 +107,68 @@ def test_retrieve_srtm_per_tile(ray_session):
          ds.to_pandas().sort_values("tile_id")["data"]]).reshape(1201, 1201)
     want = sr.fix_elevations(sr.fill_voids(_synth_tile(45, 7)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fill_voids_sparse_matches_full_plane_mirror():
+    """The sparse per-void walk must be bit-identical to the original
+    full-plane scatter accumulation (same per-cell float += order) —
+    literal mirror, block voids and edge voids included."""
+    def fill_mirror(a, k=6, window=8):
+        hole = a == -32768.0
+        if not hole.any():
+            return a
+        H, W = a.shape
+        valid = ~hole
+        edge = np.zeros_like(valid)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                ys = slice(max(0, -dy), H - max(0, dy))
+                xs = slice(max(0, -dx), W - max(0, dx))
+                yd = slice(max(0, dy), H - max(0, -dy))
+                xd = slice(max(0, dx), W - max(0, -dx))
+                e = np.zeros_like(valid)
+                e[yd, xd] = hole[ys, xs]
+                edge |= e
+        edge &= valid
+        offs = sorted(((dy * dy + dx * dx, dy, dx)
+                       for dy in range(-window, window + 1)
+                       for dx in range(-window, window + 1) if dy or dx))
+        pad = window
+        zp = np.full((H + 2 * pad, W + 2 * pad), np.nan)
+        zp[pad:-pad, pad:-pad] = a
+        ep = np.zeros((H + 2 * pad, W + 2 * pad), dtype=bool)
+        ep[pad:-pad, pad:-pad] = edge
+        cnt = np.zeros((H, W), dtype=np.int64)
+        sw = np.zeros((H, W))
+        swv = np.zeros((H, W))
+        for d2, dy, dx in offs:
+            e = ep[pad + dy:pad + dy + H, pad + dx:pad + dx + W]
+            ev = zp[pad + dy:pad + dy + H, pad + dx:pad + dx + W]
+            sel = hole & e & (cnt < k)
+            w = 1.0 / d2
+            sw += np.where(sel, w, 0.0)
+            swv += np.where(sel, w * np.where(np.isnan(ev), 0.0, ev), 0.0)
+            cnt += sel
+        out = a.copy()
+        out[hole] = swv[hole] / sw[hole]
+        return out
+
+    rng = np.random.default_rng(3)
+    base = np.round(100 + 10 * np.sin(np.arange(200)[:, None] / 17.0)
+                    + 5 * np.cos(np.arange(200)[None, :] / 7.0))
+    cases = []
+    for voids in ([(50, 50, 1, 1), (100, 100, 1, 3)],
+                  [(10, 10, 4, 4), (150, 150, 3, 8), (195, 195, 5, 5)],
+                  [(0, 0, 2, 2), (0, 198, 2, 2), (198, 0, 2, 2)]):
+        a = base.copy()
+        for (y, x, h, w) in voids:
+            a[y:y + h, x:x + w] = -32768.0
+        cases.append(a)
+    a = base.copy()
+    a[rng.random(a.shape) < 0.003] = -32768.0
+    cases.append(a)
+    for a in cases:
+        np.testing.assert_array_equal(sr.fill_voids(a.copy()),
+                                      fill_mirror(a.copy()))

@@ -96,23 +96,30 @@ def fill_voids(a: np.ndarray, k: int = 6, window: int = 8) -> np.ndarray:
     zp[pad:-pad, pad:-pad] = a
     ep = np.zeros((H + 2 * pad, W + 2 * pad), dtype=bool)
     ep[pad:-pad, pad:-pad] = edge
-    cnt = np.zeros((H, W), dtype=np.int64)
-    sw = np.zeros((H, W))
-    swv = np.zeros((H, W))
-    for d2, dy, dx in offs:
-        e = ep[pad + dy:pad + dy + H, pad + dx:pad + dx + W]
-        ev = zp[pad + dy:pad + dy + H, pad + dx:pad + dx + W]
-        sel = hole & e & (cnt < k)
-        w = 1.0 / d2
-        sw += np.where(sel, w, 0.0)
-        swv += np.where(sel, w * np.where(np.isnan(ev), 0.0, ev), 0.0)
-        cnt += sel
-    if not (cnt[hole] > 0).all():
-        raise AssertionError(
-            f"fill_voids: a void has no edge cell within {window} cells "
-            f"— widen the window (reference uses a global KdTree)")
+    # SPARSE per-void accumulation: voids are speckle (a handful per
+    # tile), so walking the sorted offsets per void cell — with the
+    # SAME scalar float64 += order the full-plane scatter version used
+    # per cell (pytest-pinned) — replaces ~290 full-plane passes
+    # (≈20 GB of memory traffic on a 1201² tile) with O(voids · window²)
     out = a.copy()
-    out[hole] = swv[hole] / sw[hole]
+    for vy, vx in zip(*np.nonzero(hole)):
+        sw = 0.0
+        swv = 0.0
+        cnt = 0
+        for d2, dy, dx in offs:
+            if ep[pad + vy + dy, pad + vx + dx]:
+                w = 1.0 / d2
+                sw += w
+                swv += w * zp[pad + vy + dy, pad + vx + dx]
+                cnt += 1
+                if cnt == k:
+                    break
+        if cnt == 0:
+            raise AssertionError(
+                f"fill_voids: a void has no edge cell within {window} "
+                f"cells — widen the window (reference uses a global "
+                f"KdTree)")
+        out[vy, vx] = swv / sw
     return out
 
 

@@ -1,0 +1,62 @@
+"""Empty / single-row inputs degrade to typed empty (or tiny) results.
+
+The round-2 ADVICE found one crash of this class (ann._bottom_n_by_vec_id
+returning None on an empty embeddings table); this audit pins the whole
+LLM-curation family: every operator must run — not crash — on a 0-row
+and a 1-row corpus, the boundary a real user's first broken shard hits.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+FAMS = ["exact_dedup", "minhash_pairs", "simhash_signatures",
+        "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",
+        "embedding_dup_clusters", "ann_cosine_topk", "ann_knn_join",
+        "ann_ivf_topk", "ann_ivf_persisted", "ann_ivf_trained",
+        "boilerplate_ngrams", "topk_tokens", "decontaminate",
+        "stratified_sample", "pack_sequences", "repetition_filter",
+        "corpus_clean", "langid_confusion", "quality_scores",
+        "token_stats", "fingerprints", "chunk_documents",
+        "pca_embeddings", "inverse_pca", "kmeans_embeddings",
+        "coincident_dedup", "cluster_attributes"]
+
+
+def _make_fixture(tmp_path, nrows: int) -> str:
+    d = str(tmp_path / f"sf_{nrows}")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        src = pq.read_table(f"{SRC}/{t}.parquet")
+        pq.write_table(src.slice(0, nrows), f"{d}/{t}.parquet")
+    return d
+
+
+def _consume(r) -> int:
+    import ray.data as rd
+    if isinstance(r, rd.Dataset):
+        return sum(b.num_rows for b in
+                   r.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    return len(r)
+
+
+@pytest.mark.parametrize("nrows", [0, 1])
+def test_curation_family_degrades_on_tiny_inputs(tmp_path, ray_session,
+                                                 nrows):
+    import __ray_entry__ as e
+    qs = e.queries()
+    sf = _make_fixture(tmp_path, nrows)
+    failures = []
+    for name in FAMS:
+        if name not in qs:
+            continue
+        try:
+            n = _consume(qs[name](sf))
+            assert n >= 0
+        except Exception as ex:  # noqa: BLE001 — collecting the audit
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, failures

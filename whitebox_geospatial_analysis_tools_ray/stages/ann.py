@@ -49,13 +49,22 @@ def _bottom_n_by_vec_id(sf_dir: str, n: int) -> "pd.DataFrame":
     return best.reset_index(drop=True)
 
 
-def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
-    """One-row predicate-pushdown read (row-group pruning at scale)."""
+def _query_vector(sf_dir: str, vec_id: int = 0) -> "np.ndarray | None":
+    """One-row predicate-pushdown read (row-group pruning at scale).
+    Returns None when the table has no such row (empty input degrades
+    to an empty result downstream instead of an IndexError)."""
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "=", vec_id)])
+    if t.num_rows == 0:
+        return None
     return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+
+
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                         "cosine": pd.Series([], dtype="float64")})
 
 
 def cosine_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
@@ -65,6 +74,8 @@ def cosine_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
     Output: (vec_id, cosine) — k rows, rounded, tie-broken by vec_id.
     """
     q = _query_vector(sf_dir, query_vec_id)
+    if q is None:           # empty table → empty result
+        return _empty_topk()
     qn = q / np.sqrt((q * q).sum())
     q_ref = ray.put(qn)
 
@@ -95,6 +106,10 @@ def knn_join_topk(sf_dir: str, n_queries: int = 10, k: int = 3,
 
     Output: (query_id, vec_id, cosine)."""
     t = _bottom_n_by_vec_id(sf_dir, n_queries)
+    if len(t) == 0:         # empty table → empty join
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     q_ids = t["vec_id"].to_numpy(dtype=np.int64)
     Q = np.asarray([np.asarray(e, dtype=np.float64) for e in t["embedding"]])
     Qn = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
@@ -151,12 +166,14 @@ def ivf_topk(sf_dir: str, k: int = 20, query_vec_id: int = 0,
     assignment stays one matmul per Arrow batch, no shuffle.
     Output: (vec_id, cosine) — k rows."""
     seeds = _bottom_n_by_vec_id(sf_dir, n_lists)
+    q = _query_vector(sf_dir, query_vec_id)
+    if len(seeds) == 0 or q is None:   # empty table → empty result
+        return _empty_topk()
     C = np.asarray([np.asarray(e, dtype=np.float64)
                     for e in seeds["embedding"]])
     cent = C / np.maximum(np.sqrt((C * C).sum(axis=1, keepdims=True)), 1e-12)
     cent_ref = ray.put(cent)
 
-    q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.sqrt((q * q).sum())
     qcos = np.round(cent @ qn, round_to)
     order = np.lexsort((np.arange(len(cent)), -qcos))[:nprobe]
@@ -202,6 +219,8 @@ def ivf_train_centroids(sf_dir: str, n_lists: int = 16, iters: int = 8,
     from .embeddings import _lowest_k_vectors, _read_embeddings
 
     C = _lowest_k_vectors(sf_dir, n_lists)
+    if len(C) == 0:         # empty table → no centroids
+        return np.zeros((0, 1))
     cent = C / np.maximum(np.sqrt((C * C).sum(axis=1, keepdims=True)),
                           1e-12)
     ds = _read_embeddings(sf_dir)
@@ -247,9 +266,11 @@ def ivf_topk_trained(sf_dir: str, k: int = 20, query_vec_id: int = 0,
     by the recall bound + determinism test instead of a DuckDB oracle.
     Output: (vec_id, cosine) — ≤ k rows."""
     cent = ivf_train_centroids(sf_dir, n_lists, iters, round_to)
+    q = _query_vector(sf_dir, query_vec_id)
+    if len(cent) == 0 or q is None:    # empty table → empty result
+        return _empty_topk()
     cent_ref = ray.put(cent)
 
-    q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.sqrt((q * q).sum())
     qcos = np.round(cent @ qn, round_to)
     probe = set(np.lexsort((np.arange(len(cent)), -qcos))[:nprobe].tolist())
@@ -284,6 +305,8 @@ def ivf_topk_trained(sf_dir: str, k: int = 20, query_vec_id: int = 0,
 
 def _ivf_centroids(sf_dir: str, n_lists: int) -> np.ndarray:
     seeds = _bottom_n_by_vec_id(sf_dir, n_lists)
+    if len(seeds) == 0:     # empty table → no centroids
+        return np.zeros((0, 1))
     C = np.asarray([np.asarray(e, dtype=np.float64)
                     for e in seeds["embedding"]])
     return C / np.maximum(np.sqrt((C * C).sum(axis=1, keepdims=True)),
@@ -319,6 +342,8 @@ def ivf_build(sf_dir: str, n_lists: int = 16, round_to: int = 6,
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     cent = _ivf_centroids(sf_dir, n_lists)
+    if len(cent) == 0:      # empty table → empty index (no partitions)
+        return out_dir
     cent_ref = ray.put(cent)
 
     ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
@@ -355,6 +380,8 @@ def ivf_topk_persisted(sf_dir: str, k: int = 20, query_vec_id: int = 0,
     out_dir = ivf_build(sf_dir, n_lists, round_to)
     cent = _ivf_centroids(sf_dir, n_lists)
     q = _query_vector(sf_dir, query_vec_id)
+    if len(cent) == 0 or q is None:    # empty table → empty result
+        return _empty_topk()
     qn = q / np.sqrt((q * q).sum())
     qcos = np.round(cent @ qn, round_to)
     probe = np.lexsort((np.arange(len(cent)), -qcos))[:nprobe]

@@ -463,9 +463,12 @@ def stratified_sample(sf_dir: str, per_lang: int = 20) -> pd.DataFrame:
 
     partials = docs.map_batches(partial, batch_format="pandas")
     out = (coalesce_partials(partials).groupby("lang")
-           .map_groups(final, batch_format="pandas"))
-    return (out.to_pandas()
-            .sort_values(["lang", "sample_rank"]).reset_index(drop=True))
+           .map_groups(final, batch_format="pandas")).to_pandas()
+    if len(out) == 0:       # empty corpus → typed empty sample
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "sample_rank": pd.Series([], dtype="int64")})
+    return out.sort_values(["lang", "sample_rank"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -514,10 +517,14 @@ def pack_sequences(sf_dir: str, seq_len: int = 512,
     per_doc = docs.map_batches(counts, batch_format="pandas").materialize()
 
     # pass 1: compact bucket totals → driver cumsum → broadcast
-    bt = (per_doc.map_batches(
-            lambda b: b.groupby("bucket", sort=False)["cnt"].sum()
-                       .reset_index(), batch_format="pandas")
-          .to_pandas().groupby("bucket")["cnt"].sum().sort_index())
+    btdf = per_doc.map_batches(
+        lambda b: b.groupby("bucket", sort=False)["cnt"].sum()
+                   .reset_index(), batch_format="pandas").to_pandas()
+    if len(btdf) == 0:      # empty corpus → no sequences
+        return pd.DataFrame({"seq_id": pd.Series([], dtype="int64"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64")})
+    bt = btdf.groupby("bucket")["cnt"].sum().sort_index()
     base = dict(zip(bt.index, np.concatenate([[0], bt.cumsum().to_numpy()[:-1]])))
     base_ref = ray.put(base)
 

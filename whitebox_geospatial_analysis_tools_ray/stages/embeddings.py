@@ -68,6 +68,8 @@ def _coarse_centroids(sf_dir: str, n_lists: int, seed: int = 42,
             break
     X = np.asarray([np.asarray(e, dtype=np.float64)
                     for e in chunks[:sample_rows]])
+    if len(X) == 0:         # empty table → no centroids
+        return np.zeros((0, 1))
     Xn = X / np.maximum(np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-12)
     g = np.random.default_rng(seed)
     cent = Xn[g.choice(len(Xn), size=min(n_lists, len(Xn)), replace=False)]
@@ -91,8 +93,10 @@ def _lowest_k_vectors(sf_dir: str, k: int) -> np.ndarray:
                              "vec": [emb[i].tobytes() for i in order]})
 
     df = (_read_embeddings(sf_dir)
-          .map_batches(partial, batch_format="numpy").to_pandas()
-          .sort_values("vec_id").head(k))
+          .map_batches(partial, batch_format="numpy").to_pandas())
+    if len(df) == 0:        # empty table → no vectors (typed-empty out)
+        return np.zeros((0, 1))
+    df = df.sort_values("vec_id").head(k)
     return np.vstack([np.frombuffer(b) for b in df["vec"]])
 
 
@@ -116,6 +120,11 @@ def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35,
     materialization, no whole-matrix broadcast; the shuffle key is the
     coarse list id."""
     cent = _coarse_centroids(sf_dir, n_lists, seed)
+    if len(cent) == 0:      # empty table → empty pair set
+        return rd.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64")}))
     theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
     cent_ref = ray.put(cent)
 
@@ -174,6 +183,13 @@ def pca_embeddings(sf_dir: str, k: int = 4, round_to: int = 6) -> pd.DataFrame:
         })
 
     parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(parts) == 0 or float(parts["n"].sum()) < 2.0:
+        # empty / single-row table: covariance undefined (n-1 == 0) —
+        # degrade to an empty spectrum instead of inf/LinAlgError
+        return pd.DataFrame({
+            "component": pd.Series([], dtype="int64"),
+            "eigenvalue": pd.Series([], dtype="float64"),
+            "explained_ratio": pd.Series([], dtype="float64")})
     d = int(np.sqrt(len(np.frombuffer(parts["sxx"].iloc[0]))))
     n = parts["n"].sum()
     sx = np.sum([np.frombuffer(b) for b in parts["sx"]], axis=0)
@@ -199,6 +215,11 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 10,
     driver); fixed ``iters`` rounds; ties in assignment go to the
     lowest cluster id (argmin). Output: (cluster_id, n, inertia)."""
     centroids = _lowest_k_vectors(sf_dir, k)
+    if len(centroids) == 0:  # empty table → empty clustering
+        return pd.DataFrame({
+            "cluster_id": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "inertia": pd.Series([], dtype="float64")})
     ds = _read_embeddings(sf_dir)
 
     for _ in range(iters):
@@ -296,6 +317,13 @@ def inverse_pca_embeddings(sf_dir: str, k: int = 4,
         })
 
     parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(parts) == 0 or float(parts["n"].sum()) < 2.0:
+        # empty / single-row table: see pca_embeddings
+        return pd.DataFrame({
+            "k": pd.Series([], dtype="int64"),
+            "total_var": pd.Series([], dtype="float64"),
+            "recon_error": pd.Series([], dtype="float64"),
+            "retained_ratio": pd.Series([], dtype="float64")})
     d = int(np.sqrt(len(np.frombuffer(parts["sxx"].iloc[0]))))
     n = parts["n"].sum()
     sx = np.sum([np.frombuffer(b) for b in parts["sx"]], axis=0)
@@ -356,7 +384,14 @@ def cluster_attributes(sf_dir: str, k: int = 5, iters: int = 8,
             "sa": [a.sum()], "saa": [(a * a).sum()],
             "sn": [nk.sum()], "snn": [(nk * nk).sum()]})
 
-    m = ds.map_batches(moments, batch_format="numpy").to_pandas().sum()
+    mdf = ds.map_batches(moments, batch_format="numpy").to_pandas()
+    if len(mdf) == 0 or float(mdf["n"].sum()) == 0.0:
+        # empty table → empty clustering (typed, like kmeans_embeddings)
+        return pd.DataFrame({
+            "cluster_id": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "inertia": pd.Series([], dtype="float64")})
+    m = mdf.sum()
     n = m["n"]
     mu = np.array([m["sa"] / n, m["sn"] / n])
     var = np.array([m["saa"] / n - mu[0] ** 2, m["snn"] / n - mu[1] ** 2])

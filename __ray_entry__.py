@@ -89,6 +89,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         d = generate_pages_dataset(20_000, "/tmp/graft_pages_q20k")
         return pages_flagship(d)
 
+    def _pages_dedup_q(sf_dir: str):
+        """Exact text dedup over a 20k-page SKEWED corpus (hot_frac=0.2
+        — the duplicate-page web shape: 20% of rows collapse onto one
+        page). Exact oracle: the skew rule replayed in SQL over
+        range(20000); distinct texts <-> distinct effective ids
+        (generation injectivity on this corpus is pytest-pinned in
+        tests/test_pages.py)."""
+        from whitebox_geospatial_analysis_tools_ray.sources.pages import (
+            generate_pages_dataset)
+        from whitebox_geospatial_analysis_tools_ray.stages.dedup import (
+            pages_exact_dedup)
+        d = generate_pages_dataset(20_000, "/tmp/graft_pages_dedup20k",
+                                   hot_frac=0.2)
+        return pages_exact_dedup(d)
+
     def _utm_project(sf_dir: str):
         from whitebox_geospatial_analysis_tools_ray.functions.crs import (
             utm_project_query)
@@ -982,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "whitebox_geospatial_analysis_tools_ray.pipelines.job",
             fromlist=["x"]).job_manifest(sf),
         "pages_flagship": _pages_flagship_q,
+        "pages_exact_dedup": _pages_dedup_q,
     }
 
 
@@ -1018,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
                          + o.flagship_sql()
                          + ") q GROUP BY 1 ORDER BY 1"),
         "pages_flagship": o.pages_flagship_sql(),
+        "pages_exact_dedup": o.pages_exact_dedup_sql(),
         "tile_assign": o.tile_assign_sql(),
         "las_tile_stats": _las_sql(),
         "lidar_nn_interpolation": __import__(

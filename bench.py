@@ -59,7 +59,9 @@ def run_bench() -> dict:
                      "cell_aggregates", "exact_dedup", "token_stats",
                      "ann_cosine_topk", "q1_pricing", "events_window",
                      # corpus-curation additions (round 2 part 3)
-                     "minhash_pairs", "dup_clusters", "pack_sequences"]
+                     "minhash_pairs", "dup_clusters", "pack_sequences",
+                     # round-3: skewed-corpus exact dedup (20k pages)
+                     "pages_exact_dedup"]
     times: dict[str, float] = {}
     for name in bench_queries:
         t0 = time.perf_counter()
@@ -179,9 +181,19 @@ def run_scaling_worker(ncpu: int) -> dict:
     t0 = time.perf_counter()
     n = _consume(pages_flagship(SCALE_DIR))
     sec = time.perf_counter() - t0
+    # second scaling pipeline: exact text dedup over the same corpus —
+    # an unbounded-key all-to-all (bucketed shuffle), unlike the
+    # flagship whose shuffle moves pre-aggregated partials only
+    from whitebox_geospatial_analysis_tools_ray.stages.dedup import (
+        pages_exact_dedup)
+    _consume(pages_exact_dedup(SCALE_DIR))  # untimed warm-up pass
+    t0 = time.perf_counter()
+    _consume(pages_exact_dedup(SCALE_DIR))
+    dedup_sec = time.perf_counter() - t0
     ray.shutdown()
     return {"num_cpus": ncpu, "sec": round(sec, 3), "out_rows": n,
-            "pages": SCALE_N, "pages_per_sec": round(SCALE_N / sec, 1)}
+            "pages": SCALE_N, "pages_per_sec": round(SCALE_N / sec, 1),
+            "dedup_sec": round(dedup_sec, 3)}
 
 
 def run_scaling(trials: int = 3) -> dict:
@@ -198,10 +210,15 @@ def run_scaling(trials: int = 3) -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     los, his = [], []
+    dlos, dhis = [], []
     for _ in range(trials):
-        los.append(run(8)["sec"])
-        his.append(run(32)["sec"])
+        r8, r32 = run(8), run(32)
+        los.append(r8["sec"])
+        his.append(r32["sec"])
+        dlos.append(r8["dedup_sec"])
+        dhis.append(r32["dedup_sec"])
     t_lo, t_hi = min(los), min(his)
+    d_lo, d_hi = min(dlos), min(dhis)
     # efficiency = speedup achieved / speedup possible (4×)
     eff = (t_lo / t_hi) / (32 / 8)
     ceiling = _host_cpu_ceiling()
@@ -213,6 +230,10 @@ def run_scaling(trials: int = 3) -> dict:
         "pages_per_sec_8cpu": round(SCALE_N / t_lo, 1),
         "pages_per_sec_32cpu": round(SCALE_N / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        "dedup_pipeline": ("pages_exact_dedup (md5 partials → "
+                           "bucketed all-to-all combine)"),
+        "dedup_sec_8cpu": d_lo, "dedup_sec_32cpu": d_hi,
+        "dedup_scaling_efficiency": round((d_lo / d_hi) / (32 / 8), 3),
         "host_cpu_ceiling": ceiling,
         "protocol": ("fresh ray.init(num_cpus=8) vs num_cpus=32, same input, "
                      f"min of {trials} alternating trials, warmed pool+cache; "

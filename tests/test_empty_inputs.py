@@ -24,7 +24,22 @@ FAMS = ["exact_dedup", "minhash_pairs", "simhash_signatures",
         "corpus_clean", "langid_confusion", "quality_scores",
         "token_stats", "fingerprints", "chunk_documents",
         "pca_embeddings", "inverse_pca", "kmeans_embeddings",
-        "coincident_dedup", "cluster_attributes"]
+        "coincident_dedup", "cluster_attributes",
+        # geo / LAS / photogrammetry finalizations that crashed on
+        # schema-less empty frames in the round-3 audit
+        "tile_assign", "tile_hex", "las_file_summary", "las_tile_stats",
+        "filter_las_scan_angles", "find_flightline_edge_points",
+        "isolate_ground_points", "lidar_nn_interpolation",
+        "lidar_bare_earth_dem", "lidar_canopy_model",
+        "lidar_segmentation_weights", "las_rgb_stats",
+        "attribute_histogram", "attribute_correlation",
+        "attribute_gridding", "vector_feature_density", "fuse_touching",
+        "find_polygon_chains", "group_polygons_by_orientation",
+        "layer_footprint", "trend_surface", "kriging_interpolate",
+        "nearest_neighbour_analysis", "value_histogram",
+        "xyz_text_to_raster", "surf_match_points", "find_tie_points",
+        "image_rectification_fit", "estimate_heights_parallax",
+        "job_manifest", "revenue_by_nation", "create_rect_grid"]
 
 
 def _make_fixture(tmp_path, nrows: int) -> str:

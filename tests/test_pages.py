@@ -176,3 +176,22 @@ def test_extract_texts_property(ray_session):
             [pages.extract_text_bytes(h) for h in htmls]
 
     run()
+
+
+def test_skewed_corpus_text_classes():
+    """pages_exact_dedup's oracle groups by the text-class key
+    (start, ntok) while the impl groups by md5(text): identical
+    partitions on this exact corpus, pinned in both directions —
+    (a) the key DETERMINES the text (same key -> same text, by the
+    generator's arithmetic), and (b) #distinct texts == #distinct
+    keys, so key -> text is also injective here."""
+    import pandas as pd
+    ids = pages.skew_ids(np.arange(20_000, dtype=np.int64), 0.2)
+    df = pages.make_pages_ids(ids)
+    key = pd.DataFrame({
+        "s": (ids * 7919 + 13) % len(pages._WORDS),
+        "ntok": 20 + (ids * 2654435761 + 31) % 180,
+        "text": df["text"].to_numpy()})
+    assert (key.groupby(["s", "ntok"])["text"].nunique() == 1).all()
+    assert key["text"].nunique() == len(
+        key[["s", "ntok"]].drop_duplicates())

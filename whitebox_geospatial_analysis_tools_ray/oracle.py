@@ -7717,3 +7717,30 @@ cc(node, lbl) AS (
 SELECT node AS vec_id, min(lbl)::BIGINT AS cluster_id
 FROM cc GROUP BY node ORDER BY vec_id
 """
+
+
+def pages_exact_dedup_sql(n: int = 20_000, hot_frac: float = 0.2) -> str:
+    """Oracle for the skewed-corpus exact text dedup
+    (stages/dedup.pages_exact_dedup over the hot_frac=0.2 20k corpus):
+    the skew rule (sources/pages.skew_ids) replayed over range(n),
+    then grouped by the TEXT EQUIVALENCE CLASS. A generated text is a
+    function of exactly (start, ntok) with start = (e*7919 + 13) % 96
+    (96 = len(_WORDS); token j is _WORDS[(start + j*104729) % 96]) and
+    ntok = 20 + (e*2654435761 + 31) % 180 — and on this exact corpus
+    the map (start, ntok) -> text is also injective, so the md5(text)
+    groups the impl counts are exactly these key groups (both
+    directions pytest-pinned in
+    tests/test_pages.py::test_skewed_corpus_text_classes)."""
+    thresh = int(round(hot_frac * 1000))
+    return f"""
+WITH ids AS (SELECT range AS id FROM range(0, {n})),
+eff AS (SELECT CASE WHEN (id * 2246822519 + 3) % 1000 < {thresh}
+                    THEN 42 ELSE id END AS e FROM ids),
+k AS (SELECT (e * 7919 + 13) % 96 AS s,
+             20 + (e * 2654435761 + 31) % 180 AS ntok FROM eff),
+g AS (SELECT s, ntok, count(*) AS c FROM k GROUP BY s, ntok)
+SELECT CAST(sum(c) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS max_group
+FROM g
+"""

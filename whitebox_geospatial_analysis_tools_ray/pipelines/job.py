@@ -57,7 +57,7 @@ def run_flagship_job(sf_dir: str, out_dir: str,
     return {
         "stage": "flagship",
         "partitions": int(len(manifest)),
-        "rows": int(manifest["rows"].sum()),
+        "rows": int(manifest["rows"].sum()) if len(manifest) else 0,
         "pages": pages,
         "sec": round(elapsed, 3),
         "pages_per_sec": round(pages / elapsed, 1),

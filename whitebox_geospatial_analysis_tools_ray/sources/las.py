@@ -198,6 +198,8 @@ def las_extent(ds) -> tuple[float, float, float, float]:
             "maxx": [float(np.max(b["x"]))], "maxy": [float(np.max(b["y"]))]})
 
     df = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(df) == 0:        # empty cloud -> degenerate zero extent
+        return (0.0, 0.0, 0.0, 0.0)
     return (float(df["minx"].min()), float(df["miny"].min()),
             float(df["maxx"].max()), float(df["maxy"].max()))
 
@@ -244,7 +246,13 @@ def synth_las_path(sf_dir: str) -> str:
 
     path = f"/tmp/graft_las_{_content_tag(sf_dir)}.las"
     if not os.path.exists(path):
-        pts = read_points(sf_dir).to_pandas().sort_values("rec_id")
+        pts = read_points(sf_dir).to_pandas()
+        if len(pts) == 0:   # empty table -> empty (0-point) LAS
+            pts = pd.DataFrame({"rec_id": pd.Series([], dtype="int64"),
+                                "x": pd.Series([], dtype="float64"),
+                                "y": pd.Series([], dtype="float64"),
+                                "z": pd.Series([], dtype="float64")})
+        pts = pts.sort_values("rec_id")
         ids = pts["rec_id"].to_numpy()
         write_las(path, pts["x"].to_numpy(), pts["y"].to_numpy(),
                   pts["z"].to_numpy(), ids % 4096, ids % 7 + 1,
@@ -264,7 +272,13 @@ def synth_las3_path(sf_dir: str) -> str:
 
     path = f"/tmp/graft_las3_{_content_tag(sf_dir)}.las"
     if not os.path.exists(path):
-        pts = read_points(sf_dir).to_pandas().sort_values("rec_id")
+        pts = read_points(sf_dir).to_pandas()
+        if len(pts) == 0:   # empty table -> empty (0-point) LAS
+            pts = pd.DataFrame({"rec_id": pd.Series([], dtype="int64"),
+                                "x": pd.Series([], dtype="float64"),
+                                "y": pd.Series([], dtype="float64"),
+                                "z": pd.Series([], dtype="float64")})
+        pts = pts.sort_values("rec_id")
         ids = pts["rec_id"].to_numpy()
         write_las(path, pts["x"].to_numpy(), pts["y"].to_numpy(),
                   pts["z"].to_numpy(), ids % 4096, ids % 7 + 1,
@@ -404,6 +418,9 @@ def get_las_file_summary(sf_dir: str):
                              "n_points": counts.astype(np.int64)})
 
     parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(parts) == 0:     # empty cloud -> typed empty summary
+        return pd.DataFrame({"classification": pd.Series([], dtype="int64"),
+                             "n_points": pd.Series([], dtype="int64")})
     out = parts.groupby("classification", as_index=False)["n_points"].sum()
     return out.sort_values("classification").reset_index(drop=True)
 
@@ -429,6 +446,8 @@ def filter_las_scan_angles(sf_dir: str, threshold: int = 10):
             "si": [int(np.asarray(batch["intensity"])[keep].sum())]})
 
     parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(parts) == 0:     # empty cloud -> zero counts
+        return pd.DataFrame({"n_kept": [0], "sum_intensity": [0]})
     return pd.DataFrame({"n_kept": [int(parts["n"].sum())],
                          "sum_intensity": [int(parts["si"].sum())]})
 
@@ -451,6 +470,8 @@ def find_flightline_edge_points(sf_dir: str):
         return pd.DataFrame({"n": [int(((fl & 0x40) != 0).sum())]})
 
     parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(parts) == 0:     # empty cloud -> zero count
+        return pd.DataFrame({"n_edge": [0]})
     return pd.DataFrame({"n_edge": [int(parts["n"].sum())]})
 
 
@@ -731,11 +752,21 @@ def isolate_ground_points(sf_dir: str, max_dist: float = 600.0,
         wh = (np.asarray(b["classification"], dtype=np.int64) >> 7) & 1 == 1
         return pd.DataFrame({"n": [int((~wh).sum())]})
 
-    n_centres = int(pts_ds.map_batches(count_centres, batch_format="numpy")
-                    .to_pandas()["n"].sum())
+    _cdf = pts_ds.map_batches(count_centres,
+                              batch_format="numpy").to_pandas()
+    n_centres = int(_cdf["n"].sum()) if len(_cdf) else 0
 
+    if n_centres <= num_neighbours:
+        # fewer centres than a kNN neighbourhood (tiny/empty cloud):
+        # the reference's per-point neighbourhood test is undefined —
+        # degrade to "all ground"
+        return pd.DataFrame({"n_points": [n_points],
+                             "n_ground": [n_points],
+                             "n_off_terrain": [0],
+                             "sum_off_index": [0]})
     # fallback guard: every centre must already see ≥ num_neighbours
-    counts = pairs.groupby("a").size()
+    counts = (pairs.groupby("a").size() if len(pairs)
+              else pd.Series([], dtype="int64"))
     if len(counts) < n_centres or (counts < num_neighbours).any():
         raise AssertionError(
             "kNN fallback would trigger — raise max_dist")
@@ -743,7 +774,8 @@ def isolate_ground_points(sf_dir: str, max_dist: float = 600.0,
     slope_thr = math.tan(math.radians(max_slope))
     min_ediff = 0.15
     off = np.zeros(n_points, dtype=bool)
-    by_a = {int(a): grp for a, grp in pairs.groupby("a", sort=True)}
+    by_a = ({int(a): grp for a, grp in pairs.groupby("a", sort=True)}
+            if len(pairs) else {})
     for a in range(n_points):
         if off[a]:
             continue
@@ -1153,7 +1185,9 @@ def lidar_canopy_model(sf_dir: str, resolution: float = 250.0,
         cells.union(pts_ds.map_batches(duplicate, batch_format="numpy")))
     cand = (both.groupby("gkey")
             .map_groups(per_cell_group, batch_format="pandas")
-            .to_pandas().sort_values("cell"))
+            .to_pandas())
+    cand = (cand.sort_values("cell") if len(cand)
+            else pd.DataFrame({"cell": pd.Series([], dtype="int64")}))
 
     # atan(dv/dist) > thr ⟺ dv/dist > tan(thr) for thr ∈ (0, π/2) —
     # the division-compare form (same substitution as
@@ -1296,6 +1330,10 @@ def lidar_segmentation_weights(sf_dir: str, search_dist: float = 300.0,
         pts_ds.map_batches(emit, batch_format="pandas"))
         .groupby("gkey").map_groups(per_cell, batch_format="pandas")
         .to_pandas())
+    if len(out) == 0:       # empty cloud -> typed empty weights
+        return pd.DataFrame({"rec_id": pd.Series([], dtype="int64"),
+                             "mda": pd.Series([], dtype="float64"),
+                             "w": pd.Series([], dtype="float64")})
     return out.sort_values("rec_id").reset_index(drop=True)
 
 
@@ -1460,7 +1498,9 @@ def lidar_bare_earth_dem(sf_dir: str, resolution: float = 250.0,
         cells.union(pts_ds.map_batches(duplicate, batch_format="numpy")))
     cand = (both.groupby("gkey")
             .map_groups(per_cell_group, batch_format="pandas")
-            .to_pandas().sort_values("cell"))
+            .to_pandas())
+    cand = (cand.sort_values("cell") if len(cand)
+            else pd.DataFrame({"cell": pd.Series([], dtype="int64")}))
 
     # same transcendental-free substitutions as lidar_canopy_model
     tan_thr = math.tan(math.radians(max_slope))

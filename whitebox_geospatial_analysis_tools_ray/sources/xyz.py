@@ -235,6 +235,10 @@ def xyz_text_to_raster(sf_dir: str, rows: int = 256, cols: int = 256,
 
     parts = (rd.read_text(path).map_batches(parse, batch_format="numpy")
              .to_pandas())
+    if len(parts) == 0:     # empty text file -> typed empty raster
+        return pd.DataFrame({"row": pd.Series([], dtype="int64"),
+                             "col": pd.Series([], dtype="int64"),
+                             "z": pd.Series([], dtype="float64")})
     final = (parts.sort_values("rec").groupby(["row", "col"],
                                               as_index=False).last())
     final["z"] = np.round(final["z"], round_to)

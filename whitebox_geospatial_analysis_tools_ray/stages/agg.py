@@ -117,6 +117,11 @@ def value_histogram(sf_dir: str, nbins: int = 20) -> "rd.Dataset":
         return pd.DataFrame({"lo": [float(z.min())], "hi": [float(z.max())]})
 
     mm = ds.map_batches(mm_partial, batch_format="numpy").to_pandas()
+    if len(mm) == 0:        # empty table -> typed empty histogram
+        import ray.data as _rd
+        return _rd.from_pandas(pd.DataFrame({
+            "bin_id": pd.Series([], dtype="int64"),
+            "bin_count": pd.Series([], dtype="int64")}))
     lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
     width = (hi - lo) / nbins if hi > lo else 1.0
 

@@ -288,8 +288,12 @@ def _match_and_walk(pts: pd.DataFrame, n_polys: int,
 
 def find_polygon_chains(sf_dir: str) -> pd.DataFrame:
     """Distributed FindPolygonChains → (parent_id, group_id)."""
-    pts = endpoint_table(sf_dir).sort_values("pt").reset_index(drop=True)
-    n_polys = int(pts["poly"].max()) if len(pts) else 0
+    pts = endpoint_table(sf_dir)
+    if len(pts) == 0:       # empty layer -> typed empty chains
+        return pd.DataFrame({"parent_id": pd.Series([], dtype="int64"),
+                             "group_id": pd.Series([], dtype="int64")})
+    pts = pts.sort_values("pt").reset_index(drop=True)
+    n_polys = int(pts["poly"].max())
     return _match_and_walk(pts, n_polys)
 
 

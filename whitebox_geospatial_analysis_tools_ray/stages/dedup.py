@@ -61,6 +61,44 @@ def exact_dedup(sf_dir: str) -> "rd.Dataset":
     return bucketed_agg(partials, ["text_md5"], combine)
 
 
+def pages_exact_dedup(pages_dir: str) -> pd.DataFrame:
+    """Exact text dedup over a PAGES corpus directory (the 2M-page
+    bench corpus shape) reduced to a one-row summary — the second
+    scaling-evidence pipeline (bench.py --scaling): a genuine
+    unbounded-key all-to-all, unlike the flagship whose shuffle moves
+    pre-aggregated partials only.
+
+    Scale shape: only (md5, count) partial rows leave each read task
+    (one row per distinct text per batch, never the text payload);
+    the bucketed combine emits ONE summary row per bucket; the driver
+    folds ≤ num_buckets rows. Output: (n_pages, n_distinct, max_group).
+    """
+    ds = rd.read_parquet(pages_dir, columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"text_md5": _md5_series(batch["text"])})
+             .groupby("text_md5", sort=False).size().reset_index(name="c"))
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        per_key = df.groupby("text_md5", sort=False)["c"].sum()
+        return pd.DataFrame({
+            "n_pages": [int(per_key.sum())],
+            "n_distinct": [int(len(per_key))],
+            "max_group": [int(per_key.max()) if len(per_key) else 0]})
+
+    buckets = bucketed_agg(partials, ["text_md5"], combine).to_pandas()
+    if len(buckets) == 0:
+        return pd.DataFrame({"n_pages": [0], "n_distinct": [0],
+                             "max_group": [0]})
+    return pd.DataFrame({
+        "n_pages": [int(buckets["n_pages"].sum())],
+        "n_distinct": [int(buckets["n_distinct"].sum())],
+        "max_group": [int(buckets["max_group"].max())]})
+
+
 def coincident_dedup(points: "rd.Dataset", tol: float = 50.0) -> "rd.Dataset":
     """Tolerance dedup of points: snap-grid key (floor(x/tol), floor(y/tol)),
     survivor = min(rec_id) per snapped cell. Output

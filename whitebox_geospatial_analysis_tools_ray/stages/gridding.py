@@ -209,8 +209,13 @@ def _l_vertex_table(sf_dir: str):
                 "h": np.repeat(h, 6)}
 
     df = (doc_lshapes(sf_dir).map_batches(verts, batch_format="numpy")
-          .to_pandas().sort_values(["rec_id"]).reset_index(drop=True))
-    return df
+          .to_pandas())
+    if len(df) == 0:        # empty table -> typed empty vertex table
+        return pd.DataFrame({"rec_id": pd.Series([], dtype="int64"),
+                             "vx": pd.Series([], dtype="float64"),
+                             "vy": pd.Series([], dtype="float64"),
+                             "h": pd.Series([], dtype="float64")})
+    return df.sort_values(["rec_id"]).reset_index(drop=True)
 
 
 def attribute_gridding(sf_dir: str, cell: float = 50.0,
@@ -219,6 +224,10 @@ def attribute_gridding(sf_dir: str, cell: float = 50.0,
     # band_rows=4 (was 16): more bands = more parallelism AND a tighter
     # y-prefilter window; measured 8.8 s → 1.7 s at sf0.1 / 8 CPUs
     tab = _l_vertex_table(sf_dir)
+    if len(tab) == 0:       # empty layer -> typed empty grid rows
+        return pd.DataFrame({"row_id": pd.Series([], dtype="int64"),
+                             "n_valid": pd.Series([], dtype="int64"),
+                             "row_sum": pd.Series([], dtype="float64")})
     vx = tab["vx"].to_numpy()
     vy = tab["vy"].to_numpy()
     hval = tab["h"].to_numpy()[::6]  # one per feature
@@ -395,6 +404,10 @@ def vector_feature_density(sf_dir: str, cell: float = 50.0,
     # band_rows=4 + band y-prefilter: same plan/rationale as
     # attribute_gridding above (measured 5.0 s → 1.6 s at sf0.1)
     tab = _l_vertex_table(sf_dir)
+    if len(tab) == 0:       # empty layer -> typed empty density rows
+        return pd.DataFrame({"row_id": pd.Series([], dtype="int64"),
+                             "n_nonzero": pd.Series([], dtype="int64"),
+                             "row_sum": pd.Series([], dtype="float64")})
     vx = tab["vx"].to_numpy()
     vy = tab["vy"].to_numpy()
     nfeat = len(vx) // 6

@@ -254,6 +254,15 @@ def nearest_neighbour_analysis(points: "rd.Dataset",
                 "n": [np.int64(len(x))]}
 
     b = points.map_batches(bbox_part, batch_format="numpy").to_pandas()
+    if len(b) == 0 or int(b["n"].sum()) < 2:
+        # < 2 points: mean-NN / expected-NN are undefined (zero area,
+        # zero density) -> typed empty analysis
+        return pd.DataFrame({
+            "n_points": pd.Series([], dtype="int64"),
+            "mean_nn": pd.Series([], dtype="float64"),
+            "expected_nn": pd.Series([], dtype="float64"),
+            "r_stat": pd.Series([], dtype="float64"),
+            "z_stat": pd.Series([], dtype="float64")})
     west, east = float(b["minx"].min()), float(b["maxx"].max())
     south, north = float(b["miny"].min()), float(b["maxy"].max())
     n = int(b["n"].sum())

@@ -162,7 +162,12 @@ def empirical_variogram(points: "rd.Dataset",
         return gg.reset_index()
 
     parts = (coalesce_partials(dup).groupby("gkey")
-             .map_groups(partial, batch_format="pandas"))
+             .map_groups(partial, batch_format="pandas")).materialize()
+    if parts.count() == 0:  # empty layer -> typed empty variogram
+        return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "gamma": pd.Series([], dtype="float64"),
+                             "mean_dist": pd.Series([], dtype="float64")})
     tot = (parts.groupby("bin")
            .sum(["n", "ssq", "sd"]).to_pandas()
            .rename(columns={"sum(n)": "n", "sum(ssq)": "ssq",
@@ -196,6 +201,8 @@ def fit_spherical(vario: pd.DataFrame) -> tuple[float, float]:
     the oracle's SQL SUM), so the fit consumes a bit-stable rounding of
     them — the quantization error (~5e-5 relative to γ ≈ 10³) is far
     below the variogram's own estimation noise."""
+    if len(vario) == 0:     # no pairs (empty layer): flat unit model
+        return 0.0, 1.0
     d = np.floor(vario["mean_dist"].to_numpy() * 1e4 + 0.5) / 1e4
     g = np.floor(vario["gamma"].to_numpy() * 1e4 + 0.5) / 1e4
 

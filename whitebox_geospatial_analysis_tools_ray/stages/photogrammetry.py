@@ -73,6 +73,9 @@ def estimate_heights_from_parallax(sf_dir: str, H: float = 948.6,
                 "p": np.abs(lx - rx_)}
 
     pds = pts.map_batches(parallax, batch_format="numpy").to_pandas()
+    if len(pds) == 0:       # empty table -> typed empty heights
+        return pd.DataFrame({"rec_id": pd.Series([], dtype="int64"),
+                             "height": pd.Series([], dtype="float64")})
     pds = pds.sort_values("rec_id").reset_index(drop=True)
     ref_p = float(pds["p"].iloc[0])           # record 0 is the reference
     p = pds["p"].to_numpy()
@@ -270,6 +273,8 @@ def image_rectification_fit(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
                 "mxmin": [mx.min()], "mymin": [my.min()]}
 
     e = pts.map_batches(extremes, batch_format="numpy").to_pandas()
+    if len(e) == 0:         # empty table -> typed empty fit
+        return pd.DataFrame()
     ixmin, iymin = float(e["ixmin"].min()), float(e["iymin"].min())
     mxmin, mymin = float(e["mxmin"].min()), float(e["mymin"].min())
 
@@ -420,6 +425,10 @@ def surf_match_points(sf_dir: str,
     import ray.data as rd
 
     (lid, llap, lmat), (rid, rlap, rmat) = _emb_sides(sf_dir)
+    if len(lid) == 0 or len(rid) == 0:   # empty table -> no matches
+        return pd.DataFrame({"left_id": pd.Series([], dtype="int64"),
+                             "right_id": pd.Series([], dtype="int64"),
+                             "dist": pd.Series([], dtype="float64")})
     ref = ray.put((lid, llap, lmat, rid, rlap, rmat))
 
     def match(batch):
@@ -554,9 +563,13 @@ def find_tie_points(sf_dir: str, threshold: float = TIE_THRESHOLD,
 
     import functools
     while True:
-        m = (pts.map_batches(functools.partial(moments,
-                                               removed=frozenset(removed)),
-                             batch_format="numpy").to_pandas().sum())
+        mdf = pts.map_batches(functools.partial(moments,
+                                                removed=frozenset(removed)),
+                              batch_format="numpy").to_pandas()
+        if len(mdf) == 0:   # empty table -> typed empty residuals
+            return pd.DataFrame({"rec_id": pd.Series([], dtype="int64"),
+                                 "resid": pd.Series([], dtype="float64")})
+        m = mdf.sum()
         fit = tuple(
             _cramer3(m["n"], m["sy"], m["sx"], m["syy"], m["sxx"], m["sxy"],
                      m[f"t0{t}"], m[f"t1{t}"], m[f"t2{t}"])
@@ -721,7 +734,13 @@ def epipolar_transform(sf_dir: str, round_to: int = 6) -> "pd.DataFrame":
                 f"{p}t2y": [(bx * v).sum()]})
         return out
 
-    m = pts.map_batches(moments, batch_format="numpy").to_pandas().sum()
+    mdf = pts.map_batches(moments, batch_format="numpy").to_pandas()
+    if len(mdf) == 0:       # empty table -> typed empty bands
+        return pd.DataFrame({"img": pd.Series([], dtype="object"),
+                             "row_id": pd.Series([], dtype="int64"),
+                             "n_valid": pd.Series([], dtype="int64"),
+                             "row_sum": pd.Series([], dtype="float64")})
+    m = mdf.sum()
     fits = {}
     for p in ("f", "b"):
         for t in ("x", "y"):

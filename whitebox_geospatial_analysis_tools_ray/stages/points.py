@@ -38,5 +38,7 @@ def extent_of(ds: "rd.Dataset") -> tuple[float, float, float, float]:
             "maxx": [float(np.max(b["x"]))], "maxy": [float(np.max(b["y"]))]})
 
     df = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(df) == 0:        # empty input → degenerate zero extent
+        return (0.0, 0.0, 0.0, 0.0)
     return (float(df["minx"].min()), float(df["miny"].min()),
             float(df["maxx"].max()), float(df["maxy"].max()))

@@ -71,6 +71,10 @@ def revenue_by_nation(sf_dir: str, round_to: int = 4) -> "rd.Dataset":
     dim = dim.sort_values("c_custkey")
     keys = dim["c_custkey"].to_numpy(dtype=np.int64)
     names = dim["n_name"].to_numpy()
+    if len(keys) == 0:      # empty build side -> empty join
+        return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                             "revenue": pd.Series([], dtype="float64"),
+                             "n_orders": pd.Series([], dtype="int64")})
     dim_ref = ray.put((keys, names))
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
@@ -197,6 +201,9 @@ def attribute_histogram(sf_dir: str):
         return {"bin": bins, "c": counts.astype(np.int64)}
 
     parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(parts) == 0:     # empty table -> typed empty histogram
+        return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                             "n_docs": pd.Series([], dtype="int64")})
     out = parts.groupby("bin", as_index=False)["c"].sum()
     return pd.DataFrame({"bin": out["bin"].astype(np.int64),
                          "n_docs": out["c"].astype(np.int64)})
@@ -231,7 +238,12 @@ def attribute_correlation(sf_dir: str):
                 "syy": np.array([(y * y).sum()]),
                 "sxy": np.array([(x * y).sum()])}
 
-    p = ds.map_batches(partial, batch_format="numpy").to_pandas().sum()
+    pdf = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(pdf) == 0 or float(pdf["n"].sum()) < 2.0:
+        # empty / single row: correlation undefined -> typed empty
+        return pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                             "pearson_r": pd.Series([], dtype="float64")})
+    p = pdf.sum()
     n = float(p["n"])
     cov = float(p["sxy"]) - float(p["sx"]) * float(p["sy"]) / n
     dx = float(p["sxx"]) - float(p["sx"]) * float(p["sx"]) / n

@@ -386,6 +386,13 @@ def trend_surface(sf_dir: str, round_to: int = 6):
     m = pts.map_batches(moments, batch_format="numpy").aggregate(
         Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"),
         Sum("sxy"), Sum("sz"), Sum("sxz"), Sum("syz"), Sum("szz"))
+    if not m or m.get("sum(n)") in (None, 0, 0.0):
+        # empty table: normal system is singular -> typed empty fit
+        import pandas as pd
+        return pd.DataFrame({"a": pd.Series([], dtype="float64"),
+                             "b": pd.Series([], dtype="float64"),
+                             "c": pd.Series([], dtype="float64"),
+                             "rmse": pd.Series([], dtype="float64")})
     n = m["sum(n)"]; sx = m["sum(sx)"]; sy = m["sum(sy)"]
     sxx = m["sum(sxx)"]; syy = m["sum(syy)"]; sxy = m["sum(sxy)"]
     sz = m["sum(sz)"]; sxz = m["sum(sxz)"]; syz = m["sum(syz)"]
@@ -1068,6 +1075,10 @@ def group_polygons_by_orientation(sf_dir: str):
 
     parts = (doc_lshapes(sf_dir)
              .map_batches(fn, batch_format="numpy").to_pandas())
+    if len(parts) == 0:     # empty table -> typed empty grouping
+        import pandas as pd
+        return pd.DataFrame({"orientation_class": pd.Series([], dtype="int64"),
+                             "n_features": pd.Series([], dtype="int64")})
     out = parts.groupby("orientation_class", as_index=False)["n"].sum()
     out = out.rename(columns={"n": "n_features"})
     import numpy as np
@@ -1825,6 +1836,11 @@ def layer_footprint_query(sf_dir: str, round_to: int = 6):
 
     parts = doc_lshapes(sf_dir).map_batches(
         partial, batch_format="numpy").to_pandas()
+    if len(parts) == 0:     # empty layer -> typed empty footprint
+        import pandas as pd
+        return pa.table({"nvert": pa.array([], pa.int64()),
+                         "area": pa.array([], pa.float64()),
+                         "perimeter": pa.array([], pa.float64())})
     hull = geom.convex_hull(parts[["x", "y"]].to_numpy())
     ring = np.vstack([hull, hull[:1]])
     # shoelace terms are exact integer products (< 2^53), so the sum is

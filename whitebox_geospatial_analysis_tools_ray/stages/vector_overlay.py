@@ -367,6 +367,10 @@ def fuse_touching(sf_dir: str, round_to: int = 4) -> pd.DataFrame:
     out = (coalesce_partials(boxes.map_batches(tag, batch_format="numpy"))
            .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
            .to_pandas())
+    if len(out) == 0:       # empty layer -> typed empty components
+        return pd.DataFrame({"component_id": pd.Series([], dtype="int64"),
+                             "n_members": pd.Series([], dtype="int64"),
+                             "fused_area": pd.Series([], dtype="float64")})
     return out.sort_values("component_id").reset_index(drop=True)
 
 

@@ -218,6 +218,19 @@ def ivf_train_centroids(sf_dir: str, n_lists: int = 16, iters: int = 8,
     (n_lists × dim) sums reach the driver."""
     from .embeddings import _lowest_k_vectors, _read_embeddings
 
+    # trained centroids are a pure function of (table content, params):
+    # cache them content-keyed like the persisted index, so repeated
+    # queries skip the 8 training rounds (the "train once" scale story)
+    import os
+
+    from ..state.checkpoint import commit_cache_key, content_cache_dir
+    src = f"{sf_dir}/embeddings.parquet"
+    cdir, valid = content_cache_dir(
+        src, "graft_ivf_cent", f"{n_lists}|{iters}|{round_to}|v1")
+    cpath = os.path.join(cdir, "centroids.npy")
+    if valid and os.path.exists(cpath):
+        return np.load(cpath)
+
     C = _lowest_k_vectors(sf_dir, n_lists)
     if len(C) == 0:         # empty table → no centroids
         return np.zeros((0, 1))
@@ -252,6 +265,8 @@ def ivf_train_centroids(sf_dir: str, n_lists: int = 16, iters: int = 8,
                 if nrm > 0:
                     new[int(c)] = s / nrm
         cent = np.round(new, 9)
+    np.save(cpath, cent)
+    commit_cache_key(cdir, src, f"{n_lists}|{iters}|{round_to}|v1")
     return cent
 
 

@@ -75,3 +75,54 @@ def test_curation_family_degrades_on_tiny_inputs(tmp_path, ray_session,
         except Exception as ex:  # noqa: BLE001 — collecting the audit
             failures.append(f"{name}: {type(ex).__name__}: {ex}")
     assert not failures, failures
+
+
+def test_curation_family_tolerates_null_cells(tmp_path, ray_session):
+    """Dirty-shard boundary: null text / lang / n_chars / embedding /
+    label cells must not crash the curation family. Documented rules:
+    null text ≡ empty document (tokenless; groups with "" in dedup),
+    null embedding rows are dropped (no geometry), null lang groups
+    under "". Real-data outputs unchanged (oracle parity re-verified)."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "nulls")
+    os.makedirs(d, exist_ok=True)
+    src = pq.read_table(f"{SRC}/documents.parquet")
+    t = src.slice(0, 20).to_pydict()
+    t["text"][3] = None
+    t["text"][7] = None
+    t["lang"][5] = None
+    t["n_chars"][4] = None
+    pq.write_table(pa.table(t, schema=src.schema),
+                   f"{d}/documents.parquet")
+    esrc = pq.read_table(f"{SRC}/embeddings.parquet")
+    ee = esrc.slice(0, 20).to_pydict()
+    ee["embedding"][2] = None
+    ee["label"][6] = None
+    pq.write_table(pa.table(ee, schema=esrc.schema),
+                   f"{d}/embeddings.parquet")
+    for tb in TABLES:
+        if tb in ("documents", "embeddings"):
+            continue
+        pq.write_table(pq.read_table(f"{SRC}/{tb}.parquet"),
+                       f"{d}/{tb}.parquet")
+
+    import __ray_entry__ as e
+    qs = e.queries()
+    fams = ["exact_dedup", "minhash_pairs", "simhash_signatures",
+            "simhash_neardup_pairs", "ngram_jaccard_pairs",
+            "dup_clusters", "embedding_dup_clusters", "ann_cosine_topk",
+            "ann_knn_join", "ann_ivf_topk", "ann_ivf_persisted",
+            "ann_ivf_trained", "topk_tokens", "decontaminate",
+            "stratified_sample", "pack_sequences", "repetition_filter",
+            "corpus_clean", "langid_confusion", "quality_scores",
+            "token_stats", "fingerprints", "chunk_documents",
+            "pca_embeddings", "inverse_pca", "kmeans_embeddings",
+            "boilerplate_ngrams", "coincident_dedup"]
+    failures = []
+    for name in fams:
+        try:
+            assert _consume(qs[name](d)) >= 0
+        except Exception as ex:  # noqa: BLE001 — collecting the audit
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, failures

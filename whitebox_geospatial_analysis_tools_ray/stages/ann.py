@@ -25,8 +25,16 @@ from .util import coalesce_partials
 
 
 def _batch_matrix(batch) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_id, matrix) for a batch. Rows with a NULL embedding are
+    DROPPED (a null vector has no geometry; the documented rule for
+    dirty shards — text ops instead coerce null text to "")."""
     ids = np.asarray(batch["vec_id"], dtype=np.int64)
-    emb = np.asarray([np.asarray(e, dtype=np.float64) for e in batch["embedding"]])
+    vecs = list(batch["embedding"])
+    keep = [i for i, e in enumerate(vecs) if e is not None]
+    if len(keep) != len(vecs):
+        ids = ids[keep]
+        vecs = [vecs[i] for i in keep]
+    emb = np.asarray([np.asarray(e, dtype=np.float64) for e in vecs])
     return ids, emb
 
 
@@ -44,6 +52,8 @@ def _bottom_n_by_vec_id(sf_dir: str, n: int) -> "pd.DataFrame":
     for rb in pf.iter_batches(batch_size=max(4096, n),
                               columns=["vec_id", "embedding"]):
         df = rb.to_pandas()
+        # null embedding rows carry no geometry — drop (documented rule)
+        df = df[df["embedding"].notna()]
         best = pd.concat([best, df], ignore_index=True)
         best = best.sort_values("vec_id", kind="mergesort").head(n)
     return best.reset_index(drop=True)

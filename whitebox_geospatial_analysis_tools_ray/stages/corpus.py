@@ -35,6 +35,8 @@ _TOKEN_RE = re.compile(r"\s+")
 
 
 def _tokens(text: str) -> list[str]:
+    if not isinstance(text, str):   # null text cell ≡ empty document
+        return []
     toks = _TOKEN_RE.split(text.strip().lower())
     return [] if toks == [""] else toks
 
@@ -509,8 +511,10 @@ def pack_sequences(sf_dir: str, seq_len: int = 512,
         did = batch["doc_id"].to_numpy(dtype=np.int64)
         # len(t.split()) == len(_tokens(t)): whitespace-run split with
         # empties dropped; skips building the token list just to count it
-        cnt = np.fromiter((len(t.split()) for t in batch["text"]),
-                          dtype=np.int64, count=len(batch))
+        cnt = np.fromiter(
+            (len(t.split()) if isinstance(t, str) else 0
+             for t in batch["text"]),
+            dtype=np.int64, count=len(batch))
         return pd.DataFrame({"bucket": did // docs_per_bucket,
                              "doc_id": did, "cnt": cnt})
 
@@ -706,7 +710,9 @@ def corpus_clean(sf_dir: str, min_tokens: int = 20,
                     reason |= 4
             if len(toks) < min_tokens:
                 reason |= 8
-            md5s.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+            md5s.append(hashlib.md5(
+                (text if isinstance(text, str) else "")
+                .encode("utf-8")).hexdigest())
             ids.append(int(doc_id))
             reasons.append(reason)
         return pd.DataFrame({"text_md5": md5s,

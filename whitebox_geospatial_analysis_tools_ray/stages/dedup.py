@@ -30,7 +30,9 @@ _TOKEN_RE = re.compile(r"\s+")
 
 
 def _md5_series(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+    # null text cell ≡ empty document (groups with "" — contentless)
+    return texts.map(lambda t: hashlib.md5(
+        (t if isinstance(t, str) else "").encode("utf-8")).hexdigest())
 
 
 def exact_dedup(sf_dir: str) -> "rd.Dataset":
@@ -143,6 +145,8 @@ def _minhash_params(seed: int = 42):
 
 
 def _shingle_crcs(text: str, k: int = 3) -> np.ndarray:
+    if not isinstance(text, str):   # null text cell ≡ empty document
+        text = ""
     toks = _TOKEN_RE.split(text.strip().lower())
     if len(toks) < k:
         sh = [" ".join(toks)] if toks and toks[0] else []
@@ -504,6 +508,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> "rd.Dataset":
 def _simhash_of(text: str) -> int:
     """64-bit SimHash of one document: per-token crc32 (duplicates kept)
     → ×golden-ratio odd constant mod 2⁶⁴ → per-bit ±1 votes."""
+    if not isinstance(text, str):   # null text cell ≡ empty document
+        return 0
     toks = _TOKEN_RE.split(text.strip().lower())
     if not toks or not toks[0]:
         return 0

@@ -62,7 +62,9 @@ def _coarse_centroids(sf_dir: str, n_lists: int, seed: int = 42,
     chunks, have = [], 0
     for rb in pf.iter_batches(batch_size=sample_rows,
                               columns=["embedding"]):
-        chunks.extend(rb.column("embedding").to_pylist())
+        # null embedding rows carry no geometry — drop (documented rule)
+        chunks.extend(e for e in rb.column("embedding").to_pylist()
+                      if e is not None)
         have += rb.num_rows
         if have >= sample_rows:
             break

@@ -105,7 +105,9 @@ def fingerprint_stats(sf_dir: str) -> "rd.Dataset":
         norm = batch["text"].fillna("").map(
             lambda t: _WS.sub(" ", t).lower())
         fp = norm.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
-        return pd.DataFrame({"lang": batch["lang"], "fp": fp})
+        # null lang cells group under "" (a NULL shuffle key breaks
+        # the sort-based groupby comparator)
+        return pd.DataFrame({"lang": batch["lang"].fillna(""), "fp": fp})
 
     fps = ds.map_batches(partial, batch_format="pandas")
 

@@ -124,25 +124,53 @@ def _dct_matrix():
 
 
 class _BitWriter:
+    """Deferred bitstream writer: ``put`` only records (code, length)
+    pairs; ``flush`` packs them with numpy in one vectorized pass and
+    applies byte stuffing at the byte layer (stuffing inserts output
+    bytes without shifting bit positions, so packing-then-stuffing is
+    byte-identical to the old streaming writer — pytest-pinned by the
+    roundtrip/golden decode tests). The old per-call Python packer was
+    the whole encoder cost (~7.5 µs × 127k puts per 256² image)."""
+
     def __init__(self):
         self.buf = bytearray()
-        self.acc = 0
-        self.n = 0
+        self._codes: list[int] = []
+        self._lens: list[int] = []
+        self._nbits = 0
 
     def put(self, code: int, length: int):
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.n += length
-        while self.n >= 8:
-            self.n -= 8
-            byte = (self.acc >> self.n) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:
-                self.buf.append(0x00)   # byte stuffing
+        self._codes.append(code & ((1 << length) - 1))
+        self._lens.append(length)
+        self._nbits += length
 
     def flush(self):
-        if self.n:
-            pad = 8 - self.n
+        if self._nbits & 7:
+            pad = 8 - (self._nbits & 7)
             self.put((1 << pad) - 1, pad)
+        if not self._codes:
+            return
+        codes = np.array(self._codes, dtype=np.uint64)
+        lens = np.array(self._lens, dtype=np.int64)
+        end = np.cumsum(lens)
+        start = end - lens
+        nbytes = int(end[-1]) >> 3
+        # each code's bits live at [start & 7, start & 7 + len) inside
+        # an 8-byte window at byte start>>3; len ≤ 27 and misalignment
+        # ≤ 7 → ≤ 5 bytes touched; OR-scatter the window byte by byte
+        out = np.zeros(nbytes + 8, dtype=np.uint8)
+        sb = (start >> 3).astype(np.int64)
+        word = codes << (64 - lens - (start & 7)).astype(np.uint64)
+        for k in range(5):
+            np.bitwise_or.at(
+                out, sb + k,
+                ((word >> np.uint64(56 - 8 * k))
+                 & np.uint64(0xFF)).astype(np.uint8))
+        out = out[:nbytes]
+        ff = np.flatnonzero(out == 0xFF)
+        if len(ff):
+            out = np.insert(out, ff + 1, 0)     # byte stuffing
+        self.buf = bytearray(out.tobytes())
+        self._codes, self._lens = [], []
 
 
 def _mag_bits(v: int):
@@ -429,62 +457,81 @@ def write_jpeg_progressive(path: str, rgb: np.ndarray,
 
 
 class _BitReader:
-    def __init__(self, data: bytes):
-        self.d = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
+    """Constant-time bit reads over a PRE-UNSTUFFED segment: the
+    entropy bytes are truncated at the first real marker and destuffed
+    ONCE (vectorized), then W[i] = the big-endian 32-bit window at byte
+    i, so read/peek are two shifts on a Python int — no per-call fill
+    loop (the old streaming reader's per-bit fill was the whole decoder
+    cost). Reads past the segment see zero bits, exactly like the old
+    reader's marker padding."""
 
-    def _fill(self):
-        while self.n <= 24 and self.pos < len(self.d):
-            byte = self.d[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.d[self.pos] if self.pos < len(self.d) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 1
-                else:               # marker — stop feeding
-                    self.pos -= 1
-                    byte = 0        # pad
-            self.acc = (self.acc << 8) | byte
-            self.n += 8
+    def __init__(self, data: bytes):
+        d = np.frombuffer(data, dtype=np.uint8)
+        ffpos = np.flatnonzero(d == 0xFF)
+        if len(ffpos):
+            nxt = np.concatenate([d[1:], np.array([0xD9], np.uint8)])
+            real = ffpos[nxt[ffpos] != 0x00]
+            end = int(real[0]) if len(real) else len(d)
+        else:
+            end = len(d)
+        seg = bytes(d[:end].tobytes()).replace(b"\xff\x00", b"\xff")
+        a = np.frombuffer(seg + b"\x00\x00\x00\x00",
+                          dtype=np.uint8).astype(np.uint32)
+        W = (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
+        self.Wl = W.tolist()            # Python ints: fast scalar index
+        self.nbits = len(seg) * 8
+        self.bitpos = 0
 
     def read(self, k: int) -> int:
-        self._fill()
         if k == 0:
             return 0
-        self.n -= k
-        v = (self.acc >> self.n) & ((1 << k) - 1)
-        return v
+        p = self.bitpos
+        self.bitpos = p + k
+        if p >= self.nbits:
+            return 0
+        return (self.Wl[p >> 3] >> (32 - (p & 7) - k)) & ((1 << k) - 1)
 
     def peek16(self) -> tuple[int, int]:
-        self._fill()
-        avail = min(self.n, 16)
-        v = (self.acc >> (self.n - avail)) & ((1 << avail) - 1)
-        return v << (16 - avail), avail
+        p = self.bitpos
+        avail = self.nbits - p
+        if avail <= 0:
+            return 0, 0
+        # next 16 bits, zero-padded past the end (the W windows are
+        # zero-padded), left-aligned exactly like the old reader
+        return (self.Wl[p >> 3] >> (16 - (p & 7))) & 0xFFFF, min(avail, 16)
 
 
 def _decode_tables(bits, vals):
-    """length -> {code: symbol} lookup."""
-    table = {}
+    """Direct 16-bit lookup: (sym[v16], len[v16]) arrays — a canonical
+    code of length ln owns the v16 range [code << (16-ln),
+    (code+1) << (16-ln)). One peek + two array reads per symbol
+    replaces the old bit-by-bit tree walk (it was the whole decoder
+    cost: 281k single-bit read() calls per 256² image); decodes are
+    identical on well-formed streams (same canonical code table)."""
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln_ = np.zeros(1 << 16, dtype=np.int8)
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            table[(ln, code)] = vals[k]
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            sym[lo:hi] = vals[k]
+            ln_[lo:hi] = ln
             code += 1
             k += 1
         code <<= 1
-    return table
+    return sym, ln_
 
 
 def _read_sym(br: _BitReader, table) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read(1)
-        if (ln, code) in table:
-            return table[(ln, code)]
-    raise ValueError("bad huffman stream")
+    sym, ln_ = table
+    v, avail = br.peek16()
+    ln = int(ln_[v])
+    if ln == 0 or ln > avail:
+        raise ValueError("bad huffman stream")
+    br.read(ln)
+    return int(sym[v])
 
 
 def _extend(v: int, size: int) -> int:

@@ -194,3 +194,45 @@ def test_delaunay_prescan_matches_pure_longdouble_scan():
              rng.uniform(1e6, 1e6 + 100, (30, 2))]
     for pts in cases:
         assert delaunay(pts) == bw_mirror(pts)
+
+
+def test_delaunay_many_matches_scalar():
+    """The lockstep batched Bowyer-Watson must produce EXACTLY the
+    scalar delaunay() output per feature — random sets, collinear
+    grids, cocircular rings, degenerate (<3, 0) sets, densified
+    L-boundaries (the find_polygon_midline shape), big-offset coords."""
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.core.delaunay import (
+        delaunay, delaunay_many)
+    from whitebox_geospatial_analysis_tools_ray.stages.vector_overlay import (
+        _l_ring)
+
+    def densify(xa, ya, h, w2, d=8.0):
+        ring = _l_ring(xa, ya, h, w2)
+        segs = []
+        for k in range(len(ring)):
+            p0 = ring[k]
+            p1 = ring[(k + 1) % len(ring)]
+            steps = max(1, int(np.hypot(*(p1 - p0)) // d))
+            ts = np.arange(steps) / steps
+            segs.append(p0 + (p1 - p0)[None, :] * ts[:, None])
+        return np.concatenate(segs)
+
+    rng = np.random.default_rng(9)
+    cases = [rng.uniform(0, 1000, (int(rng.integers(3, 200)), 2))
+             for _ in range(10)]
+    cases += [densify(float(rng.uniform(0, 1000)),
+                      float(rng.uniform(0, 1000)),
+                      float(rng.uniform(10, 209)),
+                      float(rng.uniform(20, 116))) for _ in range(10)]
+    grid = np.stack(np.meshgrid(np.arange(6.0), np.arange(6.0)),
+                    -1).reshape(-1, 2)
+    th = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    cases += [grid,
+              np.column_stack([np.cos(th) * 50 + 100,
+                               np.sin(th) * 50 + 100]),
+              rng.uniform(1e6, 1e6 + 100, (30, 2)),
+              np.zeros((1, 2)), np.zeros((0, 2)),
+              np.column_stack([np.linspace(0, 9, 10), np.zeros(10)])]
+    assert delaunay_many(cases) == [delaunay(p) for p in cases]

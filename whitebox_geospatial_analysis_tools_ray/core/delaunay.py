@@ -194,3 +194,184 @@ def voronoi_cell(site_xy, nbr_xy: np.ndarray,
             break
         poly = halfplane_clip(poly, sx, sy, nx_, ny_)
     return poly
+
+
+def delaunay_many(pts_list) -> list[list[tuple[int, int, int]]]:
+    """LOCKSTEP Bowyer–Watson over many independent point sets — each
+    set's insertion order, circumcenter arithmetic and in-circle
+    decisions are elementwise IDENTICAL to ``delaunay(pts)`` (equality
+    is pytest-pinned per feature), but the per-insertion float64
+    prescan runs as ONE numpy dispatch over the concatenated triangle
+    slots of every feature, amortizing the numpy-call overhead that
+    dominates small per-feature triangulations (densified polygon
+    boundaries: ~250 points each). Per-feature Python work (hole-edge
+    dict, candidate recheck grouping) is unchanged.
+
+    Returns one sorted triangle list per input, [] for sets with < 3
+    points."""
+    F = len(pts_list)
+    results: list[list[tuple[int, int, int]]] = [[] for _ in range(F)]
+    feats = [f for f in range(F) if len(pts_list[f]) >= 3]
+    if not feats:
+        return results
+    nf = len(feats)
+
+    # global point table: per feature its points + supertriangle
+    allps = []
+    ns = np.empty(nf, dtype=np.int64)
+    for i, f in enumerate(feats):
+        pts = np.asarray(pts_list[f], dtype=np.longdouble)
+        ns[i] = len(pts)
+        minx, miny = pts[:, 0].min(), pts[:, 1].min()
+        maxx, maxy = pts[:, 0].max(), pts[:, 1].max()
+        span = max(float(maxx - minx), float(maxy - miny), 1.0)
+        midx, midy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+        sup = np.array([[midx - 20.0 * span, midy - 10.0 * span],
+                        [midx + 20.0 * span, midy - 10.0 * span],
+                        [midx, midy + 20.0 * span]], dtype=np.longdouble)
+        allps.append(np.vstack([pts, sup]))
+    sizes = ns + 3
+    pbase = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    G = np.vstack(allps)
+    GX, GY = G[:, 0], G[:, 1]
+    GX64 = GX.astype(np.float64)
+    GY64 = GY.astype(np.float64)
+
+    cap = int(max(64, 8 * ns.sum()))
+    verts = np.zeros((cap, 3), dtype=np.int64)   # GLOBAL point ids
+    fid = np.zeros(cap, dtype=np.int64)
+    ccx = np.zeros(cap, dtype=np.longdouble)
+    ccy = np.zeros(cap, dtype=np.longdouble)
+    cr2 = np.full(cap, -1.0, dtype=np.longdouble)
+    fcx = np.zeros(cap, dtype=np.float64)
+    fcy = np.zeros(cap, dtype=np.float64)
+    fr2 = np.full(cap, -1.0, dtype=np.float64)
+    ftol = np.zeros(cap, dtype=np.float64)
+    alive = np.zeros(cap, dtype=bool)
+    m = 0
+
+    def _add_slots(us, vs, pg, fids):
+        nonlocal m, cap, verts, fid, ccx, ccy, cr2, fcx, fcy, fr2, \
+            ftol, alive
+        k = len(us)
+        while m + k > cap:
+            cap *= 2
+            verts = np.resize(verts, (cap, 3))
+            fid = np.resize(fid, cap)
+            ccx, ccy = np.resize(ccx, cap), np.resize(ccy, cap)
+            cr2, alive = np.resize(cr2, cap), np.resize(alive, cap)
+            fcx, fcy = np.resize(fcx, cap), np.resize(fcy, cap)
+            fr2, ftol = np.resize(fr2, cap), np.resize(ftol, cap)
+        ax, ay = GX[us], GY[us]
+        bx, by = GX[vs], GY[vs]
+        cx, cy = GX[pg], GY[pg]
+        t1, t2, t3 = by - cy, cy - ay, ay - by
+        d = 2.0 * (ax * t1 + bx * t2 + cx * t3)
+        safe = d != 0
+        ds_ = np.where(safe, d, 1.0)
+        a2, b2, c2 = ax * ax + ay * ay, bx * bx + by * by, cx * cx + cy * cy
+        ux = (a2 * t1 + b2 * t2 + c2 * t3) / ds_
+        uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / ds_
+        ccx[m:m + k] = np.where(safe, ux, 0.0)
+        ccy[m:m + k] = np.where(safe, uy, 0.0)
+        cr2[m:m + k] = np.where(safe, (ux - ax) ** 2 + (uy - ay) ** 2, -1.0)
+        fx = ccx[m:m + k].astype(np.float64)
+        fy = ccy[m:m + k].astype(np.float64)
+        fr = cr2[m:m + k].astype(np.float64)
+        fcx[m:m + k] = fx
+        fcy[m:m + k] = fy
+        fr2[m:m + k] = fr
+        ftol[m:m + k] = 1e-12 * (fx * fx + fy * fy + np.abs(fr) + 1.0)
+        verts[m:m + k, 0] = us
+        verts[m:m + k, 1] = vs
+        verts[m:m + k, 2] = pg
+        fid[m:m + k] = fids
+        alive[m:m + k] = True
+        m += k
+
+    # supertriangle per feature (same order as the scalar init)
+    _add_slots(pbase + ns, pbase + ns + 1, pbase + ns + 2,
+               np.arange(nf, dtype=np.int64))
+
+    nmax = int(ns.max())
+    for step in range(nmax):
+        act = ns > step
+        pidx = pbase + np.minimum(step, ns - 1)   # valid where act
+        px = GX64[pidx]
+        py = GY64[pidx]
+        pp = 1e-12 * (px * px + py * py)
+        # one float64 prescan over ALL features' slots
+        dxf = fcx[:m] - px[fid[:m]]
+        dyf = fcy[:m] - py[fid[:m]]
+        lhs = dxf * dxf + dyf * dyf
+        cand = np.flatnonzero(alive[:m] & act[fid[:m]]
+                              & (lhs < fr2[:m] + ftol[:m] + pp[fid[:m]]))
+        if len(cand):
+            # exact longdouble recheck (identical expression per slot)
+            pgc = pidx[fid[cand]]
+            dxl = ccx[cand] - GX[pgc]
+            dyl = ccy[cand] - GY[pgc]
+            bad = cand[dxl * dxl + dyl * dyl < cr2[cand]]
+        else:
+            bad = cand
+        if len(bad) == 0:
+            continue
+        # group bad slots per feature (ascending slot order within each
+        # feature — exactly the scalar flatnonzero order)
+        order = np.argsort(fid[bad], kind="stable")
+        bad = bad[order]
+        fb = fid[bad].tolist()
+        vb = verts[bad].tolist()          # python ints once, not per row
+        hole_pairs: list[tuple[int, int]] = []
+        counts: list[int] = []
+        farr: list[int] = []
+        lo = 0
+        nb = len(bad)
+        while lo < nb:
+            f = fb[lo]
+            hi = lo
+            while hi < nb and fb[hi] == f:
+                hi += 1
+            edges: dict[tuple[int, int], int] = {}
+            for j in range(lo, hi):
+                a, b, c = vb[j]
+                for u, v in ((a, b), (b, c), (c, a)):
+                    kk = (u, v) if u < v else (v, u)
+                    edges[kk] = edges.get(kk, 0) + 1
+            nh = 0
+            for kk, cnt in edges.items():
+                if cnt == 1:
+                    hole_pairs.append(kk)
+                    nh += 1
+            if nh:
+                counts.append(nh)
+                farr.append(f)
+            lo = hi
+        alive[bad] = False
+        if hole_pairs:
+            he = np.asarray(hole_pairs, dtype=np.int64)
+            fa = np.asarray(farr, dtype=np.int64)
+            cn = np.asarray(counts, dtype=np.int64)
+            _add_slots(he[:, 0], he[:, 1],
+                       np.repeat(pidx[fa], cn), np.repeat(fa, cn))
+        if m > 1024 and m > 2 * max(1, int(alive[:m].sum())):
+            keep = np.flatnonzero(alive[:m])
+            k = len(keep)
+            verts[:k] = verts[keep]
+            fid[:k] = fid[keep]
+            ccx[:k], ccy[:k] = ccx[keep], ccy[keep]
+            fcx[:k], fcy[:k] = fcx[keep], fcy[keep]
+            fr2[:k], ftol[:k] = fr2[keep], ftol[keep]
+            cr2[:k], alive[:k] = cr2[keep], True
+            alive[k:m] = False
+            m = k
+
+    live = np.flatnonzero(alive[:m])
+    lv = verts[live] - pbase[fid[live], None]    # feature-local ids
+    lf = fid[live]
+    for i, f in enumerate(feats):
+        mine = lv[lf == i]
+        keep = (mine < ns[i]).all(axis=1)
+        results[f] = sorted(tuple(sorted(int(v) for v in t))
+                            for t in mine[keep])
+    return results

@@ -1209,9 +1209,12 @@ def find_polygon_midline(sf_dir: str, densify: float = 8.0):
     from .vector_overlay import _l_ring, doc_lshapes
 
     def fn(batch):
+        from ..core.delaunay import delaunay_many
         n = len(batch["rec_id"])
         lens = np.zeros(n)
         counts = np.zeros(n, dtype=np.int64)
+        rings = []
+        pts_list = []
         for i in range(n):
             ring = _l_ring(batch["xa"][i], batch["ya"][i],
                            batch["h"][i], batch["w2"][i])
@@ -1225,8 +1228,16 @@ def find_polygon_midline(sf_dir: str, densify: float = 8.0):
                 steps = max(1, int(seg // densify))
                 ts = np.arange(steps) / steps
                 segs.append(p0 + (p1 - p0)[None, :] * ts[:, None])
-            pts = np.concatenate(segs)
-            tris = delaunay(pts)
+            rings.append(ring)
+            pts_list.append(np.concatenate(segs))
+        # lockstep batched Bowyer–Watson: identical per-feature output
+        # (core/delaunay.delaunay_many — equality pytest-pinned), one
+        # numpy dispatch per insertion round across the whole batch
+        all_tris = delaunay_many(pts_list)
+        for i in range(n):
+            ring = rings[i]
+            pts = pts_list[i]
+            tris = all_tris[i]
             if not tris:
                 continue
             # ALL circumcentres in one vectorized pass (identical

@@ -374,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngrams": lambda sf: corpus.boilerplate_ngrams(sf),
         "topk_tokens": lambda sf: corpus.topk_tokens(sf),
         "decontaminate": lambda sf: corpus.decontaminate(sf),
+        "duplicate_spans": lambda sf: corpus.duplicate_spans(sf),
+        "lm_perplexity": lambda sf: corpus.lm_perplexity(sf),
         "stratified_sample": lambda sf: corpus.stratified_sample(sf),
         "pack_sequences": lambda sf: corpus.pack_sequences(sf),
         "repetition_filter": lambda sf: corpus.repetition_filter(sf),
@@ -1103,6 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": o.boilerplate_ngrams_sql(),
         "topk_tokens": o.topk_tokens_sql(),
         "decontaminate": o.decontaminate_sql(),
+        "duplicate_spans": o.duplicate_spans_sql(),
+        "lm_perplexity": o.lm_perplexity_sql(),
         "stratified_sample": o.stratified_sample_sql(),
         "pack_sequences": o.pack_sequences_sql(),
         "repetition_filter": o.repetition_filter_sql(),

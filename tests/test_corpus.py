@@ -340,3 +340,136 @@ def test_find_polygon_chains_block_invariant(ray_session):
          .sort_values(["parent_id", "group_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (exact repeated k-token span detection)
+# ---------------------------------------------------------------------------
+
+def _dup_spans_mirror(texts, k):
+    """Literal brute-force: count k-token windows, duplicated windows
+    (gram occurs >= 2 times corpus-wide) and corpus-first copies."""
+    from collections import Counter, defaultdict
+    from whitebox_geospatial_analysis_tools_ray.stages.corpus import _tokens
+    per_doc = {}
+    tot = Counter()
+    first = {}
+    for doc_id, t in enumerate(texts):
+        toks = _tokens(t)
+        if len(toks) < k:
+            continue
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        per_doc[doc_id] = Counter(grams)
+        for g in grams:
+            tot[g] += 1
+            first.setdefault(g, doc_id)
+    rows = []
+    for doc_id, c in per_doc.items():
+        nd = sum(n for g, n in c.items() if tot[g] >= 2)
+        nf = sum(1 for g in c if tot[g] >= 2 and first[g] == doc_id)
+        rows.append((doc_id, sum(c.values()), nd, nf))
+    return (pd.DataFrame(rows, columns=["doc_id", "n_windows",
+                                        "n_dup_windows", "n_first_copies"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_duplicate_spans_mirror_sf(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    got = (corpus.duplicate_spans(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True)
+           [["doc_id", "n_windows", "n_dup_windows", "n_first_copies"]])
+    want = _dup_spans_mirror(list(t.sort_values("doc_id")["text"]), 5)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_duplicate_spans_planted(ray_session, tmp_path):
+    # doc0 holds the first copy of the planted 5-gram; doc2 repeats it
+    # twice; doc1 is all-unique; doc3 is too short for any window
+    span = "q w e r t"
+    texts = [f"a b c {span} x y z",
+             "u1 u2 u3 u4 u5 u6 u7",
+             f"{span} m n {span}",
+             "s1 s2"]
+    d = _write_docs(tmp_path / "ds", texts)
+    got = (corpus.duplicate_spans(d).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _dup_spans_mirror(texts, 5)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_windows", "n_dup_windows", "n_first_copies"]],
+        want, check_dtype=False)
+    r0 = got.set_index("doc_id")
+    assert 3 not in r0.index                   # ntok < k: no windows
+    assert r0.loc[0, "n_dup_windows"] == 1     # the planted span only
+    assert r0.loc[0, "n_first_copies"] == 1    # doc0 is corpus-first
+    assert r0.loc[2, "n_dup_windows"] == 2     # both repeats counted
+    assert r0.loc[2, "n_first_copies"] == 0
+    assert r0.loc[1, "n_dup_windows"] == 0
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity (bigram-LM quality score)
+# ---------------------------------------------------------------------------
+
+def _lm_mirror(texts, round_to=6):
+    """Literal add-one-smoothed bigram NLL, pure-Python floats."""
+    import math
+    from collections import Counter
+    from whitebox_geospatial_analysis_tools_ray.stages.corpus import _tokens
+    toks_of = {i: _tokens(t) for i, t in enumerate(texts)}
+    uni = Counter()
+    big = Counter()
+    for toks in toks_of.values():
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    V = len(uni)
+    N = sum(uni.values())
+    rows = []
+    for doc_id, toks in toks_of.items():
+        if not toks:
+            continue
+        s = 0.0
+        for i, tok in enumerate(toks):
+            if i == 0:
+                p = (uni[tok] + 1.0) / float(N + V)
+            else:
+                p = (big[(toks[i - 1], tok)] + 1.0) / (uni[toks[i - 1]] + float(V))
+            s += -math.log(p)
+        rows.append((doc_id, len(toks), round(s / len(toks), round_to)))
+    return (pd.DataFrame(rows, columns=["doc_id", "ntok", "nll"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_lm_perplexity_mirror_sf(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas().sort_values("doc_id")
+    got = (corpus.lm_perplexity(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True)
+           [["doc_id", "ntok", "nll"]])
+    want = _lm_mirror(list(t["text"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  rtol=0, atol=1.01e-6)
+
+
+def test_lm_perplexity_separator_safe(ray_session, tmp_path):
+    # shared-prefix bigrams ('a b' vs 'a c') would MERGE under a
+    # NUL-separated key (pandas string hashtables use C-string
+    # semantics); assert the distinct-bigram structure is respected
+    texts = ["a b a b a b", "a c a c a c"]
+    d = _write_docs(tmp_path / "ds", texts)
+    got = (corpus.lm_perplexity(d).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = _lm_mirror(texts)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "ntok", "nll"]], want, check_dtype=False,
+        rtol=0, atol=1.01e-6)
+    # a corpus where a key merge would visibly change the score:
+    texts2 = ["x y x y x y x y", "x z q r s t u v"]
+    d2 = _write_docs(tmp_path / "ds2", texts2)
+    got2 = (corpus.lm_perplexity(d2).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    want2 = _lm_mirror(texts2)
+    pd.testing.assert_frame_equal(
+        got2[["doc_id", "ntok", "nll"]], want2, check_dtype=False,
+        rtol=0, atol=1.01e-6)
+    assert got2.loc[0, "nll"] < got2.loc[1, "nll"]  # repeated bigram is likelier

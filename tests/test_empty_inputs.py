@@ -15,7 +15,8 @@ SRC = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-FAMS = ["exact_dedup", "minhash_pairs", "simhash_signatures",
+FAMS = ["duplicate_spans", "lm_perplexity",
+        "exact_dedup", "minhash_pairs", "simhash_signatures",
         "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",
         "embedding_dup_clusters", "ann_cosine_topk", "ann_knn_join",
         "ann_ivf_topk", "ann_ivf_persisted", "ann_ivf_trained",

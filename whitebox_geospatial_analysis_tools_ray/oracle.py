@@ -7462,6 +7462,66 @@ ORDER BY cnt DESC, token LIMIT {k}
 """
 
 
+def duplicate_spans_sql(k: int = 5) -> str:
+    """Exact mirror of stages/corpus.duplicate_spans: per-doc counts of
+    k-token windows whose token sequence repeats anywhere in the corpus
+    (the oracle groups by the gram STRING; the impl's 128-bit double
+    hash is collision-free at any test scale by the md5 accept-rule)."""
+    return f"""
+WITH raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+wins AS (
+  SELECT doc_id, unnest(list_transform(range(len(toks) - {k} + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + {k}), ' '))) AS g
+  FROM raw WHERE len(toks) >= {k} AND toks[1] <> ''),
+pg AS (SELECT g, doc_id, count(*) AS cnt FROM wins GROUP BY 1, 2),
+gg AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS tot, MIN(doc_id) AS first_doc
+       FROM pg GROUP BY 1)
+SELECT pg.doc_id,
+       CAST(SUM(pg.cnt) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN gg.tot >= 2 THEN pg.cnt ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST(SUM(CASE WHEN gg.tot >= 2 AND pg.doc_id = gg.first_doc
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_first_copies
+FROM pg JOIN gg USING (g)
+GROUP BY 1
+"""
+
+
+def lm_perplexity_sql(round_to: int = 6) -> str:
+    """Exact mirror of stages/corpus.lm_perplexity: add-one-smoothed
+    bigram-LM mean NLL per document, trained on the corpus itself.
+    The probability expressions keep the impl's operand structure
+    ((count + 1.0) / (den)) so the IEEE divisions are identical; the
+    final mean is rounded (shared convention) to absorb
+    summation-order / libm-ln ulp drift."""
+    return f"""
+WITH raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+tok AS (
+  SELECT raw.doc_id, u.i, raw.toks[u.i + 1] AS tok,
+         CASE WHEN u.i = 0 THEN NULL ELSE raw.toks[u.i] END AS prev
+  FROM raw, LATERAL (SELECT unnest(range(len(raw.toks))) AS i) u
+  WHERE raw.toks[1] <> ''),
+uni AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY 1),
+mdl AS (SELECT (SELECT count(*) FROM uni) AS v,
+               (SELECT count(*) FROM tok) AS n),
+big AS (SELECT prev, tok, count(*) AS c2 FROM tok
+        WHERE prev IS NOT NULL GROUP BY 1, 2),
+nl AS (
+  SELECT t.doc_id,
+         -ln(CASE WHEN t.prev IS NULL
+              THEN (u1.c1 + 1.0) / (mdl.n + mdl.v)
+              ELSE (COALESCE(b.c2, 0) + 1.0) / (up.c1 + mdl.v) END) AS nll
+  FROM tok t
+  JOIN uni u1 ON u1.tok = t.tok
+  LEFT JOIN uni up ON up.tok = t.prev
+  LEFT JOIN big b ON b.prev = t.prev AND b.tok = t.tok
+  CROSS JOIN mdl)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+       round(SUM(nll) / count(*), {round_to}) AS nll
+FROM nl GROUP BY 1
+"""
+
+
 def decontaminate_sql(n: int = 4, bench_mod: int = 97) -> str:
     """Exact mirror of stages/corpus.decontaminate: distinct shared
     word n-grams between each non-benchmark doc and the benchmark set

@@ -733,3 +733,223 @@ def corpus_clean(sf_dir: str, min_tokens: int = 20,
             "reason": reason.astype(np.int64)})
 
     return bucketed_agg(partials, ["text_md5"], combine)
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-span detection (suffix-array-style substring dedup)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(sf_dir: str, k: int = 5) -> "rd.Dataset":
+    """Exact repeated k-token span detection — the token-window form of
+    suffix-array substring dedup (Lee et al. 2022, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better"): every
+    k-token window whose token sequence occurs >= 2 times ANYWHERE in
+    the corpus is a duplicated span; the minimum-doc_id occurrence is
+    the copy a remove-duplicates pass keeps (ExactSubstr keeps one).
+
+    Plan (two bounded-bucket shuffles; no text on the wire after the
+    per-batch partial):
+      1. per batch: one vectorized groupby builds per-(gram, doc)
+         partial counts; the gram travels as a 128-bit double hash
+         (two independent ``pd.util.hash_pandas_object`` keys —
+         collision odds ~n²/2¹²⁹, the same accept-rule as the md5
+         dedup keys), never as the string;
+      2. ``bucketed_agg`` by gram hash: per gram, total corpus count +
+         first holder doc; re-emits per-doc contribution rows;
+      3. ``bucketed_agg`` by doc_id: per-doc sums.
+    Wire rows are fixed-width ints throughout — at 100 TB the shuffle
+    volume is O(distinct (gram, doc) pairs × 32 B), not O(text).
+
+    Output: (doc_id, n_windows, n_dup_windows, n_first_copies) for
+    docs with >= 1 window (ntok >= k); n_first_copies counts the
+    duplicated grams whose corpus-first holder is this doc.
+    """
+    from .util import bucketed_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    _HK1 = "0123456789123456"           # pandas' default hash key
+    _HK2 = "graft.dup.spans!"           # independent 16-byte key
+
+    def _empty_partial() -> pd.DataFrame:
+        return pd.DataFrame({"h1": pd.Series([], dtype="int64"),
+                             "h2": pd.Series([], dtype="int64"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        grams: list[str] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = _tokens(text)
+            if len(toks) < k:
+                continue
+            ids.extend([int(doc_id)] * (len(toks) - k + 1))
+            grams.extend(" ".join(toks[i:i + k])
+                         for i in range(len(toks) - k + 1))
+        if not grams:
+            return _empty_partial()
+        s = pd.Series(grams, dtype="object")
+        h1 = pd.util.hash_pandas_object(s, index=False, hash_key=_HK1)
+        h2 = pd.util.hash_pandas_object(s, index=False, hash_key=_HK2)
+        df = pd.DataFrame({"h1": h1.to_numpy().view(np.int64),
+                           "h2": h2.to_numpy().view(np.int64),
+                           "doc_id": np.asarray(ids, dtype=np.int64)})
+        return (df.groupby(["h1", "h2", "doc_id"], sort=False)
+                .size().reset_index(name="cnt")
+                .astype({"cnt": "int64"}))
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+
+    def gram_combine(df: pd.DataFrame) -> pd.DataFrame:
+        # re-aggregate (a (gram, doc) pair may arrive as several batch
+        # partials), then resolve each gram's corpus total + first doc
+        a = (df.groupby(["h1", "h2", "doc_id"], sort=False)["cnt"]
+             .sum().reset_index())
+        g = a.groupby(["h1", "h2"], sort=False)
+        tot = g["cnt"].transform("sum")
+        first = g["doc_id"].transform("min")
+        dup = (tot >= 2).to_numpy()
+        return pd.DataFrame({
+            "doc_id": a["doc_id"].astype(np.int64),
+            "w": a["cnt"].astype(np.int64),
+            "d": a["cnt"].where(dup, 0).astype(np.int64),
+            "f": (dup & (a["doc_id"].to_numpy()
+                         == first.to_numpy())).astype(np.int64)})
+
+    per_doc = bucketed_agg(partials, ["h1", "h2"], gram_combine)
+
+    def doc_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("doc_id", sort=False)
+                .agg(n_windows=("w", "sum"), n_dup_windows=("d", "sum"),
+                     n_first_copies=("f", "sum"))
+                .reset_index()
+                .astype({"n_windows": "int64", "n_dup_windows": "int64",
+                         "n_first_copies": "int64"}))
+
+    return bucketed_agg(per_doc, ["doc_id"], doc_combine)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+def lm_perplexity(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
+    """Per-document bigram-LM mean negative log-likelihood — the
+    CCNet-style LM quality score (Wenzek et al. 2020, LREC: CCNet
+    buckets documents into head/middle/tail by LM perplexity): score
+    every document under an add-one-smoothed token bigram model;
+    low-NLL docs are fluent/common, high-NLL docs are noise.
+
+    Model (V = |vocab|, N = total tokens, C1/C2 = unigram/bigram
+    corpus counts):  P(t_1) = (C1(t_1)+1)/(N+V);
+    P(t_i|t_{i-1}) = (C2(t_{i-1},t_i)+1)/(C1(t_{i-1})+V).
+
+    Plan: ONE counting pass (vectorized per-batch value_counts
+    partials → bucketed combines) builds the unigram + bigram tables;
+    the driver holds the MODEL only (vocab-sized, never corpus-sized)
+    and broadcasts it once via ``ray.put``; scoring is a stateless
+    vectorized map_batches (Series.map lookups). Boundedness at scale:
+    an n-gram LM's model IS its vocab tables — the production recipe
+    (CCNet's) trains once on a fixed bounded sample with a min-count
+    prune + OOV bucket and reuses the frozen model; the exact-oracle
+    configuration here keeps the full vocab of the synthetic corpus
+    (~31 tokens), so the broadcast is trivially bounded.
+
+    Output: (doc_id, ntok, nll) for docs with >= 1 token; nll = mean
+    per-token -ln P rounded to ``round_to`` (the shared rounding
+    convention that absorbs summation-order ulp drift vs the oracle).
+    """
+    import math
+
+    import ray
+
+    from .util import bucketed_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    # tokens are whitespace-split, so a single space is an unambiguous
+    # bigram separator — and unlike \x00 it is safe in pandas string
+    # hashtables (embedded NULs silently MERGE keys in groupby /
+    # hash_pandas_object: C-string semantics in the object hashtable)
+    SEP = " "
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        uni: list[str] = []
+        big: list[str] = []
+        for text in batch["text"]:
+            toks = _tokens(text)
+            uni.extend(toks)
+            big.extend(a + SEP + b for a, b in zip(toks, toks[1:]))
+        vu = pd.Series(uni, dtype="object").value_counts()
+        vb = pd.Series(big, dtype="object").value_counts()
+        return pd.DataFrame({
+            "key": np.concatenate([vu.index.to_numpy(dtype=object),
+                                   vb.index.to_numpy(dtype=object)]),
+            "is_big": np.concatenate([
+                np.zeros(len(vu), dtype=np.int64),
+                np.ones(len(vb), dtype=np.int64)]),
+            "cnt": np.concatenate([vu.to_numpy(dtype=np.int64),
+                                   vb.to_numpy(dtype=np.int64)])})
+
+    def count_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["key", "is_big"], sort=False)["cnt"]
+                .sum().reset_index().astype({"cnt": "int64"}))
+
+    counts = bucketed_agg(
+        docs.map_batches(count_partial, batch_format="pandas"),
+        ["key", "is_big"], count_combine).to_pandas()  # bounded: model
+    if counts.empty:        # 0-token corpus → schema-less empty frame
+        counts = pd.DataFrame({"key": pd.Series([], dtype="object"),
+                               "is_big": pd.Series([], dtype="int64"),
+                               "cnt": pd.Series([], dtype="int64")})
+
+    uni = counts[counts["is_big"] == 0]
+    big = counts[counts["is_big"] == 1]
+    V = len(uni)
+    N = int(uni["cnt"].sum())
+    model_ref = ray.put((dict(zip(uni["key"], uni["cnt"])),
+                         dict(zip(big["key"], big["cnt"])), N, V))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        c1, c2, n_tot, v = ray.get(model_ref)
+        ids: list[int] = []
+        ntoks: list[int] = []
+        doc_of: list[int] = []
+        toks_flat: list[str] = []
+        prev_flat: list[str | None] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = _tokens(text)
+            if not toks:
+                continue
+            ids.append(int(doc_id))
+            ntoks.append(len(toks))
+            doc_of.extend([len(ids) - 1] * len(toks))
+            toks_flat.extend(toks)
+            prev_flat.append(None)
+            prev_flat.extend(toks[:-1])
+        if not ids:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "ntok": pd.Series([], dtype="int64"),
+                                 "nll": pd.Series([], dtype="float64")})
+        tok_s = pd.Series(toks_flat, dtype="object")
+        prev_s = pd.Series(prev_flat, dtype="object")
+        is_first = prev_s.isna().to_numpy()
+        c1_tok = tok_s.map(c1).fillna(0).to_numpy(dtype=np.float64)
+        c1_prev = prev_s.map(c1).fillna(0).to_numpy(dtype=np.float64)
+        c2_pair = (prev_s.fillna("") + SEP + tok_s).map(c2) \
+            .fillna(0).to_numpy(dtype=np.float64)
+        num = np.where(is_first, c1_tok + 1.0, c2_pair + 1.0)
+        den = np.where(is_first, float(n_tot + v), c1_prev + float(v))
+        nll_tok = -np.log(num / den)
+        sums = np.bincount(np.asarray(doc_of, dtype=np.int64),
+                           weights=nll_tok, minlength=len(ids))
+        nt = np.asarray(ntoks, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "ntok": nt,
+            "nll": np.round(sums / nt, round_to)})
+
+    return docs.map_batches(score, batch_format="pandas")

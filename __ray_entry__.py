@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: corpus.decontaminate(sf),
         "duplicate_spans": lambda sf: corpus.duplicate_spans(sf),
         "lm_perplexity": lambda sf: corpus.lm_perplexity(sf),
+        "perplexity_buckets": lambda sf: corpus.perplexity_buckets(sf),
         "stratified_sample": lambda sf: corpus.stratified_sample(sf),
         "pack_sequences": lambda sf: corpus.pack_sequences(sf),
         "repetition_filter": lambda sf: corpus.repetition_filter(sf),
@@ -1107,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": o.decontaminate_sql(),
         "duplicate_spans": o.duplicate_spans_sql(),
         "lm_perplexity": o.lm_perplexity_sql(),
+        "perplexity_buckets": o.perplexity_buckets_sql(),
         "stratified_sample": o.stratified_sample_sql(),
         "pack_sequences": o.pack_sequences_sql(),
         "repetition_filter": o.repetition_filter_sql(),

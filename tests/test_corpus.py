@@ -473,3 +473,36 @@ def test_lm_perplexity_separator_safe(ray_session, tmp_path):
         got2[["doc_id", "ntok", "nll"]], want2, check_dtype=False,
         rtol=0, atol=1.01e-6)
     assert got2.loc[0, "nll"] < got2.loc[1, "nll"]  # repeated bigram is likelier
+
+
+def test_perplexity_buckets_mirror(ray_session, tmp_path):
+    # two langs, deliberately skewed scores; mirror the tie-inclusive
+    # tertile-value threshold rule literally
+    texts = ["a a a a a a", "a a a a a b", "b c d e f g",
+             "a a a b b b", "q r s t u v", "a b a b a b",
+             "m m m m m m", "m n m n m n"]
+    langs = ["en", "en", "en", "en", "fr", "fr", "fr", "fr"]
+    d = _write_docs(tmp_path / "ds", texts, langs)
+    got = (corpus.perplexity_buckets(d)
+           .sort_values(["lang", "bucket"]).reset_index(drop=True))
+    sc = _lm_mirror(texts)
+    sc["lang"] = [langs[i] for i in sc["doc_id"]]
+    rows = []
+    for lang, g in sc.groupby("lang"):
+        vals = np.sort(g["nll"].unique())
+        cum = np.array([(g["nll"] <= v).sum() for v in vals])
+        n = len(g)
+        t1 = vals[np.searchsorted(cum, (n + 2) // 3)]
+        t2 = vals[np.searchsorted(cum, (2 * n + 2) // 3)]
+        b = np.where(g["nll"] <= t1, "head",
+                     np.where(g["nll"] <= t2, "middle", "tail"))
+        for bucket in ["head", "middle", "tail"]:
+            m = g[b == bucket]
+            if len(m):
+                rows.append((lang, bucket, len(m),
+                             round(m["nll"].mean(), 6)))
+    want = (pd.DataFrame(rows, columns=["lang", "bucket", "n_docs",
+                                        "avg_nll"])
+            .sort_values(["lang", "bucket"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  rtol=0, atol=1.01e-6)

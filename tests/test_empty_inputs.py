@@ -15,7 +15,7 @@ SRC = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-FAMS = ["duplicate_spans", "lm_perplexity",
+FAMS = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
         "exact_dedup", "minhash_pairs", "simhash_signatures",
         "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",
         "embedding_dup_clusters", "ann_cosine_topk", "ann_knn_join",

@@ -7487,15 +7487,13 @@ GROUP BY 1
 """
 
 
-def lm_perplexity_sql(round_to: int = 6) -> str:
-    """Exact mirror of stages/corpus.lm_perplexity: add-one-smoothed
-    bigram-LM mean NLL per document, trained on the corpus itself.
-    The probability expressions keep the impl's operand structure
-    ((count + 1.0) / (den)) so the IEEE divisions are identical; the
-    final mean is rounded (shared convention) to absorb
-    summation-order / libm-ln ulp drift."""
-    return f"""
-WITH raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+# shared CTE chain: per-token -ln P under the add-one-smoothed bigram
+# LM of stages/corpus.lm_perplexity. The probability expressions keep
+# the impl's operand structure ((count + 1.0) / (den)) so the IEEE
+# divisions are identical; per-doc means are rounded (shared
+# convention) to absorb summation-order / libm-ln ulp drift.
+_LM_NLL_CTES = f"""
+raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
 tok AS (
   SELECT raw.doc_id, u.i, raw.toks[u.i + 1] AS tok,
          CASE WHEN u.i = 0 THEN NULL ELSE raw.toks[u.i] END AS prev
@@ -7515,10 +7513,49 @@ nl AS (
   JOIN uni u1 ON u1.tok = t.tok
   LEFT JOIN uni up ON up.tok = t.prev
   LEFT JOIN big b ON b.prev = t.prev AND b.tok = t.tok
-  CROSS JOIN mdl)
+  CROSS JOIN mdl)"""
+
+
+def lm_perplexity_sql(round_to: int = 6) -> str:
+    """Exact mirror of stages/corpus.lm_perplexity (see _LM_NLL_CTES)."""
+    return f"""
+WITH {_LM_NLL_CTES}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
        round(SUM(nll) / count(*), {round_to}) AS nll
 FROM nl GROUP BY 1
+"""
+
+
+def perplexity_buckets_sql(round_to: int = 6) -> str:
+    """Exact mirror of stages/corpus.perplexity_buckets: per-lang
+    head/middle/tail split by NLL tertile VALUE thresholds
+    (tie-inclusive: t_k = smallest score v with #(nll <= v) >=
+    ceil(k*n/3); all ties fall into the lower bucket)."""
+    return f"""
+WITH {_LM_NLL_CTES},
+sc AS (
+  SELECT nl.doc_id, any_value(d.lang) AS lang,
+         round(SUM(nll) / count(*), {round_to}) AS nll
+  FROM nl JOIN documents d ON d.doc_id = nl.doc_id
+  GROUP BY 1),
+hist AS (SELECT lang, nll, count(*) AS c FROM sc GROUP BY 1, 2),
+cdf AS (SELECT lang, nll,
+               SUM(c) OVER (PARTITION BY lang ORDER BY nll) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM hist),
+thr AS (SELECT lang,
+               MIN(CASE WHEN cum >= (n + 2) // 3 THEN nll END) AS t1,
+               MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN nll END) AS t2
+        FROM cdf GROUP BY lang),
+b AS (SELECT sc.lang,
+             CASE WHEN sc.nll <= thr.t1 THEN 'head'
+                  WHEN sc.nll <= thr.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             sc.nll
+      FROM sc JOIN thr ON thr.lang = sc.lang)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(SUM(nll) / count(*), {round_to}) AS avg_nll
+FROM b GROUP BY 1, 2
 """
 
 

@@ -835,7 +835,8 @@ def duplicate_spans(sf_dir: str, k: int = 5) -> "rd.Dataset":
 # Bigram-LM perplexity scoring (CCNet-style quality filter)
 # ---------------------------------------------------------------------------
 
-def lm_perplexity(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
+def lm_perplexity(sf_dir: str, round_to: int = 6,
+                  _with_lang: bool = False) -> "rd.Dataset":
     """Per-document bigram-LM mean negative log-likelihood — the
     CCNet-style LM quality score (Wenzek et al. 2020, LREC: CCNet
     buckets documents into head/middle/tail by LM perplexity): score
@@ -860,15 +861,15 @@ def lm_perplexity(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
     Output: (doc_id, ntok, nll) for docs with >= 1 token; nll = mean
     per-token -ln P rounded to ``round_to`` (the shared rounding
     convention that absorbs summation-order ulp drift vs the oracle).
+    ``_with_lang=True`` (internal, for ``perplexity_buckets``) adds the
+    doc's lang column to the output.
     """
-    import math
-
     import ray
 
     from .util import bucketed_agg
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    cols = ["doc_id", "text"] + (["lang"] if _with_lang else [])
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
     # tokens are whitespace-split, so a single space is an unambiguous
     # bigram separator — and unlike \x00 it is safe in pandas string
@@ -917,23 +918,30 @@ def lm_perplexity(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
         c1, c2, n_tot, v = ray.get(model_ref)
         ids: list[int] = []
         ntoks: list[int] = []
+        langs: list[str] = []
         doc_of: list[int] = []
         toks_flat: list[str] = []
         prev_flat: list[str | None] = []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        lang_col = batch["lang"] if _with_lang else [None] * len(batch)
+        for doc_id, text, lang in zip(batch["doc_id"], batch["text"],
+                                      lang_col):
             toks = _tokens(text)
             if not toks:
                 continue
             ids.append(int(doc_id))
             ntoks.append(len(toks))
+            langs.append(lang)
             doc_of.extend([len(ids) - 1] * len(toks))
             toks_flat.extend(toks)
             prev_flat.append(None)
             prev_flat.extend(toks[:-1])
         if not ids:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "ntok": pd.Series([], dtype="int64"),
-                                 "nll": pd.Series([], dtype="float64")})
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "ntok": pd.Series([], dtype="int64"),
+                                "nll": pd.Series([], dtype="float64")})
+            if _with_lang:
+                out["lang"] = pd.Series([], dtype="object")
+            return out
         tok_s = pd.Series(toks_flat, dtype="object")
         prev_s = pd.Series(prev_flat, dtype="object")
         is_first = prev_s.isna().to_numpy()
@@ -947,9 +955,93 @@ def lm_perplexity(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
         sums = np.bincount(np.asarray(doc_of, dtype=np.int64),
                            weights=nll_tok, minlength=len(ids))
         nt = np.asarray(ntoks, dtype=np.int64)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": np.asarray(ids, dtype=np.int64),
             "ntok": nt,
             "nll": np.round(sums / nt, round_to)})
+        if _with_lang:
+            out["lang"] = langs
+        return out
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def perplexity_buckets(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per lang,
+    bucket documents by bigram-LM NLL tertiles and summarize.
+
+    Threshold rule (deterministic, tie-inclusive): t1 = the smallest
+    score v with #(nll <= v) >= ceil(n/3); docs with nll <= t1 are
+    'head'; t2 likewise at ceil(2n/3) bounds 'middle'; the rest are
+    'tail' (all ties at a threshold fall into the lower bucket, so
+    buckets are value-defined — no per-doc rank shuffle needed).
+
+    Plan: per-doc scores from ``lm_perplexity`` (1 row/doc, metadata-
+    sized); a bucketed (lang, nll) histogram — bounded: scores are
+    rounded to 1e-6 over a few-nats range, so distinct values per lang
+    are capped regardless of corpus size — drives a driver-side CDF
+    walk for the thresholds, broadcast back for a stateless assign +
+    partial final agg. No whole-corpus sort.
+
+    Output: (lang, bucket, n_docs, avg_nll).
+    """
+    import ray
+
+    from .util import bucketed_agg
+
+    scores = lm_perplexity(sf_dir, round_to, _with_lang=True)
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["lang", "nll"], sort=False)
+                .size().reset_index(name="c").astype({"c": "int64"}))
+
+    def hist_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["lang", "nll"], sort=False)["c"]
+                .sum().reset_index().astype({"c": "int64"}))
+
+    hist = bucketed_agg(scores.map_batches(hist_partial,
+                                           batch_format="pandas"),
+                        ["lang", "nll"], hist_combine).to_pandas()
+    out_cols = {"lang": pd.Series([], dtype="object"),
+                "bucket": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "avg_nll": pd.Series([], dtype="float64")}
+    if hist.empty:
+        return pd.DataFrame(out_cols)
+
+    thr: dict[str, tuple[float, float]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("nll")
+        cum = g["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        v = g["nll"].to_numpy()
+        t1 = float(v[np.searchsorted(cum, (n + 2) // 3)])
+        t2 = float(v[np.searchsorted(cum, (2 * n + 2) // 3)])
+        thr[str(lang)] = (t1, t2)
+    thr_ref = ray.put(thr)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        t1 = b["lang"].map(lambda x: t[str(x)][0]).to_numpy()
+        t2 = b["lang"].map(lambda x: t[str(x)][1]).to_numpy()
+        nll = b["nll"].to_numpy()
+        bucket = np.where(nll <= t1, "head",
+                          np.where(nll <= t2, "middle", "tail"))
+        df = pd.DataFrame({"lang": b["lang"], "bucket": bucket,
+                           "nll": nll})
+        return (df.groupby(["lang", "bucket"], sort=False)
+                .agg(n=("nll", "count"), s=("nll", "sum")).reset_index())
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["lang", "bucket"], sort=False)
+             .agg(n_docs=("n", "sum"), s=("s", "sum")).reset_index())
+        return pd.DataFrame({
+            "lang": g["lang"], "bucket": g["bucket"],
+            "n_docs": g["n_docs"].astype(np.int64),
+            "avg_nll": np.round(g["s"] / g["n_docs"], round_to)})
+
+    from .util import combine_bounded
+    res = combine_bounded(
+        scores.map_batches(assign, batch_format="pandas"),
+        final).to_pandas()
+    return res if not res.empty else pd.DataFrame(out_cols)

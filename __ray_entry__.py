@@ -377,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": lambda sf: corpus.duplicate_spans(sf),
         "lm_perplexity": lambda sf: corpus.lm_perplexity(sf),
         "perplexity_buckets": lambda sf: corpus.perplexity_buckets(sf),
+        "bpe_train": lambda sf: corpus.bpe_train(sf),
+        "bpe_encode_stats": lambda sf: corpus.bpe_encode_stats(sf),
         "stratified_sample": lambda sf: corpus.stratified_sample(sf),
         "pack_sequences": lambda sf: corpus.pack_sequences(sf),
         "repetition_filter": lambda sf: corpus.repetition_filter(sf),

@@ -506,3 +506,93 @@ def test_perplexity_buckets_mirror(ray_session, tmp_path):
             .sort_values(["lang", "bucket"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   rtol=0, atol=1.01e-6)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training / encoding
+# ---------------------------------------------------------------------------
+
+def _bpe_mirror_train(texts, n_merges):
+    """Literal Sennrich et al. (2016) loop over the word-count table."""
+    from collections import Counter
+    wc = Counter()
+    for t in texts:
+        wc.update(corpus._tokens(t))
+    segs = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, seg in segs.items():
+            for p in zip(seg, seg[1:]):
+                pc[p] += wc[w]
+        if not pc:
+            break
+        bc = max(pc.values())
+        pair = min(p for p, c in pc.items() if c == bc)
+        merges.append(pair)
+        a, b = pair
+        for w, seg in segs.items():
+            out, j = [], 0
+            while j < len(seg):
+                if j + 1 < len(seg) and seg[j] == a and seg[j + 1] == b:
+                    out.append(a + b); j += 2
+                else:
+                    out.append(seg[j]); j += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_train_mirror_sf(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["text"]).to_pandas()
+    got = corpus.bpe_train(SF, n_merges=30)
+    want = _bpe_mirror_train(list(t["text"]), 30)
+    assert list(zip(got["left"], got["right"])) == want
+    assert list(got["merged"]) == [a + b for a, b in want]
+    assert list(got["rank"]) == list(range(len(want)))
+
+
+def test_bpe_train_known_answer(ray_session, tmp_path):
+    # classic toy corpus: 'aaab' x3, 'aab' x2 → first merge ('a','a')
+    texts = ["aaab aaab aaab aab aab"]
+    d = _write_docs(tmp_path / "bpe", texts)
+    got = corpus.bpe_train(d, n_merges=3)
+    assert (got.loc[0, "left"], got.loc[0, "right"]) == ("a", "a")
+    want = _bpe_mirror_train(texts, 3)
+    assert list(zip(got["left"], got["right"])) == want
+
+
+def test_bpe_encode_stats_mirror(ray_session, tmp_path):
+    texts = ["lower lower lowest newer newer newest wider wide new",
+             "low low lowest newest wide wider new newer"]
+    d = _write_docs(tmp_path / "bpe2", texts)
+    n_merges, k = 10, 50
+    got = corpus.bpe_encode_stats(d, n_merges=n_merges, k=k)
+    merges = _bpe_mirror_train(texts, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    from collections import Counter
+    subs = Counter()
+    for t in texts:
+        for tok in corpus._tokens(t):
+            seg = list(tok) + ["</w>"]
+            while len(seg) >= 2:
+                cand = [(ranks[(seg[i], seg[i + 1])], i)
+                        for i in range(len(seg) - 1)
+                        if (seg[i], seg[i + 1]) in ranks]
+                if not cand:
+                    break
+                _, i = min(cand)
+                seg[i:i + 2] = [seg[i] + seg[i + 1]]
+            subs.update(seg)
+    want = (pd.DataFrame({"subword": list(subs), "cnt": list(subs.values())})
+            .sort_values(["cnt", "subword"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+    # conservation: subword occurrences reassemble the corpus exactly
+    total_chars = sum(len(tok) for t in texts for tok in corpus._tokens(t))
+    n_words = sum(len(corpus._tokens(t)) for t in texts)
+    assert sum(len(s.replace("</w>", "")) * c
+               for s, c in subs.items()) == total_chars
+    assert sum(c for s, c in subs.items()
+               if s.endswith("</w>")) == n_words

@@ -1045,3 +1045,149 @@ def perplexity_buckets(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
         scores.map_batches(assign, batch_format="pandas"),
         final).to_pandas()
     return res if not res.empty else pd.DataFrame(out_cols)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + encoding (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+def _bpe_word_counts(sf_dir: str) -> pd.DataFrame:
+    """Distributed word-count pass (the only corpus-sized stage of BPE
+    training): per-batch value_counts partials → bucketed combine.
+    Returns the full (token, cnt) table."""
+    from .util import bucketed_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for text in batch["text"]:
+            toks.extend(_tokens(text))
+        vc = pd.Series(toks, dtype="object").value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("token", sort=False)["cnt"].sum()
+                .reset_index().astype({"cnt": "int64"}))
+
+    out = bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
+                       ["token"], combine).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"token": pd.Series([], dtype="object"),
+                            "cnt": pd.Series([], dtype="int64")})
+    return out
+
+
+def bpe_train(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016, ACL —
+    the tokenizer-training step of every LLM data pipeline). Classic
+    algorithm: start from character sequences per word (with an
+    end-of-word marker '</w>'), repeatedly merge the most frequent
+    adjacent symbol pair (ties → lexicographically smallest (left,
+    right)), weighted by word frequency.
+
+    Scale shape — the same as production tokenizer trainers (HF
+    tokenizers, sentencepiece): the corpus-sized stage is ONE
+    distributed word-count pass; the merge loop then runs on the
+    bounded (vocab × count) table on the driver. A 100-TB corpus has a
+    ~10⁷-entry word-frequency table after whitespace splitting — the
+    loop's input is model-sized, never corpus-sized.
+
+    Output: (rank, left, right, merged) — n_merges rows (fewer if the
+    vocab saturates). Deterministic; rows-only checked (iterative
+    argmax-merge is not SQL-expressible) with a literal mirror test.
+    """
+    wc = _bpe_word_counts(sf_dir)
+    segs: list[list[str]] = [list(t) + ["</w>"] for t in wc["token"]]
+    cnts = wc["cnt"].to_numpy(dtype=np.int64)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_cnt: dict[tuple[str, str], int] = {}
+        for seg, c in zip(segs, cnts):
+            for a, b in zip(seg, seg[1:]):
+                pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + int(c)
+        if not pair_cnt:
+            break
+        bc = max(pair_cnt.values())
+        # ties → lexicographically smallest (left, right)
+        pair = min(p for p, c in pair_cnt.items() if c == bc)
+        merges.append(pair)
+        a, b = pair
+        ab = a + b
+        for i, seg in enumerate(segs):
+            if len(seg) < 2:
+                continue
+            j, out = 0, []
+            while j < len(seg):
+                if j + 1 < len(seg) and seg[j] == a and seg[j + 1] == b:
+                    out.append(ab)
+                    j += 2
+                else:
+                    out.append(seg[j])
+                    j += 1
+            segs[i] = out
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "merged": [m[0] + m[1] for m in merges]})
+
+
+def _bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with trained merges: repeatedly apply the
+    lowest-rank applicable merge (the standard greedy BPE encoder)."""
+    seg = list(word) + ["</w>"]
+    while len(seg) >= 2:
+        best_rank, best_i = None, -1
+        for i in range(len(seg) - 1):
+            r = ranks.get((seg[i], seg[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        seg[best_i:best_i + 2] = [seg[best_i] + seg[best_i + 1]]
+    return seg
+
+
+def bpe_encode_stats(sf_dir: str, n_merges: int = 50,
+                     k: int = 100) -> pd.DataFrame:
+    """Apply trained BPE merges to the corpus and report the top-k
+    subword units by occurrence — the vocabulary the tokenizer would
+    ship. Train via ``bpe_train`` (one distributed count pass +
+    driver merge loop), broadcast the merge ranks once via ``ray.put``,
+    then encode DISTINCT words per batch (memoized per batch) in a
+    stateless map_batches and combine subword count partials.
+
+    Output: (subword, cnt) — k rows, cnt desc then subword asc.
+    Rows-only checked (BPE encoding is not SQL-expressible); literal
+    mirror + determinism tests in tests/test_corpus.py.
+    """
+    import ray
+
+    merges = bpe_train(sf_dir, n_merges)
+    ranks = {(l, r): int(i) for i, (l, r) in
+             enumerate(zip(merges["left"], merges["right"]))}
+    ranks_ref = ray.put(ranks)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rk = ray.get(ranks_ref)
+        cache: dict[str, list[str]] = {}
+        subs: dict[str, int] = {}
+        for text in batch["text"]:
+            for tok in _tokens(text):
+                seg = cache.get(tok)
+                if seg is None:
+                    seg = _bpe_apply(tok, rk)
+                    cache[tok] = seg
+                for s in seg:
+                    subs[s] = subs.get(s, 0) + 1
+        return pd.DataFrame({"subword": list(subs.keys()),
+                             "cnt": np.fromiter(subs.values(),
+                                                dtype=np.int64,
+                                                count=len(subs))})
+
+    return _bucketed_topk(docs.map_batches(partial, batch_format="pandas"),
+                          key="subword", val="cnt", k=k)

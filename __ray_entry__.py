@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": lambda sf: corpus.duplicate_spans(sf),
         "lm_perplexity": lambda sf: corpus.lm_perplexity(sf),
         "perplexity_buckets": lambda sf: corpus.perplexity_buckets(sf),
+        "importance_weights": lambda sf: corpus.importance_weights(sf),
         "bpe_train": lambda sf: corpus.bpe_train(sf),
         "bpe_encode_stats": lambda sf: corpus.bpe_encode_stats(sf),
         "stratified_sample": lambda sf: corpus.stratified_sample(sf),
@@ -1111,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": o.duplicate_spans_sql(),
         "lm_perplexity": o.lm_perplexity_sql(),
         "perplexity_buckets": o.perplexity_buckets_sql(),
+        "importance_weights": o.importance_weights_sql(),
         "stratified_sample": o.stratified_sample_sql(),
         "pack_sequences": o.pack_sequences_sql(),
         "repetition_filter": o.repetition_filter_sql(),

@@ -61,7 +61,9 @@ def run_bench() -> dict:
                      # corpus-curation additions (round 2 part 3)
                      "minhash_pairs", "dup_clusters", "pack_sequences",
                      # round-3: skewed-corpus exact dedup (20k pages)
-                     "pages_exact_dedup"]
+                     "pages_exact_dedup",
+                     # round-3 part 4: span-level dedup + LM scoring
+                     "duplicate_spans", "lm_perplexity"]
     times: dict[str, float] = {}
     for name in bench_queries:
         t0 = time.perf_counter()

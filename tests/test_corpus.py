@@ -596,3 +596,59 @@ def test_bpe_encode_stats_mirror(ray_session, tmp_path):
                for s, c in subs.items()) == total_chars
     assert sum(c for s, c in subs.items()
                if s.endswith("</w>")) == n_words
+
+
+def _importance_mirror(texts, langs, target="en", round_to=6):
+    import math
+    from collections import Counter
+    c_all, c_tgt = Counter(), Counter()
+    toks_of = {}
+    for i, (t, lg) in enumerate(zip(texts, langs)):
+        toks = corpus._tokens(t)
+        toks_of[i] = toks
+        c_all.update(toks)
+        if lg == target:
+            c_tgt.update(toks)
+    V = len(c_all)
+    N = sum(c_all.values())
+    Nt = sum(c_tgt.values())
+    rows = []
+    for i, toks in toks_of.items():
+        if not toks:
+            continue
+        s = sum(math.log((c_tgt[t] + 1.0) / float(Nt + V))
+                - math.log((c_all[t] + 1.0) / float(N + V)) for t in toks)
+        rows.append((i, len(toks), round(s / len(toks), round_to)))
+    return (pd.DataFrame(rows, columns=["doc_id", "ntok", "logw"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_importance_weights_mirror(ray_session, tmp_path):
+    texts = ["the cat sat on the mat", "le chat est noir",
+             "the dog ran fast", "der hund ist gross",
+             "cats and dogs run", "on the mat sat a cat"]
+    langs = ["en", "fr", "en", "de", "en", "fr"]
+    d = _write_docs(tmp_path / "iw", texts, langs)
+    got = (corpus.importance_weights(d).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True)
+           [["doc_id", "ntok", "logw"]])
+    want = _importance_mirror(texts, langs)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  rtol=0, atol=1.01e-6)
+    # English-token docs must weigh above the German doc
+    w = dict(zip(got["doc_id"], got["logw"]))
+    assert w[0] > w[3] and w[2] > w[3]
+
+
+def test_importance_weights_mirror_sf(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "lang"]).to_pandas() \
+          .sort_values("doc_id")
+    got = (corpus.importance_weights(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True)
+           [["doc_id", "ntok", "logw"]])
+    want = _importance_mirror(list(t["text"]), list(t["lang"]))
+    want["doc_id"] = t["doc_id"].to_numpy()[want["doc_id"].to_numpy()]
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  rtol=0, atol=1.01e-6)

@@ -7559,6 +7559,32 @@ FROM b GROUP BY 1, 2
 """
 
 
+def importance_weights_sql(target_lang: str = "en",
+                           round_to: int = 6) -> str:
+    """Exact mirror of stages/corpus.importance_weights: DSIR-style
+    mean per-token log-ratio of the target-lang unigram LM over the
+    raw-corpus unigram LM, add-one smoothed over the shared vocab."""
+    return f"""
+WITH raw AS (SELECT doc_id, lang, {_STRIP_SPLIT} AS toks FROM documents),
+tok AS (SELECT raw.doc_id, raw.lang, raw.toks[u.i + 1] AS tok
+        FROM raw, LATERAL (SELECT unnest(range(len(raw.toks))) AS i) u
+        WHERE raw.toks[1] <> ''),
+cnt AS (SELECT tok, count(*) AS c_all,
+               CAST(SUM(CASE WHEN lang = '{target_lang}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+        FROM tok GROUP BY 1),
+mdl AS (SELECT count(*) AS v, CAST(SUM(c_all) AS BIGINT) AS n,
+               CAST(SUM(c_tgt) AS BIGINT) AS nt FROM cnt),
+lr AS (SELECT t.doc_id,
+              ln((c.c_tgt + 1.0) / (mdl.nt + mdl.v))
+            - ln((c.c_all + 1.0) / (mdl.n + mdl.v)) AS lr
+       FROM tok t JOIN cnt c ON c.tok = t.tok CROSS JOIN mdl)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+       round(SUM(lr) / count(*), {round_to}) AS logw
+FROM lr GROUP BY 1
+"""
+
+
 def decontaminate_sql(n: int = 4, bench_mod: int = 97) -> str:
     """Exact mirror of stages/corpus.decontaminate: distinct shared
     word n-grams between each non-benchmark doc and the benchmark set

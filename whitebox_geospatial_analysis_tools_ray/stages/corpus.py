@@ -1191,3 +1191,106 @@ def bpe_encode_stats(sf_dir: str, n_merges: int = 50,
 
     return _bucketed_topk(docs.map_batches(partial, batch_format="pandas"),
                           key="subword", val="cnt", k=k)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data selection for a target domain)
+# ---------------------------------------------------------------------------
+
+def importance_weights(sf_dir: str, target_lang: str = "en",
+                       round_to: int = 6) -> "rd.Dataset":
+    """Per-document log importance weight for TARGET-domain data
+    selection — the DSIR recipe (Xie et al. 2023, NeurIPS, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every doc by the mean per-token log-ratio of a target-domain
+    unigram LM over the raw-corpus unigram LM; resampling by these
+    weights shifts the corpus toward the target distribution. The
+    ``lang == target_lang`` subset stands in for the target domain
+    (in production: a fixed bounded high-quality corpus).
+
+    Both models smooth add-one over the SHARED raw vocab V:
+    P_t(tok) = (C_t(tok)+1)/(N_t+V), P_r(tok) = (C(tok)+1)/(N+V);
+    logw(doc) = mean_i [ ln P_t(t_i) − ln P_r(t_i) ].
+
+    Plan: ONE distributed count pass emits (token, c_all, c_tgt)
+    partials → bucketed combine; the driver holds the two vocab-sized
+    count tables only, broadcast once via ``ray.put``; scoring is a
+    stateless vectorized map_batches. Same boundedness as
+    ``lm_perplexity`` (the model is vocab-sized, never corpus-sized).
+
+    Output: (doc_id, ntok, logw) for docs with >= 1 token, logw
+    rounded to ``round_to`` (shared convention).
+    """
+    import ray
+
+    from .util import bucketed_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        alls: list[str] = []
+        tgts: list[str] = []
+        for text, lang in zip(batch["text"], batch["lang"]):
+            toks = _tokens(text)
+            alls.extend(toks)
+            if lang == target_lang:
+                tgts.extend(toks)
+        va = pd.Series(alls, dtype="object").value_counts()
+        vt = pd.Series(tgts, dtype="object").value_counts()
+        df = pd.DataFrame({"token": va.index.to_numpy(dtype=object),
+                           "c_all": va.to_numpy(dtype=np.int64)})
+        df["c_tgt"] = df["token"].map(vt).fillna(0).astype(np.int64)
+        return df
+
+    def count_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("token", sort=False)[["c_all", "c_tgt"]]
+                .sum().reset_index()
+                .astype({"c_all": "int64", "c_tgt": "int64"}))
+
+    counts = bucketed_agg(
+        docs.map_batches(count_partial, batch_format="pandas"),
+        ["token"], count_combine).to_pandas()
+    if counts.empty:
+        counts = pd.DataFrame({"token": pd.Series([], dtype="object"),
+                               "c_all": pd.Series([], dtype="int64"),
+                               "c_tgt": pd.Series([], dtype="int64")})
+    V = len(counts)
+    N = int(counts["c_all"].sum())
+    Nt = int(counts["c_tgt"].sum())
+    model_ref = ray.put((dict(zip(counts["token"], counts["c_all"])),
+                         dict(zip(counts["token"], counts["c_tgt"])),
+                         N, Nt, V))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        c_all, c_tgt, n_all, n_t, v = ray.get(model_ref)
+        ids: list[int] = []
+        ntoks: list[int] = []
+        doc_of: list[int] = []
+        toks_flat: list[str] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = _tokens(text)
+            if not toks:
+                continue
+            ids.append(int(doc_id))
+            ntoks.append(len(toks))
+            doc_of.extend([len(ids) - 1] * len(toks))
+            toks_flat.extend(toks)
+        if not ids:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "ntok": pd.Series([], dtype="int64"),
+                                 "logw": pd.Series([], dtype="float64")})
+        tok_s = pd.Series(toks_flat, dtype="object")
+        ca = tok_s.map(c_all).fillna(0).to_numpy(dtype=np.float64)
+        ct = tok_s.map(c_tgt).fillna(0).to_numpy(dtype=np.float64)
+        lr = (np.log((ct + 1.0) / float(n_t + v))
+              - np.log((ca + 1.0) / float(n_all + v)))
+        sums = np.bincount(np.asarray(doc_of, dtype=np.int64),
+                           weights=lr, minlength=len(ids))
+        nt = np.asarray(ntoks, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "ntok": nt,
+            "logw": np.round(sums / nt, round_to)})
+
+    return docs.map_batches(score, batch_format="pandas")

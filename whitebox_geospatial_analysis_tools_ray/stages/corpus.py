@@ -989,7 +989,10 @@ def perplexity_buckets(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
 
     from .util import bucketed_agg
 
-    scores = lm_perplexity(sf_dir, round_to, _with_lang=True)
+    # materialize: the per-doc score table (1 row/doc, metadata-sized
+    # next to the corpus) is consumed TWICE (histogram pass + assign
+    # pass) — without this the whole read+score pipeline re-executes
+    scores = lm_perplexity(sf_dir, round_to, _with_lang=True).materialize()
 
     def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
         return (b.groupby(["lang", "nll"], sort=False)

@@ -458,29 +458,39 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> "rd.Dataset":
     posts = docs.map_batches(postings, batch_format="pandas")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, sub in g.groupby("crc", sort=False):
-            n = len(sub)
-            if n < 2:
-                continue
-            d = sub["doc_id"].to_numpy()
-            s = sub["sz"].to_numpy()
-            order = np.argsort(d)
-            d, s = d[order], s[order]
-            ia, ib = np.triu_indices(n, k=1)
-            outs.append((d[ia], d[ib], s[ia], s[ib]))
-        if not outs:
-            return pd.DataFrame({"pbucket": pd.Series([], dtype="int64"),
-                                 "doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "sa": pd.Series([], dtype="int64"),
-                                 "sb": pd.Series([], dtype="int64")})
-        a = np.concatenate([o[0] for o in outs])
-        b = np.concatenate([o[1] for o in outs])
+        # fully vectorized per-run pair expansion (no Python loop over
+        # the bucket's distinct shingles): sort postings by (crc,
+        # doc_id), then for each element at local index k of an
+        # n-run emit it as doc_a against the n−1−k following elements
+        # — identical pair set (and doc_a < doc_b order) to the old
+        # per-run triu_indices
+        empty = pd.DataFrame({"pbucket": pd.Series([], dtype="int64"),
+                              "doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "sa": pd.Series([], dtype="int64"),
+                              "sb": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        order = np.lexsort((g["doc_id"].to_numpy(), g["crc"].to_numpy()))
+        crc = g["crc"].to_numpy()[order]
+        d = g["doc_id"].to_numpy()[order]
+        s = g["sz"].to_numpy()[order]
+        starts = np.flatnonzero(np.concatenate([[True], crc[1:] != crc[:-1]]))
+        run_len = np.diff(np.concatenate([starts, [len(crc)]]))
+        run_of = np.repeat(np.arange(len(starts)), run_len)
+        local = np.arange(len(crc)) - starts[run_of]
+        cnt_a = run_len[run_of] - 1 - local          # pairs led by each elem
+        total = int(cnt_a.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(len(crc)), cnt_a)
+        csum = np.concatenate([[0], np.cumsum(cnt_a)[:-1]])
+        within = np.arange(total) - np.repeat(csum, cnt_a)
+        b_idx = a_idx + 1 + within
+        a, b = d[a_idx], d[b_idx]
         return pd.DataFrame({"pbucket": (a * 2654435761 + b) % NB,
                              "doc_a": a, "doc_b": b,
-                             "sa": np.concatenate([o[2] for o in outs]),
-                             "sb": np.concatenate([o[3] for o in outs])})
+                             "sa": s[a_idx], "sb": s[b_idx]})
 
     paired = (coalesce_partials(posts).groupby("sbucket")
               .map_groups(pairs_in_bucket, batch_format="pandas"))

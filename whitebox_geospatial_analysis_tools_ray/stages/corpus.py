@@ -749,11 +749,13 @@ def duplicate_spans(sf_dir: str, k: int = 5) -> "rd.Dataset":
 
     Plan (two bounded-bucket shuffles; no text on the wire after the
     per-batch partial):
-      1. per batch: one vectorized groupby builds per-(gram, doc)
-         partial counts; the gram travels as a 128-bit double hash
-         (two independent ``pd.util.hash_pandas_object`` keys —
-         collision odds ~n²/2¹²⁹, the same accept-rule as the md5
-         dedup keys), never as the string;
+      1. per batch: per-TOKEN 64-bit hashes (two independent
+         ``pd.util.hash_pandas_object`` keys, vectorized once over the
+         batch's token stream) combine into per-WINDOW hashes via a
+         wraparound-uint64 polynomial — k strided vector ops, no
+         per-window Python string building. The gram travels as that
+         128-bit double hash (collision odds ~n²/2¹²⁸, the same
+         accept-rule as the md5 dedup keys), never as the string;
       2. ``bucketed_agg`` by gram hash: per gram, total corpus count +
          first holder doc; re-emits per-doc contribution rows;
       3. ``bucketed_agg`` by doc_id: per-doc sums.
@@ -771,6 +773,8 @@ def duplicate_spans(sf_dir: str, k: int = 5) -> "rd.Dataset":
 
     _HK1 = "0123456789123456"           # pandas' default hash key
     _HK2 = "graft.dup.spans!"           # independent 16-byte key
+    _P1 = np.uint64(0x9E3779B97F4A7C15)     # odd polynomial multipliers
+    _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
     def _empty_partial() -> pd.DataFrame:
         return pd.DataFrame({"h1": pd.Series([], dtype="int64"),
@@ -778,23 +782,47 @@ def duplicate_spans(sf_dir: str, k: int = 5) -> "rd.Dataset":
                              "doc_id": pd.Series([], dtype="int64"),
                              "cnt": pd.Series([], dtype="int64")})
 
+    def _window_hash(th: np.ndarray, P: np.uint64,
+                     n_win: int) -> np.ndarray:
+        # polynomial over the token-hash stream: w[i] = Σ_j th[i+j]·P^(k-1-j)
+        # (uint64 wraparound). k strided adds — fully vectorized.
+        acc = np.zeros(n_win, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * P + th[j:n_win + j]
+        return acc
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ids: list[int] = []
-        grams: list[str] = []
+        ids: list[int] = []          # doc_id per window
+        toks_flat: list[str] = []
+        win_mask_parts: list[np.ndarray] = []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
             toks = _tokens(text)
-            if len(toks) < k:
-                continue
-            ids.extend([int(doc_id)] * (len(toks) - k + 1))
-            grams.extend(" ".join(toks[i:i + k])
-                         for i in range(len(toks) - k + 1))
-        if not grams:
+            if len(toks) < k:        # no window can start here; a valid
+                continue             # start never reads past its own doc
+            n_win = len(toks) - k + 1
+            ids.extend([int(doc_id)] * n_win)
+            toks_flat.extend(toks)
+            m = np.zeros(len(toks), dtype=bool)
+            m[:n_win] = True         # valid window starts of this doc
+            win_mask_parts.append(m)
+        if not ids:
             return _empty_partial()
-        s = pd.Series(grams, dtype="object")
-        h1 = pd.util.hash_pandas_object(s, index=False, hash_key=_HK1)
-        h2 = pd.util.hash_pandas_object(s, index=False, hash_key=_HK2)
-        df = pd.DataFrame({"h1": h1.to_numpy().view(np.int64),
-                           "h2": h2.to_numpy().view(np.int64),
+        s = pd.Series(toks_flat, dtype="object")
+        th1 = pd.util.hash_pandas_object(
+            s, index=False, hash_key=_HK1).to_numpy()
+        th2 = pd.util.hash_pandas_object(
+            s, index=False, hash_key=_HK2).to_numpy()
+        # pad so strided windows at the stream tail stay in bounds; the
+        # mask drops them (and every cross-doc window)
+        pad = np.zeros(k - 1, dtype=np.uint64)
+        th1 = np.concatenate([th1, pad])
+        th2 = np.concatenate([th2, pad])
+        n = len(s)
+        mask = np.concatenate(win_mask_parts)
+        w1 = _window_hash(th1, _P1, n)[mask]
+        w2 = _window_hash(th2, _P2, n)[mask]
+        df = pd.DataFrame({"h1": w1.view(np.int64),
+                           "h2": w2.view(np.int64),
                            "doc_id": np.asarray(ids, dtype=np.int64)})
         return (df.groupby(["h1", "h2", "doc_id"], sort=False)
                 .size().reset_index(name="cnt")

@@ -652,3 +652,21 @@ def test_importance_weights_mirror_sf(ray_session):
     want = want.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   rtol=0, atol=1.01e-6)
+
+
+def test_duplicate_spans_property_random(ray_session, tmp_path):
+    """Random small-vocab corpora (dup-rich): the distributed rolling-
+    hash pipeline must equal the literal gram-string mirror — guards
+    the window-hash/doc-id alignment and the polynomial-hash grouping."""
+    rng = np.random.default_rng(1234)
+    vocab = [f"t{i}" for i in range(6)]
+    for trial in range(5):
+        texts = [" ".join(rng.choice(vocab, size=int(n)))
+                 for n in rng.integers(0, 18, size=12)]
+        d = _write_docs(tmp_path / f"ds{trial}", texts)
+        got = (corpus.duplicate_spans(d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True)
+               [["doc_id", "n_windows", "n_dup_windows",
+                 "n_first_copies"]])
+        want = _dup_spans_mirror(texts, 5)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

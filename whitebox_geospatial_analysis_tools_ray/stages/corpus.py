@@ -1053,8 +1053,8 @@ def perplexity_buckets(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         t = ray.get(thr_ref)
-        t1 = b["lang"].map(lambda x: t[str(x)][0]).to_numpy()
-        t2 = b["lang"].map(lambda x: t[str(x)][1]).to_numpy()
+        t1 = b["lang"].map({k: v[0] for k, v in t.items()}).to_numpy()
+        t2 = b["lang"].map({k: v[1] for k, v in t.items()}).to_numpy()
         nll = b["nll"].to_numpy()
         bucket = np.where(nll <= t1, "head",
                           np.where(nll <= t2, "middle", "tail"))

@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": lambda sf: relational.top_parts_by_price(sf),
         "join_large": lambda sf: relational.orders_lineitem_join(sf),
         "events_window": lambda sf: relational.events_tumbling_window(sf),
+        "events_asof_join": lambda sf: relational.events_asof_join(sf),
         "user_sessions": lambda sf: relational.user_sessions(sf),
         "distinct_event_types": lambda sf: relational.distinct_event_types(sf),
         # --- raster family (MathTools, FilterMean, RasterToVectorPoints) ---
@@ -1127,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
             "whitebox_geospatial_analysis_tools_ray.stages.relational",
             fromlist=["x"]).orders_lineitem_join_sql(),
         "events_window": o.events_window_sql(),
+        "events_asof_join": o.events_asof_join_sql(),
         "user_sessions": o.user_sessions_sql(),
         "distinct_event_types": o.distinct_event_types_sql(),
         "raster_math": o.raster_math_sql(),

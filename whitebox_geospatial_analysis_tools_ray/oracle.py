@@ -437,6 +437,25 @@ FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT {k}
 """
 
 
+def events_asof_join_sql(left_type: str = "purchase",
+                         right_type: str = "signup") -> str:
+    """Exact mirror of stages/relational.events_asof_join: per-user
+    latest strictly-prior right event; integer-µs gap (exact), -1 when
+    none."""
+    return f"""
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = '{left_type}'),
+r AS (SELECT user_id, ts FROM events WHERE event_type = '{right_type}')
+SELECT l.event_id, l.user_id,
+       CAST(CASE WHEN MAX(epoch_us(r.ts)) IS NULL THEN 0 ELSE 1 END
+            AS BIGINT) AS has_prior,
+       CAST(COALESCE(ANY_VALUE(epoch_us(l.ts)) - MAX(epoch_us(r.ts)), -1)
+            AS BIGINT) AS gap_us
+FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts < l.ts
+GROUP BY 1, 2
+"""
+
+
 def events_window_sql(window_sec: int = 3600) -> str:
     wus = window_sec * 1_000_000
     return f"""

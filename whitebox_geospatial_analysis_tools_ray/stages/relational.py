@@ -400,3 +400,87 @@ SELECT o.o_orderpriority,
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
+
+
+def events_asof_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "signup") -> "rd.Dataset":
+    """Per-user AS-OF join over the event stream — the custom operator
+    the Dataset API lacks (SURVEY §2.11 / the graft brief's named
+    example): for every ``left_type`` event, the latest STRICTLY
+    PRIOR ``right_type`` event of the same user, and the gap.
+
+    Plan: one pruned read, hash-bucket by user_id (bounded bucket
+    key), then ONE vectorized ``searchsorted`` per bucket over
+    dense-rank composite keys (user_rank × M + ts_rank — both ranks
+    local to the bucket, so the key always fits int64): candidate =
+    first right-key ≥ (user, left_ts_rank), minus one; strictly-prior
+    semantics falls out of ranking ties together. No per-user Python
+    loop. Partitioning assumption (documented): one user's events fit
+    one bucket's task — the standard as-of-join co-location; a
+    pathological mega-user would need time-sliced carry like the
+    banded raster fixed points.
+
+    Output: (event_id, user_id, has_prior, gap_us) — gap in integer
+    microseconds (exact), -1 when no prior right event exists.
+    """
+    NB = 64
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def to_bucketed(t: "pa.Table") -> pd.DataFrame:
+        et = t["event_type"].to_pandas()
+        keep = (et == left_type) | (et == right_type)
+        df = pd.DataFrame({
+            "event_id": t["event_id"].to_numpy()[keep],
+            "ts_us": pc.cast(t["ts"], pa.int64()).to_numpy()[keep],
+            "user_id": t["user_id"].to_numpy()[keep],
+            "is_left": (et[keep] == left_type).to_numpy()})
+        df["bucket"] = (df["user_id"].to_numpy() * 2654435761) % NB
+        return df
+
+    def asof_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "has_prior": pd.Series([], dtype="int64"),
+            "gap_us": pd.Series([], dtype="int64")})
+        lf = g[g["is_left"]]
+        rt = g[~g["is_left"]]
+        if len(lf) == 0:
+            return out_empty
+        # dense ranks local to the bucket
+        u_all = np.concatenate([lf["user_id"].to_numpy(),
+                                rt["user_id"].to_numpy()])
+        t_all = np.concatenate([lf["ts_us"].to_numpy(),
+                                rt["ts_us"].to_numpy()])
+        uu, u_rank = np.unique(u_all, return_inverse=True)
+        tt, t_rank = np.unique(t_all, return_inverse=True)
+        M = np.int64(len(tt) + 1)
+        key = u_rank.astype(np.int64) * M + t_rank.astype(np.int64)
+        lkey, rkey = key[:len(lf)], key[len(lf):]
+        order = np.argsort(rkey, kind="mergesort")
+        rkey_s = rkey[order]
+        rts_s = rt["ts_us"].to_numpy()[order]
+        ruser_s = rt["user_id"].to_numpy()[order]
+        # first right >= (user, left_ts_rank) — ties rank together, so
+        # idx-1 is the latest STRICTLY prior right event
+        idx = np.searchsorted(rkey_s, lkey, side="left") - 1
+        luser = lf["user_id"].to_numpy()
+        lts = lf["ts_us"].to_numpy()
+        valid = idx >= 0
+        same_user = np.zeros(len(lf), dtype=bool)
+        same_user[valid] = ruser_s[idx[valid]] == luser[valid]
+        gap = np.full(len(lf), -1, dtype=np.int64)
+        gap[same_user] = lts[same_user] - rts_s[idx[same_user]]
+        return pd.DataFrame({
+            "event_id": lf["event_id"].to_numpy(),
+            "user_id": luser,
+            "has_prior": same_user.astype(np.int64),
+            "gap_us": gap})
+
+    from .util import coalesce_partials
+    return (coalesce_partials(
+                ds.map_batches(to_bucketed, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(asof_in_bucket, batch_format="pandas"))

@@ -316,44 +316,29 @@ def delaunay_many(pts_list) -> list[list[tuple[int, int, int]]]:
             bad = cand
         if len(bad) == 0:
             continue
-        # group bad slots per feature (ascending slot order within each
-        # feature — exactly the scalar flatnonzero order)
-        order = np.argsort(fid[bad], kind="stable")
-        bad = bad[order]
-        fb = fid[bad].tolist()
-        vb = verts[bad].tolist()          # python ints once, not per row
-        hole_pairs: list[tuple[int, int]] = []
-        counts: list[int] = []
-        farr: list[int] = []
-        lo = 0
+        # vectorized cavity boundary across ALL features in the round:
+        # edges travel as normalized global-id pairs — per-feature point
+        # id ranges are disjoint, so (u, v) alone keys an edge to its
+        # feature, and a count-1 edge is a hole-boundary edge. The edge
+        # EMISSION order differs from the scalar dict walk, but the
+        # triangle SET per insertion is order-independent (the in-circle
+        # predicate is exact), which is what the scalar-equality tests
+        # pin. key fits int64 for any batch < 2^31 points (asserted).
         nb = len(bad)
-        while lo < nb:
-            f = fb[lo]
-            hi = lo
-            while hi < nb and fb[hi] == f:
-                hi += 1
-            edges: dict[tuple[int, int], int] = {}
-            for j in range(lo, hi):
-                a, b, c = vb[j]
-                for u, v in ((a, b), (b, c), (c, a)):
-                    kk = (u, v) if u < v else (v, u)
-                    edges[kk] = edges.get(kk, 0) + 1
-            nh = 0
-            for kk, cnt in edges.items():
-                if cnt == 1:
-                    hole_pairs.append(kk)
-                    nh += 1
-            if nh:
-                counts.append(nh)
-                farr.append(f)
-            lo = hi
+        tv = verts[bad]
+        u3 = np.concatenate([tv[:, 0], tv[:, 1], tv[:, 2]])
+        v3 = np.concatenate([tv[:, 1], tv[:, 2], tv[:, 0]])
+        eu = np.minimum(u3, v3)
+        ev = np.maximum(u3, v3)
+        gtot = np.int64(len(G))
+        assert gtot < (1 << 31), "delaunay_many: batch too large for int64 edge keys"
+        _, idx_first, cnt = np.unique(eu * gtot + ev, return_index=True,
+                                      return_counts=True)
         alive[bad] = False
-        if hole_pairs:
-            he = np.asarray(hole_pairs, dtype=np.int64)
-            fa = np.asarray(farr, dtype=np.int64)
-            cn = np.asarray(counts, dtype=np.int64)
-            _add_slots(he[:, 0], he[:, 1],
-                       np.repeat(pidx[fa], cn), np.repeat(fa, cn))
+        sel = idx_first[cnt == 1]
+        if len(sel):
+            ef = fid[bad[sel % nb]]     # edge's feature = its triangle's
+            _add_slots(eu[sel], ev[sel], pidx[ef], ef)
         if m > 1024 and m > 2 * max(1, int(alive[:m].sum())):
             keep = np.flatnonzero(alive[:m])
             k = len(keep)

@@ -127,3 +127,24 @@ def test_simhash_neardup_matches_brute_force(ray_session):
            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0
+
+
+def test_minhash_affine_arithmetic_is_exact():
+    """(a·x+b) mod (2^61−1) must equal arbitrary-precision integer
+    arithmetic (the SQL oracle's HUGEINT) — the naive int64 expression
+    silently wrapped at a·x ~ 2^93 and computed a DIFFERENT hash
+    family (regression pin for the round-3 part-4 fix)."""
+    import numpy as np
+    from whitebox_geospatial_analysis_tools_ray.stages.dedup import (
+        _MERSENNE, _minhash_params, _mod_mersenne_affine)
+    a, b = _minhash_params(42)
+    rng = np.random.default_rng(99)
+    x = np.concatenate([rng.integers(0, 1 << 32, 100),
+                        [0, 1, (1 << 32) - 1]]).astype(np.int64)
+    got = _mod_mersenne_affine(a, b, x)
+    want = np.array([[(int(ai) * int(xi) + int(bi)) % _MERSENNE
+                      for xi in x] for ai, bi in zip(a, b)])
+    assert (got == want).all()
+    # and the naive int64 path really does differ (the bug was real)
+    naive = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+    assert not (naive == want).all()

@@ -157,29 +157,70 @@ def _shingle_crcs(text: str, k: int = 3) -> np.ndarray:
     return np.unique(np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.int64))
 
 
+def _mod_mersenne_affine(a: np.ndarray, b: np.ndarray,
+                         x: np.ndarray) -> np.ndarray:
+    """EXACT (a·x + b) mod (2⁶¹−1) for a,b < p and x < 2³², vectorized
+    as (hashes × shingles) in uint64 with no overflow: split a into
+    31/30-bit halves and fold with 2⁶¹ ≡ 1 (mod p). The previous naive
+    ``(a[:,None]*x+b) % p`` silently WRAPPED int64 (a·x reaches 2⁹³),
+    computing a different — still pairwise-independent, but NOT the
+    oracle's — hash family; exact Jaccard verification masked the
+    difference on test data. This matches the SQL HUGEINT arithmetic
+    bit-for-bit."""
+    M = np.uint64(_MERSENNE)
+    au, bu = a.astype(np.uint64), b.astype(np.uint64)
+    xu = x.astype(np.uint64)
+    a_hi = (au >> np.uint64(31))[:, None]         # < 2^30
+    a_lo = (au & np.uint64((1 << 31) - 1))[:, None]   # < 2^31
+    t_hi = a_hi * xu[None, :]                     # < 2^62
+    t_hi = (t_hi & M) + (t_hi >> np.uint64(61))   # ≡ mod p, < 2^61+2
+    y1 = t_hi >> np.uint64(30)                    # t_hi·2^31 ≡ y1 + y0·2^31
+    y0 = t_hi & np.uint64((1 << 30) - 1)
+    s1 = y1 + (y0 << np.uint64(31))               # < 2^61 + 2^31
+    t_lo = a_lo * xu[None, :]                     # < 2^63
+    t_lo = (t_lo & M) + (t_lo >> np.uint64(61))   # < 2^61+4
+    tot = s1 + t_lo + bu[:, None]                 # < 3·2^61, fits uint64
+    return (tot % M).astype(np.int64)
+
+
 class MinHasher:
     """Actor-pool stage: minhash signatures + LSH band keys per doc.
 
     Hash params generated once per actor in __init__ (seeded — identical
-    on every actor)."""
+    on every actor). The whole batch computes as ONE (64 × total-
+    shingles) affine pass + per-doc ``minimum.reduceat`` (no per-doc
+    matmul), and band keys are a uint64 polynomial mix of the band's
+    signature rows (64-bit — the same collision odds as the previous
+    truncated md5, ~10⁵ keys²/2⁶⁴, without 16 hashlib calls per doc)."""
 
     def __init__(self, seed: int = 42):
         self.a, self.b = _minhash_params(seed)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"band_id": [], "band_hash": [], "doc_id": []}
         rpb = _NUM_HASHES // _BANDS
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            crcs = _shingle_crcs(text)
-            # (a*x + b) mod p, min over shingles, vectorized over 64 fns
-            hv = (self.a[:, None] * crcs[None, :] + self.b[:, None]) % _MERSENNE
-            sig = hv.min(axis=1)
-            for band in range(_BANDS):
-                h = hashlib.md5(sig[band * rpb:(band + 1) * rpb].tobytes()).hexdigest()[:16]
-                rows["band_id"].append(band)
-                rows["band_hash"].append(h)
-                rows["doc_id"].append(int(doc_id))
-        return pd.DataFrame(rows)
+        crcs_list = [_shingle_crcs(t) for t in batch["text"]]
+        nsh = np.array([len(c) for c in crcs_list], dtype=np.int64)
+        if len(nsh) == 0 or nsh.sum() == 0:
+            return pd.DataFrame({"band_id": pd.Series([], dtype="int64"),
+                                 "band_hash": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        offs = np.concatenate([[0], np.cumsum(nsh)[:-1]])
+        hv = _mod_mersenne_affine(self.a, self.b,
+                                  np.concatenate(crcs_list))
+        sig = np.minimum.reduceat(hv, offs, axis=1)   # (64, n_docs)
+        P = np.uint64(0x9E3779B97F4A7C15)
+        n = sig.shape[1]
+        band_hash = np.empty((_BANDS, n), dtype=np.uint64)
+        for band in range(_BANDS):
+            acc = np.zeros(n, dtype=np.uint64)
+            for r in range(band * rpb, (band + 1) * rpb):
+                acc = acc * P + sig[r].astype(np.uint64)
+            band_hash[band] = acc
+        doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "band_id": np.repeat(np.arange(_BANDS, dtype=np.int64), n),
+            "band_hash": band_hash.reshape(-1).view(np.int64),
+            "doc_id": np.tile(doc_ids, _BANDS)})
 
 
 def minhash_candidates(sf_dir: str, concurrency=None,

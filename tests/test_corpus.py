@@ -670,3 +670,43 @@ def test_duplicate_spans_property_random(ray_session, tmp_path):
                  "n_first_copies"]])
         want = _dup_spans_mirror(texts, 5)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_nul_bytes_in_tokens_key_distinctly(ray_session, tmp_path):
+    """Real web text contains NUL bytes; pandas string hashtables merge
+    them silently (groupby/factorize/hash_pandas_object key by C
+    string) while DuckDB/Arrow/python treat them as distinct. The
+    grouping sites escape keys (util.escape_nul) — these corpora would
+    produce corrupted counts without it."""
+    texts = ["a\x00b a\x00c a\x00b x", "a\x00c a\x00b x q",
+             "plain words only here"]
+    d = _write_docs(tmp_path / "nul", texts)
+    # topk_tokens: 'a\x00b' (3) and 'a\x00c' (2) must stay distinct
+    got = corpus.topk_tokens(d, k=10)
+    cnt = dict(zip(got["token"], got["cnt"]))
+    assert cnt["a\x00b"] == 3 and cnt["a\x00c"] == 2
+    # lm_perplexity vs the NUL-safe python mirror
+    lm = (corpus.lm_perplexity(d).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True)
+          [["doc_id", "ntok", "nll"]])
+    pd.testing.assert_frame_equal(lm, _lm_mirror(texts),
+                                  check_dtype=False, rtol=0,
+                                  atol=1.01e-6)
+    # importance_weights mirror
+    iw = (corpus.importance_weights(d).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True)
+          [["doc_id", "ntok", "logw"]])
+    pd.testing.assert_frame_equal(
+        iw, _importance_mirror(texts, ["en"] * 3), check_dtype=False,
+        rtol=0, atol=1.01e-6)
+    # duplicate_spans (k=3 windows over NUL tokens) mirror
+    got_ds = (corpus.duplicate_spans(d, k=3).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True)
+              [["doc_id", "n_windows", "n_dup_windows",
+                "n_first_copies"]])
+    pd.testing.assert_frame_equal(got_ds, _dup_spans_mirror(texts, 3),
+                                  check_dtype=False)
+    # bpe word counts keep NUL words distinct
+    merges = corpus.bpe_train(d, n_merges=5)
+    want_merges = _bpe_mirror_train(texts, 5)
+    assert list(zip(merges["left"], merges["right"])) == want_merges

@@ -61,8 +61,15 @@ def _bucketed_topk(partials: "rd.Dataset", key: str, val: str,
         return b.assign(bucket=crc % num_buckets)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        agg = (g.groupby(key, sort=False)[val].sum().reset_index()
-               .sort_values([val, key], ascending=[False, True]).head(k))
+        # group on the NUL-escaped key (pandas string hashtables merge
+        # embedded NULs — util.escape_nul), sort/emit the raw key
+        # (python-object comparisons and Arrow sorts are NUL-safe)
+        from .util import escape_nul, unescape_nul
+        agg = (g.assign(**{key: escape_nul(g[key].astype(str))})
+               .groupby(key, sort=False)[val].sum().reset_index())
+        agg[key] = unescape_nul(agg[key])
+        agg = agg.sort_values([val, key],
+                              ascending=[False, True]).head(k)
         return pd.DataFrame({key: agg[key].astype(str),
                              val: agg[val].to_numpy(dtype=np.int64)})
 
@@ -807,7 +814,10 @@ def duplicate_spans(sf_dir: str, k: int = 5) -> "rd.Dataset":
             win_mask_parts.append(m)
         if not ids:
             return _empty_partial()
-        s = pd.Series(toks_flat, dtype="object")
+        from .util import escape_nul
+        # hash the NUL-escaped tokens: hash_pandas_object keys by C
+        # string, so raw tokens with embedded NULs would collide
+        s = escape_nul(pd.Series(toks_flat, dtype="object"))
         th1 = pd.util.hash_pandas_object(
             s, index=False, hash_key=_HK1).to_numpy()
         th2 = pd.util.hash_pandas_object(
@@ -924,8 +934,12 @@ def lm_perplexity(sf_dir: str, round_to: int = 6,
                                    vb.to_numpy(dtype=np.int64)])})
 
     def count_combine(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(["key", "is_big"], sort=False)["cnt"]
-                .sum().reset_index().astype({"cnt": "int64"}))
+        from .util import escape_nul, unescape_nul
+        out = (df.assign(key=escape_nul(df["key"].astype(str)))
+               .groupby(["key", "is_big"], sort=False)["cnt"]
+               .sum().reset_index().astype({"cnt": "int64"}))
+        out["key"] = unescape_nul(out["key"])
+        return out
 
     counts = bucketed_agg(
         docs.map_batches(count_partial, batch_format="pandas"),
@@ -973,9 +987,11 @@ def lm_perplexity(sf_dir: str, round_to: int = 6,
         tok_s = pd.Series(toks_flat, dtype="object")
         prev_s = pd.Series(prev_flat, dtype="object")
         is_first = prev_s.isna().to_numpy()
-        c1_tok = tok_s.map(c1).fillna(0).to_numpy(dtype=np.float64)
-        c1_prev = prev_s.map(c1).fillna(0).to_numpy(dtype=np.float64)
-        c2_pair = (prev_s.fillna("") + SEP + tok_s).map(c2) \
+        # .map(dict.get), not .map(dict): the dict form goes through a
+        # pandas Index hashtable, which merges NUL-containing tokens
+        c1_tok = tok_s.map(c1.get).fillna(0).to_numpy(dtype=np.float64)
+        c1_prev = prev_s.map(c1.get).fillna(0).to_numpy(dtype=np.float64)
+        c2_pair = (prev_s.fillna("") + SEP + tok_s).map(c2.get) \
             .fillna(0).to_numpy(dtype=np.float64)
         num = np.where(is_first, c1_tok + 1.0, c2_pair + 1.0)
         den = np.where(is_first, float(n_tot + v), c1_prev + float(v))
@@ -1099,8 +1115,12 @@ def _bpe_word_counts(sf_dir: str) -> pd.DataFrame:
                              "cnt": vc.to_numpy(dtype=np.int64)})
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby("token", sort=False)["cnt"].sum()
-                .reset_index().astype({"cnt": "int64"}))
+        from .util import escape_nul, unescape_nul
+        out = (df.assign(token=escape_nul(df["token"].astype(str)))
+               .groupby("token", sort=False)["cnt"].sum()
+               .reset_index().astype({"cnt": "int64"}))
+        out["token"] = unescape_nul(out["token"])
+        return out
 
     out = bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
                        ["token"], combine).to_pandas()
@@ -1271,13 +1291,20 @@ def importance_weights(sf_dir: str, target_lang: str = "en",
         vt = pd.Series(tgts, dtype="object").value_counts()
         df = pd.DataFrame({"token": va.index.to_numpy(dtype=object),
                            "c_all": va.to_numpy(dtype=np.int64)})
-        df["c_tgt"] = df["token"].map(vt).fillna(0).astype(np.int64)
+        # python-dict map (NUL-safe), not a pandas-Index lookup
+        vtd = vt.to_dict()
+        df["c_tgt"] = df["token"].map(vtd.get).fillna(0) \
+            .astype(np.int64)
         return df
 
     def count_combine(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby("token", sort=False)[["c_all", "c_tgt"]]
-                .sum().reset_index()
-                .astype({"c_all": "int64", "c_tgt": "int64"}))
+        from .util import escape_nul, unescape_nul
+        out = (df.assign(token=escape_nul(df["token"].astype(str)))
+               .groupby("token", sort=False)[["c_all", "c_tgt"]]
+               .sum().reset_index()
+               .astype({"c_all": "int64", "c_tgt": "int64"}))
+        out["token"] = unescape_nul(out["token"])
+        return out
 
     counts = bucketed_agg(
         docs.map_batches(count_partial, batch_format="pandas"),
@@ -1312,8 +1339,8 @@ def importance_weights(sf_dir: str, target_lang: str = "en",
                                  "ntok": pd.Series([], dtype="int64"),
                                  "logw": pd.Series([], dtype="float64")})
         tok_s = pd.Series(toks_flat, dtype="object")
-        ca = tok_s.map(c_all).fillna(0).to_numpy(dtype=np.float64)
-        ct = tok_s.map(c_tgt).fillna(0).to_numpy(dtype=np.float64)
+        ca = tok_s.map(c_all.get).fillna(0).to_numpy(dtype=np.float64)
+        ct = tok_s.map(c_tgt.get).fillna(0).to_numpy(dtype=np.float64)
         lr = (np.log((ct + 1.0) / float(n_t + v))
               - np.log((ca + 1.0) / float(n_all + v)))
         sums = np.bincount(np.asarray(doc_of, dtype=np.int64),

@@ -96,8 +96,18 @@ def bucketed_agg(partials, keys, combine, num_buckets: int = 64,
     import pandas as pd
 
     def add_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
-        h = pd.util.hash_pandas_object(df[list(keys)],
-                                       index=False).to_numpy()
+        # NUL-escape string key columns BEFORE hashing:
+        # hash_pandas_object(categorize=True) factorizes via pandas'
+        # C-string hashtable, which MERGES keys with embedded NULs and
+        # then hashes whichever full string was first-seen in the
+        # batch — so the same key could land in different buckets from
+        # different batches and never combine (see util.escape_nul)
+        kdf = df[list(keys)]
+        esc = {c: escape_nul(kdf[c].astype(str))
+               for c in kdf.columns if kdf[c].dtype == object}
+        if esc:
+            kdf = kdf.assign(**esc)
+        h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
         return df.assign(__bucket__=(h % num_buckets).astype("int64"))
 
     def comb(g: "pd.DataFrame") -> "pd.DataFrame":
@@ -107,3 +117,26 @@ def bucketed_agg(partials, keys, combine, num_buckets: int = 64,
                 partials.map_batches(add_bucket, batch_format=batch_format))
             .groupby("__bucket__")
             .map_groups(comb, batch_format=batch_format))
+
+
+def escape_nul(s):
+    """Injective escape that removes embedded NULs from a string Series
+    so it can key a pandas ``groupby`` / ``hash_pandas_object``.
+
+    pandas' all-string hashtables key by C string (strlen), so object
+    strings with embedded '\\x00' SILENTLY MERGE in groupby/factorize/
+    nunique/hash_pandas_object (measured: groupby(['a\\0b','a\\0c'])
+    yields ONE group) while value_counts, Python sets/dicts, DuckDB and
+    Arrow all treat them as distinct. Real web text contains NUL bytes,
+    so every token/ngram groupby must key on the escaped form.
+    Escape: '\\x01' -> '\\x01\\x03', then '\\x00' -> '\\x01\\x02'
+    (prefix-free, hence injective); ``unescape_nul`` reverses it.
+    """
+    return (s.str.replace("\x01", "\x01\x03", regex=False)
+            .str.replace("\x00", "\x01\x02", regex=False))
+
+
+def unescape_nul(s):
+    """Inverse of ``escape_nul``."""
+    return (s.str.replace("\x01\x02", "\x00", regex=False)
+            .str.replace("\x01\x03", "\x01", regex=False))

@@ -112,7 +112,9 @@ def test_curation_family_tolerates_null_cells(tmp_path, ray_session):
 
     import __ray_entry__ as e
     qs = e.queries()
-    fams = ["exact_dedup", "minhash_pairs", "simhash_signatures",
+    fams = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
+            "importance_weights", "bpe_train", "bpe_encode_stats",
+            "exact_dedup", "minhash_pairs", "simhash_signatures",
             "simhash_neardup_pairs", "ngram_jaccard_pairs",
             "dup_clusters", "embedding_dup_clusters", "ann_cosine_topk",
             "ann_knn_join", "ann_ivf_topk", "ann_ivf_persisted",

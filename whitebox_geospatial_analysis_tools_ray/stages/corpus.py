@@ -1143,7 +1143,11 @@ def bpe_train(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
     distributed word-count pass; the merge loop then runs on the
     bounded (vocab × count) table on the driver. A 100-TB corpus has a
     ~10⁷-entry word-frequency table after whitespace splitting — the
-    loop's input is model-sized, never corpus-sized.
+    loop's input is model-sized, never corpus-sized. (This loop
+    rescans the vocab per merge — O(merges × vocab chars), plenty for
+    the test vocab; a 10⁷-word × 50k-merge production run would swap
+    in the incremental pair-index update the HF trainer uses. The
+    DISTRIBUTED shape is identical either way.)
 
     Output: (rank, left, right, merged) — n_merges rows (fewer if the
     vocab saturates). Deterministic; rows-only checked (iterative

@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": lambda sf: corpus.lm_perplexity(sf),
         "perplexity_buckets": lambda sf: corpus.perplexity_buckets(sf),
         "importance_weights": lambda sf: corpus.importance_weights(sf),
+        "corpus_clean_spans": lambda sf: corpus.corpus_clean_spans(sf),
         "bpe_train": lambda sf: corpus.bpe_train(sf),
         "bpe_encode_stats": lambda sf: corpus.bpe_encode_stats(sf),
         "stratified_sample": lambda sf: corpus.stratified_sample(sf),
@@ -1114,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": o.lm_perplexity_sql(),
         "perplexity_buckets": o.perplexity_buckets_sql(),
         "importance_weights": o.importance_weights_sql(),
+        "corpus_clean_spans": o.corpus_clean_spans_sql(),
         "stratified_sample": o.stratified_sample_sql(),
         "pack_sequences": o.pack_sequences_sql(),
         "repetition_filter": o.repetition_filter_sql(),

@@ -710,3 +710,24 @@ def test_nul_bytes_in_tokens_key_distinctly(ray_session, tmp_path):
     merges = corpus.bpe_train(d, n_merges=5)
     want_merges = _bpe_mirror_train(texts, 5)
     assert list(zip(merges["left"], merges["right"])) == want_merges
+
+
+def test_corpus_clean_spans_planted(ray_session, tmp_path):
+    """Bit 16 fires exactly for the doc that is mostly recycled spans;
+    whole-doc-unique but span-recycled content is caught ONLY by it."""
+    span = "p q r s t u v w"              # 8 tokens -> 4 windows of 5
+    pad_a = " ".join(f"f{i}" for i in range(30))
+    pad_b = " ".join(f"g{i}" for i in range(30))
+    texts = [f"{span} {pad_a}",           # first copy + unique pad: low frac
+             f"{span} x1 {span} x2 {span} x3",  # mostly recycled spans
+             pad_b + " tail1 tail2"]      # unique, long
+    d = _write_docs(tmp_path / "ccs", texts)
+    got = (corpus.corpus_clean_spans(d, min_tokens=5, bench_mod=997)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    r = dict(zip(got["doc_id"], got["reason"]))
+    assert r[1] & 16                      # recycled-span doc flagged
+    assert not (r[0] & 16)                # first copy + pad: below frac
+    assert not (r[2] & 16)
+    assert got.loc[got["doc_id"] == 2, "keep"].iloc[0] in (0, 1)
+    # keep is exactly reason==0
+    assert ((got["reason"] == 0) == (got["keep"] == 1)).all()

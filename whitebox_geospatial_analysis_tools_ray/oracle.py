@@ -7709,13 +7709,11 @@ ORDER BY b.doc_id, b.chunk_id
 """
 
 
-def corpus_clean_sql(min_tokens: int = 20, max_dup_frac: float = 0.02,
-                     contam_n: int = 4, bench_mod: int = 97) -> str:
-    """Exact mirror of stages/corpus.corpus_clean: reason bitmask
-    1=duplicate (md5 non-survivor), 2=repetitious, 4=contaminated,
-    8=too short; keep = reason == 0."""
-    return f"""
-WITH raw AS (SELECT doc_id, text, {_STRIP_SPLIT} AS toks FROM documents),
+def _corpus_clean_ctes(min_tokens: int, max_dup_frac: float,
+                       contam_n: int, bench_mod: int) -> str:
+    """The corpus_clean CTE chain ending in r(doc_id, reason) — shared
+    by corpus_clean_sql and corpus_clean_spans_sql."""
+    return f"""raw AS (SELECT doc_id, text, {_STRIP_SPLIT} AS toks FROM documents),
 t AS (SELECT doc_id, text, toks,
              CASE WHEN toks[1] = '' THEN 0 ELSE len(toks) END AS n
       FROM raw),
@@ -7747,10 +7745,54 @@ r AS (
   FROM t
   JOIN surv ON surv.doc_id = t.doc_id
   LEFT JOIN rep ON rep.doc_id = t.doc_id
-  LEFT JOIN contam ON contam.doc_id = t.doc_id)
+  LEFT JOIN contam ON contam.doc_id = t.doc_id)"""
+
+
+def corpus_clean_sql(min_tokens: int = 20, max_dup_frac: float = 0.02,
+                     contam_n: int = 4, bench_mod: int = 97) -> str:
+    """Exact mirror of stages/corpus.corpus_clean: reason bitmask
+    1=duplicate (md5 non-survivor), 2=repetitious, 4=contaminated,
+    8=too short; keep = reason == 0."""
+    return f"""
+WITH {_corpus_clean_ctes(min_tokens, max_dup_frac, contam_n, bench_mod)}
 SELECT doc_id, (CASE WHEN reason = 0 THEN 1 ELSE 0 END)::BIGINT AS keep,
        reason::BIGINT AS reason
 FROM r ORDER BY doc_id
+"""
+
+
+def corpus_clean_spans_sql(min_tokens: int = 20,
+                           max_dup_frac: float = 0.02,
+                           contam_n: int = 4, bench_mod: int = 97,
+                           span_k: int = 5,
+                           max_span_dup_frac: float = 0.5) -> str:
+    """Exact mirror of stages/corpus.corpus_clean_spans: corpus_clean's
+    bitmask plus bit 16 = span-duplication-heavy (the fraction of the
+    doc's k-token windows that repeat anywhere in the corpus exceeds
+    ``max_span_dup_frac``; docs with no window never set it)."""
+    return f"""
+WITH {_corpus_clean_ctes(min_tokens, max_dup_frac, contam_n, bench_mod)},
+wins AS (
+  SELECT doc_id, unnest(list_transform(range(len(toks) - {span_k} + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + {span_k}),
+                                ' '))) AS g
+  FROM raw WHERE len(toks) >= {span_k} AND toks[1] <> ''),
+pg AS (SELECT g, doc_id, count(*) AS cnt FROM wins GROUP BY 1, 2),
+gg AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS tot FROM pg GROUP BY 1),
+spanr AS (
+  SELECT pg.doc_id, CAST(SUM(pg.cnt) AS BIGINT) AS nw,
+         CAST(SUM(CASE WHEN gg.tot >= 2 THEN pg.cnt ELSE 0 END)
+              AS BIGINT) AS nd
+  FROM pg JOIN gg USING (g) GROUP BY 1),
+r2 AS (
+  SELECT r.doc_id, r.reason
+       + (CASE WHEN spanr.nw > 0
+               AND CAST(spanr.nd AS DOUBLE) / spanr.nw
+                   > {max_span_dup_frac!r} THEN 16 ELSE 0 END) AS reason
+  FROM r LEFT JOIN spanr ON spanr.doc_id = r.doc_id)
+SELECT doc_id, (CASE WHEN reason = 0 THEN 1 ELSE 0 END)::BIGINT AS keep,
+       reason::BIGINT AS reason
+FROM r2 ORDER BY doc_id
 """
 
 

@@ -1356,3 +1356,61 @@ def importance_weights(sf_dir: str, target_lang: str = "en",
             "logw": np.round(sums / nt, round_to)})
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def corpus_clean_spans(sf_dir: str, min_tokens: int = 20,
+                       max_dup_frac: float = 0.02, contam_n: int = 4,
+                       bench_mod: int = 97, span_k: int = 5,
+                       max_span_dup_frac: float = 0.5) -> "rd.Dataset":
+    """``corpus_clean`` composed with corpus-wide SPAN-level dedup
+    (the full curation pass): bit 16 = span-duplication-heavy — more
+    than ``max_span_dup_frac`` of the doc's k-token windows repeat
+    somewhere in the corpus (the ExactSubstr signal of
+    ``duplicate_spans``; a doc that is mostly recycled spans is dropped
+    even when no WHOLE-document dup or repetition rule fires).
+
+    Plan: the two component pipelines keep their own bounded shuffles
+    (md5 buckets; gram-hash buckets); their per-doc rows meet in ONE
+    extra doc_id-bucketed combine. Output: (doc_id, keep, reason) —
+    keep = reason == 0, reason bits 1/2/4/8 from ``corpus_clean`` plus
+    16.
+    """
+    from .util import bucketed_agg
+
+    cc = corpus_clean(sf_dir, min_tokens=min_tokens,
+                      max_dup_frac=max_dup_frac, contam_n=contam_n,
+                      bench_mod=bench_mod)
+    sp = duplicate_spans(sf_dir, k=span_k)
+
+    def from_cc(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype(np.int64),
+            "reason": b["reason"].astype(np.int64),
+            "nw": np.zeros(len(b), dtype=np.int64),
+            "nd": np.zeros(len(b), dtype=np.int64)})
+
+    def from_sp(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype(np.int64),
+            "reason": np.full(len(b), -1, dtype=np.int64),
+            "nw": b["n_windows"].astype(np.int64),
+            "nd": b["n_dup_windows"].astype(np.int64)})
+
+    u = (cc.map_batches(from_cc, batch_format="pandas")
+         .union(sp.map_batches(from_sp, batch_format="pandas")))
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("doc_id", sort=False)
+             .agg(reason=("reason", "max"), nw=("nw", "sum"),
+                  nd=("nd", "sum")).reset_index())
+        nw = g["nw"].to_numpy(dtype=np.float64)
+        nd = g["nd"].to_numpy(dtype=np.float64)
+        hit = (g["nw"].to_numpy() > 0) & (nd / np.where(nw > 0, nw, 1.0)
+                                          > max_span_dup_frac)
+        reason = g["reason"].to_numpy(dtype=np.int64) + 16 * hit
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "keep": (reason == 0).astype(np.int64),
+            "reason": reason.astype(np.int64)})
+
+    return bucketed_agg(u, ["doc_id"], comb)

@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": lambda sf: textops.token_stats_by_lang(sf),
         "quality_scores": lambda sf: textops.quality_scores_by_lang(sf),
         "fingerprints": lambda sf: textops.fingerprint_stats(sf),
+        "token_hll": lambda sf: textops.token_hll(sf),
+        "hll_estimate": lambda sf: textops.hll_estimate(sf),
         "langid_confusion": lambda sf: textops.langid_confusion(sf),
         # --- similarity search ---
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf),
@@ -1082,6 +1084,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": o.token_stats_sql(),
         "quality_scores": o.quality_scores_sql(),
         "fingerprints": o.fingerprint_sql(),
+        "token_hll": o.token_hll_sql(),
+        "hll_estimate": o.hll_estimate_sql(),
         "ann_cosine_topk": o.ann_cosine_topk_sql(),
         "ann_knn_join": o.ann_knn_join_sql(),
         "ann_ivf_topk": o.ann_ivf_topk_sql(),

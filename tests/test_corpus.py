@@ -731,3 +731,65 @@ def test_corpus_clean_spans_planted(ray_session, tmp_path):
     assert got.loc[got["doc_id"] == 2, "keep"].iloc[0] in (0, 1)
     # keep is exactly reason==0
     assert ((got["reason"] == 0) == (got["keep"] == 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-token sketch
+# ---------------------------------------------------------------------------
+
+def test_hll_registers_mirror_and_accuracy(ray_session, tmp_path):
+    import hashlib
+    from whitebox_geospatial_analysis_tools_ray.stages import textops
+    # 5000 distinct tokens spread over docs
+    rng = np.random.default_rng(5)
+    toks = [f"w{i:05d}" for i in range(5000)]
+    rng.shuffle(toks)
+    texts = [" ".join(toks[i:i + 50]) for i in range(0, 5000, 50)]
+    d = _write_docs(tmp_path / "hll", texts)
+    regs = (textops.token_hll(d).to_pandas()
+            .sort_values("register_id").reset_index(drop=True))
+    # literal mirror
+    m, q = 1 << 10, 54
+    want = np.zeros(m, dtype=np.int64)
+    for t in toks:
+        hv = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        idx, tail = hv >> q, hv & ((1 << q) - 1)
+        rho = q + 1 if tail == 0 else q - tail.bit_length() + 1
+        want[idx] = max(want[idx], rho)
+    assert (regs["rho"].to_numpy() == want).all()
+    est = textops.hll_estimate(d)["estimate"].iloc[0]
+    assert abs(est - 5000) / 5000 < 0.10      # ~3%/sqrt-ish at p=10
+
+
+def test_hll_merge_invariance(ray_session, tmp_path):
+    """Register maxima must not depend on how docs split into batches:
+    one doc per row vs all text in one doc give identical registers."""
+    from whitebox_geospatial_analysis_tools_ray.stages import textops
+    toks = [f"t{i}" for i in range(300)]
+    d1 = _write_docs(tmp_path / "h1", [" ".join(toks)])
+    d2 = _write_docs(tmp_path / "h2",
+                     [" ".join(toks[i:i + 7]) for i in range(0, 300, 7)])
+    r1 = (textops.token_hll(d1).to_pandas()
+          .sort_values("register_id")["rho"].to_numpy())
+    r2 = (textops.token_hll(d2).to_pandas()
+          .sort_values("register_id")["rho"].to_numpy())
+    assert (r1 == r2).all()
+
+
+def test_hll_log2_overshoot_fixup():
+    """floor(log2(2^k − 1)) via float64 rounds UP to k for large k —
+    the exact shift-compare fixup must keep bit_length right."""
+    import numpy as np
+    from whitebox_geospatial_analysis_tools_ray.stages.textops import (
+        _hll_registers_batch)
+    # craft the rank computation directly: tail = 2^53 - 1 has
+    # bit_length 53; naive floor(log2) says 53 (log2 rounds to exactly
+    # 53.0), so rho must be 54 - 53 + 1 - ... exercised via the kernel
+    # on synthetic "tokens" is awkward; test the arithmetic inline:
+    q = 54
+    for k in [30, 52, 53, 54]:
+        tail = np.array([(1 << k) - 1], dtype=np.uint64)
+        bl = np.floor(np.log2(tail.astype(np.float64))).astype(np.int64)
+        over = tail < (np.uint64(1) << bl.astype(np.uint64))
+        bl[over] -= 1
+        assert int(bl[0]) + 1 == (int(tail[0])).bit_length(), k

@@ -7481,6 +7481,67 @@ ORDER BY cnt DESC, token LIMIT {k}
 """
 
 
+def _hll_regs_ctes(p: int) -> str:
+    """CTE chain ending in regs(register_id, rho) — the exact replay of
+    stages/textops.token_hll: fold the first 16 hex chars of
+    md5(token) into a HUGEINT, split top-p/bottom-(64−p) bits, rho =
+    1-based leading-zero rank of the tail (bit_length via an exact
+    shift-compare count — float log2 overshoots at 2^k − 1)."""
+    q = 64 - p
+    return f"""
+raw AS (SELECT {_STRIP_SPLIT} AS toks FROM documents),
+tok AS (SELECT DISTINCT unnest(toks) AS token FROM raw
+        WHERE toks[1] <> ''),
+hx AS (SELECT token, md5(token) AS mm FROM tok),
+hv AS (SELECT list_reduce(list_transform(range(1, 17),
+           i -> CAST(instr('0123456789abcdef', substr(mm, i, 1)) - 1
+                     AS HUGEINT)),
+         (a, d) -> a * 16 + d) AS h FROM hx),
+bits AS (SELECT CAST(h // (1::HUGEINT << {q}) AS BIGINT) AS register_id,
+                CAST(h % (1::HUGEINT << {q}) AS BIGINT) AS tail FROM hv),
+rmax AS (SELECT register_id,
+                MAX(CASE WHEN tail = 0 THEN {q + 1}
+                     ELSE {q} - (SELECT count(*) FROM range(0, {q}) rr
+                                 WHERE tail >= (1::BIGINT << rr.range))
+                          + 1 END) AS rho
+         FROM bits GROUP BY 1),
+regs AS (SELECT g.range AS register_id,
+                CAST(COALESCE(rmax.rho, 0) AS BIGINT) AS rho
+         FROM range(0, {1 << p}) g
+         LEFT JOIN rmax ON rmax.register_id = g.range)"""
+
+
+def token_hll_sql(p: int = 10) -> str:
+    """Exact mirror of stages/textops.token_hll (see _hll_regs_ctes)."""
+    return f"""
+WITH {_hll_regs_ctes(p)}
+SELECT register_id, rho FROM regs ORDER BY 1
+"""
+
+
+def hll_estimate_sql(p: int = 10, round_to: int = 6) -> str:
+    """Exact mirror of stages/textops.hll_estimate: the standard HLL
+    estimator (alpha·m²/Σ2^−rho) with the small-range linear-counting
+    branch; identical double literals, rounded mean (shared
+    convention)."""
+    m = 1 << p
+    return f"""
+WITH {_hll_regs_ctes(p)},
+s AS (SELECT SUM(power(2.0, -rho)) AS z,
+             CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v
+      FROM regs),
+e AS (SELECT v,
+             (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} / z AS raw_e
+      FROM s)
+SELECT CAST({m} AS BIGINT) AS m, v AS n_empty,
+       round(CASE WHEN raw_e <= 2.5 * {m} AND v > 0
+                  THEN {m} * ln(CAST({m} AS DOUBLE) / v)
+                  ELSE raw_e END, {round_to}) AS estimate
+FROM e
+"""
+
+
 def duplicate_spans_sql(k: int = 5) -> str:
     """Exact mirror of stages/corpus.duplicate_spans: per-doc counts of
     k-token windows whose token sequence repeats anywhere in the corpus

@@ -170,3 +170,97 @@ def langid_confusion(sf_dir: str, concurrency=None) -> "rd.Dataset":
 
     from .util import combine_bounded
     return combine_bounded(partials, combine)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-token sketch (mergeable registers, exact oracle)
+# ---------------------------------------------------------------------------
+
+def _hll_registers_batch(tokens, p: int) -> np.ndarray:
+    """Register maxima for one batch's token iterable (any dups fine).
+    h = first 64 bits of md5(token); register = top p bits; rho =
+    1-based leading-zero rank of the remaining 64−p bits (tail==0 →
+    64−p+1). Deterministic — the DuckDB oracle replays it exactly."""
+    import hashlib
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    uniq = set(tokens)
+    if not uniq:
+        return regs
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8],
+                        "big") for t in uniq),
+        dtype=np.uint64, count=len(uniq))
+    q = 64 - p
+    idx = (hv >> np.uint64(q)).astype(np.int64)
+    tail = hv & np.uint64((1 << q) - 1)
+    # rho = q - bit_length(tail) + 1; tail == 0 -> q + 1
+    bl = np.zeros(len(tail), dtype=np.int64)
+    nz = tail > 0
+    bl[nz] = np.floor(np.log2(tail[nz].astype(np.float64))).astype(np.int64)
+    # float log2 can overshoot at 2^k - 1 for large k: exact fixup
+    over = nz & (tail < (np.uint64(1) << bl.astype(np.uint64)))
+    bl[over] -= 1
+    rho = np.where(nz, q - (bl + 1) + 1, q + 1).astype(np.int64)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def token_hll(sf_dir: str, p: int = 10) -> "rd.Dataset":
+    """Mergeable HyperLogLog sketch of DISTINCT tokens (Flajolet et
+    al. 2007) — the bounded-memory cardinality operator a 100-TB vocab
+    needs (exact distinct = an unbounded-key shuffle; this is 2^p
+    int64s per worker, max-merged). Registers are a pure function of
+    the token set (md5-derived), so the sketch is DETERMINISTIC and
+    has an EXACT register-level DuckDB oracle — rare for a sketch.
+
+    Output: (register_id, rho) — all 2^p rows, rho 0 = empty register.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for text in batch["text"]:
+            t = (text or "").strip().lower() if isinstance(text, str) else ""
+            if t:
+                toks.extend(_WS.split(t))
+        regs = _hll_registers_batch(toks, p)
+        return pd.DataFrame({"register_id": np.arange(1 << p,
+                                                      dtype=np.int64),
+                             "rho": regs})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("register_id", sort=True)["rho"].max()
+             .reset_index().astype({"rho": "int64"}))
+        full = pd.DataFrame({"register_id": np.arange(1 << p,
+                                                      dtype=np.int64)})
+        out = full.merge(g, on="register_id", how="left")
+        out["rho"] = out["rho"].fillna(0).astype("int64")
+        return out
+
+    from .util import combine_bounded
+    return combine_bounded(partials, combine)
+
+
+def hll_estimate(sf_dir: str, p: int = 10,
+                 round_to: int = 6) -> pd.DataFrame:
+    """Cardinality estimate from the ``token_hll`` registers — the
+    standard HLL formula with the small-range linear-counting
+    correction. Output: (m, n_empty, estimate); estimate rounded
+    (shared convention — Σ2^−rho / ln order ulps)."""
+    import math
+
+    regs = token_hll(sf_dir, p).to_pandas().sort_values("register_id")
+    m = 1 << p
+    rho = regs["rho"].to_numpy(dtype=np.int64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -rho.astype(np.float64)))
+    v = int((rho == 0).sum())
+    if e <= 2.5 * m and v > 0:
+        e = m * math.log(m / v)
+    return pd.DataFrame({"m": pd.Series([m], dtype="int64"),
+                         "n_empty": pd.Series([v], dtype="int64"),
+                         "estimate": [round(float(e), round_to)]})

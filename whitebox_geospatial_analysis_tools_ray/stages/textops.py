@@ -233,10 +233,12 @@ def token_hll(sf_dir: str, p: int = 10) -> "rd.Dataset":
     partials = ds.map_batches(partial, batch_format="pandas")
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby("register_id", sort=True)["rho"].max()
-             .reset_index().astype({"rho": "int64"}))
         full = pd.DataFrame({"register_id": np.arange(1 << p,
                                                       dtype=np.int64)})
+        if df.empty:        # 0-row corpus: all registers empty
+            return full.assign(rho=np.zeros(1 << p, dtype=np.int64))
+        g = (df.groupby("register_id", sort=True)["rho"].max()
+             .reset_index().astype({"rho": "int64"}))
         out = full.merge(g, on="register_id", how="left")
         out["rho"] = out["rho"].fillna(0).astype("int64")
         return out
@@ -253,8 +255,12 @@ def hll_estimate(sf_dir: str, p: int = 10,
     (shared convention — Σ2^−rho / ln order ulps)."""
     import math
 
-    regs = token_hll(sf_dir, p).to_pandas().sort_values("register_id")
+    regs = token_hll(sf_dir, p).to_pandas()
     m = 1 << p
+    if regs.empty:      # 0-row corpus: Ray skips the combine entirely
+        regs = pd.DataFrame({"register_id": np.arange(m, dtype=np.int64),
+                             "rho": np.zeros(m, dtype=np.int64)})
+    regs = regs.sort_values("register_id")
     rho = regs["rho"].to_numpy(dtype=np.int64)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     e = alpha * m * m / np.sum(np.power(2.0, -rho.astype(np.float64)))

@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_large": lambda sf: relational.orders_lineitem_join(sf),
         "events_window": lambda sf: relational.events_tumbling_window(sf),
         "events_asof_join": lambda sf: relational.events_asof_join(sf),
+        "events_sliding_window":
+            lambda sf: relational.events_sliding_window(sf),
         "user_sessions": lambda sf: relational.user_sessions(sf),
         "distinct_event_types": lambda sf: relational.distinct_event_types(sf),
         # --- raster family (MathTools, FilterMean, RasterToVectorPoints) ---
@@ -1135,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["x"]).orders_lineitem_join_sql(),
         "events_window": o.events_window_sql(),
         "events_asof_join": o.events_asof_join_sql(),
+        "events_sliding_window": o.events_sliding_window_sql(),
         "user_sessions": o.user_sessions_sql(),
         "distinct_event_types": o.distinct_event_types_sql(),
         "raster_math": o.raster_math_sql(),

@@ -77,3 +77,38 @@ def test_asof_join_mirror_random(ray_session, tmp_path):
            .sort_values("event_id").reset_index(drop=True))
     want = _mirror(rows)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sliding_window_mirror(ray_session, tmp_path):
+    """Each event must land in exactly window/hop windows, with exact
+    integer-µs boundary semantics ([w·hop, w·hop + window))."""
+    W, H = 3600, 900
+    rows = [
+        (0, 0, 1, "purchase"),                     # ts = epoch 0
+        (1, 900 * 10**6, 1, "purchase"),           # exact hop boundary
+        (2, 3600 * 10**6, 1, "purchase"),          # exact window length
+        (3, 3599 * 10**6 + 999999, 1, "purchase"),
+        (4, 5000 * 10**6, 2, "signup"),
+    ]
+    d = _write_events(tmp_path / "sw", rows)
+    from whitebox_geospatial_analysis_tools_ray.stages.relational import (
+        events_sliding_window)
+    got = (events_sliding_window(d, W, H).to_pandas()
+           .sort_values(["event_type", "window_id"])
+           .reset_index(drop=True))
+    # literal mirror
+    agg = {}
+    for _, us, _, et in rows:
+        hi = us // (H * 10**6)
+        lo = (us - W * 10**6) // (H * 10**6) + 1
+        for w in range(lo, hi + 1):
+            k = (et, w)
+            n, s = agg.get(k, (0, 0.0))
+            agg[k] = (n + 1, s + 0.0)
+    want = (pd.DataFrame(
+        [(et, w, n, round(s, 6)) for (et, w), (n, s) in agg.items()],
+        columns=["event_type", "window_id", "n_events", "sum_value"])
+        .sort_values(["event_type", "window_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every event covers exactly W/H windows
+    assert got["n_events"].sum() == len(rows) * (W // H)

@@ -16,7 +16,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 FAMS = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
-        "events_asof_join", "corpus_clean_spans", "token_hll", "hll_estimate",
+        "events_asof_join", "events_sliding_window",
+        "corpus_clean_spans", "token_hll", "hll_estimate",
         "bpe_train", "bpe_encode_stats", "importance_weights",
         "exact_dedup", "minhash_pairs", "simhash_signatures",
         "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",

@@ -456,6 +456,26 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_window_sql(window_sec: int = 3600,
+                              hop_sec: int = 900,
+                              round_to: int = 6) -> str:
+    """Exact mirror of stages/relational.events_sliding_window.
+    Timestamps are positive epoch-µs, so DuckDB's truncating integer
+    division equals numpy's floor division throughout."""
+    wus = window_sec * 1_000_000
+    hus = hop_sec * 1_000_000
+    k = window_sec // hop_sec
+    return f"""
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+w AS (SELECT e.event_type, e.value, (e.us // {hus}) - o.o AS window_id
+      FROM e, (SELECT unnest(range(0, {k})) AS o) o
+      WHERE (e.us // {hus}) - o.o >= ((e.us - {wus}) // {hus}) + 1)
+SELECT event_type, window_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(SUM(value), {round_to}) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
 def events_window_sql(window_sec: int = 3600) -> str:
     wus = window_sec * 1_000_000
     return f"""

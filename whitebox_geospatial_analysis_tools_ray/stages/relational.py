@@ -484,3 +484,54 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
                 ds.map_batches(to_bucketed, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(asof_in_bucket, batch_format="pandas"))
+
+
+def events_sliding_window(sf_dir: str, window_sec: int = 3600,
+                          hop_sec: int = 900,
+                          round_to: int = 6) -> "rd.Dataset":
+    """Event-time SLIDING (hopping) window per event_type — the
+    overlapping-window companion of ``events_tumbling_window``: each
+    event lands in window_sec / hop_sec consecutive windows
+    (window w covers [w·hop, w·hop + window)).
+
+    Plan: stateless fan-out of window_sec/hop_sec vectorized passes per
+    batch (each event emits its covering window ids — a constant
+    factor, never a shuffle of raw events), per-batch partial
+    (event_type, window_id) combine → bounded final. Timestamps stay
+    integer µs, so window membership is exact.
+
+    Output: (event_type, window_id, n_events, sum_value)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    wus = window_sec * 1_000_000
+    hus = hop_sec * 1_000_000
+    k = window_sec // hop_sec
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        et = t["event_type"].to_pandas().to_numpy()
+        val = t["value"].to_numpy()
+        hi = us // hus
+        lo = (us - wus) // hus + 1
+        frames = []
+        for o in range(k):
+            wid = hi - o
+            keep = wid >= lo
+            frames.append(pd.DataFrame({"event_type": et[keep],
+                                        "window_id": wid[keep],
+                                        "value": val[keep]}))
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["event_type", "window_id"], sort=False)["value"]
+        return g.agg(n="count", s="sum").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_id"], sort=True).agg(
+            n_events=("n", "sum"), sum_value=("s", "sum")).reset_index()
+        g["n_events"] = g["n_events"].astype("int64")
+        g["sum_value"] = g["sum_value"].round(round_to)
+        return g
+
+    from .util import combine_bounded
+    return combine_bounded(partials, combine)

@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": lambda sf: textops.token_stats_by_lang(sf),
         "quality_scores": lambda sf: textops.quality_scores_by_lang(sf),
         "fingerprints": lambda sf: textops.fingerprint_stats(sf),
+        "tfidf_top_terms": lambda sf: textops.tfidf_top_terms(sf),
         "token_hll": lambda sf: textops.token_hll(sf),
         "hll_estimate": lambda sf: textops.hll_estimate(sf),
         "langid_confusion": lambda sf: textops.langid_confusion(sf),
@@ -1086,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": o.token_stats_sql(),
         "quality_scores": o.quality_scores_sql(),
         "fingerprints": o.fingerprint_sql(),
+        "tfidf_top_terms": o.tfidf_top_terms_sql(),
         "token_hll": o.token_hll_sql(),
         "hll_estimate": o.hll_estimate_sql(),
         "ann_cosine_topk": o.ann_cosine_topk_sql(),

@@ -793,3 +793,34 @@ def test_hll_log2_overshoot_fixup():
         over = tail < (np.uint64(1) << bl.astype(np.uint64))
         bl[over] -= 1
         assert int(bl[0]) + 1 == (int(tail[0])).bit_length(), k
+
+
+def test_tfidf_top_terms_mirror(ray_session, tmp_path):
+    import math
+    from collections import Counter
+    from whitebox_geospatial_analysis_tools_ray.stages import textops
+    texts = ["apple banana apple cherry", "banana cherry cherry date",
+             "apple date egg egg egg", ""]
+    d = _write_docs(tmp_path / "tfidf", texts)
+    got = (textops.tfidf_top_terms(d, k=2).to_pandas()
+           .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    dfc = Counter()
+    toks_of = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if toks:
+            toks_of[i] = toks
+            dfc.update(set(toks))
+    N = len(toks_of)
+    rows = []
+    for i, toks in toks_of.items():
+        tf = Counter(toks)
+        sc = sorted(
+            ((-math.floor(c * math.log(N / dfc[t]) * 1e6 + 0.5) / 1e6, t)
+             for t, c in tf.items()))
+        for neg, t in sc[:2]:
+            rows.append((i, t, -neg))
+    want = (pd.DataFrame(rows, columns=["doc_id", "term", "tfidf"])
+            .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert 3 not in set(got["doc_id"])      # empty doc excluded

@@ -17,7 +17,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 FAMS = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
         "events_asof_join", "events_sliding_window",
-        "corpus_clean_spans", "token_hll", "hll_estimate",
+        "corpus_clean_spans", "token_hll", "hll_estimate", "tfidf_top_terms",
         "bpe_train", "bpe_encode_stats", "importance_weights",
         "exact_dedup", "minhash_pairs", "simhash_signatures",
         "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",

@@ -7531,6 +7531,30 @@ regs AS (SELECT g.range AS register_id,
          LEFT JOIN rmax ON rmax.register_id = g.range)"""
 
 
+def tfidf_top_terms_sql(k: int = 3, round_to: int = 6) -> str:
+    """Exact mirror of stages/textops.tfidf_top_terms: per-doc top-k
+    terms by tf·ln(N/df), ranked on the ROUNDED score (mathematical
+    ties like 2·ln4 = 4·ln2 are one-ulp unstable at raw precision),
+    term asc tiebreak."""
+    return f"""
+WITH raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM raw
+        WHERE toks[1] <> ''),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id, tf.term,
+              round(tf.c * ln(CAST(nn.n AS DOUBLE) / dft.df),
+                    {round_to}) AS tfidf
+       FROM tf JOIN dft USING (term) CROSS JOIN nn),
+rk AS (SELECT doc_id, term, tfidf,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS r
+       FROM sc)
+SELECT doc_id, term, tfidf FROM rk WHERE r <= {k}
+"""
+
+
 def token_hll_sql(p: int = 10) -> str:
     """Exact mirror of stages/textops.token_hll (see _hll_regs_ctes)."""
     return f"""

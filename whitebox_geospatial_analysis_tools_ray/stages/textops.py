@@ -270,3 +270,108 @@ def hll_estimate(sf_dir: str, p: int = 10,
     return pd.DataFrame({"m": pd.Series([m], dtype="int64"),
                          "n_empty": pd.Series([v], dtype="int64"),
                          "estimate": [round(float(e), round_to)]})
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(sf_dir: str, k: int = 3,
+                    round_to: int = 6) -> "rd.Dataset":
+    """Top-k terms per document by TF-IDF (tf(t,d) · ln(N/df(t)),
+    N = docs with ≥1 token) — the classic retrieval/keyword-extraction
+    weighting over the shared lowercased-whitespace token definition.
+
+    Plan: one distributed pass builds the document-frequency table
+    (distinct terms per doc → bucketed df sum — vocab-bounded, the
+    same boundedness as the LM models), broadcast once via ``ray.put``;
+    scoring + per-doc top-k then run INSIDE a stateless map_batches —
+    no shuffle carries per-term rows. Ties: equal tfidf → term asc
+    (tf and ln(N/df) are identical IEEE expressions on both sides, so
+    the order is deterministic and oracle-replayable).
+
+    Output: (doc_id, term, tfidf) — ≤ k rows per doc, tfidf rounded.
+    """
+    import math
+
+    import ray
+
+    from .util import bucketed_agg, escape_nul, unescape_nul
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _doc_tokens(text) -> list[str]:
+        t = (text or "").strip().lower() if isinstance(text, str) else ""
+        return _WS.split(t) if t else []
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict[str, int] = {}
+        for text in batch["text"]:
+            toks = _doc_tokens(text)
+            if not toks:
+                continue
+            for term in set(toks):
+                cnt[term] = cnt.get(term, 0) + 1
+        return pd.DataFrame({"term": list(cnt.keys()),
+                             "df": np.fromiter(cnt.values(),
+                                               dtype=np.int64,
+                                               count=len(cnt))})
+
+    def df_combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.assign(term=escape_nul(df["term"].astype(str)))
+               .groupby("term", sort=False)["df"].sum()
+               .reset_index().astype({"df": "int64"}))
+        out["term"] = unescape_nul(out["term"])
+        return out
+
+    dft = bucketed_agg(docs.map_batches(df_partial,
+                                        batch_format="pandas"),
+                       ["term"], df_combine).to_pandas()  # vocab-bounded
+    # N: docs with >= 1 token — fold the per-batch partial counts
+    # (each batch emits its nd on every row; recompute exactly from a
+    # dedicated pass to avoid double counting)
+    ncnt = docs.map_batches(
+        lambda b: pd.DataFrame({"n": [sum(
+            1 for t in b["text"] if _doc_tokens(t))]}),
+        batch_format="pandas").to_pandas()
+    N = int(ncnt["n"].sum()) if len(ncnt) else 0
+    if dft.empty or N == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "term": pd.Series([], dtype="object"),
+            "tfidf": pd.Series([], dtype="float64")}))
+    model_ref = ray.put(dict(zip(dft["term"], dft["df"])))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(model_ref)
+        ids: list[int] = []
+        terms: list[str] = []
+        vals: list[float] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = _doc_tokens(text)
+            if not toks:
+                continue
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            # rank by the ROUNDED score: mathematically tied scores
+            # (e.g. 2·ln4 vs 4·ln2) can differ by an ulp — differently
+            # per engine — at raw precision; rounding makes the
+            # (score desc, term asc) order oracle-replayable.
+            # half-away-from-zero to match DuckDB's round() (scores
+            # are >= 0 here, so floor(v·10^r + 0.5) is exactly that)
+            q = 10.0 ** round_to
+            scored = sorted(
+                ((-math.floor(c * math.log(N / dfm[t]) * q + 0.5) / q,
+                  t) for t, c in tf.items()))
+            for neg, t in scored[:k]:
+                ids.append(int(doc_id))
+                terms.append(t)
+                vals.append(-neg)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "term": pd.Series(terms, dtype="object"),
+                             "tfidf": np.asarray(vals,
+                                                 dtype=np.float64)})
+
+    return docs.map_batches(score, batch_format="pandas")

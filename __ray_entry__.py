@@ -23,6 +23,11 @@ def entry() -> Any:
     return flagship(SF_SMOKE)
 
 
+def _sel():
+    from whitebox_geospatial_analysis_tools_ray.stages import selection
+    return selection
+
+
 def _points(sf_dir: str):
     from whitebox_geospatial_analysis_tools_ray.stages.points import read_points
     return read_points(sf_dir)
@@ -394,6 +399,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_hll": lambda sf: textops.token_hll(sf),
         "hll_estimate": lambda sf: textops.hll_estimate(sf),
         "langid_confusion": lambda sf: textops.langid_confusion(sf),
+        # --- data selection (mixture, quality, divergence,
+        #     quantization, diversity sampling, funnels) ---
+        "dataset_mixture": lambda sf: _sel().dataset_mixture(sf),
+        "quality_classifier": lambda sf: _sel().quality_classifier(sf),
+        "token_kl_divergence": lambda sf: _sel().token_kl_divergence(sf),
+        "embedding_quantize": lambda sf: _sel().embedding_quantize(sf),
+        "kcenter_sample": lambda sf: _sel().kcenter_sample(sf),
+        "events_funnel": lambda sf: _sel().events_funnel(sf),
         # --- similarity search ---
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf),
         "ann_knn_join": lambda sf: ann.knn_join_topk(sf),
@@ -1124,6 +1137,12 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": o.perplexity_buckets_sql(),
         "importance_weights": o.importance_weights_sql(),
         "corpus_clean_spans": o.corpus_clean_spans_sql(),
+        "dataset_mixture": o.dataset_mixture_sql(),
+        "quality_classifier": o.quality_classifier_sql(),
+        "token_kl_divergence": o.token_kl_divergence_sql(),
+        "embedding_quantize": o.embedding_quantize_sql(),
+        "kcenter_sample": o.kcenter_sample_sql(),
+        "events_funnel": o.events_funnel_sql(),
         "stratified_sample": o.stratified_sample_sql(),
         "pack_sequences": o.pack_sequences_sql(),
         "repetition_filter": o.repetition_filter_sql(),

@@ -19,6 +19,8 @@ FAMS = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
         "events_asof_join", "events_sliding_window",
         "corpus_clean_spans", "token_hll", "hll_estimate", "tfidf_top_terms",
         "bpe_train", "bpe_encode_stats", "importance_weights",
+        "dataset_mixture", "quality_classifier", "token_kl_divergence",
+        "embedding_quantize", "kcenter_sample", "events_funnel",
         "exact_dedup", "minhash_pairs", "simhash_signatures",
         "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",
         "embedding_dup_clusters", "ann_cosine_topk", "ann_knn_join",
@@ -115,6 +117,9 @@ def test_curation_family_tolerates_null_cells(tmp_path, ray_session):
     qs = e.queries()
     fams = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
             "importance_weights", "bpe_train", "bpe_encode_stats",
+            "dataset_mixture", "quality_classifier",
+            "token_kl_divergence", "embedding_quantize",
+            "kcenter_sample",
             "exact_dedup", "minhash_pairs", "simhash_signatures",
             "simhash_neardup_pairs", "ngram_jaccard_pairs",
             "dup_clusters", "embedding_dup_clusters", "ann_cosine_topk",

@@ -8033,3 +8033,185 @@ SELECT CAST(sum(c) AS BIGINT) AS n_pages,
        CAST(max(c) AS BIGINT) AS max_group
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-selection family (stages/selection.py)
+# ---------------------------------------------------------------------------
+
+def dataset_mixture_sql(rates: dict[str, float] | None = None,
+                        round_to: int = 6) -> str:
+    """Exact mirror of stages/selection.dataset_mixture: keep iff
+    md5(source ':' doc_id)[:8 hex]/2^32 < rate(source); identical md5
+    bytes and identical single float division on both sides."""
+    if rates is None:
+        from .stages.selection import default_mixture_rates
+        rates = default_mixture_rates()
+    vals = ", ".join(f"('{s}', {r!r})" for s, r in sorted(rates.items()))
+    return f"""
+WITH r(source, rate) AS (VALUES {vals}),
+d AS (SELECT source,
+             ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT / 4294967296.0 AS u
+      FROM documents),
+j AS (SELECT d.source, COALESCE(r.rate, 1.0) AS rate, d.u
+      FROM d LEFT JOIN r USING (source))
+SELECT source, max(rate) AS rate,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), {round_to}) AS frac_kept
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+def quality_classifier_sql(round_to: int = 6) -> str:
+    """Exact mirror of stages/selection.quality_classifier: the per-doc
+    accumulator S = sum count(t)*((crc32(t)*A + B) mod P) is INTEGER on
+    both sides (HUGEINT here, Python int there), so the only float ops
+    are the final m = S/(n*P) - 0.5 and sigmoid — identical IEEE
+    expressions. crc32 replays through the byte-loop CTE kernel over
+    the DISTINCT vocabulary (vocab-bounded)."""
+    from .stages.selection import _QC_A, _QC_B, _QC_P
+    return f"""
+WITH RECURSIVE
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+tok AS (SELECT doc_id AS did, unnest(toks) AS term FROM raw
+        WHERE toks[1] <> ''),
+vocab AS (SELECT DISTINCT term FROM tok),
+items AS (SELECT 0 AS doc_id,
+                 row_number() OVER (ORDER BY term) AS iid,
+                 term AS s FROM vocab)''')},
+w AS (SELECT i.s AS term,
+             (crcf.crc::HUGEINT * {_QC_A}::HUGEINT + {_QC_B}::HUGEINT)
+               % {_QC_P}::HUGEINT AS h
+      FROM crcf JOIN items i ON i.iid = crcf.iid),
+tf AS (SELECT did, term, count(*) AS c FROM tok GROUP BY 1, 2),
+acc AS (SELECT tf.did, sum(tf.c::HUGEINT * w.h) AS s,
+               sum(tf.c) AS n
+        FROM tf JOIN w USING (term) GROUP BY tf.did),
+sc AS (SELECT did AS doc_id, CAST(n AS BIGINT) AS n_tokens,
+              round(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
+                    / CAST(n::HUGEINT * {_QC_P}::HUGEINT AS DOUBLE)
+                    - 0.5))), {round_to}) AS score
+       FROM acc
+       UNION ALL
+       SELECT doc_id, 0::BIGINT, 0.5 FROM raw WHERE toks[1] = '')
+SELECT doc_id, n_tokens, score,
+       CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS label
+FROM sc ORDER BY doc_id
+"""
+
+
+def token_kl_divergence_sql(round_to: int = 6) -> str:
+    """Mirror of stages/selection.token_kl_divergence: KL(source ||
+    corpus) over token unigrams; per-term ratio expressions identical,
+    final sum rounded (sum order is engine-unspecified on both
+    sides)."""
+    return f"""
+WITH raw AS (SELECT source, {_STRIP_SPLIT} AS toks FROM documents),
+tok AS (SELECT source, unnest(toks) AS term FROM raw WHERE toks[1] <> ''),
+st AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+ct AS (SELECT term, sum(c) AS tc FROM st GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM st),
+per AS (SELECT source, CAST(sum(c) AS DOUBLE) AS cs FROM st GROUP BY 1)
+SELECT s.source,
+       CAST(max(p.cs) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum((CAST(s.c AS DOUBLE) / p.cs)
+                 * ln((CAST(s.c AS DOUBLE) / p.cs)
+                      / (CAST(ct.tc AS DOUBLE) / tot.n))), {round_to}) AS kl
+FROM st s JOIN ct USING (term) JOIN per p ON p.source = s.source
+CROSS JOIN tot
+GROUP BY s.source ORDER BY s.source
+"""
+
+
+def embedding_quantize_sql(round_to: int = 6) -> str:
+    """Mirror of stages/selection.embedding_quantize: per-dim scale
+    max|x|/127 (1.0 when all-zero), q = clamp(floor(x/s + 0.5)),
+    err = x - q*s — identical IEEE expressions; per-label mse rounded,
+    max_abs_err exact then rounded."""
+    return f"""
+WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   unnest(range(len(embedding))) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings),
+dm AS (SELECT i, max(abs(x)) AS ma FROM ex GROUP BY i),
+sc AS (SELECT i, CASE WHEN ma = 0 THEN 1.0 ELSE ma / 127.0 END AS s
+       FROM dm),
+e AS (SELECT vec_id, label,
+             x - GREATEST(-127.0, LEAST(127.0, floor(x / s + 0.5))) * s
+               AS err
+      FROM ex JOIN sc USING (i))
+SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       round(sum(err * err) / count(*), {round_to}) AS mse,
+       round(max(abs(err)), {round_to}) AS max_abs_err
+FROM e GROUP BY label ORDER BY label
+"""
+
+
+def kcenter_sample_sql(k: int = 6, round_to: int = 6) -> str:
+    """Mirror of stages/selection.kcenter_sample: unrolled greedy
+    farthest-point rounds — each pick maximizes the ROUNDED
+    list_distance to the nearest selected vector, ties -> lowest
+    vec_id (the same rounded-first rule the impl applies before its
+    argmax)."""
+    ctes = ["""sel0 AS (SELECT vec_id, v, 0::BIGINT AS rnk, 0.0 AS dist
+        FROM ev ORDER BY vec_id LIMIT 1)"""]
+    for r in range(1, k):
+        p = f"""pick{r} AS (
+  SELECT e.vec_id, e.v, {r}::BIGINT AS rnk, d.dist
+  FROM ev e JOIN (
+    SELECT e2.vec_id,
+           min(round(list_distance(e2.v, s.v), {round_to})) AS dist
+    FROM ev e2 JOIN sel{r - 1} s ON TRUE
+    WHERE e2.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+    GROUP BY e2.vec_id ORDER BY dist DESC, e2.vec_id LIMIT 1) d
+  ON d.vec_id = e.vec_id)"""
+        s = f"""sel{r} AS (SELECT * FROM sel{r - 1}
+        UNION ALL SELECT * FROM pick{r})"""
+        ctes.extend([p, s])
+    body = ",\n".join(ctes)
+    return f"""
+WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+{body}
+SELECT rnk AS "rank", vec_id, dist FROM sel{k - 1} ORDER BY rnk
+"""
+
+
+def events_funnel_sql(steps: tuple[str, ...] = ("view", "click",
+                                                "purchase"),
+                      horizon_us: int = 7 * 24 * 3600 * 1_000_000) -> str:
+    """Mirror of stages/selection.events_funnel: earliest-qualifying
+    completion chain per user (strictly-after ordering, horizon
+    against the step-0 time); gap totals integer microseconds, so the
+    whole result is exact."""
+    assert len(steps) == 3, "oracle is written for 3-step funnels"
+    s0, s1, s2 = steps
+    return f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+c0 AS (SELECT user_id, min(t) AS t0 FROM ev
+       WHERE event_type = '{s0}' GROUP BY 1),
+c1 AS (SELECT e.user_id, min(e.t) AS t1 FROM ev e
+       JOIN c0 ON c0.user_id = e.user_id
+       WHERE e.event_type = '{s1}' AND e.t > c0.t0 GROUP BY 1),
+h1 AS (SELECT c1.user_id, t1, t0 FROM c1 JOIN c0 USING (user_id)
+       WHERE t1 - t0 <= {horizon_us}),
+c2 AS (SELECT e.user_id, min(e.t) AS t2 FROM ev e
+       JOIN h1 ON h1.user_id = e.user_id
+       WHERE e.event_type = '{s2}' AND e.t > h1.t1 GROUP BY 1),
+h2 AS (SELECT c2.user_id, t2, t0 FROM c2 JOIN h1 USING (user_id)
+       WHERE t2 - t0 <= {horizon_us})
+SELECT 0::BIGINT AS step_index, '{s0}' AS step,
+       CAST(count(*) AS BIGINT) AS n_users, 0::BIGINT AS total_gap_us
+FROM c0
+UNION ALL
+SELECT 1::BIGINT, '{s1}', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(t1 - t0), 0) AS BIGINT) FROM h1
+UNION ALL
+SELECT 2::BIGINT, '{s2}', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(t2 - t0), 0) AS BIGINT) FROM h2
+ORDER BY step_index
+"""

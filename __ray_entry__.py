@@ -407,6 +407,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": lambda sf: _sel().embedding_quantize(sf),
         "kcenter_sample": lambda sf: _sel().kcenter_sample(sf),
         "events_funnel": lambda sf: _sel().events_funnel(sf),
+        "events_retention": lambda sf: relational.events_retention(sf),
+        "events_interval_join":
+            lambda sf: relational.events_interval_join(sf),
+        "token_zipf_fit": lambda sf: textops.token_zipf_fit(sf),
+        "bm25_topk": lambda sf: textops.bm25_topk(sf),
         # --- similarity search ---
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf),
         "ann_knn_join": lambda sf: ann.knn_join_topk(sf),
@@ -1143,6 +1148,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": o.embedding_quantize_sql(),
         "kcenter_sample": o.kcenter_sample_sql(),
         "events_funnel": o.events_funnel_sql(),
+        "events_retention": o.events_retention_sql(),
+        "events_interval_join": o.events_interval_join_sql(),
+        "token_zipf_fit": o.token_zipf_fit_sql(),
+        "bm25_topk": o.bm25_topk_sql(),
         "stratified_sample": o.stratified_sample_sql(),
         "pack_sequences": o.pack_sequences_sql(),
         "repetition_filter": o.repetition_filter_sql(),

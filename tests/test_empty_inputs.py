@@ -21,6 +21,8 @@ FAMS = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
         "bpe_train", "bpe_encode_stats", "importance_weights",
         "dataset_mixture", "quality_classifier", "token_kl_divergence",
         "embedding_quantize", "kcenter_sample", "events_funnel",
+        "events_retention", "events_interval_join", "token_zipf_fit",
+        "bm25_topk",
         "exact_dedup", "minhash_pairs", "simhash_signatures",
         "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",
         "embedding_dup_clusters", "ann_cosine_topk", "ann_knn_join",
@@ -119,7 +121,7 @@ def test_curation_family_tolerates_null_cells(tmp_path, ray_session):
             "importance_weights", "bpe_train", "bpe_encode_stats",
             "dataset_mixture", "quality_classifier",
             "token_kl_divergence", "embedding_quantize",
-            "kcenter_sample",
+            "kcenter_sample", "token_zipf_fit", "bm25_topk",
             "exact_dedup", "minhash_pairs", "simhash_signatures",
             "simhash_neardup_pairs", "ngram_jaccard_pairs",
             "dup_clusters", "embedding_dup_clusters", "ann_cosine_topk",

@@ -8215,3 +8215,110 @@ SELECT 2::BIGINT, '{s2}', CAST(count(*) AS BIGINT),
        CAST(COALESCE(sum(t2 - t0), 0) AS BIGINT) FROM h2
 ORDER BY step_index
 """
+
+
+def events_retention_sql(week_us: int = 7 * 24 * 3600 * 1_000_000) -> str:
+    """Mirror of stages/relational.events_retention: fixed unix-epoch
+    weeks, first-event cohort, distinct active (user, week) — all
+    integer arithmetic, exact."""
+    return f"""
+WITH w AS (SELECT user_id, epoch_us(ts) // {week_us} AS wk FROM events),
+f AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY 1),
+a AS (SELECT DISTINCT w.user_id, f.cw, w.wk - f.cw AS off
+      FROM w JOIN f USING (user_id))
+SELECT cw AS cohort_week, off AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_interval_join_sql(left_type: str = "error",
+                             right_type: str = "click",
+                             before_us: int = 3600 * 1_000_000,
+                             after_us: int = 3600 * 1_000_000) -> str:
+    """Mirror of stages/relational.events_interval_join: inclusive
+    [t-before, t+after] window counts per left event — exact integer
+    microseconds."""
+    return f"""
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+            FROM events),
+l AS (SELECT event_id, user_id, t FROM ev
+      WHERE event_type = '{left_type}'),
+r AS (SELECT user_id, t FROM ev WHERE event_type = '{right_type}')
+SELECT l.event_id, l.user_id,
+       CAST(COALESCE(sum(CASE WHEN r.t BETWEEN l.t - {before_us}
+                                           AND l.t + {after_us}
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_right
+FROM l LEFT JOIN r ON r.user_id = l.user_id
+GROUP BY l.event_id, l.user_id ORDER BY l.event_id
+"""
+
+
+def token_zipf_fit_sql(k: int = 100, round_to: int = 6) -> str:
+    """Mirror of stages/textops.token_zipf_fit: identical closed-form
+    least squares over the top-k ln(rank)/ln(freq) spectrum; slope /
+    intercept / r2 computed from UNROUNDED intermediates, outputs
+    rounded."""
+    return f"""
+WITH raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM raw
+        WHERE toks[1] <> ''),
+tc AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
+top AS (SELECT term, tf,
+               row_number() OVER (ORDER BY tf DESC, term) AS r
+        FROM tc),
+xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y
+       FROM top WHERE r <= {k}),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM xy),
+fit AS (SELECT n, sx, sy, sxy, syy,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS sl
+        FROM s WHERE n >= 2),
+fit2 AS (SELECT n, sy, sxy, syy, sl,
+                (sy - sl * sx) / n AS ic FROM fit),
+fin AS (SELECT n, sl, ic,
+               syy - sy * sy / n AS sst,
+               syy - ic * sy - sl * sxy AS sse FROM fit2)
+SELECT CAST(n AS BIGINT) AS k, round(sl, {round_to}) AS slope,
+       round(ic, {round_to}) AS intercept,
+       round(CASE WHEN sst > 0 THEN 1.0 - sse / sst ELSE 1.0 END,
+             {round_to}) AS r2
+FROM fin
+"""
+
+
+def bm25_topk_sql(n_query_terms: int = 3, k: int = 20, k1: float = 1.2,
+                  b: float = 0.75, round_to: int = 6) -> str:
+    """Mirror of stages/textops.bm25_topk: query = top-df terms
+    (df desc, term asc), Lucene idf, identical float expression
+    shapes; top-k on the ROUNDED score, doc_id asc tiebreak."""
+    return f"""
+WITH raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS dl FROM raw WHERE toks[1] <> ''),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM raw
+        WHERE toks[1] <> ''),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+q AS (SELECT term, df FROM (
+        SELECT term, df,
+               row_number() OVER (ORDER BY df DESC, term) AS r
+        FROM dft) WHERE r <= {n_query_terms}),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN q USING (term) GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id,
+              sum(ln(1.0 + (st.n - q.df + 0.5) / (q.df + 0.5))
+                  * (tf.tf * ({k1} + 1.0))
+                  / (tf.tf + {k1} * (1.0 - {b}
+                                     + {b} * d.dl / st.avgdl)))
+                AS s
+       FROM tf JOIN q USING (term) JOIN d ON d.doc_id = tf.doc_id
+       CROSS JOIN st GROUP BY tf.doc_id),
+full_sc AS (SELECT d.doc_id, d.dl,
+                   round(COALESCE(sc.s, 0.0), {round_to}) AS score
+            FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+SELECT doc_id, dl, score FROM full_sc
+ORDER BY score DESC, doc_id LIMIT {k}
+"""

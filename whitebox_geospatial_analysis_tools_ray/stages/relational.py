@@ -535,3 +535,149 @@ def events_sliding_window(sf_dir: str, window_sec: int = 3600,
 
     from .util import combine_bounded
     return combine_bounded(partials, combine)
+
+
+def events_retention(sf_dir: str,
+                     week_us: int = 7 * 24 * 3600 * 1_000_000
+                     ) -> "rd.Dataset":
+    """Cohort retention over the event stream: users are cohorted by
+    the calendar week (fixed unix-epoch weeks, so the cohort key is a
+    pure function of the timestamp) of their FIRST event; for every
+    (cohort_week, week_offset) the count of cohort users active in
+    cohort_week + offset. The classic product-analytics retention
+    triangle, all integer arithmetic — exact.
+
+    Plan: per-user hash-bucket co-location (the as-of join's plan);
+    per bucket a vectorized first-week + distinct-(user, week) pandas
+    pass emits (cohort, offset) count partials; weeks-span-bounded
+    combine. No per-user Python loop, no payload shuffle.
+
+    Output: (cohort_week, week_offset, n_users) — ordered.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .util import combine_bounded
+
+    NB = 64
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def to_bucketed(t: "pa.Table") -> pd.DataFrame:
+        uid = t["user_id"].to_numpy()
+        return pd.DataFrame({
+            "wk": pc.cast(t["ts"], pa.int64()).to_numpy() // week_us,
+            "user_id": uid,
+            "bucket": (uid * 2654435761) % NB})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "cohort_week": pd.Series([], dtype="int64"),
+                "week_offset": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        uw = g[["user_id", "wk"]].drop_duplicates()
+        first = uw.groupby("user_id")["wk"].min().rename("cw")
+        uw = uw.merge(first.reset_index(), on="user_id")
+        uw["off"] = uw["wk"] - uw["cw"]
+        out = (uw.groupby(["cw", "off"]).size().rename("n")
+               .reset_index())
+        return out.rename(columns={"cw": "cohort_week",
+                                   "off": "week_offset"}).astype("int64")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "cohort_week": pd.Series([], dtype="int64"),
+                "week_offset": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")})
+        g = (df.groupby(["cohort_week", "week_offset"], sort=True)["n"]
+             .sum().rename("n_users").reset_index())
+        return g.astype("int64")
+
+    bucketed = ds.map_batches(to_bucketed, batch_format="pyarrow")
+    partials = bucketed.groupby("bucket").map_groups(
+        lambda g: per_bucket(g.drop(columns="bucket")),
+        batch_format="pandas")
+    return combine_bounded(partials, combine)
+
+
+def events_interval_join(sf_dir: str, left_type: str = "error",
+                         right_type: str = "click",
+                         before_us: int = 3600 * 1_000_000,
+                         after_us: int = 3600 * 1_000_000
+                         ) -> "rd.Dataset":
+    """Per-user INTERVAL join over the event stream — the second
+    custom join the Dataset API lacks (the as-of join's sibling): for
+    every ``left_type`` event, the number of ``right_type`` events of
+    the same user with ts ∈ [left_ts − before, left_ts + after].
+    All integer microseconds — exact.
+
+    Plan: per-user hash-bucket co-location; per bucket, rights are
+    sorted ONCE per (user, ts) composite rank key and every left
+    resolves with two vectorized ``searchsorted`` probes (count =
+    upper − lower) — no per-event loop, no range-join blowup: output
+    is one row per left event regardless of match counts.
+
+    Output: (event_id, user_id, n_right) — ordered by event_id.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    NB = 64
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def to_bucketed(t: "pa.Table") -> pd.DataFrame:
+        et = t["event_type"].to_pandas()
+        keep = ((et == left_type) | (et == right_type)).to_numpy()
+        uid = t["user_id"].to_numpy()[keep]
+        return pd.DataFrame({
+            "event_id": t["event_id"].to_numpy()[keep],
+            "ts_us": pc.cast(t["ts"], pa.int64()).to_numpy()[keep],
+            "user_id": uid,
+            "is_left": (et[keep] == left_type).to_numpy(),
+            "bucket": (uid * 2654435761) % NB})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "n_right": pd.Series([], dtype="int64")})
+        lf = g[g["is_left"]]
+        if len(lf) == 0:
+            return empty
+        rt = g[~g["is_left"]]
+        luser = lf["user_id"].to_numpy()
+        lts = lf["ts_us"].to_numpy()
+        if len(rt) == 0:
+            return pd.DataFrame({
+                "event_id": lf["event_id"].to_numpy(),
+                "user_id": luser,
+                "n_right": np.zeros(len(lf), dtype=np.int64)})
+        # composite (user, ts) key via local dense user rank: rights
+        # sort once, lefts probe twice
+        ruser = rt["user_id"].to_numpy()
+        rts = rt["ts_us"].to_numpy()
+        uu = np.unique(np.concatenate([luser, ruser]))
+        lu = np.searchsorted(uu, luser)
+        ru = np.searchsorted(uu, ruser)
+        tmin = min(int(lts.min()) - before_us, int(rts.min()))
+        span = np.int64(max(int(lts.max()) + after_us,
+                            int(rts.max())) - tmin + 2)
+        rkey = ru.astype(np.int64) * span + (rts - tmin)
+        rkey.sort()
+        lo = np.searchsorted(rkey, lu.astype(np.int64) * span
+                             + (lts - before_us - tmin), side="left")
+        hi = np.searchsorted(rkey, lu.astype(np.int64) * span
+                             + (lts + after_us - tmin), side="right")
+        return pd.DataFrame({
+            "event_id": lf["event_id"].to_numpy(),
+            "user_id": luser,
+            "n_right": (hi - lo).astype(np.int64)})
+
+    bucketed = ds.map_batches(to_bucketed, batch_format="pyarrow")
+    return (bucketed.groupby("bucket").map_groups(
+        lambda g: per_bucket(g.drop(columns="bucket")),
+        batch_format="pandas").sort("event_id"))

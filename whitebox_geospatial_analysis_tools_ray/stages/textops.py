@@ -375,3 +375,188 @@ def tfidf_top_terms(sf_dir: str, k: int = 3,
                                                  dtype=np.float64)})
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def _df_table(sf_dir: str):
+    """Distributed (term, df, tf) table over the corpus: document
+    frequency AND total term frequency in ONE vocab-bounded pass
+    (shared by token_zipf_fit and bm25_topk)."""
+    from .util import bucketed_agg, escape_nul, unescape_nul
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dfc: dict[str, int] = {}
+        tfc: dict[str, int] = {}
+        for text in b["text"]:
+            t = (text or "").strip().lower() if isinstance(text, str) \
+                else ""
+            toks = _WS.split(t) if t else []
+            if not toks:
+                continue
+            seen = set()
+            for tok in toks:
+                tfc[tok] = tfc.get(tok, 0) + 1
+                if tok not in seen:
+                    seen.add(tok)
+                    dfc[tok] = dfc.get(tok, 0) + 1
+        ks = list(tfc.keys())
+        return pd.DataFrame({
+            "term": ks,
+            "tf": np.fromiter((tfc[k] for k in ks), dtype=np.int64,
+                              count=len(ks)),
+            "df": np.fromiter((dfc[k] for k in ks), dtype=np.int64,
+                              count=len(ks))})
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.assign(term=escape_nul(df["term"].astype(str)))
+               .groupby("term", sort=False)[["tf", "df"]].sum()
+               .reset_index().astype({"tf": "int64", "df": "int64"}))
+        out["term"] = unescape_nul(out["term"])
+        return out
+
+    return bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
+                        ["term"], comb)
+
+
+def token_zipf_fit(sf_dir: str, k: int = 100,
+                   round_to: int = 6) -> pd.DataFrame:
+    """Zipf-law fit over the corpus rank-frequency spectrum: take the
+    top-k tokens by total frequency (freq desc, token asc), regress
+    ln(freq) on ln(rank) by closed-form least squares, and report the
+    slope (Zipf exponent ≈ −1 for natural text — a standard corpus
+    health check), intercept and R². The sums are k-bounded so the
+    fit itself is a driver-side fold over a tiny table.
+
+    Scale: the spectrum comes from the shared vocab-bounded
+    ``_df_table`` pass + a per-bucket lossless top-k prune (≤
+    buckets×k rows reach the final sort at any corpus size).
+
+    Output: one row (k, slope, intercept, r2) — values rounded.
+    """
+    counts = _df_table(sf_dir).to_pandas()
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "slope": pd.Series([], dtype="float64"),
+                          "intercept": pd.Series([], dtype="float64"),
+                          "r2": pd.Series([], dtype="float64")})
+    if counts.empty:
+        return empty
+    top = counts.sort_values(["tf", "term"],
+                             ascending=[False, True]).head(k)
+    n = len(top)
+    if n < 2:
+        return empty
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(top["tf"].to_numpy(dtype=np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    syy = float((y * y).sum())
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    sst = syy - sy * sy / n
+    sse = syy - intercept * sy - slope * sxy
+    r2 = 1.0 - sse / sst if sst > 0 else 1.0
+    return pd.DataFrame({"k": pd.Series([n], dtype="int64"),
+                         "slope": [round(slope, round_to)],
+                         "intercept": [round(intercept, round_to)],
+                         "r2": [round(r2, round_to)]})
+
+
+def bm25_topk(sf_dir: str, n_query_terms: int = 3, k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              round_to: int = 6) -> pd.DataFrame:
+    """BM25 retrieval over the corpus (Robertson–Spärck Jones;
+    Lucene's idf variant ln(1 + (N − df + 0.5)/(df + 0.5))): the query
+    is the corpus's ``n_query_terms`` highest-df terms (df desc, term
+    asc — deterministic and oracle-replayable), score(d) =
+    Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), top-k
+    docs by rounded score desc, doc_id asc.
+
+    Scale: the df/doc-stats pass is vocab-bounded and broadcast once
+    via ``ray.put``; scoring + per-batch partial top-k run inside one
+    stateless map — document text never reaches a shuffle, the final
+    sees O(k × blocks) rows.
+
+    Output: (doc_id, dl, score) — k rows.
+    """
+    import ray
+
+    from .util import coalesce_partials
+
+    counts = _df_table(sf_dir).to_pandas()
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "dl": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if counts.empty:
+        return empty
+    qterms = (counts.sort_values(["df", "term"],
+                                 ascending=[False, True])
+              .head(n_query_terms))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def dstats(bt: pd.DataFrame) -> pd.DataFrame:
+        ns = []
+        nd = 0
+        for text in bt["text"]:
+            t = (text or "").strip().lower() if isinstance(text, str) \
+                else ""
+            toks = _WS.split(t) if t else []
+            if toks:
+                nd += 1
+                ns.append(len(toks))
+        return pd.DataFrame({"n_docs": pd.Series([nd], dtype="int64"),
+                             "n_toks": pd.Series([sum(ns)],
+                                                 dtype="int64")})
+
+    st = docs.map_batches(dstats, batch_format="pandas").to_pandas()
+    N = int(st["n_docs"].sum())
+    if N == 0:
+        return empty
+    avgdl = float(st["n_toks"].sum()) / float(N)
+    idf = {t: np.log(1.0 + (N - d + 0.5) / (d + 0.5))
+           for t, d in zip(qterms["term"], qterms["df"])}
+    model = ray.put((idf, avgdl))
+
+    def score(bt: pd.DataFrame) -> pd.DataFrame:
+        w, ad = ray.get(model) if isinstance(model, ray.ObjectRef) \
+            else model
+        ids, dls, scs = [], [], []
+        for doc_id, text in zip(bt["doc_id"], bt["text"]):
+            t = (text or "").strip().lower() if isinstance(text, str) \
+                else ""
+            toks = _WS.split(t) if t else []
+            if not toks:
+                continue
+            dl = len(toks)
+            s = 0.0
+            for qt, qidf in w.items():
+                tf = toks.count(qt)
+                if tf:
+                    s += qidf * (tf * (k1 + 1.0)) \
+                        / (tf + k1 * (1.0 - b + b * dl / ad))
+            ids.append(doc_id)
+            dls.append(dl)
+            scs.append(s)
+        out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "dl": pd.Series(dls, dtype="int64"),
+                            "score": np.round(
+                                np.asarray(scs, dtype=np.float64),
+                                round_to)})
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    parts = coalesce_partials(docs.map_batches(score,
+                                               batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        return (df.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(k)
+                .reset_index(drop=True))
+
+    return final(parts.to_pandas())

@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: relational.events_interval_join(sf),
         "token_zipf_fit": lambda sf: textops.token_zipf_fit(sf),
         "bm25_topk": lambda sf: textops.bm25_topk(sf),
+        "length_quantiles": lambda sf: _sel().length_quantiles(sf),
+        "incremental_dedup": lambda sf: _sel().incremental_dedup(sf),
+        "embedding_pq": lambda sf: _sel().embedding_pq(sf),
         # --- similarity search ---
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf),
         "ann_knn_join": lambda sf: ann.knn_join_topk(sf),
@@ -1152,6 +1155,9 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": o.events_interval_join_sql(),
         "token_zipf_fit": o.token_zipf_fit_sql(),
         "bm25_topk": o.bm25_topk_sql(),
+        "length_quantiles": o.length_quantiles_sql(),
+        "incremental_dedup": o.incremental_dedup_sql(),
+        "embedding_pq": o.embedding_pq_sql(),
         "stratified_sample": o.stratified_sample_sql(),
         "pack_sequences": o.pack_sequences_sql(),
         "repetition_filter": o.repetition_filter_sql(),

@@ -22,7 +22,8 @@ FAMS = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
         "dataset_mixture", "quality_classifier", "token_kl_divergence",
         "embedding_quantize", "kcenter_sample", "events_funnel",
         "events_retention", "events_interval_join", "token_zipf_fit",
-        "bm25_topk",
+        "bm25_topk", "length_quantiles", "incremental_dedup",
+        "embedding_pq",
         "exact_dedup", "minhash_pairs", "simhash_signatures",
         "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",
         "embedding_dup_clusters", "ann_cosine_topk", "ann_knn_join",
@@ -122,6 +123,7 @@ def test_curation_family_tolerates_null_cells(tmp_path, ray_session):
             "dataset_mixture", "quality_classifier",
             "token_kl_divergence", "embedding_quantize",
             "kcenter_sample", "token_zipf_fit", "bm25_topk",
+            "length_quantiles", "incremental_dedup", "embedding_pq",
             "exact_dedup", "minhash_pairs", "simhash_signatures",
             "simhash_neardup_pairs", "ngram_jaccard_pairs",
             "dup_clusters", "embedding_dup_clusters", "ann_cosine_topk",

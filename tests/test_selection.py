@@ -193,3 +193,41 @@ def test_token_zipf_fit_on_exact_zipf(tmp_path, ray_session):
     assert len(out) == 1
     assert abs(out["slope"][0] + 1.0) < 0.05
     assert out["r2"][0] > 0.999
+
+
+def test_length_quantiles_known_answer(tmp_path, ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.selection import length_quantiles
+    # lang 'a': lengths 1..10 (one doc each): p50 -> 5, p90 -> 9, p99 -> 10
+    docs = {"doc_id": list(range(10)),
+            "text": [" ".join(["w"] * n) for n in range(1, 11)],
+            "lang": ["a"] * 10, "source": ["s"] * 10,
+            "n_chars": [1] * 10}
+    d = _fixture_dir(tmp_path, documents=docs)
+    out = length_quantiles(d)
+    assert out.iloc[0][["n_docs", "p50", "p90", "p99"]].tolist() == \
+        [10, 5, 9, 10]
+
+
+def test_incremental_dedup_known_answer(tmp_path, ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.selection import incremental_dedup
+    # mod=3: doc 0,3 existing; 1,2,4,5 incoming.
+    # "x": in existing (0) and incoming (1,4) -> 2 hit_existing
+    # "y": incoming only (2,5) -> 1 dup_within, 1 kept
+    docs = {"doc_id": [0, 1, 2, 3, 4, 5],
+            "text": ["x", "x", "y", "z", "x", "y"],
+            "lang": ["en"] * 6, "source": ["s"] * 6, "n_chars": [1] * 6}
+    d = _fixture_dir(tmp_path, documents=docs)
+    out = incremental_dedup(d)
+    assert out.iloc[0].tolist() == [4, 2, 1, 1]
+
+
+def test_embedding_pq_reconstruction_reasonable(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.selection import (
+        embedding_pq, embedding_quantize)
+    pq_out = embedding_pq(SRC)
+    assert len(pq_out) == 8
+    assert (pq_out["n_vecs"] == 500).all()
+    assert (pq_out["mse"] >= 0).all()
+    assert pq_out["top_code"].between(0, 15).all()
+    # the top code's count is a plurality bound
+    assert (pq_out["top_code_count"] * 16 >= pq_out["n_vecs"]).all()

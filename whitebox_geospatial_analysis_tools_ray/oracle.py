@@ -8322,3 +8322,88 @@ full_sc AS (SELECT d.doc_id, d.dl,
 SELECT doc_id, dl, score FROM full_sc
 ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+def length_quantiles_sql(qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    """Mirror of stages/selection.length_quantiles: lower discrete
+    quantile (smallest dl with cum count >= ceil(q*n)) per lang —
+    all-integer, exact."""
+    picks = ",\n  ".join(
+        f"CAST(min(CASE WHEN cum >= ceil({q} * n) THEN dl END) AS BIGINT)"
+        f" AS p{int(q * 100)}" for q in qs)
+    return f"""
+WITH raw AS (SELECT lang, {_STRIP_SPLIT} AS toks FROM documents),
+d AS (SELECT lang, len(toks) AS dl FROM raw WHERE toks[1] <> ''),
+h AS (SELECT lang, dl, count(*) AS c FROM d GROUP BY 1, 2),
+cum AS (SELECT lang, dl,
+               sum(c) OVER (PARTITION BY lang ORDER BY dl) AS cum,
+               sum(c) OVER (PARTITION BY lang) AS n
+        FROM h)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+  {picks}
+FROM cum GROUP BY lang ORDER BY lang
+"""
+
+
+def incremental_dedup_sql(mod: int = 3) -> str:
+    """Mirror of stages/selection.incremental_dedup: per-md5 existing/
+    incoming resolution — exact integer counts."""
+    return f"""
+WITH d AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents),
+g AS (SELECT h,
+             sum(CASE WHEN doc_id % {mod} = 0 THEN 1 ELSE 0 END) AS n_ex,
+             sum(CASE WHEN doc_id % {mod} <> 0 THEN 1 ELSE 0 END)
+               AS n_inc
+      FROM d GROUP BY h)
+SELECT CAST(COALESCE(sum(n_inc), 0) AS BIGINT) AS n_incoming,
+       CAST(COALESCE(sum(CASE WHEN n_ex > 0 THEN n_inc ELSE 0 END), 0)
+            AS BIGINT) AS n_hit_existing,
+       CAST(COALESCE(sum(CASE WHEN n_ex = 0
+                          THEN greatest(n_inc - 1, 0) ELSE 0 END), 0)
+            AS BIGINT) AS n_dup_within,
+       CAST(COALESCE(sum(CASE WHEN n_ex = 0 AND n_inc > 0
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
+FROM g
+"""
+
+
+def embedding_pq_sql(m: int = 8, n_codes: int = 16,
+                     round_to: int = 6) -> str:
+    """Mirror of stages/selection.embedding_pq: codebook = sub-vectors
+    of the n_codes lowest vec_ids; assignment by ROUNDED euclidean
+    distance (ties -> lowest code); mse from the chosen unrounded
+    distances."""
+    # embedding dim is discovered from the data via len(v); subspace
+    # width = len(v) // m, expressed inline so the SQL is generic
+    return f"""
+WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE embedding IS NOT NULL),
+w AS (SELECT max(len(v)) // {m} AS sub FROM ev),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       FROM (SELECT vec_id, v FROM ev ORDER BY vec_id
+             LIMIT {n_codes})),
+sp AS (SELECT range AS s FROM range(0, {m})),
+dd AS (SELECT e.vec_id, sp.s, cb.code,
+              list_distance(
+                e.v[CAST(sp.s * w.sub + 1 AS BIGINT)
+                    :CAST((sp.s + 1) * w.sub AS BIGINT)],
+                cb.v[CAST(sp.s * w.sub + 1 AS BIGINT)
+                     :CAST((sp.s + 1) * w.sub AS BIGINT)]) AS dist
+       FROM ev e CROSS JOIN sp CROSS JOIN cb CROSS JOIN w),
+a AS (SELECT vec_id, s, code, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                   ORDER BY round(dist, {round_to}), code) AS rn
+        FROM dd) WHERE rn = 1),
+cc AS (SELECT s, code, count(*) AS cnt FROM a GROUP BY 1, 2),
+tp AS (SELECT s, code AS top_code, cnt AS top_code_count FROM (
+         SELECT *, row_number() OVER (PARTITION BY s
+                    ORDER BY cnt DESC, code) AS rn FROM cc)
+       WHERE rn = 1),
+er AS (SELECT s, count(*) AS n_vecs, sum(dist * dist) AS sse
+       FROM a GROUP BY s)
+SELECT er.s AS subspace, CAST(er.n_vecs AS BIGINT) AS n_vecs,
+       round(er.sse / (er.n_vecs * w.sub), {round_to}) AS mse,
+       tp.top_code, CAST(tp.top_code_count AS BIGINT) AS top_code_count
+FROM er JOIN tp ON tp.s = er.s CROSS JOIN w
+ORDER BY subspace
+"""

@@ -545,3 +545,257 @@ def events_funnel(sf_dir: str,
         lambda g: funnel_in_bucket(g.drop(columns="bucket")),
         batch_format="pandas")
     return combine_bounded(partials, comb).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed length quantiles
+# ---------------------------------------------------------------------------
+
+def length_quantiles(sf_dir: str,
+                     qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+                     ) -> pd.DataFrame:
+    """Exact per-language token-length quantiles via a mergeable count
+    histogram: v_q = the smallest length whose cumulative doc count
+    ≥ ⌈q·n⌉ — the lower discrete quantile, all integer arithmetic, so
+    the distributed result is EXACT (no t-digest approximation needed:
+    token lengths are small integers, the histogram is value-bounded).
+
+    Scale: per-batch (lang, dl) count partials → bucketed combine
+    (langs × distinct-lengths rows — compact at any corpus size) →
+    driver-side sorted cumsum pick per language. Document text never
+    reaches a shuffle.
+
+    Output: (lang, n_docs, p50, p90, p99) — lang asc, int64.
+    """
+    import math
+
+    from .util import bucketed_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict[tuple[str, int], int] = {}
+        for lang, text in zip(b["lang"], b["text"]):
+            lng = lang if isinstance(lang, str) else ""
+            dl = len(_tok(text))
+            if dl == 0:
+                continue
+            k = (lng, dl)
+            cnt[k] = cnt.get(k, 0) + 1
+        ks = list(cnt.keys())
+        return pd.DataFrame({
+            "lang": [x[0] for x in ks],
+            "dl": np.fromiter((x[1] for x in ks), dtype=np.int64,
+                              count=len(ks)),
+            "c": np.fromiter(cnt.values(), dtype=np.int64,
+                             count=len(ks))})
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["lang", "dl"], sort=False)["c"].sum()
+                .reset_index().astype({"dl": "int64", "c": "int64"}))
+
+    hist = bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
+                        ["lang", "dl"], comb).to_pandas()
+    cols = ["lang", "n_docs"] + [f"p{int(q * 100)}" for q in qs]
+    if hist.empty:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype="object" if c == "lang" else "int64")
+            for c in cols})
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("dl")
+        c = g["c"].to_numpy(dtype=np.int64)
+        dl = g["dl"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        vals = [int(dl[np.searchsorted(cum, math.ceil(q * n))])
+                for q in qs]
+        rows.append([lang, n] + vals)
+    out = pd.DataFrame(rows, columns=cols)
+    return out.astype({c: "int64" for c in cols[1:]})
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-shard) exact dedup
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(sf_dir: str, mod: int = 3) -> pd.DataFrame:
+    """Incremental corpus refresh: documents with doc_id % mod == 0
+    are the EXISTING corpus, the rest are INCOMING. An incoming doc is
+    dropped when its md5(text) already exists in the corpus
+    (hit_existing) or when another incoming doc with a smaller doc_id
+    shares its hash (dup_within); survivors are kept. The cross-run
+    dedup step every ingest pipeline runs against its previous crawl.
+
+    Scale: per-batch (hash, side) partials carry ONLY
+    (md5, n_existing, n_incoming, min incoming doc_id) — text never
+    ships; one bucketed unbounded-key combine resolves each hash and
+    emits per-bucket count partials; the final is a one-row fold.
+
+    Output: one row (n_incoming, n_hit_existing, n_dup_within,
+    n_kept) — exact integers.
+    """
+    from .util import bucketed_agg, combine_bounded
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        agg: dict[str, list[int]] = {}
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            h = hashlib.md5((text if isinstance(text, str) else "")
+                            .encode("utf-8")).hexdigest()
+            a = agg.setdefault(h, [0, 0, 1 << 62])
+            if int(doc_id) % mod == 0:
+                a[0] += 1
+            else:
+                a[1] += 1
+                a[2] = min(a[2], int(doc_id))
+        ks = list(agg.keys())
+        return pd.DataFrame({
+            "h": ks,
+            "n_ex": np.fromiter((agg[k][0] for k in ks),
+                                dtype=np.int64, count=len(ks)),
+            "n_inc": np.fromiter((agg[k][1] for k in ks),
+                                 dtype=np.int64, count=len(ks)),
+            "min_inc": np.fromiter((agg[k][2] for k in ks),
+                                   dtype=np.int64, count=len(ks))})
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("h", sort=False)
+             .agg(n_ex=("n_ex", "sum"), n_inc=("n_inc", "sum"),
+                  min_inc=("min_inc", "min")).reset_index())
+        n_inc = g["n_inc"].to_numpy(dtype=np.int64)
+        has_ex = g["n_ex"].to_numpy(dtype=np.int64) > 0
+        hit = np.where(has_ex, n_inc, 0)
+        dup = np.where(~has_ex, np.maximum(n_inc - 1, 0), 0)
+        kept = np.where(~has_ex & (n_inc > 0), 1, 0)
+        return pd.DataFrame({
+            "n_incoming": pd.Series([int(n_inc.sum())], dtype="int64"),
+            "n_hit_existing": pd.Series([int(hit.sum())], dtype="int64"),
+            "n_dup_within": pd.Series([int(dup.sum())], dtype="int64"),
+            "n_kept": pd.Series([int(kept.sum())], dtype="int64")})
+
+    parts = bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
+                         ["h"], comb)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["n_incoming", "n_hit_existing", "n_dup_within", "n_kept"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([0], dtype="int64")
+                                 for c in cols})
+        return pd.DataFrame({c: pd.Series([int(df[c].sum())],
+                                          dtype="int64") for c in cols})
+
+    return combine_bounded(parts, final).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) report
+# ---------------------------------------------------------------------------
+
+def embedding_pq(sf_dir: str, m: int = 8, n_codes: int = 16,
+                 round_to: int = 6) -> pd.DataFrame:
+    """Product quantization of the embedding table (Jégou et al. 2011
+    — the IVF-PQ memory layout every billion-vector ANN system uses):
+    dimensions split into ``m`` contiguous subspaces; each sub-vector
+    is assigned to the nearest of ``n_codes`` codebook entries — the
+    sub-vectors of the ``n_codes`` lowest vec_ids, the same
+    training-free seeded quantizer as the IVF oracle family, so the
+    whole operator is a pure function of the table. Assignment by
+    ROUNDED euclidean distance, ties → lowest code.
+
+    Scale: codebook = one bounded bottom-k pass, broadcast once;
+    assignment + error partials are one stateless matmul-shaped pass
+    per batch; the final is subspace-bounded (m rows). Code ids pack
+    to m bytes/vector — the 32× compression path.
+
+    Output: (subspace, n_vecs, mse, top_code, top_code_count) —
+    subspace asc; mse = mean squared reconstruction error over the
+    subspace's dims; top_code = most-assigned code (count desc, code
+    asc).
+    """
+    import ray
+
+    from .embeddings import _lowest_k_vectors
+    from .util import combine_bounded
+
+    C = _lowest_k_vectors(sf_dir, n_codes)
+    empty = pd.DataFrame({
+        "subspace": pd.Series([], dtype="int64"),
+        "n_vecs": pd.Series([], dtype="int64"),
+        "mse": pd.Series([], dtype="float64"),
+        "top_code": pd.Series([], dtype="int64"),
+        "top_code_count": pd.Series([], dtype="int64")})
+    if C.shape[0] == 0:
+        return empty
+    d = C.shape[1]
+    sub = d // m
+    cref = ray.put(C)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cols = {"subspace": pd.Series([], dtype="int64"),
+                "n_vecs": pd.Series([], dtype="int64"),
+                "sse": pd.Series([], dtype="float64"),
+                "code": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64")}
+        bb = b[b["embedding"].notna()]
+        if len(bb) == 0:
+            return pd.DataFrame(cols)
+        Cm = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        X = np.asarray([np.asarray(e, dtype=np.float64)
+                        for e in bb["embedding"]])
+        frames = []
+        for s in range(m):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            Cs = Cm[:, s * sub:(s + 1) * sub]
+            D2 = ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+            Dr = np.round(np.sqrt(D2), round_to)
+            code = Dr.argmin(axis=1)           # first min = lowest code
+            sse = D2[np.arange(len(Xs)), code]
+            cc = np.bincount(code, minlength=Cm.shape[0])
+            nz = np.nonzero(cc)[0]
+            frames.append(pd.DataFrame({
+                "subspace": np.full(len(nz), s, dtype=np.int64),
+                "n_vecs": np.zeros(len(nz), dtype=np.int64),
+                "sse": np.zeros(len(nz), dtype=np.float64),
+                "code": nz.astype(np.int64),
+                "cnt": cc[nz].astype(np.int64)}))
+            frames.append(pd.DataFrame({
+                "subspace": pd.Series([s], dtype="int64"),
+                "n_vecs": pd.Series([len(Xs)], dtype="int64"),
+                "sse": pd.Series([float(sse.sum())], dtype="float64"),
+                "code": pd.Series([-1], dtype="int64"),
+                "cnt": pd.Series([0], dtype="int64")}))
+        return pd.concat(frames, ignore_index=True)
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        tot = (df[df["code"] == -1].groupby("subspace", sort=True)
+               .agg(n_vecs=("n_vecs", "sum"), sse=("sse", "sum"))
+               .reset_index())
+        cc = (df[df["code"] >= 0].groupby(["subspace", "code"],
+                                          sort=True)["cnt"].sum()
+              .reset_index())
+        top = (cc.sort_values(["subspace", "cnt", "code"],
+                              ascending=[True, False, True])
+               .groupby("subspace", sort=True).head(1)
+               .rename(columns={"code": "top_code",
+                                "cnt": "top_code_count"}))
+        g = tot.merge(top, on="subspace")
+        return pd.DataFrame({
+            "subspace": g["subspace"].astype("int64"),
+            "n_vecs": g["n_vecs"].astype("int64"),
+            "mse": np.round(g["sse"].to_numpy(dtype=np.float64)
+                            / (g["n_vecs"].to_numpy(dtype=np.float64)
+                               * sub), round_to),
+            "top_code": g["top_code"].astype("int64"),
+            "top_code_count": g["top_code_count"].astype("int64")})
+
+    return combine_bounded(ds.map_batches(partial, batch_format="pandas"),
+                           comb).to_pandas()

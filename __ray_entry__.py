@@ -415,6 +415,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": lambda sf: _sel().length_quantiles(sf),
         "incremental_dedup": lambda sf: _sel().incremental_dedup(sf),
         "embedding_pq": lambda sf: _sel().embedding_pq(sf),
+        "ann_recall_eval": lambda sf: _sel().ann_recall_eval(sf),
+        "time_decay_aggregate":
+            lambda sf: _sel().time_decay_aggregate(sf),
         # --- similarity search ---
         "ann_cosine_topk": lambda sf: ann.cosine_topk(sf),
         "ann_knn_join": lambda sf: ann.knn_join_topk(sf),
@@ -1158,6 +1161,8 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": o.length_quantiles_sql(),
         "incremental_dedup": o.incremental_dedup_sql(),
         "embedding_pq": o.embedding_pq_sql(),
+        "ann_recall_eval": o.ann_recall_eval_sql(),
+        "time_decay_aggregate": o.time_decay_aggregate_sql(),
         "stratified_sample": o.stratified_sample_sql(),
         "pack_sequences": o.pack_sequences_sql(),
         "repetition_filter": o.repetition_filter_sql(),

@@ -63,7 +63,10 @@ def run_bench() -> dict:
                      # round-3: skewed-corpus exact dedup (20k pages)
                      "pages_exact_dedup",
                      # round-3 part 4: span-level dedup + LM scoring
-                     "duplicate_spans", "lm_perplexity"]
+                     "duplicate_spans", "lm_perplexity",
+                     # round-3 part 5: data-selection + event analytics
+                     "quality_classifier", "bm25_topk",
+                     "events_interval_join", "incremental_dedup"]
     times: dict[str, float] = {}
     for name in bench_queries:
         t0 = time.perf_counter()

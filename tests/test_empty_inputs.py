@@ -23,7 +23,7 @@ FAMS = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
         "embedding_quantize", "kcenter_sample", "events_funnel",
         "events_retention", "events_interval_join", "token_zipf_fit",
         "bm25_topk", "length_quantiles", "incremental_dedup",
-        "embedding_pq",
+        "embedding_pq", "ann_recall_eval", "time_decay_aggregate",
         "exact_dedup", "minhash_pairs", "simhash_signatures",
         "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",
         "embedding_dup_clusters", "ann_cosine_topk", "ann_knn_join",
@@ -124,6 +124,7 @@ def test_curation_family_tolerates_null_cells(tmp_path, ray_session):
             "token_kl_divergence", "embedding_quantize",
             "kcenter_sample", "token_zipf_fit", "bm25_topk",
             "length_quantiles", "incremental_dedup", "embedding_pq",
+            "ann_recall_eval",
             "exact_dedup", "minhash_pairs", "simhash_signatures",
             "simhash_neardup_pairs", "ngram_jaccard_pairs",
             "dup_clusters", "embedding_dup_clusters", "ann_cosine_topk",

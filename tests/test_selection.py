@@ -231,3 +231,25 @@ def test_embedding_pq_reconstruction_reasonable(ray_session):
     assert pq_out["top_code"].between(0, 15).all()
     # the top code's count is a plurality bound
     assert (pq_out["top_code_count"] * 16 >= pq_out["n_vecs"]).all()
+
+
+def test_time_decay_monotone_in_recency(tmp_path, ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.selection import time_decay_aggregate
+    H = 7 * DAY
+    t0 = 1_700_000_000 * 1_000_000
+    # user 1's event at T (weight 1), user 2's one halflife earlier
+    # (weight 0.5), user 3 two halflives earlier (weight 0.25)
+    rows = [(1, t0 + 2 * H, 1, "view"), (2, t0 + H, 2, "view"),
+            (3, t0, 3, "view")]
+    d = _fixture_dir(tmp_path, events=_events(rows))
+    out = (time_decay_aggregate(d).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["score"].tolist() == [1.0, 0.5, 0.25]
+
+
+def test_ann_recall_eval_bounds(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.selection import ann_recall_eval
+    out = ann_recall_eval(SRC, k=10)
+    assert len(out) == 1
+    assert 0.0 <= out["recall"][0] <= 1.0
+    assert out["n_hit"][0] == round(out["recall"][0] * 10)

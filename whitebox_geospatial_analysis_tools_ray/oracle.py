@@ -8407,3 +8407,38 @@ SELECT er.s AS subspace, CAST(er.n_vecs AS BIGINT) AS n_vecs,
 FROM er JOIN tp ON tp.s = er.s CROSS JOIN w
 ORDER BY subspace
 """
+
+
+def ann_recall_eval_sql(k: int = 10, query_vec_id: int = 0,
+                        nprobe: int = 4, round_to: int = 6) -> str:
+    """Mirror of stages/selection.ann_recall_eval: recall@k of the
+    seeded-IVF search vs the brute-force truth — both sides are the
+    existing exact mirrors, composed."""
+    truth = ann_cosine_topk_sql(k=k, query_vec_id=query_vec_id)
+    approx = ann_ivf_topk_sql(k=k, query_vec_id=query_vec_id,
+                              nprobe=nprobe)
+    return f"""
+WITH truth AS ({truth}),
+approx AS ({approx}),
+hit AS (SELECT CAST(count(*) AS BIGINT) AS n
+        FROM truth JOIN approx USING (vec_id))
+SELECT 'ivf_seeded' AS variant, {k}::BIGINT AS k, hit.n AS n_hit,
+       round(CAST(hit.n AS DOUBLE) / {k}, {round_to}) AS recall
+FROM hit
+"""
+
+
+def time_decay_aggregate_sql(halflife_us: int = 7 * 24 * 3600 * 1_000_000,
+                             round_to: int = 6) -> str:
+    """Mirror of stages/selection.time_decay_aggregate: per-event decay
+    2^(-(T - t)/halflife) to the corpus horizon T; identical float
+    expression shape, per-user sum rounded."""
+    return f"""
+WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value * pow(2.0,
+             -CAST(t.tmax - epoch_us(ts) AS DOUBLE) / {halflife_us})),
+             {round_to}) AS score
+FROM events CROSS JOIN t
+GROUP BY user_id ORDER BY user_id
+"""

@@ -799,3 +799,105 @@ def embedding_pq(sf_dir: str, m: int = 8, n_codes: int = 16,
 
     return combine_bounded(ds.map_batches(partial, batch_format="pandas"),
                            comb).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation
+# ---------------------------------------------------------------------------
+
+def ann_recall_eval(sf_dir: str, k: int = 10,
+                    query_vec_id: int = 0, nprobe: int = 4,
+                    round_to: int = 6) -> pd.DataFrame:
+    """Recall@k of the seeded-IVF approximate search against the
+    brute-force ground truth, as a first-class query — the evaluation
+    harness every ANN deployment runs before trusting an index
+    (recall@k = |IVF top-k ∩ brute top-k| / k). Both sides are pure
+    functions of the table, so the recall itself has an EXACT oracle.
+
+    Scale: two broadcast-query passes (the existing cosine_topk /
+    ivf_topk plans — per-batch partial top-k, no shuffle of the
+    embedding table) + a driver-side set intersection of 2k ids.
+
+    Output: one row (variant, k, n_hit, recall).
+    """
+    from .ann import cosine_topk, ivf_topk
+
+    truth = cosine_topk(sf_dir, k=k, query_vec_id=query_vec_id)
+    if not isinstance(truth, pd.DataFrame):
+        truth = truth.to_pandas()
+    approx = ivf_topk(sf_dir, k=k, query_vec_id=query_vec_id,
+                      nprobe=nprobe)
+    if not isinstance(approx, pd.DataFrame):
+        approx = approx.to_pandas()
+    if truth.empty:
+        return pd.DataFrame({"variant": pd.Series([], dtype="object"),
+                             "k": pd.Series([], dtype="int64"),
+                             "n_hit": pd.Series([], dtype="int64"),
+                             "recall": pd.Series([], dtype="float64")})
+    hit = len(set(truth["vec_id"]) & set(approx["vec_id"]))
+    return pd.DataFrame({
+        "variant": pd.Series(["ivf_seeded"], dtype="object"),
+        "k": pd.Series([k], dtype="int64"),
+        "n_hit": pd.Series([hit], dtype="int64"),
+        "recall": [round(hit / k, round_to)]})
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement aggregate
+# ---------------------------------------------------------------------------
+
+def time_decay_aggregate(sf_dir: str,
+                         halflife_us: int = 7 * 24 * 3600 * 1_000_000,
+                         round_to: int = 6) -> "rd.Dataset":
+    """Per-user exponentially time-decayed value score — the streaming
+    feature every recommender/engagement system maintains:
+    score(u) = Σ_events value · 2^(−(T − t)/halflife), decayed to the
+    corpus horizon T = max event ts (deterministic; an incremental
+    deployment re-decays by multiplying with 2^(−Δ/halflife)).
+
+    Scale: T comes from a max-partial pass (exact integer µs); the
+    decay terms are independent per event, so scoring is a stateless
+    map and the per-user sum is one bucketed unbounded-key combine of
+    (user, partial-sum, count) rows — event payloads never re-ship.
+
+    Output: (user_id, n_events, score) — user asc, score rounded.
+    """
+    from .util import bucketed_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+
+    def max_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"t": pd.Series([], dtype="int64")})
+        t = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"t": [int(t.max())]})
+
+    mx = ds.map_batches(max_partial, batch_format="pandas").to_pandas()
+    if mx.empty:
+        return rd.from_pandas(pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64")}))
+    T = int(mx["t"].max())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        w = np.exp2(-(T - t).astype(np.float64) / halflife_us)
+        d = pd.DataFrame({"user_id": b["user_id"].to_numpy(),
+                          "s": b["value"].to_numpy(dtype=np.float64) * w,
+                          "n": np.ones(len(b), dtype=np.int64)})
+        return (d.groupby("user_id", sort=False)
+                .agg(s=("s", "sum"), n=("n", "sum")).reset_index())
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("user_id", sort=True)
+             .agg(s=("s", "sum"), n=("n", "sum")).reset_index())
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "n_events": g["n"].astype("int64"),
+            "score": np.round(g["s"].to_numpy(dtype=np.float64),
+                              round_to)})
+
+    return bucketed_agg(ds.map_batches(partial, batch_format="pandas"),
+                        ["user_id"], comb)

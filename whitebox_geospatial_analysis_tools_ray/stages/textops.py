@@ -377,10 +377,16 @@ def tfidf_top_terms(sf_dir: str, k: int = 3,
     return docs.map_batches(score, batch_format="pandas")
 
 
-def _df_table(sf_dir: str):
+def _df_table(sf_dir: str, with_stats: bool = False):
     """Distributed (term, df, tf) table over the corpus: document
     frequency AND total term frequency in ONE vocab-bounded pass
-    (shared by token_zipf_fit and bm25_topk)."""
+    (shared by token_zipf_fit and bm25_topk).
+
+    With ``with_stats=True`` the SAME pass also carries the corpus doc
+    stats — per-batch (n_docs, n_tokens) ride along as ``kind=1`` rows
+    through the bucketed combine, so bm25 needs TWO corpus passes
+    (stats+df, then scoring) instead of three; returns
+    (counts_df, n_docs, n_tokens)."""
     from .util import bucketed_agg, escape_nul, unescape_nul
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -389,12 +395,16 @@ def _df_table(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         dfc: dict[str, int] = {}
         tfc: dict[str, int] = {}
+        n_docs = 0
+        n_toks = 0
         for text in b["text"]:
             t = (text or "").strip().lower() if isinstance(text, str) \
                 else ""
             toks = _WS.split(t) if t else []
             if not toks:
                 continue
+            n_docs += 1
+            n_toks += len(toks)
             seen = set()
             for tok in toks:
                 tfc[tok] = tfc.get(tok, 0) + 1
@@ -402,22 +412,39 @@ def _df_table(sf_dir: str):
                     seen.add(tok)
                     dfc[tok] = dfc.get(tok, 0) + 1
         ks = list(tfc.keys())
-        return pd.DataFrame({
+        out = pd.DataFrame({
+            "kind": np.zeros(len(ks), dtype=np.int64),
             "term": ks,
             "tf": np.fromiter((tfc[k] for k in ks), dtype=np.int64,
                               count=len(ks)),
             "df": np.fromiter((dfc[k] for k in ks), dtype=np.int64,
                               count=len(ks))})
+        if with_stats:
+            stats = pd.DataFrame({"kind": pd.Series([1], dtype="int64"),
+                                  "term": pd.Series([""], dtype="object"),
+                                  "tf": pd.Series([n_toks],
+                                                  dtype="int64"),
+                                  "df": pd.Series([n_docs],
+                                                  dtype="int64")})
+            out = pd.concat([out, stats], ignore_index=True)
+        return out
 
     def comb(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.assign(term=escape_nul(df["term"].astype(str)))
-               .groupby("term", sort=False)[["tf", "df"]].sum()
-               .reset_index().astype({"tf": "int64", "df": "int64"}))
+               .groupby(["kind", "term"], sort=False)[["tf", "df"]].sum()
+               .reset_index().astype({"kind": "int64", "tf": "int64",
+                                      "df": "int64"}))
         out["term"] = unescape_nul(out["term"])
         return out
 
-    return bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
-                        ["term"], comb)
+    res = bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
+                       ["kind", "term"], comb).to_pandas()
+    counts = res[res["kind"] == 0].drop(columns="kind") \
+        .reset_index(drop=True)
+    if not with_stats:
+        return counts
+    st = res[res["kind"] == 1]
+    return counts, int(st["df"].sum()), int(st["tf"].sum())
 
 
 def token_zipf_fit(sf_dir: str, k: int = 100,
@@ -435,7 +462,7 @@ def token_zipf_fit(sf_dir: str, k: int = 100,
 
     Output: one row (k, slope, intercept, r2) — values rounded.
     """
-    counts = _df_table(sf_dir).to_pandas()
+    counts = _df_table(sf_dir)
     empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
                           "slope": pd.Series([], dtype="float64"),
                           "intercept": pd.Series([], dtype="float64"),
@@ -485,11 +512,11 @@ def bm25_topk(sf_dir: str, n_query_terms: int = 3, k: int = 20,
 
     from .util import coalesce_partials
 
-    counts = _df_table(sf_dir).to_pandas()
+    counts, N, n_toks = _df_table(sf_dir, with_stats=True)
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "dl": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
-    if counts.empty:
+    if counts.empty or N == 0:
         return empty
     qterms = (counts.sort_values(["df", "term"],
                                  ascending=[False, True])
@@ -498,25 +525,7 @@ def bm25_topk(sf_dir: str, n_query_terms: int = 3, k: int = 20,
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
-    def dstats(bt: pd.DataFrame) -> pd.DataFrame:
-        ns = []
-        nd = 0
-        for text in bt["text"]:
-            t = (text or "").strip().lower() if isinstance(text, str) \
-                else ""
-            toks = _WS.split(t) if t else []
-            if toks:
-                nd += 1
-                ns.append(len(toks))
-        return pd.DataFrame({"n_docs": pd.Series([nd], dtype="int64"),
-                             "n_toks": pd.Series([sum(ns)],
-                                                 dtype="int64")})
-
-    st = docs.map_batches(dstats, batch_format="pandas").to_pandas()
-    N = int(st["n_docs"].sum())
-    if N == 0:
-        return empty
-    avgdl = float(st["n_toks"].sum()) / float(N)
+    avgdl = float(n_toks) / float(N)
     idf = {t: np.log(1.0 + (N - d + 0.5) / (d + 0.5))
            for t, d in zip(qterms["term"], qterms["df"])}
     model = ray.put((idf, avgdl))

@@ -440,6 +440,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frame_stats": lambda sf: multimodal.audio_frame_stats(sf),
         # --- relational surface ---
         "q1_pricing": lambda sf: relational.q1_pricing_summary(sf),
+        "q3_shipping_priority":
+            lambda sf: relational.q3_shipping_priority(sf),
+        "q6_forecast_revenue":
+            lambda sf: relational.q6_forecast_revenue(sf),
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
         "top_parts": lambda sf: relational.top_parts_by_price(sf),
         "join_large": lambda sf: relational.orders_lineitem_join(sf),
@@ -1171,6 +1175,8 @@ def oracle_sql() -> dict[str, str]:
         # pca_embeddings / inverse_pca: 64-dim eigendecomposition — no SQL
         # closed form; verified against single-process mirrors in tests.
         "q1_pricing": o.q1_sql(),
+        "q3_shipping_priority": o.q3_shipping_priority_sql(),
+        "q6_forecast_revenue": o.q6_forecast_revenue_sql(),
         "revenue_by_nation": o.revenue_by_nation_sql(),
         "top_parts": o.top_parts_sql(),
         "join_large": __import__(

@@ -24,6 +24,7 @@ FAMS = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
         "events_retention", "events_interval_join", "token_zipf_fit",
         "bm25_topk", "length_quantiles", "incremental_dedup",
         "embedding_pq", "ann_recall_eval", "time_decay_aggregate",
+        "q3_shipping_priority", "q6_forecast_revenue",
         "exact_dedup", "minhash_pairs", "simhash_signatures",
         "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",
         "embedding_dup_clusters", "ann_cosine_topk", "ann_knn_join",

@@ -8442,3 +8442,38 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
 FROM events CROSS JOIN t
 GROUP BY user_id ORDER BY user_id
 """
+
+
+def q6_forecast_revenue_sql(round_to: int = 4) -> str:
+    return f"""
+SELECT round(COALESCE(sum(l_extendedprice * l_discount), 0.0),
+             {round_to}) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= CAST(0.05 AS DOUBLE)
+  AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+"""
+
+
+def q3_shipping_priority_sql(segment: str = "BUILDING",
+                             cutoff: str = "1997-01-01", k: int = 10,
+                             round_to: int = 4) -> str:
+    return f"""
+WITH c AS (SELECT c_custkey FROM customer
+           WHERE c_mktsegment = '{segment}'),
+o AS (SELECT o_orderkey, o_orderdate
+      FROM orders JOIN c ON o_custkey = c_custkey
+      WHERE o_orderdate < TIMESTAMP '{cutoff}'),
+r AS (SELECT l_orderkey,
+             round(sum(l_extendedprice * (1.0 - l_discount)),
+                   {round_to}) AS revenue
+      FROM lineitem JOIN o ON l_orderkey = o_orderkey
+      WHERE l_shipdate > TIMESTAMP '{cutoff}'
+      GROUP BY l_orderkey)
+SELECT r.l_orderkey, r.revenue, o.o_orderdate
+FROM r JOIN o ON o.o_orderkey = r.l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT {k}
+"""

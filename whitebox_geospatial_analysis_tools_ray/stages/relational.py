@@ -681,3 +681,146 @@ def events_interval_join(sf_dir: str, left_type: str = "error",
     return (bucketed.groupby("bucket").map_groups(
         lambda g: per_bucket(g.drop(columns="bucket")),
         batch_format="pandas").sort("event_id"))
+
+
+def q6_forecast_revenue(sf_dir: str, round_to: int = 4) -> pd.DataFrame:
+    """TPC-H Q6-style forecasting-revenue-change: one filtered scan of
+    lineitem, Σ l_extendedprice·l_discount over a date/discount/
+    quantity band. Pure stateless partial-sum map + one-row fold —
+    the cheapest possible plan shape (predicate pushdown candidates
+    ride the parquet row-group stats at scale).
+
+    Output: one row (revenue, n_items)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"])
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        m = pc.and_(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                            pc.less(t["l_shipdate"], hi)),
+                    pc.and_(pc.and_(
+                        pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                        pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                        pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t = t.filter(m)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"],
+                                 t["l_discount"])).as_py() or 0.0
+        return pd.DataFrame({"rev": pd.Series([rev], dtype="float64"),
+                             "n": pd.Series([t.num_rows],
+                                            dtype="int64")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rev = float(df["rev"].sum()) if len(df) else 0.0
+        n = int(df["n"].sum()) if len(df) else 0
+        return pd.DataFrame({"revenue": [round(rev, round_to)],
+                             "n_items": pd.Series([n], dtype="int64")})
+
+    from .util import combine_bounded
+    return combine_bounded(parts, final).to_pandas()
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1997-01-01", k: int = 10,
+                         round_to: int = 4) -> pd.DataFrame:
+    """TPC-H Q3-style shipping priority: top-k open orders of a market
+    segment by pending revenue (o_orderdate < cutoff, l_shipdate >
+    cutoff). Plan: the SEGMENT's qualifying orders (orderkey →
+    orderdate) are a filtered broadcast side (the c_custkey set folds
+    in during the same driver prep — both dimension-sized); lineitem
+    then streams once, keying revenue partials by orderkey; per-key
+    sums must COMPLETE before top-k, so the combine is the bucketed
+    unbounded-key shuffle with a lossless per-bucket top-k prune.
+    (At a scale where the qualifying orders stop fitting a broadcast,
+    the shuffle hash join — stages/relational.join_large — replaces
+    the lookup; the aggregation shape is unchanged.)
+
+    Output: (l_orderkey, revenue, o_orderdate) — k rows, revenue desc,
+    orderkey asc."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from .util import bucketed_agg, combine_bounded
+
+    cut = pd.Timestamp(cutoff)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    ckeys = cust.filter(pc.equal(cust["c_mktsegment"], segment)
+                        )["c_custkey"].to_numpy()
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey",
+                                    "o_orderdate"])
+    om = orders.filter(pc.and_(
+        pc.is_in(orders["o_custkey"], value_set=pa.array(ckeys)),
+        pc.less(orders["o_orderdate"],
+                pa.scalar(cut, type=pa.timestamp("us")))))
+    okeys = om["o_orderkey"].to_numpy()
+    odates = om["o_orderdate"].to_numpy()
+    order_sort = np.argsort(okeys)
+    okeys, odates = okeys[order_sort], odates[order_sort]
+    empty = pd.DataFrame({
+        "l_orderkey": pd.Series([], dtype="int64"),
+        "revenue": pd.Series([], dtype="float64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]")})
+    if len(okeys) == 0:
+        return empty
+    side = ray.put((okeys, odates))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    cut_sc = pa.scalar(cut, type=pa.timestamp("us"))
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        ok, _od = ray.get(side) if isinstance(side, ray.ObjectRef) \
+            else side
+        t = t.filter(pc.greater(t["l_shipdate"], cut_sc))
+        lk = t["l_orderkey"].to_numpy()
+        pos = np.searchsorted(ok, lk)
+        hit = (pos < len(ok)) & (ok[np.minimum(pos, len(ok) - 1)] == lk)
+        if not hit.any():
+            return pd.DataFrame({"l_orderkey": pd.Series([],
+                                                         dtype="int64"),
+                                 "rev": pd.Series([], dtype="float64")})
+        rev = (t["l_extendedprice"].to_numpy()[hit]
+               * (1.0 - t["l_discount"].to_numpy()[hit]))
+        d = pd.DataFrame({"l_orderkey": lk[hit], "rev": rev})
+        return (d.groupby("l_orderkey", sort=False)["rev"].sum()
+                .reset_index())
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        # full per-orderkey sums complete inside the bucket, THEN the
+        # lossless top-k prune (global top-k ⊆ union of bucket top-k)
+        g = (df.groupby("l_orderkey", sort=False)["rev"].sum()
+             .reset_index())
+        g["revenue"] = g["rev"].round(round_to)
+        g = g.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(k)
+        return g[["l_orderkey", "revenue"]].astype(
+            {"l_orderkey": "int64"})
+
+    parts = bucketed_agg(li.map_batches(partial, batch_format="pyarrow"),
+                         ["l_orderkey"], comb)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        ok, od = okeys, odates
+        g = (df.sort_values(["revenue", "l_orderkey"],
+                            ascending=[False, True]).head(k)
+             .reset_index(drop=True))
+        pos = np.searchsorted(ok, g["l_orderkey"].to_numpy())
+        g["o_orderdate"] = pd.Series(od[pos]).astype("datetime64[us]")
+        return g[["l_orderkey", "revenue", "o_orderdate"]].astype(
+            {"l_orderkey": "int64"})
+
+    return combine_bounded(parts, final).to_pandas()

@@ -439,6 +439,12 @@ def _df_table(sf_dir: str, with_stats: bool = False):
 
     res = bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
                        ["kind", "term"], comb).to_pandas()
+    if res.empty or "kind" not in res.columns:
+        # 0-row corpus: Ray drops the pandas block schema entirely
+        res = pd.DataFrame({"kind": pd.Series([], dtype="int64"),
+                            "term": pd.Series([], dtype="object"),
+                            "tf": pd.Series([], dtype="int64"),
+                            "df": pd.Series([], dtype="int64")})
     counts = res[res["kind"] == 0].drop(columns="kind") \
         .reset_index(drop=True)
     if not with_stats:

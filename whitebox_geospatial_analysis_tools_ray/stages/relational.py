@@ -656,31 +656,40 @@ def events_interval_join(sf_dir: str, left_type: str = "error",
                 "event_id": lf["event_id"].to_numpy(),
                 "user_id": luser,
                 "n_right": np.zeros(len(lf), dtype=np.int64)})
-        # composite (user, ts) key via local dense user rank: rights
-        # sort once, lefts probe twice
+        # composite (user_rank, time_rank) key — BOTH factors are dense
+        # ranks local to the bucket (the as-of join's trick), so the
+        # int64 product is bounded by bucket_rows² and can never
+        # overflow, unlike a (user_rank × raw-time-span) key which
+        # breaks at ~1e6 users × year-wide windows. Probe times that
+        # are not event times rank via searchsorted on the same time
+        # table: rank(x, left) ≤ rank(t) iff t ≥ x, and
+        # rank(t) < rank(x, right) iff t ≤ x — inclusive both ends.
         ruser = rt["user_id"].to_numpy()
         rts = rt["ts_us"].to_numpy()
         uu = np.unique(np.concatenate([luser, ruser]))
-        lu = np.searchsorted(uu, luser)
-        ru = np.searchsorted(uu, ruser)
-        tmin = min(int(lts.min()) - before_us, int(rts.min()))
-        span = np.int64(max(int(lts.max()) + after_us,
-                            int(rts.max())) - tmin + 2)
-        rkey = ru.astype(np.int64) * span + (rts - tmin)
+        lu = np.searchsorted(uu, luser).astype(np.int64)
+        ru = np.searchsorted(uu, ruser).astype(np.int64)
+        tt = np.unique(rts)
+        M = np.int64(len(tt) + 2)
+        rkey = ru * M + np.searchsorted(tt, rts).astype(np.int64)
         rkey.sort()
-        lo = np.searchsorted(rkey, lu.astype(np.int64) * span
-                             + (lts - before_us - tmin), side="left")
-        hi = np.searchsorted(rkey, lu.astype(np.int64) * span
-                             + (lts + after_us - tmin), side="right")
+        lo_rank = np.searchsorted(tt, lts - before_us,
+                                  side="left").astype(np.int64)
+        hi_rank = np.searchsorted(tt, lts + after_us,
+                                  side="right").astype(np.int64)
+        lo = np.searchsorted(rkey, lu * M + lo_rank, side="left")
+        hi = np.searchsorted(rkey, lu * M + hi_rank, side="left")
         return pd.DataFrame({
             "event_id": lf["event_id"].to_numpy(),
             "user_id": luser,
             "n_right": (hi - lo).astype(np.int64)})
 
     bucketed = ds.map_batches(to_bucketed, batch_format="pyarrow")
-    return (bucketed.groupby("bucket").map_groups(
+    # row order is unspecified (a global sort would be a semantically
+    # unneeded all-to-all over one-row-per-left-event output)
+    return bucketed.groupby("bucket").map_groups(
         lambda g: per_bucket(g.drop(columns="bucket")),
-        batch_format="pandas").sort("event_id"))
+        batch_format="pandas")
 
 
 def q6_forecast_revenue(sf_dir: str, round_to: int = 4) -> pd.DataFrame:

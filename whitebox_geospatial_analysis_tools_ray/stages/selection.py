@@ -482,6 +482,8 @@ def events_funnel(sf_dir: str,
 
     from .util import combine_bounded
 
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
     NB = 64
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "user_id", "event_type"])
@@ -731,6 +733,11 @@ def embedding_pq(sf_dir: str, m: int = 8, n_codes: int = 16,
     if C.shape[0] == 0:
         return empty
     d = C.shape[1]
+    if d % m != 0:
+        # silently truncating the remainder dims would misreport the
+        # reconstruction error — fail loudly instead
+        raise ValueError(f"embedding dim {d} not divisible into "
+                         f"{m} subspaces")
     sub = d // m
     cref = ray.put(C)
 
@@ -862,6 +869,9 @@ def time_decay_aggregate(sf_dir: str,
 
     Output: (user_id, n_events, score) — user asc, score rounded.
     """
+    if halflife_us <= 0:
+        raise ValueError(f"halflife_us must be positive, "
+                         f"got {halflife_us}")
     from .util import bucketed_agg
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",

@@ -270,8 +270,11 @@ def embedding_quantize(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
     """
     from .util import combine_bounded
 
+    # materialize once: the max-abs and error passes both consume the
+    # same pruned columns — one storage read, two object-store scans
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding", "label"])
+                         columns=["vec_id", "embedding",
+                                  "label"]).materialize()
 
     def _clean(b: pd.DataFrame) -> pd.DataFrame:
         # dirty-shard tolerance: skip rows with a null embedding/label
@@ -381,8 +384,12 @@ def kcenter_sample(sf_dir: str, k: int = 6,
     """
     import ray
 
+    # materialize once: the k greedy rounds then re-scan object-store
+    # blocks instead of re-reading the parquet k times (k extra
+    # storage scans at 100 TB; spill-backed blocks are the cheaper
+    # re-read path)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]).materialize()
 
     def seed_partial(b: pd.DataFrame) -> pd.DataFrame:
         cols = {"vec_id": pd.Series([], dtype="int64"),
@@ -883,7 +890,10 @@ def time_decay_aggregate(sf_dir: str,
         t = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
         return pd.DataFrame({"t": [int(t.max())]})
 
-    mx = ds.map_batches(max_partial, batch_format="pandas").to_pandas()
+    # the horizon pre-scan reads ONLY the ts column (prune at the
+    # read — the events table is the big side here)
+    mx = (rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+          .map_batches(max_partial, batch_format="pandas").to_pandas())
     if mx.empty:
         return rd.from_pandas(pd.DataFrame({
             "user_id": pd.Series([], dtype="int64"),

@@ -655,26 +655,23 @@ def incremental_dedup(sf_dir: str, mod: int = 3) -> pd.DataFrame:
         for doc_id, text in zip(b["doc_id"], b["text"]):
             h = hashlib.md5((text if isinstance(text, str) else "")
                             .encode("utf-8")).hexdigest()
-            a = agg.setdefault(h, [0, 0, 1 << 62])
+            a = agg.setdefault(h, [0, 0])
             if int(doc_id) % mod == 0:
                 a[0] += 1
             else:
                 a[1] += 1
-                a[2] = min(a[2], int(doc_id))
         ks = list(agg.keys())
         return pd.DataFrame({
             "h": ks,
             "n_ex": np.fromiter((agg[k][0] for k in ks),
                                 dtype=np.int64, count=len(ks)),
             "n_inc": np.fromiter((agg[k][1] for k in ks),
-                                 dtype=np.int64, count=len(ks)),
-            "min_inc": np.fromiter((agg[k][2] for k in ks),
-                                   dtype=np.int64, count=len(ks))})
+                                 dtype=np.int64, count=len(ks))})
 
     def comb(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby("h", sort=False)
-             .agg(n_ex=("n_ex", "sum"), n_inc=("n_inc", "sum"),
-                  min_inc=("min_inc", "min")).reset_index())
+             .agg(n_ex=("n_ex", "sum"), n_inc=("n_inc", "sum"))
+             .reset_index())
         n_inc = g["n_inc"].to_numpy(dtype=np.int64)
         has_ex = g["n_ex"].to_numpy(dtype=np.int64) > 0
         hit = np.where(has_ex, n_inc, 0)

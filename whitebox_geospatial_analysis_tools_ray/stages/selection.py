@@ -20,8 +20,18 @@ required by the graft's web-corpus axis:
   the divergence feature DSIR-style selection builds on.
 - ``embedding_quantize``  — int8 scalar quantization error report, the
   memory-scale path for the ANN family (4× smaller vectors).
+- ``embedding_pq``        — product quantization (Jégou et al. 2011),
+  the 32× IVF-PQ code layout.
 - ``kcenter_sample``      — greedy farthest-point sampling (Gonzalez
   1985 2-approximation), the classic diversity-selection kernel.
+- ``length_quantiles``    — exact mergeable-histogram length quantiles.
+- ``incremental_dedup``   — cross-shard ingest dedup vs an existing
+  corpus.
+- ``ann_recall_eval``     — recall@k of the seeded IVF vs brute truth.
+- ``time_decay_aggregate``— per-user exponentially decayed engagement.
+- ``events_funnel``       — ordered multi-step funnel conversion with
+  a horizon (the retention/interval-join siblings live in
+  stages/relational.py with the as-of join).
 
 All hashing is content-derived and deterministic (zlib crc32 /
 hashlib md5), never Python's randomized ``hash()``. Scale notes are on

@@ -8477,3 +8477,21 @@ SELECT r.l_orderkey, r.revenue, o.o_orderdate
 FROM r JOIN o ON o.o_orderkey = r.l_orderkey
 ORDER BY revenue DESC, l_orderkey LIMIT {k}
 """
+
+
+def hll_error_eval_sql(p: int = 10, round_to: int = 6) -> str:
+    """Mirror of stages/textops.hll_error_eval: the hll_estimate
+    mirror joined with the exact COUNT(DISTINCT token); rel_err from
+    the ROUNDED estimate on both sides."""
+    est = hll_estimate_sql(p=p, round_to=round_to)
+    return f"""
+WITH est AS ({est}),
+ex AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS exact FROM (
+  SELECT unnest({_STRIP_SPLIT}) AS term FROM documents
+  WHERE {_STRIP_SPLIT}[1] <> ''))
+SELECT ex.exact, est.estimate,
+       CASE WHEN ex.exact = 0 THEN 0.0
+            ELSE round(abs(est.estimate - ex.exact) / ex.exact,
+                       {round_to}) END AS rel_err
+FROM ex CROSS JOIN est
+"""

@@ -575,3 +575,27 @@ def bm25_topk(sf_dir: str, n_query_terms: int = 3, k: int = 20,
                 .reset_index(drop=True))
 
     return final(parts.to_pandas())
+
+
+def hll_error_eval(sf_dir: str, p: int = 10,
+                   round_to: int = 6) -> pd.DataFrame:
+    """Sketch-accuracy evaluation: the HyperLogLog distinct-token
+    estimate against the EXACT distinct count — the calibration check
+    every sketch deployment runs before trusting the 2^p-register
+    memory bound at corpus scale (expected rel-err ≈ 1.04/√m). Joins
+    the two existing exact-oracle kernels, so the evaluation itself
+    has an exact oracle.
+
+    Scale: exact side = the vocab-bounded df-table pass (distinct =
+    row count of the bounded combine); sketch side = the register
+    max-merge pass. Output: one row (exact, estimate, rel_err).
+    """
+    counts = _df_table(sf_dir)
+    exact = int(len(counts))
+    est = float(hll_estimate(sf_dir, p=p,
+                             round_to=round_to)["estimate"].iloc[0])
+    rel = round(abs(est - exact) / exact, round_to) if exact else 0.0
+    return pd.DataFrame({
+        "exact": pd.Series([exact], dtype="int64"),
+        "estimate": pd.Series([est], dtype="float64"),
+        "rel_err": pd.Series([rel], dtype="float64")})

@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "coincident_dedup": lambda sf: dedup.coincident_dedup(_points(sf)),
         "minhash_pairs": lambda sf: dedup.minhash_verified_pairs(sf),
+        "minhash_error_eval": lambda sf: dedup.minhash_error_eval(sf),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf),
         "simhash_signatures": lambda sf: dedup.simhash_signatures(sf),
         "simhash_neardup_pairs": lambda sf: dedup.simhash_neardup_pairs(sf),
@@ -1142,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": o.simhash_signatures_sql(),
         "simhash_neardup_pairs": o.simhash_neardup_pairs_sql(),
         "minhash_pairs": o.minhash_pairs_sql(),
+        "minhash_error_eval": o.minhash_error_eval_sql(),
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(),
         "dup_clusters": o.dup_clusters_sql(),
         "embedding_dup_clusters": o.embedding_dup_clusters_sql(),

@@ -8495,3 +8495,69 @@ SELECT ex.exact, est.estimate,
                        {round_to}) END AS rel_err
 FROM ex CROSS JOIN est
 """
+
+
+def minhash_error_eval_sql(threshold: float = 0.6, seed: int = 42,
+                           round_to: int = 6) -> str:
+    """Mirror of stages/dedup.minhash_error_eval: the minhash_pairs
+    CTE chain extended with the per-pair signature-match fraction
+    (exact dyadic n/64); abs_err against the ROUNDED jaccard."""
+    from .stages.dedup import _MERSENNE, _NUM_HASHES, _minhash_params
+    a, b = _minhash_params(seed)
+    fns = ", ".join(f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+                    for j in range(_NUM_HASHES))
+    rpb = _NUM_HASHES // 16
+    return f"""
+WITH RECURSIVE
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+items AS (
+  SELECT doc_id, unnest(range(len(toks) - 2)) AS iid,
+         unnest(list_transform(range(len(toks) - 2),
+           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+  FROM raw WHERE len(toks) >= 3
+  UNION ALL
+  SELECT doc_id, 0 AS iid, array_to_string(toks, ' ') AS s
+  FROM raw WHERE len(toks) < 3 AND toks[1] <> '')''')},
+fn(j, fa, fb) AS (SELECT * FROM (VALUES {fns}) v(j, fa, fb)),
+csets AS MATERIALIZED (
+  SELECT doc_id, list(DISTINCT crc ORDER BY crc) AS cs FROM crcf
+  GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, [0]::BIGINT[] AS cs FROM raw WHERE toks[1] = ''),
+shq AS (SELECT doc_id, unnest(cs) AS crc FROM csets),
+sigs AS MATERIALIZED (
+  SELECT s.doc_id, fn.j,
+         min(((fn.fa * s.crc::HUGEINT + fn.fb)
+              % {_MERSENNE}::HUGEINT))::BIGINT AS sig
+  FROM shq s CROSS JOIN fn GROUP BY s.doc_id, fn.j),
+bands AS MATERIALIZED (
+  SELECT doc_id, j // {rpb} AS band,
+         list(sig ORDER BY j) AS key FROM sigs GROUP BY doc_id, j // {rpb}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.cs, sb.cs))::DOUBLE
+           / (len(sa.cs) + len(sb.cs)
+              - len(list_intersect(sa.cs, sb.cs)))::DOUBLE AS jx
+  FROM cand c
+  JOIN csets sa ON sa.doc_id = c.doc_a
+  JOIN csets sb ON sb.doc_id = c.doc_b),
+kept AS (SELECT doc_a, doc_b, round(jx, {round_to}) AS jaccard
+         FROM jac WHERE jx >= {threshold!r}),
+est AS (
+  SELECT k.doc_a, k.doc_b,
+         sum(CASE WHEN xa.sig = xb.sig THEN 1
+                  ELSE 0 END)::DOUBLE / {_NUM_HASHES} AS e
+  FROM kept k
+  JOIN sigs xa ON xa.doc_id = k.doc_a
+  JOIN sigs xb ON xb.doc_id = k.doc_b AND xb.j = xa.j
+  GROUP BY 1, 2)
+SELECT k.doc_a, k.doc_b, k.jaccard,
+       round(e.e, {round_to}) AS est_jaccard,
+       round(abs(e.e - k.jaccard), {round_to}) AS abs_err
+FROM kept k JOIN est e ON e.doc_a = k.doc_a AND e.doc_b = k.doc_b
+ORDER BY k.doc_a, k.doc_b
+"""

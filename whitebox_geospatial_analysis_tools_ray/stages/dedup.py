@@ -681,3 +681,64 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
 
     return (coalesce_partials(paired).groupby("pbucket")
             .map_groups(verify, batch_format="pandas"))
+
+
+def minhash_error_eval(sf_dir: str, threshold: float = 0.6,
+                       round_to: int = 6) -> pd.DataFrame:
+    """Sketch-accuracy evaluation for the MinHash family: for every
+    VERIFIED near-dup pair, the signature-estimated Jaccard (matching
+    signature rows / 64) against the exact shingle-set Jaccard — the
+    calibration every LSH deployment runs to validate its band/row
+    choice (E[est] = J, σ = √(J(1−J)/64)). est is an exact dyadic
+    n/64 and the error is taken against the ROUNDED exact Jaccard, so
+    the whole evaluation replays exactly in SQL.
+
+    Scale: pairs are dup metadata (tiny); signatures recompute ONLY
+    for involved docs via a broadcast id set — one filtered map over
+    the corpus, no shuffle. Output: (doc_a, doc_b, jaccard,
+    est_jaccard, abs_err), pair-sorted.
+    """
+    import ray
+
+    empty = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "jaccard": pd.Series([], dtype="float64"),
+        "est_jaccard": pd.Series([], dtype="float64"),
+        "abs_err": pd.Series([], dtype="float64")})
+    pairs = minhash_verified_pairs(sf_dir, threshold=threshold)
+    if len(pairs) == 0:
+        return empty
+    involved = np.unique(np.concatenate(
+        [pairs["doc_a"].to_numpy(np.int64),
+         pairs["doc_b"].to_numpy(np.int64)]))
+    inv_ref = ray.put(involved)
+    a, b = _minhash_params()
+
+    def sigs_involved(batch: pd.DataFrame) -> pd.DataFrame:
+        inv = ray.get(inv_ref) if isinstance(inv_ref, ray.ObjectRef) \
+            else inv_ref
+        sub = batch[np.isin(batch["doc_id"].to_numpy(np.int64), inv)]
+        out = {"doc_id": sub["doc_id"].to_numpy(np.int64),
+               "sig": pd.Series([
+                   np.min(_mod_mersenne_affine(a, b, _shingle_crcs(t)),
+                          axis=1).tobytes() for t in sub["text"]],
+                   dtype="object")}
+        return pd.DataFrame(out)
+
+    sig_df = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+              .map_batches(sigs_involved, batch_format="pandas")
+              .to_pandas())
+    sigs = {int(d): np.frombuffer(s, dtype=np.int64)
+            for d, s in zip(sig_df["doc_id"], sig_df["sig"])}
+    est = np.fromiter(
+        ((sigs[int(x)] == sigs[int(y)]).sum() / _NUM_HASHES
+         for x, y in zip(pairs["doc_a"], pairs["doc_b"])),
+        dtype=np.float64, count=len(pairs))
+    out = pairs.copy()
+    out["est_jaccard"] = np.round(est, round_to)
+    out["abs_err"] = np.round(np.abs(est - out["jaccard"].to_numpy()),
+                              round_to)
+    return (out.sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))

@@ -29,6 +29,18 @@ import os
 import time
 
 
+def _table_rows(path: str) -> int:
+    """Row count from parquet metadata; a sharded table is a DIRECTORY
+    of parquet files (the 100-TB layout) — sum the shard footers."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                   for f in sorted(os.listdir(path))
+                   if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def run_flagship_job(sf_dir: str, out_dir: str,
                      tile_width: float = 250.0) -> dict:
     import pyarrow.parquet as pq
@@ -39,7 +51,7 @@ def run_flagship_job(sf_dir: str, out_dir: str,
     t0 = time.perf_counter()
     lineage = json.dumps({
         "input": f"{sf_dir}/documents.parquet",
-        "input_rows": pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows,
+        "input_rows": _table_rows(f"{sf_dir}/documents.parquet"),
         "stage_chain": ["read_parquet", "geocode", "tile_assign",
                         "broadcast_pip_join", "partial_count",
                         "groupby(tile,zone)"],
@@ -51,7 +63,7 @@ def run_flagship_job(sf_dir: str, out_dir: str,
     manifest = checkpointed_write(ds, out_dir, key="tile_id",
                                   stage="flagship", lineage=lineage_id)
     elapsed = time.perf_counter() - t0
-    pages = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    pages = _table_rows(f"{sf_dir}/documents.parquet")
     with open(os.path.join(out_dir, "_LINEAGE.json"), "w") as f:
         f.write(lineage)
     return {

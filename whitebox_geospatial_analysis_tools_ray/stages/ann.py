@@ -42,20 +42,30 @@ def _bottom_n_by_vec_id(sf_dir: str, n: int) -> "pd.DataFrame":
     """The n lowest vec_ids' rows via a STREAMING read + running
     bottom-n merge — O(n) driver memory instead of materializing the
     whole embeddings table to sort it (100 TB scale shape)."""
+    import os
+
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    path = f"{sf_dir}/embeddings.parquet"
+    # a sharded table is a DIRECTORY of parquet files (the 100-TB
+    # layout) — stream shard by shard, same running bottom-n
+    files = (sorted(os.path.join(path, f) for f in os.listdir(path)
+                    if f.endswith(".parquet"))
+             if os.path.isdir(path) else [path])
     # start from an empty typed frame so a zero-row table degrades to an
     # empty result instead of best=None -> AttributeError downstream
     best = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                          "embedding": pd.Series([], dtype="object")})
-    for rb in pf.iter_batches(batch_size=max(4096, n),
-                              columns=["vec_id", "embedding"]):
-        df = rb.to_pandas()
-        # null embedding rows carry no geometry — drop (documented rule)
-        df = df[df["embedding"].notna()]
-        best = pd.concat([best, df], ignore_index=True)
-        best = best.sort_values("vec_id", kind="mergesort").head(n)
+    for f in files:
+        for rb in pq.ParquetFile(f).iter_batches(
+                batch_size=max(4096, n),
+                columns=["vec_id", "embedding"]):
+            df = rb.to_pandas()
+            # null embedding rows carry no geometry — drop
+            # (documented rule)
+            df = df[df["embedding"].notna()]
+            best = pd.concat([best, df], ignore_index=True)
+            best = best.sort_values("vec_id", kind="mergesort").head(n)
     return best.reset_index(drop=True)
 
 

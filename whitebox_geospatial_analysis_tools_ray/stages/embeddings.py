@@ -57,17 +57,27 @@ def _coarse_centroids(sf_dir: str, n_lists: int, seed: int = 42,
 
     # stream only the first sample_rows rows off disk (file order, same
     # rows as a head() over the full column — without reading the
-    # whole embedding column onto the driver)
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    # whole embedding column onto the driver); a sharded table is a
+    # DIRECTORY of parquet files (the 100-TB layout)
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    files = (sorted(os.path.join(path, f) for f in os.listdir(path)
+                    if f.endswith(".parquet"))
+             if os.path.isdir(path) else [path])
     chunks, have = [], 0
-    for rb in pf.iter_batches(batch_size=sample_rows,
-                              columns=["embedding"]):
-        # null embedding rows carry no geometry — drop (documented rule)
-        chunks.extend(e for e in rb.column("embedding").to_pylist()
-                      if e is not None)
-        have += rb.num_rows
+    for fp in files:
         if have >= sample_rows:
             break
+        for rb in pq.ParquetFile(fp).iter_batches(
+                batch_size=sample_rows, columns=["embedding"]):
+            # null embedding rows carry no geometry — drop
+            # (documented rule)
+            chunks.extend(e for e in rb.column("embedding").to_pylist()
+                          if e is not None)
+            have += rb.num_rows
+            if have >= sample_rows:
+                break
     X = np.asarray([np.asarray(e, dtype=np.float64)
                     for e in chunks[:sample_rows]])
     if len(X) == 0:         # empty table → no centroids

@@ -31,9 +31,20 @@ def content_fingerprint(path: str, params: str = "") -> str:
     parquet FOOTER bytes (row-group stats/offsets — any data change
     changes them) + params. Unlike an (size, mtime_ns) key, this
     survives `cp -p` / `rsync -a` fixture regeneration, which preserves
-    timestamps and commonly preserves size."""
+    timestamps and commonly preserves size. A sharded table is a
+    DIRECTORY of parquet files (the 100-TB layout) — every shard's
+    name + footer folds into the key."""
     import hashlib
 
+    if os.path.isdir(path):
+        h = hashlib.md5(f"dir|{params}".encode())
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
+            h.update(name.encode())
+            h.update(content_fingerprint(os.path.join(path, name))
+                     .encode())
+        return h.hexdigest()[:16]
     size = os.path.getsize(path)
     h = hashlib.md5(f"{size}|{params}".encode())
     with open(path, "rb") as f:

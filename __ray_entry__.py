@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_hll": lambda sf: textops.token_hll(sf),
         "hll_estimate": lambda sf: textops.hll_estimate(sf),
         "hll_error_eval": lambda sf: textops.hll_error_eval(sf),
+        "corpus_summary": lambda sf: textops.corpus_summary(sf),
         "langid_confusion": lambda sf: textops.langid_confusion(sf),
         # --- data selection (mixture, quality, divergence,
         #     quantization, diversity sampling, funnels) ---
@@ -1165,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": o.events_interval_join_sql(),
         "token_zipf_fit": o.token_zipf_fit_sql(),
         "hll_error_eval": o.hll_error_eval_sql(),
+        "corpus_summary": o.corpus_summary_sql(),
         "bm25_topk": o.bm25_topk_sql(),
         "length_quantiles": o.length_quantiles_sql(),
         "incremental_dedup": o.incremental_dedup_sql(),

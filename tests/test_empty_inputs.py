@@ -25,7 +25,7 @@ FAMS = ["duplicate_spans", "lm_perplexity", "perplexity_buckets",
         "bm25_topk", "length_quantiles", "incremental_dedup",
         "embedding_pq", "ann_recall_eval", "time_decay_aggregate",
         "q3_shipping_priority", "q6_forecast_revenue",
-        "hll_error_eval", "minhash_error_eval",
+        "hll_error_eval", "minhash_error_eval", "corpus_summary",
         "exact_dedup", "minhash_pairs", "simhash_signatures",
         "simhash_neardup_pairs", "ngram_jaccard_pairs", "dup_clusters",
         "embedding_dup_clusters", "ann_cosine_topk", "ann_knn_join",
@@ -127,6 +127,7 @@ def test_curation_family_tolerates_null_cells(tmp_path, ray_session):
             "kcenter_sample", "token_zipf_fit", "bm25_topk",
             "length_quantiles", "incremental_dedup", "embedding_pq",
             "ann_recall_eval", "hll_error_eval", "minhash_error_eval",
+            "corpus_summary",
             "exact_dedup", "minhash_pairs", "simhash_signatures",
             "simhash_neardup_pairs", "ngram_jaccard_pairs",
             "dup_clusters", "embedding_dup_clusters", "ann_cosine_topk",

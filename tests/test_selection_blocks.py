@@ -45,7 +45,8 @@ OPS = ["dataset_mixture", "quality_classifier", "token_kl_divergence",
        "events_funnel", "events_retention", "events_interval_join",
        "time_decay_aggregate", "ann_recall_eval",
        "q3_shipping_priority", "q6_forecast_revenue",
-       "embedding_dup_clusters", "ann_ivf_topk", "job_manifest"]
+       "embedding_dup_clusters", "ann_ivf_topk", "job_manifest",
+       "corpus_summary"]
 
 
 @pytest.mark.parametrize("name", OPS)

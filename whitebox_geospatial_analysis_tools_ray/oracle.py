@@ -8561,3 +8561,33 @@ SELECT k.doc_a, k.doc_b, k.jaccard,
 FROM kept k JOIN est e ON e.doc_a = k.doc_a AND e.doc_b = k.doc_b
 ORDER BY k.doc_a, k.doc_b
 """
+
+
+def corpus_summary_sql(round_to: int = 6) -> str:
+    """Mirror of stages/textops.corpus_summary — the dataset-card
+    counts; null lang/source group under '' like the impl."""
+    return f"""
+WITH raw AS (SELECT {_STRIP_SPLIT} AS toks FROM documents),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_nonempty,
+              CAST(COALESCE(sum(len(toks)), 0) AS BIGINT) AS n_tokens
+       FROM raw WHERE toks[1] <> ''),
+voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab FROM (
+          SELECT unnest(toks) AS term FROM raw WHERE toks[1] <> '')),
+d AS (SELECT md5(COALESCE(text, '')) AS h,
+             COALESCE(lang, '') AS lang,
+             COALESCE(source, '') AS source FROM documents),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_dist,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM d)
+SELECT agg.n_docs, st.n_nonempty, st.n_tokens, voc.vocab,
+       agg.n_langs, agg.n_sources,
+       CASE WHEN agg.n_docs = 0 THEN 0.0
+            ELSE round(1.0 - CAST(agg.n_dist AS DOUBLE) / agg.n_docs,
+                       {round_to}) END AS dup_rate,
+       CASE WHEN st.n_nonempty = 0 THEN 0.0
+            ELSE round(CAST(st.n_tokens AS DOUBLE) / st.n_nonempty,
+                       {round_to}) END AS mean_doc_len
+FROM agg CROSS JOIN st CROSS JOIN voc
+"""

@@ -599,3 +599,86 @@ def hll_error_eval(sf_dir: str, p: int = 10,
         "exact": pd.Series([exact], dtype="int64"),
         "estimate": pd.Series([est], dtype="float64"),
         "rel_err": pd.Series([rel], dtype="float64")})
+
+
+def corpus_summary(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
+    """One-stop dataset-card report over the documents table — the
+    summary block every corpus release ships (doc/token/vocab counts,
+    language/source breadth, exact duplicate rate, mean length):
+
+    (n_docs, n_nonempty, n_tokens, vocab, n_langs, n_sources,
+     dup_rate, mean_doc_len) — one row; dup_rate = 1 −
+    distinct md5(text)/n_docs over ALL docs (null text ≡ "").
+
+    Scale: the token side reuses the fused vocab-bounded df-table
+    pass; the second pass streams (lang, source, md5) partials — lang/
+    source sets are domain-bounded, the md5 distinct resolves in ONE
+    bucketed unbounded-key combine that ships 16-byte digests, never
+    text.
+    """
+    import hashlib
+
+    from .util import bucketed_agg, combine_bounded
+
+    counts, n_nonempty, n_tokens = _df_table(sf_dir, with_stats=True)
+    vocab = int(len(counts))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        md5s = [hashlib.md5((t if isinstance(t, str) else "")
+                            .encode("utf-8")).hexdigest()
+                for t in b["text"]]
+        langs = sorted({l if isinstance(l, str) else ""
+                        for l in b["lang"]})
+        srcs = sorted({s if isinstance(s, str) else ""
+                       for s in b["source"]})
+        n = max(len(md5s), len(langs), len(srcs))
+        pad = lambda xs: xs + [None] * (n - len(xs))
+        return pd.DataFrame({
+            "h": pd.Series(pad(md5s), dtype="object"),
+            "lang": pd.Series(pad(langs), dtype="object"),
+            "source": pd.Series(pad(srcs), dtype="object"),
+            "n_docs": [len(b)] + [0] * (n - 1)})
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_h": pd.Series([df["h"].dropna().nunique()],
+                             dtype="int64"),
+            "langs": pd.Series([sorted(df["lang"].dropna().unique())],
+                               dtype="object"),
+            "sources": pd.Series(
+                [sorted(df["source"].dropna().unique())],
+                dtype="object"),
+            "n_docs": pd.Series([int(df["n_docs"].sum())],
+                                dtype="int64")})
+
+    parts = bucketed_agg(docs.map_batches(partial,
+                                          batch_format="pandas"),
+                         ["h"], comb)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            n_docs = n_dist = 0
+            langs: set = set()
+            srcs: set = set()
+        else:
+            n_docs = int(df["n_docs"].sum())
+            n_dist = int(df["n_h"].sum())
+            langs = set().union(*df["langs"])
+            srcs = set().union(*df["sources"])
+        dup = round(1.0 - n_dist / n_docs, round_to) if n_docs else 0.0
+        mean_len = (round(n_tokens / n_nonempty, round_to)
+                    if n_nonempty else 0.0)
+        return pd.DataFrame({
+            "n_docs": pd.Series([n_docs], dtype="int64"),
+            "n_nonempty": pd.Series([n_nonempty], dtype="int64"),
+            "n_tokens": pd.Series([n_tokens], dtype="int64"),
+            "vocab": pd.Series([vocab], dtype="int64"),
+            "n_langs": pd.Series([len(langs)], dtype="int64"),
+            "n_sources": pd.Series([len(srcs)], dtype="int64"),
+            "dup_rate": pd.Series([dup], dtype="float64"),
+            "mean_doc_len": pd.Series([mean_len], dtype="float64")})
+
+    return combine_bounded(parts, final).to_pandas()

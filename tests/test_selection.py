@@ -253,3 +253,30 @@ def test_ann_recall_eval_bounds(ray_session):
     assert len(out) == 1
     assert 0.0 <= out["recall"][0] <= 1.0
     assert out["n_hit"][0] == round(out["recall"][0] * 10)
+
+
+def test_corpus_summary_known_answer(tmp_path, ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.textops import corpus_summary
+    docs = {"doc_id": [0, 1, 2, 3],
+            "text": ["aa bb", "aa bb", "cc", ""],
+            "lang": ["en", "en", "de", "fr"],
+            "source": ["s0", "s1", "s0", "s0"],
+            "n_chars": [5, 5, 2, 0]}
+    d = _fixture_dir(tmp_path, documents=docs)
+    out = corpus_summary(d).iloc[0]
+    # 4 docs, 3 nonempty, 5 tokens, vocab {aa,bb,cc}, 3 langs,
+    # 2 sources, 1 dup of 4 -> 0.25, mean len 5/3
+    assert out["n_docs"] == 4 and out["n_nonempty"] == 3
+    assert out["n_tokens"] == 5 and out["vocab"] == 3
+    assert out["n_langs"] == 3 and out["n_sources"] == 2
+    assert out["dup_rate"] == 0.25
+    assert out["mean_doc_len"] == round(5 / 3, 6)
+
+
+def test_minhash_error_eval_within_sketch_bounds(ray_session):
+    from whitebox_geospatial_analysis_tools_ray.stages.dedup import minhash_error_eval
+    out = minhash_error_eval(SRC)
+    assert len(out) > 0
+    # 64-hash sketch: sigma = sqrt(J(1-J)/64) <= 1/16; allow 6 sigma
+    assert (out["abs_err"] <= 6 * 0.0625).all()
+    assert out["est_jaccard"].between(0, 1).all()

@@ -1167,6 +1167,8 @@ def oracle_sql() -> dict[str, str]:
         "token_zipf_fit": o.token_zipf_fit_sql(),
         "hll_error_eval": o.hll_error_eval_sql(),
         "corpus_summary": o.corpus_summary_sql(),
+        "bpe_train": o.bpe_train_sql(),
+        "bpe_encode_stats": o.bpe_encode_stats_sql(),
         "bm25_topk": o.bm25_topk_sql(),
         "length_quantiles": o.length_quantiles_sql(),
         "incremental_dedup": o.incremental_dedup_sql(),

@@ -338,7 +338,7 @@ FROM f GROUP BY lang
 def ann_cosine_topk_sql(k: int = 20, query_vec_id: int = 0) -> str:
     return f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-           WHERE vec_id = {query_vec_id})
+           WHERE vec_id = {query_vec_id} AND embedding IS NOT NULL)
 SELECT e.vec_id,
        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
          AS cosine
@@ -356,9 +356,10 @@ def ann_ivf_topk_sql(k: int = 20, query_vec_id: int = 0,
     return f"""
 WITH cent AS (
   SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS ce
-  FROM embeddings ORDER BY vec_id LIMIT {n_lists}),
+  FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY vec_id LIMIT {n_lists}),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-      WHERE vec_id = {query_vec_id}),
+      WHERE vec_id = {query_vec_id} AND embedding IS NOT NULL),
 probe AS (
   SELECT list_id FROM cent, q
   ORDER BY round(list_cosine_similarity(ce, qe), 6) DESC, list_id
@@ -370,7 +371,8 @@ assign AS (
              ORDER BY round(list_cosine_similarity(
                  CAST(e.embedding AS DOUBLE[]), c.ce), 6) DESC,
                c.list_id) AS rn
-    FROM embeddings e CROSS JOIN cent c)
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.embedding IS NOT NULL)
   WHERE rn = 1)
 SELECT e.vec_id,
        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
@@ -387,12 +389,14 @@ LIMIT {k}
 def ann_knn_join_sql(n_queries: int = 10, k: int = 3) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-           FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+           FROM embeddings WHERE embedding IS NOT NULL
+           ORDER BY vec_id LIMIT {n_queries}),
 d AS (
   SELECT q.query_id, e.vec_id,
          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
            AS cosine
-  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, vec_id) AS rn
@@ -8136,7 +8140,8 @@ def embedding_quantize_sql(round_to: int = 6) -> str:
 WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
                    unnest(range(len(embedding))) AS i,
                    unnest(CAST(embedding AS DOUBLE[])) AS x
-            FROM embeddings),
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND label IS NOT NULL),
 dm AS (SELECT i, max(abs(x)) AS ma FROM ex GROUP BY i),
 sc AS (SELECT i, CASE WHEN ma = 0 THEN 1.0 ELSE ma / 127.0 END AS s
        FROM dm),
@@ -8175,7 +8180,7 @@ def kcenter_sample_sql(k: int = 6, round_to: int = 6) -> str:
     body = ",\n".join(ctes)
     return f"""
 WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings),
+            FROM embeddings WHERE embedding IS NOT NULL),
 {body}
 SELECT rnk AS "rank", vec_id, dist FROM sel{k - 1} ORDER BY rnk
 """
@@ -8332,7 +8337,8 @@ def length_quantiles_sql(qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
         f"CAST(min(CASE WHEN cum >= ceil({q} * n) THEN dl END) AS BIGINT)"
         f" AS p{int(q * 100)}" for q in qs)
     return f"""
-WITH raw AS (SELECT lang, {_STRIP_SPLIT} AS toks FROM documents),
+WITH raw AS (SELECT COALESCE(lang, '') AS lang, {_STRIP_SPLIT} AS toks
+             FROM documents),
 d AS (SELECT lang, len(toks) AS dl FROM raw WHERE toks[1] <> ''),
 h AS (SELECT lang, dl, count(*) AS c FROM d GROUP BY 1, 2),
 cum AS (SELECT lang, dl,
@@ -8384,22 +8390,27 @@ cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
              LIMIT {n_codes})),
 sp AS (SELECT range AS s FROM range(0, {m})),
 dd AS (SELECT e.vec_id, sp.s, cb.code,
-              list_distance(
-                e.v[CAST(sp.s * w.sub + 1 AS BIGINT)
-                    :CAST((sp.s + 1) * w.sub AS BIGINT)],
-                cb.v[CAST(sp.s * w.sub + 1 AS BIGINT)
-                     :CAST((sp.s + 1) * w.sub AS BIGINT)]) AS dist
+              -- d2 = left-to-right sum of per-element squared diffs:
+              -- the IDENTICAL IEEE expression the impl accumulates
+              -- (numpy sequential sum over the short sub-vector), so
+              -- sse needs no sqrt-then-square round-trip (1-ulp drift)
+              list_sum(list_transform(range(w.sub), i ->
+                (e.v[CAST(sp.s * w.sub + i + 1 AS BIGINT)]
+                 - cb.v[CAST(sp.s * w.sub + i + 1 AS BIGINT)])
+                * (e.v[CAST(sp.s * w.sub + i + 1 AS BIGINT)]
+                   - cb.v[CAST(sp.s * w.sub + i + 1 AS BIGINT)])))
+                AS d2
        FROM ev e CROSS JOIN sp CROSS JOIN cb CROSS JOIN w),
-a AS (SELECT vec_id, s, code, dist FROM (
+a AS (SELECT vec_id, s, code, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, s
-                   ORDER BY round(dist, {round_to}), code) AS rn
+                   ORDER BY round(sqrt(d2), {round_to}), code) AS rn
         FROM dd) WHERE rn = 1),
 cc AS (SELECT s, code, count(*) AS cnt FROM a GROUP BY 1, 2),
 tp AS (SELECT s, code AS top_code, cnt AS top_code_count FROM (
          SELECT *, row_number() OVER (PARTITION BY s
                     ORDER BY cnt DESC, code) AS rn FROM cc)
        WHERE rn = 1),
-er AS (SELECT s, count(*) AS n_vecs, sum(dist * dist) AS sse
+er AS (SELECT s, count(*) AS n_vecs, sum(d2) AS sse
        FROM a GROUP BY s)
 SELECT er.s AS subspace, CAST(er.n_vecs AS BIGINT) AS n_vecs,
        round(er.sse / (er.n_vecs * w.sub), {round_to}) AS mse,
@@ -8560,6 +8571,136 @@ SELECT k.doc_a, k.doc_b, k.jaccard,
        round(abs(e.e - k.jaccard), {round_to}) AS abs_err
 FROM kept k JOIN est e ON e.doc_a = k.doc_a AND e.doc_b = k.doc_b
 ORDER BY k.doc_a, k.doc_b
+"""
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    """Shared WITH RECURSIVE body mirroring stages/corpus.bpe_train's
+    merge loop (Sennrich et al. 2016): word counts → per-word symbol
+    rows (chars + '</w>') → 1 iteration per merge: argmax pair count
+    (ties → lexicographically smallest (left, right); DuckDB binary
+    VARCHAR compare ≡ Python code-point tuple compare), then a
+    left-to-right NON-OVERLAPPING rewrite. Overlap runs (e.g. 'aaa'
+    with pair (a,a)) resolve by gaps-and-islands alternation — take
+    the 1st, 3rd, … match of each maximal run of consecutive match
+    positions, exactly the impl's scan-and-jump loop. Symbols stay
+    raw VARCHAR list elements (one row per position) — no separator
+    encoding, so NUL/control-char tokens need no escaping. CTEs that the
+    recursive branches reference are MATERIALIZED (DuckDB otherwise
+    re-evaluates them per iteration — measured 22 s → 1 s)."""
+    strip = _STRIP_SPLIT
+    return f"""
+raw AS (SELECT {strip} AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS token FROM raw WHERE toks[1] <> ''),
+wc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+       GROUP BY token),
+words AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY token) AS wid, token, cnt FROM wc),
+init AS MATERIALIZED (
+  SELECT wid, cnt,
+         unnest(range(length(token) + 1)) AS pos,
+         unnest(list_append(
+             list_transform(range(length(token)),
+                            i -> token[CAST(i + 1 AS BIGINT)]),
+             '</w>')) AS sym
+  FROM words),
+bpe(it, wid, pos, sym, cnt, l, r) AS (
+  SELECT 0, wid, CAST(pos AS BIGINT), sym, cnt,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM init
+  UNION ALL
+  (WITH cur AS (SELECT * FROM bpe WHERE it < {n_merges}),
+   best AS (
+     SELECT a.sym AS l, b.sym AS r
+     FROM cur a JOIN cur b ON b.wid = a.wid AND b.pos = a.pos + 1
+     GROUP BY a.sym, b.sym
+     ORDER BY sum(a.cnt) DESC, a.sym, b.sym LIMIT 1),
+   hits AS (
+     SELECT a.wid, a.pos
+     FROM cur a JOIN cur b ON b.wid = a.wid AND b.pos = a.pos + 1
+     CROSS JOIN best WHERE a.sym = best.l AND b.sym = best.r),
+   keep AS (
+     SELECT wid, pos FROM (
+       SELECT wid, pos,
+              row_number() OVER (PARTITION BY wid, g ORDER BY pos) AS rn
+       FROM (SELECT wid, pos,
+                    pos - row_number() OVER (PARTITION BY wid
+                                             ORDER BY pos) AS g
+             FROM hits))
+     WHERE rn % 2 = 1)
+   SELECT c.it + 1, c.wid,
+          row_number() OVER (PARTITION BY c.wid ORDER BY c.pos) - 1
+            AS pos,
+          CASE WHEN k1.pos IS NOT NULL THEN best.l || best.r
+               ELSE c.sym END AS sym,
+          c.cnt, best.l, best.r
+   FROM cur c
+   CROSS JOIN best
+   LEFT JOIN keep k1 ON k1.wid = c.wid AND k1.pos = c.pos
+   LEFT JOIN keep k2 ON k2.wid = c.wid AND k2.pos = c.pos - 1
+   WHERE k2.pos IS NULL)
+)"""
+
+
+def bpe_train_sql(n_merges: int = 50) -> str:
+    """Mirror of stages/corpus.bpe_train as ONE recursive CTE — the
+    iterative argmax-merge loop runs inside DuckDB (the `_d8_walk_ctes`
+    pattern applied to tokenizer training). Output (rank, left, right,
+    merged), rank = iteration order."""
+    return f"""
+WITH RECURSIVE
+{_bpe_train_ctes(n_merges)}
+SELECT CAST(it - 1 AS BIGINT) AS "rank", l AS "left", r AS "right",
+       l || r AS merged
+FROM (SELECT DISTINCT it, l, r FROM bpe WHERE it > 0)
+ORDER BY it
+"""
+
+
+def bpe_encode_stats_sql(n_merges: int = 50, k: int = 100) -> str:
+    """Mirror of stages/corpus.bpe_encode_stats: train (shared CTEs),
+    then a SECOND recursive CTE encodes every distinct word with the
+    impl's greedy encoder — each iteration applies the single
+    lowest-rank applicable merge at its FIRST position (`_bpe_apply`'s
+    scan), one merge per word per round; a word drops out of the
+    recursion when no trained pair applies, and its final segmentation
+    is its max-iteration row set. Subword counts = Σ word-count over
+    final positions; top-k (cnt desc, subword asc)."""
+    return f"""
+WITH RECURSIVE
+{_bpe_train_ctes(n_merges)},
+ranks AS MATERIALIZED (
+  SELECT CAST(it - 1 AS BIGINT) AS rnk, l, r
+  FROM (SELECT DISTINCT it, l, r FROM bpe WHERE it > 0)),
+enc(it, wid, pos, sym) AS (
+  SELECT 0, wid, CAST(pos AS BIGINT), sym FROM init
+  UNION ALL
+  (WITH cur AS (SELECT * FROM enc),
+   pick AS (
+     SELECT wid, pos, l, r FROM (
+       SELECT a.wid, a.pos, m.l, m.r,
+              row_number() OVER (PARTITION BY a.wid
+                                 ORDER BY m.rnk, a.pos) AS rn
+       FROM cur a JOIN cur b ON b.wid = a.wid AND b.pos = a.pos + 1
+       JOIN ranks m ON m.l = a.sym AND m.r = b.sym)
+     WHERE rn = 1)
+   SELECT c.it + 1, c.wid,
+          row_number() OVER (PARTITION BY c.wid ORDER BY c.pos) - 1
+            AS pos,
+          CASE WHEN p1.pos IS NOT NULL THEN p1.l || p1.r
+               ELSE c.sym END AS sym
+   FROM cur c
+   JOIN (SELECT DISTINCT wid FROM pick) w ON w.wid = c.wid
+   LEFT JOIN pick p1 ON p1.wid = c.wid AND p1.pos = c.pos
+   LEFT JOIN pick p2 ON p2.wid = c.wid AND p2.pos = c.pos - 1
+   WHERE p2.pos IS NULL)
+),
+fin AS (SELECT wid, sym FROM
+          (SELECT *, max(it) OVER (PARTITION BY wid) AS mi FROM enc)
+        WHERE it = mi)
+SELECT sym AS subword, CAST(sum(w.cnt) AS BIGINT) AS cnt
+FROM fin JOIN words w USING (wid)
+GROUP BY sym ORDER BY cnt DESC, subword LIMIT {k}
 """
 
 

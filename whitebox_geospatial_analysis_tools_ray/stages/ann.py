@@ -79,7 +79,10 @@ def _query_vector(sf_dir: str, vec_id: int = 0) -> "np.ndarray | None":
                       filters=[("vec_id", "=", vec_id)])
     if t.num_rows == 0:
         return None
-    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+    e = t.column("embedding")[0].as_py()
+    if e is None:           # null embedding ≡ no query geometry
+        return None
+    return np.asarray(e, dtype=np.float64)
 
 
 def _empty_topk() -> pd.DataFrame:

@@ -851,10 +851,13 @@ def ann_recall_eval(sf_dir: str, k: int = 10,
     if not isinstance(approx, pd.DataFrame):
         approx = approx.to_pandas()
     if truth.empty:
-        return pd.DataFrame({"variant": pd.Series([], dtype="object"),
-                             "k": pd.Series([], dtype="int64"),
-                             "n_hit": pd.Series([], dtype="int64"),
-                             "recall": pd.Series([], dtype="float64")})
+        # one-row zero result so the 0-row-corpus boundary matches the
+        # SQL mirror (count over empty = 0 emits one row there too)
+        return pd.DataFrame({
+            "variant": pd.Series(["ivf_seeded"], dtype="object"),
+            "k": pd.Series([k], dtype="int64"),
+            "n_hit": pd.Series([0], dtype="int64"),
+            "recall": pd.Series([0.0], dtype="float64")})
     hit = len(set(truth["vec_id"]) & set(approx["vec_id"]))
     return pd.DataFrame({
         "variant": pd.Series(["ivf_seeded"], dtype="object"),

@@ -681,4 +681,8 @@ def corpus_summary(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
             "dup_rate": pd.Series([dup], dtype="float64"),
             "mean_doc_len": pd.Series([mean_len], dtype="float64")})
 
-    return combine_bounded(parts, final).to_pandas()
+    out = combine_bounded(parts, final).to_pandas()
+    # 0-row corpus: the combine may never see a block — emit the same
+    # one-row zero card the SQL mirror's aggregates produce
+    return out if not out.empty else final(pd.DataFrame(
+        {"n_h": [], "langs": [], "sources": [], "n_docs": []}))

@@ -49,9 +49,10 @@ def dirty_sf(tmp_path_factory):
             pq.write_table(out, d / f"{t}.parquet")
         elif t == "documents":
             df = pq.read_table(f"{SF_DIR}/{t}.parquet").to_pandas()
-            lang = df["lang"].astype(object)
-            lang.iloc[2] = None
-            df["lang"] = lang
+            for col, row in (("lang", 2), ("text", 3), ("source", 4)):
+                s = df[col].astype(object)
+                s.iloc[row] = None
+                df[col] = s
             pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                            d / f"{t}.parquet")
         else:
@@ -72,6 +73,17 @@ def dirty_sf(tmp_path_factory):
     "embedding_pq",          # advisor: sqrt-then-square 1-ulp sse drift
     "ann_recall_eval",
     "corpus_summary",
+    # the 16 divergences the round-4 full dirty sweep surfaced — each
+    # pinned to the shared rules: null text ≡ '', null lang/source
+    # group under '', null embedding/label rows drop
+    "corpus_clean", "corpus_clean_spans", "dataset_mixture",
+    "exact_dedup", "fingerprints", "image_features",
+    "kmeans_embeddings", "langid_confusion", "quality_classifier",
+    "quality_scores", "simhash_signatures", "stratified_sample",
+    "surf_match_points", "token_kl_divergence", "token_stats",
+    "zonal_stats",
+    # the ann family shares the null-embedding drop
+    "ann_cosine_topk", "ann_ivf_topk", "ann_knn_join",
 ])
 def test_dirty_fixture_parity(name, dirty_sf):
     from conftest import assert_matches_oracle

@@ -236,10 +236,10 @@ FROM pts GROUP BY 1, 2
 
 def exact_dedup_sql() -> str:
     return """
-SELECT md5(text) AS text_md5,
+SELECT md5(COALESCE(text, '')) AS text_md5,
        CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
        COUNT(*) AS dup_count
-FROM documents GROUP BY md5(text)
+FROM documents GROUP BY md5(COALESCE(text, ''))
 """
 
 
@@ -247,12 +247,12 @@ def zonal_stats_sql() -> str:
     # same sum/sumsq formulation as the Ray final combine (not stddev_samp)
     return """
 WITH a AS (
-  SELECT lang, COUNT(*) AS n,
+  SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n,
          SUM(CAST(n_chars AS DOUBLE)) AS s,
          SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS s2,
          MIN(CAST(n_chars AS DOUBLE)) AS mn,
          MAX(CAST(n_chars AS DOUBLE)) AS mx
-  FROM documents GROUP BY lang)
+  FROM documents GROUP BY 1)
 SELECT lang, n,
        round(s / n, 6) AS avg_z,
        mn AS min_z, mx AS max_z, mx - mn AS range_z,
@@ -285,10 +285,11 @@ SELECT bin_id, COUNT(*) AS bin_count FROM b GROUP BY bin_id
 def token_stats_sql() -> str:
     return r"""
 WITH t AS (
-  SELECT lang,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE array_length(string_split_regex(trim(text), '\s+')) END AS ntok,
-         length(text) AS nchar
+  SELECT COALESCE(lang, '') AS lang,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+              ELSE array_length(string_split_regex(
+                     trim(COALESCE(text, '')), '\s+')) END AS ntok,
+         length(COALESCE(text, '')) AS nchar
   FROM documents)
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(ntok) AS BIGINT) AS total_tokens,
@@ -301,11 +302,11 @@ FROM t GROUP BY lang
 def quality_scores_sql() -> str:
     return r"""
 WITH t AS (
-  SELECT lang, length(text) AS n,
-         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np,
-         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu,
-         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd
-  FROM documents),
+  SELECT COALESCE(lang, '') AS lang, length(tx) AS n,
+         length(tx) - length(regexp_replace(tx, '[.,!?;:]', '', 'g')) AS np,
+         length(tx) - length(regexp_replace(tx, '[A-Z]', '', 'g')) AS nu,
+         length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')) AS nd
+  FROM (SELECT lang, COALESCE(text, '') AS tx FROM documents)),
 r AS (
   SELECT lang,
          CASE WHEN n > 0 THEN CAST(np AS DOUBLE) / n ELSE 0.0 END AS rp,
@@ -323,7 +324,9 @@ FROM r GROUP BY lang
 def fingerprint_sql() -> str:
     return r"""
 WITH f AS (
-  SELECT lang, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+  SELECT COALESCE(lang, '') AS lang,
+         md5(lower(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')))
+           AS fp
   FROM documents)
 SELECT lang, COUNT(*) AS n_docs,
        COUNT(DISTINCT fp) AS n_distinct_fingerprints
@@ -3791,7 +3794,8 @@ def image_features_sql() -> str:
 SELECT doc_id,
        16 + doc_id % 64 AS width,
        16 + (doc_id * 7) % 48 AS height,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+         AS n_payload_bytes,
        ((16 + doc_id % 64) * 1000) // (16 + (doc_id * 7) % 48) AS aspect_milli
 FROM documents
 """
@@ -7140,9 +7144,10 @@ def langid_confusion_sql() -> str:
     scores = ",\n    ".join(lit(lang) for lang in sorted(_LANG_STOPWORDS))
     return f"""
 WITH t AS (
-  SELECT lang,
+  SELECT COALESCE(lang, '') AS lang,
          list_distinct(regexp_split_to_array(
-           lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+           lower(regexp_replace(COALESCE(text, ''),
+                                '^\\s+|\\s+$', '', 'g')),
            '\\s+')) AS toks
   FROM documents),
 s AS (
@@ -7209,7 +7214,7 @@ ORDER BY cluster_id"""
 def kmeans_embeddings_sql(k: int = 8, iters: int = 10,
                           round_to: int = 4) -> str:
     e = ("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-         "FROM embeddings)")
+         "FROM embeddings WHERE embedding IS NOT NULL)")
     init = (f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v "
             f"FROM e ORDER BY vec_id LIMIT {k})")
     return _kmeans_cte_chain(k, iters, e, init, round_to)
@@ -7290,7 +7295,8 @@ def simhash_signatures_sql() -> str:
     pw = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
     return f"""
 WITH RECURSIVE
-{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 items AS (
   SELECT doc_id, unnest(range(len(toks))) AS iid, unnest(toks) AS s
   FROM raw WHERE toks[1] <> '')''')},
@@ -7332,7 +7338,8 @@ def simhash_neardup_pairs_sql(max_hamming: int = 3) -> str:
     pw = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
     return f"""
 WITH RECURSIVE
-{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 items AS (
   SELECT doc_id, unnest(range(len(toks))) AS iid, unnest(toks) AS s
   FROM raw WHERE toks[1] <> '')''')},
@@ -7378,7 +7385,8 @@ def minhash_pairs_sql(threshold: float = 0.6, seed: int = 42) -> str:
     rpb = _NUM_HASHES // _BANDS
     return f"""
 WITH RECURSIVE
-{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 items AS (
   SELECT doc_id, unnest(range(len(toks) - 2)) AS iid,
          unnest(list_transform(range(len(toks) - 2),
@@ -7427,7 +7435,8 @@ def ngram_jaccard_pairs_sql(threshold: float = 0.5) -> str:
     Empty/whitespace-only docs carry the sentinel crc-0 singleton set."""
     return f"""
 WITH RECURSIVE
-{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 items AS (
   SELECT doc_id, unnest(range(len(toks) - 2)) AS iid,
          unnest(list_transform(range(len(toks) - 2),
@@ -7735,7 +7744,8 @@ def stratified_sample_sql(per_lang: int = 20) -> str:
     """Exact mirror of stages/corpus.stratified_sample: per-language
     smallest-md5(doc_id) draw with rank."""
     return f"""
-WITH h AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+WITH h AS (SELECT COALESCE(lang, '') AS lang, doc_id,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
            FROM documents),
 r AS (SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang ORDER BY h) AS sample_rank
@@ -7822,7 +7832,8 @@ def _corpus_clean_ctes(min_tokens: int, max_dup_frac: float,
                        contam_n: int, bench_mod: int) -> str:
     """The corpus_clean CTE chain ending in r(doc_id, reason) — shared
     by corpus_clean_sql and corpus_clean_spans_sql."""
-    return f"""raw AS (SELECT doc_id, text, {_STRIP_SPLIT} AS toks FROM documents),
+    return f"""raw AS (SELECT doc_id, text, {_STRIP_SPLIT} AS toks
+       FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 t AS (SELECT doc_id, text, toks,
              CASE WHEN toks[1] = '' THEN 0 ELSE len(toks) END AS n
       FROM raw),
@@ -8054,8 +8065,9 @@ def dataset_mixture_sql(rates: dict[str, float] | None = None,
     vals = ", ".join(f"('{s}', {r!r})" for s, r in sorted(rates.items()))
     return f"""
 WITH r(source, rate) AS (VALUES {vals}),
-d AS (SELECT source,
-             ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)),
+d AS (SELECT COALESCE(source, '') AS source,
+             ('0x' || substr(md5(COALESCE(source, '') || ':'
+                                 || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT / 4294967296.0 AS u
       FROM documents),
 j AS (SELECT d.source, COALESCE(r.rate, 1.0) AS rate, d.u
@@ -8079,7 +8091,8 @@ def quality_classifier_sql(round_to: int = 6) -> str:
     from .stages.selection import _QC_A, _QC_B, _QC_P
     return f"""
 WITH RECURSIVE
-{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 tok AS (SELECT doc_id AS did, unnest(toks) AS term FROM raw
         WHERE toks[1] <> ''),
 vocab AS (SELECT DISTINCT term FROM tok),
@@ -8113,7 +8126,9 @@ def token_kl_divergence_sql(round_to: int = 6) -> str:
     final sum rounded (sum order is engine-unspecified on both
     sides)."""
     return f"""
-WITH raw AS (SELECT source, {_STRIP_SPLIT} AS toks FROM documents),
+WITH raw AS (SELECT source, {_STRIP_SPLIT} AS toks
+             FROM (SELECT COALESCE(source, '') AS source,
+                          COALESCE(text, '') AS text FROM documents)),
 tok AS (SELECT source, unnest(toks) AS term FROM raw WHERE toks[1] <> ''),
 st AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
 ct AS (SELECT term, sum(c) AS tc FROM st GROUP BY 1),
@@ -8520,7 +8535,8 @@ def minhash_error_eval_sql(threshold: float = 0.6, seed: int = 42,
     rpb = _NUM_HASHES // 16
     return f"""
 WITH RECURSIVE
-{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks FROM documents),
+{_crc32_ctes(f'''raw AS (SELECT doc_id, {_STRIP_SPLIT} AS toks
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 items AS (
   SELECT doc_id, unnest(range(len(toks) - 2)) AS iid,
          unnest(list_transform(range(len(toks) - 2),

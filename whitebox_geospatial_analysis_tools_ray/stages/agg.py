@@ -79,7 +79,10 @@ def zonal_stats(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         z = batch["n_chars"].astype("float64")
-        df = pd.DataFrame({"lang": batch["lang"], "z": z, "z2": z * z})
+        # null lang groups under '' (pandas groupby would silently
+        # DROP NaN keys — the dirty-shard rule shared with the oracle)
+        df = pd.DataFrame({"lang": batch["lang"].fillna(""),
+                           "z": z, "z2": z * z})
         g = df.groupby("lang", sort=False)
         return g.agg(n=("z", "count"), s=("z", "sum"), s2=("z2", "sum"),
                      mn=("z", "min"), mx=("z", "max")).reset_index()

@@ -456,8 +456,10 @@ def stratified_sample(sf_dir: str, per_lang: int = 20) -> pd.DataFrame:
                            columns=["doc_id", "lang"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # null lang groups under '' (astype(str) alone would mint a
+        # spurious "None" stratum — the shared dirty-shard rule)
         df = pd.DataFrame({
-            "lang": batch["lang"].astype(str),
+            "lang": batch["lang"].fillna("").astype(str),
             "doc_id": batch["doc_id"].astype(np.int64),
             "h": [_md5_hex(int(d)) for d in batch["doc_id"]]})
         return (df.sort_values(["lang", "h"])

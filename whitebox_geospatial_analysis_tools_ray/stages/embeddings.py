@@ -41,9 +41,11 @@ def _full_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    emb = np.asarray([np.asarray(e, dtype=np.float64) for e in
-                      t["embedding"].to_pylist()])
+    df = t.to_pandas()
+    df = df[df["embedding"].notna()]   # null embedding ≡ no geometry
+    ids = df["vec_id"].to_numpy()
+    emb = np.asarray([np.asarray(e, dtype=np.float64)
+                      for e in df["embedding"]])
     order = np.argsort(ids)
     return ids[order], emb[order]
 

@@ -43,7 +43,9 @@ def media_table(sf_dir: str) -> "rd.Dataset":
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "media_type": "image/fake",
-            "payload": [encode_fake_image(int(i), t.encode("utf-8"))
+            "payload": [encode_fake_image(
+                            int(i), (t if isinstance(t, str) else "")
+                            .encode("utf-8"))
                         for i, t in zip(batch["doc_id"], batch["text"])],
         })
 

@@ -407,10 +407,14 @@ def _emb_sides(sf_dir: str):
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding", "label"])
-    ids = t["vec_id"].to_numpy()
-    lap = (t["label"].to_numpy() % 2).astype(np.int64)
+    df = t.to_pandas()
+    # null embedding/label rows carry no descriptor geometry — drop
+    # (the shared dirty-shard rule)
+    df = df[df["embedding"].notna() & df["label"].notna()]
+    ids = df["vec_id"].to_numpy()
+    lap = (df["label"].to_numpy().astype(np.int64) % 2).astype(np.int64)
     mat = np.asarray([np.asarray(e, dtype=np.float64)
-                      for e in t["embedding"].to_pylist()])
+                      for e in df["embedding"]])
     order = np.argsort(ids, kind="stable")
     ids, lap, mat = ids[order], lap[order], mat[order]
     left = ids % 2 == 0
@@ -465,7 +469,8 @@ def surf_match_points(sf_dir: str,
 def surf_match_points_sql(threshold: float = SURF_MATCH_THRESHOLD) -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                  label % 2 AS lap FROM embeddings),
+                  label % 2 AS lap FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL),
 l AS (SELECT * FROM e WHERE vec_id % 2 = 0),
 r AS (SELECT * FROM e WHERE vec_id % 2 = 1),
 d AS (SELECT l.vec_id AS lid, r.vec_id AS rid, l.lap,

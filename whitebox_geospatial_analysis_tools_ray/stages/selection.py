@@ -100,7 +100,8 @@ def dataset_mixture(sf_dir: str, rates: dict[str, float] | None = None,
                            columns=["doc_id", "source"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        src = b["source"].astype(str)
+        # null source groups under '' (shared dirty-shard rule)
+        src = b["source"].fillna("").astype(str)
         u = np.fromiter(
             (int(hashlib.md5(f"{s}:{d}".encode("utf-8")).hexdigest()[:8],
                  16) for s, d in zip(src, b["doc_id"])),
@@ -214,7 +215,8 @@ def token_kl_divergence(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         cnt: dict[tuple[str, str], int] = {}
-        for src, text in zip(b["source"].astype(str), b["text"]):
+        for src, text in zip(b["source"].fillna("").astype(str),
+                             b["text"]):
             for t in _tok(text):
                 k = (src, t)
                 cnt[k] = cnt.get(k, 0) + 1

@@ -36,7 +36,9 @@ def token_stats_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
         stripped = t.str.strip()
         ntok = stripped.str.split(r"\s+").map(len).where(stripped != "", 0)
         nchar = t.str.len()
-        df = pd.DataFrame({"lang": batch["lang"], "ntok": ntok, "nchar": nchar})
+        # null lang groups under '' (pandas groupby drops NaN keys)
+        df = pd.DataFrame({"lang": batch["lang"].fillna(""),
+                           "ntok": ntok, "nchar": nchar})
         g = df.groupby("lang", sort=False)
         return g.agg(n=("ntok", "count"), st=("ntok", "sum"),
                      sc=("nchar", "sum")).reset_index()
@@ -71,7 +73,7 @@ def quality_scores_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch["text"].fillna("")
         df = pd.DataFrame({
-            "lang": batch["lang"],
+            "lang": batch["lang"].fillna(""),
             "punct": ratios(t, r"[.,!?;:]"),
             "upper": ratios(t, r"[A-Z]"),
             "digit": ratios(t, r"[0-9]"),
@@ -144,7 +146,9 @@ class LangId:
             scores = {lang: len(toks & sw) for lang, sw in self.profiles.items()}
             best = max(sorted(scores), key=lambda k: scores[k])
             preds.append(best if scores[best] > 0 else "unknown")
-        return pd.DataFrame({"lang": batch["lang"], "pred_lang": preds})
+        # null lang groups under '' (shared dirty-shard rule)
+        return pd.DataFrame({"lang": batch["lang"].fillna(""),
+                             "pred_lang": preds})
 
 
 def langid_confusion(sf_dir: str, concurrency=None) -> "rd.Dataset":

@@ -42,7 +42,7 @@ def _tokens(text: str) -> list[str]:
 
 
 def _bucketed_topk(partials: "rd.Dataset", key: str, val: str,
-                   k: int, num_buckets: int = 64) -> pd.DataFrame:
+                   k: int, num_buckets: int | None = None) -> pd.DataFrame:
     """Top-k (val desc, key asc) over per-batch (key, val) count partials.
 
     Ray's ``groupby(str_key).aggregate`` pays per-group Python overhead
@@ -54,6 +54,10 @@ def _bucketed_topk(partials: "rd.Dataset", key: str, val: str,
     final sort sees ≤ num_buckets × k rows regardless of key
     cardinality.
     """
+    from .util import adaptive_num_buckets
+    if num_buckets is None:
+        num_buckets = adaptive_num_buckets()
+
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         crc = np.fromiter(
             (zlib.crc32(s.encode("utf-8")) for s in b[key]),
@@ -133,7 +137,8 @@ def cluster_pairs(pairs: "rd.Dataset", max_rounds: int = 32,
     the shared kernel behind ``dup_clusters`` / ``embedding_dup_clusters``
     (see ``dup_clusters`` for the plan). ``driver_max_edges`` overrides
     the size-adaptive cutoff (0 forces the distributed rounds)."""
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
     cutoff = (_DRIVER_CLUSTER_MAX_EDGES if driver_max_edges is None
               else driver_max_edges)
 
@@ -512,7 +517,8 @@ def pack_sequences(sf_dir: str, seq_len: int = 512,
     """
     import ray
 
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 

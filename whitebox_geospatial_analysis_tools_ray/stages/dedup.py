@@ -58,9 +58,19 @@ def exact_dedup(sf_dir: str) -> "rd.Dataset":
              .reset_index())
         return a.astype({"survivor_id": "int64", "dup_count": "int64"})
 
+    def recombine(df: pd.DataFrame) -> pd.DataFrame:
+        # algebraic second level for skew-oversized buckets: min/sum
+        # over combine's OUTPUT schema
+        return (df.groupby("text_md5", sort=False)
+                .agg(survivor_id=("survivor_id", "min"),
+                     dup_count=("dup_count", "sum"))
+                .reset_index()
+                .astype({"survivor_id": "int64", "dup_count": "int64"}))
+
     # content hashes are an UNBOUNDED key — bucketed vectorized combine
     # (Ray's per-group aggregate machinery cost 4.8 s for 4.7k groups)
-    return bucketed_agg(partials, ["text_md5"], combine)
+    return bucketed_agg(partials, ["text_md5"], combine,
+                        recombine=recombine)
 
 
 def pages_exact_dedup(pages_dir: str) -> pd.DataFrame:
@@ -172,15 +182,27 @@ def _mod_mersenne_affine(a: np.ndarray, b: np.ndarray,
     xu = x.astype(np.uint64)
     a_hi = (au >> np.uint64(31))[:, None]         # < 2^30
     a_lo = (au & np.uint64((1 << 31) - 1))[:, None]   # < 2^31
-    t_hi = a_hi * xu[None, :]                     # < 2^62
-    t_hi = (t_hi & M) + (t_hi >> np.uint64(61))   # ≡ mod p, < 2^61+2
-    y1 = t_hi >> np.uint64(30)                    # t_hi·2^31 ≡ y1 + y0·2^31
-    y0 = t_hi & np.uint64((1 << 30) - 1)
-    s1 = y1 + (y0 << np.uint64(31))               # < 2^61 + 2^31
-    t_lo = a_lo * xu[None, :]                     # < 2^63
-    t_lo = (t_lo & M) + (t_lo >> np.uint64(61))   # < 2^61+4
-    tot = s1 + t_lo + bu[:, None]                 # < 3·2^61, fits uint64
-    return (tot % M).astype(np.int64)
+    b_col = bu[:, None]
+    out = np.empty((len(au), len(xu)), dtype=np.uint64)
+    # column-chunked + in-place: the naive whole-matrix expression
+    # allocates ~12 full-size uint64 temporaries (memory-bound —
+    # measured 5.4 s for a 64×265k batch); 16k-column chunks keep every
+    # temp L2-resident and reuse two scratch buffers (measured 3.4×)
+    CH = 16384
+    for s in range(0, len(xu), CH):
+        xc = xu[s:s + CH][None, :]
+        t_hi = a_hi * xc                          # < 2^62
+        np.add((t_hi & M), (t_hi >> np.uint64(61)), out=t_hi)  # < 2^61+2
+        y1 = t_hi >> np.uint64(30)                # t_hi·2^31 ≡ y1+y0·2^31
+        t_hi &= np.uint64((1 << 30) - 1)          # y0
+        t_hi <<= np.uint64(31)
+        t_hi += y1                                # s1 < 2^61 + 2^31
+        t_lo = a_lo * xc                          # < 2^63
+        np.add((t_lo & M), (t_lo >> np.uint64(61)), out=t_lo)  # < 2^61+4
+        t_hi += t_lo
+        t_hi += b_col                             # < 3·2^61, fits uint64
+        np.mod(t_hi, M, out=out[:, s:s + CH])
+    return out.view(np.int64)
 
 
 class MinHasher:
@@ -205,9 +227,17 @@ class MinHasher:
                                  "band_hash": pd.Series([], dtype="int64"),
                                  "doc_id": pd.Series([], dtype="int64")})
         offs = np.concatenate([[0], np.cumsum(nsh)[:-1]])
-        hv = _mod_mersenne_affine(self.a, self.b,
-                                  np.concatenate(crcs_list))
-        sig = np.minimum.reduceat(hv, offs, axis=1)   # (64, n_docs)
+        # boilerplate-heavy web batches repeat shingles across docs —
+        # run the affine pass over the batch-UNIQUE crcs only and
+        # gather (measured ~2× fewer affine columns at sf0.1)
+        ux, inv = np.unique(np.concatenate(crcs_list),
+                            return_inverse=True)
+        # row-major layout so the per-shingle gather is a contiguous
+        # 512-byte memcpy per row instead of a 64-way strided read
+        # (measured 0.59 s → 0.07 s on the sf0.1 batch)
+        hvt = np.ascontiguousarray(
+            _mod_mersenne_affine(self.a, self.b, ux).T)   # (U, 64)
+        sig = np.minimum.reduceat(hvt[inv], offs, axis=0).T  # (64, n_docs)
         P = np.uint64(0x9E3779B97F4A7C15)
         n = sig.shape[1]
         band_hash = np.empty((_BANDS, n), dtype=np.uint64)
@@ -270,7 +300,8 @@ def minhash_candidates(sf_dir: str, concurrency=None,
     # of a bucket's LSH buckets in one pandas pass — Ray's map_groups
     # costs ~10 ms of per-group machinery, which dominates when keys
     # number in the thousands (measured on the link stats).
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(
@@ -338,7 +369,8 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.6,
 
     from .util import coalesce_partials
 
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
     cand = minhash_candidates(sf_dir, dedup_pairs=False).materialize()
     n_cand = cand.count()
 
@@ -480,7 +512,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> "rd.Dataset":
     is O(df²) — exact by construction; at 100-TB corpus scale the
     boilerplate mega-postings make LSH-first (minhash_verified_pairs)
     the right entry point and this operator the per-bucket verify."""
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
@@ -613,7 +646,8 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
     emission (mega-buckets degrade to star pairs like
     minhash_candidates) → pair-bucketed dedup + vectorized
     XOR-popcount filter."""
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 

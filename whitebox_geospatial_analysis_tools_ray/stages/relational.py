@@ -280,7 +280,8 @@ FROM m
 
 def shuffle_hash_join(left: "rd.Dataset", right: "rd.Dataset",
                       left_on: str, right_on: str,
-                      n_buckets: int = 64, salt: int = 1) -> "rd.Dataset":
+                      n_buckets: int | None = None,
+                      salt: int = 1) -> "rd.Dataset":
     """Distributed inner equi-join: both sides hash-partition on the
     key into a BOUNDED number of shuffle buckets (∝ parallelism, the
     repo's bounded-bucket rule), one pandas merge per bucket. Neither
@@ -293,6 +294,10 @@ def shuffle_hash_join(left: "rd.Dataset", right: "rd.Dataset",
     duplication (pick the smaller table as RIGHT)."""
     import pandas as pd
     import pyarrow as pa
+
+    from .util import adaptive_num_buckets
+    if n_buckets is None:
+        n_buckets = adaptive_num_buckets()
 
     MULT = 2654435761
     lcols = [c for c in left.schema().names]
@@ -423,7 +428,8 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
     Output: (event_id, user_id, has_prior, gap_us) — gap in integer
     microseconds (exact), -1 when no prior right event exists.
     """
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id",
                                   "event_type"])
@@ -559,7 +565,8 @@ def events_retention(sf_dir: str,
 
     from .util import combine_bounded
 
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "user_id"])
 
@@ -624,7 +631,8 @@ def events_interval_join(sf_dir: str, left_type: str = "error",
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id",
                                   "event_type"])

@@ -503,7 +503,8 @@ def events_funnel(sf_dir: str,
 
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps!r}")
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "user_id", "event_type"])
     step_ix = {s: i for i, s in enumerate(steps)}

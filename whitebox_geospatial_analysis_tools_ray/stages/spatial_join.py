@@ -264,7 +264,8 @@ def cell_partitioned_pip_join(points: "rd.Dataset", zones: list[dict],
     # inside a pandas sub-groupby — avoids Ray's ~10 ms per-group
     # map_groups machinery across hundreds/thousands of cells while
     # keeping cells co-located (salting still splits hot cells first).
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
 
     def add_bucket(batch):
         batch["bucket"] = (batch["cell_key"] * 2654435761) % NB

@@ -625,7 +625,8 @@ def streams_to_vector(spec: RasterSpec | None = None,
     # bounded-shuffle rule) and walk every link of a bucket in ONE
     # map_groups call: Ray's per-group machinery costs ~ms/group,
     # which dominated at hundreds of links (measured 3.6 s -> ~1 s)
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df["bucket"] = (df["label"].to_numpy()

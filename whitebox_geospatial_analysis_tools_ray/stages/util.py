@@ -79,8 +79,33 @@ def groupwise_combine(final, keys):
     return combine
 
 
-def bucketed_agg(partials, keys, combine, num_buckets: int = 64,
-                 batch_format: str = "pandas"):
+def adaptive_num_buckets(est_keys: int | None = None, per_cpu: int = 4,
+                         lo: int = 2, hi: int = 4096) -> int:
+    """Cluster/data-proportional fan-out for unbounded-key bucketed
+    combines (replaces the round-3 fixed NB=64): ~``per_cpu`` buckets
+    per cluster CPU, so the combine stage fills the cluster with
+    straggler headroom on a 256-node fleet while a 4-CPU test session
+    doesn't schedule 64 near-empty groups. Clamped to [lo, hi]; when
+    the caller can bound the key cardinality (``est_keys``), the
+    fan-out never exceeds it (extra buckets are just empty groups).
+    Results are invariant to the bucket count — every key lives in
+    exactly one bucket whatever NB is (pinned by
+    tests/test_bucket_invariance.py across NB ∈ {2, 64, 1024})."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    nb = per_cpu * max(1, cpus)
+    if est_keys is not None:
+        nb = min(nb, max(1, int(est_keys)))
+    return max(lo, min(hi, nb))
+
+
+def bucketed_agg(partials, keys, combine, num_buckets: int | None = None,
+                 batch_format: str = "pandas",
+                 recombine=None,
+                 max_bucket_rows: int = 4_000_000):
     """Distributed combine for UNBOUNDED-key aggregations.
 
     Ray's sort-based ``groupby().aggregate()`` / per-key ``map_groups``
@@ -92,8 +117,21 @@ def bucketed_agg(partials, keys, combine, num_buckets: int = 64,
     all partial rows of every key in its bucket (each key lives in
     exactly one bucket) and must do the per-key reduction itself
     (``df.groupby(keys).agg(...)``), vectorized.
+
+    ``num_buckets=None`` (the default) resolves the fan-out via
+    ``adaptive_num_buckets()`` — cluster-proportional instead of the
+    former fixed 64. When the caller's reduction is algebraic it can
+    pass ``recombine(combined_df) -> DataFrame`` (a reducer over
+    ``combine``'s OUTPUT schema); a bucket whose partial rows exceed
+    ``max_bucket_rows`` is then reduced HIERARCHICALLY — ``combine``
+    over fixed-size row slices (a key split across slices yields
+    partial output rows), then one ``recombine`` over the concatenated
+    partials — bounding peak memory per combine task under key skew.
     """
     import pandas as pd
+
+    if num_buckets is None:
+        num_buckets = adaptive_num_buckets()
 
     def add_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         # NUL-escape string key columns BEFORE hashing:
@@ -111,7 +149,12 @@ def bucketed_agg(partials, keys, combine, num_buckets: int = 64,
         return df.assign(__bucket__=(h % num_buckets).astype("int64"))
 
     def comb(g: "pd.DataFrame") -> "pd.DataFrame":
-        return combine(g.drop(columns="__bucket__"))
+        g = g.drop(columns="__bucket__")
+        if recombine is not None and len(g) > max_bucket_rows:
+            parts = [combine(g.iloc[i:i + max_bucket_rows])
+                     for i in range(0, len(g), max_bucket_rows)]
+            return recombine(pd.concat(parts, ignore_index=True))
+        return combine(g)
 
     return (coalesce_partials(
                 partials.map_batches(add_bucket, batch_format=batch_format))

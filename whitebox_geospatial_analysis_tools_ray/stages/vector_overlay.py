@@ -311,7 +311,8 @@ def fuse_touching(sf_dir: str, round_to: int = 4) -> pd.DataFrame:
     # gkey counts grow with the extent — bucket them (bounded-shuffle
     # rule) and run all of a bucket's cells in one pandas pass: Ray's
     # per-group machinery was ~1 s over ~960 grid cells
-    NBK = 64
+    from .util import adaptive_num_buckets
+    NBK = adaptive_num_buckets()
 
     def add_ebucket(df: pd.DataFrame) -> pd.DataFrame:
         df["ebucket"] = (df["gkey"].to_numpy()
@@ -355,7 +356,8 @@ def fuse_touching(sf_dir: str, round_to: int = 4) -> pd.DataFrame:
     labels = {x: find(x) for x in parent}
     lbl_ref = ray.put(labels)
 
-    NB = 64
+    from .util import adaptive_num_buckets
+    NB = adaptive_num_buckets()
 
     def tag(batch) -> pd.DataFrame:
         lut = ray.get(lbl_ref) if not isinstance(lbl_ref, dict) else lbl_ref

@@ -19,14 +19,19 @@ per round — O(cells) driver traffic per round. This harness is the fix
 in the object store; each round, stateless tasks return ONLY the
 messages; the full payload is extracted ONCE after convergence.
 
-Scale note: messages are routed through the driver, which is O(total
-message size) per round = O(tiles x boundary) — the same order as the
-cross-node traffic any exchange would need; per-tile payloads and
-states never travel.
+Scale note (round-4 verdict item 3): message routing is DECENTRALIZED.
+Each round task returns its outbox as an object-store ref plus a tiny
+content digest; the next round's tile tasks receive their NEIGHBOR
+tiles' outbox REFS and filter out the messages addressed to them
+worker-side (object-store peer-to-peer — on a multi-node cluster the
+bytes move node-to-node, never through the driver). The driver folds
+ONLY the O(tiles) digest tuple per round — the convergence signature —
+regardless of message size.
 """
 
 from __future__ import annotations
 
+import hashlib
 import pickle
 from typing import Any, Callable
 
@@ -36,19 +41,46 @@ Inbox = list[tuple[int, Any]]          # sorted (sender_tid, message)
 Outbox = dict[int, Any]                # {target_tid: message}
 
 
+def _digest(outbox: Outbox) -> bytes:
+    """Canonical content digest of an outbox. Solves are deterministic,
+    so two rounds at the fixed point produce byte-identical pickles of
+    the target-sorted items."""
+    return hashlib.sha256(
+        pickle.dumps(sorted(outbox.items(), key=lambda kv: kv[0]))
+    ).digest()
+
+
+_EMPTY_DIGEST = _digest({})
+
+
+def _inbox_from(senders: list[int], outboxes: list[Outbox],
+                tid: int) -> Inbox:
+    """Rebuild tile ``tid``'s inbox from its neighbours' whole outboxes
+    — the same (sender-sorted) list the old driver fold produced."""
+    box: Inbox = [(s, ob[tid]) for s, ob in zip(senders, outboxes)
+                  if ob is not None and tid in ob]
+    box.sort(key=lambda sm: sm[0])
+    return box
+
+
 @ray.remote
 def _fp_state(build: Callable, tid: int):
     return build(tid)
 
 
-@ray.remote
-def _fp_round(solve: Callable, state, tid: int, inbox: Inbox) -> Outbox:
-    return solve(state, tid, inbox)
+@ray.remote(num_returns=2)
+def _fp_round(solve: Callable, state, tid: int, senders: list[int],
+              *outboxes: Outbox):
+    out = solve(state, tid, _inbox_from(list(senders), list(outboxes),
+                                        tid))
+    return out, _digest(out)
 
 
 @ray.remote
-def _fp_extract(extract: Callable, state, tid: int, inbox: Inbox):
-    return extract(state, tid, inbox)
+def _fp_extract(extract: Callable, state, tid: int, senders: list[int],
+                *outboxes: Outbox):
+    return extract(state, tid, _inbox_from(list(senders),
+                                           list(outboxes), tid))
 
 
 def tile_fixed_point(n_tiles: int,
@@ -56,7 +88,9 @@ def tile_fixed_point(n_tiles: int,
                      solve: Callable[[Any, int, Inbox], Outbox],
                      extract: Callable[[Any, int, Inbox], Any],
                      max_rounds: int = 64,
-                     label: str = "tile fixed point") -> list:
+                     label: str = "tile fixed point",
+                     neighbors: Callable[[int], list[int]] | None = None
+                     ) -> list:
     """Run ``solve`` over all tiles to a cross-tile message fixed point.
 
     - ``build(tid)`` -> per-tile state; runs ONCE per tile, worker-side;
@@ -65,39 +99,58 @@ def tile_fixed_point(n_tiles: int,
       the closure and ``ray.get``-ed inside build, so each tile fetches
       only its share.
     - ``solve(state, tid, inbox)`` -> outbox ``{target_tid: message}``.
-      Messages must be O(boundary) small; they are the ONLY per-round
-      traffic. ``inbox`` is a list of ``(sender_tid, message)`` sorted
-      by sender (``[]`` on the first round).
+      Messages must be O(boundary) small. ``inbox`` is a list of
+      ``(sender_tid, message)`` sorted by sender (``[]`` on the first
+      round).
     - ``extract(state, tid, inbox)`` -> final per-tile payload; called
       once with the converged inbox.
+    - ``neighbors(tid)`` -> the tids that may ever MESSAGE ``tid``.
+      Default: the band topology every current caller uses
+      (``[tid-1, tid+1]``); pass an explicit function for wider
+      stencils. A message to a non-neighbor is silently dropped —
+      exactly like the old out-of-range drop.
 
-    Convergence: the pickled message sets of two consecutive rounds are
-    byte-equal (solves are deterministic, so equal inputs reproduce the
+    Per round, tile ``tid``'s task receives its neighbours' outbox
+    REFS (fetched peer-to-peer from the object store) and filters its
+    own messages worker-side; the driver folds only the O(tiles)
+    digest tuple. Convergence: consecutive rounds' digest tuples are
+    equal (solves are deterministic, so equal inputs reproduce the
     fixed point exactly). Raises RuntimeError at ``max_rounds``.
     """
+    if neighbors is None:
+        def neighbors(tid: int) -> list[int]:
+            return [t for t in (tid - 1, tid + 1) if 0 <= t < n_tiles]
+
+    nbrs = {t: [u for u in neighbors(t) if 0 <= u < n_tiles and u != t]
+            for t in range(n_tiles)}
     states = [_fp_state.remote(build, t) for t in range(n_tiles)]
-    inboxes: list[Inbox] = [[] for _ in range(n_tiles)]
-    prev_sig = pickle.dumps(inboxes)
+    out_refs: list = [None] * n_tiles
+    # the old loop's initial signature was the all-empty inbox set, so
+    # a first round that emits nothing converges immediately
+    prev_digest = tuple([_EMPTY_DIGEST] * n_tiles)
     for _ in range(max_rounds):
-        outs = ray.get([_fp_round.remote(solve, states[t], t, inboxes[t])
-                        for t in range(n_tiles)])
-        nxt: list[Inbox] = [[] for _ in range(n_tiles)]
-        for t, outbox in enumerate(outs):
-            for tgt, msg in outbox.items():
-                tgt = int(tgt)
-                if 0 <= tgt < n_tiles:
-                    nxt[tgt].append((t, msg))
-        for box in nxt:
-            box.sort(key=lambda sm: sm[0])
-        sig = pickle.dumps(nxt)
-        if sig == prev_sig:
-            inboxes = nxt
+        new_refs: list = []
+        dig_refs: list = []
+        for t in range(n_tiles):
+            senders = [u for u in nbrs[t] if out_refs[u] is not None]
+            obs = [out_refs[u] for u in senders]
+            o_ref, d_ref = _fp_round.remote(solve, states[t], t,
+                                            senders, *obs)
+            new_refs.append(o_ref)
+            dig_refs.append(d_ref)
+        digest = tuple(ray.get(dig_refs))   # O(tiles) × 32 bytes
+        if digest == prev_digest:
             break
-        inboxes, prev_sig = nxt, sig
+        out_refs, prev_digest = new_refs, digest
     else:  # pragma: no cover - cap reached
         raise RuntimeError(f"{label} did not converge in {max_rounds} rounds")
-    return ray.get([_fp_extract.remote(extract, states[t], t, inboxes[t])
-                    for t in range(n_tiles)])
+    finals = []
+    for t in range(n_tiles):
+        senders = [u for u in nbrs[t] if out_refs[u] is not None]
+        obs = [out_refs[u] for u in senders]
+        finals.append(_fp_extract.remote(extract, states[t], t,
+                                         senders, *obs))
+    return ray.get(finals)
 
 
 def updn_fixed_point(spec, build, kernel, final,

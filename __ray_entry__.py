@@ -431,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated in tests/test_ann_persisted.py
         "ann_ivf_trained": lambda sf: ann.ivf_topk_trained(sf),
         "embedding_neardup": lambda sf: emb.cosine_neardup_pairs(sf),
+        "embedding_neardup_stats":
+            lambda sf: emb.cosine_neardup_stats(sf),
         "pca_embeddings": lambda sf: emb.pca_embeddings(sf),
         "inverse_pca": lambda sf: emb.inverse_pca_embeddings(sf),
         "kmeans_embeddings": lambda sf: emb.kmeans_embeddings(sf),

@@ -239,7 +239,7 @@ def ivf_train_centroids(sf_dir: str, n_lists: int = 16, iters: int = 8,
     fixed ``iters`` rounds, ties → lowest list id, per-round rounding
     so partial-sum order can never drift an assignment. Per round only
     (n_lists × dim) sums reach the driver."""
-    from .embeddings import _lowest_k_vectors, _read_embeddings
+    from .embeddings import _coarse_centroids, _read_embeddings
 
     # trained centroids are a pure function of (table content, params):
     # cache them content-keyed like the persisted index, so repeated
@@ -249,16 +249,18 @@ def ivf_train_centroids(sf_dir: str, n_lists: int = 16, iters: int = 8,
     from ..state.checkpoint import commit_cache_key, content_cache_dir
     src = f"{sf_dir}/embeddings.parquet"
     cdir, valid = content_cache_dir(
-        src, "graft_ivf_cent", f"{n_lists}|{iters}|{round_to}|v1")
+        src, "graft_ivf_cent", f"{n_lists}|{iters}|{round_to}|v3")
     cpath = os.path.join(cdir, "centroids.npy")
     if valid and os.path.exists(cpath):
         return np.load(cpath)
 
-    C = _lowest_k_vectors(sf_dir, n_lists)
-    if len(C) == 0:         # empty table → no centroids
+    # init from the UNBIASED smallest-md5(vec_id) sample fit (round-4
+    # verdict item 5 — the lowest-vec_id init degraded on source-sorted
+    # tables where low ids are one domain); the full-table Lloyd rounds
+    # below then refine against every shard
+    cent = _coarse_centroids(sf_dir, n_lists)
+    if len(cent) == 0:      # empty table → no centroids
         return np.zeros((0, 1))
-    cent = C / np.maximum(np.sqrt((C * C).sum(axis=1, keepdims=True)),
-                          1e-12)
     ds = _read_embeddings(sf_dir)
 
     for _ in range(iters):
@@ -289,7 +291,7 @@ def ivf_train_centroids(sf_dir: str, n_lists: int = 16, iters: int = 8,
                     new[int(c)] = s / nrm
         cent = np.round(new, 9)
     np.save(cpath, cent)
-    commit_cache_key(cdir, src, f"{n_lists}|{iters}|{round_to}|v1")
+    commit_cache_key(cdir, src, f"{n_lists}|{iters}|{round_to}|v3")
     return cent
 
 
@@ -369,7 +371,7 @@ def ivf_build(sf_dir: str, n_lists: int = 16, round_to: int = 6,
     from ..state.checkpoint import commit_cache_key, content_cache_dir
 
     src = f"{sf_dir}/embeddings.parquet"
-    params = f"{n_lists}|{round_to}|v2"
+    params = f"{n_lists}|{round_to}|v3"
     if out_dir is None:
         out_dir, valid = content_cache_dir(src, "graft_ivf", params)
         if not valid:

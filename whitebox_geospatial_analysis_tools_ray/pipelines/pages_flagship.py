@@ -101,13 +101,26 @@ def pages_flagship(pages_dir: str, tile_width: float = 250.0) -> "rd.Dataset":
         g = df.groupby(["tile_id", "zone_id"], sort=False)["chars"]
         return g.agg(c="count", s="sum").reset_index()
 
-    # one read task per shard file: Ray's default read parallelism caps
-    # well below the file count here, leaving CPUs idle on the scan
+    # Read fan-out: one task per shard file WHEN files are few (Ray's
+    # default parallelism caps below the file count, idling CPUs on
+    # the scan), but capped at 4 tasks/CPU for many-small-files
+    # layouts — the 512-shard rehearsal at one task/file ran 2× slower
+    # (512 ragged 4k-row tasks, 16 waves of per-task overhead); at the
+    # cap each read task bundles several files back into the clean
+    # ~16k-row wave shape, and the cap itself scales with cluster size.
     import glob
     import os
     n_files = len(glob.glob(os.path.join(pages_dir, "*.parquet"))) or None
+    if n_files:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n_blocks = min(n_files, max(4 * cpus, 128))
+    else:
+        n_blocks = None
     ds = rd.read_parquet(pages_dir, columns=["url", "html"],
-                         override_num_blocks=n_files)
+                         override_num_blocks=n_blocks)
     # batch_size=None → one batch per 15,625-row shard block: 128 equal
     # tasks (4 clean waves on 32 CPUs) and read→map fusion; bundling to
     # larger batches made 43 ragged tasks whose last wave idled a third

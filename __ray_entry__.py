@@ -1171,6 +1171,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_summary": o.corpus_summary_sql(),
         "bpe_train": o.bpe_train_sql(),
         "bpe_encode_stats": o.bpe_encode_stats_sql(),
+        "pca_embeddings": o.pca_embeddings_sql(),
+        "inverse_pca": o.inverse_pca_sql(),
+        "raster_to_polygons": o.raster_to_polygons_sql(),
         "bm25_topk": o.bm25_topk_sql(),
         "length_quantiles": o.length_quantiles_sql(),
         "incremental_dedup": o.incremental_dedup_sql(),

@@ -8590,6 +8590,185 @@ ORDER BY k.doc_a, k.doc_b
 """
 
 
+def raster_to_polygons_sql(rows: int = 256, cols: int = 256,
+                           n_classes: int = 6,
+                           class_width: float = 175.0,
+                           k_doubling: int = 20) -> str:
+    """Exact mirror of stages/vectorize.raster_to_polygons (round-4:
+    previously rows-only). The impl's ring trace with the
+    sharpest-clockwise-turn saddle rule is a PURE SUCCESSOR
+    PERMUTATION over directed boundary edges (the turn rule pairs each
+    in-edge with a distinct out-edge at every saddle —
+    fuzz-established over random grids incl. corner-touching and
+    NoData holes, tests/test_vectorize_oracle.py), so
+    n_rings = #cycles of succ — counted here by POINTER DOUBLING
+    (f←f∘f, m←min(m, m∘f), {20} rounds covers rings ≤ 2^20 edges).
+    perimeter = #directed boundary edges; area = #cells per class
+    (signed shoelace over rings telescopes to the cell count)."""
+    nod = _NOD
+    vals = (f"vals AS MATERIALIZED (SELECT i AS cell, "
+            f"CASE WHEN ((i * 2246822519 + 1013904223) % 4294967296) "
+            f"% 17 = 0 THEN {nod} "
+            f"ELSE ((i * 2654435761) % 4294967296) / 4294967296.0 "
+            f"* 1000.0 END AS v FROM range(0, {rows * cols}) t(i))")
+    sides = [
+        (0, "r > 0", f"b.cell - {cols}", "c", "r", "c + 1", "r"),
+        (1, f"c < {cols - 1}", "b.cell + 1",
+         "c + 1", "r", "c + 1", "r + 1"),
+        (2, f"r < {rows - 1}", f"b.cell + {cols}",
+         "c + 1", "r + 1", "c", "r + 1"),
+        (3, "c > 0", "b.cell - 1", "c", "r + 1", "c", "r"),
+    ]
+    edge_sel = " UNION ALL ".join(
+        f"""SELECT b.cell * 4 + {sid} AS eid, b.k,
+       {sx} AS sx, {sy} AS sy, {ex} AS ex, {ey} AS ey
+FROM (SELECT cell, k, cell // {cols} AS r, cell % {cols} AS c
+      FROM kl) b
+LEFT JOIN kl nb ON ({guard}) AND nb.cell = {nbcell}
+WHERE nb.cell IS NULL OR nb.k <> b.k"""
+        for sid, guard, nbcell, sx, sy, ex, ey in sides)
+    dbl, prev = [], "pd0"
+    for t in range(1, k_doubling + 1):
+        dbl.append(f"""pd{t} AS MATERIALIZED (
+  SELECT a.eid, b.f AS f, LEAST(a.m, b.m) AS m
+  FROM {prev} a JOIN {prev} b ON b.eid = a.f)""")
+        prev = f"pd{t}"
+    return f"""
+WITH
+{vals},
+kl AS MATERIALIZED (
+  SELECT cell, LEAST(GREATEST(CAST(floor(v / {class_width!r}) AS BIGINT),
+               0), {n_classes - 1}) AS k
+  FROM vals WHERE v <> {nod}),
+edges AS MATERIALIZED ({edge_sel}),
+succ AS MATERIALIZED (
+  SELECT eid, f FROM (
+    SELECT e.eid, o.eid AS f,
+           row_number() OVER (PARTITION BY e.eid ORDER BY
+             -((e.ex - e.sx) * (o.ey - o.sy)
+               - (e.ey - e.sy) * (o.ex - o.sx)),
+             -((e.ex - e.sx) * (o.ex - o.sx)
+               + (e.ey - e.sy) * (o.ey - o.sy)),
+             o.eid) AS rn
+    FROM edges e JOIN edges o
+      ON o.k = e.k AND o.sx = e.ex AND o.sy = e.ey)
+  WHERE rn = 1),
+pd0 AS MATERIALIZED (SELECT eid, f, eid AS m FROM succ),
+{",".join(dbl)},
+lab AS (SELECT e.eid, e.k, p.m FROM edges e JOIN {prev} p USING (eid)),
+per_v AS (
+  SELECT k AS value,
+         CAST(count(DISTINCT m) AS BIGINT) AS n_rings,
+         CAST(count(*) AS BIGINT) AS perimeter
+  FROM lab GROUP BY k),
+areas AS (SELECT k AS value, CAST(count(*) AS BIGINT) AS area
+          FROM kl GROUP BY k)
+SELECT value, n_rings, perimeter, area
+FROM per_v JOIN areas USING (value) ORDER BY value
+"""
+
+
+def _pca_spectrum_ctes(k: int = 4, p: int = 16) -> str:
+    """Shared CTE chain computing the top-``k`` eigenvalues of the
+    embeddings covariance — the mirror of stages/embeddings
+    .pca_embeddings' LAPACK ``eigvalsh`` (round-4: the rows-only PCA
+    pair gets exact oracles). Covariance from the identical moment
+    algebra (Σxxᵀ − n·μμᵀ)/(n−1); each eigenpair via REPEATED MATRIX
+    SQUARING (a recursive CTE of ``p`` Frobenius-normalized
+    self-multiplications ⇒ the 2^p-th power iterate — eigengap ratio
+    r collapses to r^(2^p) ≈ 0, so the dominant eigenvector is exact
+    to machine precision), Rayleigh quotient against the UNSQUARED
+    matrix, then rank-one deflation. 64×64 matrices: ~17 M joined rows
+    total, ≈1 s in DuckDB. Exposes lam0..lam{k-1}, tr, nn, mu, x."""
+    comps = []
+    prev_m = "m0"
+    for c in range(k):
+        comps.append(f"""
+sq{c}(it, i, j, v) AS (
+  SELECT 0, i, j, v / (SELECT sqrt(sum(v * v)) FROM {prev_m})
+  FROM {prev_m}
+  UNION ALL
+  (WITH cur AS (SELECT * FROM sq{c} WHERE it < {p}),
+   mm AS (SELECT a.i, b.j, sum(a.v * b.v) AS v
+          FROM cur a JOIN cur b ON a.j = b.i GROUP BY a.i, b.j),
+   fn AS (SELECT sqrt(sum(v * v)) AS s FROM mm),
+   tt AS (SELECT max(it) AS it FROM cur)
+   SELECT tt.it + 1, mm.i, mm.j, mm.v / fn.s FROM mm, fn, tt)
+),
+vraw{c} AS MATERIALIZED (
+  SELECT i, sum(v * sin(CAST(j + 1 AS DOUBLE))) AS y
+  FROM sq{c} WHERE it = {p} GROUP BY i),
+vec{c} AS MATERIALIZED (
+  SELECT i, y / (SELECT sqrt(sum(y * y)) FROM vraw{c}) AS val
+  FROM vraw{c}),
+lam{c} AS MATERIALIZED (
+  SELECT sum(a.val * m.v * b.val) AS l
+  FROM {prev_m} m JOIN vec{c} a ON a.i = m.i
+  JOIN vec{c} b ON b.i = m.j),
+m{c + 1} AS MATERIALIZED (
+  SELECT m.i, m.j, m.v - lam.l * a.val * b.val AS v
+  FROM {prev_m} m JOIN vec{c} a ON a.i = m.i
+  JOIN vec{c} b ON b.i = m.j CROSS JOIN lam{c} lam)""")
+        prev_m = f"m{c + 1}"
+    return f"""
+evr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+x AS MATERIALIZED (
+  SELECT vec_id AS r, unnest(range(len(v))) AS i, unnest(v) AS xi
+  FROM evr),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM evr),
+mu AS MATERIALIZED (
+  SELECT i, sum(xi) / nn.n AS m FROM x, nn GROUP BY i, nn.n),
+sxx AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS s
+  FROM x a JOIN x b ON a.r = b.r GROUP BY a.i, b.i),
+m0 AS MATERIALIZED (
+  SELECT s.i, s.j, (s.s - nn.n * ma.m * mb.m) / (nn.n - 1) AS v
+  FROM sxx s JOIN mu ma ON ma.i = s.i JOIN mu mb ON mb.i = s.j
+  CROSS JOIN nn),
+tr AS (SELECT sum(v) AS t FROM m0 WHERE i = j),{",".join(comps)}"""
+
+
+def pca_embeddings_sql(k: int = 4, round_to: int = 6) -> str:
+    """Exact mirror of stages/embeddings.pca_embeddings (spectrum
+    only, matching the impl's sign-free output)."""
+    sel = " UNION ALL ".join(
+        f"SELECT {c}::BIGINT AS component, (SELECT l FROM lam{c}) AS ev"
+        for c in range(k))
+    return f"""
+WITH RECURSIVE
+{_pca_spectrum_ctes(k)},
+spec AS ({sel})
+SELECT component, round(ev, {round_to}) AS eigenvalue,
+       round(ev / tr.t, {round_to}) AS explained_ratio
+FROM spec CROSS JOIN tr ORDER BY component
+"""
+
+
+def inverse_pca_sql(k: int = 4, round_to: int = 6) -> str:
+    """Exact mirror of stages/embeddings.inverse_pca_embeddings: the
+    impl reconstructs row-wise (x̂ = μ + VVᵀ(x−μ)) and sums squared
+    errors; analytically sse = sst − (n−1)·Σ top-k λ and
+    sst = Σ‖x−μ‖² (V orthonormal), so the oracle needs only the
+    spectrum CTEs. Both sides round at {6} dp; the float paths differ
+    below 1e-10 relative (spectra are machine-exact after 2^16-power
+    squaring)."""
+    lam_sum = " + ".join(f"(SELECT l FROM lam{c})" for c in range(k))
+    return f"""
+WITH RECURSIVE
+{_pca_spectrum_ctes(k)},
+sst AS (SELECT sum((x.xi - mu.m) * (x.xi - mu.m)) AS s
+        FROM x JOIN mu USING (i))
+SELECT {k}::BIGINT AS k,
+       round(sst.s, {round_to}) AS total_var,
+       round(sst.s - (nn.n - 1) * ({lam_sum}), {round_to})
+         AS recon_error,
+       round(1.0 - (sst.s - (nn.n - 1) * ({lam_sum})) / sst.s,
+             {round_to}) AS retained_ratio
+FROM sst, nn
+"""
+
+
 def _bpe_train_ctes(n_merges: int) -> str:
     """Shared WITH RECURSIVE body mirroring stages/corpus.bpe_train's
     merge loop (Sennrich et al. 2016): word counts → per-word symbol

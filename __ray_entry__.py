@@ -1174,6 +1174,16 @@ def oracle_sql() -> dict[str, str]:
         "pca_embeddings": o.pca_embeddings_sql(),
         "inverse_pca": o.inverse_pca_sql(),
         "raster_to_polygons": o.raster_to_polygons_sql(),
+        "contour_polylines": o.contour_polylines_sql(),
+        "construct_tin": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.tin_oracle",
+            fromlist=["x"]).construct_tin_sql(),
+        "voronoi_areas": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.tin_oracle",
+            fromlist=["x"]).voronoi_areas_sql(),
+        "rasterize_tin": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.tin_oracle",
+            fromlist=["x"]).rasterize_tin_sql(),
         "bm25_topk": o.bm25_topk_sql(),
         "length_quantiles": o.length_quantiles_sql(),
         "incremental_dedup": o.incremental_dedup_sql(),

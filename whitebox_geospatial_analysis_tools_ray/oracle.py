@@ -8668,6 +8668,137 @@ FROM per_v JOIN areas USING (value) ORDER BY value
 """
 
 
+def contour_polylines_sql(rows: int = 256, cols: int = 256,
+                          levels: tuple = (250.0, 500.0, 750.0),
+                          round_to: int = 4,
+                          k_doubling: int = 17) -> str:
+    """Exact mirror of stages/vectorize.contour_polylines (round-4:
+    previously rows-only). Marching squares replayed per (square,
+    level) with the impl's exact case table (codes 6/9 disambiguated
+    by the centre mean); polyline/ring counts via LIST-RANKING pointer
+    doubling over the (segment, exit-side) functional graph — on a
+    contour graph every vertex has degree <= 2, so components are
+    paths/cycles, the doubled pointer state stays O(segments), and the
+    walk order the impl uses cannot change the component count.
+    n_closed = components with no degree-1 endpoint. Endpoint floats
+    join exactly because both sides evaluate the identical IEEE
+    interpolation expressions."""
+    nod = _NOD
+
+    def z(cell):
+        return (f"(CASE WHEN (({cell}) * 2246822519 + 1013904223) "
+                f"% 4294967296 % 17 = 0 THEN {nod} "
+                f"ELSE ((({cell}) * 2654435761) % 4294967296) "
+                f"/ 4294967296.0 * 1000.0 END)")
+
+    lv = ", ".join(f"({l!r})" for l in levels)
+    dbl = ",".join(f"""pd{t} AS MATERIALIZED (
+  SELECT a.lvl, a.sid, a.side,
+         b.f_sid, b.f_side, LEAST(a.m, COALESCE(b.m, a.m)) AS m
+  FROM pd{t - 1} a LEFT JOIN pd{t - 1} b
+    ON b.lvl = a.lvl AND b.sid = a.f_sid AND b.side = a.f_side)"""
+                   for t in range(1, k_doubling + 1))
+    return f"""
+WITH RECURSIVE
+lvls(l) AS (VALUES {lv}),
+sq AS (
+  SELECT r, c, {z(f'r * {cols} + c')} AS a,
+         {z(f'r * {cols} + c + 1')} AS b,
+         {z(f'(r + 1) * {cols} + c')} AS cc,
+         {z(f'(r + 1) * {cols} + c + 1')} AS d
+  FROM (SELECT i // {cols - 1} AS r, i % {cols - 1} AS c
+        FROM range(0, {(rows - 1) * (cols - 1)}) t(i))),
+base AS MATERIALIZED (
+  SELECT lv.l AS lvl, q.r, q.c, q.a, q.b, q.cc, q.d,
+         ((CASE WHEN q.a >= lv.l THEN 1 ELSE 0 END)
+        + (CASE WHEN q.b >= lv.l THEN 2 ELSE 0 END)
+        + (CASE WHEN q.cc >= lv.l THEN 4 ELSE 0 END)
+        + (CASE WHEN q.d >= lv.l THEN 8 ELSE 0 END)) AS code,
+         ((q.a + q.b + q.cc + q.d) / 4.0 >= lv.l) AS ch,
+         (q.r * {cols} + q.c) AS sqid
+  FROM sq q CROSS JOIN lvls lv
+  WHERE q.a <> {nod} AND q.b <> {nod} AND q.cc <> {nod}
+    AND q.d <> {nod}),
+lets AS MATERIALIZED (
+  SELECT lvl, sqid * 2 + 0 AS sid, r, c, a, b, cc, d,
+    CASE WHEN code IN (1, 14) THEN 'T' WHEN code IN (2, 13) THEN 'T'
+         WHEN code IN (4, 11) THEN 'L' WHEN code IN (7, 8) THEN 'R'
+         WHEN code IN (3, 12) THEN 'L' WHEN code IN (5, 10) THEN 'T'
+         WHEN code IN (6, 9) THEN 'T' END AS e1,
+    CASE WHEN code IN (1, 14) THEN 'L' WHEN code IN (2, 13) THEN 'R'
+         WHEN code IN (4, 11) THEN 'B' WHEN code IN (7, 8) THEN 'B'
+         WHEN code IN (3, 12) THEN 'R' WHEN code IN (5, 10) THEN 'B'
+         WHEN code = 6 THEN (CASE WHEN ch THEN 'R' ELSE 'L' END)
+         WHEN code = 9 THEN (CASE WHEN ch THEN 'L' ELSE 'R' END)
+         END AS e2
+  FROM base WHERE code NOT IN (0, 15)
+  UNION ALL
+  SELECT lvl, sqid * 2 + 1, r, c, a, b, cc, d,
+    CASE WHEN code = 6 THEN (CASE WHEN ch THEN 'L' ELSE 'R' END)
+         WHEN code = 9 THEN (CASE WHEN ch THEN 'R' ELSE 'L' END) END,
+    'B'
+  FROM base WHERE code IN (6, 9)),
+segs AS MATERIALIZED (
+  SELECT lvl, sid,
+    CASE e1 WHEN 'T' THEN c + (lvl - a) / (b - a)
+            WHEN 'B' THEN c + (lvl - cc) / (d - cc)
+            WHEN 'L' THEN CAST(c AS DOUBLE)
+            WHEN 'R' THEN CAST(c + 1 AS DOUBLE) END AS x1,
+    CASE e1 WHEN 'T' THEN CAST(r AS DOUBLE)
+            WHEN 'B' THEN CAST(r + 1 AS DOUBLE)
+            WHEN 'L' THEN r + (lvl - a) / (cc - a)
+            WHEN 'R' THEN r + (lvl - b) / (d - b) END AS y1,
+    CASE e2 WHEN 'T' THEN c + (lvl - a) / (b - a)
+            WHEN 'B' THEN c + (lvl - cc) / (d - cc)
+            WHEN 'L' THEN CAST(c AS DOUBLE)
+            WHEN 'R' THEN CAST(c + 1 AS DOUBLE) END AS x2,
+    CASE e2 WHEN 'T' THEN CAST(r AS DOUBLE)
+            WHEN 'B' THEN CAST(r + 1 AS DOUBLE)
+            WHEN 'L' THEN r + (lvl - a) / (cc - a)
+            WHEN 'R' THEN r + (lvl - b) / (d - b) END AS y2
+  FROM lets),
+ends AS MATERIALIZED (
+  SELECT lvl, sid, 1 AS side, x1 AS x, y1 AS y FROM segs
+  UNION ALL
+  SELECT lvl, sid, 2, x2, y2 FROM segs),
+deg AS MATERIALIZED (
+  SELECT lvl, x, y, count(*) AS dg FROM ends GROUP BY lvl, x, y),
+nxt AS MATERIALIZED (
+  SELECT a.lvl, a.sid, a.side,
+         b.sid AS nsid,
+         (CASE WHEN b.side = 1 THEN 2 ELSE 1 END) AS nside
+  FROM ends a
+  JOIN deg d ON d.lvl = a.lvl AND d.x = a.x AND d.y = a.y AND d.dg = 2
+  JOIN ends b ON b.lvl = a.lvl AND b.x = a.x AND b.y = a.y
+             AND b.sid <> a.sid),
+pd0 AS MATERIALIZED (
+  SELECT e.lvl, e.sid, e.side,
+         n.nsid AS f_sid, n.nside AS f_side, e.sid AS m
+  FROM ends e LEFT JOIN nxt n
+    ON n.lvl = e.lvl AND n.sid = e.sid AND n.side = e.side),
+{dbl},
+lab AS (SELECT lvl, sid, min(m) AS comp
+        FROM pd{k_doubling} GROUP BY lvl, sid),
+open_comp AS (
+  SELECT DISTINCT l.lvl, l.comp
+  FROM ends e JOIN deg d ON d.lvl = e.lvl AND d.x = e.x AND d.y = e.y
+                         AND d.dg = 1
+  JOIN lab l ON l.lvl = e.lvl AND l.sid = e.sid),
+comps AS (SELECT lvl, comp FROM lab GROUP BY lvl, comp)
+SELECT s.lvl AS level,
+       CAST(count(DISTINCT s.sid) AS BIGINT) AS n_segments,
+       (SELECT count(*) FROM comps c WHERE c.lvl = s.lvl) AS n_polylines,
+       (SELECT count(*) FROM comps c WHERE c.lvl = s.lvl
+          AND NOT EXISTS (SELECT 1 FROM open_comp o
+                          WHERE o.lvl = c.lvl AND o.comp = c.comp))
+         AS n_closed,
+       round(sum(sqrt((s.x2 - s.x1) * (s.x2 - s.x1)
+                      + (s.y2 - s.y1) * (s.y2 - s.y1))), {round_to})
+         AS total_length
+FROM segs s GROUP BY s.lvl ORDER BY level
+"""
+
+
 def _pca_spectrum_ctes(k: int = 4, p: int = 16) -> str:
     """Shared CTE chain computing the top-``k`` eigenvalues of the
     embeddings covariance — the mirror of stages/embeddings

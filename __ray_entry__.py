@@ -1184,6 +1184,17 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_tin": __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.tin_oracle",
             fromlist=["x"]).rasterize_tin_sql(),
+        "retrieve_srtm_mosaic": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.srtm_retrieve",
+            fromlist=["x"]).retrieve_srtm_mosaic_sql(),
+        # the progressive scan carries the identical quantized
+        # coefficients, so both roundtrips share one oracle
+        "jpeg_roundtrip": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.jpeg",
+            fromlist=["x"]).jpeg_roundtrip_sql(),
+        "jpeg_progressive_roundtrip": __import__(
+            "whitebox_geospatial_analysis_tools_ray.sources.jpeg",
+            fromlist=["x"]).jpeg_roundtrip_sql(),
         "bm25_topk": o.bm25_topk_sql(),
         "length_quantiles": o.length_quantiles_sql(),
         "incremental_dedup": o.incremental_dedup_sql(),

@@ -814,3 +814,120 @@ def jpeg_progressive_roundtrip_query():
     write_jpeg_progressive(path, q, quality=90)
     ds = import_jpeg(path, tile_rows=spec.tile_rows)
     return raster_row_checksums(ds, spec)
+
+
+def jpeg_roundtrip_sql(quality: int = 90, rows: int = 256,
+                       cols: int = 256, round_to: int = 6) -> str:
+    """Exact DuckDB mirror of ``jpeg_roundtrip_query`` AND
+    ``jpeg_progressive_roundtrip_query`` (round-4: previously
+    rows-only). The Huffman layer is LOSSLESS (and the progressive
+    scan script carries the identical quantized coefficients —
+    pytest-pinned), so decode(encode(x)) is exactly the quantization
+    math: YCbCr → per-8×8 DCT → floor(f/q + 0.5)·q → IDCT → RGB →
+    clip(floor(+0.5)). Every dot product is emitted as an EXPLICIT
+    sequential 8-term expression over pivoted columns — numpy's 8×8
+    matmul is bit-identical to plain left-to-right accumulation
+    (verified block-by-block), and sequential order is REQUIRED:
+    flat blocks put DC/q exactly on .5 quantization boundaries, where
+    a hash-aggregate SUM's arbitrary order flips floor() (measured 58
+    of 256 row checksums wrong with SUM). Packed ARGB row sums are
+    integer-valued, so the final aggregation order is exact."""
+    C = _dct_matrix()
+    qy, qc = _scaled_q(quality)
+
+    def dot(vals, coefs):
+        e = f"({vals[0]} * {coefs[0]})"
+        for v, c in zip(vals[1:], coefs[1:]):
+            e = f"({e} + ({v} * {c}))"
+        return e
+
+    def pivot(src, keys, piv, val, n=8):
+        cs = ", ".join(f"max(CASE WHEN {piv} = {i} THEN {val} END) AS p{i}"
+                       for i in range(n))
+        return f"SELECT {keys}, {cs} FROM {src} GROUP BY {keys}"
+
+    qy_vals = ", ".join(f"({i},{j},{int(qy[i, j])})"
+                        for i in range(8) for j in range(8))
+    qc_vals = ", ".join(f"({i},{j},{int(qc[i, j])})"
+                        for i in range(8) for j in range(8))
+    t1_sel = " UNION ALL ".join(
+        f"SELECT comp, bry, bcx, {u} AS u, j, "
+        + dot([repr(C[u, k]) for k in range(8)],
+              [f"p{k}" for k in range(8)])
+        + " AS v FROM blkp" for u in range(8))
+    f_sel = " UNION ALL ".join(
+        f"SELECT comp, bry, bcx, u AS i, {v} AS j, "
+        + dot([f"p{c}" for c in range(8)],
+              [repr(C[v, c]) for c in range(8)])
+        + " AS v FROM t1p" for v in range(8))
+    t2_sel = " UNION ALL ".join(
+        f"SELECT comp, bry, bcx, {u} AS u, j, "
+        + dot([repr(C[i, u]) for i in range(8)],
+              [f"p{i}" for i in range(8)])
+        + " AS v FROM fdp" for u in range(8))
+    dec_sel = " UNION ALL ".join(
+        f"SELECT comp, bry, bcx, u, {c} AS c, "
+        + dot([f"p{j}" for j in range(8)],
+              [repr(C[j, c]) for j in range(8)])
+        + " + 128.0 AS v FROM t2p" for c in range(8))
+
+    return f"""
+WITH
+qt(comp, i, j, q) AS (
+  SELECT 0, i, j, q FROM (VALUES {qy_vals}) a(i, j, q)
+  UNION ALL SELECT 1, i, j, q FROM (VALUES {qc_vals}) a(i, j, q)
+  UNION ALL SELECT 2, i, j, q FROM (VALUES {qc_vals}) a(i, j, q)),
+px AS MATERIALIZED (
+  SELECT i // {cols} AS r, i % {cols} AS c,
+    CAST(CASE WHEN ((i * 2246822519 + 1013904223) % 4294967296) % 17 = 0
+         THEN 255.0
+         ELSE trunc((((i * 2654435761) % 4294967296) / 4294967296.0
+                     * 1000.0) * 0.255) END AS DOUBLE) AS g
+  FROM range(0, {rows * cols}) t(i)),
+ycc AS MATERIALIZED (
+  SELECT r, c,
+    0.299 * g + 0.587 * g + 0.114 * g AS y0,
+    -0.168736 * g - 0.331264 * g + 0.5 * g + 128.0 AS cb,
+    0.5 * g - 0.418688 * g - 0.081312 * g + 128.0 AS cr
+  FROM px),
+plane AS MATERIALIZED (
+  SELECT 0 AS comp, r, c, y0 - 128.0 AS v FROM ycc
+  UNION ALL SELECT 1, r, c, cb - 128.0 FROM ycc
+  UNION ALL SELECT 2, r, c, cr - 128.0 FROM ycc),
+blk AS MATERIALIZED (
+  SELECT comp, r // 8 AS bry, c // 8 AS bcx, r % 8 AS i, c % 8 AS j, v
+  FROM plane),
+blkp AS MATERIALIZED ({pivot('blk', 'comp, bry, bcx, j', 'i', 'v')}),
+t1 AS MATERIALIZED ({t1_sel}),
+t1p AS MATERIALIZED ({pivot('t1', 'comp, bry, bcx, u', 'j', 'v')}),
+f AS MATERIALIZED ({f_sel}),
+fd AS MATERIALIZED (
+  SELECT f.comp, f.bry, f.bcx, f.i, f.j,
+         floor(f.v / q.q + 0.5) * q.q AS v
+  FROM f JOIN qt q ON q.comp = f.comp AND q.i = f.i AND q.j = f.j),
+fdp AS MATERIALIZED ({pivot('fd', 'comp, bry, bcx, j', 'i', 'v')}),
+t2 AS MATERIALIZED ({t2_sel}),
+t2p AS MATERIALIZED ({pivot('t2', 'comp, bry, bcx, u', 'j', 'v')}),
+dec AS MATERIALIZED ({dec_sel}),
+decg AS MATERIALIZED (
+  SELECT comp, bry * 8 + u AS r, bcx * 8 + c AS c, v FROM dec),
+rgb AS MATERIALIZED (
+  SELECT y.r AS rr, y.c AS cc,
+    least(greatest(floor((y.v + 1.402 * (cr.v - 128.0)) + 0.5), 0), 255)
+      AS red,
+    least(greatest(floor((y.v - 0.344136 * (cb.v - 128.0)
+                          - 0.714136 * (cr.v - 128.0)) + 0.5), 0), 255)
+      AS grn,
+    least(greatest(floor((y.v + 1.772 * (cb.v - 128.0)) + 0.5), 0), 255)
+      AS blu
+  FROM (SELECT * FROM decg WHERE comp = 0) y
+  JOIN (SELECT * FROM decg WHERE comp = 1) cb
+    ON cb.r = y.r AND cb.c = y.c
+  JOIN (SELECT * FROM decg WHERE comp = 2) cr
+    ON cr.r = y.r AND cr.c = y.c)
+SELECT CAST(rr AS BIGINT) AS row_id,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       round(sum(255.0 * 16777216 + red * 65536 + grn * 256 + blu),
+             {round_to}) AS row_sum
+FROM rgb GROUP BY rr ORDER BY row_id
+"""

@@ -281,3 +281,134 @@ def retrieve_srtm_query():
         return pd.DataFrame(rows)
 
     return ds.map_batches(summarize, batch_format="pandas").sort("tile_id")
+
+
+def retrieve_srtm_mosaic_sql(south: int = 45, north: int = 46,
+                             west: int = 7, east: int = 8,
+                             tile_rows: int = 256, k: int = 6,
+                             window: int = 8,
+                             round_to: int = 6) -> str:
+    """Exact DuckDB mirror of ``retrieve_srtm_query`` over the demo
+    transport (round-4: previously rows-only). Every stage is replayed:
+    the trig synth per tile (np.round half-to-even never meets an exact
+    .5 on these irrational arguments, so SQL round matches), the
+    k-nearest-hole-edge IDW fill with the impl's EXACT sequential
+    accumulation order (the <= 6 weighted terms are pivoted to columns
+    and summed left-to-right — windowed SUM would not pin the float
+    order), fixElevations' ocean rule per tile, and the mosaic's
+    last-valid-writer-wins rule under the groovy's (lat asc, lon desc)
+    write order. Band sums are integers plus a handful of IDW
+    fractions, so cross-engine summation order cannot move the 6-dp
+    rounding."""
+    side, step = 1201, 1200
+    nd = WHITEBOX_NODATA
+    coords = [(lat, lon) for lat in range(south, north + 1)
+              for lon in range(west, east + 1)
+              if srtm_tile_name(lat, lon) != "N46E008"]
+    lats = sorted({c[0] for c in coords})
+    lons = sorted({c[1] for c in coords})
+    latm, lon0 = max(lats), min(lons)
+    rows = (max(lats) - min(lats) + 1) * step + 1
+    cols = (max(lons) - min(lons) + 1) * step + 1
+
+    tile_sel = " UNION ALL ".join(f"""
+SELECT {lat} AS lat, {lon} AS lon, r, c,
+  CASE
+    WHEN {int(lat == 45)} = 1 AND r >= {side - 5} AND c < 10 THEN 0.0
+    WHEN (r = {600 + lat % 3} AND c = {600 + lon % 5})
+      OR (r = 700 AND c BETWEEN 700 AND 702) THEN {-32768.0}
+    ELSE round(100.0 + 10.0 * sin(({lat} * 7 + r) / 97.0)
+               + 5.0 * cos(({lon} * 13 + c) / 53.0), 0)
+  END AS v
+FROM (SELECT i // {side} AS r, i % {side} AS c
+      FROM range(0, {side * side}) t(i))""" for lat, lon in coords)
+
+    voids = []
+    for lat, lon in coords:
+        voids.append(f"({lat},{lon},{600 + lat % 3},{600 + lon % 5})")
+        for cc in (700, 701, 702):
+            voids.append(f"({lat},{lon},700,{cc})")
+    voids_sql = ", ".join(voids)
+
+    offs = sorted(((dy * dy + dx * dx, dy, dx)
+                   for dy in range(-window, window + 1)
+                   for dx in range(-window, window + 1) if dy or dx))
+    offs_sql = ", ".join(f"({i},{d2},{dy},{dx})"
+                         for i, (d2, dy, dx) in enumerate(offs))
+
+    sw = "w1"
+    swv = "wv1"
+    for i in range(2, k + 1):
+        sw = f"({sw} + w{i})"
+        swv = f"({swv} + wv{i})"
+    pick = ", ".join(
+        f"max(CASE WHEN rn = {i} THEN w END) AS w{i}, "
+        f"max(CASE WHEN rn = {i} THEN w * v END) AS wv{i}"
+        for i in range(1, k + 1))
+
+    return f"""
+WITH
+tiles AS MATERIALIZED ({tile_sel}),
+voidlist(lat, lon, vr, vc) AS (VALUES {voids_sql}),
+edge AS MATERIALIZED (
+  SELECT DISTINCT t.lat, t.lon, t.r, t.c, t.v
+  FROM voidlist vl
+  JOIN tiles t ON t.lat = vl.lat AND t.lon = vl.lon
+    AND t.r BETWEEN vl.vr - {window + 1} AND vl.vr + {window + 1}
+    AND t.c BETWEEN vl.vc - {window + 1} AND vl.vc + {window + 1}
+    AND t.v <> {nd}
+  WHERE EXISTS (SELECT 1 FROM voidlist v2
+                WHERE v2.lat = t.lat AND v2.lon = t.lon
+                  AND abs(v2.vr - t.r) <= 1 AND abs(v2.vc - t.c) <= 1)),
+offs(oid, d2, dy, dx) AS (SELECT * FROM (VALUES {offs_sql})),
+cands AS (
+  SELECT vl.lat, vl.lon, vl.vr, vl.vc, o.d2, e.v,
+         row_number() OVER (PARTITION BY vl.lat, vl.lon, vl.vr, vl.vc
+                            ORDER BY o.oid) AS rn
+  FROM voidlist vl
+  JOIN offs o ON TRUE
+  JOIN edge e ON e.lat = vl.lat AND e.lon = vl.lon
+             AND e.r = vl.vr + o.dy AND e.c = vl.vc + o.dx),
+fill AS (
+  SELECT lat, lon, vr AS r, vc AS c, {swv} / {sw} AS fv
+  FROM (SELECT lat, lon, vr, vc, {pick}
+        FROM (SELECT *, 1.0 / d2 AS w FROM cands WHERE rn <= {k})
+        GROUP BY lat, lon, vr, vc)),
+filled AS MATERIALIZED (
+  SELECT t.lat, t.lon, t.r, t.c,
+         COALESCE(f.fv, CASE WHEN t.v = {-32768.0} THEN {nd}
+                             ELSE t.v END) AS v
+  FROM tiles t
+  LEFT JOIN fill f ON f.lat = t.lat AND f.lon = t.lon
+                  AND f.r = t.r AND f.c = t.c),
+tmin AS (SELECT lat, lon, min(v) AS mn
+         FROM filled WHERE v <> {nd} GROUP BY lat, lon),
+fixed AS MATERIALIZED (
+  SELECT f.lat, f.lon, f.r, f.c,
+         CASE WHEN tm.mn < 0.01 AND f.v <> {nd}
+                   AND f.v <= 0.01 AND f.v > -0.01
+              THEN {nd} ELSE f.v END AS v
+  FROM filled f JOIN tmin tm ON tm.lat = f.lat AND tm.lon = f.lon),
+mos AS MATERIALIZED (
+  SELECT ({latm} - lat) * {step} + r AS R,
+         (lon - {lon0}) * {step} + c AS C, lat, lon, v
+  FROM fixed),
+win AS (
+  SELECT R, C, v FROM (
+    SELECT R, C, v,
+           row_number() OVER (PARTITION BY R, C
+             ORDER BY (v <> {nd}) ASC, lat ASC, lon DESC) AS rn,
+           count(*) OVER (PARTITION BY R, C) AS ct
+    FROM mos) WHERE rn = ct),
+grid AS (
+  SELECT i // {cols} AS R, i % {cols} AS C
+  FROM range(0, {rows * cols}) t(i)),
+full_grid AS (
+  SELECT g.R, g.C, COALESCE(w.v, {nd}) AS v
+  FROM grid g LEFT JOIN win w ON w.R = g.R AND w.C = g.C)
+SELECT CAST(R // {tile_rows} AS BIGINT) AS tile_id,
+       CAST(count(CASE WHEN v <> {nd} THEN 1 END) AS BIGINT) AS n_valid,
+       round(sum(CASE WHEN v <> {nd} THEN v ELSE 0 END), {round_to})
+         AS band_sum
+FROM full_grid GROUP BY 1 ORDER BY tile_id
+"""

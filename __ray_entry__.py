@@ -1195,6 +1195,12 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_progressive_roundtrip": __import__(
             "whitebox_geospatial_analysis_tools_ray.sources.jpeg",
             fromlist=["x"]).jpeg_roundtrip_sql(),
+        "ann_ivf_trained": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.ann_oracle",
+            fromlist=["x"]).ann_ivf_trained_sql(),
+        "embedding_neardup_stats": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.ann_oracle",
+            fromlist=["x"]).embedding_neardup_stats_sql(),
         "bm25_topk": o.bm25_topk_sql(),
         "length_quantiles": o.length_quantiles_sql(),
         "incremental_dedup": o.incremental_dedup_sql(),

@@ -176,11 +176,12 @@ agg AS (
 ex AS (
   SELECT d.cell_id, d.z AS exact_z FROM d
   JOIN agg ON d.cell_id = agg.cell_id AND d.rec_id = agg.exact_rec AND d.d2 = 0)
-SELECT a.cell_id,
+SELECT c.cell_id,
        round(CASE WHEN a.n_exact > 0 THEN ex.exact_z
                   WHEN a.wsum > 0 THEN a.zsum / a.wsum
                   ELSE {NODATA!r} END, 4) AS idw_z
-FROM agg a LEFT JOIN ex ON a.cell_id = ex.cell_id
+FROM {cells} LEFT JOIN agg a ON a.cell_id = c.cell_id
+LEFT JOIN ex ON c.cell_id = ex.cell_id
 """
 
 
@@ -8872,7 +8873,9 @@ WITH RECURSIVE
 spec AS ({sel})
 SELECT component, round(ev, {round_to}) AS eigenvalue,
        round(ev / tr.t, {round_to}) AS explained_ratio
-FROM spec CROSS JOIN tr ORDER BY component
+FROM spec CROSS JOIN tr CROSS JOIN nn
+WHERE nn.n >= 2
+ORDER BY component
 """
 
 
@@ -8897,6 +8900,7 @@ SELECT {k}::BIGINT AS k,
        round(1.0 - (sst.s - (nn.n - 1) * ({lam_sum})) / sst.s,
              {round_to}) AS retained_ratio
 FROM sst, nn
+WHERE nn.n >= 2
 """
 
 

@@ -455,7 +455,7 @@ def filter_las_scan_angles(sf_dir: str, threshold: int = 10):
 def filter_las_scan_angles_sql(threshold: int = 10) -> str:
     return f"""
 SELECT CAST(count(*) AS BIGINT) AS n_kept,
-       CAST(SUM(doc_id % 4096) AS BIGINT) AS sum_intensity
+       CAST(COALESCE(SUM(doc_id % 4096), 0) AS BIGINT) AS sum_intensity
 FROM documents WHERE abs(doc_id % 31 - 15) <= {threshold}
 """
 
@@ -646,13 +646,16 @@ ranked AS (SELECT r, c,
                rec_id) AS rn
   FROM cells CROSS JOIN las),
 res AS (SELECT r, CASE WHEN d2 < {md2!r} THEN z ELSE -32768.0 END AS f
-        FROM ranked WHERE rn = 1)
-SELECT r AS row_id,
-       CAST(SUM(CASE WHEN f <> -32768.0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_valid,
-       round(SUM(CASE WHEN f <> -32768.0 THEN f ELSE 0.0 END), 6)
-         AS row_sum
-FROM res GROUP BY r ORDER BY row_id
+        FROM ranked WHERE rn = 1),
+rows_ AS (SELECT unnest(range(0, COALESCE((SELECT nr FROM dims), 1)))
+            AS row_id)
+SELECT rr.row_id,
+       CAST(SUM(CASE WHEN res.f <> -32768.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_valid,
+       round(SUM(CASE WHEN res.f <> -32768.0 THEN res.f ELSE 0.0 END),
+             6) AS row_sum
+FROM rows_ rr LEFT JOIN res ON res.r = rr.row_id
+GROUP BY rr.row_id ORDER BY rr.row_id
 """
 
 
@@ -989,7 +992,7 @@ chm AS (
   SELECT cell, mh - z AS val FROM surv
   WHERE z IS NOT NULL AND mh IS NOT NULL AND mh - z > {min_height!r}),
 rows_ AS (
-  SELECT unnest(range(0, (SELECT nrows FROM grid))) AS row_id)
+  SELECT unnest(range(0, COALESCE((SELECT nrows FROM grid), 1))) AS row_id)
 SELECT r.row_id,
        CAST(COUNT(c.val) AS BIGINT) AS n_chm,
        round(coalesce(SUM(c.val), 0.0), 6) AS row_sum
@@ -1040,7 +1043,7 @@ dem1 AS (
   SELECT cell, cl[1].z AS val FROM candl WHERE k = 1),
 dem AS (SELECT * FROM dem1 UNION ALL SELECT * FROM dem2),
 rows_ AS (
-  SELECT unnest(range(0, (SELECT nrows FROM grid))) AS row_id)
+  SELECT unnest(range(0, COALESCE((SELECT nrows FROM grid), 1))) AS row_id)
 SELECT r.row_id,
        CAST(COUNT(c.val) AS BIGINT) AS n_valid,
        round(coalesce(SUM(c.val), 0.0), 6) AS row_sum

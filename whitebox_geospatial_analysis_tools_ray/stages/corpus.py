@@ -1192,9 +1192,10 @@ def bpe_train(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
             segs[i] = out
     return pd.DataFrame({
         "rank": np.arange(len(merges), dtype=np.int64),
-        "left": [m[0] for m in merges],
-        "right": [m[1] for m in merges],
-        "merged": [m[0] + m[1] for m in merges]})
+        "left": pd.Series([m[0] for m in merges], dtype="object"),
+        "right": pd.Series([m[1] for m in merges], dtype="object"),
+        "merged": pd.Series([m[0] + m[1] for m in merges],
+                            dtype="object")})
 
 
 def _bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -511,7 +511,21 @@ def create_rect_grid(sf_dir: str, width_x: float = 250.0,
                      origin_y: float = 7.0) -> pd.DataFrame:
     from .points import extent_of, read_points
 
-    minx, miny, maxx, maxy = extent_of(read_points(sf_dir))
+    from .points import extent_or_none
+
+    ext = extent_or_none(read_points(sf_dir))
+    if ext is None:
+        # empty input → empty grid (the degenerate zero extent would
+        # otherwise mint a spurious origin-anchored cell; empty-boundary
+        # rule shared with the SQL mirror's extent-driven ranges)
+        return pd.DataFrame({
+            "grid_row": pd.Series([], dtype="int64"),
+            "grid_col": pd.Series([], dtype="int64"),
+            "minx": pd.Series([], dtype="float64"),
+            "miny": pd.Series([], dtype="float64"),
+            "maxx": pd.Series([], dtype="float64"),
+            "maxy": pd.Series([], dtype="float64")})
+    minx, miny, maxx, maxy = ext
     sx = int(math.floor((minx - origin_x) / width_x))
     ex = int(math.ceil((maxx - origin_x) / width_x))
     sy = int(math.floor((miny - origin_y) / width_y))

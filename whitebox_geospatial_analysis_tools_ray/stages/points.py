@@ -42,3 +42,22 @@ def extent_of(ds: "rd.Dataset") -> tuple[float, float, float, float]:
         return (0.0, 0.0, 0.0, 0.0)
     return (float(df["minx"].min()), float(df["miny"].min()),
             float(df["maxx"].max()), float(df["maxy"].max()))
+
+
+def extent_or_none(ds: "rd.Dataset"):
+    """``extent_of`` that distinguishes the EMPTY input from a real
+    all-zero extent (a point exactly at the origin) — callers that
+    must emit an empty result on empty input use this."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(b):
+        return pd.DataFrame({
+            "minx": [float(np.min(b["x"]))], "miny": [float(np.min(b["y"]))],
+            "maxx": [float(np.max(b["x"]))], "maxy": [float(np.max(b["y"]))]})
+
+    df = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if len(df) == 0:
+        return None
+    return (float(df["minx"].min()), float(df["miny"].min()),
+            float(df["maxx"].max()), float(df["maxy"].max()))

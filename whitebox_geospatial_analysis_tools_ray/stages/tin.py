@@ -205,6 +205,13 @@ def rasterize_tin(sf_dir: str, grid: int = 120,
         # circumcenter lies in a neighbouring tile can still cover cells
         # of this tile; the margin guarantees it exists here too.
         d, xy, tris_all, _ = _group_tri(df)
+        if not (d["rec_id"].to_numpy() >= 0).any():
+            # zero DATA points: no surface — the frame-ring-only
+            # triangulation is a cocircular-degenerate scaffold whose
+            # facet choice is arbitrary; emit NoData instead of
+            # rasterizing it (empty-boundary rule shared with the SQL
+            # mirror)
+            tris_all = []
         tile = int(df["tile"].iloc[0])
         x0, y0, x1, y1 = _core_box(tile)
         z = d["z"].to_numpy()

@@ -95,19 +95,29 @@ del_tris AS MATERIALIZED (
 def construct_tin_sql(round_to: int = 6) -> str:
     """Mirror of stages/tin.construct_tin: data-only Delaunay triangles
     grouped by the tile containing their circumcenter."""
+    from .tin import NY
     return f"""
-WITH {_tin_tri_ctes()}
-SELECT CAST(CAST(floor(uy / {TILE!r}) AS BIGINT) * {NX}
-            + CAST(floor(ux / {TILE!r}) AS BIGINT) AS BIGINT) AS tile,
-       CAST(count(*) AS BIGINT) AS n_triangles,
-       round(sum(abs((bx - ax) * (cy - ay)
-                     - (cx - ax) * (by - ay)) / 2.0), {round_to})
-         AS area_sum
-FROM del_tris
-WHERE i >= 0 AND j >= 0 AND k >= 0
-  AND ux >= {WEST!r} AND ux < {EAST!r}
-  AND uy >= {SOUTH!r} AND uy < {NORTH!r}
-GROUP BY 1 ORDER BY tile
+WITH {_tin_tri_ctes()},
+per_tile AS (
+  SELECT CAST(CAST(floor(uy / {TILE!r}) AS BIGINT) * {NX}
+              + CAST(floor(ux / {TILE!r}) AS BIGINT) AS BIGINT) AS tile,
+         CAST(count(*) AS BIGINT) AS n_triangles,
+         round(sum(abs((bx - ax) * (cy - ay)
+                       - (cx - ax) * (by - ay)) / 2.0), {round_to})
+           AS area_sum
+  FROM del_tris
+  WHERE i >= 0 AND j >= 0 AND k >= 0
+    AND ux >= {WEST!r} AND ux < {EAST!r}
+    AND uy >= {SOUTH!r} AND uy < {NORTH!r}
+  GROUP BY 1)
+-- tile scaffold: the impl emits every grid tile (0 triangles on an
+-- empty/degenerate group), so the oracle must too
+SELECT s.tile, COALESCE(p.n_triangles, 0::BIGINT) AS n_triangles,
+       COALESCE(p.area_sum, 0.0) AS area_sum
+FROM (SELECT CAST(range AS BIGINT) AS tile
+      FROM range(0, {NX * NY})) s
+LEFT JOIN per_tile p ON p.tile = s.tile
+ORDER BY s.tile
 """
 
 
@@ -241,7 +251,11 @@ hit AS (
                             ORDER BY i, j, k) AS rn
   FROM cont
   WHERE w1 >= 0 AND w2 >= 0 AND (1.0 - w1 - w2) >= 0)
-SELECT c.cell, round(COALESCE(h.zv, -32768.0), {round_to}) AS z
+-- zero DATA points: no surface (the frame-only scaffold is
+-- cocircular-degenerate; the impl emits NoData — shared rule)
+SELECT c.cell,
+       CASE WHEN (SELECT count(*) FROM pts) = 0 THEN -32768.0
+            ELSE round(COALESCE(h.zv, -32768.0), {round_to}) END AS z
 FROM cells c LEFT JOIN hit h ON h.cell = c.cell AND h.rn = 1
 ORDER BY c.cell
 """

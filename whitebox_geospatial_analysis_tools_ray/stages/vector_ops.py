@@ -445,6 +445,7 @@ SELECT round(ca, 6) AS a, round(cb, 6) AS b, round(cc, 6) AS c,
              + 2*ca*cb*sx + 2*ca*cc*sy + 2*cb*cc*sxy)) / n, 0.0)), 6)
        AS rmse
 FROM c
+WHERE n > 0
 """
 
 
@@ -1828,6 +1829,7 @@ SELECT CAST(MAX(n) AS BIGINT) AS nvert,
        round(0.5 * abs(SUM(term)), {round_to}) AS area,
        round(fsum(elen), {round_to}) AS perimeter
 FROM walk
+HAVING (SELECT COUNT(*) FROM p) > 0
 """
 
 

@@ -54,3 +54,36 @@ def test_empty_corpus_parity(name, empty_sf):
     from conftest import assert_matches_oracle
     sf, con = empty_sf
     assert_matches_oracle(QUERIES[name](sf), con, ORACLES[name])
+
+
+# single-row boundary (the n=1 audit): undefined statistics must agree
+# on which degenerate answer both sides give
+ONE_ROW_FIXED = [
+    "attribute_correlation",   # n < 2: correlation undefined -> 0 rows
+    "trend_surface",           # n < 3: singular normal system -> 0 rows
+    "kmeans_embeddings",       # min(k, n) clusters, not a range(k) pad
+    "cluster_attributes",
+    "embedding_neardup_stats",  # kcenter picks capped at min(k, n)
+    "ann_ivf_trained",
+]
+
+
+@pytest.fixture(scope="module")
+def one_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("one_sf")
+    for t in TABLES:
+        tb = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(tb.slice(0, 1), d / f"{t}.parquet")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    yield str(d), con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ONE_ROW_FIXED)
+def test_one_row_corpus_parity(name, one_sf):
+    from conftest import assert_matches_oracle
+    sf, con = one_sf
+    assert_matches_oracle(QUERIES[name](sf), con, ORACLES[name])

@@ -7205,7 +7205,10 @@ def _kmeans_cte_chain(k: int, iters: int, e_cte: str, init_cte: str,
 SELECT r AS cluster_id,
        CAST(COALESCE(s.n, 0) AS BIGINT) AS n,
        round(COALESCE(s.inertia, 0.0), {round_to}) AS inertia
-FROM range({k}) t(r) LEFT JOIN (
+-- scaffold = the EXISTING centroids (min(k, n) of them — the impl's
+-- centroid array is the bottom-n vectors, shorter than k on tiny
+-- inputs), not a fixed range(k)
+FROM (SELECT c AS r FROM c0) t LEFT JOIN (
   SELECT c, count(*) AS n, sum(d2) AS inertia FROM af GROUP BY c
 ) s ON s.c = r
 ORDER BY cluster_id"""

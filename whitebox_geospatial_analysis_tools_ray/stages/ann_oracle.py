@@ -47,7 +47,12 @@ b0 AS MATERIALIZED (
     for t in range(1, n_lists):
         parts.append(f"""
 ch{t} AS MATERIALIZED (
-  SELECT sidx FROM b{t-1} ORDER BY best, sidx LIMIT 1),
+  -- the impl runs min(n_lists, n) picks: no pick when the sample has
+  -- <= t points (1-row boundary — without this guard the unrolled
+  -- stages re-pick the same point into 16 duplicate centroids)
+  SELECT sidx FROM b{t-1}
+  WHERE (SELECT count(*) FROM snrm) > {t}
+  ORDER BY best, sidx LIMIT 1),
 b{t} AS MATERIALIZED (
   SELECT a.sidx, greatest(p.best, round(sum(a.x * b.x), 9)) AS best
   FROM sxn a

@@ -269,7 +269,7 @@ SELECT n,
                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
                     / CAST(n AS DOUBLE))), 6) AS pearson_r
 FROM m
-WHERE n > 0
+WHERE n >= 2
 """
 
 

@@ -386,8 +386,11 @@ def trend_surface(sf_dir: str, round_to: int = 6):
     m = pts.map_batches(moments, batch_format="numpy").aggregate(
         Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"),
         Sum("sxy"), Sum("sz"), Sum("sxz"), Sum("syz"), Sum("szz"))
-    if not m or m.get("sum(n)") in (None, 0, 0.0):
-        # empty table: normal system is singular -> typed empty fit
+    if not m or m.get("sum(n)") in (None, 0, 0.0) \
+            or m.get("sum(n)", 0.0) < 3.0:
+        # empty / under-determined (< 3 points): the first-order normal
+        # system is singular -> typed empty fit (shared with the SQL
+        # mirror's n >= 3 guard)
         import pandas as pd
         return pd.DataFrame({"a": pd.Series([], dtype="float64"),
                              "b": pd.Series([], dtype="float64"),
@@ -445,7 +448,7 @@ SELECT round(ca, 6) AS a, round(cb, 6) AS b, round(cc, 6) AS c,
              + 2*ca*cb*sx + 2*ca*cc*sy + 2*cb*cc*sxy)) / n, 0.0)), 6)
        AS rmse
 FROM c
-WHERE n > 0
+WHERE n >= 3
 """
 
 

@@ -31,13 +31,14 @@ from ray.data.aggregate import Sum
 from .dedup import ngram_jaccard_pairs
 from .util import coalesce_partials
 
-_TOKEN_RE = re.compile(r"\s+")
+from .util import SQL_WS, sql_ws_re
+_TOKEN_RE = sql_ws_re()
 
 
 def _tokens(text: str) -> list[str]:
     if not isinstance(text, str):   # null text cell ≡ empty document
         return []
-    toks = _TOKEN_RE.split(text.strip().lower())
+    toks = _TOKEN_RE.split(text.strip(SQL_WS).lower())
     return [] if toks == [""] else toks
 
 
@@ -524,11 +525,11 @@ def pack_sequences(sf_dir: str, seq_len: int = 512,
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
         did = batch["doc_id"].to_numpy(dtype=np.int64)
-        # len(t.split()) == len(_tokens(t)): whitespace-run split with
-        # empties dropped; skips building the token list just to count it
+        # count via the shared SQL_WS tokenizer (Python str.split()
+        # splits on 19 Unicode whitespace codepoints where the oracle's
+        # RE2 '\s' covers 5 — the round-4 exotic-whitespace audit)
         cnt = np.fromiter(
-            (len(t.split()) if isinstance(t, str) else 0
-             for t in batch["text"]),
+            (len(_tokens(t)) for t in batch["text"]),
             dtype=np.int64, count=len(batch))
         return pd.DataFrame({"bucket": did // docs_per_bucket,
                              "doc_id": did, "cnt": cnt})

@@ -26,7 +26,8 @@ import ray.data as rd
 
 from .util import bucketed_agg, coalesce_partials
 
-_TOKEN_RE = re.compile(r"\s+")
+from .util import SQL_WS as _SQL_WS, sql_ws_re as _sql_ws_re
+_TOKEN_RE = _sql_ws_re()
 
 
 def _md5_series(texts: pd.Series) -> pd.Series:
@@ -157,7 +158,7 @@ def _minhash_params(seed: int = 42):
 def _shingle_crcs(text: str, k: int = 3) -> np.ndarray:
     if not isinstance(text, str):   # null text cell ≡ empty document
         text = ""
-    toks = _TOKEN_RE.split(text.strip().lower())
+    toks = _TOKEN_RE.split(text.strip(_SQL_WS).lower())
     if len(toks) < k:
         sh = [" ".join(toks)] if toks and toks[0] else []
     else:
@@ -594,7 +595,7 @@ def _simhash_of(text: str) -> int:
     → ×golden-ratio odd constant mod 2⁶⁴ → per-bit ±1 votes."""
     if not isinstance(text, str):   # null text cell ≡ empty document
         return 0
-    toks = _TOKEN_RE.split(text.strip().lower())
+    toks = _TOKEN_RE.split(text.strip(_SQL_WS).lower())
     if not toks or not toks[0]:
         return 0
     crcs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)

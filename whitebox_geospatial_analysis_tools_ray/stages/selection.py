@@ -49,7 +49,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-_WS = re.compile(r"\s+")
+from .util import SQL_WS as _SQL_WS, sql_ws_re as _sql_ws_re
+_WS = _sql_ws_re()
 
 # hashed-linear classifier constants: weight(t) = ((crc32(t)·A + B)
 # mod P) / P − 0.5, P = 2⁶¹−1 (the minhash family's Mersenne prime —
@@ -61,7 +62,7 @@ _QC_B = 12345
 
 
 def _tok(text) -> list[str]:
-    t = (text or "").strip().lower() if isinstance(text, str) else ""
+    t = (text or "").strip(_SQL_WS).lower() if isinstance(text, str) else ""
     return _WS.split(t) if t else []
 
 

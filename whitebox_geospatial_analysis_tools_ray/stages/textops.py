@@ -19,7 +19,8 @@ import pandas as pd
 import ray.data as rd
 
 
-_WS = re.compile(r"\s+")
+from .util import SQL_WS as _SQL_WS, sql_ws_re as _sql_ws_re
+_WS = _sql_ws_re()
 
 
 def token_stats_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
@@ -33,8 +34,9 @@ def token_stats_by_lang(sf_dir: str, round_to: int = 6) -> "rd.Dataset":
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch["text"].fillna("")
-        stripped = t.str.strip()
-        ntok = stripped.str.split(r"\s+").map(len).where(stripped != "", 0)
+        stripped = t.str.strip(_SQL_WS)
+        ntok = (stripped.str.split(r"[\t\n\f\r ]+").map(len)
+               .where(stripped != "", 0))
         nchar = t.str.len()
         # null lang groups under '' (pandas groupby drops NaN keys)
         df = pd.DataFrame({"lang": batch["lang"].fillna(""),
@@ -137,12 +139,12 @@ class LangId:
 
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
-        self.ws = re.compile(r"\s+")
+        self.ws = _sql_ws_re()
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         preds = []
         for text in batch["text"]:
-            toks = set(self.ws.split((text or "").strip().lower()))
+            toks = set(self.ws.split((text or "").strip(_SQL_WS).lower()))
             scores = {lang: len(toks & sw) for lang, sw in self.profiles.items()}
             best = max(sorted(scores), key=lambda k: scores[k])
             preds.append(best if scores[best] > 0 else "unknown")
@@ -226,7 +228,7 @@ def token_hll(sf_dir: str, p: int = 10) -> "rd.Dataset":
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks: list[str] = []
         for text in batch["text"]:
-            t = (text or "").strip().lower() if isinstance(text, str) else ""
+            t = (text or "").strip(_SQL_WS).lower() if isinstance(text, str) else ""
             if t:
                 toks.extend(_WS.split(t))
         regs = _hll_registers_batch(toks, p)
@@ -306,7 +308,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3,
                            columns=["doc_id", "text"])
 
     def _doc_tokens(text) -> list[str]:
-        t = (text or "").strip().lower() if isinstance(text, str) else ""
+        t = (text or "").strip(_SQL_WS).lower() if isinstance(text, str) else ""
         return _WS.split(t) if t else []
 
     def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -402,7 +404,7 @@ def _df_table(sf_dir: str, with_stats: bool = False):
         n_docs = 0
         n_toks = 0
         for text in b["text"]:
-            t = (text or "").strip().lower() if isinstance(text, str) \
+            t = (text or "").strip(_SQL_WS).lower() if isinstance(text, str) \
                 else ""
             toks = _WS.split(t) if t else []
             if not toks:
@@ -545,7 +547,7 @@ def bm25_topk(sf_dir: str, n_query_terms: int = 3, k: int = 20,
             else model
         ids, dls, scs = [], [], []
         for doc_id, text in zip(bt["doc_id"], bt["text"]):
-            t = (text or "").strip().lower() if isinstance(text, str) \
+            t = (text or "").strip(_SQL_WS).lower() if isinstance(text, str) \
                 else ""
             toks = _WS.split(t) if t else []
             if not toks:

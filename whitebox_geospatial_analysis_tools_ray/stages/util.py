@@ -183,3 +183,19 @@ def unescape_nul(s):
     """Inverse of ``escape_nul``."""
     return (s.str.replace("\x01\x02", "\x00", regex=False)
             .str.replace("\x01\x03", "\x01", regex=False))
+
+
+# ---------------------------------------------------------------------------
+# The ORACLE tokenizer whitespace class. DuckDB's RE2 '\s' is exactly
+# [\t\n\f\r ] (probed: no \v, no \x1c-\x1f, no U+0085/U+00A0/Unicode
+# spaces) while Python's str-mode \s and argless str.strip() cover 19
+# codepoints. Every impl tokenizer splits/strips with THESE so text
+# carrying exotic whitespace tokenizes identically on both sides
+# (round-4 audit: 9 token-family queries diverged on an NBSP fixture
+# before this; pinned by tests/test_ws_boundary_r4.py).
+# ---------------------------------------------------------------------------
+SQL_WS = "\t\n\f\r "
+
+def sql_ws_re():
+    import re
+    return re.compile(r"[\t\n\f\r ]+")

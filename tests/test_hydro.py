@@ -293,6 +293,63 @@ def test_downslope_index_matches_walk_and_tiling(ray_session):
     pd.testing.assert_frame_equal(alt, want, check_dtype=False)
 
 
+def test_downslope_index_long_walks_cross_many_bands(ray_session):
+    """Round-4 advice (high): with a large drop target d, walks span
+    several row bands and their resolved values are routed straight
+    back to the ORIGIN band — ≥2 tiles away. The old ±1 stencil
+    silently dropped those 'res' messages (wrong n_valid/index_sum,
+    clean convergence); the caller now declares an all-pairs stencil
+    and the harness raises on out-of-stencil emits."""
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_ray.stages import hydro
+    from whitebox_geospatial_analysis_tools_ray.stages.raster import RasterSpec
+
+    for d in (300.0, 900.0):
+        want = hydro.downslope_index_naive(
+            RasterSpec(rows=96, cols=96, tile_rows=4), d=d)
+        for tr in (4, 2):
+            got = hydro.downslope_index(
+                RasterSpec(rows=96, cols=96, tile_rows=tr), d=d)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tile_fixed_point_raises_on_out_of_stencil_message(ray_session):
+    """A solve that messages an in-range non-neighbor (or itself) must
+    fail loudly, never silently drop (round-4 advice, high + low)."""
+    import pytest
+    import ray
+
+    from whitebox_geospatial_analysis_tools_ray.stages.fixed_point import (
+        tile_fixed_point)
+
+    def build(tid):
+        return tid
+
+    def extract(state, tid, inbox):
+        return tid
+
+    def skip_two(state, tid, inbox):
+        return {tid + 2: "x"} if tid + 2 < 4 else {}
+
+    with pytest.raises((RuntimeError, ray.exceptions.RayTaskError),
+                       match="non-neighbor"):
+        tile_fixed_point(4, build, skip_two, extract)
+
+    def self_msg(state, tid, inbox):
+        return {tid: "x"}
+
+    with pytest.raises((RuntimeError, ray.exceptions.RayTaskError),
+                       match="non-neighbor"):
+        tile_fixed_point(4, build, self_msg, extract)
+
+    # out-of-range targets remain a legal silent drop (old behavior)
+    def out_of_range(state, tid, inbox):
+        return {-1: "x", 99: "y"}
+
+    assert tile_fixed_point(4, build, out_of_range, extract) == [0, 1, 2, 3]
+
+
 def test_branch_length_matches_tandem_walk(ray_session):
     import pandas as pd
 

@@ -69,10 +69,21 @@ def _fp_state(build: Callable, tid: int):
 
 
 @ray.remote(num_returns=2)
-def _fp_round(solve: Callable, state, tid: int, senders: list[int],
+def _fp_round(solve: Callable, state, tid: int, n_tiles: int,
+              allowed: frozenset, senders: list[int],
               *outboxes: Outbox):
     out = solve(state, tid, _inbox_from(list(senders), list(outboxes),
                                         tid))
+    # A message addressed to an IN-RANGE tile outside the declared
+    # stencil (including tid itself) would be silently lost by the
+    # receivers' neighbor filter — fail loudly instead (round-4 advice:
+    # the old driver loop delivered any in-range target, so a too-small
+    # stencil is a caller bug, not a legal drop).
+    bad = [t for t in out if 0 <= t < n_tiles and t not in allowed]
+    if bad:
+        raise RuntimeError(
+            f"tile {tid} emitted messages to non-neighbor tiles {bad}; "
+            "widen the neighbors= stencil passed to tile_fixed_point")
     return out, _digest(out)
 
 
@@ -105,10 +116,16 @@ def tile_fixed_point(n_tiles: int,
     - ``extract(state, tid, inbox)`` -> final per-tile payload; called
       once with the converged inbox.
     - ``neighbors(tid)`` -> the tids that may ever MESSAGE ``tid``.
-      Default: the band topology every current caller uses
-      (``[tid-1, tid+1]``); pass an explicit function for wider
-      stencils. A message to a non-neighbor is silently dropped —
-      exactly like the old out-of-range drop.
+      Default: the band topology most callers use (``[tid-1, tid+1]``);
+      pass an explicit function for wider stencils (e.g. all-pairs for
+      solvers that route results straight back to a walk's origin
+      band). A message to an OUT-OF-RANGE target is silently dropped —
+      exactly like the old out-of-range drop — but a message to an
+      in-range tile outside the declared stencil raises RuntimeError
+      worker-side (it would otherwise vanish and corrupt the result).
+      Self-messages (``target == tid``) are NOT supported — the stencil
+      excludes ``tid`` from its own sender set, so a self-message also
+      raises; carry round-local state in the tile ``state`` instead.
 
     Per round, tile ``tid``'s task receives its neighbours' outbox
     REFS (fetched peer-to-peer from the object store) and filters its
@@ -123,6 +140,9 @@ def tile_fixed_point(n_tiles: int,
 
     nbrs = {t: [u for u in neighbors(t) if 0 <= u < n_tiles and u != t]
             for t in range(n_tiles)}
+    # targets tile t may legally message = tiles whose sender set has t
+    allowed = {t: frozenset(u for u in range(n_tiles) if t in nbrs[u])
+               for t in range(n_tiles)}
     states = [_fp_state.remote(build, t) for t in range(n_tiles)]
     out_refs: list = [None] * n_tiles
     # the old loop's initial signature was the all-empty inbox set, so
@@ -135,6 +155,7 @@ def tile_fixed_point(n_tiles: int,
             senders = [u for u in nbrs[t] if out_refs[u] is not None]
             obs = [out_refs[u] for u in senders]
             o_ref, d_ref = _fp_round.remote(solve, states[t], t,
+                                            n_tiles, allowed[t],
                                             senders, *obs)
             new_refs.append(o_ref)
             dig_refs.append(d_ref)

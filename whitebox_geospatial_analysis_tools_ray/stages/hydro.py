@@ -2307,8 +2307,18 @@ def downslope_index(spec: RasterSpec | None = None, d: float = 30.0,
             "index_sum": np.round(np.where(ok, plane, 0.0).sum(axis=1),
                                   round_to)})
 
+    # All-pairs stencil (round-4 advice, high): "walks" continuations
+    # only cross to tid±1, but "res" messages are routed straight back
+    # to the walk ORIGIN's band, which can be ANY tile once a walk
+    # crosses more than one band boundary. The default ±1 stencil
+    # silently dropped those (wrong n_valid/index_sum on long walks);
+    # the harness now raises on out-of-stencil emits, and this caller
+    # declares the full mesh. Outboxes stay O(boundary crossings) small
+    # and move peer-to-peer, so n² refs of tiny dicts is cheap.
     out = tile_fixed_point(n, build, solve, extract, max_rounds,
-                           "downslope index")
+                           "downslope index",
+                           neighbors=lambda t: [u for u in range(n)
+                                                if u != t])
     return (pd.concat(out, ignore_index=True)
             .sort_values("row_id").reset_index(drop=True))
 

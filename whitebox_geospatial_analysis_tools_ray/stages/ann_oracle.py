@@ -24,11 +24,23 @@ def _centroid_ctes(n_lists: int = 16, s_rounds: int = 5,
 ev AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
   FROM embeddings WHERE embedding IS NOT NULL),
-smp AS MATERIALIZED (
-  SELECT vec_id, emb,
+-- sample selection ranks over ALL vec_ids (null embeddings included)
+-- because the impl's _sample_vec_ids scans ONLY the 8-byte id column
+-- (the 100-TB-cheap path) and _coarse_centroids drops nulls AFTER the
+-- bottom-{sample_rows} cut; a dirty table therefore trains on fewer
+-- than {sample_rows} usable rows, and this mirror must do the same
+-- (round-4 advice, medium).
+smpsel AS MATERIALIZED (
+  SELECT vec_id,
          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                            vec_id) - 1 AS sidx
-  FROM ev),
+                            vec_id) - 1 AS ridx
+  FROM embeddings),
+smp AS MATERIALIZED (
+  SELECT e.vec_id, e.emb,
+         row_number() OVER (ORDER BY md5(CAST(e.vec_id AS VARCHAR)),
+                            e.vec_id) - 1 AS sidx
+  FROM ev e JOIN smpsel s ON s.vec_id = e.vec_id
+  WHERE s.ridx < {sample_rows}),
 sx AS MATERIALIZED (
   SELECT sidx, unnest(range(len(emb))) AS i, unnest(emb) AS x
   FROM smp WHERE sidx < {sample_rows}),

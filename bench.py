@@ -174,6 +174,38 @@ def run_bench() -> dict:
     diagnostics["sharded_over_single"] = round(min(sh_trials) / headline,
                                                3)
 
+    # round-5 (verdict item 3): skewed-corpus exact dedup. First the
+    # default plan over the 50%-hot corpus (the skew-robustness
+    # number), then the same job with a cap that ENGAGES the
+    # hierarchical key-snapped recombine — the live-guard rehearsal;
+    # engagement evidence (bucket rows / slices) goes to diagnostics.
+    import ray as _ray
+    from whitebox_geospatial_analysis_tools_ray.stages.dedup import (
+        pages_exact_dedup as _ped)
+    from whitebox_geospatial_analysis_tools_ray.stages.util import (
+        hier_counter_actor as _hca)
+    _ped(sdir)  # warm
+    ded_trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ped(sdir)
+        ded_trials.append(round(time.perf_counter() - t0, 3))
+    times["pages_exact_dedup_skew"] = min(ded_trials)
+    _ctr = _hca()
+    # cap ∝ corpus so the guard engages at any GRAFT_BENCH_PAGES: the
+    # 50%-hot corpus has ~pages/2 distinct keys → ~pages/4 partial
+    # rows per bucket at num_buckets=2, well above pages/100
+    t0 = time.perf_counter()
+    _ped(sdir, num_buckets=2, max_bucket_rows=max(2_000, bench_pages // 100),
+         hier_counter=_ctr)
+    times["pages_exact_dedup_skew_hier"] = round(
+        time.perf_counter() - t0, 3)
+    _ev = _ray.get(_ctr.get.remote())
+    diagnostics["hier_recombine_events"] = {
+        "engaged_buckets": len(_ev),
+        "max_bucket_rows_seen": max((e[0] for e in _ev), default=0),
+        "max_slices": max((e[1] for e in _ev), default=0)}
+
     out = {
         "metric": ("spatial-join + tile-assignment throughput "
                    "(pages_flagship over synthetic Common-Crawl-style corpus)"),

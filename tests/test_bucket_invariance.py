@@ -70,6 +70,100 @@ def test_hierarchical_combine_matches_single_level():
     pd.testing.assert_frame_equal(flat, hier)
 
 
+def test_hierarchical_path_engages_and_bounds_slices():
+    """Round-4 verdict item 3: the max_bucket_rows guard must be LIVE,
+    not decorative — the instrumentation actor records every
+    engagement, slice sizes stay bounded (a slice exceeds the cap only
+    when a single key group does), and results are exact."""
+    import ray
+
+    from whitebox_geospatial_analysis_tools_ray.stages.util import (
+        hier_counter_actor)
+
+    combine, recombine = _fns()
+    ctr = hier_counter_actor()
+    cap = 100
+    flat = _canon(bucketed_agg(_partials(), ["key"], combine,
+                               num_buckets=4).to_pandas())
+    hier = _canon(bucketed_agg(_partials(), ["key"], combine,
+                               num_buckets=4, recombine=recombine,
+                               max_bucket_rows=cap,
+                               hier_counter=ctr).to_pandas())
+    pd.testing.assert_frame_equal(flat, hier)
+    events = ray.get(ctr.get.remote())
+    assert len(events) >= 1                      # guard actually fired
+    hot = int(flat.loc[flat["key"] == "hotkey", "n"].iloc[0])
+    for bucket_rows, n_slices, max_slice in events:
+        assert bucket_rows > cap
+        assert n_slices >= 2
+        # key-snapped slicing: a slice exceeds the cap only if ONE key
+        # group does; the hot key has `hot` partial rows at most
+        assert max_slice <= max(cap, hot)
+
+
+def test_hierarchical_summary_combine_exact_under_skew():
+    """pages_exact_dedup-shaped per-bucket SUMMARY combine (keys
+    dropped in the output): exact across the hierarchical path ONLY
+    because slices never split a key — pin it."""
+    import ray
+
+    from whitebox_geospatial_analysis_tools_ray.stages.util import (
+        hier_counter_actor)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        per_key = df.groupby("key", sort=False)["val"].count()
+        return pd.DataFrame({
+            "n_rows": [int(per_key.sum())],
+            "n_distinct": [int(len(per_key))],
+            "max_group": [int(per_key.max()) if len(per_key) else 0]})
+
+    def recombine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_rows": [int(df["n_rows"].sum())],
+            "n_distinct": [int(df["n_distinct"].sum())],
+            "max_group": [int(df["max_group"].max()) if len(df) else 0]})
+
+    def summarize(buckets: pd.DataFrame) -> tuple:
+        return (int(buckets["n_rows"].sum()),
+                int(buckets["n_distinct"].sum()),
+                int(buckets["max_group"].max()))
+
+    flat = summarize(bucketed_agg(_partials(), ["key"], combine,
+                                  num_buckets=4).to_pandas())
+    ctr = hier_counter_actor()
+    hier = summarize(bucketed_agg(_partials(), ["key"], combine,
+                                  num_buckets=4, recombine=recombine,
+                                  max_bucket_rows=100,
+                                  hier_counter=ctr).to_pandas())
+    assert flat == hier
+    assert len(ray.get(ctr.get.remote())) >= 1
+
+
+def test_pages_exact_dedup_hierarchical_skew():
+    """End-to-end: the skewed pages corpus through pages_exact_dedup
+    with a cap that engages the hierarchical recombine — counts exact
+    vs the default path, engagement proven by the counter."""
+    import ray
+
+    from whitebox_geospatial_analysis_tools_ray.sources.pages import (
+        generate_pages_dataset)
+    from whitebox_geospatial_analysis_tools_ray.stages.dedup import (
+        pages_exact_dedup)
+    from whitebox_geospatial_analysis_tools_ray.stages.util import (
+        hier_counter_actor)
+
+    d = generate_pages_dataset(20_000, "/tmp/graft_pages_hier20k",
+                               hot_frac=0.5)
+    base = pages_exact_dedup(d)
+    ctr = hier_counter_actor()
+    hier = pages_exact_dedup(d, num_buckets=2, max_bucket_rows=1000,
+                             hier_counter=ctr)
+    pd.testing.assert_frame_equal(base, hier)
+    assert int(base["n_pages"].iloc[0]) == 20_000
+    assert int(base["max_group"].iloc[0]) >= 9_000   # the hot text
+    assert len(ray.get(ctr.get.remote())) >= 1
+
+
 def test_default_fanout_is_adaptive():
     # inside the 4-CPU test session: 4 buckets per CPU, clamped
     nb = adaptive_num_buckets()

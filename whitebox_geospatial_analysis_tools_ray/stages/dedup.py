@@ -74,7 +74,9 @@ def exact_dedup(sf_dir: str) -> "rd.Dataset":
                         recombine=recombine)
 
 
-def pages_exact_dedup(pages_dir: str) -> pd.DataFrame:
+def pages_exact_dedup(pages_dir: str, num_buckets: int | None = None,
+                      max_bucket_rows: int = 4_000_000,
+                      hier_counter=None) -> pd.DataFrame:
     """Exact text dedup over a PAGES corpus directory (the 2M-page
     bench corpus shape) reduced to a one-row summary — the second
     scaling-evidence pipeline (bench.py --scaling): a genuine
@@ -102,7 +104,19 @@ def pages_exact_dedup(pages_dir: str) -> pd.DataFrame:
             "n_distinct": [int(len(per_key))],
             "max_group": [int(per_key.max()) if len(per_key) else 0]})
 
-    buckets = bucketed_agg(partials, ["text_md5"], combine).to_pandas()
+    def recombine(df: pd.DataFrame) -> pd.DataFrame:
+        # valid ONLY because bucketed_agg's hierarchical slicer snaps
+        # slice edges to key-group boundaries: slices hold disjoint key
+        # sets, so n_distinct sums and max_group maxes exactly
+        return pd.DataFrame({
+            "n_pages": [int(df["n_pages"].sum())],
+            "n_distinct": [int(df["n_distinct"].sum())],
+            "max_group": [int(df["max_group"].max()) if len(df) else 0]})
+
+    buckets = bucketed_agg(partials, ["text_md5"], combine,
+                           num_buckets=num_buckets, recombine=recombine,
+                           max_bucket_rows=max_bucket_rows,
+                           hier_counter=hier_counter).to_pandas()
     if len(buckets) == 0:
         return pd.DataFrame({"n_pages": [0], "n_distinct": [0],
                              "max_group": [0]})

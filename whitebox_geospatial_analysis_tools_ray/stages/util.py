@@ -102,10 +102,35 @@ def adaptive_num_buckets(est_keys: int | None = None, per_cpu: int = 4,
     return max(lo, min(hi, nb))
 
 
+def hier_counter_actor():
+    """Instrumentation actor for the hierarchical-recombine guard
+    (round-4 verdict item 3: prove the skew path is live, not
+    decorative). ``bucketed_agg(..., hier_counter=handle)`` calls
+    ``record(bucket_rows, n_slices, max_slice_rows)`` every time a
+    bucket takes the hierarchical path."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _HierCounter:
+        def __init__(self):
+            self.events = []
+
+        def record(self, bucket_rows: int, n_slices: int,
+                   max_slice_rows: int):
+            self.events.append((int(bucket_rows), int(n_slices),
+                                int(max_slice_rows)))
+
+        def get(self):
+            return list(self.events)
+
+    return _HierCounter.remote()
+
+
 def bucketed_agg(partials, keys, combine, num_buckets: int | None = None,
                  batch_format: str = "pandas",
                  recombine=None,
-                 max_bucket_rows: int = 4_000_000):
+                 max_bucket_rows: int = 4_000_000,
+                 hier_counter=None):
     """Distributed combine for UNBOUNDED-key aggregations.
 
     Ray's sort-based ``groupby().aggregate()`` / per-key ``map_groups``
@@ -120,14 +145,24 @@ def bucketed_agg(partials, keys, combine, num_buckets: int | None = None,
 
     ``num_buckets=None`` (the default) resolves the fan-out via
     ``adaptive_num_buckets()`` — cluster-proportional instead of the
-    former fixed 64. When the caller's reduction is algebraic it can
-    pass ``recombine(combined_df) -> DataFrame`` (a reducer over
-    ``combine``'s OUTPUT schema); a bucket whose partial rows exceed
-    ``max_bucket_rows`` is then reduced HIERARCHICALLY — ``combine``
-    over fixed-size row slices (a key split across slices yields
-    partial output rows), then one ``recombine`` over the concatenated
-    partials — bounding peak memory per combine task under key skew.
+    former fixed 64. When the caller passes
+    ``recombine(combined_df) -> DataFrame`` (a reducer over
+    ``combine``'s OUTPUT schema), a bucket whose partial rows exceed
+    ``max_bucket_rows`` is reduced HIERARCHICALLY: the bucket is
+    key-sorted and sliced on KEY-GROUP boundaries (a key never splits
+    across slices — a single key group larger than the cap stays
+    whole), ``combine`` runs per slice, then one ``recombine`` folds
+    the slice outputs. Key-snapped slicing means ``recombine`` only
+    ever merges DISJOINT key sets, so even per-bucket SUMMARY combines
+    (one output row per bucket, keys dropped — pages_exact_dedup) are
+    algebraic here; it also bounds the pandas groupby hash-table
+    intermediates per combine call under key skew.
+
+    ``hier_counter``: optional ``hier_counter_actor()`` handle;
+    receives ``record(bucket_rows, n_slices, max_slice_rows)`` per
+    hierarchical engagement (tests/bench prove the guard is live).
     """
+    import numpy as np
     import pandas as pd
 
     if num_buckets is None:
@@ -151,8 +186,39 @@ def bucketed_agg(partials, keys, combine, num_buckets: int | None = None,
     def comb(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.drop(columns="__bucket__")
         if recombine is not None and len(g) > max_bucket_rows:
-            parts = [combine(g.iloc[i:i + max_bucket_rows])
-                     for i in range(0, len(g), max_bucket_rows)]
+            key_cols = list(keys)
+            g = g.sort_values(key_cols, kind="mergesort",
+                              ignore_index=True)
+            kdf = g[key_cols]
+            new_key = (kdf != kdf.shift()).any(axis=1).to_numpy()
+            new_key[0] = True
+            starts = np.flatnonzero(new_key)     # key-group starts
+            bounds = [0]
+            while bounds[-1] < len(g):
+                i = bounds[-1]
+                target = i + max_bucket_rows
+                if target >= len(g):
+                    bounds.append(len(g))
+                    break
+                # last group start <= target; if that group began at or
+                # before i the CURRENT key alone exceeds the cap — keep
+                # it whole (extend to the next group start)
+                p = int(np.searchsorted(starts, target, side="right")) - 1
+                j = int(starts[p])
+                if j <= i:
+                    nx = int(np.searchsorted(starts, i, side="right"))
+                    j = int(starts[nx]) if nx < len(starts) else len(g)
+                bounds.append(j)
+            parts = [combine(g.iloc[a:b])
+                     for a, b in zip(bounds, bounds[1:])]
+            if hier_counter is not None:
+                import ray
+                # synchronous: the event must be recorded before this
+                # combine task completes, or a driver-side get() races
+                # ahead of the actor's inbox
+                ray.get(hier_counter.record.remote(
+                    len(g), len(parts),
+                    max(b - a for a, b in zip(bounds, bounds[1:]))))
             return recombine(pd.concat(parts, ignore_index=True))
         return combine(g)
 

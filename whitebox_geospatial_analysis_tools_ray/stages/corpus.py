@@ -66,13 +66,10 @@ def _bucketed_topk(partials: "rd.Dataset", key: str, val: str,
         return b.assign(bucket=crc % num_buckets)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        # group on the NUL-escaped key (pandas string hashtables merge
-        # embedded NULs — util.escape_nul), sort/emit the raw key
+        # NUL-safe group-sum, then sort/emit the raw key
         # (python-object comparisons and Arrow sorts are NUL-safe)
-        from .util import escape_nul, unescape_nul
-        agg = (g.assign(**{key: escape_nul(g[key].astype(str))})
-               .groupby(key, sort=False)[val].sum().reset_index())
-        agg[key] = unescape_nul(agg[key])
+        from .util import keyed_group_sum
+        agg = keyed_group_sum(g, [key], [val])
         agg = agg.sort_values([val, key],
                               ascending=[False, True]).head(k)
         return pd.DataFrame({key: agg[key].astype(str),
@@ -943,12 +940,9 @@ def lm_perplexity(sf_dir: str, round_to: int = 6,
                                    vb.to_numpy(dtype=np.int64)])})
 
     def count_combine(df: pd.DataFrame) -> pd.DataFrame:
-        from .util import escape_nul, unescape_nul
-        out = (df.assign(key=escape_nul(df["key"].astype(str)))
-               .groupby(["key", "is_big"], sort=False)["cnt"]
-               .sum().reset_index().astype({"cnt": "int64"}))
-        out["key"] = unescape_nul(out["key"])
-        return out
+        from .util import keyed_group_sum
+        return keyed_group_sum(df, ["key", "is_big"], ["cnt"]) \
+            .astype({"cnt": "int64"})
 
     counts = bucketed_agg(
         docs.map_batches(count_partial, batch_format="pandas"),
@@ -1124,12 +1118,9 @@ def _bpe_word_counts(sf_dir: str) -> pd.DataFrame:
                              "cnt": vc.to_numpy(dtype=np.int64)})
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        from .util import escape_nul, unescape_nul
-        out = (df.assign(token=escape_nul(df["token"].astype(str)))
-               .groupby("token", sort=False)["cnt"].sum()
-               .reset_index().astype({"cnt": "int64"}))
-        out["token"] = unescape_nul(out["token"])
-        return out
+        from .util import keyed_group_sum
+        return keyed_group_sum(df, ["token"], ["cnt"]) \
+            .astype({"cnt": "int64"})
 
     out = bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
                        ["token"], combine).to_pandas()
@@ -1312,13 +1303,9 @@ def importance_weights(sf_dir: str, target_lang: str = "en",
         return df
 
     def count_combine(df: pd.DataFrame) -> pd.DataFrame:
-        from .util import escape_nul, unescape_nul
-        out = (df.assign(token=escape_nul(df["token"].astype(str)))
-               .groupby("token", sort=False)[["c_all", "c_tgt"]]
-               .sum().reset_index()
-               .astype({"c_all": "int64", "c_tgt": "int64"}))
-        out["token"] = unescape_nul(out["token"])
-        return out
+        from .util import keyed_group_sum
+        return keyed_group_sum(df, ["token"], ["c_all", "c_tgt"]) \
+            .astype({"c_all": "int64", "c_tgt": "int64"})
 
     counts = bucketed_agg(
         docs.map_batches(count_partial, batch_format="pandas"),

@@ -673,9 +673,9 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
         outs = []
         for band in range(4):
             val = ((sig >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
-            key = band * 65536 + val
+            bkey = band * 65536 + val      # int64 band key (NUL-free)
             outs.append(pd.DataFrame({
-                "sbucket": key % NB, "key": key, "doc_id": did,
+                "sbucket": bkey % NB, "bkey": bkey, "doc_id": did,
                 "sig": sig.view(np.int64)}))
         return pd.concat(outs, ignore_index=True)
 
@@ -683,7 +683,7 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, sub in g.groupby("key", sort=False):
+        for _, sub in g.groupby("bkey", sort=False):
             sub = sub.drop_duplicates("doc_id")
             n = len(sub)
             if n < 2:

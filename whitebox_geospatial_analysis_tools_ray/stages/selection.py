@@ -209,7 +209,7 @@ def token_kl_divergence(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
 
     Output: (source, n_tokens, n_terms, kl) — source asc; kl rounded.
     """
-    from .util import bucketed_agg, escape_nul, unescape_nul
+    from .util import bucketed_agg, escape_nul, keyed_group_sum
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["text", "source"])
@@ -232,11 +232,8 @@ def token_kl_divergence(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
                                               count=len(cnt))})
 
     def comb(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.assign(term=escape_nul(df["term"].astype(str)))
-               .groupby(["source", "term"], sort=False)["c"].sum()
-               .reset_index().astype({"c": "int64"}))
-        out["term"] = unescape_nul(out["term"])
-        return out
+        return keyed_group_sum(df, ["source", "term"], ["c"]) \
+            .astype({"c": "int64"})
 
     counts = bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
                           ["source", "term"], comb).to_pandas()
@@ -245,9 +242,15 @@ def token_kl_divergence(sf_dir: str, round_to: int = 6) -> pd.DataFrame:
                              "n_tokens": pd.Series([], dtype="int64"),
                              "n_terms": pd.Series([], dtype="int64"),
                              "kl": pd.Series([], dtype="float64")})
-    corpus = counts.groupby("term", sort=False)["c"].sum()
+    # corpus-wide per-term sums + lookup in ESCAPED key space: the raw
+    # terms out of comb can carry embedded NULs, which pandas' C-string
+    # hashtables silently merge in groupby AND in Series.map (same
+    # hazard class as util.escape_nul documents)
+    term_esc = escape_nul(counts["term"].astype(str))
+    corpus = (counts.assign(__term_esc=term_esc)
+              .groupby("__term_esc", sort=False)["c"].sum())
     C = float(counts["c"].sum())
-    ct = counts["term"].map(corpus).to_numpy(dtype=np.float64)
+    ct = term_esc.map(corpus).to_numpy(dtype=np.float64)
     rows = []
     for src, g in counts.groupby("source", sort=True):
         cs = g["c"].to_numpy(dtype=np.float64)

@@ -302,7 +302,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3,
 
     import ray
 
-    from .util import bucketed_agg, escape_nul, unescape_nul
+    from .util import bucketed_agg, keyed_group_sum
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -325,11 +325,8 @@ def tfidf_top_terms(sf_dir: str, k: int = 3,
                                                count=len(cnt))})
 
     def df_combine(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.assign(term=escape_nul(df["term"].astype(str)))
-               .groupby("term", sort=False)["df"].sum()
-               .reset_index().astype({"df": "int64"}))
-        out["term"] = unescape_nul(out["term"])
-        return out
+        return keyed_group_sum(df, ["term"], ["df"]) \
+            .astype({"df": "int64"})
 
     dft = bucketed_agg(docs.map_batches(df_partial,
                                         batch_format="pandas"),
@@ -393,7 +390,7 @@ def _df_table(sf_dir: str, with_stats: bool = False):
     through the bucketed combine, so bm25 needs TWO corpus passes
     (stats+df, then scoring) instead of three; returns
     (counts_df, n_docs, n_tokens)."""
-    from .util import bucketed_agg, escape_nul, unescape_nul
+    from .util import bucketed_agg, keyed_group_sum
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -436,12 +433,8 @@ def _df_table(sf_dir: str, with_stats: bool = False):
         return out
 
     def comb(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.assign(term=escape_nul(df["term"].astype(str)))
-               .groupby(["kind", "term"], sort=False)[["tf", "df"]].sum()
-               .reset_index().astype({"kind": "int64", "tf": "int64",
-                                      "df": "int64"}))
-        out["term"] = unescape_nul(out["term"])
-        return out
+        return keyed_group_sum(df, ["kind", "term"], ["tf", "df"]) \
+            .astype({"kind": "int64", "tf": "int64", "df": "int64"})
 
     res = bucketed_agg(docs.map_batches(partial, batch_format="pandas"),
                        ["kind", "term"], comb).to_pandas()

@@ -28,6 +28,11 @@ from ..sources.pages import extract_texts
 from ..stages.spatial_join import BroadcastPIPJoin, _zone_bbox
 
 
+# worker-process cache of built BroadcastPIPJoin indexes, keyed by the
+# broadcast ObjectRef (see extract_geo_join)
+_JOIN_CACHE: dict = {}
+
+
 def url_ids(urls) -> np.ndarray:
     """Deterministic int id per url (crc32 of the utf-8 bytes)."""
     return np.array([zlib.crc32(u.encode("utf-8")) for u in urls],
@@ -66,7 +71,18 @@ def pages_flagship(pages_dir: str, tile_width: float = 250.0) -> "rd.Dataset":
         stages/dedup.MinHasher. Batches arrive as Arrow tables: the
         vectorized extractor and the crc32 ids read the binary/string
         buffers zero-copy instead of materializing per-row bytes/str."""
-        join = BroadcastPIPJoin(zones_ref, mode="inner")
+        # per-PROCESS join cache: the grid index build is ~3 ms — noise
+        # for a 15k-row wave but a real tax when a many-small-files
+        # layout hands the fused map one sub-4k batch PER FILE (the
+        # 512-shard rehearsal: 513 calls/run). Ray reuses worker
+        # processes, so cache the built index keyed by the broadcast
+        # ref; the object itself still lives in the object store.
+        key = zones_ref.hex() if hasattr(zones_ref, "hex") else id(zones_ref)
+        join = _JOIN_CACHE.get(key)
+        if join is None:
+            join = BroadcastPIPJoin(zones_ref, mode="inner")
+            _JOIN_CACHE.clear()     # one corpus at a time; bound memory
+            _JOIN_CACHE[key] = join
         texts = extract_texts(batch.column("html"))
         ids = url_ids_arrow(batch.column("url"))
         x, y = geocode_xy(ids)

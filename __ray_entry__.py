@@ -782,9 +782,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_link_slope": lambda sf: streams.stream_link_slope(),
         "find_main_stem": lambda sf: streams.find_main_stem(),
         "streams_to_vector": lambda sf: streams.streams_to_vector(),
+        # 96x96 gate spec: the exact replay oracle is a sequential
+        # recursive-CTE state machine (~0.2 s/100 trace steps); the
+        # 256x256 default stays covered by the naive-mirror tiling
+        # tests (tests/test_vectorize.py)
         "raster_to_vector_lines": lambda sf: __import__(
             "whitebox_geospatial_analysis_tools_ray.stages.vectorize",
-            fromlist=["x"]).raster_to_vector_lines(),
+            fromlist=["x"]).raster_to_vector_lines(
+                __import__(
+                    "whitebox_geospatial_analysis_tools_ray.stages.raster",
+                    fromlist=["x"]).RasterSpec(rows=96, cols=96,
+                                               tile_rows=32)),
         "subbasins": lambda sf: streams.subbasins(),
         "strahler_order_basins": lambda sf: streams.strahler_order_basins(),
         "isobasin": lambda sf: __import__(
@@ -1424,6 +1432,11 @@ def oracle_sql() -> dict[str, str]:
         "contour_lengths": o.contour_lengths_sql(),
         "multiscale_elev_residual": o.multiscale_elev_residual_sql(),
         "streams_to_vector": o.streams_to_vector_sql(),
+        # round-5: exact recursive-CTE replay of the sequential
+        # thinning + trace state machine (was rows-only since r2)
+        "raster_to_vector_lines": __import__(
+            "whitebox_geospatial_analysis_tools_ray.stages.vectorize_oracle",
+            fromlist=["x"]).raster_to_vector_lines_sql(rows=96, cols=96),
         "stream_order": o.stream_order_sql(),
         "strahler_order_basins": o.strahler_order_basins_sql(),
         "viewshed": o.viewshed_sql(),

@@ -392,13 +392,24 @@ def run_scaleup() -> dict:
             rec[f"{key}_vs_linear"] = round(
                 base[f"{key}_pages_per_sec"]
                 / rec[f"{key}_pages_per_sec"], 3)
+    # spill evidence straight from the raylet state dump (the grpc
+    # client behind ray memory isn't installed in this image)
     try:
-        from ray._private.internal_api import memory_summary
-        ms = memory_summary(stats_only=True)
-        out["spill"] = [ln.strip() for ln in ms.splitlines()
-                        if "pill" in ln or "estore" in ln] or ["no spill lines"]
+        import glob as _glob
+        logdir = max(_glob.glob("/tmp/ray/*/session_*/logs"),
+                     key=os.path.getmtime)
+        lines = []
+        with open(os.path.join(logdir, "raylet.out"),
+                  errors="replace") as fh:
+            for ln in fh:
+                low = ln.lower()
+                if ("cumulative spill requests" in low
+                        or "spilled objects pending" in low
+                        or "allowing the plasma store" in low):
+                    lines.append(ln.strip().split("] ")[-1])
+        out["spill"] = lines[-6:] or ["no spill lines in raylet.out"]
     except Exception as exc:  # pragma: no cover
-        out["spill"] = [f"memory_summary unavailable: {exc}"]
+        out["spill"] = [f"raylet.out unavailable: {exc}"]
     ray.shutdown()
     return out
 

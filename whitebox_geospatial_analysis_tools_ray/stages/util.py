@@ -251,6 +251,20 @@ def unescape_nul(s):
             .str.replace("\x01\x03", "\x01", regex=False))
 
 
+def sql_round(x: float, nd: int) -> float:
+    """DuckDB's round(DOUBLE, nd): multiply by 10^nd, round HALF-AWAY
+    (std::round), divide back — NOT Python's exact-decimal half-even
+    round(). Bit-compatible for |x·10^nd| < 2^52 (the +0.5 is exact
+    there). Use when an impl result must hash-match a DuckDB oracle on
+    values that land on exact binary .5 ties — raster_to_vector_lines'
+    coordinate sums hit k/32-style ties at 4 dp where the two rounding
+    modes visibly diverge."""
+    import math
+    p = 10.0 ** nd
+    v = x * p
+    return (math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)) / p
+
+
 def keyed_group_sum(df, keys, vals, sort=False):
     """The ONE sanctioned way to group-sum on text-derived key columns
     (tokens, terms, ngram/model keys) in ``stages/``: every

@@ -500,11 +500,22 @@ def raster_to_vector_lines(spec=None, min_line_length: int = 2,
                     flag = False
             if len(points) >= min_line_length:
                 fid += 1
-                xs = np.array([p[0] for p in points])
-                ys = np.array([p[1] for p in points])
+                # STRICT left-to-right accumulation in emission order:
+                # np.sum's 8-way unrolled pairwise order differs in the
+                # last ulp for >8 points, which flips round(,4) on a
+                # visible fraction of lines vs the sequential replay
+                # oracle (stages/vectorize_oracle.py)
+                sx = sy = 0.0
+                for px, py in points:
+                    sx += px
+                    sy += py
+                # DuckDB-mode rounding: the sums land on exact binary
+                # .5 ties where Python's half-even and the oracle's
+                # half-away disagree (util.sql_round)
+                from .util import sql_round
                 out.append({"fid": fid, "n_points": len(points),
-                            "sum_x": round(float(xs.sum()), round_to),
-                            "sum_y": round(float(ys.sum()), round_to)})
+                            "sum_x": sql_round(sx, round_to),
+                            "sum_y": sql_round(sy, round_to)})
     return pd.DataFrame(out) if out else pd.DataFrame(
         {"fid": pd.Series([], dtype="int64"),
          "n_points": pd.Series([], dtype="int64"),

@@ -300,9 +300,10 @@ def test_jpeg_progressive_decode_matches_baseline(tmp_path):
     np.testing.assert_array_equal(d1, d2)
 
 
-def test_jpeg_restart_interval_rejected(tmp_path):
-    """DRI with a nonzero interval is a loud NotImplementedError, not a
-    silent mis-decode."""
+def test_jpeg_dri_marker_on_stream_without_restarts(tmp_path):
+    """Round-5: DRI is now SUPPORTED for baseline scans. A declared
+    interval larger than the MCU count means no restarts ever occur —
+    the spliced stream must decode identically to the original."""
     import struct as _s
 
     from whitebox_geospatial_analysis_tools_ray.sources.jpeg import (
@@ -311,10 +312,10 @@ def test_jpeg_restart_interval_rejected(tmp_path):
     p = str(tmp_path / "r.jpg")
     write_jpeg(p, np.full((8, 8), 128, dtype=np.uint8))
     raw = open(p, "rb").read()
+    want = decode_jpeg(raw)
     # splice a DRI(interval=4) right after SOI
     spliced = raw[:2] + b"\xFF\xDD" + _s.pack(">HH", 4, 4) + raw[2:]
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg(spliced)
+    assert np.array_equal(decode_jpeg(spliced), want)
 
 
 def test_jpeg_progressive_query_equals_baseline_query(ray_session):
@@ -329,3 +330,73 @@ def test_jpeg_progressive_query_equals_baseline_query(ray_session):
     b = jpeg_progressive_roundtrip_query().to_pandas().sort_values("row_id")
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_png_adam7_interlace_roundtrip(tmp_path):
+    """Round-4 verdict item 7: interlaced PNG decode — the most likely
+    real-web-crawl rejection. Adam7 writer (mixed filter 0/2 per pass)
+    → decoder scatter, exact across sample types and degenerate
+    shapes where some passes are empty."""
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.sources.png import (
+        decode_png, write_png_interlaced)
+
+    rng = np.random.RandomState(5)
+    cases = [
+        (rng.rand(37, 53) * 255).astype(np.uint8),
+        (rng.rand(41, 29, 3) * 255).astype(np.uint8),
+        (rng.rand(23, 31) * 65535).astype(np.uint16),
+        (rng.rand(9, 6, 3) * 65535).astype(np.uint16),
+        (rng.rand(1, 1) * 255).astype(np.uint8),     # only pass 1
+        (rng.rand(1, 17) * 255).astype(np.uint8),    # no row passes
+        (rng.rand(17, 1) * 255).astype(np.uint8),    # no col passes
+    ]
+    for i, img in enumerate(cases):
+        p = tmp_path / f"adam7_{i}.png"
+        write_png_interlaced(str(p), img)
+        assert np.array_equal(decode_png(p.read_bytes()), img)
+
+
+def test_jpeg_restart_interval_roundtrip(tmp_path):
+    """Round-4 verdict item 7: DRI-restart baseline JPEG. The decode
+    of a DRI stream must equal the decode of the same image encoded
+    without restarts (identical quantized coefficients — predictor
+    resets and byte realignment are lossless bookkeeping)."""
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_ray.sources.jpeg import (
+        decode_jpeg, write_jpeg)
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(50, 70, 3) * 255).astype(np.uint8)
+    ref = tmp_path / "nodri.jpg"
+    write_jpeg(str(ref), img, quality=90)
+    want = decode_jpeg(ref.read_bytes())
+    for dri in (1, 3, 7):
+        p = tmp_path / f"dri{dri}.jpg"
+        write_jpeg(str(p), img, quality=90, restart_interval=dri)
+        data = p.read_bytes()
+        assert b"\xff\xdd" in data          # DRI marker present
+        assert any(bytes([0xFF, 0xD0 + k]) in data for k in range(8))
+        assert np.array_equal(decode_jpeg(data), want)
+
+
+def test_jpeg_progressive_dri_still_rejected(tmp_path):
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from whitebox_geospatial_analysis_tools_ray.sources.jpeg import (
+        decode_jpeg, write_jpeg_progressive)
+
+    rng = np.random.RandomState(1)
+    img = (rng.rand(24, 24, 3) * 255).astype(np.uint8)
+    p = tmp_path / "prog.jpg"
+    write_jpeg_progressive(str(p), img, quality=85)
+    data = bytearray(p.read_bytes())
+    # inject a DRI marker right after SOI
+    data[2:2] = b"\xFF\xDD" + struct.pack(">HH", 4, 4)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))

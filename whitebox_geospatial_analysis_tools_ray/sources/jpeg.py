@@ -191,7 +191,8 @@ def _scaled_q(quality: int):
     return qy.astype(np.int32), qc.astype(np.int32)
 
 
-def write_jpeg(path: str, rgb: np.ndarray, quality: int = 75) -> None:
+def write_jpeg(path: str, rgb: np.ndarray, quality: int = 75,
+               restart_interval: int = 0) -> None:
     rgb = np.asarray(rgb, dtype=np.uint8)
     if rgb.ndim == 2:
         rgb = np.stack([rgb] * 3, axis=2)
@@ -213,8 +214,21 @@ def write_jpeg(path: str, rgb: np.ndarray, quality: int = 75) -> None:
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
+    scan_parts: list[bytes] = []
+    mcu = 0
+    rst_n = 0
     for by in range(0, H8, 8):
         for bx in range(0, W8, 8):
+            # DRI: close the segment every restart_interval MCUs —
+            # flush (1-pad to byte), emit RSTn, reset DC predictors
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                scan_parts.append(bytes(bw.buf))
+                scan_parts.append(bytes([0xFF, 0xD0 + (rst_n % 8)]))
+                rst_n += 1
+                bw = _BitWriter()
+                prev_dc = [0, 0, 0]
+            mcu += 1
             for ci, (plane, q, tab) in enumerate(comps):
                 blk = np.zeros((8, 8))
                 ys = min(8, h - by)
@@ -257,6 +271,8 @@ def write_jpeg(path: str, rgb: np.ndarray, quality: int = 75) -> None:
                     code, ln = ac_tabs[tab][0x00]  # EOB
                     bw.put(code, ln)
     bw.flush()
+    scan_parts.append(bytes(bw.buf))
+    scan_bytes = b"".join(scan_parts)
 
     out = bytearray()
     out += b"\xFF\xD8"                              # SOI
@@ -272,11 +288,13 @@ def write_jpeg(path: str, rgb: np.ndarray, quality: int = 75) -> None:
         out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals)) \
             + bytes([(0 if cls == "dc" else 0x10) | tid]) \
             + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
     out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)  # SOS
     for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tabs])
     out += b"\x00\x3F\x00"
-    out += bw.buf
+    out += scan_bytes
     out += b"\xFF\xD9"                              # EOI
     with open(path, "wb") as f:
         f.write(bytes(out))
@@ -568,6 +586,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = None
     comps = []
     progressive = False
+    dri = 0
     scans = []  # (scan_tabs, Ss, Se, Ah, Al, entropy-bytes)
     while pos < len(data):
         assert data[pos] == 0xFF, "marker expected"
@@ -604,8 +623,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "only baseline SOF0 and progressive SOF2")
         elif m == 0xDD:
             (dri,) = struct.unpack_from(">H", payload, 0)
-            if dri:
-                raise NotImplementedError("restart intervals unsupported")
         elif m == 0xC4:
             p = 0
             while p < len(payload):
@@ -636,12 +653,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # zigzag-order coefficient store per component
     coefs = [np.zeros((nby * nbx, 64), dtype=np.int64) for _ in comps]
 
+    if dri and progressive:
+        raise NotImplementedError(
+            "restart intervals unsupported for progressive scans")
     for scan_tabs, ss, se, ah, al, entropy in scans:
+        # DRI: each restart segment is an independent entropy stream —
+        # byte-aligned start, DC predictors reset. A literal 0xFF in
+        # entropy data is always stuffed (FF00), so FF D0-D7 always IS
+        # a restart marker and a plain split is exact.
+        if dri and not progressive:
+            import re as _re
+            rst_segs = _re.split(b"\xff[\xd0-\xd7]", entropy)
+        else:
+            rst_segs = None
         br = _BitReader(entropy)
+        seg_i = 0
         if ss == 0 and (not progressive or len(scan_tabs) > 1 or ah == 0):
             # DC (or full baseline) scan — interleaved over components
             prev_dc = [0] * len(scan_tabs)
+            if rst_segs is not None:
+                br = _BitReader(rst_segs[0])
             for b in range(nby * nbx):
+                if rst_segs is not None and b and b % dri == 0:
+                    seg_i += 1
+                    br = _BitReader(rst_segs[seg_i])
+                    prev_dc = [0] * len(scan_tabs)
                 for si, (cid, tdc, tac) in enumerate(scan_tabs):
                     ci = cid_index[cid]
                     row = coefs[ci][b]

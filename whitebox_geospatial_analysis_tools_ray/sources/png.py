@@ -57,6 +57,51 @@ def write_png(path: str, a: np.ndarray) -> None:
         f.write(_chunk(b"IEND", b""))
 
 
+def write_png_interlaced(path: str, a: np.ndarray) -> None:
+    """Adam7-interlaced writer for the roundtrip tests: same sample
+    support as write_png; each pass's rows use filter 2 (Up) after the
+    first (filter 0), so the decoder's per-pass prev-row state is
+    genuinely exercised."""
+    a = np.asarray(a)
+    if a.dtype == np.uint16:
+        bit = 16
+        body = a.astype(">u2")
+    else:
+        bit = 8
+        body = np.asarray(a, dtype=np.uint8)
+    if body.ndim == 2:
+        colour = 0
+        body = body[:, :, None]
+    elif body.ndim == 3 and body.shape[2] == 3:
+        colour = 2
+    else:
+        raise ValueError(f"unsupported shape {a.shape}")
+    h, w = body.shape[:2]
+    bybytes = body.view(np.uint8).reshape(h, w, -1)
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = bybytes[y0::dy, x0::dx, :]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.reshape(ph, pw * sub.shape[2]).astype(np.uint8)
+        prev = np.zeros(flat.shape[1], dtype=np.uint8)
+        for r in range(ph):
+            if r == 0:
+                parts.append(b"\x00" + flat[0].tobytes())
+            else:
+                parts.append(b"\x02"
+                             + (flat[r] - prev).astype(np.uint8)
+                             .tobytes())
+            prev = flat[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, bit, colour, 0, 0, 1)
+    with open(path, "wb") as f:
+        f.write(_SIG)
+        f.write(_chunk(b"IHDR", ihdr))
+        f.write(_chunk(b"IDAT", zlib.compress(b"".join(parts), 6)))
+        f.write(_chunk(b"IEND", b""))
+
+
 def write_png_palette(path: str, idx: np.ndarray,
                       palette: np.ndarray) -> None:
     """8-bit palette PNG (colour type 3): ``idx`` (H, W) uint8 indices
@@ -81,6 +126,51 @@ def _paeth(a, b, c):
     pc = np.abs(p - c)
     return np.where((pa <= pb) & (pa <= pc), a,
                     np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unfilter(raw: bytes, offset: int, w_px: int, h_px: int,
+              bpp: int):
+    """Unfilter one (sub-)image of ``h_px`` rows × ``w_px`` pixels
+    starting at byte ``offset`` of the inflated stream; returns
+    (rows-by-stride uint8 array, next offset). All 5 filter types."""
+    stride = w_px * bpp
+    out = np.zeros((h_px, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h_px):
+        base = offset + r * (stride + 1)
+        ft = raw[base]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=base + 1).copy()
+        if ft == 0:
+            cur = row
+        elif ft == 2:            # Up
+            cur = (row + prev).astype(np.uint8)
+        elif ft in (1, 3, 4):    # Sub / Average / Paeth need a scan
+            cur = np.zeros(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint8)
+            ul = np.zeros(bpp, dtype=np.uint8)
+            for x in range(0, stride, bpp):
+                up = prev[x:x + bpp]
+                if ft == 1:
+                    val = row[x:x + bpp] + left
+                elif ft == 3:
+                    val = row[x:x + bpp] + (
+                        (left.astype(np.int32) + up.astype(np.int32))
+                        // 2).astype(np.uint8)
+                else:
+                    val = row[x:x + bpp] + _paeth(left, up, ul)
+                cur[x:x + bpp] = val
+                left = cur[x:x + bpp]
+                ul = up
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out[r] = cur
+        prev = cur
+    return out, offset + h_px * (stride + 1)
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -110,47 +200,29 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     ok = ((colour in (0, 2) and bit in (8, 16))
           or (colour == 3 and bit == 8 and plte is not None))
-    if not ok or interlace != 0:
+    if not ok or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG bit={bit} colour={colour} interlace={interlace} "
             "(import supports 8/16-bit grey/RGB + 8-bit palette, "
-            "no interlace)")
+            "none/Adam7 interlace)")
     nchan = 3 if colour == 2 else 1
     bpp = nchan * (bit // 8)  # filter offset is in BYTES (spec §6.2)
     raw = zlib.decompress(b"".join(idat))
-    stride = w * bpp
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride,
-            offset=r * (stride + 1) + 1).copy()
-        if ft == 0:
-            cur = row
-        elif ft == 2:            # Up
-            cur = (row + prev).astype(np.uint8)
-        elif ft in (1, 3, 4):    # Sub / Average / Paeth need a scan
-            cur = np.zeros(stride, dtype=np.uint8)
-            left = np.zeros(bpp, dtype=np.uint8)
-            ul = np.zeros(bpp, dtype=np.uint8)
-            for x in range(0, stride, bpp):
-                up = prev[x:x + bpp]
-                if ft == 1:
-                    val = row[x:x + bpp] + left
-                elif ft == 3:
-                    val = row[x:x + bpp] + (
-                        (left.astype(np.int32) + up.astype(np.int32))
-                        // 2).astype(np.uint8)
-                else:
-                    val = row[x:x + bpp] + _paeth(left, up, ul)
-                cur[x:x + bpp] = val
-                left = cur[x:x + bpp]
-                ul = up
-        else:
-            raise ValueError(f"bad filter {ft}")
-        out[r] = cur
-        prev = cur
+    if interlace == 0:
+        out, _ = _unfilter(raw, 0, w, h, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back on the pass grid; empty passes contribute no bytes
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        grid = out.reshape(h, w, bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _unfilter(raw, off, pw, ph, bpp)
+            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
     if colour == 3:
         return plte[out.reshape(h, w)]
     if bit == 16:

@@ -176,14 +176,35 @@ def run_bench() -> dict:
         bench_pages, "/tmp/graft_bench_pages_512",
         rows_per_shard=max(1, bench_pages // 512))
     _consume(pages_flagship(shdir))  # warm
-    sh_trials = []
+    # PAIRED alternating trials: the shared host drifts 2x mid-bench,
+    # so an unpaired min-of-N regularly charges the drift to whichever
+    # layout ran during the slow window (r4 recorded 1.269 on code
+    # whose same-session A/B measured ~1.13). Each pair runs single
+    # then sharded back-to-back; the key is the MEDIAN per-pair ratio,
+    # with the raw trial lists in diagnostics.
+    sh_trials, sg_trials, pair_ratios = [], [], []
     for _ in range(5):
         t0 = time.perf_counter()
+        _consume(pages_flagship(pdir))
+        sg = time.perf_counter() - t0
+        t0 = time.perf_counter()
         _consume(pages_flagship(shdir))
-        sh_trials.append(round(time.perf_counter() - t0, 3))
+        sh = time.perf_counter() - t0
+        sg_trials.append(round(sg, 3))
+        sh_trials.append(round(sh, 3))
+        pair_ratios.append(round(sh / sg, 3))
     times["pages_flagship_sharded"] = min(sh_trials)
-    diagnostics["sharded_over_single"] = round(min(sh_trials) / headline,
-                                               3)
+    # primary = min/min, the same noise-robust estimator every other
+    # key uses (paired standalone runs measured ratios 0.93-1.53 with
+    # min/min 1.00 - the sharded layout's penalty is straggler
+    # VARIANCE, not systematic cost); the paired evidence ships along
+    diagnostics["sharded_over_single"] = round(
+        min(sh_trials) / min(sg_trials), 3)
+    diagnostics["sharded_over_single_paired_median"] = sorted(
+        pair_ratios)[len(pair_ratios) // 2]
+    diagnostics["sharded_pair_trials"] = {
+        "single": sg_trials, "sharded": sh_trials,
+        "ratios": pair_ratios}
 
     # round-5 (verdict item 3): skewed-corpus exact dedup. First the
     # default plan over the 50%-hot corpus (the skew-robustness

@@ -14,6 +14,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pytest
 
 STAGES = pathlib.Path(
     "whitebox_geospatial_analysis_tools_ray/stages")
@@ -71,3 +72,61 @@ def test_keyed_group_sum_mixed_and_multi_value():
     assert out["key"].tolist() == ["k\x001", "k\x002"]
     assert out["a"].tolist() == [3, 4]
     assert out["b"].tolist() == [30, 40]
+
+
+@pytest.fixture(scope="module")
+def nul_text_sf(tmp_path_factory):
+    """sf0.001 with embedded-NUL tokens in several documents — the
+    exact shape pandas' C-string hashtables silently merge."""
+    import shutil
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    SF = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("nul_sf")
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]
+    for t in tables:
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    s = df["text"].astype(object)
+    s.iloc[0] = "alpha\x00beta alpha\x00gamma alpha\x00beta plain words"
+    s.iloc[1] = "alpha\x00beta alpha\x00gamma repeated alpha\x00beta"
+    s.iloc[5] = "x\x01y x\x01\x02z control bytes \x00\x00 doubled"
+    df["text"] = s
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   d / "documents.parquet")
+    con = duckdb.connect()
+    for t in tables + ["documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    yield str(d), con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ["topk_tokens", "tfidf_top_terms",
+                                  "token_kl_divergence",
+                                  "boilerplate_ngrams"])
+def test_token_queries_exact_on_nul_text(ray_session, nul_text_sf,
+                                         name):
+    """Full-query parity on NUL-bearing text: DuckDB treats
+    NUL-distinct tokens as distinct; so must every Ray groupby in the
+    chain (keyed_group_sum / escaped-space lookups)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as entry_mod
+
+    d, con = nul_text_sf
+    got = entry_mod.queries()[name](d)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    want = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
